@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query on sf0.001;
+``queries()`` / ``oracle_sql()`` enumerate every implemented operator
+from SURVEY.md §2 with its DuckDB-oracle twin. The registries live next
+to the operators (each operator module exposes QUERIES/ORACLES) — this
+file only aggregates them.
 """
 
 from __future__ import annotations
@@ -13,26 +13,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: q5 local-supplier-volume (6-way join + agg)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators import relational
+
+    return relational.q5_local_supplier_volume(spark, _SF0001)
+
+
+def _registries():
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators import (
+        dedup,
+        events,
+        relational,
+        similarity,
+        text,
+    )
+
+    return (relational, events, dedup, similarity, text)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _registries():
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _registries():
+        out.update(getattr(mod, "ORACLES", {}))
+    return out

@@ -1,0 +1,568 @@
+"""Relational analytics core — TPC-H-style query suite.
+
+Generalizes the reference's filter/project/alias pipeline
+(reference: etl/transform.py:100-111) into a full join/agg/window
+surface. Every query is a declarative DataFrame plan: Catalyst gets
+predicate pushdown, column pruning and join planning for free; dims are
+explicitly broadcast; aggregates are algebraic so map-side partial
+aggregation applies. No RDDs, no Python UDFs, no collect().
+
+Numeric determinism: the test data's money columns live on an exact
+2-decimal grid, so every money aggregate casts its inputs to DECIMAL
+first. Decimal sums are exact and order-independent — the result is
+bit-identical no matter how Spark partitions the data, and bit-identical
+to the DuckDB oracle. Final outputs cast back to DOUBLE (the same exact
+decimal → the same double in any engine). Floating-point sums would
+differ per partitioning and land on round() boundaries — decimals make
+the whole suite deterministic at any scale and any parallelism.
+
+Scale notes (100 TB):
+- lineitem⋈orders shuffles on orderkey; AQE splits skewed partitions.
+- nation/region/supplier/part broadcast; customer broadcasts at small SF
+  and shuffle-joins past the autoBroadcast threshold.
+- Decimal aggregation stays inside whole-stage codegen (Spark's TPC-H
+  path is decimal-native); partial aggregation still applies.
+
+Each Spark query has a DuckDB oracle in ``ORACLES`` built from the SAME
+SQL expression fragments, so semantics can't drift between the two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+
+# SQL expression fragments valid in BOTH Spark SQL and DuckDB — the
+# Spark plans use them via F.expr, the oracles inline them verbatim.
+DISC_PRICE = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+              "(1 - CAST(l_discount AS DECIMAL(8,2)))")
+CHARGE = f"{DISC_PRICE} * (1 + CAST(l_tax AS DECIMAL(8,2)))"
+DISC_REV = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(l_discount AS DECIMAL(8,2))")
+PROFIT = (f"{DISC_PRICE} - CAST(0.5 AS DECIMAL(2,1)) * "
+          "CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))")
+
+
+def _sum_money(expr_sql: str, alias: str):
+    """Exact decimal sum surfaced as double."""
+    return F.expr(f"CAST(SUM({expr_sql}) AS DOUBLE)").alias(alias)
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# --------------------------------------------------------------------------
+# q1: pricing summary report — the canonical scan+groupBy. One shuffle on
+# (returnflag, linestatus); 6 groups, fully map-side-combined.
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= _ts("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),  # integral doubles: exact
+            _sum_money("CAST(l_extendedprice AS DECIMAL(18,2))", "sum_base_price"),
+            _sum_money(DISC_PRICE, "sum_disc_price"),
+            _sum_money(CHARGE, "sum_charge"),
+            F.expr("SUM(l_quantity) / COUNT(*)").alias("avg_qty"),
+            F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").alias("avg_price"),
+            F.expr("CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# q3: shipping priority — customer(filter)⋈orders(filter)⋈lineitem(filter),
+# revenue top-10. customer side broadcast.
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1998-03-15"))
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1998-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_sum_money(DISC_PRICE, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# q4: order priority checking — EXISTS rewritten as left-semi join.
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1996-04-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(F.col("l_shipdate") > F.col("o_orderdate"))
+    return (
+        o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# q5: local supplier volume — 6-way join; region/nation/supplier broadcast.
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(broadcast(s), (li.l_suppkey == s.s_suppkey) & (cu.c_nationkey == s.s_nationkey))
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_sum_money(DISC_PRICE, "revenue"))
+    )
+
+
+# q6: forecast revenue — pure scan query; predicates land in PushedFilters.
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_sum_money(DISC_REV, "revenue"))
+    )
+
+
+# q7: volume shipping between two nations, by direction and year.
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = table(spark, sf_dir, "supplier")
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(broadcast(n2), cu.c_nationkey == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        df.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_sum_money(DISC_PRICE, "revenue"))
+    )
+
+
+# q9: product-type profit by supplier nation and order year.
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(_sum_money(PROFIT, "sum_profit"))
+    )
+
+
+# q10: returned-item reporting — top 20 customers by lost revenue.
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-10-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_sum_money(DISC_PRICE, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# q13: customer order-count distribution — left outer join, two-level agg.
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# q14: promo revenue share — ratio of two exact decimal sums.
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-03-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    promo = (f"100 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE} "
+             f"ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / CAST(SUM({DISC_PRICE}) AS DOUBLE)")
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.expr(promo).alias("promo_revenue"))
+    )
+
+
+# q17: small-quantity-order revenue — per-part average via self-agg join
+# (an agg+broadcast-join beats a window over the whole fact table: only
+# the tiny per-part aggregate shuffles).
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = table(spark, sf_dir, "lineitem")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg(F.expr("0.2 * (SUM(l_quantity) / COUNT(*))").alias("qty_threshold"))
+    )
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(broadcast(avg_qty), li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0").alias("avg_yearly"))
+    )
+
+
+# q18: large-volume orders — group-having then join back to headers.
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))  # integral: exact
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == F.col("b_orderkey"))
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# q22: idle high-balance customers — scalar-subquery average + anti-join
+# against urgent orders.
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = (
+        cu.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").alias("a"))
+    )
+    rich = cu.join(broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").alias("totacctbal"),
+        )
+    )
+
+
+# window: top-3 orders per customer by price — one hash partitioning by
+# customer, no global sort.
+def w_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# window: running revenue + previous-order price per customer. The
+# running sum is decimal → exact regardless of each engine's window-agg
+# evaluation strategy (DuckDB uses segment trees: different add order).
+def w_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(running)
+        .cast("double").alias("running_total"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+    )
+
+
+# rollup: region → nation sales hierarchy with subtotals.
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias("total_sales"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# pivot: order-status counts per priority (explicit value list keeps the
+# output schema static — required for both Catalyst and the oracle).
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity": q17_small_quantity,
+    "q18_large_orders": q18_large_orders,
+    "q22_idle_customers": q22_idle_customers,
+    "w_topk_orders_per_cust": w_topk_orders_per_cust,
+    "w_running_totals": w_running_totals,
+    "rollup_sales": rollup_sales,
+    "pivot_order_status": pivot_order_status,
+}
+
+ORACLES = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum({DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+               CAST(sum({CHARGE}) AS DOUBLE) AS sum_charge,
+               sum(l_quantity) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": f"""
+        SELECT o_orderkey, o_orderdate,
+               CAST(sum({DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+    "q5_local_supplier_volume": f"""
+        SELECT n_name,
+               CAST(sum({DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q6_revenue_forecast": f"""
+        SELECT CAST(sum({DISC_REV}) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum({DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY n1.n_name, n2.n_name, l_year
+    """,
+    "q9_product_profit": f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum({PROFIT}) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = 'PROMO'
+        GROUP BY n_name, o_year
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(sum({DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "q14_promo_revenue": f"""
+        SELECT 100 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(sum({DISC_PRICE}) AS DOUBLE) AS promo_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    "q17_small_quantity": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN (
+            SELECT l_partkey AS ap_partkey, 0.2 * (sum(l_quantity) / count(*)) AS qty_threshold
+            FROM lineitem GROUP BY l_partkey
+        ) a ON l_partkey = ap_partkey
+        WHERE p_brand = 'Brand#1' AND l_quantity < qty_threshold
+    """,
+    "q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM orders
+        JOIN (
+            SELECT l_orderkey AS b_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        ) b ON o_orderkey = b_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    "q22_idle_customers": """
+        SELECT c_mktsegment, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            FROM customer WHERE c_acctbal > 0.0
+        )
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+    """,
+    "w_topk_orders_per_cust": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    "w_running_totals": """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_total,
+               lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev_price
+        FROM orders
+    """,
+    "rollup_sales": """
+        SELECT r_name, n_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "pivot_order_status": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+}

@@ -1,0 +1,54 @@
+"""Tuned SparkSession factory.
+
+Replaces the reference's YAML-driven session builder
+(reference: etl/transform.py:76-86) with a factory whose defaults are
+chosen for large-cluster execution but degrade gracefully to local mode:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the
+  static shuffle-partition count is always wrong for some stage.
+- Arrow execution for any pandas interchange (multimodal decode path).
+- Shuffle partitions default to cores in local mode; on a real cluster
+  AQE coalesces from a deliberately-high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dims under this size broadcast automatically; explicit hints are
+    # still used for clarity on known-small tables.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "spark-graft-engine", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured — on a real deployment pass
+    ``yarn``/``k8s://...`` or set it via spark-submit and leave None.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions if shuffle_partitions is not None else int(cpus)),
+    )
+    return builder.getOrCreate()
