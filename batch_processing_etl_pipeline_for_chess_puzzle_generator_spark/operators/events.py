@@ -1,2 +1,232 @@
-QUERIES = {}
-ORACLES = {}
+"""Event/log analytics — batch suite over the ``events`` table.
+
+Covers the stream-shaped workloads a log pipeline needs: tumbling
+windows, lag-gap sessionization, staged funnels, top-k, JSON prop
+extraction (the reference's nested-field access generalized to
+schema-on-read JSON strings — reference: etl/transform.py:103-111),
+and keep-latest dedup. ``streaming/`` holds the Structured Streaming
+twins of the windowed agg and dedup.
+
+Scale notes (100 TB):
+- Everything partitions by user_id (sessionize, dedup, funnel) or by
+  (bucket, event_type) — single hash shuffle each, no global sorts.
+- Sessionization is one window pass: flag-new-session → running sum.
+  State per user is bounded by the partition, not driver memory.
+- ``value`` sums go through DECIMAL (the column is on a 2-decimal
+  grid) so results are partition-order independent — see relational.py.
+- get_json_object is JVM-side (codegen'd Jackson), not a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+
+SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+# Tumbling 1-hour windows per event type. In streaming this is
+# window(ts, '1 hour') + watermark; batch uses date_trunc for the
+# identical bucketing.
+def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(SUM_VALUE).alias("total_value"),
+            F.expr(f"{SUM_VALUE} / COUNT(*)").alias("avg_value"),
+        )
+    )
+
+
+# Lag-gap sessionization: a session breaks after 30 min of inactivity.
+# One window pass: new-session flag, then a running sum numbers the
+# sessions — no iterative logic, no state beyond the user partition.
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_seq", F.sum("new_session").over(run))
+    return (
+        flagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+            F.expr(SUM_VALUE).alias("total_value"),
+        )
+    )
+
+
+# Ordered funnel view → click → purchase: stage N counts users whose
+# first stage-N event happens after their first stage-(N-1) event.
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+# Top-10 users by spend.
+def ev_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(SUM_VALUE).alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+# JSON prop extraction — schema-on-read over the props string column,
+# JVM-side (no Python), mirroring the reference's nested projections.
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+# Keep-latest dedup per (user_id, event_type) — the batch twin of
+# streaming dropDuplicates-with-watermark.
+def ev_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "value")
+    )
+
+
+QUERIES = {
+    "ev_tumbling_window": ev_tumbling_window,
+    "ev_sessionize": ev_sessionize,
+    "ev_funnel": ev_funnel,
+    "ev_topk_users": ev_topk_users,
+    "ev_json_props": ev_json_props,
+    "ev_dedup_latest": ev_dedup_latest,
+}
+
+_SUM_VALUE_DUCK = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+ORACLES = {
+    "ev_tumbling_window": f"""
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               count(*) AS n_events,
+               {_SUM_VALUE_DUCK} AS total_value,
+               {_SUM_VALUE_DUCK} / count(*) AS avg_value
+        FROM events
+        GROUP BY bucket, event_type
+    """,
+    "ev_sessionize": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               count(*) AS n_events,
+               min(ts) AS t_start,
+               max(ts) AS t_end,
+               {_SUM_VALUE_DUCK} AS total_value
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
+    "ev_funnel": """
+        WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+             c AS (SELECT e.user_id, min(ts) AS t_click FROM events e
+                   JOIN v USING (user_id)
+                   WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id),
+             p AS (SELECT e.user_id, min(ts) AS t_purchase FROM events e
+                   JOIN c USING (user_id)
+                   WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id)
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click,
+               (SELECT count(*) FROM p) AS n_purchase
+    """,
+    "ev_topk_users": f"""
+        SELECT user_id, count(*) AS n_events, {_SUM_VALUE_DUCK} AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY total_value DESC, user_id
+        LIMIT 10
+    """,
+    "ev_json_props": """
+        SELECT event_type,
+               count(k) AS n_k,
+               max(k) AS max_k,
+               CAST(sum(k) AS BIGINT) AS sum_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events)
+        GROUP BY event_type
+    """,
+    "ev_dedup_latest": """
+        SELECT user_id, event_type, ts, value
+        FROM (
+            SELECT user_id, event_type, ts, value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+}
