@@ -42,3 +42,11 @@ def STABLE_HASH_SQL(expr: str, seed: int | None = None) -> str:
     if seed is not None:
         expr = f"('{seed}:' || {expr})"
     return f"CAST(('0x' || substr(md5({expr}), 1, {HEX_CHARS})) AS BIGINT)"
+
+
+def SPARK_HASH_SQL(expr: str, seed: int | None = None) -> str:
+    """Spark-SQL fragment form of :func:`stable_hash64` (for use inside
+    higher-order-function lambdas where Column API can't reach)."""
+    if seed is not None:
+        expr = f"CONCAT('{seed}:', {expr})"
+    return f"CAST(CONV(SUBSTRING(MD5({expr}), 1, {HEX_CHARS}), 16, 10) AS BIGINT)"

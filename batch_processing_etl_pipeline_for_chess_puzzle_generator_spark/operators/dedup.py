@@ -1,2 +1,320 @@
-QUERIES = {}
-ORACLES = {}
+"""Deduplication for LLM training-data pipelines.
+
+Four operators over ``documents``, in increasing fuzziness:
+
+- exact (content-hash groupBy),
+- MinHash signatures + LSH band join (near-dup candidate pairs),
+- SimHash fingerprints (bit-vote hash, hamming-bucketable),
+- blocked n-gram Jaccard (exact set similarity on candidate pairs).
+
+Scale design (the whole point of MinHash/LSH at 100 TB):
+- Pairing is NEVER all-pairs. MinHash candidates come from equality
+  joins on band hashes — cost ∝ Σ bucket², bounded by band width.
+  Jaccard candidates come from (length-bucket) blocking with the
+  emit-two-buckets trick, so near-equal-length docs meet exactly.
+- Signatures are one explode + one groupBy(doc_id) — a single shuffle
+  of (doc, shingle) pairs; the 16 hash families are computed in one
+  pass as 16 aggregate expressions (not 16 passes).
+- All hashing is md5-based (functions/hashing.py) so the DuckDB oracle
+  reproduces signatures bit-for-bit.
+
+Reference had only whole-file newness tracking (etl/transform.py:24-34);
+content-level dedup is the capability a training corpus actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import (
+    SPARK_HASH_SQL,
+    STABLE_HASH_SQL,
+    stable_hash64,
+)
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SIMHASH_BITS = 16
+
+# Word 3-gram shingles, distinct, 1-based positions (identical in both
+# engines; Spark uses element_at which is 1-based like DuckDB lists).
+_SHINGLES_SPARK = (
+    "array_distinct(CASE WHEN size(split(text, ' ')) >= 3 THEN "
+    "transform(sequence(1, size(split(text, ' ')) - 2), "
+    "i -> concat(element_at(split(text, ' '), i), ' ', "
+    "element_at(split(text, ' '), i + 1), ' ', "
+    "element_at(split(text, ' '), i + 2))) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END)"
+)
+_SHINGLES_DUCK = (
+    "list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
+    "list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1] "
+    "|| ' ' || string_split(text, ' ')[i + 2]) "
+    "ELSE [] END)"
+)
+
+
+# ---------------------------------------------------------------- exact
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash text, keep the lowest doc_id per hash group.
+
+    One shuffle on the 60-bit content hash; at 100 TB the shuffle rows
+    are (hash, id) pairs, never the document bodies.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(stable_hash64("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# -------------------------------------------------------------- minhash
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")
+    )
+    mins = [
+        F.expr(f"min({SPARK_HASH_SQL('shingle', seed=i)})").alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    return exploded.groupBy("doc_id").agg(*mins)
+
+
+def _band_hash_expr(b: int) -> str:
+    cols = ", ".join(f"mh{i}" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND))
+    return f"md5(concat_ws(',', '{b}', {cols}))"
+
+
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-duplicate candidate pairs with estimated
+    Jaccard (fraction of agreeing signature components).
+
+    16 hash families, 4 bands × 4 rows: pairs with true Jaccard ≥ ~0.9
+    are found with probability ~1-(1-0.9⁴)⁴ ≈ 0.95; the band equality
+    join replaces the O(n²) pairing entirely.
+    """
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.expr(_band_hash_expr(b)).alias("band_hash"),
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_idx", "bd.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)])
+    agree = " + ".join(f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.expr(f"({agree}) / {N_HASHES}.0").alias("est_jaccard"))
+    )
+
+
+# -------------------------------------------------------------- simhash
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: each hash bit votes ±1 per token occurrence;
+    the fingerprint packs the vote signs. Near-identical docs land at
+    small hamming distance (bucket by fingerprint for grouping).
+    """
+    docs = table(spark, sf_dir, "documents")
+    h = SPARK_HASH_SQL("w")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).withColumn("h", F.expr(h))
+    votes = [
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    pack = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        tok.groupBy("doc_id").agg(*votes).select("doc_id", F.expr(pack).alias("simhash"))
+    )
+
+
+# ------------------------------------------------------- ngram jaccard
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard over length-blocked candidate pairs.
+
+    Blocking: docs are bucketed by n_chars DIV 100 and each doc is
+    emitted to its own and the next bucket, so every pair within 100
+    chars of each other meets in ≥1 common bucket; pair rows are
+    deduped before the (expensive) set intersection, which runs once
+    per candidate pair. Pairs with Jaccard ≥ 0.5 survive.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.expr(_SHINGLES_SPARK).alias("sh"),
+        F.expr("n_chars DIV 100").alias("bkt"),
+    )
+    blocked = docs.select(
+        "doc_id", "n_chars", F.explode(F.expr("array(bkt, bkt + 1)")).alias("jb")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.jb") == F.col("b.jb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 50),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    jac = (
+        "size(array_intersect(sha, shb)) / "
+        "(size(sha) + size(shb) - size(array_intersect(sha, shb)))"
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", F.expr(jac).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+QUERIES = {
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_minhash_pairs": doc_minhash_pairs,
+    "doc_simhash": doc_simhash,
+    "doc_ngram_jaccard": doc_ngram_jaccard,
+}
+
+
+def _duck_sig_cte() -> str:
+    mins = ",\n                   ".join(
+        f"min({STABLE_HASH_SQL('shingle', seed=i)}) AS mh{i}" for i in range(N_HASHES)
+    )
+    return f"""
+        sh AS (
+            SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, {mins}
+            FROM sh GROUP BY doc_id
+        )"""
+
+
+def _duck_bands_cte() -> str:
+    parts = []
+    for b in range(N_BANDS):
+        cols = " || ',' || ".join(
+            f"mh{i}" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band_idx, md5('{b}' || ',' || {cols}) AS band_hash FROM sig"
+        )
+    return "bands AS (\n            " + "\n            UNION ALL ".join(parts) + "\n        )"
+
+
+_AGREE = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+)
+
+_SIMHASH_DH = STABLE_HASH_SQL("w")
+_VOTES = ",\n                   ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(SIMHASH_BITS)
+)
+_PACK = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(SIMHASH_BITS)
+)
+
+_JAC_DUCK = (
+    "len(list_intersect(da.sh, db.sh)) / "
+    "(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))"
+)
+
+ORACLES = {
+    "doc_exact_dedup": f"""
+        SELECT {STABLE_HASH_SQL('text')} AS content_hash,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY content_hash
+    """,
+    "doc_minhash_pairs": f"""
+        WITH {_duck_sig_cte()},
+        {_duck_bands_cte()},
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, ({_AGREE}) / {N_HASHES}.0 AS est_jaccard
+        FROM pairs
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id
+    """,
+    "doc_simhash": f"""
+        WITH tok AS (
+            SELECT doc_id, {_SIMHASH_DH} AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {_VOTES}
+            FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({_PACK} AS BIGINT) AS simhash FROM votes
+    """,
+    "doc_ngram_jaccard": f"""
+        WITH d AS (
+            SELECT doc_id, n_chars, {_SHINGLES_DUCK} AS sh, n_chars // 100 AS bkt
+            FROM documents
+        ),
+        blocked AS (
+            SELECT doc_id, n_chars, bkt AS jb FROM d
+            UNION ALL
+            SELECT doc_id, n_chars, bkt + 1 AS jb FROM d
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM blocked a
+            JOIN blocked b ON a.jb = b.jb
+                          AND a.doc_id < b.doc_id
+                          AND abs(a.n_chars - b.n_chars) <= 50
+        )
+        SELECT doc_a, doc_b, {_JAC_DUCK} AS jaccard
+        FROM pairs
+        JOIN d da ON doc_a = da.doc_id
+        JOIN d db ON doc_b = db.doc_id
+        WHERE {_JAC_DUCK} >= 0.5
+    """,
+}

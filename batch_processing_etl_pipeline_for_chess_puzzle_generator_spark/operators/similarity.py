@@ -1,2 +1,210 @@
-QUERIES = {}
-ORACLES = {}
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+- emb_cosine_topk: brute-force cosine top-k — the correctness baseline.
+  The query set is broadcast; the corpus is never replicated. Per-pair
+  math is a zip_with/aggregate Catalyst expression (JVM codegen, no
+  Python).
+- emb_lsh_ann: sign-bit LSH — corpus and queries bucket on the sign
+  pattern of the leading components; candidate generation is an
+  equality join on the bucket id, pruning the cross product. This is
+  the 100 TB path: bucket count grows with bits, cost ∝ Σ bucket².
+- emb_label_centroids: per-label mean vector (posexplode → two-level
+  agg), reported as centroid L2 norm.
+
+Numeric determinism: components are quantized to 1e-6 integers, so all
+dot products and norms are EXACT integer sums — order-independent
+across partitionings and bit-identical to the DuckDB oracle. Cosine is
+then a single double division of exact integers. (Float accumulation
+would make top-k ranking engine- and partitioning-dependent.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+LSH_BITS = 8
+
+# Quantized (×1e6, rounded) integer components — exact arithmetic.
+_QDOT = (
+    "aggregate(zip_with(qe, ce, (x, y) -> "
+    "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * "
+    "CAST(round(CAST(y AS DOUBLE) * 1000000) AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def _qnorm(col: str) -> str:
+    return (
+        f"aggregate(transform({col}, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+_SIM = f"CAST({_QDOT} AS DOUBLE) / (sqrt(CAST({_qnorm('qe')} AS DOUBLE)) * sqrt(CAST({_qnorm('ce')} AS DOUBLE)))"
+
+
+def _split(spark: SparkSession, sf_dir: str):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    )
+    return q, c
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the full corpus; rank per query."""
+    from pyspark.sql.window import Window
+
+    q, c = _split(spark, sf_dir)
+    scored = c.crossJoin(broadcast(q)).select(
+        "q_id", "c_id", F.expr(_SIM).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "rank", "sim")
+    )
+
+
+def _bucket_expr(col: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN CAST(element_at({col}, {j + 1}) AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(LSH_BITS)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH ANN: equality-join on the bucket id, then exact
+    rerank within buckets. Recall trades against LSH_BITS; candidate
+    cost is Σ bucket² instead of |Q|×|C|."""
+    from pyspark.sql.window import Window
+
+    q, c = _split(spark, sf_dir)
+    qb = q.withColumn("bkt", F.expr(_bucket_expr("qe")))
+    cb = c.withColumn("bkt", F.expr(_bucket_expr("ce")))
+    scored = cb.join(broadcast(qb), "bkt").select(
+        "q_id", "c_id", F.expr(_SIM).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "rank", "sim")
+    )
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 norm. posexplode → exact integer component
+    sums per (label, pos) → per-label norm. Two narrow shuffles; the
+    second one is 10×64 rows regardless of corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("xi", F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+    per_pos = comp.groupBy("label", "pos").agg(
+        F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.expr(
+                "sqrt(CAST(SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS DOUBLE))"
+            ).alias("ssq_root"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.expr("ssq_root / (1000000.0 * n_vecs)").alias("centroid_norm"),
+        )
+    )
+
+
+QUERIES = {
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_lsh_ann": emb_lsh_ann,
+    "emb_label_centroids": emb_label_centroids,
+}
+
+# DuckDB oracle: same quantization; exact integer sums via parallel
+# unnest (order-independent because integer addition commutes exactly).
+_DUCK_PAIRS = f"""
+        q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+        c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id >= {N_QUERIES})"""
+
+_DUCK_SCORE = """
+        comp AS (
+            SELECT q_id, c_id,
+                   CAST(round(CAST(unnest(qe) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+                   CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT) AS xc
+            FROM pairs
+        ),
+        scored AS (
+            SELECT q_id, c_id,
+                   CAST(sum(xq * xc) AS DOUBLE)
+                   / (sqrt(CAST(sum(xq * xq) AS DOUBLE)) * sqrt(CAST(sum(xc * xc) AS DOUBLE)))
+                       AS sim
+            FROM comp GROUP BY q_id, c_id
+        )"""
+
+ORACLES = {
+    "emb_cosine_topk": f"""
+        WITH {_DUCK_PAIRS},
+        pairs AS (SELECT q_id, qe, c_id, ce FROM q CROSS JOIN c),
+        {_DUCK_SCORE}
+        SELECT q_id, c_id, rank, sim FROM (
+            SELECT q_id, c_id, sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+            FROM scored
+        )
+        WHERE rank <= {TOP_K}
+    """,
+    "emb_lsh_ann": f"""
+        WITH {_DUCK_PAIRS},
+        qb AS (SELECT q_id, qe,
+                      {" + ".join(f"(CASE WHEN CAST(qe[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSH_BITS))}
+                          AS bkt FROM q),
+        cb AS (SELECT c_id, ce,
+                      {" + ".join(f"(CASE WHEN CAST(ce[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSH_BITS))}
+                          AS bkt FROM c),
+        pairs AS (SELECT q_id, qe, c_id, ce FROM qb JOIN cb USING (bkt)),
+        {_DUCK_SCORE}
+        SELECT q_id, c_id, rank, sim FROM (
+            SELECT q_id, c_id, sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+            FROM scored
+        )
+        WHERE rank <= 3
+    """,
+    "emb_label_centroids": """
+        WITH comp AS (
+            SELECT label, vec_id,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xi
+            FROM embeddings
+        ),
+        per_pos AS (
+            SELECT label, pos, CAST(sum(xi) AS BIGINT) AS s, count(*) AS n
+            FROM comp GROUP BY label, pos
+        )
+        SELECT label,
+               max(n) AS n_vecs,
+               sqrt(CAST(sum(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS DOUBLE))
+                   / (1000000.0 * max(n)) AS centroid_norm
+        FROM per_pos GROUP BY label
+    """,
+}

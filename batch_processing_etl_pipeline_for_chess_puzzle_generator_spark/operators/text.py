@@ -1,2 +1,160 @@
-QUERIES = {}
-ORACLES = {}
+"""Text analysis for LLM training-data pipelines.
+
+Language ID (stopword profile), quality scoring, token counting
+(whitespace + BPE-ish subword estimate), and positional rolling-hash
+fingerprinting — all as pure Catalyst expressions over the ``documents``
+table. Higher-order functions (transform/aggregate/filter) keep the
+per-document math row-local: NO shuffle at all for any of these — they
+scale linearly with scan bandwidth, which is exactly what you want for
+a 100 TB corpus pass.
+
+Determinism: token counts are integers; ratios are single double
+divisions of exact integers; the fingerprint is modular integer
+arithmetic — every output is bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import (
+    SPARK_HASH_SQL,
+    STABLE_HASH_SQL,
+)
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_WORDS = "split(text, ' ')"
+_WORDS_DUCK = "string_split(text, ' ')"
+
+
+# Stopword-profile language ID: a document whose stopword mass clears
+# the threshold is classed 'en'. (A real system uses per-language
+# profiles; the *shape* — row-local token scan, no shuffle — is the
+# production shape.)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(size(filter({_WORDS}, w -> w IN ({_STOP_IN}))) AS BIGINT)").alias("n_stop"),
+        F.expr(f"CAST(size({_WORDS}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"CASE WHEN size(filter({_WORDS}, w -> w IN ({_STOP_IN}))) / size({_WORDS}) >= 0.05 "
+            "THEN 'en' ELSE 'other' END"
+        ).alias("predicted_lang"),
+    )
+
+
+# Quality scoring: repetition, word-length, and stopword-load signals
+# folded into one [0,1] score.
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_words = f"size({_WORDS})"
+    n_distinct = f"size(array_distinct({_WORDS}))"
+    n_stop = f"size(filter({_WORDS}, w -> w IN ({_STOP_IN})))"
+    dup_ratio = f"(1.0 - {n_distinct} / {n_words})"
+    avg_word_len = f"((n_chars - {n_words} + 1) / {n_words})"
+    stop_ratio = f"({n_stop} / {n_words})"
+    score = (
+        f"(1.0 - {dup_ratio}) * 0.6 + least({avg_word_len} / 10.0, 1.0) * 0.2 "
+        f"+ (1.0 - least({stop_ratio} * 5.0, 1.0)) * 0.2"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST({n_words} AS BIGINT)").alias("n_words"),
+        F.expr(f"CAST({n_distinct} AS BIGINT)").alias("n_distinct_words"),
+        F.expr(dup_ratio).alias("dup_ratio"),
+        F.expr(avg_word_len).alias("avg_word_len"),
+        F.expr(stop_ratio).alias("stop_ratio"),
+        F.expr(score).alias("quality_score"),
+    )
+
+
+# Token counting: whitespace tokens + a BPE-ish subword estimate
+# (≈ one subword per 4 chars of each word, the usual byte-level BPE
+# rule of thumb).
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_WORDS}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"aggregate({_WORDS}, CAST(0 AS BIGINT), "
+            "(acc, w) -> acc + ((length(w) + 3) DIV 4))"
+        ).alias("n_subtokens"),
+    )
+
+
+# Positional polynomial fingerprint: Σ (h(w_i) mod 1000003) · i,
+# reduced mod 2^31-1. Order-sensitive (unlike a bag-of-words hash),
+# pure integer math, zero shuffle.
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = SPARK_HASH_SQL("w")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(zip_with({_WORDS}, sequence(1, size({_WORDS})), "
+            f"(w, i) -> ({h} % 1000003) * CAST(i AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x) % 2147483647"
+        ).alias("fingerprint"),
+    )
+
+
+QUERIES = {
+    "doc_langid": doc_langid,
+    "doc_quality": doc_quality,
+    "doc_tokens": doc_tokens,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+_DH = STABLE_HASH_SQL("w")
+
+ORACLES = {
+    "doc_langid": f"""
+        SELECT doc_id, lang,
+               CAST(len(list_filter({_WORDS_DUCK}, w -> w IN ({_STOP_IN}))) AS BIGINT) AS n_stop,
+               CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_words,
+               CASE WHEN len(list_filter({_WORDS_DUCK}, w -> w IN ({_STOP_IN})))
+                         / len({_WORDS_DUCK}) >= 0.05
+                    THEN 'en' ELSE 'other' END AS predicted_lang
+        FROM documents
+    """,
+    "doc_quality": f"""
+        SELECT doc_id,
+               CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_words,
+               CAST(len(list_distinct({_WORDS_DUCK})) AS BIGINT) AS n_distinct_words,
+               (1.0 - len(list_distinct({_WORDS_DUCK})) / len({_WORDS_DUCK})) AS dup_ratio,
+               ((n_chars - len({_WORDS_DUCK}) + 1) / len({_WORDS_DUCK})) AS avg_word_len,
+               (len(list_filter({_WORDS_DUCK}, w -> w IN ({_STOP_IN}))) / len({_WORDS_DUCK}))
+                   AS stop_ratio,
+               (1.0 - (1.0 - len(list_distinct({_WORDS_DUCK})) / len({_WORDS_DUCK}))) * 0.6
+                 + least(((n_chars - len({_WORDS_DUCK}) + 1) / len({_WORDS_DUCK})) / 10.0, 1.0) * 0.2
+                 + (1.0 - least((len(list_filter({_WORDS_DUCK}, w -> w IN ({_STOP_IN})))
+                                 / len({_WORDS_DUCK})) * 5.0, 1.0)) * 0.2
+                   AS quality_score
+        FROM documents
+    """,
+    "doc_tokens": f"""
+        SELECT doc_id,
+               CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform({_WORDS_DUCK},
+                                            w -> (length(w) + 3) // 4)) AS BIGINT) AS n_subtokens
+        FROM documents
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               CAST(sum(({_DH} % 1000003) * i) % 2147483647 AS BIGINT) AS fingerprint
+        FROM (
+            SELECT doc_id,
+                   unnest({_WORDS_DUCK}) AS w,
+                   unnest(range(1, len({_WORDS_DUCK}) + 1)) AS i
+            FROM documents
+        )
+        GROUP BY doc_id
+    """,
+}
