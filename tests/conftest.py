@@ -1,0 +1,22 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import get_spark
+
+    s = get_spark("tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()

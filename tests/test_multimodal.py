@@ -1,0 +1,55 @@
+"""Multimodal plumbing: binary columns through Arrow-batched
+mapInPandas with the deterministic fake decoder."""
+
+from __future__ import annotations
+
+import pytest
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image_batch,
+    extract_media_features,
+    media_summary,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG-fake-1", ("camera", 1700000000)),
+        (2, "image", "image/jpeg", b"\xff\xd8-fake-2" * 100, ("web", 1700000001)),
+        (3, "audio", "audio/wav", b"RIFF-fake" * 10, ("mic", 1700000002)),
+    ]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(b"anything")
+
+
+def test_extract_media_features_fake(spark, media_df):
+    feats = extract_media_features(media_df, fake=True).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id) == 3
+    assert by_id[2]["n_bytes"] == len(b"\xff\xd8-fake-2" * 100)
+    assert by_id[1]["width"] >= 16 and by_id[1]["height"] >= 16
+    # Determinism: same payload → same features.
+    feats2 = {r["media_id"]: r for r in extract_media_features(media_df, fake=True).collect()}
+    assert feats2[1]["payload_hash"] == by_id[1]["payload_hash"]
+    assert (feats2[1]["width"], feats2[1]["height"]) == (by_id[1]["width"], by_id[1]["height"])
+
+
+def test_real_decoder_surfaces_not_implemented(spark, media_df):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception)) as exc:
+        extract_media_features(media_df, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "image decoding" in str(exc.value)
+
+
+def test_media_summary_metadata_only(spark, media_df):
+    out = media_summary(extract_media_features(media_df, fake=True)).collect()
+    kinds = {r["kind"]: r for r in out}
+    assert kinds["image"]["n_items"] == 2
+    assert kinds["audio"]["n_items"] == 1

@@ -1,0 +1,63 @@
+"""Plan-shape assertions: the physical plans must have the properties
+that make them survive a 100×/1000× scale-up — predicate pushdown into
+the parquet scan, broadcast joins for dims, no Python UDFs in
+relational plans, whole-stage codegen present."""
+
+from __future__ import annotations
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators import (
+    relational,
+    text,
+)
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = _formatted(relational.q6_revenue_forecast(spark, SF_SMALL))
+    assert "PushedFilters:" in plan
+    # The shipdate range + quantity predicates reach the parquet reader.
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_q6_prunes_columns(spark):
+    plan = _formatted(relational.q6_revenue_forecast(spark, SF_SMALL))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # Only the 4 needed columns are read, not all 11.
+    assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = _plan(relational.q5_local_supplier_volume(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_relational_plans_have_no_python_udf(spark):
+    for name, fn in relational.QUERIES.items():
+        plan = _plan(fn(spark, SF_SMALL))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_text_ops_are_shuffle_free(spark):
+    # Row-local higher-order functions: no Exchange in the plan.
+    for name in ("doc_langid", "doc_quality", "doc_tokens", "doc_fingerprint"):
+        plan = _plan(text.QUERIES[name](spark, SF_SMALL))
+        assert "Exchange" not in plan, f"{name} unexpectedly shuffles"
+
+
+def test_whole_stage_codegen_present(spark):
+    df = relational.q1_pricing_summary(spark, SF_SMALL)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = _plan(df)
+    # Codegen stages print as "*(n) Operator" in the plan string; the
+    # scan-filter-project-partial_agg pipeline must be inside one.
+    assert "*(1) HashAggregate" in plan or "WholeStageCodegen" in plan

@@ -1,0 +1,80 @@
+"""Structured Streaming twins, driven through memory/file sources and
+the memory sink with processAllAvailable."""
+
+from __future__ import annotations
+
+import json
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+    dedup_events,
+    streaming_puzzle_pipeline,
+    windowed_event_counts,
+)
+
+
+def _run_stream(df, name: str, mode: str = "append"):
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:10:00", "event_type": "click", "value": 1.5},
+        {"event_id": 2, "ts": "2024-01-01 00:20:00", "event_type": "click", "value": 2.5},
+        {"event_id": 3, "ts": "2024-01-01 01:10:00", "event_type": "view", "value": 1.0},
+    ]
+    (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, event_type STRING, value DOUBLE")
+        .json(str(src))
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+    )
+    _run_stream(windowed_event_counts(stream), "win_counts", mode="append")
+    # Append mode only emits closed windows; advance the watermark with
+    # a late batch, then re-run.
+    (src / "batch2.json").write_text(json.dumps(
+        {"event_id": 9, "ts": "2024-01-01 05:00:00", "event_type": "view", "value": 0.5}
+    ))
+    _run_stream(windowed_event_counts(stream), "win_counts2", mode="append")
+    out = {(str(r["bucket"]), r["event_type"]): (r["n_events"], r["total_value"])
+           for r in spark.sql("SELECT * FROM win_counts2").collect()}
+    assert out[("2024-01-01 00:00:00", "click")] == (2, 4.0)
+    assert out[("2024-01-01 01:00:00", "view")] == (1, 1.0)
+
+
+def test_dedup_events_stream(spark, tmp_path):
+    src = tmp_path / "dups_stream"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:10:00", "event_type": "click", "value": 1.0},
+        {"event_id": 1, "ts": "2024-01-01 00:10:00", "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:11:00", "event_type": "view", "value": 2.0},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, event_type STRING, value DOUBLE")
+        .json(str(src))
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+    )
+    _run_stream(dedup_events(stream), "dedup_out")
+    rows_out = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
+    assert [r["event_id"] for r in rows_out] == [1, 2]
+
+
+def test_streaming_puzzle_pipeline(spark, tmp_path):
+    from tests.test_chess import GAMES
+
+    src = tmp_path / "games_stream"
+    src.mkdir()
+    (src / "g.ndjson").write_text("\n".join(json.dumps(g) for g in GAMES))
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.ndjson import (
+        read_games_stream,
+    )
+
+    _run_stream(streaming_puzzle_pipeline(read_games_stream(spark, str(src))), "pgn_out")
+    text = "".join(r["pgn"] for r in spark.sql("SELECT * FROM pgn_out").collect())
+    assert '[Game ID "g1"]' in text and '[Game ID "g4"]' in text
+    assert '[Game ID "g2"]' not in text
