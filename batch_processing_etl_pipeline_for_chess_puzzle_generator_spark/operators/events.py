@@ -230,3 +230,37 @@ ORACLES = {
         WHERE rn = 1
     """,
 }
+
+
+# Day-over-day retention: users active on day d who return on day d+1.
+# Two narrow aggregates of the distinct (user, day) set — the self-join
+# is on the small per-day user table, not on raw events.
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    nxt = days.select(
+        F.col("user_id").alias("n_user"), F.expr("day - INTERVAL 1 DAY").alias("n_prev")
+    )
+    return (
+        days.join(
+            nxt,
+            (days.user_id == F.col("n_user")) & (days.day == F.col("n_prev")),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+
+
+QUERIES["ev_retention"] = ev_retention
+
+ORACLES["ev_retention"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+    )
+    SELECT a.day, count(*) AS n_retained
+    FROM days a JOIN days b
+      ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY a.day
+"""

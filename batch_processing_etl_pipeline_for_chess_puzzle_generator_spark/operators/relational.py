@@ -566,3 +566,246 @@ ORACLES = {
         GROUP BY o_orderpriority
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Second wave: q8/q11/q12/q15/q16/q19/q21 adaptations (no partsupp table in
+# this schema; lineitem is the part↔supplier link where TPC-H uses partsupp).
+
+# q8: national market share — share of NATION_3 suppliers in the EUROPE
+# customer market for ECONOMY parts, by year.
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(broadcast(n2), cu.c_nationkey == F.col("c_nk"))
+        .join(broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+    )
+    share = (
+        f"CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN {DISC_PRICE} "
+        f"ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / CAST(SUM({DISC_PRICE}) AS DOUBLE)"
+    )
+    return joined.groupBy("o_year").agg(F.expr(share).alias("mkt_share"))
+
+
+# q11: important stock — parts whose shipped value exceeds 0.08% of the
+# total shipped value (scalar subquery → broadcast cross join).
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    val = ("SUM(CAST(l_quantity AS DECIMAL(18,2)) * "
+           "CAST(p_retailprice AS DECIMAL(18,2)))")
+    per_part = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey")
+        .agg(F.expr(f"CAST({val} AS DOUBLE)").alias("part_value"))
+    )
+    total = per_part.agg(F.expr("SUM(part_value)").alias("tv"))
+    return (
+        per_part.join(broadcast(total))
+        .filter(F.col("part_value") > 0.0008 * F.col("tv"))
+        .select("p_partkey", "part_value")
+    )
+
+
+# q12: late-shipment counts by order priority (receipt/commit dates don't
+# exist here; "late" = shipped >90 days after the order date).
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END)"
+            ).alias("late_count"),
+            F.count(F.lit(1)).alias("total_count"),
+        )
+    )
+
+
+# q15: top supplier(s) by revenue in 1996Q1 (ties kept — exact decimal
+# revenue makes the max-equality deterministic).
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(_sum_money(DISC_PRICE, "total_revenue"))
+    best = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(broadcast(best))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
+    )
+
+
+# q16: supplier variety per (brand, type, size), excluding one brand —
+# count distinct through the lineitem link.
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# q19: disjunctive predicate revenue — brand/size/quantity bands OR'd
+# together; Catalyst pushes the part-side conjuncts into the dim scan.
+def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    cond = (
+        "((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) "
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30))"
+    )
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.expr(cond))
+        .agg(_sum_money(DISC_PRICE, "revenue"))
+    )
+
+
+# q21: suppliers who shipped last in multi-supplier orders, >60 days
+# after the order date. Per-order stats come from a groupBy (a window
+# count-distinct would be unsupported/unbounded); top-10 by wait count.
+def q21_late_last_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ord_stats = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    late_last = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(ord_stats, li.l_orderkey == F.col("g_orderkey"))
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("l_shipdate") == F.col("max_ship"))
+            & F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAY")
+        )
+    )
+    return (
+        late_last.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .join(broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+QUERIES.update({
+    "q8_market_share": q8_market_share,
+    "q11_important_stock": q11_important_stock,
+    "q12_late_shipments": q12_late_shipments,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_part_supplier_variety": q16_part_supplier_variety,
+    "q19_banded_revenue": q19_banded_revenue,
+    "q21_late_last_suppliers": q21_late_last_suppliers,
+})
+
+ORACLES.update({
+    "q8_market_share": f"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN {DISC_PRICE}
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(sum({DISC_PRICE}) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_year
+    """,
+    "q11_important_stock": """
+        WITH per_part AS (
+            SELECT p_partkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_partkey
+        )
+        SELECT p_partkey, part_value FROM per_part
+        WHERE part_value > 0.0008 * (SELECT sum(part_value) FROM per_part)
+    """,
+    "q12_late_shipments": """
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+               count(*) AS total_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "q15_top_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey, CAST(sum({DISC_PRICE}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "q16_part_supplier_variety": """
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "q19_banded_revenue": f"""
+        SELECT CAST(sum({DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+    """,
+    "q21_late_last_suppliers": """
+        WITH ord_stats AS (
+            SELECT l_orderkey AS g_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   max(l_shipdate) AS max_ship
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN ord_stats ON l_orderkey = g_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE n_supp >= 2 AND l_shipdate = max_ship
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+})

@@ -31,25 +31,25 @@ TOP_K = 5
 LSH_BITS = 8
 
 # Quantized (×1e6, rounded) integer components — exact arithmetic.
-_QDOT = (
-    "aggregate(zip_with(qe, ce, (x, y) -> "
-    "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * "
-    "CAST(round(CAST(y AS DOUBLE) * 1000000) AS BIGINT)), "
-    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+# Quantization happens ONCE per vector (column ``qa``/``ca``); per-pair
+# work is a plain integer zip_with dot product.
+_QUANT = (
+    "transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 )
 
 
 def _qnorm(col: str) -> str:
     return (
-        f"aggregate(transform({col}, x -> "
-        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * "
-        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        f"aggregate({col}, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
     )
 
 
 # Norms are precomputed once per vector (columns qn/cn) — only the dot
 # product is per-pair work.
+_QDOT = (
+    "aggregate(zip_with(qa, ca, (x, y) -> x * y), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
 _SIM = (
     f"CAST({_QDOT} AS DOUBLE) / "
     "(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))"
@@ -58,15 +58,23 @@ _SIM = (
 
 def _split(spark: SparkSession, sf_dir: str):
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.expr(_qnorm("embedding")).alias("qn"),
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.expr(_QUANT.format(col="embedding")).alias("qa"),
+        )
+        .withColumn("qn", F.expr(_qnorm("qa")))
     )
-    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("ce"),
-        F.expr(_qnorm("embedding")).alias("cn"),
+    c = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("ce"),
+            F.expr(_QUANT.format(col="embedding")).alias("ca"),
+        )
+        .withColumn("cn", F.expr(_qnorm("ca")))
     )
     return q, c
 
@@ -217,3 +225,48 @@ ORACLES = {
         FROM per_pos GROUP BY label
     """,
 }
+
+
+# Embedding-cosine near-duplicate pairs, blocked by label (standing in
+# for an IVF coarse-cluster id at scale: candidates only form inside a
+# block, never across the full corpus).
+NEARDUP_THRESHOLD = 0.4
+
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(_QUANT.format(col="embedding")).alias("qi"),
+    ).withColumn("nrm", F.expr(_qnorm("qi"))).persist()
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("qi").alias("qa"),
+        F.col("label").alias("blk"),
+        F.col("nrm").alias("qn"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("qi").alias("ca"),
+        F.col("label").alias("blk"),
+        F.col("nrm").alias("cn"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.expr(_SIM).alias("sim"))
+        .filter(F.col("sim") >= NEARDUP_THRESHOLD)
+    )
+
+
+QUERIES["emb_neardup_pairs"] = emb_neardup_pairs
+
+ORACLES["emb_neardup_pairs"] = f"""
+    WITH a AS (SELECT vec_id AS a_id, embedding AS qe, label AS blk FROM embeddings),
+         b AS (SELECT vec_id AS b_id, embedding AS ce, label AS blk FROM embeddings),
+         pairs AS (
+            SELECT a_id, qe, b_id, ce FROM a JOIN b USING (blk) WHERE a_id < b_id
+         ),
+         {_DUCK_SCORE.replace("q_id", "a_id").replace("c_id", "b_id")}
+    SELECT a_id, b_id, sim FROM scored WHERE sim >= {NEARDUP_THRESHOLD}
+"""

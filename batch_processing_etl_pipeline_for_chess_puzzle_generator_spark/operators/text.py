@@ -158,3 +158,44 @@ ORACLES = {
         GROUP BY doc_id
     """,
 }
+
+
+# Corpus vocabulary: top-50 tokens by frequency — the vocab-building
+# pass of a tokenizer pipeline. explode → count is map-side combined;
+# only (token, count) rows shuffle.
+def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+# Deterministic stratified sample: ~10% per document, selected by a
+# stable content-independent hash of the id — reproducible across runs,
+# engines, and cluster sizes (never rand()).
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = SPARK_HASH_SQL("CAST(doc_id AS STRING)")
+    return docs.filter(F.expr(f"{bucket} % 100 < 10")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+QUERIES["doc_vocab_topk"] = doc_vocab_topk
+QUERIES["doc_sample_stratified"] = doc_sample_stratified
+
+ORACLES["doc_vocab_topk"] = """
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+"""
+ORACLES["doc_sample_stratified"] = f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {STABLE_HASH_SQL("CAST(doc_id AS VARCHAR)")} % 100 < 10
+"""
