@@ -259,7 +259,112 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- IVF ANN
+#
+# Inverted-file ANN: K deterministic seed vectors act as the coarse
+# quantizer; every corpus vector is assigned to its nearest seed (the
+# inverted lists), a query scores only the K seeds and probes the
+# NPROBE best lists. Search cost drops from |C| to K + |C|·NPROBE/K
+# per query; at 100 TB the assignment is a one-off write partitioned
+# by cluster id, so a probe is a partition-pruned scan. (A trained
+# k-means quantizer would cut list imbalance further; seeds-by-id keep
+# the oracle replayable.)
+IVF_K = 8
+IVF_NPROBE = 3
+
+
+def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q, c = _split(spark, sf_dir)
+    seeds = c.filter(F.col("c_id") < N_QUERIES + IVF_K).select(
+        F.col("c_id").alias("s_id"),
+        F.col("ca").alias("qa"),
+        F.col("cn").alias("qn"),
+    )
+    # Inverted lists: nearest seed per corpus vector (ties → lowest id).
+    wa = Window.partitionBy("c_id").orderBy(F.col("sim").desc(), F.col("s_id"))
+    assign = (
+        c.crossJoin(broadcast(seeds))
+        .select("c_id", "ca", "cn", "s_id", F.expr(_SIM).alias("sim"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("c_id", "ca", "cn", F.col("s_id").alias("cluster"))
+    )
+    # Probe set: NPROBE nearest seeds per query (seeds take the corpus
+    # column names here — they are the searched side of this pass).
+    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("s_id"))
+    seeds_c = seeds.select(
+        "s_id", F.col("qa").alias("ca"), F.col("qn").alias("cn")
+    )
+    probes = (
+        q.crossJoin(broadcast(seeds_c))
+        .select("q_id", "qa", "qn", "s_id", F.expr(_SIM).alias("sim"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "qa", "qn", F.col("s_id").alias("cluster"))
+    )
+    # Exact rerank inside the probed lists only.
+    wf = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        assign.join(broadcast(probes), "cluster")
+        .select("q_id", "c_id", F.expr(_SIM).alias("sim"))
+        .withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "rank", "sim")
+    )
+
+
 QUERIES["emb_neardup_pairs"] = emb_neardup_pairs
+QUERIES["emb_ivf_ann"] = emb_ivf_ann
+
+# IVF oracle: three scoring passes (assignment, probe, final) — each a
+# renamed copy of the shared exact-integer scoring CTE.
+_A_SCORE = (
+    _DUCK_SCORE.replace("scored", "ascored").replace("comp", "acomp")
+    .replace("pairs", "apairs").replace("q_id", "s_id").replace("qe", "se")
+)
+_P_SCORE = (
+    _DUCK_SCORE.replace("scored", "pscored").replace("comp", "pcomp")
+    .replace("pairs", "ppairs").replace("c_id", "s_id").replace("ce", "se")
+)
+
+ORACLES["emb_ivf_ann"] = f"""
+    WITH {_DUCK_PAIRS},
+    seeds AS (SELECT vec_id AS s_id, embedding AS se FROM embeddings
+              WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K}),
+    apairs AS (SELECT s_id, se, c_id, ce FROM seeds CROSS JOIN c),
+    {_A_SCORE},
+    assign AS (
+        SELECT c_id, s_id AS cluster FROM (
+            SELECT c_id, s_id,
+                   row_number() OVER (PARTITION BY c_id ORDER BY sim DESC, s_id) AS rn
+            FROM ascored
+        ) WHERE rn = 1
+    ),
+    ppairs AS (SELECT q_id, qe, s_id, se FROM q CROSS JOIN seeds),
+    {_P_SCORE},
+    probes AS (
+        SELECT q_id, s_id AS cluster FROM (
+            SELECT q_id, s_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, s_id) AS rn
+            FROM pscored
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    pairs AS (
+        SELECT p.q_id, q.qe, a.c_id, c.ce
+        FROM probes p JOIN assign a USING (cluster)
+        JOIN q ON p.q_id = q.q_id
+        JOIN c ON a.c_id = c.c_id
+    ),
+    {_DUCK_SCORE}
+    SELECT q_id, c_id, rank, sim FROM (
+        SELECT q_id, c_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+"""
 
 ORACLES["emb_neardup_pairs"] = f"""
     WITH a AS (SELECT vec_id AS a_id, embedding AS qe, label AS blk FROM embeddings),

@@ -1,0 +1,69 @@
+"""Distributed sinks: every write path is executor-side, no driver loop.
+
+The reference's only sink serialized rows to text files via RDD
+``foreachPartition`` with a driver-managed directory (etl/transform.py:
+36-54,117). Here each sink is a plain DataFrameWriter plan, so it
+scales with the cluster and composes with checkpointed streaming:
+
+- ``write_partitioned``: hive-style partition directories — the layout
+  that makes downstream reads partition-prunable at 100 TB.
+- ``write_bucketed``: bucketed + sorted table — repeated joins/aggs on
+  the bucket key skip the shuffle entirely (asserted in tests).
+- ``write_text``: the PGN-style single-string-column text sink.
+- ``FORMATS`` round-trip writers/readers (parquet/orc/json/csv) with
+  explicit schema on read — schema inference is a full extra scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Partition-directory write. Rows are pre-shuffled onto their
+    partition keys so each task writes whole directories instead of
+    every task appending a small file to every partition (the
+    small-files explosion at scale)."""
+    (
+        df.repartition(*partition_cols)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def read_partitioned(spark: SparkSession, path: str, fmt: str = "parquet",
+                     schema: str | None = None) -> DataFrame:
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int, sort_cols: list[str] | None = None,
+                   fmt: str = "parquet") -> None:
+    """Bucketed (and optionally sorted) managed table. Two tables
+    bucketed the same way join WITHOUT an exchange — the physical plan
+    reads pre-co-located buckets. This is the 100 TB answer for a fact
+    table joined on the same key by every query."""
+    writer = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def write_text(df: DataFrame, column: str, path: str, mode: str = "overwrite") -> None:
+    """Single-string-column distributed text write (PGN sink shape —
+    reference serialized per-row on the driver-side RDD hop)."""
+    df.select(df[column].alias("value")).write.mode(mode).text(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)

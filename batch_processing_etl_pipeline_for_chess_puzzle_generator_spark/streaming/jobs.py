@@ -54,6 +54,83 @@ def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def sessionize_events_stream(events: DataFrame,
+                             gap_seconds: int = 1800,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Stateful gap sessionization — the streaming twin of
+    operators/events.py::ev_sessionize, as a custom stateful operator
+    (``applyInPandasWithState``: Spark has no built-in streaming
+    session window over arbitrary per-key gap logic with this output).
+
+    Per user: events within ``gap_seconds`` of each other belong to one
+    session. A session row (user_id, session_start, session_end,
+    n_events) is emitted when it CLOSES — either a later event opens a
+    new session, or the event-time timeout fires (watermark passed
+    last_event + gap). State per key is three longs; the watermark
+    bounds both state size and timeout firing, so this runs unbounded.
+    """
+    import pandas as pd  # arrow-batched; not in the per-row hot path
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_seconds * 1000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_ms: list[int] = []
+        for pdf in pdf_iter:
+            ts_ms.extend(int(t.value // 1_000_000) for t in pdf["ts"])
+        if not ts_ms:
+            return
+        ts_ms.sort()
+        if state.exists:
+            start_ms, end_ms, n = state.get
+        else:
+            start_ms, end_ms, n = ts_ms[0], ts_ms[0], 0
+        closed = []
+        for t in ts_ms:
+            if t - end_ms > gap_ms and n > 0:
+                closed.append((start_ms, end_ms, n))
+                start_ms, n = t, 0
+            end_ms = max(end_ms, t)
+            n += 1
+        state.update((start_ms, end_ms, n))
+        state.setTimeoutTimestamp(end_ms + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id LONG, session_start TIMESTAMP, "
+                             "session_end TIMESTAMP, n_events LONG",
+            stateStructType="start_ms LONG, end_ms LONG, n LONG",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_puzzle_pipeline(games: DataFrame) -> DataFrame:
     """The reference's full ETL as one continuous query: typed ND-JSON
     stream → mate filter → nested projection → PGN text column.

@@ -1,0 +1,77 @@
+"""Sink round-trips + plan-shape guarantees (partition pruning on the
+partitioned layout, exchange-free join on bucketed tables)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import sinks
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.mark.parametrize("fmt", sinks.FORMATS)
+def test_roundtrip_formats(spark, tmp_path, docs, fmt):
+    path = str(tmp_path / f"rt_{fmt}")
+    sub = docs.select("doc_id", "lang", "n_chars")
+    sub.write.mode("overwrite").format(fmt).option("header", "true").save(path)
+    back = sinks.read_partitioned(
+        spark, path, fmt=fmt, schema="doc_id LONG, lang STRING, n_chars LONG"
+    )
+    assert back.count() == sub.count()
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in sub.collect()
+    )
+
+
+def test_partitioned_write_prunes(spark, tmp_path, docs):
+    path = str(tmp_path / "part_docs")
+    sinks.write_partitioned(docs, path, ["lang"])
+    back = sinks.read_partitioned(spark, path)
+    got = back.filter(F.col("lang") == "de")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # Partition pruning: only the lang=de directory is scanned.
+    assert got.count() == docs.filter(F.col("lang") == "de").count()
+    scan = [ln for ln in plan.split("\n") if "Scan" in ln]
+    assert scan and "lang=de" not in plan.split("PartitionFilters")[0]
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path, docs):
+    # warehouse dir is static config — managed tables land in the
+    # session default; dropped (files included) at the end.
+    spark.sql("DROP TABLE IF EXISTS t_docs_a")
+    spark.sql("DROP TABLE IF EXISTS t_docs_b")
+    import shutil
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_docs_a", "t_docs_b"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    other = docs.select("doc_id", F.col("n_chars").alias("len2"))
+    sinks.write_bucketed(docs.select("doc_id", "lang"), "t_docs_a", ["doc_id"], 4,
+                         sort_cols=["doc_id"])
+    sinks.write_bucketed(other, "t_docs_b", ["doc_id"], 4, sort_cols=["doc_id"])
+    a = spark.table("t_docs_a")
+    b = spark.table("t_docs_b")
+    # merge hint: at test size the planner would broadcast (with its own
+    # BroadcastExchange); the scale-relevant claim is that a sort-merge
+    # join over co-bucketed tables needs NO shuffle exchange.
+    joined = a.hint("merge").join(b, "doc_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert joined.count() == docs.count()
+    spark.sql("DROP TABLE t_docs_a")
+    spark.sql("DROP TABLE t_docs_b")
+
+
+def test_text_sink(spark, tmp_path, docs):
+    path = str(tmp_path / "txt")
+    sinks.write_text(docs.select(F.concat_ws("|", "doc_id", "lang").alias("line")),
+                     "line", path)
+    back = spark.read.text(path)
+    assert back.count() == docs.count()

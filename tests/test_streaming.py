@@ -7,6 +7,7 @@ import json
 
 from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
     dedup_events,
+    sessionize_events_stream,
     streaming_puzzle_pipeline,
     windowed_event_counts,
 )
@@ -62,6 +63,46 @@ def test_dedup_events_stream(spark, tmp_path):
     _run_stream(dedup_events(stream), "dedup_out")
     rows_out = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
     assert [r["event_id"] for r in rows_out] == [1, 2]
+
+
+def test_sessionize_events_stream(spark, tmp_path):
+    src = tmp_path / "sess_stream"
+    src.mkdir()
+    # user 1: two events 5 min apart (one session), then a 2h gap opens
+    # a second session; user 2: a single event.
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1},
+        {"event_id": 2, "ts": "2024-01-01 00:05:00", "user_id": 1},
+        {"event_id": 3, "ts": "2024-01-01 02:05:00", "user_id": 1},
+        {"event_id": 4, "ts": "2024-01-01 00:00:00", "user_id": 2},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, user_id LONG")
+        .json(str(src))
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    sess = sessionize_events_stream(stream, gap_seconds=1800, watermark="10 minutes")
+    _run_stream(sess, "sess_out")
+    rows = {
+        (r["user_id"], str(r["session_start"])): (str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # The 2h-later event closed user 1's first session mid-batch.
+    assert rows[(1, "2024-01-01 00:00:00")] == ("2024-01-01 00:05:00", 2)
+    # Open sessions (u1's second, u2's only) are still in state — a
+    # later batch advances the watermark past end+gap and times them out.
+    (src / "b2.json").write_text(json.dumps(
+        {"event_id": 9, "ts": "2024-01-01 09:00:00", "user_id": 3}
+    ))
+    _run_stream(sessionize_events_stream(stream, gap_seconds=1800,
+                                         watermark="10 minutes"), "sess_out2")
+    rows2 = {
+        (r["user_id"], str(r["session_start"])): (str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out2").collect()
+    }
+    assert rows2[(1, "2024-01-01 02:05:00")] == ("2024-01-01 02:05:00", 1)
+    assert rows2[(2, "2024-01-01 00:00:00")] == ("2024-01-01 00:00:00", 1)
 
 
 def test_streaming_puzzle_pipeline(spark, tmp_path):
