@@ -1,0 +1,62 @@
+"""Salted join / two-phase agg must be result-identical to the plain
+formulations — salting is a physical rewrite, never a semantic one."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.skew import (
+    salted_join,
+    two_phase_agg,
+    with_salt,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sorted(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_with_salt_deterministic_and_bounded(spark):
+    df = spark.range(1000)
+    s1 = with_salt(df, 8).collect()
+    s2 = with_salt(df, 8).collect()
+    assert s1 == s2
+    vals = {r["__salt"] for r in s1}
+    assert vals <= set(range(8)) and len(vals) > 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet").select("p_partkey", "p_brand")
+    plain = li.join(p.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey")
+    salted = salted_join(
+        li, p.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", n_salts=4
+    )
+    assert _sorted(plain.collect()) == _sorted(salted.select(*plain.columns).collect())
+
+
+def test_two_phase_agg_matches_plain_agg(spark):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+
+    ev = table(spark, SF_DIR, "events")
+    plain = ev.groupBy("event_type").agg(
+        F.sum("value").alias("total"),
+        F.count("value").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    two = two_phase_agg(
+        ev,
+        ["event_type"],
+        {"total": "sum(value)", "n": "count(value)", "lo": "min(value)", "hi": "max(value)"},
+        n_salts=8,
+    )
+    got = {r["event_type"]: r for r in two.collect()}
+    for r in plain.collect():
+        g = got[r["event_type"]]
+        assert (g["n"], g["lo"], g["hi"]) == (r["n"], r["lo"], r["hi"])
+        assert abs(g["total"] - r["total"]) < 1e-6
