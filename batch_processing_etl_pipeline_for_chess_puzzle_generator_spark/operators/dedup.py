@@ -237,11 +237,69 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- dedup clusters (CC)
+CLUSTER_MIN_JACCARD = 0.5
+
+
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash candidate graph: every doc
+    that shares a band-bucket pair with est_jaccard ≥ 0.5 is clustered;
+    cluster_id = min doc_id in the component (the canonical keeper).
+
+    Iterative min-label propagation: each round joins labels across the
+    symmetric edge list and keeps the per-node min; converges in
+    ≤ graph-diameter rounds. The driver only ever sees ONE scalar per
+    round (the changed-label count) — labels themselves never collect.
+    ``localCheckpoint`` truncates lineage so round N's plan doesn't
+    replay rounds 1..N-1. At 100 TB scale the same loop runs with
+    large-star/small-star contraction to bound rounds at O(log n);
+    near-dup components are tiny (dup clusters), so diameter is small
+    in practice.
+    """
+    pairs = (
+        doc_minhash_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CLUSTER_MIN_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        new_labels = (
+            prop.union(labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "old"), "doc_id"
+            )
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
 QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_simhash": doc_simhash,
     "doc_ngram_jaccard": doc_ngram_jaccard,
+    "doc_dedup_clusters": doc_dedup_clusters,
 }
 
 
@@ -325,6 +383,37 @@ ORACLES = {
             FROM tok GROUP BY doc_id
         )
         SELECT doc_id, CAST({_PACK} AS BIGINT) AS simhash FROM votes
+    """,
+    # Transitive closure via recursive CTE: min reachable id over the
+    # symmetric edge list = component min (same graph as the Spark loop).
+    "doc_dedup_clusters": f"""
+        WITH RECURSIVE {_duck_sig_cte()},
+        {_duck_bands_cte()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
+        ),
+        good AS (
+            SELECT doc_a, doc_b FROM cand
+            JOIN sig sa ON doc_a = sa.doc_id
+            JOIN sig sb ON doc_b = sb.doc_id
+            WHERE ({_AGREE}) / {N_HASHES}.0 >= {CLUSTER_MIN_JACCARD}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM good
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM good
+        ),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, root) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+        )
+        SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
     """,
     "doc_ngram_jaccard": f"""
         WITH d AS (

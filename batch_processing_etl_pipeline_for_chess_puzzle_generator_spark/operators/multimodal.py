@@ -93,6 +93,108 @@ def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(process, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_payload", T.BinaryType()),
+])
+
+
+def resize_image_batch(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize hook — wire PIL/libvips here in a full deployment."""
+    raise NotImplementedError(
+        "image resize requires PIL/libvips; use resize_images(fake=True)"
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  fake: bool = False) -> DataFrame:
+    """binary → binary transform (the resize/recompress shape).
+
+    Payload bytes go JVM → Arrow batch → Python → Arrow → JVM exactly
+    once; no shuffle touches them (narrow map only). The fake path
+    emits an md5-tagged payload so tests can assert determinism and
+    batch flow without an imaging lib.
+    """
+
+    def process(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if fake:
+                out = [
+                    hashlib.md5(bytes(p)).digest() + width.to_bytes(2, "big")
+                    + height.to_bytes(2, "big")
+                    for p in pdf["payload"]
+                ]
+            else:
+                out = [resize_image_batch(bytes(p), width, height)
+                       for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": out,
+                "width": width,
+                "height": height,
+            })
+
+    return media.mapInPandas(process, schema=RESIZED_SCHEMA)
+
+
+def extract_frames_batch(payload: bytes, every_n: int) -> list[bytes]:
+    """Real frame-sampler hook — wire pyav/ffmpeg here in deployment."""
+    raise NotImplementedError(
+        "frame sampling requires pyav/ffmpeg; use sample_frames(fake=True)"
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 10,
+                  fake: bool = False) -> DataFrame:
+    """Video → frame rows (1-to-many mapInPandas — the explode shape
+    for binary payloads, keeping Arrow batching on both sides).
+
+    The fake sampler emits ⌈n_bytes / 256⌉ capped at 8 deterministic
+    frames per payload so partitioning/row-fanout is real in tests.
+    """
+
+    def process(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                if fake:
+                    n_frames = min(8, max(1, len(raw) // 256))
+                    frames = [
+                        hashlib.md5(raw + i.to_bytes(4, "big")).digest()
+                        for i in range(0, n_frames, 1)
+                    ][::max(1, every_n)]
+                else:
+                    frames = extract_frames_batch(raw, every_n)
+                for i, fr in enumerate(frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(fr)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        process, schema=FRAMES_SCHEMA
+    )
+
+
 def media_summary(features: DataFrame) -> DataFrame:
     """Metadata-only rollup — never touches payload bytes."""
     return features.groupBy("kind").agg(

@@ -718,7 +718,61 @@ def q21_late_last_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q2: min-cost supplier per part (no partsupp table in this schema —
+# unit cost is derived from lineitem: sum(extendedprice)/sum(quantity)
+# per (part, supplier), restricted to EUROPE suppliers of ECONOMY
+# parts; ties on the exact minimum are kept).
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = table(spark, sf_dir, "lineitem")
+    per = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("p_partkey", "s_suppkey", "s_name")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+                "/ CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        per.withColumn("mn", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("mn"))
+        .select("p_partkey", "s_suppkey", "s_name", "unit_cost")
+    )
+
+
+# q20: dominant suppliers — suppliers who shipped more than half of a
+# part's total 1996 volume (the excess-stock signal without partsupp).
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr("SUM(CAST(l_quantity AS DECIMAL(18,2)))").alias("sq")
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    return (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.expr("CAST(sq AS DOUBLE) > 0.5 * CAST(tq AS DOUBLE)"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .join(broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "n_dominated_parts")
+    )
+
+
 QUERIES.update({
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
     "q8_market_share": q8_market_share,
     "q11_important_stock": q11_important_stock,
     "q12_late_shipments": q12_late_shipments,
@@ -729,6 +783,38 @@ QUERIES.update({
 })
 
 ORACLES.update({
+    "q2_min_cost_supplier": """
+        WITH per AS (
+            SELECT p_partkey, s_suppkey, s_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit_cost
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+            GROUP BY p_partkey, s_suppkey, s_name
+        )
+        SELECT p_partkey, s_suppkey, s_name, unit_cost
+        FROM (SELECT *, min(unit_cost) OVER (PARTITION BY p_partkey) AS mn FROM per)
+        WHERE unit_cost = mn
+    """,
+    "q20_dominant_suppliers": """
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ),
+        per_p AS (SELECT l_partkey, sum(sq) AS tq FROM per_ps GROUP BY l_partkey)
+        SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+        FROM per_ps JOIN per_p USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE CAST(sq AS DOUBLE) > 0.5 * CAST(tq AS DOUBLE)
+        GROUP BY s_suppkey, s_name
+    """,
     "q8_market_share": f"""
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
                CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN {DISC_PRICE}

@@ -185,8 +185,46 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII-scrub + normalization: lowercase, collapse whitespace, redact
+# emails/URLs. Row-local regex work — a pure scan-bandwidth pass, the
+# cleaning stage that precedes tokenization in a corpus pipeline.
+# (Patterns are deliberately RE2-safe so Spark's Java regex and the
+# DuckDB oracle's RE2 agree.)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^ ]+"
+
+
+def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    norm = (
+        f"trim(regexp_replace(regexp_replace(regexp_replace(lower(text), "
+        f"'{_URL_RE}', '<url>'), '{_EMAIL_RE}', '<email>'), ' +', ' '))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size(regexp_extract_all(text, '{_EMAIL_RE}', 0)) AS BIGINT)").alias("n_emails"),
+        F.expr(f"CAST(size(regexp_extract_all(text, '{_URL_RE}', 0)) AS BIGINT)").alias("n_urls"),
+        F.expr(f"length({norm})").alias("norm_len"),
+        F.expr(f"md5({norm})").alias("norm_hash"),
+    )
+
+
 QUERIES["doc_vocab_topk"] = doc_vocab_topk
 QUERIES["doc_sample_stratified"] = doc_sample_stratified
+QUERIES["doc_normalize"] = doc_normalize
+
+ORACLES["doc_normalize"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS n_urls,
+           CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+               '{_URL_RE}', '<url>', 'g'), '{_EMAIL_RE}', '<email>', 'g'),
+               ' +', ' ', 'g'))) AS INTEGER) AS norm_len,
+           md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+               '{_URL_RE}', '<url>', 'g'), '{_EMAIL_RE}', '<email>', 'g'),
+               ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+"""
 
 ORACLES["doc_vocab_topk"] = """
     SELECT token, count(*) AS freq

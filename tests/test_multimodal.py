@@ -10,6 +10,8 @@ from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.mu
     decode_image_batch,
     extract_media_features,
     media_summary,
+    resize_images,
+    sample_frames,
 )
 
 
@@ -19,6 +21,7 @@ def media_df(spark):
         (1, "image", "image/png", b"\x89PNG-fake-1", ("camera", 1700000000)),
         (2, "image", "image/jpeg", b"\xff\xd8-fake-2" * 100, ("web", 1700000001)),
         (3, "audio", "audio/wav", b"RIFF-fake" * 10, ("mic", 1700000002)),
+        (4, "video", "video/mp4", b"ftypmp4-fake" * 200, ("cam", 1700000003)),
     ]
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
@@ -31,7 +34,7 @@ def test_decode_stub_raises():
 def test_extract_media_features_fake(spark, media_df):
     feats = extract_media_features(media_df, fake=True).collect()
     by_id = {r["media_id"]: r for r in feats}
-    assert len(by_id) == 3
+    assert len(by_id) == 4
     assert by_id[2]["n_bytes"] == len(b"\xff\xd8-fake-2" * 100)
     assert by_id[1]["width"] >= 16 and by_id[1]["height"] >= 16
     # Determinism: same payload → same features.
@@ -53,3 +56,31 @@ def test_media_summary_metadata_only(spark, media_df):
     kinds = {r["kind"]: r for r in out}
     assert kinds["image"]["n_items"] == 2
     assert kinds["audio"]["n_items"] == 1
+    assert kinds["video"]["n_items"] == 1
+
+
+def test_resize_images_fake(spark, media_df):
+    out = resize_images(media_df, 224, 224, fake=True).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(by_id) == 4
+    assert all((r["width"], r["height"]) == (224, 224) for r in out)
+    # Deterministic payload transform: md5(payload) + dims.
+    out2 = {r["media_id"]: bytes(r["payload"])
+            for r in resize_images(media_df, 224, 224, fake=True).collect()}
+    assert out2[1] == bytes(by_id[1]["payload"])
+    assert len(out2[1]) == 16 + 4
+
+
+def test_resize_real_hook_raises(spark, media_df):
+    with pytest.raises(Exception) as exc:
+        resize_images(media_df, 64, 64, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "resize" in str(exc.value)
+
+
+def test_sample_frames_fake(spark, media_df):
+    frames = sample_frames(media_df, every_n=1, fake=True).collect()
+    # Only the video row fans out; ⌈2400/256⌉ capped at 8 frames.
+    assert {r["media_id"] for r in frames} == {4}
+    assert [r["frame_idx"] for r in frames] == list(range(len(frames)))
+    assert len(frames) == 8
+    assert len({bytes(r["frame_payload"]) for r in frames}) == len(frames)
