@@ -54,6 +54,43 @@ def test_text_ops_are_shuffle_free(spark):
         assert "Exchange" not in plan, f"{name} unexpectedly shuffles"
 
 
+def test_q2_broadcasts_all_dims(spark):
+    # part/supplier/nation/region all broadcast — the only shuffle left
+    # is the (part, supplier) aggregation + window.
+    plan = _plan(relational.q2_min_cost_supplier(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_similarity_broadcasts_query_side(spark):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators import similarity
+
+    for name in ("emb_cosine_topk", "emb_lsh_ann", "emb_ivf_ann"):
+        plan = _plan(similarity.QUERIES[name](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+        # The corpus is never on the build side of a nested-loop join
+        # except the deliberate broadcast(q) cross joins.
+        assert "CartesianProduct" not in plan, name
+
+
+def test_jaccard_is_equality_join(spark):
+    # The inverted-index join must be a hash/merge EQUALITY join on the
+    # shingle — a nested-loop/cartesian plan means blocking broke.
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators import dedup
+
+    plan = _plan(dedup.doc_ngram_jaccard(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_normalize_prunes_columns(spark):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators import text as t
+
+    plan = _formatted(t.QUERIES["doc_normalize"](spark, SF_SMALL))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "source" not in read_schema
+
+
 def test_whole_stage_codegen_present(spark):
     df = relational.q1_pricing_summary(spark, SF_SMALL)
     df.collect()  # AQE finalizes the plan only on execution
