@@ -253,7 +253,49 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact per-type value percentiles (p50/p90/p99). Spark's `percentile`
+# and DuckDB's `quantile_cont` both linearly interpolate over the
+# sorted values; outputs are rounded to 6dp so the comparison is on the
+# statistic, not the last float bit. At 100 TB you'd switch to
+# approx_percentile (t-digest) — kept exact here for the oracle gate.
+def ev_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("ROUND(percentile(CAST(value AS DOUBLE), 0.5), 6)").alias("p50"),
+        F.expr("ROUND(percentile(CAST(value AS DOUBLE), 0.9), 6)").alias("p90"),
+        F.expr("ROUND(percentile(CAST(value AS DOUBLE), 0.99), 6)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# Daily active users + event volume — the hygiene dashboard query.
+def ev_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES["ev_retention"] = ev_retention
+QUERIES["ev_percentiles"] = ev_percentiles
+QUERIES["ev_daily_active"] = ev_daily_active
+
+ORACLES["ev_percentiles"] = """
+    SELECT event_type,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+"""
+
+ORACLES["ev_daily_active"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(DISTINCT user_id) AS dau,
+           count(*) AS n_events
+    FROM events GROUP BY day
+"""
 
 ORACLES["ev_retention"] = """
     WITH days AS (

@@ -9,17 +9,11 @@ from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators im
     relational,
     text,
 )
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.plans import (
+    formatted_plan as _formatted,
+    physical_plan as _plan,
+)
 from tests.conftest import SF_SMALL
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
 
 
 def test_q6_filters_pushed_to_scan(spark):
