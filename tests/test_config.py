@@ -1,0 +1,53 @@
+"""Config-driven setup (reference's etl_config.yml shape, extended)."""
+
+from __future__ import annotations
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.config import PipelineConfig
+
+YAML = """\
+pyspark:
+  master: "local[4]"
+  executor_memory: "4g"
+  num_executors: 4
+  conf:
+    spark.sql.shuffle.partitions: 12
+data:
+  raw_data_path: "data/raw/"
+  transformed_data_path: "data/out/"
+telemetry:
+  log_row_counts: true
+"""
+
+
+def test_from_yaml_parses_reference_shape(tmp_path):
+    p = tmp_path / "etl_config.yml"
+    p.write_text(YAML)
+    cfg = PipelineConfig.from_yaml(str(p))
+    assert cfg.master == "local[4]"
+    assert cfg.executor_memory == "4g"
+    assert cfg.num_executors == 4
+    assert cfg.conf["spark.sql.shuffle.partitions"] == 12
+    assert cfg.transformed_data_path == "data/out/"
+    assert cfg.extra["telemetry"]["log_row_counts"] is True
+
+
+def test_build_session_applies_conf(tmp_path, spark):
+    p = tmp_path / "etl_config.yml"
+    p.write_text(YAML)
+    cfg = PipelineConfig.from_yaml(str(p))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        s = cfg.build_session("cfg-test")
+        # getOrCreate reuses the live session; runtime confs applied.
+        assert s.conf.get("spark.sql.shuffle.partitions") == "12"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_defaults_when_sections_missing(tmp_path):
+    p = tmp_path / "min.yml"
+    p.write_text("pyspark:\n  master: yarn\n")
+    cfg = PipelineConfig.from_yaml(str(p))
+    assert cfg.master == "yarn"
+    assert cfg.raw_data_path == "data/raw/"
+    assert cfg.conf == {} and cfg.extra == {}
