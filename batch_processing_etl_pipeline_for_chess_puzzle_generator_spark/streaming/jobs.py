@@ -131,6 +131,79 @@ def sessionize_events_stream(events: DataFrame,
     )
 
 
+def funnel_events_stream(events: DataFrame,
+                         stages: tuple[str, ...] = ("view", "click", "purchase"),
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming ordered funnel — twin of operators/events.py::ev_funnel.
+
+    Per user, a monotone stage machine: stage N's first timestamp only
+    counts if it is ≥ stage N-1's first counted timestamp. One row
+    (user_id, ts_view, ts_click, ts_purchase) is emitted the moment the
+    final stage completes; state is |stages| longs per live user and is
+    dropped on emission, so only non-converted users occupy state (at
+    scale, pair with a state TTL on the watermark).
+
+    Known limitation vs the batch twin: a later-stage event that ARRIVES
+    before its prior stage has completed is dropped, not replayed —
+    production hardening buffers per-stage candidate timestamps within
+    the watermark and replays them on state update.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = len(stages)
+    out_fields = ", ".join(f"ts_{s} TIMESTAMP" for s in stages)
+    state_fields = ", ".join(f"s{i} LONG" for i in range(n))
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cur = list(state.get) if state.exists else [None] * n
+        if cur and cur[-1] is not None:  # already converted
+            return
+        evs = []
+        for pdf in pdf_iter:
+            evs.extend(
+                (int(t.value // 1_000_000), et)
+                for t, et in zip(pdf["ts"], pdf["event_type"])
+                if et in stages
+            )
+        evs.sort()
+        done = False
+        for t_ms, et in evs:
+            i = stages.index(et)
+            if cur[i] is not None:
+                continue
+            if i == 0 or (cur[i - 1] is not None and t_ms >= cur[i - 1]):
+                cur[i] = t_ms
+                if i == n - 1:
+                    done = True
+                    break
+        if done:
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                **{f"ts_{s}": [pd.Timestamp(cur[i], unit="ms")]
+                   for i, s in enumerate(stages)},
+            })
+        else:
+            state.update(tuple(cur))
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=f"user_id LONG, {out_fields}",
+            stateStructType=state_fields,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_puzzle_pipeline(games: DataFrame) -> DataFrame:
     """The reference's full ETL as one continuous query: typed ND-JSON
     stream → mate filter → nested projection → PGN text column.

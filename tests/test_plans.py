@@ -41,6 +41,17 @@ def test_relational_plans_have_no_python_udf(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_all_registered_plans_are_safe(spark):
+    """Whole-registry sweep: no query may plan a Python row UDF or an
+    unconditional cartesian product — either one is a 100 TB cliff."""
+    import __spark_entry__ as entry
+
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF_SMALL))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_text_ops_are_shuffle_free(spark):
     # Row-local higher-order functions: no Exchange in the plan.
     for name in ("doc_langid", "doc_quality", "doc_tokens", "doc_fingerprint"):

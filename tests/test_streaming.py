@@ -105,6 +105,42 @@ def test_sessionize_events_stream(spark, tmp_path):
     assert rows2[(2, "2024-01-01 00:00:00")] == ("2024-01-01 00:00:00", 1)
 
 
+def test_funnel_events_stream(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        funnel_events_stream,
+    )
+
+    src = tmp_path / "funnel_stream"
+    src.mkdir()
+    # u1 converts across two batches; u2 clicks before viewing (no
+    # conversion); u3 views only.
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "view"},
+        {"event_id": 2, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "click"},
+        {"event_id": 3, "ts": "2024-01-01 00:00:30", "user_id": 2, "event_type": "click"},
+        {"event_id": 4, "ts": "2024-01-01 00:02:00", "user_id": 2, "event_type": "view"},
+        {"event_id": 5, "ts": "2024-01-01 00:00:00", "user_id": 3, "event_type": "view"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, user_id LONG, event_type STRING")
+        .json(str(src))
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    )
+    _run_stream(funnel_events_stream(stream), "funnel_out")
+    assert spark.sql("SELECT * FROM funnel_out").count() == 0  # nobody purchased yet
+    (src / "b2.json").write_text(json.dumps(
+        {"event_id": 9, "ts": "2024-01-01 00:05:00", "user_id": 1, "event_type": "purchase"}
+    ))
+    _run_stream(funnel_events_stream(stream), "funnel_out2")
+    rows = spark.sql("SELECT * FROM funnel_out2").collect()
+    assert [r["user_id"] for r in rows] == [1]
+    r = rows[0]
+    assert str(r["ts_view"]) == "2024-01-01 00:00:00"
+    assert str(r["ts_click"]) == "2024-01-01 00:01:00"
+    assert str(r["ts_purchase"]) == "2024-01-01 00:05:00"
+
+
 def test_streaming_puzzle_pipeline(spark, tmp_path):
     from tests.test_chess import GAMES
 
