@@ -277,9 +277,36 @@ def ev_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sketch twins of ev_daily_active / ev_percentiles — the shapes that
+# actually run at 100 TB: HLL++ (approx_count_distinct) shuffles a
+# fixed-size sketch per group instead of every distinct user id;
+# approx_percentile streams a bounded summary instead of sorting the
+# partition. No DuckDB oracle (sketch internals are engine-specific) —
+# these are rows-only checked; their exact twins above carry the
+# correctness gate for the same query shapes.
+def ev_daily_active_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def ev_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(CAST(value AS DOUBLE), array(0.5, 0.9, 0.99), 10000)"
+        ).alias("p50_p90_p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES["ev_retention"] = ev_retention
 QUERIES["ev_percentiles"] = ev_percentiles
 QUERIES["ev_daily_active"] = ev_daily_active
+QUERIES["ev_daily_active_approx"] = ev_daily_active_approx
+QUERIES["ev_percentiles_approx"] = ev_percentiles_approx
 
 ORACLES["ev_percentiles"] = """
     SELECT event_type,
