@@ -315,8 +315,191 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- k-means-trained IVF
+#
+# Lloyd-refined coarse quantizer: KM_ROUNDS rounds of assign/update
+# starting from the seed vectors, then the usual IVF probe+rerank.
+# Exactness trick: cosine to a centroid MEAN equals cosine to the
+# centroid SUM (scale invariance), so centroids are integer component
+# sums — every round is exact integer arithmetic, reproducible across
+# engines, partitionings, and cluster sizes. The whole refinement is
+# PLAN construction (a Python loop over DataFrame ops, zero driver
+# actions): Catalyst sees one declarative plan with the rounds unrolled.
+KM_ROUNDS = 2
+
+
+def _cent_sim(q_arr: str, q_n: str, s_arr: str, s_n: str) -> str:
+    return (
+        f"CAST(aggregate(zip_with({q_arr}, {s_arr}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) "
+        f"/ (sqrt(CAST({q_n} AS DOUBLE)) * sqrt(CAST({s_n} AS DOUBLE)))"
+    )
+
+
+def emb_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q, c = _split(spark, sf_dir)
+    c = c.persist()  # every round's assignment scans the corpus
+    # Round-0 centroids: the seed vectors as (sum-array, norm).
+    cents = c.filter(F.col("c_id") < N_QUERIES + IVF_K).select(
+        F.col("c_id").alias("cluster_id"),
+        F.col("ca").alias("sa"),
+        F.col("cn").alias("sn"),
+    )
+    wa = Window.partitionBy("c_id").orderBy(F.col("sim").desc(), F.col("cluster_id"))
+    assign = None
+    for _ in range(KM_ROUNDS):
+        assign = (
+            c.crossJoin(broadcast(cents))
+            .select(
+                "c_id", "ca", "cn", "cluster_id",
+                F.expr(_cent_sim("ca", "cn", "sa", "sn")).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("c_id", "ca", "cn", "cluster_id")
+        )
+        # Update: centroid sum per component (posexplode → integer sums
+        # → rebuild the array in position order).
+        comp = assign.select(
+            "cluster_id", F.posexplode("ca").alias("pos", "x")
+        ).groupBy("cluster_id", "pos").agg(F.sum("x").alias("s"))
+        cents = (
+            comp.groupBy("cluster_id")
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, s))), e -> e.s)"
+                ).alias("sa")
+            )
+            .withColumn("sn", F.expr(_qnorm("sa")))
+        )
+    # Final IVF: probe NPROBE best trained centroids per query, exact
+    # rerank within the probed lists.
+    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cluster_id"))
+    probes = (
+        q.crossJoin(broadcast(cents))
+        .select(
+            "q_id", "qa", "qn", "cluster_id",
+            F.expr(_cent_sim("qa", "qn", "sa", "sn")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "qa", "qn", "cluster_id")
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        assign.join(broadcast(probes), "cluster_id")
+        .select("q_id", "c_id", F.expr(_SIM).alias("sim"))
+        .withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "rank", "sim")
+    )
+
+
 QUERIES["emb_neardup_pairs"] = emb_neardup_pairs
 QUERIES["emb_ivf_ann"] = emb_ivf_ann
+QUERIES["emb_kmeans_ivf"] = emb_kmeans_ivf
+
+# k-means IVF oracle: component-level integer arithmetic with the Lloyd
+# rounds unrolled as chained CTEs (generated from the same KM_ROUNDS
+# constant as the Spark plan, so the two can't drift).
+def _kmeans_oracle() -> str:
+    rounds = []
+    prev_cent, prev_cn = "cent0", "cn0"
+    for r in range(1, KM_ROUNDS + 1):
+        rounds.append(f"""
+        dot{r} AS (
+            SELECT cc.c_id, ct.cluster_id, sum(cc.x * ct.s) AS d
+            FROM compc cc JOIN {prev_cent} ct USING (pos)
+            GROUP BY cc.c_id, ct.cluster_id
+        ),
+        sim{r} AS (
+            SELECT d.c_id, d.cluster_id,
+                   CAST(d.d AS DOUBLE)
+                   / (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(ct.n2 AS DOUBLE))) AS sim
+            FROM dot{r} d JOIN normc nc USING (c_id) JOIN {prev_cn} ct USING (cluster_id)
+        ),
+        asg{r} AS (
+            SELECT c_id, cluster_id FROM (
+                SELECT c_id, cluster_id,
+                       row_number() OVER (PARTITION BY c_id ORDER BY sim DESC, cluster_id) AS rn
+                FROM sim{r}
+            ) WHERE rn = 1
+        ),
+        cent{r} AS (
+            SELECT a.cluster_id, cc.pos, sum(cc.x) AS s
+            FROM asg{r} a JOIN compc cc USING (c_id)
+            GROUP BY a.cluster_id, cc.pos
+        ),
+        cn{r} AS (SELECT cluster_id, sum(s * s) AS n2 FROM cent{r} GROUP BY cluster_id)""")
+        prev_cent, prev_cn = f"cent{r}", f"cn{r}"
+    R = KM_ROUNDS
+    return f"""
+        WITH
+        qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+        cv AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id >= {N_QUERIES}),
+        compc AS (
+            SELECT c_id, unnest(range(1, len(ce) + 1)) AS pos,
+                   CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT) AS x
+            FROM cv
+        ),
+        compq AS (
+            SELECT q_id, unnest(range(1, len(qe) + 1)) AS pos,
+                   CAST(round(CAST(unnest(qe) AS DOUBLE) * 1000000) AS BIGINT) AS x
+            FROM qv
+        ),
+        normc AS (SELECT c_id, sum(x * x) AS n2 FROM compc GROUP BY c_id),
+        normq AS (SELECT q_id, sum(x * x) AS n2 FROM compq GROUP BY q_id),
+        cent0 AS (SELECT c_id AS cluster_id, pos, x AS s FROM compc
+                  WHERE c_id < {N_QUERIES + IVF_K}),
+        cn0 AS (SELECT cluster_id, sum(s * s) AS n2 FROM cent0 GROUP BY cluster_id),
+        {",".join(rounds)},
+        dotp AS (
+            SELECT cq.q_id, ct.cluster_id, sum(cq.x * ct.s) AS d
+            FROM compq cq JOIN cent{R} ct USING (pos)
+            GROUP BY cq.q_id, ct.cluster_id
+        ),
+        simp AS (
+            SELECT d.q_id, d.cluster_id,
+                   CAST(d.d AS DOUBLE)
+                   / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(ct.n2 AS DOUBLE))) AS sim
+            FROM dotp d JOIN normq nq USING (q_id) JOIN cn{R} ct USING (cluster_id)
+        ),
+        probes AS (
+            SELECT q_id, cluster_id FROM (
+                SELECT q_id, cluster_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cluster_id) AS rn
+                FROM simp
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        pairsf AS (
+            SELECT p.q_id, a.c_id FROM probes p JOIN asg{R} a USING (cluster_id)
+        ),
+        dotf AS (
+            SELECT pf.q_id, pf.c_id, sum(cq.x * cc.x) AS d
+            FROM pairsf pf
+            JOIN compq cq ON pf.q_id = cq.q_id
+            JOIN compc cc ON pf.c_id = cc.c_id AND cq.pos = cc.pos
+            GROUP BY pf.q_id, pf.c_id
+        ),
+        simf AS (
+            SELECT d.q_id, d.c_id,
+                   CAST(d.d AS DOUBLE)
+                   / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS sim
+            FROM dotf d JOIN normq nq USING (q_id) JOIN normc nc USING (c_id)
+        )
+        SELECT q_id, c_id, rank, sim FROM (
+            SELECT q_id, c_id, sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+            FROM simf
+        )
+        WHERE rank <= 3
+    """
+
+
+ORACLES["emb_kmeans_ivf"] = _kmeans_oracle()
+
 
 # IVF oracle: three scoring passes (assignment, probe, final) — each a
 # renamed copy of the shared exact-integer scoring CTE.
