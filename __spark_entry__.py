@@ -27,12 +27,13 @@ def _registries():
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators import (
         dedup,
         events,
+        joins,
         relational,
         similarity,
         text,
     )
 
-    return (relational, events, dedup, similarity, text)
+    return (relational, events, dedup, similarity, text, joins)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

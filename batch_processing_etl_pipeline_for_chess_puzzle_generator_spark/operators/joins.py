@@ -1,0 +1,130 @@
+"""Custom join operators Spark lacks natively: as-of and range joins.
+
+Both are compositions of existing DataFrame ops — no Pandas UDF, no
+cross join:
+
+- ``asof_join``: for each left row, the latest right row with
+  right_ts ≤ left_ts within the same key. Implemented by UNIONING both
+  sides tagged, sorting once per key partition, and carrying the last
+  right value forward with a window — one shuffle + one sort total,
+  O(n log n) per key, versus the naive per-row range join's O(n·m).
+  This is the kdb/Timescale/Flink temporal-join shape (trade⋈quote).
+- ``range_join``: left rows joined to [lo, hi) intervals. Intervals are
+  exploded onto fixed-width buckets and joined by (key?, bucket)
+  equality + residual predicate — candidates ∝ interval width /
+  bucket, never |L|×|R|. The bucket width is the tuning knob (match it
+  to the median interval length).
+
+``ev_asof_view`` registers an oracle-gated instance: each purchase
+event matched to the user's most recent prior view.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: list[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Backward as-of join: latest right row with ts ≤ left ts per key.
+
+    Left keeps all its columns; right contributes ``value_cols`` (+ its
+    timestamp) renamed with ``suffix``. Rows with no prior right match
+    keep NULLs — filter afterwards if inner semantics are wanted.
+    """
+    value_cols = value_cols if value_cols is not None else [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    lt = left.withColumn("__t", F.col(left_ts)).withColumn("__is_l", F.lit(1))
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        *[F.col(c) for c in value_cols],
+    ).withColumn("__is_l", F.lit(0))
+    # Align schemas for the union: left lacks right's value cols, right
+    # lacks left's payload. unionByName with allowMissingColumns fills
+    # NULLs on both sides.
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    # Right rows sort BEFORE left rows at equal timestamps (__is_l asc)
+    # so an exactly-simultaneous right row is visible to the left row.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t"), F.col("__is_l"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        F.last(F.when(F.col("__is_l") == 0, F.col("__t")), ignorenulls=True)
+        .over(w).alias(f"{right_ts}{suffix}"),
+        *[
+            F.last(F.when(F.col("__is_l") == 0, F.col(c)), ignorenulls=True)
+            .over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("__is_l") == 1)
+        .drop("__t", "__is_l", *value_cols)
+    )
+
+
+def range_join(left: DataFrame, ranges: DataFrame, point: str,
+               lo: str, hi: str, bucket_width: int,
+               on: list[str] | None = None) -> DataFrame:
+    """Join left rows to interval rows where lo ≤ point < hi.
+
+    ``ranges`` explodes onto sequence(lo/width, hi/width) buckets; the
+    join is (key?, bucket) equality plus the residual range predicate.
+    """
+    on = on or []
+    b = F.lit(bucket_width)
+    lt = left.withColumn("__bkt", (F.col(point) / b).cast("long"))
+    rt = ranges.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                (F.col(lo) / b).cast("long"),
+                ((F.col(hi) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    cond = [lt["__bkt"] == rt["__bkt"]] + [lt[k] == rt[k] for k in on]
+    joined = lt.join(rt, cond).filter(
+        (lt[point] >= rt[lo]) & (lt[point] < rt[hi])
+    )
+    return joined.drop(lt["__bkt"]).drop(rt["__bkt"]).drop(*[rt[k] for k in on])
+
+
+# Oracle-gated instance: purchases matched to the user's latest prior
+# (or simultaneous) view.
+def ev_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join(purchases, views, on=["user_id"])
+    return out.select(
+        "user_id", "event_id", "ts", "value", F.col("ts_asof").alias("last_view_ts")
+    )
+
+
+QUERIES = {"ev_asof_view": ev_asof_view}
+
+ORACLES = {
+    "ev_asof_view": """
+        SELECT p.user_id, p.event_id, p.ts, p.value,
+               (SELECT max(v.ts) FROM events v
+                WHERE v.event_type = 'view'
+                  AND v.user_id = p.user_id
+                  AND v.ts <= p.ts) AS last_view_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    """,
+}
