@@ -302,11 +302,59 @@ def ev_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Spark's NATIVE session_window operator (same 30-min gap semantics as
+# the hand-rolled ev_sessionize): window.start = first event, window.end
+# = last event + gap. In Structured Streaming the identical expression
+# gives merging session state for free. Oracle replays it with lag-gap
+# numbering (start = min ts, end = max ts + gap — provably the same
+# segmentation).
+def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(SUM_VALUE).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("s_start"),
+            F.col("sw.end").alias("s_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 QUERIES["ev_retention"] = ev_retention
 QUERIES["ev_percentiles"] = ev_percentiles
 QUERIES["ev_daily_active"] = ev_daily_active
 QUERIES["ev_daily_active_approx"] = ev_daily_active_approx
 QUERIES["ev_percentiles_approx"] = ev_percentiles_approx
+QUERIES["ev_session_window"] = ev_session_window
+
+ORACLES["ev_session_window"] = """
+    WITH flagged AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL 30 MINUTE AS s_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, seq
+"""
 
 ORACLES["ev_percentiles"] = """
     SELECT event_type,

@@ -209,9 +209,60 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TF-IDF top-3 terms per document. Two aggregations over the exploded
+# postings (term-frequency per doc, document-frequency per term) plus a
+# broadcast scalar N; smooth idf = ln((N+1)/(df+1)) + 1. Scores are
+# ROUNDed to 6dp — tf/df/N are integers, so both engines compute ln of
+# the same rational and agree to far more than 6 places; ranking uses
+# the raw score with a token tiebreak.
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.expr("tf * (ln((n_docs + 1) / (df + 1.0)) + 1)"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "rank", F.expr("ROUND(score, 6)").alias("tfidf"))
+    )
+
+
 QUERIES["doc_vocab_topk"] = doc_vocab_topk
 QUERIES["doc_sample_stratified"] = doc_sample_stratified
 QUERIES["doc_normalize"] = doc_normalize
+QUERIES["doc_tfidf_topk"] = doc_tfidf_topk
+
+ORACLES["doc_tfidf_topk"] = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token,
+               tf * (ln((n_docs + 1) / (df + 1.0)) + 1) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, rank, ROUND(score, 6) AS tfidf FROM (
+        SELECT doc_id, token, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+"""
 
 ORACLES["doc_normalize"] = f"""
     SELECT doc_id,
