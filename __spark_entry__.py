@@ -26,6 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _registries():
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators import (
         dedup,
+        etl,
         events,
         joins,
         relational,
@@ -33,7 +34,7 @@ def _registries():
         text,
     )
 
-    return (relational, events, dedup, similarity, text, joins)
+    return (relational, events, dedup, similarity, text, joins, etl)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,143 @@
+"""Warehouse-maintenance ETL operators: CDC merge, CUBE, profiling.
+
+Generalizes the reference's incremental-batch idea (etl/transform.py:24-34
+re-processes only new files) to the *table* level: apply a change batch
+(upserts + deletes) to a base snapshot — the Delta/Iceberg MERGE INTO
+shape — plus multi-dimensional CUBE aggregation and a single-pass column
+profiler, all as pure declarative plans.
+
+Scale notes (100 TB):
+- ``cdc_merge_orders`` is the anti-join MERGE: base rows not touched by
+  the change batch survive via LEFT ANTI (a shuffle on the merge key
+  that AQE can convert to broadcast when the change batch is small —
+  the common CDC case), then the change batch's upserts union in.
+  No window over the full table, no global sort. With bucketed base
+  and change tables on the key the anti-join is exchange-free.
+- ``cube_sales`` is one shuffle; Spark expands the 4 grouping sets
+  map-side and partial-aggregates each, so the extra sets cost CPU on
+  the map side, not extra shuffles.
+- ``profile_columns`` profiles N columns in ONE scan. The multi-column
+  exact count-distinct uses Spark's EXPAND (rows × N on the map side,
+  then one shuffle) — the standard exact-profile plan. At 100 TB you'd
+  swap approx_count_distinct into the same plan shape (sketches are
+  mergeable, so partial aggregation still applies) — the exact twin here
+  is what the oracle can replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+
+# The change batch is derived deterministically from orders itself so the
+# oracle can rebuild it: every orderkey ≡ 0 (mod 2) is an upsert with a
+# repriced total (exact decimal bump — identical in both engines), and
+# every orderkey ≡ 0 (mod 10) is a delete.
+_NEW_PRICE = ("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * "
+              "CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE)")
+_ORDER_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority")
+
+
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.expr("o_orderkey % 3 != 0"))
+    changes = (
+        o.filter(F.expr("o_orderkey % 2 = 0"))
+        .withColumn("is_delete", F.expr("o_orderkey % 10 = 0"))
+        .withColumn("o_totalprice", F.expr(_NEW_PRICE))
+    )
+    survivors = base.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
+    upserts = changes.filter(~F.col("is_delete")).drop("is_delete")
+    return survivors.select(*_ORDER_COLS).unionByName(upserts.select(*_ORDER_COLS))
+
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .cube("o_year", "o_orderpriority")
+        .agg(
+            F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias("total_sales"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.expr(f"CAST(MIN({c}) AS DOUBLE)").alias(f"{c}__min"),
+            F.expr(f"CAST(MAX({c}) AS DOUBLE)").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_null, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+QUERIES = {
+    "cdc_merge_orders": cdc_merge_orders,
+    "cube_sales": cube_sales,
+    "profile_columns": profile_columns,
+}
+
+ORACLES = {
+    "cdc_merge_orders": f"""
+        WITH changes AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   {_NEW_PRICE} AS o_totalprice,
+                   o_orderdate, o_orderpriority,
+                   o_orderkey % 10 = 0 AS is_delete
+            FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        survivors AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders b
+            WHERE o_orderkey % 3 != 0
+              AND NOT EXISTS (SELECT 1 FROM changes c
+                              WHERE c.o_orderkey = b.o_orderkey)
+        )
+        SELECT * FROM survivors
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM changes WHERE NOT is_delete
+    """,
+    "cube_sales": """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE(o_year, o_orderpriority)
+    """,
+    "profile_columns": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_val,
+               CAST(MAX({c}) AS DOUBLE) AS max_val
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+}

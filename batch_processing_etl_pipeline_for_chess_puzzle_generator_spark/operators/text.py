@@ -239,10 +239,70 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bigram language-model counts: corpus-wide top-20 bigrams with the
+# conditional probability p(w2|w1) = c(w1,w2) / c(w1·). Adjacent pairs
+# come from zip_with over two slices of the token array (row-local, no
+# per-element split() re-evaluation — see the shingle invariant); two
+# partial-aggregated shuffles (bigram counts, unigram context counts)
+# and a broadcast-sized join on w1. Probabilities are ratios of exact
+# integers rounded to 6dp, so both engines agree bit-for-bit.
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                f"zip_with(slice({_WORDS}, 1, size({_WORDS}) - 1), "
+                f"slice({_WORDS}, 2, size({_WORDS}) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bg_cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx_cnt = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    # Global top-20 via orderBy+limit = TakeOrdered (per-partition heaps,
+    # driver merge of 20-row heads) — never a single-partition window over
+    # the full bigram table. The rank window then runs on 20 rows only.
+    topk = (
+        bg_cnt.join(ctx_cnt, "w1")
+        .withColumn("prob", F.expr("ROUND(cnt / ctx, 6)"))
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("w1"), F.col("w2"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "w1", "w2", "cnt", "prob")
+    )
+
+
 QUERIES["doc_vocab_topk"] = doc_vocab_topk
 QUERIES["doc_sample_stratified"] = doc_sample_stratified
 QUERIES["doc_normalize"] = doc_normalize
 QUERIES["doc_tfidf_topk"] = doc_tfidf_topk
+QUERIES["doc_bigram_lm"] = doc_bigram_lm
+
+ORACLES["doc_bigram_lm"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest({_WORDS_DUCK}) AS w,
+               generate_subscripts({_WORDS_DUCK}, 1) AS i
+        FROM documents
+    ),
+    pairs AS (
+        SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        FROM tok
+    ),
+    bg AS (SELECT w1, w2, count(*) AS cnt FROM pairs
+           WHERE w2 IS NOT NULL GROUP BY w1, w2),
+    ctx AS (SELECT w1, count(*) AS ctx FROM pairs
+            WHERE w2 IS NOT NULL GROUP BY w1)
+    SELECT row_number() OVER (ORDER BY cnt DESC, w1, w2) AS rank,
+           w1, w2, cnt, ROUND(cnt / CAST(ctx AS DOUBLE), 6) AS prob
+    FROM bg JOIN ctx USING (w1)
+    ORDER BY cnt DESC, w1, w2 LIMIT 20
+"""
 
 ORACLES["doc_tfidf_topk"] = """
     WITH tok AS (
