@@ -204,6 +204,43 @@ def funnel_events_stream(events: DataFrame,
     )
 
 
+def attribute_purchases_stream(views: DataFrame,
+                               purchases: DataFrame,
+                               attribution_window: str = "1 hour",
+                               watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every view
+    by the same user within the preceding ``attribution_window`` — the
+    streaming twin of the batch as-of join (operators/events.py::
+    ev_asof_view; streaming state can't keep only-the-latest across
+    triggers, so the interval join emits all in-window view↔purchase
+    pairs and a downstream agg picks the winner).
+
+    Both sides carry a watermark and the join condition bounds event
+    time on BOTH ends, so Spark evicts buffered rows once the watermark
+    passes — state is O(users active inside the window), not O(stream).
+    The join keys on user_id, so both sides hash-partition on user_id:
+    one shuffle each, co-located thereafter.
+    """
+    v = (views.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("view_ts"),
+                 F.col("event_id").alias("view_id")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("value").alias("amount")))
+    cond = (
+        (v.v_user == p.p_user)
+        & (v.view_ts <= p.purchase_ts)
+        & (v.view_ts >= p.purchase_ts - F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return p.join(v, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id", "purchase_ts", "view_id", "view_ts", "amount",
+    )
+
+
 def streaming_puzzle_pipeline(games: DataFrame) -> DataFrame:
     """The reference's full ETL as one continuous query: typed ND-JSON
     stream → mate filter → nested projection → PGN text column.

@@ -155,3 +155,35 @@ def test_streaming_puzzle_pipeline(spark, tmp_path):
     text = "".join(r["pgn"] for r in spark.sql("SELECT * FROM pgn_out").collect())
     assert '[Game ID "g1"]' in text and '[Game ID "g4"]' in text
     assert '[Game ID "g2"]' not in text
+
+
+def test_attribute_purchases_stream(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import attribute_purchases_stream
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purchases"
+    vdir.mkdir(); pdir.mkdir()
+    views = [
+        {"event_id": 1, "ts": "2024-01-01 00:10:00", "user_id": 7, "value": 0.0},
+        {"event_id": 2, "ts": "2024-01-01 00:40:00", "user_id": 7, "value": 0.0},
+        {"event_id": 3, "ts": "2024-01-01 00:10:00", "user_id": 8, "value": 0.0},
+    ]
+    purchases = [
+        # in-window for views 1 and 2 (user 7); view 3 is user 8 — no match
+        {"event_id": 10, "ts": "2024-01-01 00:50:00", "user_id": 7, "value": 9.99},
+        # >1h after view 3 — outside the attribution window
+        {"event_id": 11, "ts": "2024-01-01 02:30:00", "user_id": 8, "value": 5.0},
+    ]
+    (vdir / "v.json").write_text("\n".join(json.dumps(r) for r in views))
+    (pdir / "p.json").write_text("\n".join(json.dumps(r) for r in purchases))
+    schema = "event_id LONG, ts STRING, user_id LONG, value DOUBLE"
+
+    def _src(d):
+        return (spark.readStream.schema(schema).json(str(d))
+                .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+                            "user_id", "value"))
+
+    _run_stream(attribute_purchases_stream(_src(vdir), _src(pdir)), "attrib")
+    got = {(r["purchase_id"], r["view_id"]) for r in spark.sql("SELECT * FROM attrib").collect()}
+    assert got == {(10, 1), (10, 2)}
+    amounts = {r["amount"] for r in spark.sql("SELECT * FROM attrib").collect()}
+    assert amounts == {9.99}
