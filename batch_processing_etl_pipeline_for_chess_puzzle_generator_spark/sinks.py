@@ -20,6 +20,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 FORMATS = ("parquet", "orc", "json", "csv")
 
+# Avro ships as an external Spark module (spark-avro); probe once so the
+# round-trip surface includes it automatically wherever the jar is on
+# the classpath, and skips cleanly where it isn't.
+
+
+def avro_available(spark) -> bool:
+    # Probe the actual DataSource lookup (class presence alone is not
+    # enough — the provider must be service-registered). A missing
+    # module fails at format resolution, before the path is touched;
+    # any path error therefore means the format itself resolved.
+    try:
+        spark.read.format("avro").schema("x INT").load("/nonexistent-avro-probe")
+        return True
+    except Exception as e:  # noqa: BLE001
+        return "Failed to find data source" not in str(e)
+
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
                       fmt: str = "parquet", mode: str = "overwrite") -> None:

@@ -75,3 +75,13 @@ def test_text_sink(spark, tmp_path, docs):
                      "line", path)
     back = spark.read.text(path)
     assert back.count() == docs.count()
+
+
+def test_roundtrip_avro(spark, tmp_path, docs):
+    if not sinks.avro_available(spark):
+        pytest.skip("spark-avro jar not on the classpath")
+    path = str(tmp_path / "rt_avro")
+    sub = docs.select("doc_id", "lang", "n_chars")
+    sub.write.mode("overwrite").format("avro").save(path)
+    back = spark.read.format("avro").load(path)
+    assert back.count() == sub.count()
