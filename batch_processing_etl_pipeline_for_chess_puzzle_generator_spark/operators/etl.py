@@ -93,13 +93,48 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
 
 
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: daily partial aggregates
+    (the materialized state an incremental pipeline persists per batch)
+    merged into monthly figures WITHOUT rescanning base rows. All
+    aggregates are algebraic — sum-of-sums, sum-of-counts, avg from
+    merged sums — so the merge step touches only #days rows. The
+    oracle aggregates the base table directly, proving the two-level
+    maintenance is lossless.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("d_sum"),
+        F.count(F.lit(1)).alias("d_cnt"),
+    )
+    return (
+        daily.groupBy(F.date_trunc("month", "day").alias("month"))
+        .agg(
+            F.expr("CAST(SUM(d_sum) AS DOUBLE)").alias("total_sales"),
+            F.expr("SUM(d_cnt)").alias("n_orders"),
+            F.expr("ROUND(CAST(SUM(d_sum) AS DOUBLE) / SUM(d_cnt), 6)").alias("avg_order"),
+        )
+    )
+
+
 QUERIES = {
     "cdc_merge_orders": cdc_merge_orders,
+    "agg_incremental_rollup": agg_incremental_rollup,
     "cube_sales": cube_sales,
     "profile_columns": profile_columns,
 }
 
 ORACLES = {
+    # Aggregates the BASE table directly (no daily intermediate): a hash
+    # match proves the incremental two-level maintenance is lossless.
+    "agg_incremental_rollup": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+               count(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*), 6) AS avg_order
+        FROM orders GROUP BY 1
+    """,
     "cdc_merge_orders": f"""
         WITH changes AS (
             SELECT o_orderkey, o_custkey, o_orderstatus,

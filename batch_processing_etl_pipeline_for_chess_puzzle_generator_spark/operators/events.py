@@ -326,12 +326,90 @@ def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cohort retention matrix: bucket users by first-seen day, then count
+# distinct active users per (cohort_day, day_offset). Two shuffles —
+# per-user min(day), then the matrix agg over the (small) user-day
+# distinct set. The first-seen table re-joins events on user_id, the
+# same key the min() agg hashed on, so AQE keeps it co-located; at
+# 100 TB the user-day projection is the only thing that ever reaches
+# the second shuffle.
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    first_seen = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# 7-day moving aggregate over daily totals: a RANGE window frame keyed
+# on event time (rows frames break on gap days). The daily pre-agg is
+# one shuffle; the window then runs over ~days rows — at 100 TB the
+# frame input is tiny because aggregation happened first.
+def ev_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr(SUM_VALUE).alias("day_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = (
+        Window.orderBy(F.unix_seconds(F.col("day")))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    # The frame sum goes back through DECIMAL: double addition is not
+    # associative and DuckDB's segment-tree window could associate
+    # differently — decimal keeps both engines bit-exact.
+    s7 = F.sum(F.col("day_value").cast("decimal(18,2)")).over(w).cast("double")
+    return daily.withColumn(
+        "avg_7d", F.round(s7 / F.count(F.lit(1)).over(w), 6)
+    ).select("day", "day_value", "n_events", "avg_7d")
+
+
 QUERIES["ev_retention"] = ev_retention
 QUERIES["ev_percentiles"] = ev_percentiles
 QUERIES["ev_daily_active"] = ev_daily_active
 QUERIES["ev_daily_active_approx"] = ev_daily_active_approx
 QUERIES["ev_percentiles_approx"] = ev_percentiles_approx
 QUERIES["ev_session_window"] = ev_session_window
+QUERIES["ev_cohort_retention"] = ev_cohort_retention
+QUERIES["ev_moving_avg_7d"] = ev_moving_avg_7d
+
+ORACLES["ev_cohort_retention"] = """
+    WITH user_days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY user_id
+    )
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM user_days JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+"""
+
+ORACLES["ev_moving_avg_7d"] = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT day, day_value, n_events,
+           ROUND(
+               CAST(sum(CAST(day_value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / count(*) OVER w, 6) AS avg_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                 AND CURRENT ROW)
+"""
 
 ORACLES["ev_session_window"] = """
     WITH flagged AS (
