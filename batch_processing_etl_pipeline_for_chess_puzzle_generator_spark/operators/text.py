@@ -221,10 +221,14 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df as a window count over tf keeps the whole query ONE lineage:
+    # the corpus is scanned and exploded exactly once (a tf/df self-join
+    # would re-scan — branch-specific column pruning defeats Spark's
+    # exchange reuse). tf rows per token ≡ distinct docs containing it.
+    w_tok = Window.partitionBy("token")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df_, "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_tok))
         .join(F.broadcast(n))
         .withColumn(
             "score",
@@ -260,13 +264,15 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
     bg_cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    ctx_cnt = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    # Context counts as a window sum over bg_cnt (Σ cnt per w1 == w1's
+    # pair occurrences) — single lineage, corpus exploded once, no
+    # self-join recompute.
+    ctx = F.sum("cnt").over(Window.partitionBy("w1"))
     # Global top-20 via orderBy+limit = TakeOrdered (per-partition heaps,
     # driver merge of 20-row heads) — never a single-partition window over
     # the full bigram table. The rank window then runs on 20 rows only.
     topk = (
-        bg_cnt.join(ctx_cnt, "w1")
-        .withColumn("prob", F.expr("ROUND(cnt / ctx, 6)"))
+        bg_cnt.withColumn("prob", F.round(F.col("cnt") / ctx, 6))
         .orderBy(F.col("cnt").desc(), "w1", "w2")
         .limit(20)
     )
