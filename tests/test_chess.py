@@ -145,3 +145,37 @@ def test_cursor_roundtrip(tmp_path):
     assert c.get() is None
     c.set("20240101120000")
     assert c.get() == "20240101120000"
+
+
+def test_extract_batch_end_to_end(tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.extract import extract_batch, write_ndjson
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.incremental import Cursor
+
+    store = {f"2024010{i}": [{"id": f"g{i}", "n": i}] for i in range(1, 4)}
+
+    def fetch(since, until):
+        return [r for ts, rows in store.items()
+                if (since is None or ts > since) and ts <= until
+                for r in rows]
+
+    cur = Cursor(tmp_path / "cursor.txt")
+    out = extract_batch(fetch, cur, tmp_path / "raw", "games", "20240102")
+    assert cur.get() == "20240102"
+    got = [json.loads(line) for line in out.read_text().splitlines()]
+    assert [g["id"] for g in got] == ["g1", "g2"]
+
+    # second window picks up only the delta; empty window still advances
+    out2 = extract_batch(fetch, cur, tmp_path / "raw", "games", "20240103")
+    assert [json.loads(l)["id"] for l in out2.read_text().splitlines()] == ["g3"]
+    assert extract_batch(fetch, cur, tmp_path / "raw", "games", "20240104") is None
+    assert cur.get() == "20240104"
+
+
+def test_write_ndjson_atomic_and_empty(tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.extract import write_ndjson
+
+    p = tmp_path / "o.ndjson"
+    assert write_ndjson([], p) == 0
+    assert p.read_text() == ""
+    assert write_ndjson([{"a": 1}, {"b": "é"}], p) == 2
+    assert "é" in p.read_text()
