@@ -19,6 +19,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # --sweep: one JSON line per SF (scaling evidence); the driver's
+    # plain `python bench.py` path is unchanged.
+    if "--sweep" in sys.argv:
+        base = os.path.dirname(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+        )
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            d = os.path.join(base, sf)
+            if os.path.isdir(d):
+                os.environ["SPARK_GRAFT_SF_DIR"] = d
+                _run_one()
+        return
+    _run_one()
+
+
+def _run_one() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
