@@ -117,14 +117,52 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_layout_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key distribution over part (p_partkey × p_size
+    dimensions): the histogram a layout optimizer inspects to pick file
+    split points. The Morton key itself is the deliverable —
+    functions/zorder.py::write_zordered sorts files on it so min/max
+    stats prune on either dimension; the hash-matched histogram proves
+    the Spark and oracle keys are bit-identical."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.zorder import morton_sql
+
+    p = table(spark, sf_dir, "part")
+    key = morton_sql("p_partkey % 256", "p_size % 256", bits=8, div="div")
+    return (
+        p.withColumn("z_key", F.expr(key).cast("long"))
+        .groupBy(F.expr("z_key DIV 1024").cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("z_key").alias("min_key"),
+            F.max("z_key").alias("max_key"),
+        )
+    )
+
+
 QUERIES = {
     "cdc_merge_orders": cdc_merge_orders,
     "agg_incremental_rollup": agg_incremental_rollup,
+    "zorder_layout_hist": zorder_layout_hist,
     "cube_sales": cube_sales,
     "profile_columns": profile_columns,
 }
 
+def _zorder_oracle() -> str:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.zorder import morton_sql
+
+    key = morton_sql("p_partkey % 256", "p_size % 256", bits=8, div="//")
+    return f"""
+        WITH keyed AS (SELECT {key} AS z_key FROM part)
+        SELECT CAST(z_key // 1024 AS BIGINT) AS z_bucket,
+               count(*) AS n_parts,
+               min(z_key) AS min_key,
+               max(z_key) AS max_key
+        FROM keyed GROUP BY 1
+    """
+
+
 ORACLES = {
+    "zorder_layout_hist": _zorder_oracle(),
     # Aggregates the BASE table directly (no daily intermediate): a hash
     # match proves the incremental two-level maintenance is lossless.
     "agg_incremental_rollup": """
