@@ -241,6 +241,60 @@ def attribute_purchases_stream(views: DataFrame,
     )
 
 
+def apply_cdc_stream(changes: DataFrame,
+                     base_path: str,
+                     key: str,
+                     delete_col: str = "is_delete",
+                     checkpoint: str | None = None):
+    """Continuous CDC apply: each micro-batch of change rows (upserts +
+    deletes) MERGEs into the parquet snapshot at ``base_path`` using the
+    same anti-join shape as the batch operator (operators/etl.py::
+    cdc_merge_orders). foreachBatch bridges the streaming source to the
+    batch writer; the micro-batch is deduped to its latest row per key
+    first (a batch can carry several versions of one key).
+
+    Snapshot swap is write-new-then-replace: the batch result lands in
+    ``{base_path}__next`` and atomically renames over the base, so a
+    crash mid-write never leaves readers a half-merged table. On a real
+    lakehouse this exact merge is `MERGE INTO` on a table format with
+    transactional commit (Delta/Iceberg); plain parquet here keeps the
+    container dependency-free while the plan shape stays identical.
+
+    Returns the StreamingQuery (caller awaits/stops it).
+    """
+    from pyspark.sql.window import Window as W
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        latest = (
+            batch.withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy(key).orderBy(F.col("ts").desc())
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        base = spark.read.parquet(base_path)
+        survivors = base.join(latest.select(key), key, "left_anti")
+        upserts = latest.filter(~F.col(delete_col)).drop(delete_col)
+        merged = survivors.unionByName(upserts.select(*base.columns))
+        tmp = f"{base_path}__next"
+        merged.write.mode("overwrite").parquet(tmp)
+        fs_path = spark._jvm.org.apache.hadoop.fs.Path(base_path)
+        fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(fs_path, True)
+        fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), fs_path)
+
+    writer = changes.writeStream.foreachBatch(merge_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def streaming_puzzle_pipeline(games: DataFrame) -> DataFrame:
     """The reference's full ETL as one continuous query: typed ND-JSON
     stream → mate filter → nested projection → PGN text column.

@@ -187,3 +187,37 @@ def test_attribute_purchases_stream(spark, tmp_path):
     assert got == {(10, 1), (10, 2)}
     amounts = {r["amount"] for r in spark.sql("SELECT * FROM attrib").collect()}
     assert amounts == {9.99}
+
+
+def test_apply_cdc_stream(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import apply_cdc_stream
+
+    base_path = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (2, "b", "2024-01-01 00:00:00")],
+        "k LONG, v STRING, ts STRING",
+    ).selectExpr("k", "v", "CAST(ts AS TIMESTAMP) AS ts").write.parquet(base_path)
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    rows = [
+        # two versions of k=2 in one batch — latest (ts 02:00) wins
+        {"k": 2, "v": "b1", "ts": "2024-01-01 01:00:00", "is_delete": False},
+        {"k": 2, "v": "b2", "ts": "2024-01-01 02:00:00", "is_delete": False},
+        {"k": 1, "v": "x", "ts": "2024-01-01 01:00:00", "is_delete": True},
+        {"k": 3, "v": "c", "ts": "2024-01-01 01:00:00", "is_delete": False},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream
+        .schema("k LONG, v STRING, ts STRING, is_delete BOOLEAN")
+        .json(str(src))
+        .selectExpr("k", "v", "CAST(ts AS TIMESTAMP) AS ts", "is_delete")
+    )
+    q = apply_cdc_stream(stream, base_path, key="k",
+                         checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.k: r.v for r in spark.read.parquet(base_path).collect()}
+    assert got == {2: "b2", 3: "c"}  # 1 deleted, 2 updated to latest, 3 inserted
