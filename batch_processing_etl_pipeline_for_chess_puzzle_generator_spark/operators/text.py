@@ -283,11 +283,72 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bigram-LM document scoring — the KenLM-style quality filter of LLM
+# data pipelines: score each doc by its mean negative log-probability under
+# the corpus's own bigram model. Fully self-contained single lineage:
+# model counts come from two window functions over the exploded pairs
+# (no join, corpus scanned once); per-pair log-probs are quantized to an
+# integer 1e-9 grid BEFORE the per-doc sum, so the aggregate is exact
+# integer math — order-independent across partitions and bit-identical
+# to the oracle (a raw double sum would be partition-order dependent).
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"zip_with(slice({_WORDS}, 1, size({_WORDS}) - 1), "
+                f"slice({_WORDS}, 2, size({_WORDS}) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    scored = (
+        pairs.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2")))
+        .withColumn("ctx", F.count(F.lit(1)).over(Window.partitionBy("w1")))
+        .withColumn(
+            "lp_int",
+            F.expr("CAST(ROUND(ln(cnt / ctx) * 1e9, 0) AS BIGINT)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("ROUND(-SUM(lp_int) / COUNT(*) / 1e9, 6)").alias("avg_neg_logp"),
+    )
+
+
 QUERIES["doc_vocab_topk"] = doc_vocab_topk
 QUERIES["doc_sample_stratified"] = doc_sample_stratified
 QUERIES["doc_normalize"] = doc_normalize
 QUERIES["doc_tfidf_topk"] = doc_tfidf_topk
 QUERIES["doc_bigram_lm"] = doc_bigram_lm
+QUERIES["doc_lm_score"] = doc_lm_score
+
+ORACLES["doc_lm_score"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest({_WORDS_DUCK}) AS w,
+               generate_subscripts({_WORDS_DUCK}, 1) AS i
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        FROM tok
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(ROUND(ln(
+                   count(*) OVER (PARTITION BY w1, w2)
+                   / CAST(count(*) OVER (PARTITION BY w1) AS DOUBLE)
+               ) * 1e9, 0) AS BIGINT) AS lp_int
+        FROM pairs WHERE w2 IS NOT NULL
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           ROUND(-SUM(lp_int) / count(*) / 1e9, 6) AS avg_neg_logp
+    FROM scored GROUP BY doc_id
+"""
 
 ORACLES["doc_bigram_lm"] = f"""
     WITH tok AS (
