@@ -372,6 +372,57 @@ def ev_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("day", "day_value", "n_events", "avg_7d")
 
 
+# Daily anomaly z-scores: flag days whose total value deviates from the
+# corpus mean. μ and σ come from exact decimal component sums (Σx, Σx²
+# over the per-day totals) broadcast back over the daily table — the
+# same component-sum determinism as stat_sales_corr, and the daily agg
+# is the only pass over raw events.
+def ev_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr(SUM_VALUE).alias("day_value"),
+    )
+    dv = "CAST(day_value AS DECIMAL(18,2))"
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr(f"CAST(SUM({dv}) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM({dv} * {dv}) AS DOUBLE)").alias("sxx"),
+    )
+    return (
+        daily.join(F.broadcast(stats))
+        .select(
+            "day",
+            "day_value",
+            F.expr(
+                "ROUND((day_value - sx / n_days) / "
+                "SQRT((n_days * sxx - sx * sx) / (CAST(n_days AS DOUBLE) * n_days)), 6)"
+            ).alias("z_score"),
+        )
+    )
+
+
+QUERIES["ev_daily_anomaly"] = ev_daily_anomaly
+
+ORACLES["ev_daily_anomaly"] = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT count(*) AS n_days,
+               CAST(SUM(CAST(day_value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(day_value AS DECIMAL(18,2))
+                      * CAST(day_value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM daily
+    )
+    SELECT day, day_value,
+           ROUND((day_value - sx / n_days) /
+                 SQRT((n_days * sxx - sx * sx)
+                      / (CAST(n_days AS DOUBLE) * n_days)), 6) AS z_score
+    FROM daily CROSS JOIN stats
+"""
+
 QUERIES["ev_retention"] = ev_retention
 QUERIES["ev_percentiles"] = ev_percentiles
 QUERIES["ev_daily_active"] = ev_daily_active

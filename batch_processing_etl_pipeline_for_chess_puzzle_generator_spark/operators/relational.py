@@ -352,7 +352,40 @@ def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Statistical aggregates (corr / regression slope) per group — computed
+# from EXACT decimal component sums (Σx, Σy, Σxy, Σx², n) and only then
+# combined in one double formula. Spark's native corr() merges float
+# co-moments in partition order (run-to-run nondeterministic, and a
+# different association than DuckDB's); the component-sum form is the
+# map-side-combinable, deterministic way to do it at any scale.
+def stat_sales_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = "CAST(l_quantity AS DECIMAL(18,2))"
+    p = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"CAST(SUM({q}) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM({p}) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM({q} * {p}) AS DOUBLE)").alias("sxy"),
+        F.expr(f"CAST(SUM({q} * {q}) AS DOUBLE)").alias("sxx"),
+        F.expr(f"CAST(SUM({p} * {p}) AS DOUBLE)").alias("syy"),
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "ROUND((n * sxy - sx * sy) / "
+            "SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)"
+        ).alias("corr_qty_price"),
+        F.expr("ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)").alias("slope"),
+        F.expr(
+            "ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)"
+        ).alias("intercept"),
+    )
+
+
 QUERIES = {
+    "stat_sales_corr": stat_sales_corr,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -373,6 +406,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stat_sales_corr": """
+        WITH sums AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               ROUND((n * sxy - sx * sy)
+                     / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+                   AS intercept
+        FROM sums
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
