@@ -85,3 +85,17 @@ def test_roundtrip_avro(spark, tmp_path, docs):
     sub.write.mode("overwrite").format("avro").save(path)
     back = spark.read.format("avro").load(path)
     assert back.count() == sub.count()
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Schema-on-read evolution: later files add a column; mergeSchema
+    unifies, old rows surface NULLs — no rewrite of existing data."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id LONG, v STRING").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id LONG, v STRING, score DOUBLE"
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(back.columns) == {"id", "v", "score"}
+    got = {r.id: r.score for r in back.collect()}
+    assert got[1] is None and got[2] == 9.5
