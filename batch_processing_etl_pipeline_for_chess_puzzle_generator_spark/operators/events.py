@@ -75,30 +75,36 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ordered funnel view → click → purchase: stage N counts users whose
 # first stage-N event happens after their first stage-(N-1) event.
 def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged view→click→purchase funnel (earliest qualifying event per
+    stage, strictly after the prior stage) in ONE pass: a single
+    groupBy(user_id) collects the first view plus sorted click/purchase
+    timestamp arrays, and higher-order array functions resolve the
+    stage chain row-locally. One scan + one shuffle (the 3-stage
+    join-back formulation costs 5 shuffles and 3 scans of events;
+    per-user arrays are bounded by that user's activity — fine for
+    human-scale actors; a bot-heavy corpus would cap them with
+    slice()). ``get()`` (0-based, null-on-empty) keeps the stage
+    lookups total under ANSI mode."""
     ev = table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+            ).alias("clicks"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            ).alias("purchases"),
+        )
+        .withColumn("t_click", F.expr("get(filter(clicks, x -> x > t_view), 0)"))
+        .withColumn("t_purchase", F.expr("get(filter(purchases, x -> x > t_click), 0)"))
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
     )
 
 
@@ -335,13 +341,22 @@ def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the second shuffle.
 def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    user_days = ev.select(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).distinct()
-    first_seen = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # One shuffle builds the per-user active-day set (collect_set
+    # dedups map-side; cardinality is bounded by calendar days, not
+    # events); cohort_day falls out as array_min — no distinct, no
+    # first-seen self-join (the join formulation costs 4 shuffles).
+    per_user = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+        .select(
+            "user_id",
+            F.array_min("days").alias("cohort_day"),
+            F.explode("days").alias("day"),
+        )
+    )
     return (
-        user_days.join(first_seen, "user_id")
-        .groupBy(
+        per_user.groupBy(
             "cohort_day",
             F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
         )
