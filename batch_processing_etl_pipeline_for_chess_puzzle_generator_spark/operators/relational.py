@@ -384,8 +384,53 @@ def stat_sales_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Window-function breadth on one pass: rank family, distribution
+# functions (ntile/percent_rank/cume_dist) and frame-navigation
+# (first/last value) over each customer's order history — one shuffle,
+# every function shares the same window spec so Spark evaluates them
+# in a single Window operator.
+def w_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.expr("ROUND(percent_rank() OVER "
+               "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6)")
+            .alias("pct_rank"),
+        F.expr("ROUND(cume_dist() OVER "
+               "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6)")
+            .alias("cume"),
+        F.first("o_orderkey").over(full).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+    )
+
+
+# Set-operation semantics (INTERSECT / EXCEPT are distinct-set ops, not
+# bag ops) over year slices of the order base.
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def year(y: int):
+        return o.filter(F.year("o_orderdate") == y).select("o_custkey")
+
+    both = year(1994).intersect(year(1995))
+    only_94 = year(1994).subtract(year(1995))
+    either = year(1994).union(year(1995)).distinct()
+    return (
+        both.agg(F.count(F.lit(1)).alias("n_both"))
+        .crossJoin(only_94.agg(F.count(F.lit(1)).alias("n_only_1994")))
+        .crossJoin(either.agg(F.count(F.lit(1)).alias("n_either")))
+    )
+
+
 QUERIES = {
     "stat_sales_corr": stat_sales_corr,
+    "w_order_stats": w_order_stats,
+    "set_ops_customers": set_ops_customers,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -406,6 +451,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "w_order_stats": """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS seq,
+               ntile(4) OVER w AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume,
+               first_value(o_orderkey) OVER wf AS first_order,
+               last_value(o_orderkey) OVER wf AS last_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "set_ops_customers": """
+        WITH y94 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
+             y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        SELECT (SELECT count(*) FROM (SELECT o_custkey FROM y94
+                                      INTERSECT SELECT o_custkey FROM y95)) AS n_both,
+               (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM y94
+                                      WHERE o_custkey NOT IN (SELECT o_custkey FROM y95))) AS n_only_1994,
+               (SELECT count(*) FROM (SELECT o_custkey FROM y94
+                                      UNION SELECT o_custkey FROM y95)) AS n_either
+    """,
     "stat_sales_corr": """
         WITH sums AS (
             SELECT l_returnflag,
