@@ -525,3 +525,114 @@ ORACLES["ev_retention"] = """
       ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
     GROUP BY a.day
 """
+
+
+# RFM segmentation — recency/frequency/monetary per user with quartile
+# segments. The scale-critical choice: segment boundaries come from ONE
+# exact percentile over the (already aggregated) per-user table,
+# broadcast back — never ntile() over all users, which would force a
+# single-partition global sort at 100 TB. Monetary goes through DECIMAL
+# so the quartile cut points are bit-identical across engines.
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("MAX(CAST(date_trunc('day', ts) AS DATE))").alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.expr(SUM_VALUE).alias("monetary"),
+    )
+    bounds = per_user.agg(
+        F.expr("MAX(last_day)").alias("corpus_day"),
+        F.expr("percentile(monetary, 0.25)").alias("m_q1"),
+        F.expr("percentile(monetary, 0.50)").alias("m_q2"),
+        F.expr("percentile(monetary, 0.75)").alias("m_q3"),
+    )
+    return per_user.join(F.broadcast(bounds)).select(
+        "user_id",
+        F.expr("CAST(datediff(corpus_day, last_day) AS BIGINT)").alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.expr(
+            "CAST(CASE WHEN monetary > m_q3 THEN 4 WHEN monetary > m_q2 THEN 3 "
+            "WHEN monetary > m_q1 THEN 2 ELSE 1 END AS BIGINT)"
+        ).alias("m_quartile"),
+    )
+
+
+# Day-of-week × hour activity heatmap — the classic ops dashboard agg.
+# One partial-aggregated shuffle of at most 7×24 groups; the heavy
+# lifting (extract + map-side combine) rides the scan.
+def ev_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            # 0 = Sunday in both engines after the -1 shift (Spark
+            # dayofweek is 1-based Sunday=1; DuckDB's is 0-based).
+            F.expr("CAST(dayofweek(ts) - 1 AS BIGINT)").alias("dow"),
+            F.expr("CAST(hour(ts) AS BIGINT)").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(SUM_VALUE).alias("total_value"),
+        )
+    )
+
+
+# Fixed-width value histogram per event type. width_bucket is spelled
+# out as floor(value/width) with an overflow bucket so the DuckDB oracle
+# replays it exactly; floor on IEEE doubles is engine-portable.
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.expr("CAST(LEAST(FLOOR(value / 50.0), 6) AS BIGINT)").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(SUM_VALUE).alias("bucket_value"),
+        )
+    )
+
+
+QUERIES["ev_rfm_segments"] = ev_rfm_segments
+QUERIES["ev_hourly_heatmap"] = ev_hourly_heatmap
+QUERIES["ev_value_histogram"] = ev_value_histogram
+
+ORACLES["ev_rfm_segments"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+               count(*) AS frequency,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    bounds AS (
+        SELECT MAX(last_day) AS corpus_day,
+               quantile_cont(monetary, 0.25) AS m_q1,
+               quantile_cont(monetary, 0.50) AS m_q2,
+               quantile_cont(monetary, 0.75) AS m_q3
+        FROM per_user
+    )
+    SELECT user_id,
+           CAST(date_diff('day', last_day, corpus_day) AS BIGINT) AS recency_days,
+           frequency, monetary,
+           CAST(CASE WHEN monetary > m_q3 THEN 4 WHEN monetary > m_q2 THEN 3
+                     WHEN monetary > m_q1 THEN 2 ELSE 1 END AS BIGINT) AS m_quartile
+    FROM per_user CROSS JOIN bounds
+"""
+
+ORACLES["ev_hourly_heatmap"] = """
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
+ORACLES["ev_value_histogram"] = """
+    SELECT event_type,
+           CAST(LEAST(FLOOR(value / 50.0), 6) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
+    FROM events GROUP BY 1, 2
+"""

@@ -1018,3 +1018,43 @@ ORACLES.update({
         LIMIT 10
     """,
 })
+
+
+# GROUPING SETS — the general form behind rollup/cube: the exact level
+# list ((year), (priority), (year, priority)) with no grand total, which
+# neither ROLLUP nor CUBE can express. Spark expands the sets into one
+# partial-aggregated Expand + shuffle — same single-shuffle plan shape
+# as a plain groupBy at 100 TB. grouping_id labels each level so the
+# NULL-as-subtotal rows are unambiguous.
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return o.groupingSets(
+        [["o_year"], ["o_orderpriority"], ["o_year", "o_orderpriority"]],
+        "o_year",
+        "o_orderpriority",
+    ).agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("CAST(grouping_id(o_year, o_orderpriority) AS BIGINT)").alias("gid"),
+    )
+
+
+QUERIES["grouping_sets_orders"] = grouping_sets_orders
+
+ORACLES["grouping_sets_orders"] = """
+    WITH o AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               o_orderpriority, o_totalprice
+        FROM orders
+    )
+    SELECT o_year, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           count(*) AS n_orders,
+           CAST(grouping(o_year) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+    FROM o
+    GROUP BY GROUPING SETS ((o_year), (o_orderpriority), (o_year, o_orderpriority))
+"""

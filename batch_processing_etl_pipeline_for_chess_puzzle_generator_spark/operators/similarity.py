@@ -558,3 +558,61 @@ ORACLES["emb_neardup_pairs"] = f"""
          {_DUCK_SCORE.replace("q_id", "a_id").replace("c_id", "b_id")}
     SELECT a_id, b_id, sim FROM scored WHERE sim >= {NEARDUP_THRESHOLD}
 """
+
+
+# SQ8 scalar quantization — the compression stage of a vector store
+# (FAISS SQ8 / Milvus SQ8 shape): symmetric int8 grid scaled to the
+# corpus max |x|, plus per-vector reconstruction error. The scale factor
+# is ONE tiny agg broadcast back over the corpus; code assignment and
+# error are row-local transforms (zero extra shuffle — at 100 TB this is
+# a pure scan-bandwidth pass, exactly how a production quantizer runs).
+# Error math is on a 1e12 integer grid so the sum is order-independent
+# and bit-identical in the DuckDB oracle.
+_SQ_CODE = "CAST(GREATEST(-127.0, LEAST(127.0, ROUND(CAST({x} AS DOUBLE) * qscale, 0))) AS BIGINT)"
+_SQ_E = f"(CAST({{x}} AS DOUBLE) - {_SQ_CODE} / qscale)"
+_SQ_E2I = f"CAST(ROUND({_SQ_E} * {_SQ_E} * 1e12, 0) AS BIGINT)"
+
+
+def emb_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    bounds = emb.agg(
+        F.expr(
+            "127.0 / CAST(MAX(GREATEST(abs(array_max(embedding)), "
+            "abs(array_min(embedding)))) AS DOUBLE)"
+        ).alias("qscale")
+    )
+    code = _SQ_CODE.format(x="x")
+    return emb.join(F.broadcast(bounds)).select(
+        "vec_id",
+        "label",
+        F.expr(f"array_min(transform(embedding, x -> {code}))").alias("code_min"),
+        F.expr(f"array_max(transform(embedding, x -> {code}))").alias("code_max"),
+        F.expr(
+            f"CAST(size(filter(transform(embedding, x -> {code}), c -> c = 0)) AS BIGINT)"
+        ).alias("n_zero"),
+        F.expr(
+            f"ROUND(aggregate(transform(embedding, x -> {_SQ_E2I.format(x='x')}), "
+            "CAST(0 AS BIGINT), (a, v) -> a + v) / 1e12, 6)"
+        ).alias("sse"),
+    )
+
+
+QUERIES["emb_sq8_quantize"] = emb_sq8_quantize
+
+_SQ_CODE_D = "CAST(GREATEST(-127.0, LEAST(127.0, ROUND(CAST(x AS DOUBLE) * qscale, 0))) AS BIGINT)"
+_SQ_E_D = f"(CAST(x AS DOUBLE) - {_SQ_CODE_D} / qscale)"
+ORACLES["emb_sq8_quantize"] = f"""
+    WITH bounds AS (
+        SELECT 127.0 / CAST(MAX(GREATEST(abs(list_max(embedding)),
+                                         abs(list_min(embedding)))) AS DOUBLE) AS qscale
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           list_min(list_transform(embedding, x -> {_SQ_CODE_D})) AS code_min,
+           list_max(list_transform(embedding, x -> {_SQ_CODE_D})) AS code_max,
+           CAST(len(list_filter(list_transform(embedding, x -> {_SQ_CODE_D}),
+                                c -> c = 0)) AS BIGINT) AS n_zero,
+           ROUND(list_sum(list_transform(embedding,
+               x -> CAST(ROUND({_SQ_E_D} * {_SQ_E_D} * 1e12, 0) AS BIGINT))) / 1e12, 6) AS sse
+    FROM embeddings CROSS JOIN bounds
+"""

@@ -415,3 +415,65 @@ ORACLES["doc_sample_stratified"] = f"""
     SELECT doc_id, lang, source FROM documents
     WHERE {STABLE_HASH_SQL("CAST(doc_id AS VARCHAR)")} % 100 < 10
 """
+
+
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+# MOSS algorithm): hash every k-gram (k=3 words), then keep the minimum
+# hash of each sliding window of w=4 k-grams. Guarantees any shared run
+# of ≥ w+k-1 words produces a shared fingerprint, with ~2/(w+1) of
+# hashes kept. Entirely row-local higher-order-function math — ZERO
+# shuffle for the fingerprinting itself; the output is the per-doc
+# fingerprint-set digest. Docs shorter than k words have no k-grams and
+# are filtered (both engines).
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = SPARK_HASH_SQL("concat_ws(' ', slice(ws, i, 3))")
+    kgrams = f"transform(sequence(1, size(ws) - 2), i -> {h})"
+    wins = (
+        "transform(sequence(1, GREATEST(size(kg) - 3, 1)), "
+        "j -> array_min(slice(kg, j, 4)))"
+    )
+    return (
+        docs.select("doc_id", F.expr(f"{_WORDS}").alias("ws"))
+        .filter(F.expr("size(ws) >= 3"))
+        .select("doc_id", F.expr(kgrams).alias("kg"))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(kg) AS BIGINT)").alias("n_kgrams"),
+            F.expr(f"array_sort(array_distinct({wins}))").alias("fps"),
+        )
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.expr("CAST(size(fps) AS BIGINT)").alias("n_fps"),
+            F.expr(
+                "md5(concat_ws(',', transform(fps, x -> CAST(x AS STRING))))"
+            ).alias("fp_digest"),
+        )
+    )
+
+
+QUERIES["doc_winnowing"] = doc_winnowing
+
+_WIN_H = STABLE_HASH_SQL("array_to_string(ws[i:i+2], ' ')")
+ORACLES["doc_winnowing"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_WORDS_DUCK} AS ws FROM documents
+        WHERE len({_WORDS_DUCK}) >= 3
+    ),
+    kg AS (
+        SELECT doc_id,
+               list_transform(range(1, len(ws) - 1), i -> {_WIN_H}) AS kg
+        FROM toks
+    ),
+    fp AS (
+        SELECT doc_id, CAST(len(kg) AS BIGINT) AS n_kgrams,
+               list_sort(list_distinct(list_transform(
+                   range(1, GREATEST(len(kg) - 3, 1) + 1),
+                   j -> list_min(kg[j:j+3])))) AS fps
+        FROM kg
+    )
+    SELECT doc_id, n_kgrams, CAST(len(fps) AS BIGINT) AS n_fps,
+           md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS fp_digest
+    FROM fp
+"""
