@@ -636,3 +636,158 @@ ORACLES["ev_value_histogram"] = """
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
     FROM events GROUP BY 1, 2
 """
+
+
+# Markov transition matrix over event types — per-user lag pairs
+# (one hash shuffle on user_id for the window), then a tiny
+# (|types|²-group) agg with the per-prev totals joined back via a
+# second small agg + broadcast. prob is a single double division of
+# exact integer counts, so ranking is engine-independent.
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n / n_from").alias("prob"),
+    )
+
+
+# Per-user lifetime profile: span, activity density, intensity. One
+# partial-aggregated shuffle on user_id; every output is exact integer
+# math or a single double division.
+def ev_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)"
+            ).alias("n_active_days"),
+            F.expr(SUM_VALUE).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            "first_ts",
+            "last_ts",
+            F.expr(
+                "CAST(datediff(CAST(last_ts AS DATE), CAST(first_ts AS DATE)) AS BIGINT)"
+            ).alias("lifetime_days"),
+            "n_events",
+            "n_active_days",
+            F.expr("n_events / n_active_days").alias("events_per_active_day"),
+            "total_value",
+        )
+    )
+
+
+# Calendar gap-fill: a (day × event_type) spine built from the corpus
+# bounds (one tiny agg, broadcast) left-joined against the daily
+# counts, missing cells coalesced to zero. The spine side is bounded
+# (days × |types|) no matter the corpus size — at 100 TB the only big
+# work is the daily agg itself, which partial-aggregates on the scan.
+def ev_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(SUM_VALUE).alias("total_value"),
+    )
+    days = (
+        ev.agg(
+            F.expr("MIN(CAST(date_trunc('day', ts) AS DATE))").alias("d0"),
+            F.expr("MAX(CAST(date_trunc('day', ts) AS DATE))").alias("d1"),
+        )
+        .select(F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    return spine.join(F.broadcast(daily), ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.expr("COALESCE(n_events, CAST(0 AS BIGINT))").alias("n_events"),
+        F.expr("COALESCE(total_value, CAST(0 AS DOUBLE))").alias("total_value"),
+    )
+
+
+QUERIES["ev_transition_matrix"] = ev_transition_matrix
+QUERIES["ev_user_lifetime"] = ev_user_lifetime
+QUERIES["ev_daily_gapfill"] = ev_daily_gapfill
+
+ORACLES["ev_transition_matrix"] = """
+    WITH pairs AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (SELECT prev_type, sum(n) AS n_from FROM pairs GROUP BY 1)
+    SELECT p.prev_type, p.next_type, p.n, p.n / t.n_from AS prob
+    FROM pairs p JOIN totals t USING (prev_type)
+"""
+
+ORACLES["ev_user_lifetime"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               count(*) AS n_events,
+               CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+                   AS n_active_days,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, first_ts, last_ts,
+           CAST(date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE)) AS BIGINT)
+               AS lifetime_days,
+           n_events, n_active_days,
+           n_events / CAST(n_active_days AS DOUBLE) AS events_per_active_day,
+           total_value
+    FROM per_user
+"""
+
+ORACLES["ev_daily_gapfill"] = """
+    WITH bounds AS (
+        SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0,
+               MAX(CAST(date_trunc('day', ts) AS DATE)) AS d1
+        FROM events
+    ),
+    days AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, d.day,
+           COALESCE(x.n_events, 0) AS n_events,
+           COALESCE(x.total_value, 0.0) AS total_value
+    FROM days d
+    CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+"""

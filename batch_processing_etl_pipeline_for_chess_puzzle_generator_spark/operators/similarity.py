@@ -616,3 +616,53 @@ ORACLES["emb_sq8_quantize"] = f"""
                x -> CAST(ROUND({_SQ_E_D} * {_SQ_E_D} * 1e12, 0) AS BIGINT))) / 1e12, 6) AS sse
     FROM embeddings CROSS JOIN bounds
 """
+
+
+# Per-dimension corpus statistics — the whitening / normalization prep
+# pass of an embedding pipeline. posexplode fans each vector into
+# (dim, value) rows; the agg partial-combines map-side into exactly
+# |dims| groups, so the shuffle is O(dims × partitions) no matter the
+# corpus size. Means come from exact 1e-6-grid integer sums (see module
+# docstring) so they are partition-order independent.
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            F.expr("CAST(pos + 1 AS BIGINT)").alias("dim"),
+            F.expr("CAST(x AS DOUBLE)").alias("x"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.expr(
+                "SUM(CAST(round(x * 1000000, 0) AS BIGINT))"
+            ).alias("sum_micro"),
+        )
+        .select(
+            "dim",
+            "n",
+            "min_x",
+            "max_x",
+            F.expr("sum_micro / 1e6 / n").alias("mean_x"),
+        )
+    )
+
+
+QUERIES["emb_dim_stats"] = emb_dim_stats
+
+ORACLES["emb_dim_stats"] = """
+    WITH vals AS (
+        SELECT CAST(t.i AS BIGINT) AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    agg AS (
+        SELECT dim, count(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
+               SUM(CAST(round(x * 1000000, 0) AS BIGINT)) AS sum_micro
+        FROM vals GROUP BY dim
+    )
+    SELECT dim, n, min_x, max_x, sum_micro / 1e6 / n AS mean_x FROM agg
+"""

@@ -477,3 +477,70 @@ ORACLES["doc_winnowing"] = f"""
            md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS fp_digest
     FROM fp
 """
+
+
+# Gopher-style quality filters (Rae et al. 2021 §A1.1 shape): word
+# count bounds, mean word length, stopword load, and top-bigram
+# repetition coverage. All row-local higher-order-function math — zero
+# shuffle; the pass is pure scan bandwidth at 100 TB. The repetition
+# signal (share of bigrams taken by the most frequent bigram) is the
+# quadratic-per-doc variant, bounded by the document length cap.
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bg = (
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
+    )
+    top_bg = "array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b))))"
+    return (
+        docs.select("doc_id", "n_chars", F.expr(_WORDS).alias("ws"))
+        .filter(F.expr("size(ws) >= 2"))
+        .select("doc_id", "n_chars", "ws", F.expr(bg).alias("bg"))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(ws) AS BIGINT)").alias("n_words"),
+            F.expr("(n_chars - size(ws) + 1) / size(ws)").alias("mean_word_len"),
+            F.expr(
+                f"size(filter(ws, w -> w IN ({_STOP_IN}))) / size(ws)"
+            ).alias("frac_stop"),
+            F.expr(f"CAST({top_bg} AS BIGINT)").alias("top_bigram_n"),
+            F.expr(f"{top_bg} / size(bg)").alias("top_bigram_frac"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "n_words >= 10 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0 "
+                "AND top_bigram_frac < 0.18"
+            ).alias("keep"),
+        )
+    )
+
+
+QUERIES["doc_gopher_quality"] = doc_gopher_quality
+
+_BG_DUCK = "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])"
+_TOP_BG_DUCK = (
+    "list_max(list_transform(list_distinct(bg), "
+    "b -> len(list_filter(bg, x -> x = b))))"
+)
+ORACLES["doc_gopher_quality"] = f"""
+    WITH toks AS (
+        SELECT doc_id, n_chars, {_WORDS_DUCK} AS ws FROM documents
+        WHERE len({_WORDS_DUCK}) >= 2
+    ),
+    bgs AS (SELECT doc_id, n_chars, ws, {_BG_DUCK} AS bg FROM toks),
+    feats AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               (n_chars - len(ws) + 1) / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+               len(list_filter(ws, w -> w IN ({_STOP_IN})))
+                   / CAST(len(ws) AS DOUBLE) AS frac_stop,
+               CAST({_TOP_BG_DUCK} AS BIGINT) AS top_bigram_n,
+               {_TOP_BG_DUCK} / CAST(len(bg) AS DOUBLE) AS top_bigram_frac
+        FROM bgs
+    )
+    SELECT *,
+           (n_words >= 10 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+            AND top_bigram_frac < 0.18) AS keep
+    FROM feats
+"""
