@@ -1058,3 +1058,80 @@ ORACLES["grouping_sets_orders"] = """
     FROM o
     GROUP BY GROUPING SETS ((o_year), (o_orderpriority), (o_year, o_orderpriority))
 """
+
+
+# Year-over-year revenue growth per nation — customer orders rolled up
+# to (nation, year), then a lag window over the tiny aggregated table.
+# The only big shuffle is the orders⋈customer join; the window runs
+# over |nations|×|years| rows.
+def yoy_nation_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    rev = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year"))
+        .agg(_sum_money("CAST(o_totalprice AS DECIMAL(18,2))", "revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    return rev.select(
+        "n_name",
+        "o_year",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.expr(
+            "(revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY o_year)) "
+            "/ lag(revenue) OVER (PARTITION BY n_name ORDER BY o_year)"
+        ).alias("yoy_growth"),
+    )
+
+
+# Market-basket part pairs — co-occurrence mining over order baskets.
+# The self-join is co-located on l_orderkey (one shuffle feeds both
+# sides), pairs are ordered p1 < p2 to halve the space, and the final
+# top-k is a TakeOrdered, not a global sort. Basket width bounds the
+# per-order pair fanout, so the join output is ~k²/2 per order at any
+# corpus size.
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+QUERIES["yoy_nation_growth"] = yoy_nation_growth
+QUERIES["basket_part_pairs"] = basket_part_pairs
+
+ORACLES["yoy_nation_growth"] = """
+    WITH rev AS (
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, o_year, revenue,
+           lag(revenue) OVER (PARTITION BY n_name ORDER BY o_year) AS prev_revenue,
+           (revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY o_year))
+               / lag(revenue) OVER (PARTITION BY n_name ORDER BY o_year) AS yoy_growth
+    FROM rev
+"""
+
+ORACLES["basket_part_pairs"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 20
+"""

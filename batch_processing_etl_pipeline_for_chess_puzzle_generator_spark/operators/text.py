@@ -544,3 +544,107 @@ ORACLES["doc_gopher_quality"] = f"""
             AND top_bigram_frac < 0.18) AS keep
     FROM feats
 """
+
+
+# Data-mixture report — the per-(source, lang) corpus composition table
+# every training-data pipeline publishes before sampling weights are
+# chosen. One partial-aggregated shuffle to |source×lang| groups plus a
+# one-row total broadcast back for the share columns.
+def doc_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("total_chars"),
+        F.expr(f"CAST(SUM(size({_WORDS})) AS BIGINT)").alias("total_tokens"),
+    )
+    tot = per.agg(
+        F.expr("CAST(SUM(n_docs) AS BIGINT)").alias("corpus_docs"),
+        F.expr("CAST(SUM(total_tokens) AS BIGINT)").alias("corpus_tokens"),
+    )
+    return per.join(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.expr("total_tokens / n_docs").alias("mean_tokens"),
+        F.expr("n_docs / corpus_docs").alias("doc_share"),
+        F.expr("total_tokens / corpus_tokens").alias("token_share"),
+    )
+
+
+# Benchmark-contamination check — the decontamination pass run before
+# training: flag documents sharing 5-gram shingles with a held-out eval
+# set (deterministically chosen here as doc_id % 97 == 0). The eval
+# shingle set is ONE tiny agg collapsed to a single sorted array and
+# broadcast; the corpus-side overlap is then a row-local
+# array_intersect — ZERO shuffle over the corpus, the exact shape a
+# 100 TB decontamination pass needs (eval sets are always small).
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = SPARK_HASH_SQL("concat_ws(' ', slice(ws, i, 5))")
+    grams = f"array_distinct(transform(sequence(1, size(ws) - 4), i -> {h}))"
+    with_h = (
+        docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+        .filter(F.expr("size(ws) >= 5"))
+        .select("doc_id", F.expr(grams).alias("hs"))
+    )
+    eval_set = (
+        with_h.filter(F.expr("doc_id % 97 = 0"))
+        .select(F.explode("hs").alias("h"))
+        .agg(F.expr("sort_array(collect_set(h))").alias("eval_hashes"))
+    )
+    return with_h.join(F.broadcast(eval_set)).select(
+        "doc_id",
+        F.expr("CAST(size(hs) AS BIGINT)").alias("n_ngrams"),
+        F.expr("CAST(size(array_intersect(hs, eval_hashes)) AS BIGINT)").alias("n_overlap"),
+        F.expr("size(array_intersect(hs, eval_hashes)) / size(hs)").alias("overlap_frac"),
+        F.expr("size(array_intersect(hs, eval_hashes)) / size(hs) > 0.1").alias("contaminated"),
+    )
+
+
+QUERIES["doc_mixture_report"] = doc_mixture_report
+QUERIES["doc_contamination"] = doc_contamination
+
+ORACLES["doc_mixture_report"] = f"""
+    WITH per AS (
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(len({_WORDS_DUCK})) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS corpus_docs,
+               CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens
+        FROM per
+    )
+    SELECT source, lang, n_docs, total_chars, total_tokens,
+           total_tokens / CAST(n_docs AS DOUBLE) AS mean_tokens,
+           n_docs / CAST(corpus_docs AS DOUBLE) AS doc_share,
+           total_tokens / CAST(corpus_tokens AS DOUBLE) AS token_share
+    FROM per CROSS JOIN tot
+"""
+
+_GRAM_H_DUCK = STABLE_HASH_SQL("array_to_string(ws[i:i+4], ' ')")
+ORACLES["doc_contamination"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_WORDS_DUCK} AS ws FROM documents
+        WHERE len({_WORDS_DUCK}) >= 5
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ws) - 3),
+                                            i -> {_GRAM_H_DUCK})) AS hs
+        FROM toks
+    ),
+    ev AS (
+        SELECT list_sort(list_distinct(flatten(list(hs)))) AS eval_hashes
+        FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_ngrams,
+           CAST(len(list_intersect(hs, eval_hashes)) AS BIGINT) AS n_overlap,
+           len(list_intersect(hs, eval_hashes)) / CAST(len(hs) AS DOUBLE) AS overlap_frac,
+           len(list_intersect(hs, eval_hashes)) / CAST(len(hs) AS DOUBLE) > 0.1 AS contaminated
+    FROM grams CROSS JOIN ev
+"""
