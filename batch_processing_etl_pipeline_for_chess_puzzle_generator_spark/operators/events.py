@@ -639,10 +639,12 @@ ORACLES["ev_value_histogram"] = """
 
 
 # Markov transition matrix over event types — per-user lag pairs
-# (one hash shuffle on user_id for the window), then a tiny
-# (|types|²-group) agg with the per-prev totals joined back via a
-# second small agg + broadcast. prob is a single double division of
-# exact integer counts, so ranking is engine-independent.
+# (one hash shuffle on user_id for the window), a tiny
+# (|types|²-group) agg, then the per-prev totals as a window SUM over
+# that already-aggregated table. Three shuffles total, two of them over
+# |types|² rows — a second agg+join would re-run the big lag pass.
+# prob is a single double division of exact integer counts, so ranking
+# is engine-independent.
 def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -656,12 +658,13 @@ def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
-    return pairs.join(F.broadcast(totals), "prev_type").select(
+    return pairs.select(
         "prev_type",
         "next_type",
         "n",
-        F.expr("n / n_from").alias("prob"),
+        F.expr(
+            "n / SUM(n) OVER (PARTITION BY prev_type)"
+        ).alias("prob"),
     )
 
 

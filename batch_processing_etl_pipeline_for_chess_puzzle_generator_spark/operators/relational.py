@@ -1088,19 +1088,23 @@ def yoy_nation_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Market-basket part pairs — co-occurrence mining over order baskets.
-# The self-join is co-located on l_orderkey (one shuffle feeds both
-# sides), pairs are ordered p1 < p2 to halve the space, and the final
-# top-k is a TakeOrdered, not a global sort. Basket width bounds the
-# per-order pair fanout, so the join output is ~k²/2 per order at any
-# corpus size.
+# No self-join: ONE shuffle gathers each basket (collect_set per
+# orderkey), the p1 < p2 pair fanout is a row-local nested-transform
+# flatten bounded by basket width², then one more tiny shuffle counts
+# pairs. The final top-k is a TakeOrdered, not a global sort. Two
+# shuffles total vs three for the distinct+self-join formulation, and
+# the basket rows never get replicated through a join.
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    li = table(spark, sf_dir, "lineitem")
+    pair_fanout = (
+        "flatten(transform(ps, p1 -> "
+        "transform(filter(ps, p2 -> p2 > p1), p2 -> struct(p1, p2))))"
+    )
     return (
-        a.join(b, "ok")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
+        li.groupBy("l_orderkey")
+        .agg(F.expr("collect_set(l_partkey)").alias("ps"))
+        .select(F.explode(F.expr(pair_fanout)).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "p1", "p2")
         .limit(20)

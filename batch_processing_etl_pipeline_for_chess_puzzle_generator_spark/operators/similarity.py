@@ -666,3 +666,87 @@ ORACLES["emb_dim_stats"] = """
     )
     SELECT dim, n, min_x, max_x, sum_micro / 1e6 / n AS mean_x FROM agg
 """
+
+
+# PQ4 product quantization — FAISS-style PQ encode with 4 sub-spaces of
+# 16 dims and a 16-entry codebook per sub-space (codebook = the seed
+# vectors vec_id < 16, sliced per sub-space). The codebook is ONE tiny
+# sorted-collect agg broadcast to every partition; encoding is then a
+# row-local argmin over 4×16 exact integer L2² distances — zero corpus
+# shuffle, pure scan bandwidth at 100 TB (the production PQ-encode
+# shape). Ties break to the lowest code via first-position-of-min.
+_PQ_M = 4       # sub-spaces
+_PQ_DSUB = 16   # dims per sub-space
+_PQ_K = 16      # codebook entries (seed vectors)
+
+
+def _pq_q(e: str) -> str:
+    return f"CAST(round(CAST({e} AS DOUBLE) * 1000000, 0) AS BIGINT)"
+
+
+def emb_pq4_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    codebook = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(vec_id, embedding))), "
+                "s -> s.embedding)"
+            ).alias("seeds")
+        )
+    )
+    dv = _pq_q(f"element_at(embedding, CAST(b * {_PQ_DSUB} + i AS INT))")
+    ds = _pq_q(f"element_at(s, CAST(b * {_PQ_DSUB} + i AS INT))")
+    dists = (
+        f"transform(sequence(0, {_PQ_M - 1}), b -> transform(seeds, s -> "
+        f"aggregate(sequence(1, {_PQ_DSUB}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + ({dv} - {ds}) * ({dv} - {ds}))))"
+    )
+    return (
+        emb.join(F.broadcast(codebook))
+        .select("vec_id", "label", F.expr(dists).alias("dd"))
+        .select(
+            "vec_id",
+            "label",
+            *[
+                F.expr(
+                    f"CAST(array_position(element_at(dd, {b + 1}), "
+                    f"array_min(element_at(dd, {b + 1}))) - 1 AS BIGINT)"
+                ).alias(f"c{b}")
+                for b in range(_PQ_M)
+            ],
+            F.expr(
+                "aggregate(transform(dd, ds -> array_min(ds)), "
+                "CAST(0 AS BIGINT), (a, v) -> a + v) / 1e12"
+            ).alias("distortion"),
+        )
+    )
+
+
+QUERIES["emb_pq4_encode"] = emb_pq4_encode
+
+_PQD_V = "CAST(round(CAST(embedding[b * 16 + i] AS DOUBLE) * 1000000, 0) AS BIGINT)"
+_PQD_S = "CAST(round(CAST(s[b * 16 + i] AS DOUBLE) * 1000000, 0) AS BIGINT)"
+ORACLES["emb_pq4_encode"] = f"""
+    WITH cb AS (
+        SELECT list(embedding ORDER BY vec_id) AS seeds
+        FROM embeddings WHERE vec_id < {_PQ_K}
+    ),
+    dd AS (
+        SELECT vec_id, label,
+               list_transform(range(0, {_PQ_M}), b ->
+                   list_transform(seeds, s ->
+                       CAST(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
+                           ({_PQD_V} - {_PQD_S}) * ({_PQD_V} - {_PQD_S})))
+                       AS BIGINT))) AS d
+        FROM embeddings CROSS JOIN cb
+    )
+    SELECT vec_id, label,
+           CAST(list_position(d[1], list_min(d[1])) - 1 AS BIGINT) AS c0,
+           CAST(list_position(d[2], list_min(d[2])) - 1 AS BIGINT) AS c1,
+           CAST(list_position(d[3], list_min(d[3])) - 1 AS BIGINT) AS c2,
+           CAST(list_position(d[4], list_min(d[4])) - 1 AS BIGINT) AS c3,
+           CAST(list_sum(list_transform(d, ds -> list_min(ds))) AS BIGINT) / 1e12
+               AS distortion
+    FROM dd
+"""
