@@ -794,3 +794,65 @@ ORACLES["ev_daily_gapfill"] = """
     CROSS JOIN (SELECT DISTINCT event_type FROM events) t
     LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
 """
+
+
+# A/B experiment readout — users assigned to arms by id parity (the
+# deterministic stand-in for an assignment hash), purchase conversion
+# compared with a two-proportion z-statistic. The whole readout is ONE
+# conditional-aggregate pass: per-user rollup (one shuffle), then a
+# single-row wide agg — no per-arm subqueries, no second scan. All
+# inputs to the z-stat are exact integer counts, so the statistic is
+# bit-identical across engines.
+def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)").alias("converted")
+    )
+    wide = per_user.agg(
+        F.expr("SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)").alias("n_a"),
+        F.expr("SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)").alias("n_b"),
+        F.expr("SUM(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)").alias("conv_a"),
+        F.expr("SUM(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END)").alias("conv_b"),
+    )
+    return wide.select(
+        F.expr("CAST(n_a AS BIGINT)").alias("n_a"),
+        F.expr("CAST(n_b AS BIGINT)").alias("n_b"),
+        F.expr("CAST(conv_a AS BIGINT)").alias("conv_a"),
+        F.expr("CAST(conv_b AS BIGINT)").alias("conv_b"),
+        F.expr("conv_a / n_a").alias("rate_a"),
+        F.expr("conv_b / n_b").alias("rate_b"),
+        # NULLIF guards the degenerate pooled rates (p = 0 or 1), where
+        # the z-stat is undefined — both engines yield NULL.
+        F.expr(
+            "(conv_a / n_a - conv_b / n_b) / "
+            "NULLIF(sqrt((conv_a + conv_b) / (n_a + n_b) "
+            "* (1 - (conv_a + conv_b) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)), 0)"
+        ).alias("z_stat"),
+    )
+
+
+QUERIES["ev_ab_test"] = ev_ab_test
+
+ORACLES["ev_ab_test"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    wide AS (
+        SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+               SUM(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END) AS conv_a,
+               SUM(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END) AS conv_b
+        FROM per_user
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+           conv_a / CAST(n_a AS DOUBLE) AS rate_a,
+           conv_b / CAST(n_b AS DOUBLE) AS rate_b,
+           (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE)) /
+           NULLIF(sqrt((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)
+                * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 / n_a + 1.0 / n_b)), 0) AS z_stat
+    FROM wide
+"""

@@ -1139,3 +1139,37 @@ ORACLES["basket_part_pairs"] = """
     ORDER BY n_orders DESC, p1, p2
     LIMIT 20
 """
+
+
+# SCD2 history build — turn each customer's order stream into
+# slowly-changing-dimension rows with [valid_from, valid_to) intervals,
+# a version counter, and an is_current flag. One window pass per
+# custkey (lead + row_number share the same sort), the canonical
+# warehouse dimension-build shape.
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.expr(f"lead(o_orderdate) OVER ({w})").alias("valid_to"),
+        F.expr(f"CAST(row_number() OVER ({w}) AS BIGINT)").alias("version"),
+        F.expr(f"lead(o_orderdate) OVER ({w}) IS NULL").alias("is_current"),
+    )
+
+
+QUERIES["scd2_order_history"] = scd2_order_history
+
+ORACLES["scd2_order_history"] = """
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+    FROM orders
+"""

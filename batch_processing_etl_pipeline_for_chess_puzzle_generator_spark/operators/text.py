@@ -648,3 +648,101 @@ ORACLES["doc_contamination"] = f"""
            len(list_intersect(hs, eval_hashes)) / CAST(len(hs) AS DOUBLE) > 0.1 AS contaminated
     FROM grams CROSS JOIN ev
 """
+
+
+# Concat-and-chunk sequence packing — the GPT-style pretraining pack:
+# documents are concatenated in a deterministic order within each
+# source shard and sliced into fixed 512-token chunks; each doc lands
+# at (chunk_id, offset). One window cumsum per source shard — in
+# production each shard packs independently (the partition key IS the
+# shard), so the sort never goes global.
+PACK_CHUNK = 512
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cum = (
+        "SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(f"CAST(size({_WORDS}) AS BIGINT)").alias("n_tokens"),
+        )
+        .select("doc_id", "source", "n_tokens", F.expr(f"{cum} - n_tokens").alias("start_tok"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"CAST(FLOOR(start_tok / {PACK_CHUNK}) AS BIGINT)").alias("chunk_id"),
+            F.expr(f"start_tok % {PACK_CHUNK}").alias("chunk_offset"),
+            F.expr(
+                f"FLOOR((start_tok + n_tokens - 1) / {PACK_CHUNK}) != "
+                f"FLOOR(start_tok / {PACK_CHUNK})"
+            ).alias("spans_chunks"),
+        )
+    )
+
+
+# Deterministic mixture resampling — rebalance the corpus so every
+# source contributes ~the same doc count: rate_s = min_count / count_s,
+# applied as a stable-hash threshold (reproducible, no RNG state, no
+# shuffle over the corpus — the rates table is a tiny broadcast).
+def doc_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    rates = counts.join(
+        F.broadcast(counts.agg(F.expr("CAST(MIN(n_src) AS BIGINT)").alias("n_min")))
+    ).select(
+        "source",
+        F.expr("CAST(FLOOR(n_min / n_src * 1000000) AS BIGINT)").alias("keep_ppm"),
+    )
+    h = SPARK_HASH_SQL("CONCAT('rs:', CAST(doc_id AS STRING))")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(F.expr(f"pmod({h}, 1000000) < keep_ppm"))
+        .select("doc_id", "source", "lang", "keep_ppm")
+    )
+
+
+QUERIES["doc_pack_sequences"] = doc_pack_sequences
+QUERIES["doc_resample_mixture"] = doc_resample_mixture
+
+ORACLES["doc_pack_sequences"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start_tok
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR(start_tok / {PACK_CHUNK}) AS BIGINT) AS chunk_id,
+           start_tok % {PACK_CHUNK} AS chunk_offset,
+           FLOOR((start_tok + n_tokens - 1) / {PACK_CHUNK})
+               != FLOOR(start_tok / {PACK_CHUNK}) AS spans_chunks
+    FROM pos
+"""
+
+_RS_H = STABLE_HASH_SQL("('rs:' || CAST(doc_id AS VARCHAR))")
+ORACLES["doc_resample_mixture"] = f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_src FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source,
+               CAST(FLOOR((SELECT CAST(MIN(n_src) AS BIGINT) FROM counts)
+                          / CAST(n_src AS DOUBLE) * 1000000) AS BIGINT) AS keep_ppm
+        FROM counts
+    )
+    SELECT doc_id, d.source, lang, keep_ppm
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {_RS_H} % 1000000 < keep_ppm
+"""
