@@ -594,12 +594,24 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("hs").alias("h"))
         .agg(F.expr("sort_array(collect_set(h))").alias("eval_hashes"))
     )
-    return with_h.join(F.broadcast(eval_set)).select(
-        "doc_id",
-        F.expr("CAST(size(hs) AS BIGINT)").alias("n_ngrams"),
-        F.expr("CAST(size(array_intersect(hs, eval_hashes)) AS BIGINT)").alias("n_overlap"),
-        F.expr("size(array_intersect(hs, eval_hashes)) / size(hs)").alias("overlap_frac"),
-        F.expr("size(array_intersect(hs, eval_hashes)) / size(hs) > 0.1").alias("contaminated"),
+    # array_intersect is computed ONCE in the inner projection — three
+    # inline copies would each re-run it (interpreted HOFs get no
+    # common-subexpression elimination), and CollapseProject leaves
+    # expensive expressions un-inlined, so the two-level select sticks.
+    return (
+        with_h.join(F.broadcast(eval_set))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(hs) AS BIGINT)").alias("n_ngrams"),
+            F.expr("CAST(size(array_intersect(hs, eval_hashes)) AS BIGINT)").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_overlap",
+            F.expr("n_overlap / n_ngrams").alias("overlap_frac"),
+            F.expr("n_overlap / n_ngrams > 0.1").alias("contaminated"),
+        )
     )
 
 
