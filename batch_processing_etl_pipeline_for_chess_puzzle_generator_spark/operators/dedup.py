@@ -384,11 +384,9 @@ _PACK = " + ".join(
     for j in range(SIMHASH_BITS)
 )
 
-# Shared WITH-RECURSIVE chain: MinHash signatures → band candidates →
-# thresholded edges → transitive reachability (used by the cluster and
-# corpus oracles).
-_DUCK_CC_CTES = f"""
-        WITH RECURSIVE {_duck_sig_cte()},
+# Shared CTE chain: MinHash signatures → band candidates → thresholded
+# symmetric edges (used by the cluster, corpus, and pagerank oracles).
+_DUCK_EDGE_CTES = f"""{_duck_sig_cte()},
         {_duck_bands_cte()},
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -407,7 +405,12 @@ _DUCK_CC_CTES = f"""
             SELECT doc_a AS src, doc_b AS dst FROM good
             UNION ALL
             SELECT doc_b AS src, doc_a AS dst FROM good
-        ),
+        )"""
+
+# WITH-RECURSIVE extension: transitive reachability over the edges
+# (used by the cluster and corpus oracles).
+_DUCK_CC_CTES = f"""
+        WITH RECURSIVE {_DUCK_EDGE_CTES},
         nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
         reach(doc_id, root) AS (
             SELECT doc_id, doc_id FROM nodes
@@ -491,3 +494,90 @@ ORACLES = {
         WHERE {_JAC_DUCK} >= 0.5
     """,
 }
+
+
+# ------------------------------------------------------------ pagerank
+# PageRank over the MinHash similarity graph — the canonical iterative
+# graph op, unrolled to 3 declarative power iterations (damping 0.85).
+# Each iteration is one join (ranks → out-edges) + one partial-agg
+# shuffle (contributions per dst); the edge list is persisted so the
+# MinHash pipeline runs once, and at 100 TB each iteration would
+# checkpoint to bound lineage. All rank mass lives on a 1e-12 integer
+# grid, re-rounded identically each iteration — sums are exact and the
+# fixed-point trajectory is bit-identical in the DuckDB oracle.
+PR_ITERS = 3
+_PR_TELEPORT = "CAST(ROUND(150000000000.0 / n, 0) AS BIGINT)"
+
+
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        doc_minhash_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CLUSTER_MIN_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("n_out"))
+    cnt = deg.agg(F.count(F.lit(1)).alias("n"))
+    nodes = deg.join(F.broadcast(cnt))
+    ranks = nodes.select(
+        F.col("src").alias("doc_id"),
+        "n_out",
+        "n",
+        F.expr("CAST(ROUND(1e12 / n, 0) AS BIGINT)").alias("r"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(edges, ranks.doc_id == edges.src)
+            .select("dst", F.expr("CAST(ROUND(r / n_out, 0) AS BIGINT)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.src == contrib.dst, "left")
+            .select(
+                F.col("src").alias("doc_id"),
+                "n_out",
+                "n",
+                F.expr(
+                    f"{_PR_TELEPORT} + CAST(ROUND(0.85 * COALESCE(s, 0), 0) AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        "doc_id", F.col("r").alias("rank_micro"), F.expr("r / 1e12").alias("rank")
+    )
+
+
+QUERIES["doc_pagerank"] = doc_pagerank
+
+
+def _pr_iter_cte(prev: str, it: str) -> str:
+    return f"""
+        {it} AS (
+            SELECT d.src AS doc_id, d.n_out, c.n,
+                   CAST(ROUND(150000000000.0 / c.n, 0) AS BIGINT)
+                   + CAST(ROUND(0.85 * COALESCE(s.s, 0), 0) AS BIGINT) AS r
+            FROM deg d CROSS JOIN cnt c
+            LEFT JOIN (
+                SELECT e.dst, SUM(CAST(ROUND(p.r / p.n_out, 0) AS BIGINT)) AS s
+                FROM {prev} p JOIN edges e ON e.src = p.doc_id
+                GROUP BY e.dst
+            ) s ON s.dst = d.src
+        )"""
+
+
+ORACLES["doc_pagerank"] = f"""
+    WITH {_DUCK_EDGE_CTES},
+    deg AS (SELECT src, count(*) AS n_out FROM edges GROUP BY src),
+    cnt AS (SELECT count(*) AS n FROM deg),
+    it0 AS (
+        SELECT src AS doc_id, n_out, n,
+               CAST(ROUND(1e12 / n, 0) AS BIGINT) AS r
+        FROM deg CROSS JOIN cnt
+    ),{_pr_iter_cte("it0", "it1")},{_pr_iter_cte("it1", "it2")},{_pr_iter_cte("it2", "it3")}
+    SELECT doc_id, r AS rank_micro, r / 1e12 AS rank FROM it3
+"""

@@ -856,3 +856,64 @@ ORACLES["ev_ab_test"] = """
                 * (1.0 / n_a + 1.0 / n_b)), 0) AS z_stat
     FROM wide
 """
+
+
+# Exponential smoothing (EWMA, α = 0.3) of the daily value series per
+# event type — the classic ops-forecasting recurrence s_t = αx_t +
+# (1-α)s_{t-1}, which no window frame can express. Formulation: ONE
+# shuffle builds the (tiny) per-type day-ordered series as an array,
+# then the recurrence is a row-local fold (Spark ``aggregate``, DuckDB
+# ``list_reduce``). Series values are exact decimal sums lifted onto a
+# 1e-6 integer grid and re-rounded each fold step, so the smoothed
+# trajectory is bit-identical across engines and partitionings. Series
+# length is bounded by the calendar (days), not the corpus — the array
+# never outgrows the executor.
+def ev_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+    ).agg(
+        F.expr(
+            f"CAST(ROUND({SUM_VALUE} * 1000000, 0) AS BIGINT)"
+        ).alias("m")
+    )
+    fold = (
+        "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), "
+        "(acc, x) -> CAST(ROUND(0.3 * x + 0.7 * acc, 0) AS BIGINT))"
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, m))), p -> p.m)"
+            ).alias("xs")
+        )
+        .select(
+            "event_type",
+            F.expr("CAST(size(xs) AS BIGINT)").alias("n_days"),
+            F.expr("element_at(xs, -1) / 1e6").alias("last_value"),
+            F.expr(f"{fold} / 1e6").alias("smoothed"),
+        )
+    )
+
+
+QUERIES["ev_exp_smoothing"] = ev_exp_smoothing
+
+ORACLES["ev_exp_smoothing"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                          * 1000000, 0) AS BIGINT) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, list(m ORDER BY day) AS xs FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(len(xs) AS BIGINT) AS n_days,
+           xs[-1] / 1e6 AS last_value,
+           list_reduce(xs, (acc, x) ->
+               CAST(ROUND(0.3 * x + 0.7 * acc, 0) AS BIGINT)) / 1e6 AS smoothed
+    FROM series
+"""
