@@ -128,3 +128,48 @@ ORACLES = {
         WHERE p.event_type = 'purchase'
     """,
 }
+
+
+# Oracle-gated instance of the bucketed range join: purchases landing
+# inside [error_ts, error_ts + 10 min) for the SAME user — incident
+# attribution. The interval side explodes onto fixed 10-min buckets, so
+# the join is (user_id, bucket) EQUALITY plus a residual predicate —
+# never an unbounded inequality join. At 100 TB both sides shuffle once
+# on (user, bucket); bucket width trades fanout (intervals span ≤ 2
+# buckets here) against residual-filter selectivity.
+def ev_error_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + F.lit(600_000_000)).alias("hi"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("pt"), "value"
+    )
+    hits = range_join(
+        purchases, errors, point="pt", lo="lo", hi="hi",
+        bucket_width=600_000_000, on=["user_id"],
+    )
+    return hits.groupBy("error_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias("window_value"),
+    )
+
+
+QUERIES["ev_error_window_join"] = ev_error_window_join
+
+ORACLES["ev_error_window_join"] = """
+    SELECT e.event_id AS error_id, e.user_id,
+           count(*) AS n_purchases,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
+    FROM events e
+    JOIN events p
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= e.ts
+     AND p.ts < e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY 1, 2
+"""

@@ -59,3 +59,43 @@ def test_salted_join_equals_plain(spark, facts, dim):
         tuple(r) for r in salted_join(f, d, "k", n_salts=3).select("k", "v", "attr").collect()
     )
     assert plain == salted
+
+
+def test_pagerank_conserves_mass(spark):
+    """Total rank stays ~1 (on the 1e12 grid): teleport + damped mass
+    must re-sum to the node count × 1e12 within per-node rounding (±1
+    per rounding site per iteration)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.dedup import PR_ITERS, doc_pagerank
+
+    rows = doc_pagerank(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r["rank_micro"] for r in rows)
+    # ranks are normalized to sum 1 (1e12 on the grid): teleport mass
+    # 0.15 + damped mass 0.85·S has fixed point S = 1e12. Rounding
+    # drifts ≤ ~1 per rounding site (teleport + damped sum per node,
+    # one per edge contribution) per iteration.
+    tolerance = 3 * n * (PR_ITERS + 1)
+    assert abs(total - 10**12) <= tolerance
+
+
+def test_exp_smoothing_bounds(spark):
+    """EWMA output must lie within [min, max] of the daily series —
+    the fold can't overshoot its inputs."""
+    import duckdb
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.events import ev_exp_smoothing
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["event_type"]: r["smoothed"] for r in ev_exp_smoothing(spark, sf).collect()}
+    con = duckdb.connect()
+    daily = con.execute(f"""
+        SELECT event_type,
+               MIN(v) AS lo, MAX(v) AS hi
+        FROM (SELECT event_type,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+              FROM '{sf}/events.parquet'
+              GROUP BY event_type, date_trunc('day', ts))
+        GROUP BY event_type
+    """).fetchall()
+    for et, lo, hi in daily:
+        assert lo - 1e-6 <= out[et] <= hi + 1e-6, et
