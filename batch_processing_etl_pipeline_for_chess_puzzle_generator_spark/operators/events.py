@@ -917,3 +917,41 @@ ORACLES["ev_exp_smoothing"] = """
                CAST(ROUND(0.3 * x + 0.7 * acc, 0) AS BIGINT)) / 1e6 AS smoothed
     FROM series
 """
+
+
+# Top behavioral trigram paths — two lags in one per-user window pass,
+# then a tiny path-count agg and a TakeOrdered top-10. Shuffle cost:
+# one hash partition on user_id + one on the |types|³-bounded paths.
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    return (
+        ev.select(
+            F.expr(f"lag(event_type, 2) OVER ({w})").alias("e1"),
+            F.expr(f"lag(event_type, 1) OVER ({w})").alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .filter(F.col("e1").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(10)
+    )
+
+
+QUERIES["ev_top_paths"] = ev_top_paths
+
+ORACLES["ev_top_paths"] = """
+    WITH lagged AS (
+        SELECT lag(event_type, 2) OVER w AS e1,
+               lag(event_type, 1) OVER w AS e2,
+               event_type AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, count(*) AS n
+    FROM lagged WHERE e1 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 10
+"""
