@@ -522,7 +522,7 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("n_out"))
     cnt = deg.agg(F.count(F.lit(1)).alias("n"))
-    nodes = deg.join(F.broadcast(cnt))
+    nodes = deg.join(F.broadcast(cnt)).persist()
     ranks = nodes.select(
         F.col("src").alias("doc_id"),
         "n_out",
@@ -546,6 +546,10 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{_PR_TELEPORT} + CAST(ROUND(0.85 * COALESCE(s, 0), 0) AS BIGINT)"
                 ).alias("r"),
             )
+            # truncate lineage each iteration (the 100 TB pattern is a
+            # checkpoint to durable storage); without it round N's plan
+            # replays rounds 1..N-1
+            .localCheckpoint()
         )
     return ranks.select(
         "doc_id", F.col("r").alias("rank_micro"), F.expr("r / 1e12").alias("rank")
