@@ -768,3 +768,81 @@ ORACLES["emb_pq4_encode"] = f"""
                AS distortion
     FROM dd
 """
+
+
+# Whitening transform — standardize each dimension to (x - μ)/σ using
+# the corpus dim stats, reported as per-vector whitened norm and
+# extreme-dimension count. The 64-row stats table collapses to ONE
+# broadcast row (sorted collect), so the corpus pass stays row-local —
+# zero shuffle, the same shape every feature-normalization pass has.
+# σ comes from exact integer component sums (Σx, Σx² on the 1e-6 grid)
+# so the stats are partition-order independent; the per-row double math
+# then evaluates identically in both engines.
+def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .select("pos", F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").alias("q"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("s1"),
+            F.expr("SUM(q * q)").alias("s2"),
+        )
+        .select(
+            "pos",
+            F.expr("s1 / 1e6 / n").alias("mu"),
+            F.expr("sqrt(GREATEST(s2 / 1e12 / n - (s1 / 1e6 / n) * (s1 / 1e6 / n), 1e-12))").alias("sd"),
+        )
+    )
+    packed = stats.agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, mu, sd))), p -> p.mu)").alias("mus"),
+        F.expr("transform(array_sort(collect_list(struct(pos, mu, sd))), p -> p.sd)").alias("sds"),
+    )
+    wz = "zip_with(zip_with(embedding, mus, (x, m) -> CAST(x AS DOUBLE) - m), sds, (d, s) -> d / s)"
+    return (
+        emb.join(F.broadcast(packed))
+        .select("vec_id", "label", F.expr(wz).alias("z"))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "sqrt(aggregate(z, CAST(0 AS DOUBLE), (a, v) -> a + v * v))"
+            ).alias("white_norm"),
+            F.expr("CAST(size(filter(z, v -> abs(v) > 2.0)) AS BIGINT)").alias("n_extreme"),
+        )
+    )
+
+
+QUERIES["emb_whiten"] = emb_whiten
+
+ORACLES["emb_whiten"] = """
+    WITH vals AS (
+        SELECT t.i AS pos,
+               CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    stats AS (
+        SELECT pos, count(*) AS n, SUM(q) AS s1, SUM(q * q) AS s2
+        FROM vals GROUP BY pos
+    ),
+    ms AS (
+        SELECT pos,
+               s1 / 1e6 / n AS mu,
+               sqrt(GREATEST(s2 / 1e12 / n - (s1 / 1e6 / n) * (s1 / 1e6 / n), 1e-12)) AS sd
+        FROM stats
+    ),
+    packed AS (
+        SELECT list(mu ORDER BY pos) AS mus, list(sd ORDER BY pos) AS sds FROM ms
+    ),
+    wh AS (
+        SELECT vec_id, label,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> (CAST(embedding[i] AS DOUBLE) - mus[i]) / sds[i]) AS z
+        FROM embeddings CROSS JOIN packed
+    )
+    SELECT vec_id, label,
+           sqrt(list_sum(list_transform(z, v -> v * v))) AS white_norm,
+           CAST(len(list_filter(z, v -> abs(v) > 2.0)) AS BIGINT) AS n_extreme
+    FROM wh
+"""

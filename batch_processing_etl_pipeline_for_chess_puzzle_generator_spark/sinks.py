@@ -83,3 +83,38 @@ def write_text(df: DataFrame, column: str, path: str, mode: str = "overwrite") -
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def compact(spark: SparkSession, path: str, fmt: str = "parquet",
+            target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a directory of many small files
+    into ~``target_file_bytes`` files. Returns the new file count.
+
+    File count comes from total input bytes / target — computed from
+    filesystem metadata, no data pass. The rewrite itself is one
+    distributed read → coalesce → write into a temp dir, then an atomic
+    directory swap, so readers never observe a half-compacted table.
+    At cluster scale the same routine runs per partition directory
+    (compact the partitions whose file count drifted, not the table).
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if not f.startswith("_") and not f.startswith(".")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    (
+        spark.read.format(fmt).load(path)
+        .coalesce(n_files)
+        .write.format(fmt).mode("overwrite").save(tmp)
+    )
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -99,3 +99,21 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(back.columns) == {"id", "v", "score"}
     got = {r.id: r.score for r in back.collect()}
     assert got[1] is None and got[2] == 9.5
+
+
+def test_compact_small_files(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import compact
+
+    path = str(tmp_path / "frag")
+    # 64 tiny files
+    spark.range(0, 10_000).selectExpr("id", "id * 2 AS v").repartition(64) \
+        .write.parquet(path)
+    import os
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 32
+    n_target = compact(spark, path, target_file_bytes=1 << 30)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after == n_target == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(v)").collect()[0][0] == 10_000 * 9_999
