@@ -214,3 +214,81 @@ ORACLES = {
         for c in _PROFILE_COLS
     ),
 }
+
+
+# Deequ/dbt-test-style declarative data-quality audit over orders: one
+# conditional-aggregate scan computes every row-level rule, plus one
+# broadcast anti-join semi-count for referential integrity — two jobs
+# total regardless of rule count. Output is long-form (rule, n_violations,
+# n_checked) so downstream alerting is schema-stable as rules evolve.
+def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    rules = {
+        "orderkey_not_null": "o_orderkey IS NULL",
+        "totalprice_positive": "o_totalprice <= 0",
+        "orderdate_in_range": "o_orderdate < TIMESTAMP '1992-01-01' "
+                              "OR o_orderdate >= TIMESTAMP '1999-01-01'",
+        "status_in_domain": "o_orderstatus NOT IN ('F', 'O', 'P')",
+        "priority_wellformed": "o_orderpriority NOT LIKE '%-%'",
+    }
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            F.expr(f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END)").alias(name)
+            for name, pred in rules.items()
+        ],
+    )
+    long = wide.select(
+        F.explode(
+            F.expr(
+                "map(" + ", ".join(f"'{n}', {n}" for n in rules) + ")"
+            )
+        ).alias("rule", "n_violations"),
+        "n_checked",
+    ).select("rule", F.expr("CAST(n_violations AS BIGINT)").alias("n_violations"), "n_checked")
+    orphans = (
+        o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.lit("custkey_references_customer").alias("rule"),
+            F.expr("CAST(n_violations AS BIGINT)").alias("n_violations"),
+        )
+        .join(F.broadcast(o.agg(F.count(F.lit(1)).alias("n_checked"))))
+    )
+    return long.unionByName(orphans.select("rule", "n_violations", "n_checked"))
+
+
+QUERIES["dq_orders_checks"] = dq_orders_checks
+
+ORACLES["dq_orders_checks"] = """
+    WITH base AS (SELECT count(*) AS n_checked FROM orders),
+    rules AS (
+        SELECT 'orderkey_not_null' AS rule,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'totalprice_positive',
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+        UNION ALL
+        SELECT 'orderdate_in_range',
+               SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                          OR o_orderdate >= TIMESTAMP '1999-01-01'
+                        THEN 1 ELSE 0 END) FROM orders
+        UNION ALL
+        SELECT 'status_in_domain',
+               SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+        FROM orders
+        UNION ALL
+        SELECT 'priority_wellformed',
+               SUM(CASE WHEN o_orderpriority NOT LIKE '%-%' THEN 1 ELSE 0 END)
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_references_customer',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_checked
+    FROM rules CROSS JOIN base
+"""
