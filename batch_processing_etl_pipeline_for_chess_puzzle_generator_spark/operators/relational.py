@@ -1173,3 +1173,50 @@ ORACLES["scd2_order_history"] = """
                                    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
     FROM orders
 """
+
+
+# Equi-depth (decile) histogram of l_extendedprice — the optimizer-
+# statistics build. ONE exact-percentile agg produces the 9 cut points
+# (at 100 TB: approx_percentile, same plan), broadcast back; bucket
+# assignment is a row-local count-of-bounds-below, then a 10-group
+# partial agg. No global sort, no ntile.
+def stats_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.1, 0.2, 0.3, 0.4, 0.5, "
+            "0.6, 0.7, 0.8, 0.9))"
+        ).alias("bs")
+    )
+    return (
+        li.join(F.broadcast(bounds))
+        .select(
+            F.expr(
+                "CAST(size(filter(bs, b -> l_extendedprice > b)) AS BIGINT)"
+            ).alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+QUERIES["stats_equidepth_hist"] = stats_equidepth_hist
+
+ORACLES["stats_equidepth_hist"] = """
+    WITH bounds AS (
+        SELECT quantile_cont(l_extendedprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM lineitem
+    )
+    SELECT CAST(len(list_filter(bs, b -> l_extendedprice > b)) AS BIGINT) AS bucket,
+           count(*) AS n,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem CROSS JOIN bounds
+    GROUP BY 1
+"""
