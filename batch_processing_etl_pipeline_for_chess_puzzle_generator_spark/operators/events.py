@@ -242,18 +242,23 @@ ORACLES = {
 # Two narrow aggregates of the distinct (user, day) set — the self-join
 # is on the small per-day user table, not on raw events.
 def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle gathers each user's distinct active days as a sorted
+    # array (bounded by the calendar, not activity); consecutive-day
+    # detection is then a row-local zip_with over adjacent slices, and
+    # one tiny per-day agg finishes. Two shuffles, one scan, no join —
+    # the self-join formulation costs three shuffles and two scans, and
+    # a lead()-window formulation still needs a third repartition
+    # because distinct hashes on (user, day), not (user).
     ev = table(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).distinct()
-    nxt = days.select(
-        F.col("user_id").alias("n_user"), F.expr("day - INTERVAL 1 DAY").alias("n_prev")
+    adjacent = (
+        "filter(zip_with(slice(ds, 1, size(ds) - 1), slice(ds, 2, size(ds) - 1), "
+        "(a, b) -> IF(b = a + INTERVAL 1 DAY, a, CAST(NULL AS TIMESTAMP))), "
+        "x -> x IS NOT NULL)"
     )
     return (
-        days.join(
-            nxt,
-            (days.user_id == F.col("n_user")) & (days.day == F.col("n_prev")),
-        )
+        ev.groupBy("user_id")
+        .agg(F.expr("array_sort(collect_set(date_trunc('day', ts)))").alias("ds"))
+        .select(F.explode(F.expr(adjacent)).alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("n_retained"))
     )
