@@ -60,3 +60,39 @@ def test_two_phase_agg_matches_plain_agg(spark):
         g = got[r["event_type"]]
         assert (g["n"], g["lo"], g["hi"]) == (r["n"], r["lo"], r["hi"])
         assert abs(g["total"] - r["total"]) < 1e-6
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Pathological key distribution (one key owns half the rows) must
+    trigger AQE's skew-join split when broadcast is off — the runtime
+    behavior the 100 TB design leans on — and stay result-correct."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k",
+            "id AS v",
+        )
+        dim = spark.range(0, 1000).selectExpr("id AS k", "id * 10 AS attr")
+        joined = fact.join(dim, "k")
+        # collect on the join itself so ITS adaptive plan finalizes
+        # (count() would execute a different plan object)
+        rows = len(joined.collect())
+        # key 0: 100k fact rows match dim k=0; odd ids < 1000: 500 more
+        assert rows == 100_000 + 500
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not mark the skewed join"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
