@@ -1220,3 +1220,35 @@ ORACLES["stats_equidepth_hist"] = """
     FROM lineitem CROSS JOIN bounds
     GROUP BY 1
 """
+
+
+# Pure-SQL API surface: the same engine driven entirely through
+# spark.sql over catalog-registered views — proving a SQL-only user of
+# the reference can run unchanged ANSI SQL here. The text below IS the
+# DuckDB oracle verbatim (one dialect, two engines); Catalyst plans it
+# identically to the DataFrame formulations (broadcast dims, partial
+# aggs, pushdown).
+_SQL_REVENUE_BY_REGION = """
+    SELECT r_name,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, o_year
+"""
+
+
+def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_REVENUE_BY_REGION)
+
+
+QUERIES["sql_revenue_by_region"] = sql_revenue_by_region
+ORACLES["sql_revenue_by_region"] = _SQL_REVENUE_BY_REGION
