@@ -846,3 +846,119 @@ ORACLES["emb_whiten"] = """
            CAST(len(list_filter(z, v -> abs(v) > 2.0)) AS BIGINT) AS n_extreme
     FROM wh
 """
+
+
+# PQ ADC top-k search — the query stage of a PQ vector store. Each
+# query builds its 4×16 lookup table (exact integer L2² between its
+# sub-vectors and every codebook entry) ONCE against the broadcast
+# codebook; corpus distance is then 4 table lookups per encoded vector
+# (asymmetric distance computation, FAISS's ADC). The corpus side never
+# touches raw query vectors — only its own PQ codes — which is exactly
+# why PQ search scans compressed codes, not embeddings, at 100 TB.
+# Note ADC ranks by the QUANTIZED distance: it approximates exact
+# search (emb_cosine_topk is the recall baseline), and both engines
+# compute the identical integer distances, so the ranking is stable.
+def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    codebook = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .agg(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), b -> "
+                "transform(array_sort(collect_list(struct(vec_id, embedding))), "
+                f"s -> transform(slice(s.embedding, CAST(b * {_PQ_DSUB} + 1 AS INT), "
+                f"{_PQ_DSUB}), x -> {_pq_q('x')})))"
+            ).alias("cb")
+        )
+    )
+    lut_expr = (
+        "zip_with(qsub, cb, (q, ss) -> transform(ss, s -> "
+        "aggregate(zip_with(q, s, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v)))"
+    )
+    luts = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(codebook))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "cb",
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), b -> "
+                f"transform(slice(embedding, CAST(b * {_PQ_DSUB} + 1 AS INT), "
+                f"{_PQ_DSUB}), x -> {_pq_q('x')}))"
+            ).alias("qsub"),
+        )
+        .select("q_id", F.expr(lut_expr).alias("lut"))
+    )
+    codes = emb_pq4_encode(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES)
+    adc = " + ".join(
+        f"element_at(element_at(lut, {b + 1}), CAST(c{b} + 1 AS INT))"
+        for b in range(_PQ_M)
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.expr(f"({adc}) / 1e12").alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist"), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "rank", "adc_dist")
+    )
+
+
+QUERIES["emb_pq_adc"] = emb_pq_adc
+
+_PQD_Q = "CAST(round(CAST(q.embedding[b * 16 + i] AS DOUBLE) * 1000000, 0) AS BIGINT)"
+ORACLES["emb_pq_adc"] = f"""
+    WITH cb AS (
+        SELECT list(embedding ORDER BY vec_id) AS seeds
+        FROM embeddings WHERE vec_id < {_PQ_K}
+    ),
+    dd AS (
+        SELECT vec_id,
+               list_transform(range(0, {_PQ_M}), b ->
+                   list_transform(seeds, s ->
+                       CAST(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
+                           ({_PQD_V} - {_PQD_S}) * ({_PQD_V} - {_PQD_S})))
+                       AS BIGINT))) AS d
+        FROM embeddings CROSS JOIN cb
+        WHERE vec_id >= {N_QUERIES}
+    ),
+    codes AS (
+        SELECT vec_id AS c_id,
+               list_position(d[1], list_min(d[1])) AS p0,
+               list_position(d[2], list_min(d[2])) AS p1,
+               list_position(d[3], list_min(d[3])) AS p2,
+               list_position(d[4], list_min(d[4])) AS p3
+        FROM dd
+    ),
+    luts AS (
+        SELECT q.vec_id AS q_id,
+               list_transform(range(0, {_PQ_M}), b ->
+                   list_transform(seeds, s ->
+                       CAST(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
+                           ({_PQD_Q} - {_PQD_S}) * ({_PQD_Q} - {_PQD_S})))
+                       AS BIGINT))) AS lut
+        FROM embeddings q CROSS JOIN cb
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q_id, c_id,
+               (lut[1][p0] + lut[2][p1] + lut[3][p2] + lut[4][p3]) / 1e12 AS adc_dist
+        FROM codes CROSS JOIN luts
+    )
+    SELECT q_id, c_id, rank, adc_dist FROM (
+        SELECT q_id, c_id, adc_dist,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_dist, c_id) AS BIGINT) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+"""
