@@ -99,3 +99,43 @@ def test_exp_smoothing_bounds(spark):
     """).fetchall()
     for et, lo, hi in daily:
         assert lo - 1e-6 <= out[et] <= hi + 1e-6, et
+
+
+def test_pq_adc_recall_against_exact(spark):
+    """ADC search over 4×16 PQ codes must keep reasonable recall@5
+    against exact L2 search — quantized distances approximate, they
+    don't scramble. (Threshold is loose: 16-dim sub-spaces with a
+    16-seed codebook is a toy configuration.)"""
+    import duckdb
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.similarity import emb_pq_adc
+
+    sf = "/root/testdata/sf0.001"
+    adc = {}
+    for r in emb_pq_adc(spark, sf).collect():
+        adc.setdefault(r["q_id"], set()).add(r["c_id"])
+    exact = {}
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                   FROM '{sf}/embeddings.parquet' WHERE vec_id < 10),
+        c AS (SELECT vec_id AS c_id, embedding AS ce
+              FROM '{sf}/embeddings.parquet' WHERE vec_id >= 10),
+        d AS (SELECT q_id, c_id,
+                     list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> (CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
+                           * (CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))) AS l2
+              FROM q CROSS JOIN c)
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY l2, c_id) AS rk
+            FROM d) WHERE rk <= 5
+    """).fetchall()
+    for q_id, c_id in rows:
+        exact.setdefault(q_id, set()).add(c_id)
+    hits = sum(len(adc[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    # Uniform-random vectors are PQ's worst case (nothing to cluster):
+    # measured recall@5 here is ~0.2 vs ~0.0025 for random guessing
+    # (5/1990 per slot). The bar asserts the codes carry strong signal
+    # without over-fitting to one fixture.
+    assert hits / total >= 0.1, f"ADC recall@5 collapsed: {hits}/{total}"
