@@ -960,3 +960,40 @@ ORACLES["ev_top_paths"] = """
     ORDER BY n DESC, e1, e2, e3
     LIMIT 10
 """
+
+
+# Bounce rate per day — single-event sessions over total sessions,
+# composed on top of the sessionizer (one extra |days|-group agg on the
+# already-small session table). Rate is a double division of exact
+# integer counts.
+def ev_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = ev_sessionize(spark, sf_dir)
+    return (
+        sessions.groupBy(
+            F.expr("CAST(date_trunc('day', t_start) AS DATE)").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.expr("SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)").alias("n_bounce"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            F.expr("CAST(n_bounce AS BIGINT)").alias("n_bounce"),
+            F.expr("n_bounce / n_sessions").alias("bounce_rate"),
+        )
+    )
+
+
+QUERIES["ev_bounce_rate"] = ev_bounce_rate
+
+ORACLES["ev_bounce_rate"] = f"""
+    WITH sessions AS ({ORACLES["ev_sessionize"]})
+    SELECT CAST(date_trunc('day', t_start) AS DATE) AS day,
+           count(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE) AS bounce_rate
+    FROM sessions
+    GROUP BY 1
+"""

@@ -758,3 +758,49 @@ ORACLES["doc_resample_mixture"] = f"""
     FROM documents d JOIN rates r ON d.source = r.source
     WHERE {_RS_H} % 1000000 < keep_ppm
 """
+
+
+# Per-source token-length deciles — grouped percentiles for corpus
+# length profiling (truncation/packing budgets are set per source). One
+# |sources|-group agg computes the whole decile vector per group; the
+# explode back to long form is row-local. No global sort, no ntile.
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.expr(f"size({_WORDS})").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "percentile(n_tokens, array(0.1, 0.2, 0.3, 0.4, 0.5, "
+                "0.6, 0.7, 0.8, 0.9))"
+            ).alias("qs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.posexplode("qs").alias("pos", "bound"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("CAST(pos + 1 AS BIGINT)").alias("decile"),
+            F.expr("ROUND(bound, 6)").alias("bound"),
+        )
+    )
+
+
+QUERIES["doc_length_deciles"] = doc_length_deciles
+
+ORACLES["doc_length_deciles"] = f"""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               quantile_cont(len({_WORDS_DUCK}),
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs,
+           CAST(t.i AS BIGINT) AS decile,
+           ROUND(qs[t.i], 6) AS bound
+    FROM per, UNNEST(range(1, 10)) AS t(i)
+"""
