@@ -962,3 +962,182 @@ ORACLES["emb_pq_adc"] = f"""
     )
     WHERE rank <= {TOP_K}
 """
+
+
+# IVF-PQ ADC search — the capstone ANN composition (FAISS IVFPQ shape):
+# the 16 seed vectors serve BOTH as the coarse quantizer and as the
+# per-subspace PQ codebook, so ONE per-vector distance matrix dd[b][j]
+# yields the PQ codes (argmin per subspace) AND the coarse list
+# (argmin over Σ_b dd[b][j]) in a single row-local pass. Queries probe
+# their 2 nearest coarse lists; the candidate join is an EQUALITY join
+# on list id (broadcast probe table), so each query scans ~2/16 of the
+# corpus codes instead of all of them — the IVF pruning multiplies with
+# PQ's compressed-scan economics at 100 TB (lists are partition dirs;
+# a probe is a partition-pruned scan of codes).
+IVFPQ_NPROBE = 2
+_BIG = "CAST(8000000000000000000 AS BIGINT)"
+
+
+def _pq_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared dd pipeline: per vector, the 4×16 integer L2² matrix
+    against the seed codebook (see emb_pq4_encode for the formulation
+    rationale)."""
+    emb = table(spark, sf_dir, "embeddings")
+    codebook = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .agg(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), b -> "
+                "transform(array_sort(collect_list(struct(vec_id, embedding))), "
+                f"s -> transform(slice(s.embedding, CAST(b * {_PQ_DSUB} + 1 AS INT), "
+                f"{_PQ_DSUB}), x -> {_pq_q('x')})))"
+            ).alias("cb")
+        )
+    )
+    dists = (
+        "zip_with(qsub, cb, (q, ss) -> transform(ss, s -> "
+        "aggregate(zip_with(q, s, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v)))"
+    )
+    return (
+        emb.join(F.broadcast(codebook))
+        .select(
+            "vec_id",
+            "cb",
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), b -> "
+                f"transform(slice(embedding, CAST(b * {_PQ_DSUB} + 1 AS INT), "
+                f"{_PQ_DSUB}), x -> {_pq_q('x')}))"
+            ).alias("qsub"),
+        )
+        .select("vec_id", F.expr(dists).alias("dd"))
+        # Materialized: BOTH the corpus branch and the probe branch read
+        # dd, and the downstream argmin projections reference it many
+        # times — without a persist boundary Catalyst's projection
+        # collapse re-evaluates the interpreted HOF pipeline per
+        # reference (measured 21.9 s → 1.8 s at sf0.1). At production
+        # scale dd/codes ARE a stored table.
+        .persist()
+    )
+
+
+_TOTALS = (
+    f"transform(sequence(1, {_PQ_K}), j -> "
+    + " + ".join(f"element_at(element_at(dd, {b + 1}), CAST(j AS INT))" for b in range(_PQ_M))
+    + ")"
+)
+
+
+def emb_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    dd = _pq_dd(spark, sf_dir)
+    corpus = (
+        dd.filter(F.col("vec_id") >= N_QUERIES)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            *[
+                F.expr(
+                    f"array_position(element_at(dd, {b + 1}), "
+                    f"array_min(element_at(dd, {b + 1})))"
+                ).alias(f"p{b}")
+                for b in range(_PQ_M)
+            ],
+            F.expr(f"{_TOTALS}").alias("totals"),
+        )
+        .select(
+            "c_id", "p0", "p1", "p2", "p3",
+            F.expr("array_position(totals, array_min(totals))").alias("lst"),
+        )
+    )
+    probes = (
+        dd.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("dd").alias("lut"),
+                F.expr(f"{_TOTALS}").alias("totals"))
+        .select(
+            "q_id", "lut", "totals",
+            F.expr("array_position(totals, array_min(totals))").alias("pr1"),
+        )
+        .select(
+            "q_id", "lut", "pr1",
+            F.expr(
+                "zip_with(totals, sequence(1, size(totals)), "
+                f"(v, i) -> IF(i = pr1, {_BIG}, v))"
+            ).alias("masked"),
+        )
+        .select(
+            "q_id", "lut", "pr1",
+            F.expr("array_position(masked, array_min(masked))").alias("pr2"),
+        )
+        .select("q_id", "lut", F.explode(F.expr("array(pr1, pr2)")).alias("lst"))
+    )
+    adc = " + ".join(
+        f"element_at(element_at(lut, {b + 1}), CAST(p{b} AS INT))" for b in range(_PQ_M)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist"), F.col("c_id"))
+    return (
+        corpus.join(F.broadcast(probes), "lst")
+        .select("q_id", "c_id", F.expr(f"({adc}) / 1e12").alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "rank", "adc_dist")
+    )
+
+
+QUERIES["emb_ivfpq_adc"] = emb_ivfpq_adc
+
+_TOTALS_DUCK = "list_transform(range(1, 17), j -> d[1][j] + d[2][j] + d[3][j] + d[4][j])"
+ORACLES["emb_ivfpq_adc"] = f"""
+    WITH cb AS (
+        SELECT list(embedding ORDER BY vec_id) AS seeds
+        FROM embeddings WHERE vec_id < {_PQ_K}
+    ),
+    dd AS (
+        SELECT vec_id,
+               list_transform(range(0, {_PQ_M}), b ->
+                   list_transform(seeds, s ->
+                       CAST(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
+                           ({_PQD_V} - {_PQD_S}) * ({_PQD_V} - {_PQD_S})))
+                       AS BIGINT))) AS d
+        FROM embeddings CROSS JOIN cb
+    ),
+    corpus AS (
+        SELECT vec_id AS c_id,
+               list_position(d[1], list_min(d[1])) AS p0,
+               list_position(d[2], list_min(d[2])) AS p1,
+               list_position(d[3], list_min(d[3])) AS p2,
+               list_position(d[4], list_min(d[4])) AS p3,
+               list_position({_TOTALS_DUCK}, list_min({_TOTALS_DUCK})) AS lst
+        FROM dd WHERE vec_id >= {N_QUERIES}
+    ),
+    q1 AS (
+        SELECT vec_id AS q_id, d AS lut,
+               {_TOTALS_DUCK} AS totals,
+               list_position({_TOTALS_DUCK}, list_min({_TOTALS_DUCK})) AS pr1
+        FROM dd WHERE vec_id < {N_QUERIES}
+    ),
+    q2 AS (
+        SELECT q_id, lut, pr1,
+               list_transform(range(1, len(totals) + 1),
+                   i -> CASE WHEN i = pr1
+                             THEN {_BIG} ELSE totals[i] END) AS masked
+        FROM q1
+    ),
+    probes AS (
+        SELECT q_id, lut,
+               unnest([pr1, list_position(masked, list_min(masked))]) AS lst
+        FROM q2
+    )
+    SELECT q_id, c_id, rank, adc_dist FROM (
+        SELECT s.q_id, s.c_id, s.adc_dist,
+               CAST(row_number() OVER (PARTITION BY s.q_id
+                                       ORDER BY s.adc_dist, s.c_id) AS BIGINT) AS rank
+        FROM (
+            SELECT p.q_id, c.c_id,
+                   (p.lut[1][c.p0] + p.lut[2][c.p1]
+                    + p.lut[3][c.p2] + p.lut[4][c.p3]) / 1e12 AS adc_dist
+            FROM corpus c JOIN probes p ON c.lst = p.lst
+        ) s
+    )
+    WHERE rank <= {TOP_K}
+"""
