@@ -64,20 +64,28 @@ def _run_one() -> None:
             except Exception:  # noqa: BLE001 — warmup must never fail the bench
                 pass
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_all = time.perf_counter()
     for name, fn in qs.items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            # lose the whole benchmark record; surface it in the JSON.
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     total = round(time.perf_counter() - t_all, 3)
 
-    print(json.dumps({
+    out = {
         "metric": "full-registry wall clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
