@@ -651,3 +651,76 @@ ORACLES["doc_simhash_pairs"] = f"""
     JOIN sh b ON a.probe = b.simhash AND a.lang = b.lang
              AND a.doc_id < b.doc_id
 """
+
+
+# ------------------------------------------------------- dedup report
+# One-row end-to-end dedup audit — the summary a curation run publishes
+# before shipping a corpus: exact-dup volume, near-dup pair/cluster
+# counts, and the final keep rate. Every input is one of the dedup
+# operators above (memoized signatures/clusters do the heavy lifting
+# once); the report itself is four one-row aggregates broadcast-joined
+# together.
+def doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    exact = doc_exact_dedup(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.expr("CAST(SUM(n_copies - 1) AS BIGINT)").alias("n_exact_dup_docs"),
+    )
+    pairs = (
+        doc_minhash_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CLUSTER_MIN_JACCARD)
+        .agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
+    )
+    cc = doc_dedup_clusters(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_clustered_docs"),
+        F.expr("CAST(count(DISTINCT cluster_id) AS BIGINT)").alias("n_clusters"),
+    )
+    return (
+        n_docs.join(F.broadcast(exact))
+        .join(F.broadcast(pairs))
+        .join(F.broadcast(cc))
+        .select(
+            "n_docs",
+            "n_distinct_texts",
+            "n_exact_dup_docs",
+            "n_neardup_pairs",
+            "n_clustered_docs",
+            "n_clusters",
+            F.expr(
+                "CAST(n_docs - (n_clustered_docs - n_clusters) AS BIGINT)"
+            ).alias("n_kept"),
+            F.expr(
+                "(n_docs - (n_clustered_docs - n_clusters)) / n_docs"
+            ).alias("keep_rate"),
+        )
+    )
+
+
+QUERIES["doc_dedup_report"] = doc_dedup_report
+
+ORACLES["doc_dedup_report"] = f"""
+    {_DUCK_CC_CTES},
+    cc AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
+    base AS (SELECT count(*) AS n_docs FROM documents),
+    exact AS (
+        SELECT count(*) AS n_distinct_texts,
+               CAST(SUM(n - 1) AS BIGINT) AS n_exact_dup_docs
+        FROM (SELECT count(*) AS n FROM documents
+              GROUP BY {STABLE_HASH_SQL('text')})
+    ),
+    np AS (
+        SELECT count(*) AS n_neardup_pairs FROM good
+    ),
+    ccagg AS (
+        SELECT count(*) AS n_clustered_docs,
+               CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+        FROM cc
+    )
+    SELECT n_docs, n_distinct_texts, n_exact_dup_docs, n_neardup_pairs,
+           n_clustered_docs, n_clusters,
+           CAST(n_docs - (n_clustered_docs - n_clusters) AS BIGINT) AS n_kept,
+           (n_docs - (n_clustered_docs - n_clusters)) / CAST(n_docs AS DOUBLE)
+               AS keep_rate
+    FROM base CROSS JOIN exact CROSS JOIN np CROSS JOIN ccagg
+"""

@@ -997,3 +997,63 @@ ORACLES["ev_bounce_rate"] = f"""
     FROM sessions
     GROUP BY 1
 """
+
+
+# Windowed funnel — same staged view→click→purchase chain but each
+# stage must convert within 24 h of the previous one (real funnels
+# always bound the conversion window; unbounded chains overcount).
+# Identical one-shuffle array formulation as ev_funnel, with the window
+# bound folded into the row-local stage filters.
+def ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+            ).alias("clicks"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            ).alias("purchases"),
+        )
+        .withColumn(
+            "t_click",
+            F.expr(
+                "get(filter(clicks, x -> x > t_view "
+                "AND x <= t_view + INTERVAL 24 HOURS), 0)"
+            ),
+        )
+        .withColumn(
+            "t_purchase",
+            F.expr(
+                "get(filter(purchases, x -> x > t_click "
+                "AND x <= t_click + INTERVAL 24 HOURS), 0)"
+            ),
+        )
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+
+
+QUERIES["ev_funnel_windowed"] = ev_funnel_windowed
+
+ORACLES["ev_funnel_windowed"] = """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(ts) AS t_click FROM events e
+               JOIN v USING (user_id)
+               WHERE event_type = 'click' AND ts > t_view
+                 AND ts <= t_view + INTERVAL 24 HOURS GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(ts) AS t_purchase FROM events e
+               JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND ts > t_click
+                 AND ts <= t_click + INTERVAL 24 HOURS GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase
+"""
