@@ -1057,3 +1057,46 @@ ORACLES["ev_funnel_windowed"] = """
            (SELECT count(*) FROM c) AS n_click,
            (SELECT count(*) FROM p) AS n_purchase
 """
+
+
+# New-vs-returning daily split — the canonical growth metric. One
+# shuffle computes each user's first-seen day, one shuffle joins it
+# back (both on user_id — AQE reuses the partitioning), and the daily
+# agg uses conditional count-distincts.
+def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.expr("MIN(CAST(date_trunc('day', ts) AS DATE))").alias("first_day")
+    )
+    return (
+        ev.select("user_id", F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"))
+        .join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(count(DISTINCT CASE WHEN day = first_day THEN user_id END) AS BIGINT)"
+            ).alias("n_new_users"),
+            F.expr(
+                "CAST(count(DISTINCT CASE WHEN day > first_day THEN user_id END) AS BIGINT)"
+            ).alias("n_returning_users"),
+        )
+    )
+
+
+QUERIES["ev_new_vs_returning"] = ev_new_vs_returning
+
+ORACLES["ev_new_vs_returning"] = """
+    WITH first AS (
+        SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n_events,
+           CAST(count(DISTINCT CASE WHEN CAST(date_trunc('day', ts) AS DATE) = first_day
+                                    THEN e.user_id END) AS BIGINT) AS n_new_users,
+           CAST(count(DISTINCT CASE WHEN CAST(date_trunc('day', ts) AS DATE) > first_day
+                                    THEN e.user_id END) AS BIGINT) AS n_returning_users
+    FROM events e JOIN first USING (user_id)
+    GROUP BY 1
+"""

@@ -1252,3 +1252,128 @@ def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_revenue_by_region"] = sql_revenue_by_region
 ORACLES["sql_revenue_by_region"] = _SQL_REVENUE_BY_REGION
+
+
+# Monthly order backlog — event-sourcing-style cumulative balance:
+# orders opened minus orders fully shipped, cumsum'd over months. The
+# global-order window runs over a calendar-bounded table (|months|
+# rows), never the fact table, so the single-partition sort is safe at
+# any corpus size.
+def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    opened = o.groupBy(
+        F.expr("CAST(date_trunc('month', o_orderdate) AS DATE)").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_opened"))
+    shipped = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_done"))
+        .groupBy(F.expr("CAST(date_trunc('month', ship_done) AS DATE)").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+    monthly = (
+        opened.join(shipped, "month", "full_outer")
+        .select(
+            "month",
+            F.expr("COALESCE(n_opened, CAST(0 AS BIGINT))").alias("n_opened"),
+            F.expr("COALESCE(n_shipped, CAST(0 AS BIGINT))").alias("n_shipped"),
+        )
+    )
+    return monthly.select(
+        "month",
+        "n_opened",
+        "n_shipped",
+        F.expr(
+            "SUM(n_opened - n_shipped) OVER (ORDER BY month "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("backlog"),
+    )
+
+
+# Nation trade balance — each nation's export revenue (as the supplier
+# side of every lineitem) vs import revenue (as the customer side), per
+# year. Two aggregated branches over the same lineitem⋈orders spine,
+# joined on the tiny (nation, year) grid.
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    cu = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    year = "CAST(year(o_orderdate) AS BIGINT)"
+    exports = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.expr(year).alias("o_year"))
+        .agg(_sum_money(DISC_PRICE, "export_rev"))
+    )
+    imports = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.expr(year).alias("o_year"))
+        .agg(_sum_money(DISC_PRICE, "import_rev"))
+    )
+    return exports.join(imports, ["n_name", "o_year"]).select(
+        "n_name",
+        "o_year",
+        "export_rev",
+        "import_rev",
+        F.expr("export_rev - import_rev").alias("balance"),
+    )
+
+
+QUERIES["orders_backlog"] = orders_backlog
+QUERIES["nation_trade_balance"] = nation_trade_balance
+
+ORACLES["orders_backlog"] = """
+    WITH opened AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS n_opened
+        FROM orders GROUP BY 1
+    ),
+    shipped AS (
+        SELECT CAST(date_trunc('month', ship_done) AS DATE) AS month,
+               count(*) AS n_shipped
+        FROM (SELECT l_orderkey, max(l_shipdate) AS ship_done
+              FROM lineitem GROUP BY 1)
+        GROUP BY 1
+    ),
+    monthly AS (
+        SELECT COALESCE(o.month, s.month) AS month,
+               COALESCE(n_opened, 0) AS n_opened,
+               COALESCE(n_shipped, 0) AS n_shipped
+        FROM opened o FULL OUTER JOIN shipped s ON o.month = s.month
+    )
+    SELECT month, n_opened, n_shipped,
+           SUM(n_opened - n_shipped) OVER (ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+    FROM monthly
+"""
+
+ORACLES["nation_trade_balance"] = """
+    WITH exports AS (
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS export_rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    imports AS (
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS import_rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT e.n_name, e.o_year, export_rev, import_rev,
+           export_rev - import_rev AS balance
+    FROM exports e JOIN imports i ON e.n_name = i.n_name AND e.o_year = i.o_year
+"""
