@@ -1100,3 +1100,56 @@ ORACLES["ev_new_vs_returning"] = """
     FROM events e JOIN first USING (user_id)
     GROUP BY 1
 """
+
+
+# Pareto concentration readout — the smallest user cohort producing
+# 50/80/90% of event volume. The cumsum window runs over the
+# ALREADY-AGGREGATED per-user table (|users| rows, not facts); at
+# extreme user cardinality the same readout would bucket counts into a
+# histogram first (equi-depth shape) instead of the exact sort.
+def ev_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = per_user.select(
+        "n",
+        F.expr(
+            "SUM(n) OVER (ORDER BY n DESC, user_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("cum"),
+        F.expr("row_number() OVER (ORDER BY n DESC, user_id)").alias("rk"),
+        F.expr("SUM(n) OVER ()").alias("total"),
+        F.expr("COUNT(*) OVER ()").alias("n_users"),
+    )
+    out = None
+    for pct in (50, 80, 90):
+        t = ranked.filter(F.expr(f"cum >= total * {pct} / 100.0")).agg(
+            F.expr(f"CAST({pct} AS BIGINT)").alias("volume_pct"),
+            F.expr("CAST(MIN(rk) AS BIGINT)").alias("n_top_users"),
+            F.expr("MIN(rk) / MAX(n_users)").alias("user_frac"),
+        )
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+QUERIES["ev_power_users_pareto"] = ev_power_users_pareto
+
+ORACLES["ev_power_users_pareto"] = """
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT n,
+               SUM(n) OVER (ORDER BY n DESC, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+               SUM(n) OVER () AS total,
+               COUNT(*) OVER () AS n_users
+        FROM per_user
+    )
+    SELECT CAST(p.pct AS BIGINT) AS volume_pct,
+           CAST(MIN(rk) AS BIGINT) AS n_top_users,
+           MIN(rk) / CAST(MAX(n_users) AS DOUBLE) AS user_frac
+    FROM ranked CROSS JOIN (SELECT unnest([50, 80, 90]) AS pct) p
+    WHERE cum >= total * p.pct / 100.0
+    GROUP BY p.pct
+"""

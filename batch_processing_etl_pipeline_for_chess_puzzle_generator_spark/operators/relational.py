@@ -1377,3 +1377,68 @@ ORACLES["nation_trade_balance"] = """
            export_rev - import_rev AS balance
     FROM exports e JOIN imports i ON e.n_name = i.n_name AND e.o_year = i.o_year
 """
+
+
+# Supplier scorecard — revenue, volume, and delivery performance per
+# supplier, top-20 by revenue. On-time = shipped within 30 days of the
+# order date (the test schema carries no commitdate); one
+# lineitem⋈orders shuffle join with conditional aggregates, supplier
+# dim broadcast in for names.
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            _sum_money(DISC_PRICE, "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.expr(
+                "CAST(SUM(CASE WHEN datediff(CAST(l_shipdate AS DATE), "
+                "CAST(o_orderdate AS DATE)) <= 30 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_on_time"),
+            F.expr(
+                "CAST(SUM(datediff(CAST(l_shipdate AS DATE), "
+                "CAST(o_orderdate AS DATE))) AS BIGINT)"
+            ).alias("total_ship_days"),
+        )
+    )
+    return (
+        per.join(broadcast(s), per.l_suppkey == s.s_suppkey)
+        .select(
+            "s_name",
+            "revenue",
+            "n_lineitems",
+            F.expr("n_on_time / n_lineitems").alias("on_time_rate"),
+            F.expr("total_ship_days / n_lineitems").alias("avg_ship_days"),
+        )
+        .orderBy(F.col("revenue").desc(), "s_name")
+        .limit(20)
+    )
+
+
+QUERIES["supplier_scorecard"] = supplier_scorecard
+
+ORACLES["supplier_scorecard"] = """
+    WITH per AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+               count(*) AS n_lineitems,
+               CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                            CAST(l_shipdate AS DATE)) <= 30
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+               CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+                                  CAST(l_shipdate AS DATE))) AS BIGINT)
+                   AS total_ship_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    )
+    SELECT s_name, revenue, n_lineitems,
+           n_on_time / CAST(n_lineitems AS DOUBLE) AS on_time_rate,
+           total_ship_days / CAST(n_lineitems AS DOUBLE) AS avg_ship_days
+    FROM per JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY revenue DESC, s_name
+    LIMIT 20
+"""
