@@ -1153,3 +1153,32 @@ ORACLES["ev_power_users_pareto"] = """
     WHERE cum >= total * p.pct / 100.0
     GROUP BY p.pct
 """
+
+
+# Session-duration histogram — minute-bucketed session lengths with an
+# overflow bucket, composed on the sessionizer. The histogram agg runs
+# over the (already small) session table.
+def ev_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = ev_sessionize(spark, sf_dir)
+    return (
+        sessions.select(
+            F.expr(
+                "CAST(LEAST(FLOOR((unix_micros(t_end) - unix_micros(t_start)) "
+                "/ 60e6 / 5), 6) AS BIGINT)"
+            ).alias("bucket_5min")
+        )
+        .groupBy("bucket_5min")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
+QUERIES["ev_session_durations"] = ev_session_durations
+
+ORACLES["ev_session_durations"] = f"""
+    WITH sessions AS ({ORACLES["ev_sessionize"]})
+    SELECT CAST(LEAST(FLOOR((epoch_us(t_end) - epoch_us(t_start))
+                            / 60e6 / 5), 6) AS BIGINT) AS bucket_5min,
+           count(*) AS n_sessions
+    FROM sessions
+    GROUP BY 1
+"""

@@ -804,3 +804,63 @@ ORACLES["doc_length_deciles"] = f"""
            ROUND(qs[t.i], 6) AS bound
     FROM per, UNNEST(range(1, 10)) AS t(i)
 """
+
+
+# N-gram novelty — per document, the share of its distinct 3-gram
+# shingles never seen in any EARLIER document (doc_id order = ingestion
+# order). The corpus-wide diversity/memorization curve every data-mix
+# decision consults. Two shuffles: first-occurrence per shingle hash
+# (min doc_id), then the per-doc novelty agg — both partial-aggregated;
+# the join back rides the same shingle-hash partitioning.
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = SPARK_HASH_SQL("concat_ws(' ', slice(ws, i, 3))")
+    grams = f"array_distinct(transform(sequence(1, size(ws) - 2), i -> {h}))"
+    ex = (
+        docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+        .filter(F.expr("size(ws) >= 3"))
+        .select("doc_id", F.explode(F.expr(grams)).alias("g"))
+    )
+    first = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.expr(
+                "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("n_novel / n_grams").alias("novelty"),
+        )
+    )
+
+
+QUERIES["doc_ngram_novelty"] = doc_ngram_novelty
+
+_NOV_H = STABLE_HASH_SQL("array_to_string(ws[i:i+2], ' ')")
+ORACLES["doc_ngram_novelty"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_WORDS_DUCK} AS ws FROM documents
+        WHERE len({_WORDS_DUCK}) >= 3
+    ),
+    ex AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                                                   i -> {_NOV_H}))) AS g
+        FROM toks
+    ),
+    first AS (SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY g)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE) AS novelty
+    FROM ex JOIN first USING (g)
+    GROUP BY doc_id
+"""
