@@ -292,3 +292,57 @@ ORACLES["dq_orders_checks"] = """
     SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_checked
     FROM rules CROSS JOIN base
 """
+
+
+# Snapshot diff — compare the post-CDC-merge snapshot against the base
+# table and classify every key as unchanged / updated / added / removed,
+# with row counts per class. The audit every MERGE pipeline runs after
+# apply. One full-outer join on the key (both sides shuffle once on
+# o_orderkey), then a 4-group conditional agg.
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    merged = cdc_merge_orders(spark, sf_dir).select(
+        "o_orderkey", F.col("o_totalprice").alias("new_price")
+    )
+    return (
+        base.join(merged, "o_orderkey", "full_outer")
+        .select(
+            F.expr(
+                "CASE WHEN old_price IS NULL THEN 'added' "
+                "WHEN new_price IS NULL THEN 'removed' "
+                "WHEN CAST(old_price AS DECIMAL(18,2)) = CAST(new_price AS DECIMAL(18,2)) "
+                "THEN 'unchanged' ELSE 'updated' END"
+            ).alias("change_type")
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+QUERIES["snapshot_diff_orders"] = snapshot_diff_orders
+
+ORACLES["snapshot_diff_orders"] = f"""
+    WITH changes AS (
+        SELECT o_orderkey, {_NEW_PRICE} AS o_totalprice,
+               o_orderkey % 10 = 0 AS is_delete
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 3 != 0
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM changes WHERE NOT is_delete
+    )
+    SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN m.o_orderkey IS NULL THEN 'removed'
+                WHEN CAST(b.o_totalprice AS DECIMAL(18,2))
+                     = CAST(m.o_totalprice AS DECIMAL(18,2)) THEN 'unchanged'
+                ELSE 'updated' END AS change_type,
+           count(*) AS n_rows
+    FROM orders b
+    FULL OUTER JOIN merged m ON b.o_orderkey = m.o_orderkey
+    GROUP BY 1
+"""
