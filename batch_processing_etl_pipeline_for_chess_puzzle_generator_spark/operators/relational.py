@@ -1442,3 +1442,51 @@ ORACLES["supplier_scorecard"] = """
     ORDER BY revenue DESC, s_name
     LIMIT 20
 """
+
+
+# Customer recency cohorts — months-since-last-order histogram, the
+# churn-risk mix report. One orders agg to per-customer last order
+# (partial-aggregated), a one-row corpus max broadcast back, then a
+# tiny cohort-bucket agg.
+def customer_recency_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    last = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("last_order"))
+    anchor = last.agg(F.max("last_order").alias("corpus_max"))
+    return (
+        last.join(F.broadcast(anchor))
+        .select(
+            F.expr(
+                "CAST(LEAST(FLOOR(months_between(corpus_max, last_order) / 6), 5) "
+                "AS BIGINT)"
+            ).alias("halfyear_bucket")
+        )
+        .groupBy("halfyear_bucket")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+QUERIES["customer_recency_cohorts"] = customer_recency_cohorts
+
+# DuckDB has no months_between; the month delta is reconstructed from
+# date_diff('month') plus a day-of-month fraction exactly as Spark
+# defines months_between (31-day months) — but for bucket boundaries
+# only whole 6-month steps matter, so date_diff('month') with a
+# day-of-month correction is exact here: months_between floors to the
+# same 6-month bucket as calendar month difference adjusted by whether
+# the day-of-month has been reached.
+ORACLES["customer_recency_cohorts"] = """
+    WITH last AS (
+        SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1
+    ),
+    anchor AS (SELECT MAX(last_order) AS corpus_max FROM last),
+    months AS (
+        SELECT date_diff('month', last_order, corpus_max)
+               - CASE WHEN day(corpus_max) < day(last_order) THEN 1 ELSE 0 END
+                   AS full_months
+        FROM last CROSS JOIN anchor
+    )
+    SELECT CAST(LEAST(FLOOR(full_months / 6.0), 5) AS BIGINT) AS halfyear_bucket,
+           count(*) AS n_customers
+    FROM months
+    GROUP BY 1
+"""

@@ -1108,3 +1108,95 @@ ORACLES["emb_ivfpq_adc"] = f"""
     )
     WHERE rank <= {TOP_K}
 """
+
+
+# Per-label distance outliers — vectors far from their label centroid
+# (z-score of exact integer L2² to the centroid SUM, scale-invariant).
+# Centroid sums per (label, dim) come from one partial-aggregated
+# shuffle; collapsed to one row per label and broadcast; per-vector
+# distance is then row-local. Flags the mislabeled/corrupt vectors a
+# curation pass quarantines.
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .withColumn("xi", F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+        .groupBy("label", "pos")
+        .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s))), p -> p.s)"
+            ).alias("cs"),
+            F.max("n").alias("n_vecs"),
+        )
+    )
+    # d2 = Σ (n·x_i − c_i)² on the integer grid: comparing n·x to the
+    # centroid SUM avoids dividing the centroid (stays exact integer).
+    d2 = (
+        "aggregate(zip_with(transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * n_vecs), cs, "
+        "(x, c) -> CAST(round((x - c) / 1e6, 0) AS BIGINT) "
+        "* CAST(round((x - c) / 1e6, 0) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", F.expr(f"{d2}").alias("d2")
+    )
+    stats = scored.groupBy("label").agg(
+        F.expr("SUM(d2)").alias("sum_d2"),
+        F.expr("SUM(d2 * d2)").alias("sum_d2sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "(d2 - sum_d2 / n) / "
+                "NULLIF(sqrt(GREATEST(sum_d2sq / n - (sum_d2 / n) * (sum_d2 / n), 0)), 0)"
+            ).alias("z_score"),
+        )
+        .filter(F.expr("z_score > 1.5"))
+    )
+
+
+QUERIES["emb_outliers"] = emb_outliers
+
+ORACLES["emb_outliers"] = """
+    WITH comp AS (
+        SELECT label, t.i AS pos,
+               CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    per_pos AS (
+        SELECT label, pos, SUM(xi) AS s, count(*) AS n
+        FROM comp GROUP BY 1, 2
+    ),
+    cent AS (
+        SELECT label, list(s ORDER BY pos) AS cs, MAX(n) AS n_vecs
+        FROM per_pos GROUP BY label
+    ),
+    scored AS (
+        SELECT vec_id, e.label,
+               CAST(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+                   CAST(round((CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                               AS BIGINT) * n_vecs - cs[i]) / 1e6, 0) AS BIGINT)
+                   * CAST(round((CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                                 AS BIGINT) * n_vecs - cs[i]) / 1e6, 0) AS BIGINT)))
+               AS BIGINT) AS d2
+        FROM embeddings e JOIN cent c ON e.label = c.label
+    ),
+    stats AS (
+        SELECT label, SUM(d2) AS sum_d2, SUM(d2 * d2) AS sum_d2sq, count(*) AS n
+        FROM scored GROUP BY label
+    )
+    SELECT vec_id, s.label,
+           (d2 - sum_d2 / CAST(n AS DOUBLE))
+           / NULLIF(sqrt(GREATEST(sum_d2sq / CAST(n AS DOUBLE)
+                         - (sum_d2 / CAST(n AS DOUBLE)) * (sum_d2 / CAST(n AS DOUBLE)),
+                         0)), 0) AS z_score
+    FROM scored s JOIN stats USING (label)
+    WHERE z_score > 1.5
+"""
