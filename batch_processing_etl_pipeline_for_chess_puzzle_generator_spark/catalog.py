@@ -29,8 +29,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # same µs values DuckDB produces when it reads the file).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+            # TIMESTAMP_NTZ, which unix_micros()/window funcs reject. The
+            # session TZ is pinned to UTC (session.py), so casting to
+            # TIMESTAMP is lossless and matches what DuckDB computes.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -1347,8 +1347,10 @@ ORACLES["orders_backlog"] = """
         FROM opened o FULL OUTER JOIN shipped s ON o.month = s.month
     )
     SELECT month, n_opened, n_shipped,
-           SUM(n_opened - n_shipped) OVER (ORDER BY month
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+           -- CAST: DuckDB windowed SUM(BIGINT) yields HUGEINT, which
+           -- hash-mismatches Spark's BIGINT even when values are equal.
+           CAST(SUM(n_opened - n_shipped) OVER (ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
     FROM monthly
 """
 

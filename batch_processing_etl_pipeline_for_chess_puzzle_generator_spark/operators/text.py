@@ -729,10 +729,12 @@ ORACLES["doc_pack_sequences"] = f"""
         FROM documents
     ),
     pos AS (
+        -- CAST: DuckDB windowed SUM(BIGINT) yields HUGEINT; keep BIGINT
+        -- so chunk_offset matches Spark's type in the driver's hasher.
         SELECT doc_id, source, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   - n_tokens AS start_tok
+                   - n_tokens AS BIGINT) AS start_tok
         FROM toks
     )
     SELECT doc_id, source, n_tokens,
