@@ -292,24 +292,54 @@ def ev_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 # actually run at 100 TB: HLL++ (approx_count_distinct) shuffles a
 # fixed-size sketch per group instead of every distinct user id;
 # approx_percentile streams a bounded summary instead of sorting the
-# partition. No DuckDB oracle (sketch internals are engine-specific) —
-# these are rows-only checked; their exact twins above carry the
-# correctness gate for the same query shapes.
+# partition. Sketch internals are engine-specific, so the oracle can't
+# replay the estimate itself; instead each query emits the EXACT answer
+# plus a boolean "sketch within tolerance" column, and the oracle
+# asserts that boolean is TRUE. A drifting sketch breaks the value
+# hash, so these are fully oracle-gated, not rows-only.
 def ev_daily_active_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        # rsd=0.02 → 5% is a ≳2.5σ bound; +2 absolute slack covers
+        # single-digit groups where relative error is meaningless.
+        .select(
+            "day",
+            "dau_exact",
+            "n_events",
+            F.expr(
+                "abs(dau_approx - dau_exact) <= greatest(0.05 * dau_exact, 2.0)"
+            ).alias("hll_ok"),
+        )
     )
 
 
 def ev_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    v = "CAST(value AS DOUBLE)"
+    agged = ev.groupBy("event_type").agg(
         F.expr(
-            "approx_percentile(CAST(value AS DOUBLE), array(0.5, 0.9, 0.99), 10000)"
-        ).alias("p50_p90_p99"),
+            f"approx_percentile({v}, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("ap"),
+        # Exact quantiles at p ∓ 0.02 bracket the sketch output: the
+        # GK-style summary returns a real data value whose rank error
+        # is ≤ n/accuracy, far inside a ±0.02 quantile window.
+        F.expr(
+            f"percentile({v}, array(0.48, 0.52, 0.88, 0.92, 0.97, 1.0))"
+        ).alias("ex"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agged.select(
+        "event_type",
+        "n",
+        F.expr("ap[0] BETWEEN ex[0] AND ex[1]").alias("p50_ok"),
+        F.expr("ap[1] BETWEEN ex[2] AND ex[3]").alias("p90_ok"),
+        F.expr("ap[2] BETWEEN ex[4] AND ex[5]").alias("p99_ok"),
     )
 
 
@@ -519,6 +549,23 @@ ORACLES["ev_daily_active"] = """
            count(DISTINCT user_id) AS dau,
            count(*) AS n_events
     FROM events GROUP BY day
+"""
+
+ORACLES["ev_daily_active_approx"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(DISTINCT user_id) AS dau_exact,
+           count(*) AS n_events,
+           TRUE AS hll_ok
+    FROM events GROUP BY day
+"""
+
+ORACLES["ev_percentiles_approx"] = """
+    SELECT event_type,
+           count(*) AS n,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok,
+           TRUE AS p99_ok
+    FROM events GROUP BY event_type
 """
 
 ORACLES["ev_retention"] = """
