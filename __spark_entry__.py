@@ -29,12 +29,13 @@ def _registries():
         etl,
         events,
         joins,
+        multimodal,
         relational,
         similarity,
         text,
     )
 
-    return (relational, events, dedup, similarity, text, joins, etl)
+    return (relational, events, dedup, similarity, text, joins, etl, multimodal)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,27 +1,47 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+REAL pure-numpy decoders for uncompressed formats.
 
 Treats image/audio/video as ``binary`` columns with a metadata struct,
 processed through ``mapInPandas`` (Arrow-batched — the only sane way to
-move binary blobs between JVM and Python). The DECODE step is stubbed:
-this container has no image/audio libraries, so ``decode_image_batch``
-raises NotImplementedError unless ``fake=True``, which substitutes a
-deterministic fake decoder (payload-hash-seeded dimensions) so the
-Spark-side plumbing — schema, batching, partition flow — is fully
-exercised by tests.
+move binary blobs between JVM and Python). Unlike round 1 (decode was a
+NotImplementedError stub), the default path now actually parses bytes:
 
-Scale notes: binary payloads never hit a shuffle (the pipeline is
-scan → mapInPandas → write); metadata-only columns are projected for
-any grouping, so the heavy bytes stay columnar in parquet until the
-Arrow batch that decodes them.
+- **BMP** (24-bit uncompressed ``BI_RGB``) and binary **PPM** (``P6``)
+  images — header parse + numpy pixel-array decode with row-stride
+  handling;
+- **WAV** (PCM16 mono/stereo RIFF) audio — fmt/data chunk parse,
+  sample extraction;
+- **RAWV**, a trivial uncompressed video container (``RAWV`` magic +
+  u16 width/height/n_frames + raw RGB24 frames) for frame sampling.
+
+Compressed formats (PNG/JPEG/MP4…) still raise ``NotImplementedError``
+— those genuinely need external codecs absent from this container; the
+dispatch makes that an explicit per-magic-number decision instead of a
+blanket stub.
+
+The ``mm_*`` registry queries below generate payloads deterministically
+from ``documents.doc_id`` (fill values / dims / sample counts are pure
+arithmetic on the id), push them through encode → Arrow → decode, and
+emit features a DuckDB oracle reproduces arithmetically — so the whole
+binary→Arrow→numpy pipeline is oracle-gated end-to-end on real bytes.
+
+Scale notes: payload bytes never hit a shuffle (scan → mapInPandas →
+map); metadata-only columns are projected for any grouping, so the
+heavy bytes stay columnar in parquet until the Arrow batch that decodes
+them. Covers reference parity: the reference has no binary-media path
+at all, so this surface is net-new capability (SURVEY.md §2).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import struct
+from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..catalog import table
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -40,25 +60,161 @@ FEATURES_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.LongType()),
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
+    T.StructField("mean_pixel", T.DoubleType()),
     T.StructField("payload_hash", T.LongType()),
 ])
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for an image decoder: dimensions derived
-    from a stable payload hash."""
+# ---------------------------------------------------------------- codecs
+
+def encode_bmp(width: int, height: int, value: int) -> bytes:
+    """24-bit BI_RGB BMP, every channel byte = ``value`` (0-255)."""
+    stride = ((3 * width + 3) // 4) * 4
+    img_size = stride * height
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    row = bytes([value % 256]) * (3 * width) + b"\x00" * (stride - 3 * width)
+    return file_hdr + info_hdr + row * height
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """Parse a 24-bit uncompressed BMP → (width, height, mean_pixel).
+
+    Handles 4-byte row stride padding (padding bytes excluded from the
+    mean — that is the decode detail the oracle check exercises).
+    """
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"image decoding for BMP bpp={bpp} compression={compression} "
+            "requires an external codec; only 24-bit BI_RGB is built in"
+        )
+    h = abs(height)
+    stride = ((3 * width + 3) // 4) * 4
+    arr = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    pixels = arr.reshape(h, stride)[:, : 3 * width]
+    return width, h, float(pixels.mean())
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """Parse a binary PPM (``P6``) → (width, height, mean_pixel)."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # Header: "P6\n<w> <h>\n<maxval>\n" then raw RGB. Tokenize the first
+    # three whitespace-separated fields after the magic.
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace byte after maxval
+    width, height, _maxval = fields
+    arr = np.frombuffer(payload, dtype=np.uint8, count=3 * width * height, offset=i)
+    return width, height, float(arr.mean())
+
+
+def encode_wav(n_samples: int, amplitude: int, rate: int) -> bytes:
+    """Mono PCM16 WAV with every sample = ``amplitude``."""
+    import numpy as np
+
+    data = np.full(n_samples, amplitude, dtype="<i2").tobytes()
+    hdr = struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse PCM16 RIFF/WAVE → (rate, n_channels, n_samples, peak)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", payload, pos + 8)
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"audio decoding for WAV format {audio_fmt} requires an "
+                    "external codec; only PCM is built in"
+                )
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    n_samples = len(samples) // channels
+    peak = int(samples.max()) if n_samples else 0
+    return rate, channels, n_samples, peak
+
+
+RAWV_MAGIC = b"RAWV"
+
+
+def encode_rawv(width: int, height: int, frame_values: list[int]) -> bytes:
+    """Uncompressed RGB24 video: RAWV + u16 w/h/n + constant-fill frames."""
+    hdr = RAWV_MAGIC + struct.pack("<HHH", width, height, len(frame_values))
+    frame_sz = width * height * 3
+    return hdr + b"".join(bytes([v % 256]) * frame_sz for v in frame_values)
+
+
+def decode_rawv(payload: bytes, every_n: int = 1) -> list[tuple[int, bytes]]:
+    """Parse RAWV, sampling every ``every_n``-th frame →
+    [(src_frame_idx, raw RGB bytes), ...]."""
+    if payload[:4] != RAWV_MAGIC:
+        raise ValueError("not a RAWV payload")
+    width, height, n_frames = struct.unpack_from("<HHH", payload, 4)
+    frame_sz = width * height * 3
+    out = []
+    for src in range(0, n_frames, max(1, every_n)):
+        start = 10 + src * frame_sz
+        out.append((src, payload[start : start + frame_sz]))
+    return out
+
+
+def decode_image_batch(payload: bytes) -> tuple[int, int, float]:
+    """Magic-number dispatch → (width, height, mean_pixel).
+
+    BMP and PPM decode with the built-in numpy parsers; compressed
+    formats raise NotImplementedError (they need PIL/libvips, absent
+    in this container).
+    """
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        f"image decoding for magic {payload[:4]!r} requires PIL/libvips, "
+        "not present in this environment; built-in codecs cover BMP/P6-PPM "
+        "(use extract_media_features(fake=True) for the hash-based stub)"
+    )
+
+
+# ------------------------------------------------------------- operators
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in decoder: features from a payload hash."""
     import hashlib
 
     h = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
-    return 16 + h % 1024, 16 + (h >> 32) % 1024
-
-
-def decode_image_batch(payload: bytes) -> tuple[int, int]:
-    """Real decoder hook — wire PIL/libvips here in a full deployment."""
-    raise NotImplementedError(
-        "image decoding requires PIL/libvips, not present in this environment; "
-        "use extract_media_features(fake=True) for the deterministic stub"
-    )
+    return 16 + h % 1024, 16 + (h >> 32) % 1024, float(h % 256)
 
 
 def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
@@ -67,9 +223,12 @@ def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
     The UDF sees pandas DataFrames of whole rows (payload included) in
     Arrow batches; output is a typed features table. Decode is the only
     Python step and it is batch-local — everything before/after stays
-    JVM-side.
+    JVM-side. Default path REALLY decodes (BMP/PPM); ``fake=True``
+    keeps the hash-based stand-in for payloads with no built-in codec.
     """
-    decode = _fake_decode if fake else (lambda p: decode_image_batch(p))
+    decode: Callable[[bytes], tuple[int, int, float]] = (
+        _fake_decode if fake else decode_image_batch
+    )
 
     def process(batches: Iterator) -> Iterator:
         import hashlib
@@ -84,6 +243,7 @@ def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
                 "width": [d[0] for d in dims],
                 "height": [d[1] for d in dims],
+                "mean_pixel": [d[2] for d in dims],
                 "payload_hash": [
                     int.from_bytes(hashlib.md5(bytes(p)).digest()[:8], "big") >> 1
                     for p in pdf["payload"]
@@ -108,10 +268,33 @@ FRAMES_SCHEMA = T.StructType([
 
 
 def resize_image_batch(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize hook — wire PIL/libvips here in a full deployment."""
-    raise NotImplementedError(
-        "image resize requires PIL/libvips; use resize_images(fake=True)"
+    """Nearest-neighbor resize for 24-bit BMP, re-encoded as BMP.
+
+    Pure numpy index-gather; compressed inputs raise (external codec)."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise NotImplementedError(
+            f"image resize for magic {payload[:4]!r} requires PIL/libvips; "
+            "built-in resize covers 24-bit BMP (or use resize_images(fake=True))"
+        )
+    src_w, src_h, _ = decode_bmp(payload)
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    stride = ((3 * src_w + 3) // 4) * 4
+    arr = np.frombuffer(payload, dtype=np.uint8, count=stride * src_h, offset=offset)
+    pix = arr.reshape(src_h, stride)[:, : 3 * src_w].reshape(src_h, src_w, 3)
+    ys = (np.arange(height) * src_h // height).clip(0, src_h - 1)
+    xs = (np.arange(width) * src_w // width).clip(0, src_w - 1)
+    out = pix[ys][:, xs]                     # (height, width, 3)
+    out_stride = ((3 * width + 3) // 4) * 4
+    rows = np.zeros((height, out_stride), dtype=np.uint8)
+    rows[:, : 3 * width] = out.reshape(height, 3 * width)
+    img = rows.tobytes()
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img), 2835, 2835, 0, 0
     )
+    return file_hdr + info_hdr + img
 
 
 def resize_images(media: DataFrame, width: int, height: int,
@@ -121,7 +304,7 @@ def resize_images(media: DataFrame, width: int, height: int,
     Payload bytes go JVM → Arrow batch → Python → Arrow → JVM exactly
     once; no shuffle touches them (narrow map only). The fake path
     emits an md5-tagged payload so tests can assert determinism and
-    batch flow without an imaging lib.
+    batch flow without decoding; the default path really resizes BMPs.
     """
 
     def process(batches: Iterator) -> Iterator:
@@ -150,9 +333,12 @@ def resize_images(media: DataFrame, width: int, height: int,
 
 
 def extract_frames_batch(payload: bytes, every_n: int) -> list[bytes]:
-    """Real frame-sampler hook — wire pyav/ffmpeg here in deployment."""
+    """Frame sampler: RAWV parses natively; compressed video raises."""
+    if payload[:4] == RAWV_MAGIC:
+        return [fr for _, fr in decode_rawv(payload, every_n)]
     raise NotImplementedError(
-        "frame sampling requires pyav/ffmpeg; use sample_frames(fake=True)"
+        f"frame sampling for magic {payload[:4]!r} requires pyav/ffmpeg; "
+        "built-in sampling covers RAWV (or use sample_frames(fake=True))"
     )
 
 
@@ -162,7 +348,8 @@ def sample_frames(media: DataFrame, every_n: int = 10,
     for binary payloads, keeping Arrow batching on both sides).
 
     The fake sampler emits ⌈n_bytes / 256⌉ capped at 8 deterministic
-    frames per payload so partitioning/row-fanout is real in tests.
+    frames per payload so partitioning/row-fanout is real in tests; the
+    default path slices real RAWV frames.
     """
 
     def process(batches: Iterator) -> Iterator:
@@ -203,3 +390,179 @@ def media_summary(features: DataFrame) -> DataFrame:
         F.avg("width").alias("avg_width"),
         F.avg("height").alias("avg_height"),
     )
+
+
+# ------------------------------------------------- registry queries
+
+def synth_media(docs: DataFrame, kind: str) -> DataFrame:
+    """Deterministic media table derived from doc_id (no RNG): payload
+    bytes are pure arithmetic on the id, so a SQL oracle can predict
+    every decoded feature. Narrow mapInPandas — no shuffle."""
+
+    mime = {"image": "image/bmp", "audio": "audio/wav", "video": "video/rawv"}[kind]
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if kind == "image":
+                    payloads.append(encode_bmp(16 + d % 32, 16 + d % 24, d % 256))
+                elif kind == "audio":
+                    payloads.append(
+                        encode_wav(64 + d % 128, (d % 1000) * 3, 8000 + 100 * (d % 8))
+                    )
+                else:
+                    payloads.append(
+                        encode_rawv(8, 8, [(d + 7 * f) % 256
+                                           for f in range(4 + d % 5)])
+                    )
+                metas.append({"source": "synthetic", "created_ts": d})
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "kind": kind,
+                "mime": mime,
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    return docs.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode a BMP per document, REAL-decode it, emit features the
+    oracle reproduces arithmetically (dims/mean are functions of
+    doc_id). Exercises header parse + stride-aware pixel decode on
+    actual bytes through the full binary→Arrow→numpy path."""
+    docs = table(spark, sf_dir, "documents")
+    feats = extract_media_features(synth_media(docs, "image"))
+    return feats.select("media_id", "kind", "n_bytes", "width", "height", "mean_pixel")
+
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """WAV payloads → typed audio features (real RIFF chunk parse)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": [r[0] for r in rows],
+                "n_channels": [r[1] for r in rows],
+                "n_samples": [r[2] for r in rows],
+                "peak": [r[3] for r in rows],
+                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+            })
+
+    return media.mapInPandas(process, schema=AUDIO_SCHEMA)
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV-per-document: encode PCM16, real-parse RIFF chunks back.
+    duration_ms is derived JVM-side from the decoded columns so both
+    engines run the identical double expression."""
+    docs = table(spark, sf_dir, "documents")
+    feats = extract_audio_features(synth_media(docs, "audio"))
+    return feats.select(
+        "media_id", "sample_rate", "n_channels", "n_samples", "peak", "n_bytes",
+        # 1000.0D: a bare 1000.0 literal is DECIMAL in Spark SQL, which
+        # would make duration_ms decimal while DuckDB emits double.
+        F.expr("n_samples * 1000.0D / sample_rate").alias("duration_ms"),
+    )
+
+
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("src_frame", T.IntegerType()),
+    T.StructField("frame_bytes", T.LongType()),
+    T.StructField("frame_mean", T.DoubleType()),
+])
+
+
+def sample_frame_stats(media: DataFrame, every_n: int) -> DataFrame:
+    """RAWV → per-sampled-frame stats (1-to-many fanout + numpy mean)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            mids, idxs, srcs, sizes, means = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for i, (src, fr) in enumerate(decode_rawv(bytes(p), every_n)):
+                    mids.append(mid)
+                    idxs.append(i)
+                    srcs.append(src)
+                    sizes.append(len(fr))
+                    means.append(float(np.frombuffer(fr, dtype=np.uint8).mean()))
+            yield pd.DataFrame({
+                "media_id": mids, "frame_idx": idxs, "src_frame": srcs,
+                "frame_bytes": sizes, "frame_mean": means,
+            })
+
+    return media.mapInPandas(process, schema=FRAME_STATS_SCHEMA)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAWV-per-document, sample every 2nd frame: real container parse
+    with 1-to-many row fanout; frame means are oracle-predictable."""
+    docs = table(spark, sf_dir, "documents")
+    return sample_frame_stats(synth_media(docs, "video"), every_n=2)
+
+
+QUERIES = {
+    "mm_image_features": mm_image_features,
+    "mm_audio_features": mm_audio_features,
+    "mm_frame_sample": mm_frame_sample,
+}
+
+# Oracle side replays the doc_id arithmetic that generated the payloads;
+# a decode bug (stride, chunk offsets, frame slicing) breaks the hash.
+ORACLES = {
+    "mm_image_features": """
+        SELECT doc_id AS media_id,
+               'image' AS kind,
+               CAST(54 + (16 + doc_id % 24)
+                        * (((3 * (16 + doc_id % 32) + 3) // 4) * 4) AS BIGINT)
+                   AS n_bytes,
+               CAST(16 + doc_id % 32 AS INTEGER) AS width,
+               CAST(16 + doc_id % 24 AS INTEGER) AS height,
+               CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
+        FROM documents
+    """,
+    "mm_audio_features": """
+        SELECT doc_id AS media_id,
+               CAST(8000 + 100 * (doc_id % 8) AS INTEGER) AS sample_rate,
+               CAST(1 AS INTEGER) AS n_channels,
+               CAST(64 + doc_id % 128 AS BIGINT) AS n_samples,
+               CAST((doc_id % 1000) * 3 AS INTEGER) AS peak,
+               CAST(44 + 2 * (64 + doc_id % 128) AS BIGINT) AS n_bytes,
+               (64 + doc_id % 128) * 1000.0 / (8000 + 100 * (doc_id % 8))
+                   AS duration_ms
+        FROM documents
+    """,
+    "mm_frame_sample": """
+        SELECT doc_id AS media_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               CAST(2 * i AS INTEGER) AS src_frame,
+               CAST(192 AS BIGINT) AS frame_bytes,
+               CAST((doc_id + 7 * 2 * i) % 256 AS DOUBLE) AS frame_mean
+        FROM documents,
+             unnest(range(0, (4 + doc_id % 5 + 1) // 2)) AS t(i)
+    """,
+}

@@ -77,6 +77,54 @@ def test_resize_real_hook_raises(spark, media_df):
     assert "NotImplementedError" in str(exc.value) or "resize" in str(exc.value)
 
 
+def test_real_bmp_decode_through_spark(spark):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import encode_bmp
+
+    rows = [
+        (1, "image", "image/bmp", encode_bmp(17, 19, 123), ("synth", 0)),
+        (2, "image", "image/bmp", encode_bmp(33, 16, 7), ("synth", 0)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["mean_pixel"]) == (17, 19, 123.0)
+    assert (feats[2]["width"], feats[2]["height"], feats[2]["mean_pixel"]) == (33, 16, 7.0)
+
+
+def test_real_resize_roundtrip(spark):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rows = [(1, "image", "image/bmp", encode_bmp(32, 24, 50), ("synth", 0))]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = resize_images(media, 8, 8).collect()
+    assert len(out) == 1
+    # Constant-fill image survives nearest-neighbor resize bit-exactly.
+    assert decode_bmp(bytes(out[0]["payload"])) == (8, 8, 50.0)
+
+
+def test_real_rawv_frame_sampling(spark):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import encode_rawv
+
+    payload = encode_rawv(8, 8, [10, 20, 30, 40, 50])
+    media = spark.createDataFrame(
+        [(9, "video", "video/rawv", payload, ("synth", 0))], schema=MEDIA_SCHEMA
+    )
+    frames = sample_frames(media, every_n=2).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 1, 2]
+    assert [bytes(r["frame_payload"])[0] for r in frames] == [10, 30, 50]
+
+
+def test_wav_codec_roundtrip():
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    assert decode_wav(encode_wav(65, 300, 8100)) == (8100, 1, 65, 300)
+
+
 def test_sample_frames_fake(spark, media_df):
     frames = sample_frames(media_df, every_n=1, fake=True).collect()
     # Only the video row fans out; ⌈2400/256⌉ capped at 8 frames.
