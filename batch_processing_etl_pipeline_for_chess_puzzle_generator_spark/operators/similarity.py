@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import (
+    SPARK_HASH_SQL,
+    STABLE_HASH_SQL,
+)
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -332,8 +336,15 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- k-means-trained IVF
 #
-# Lloyd-refined coarse quantizer: KM_ROUNDS rounds of assign/update
-# starting from the seed vectors, then the usual IVF probe+rerank.
+# Lloyd-refined coarse quantizer, SAMPLE-TRAINED (the 100 TB shape):
+# the quantizer never needs the whole corpus — KM_ROUNDS rounds of
+# assign/update run on a deterministic hash-sample, then the full
+# corpus is assigned exactly ONCE to the trained centroids before the
+# usual IVF probe+rerank. The trained model (K centroids) travels as a
+# single collected-array row broadcast to every task, so assignment and
+# probing are row-local array expressions — zero hash shuffles; the
+# only hash exchanges left are the per-round centroid updates and the
+# final per-query rerank.
 # Exactness trick: cosine to a centroid MEAN equals cosine to the
 # centroid SUM (scale invariance), so centroids are integer component
 # sums — every round is exact integer arithmetic, reproducible across
@@ -341,6 +352,9 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PLAN construction (a Python loop over DataFrame ops, zero driver
 # actions): Catalyst sees one declarative plan with the rounds unrolled.
 KM_ROUNDS = 2
+#: train the quantizer on the ~1/KM_SAMPLE_MOD deterministic hash-sample
+#: (at 100 TB you'd pick the modulus so the sample is ~1M vectors).
+KM_SAMPLE_MOD = 4
 
 
 def _cent_sim(q_arr: str, q_n: str, s_arr: str, s_n: str) -> str:
@@ -351,56 +365,88 @@ def _cent_sim(q_arr: str, q_n: str, s_arr: str, s_n: str) -> str:
     )
 
 
+def _model_scored(vec: str, norm: str) -> str:
+    """Row-local scored-centroid structs against the broadcast model
+    column ``cts`` (array<struct<cluster_id, sa, sn>>): the same
+    exact-integer cosine as :func:`_cent_sim`, evaluated inside a
+    ``transform`` lambda so no join/shuffle is involved. ``negid``
+    makes struct-max/sort tie-break to the smallest cluster_id."""
+    dot = (
+        f"aggregate(zip_with({vec}, ct.sa, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    sim = (
+        f"CAST({dot} AS DOUBLE) / "
+        f"(sqrt(CAST({norm} AS DOUBLE)) * sqrt(CAST(ct.sn AS DOUBLE)))"
+    )
+    return (
+        f"transform(cts, ct -> named_struct('sim', {sim}, "
+        "'negid', -ct.cluster_id, 'cluster_id', ct.cluster_id))"
+    )
+
+
+def _as_model(cents: DataFrame) -> DataFrame:
+    """Collapse the K-row centroid table into a one-row broadcastable
+    model (array of centroid structs)."""
+    return cents.agg(
+        F.expr(
+            "collect_list(named_struct('cluster_id', cluster_id, 'sa', sa, 'sn', sn))"
+        ).alias("cts")
+    )
+
+
 def emb_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     q, c = _split(spark, sf_dir)
-    c = c.persist()  # every round's assignment scans the corpus
+    c = c.persist()  # scanned for seeds/sample + the one assignment pass
+    sample = c.filter(
+        F.expr(
+            SPARK_HASH_SQL("CONCAT('km:', CAST(c_id AS STRING))")
+            + f" % {KM_SAMPLE_MOD} = 0"
+        )
+    )
     # Round-0 centroids: the seed vectors as (sum-array, norm).
     cents = c.filter(F.col("c_id") < N_QUERIES + IVF_K).select(
         F.col("c_id").alias("cluster_id"),
         F.col("ca").alias("sa"),
         F.col("cn").alias("sn"),
     )
-    wa = Window.partitionBy("c_id").orderBy(F.col("sim").desc(), F.col("cluster_id"))
-    assign = None
+    assign_expr = f"array_max({_model_scored('ca', 'cn')}).cluster_id"
     for _ in range(KM_ROUNDS):
-        assign = (
-            c.crossJoin(broadcast(cents))
-            .select(
-                "c_id", "ca", "cn", "cluster_id",
-                F.expr(_cent_sim("ca", "cn", "sa", "sn")).alias("sim"),
-            )
-            .withColumn("rn", F.row_number().over(wa))
-            .filter(F.col("rn") == 1)
-            .select("c_id", "ca", "cn", "cluster_id")
+        # Assignment is a map over the broadcast model (no shuffle);
+        # the update is one groupBy with an order-independent
+        # element-wise integer array sum (sample cluster sizes are
+        # bounded by the sample, so collect_list per group is safe).
+        asg = sample.crossJoin(broadcast(_as_model(cents))).select(
+            "c_id", "ca", F.expr(assign_expr).alias("cluster_id")
         )
-        # Update: centroid sum per component (posexplode → integer sums
-        # → rebuild the array in position order).
-        comp = assign.select(
-            "cluster_id", F.posexplode("ca").alias("pos", "x")
-        ).groupBy("cluster_id", "pos").agg(F.sum("x").alias("s"))
         cents = (
-            comp.groupBy("cluster_id")
-            .agg(
+            asg.groupBy("cluster_id")
+            .agg(F.collect_list("ca").alias("cl"))
+            .select(
+                "cluster_id",
+                # element_at is 1-based like slice ([] would be 0-based):
+                # fold arrays 2..n onto array 1 with an element-wise add.
                 F.expr(
-                    "transform(sort_array(collect_list(struct(pos, s))), e -> e.s)"
-                ).alias("sa")
+                    "aggregate(slice(cl, 2, size(cl) - 1), element_at(cl, 1), "
+                    "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))"
+                ).alias("sa"),
             )
             .withColumn("sn", F.expr(_qnorm("sa")))
         )
-    # Final IVF: probe NPROBE best trained centroids per query, exact
-    # rerank within the probed lists.
-    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cluster_id"))
-    probes = (
-        q.crossJoin(broadcast(cents))
-        .select(
-            "q_id", "qa", "qn", "cluster_id",
-            F.expr(_cent_sim("qa", "qn", "sa", "sn")).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select("q_id", "qa", "qn", "cluster_id")
+    model = _as_model(cents)
+    # Single full-corpus pass: map-side assignment to trained centroids.
+    assign = c.crossJoin(broadcast(model)).select(
+        "c_id", "ca", "cn", F.expr(assign_expr).alias("cluster_id")
+    )
+    # Probing is row-local too: sort the K scored structs, keep NPROBE.
+    probe_expr = (
+        f"transform(slice(reverse(array_sort({_model_scored('qa', 'qn')})), "
+        f"1, {IVF_NPROBE}), e -> e.cluster_id)"
+    )
+    probes = q.crossJoin(broadcast(model)).select(
+        "q_id", "qa", "qn", F.explode(F.expr(probe_expr)).alias("cluster_id")
     )
     wf = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
@@ -417,8 +463,10 @@ QUERIES["emb_ivf_ann"] = emb_ivf_ann
 QUERIES["emb_kmeans_ivf"] = emb_kmeans_ivf
 
 # k-means IVF oracle: component-level integer arithmetic with the Lloyd
-# rounds unrolled as chained CTEs (generated from the same KM_ROUNDS
-# constant as the Spark plan, so the two can't drift).
+# rounds unrolled as chained CTEs (generated from the same KM_ROUNDS /
+# KM_SAMPLE_MOD constants as the Spark plan, so the two can't drift).
+# Training rounds see only the hash-sample (comps); the full corpus is
+# assigned once to the trained centroids (asgf) before probe+rerank.
 def _kmeans_oracle() -> str:
     rounds = []
     prev_cent, prev_cn = "cent0", "cn0"
@@ -426,7 +474,7 @@ def _kmeans_oracle() -> str:
         rounds.append(f"""
         dot{r} AS (
             SELECT cc.c_id, ct.cluster_id, sum(cc.x * ct.s) AS d
-            FROM compc cc JOIN {prev_cent} ct USING (pos)
+            FROM comps cc JOIN {prev_cent} ct USING (pos)
             GROUP BY cc.c_id, ct.cluster_id
         ),
         sim{r} AS (
@@ -444,12 +492,13 @@ def _kmeans_oracle() -> str:
         ),
         cent{r} AS (
             SELECT a.cluster_id, cc.pos, sum(cc.x) AS s
-            FROM asg{r} a JOIN compc cc USING (c_id)
+            FROM asg{r} a JOIN comps cc USING (c_id)
             GROUP BY a.cluster_id, cc.pos
         ),
         cn{r} AS (SELECT cluster_id, sum(s * s) AS n2 FROM cent{r} GROUP BY cluster_id)""")
         prev_cent, prev_cn = f"cent{r}", f"cn{r}"
     R = KM_ROUNDS
+    samp_hash = STABLE_HASH_SQL("('km:' || CAST(c_id AS VARCHAR))")
     return f"""
         WITH
         qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
@@ -466,10 +515,30 @@ def _kmeans_oracle() -> str:
         ),
         normc AS (SELECT c_id, sum(x * x) AS n2 FROM compc GROUP BY c_id),
         normq AS (SELECT q_id, sum(x * x) AS n2 FROM compq GROUP BY q_id),
+        samp AS (SELECT c_id FROM cv WHERE {samp_hash} % {KM_SAMPLE_MOD} = 0),
+        comps AS (SELECT cc.* FROM compc cc JOIN samp USING (c_id)),
         cent0 AS (SELECT c_id AS cluster_id, pos, x AS s FROM compc
                   WHERE c_id < {N_QUERIES + IVF_K}),
         cn0 AS (SELECT cluster_id, sum(s * s) AS n2 FROM cent0 GROUP BY cluster_id),
         {",".join(rounds)},
+        dota AS (
+            SELECT cc.c_id, ct.cluster_id, sum(cc.x * ct.s) AS d
+            FROM compc cc JOIN cent{R} ct USING (pos)
+            GROUP BY cc.c_id, ct.cluster_id
+        ),
+        sima AS (
+            SELECT d.c_id, d.cluster_id,
+                   CAST(d.d AS DOUBLE)
+                   / (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(ct.n2 AS DOUBLE))) AS sim
+            FROM dota d JOIN normc nc USING (c_id) JOIN cn{R} ct USING (cluster_id)
+        ),
+        asgf AS (
+            SELECT c_id, cluster_id FROM (
+                SELECT c_id, cluster_id,
+                       row_number() OVER (PARTITION BY c_id ORDER BY sim DESC, cluster_id) AS rn
+                FROM sima
+            ) WHERE rn = 1
+        ),
         dotp AS (
             SELECT cq.q_id, ct.cluster_id, sum(cq.x * ct.s) AS d
             FROM compq cq JOIN cent{R} ct USING (pos)
@@ -489,7 +558,7 @@ def _kmeans_oracle() -> str:
             ) WHERE rn <= {IVF_NPROBE}
         ),
         pairsf AS (
-            SELECT p.q_id, a.c_id FROM probes p JOIN asg{R} a USING (cluster_id)
+            SELECT p.q_id, a.c_id FROM probes p JOIN asgf a USING (cluster_id)
         ),
         dotf AS (
             SELECT pf.q_id, pf.c_id, sum(cq.x * cc.x) AS d
