@@ -101,6 +101,7 @@ def _family(i: int, base: str) -> str:
 # reuses it. Keyed by applicationId (stable per live session, unlike
 # id()).
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -130,8 +131,13 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     16 hash families, 4 bands × 4 rows: pairs with true Jaccard ≥ ~0.9
     are found with probability ~1-(1-0.9⁴)⁴ ≈ 0.95; the band equality
-    join replaces the O(n²) pairing entirely.
+    join replaces the O(n²) pairing entirely. The scored pair table is
+    memoized+persisted per (session, sf_dir): clusters and the dedup
+    report reuse it instead of replaying the band join.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[key]
     sig = _signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -159,11 +165,17 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)])
     agree = " + ".join(f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES))
-    return (
+    # localCheckpoint = the local analog of materializing the scored
+    # pair table (what a 100 TB dedup run does with a parquet write):
+    # clusters + report consume it with a truncated lineage instead of
+    # replaying the band join per consumer.
+    _PAIRS_CACHE[key] = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.expr(f"({agree}) / {N_HASHES}.0").alias("est_jaccard"))
+        .localCheckpoint()
     )
+    return _PAIRS_CACHE[key]
 
 
 # -------------------------------------------------------------- simhash
@@ -661,9 +673,12 @@ ORACLES["doc_simhash_pairs"] = f"""
 # once); the report itself is four one-row aggregates broadcast-joined
 # together.
 def doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # n_docs = Σ n_copies over the exact-dedup groups, so the corpus is
+    # scanned exactly once (by the hash groupBy); near-dup pairs and CC
+    # labels come from the memoized persisted frames — the report adds
+    # only three one-row aggregates on top of already-materialized work.
     exact = doc_exact_dedup(spark, sf_dir).agg(
+        F.expr("CAST(SUM(n_copies) AS BIGINT)").alias("n_docs"),
         F.count(F.lit(1)).alias("n_distinct_texts"),
         F.expr("CAST(SUM(n_copies - 1) AS BIGINT)").alias("n_exact_dup_docs"),
     )
@@ -677,8 +692,7 @@ def doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(count(DISTINCT cluster_id) AS BIGINT)").alias("n_clusters"),
     )
     return (
-        n_docs.join(F.broadcast(exact))
-        .join(F.broadcast(pairs))
+        exact.join(F.broadcast(pairs))
         .join(F.broadcast(cc))
         .select(
             "n_docs",
@@ -702,9 +716,9 @@ QUERIES["doc_dedup_report"] = doc_dedup_report
 ORACLES["doc_dedup_report"] = f"""
     {_DUCK_CC_CTES},
     cc AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
-    base AS (SELECT count(*) AS n_docs FROM documents),
     exact AS (
-        SELECT count(*) AS n_distinct_texts,
+        SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+               count(*) AS n_distinct_texts,
                CAST(SUM(n - 1) AS BIGINT) AS n_exact_dup_docs
         FROM (SELECT count(*) AS n FROM documents
               GROUP BY {STABLE_HASH_SQL('text')})
@@ -722,5 +736,5 @@ ORACLES["doc_dedup_report"] = f"""
            CAST(n_docs - (n_clustered_docs - n_clusters) AS BIGINT) AS n_kept,
            (n_docs - (n_clustered_docs - n_clusters)) / CAST(n_docs AS DOUBLE)
                AS keep_rate
-    FROM base CROSS JOIN exact CROSS JOIN np CROSS JOIN ccagg
+    FROM exact CROSS JOIN np CROSS JOIN ccagg
 """
