@@ -69,15 +69,35 @@ def to_pgn(flat: DataFrame, numbered: bool = True) -> DataFrame:
     """Single-column DataFrame of PGN text blocks.
 
     ``numbered=True`` ranks games by game_id for stable [Game N]
-    headers. (A global row_number is a single-partition sort — fine for
-    a per-extract batch; pass False at huge scale to skip it and number
-    per output file instead.)
+    headers, computed DISTRIBUTED: range-partition on game_id, take a
+    per-partition row_number, and add broadcast prefix-sum offsets of
+    the per-partition counts. Equal keys land in one range partition,
+    so the result is identical to a global ``row_number() OVER (ORDER
+    BY game_id)`` — without the single-partition sort that would
+    serialize the whole corpus through one task at 100 TB. The only
+    single-partition window runs over n_partitions count rows.
     """
-    if numbered:
-        w = Window.orderBy("game_id")
-        flat = flat.withColumn("_n", F.row_number().over(w))
-        return flat.select(pgn_block(F.col("_n")).alias("pgn"))
-    return flat.select(pgn_block(None).alias("pgn"))
+    if not numbered:
+        return flat.select(pgn_block(None).alias("pgn"))
+    part = flat.repartitionByRange(F.col("game_id")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy("_pid").orderBy("game_id")
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        part.withColumn("_ln", F.row_number().over(wl))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("_n", F.col("_off") + F.col("_ln"))
+        .select(pgn_block(F.col("_n")).alias("pgn"))
+    )
 
 
 def write_pgn(flat: DataFrame, output_path: str, numbered: bool = True) -> None:
