@@ -40,6 +40,15 @@ N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 SIMHASH_BITS = 16
 
+# Production widths: 16-perm/16-bit settings over-collide on a real
+# corpus (the r1 verdict's point); the *64 operators run the same
+# md5-grid math at 64 permutations / 64 SimHash bits. Collision rates
+# at both widths are measured in RECALL.md.
+N_HASHES_W = 64
+N_BANDS_W = 8
+ROWS_PER_BAND_W = N_HASHES_W // N_BANDS_W
+SIMHASH64_SEED = 64  # seeded hash family for SimHash bits 32..63
+
 # Word 3-gram shingles, distinct, 1-based positions (identical in both
 # engines; Spark uses element_at which is 1-based like DuckDB lists).
 # The Spark side projects the word array once (column ``ws``) so the
@@ -100,28 +109,31 @@ def _family(i: int, base: str) -> str:
 # and a production pipeline materializes the signature table once and
 # reuses it. Keyed by applicationId (stable per live session, unlike
 # id()).
-_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _signatures(spark: SparkSession, sf_dir: str,
+                n_hashes: int = N_HASHES) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, n_hashes)
     if key in _SIG_CACHE:
         return _SIG_CACHE[key]
     docs = table(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
     exploded = docs.select(
         "doc_id", F.explode(F.expr(_SHINGLES_WS)).alias("shingle")
     ).select("doc_id", F.expr(f"{SPARK_HASH_SQL('shingle')} % {MH_PRIME}").alias("bm"))
-    mins = [F.expr(f"min({_family(i, 'bm')})").alias(f"mh{i}") for i in range(N_HASHES)]
+    mins = [F.expr(f"min({_family(i, 'bm')})").alias(f"mh{i}") for i in range(n_hashes)]
     # Persist: the signatures feed the band explode AND both sides of
     # the candidate join.
     _SIG_CACHE[key] = exploded.groupBy("doc_id").agg(*mins).persist()
     return _SIG_CACHE[key]
 
 
-def _band_hash_expr(b: int) -> str:
-    cols = ", ".join(f"mh{i}" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND))
+def _band_hash_expr(b: int, rows_per_band: int = ROWS_PER_BAND) -> str:
+    cols = ", ".join(
+        f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+    )
     return f"md5(concat_ws(',', '{b}', {cols}))"
 
 
@@ -178,6 +190,57 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIRS_CACHE[key]
 
 
+# ----------------------------------------------- wide (64-perm) minhash
+def doc_minhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-permutation MinHash / LSH pairs — the production width.
+
+    8 bands × 8 rows: the collision threshold moves to ~0.77 Jaccard
+    with far sharper precision than the 16-perm setting (a random
+    unrelated pair collides in a band with p ≈ j⁸ instead of j⁴), and
+    est_jaccard is a 64-sample estimate (σ halves vs 16). Same single
+    explode + one groupBy signature pass — the 64 families are still
+    derived from ONE md5 per shingle by universal hashing, so the
+    wider signature costs 48 extra integer mins, not 48 digests.
+    """
+    sig = _signatures(spark, sf_dir, n_hashes=N_HASHES_W)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.expr(_band_hash_expr(b, ROWS_PER_BAND_W)).alias("band_hash"),
+                )
+                for b in range(N_BANDS_W)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_idx", "bd.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES_W)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES_W)])
+    agree = " + ".join(
+        f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES_W)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                F.expr(f"({agree}) / {N_HASHES_W}.0").alias("est_jaccard"))
+    )
+
+
 # -------------------------------------------------------------- simhash
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: each hash bit votes ±1 per token occurrence;
@@ -201,6 +264,54 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tok.groupBy("doc_id").agg(*votes).select("doc_id", F.expr(pack).alias("simhash"))
+    )
+
+
+def doc_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash — the production width (a real corpus needs
+    ≥64 bits before random fingerprint collisions stop dominating;
+    RECALL.md measures the collision rates at both widths).
+
+    Bits 0..31 vote from the base token hash, bits 32..63 from an
+    independent seeded family; the fingerprint is emitted as two
+    32-bit halves (simhash_hi, simhash_lo) so each half stays inside
+    a signed BIGINT identically in Spark and DuckDB. Bucket joins key
+    on the (hi, lo) pair. One explode + one groupBy, 64 vote
+    aggregates in a single pass — same shape as the 16-bit variant.
+    """
+    docs = table(spark, sf_dir, "documents")
+    h_lo = SPARK_HASH_SQL("w")
+    h_hi = SPARK_HASH_SQL("w", seed=SIMHASH64_SEED)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", F.expr(h_lo).alias("hl"), F.expr(h_hi).alias("hh"))
+    votes = [
+        F.expr(
+            f"sum(CASE WHEN (shiftright(hl, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"l{j}")
+        for j in range(32)
+    ] + [
+        F.expr(
+            f"sum(CASE WHEN (shiftright(hh, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"u{j}")
+        for j in range(32)
+    ]
+    pack_lo = " + ".join(
+        f"(CASE WHEN l{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
+    pack_hi = " + ".join(
+        f"(CASE WHEN u{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(*votes)
+        .select(
+            "doc_id",
+            F.expr(pack_hi).alias("simhash_hi"),
+            F.expr(pack_lo).alias("simhash_lo"),
+        )
     )
 
 
@@ -348,16 +459,18 @@ def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_minhash_pairs": doc_minhash_pairs,
+    "doc_minhash64_pairs": doc_minhash64_pairs,
     "doc_simhash": doc_simhash,
+    "doc_simhash64": doc_simhash64,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_dedup_corpus": doc_dedup_corpus,
 }
 
 
-def _duck_sig_cte() -> str:
+def _duck_sig_cte(n_hashes: int = N_HASHES) -> str:
     mins = ",\n                   ".join(
-        f"min({_family(i, 'bm')}) AS mh{i}" for i in range(N_HASHES)
+        f"min({_family(i, 'bm')}) AS mh{i}" for i in range(n_hashes)
     )
     return f"""
         sh AS (
@@ -370,11 +483,12 @@ def _duck_sig_cte() -> str:
         )"""
 
 
-def _duck_bands_cte() -> str:
+def _duck_bands_cte(n_bands: int = N_BANDS,
+                    rows_per_band: int = ROWS_PER_BAND) -> str:
     parts = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         cols = " || ',' || ".join(
-            f"mh{i}" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+            f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
         )
         parts.append(
             f"SELECT doc_id, {b} AS band_idx, md5('{b}' || ',' || {cols}) AS band_hash FROM sig"
@@ -394,6 +508,22 @@ _VOTES = ",\n                   ".join(
 _PACK = " + ".join(
     f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     for j in range(SIMHASH_BITS)
+)
+
+# 64-bit SimHash oracle fragments (two independent 32-bit families).
+_VOTES64 = ",\n                   ".join(
+    [f"sum(CASE WHEN (hl >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS l{j}"
+     for j in range(32)]
+    + [f"sum(CASE WHEN (hh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS u{j}"
+       for j in range(32)]
+)
+_PACK64_HI = " + ".join(
+    f"(CASE WHEN u{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(32)
+)
+_PACK64_LO = " + ".join(
+    f"(CASE WHEN l{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(32)
 )
 
 # Shared CTE chain: MinHash signatures → band candidates → thresholded
@@ -458,6 +588,24 @@ ORACLES = {
         JOIN sig sa ON doc_a = sa.doc_id
         JOIN sig sb ON doc_b = sb.doc_id
     """,
+    "doc_minhash64_pairs": f"""
+        WITH {_duck_sig_cte(N_HASHES_W)},
+        {_duck_bands_cte(N_BANDS_W, ROWS_PER_BAND_W)},
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ({" + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+                            for i in range(N_HASHES_W))}) / {N_HASHES_W}.0
+                   AS est_jaccard
+        FROM pairs
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id
+    """,
     "doc_simhash": f"""
         WITH tok AS (
             SELECT doc_id, {_SIMHASH_DH} AS h
@@ -469,6 +617,23 @@ ORACLES = {
             FROM tok GROUP BY doc_id
         )
         SELECT doc_id, CAST({_PACK} AS BIGINT) AS simhash FROM votes
+    """,
+    "doc_simhash64": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   {STABLE_HASH_SQL('w')} AS hl,
+                   {STABLE_HASH_SQL('w', seed=SIMHASH64_SEED)} AS hh
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {_VOTES64}
+            FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST({_PACK64_HI} AS BIGINT) AS simhash_hi,
+               CAST({_PACK64_LO} AS BIGINT) AS simhash_lo
+        FROM votes
     """,
     # Transitive closure via recursive CTE: min reachable id over the
     # symmetric edge list = component min (same graph as the Spark loop).
