@@ -1,0 +1,53 @@
+"""Per-suite invariants for the events operators (SURVEY §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators import events as E
+from tests.conftest import SF_SMALL
+
+
+def test_sessionize_covers_all_events(spark):
+    n_events = table(spark, SF_SMALL, "events").count()
+    sessions = E.ev_sessionize(spark, SF_SMALL)
+    assert sessions.agg(F.sum("n_events")).first()[0] == n_events
+
+
+def test_session_window_agrees_with_sessionizer_on_count(spark):
+    n_hand = E.ev_sessionize(spark, SF_SMALL).count()
+    n_native = E.ev_session_window(spark, SF_SMALL).count()
+    assert n_hand == n_native  # same 30-min gap segmentation
+
+
+def test_daily_active_approx_within_bounds(spark):
+    out = E.ev_daily_active_approx(spark, SF_SMALL)
+    assert out.filter(~F.col("hll_ok")).count() == 0
+
+
+def test_percentiles_approx_bracketed(spark):
+    out = E.ev_percentiles_approx(spark, SF_SMALL)
+    bad = out.filter(
+        ~F.col("p50_ok") | ~F.col("p90_ok") | ~F.col("p99_ok")
+    ).count()
+    assert bad == 0
+
+
+def test_cohort_retention_day0_is_maximum(spark):
+    # Every user is active on their own cohort day → the day-0 offset
+    # of each cohort counts the full cohort and dominates later days.
+    rows = E.ev_cohort_retention(spark, SF_SMALL).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_day"], {})[r["day_offset"]] = r["n_users"]
+    for offsets in by_cohort.values():
+        assert 0 in offsets
+        assert all(offsets[0] >= n for n in offsets.values())
+
+
+def test_funnel_is_monotone(spark):
+    row = E.ev_funnel(spark, SF_SMALL).first()
+    steps = [c for c in row.asDict() if c.startswith("n_")]
+    vals = [row[c] for c in sorted(steps)]
+    assert all(v >= 0 for v in vals)

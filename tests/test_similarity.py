@@ -1,0 +1,51 @@
+"""Per-suite invariants for the similarity-search operators (SURVEY §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators import similarity as S
+from tests.conftest import SF_SMALL
+
+
+def test_cosine_topk_shape_and_range(spark):
+    out = S.emb_cosine_topk(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+        assert -1.0001 <= r["sim"] <= 1.0001
+    assert len(by_q) == S.N_QUERIES
+    for rows in by_q.values():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, S.TOP_K + 1))
+        # rank order agrees with sim order
+        by_rank = sorted(rows, key=lambda r: r["rank"])
+        sims = [r["sim"] for r in by_rank]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_results_are_subset_of_corpus(spark):
+    ann = S.emb_lsh_ann(spark, SF_SMALL)
+    assert ann.filter(F.col("c_id") < S.N_QUERIES).count() == 0
+
+
+def test_kmeans_ivf_rank_bounds(spark):
+    out = S.emb_kmeans_ivf(spark, SF_SMALL)
+    assert out.filter((F.col("rank") < 1) | (F.col("rank") > 3)).count() == 0
+    assert out.groupBy("q_id", "rank").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_ann_recall_vs_bruteforce_nonzero(spark):
+    """The sampled-trained quantizer must still find a nontrivial share
+    of the exact top-3 (guards against a broken assignment path)."""
+    exact = {(r["q_id"], r["c_id"])
+             for r in S.emb_cosine_topk(spark, SF_SMALL).filter("rank <= 3").collect()}
+    approx = {(r["q_id"], r["c_id"]) for r in S.emb_kmeans_ivf(spark, SF_SMALL).collect()}
+    assert len(exact & approx) > 0
+
+
+def test_sq8_dim_stats_match_embedding_width(spark):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+
+    dim = len(table(spark, SF_SMALL, "embeddings").first()["embedding"])
+    assert S.emb_dim_stats(spark, SF_SMALL).count() == dim
