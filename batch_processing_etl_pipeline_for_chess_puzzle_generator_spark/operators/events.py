@@ -1229,3 +1229,231 @@ ORACLES["ev_session_durations"] = f"""
     FROM sessions
     GROUP BY 1
 """
+
+
+# ------------------------------------------------------ sketch operators
+#
+# Count-Min Sketch + Bloom filter: the two classic fixed-memory stream
+# summaries Spark has no built-in for. Both are md5-grid deterministic
+# (functions/hashing.py), so unlike most sketch implementations they are
+# EXACTLY replayable by the SQL oracle — the estimate itself is checked,
+# not just a bound. At 100 TB the sketch tables are O(D·W) / O(M) rows
+# regardless of input size: they broadcast, and the input is touched in
+# one aggregation pass.
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import (  # noqa: E402
+    SPARK_HASH_SQL,
+    STABLE_HASH_SQL,
+)
+
+CMS_D = 4      # hash rows (seeds)
+CMS_W = 256    # buckets per row
+
+
+def _cms_bucket_spark(d: int) -> str:
+    h = SPARK_HASH_SQL(f"CONCAT('cms{d}:', CAST(user_id AS STRING))")
+    return f"pmod({h}, {CMS_W})"
+
+
+def _cms_bucket_duck(d: int) -> str:
+    h = STABLE_HASH_SQL(f"('cms{d}:' || CAST(user_id AS VARCHAR))")
+    return f"{h} % {CMS_W}"
+
+
+def ev_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by event count, with their Count-Min estimate.
+
+    One pass builds exact per-user counts; the CMS is the (d, bucket)
+    roll-up of those counts (equivalent to streaming increments, since
+    addition is associative). Estimates = min over the D rows of the
+    user's bucket counters — `cms_sound` asserts the CMS overcount
+    invariant est ≥ exact, and the oracle replays the exact same grid.
+    The top-10 is TakeOrdered (distributed), not a global window sort.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    hashed = per_user.select(
+        "user_id",
+        "n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(_cms_bucket_spark(d)).alias("bucket"),
+                )
+                for d in range(CMS_D)
+            ])
+        ).alias("h"),
+    ).select("user_id", "n", "h.d", "h.bucket")
+    sketch = hashed.groupBy("d", "bucket").agg(F.sum("n").alias("cnt"))
+    est = (
+        hashed.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_est"), F.max("n").alias("n_exact"))
+    )
+    top = est.orderBy(F.col("n_exact").desc(), F.col("user_id")).limit(10)
+    return top.select(
+        "user_id",
+        "n_exact",
+        "cms_est",
+        F.expr("cms_est >= n_exact").alias("cms_sound"),
+    )
+
+
+BLOOM_K = 3     # hash functions
+BLOOM_M = 4096  # bit positions
+
+
+def _bloom_bit_spark(k: int) -> str:
+    h = SPARK_HASH_SQL(f"CONCAT('bf{k}:', CAST(user_id AS STRING))")
+    return f"pmod({h}, {BLOOM_M})"
+
+
+def _bloom_bit_duck(k: int) -> str:
+    h = STABLE_HASH_SQL(f"('bf{k}:' || CAST(user_id AS VARCHAR))")
+    return f"{h} % {BLOOM_M}"
+
+
+def ev_bloom_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day new-vs-seen triage through a Bloom filter trained on the
+    corpus's first day of users.
+
+    The bit set is the distinct bit table of the day-1 users (≤ K·n
+    rows, broadcast); a later user is a bloom-positive iff all K of its
+    bits are present. Emits exact seen counts next to bloom positives
+    and false positives — `bloom_sound` checks the no-false-negative
+    guarantee (positives ⊇ actually-seen). Everything is one pass over
+    events + broadcast joins against tiny bit/user tables.
+    """
+    ev = table(spark, sf_dir, "events")
+    user_days = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    )
+    day0 = user_days.agg(F.min("day").alias("day0"))
+    train = (
+        user_days.join(F.broadcast(day0), F.col("day") == F.col("day0"))
+        .select("user_id")
+        .distinct()
+    )
+    bits = (
+        train.select(
+            F.explode(
+                F.array(*[F.expr(_bloom_bit_spark(k)) for k in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    later = user_days.join(F.broadcast(day0), F.col("day") > F.col("day0")).select(
+        "user_id", "day"
+    )
+    probes = later.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.array(*[F.expr(_bloom_bit_spark(k)) for k in range(BLOOM_K)])
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits.withColumn("present", F.lit(1))), "bit", "left")
+        .groupBy("user_id", "day")
+        .agg(F.expr(f"count(present) = {BLOOM_K}").alias("bloom_pos"))
+    )
+    seen = hits.join(
+        F.broadcast(train.withColumn("is_seen", F.lit(1))), "user_id", "left"
+    )
+    return (
+        seen.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr(
+                "CAST(SUM(CASE WHEN is_seen = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_seen_exact"),
+            F.expr(
+                "CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_bloom_pos"),
+            F.expr(
+                "CAST(SUM(CASE WHEN bloom_pos AND is_seen IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_false_pos"),
+            F.expr(
+                "SUM(CASE WHEN is_seen = 1 AND NOT bloom_pos THEN 1 ELSE 0 END) = 0"
+            ).alias("bloom_sound"),
+        )
+    )
+
+
+QUERIES["ev_cms_heavy_hitters"] = ev_cms_heavy_hitters
+QUERIES["ev_bloom_new_users"] = ev_bloom_new_users
+
+
+def _cms_oracle() -> str:
+    rows = "\n            UNION ALL ".join(
+        f"SELECT user_id, n, {d} AS d, {_cms_bucket_duck(d)} AS bucket FROM per_user"
+        for d in range(CMS_D)
+    )
+    return f"""
+        WITH per_user AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        ),
+        hashed AS (
+            {rows}
+        ),
+        sketch AS (
+            SELECT d, bucket, CAST(sum(n) AS BIGINT) AS cnt
+            FROM hashed GROUP BY d, bucket
+        ),
+        est AS (
+            SELECT h.user_id, min(s.cnt) AS cms_est, max(h.n) AS n_exact
+            FROM hashed h JOIN sketch s USING (d, bucket)
+            GROUP BY h.user_id
+        )
+        SELECT user_id, n_exact, cms_est, cms_est >= n_exact AS cms_sound
+        FROM est
+        ORDER BY n_exact DESC, user_id
+        LIMIT 10
+    """
+
+
+def _bloom_oracle() -> str:
+    train_bits = "\n            UNION ".join(
+        f"SELECT DISTINCT {_bloom_bit_duck(k)} AS bit FROM train"
+        for k in range(BLOOM_K)
+    )
+    probe_bits = "\n            UNION ALL ".join(
+        f"SELECT user_id, day, {_bloom_bit_duck(k)} AS bit FROM later"
+        for k in range(BLOOM_K)
+    )
+    return f"""
+        WITH user_days AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ),
+        day0 AS (SELECT min(day) AS d0 FROM user_days),
+        train AS (
+            SELECT DISTINCT user_id FROM user_days, day0 WHERE day = d0
+        ),
+        bits AS (
+            {train_bits}
+        ),
+        later AS (
+            SELECT user_id, day FROM user_days, day0 WHERE day > d0
+        ),
+        probes AS (
+            {probe_bits}
+        ),
+        hits AS (
+            SELECT p.user_id, p.day,
+                   count(b.bit) = {BLOOM_K} AS bloom_pos
+            FROM probes p LEFT JOIN bits b USING (bit)
+            GROUP BY p.user_id, p.day
+        )
+        SELECT CAST(h.day AS TIMESTAMP) AS day,
+               count(*) AS n_users,
+               CAST(SUM(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_exact,
+               CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pos,
+               CAST(SUM(CASE WHEN bloom_pos AND t.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               SUM(CASE WHEN t.user_id IS NOT NULL AND NOT bloom_pos THEN 1 ELSE 0 END) = 0 AS bloom_sound
+        FROM hits h LEFT JOIN train t USING (user_id)
+        GROUP BY h.day
+    """
+
+
+ORACLES["ev_cms_heavy_hitters"] = _cms_oracle()
+ORACLES["ev_bloom_new_users"] = _bloom_oracle()

@@ -1269,3 +1269,103 @@ ORACLES["emb_outliers"] = """
     FROM scored s JOIN stats USING (label)
     WHERE z_score > 1.5
 """
+
+
+# -------------------------------------------- Matryoshka prefix search
+#
+# MRL-style embeddings keep most of their signal in a prefix of the
+# dimensions; searching at a truncated width is the standard cheap
+# first stage. This operator measures exactly what truncation costs:
+# per query, the overlap between exact top-K at full width and exact
+# top-K at the PREFIX_DIM prefix. Same quantized-integer math as the
+# rest of the family (order-independent, oracle-exact); the query side
+# broadcasts, the corpus is scanned once.
+PREFIX_DIM = 16
+
+
+def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q, c = _split(spark, sf_dir)
+    q = q.select(
+        "q_id", "qa", "qn",
+        F.expr(f"slice(qa, 1, {PREFIX_DIM})").alias("qp"),
+    ).withColumn("qpn", F.expr(_qnorm("qp")))
+    c = c.select(
+        "c_id", "ca", "cn",
+        F.expr(f"slice(ca, 1, {PREFIX_DIM})").alias("cp"),
+    ).withColumn("cpn", F.expr(_qnorm("cp")))
+    scored = c.crossJoin(broadcast(q)).select(
+        "q_id", "c_id",
+        F.expr(_SIM).alias("sim_full"),
+        F.expr(
+            "CAST(aggregate(zip_with(qp, cp, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / "
+            "(sqrt(CAST(qpn AS DOUBLE)) * sqrt(CAST(cpn AS DOUBLE)))"
+        ).alias("sim_prefix"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("sim_full").desc(), F.col("c_id"))
+    wp = Window.partitionBy("q_id").orderBy(F.col("sim_prefix").desc(), F.col("c_id"))
+    ranked = scored.select(
+        "q_id", "c_id",
+        F.row_number().over(wf).alias("rk_full"),
+        F.row_number().over(wp).alias("rk_prefix"),
+    )
+    return ranked.groupBy("q_id").agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN rk_full <= {TOP_K} AND rk_prefix <= {TOP_K} "
+            "THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_overlap"),
+        F.expr(f"CAST({TOP_K} AS BIGINT)").alias("k"),
+    )
+
+
+QUERIES["emb_matryoshka_overlap"] = emb_matryoshka_overlap
+
+ORACLES["emb_matryoshka_overlap"] = f"""
+    WITH qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                WHERE vec_id < {N_QUERIES}),
+    cv AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+           WHERE vec_id >= {N_QUERIES}),
+    compq AS (
+        SELECT q_id, unnest(range(1, len(qe) + 1)) AS pos,
+               CAST(round(CAST(unnest(qe) AS DOUBLE) * 1000000) AS BIGINT) AS x
+        FROM qv
+    ),
+    compc AS (
+        SELECT c_id, unnest(range(1, len(ce) + 1)) AS pos,
+               CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT) AS x
+        FROM cv
+    ),
+    nq AS (SELECT q_id, sum(x * x) AS n2 FROM compq GROUP BY q_id),
+    nc AS (SELECT c_id, sum(x * x) AS n2 FROM compc GROUP BY c_id),
+    nqp AS (SELECT q_id, sum(x * x) AS n2 FROM compq WHERE pos <= {PREFIX_DIM} GROUP BY q_id),
+    ncp AS (SELECT c_id, sum(x * x) AS n2 FROM compc WHERE pos <= {PREFIX_DIM} GROUP BY c_id),
+    dots AS (
+        SELECT cq.q_id, cc.c_id,
+               sum(cq.x * cc.x) AS d_full,
+               sum(CASE WHEN cq.pos <= {PREFIX_DIM} THEN cq.x * cc.x ELSE 0 END) AS d_pre
+        FROM compq cq JOIN compc cc USING (pos)
+        GROUP BY cq.q_id, cc.c_id
+    ),
+    sims AS (
+        SELECT d.q_id, d.c_id,
+               CAST(d_full AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS sim_full,
+               CAST(d_pre AS DOUBLE) / (sqrt(CAST(nqp.n2 AS DOUBLE)) * sqrt(CAST(ncp.n2 AS DOUBLE))) AS sim_prefix
+        FROM dots d
+        JOIN nq USING (q_id) JOIN nc USING (c_id)
+        JOIN nqp USING (q_id) JOIN ncp USING (c_id)
+    ),
+    ranked AS (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim_full DESC, c_id) AS rk_full,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim_prefix DESC, c_id) AS rk_prefix
+        FROM sims
+    )
+    SELECT q_id,
+           CAST(SUM(CASE WHEN rk_full <= {TOP_K} AND rk_prefix <= {TOP_K}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST({TOP_K} AS BIGINT) AS k
+    FROM ranked
+    GROUP BY q_id
+"""

@@ -866,3 +866,107 @@ ORACLES["doc_ngram_novelty"] = f"""
     FROM ex JOIN first USING (g)
     GROUP BY doc_id
 """
+
+
+# ------------------------------------------------- train/val/test split
+#
+# Deterministic hash split — the op every training pipeline runs before
+# anything else. Assignment is pure arithmetic on doc_id (no RNG state,
+# no shuffle beyond the summary agg), so it is stable across reruns,
+# engines, and cluster sizes — the property that matters when the split
+# must not leak between training jobs.
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = SPARK_HASH_SQL("CONCAT('split:', CAST(doc_id AS STRING))")
+    split = (
+        f"CASE WHEN pmod({h}, 10) < 8 THEN 'train' "
+        f"WHEN pmod({h}, 10) = 8 THEN 'val' ELSE 'test' END"
+    )
+    return (
+        docs.groupBy("source", F.expr(split).alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("n_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------- Zipf fitness
+#
+# Per-source Zipf exponent: OLS slope of ln(freq) on ln(rank) over the
+# top-100 words. Natural text sits near -1; the slope is a cheap
+# distribution-shift / quality signal per source. Determinism: ln
+# values are quantized to a 1e-6 integer grid so all OLS component sums
+# are exact integer arithmetic (same trick as stat_sales_corr); the
+# final slope is one double division, rounded.
+ZIPF_TOP = 100
+
+
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(F.expr(_WORDS)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("w"))
+    top = (
+        wc.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= ZIPF_TOP)
+        .select(
+            "source",
+            F.expr("CAST(round(ln(rk) * 1000000) AS BIGINT)").alias("x"),
+            F.expr("CAST(round(ln(n) * 1000000) AS BIGINT)").alias("y"),
+        )
+    )
+    return top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.expr(
+            "ROUND(CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) / "
+            "CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE), 6)"
+        ).alias("zipf_slope"),
+    )
+
+
+QUERIES["doc_train_split"] = doc_train_split
+QUERIES["doc_zipf_slope"] = doc_zipf_slope
+
+_SPLIT_H_DUCK = STABLE_HASH_SQL("('split:' || CAST(doc_id AS VARCHAR))")
+
+ORACLES["doc_train_split"] = f"""
+    SELECT source,
+           CASE WHEN {_SPLIT_H_DUCK} % 10 < 8 THEN 'train'
+                WHEN {_SPLIT_H_DUCK} % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY 1, 2
+"""
+
+ORACLES["doc_zipf_slope"] = f"""
+    WITH wc AS (
+        SELECT source, w, count(*) AS n
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY source, w
+    ),
+    top AS (
+        SELECT source,
+               CAST(round(ln(rk) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(n) * 1000000) AS BIGINT) AS y
+        FROM (
+            SELECT source, n,
+                   row_number() OVER (PARTITION BY source ORDER BY n DESC, w) AS rk
+            FROM wc
+        )
+        WHERE rk <= {ZIPF_TOP}
+    )
+    SELECT source,
+           count(*) AS n_words,
+           ROUND(CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+                 / CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE), 6)
+               AS zipf_slope
+    FROM top
+    GROUP BY source
+"""
