@@ -970,3 +970,57 @@ ORACLES["doc_zipf_slope"] = f"""
     FROM top
     GROUP BY source
 """
+
+
+# --------------------------------------------------------- OOV coverage
+#
+# Out-of-vocabulary rate against the corpus top-K vocabulary — the
+# coverage check a tokenizer pipeline runs before freezing its vocab.
+# Two passes: the vocab build (explode → count → top-K, tiny result)
+# broadcasts back over a second scan; per-doc OOV is then a row-local
+# filter against the broadcast set. At 100 TB both passes are pure
+# scan-bandwidth; only (token, count) rows ever shuffle.
+OOV_VOCAB_K = 50
+
+
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    vocab = doc_vocab_topk(spark, sf_dir).select(
+        F.expr("collect_list(token)").alias("vocab")
+    )
+    return (
+        docs.join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(f"CAST(size({_WORDS}) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                f"CAST(size(filter({_WORDS}, w -> NOT array_contains(vocab, w))) AS BIGINT)"
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov / CAST(n_tokens AS DOUBLE)").alias("oov_rate"),
+        )
+    )
+
+
+QUERIES["doc_oov_rate"] = doc_oov_rate
+
+ORACLES["doc_oov_rate"] = f"""
+    WITH vocab AS (
+        SELECT token
+        FROM (SELECT unnest({_WORDS_DUCK}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY count(*) DESC, token
+        LIMIT {OOV_VOCAB_K}
+    ),
+    v AS (SELECT list(token) AS vs FROM vocab)
+    SELECT doc_id,
+           CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter({_WORDS_DUCK}, w -> NOT list_contains(vs, w))) AS BIGINT) AS n_oov,
+           len(list_filter({_WORDS_DUCK}, w -> NOT list_contains(vs, w)))
+               / CAST(len({_WORDS_DUCK}) AS DOUBLE) AS oov_rate
+    FROM documents, v
+"""

@@ -133,63 +133,67 @@ def sessionize_events_stream(events: DataFrame,
 
 def funnel_events_stream(events: DataFrame,
                          stages: tuple[str, ...] = ("view", "click", "purchase"),
-                         watermark: str = "2 hours") -> DataFrame:
-    """Streaming ordered funnel — twin of operators/events.py::ev_funnel.
+                         watermark: str = "2 hours",
+                         ttl_ms: int = 24 * 3600 * 1000,
+                         buffer_cap: int = 64) -> DataFrame:
+    """Streaming ordered funnel — twin of operators/events.py::ev_funnel,
+    with BUFFERED REPLAY and an event-time state TTL.
 
-    Per user, a monotone stage machine: stage N's first timestamp only
-    counts if it is ≥ stage N-1's first counted timestamp. One row
-    (user_id, ts_view, ts_click, ts_purchase) is emitted the moment the
-    final stage completes; state is |stages| longs per live user and is
-    dropped on emission, so only non-converted users occupy state (at
-    scale, pair with a state TTL on the watermark).
-
-    Known limitation vs the batch twin: a later-stage event that ARRIVES
-    before its prior stage has completed is dropped, not replayed —
-    production hardening buffers per-stage candidate timestamps within
-    the watermark and replays them on state update.
+    Per user the state holds a bounded sorted buffer of candidate
+    timestamps per stage (earliest ``buffer_cap`` each). Every batch the
+    monotone chain — stage N's earliest timestamp ≥ stage N-1's counted
+    one — is recomputed from the merged buffers, so a later-stage event
+    that ARRIVES before its prior stage has completed is replayed once
+    the prior stage lands (the r1 limitation). One row emits the moment
+    the final stage completes and the state drops; users idle past
+    ``ttl_ms`` beyond the watermark are evicted by the event-time
+    timeout, so abandoned funnels can't accumulate state at 100 TB.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     n = len(stages)
     out_fields = ", ".join(f"ts_{s} TIMESTAMP" for s in stages)
-    state_fields = ", ".join(f"s{i} LONG" for i in range(n))
+    state_fields = ", ".join(f"s{i} ARRAY<LONG>" for i in range(n))
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
         if state.hasTimedOut:
             state.remove()
             return
-        cur = list(state.get) if state.exists else [None] * n
-        if cur and cur[-1] is not None:  # already converted
-            return
-        evs = []
+        bufs = (
+            [list(b) if b is not None else [] for b in state.get]
+            if state.exists
+            else [[] for _ in range(n)]
+        )
         for pdf in pdf_iter:
-            evs.extend(
-                (int(t.value // 1_000_000), et)
-                for t, et in zip(pdf["ts"], pdf["event_type"])
-                if et in stages
-            )
-        evs.sort()
-        done = False
-        for t_ms, et in evs:
-            i = stages.index(et)
-            if cur[i] is not None:
-                continue
-            if i == 0 or (cur[i - 1] is not None and t_ms >= cur[i - 1]):
-                cur[i] = t_ms
-                if i == n - 1:
-                    done = True
-                    break
-        if done:
+            for t, et in zip(pdf["ts"], pdf["event_type"]):
+                if et in stages:
+                    bufs[stages.index(et)].append(int(t.value // 1_000_000))
+        # Earliest candidates are the only ones the chain can use: keep
+        # each buffer sorted, deduped, and capped.
+        bufs = [sorted(set(b))[:buffer_cap] for b in bufs]
+        chain: list[int | None] = [None] * n
+        for i in range(n):
+            floor = 0 if i == 0 else chain[i - 1]
+            if i > 0 and floor is None:
+                break
+            cands = [t for t in bufs[i] if i == 0 or t >= floor]
+            if not cands:
+                break
+            chain[i] = cands[0]
+        if chain[-1] is not None:
             state.remove()
             yield pd.DataFrame({
                 "user_id": [user_id],
-                **{f"ts_{s}": [pd.Timestamp(cur[i], unit="ms")]
+                **{f"ts_{s}": [pd.Timestamp(chain[i], unit="ms")]
                    for i, s in enumerate(stages)},
             })
         else:
-            state.update(tuple(cur))
+            state.update(tuple(bufs))
+            wm = state.getCurrentWatermarkMs()
+            latest = max((b[-1] for b in bufs if b), default=0)
+            state.setTimeoutTimestamp(max(wm, latest) + ttl_ms)
 
     return (
         events.withWatermark("ts", watermark)
@@ -199,7 +203,7 @@ def funnel_events_stream(events: DataFrame,
             outputStructType=f"user_id LONG, {out_fields}",
             stateStructType=state_fields,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -221,3 +221,37 @@ def test_apply_cdc_stream(spark, tmp_path):
 
     got = {r.k: r.v for r in spark.read.parquet(base_path).collect()}
     assert got == {2: "b2", 3: "c"}  # 1 deleted, 2 updated to latest, 3 inserted
+
+
+def test_funnel_stream_replays_out_of_order_stage(spark, tmp_path):
+    """A later-stage event that ARRIVES before its prior stage completes
+    must be buffered and replayed (r2 hardening), not dropped."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        funnel_events_stream,
+    )
+
+    src = tmp_path / "funnel_replay"
+    src.mkdir()
+    # Batch 1 delivers click+purchase (timestamps AFTER the view's) but
+    # the view event itself arrives only in batch 2.
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01 00:01:00", "user_id": 7, "event_type": "click"},
+        {"event_id": 2, "ts": "2024-01-01 00:02:00", "user_id": 7, "event_type": "purchase"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, user_id LONG, event_type STRING")
+        .json(str(src))
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    )
+    _run_stream(funnel_events_stream(stream), "funnel_replay1")
+    assert spark.sql("SELECT * FROM funnel_replay1").count() == 0
+    (src / "b2.json").write_text(json.dumps(
+        {"event_id": 3, "ts": "2024-01-01 00:00:00", "user_id": 7, "event_type": "view"}
+    ))
+    _run_stream(funnel_events_stream(stream), "funnel_replay2")
+    rows = spark.sql("SELECT * FROM funnel_replay2").collect()
+    assert [r["user_id"] for r in rows] == [7]
+    assert str(rows[0]["ts_view"]) == "2024-01-01 00:00:00"
+    assert str(rows[0]["ts_click"]) == "2024-01-01 00:01:00"
+    assert str(rows[0]["ts_purchase"]) == "2024-01-01 00:02:00"
