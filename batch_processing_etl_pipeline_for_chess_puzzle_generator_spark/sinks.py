@@ -118,3 +118,44 @@ def compact(spark: SparkSession, path: str, fmt: str = "parquet",
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def compact_partitioned(spark: SparkSession, path: str, fmt: str = "parquet",
+                        target_file_bytes: int = 128 * 1024 * 1024,
+                        min_files: int = 2) -> dict[str, int]:
+    """Per-partition-directory compaction for hive-layout tables.
+
+    Walks the ``key=value`` directory tree to its leaves and compacts
+    ONLY the partitions whose file count exceeds ``min_files`` — the
+    maintenance shape at 100 TB, where a full-table rewrite is never an
+    option and only the partitions that drifted (streaming appends,
+    skewed writers) need touching. Each leaf uses the same atomic
+    temp-dir swap as :func:`compact`. Returns {partition_dir: new file
+    count} for the partitions rewritten.
+    """
+    import os
+
+    def leaves(d: str):
+        subs = [
+            os.path.join(d, x) for x in sorted(os.listdir(d))
+            if os.path.isdir(os.path.join(d, x)) and "=" in x
+        ]
+        if not subs:
+            yield d
+            return
+        for s in subs:
+            yield from leaves(s)
+
+    done: dict[str, int] = {}
+    for leaf in leaves(path):
+        data_files = [
+            f for f in os.listdir(leaf)
+            if not f.startswith("_") and not f.startswith(".")
+            and os.path.isfile(os.path.join(leaf, f))
+        ]
+        if len(data_files) <= min_files:
+            continue
+        done[os.path.relpath(leaf, path)] = compact(
+            spark, leaf, fmt=fmt, target_file_bytes=target_file_bytes
+        )
+    return done

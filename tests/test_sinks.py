@@ -117,3 +117,33 @@ def test_compact_small_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.selectExpr("sum(v)").collect()[0][0] == 10_000 * 9_999
+
+
+def test_compact_partitioned_only_touches_drifted_dirs(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import (
+        compact_partitioned,
+        read_partitioned,
+    )
+
+    out = str(tmp_path / "part_table")
+    df = spark.range(2000).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS k", "id * 2 AS v"
+    )
+    # Write WITHOUT pre-shuffling so each partition dir gets many files.
+    df.repartition(8).write.partitionBy("k").parquet(out)
+    import os
+
+    def n_files(d):
+        return len([f for f in os.listdir(d)
+                    if not f.startswith("_") and not f.startswith(".")])
+
+    assert n_files(os.path.join(out, "k=0")) > 2
+    before = spark.read.parquet(out).orderBy("id").collect()
+    done = compact_partitioned(spark, out, min_files=2)
+    assert set(done) == {"k=0", "k=1"}
+    assert all(n == 1 for n in done.values())
+    assert n_files(os.path.join(out, "k=0")) == 1
+    after = spark.read.parquet(out).orderBy("id").collect()
+    assert [r["id"] for r in after] == [r["id"] for r in before]
+    # Second pass: nothing drifted, nothing rewritten.
+    assert compact_partitioned(spark, out, min_files=2) == {}
