@@ -108,24 +108,37 @@ def _bucket_expr(col: str) -> str:
     return f"CAST({bits} AS BIGINT)"
 
 
+# Probe set: home bucket + every 1-bit and 2-bit flip (1 + 8 + 28 = 37
+# probes over the 256-bucket space). Masks are distinct, so probed
+# buckets are distinct and no (q, c) pair can repeat.
+_LSH_PROBE_MASKS = (
+    [0]
+    + [1 << j for j in range(LSH_BITS)]
+    + [(1 << i) | (1 << j)
+       for i in range(LSH_BITS) for j in range(i + 1, LSH_BITS)]
+)
+
+
 def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-bit LSH ANN: each query probes its own bucket
-    plus the LSH_BITS one-bit-flip neighbors (the vectors most likely
-    to straddle a hyperplane), then exact rerank within the probed
-    buckets. Multi-probe is THE standard recall lever — measured 0.02 →
-    0.20 recall@3-of-5 here vs single-probe (RECALL.md) — at probe-count
-    bucket lookups, not a wider bucket space. Corpus vectors still
-    bucket exactly once (a probe is an equality join, so no dedup is
-    needed: buckets partition the corpus)."""
+    plus every 1-bit and 2-bit flip neighbor (the vectors most likely
+    to straddle one or two hyperplanes), then exact rerank within the
+    probed buckets. Multi-probe is THE standard recall lever — measured
+    0.02 (single probe) → 0.20 (1-bit) → higher at 2-bit here
+    (RECALL.md) — at probe-count bucket lookups, not a wider bucket
+    space. Corpus vectors still bucket exactly once (a probe is an
+    equality join, so no dedup is needed: buckets partition the
+    corpus); candidate volume is |probes|/2^bits of the corpus per
+    query, a tunable constant."""
     from pyspark.sql.window import Window
 
     q, c = _split(spark, sf_dir)
-    probe_flips = ", ".join(f"bkt0 ^ {1 << j}" for j in range(LSH_BITS))
+    probes = ", ".join(f"bkt0 ^ {m}" for m in _LSH_PROBE_MASKS)
     qb = (
         q.withColumn("bkt0", F.expr(_bucket_expr("qe")))
         .select(
             "q_id", "qa", "qn",
-            F.explode(F.expr(f"array(bkt0, {probe_flips})")).alias("bkt"),
+            F.explode(F.expr(f"array({probes})")).alias("bkt"),
         )
     )
     cb = c.withColumn("bkt", F.expr(_bucket_expr("ce")))
@@ -212,7 +225,7 @@ ORACLES = {
                       {" + ".join(f"(CASE WHEN CAST(qe[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSH_BITS))}
                           AS bkt0 FROM q),
         qb AS (SELECT q_id, qe,
-                      unnest([bkt0, {", ".join(f"xor(bkt0, {1 << j})" for j in range(LSH_BITS))}]) AS bkt
+                      unnest([{", ".join(f"xor(bkt0, {m})" for m in _LSH_PROBE_MASKS)}]) AS bkt
                FROM qb0),
         cb AS (SELECT c_id, ce,
                       {" + ".join(f"(CASE WHEN CAST(ce[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSH_BITS))}
