@@ -566,3 +566,33 @@ ORACLES = {
              unnest(range(0, (4 + doc_id % 5 + 1) // 2)) AS t(i)
     """,
 }
+
+
+def mm_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollup over the decoded image features — the
+    "never touch payload bytes again" half of the multimodal story:
+    after one decode pass, every downstream aggregate runs on typed
+    columns. Oracle reproduces the aggregate arithmetically."""
+    docs = table(spark, sf_dir, "documents")
+    feats = extract_media_features(synth_media(docs, "image"))
+    return media_summary(feats).select(
+        "kind",
+        "n_items",
+        F.expr("CAST(total_bytes AS BIGINT)").alias("total_bytes"),
+        F.expr("ROUND(avg_width, 6)").alias("avg_width"),
+        F.expr("ROUND(avg_height, 6)").alias("avg_height"),
+    )
+
+
+QUERIES["mm_media_summary"] = mm_media_summary
+
+ORACLES["mm_media_summary"] = """
+    SELECT 'image' AS kind,
+           count(*) AS n_items,
+           CAST(SUM(54 + (16 + doc_id % 24)
+                    * (((3 * (16 + doc_id % 32) + 3) // 4) * 4)) AS BIGINT)
+               AS total_bytes,
+           ROUND(AVG(16 + doc_id % 32), 6) AS avg_width,
+           ROUND(AVG(16 + doc_id % 24), 6) AS avg_height
+    FROM documents
+"""

