@@ -108,8 +108,12 @@ def _family(i: int, base: str) -> str:
 # minhash-pairs, cluster, and corpus operators all derive from them,
 # and a production pipeline materializes the signature table once and
 # reuses it. Keyed by applicationId (stable per live session, unlike
-# id()).
+# id()). The signature cache is BOUNDED: persisted frames for old
+# (sf_dir, width) keys are unpersisted FIFO past the cap, so a session
+# that touches many datasets can't pin unbounded executor storage
+# (the r1 caveat).
 _SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_SIG_CACHE_MAX = 8
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
@@ -124,6 +128,9 @@ def _signatures(spark: SparkSession, sf_dir: str,
         "doc_id", F.explode(F.expr(_SHINGLES_WS)).alias("shingle")
     ).select("doc_id", F.expr(f"{SPARK_HASH_SQL('shingle')} % {MH_PRIME}").alias("bm"))
     mins = [F.expr(f"min({_family(i, 'bm')})").alias(f"mh{i}") for i in range(n_hashes)]
+    while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
+        old_key = next(iter(_SIG_CACHE))
+        _SIG_CACHE.pop(old_key).unpersist()
     # Persist: the signatures feed the band explode AND both sides of
     # the candidate join.
     _SIG_CACHE[key] = exploded.groupBy("doc_id").agg(*mins).persist()
