@@ -1457,3 +1457,54 @@ def _bloom_oracle() -> str:
 
 ORACLES["ev_cms_heavy_hitters"] = _cms_oracle()
 ORACLES["ev_bloom_new_users"] = _bloom_oracle()
+
+
+# Rolling 7-day active users — the sliding-window DISTINCT shape.
+# COUNT(DISTINCT) can't ride a window frame, so each (user, day) pair
+# CONTRIBUTES itself to the 7 calendar days it covers (explode of a
+# 7-element sequence) and a plain per-day distinct count finishes. At
+# 100 TB the exploded table is 7× the distinct user-day table — a
+# linear, shuffle-friendly blowup (vs a self-join per window day), and
+# the distinct agg is map-side combined.
+def ev_rolling_dau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    bounds = user_days.agg(
+        F.min("day").alias("d_min"), F.max("day").alias("d_max")
+    )
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("win_day"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(bounds),
+            (F.col("win_day") >= F.col("d_min")) & (F.col("win_day") <= F.col("d_max")),
+        )
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("dau_7d"))
+        .select(F.col("win_day").alias("day"), "dau_7d")
+    )
+
+
+QUERIES["ev_rolling_dau_7d"] = ev_rolling_dau_7d
+
+ORACLES["ev_rolling_dau_7d"] = """
+    WITH user_days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    bounds AS (SELECT min(day) AS d_min, max(day) AS d_max FROM user_days),
+    contrib AS (
+        SELECT user_id, day + to_days(CAST(o AS INTEGER)) AS win_day
+        FROM user_days, unnest(range(0, 7)) AS t(o)
+    )
+    SELECT CAST(win_day AS TIMESTAMP) AS day,
+           count(DISTINCT user_id) AS dau_7d
+    FROM contrib, bounds
+    WHERE win_day BETWEEN d_min AND d_max
+    GROUP BY win_day
+"""
