@@ -1024,3 +1024,39 @@ ORACLES["doc_oov_rate"] = f"""
                / CAST(len({_WORDS_DUCK}) AS DOUBLE) AS oov_rate
     FROM documents, v
 """
+
+
+# ---------------------------------------------- importance sampling
+#
+# Quality-weighted corpus thinning: keep each document with probability
+# = its quality score, decided by the deterministic id-hash against a
+# per-doc threshold (score × 1e6 ppm). High-quality docs survive at
+# ~their score rate, junk is dropped proportionally — the second
+# curation axis next to doc_resample_mixture's source balancing, and
+# like it: no RNG state, reproducible across engines and reruns, pure
+# row-local math.
+def doc_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    h = SPARK_HASH_SQL("CONCAT('is:', CAST(doc_id AS STRING))")
+    return (
+        docs.join(q, "doc_id")
+        .withColumn(
+            "keep_ppm",
+            F.expr("CAST(FLOOR(quality_score * 1000000) AS BIGINT)"),
+        )
+        .filter(F.expr(f"pmod({h}, 1000000) < keep_ppm"))
+        .select("doc_id", "source", "lang", "keep_ppm")
+    )
+
+
+QUERIES["doc_importance_sample"] = doc_importance_sample
+
+ORACLES["doc_importance_sample"] = f"""
+    WITH q AS ({ORACLES["doc_quality"]})
+    SELECT d.doc_id AS doc_id, d.source, d.lang,
+           CAST(FLOOR(q.quality_score * 1000000) AS BIGINT) AS keep_ppm
+    FROM documents d JOIN q ON d.doc_id = q.doc_id
+    WHERE {STABLE_HASH_SQL("('is:' || CAST(d.doc_id AS VARCHAR))")} % 1000000
+          < CAST(FLOOR(q.quality_score * 1000000) AS BIGINT)
+"""

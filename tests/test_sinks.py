@@ -147,3 +147,23 @@ def test_compact_partitioned_only_touches_drifted_dirs(spark, tmp_path):
     assert [r["id"] for r in after] == [r["id"] for r in before]
     # Second pass: nothing drifted, nothing rewritten.
     assert compact_partitioned(spark, out, min_files=2) == {}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a later writer adds a column; mergeSchema reads
+    the union with nulls backfilled — the append-only evolution path a
+    long-lived table needs (explicit option, since merging footers at
+    every read is a planning cost you opt into)."""
+    out = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.parquet(out)
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+    ).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "v", "tag"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[2]["tag"] is None and rows[7]["tag"] == "7"
+    # Without mergeSchema the footer actually sampled wins; with an
+    # explicit schema the read is still total (missing column -> null).
+    explicit = spark.read.schema("id LONG, v LONG, tag STRING").parquet(out)
+    assert explicit.count() == 10
