@@ -1382,3 +1382,220 @@ ORACLES["emb_matryoshka_overlap"] = f"""
     FROM ranked
     GROUP BY q_id
 """
+
+
+# -------------------------------------------- sample-trained PQ encode
+#
+# PQ with TRAINED codebooks (vs emb_pq4_encode's seed-vector codebook):
+# one Lloyd round per sub-space over a deterministic hash-sample, then
+# a single full-corpus encode against the trained centroids — the same
+# sample-train/assign-once shape as emb_kmeans_ivf, applied per
+# sub-space. Distances to a centroid MEAN stay engine-exact: with
+# A = Σx², B = Σx·s, C = Σs² (exact integer sums over the quantized
+# grid) and n the cluster size, L2² = A − 2B/n + C/n²; the argmin drops
+# the per-row constant A, and the double formula is written identically
+# in Spark and DuckDB, so IEEE rounding is bit-equal. The centroid
+# model (4×16 sums + counts) is one collected row broadcast to every
+# task — assignment never shuffles; only the per-(subspace, cluster)
+# update aggregation does.
+PQT_SAMPLE_MOD = 4  # train on the ~1/4 deterministic hash-sample
+
+
+def _pqt_subs(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, subs) with subs = M quantized integer subvectors."""
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(sequence(0, {_PQ_M - 1}), b -> "
+            f"transform(slice(embedding, CAST(b * {_PQ_DSUB} + 1 AS INT), "
+            f"{_PQ_DSUB}), x -> {_pq_q('x')}))"
+        ).alias("subs"),
+    )
+
+
+def _pqt_drel(sub: str) -> str:
+    """Relative L2² to a centroid mean (per-row constant A = Σx²
+    dropped): −2B/n + C/n² from exact integer B, C, n. The double
+    formula is written identically in the DuckDB oracle, so IEEE
+    rounding is bit-equal."""
+    return (
+        f"CAST(aggregate(zip_with({sub}, ct.s, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE) "
+        "* CAST(-2 AS DOUBLE) / CAST(ct.n AS DOUBLE) "
+        "+ CAST(aggregate(ct.s, CAST(0 AS BIGINT), (a, v) -> a + v * v) AS DOUBLE) "
+        "/ (CAST(ct.n AS DOUBLE) * CAST(ct.n AS DOUBLE))"
+    )
+
+
+_PQT_SUB = "element_at(subs, b + 1)"
+
+
+def _pqt_assign_expr() -> str:
+    """Per-row array of M winning cluster ids over the broadcast model
+    column ``cts`` (array<struct<b, cid, s, n>>); ties break to the
+    smallest cid via lexicographic struct min."""
+    scored = (
+        f"transform(filter(cts, ct -> ct.b = b), ct -> "
+        f"named_struct('d', {_pqt_drel(_PQT_SUB)}, 'cid', ct.cid))"
+    )
+    return (
+        f"transform(sequence(0, {_PQ_M - 1}), b -> "
+        f"array_min({scored}).cid)"
+    )
+
+
+def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    base = _pqt_subs(emb)
+    sample = base.filter(
+        F.expr(
+            SPARK_HASH_SQL("CONCAT('pqt:', CAST(vec_id AS STRING))")
+            + f" % {PQT_SAMPLE_MOD} = 0"
+        )
+    )
+    # Round-0 centroids: sub-vectors of the seed rows, n = 1.
+    cents = (
+        base.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode("subs").alias("b", "s"),
+        )
+        .withColumn("n", F.lit(1).cast("long"))
+    )
+
+    def as_model(c: DataFrame) -> DataFrame:
+        return c.agg(
+            F.expr("collect_list(named_struct('b', b, 'cid', cid, 's', s, 'n', n))")
+            .alias("cts")
+        )
+
+    # One Lloyd round on the sample: map-side assignment, one shuffle
+    # for the (b, cid) centroid update.
+    asg = sample.crossJoin(broadcast(as_model(cents))).select(
+        "vec_id",
+        "subs",
+        F.expr(_pqt_assign_expr()).alias("cids"),
+    )
+    cents = (
+        asg.select(F.posexplode("subs").alias("b", "sub"), "cids")
+        .select("b", F.expr("element_at(cids, b + 1)").alias("cid"), "sub")
+        .groupBy("b", "cid")
+        .agg(F.collect_list("sub").alias("cl"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "b",
+            "cid",
+            F.expr(
+                "aggregate(slice(cl, 2, size(cl) - 1), element_at(cl, 1), "
+                "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))"
+            ).alias("s"),
+            "n",
+        )
+    )
+    model = as_model(cents)
+    # Full-corpus encode, LONG-FORM (vec_id, b, code, dist_b): one row
+    # per sub-space keeps every emitted double a single-formula value
+    # (a per-vector sum of 4 doubles would be association-order
+    # sensitive across engines). The A = Σx² term is restored for the
+    # reported distortion; the argmin itself never needed it.
+    a_term = (
+        f"aggregate({_PQT_SUB}, CAST(0 AS BIGINT), (a, v) -> a + v * v)"
+    )
+    win = (
+        "array_min(transform(filter(cts, ct -> ct.b = b), ct -> "
+        f"named_struct('d', {_pqt_drel(_PQT_SUB)}, 'cid', ct.cid)))"
+    )
+    per_b = (
+        f"transform(sequence(0, {_PQ_M - 1}), b -> named_struct("
+        f"'b', CAST(b AS BIGINT), "
+        f"'code', {win}.cid, "
+        f"'dist_b', ROUND((CAST({a_term} AS DOUBLE) + {win}.d) / 1e12, 6)))"
+    )
+    return (
+        base.crossJoin(broadcast(model))
+        .select("vec_id", "label", F.explode(F.expr(per_b)).alias("e"))
+        .select("vec_id", "label", "e.b", "e.code", "e.dist_b")
+    )
+
+
+QUERIES["emb_pq_trained"] = emb_pq_trained
+
+
+def _pqt_oracle() -> str:
+    samp_hash = STABLE_HASH_SQL("('pqt:' || CAST(vec_id AS VARCHAR))")
+    dform = (
+        "CAST(bsum AS DOUBLE) * CAST(-2 AS DOUBLE) / CAST(n AS DOUBLE) "
+        "+ CAST(csq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    )
+    return f"""
+        WITH comp AS (
+            SELECT vec_id, label, b, i,
+                   CAST(round(CAST(embedding[b * {_PQ_DSUB} + i] AS DOUBLE)
+                              * 1000000, 0) AS BIGINT) AS x
+            FROM embeddings,
+                 unnest(range(0, {_PQ_M})) AS tb(b),
+                 unnest(range(1, {_PQ_DSUB + 1})) AS ti(i)
+        ),
+        samp AS (SELECT vec_id FROM embeddings WHERE {samp_hash} % {PQT_SAMPLE_MOD} = 0),
+        cent0 AS (
+            SELECT vec_id AS cid, b, i, x AS s FROM comp WHERE vec_id < {_PQ_K}
+        ),
+        meta0 AS (
+            SELECT cid, b, CAST(1 AS BIGINT) AS n, sum(s * s) AS csq
+            FROM cent0 GROUP BY cid, b
+        ),
+        dot0 AS (
+            SELECT c.vec_id, c.b, ct.cid, sum(c.x * ct.s) AS bsum
+            FROM comp c
+            JOIN samp USING (vec_id)
+            JOIN cent0 ct ON c.b = ct.b AND c.i = ct.i
+            GROUP BY c.vec_id, c.b, ct.cid
+        ),
+        d0 AS (
+            SELECT vec_id, d.b, d.cid, {dform} AS d
+            FROM dot0 d JOIN meta0 m ON d.b = m.b AND d.cid = m.cid
+        ),
+        asg AS (
+            SELECT vec_id, b, cid FROM (
+                SELECT vec_id, b, cid,
+                       row_number() OVER (PARTITION BY vec_id, b ORDER BY d, cid) AS rn
+                FROM d0
+            ) WHERE rn = 1
+        ),
+        cent1 AS (
+            SELECT a.b, a.cid, c.i, sum(c.x) AS s
+            FROM asg a JOIN comp c ON a.vec_id = c.vec_id AND a.b = c.b
+            GROUP BY a.b, a.cid, c.i
+        ),
+        meta1 AS (
+            SELECT n1.b, n1.cid, n1.n, c1.csq
+            FROM (SELECT b, cid, count(*) AS n FROM asg GROUP BY b, cid) n1
+            JOIN (SELECT b, cid, sum(s * s) AS csq FROM cent1 GROUP BY b, cid) c1
+              ON n1.b = c1.b AND n1.cid = c1.cid
+        ),
+        dotf AS (
+            SELECT c.vec_id, c.b, ct.cid, sum(c.x * ct.s) AS bsum
+            FROM comp c JOIN cent1 ct ON c.b = ct.b AND c.i = ct.i
+            GROUP BY c.vec_id, c.b, ct.cid
+        ),
+        df AS (
+            SELECT vec_id, d.b, d.cid, {dform} AS d
+            FROM dotf d JOIN meta1 m ON d.b = m.b AND d.cid = m.cid
+        ),
+        av AS (SELECT vec_id, b, sum(x * x) AS a FROM comp GROUP BY vec_id, b),
+        win AS (
+            SELECT vec_id, b, cid, d FROM (
+                SELECT vec_id, b, cid, d,
+                       row_number() OVER (PARTITION BY vec_id, b ORDER BY d, cid) AS rn
+                FROM df
+            ) WHERE rn = 1
+        )
+        SELECT w.vec_id, e.label, CAST(w.b AS BIGINT) AS b, w.cid AS code,
+               ROUND((CAST(av.a AS DOUBLE) + w.d) / 1e12, 6) AS dist_b
+        FROM win w
+        JOIN av ON av.vec_id = w.vec_id AND av.b = w.b
+        JOIN (SELECT vec_id, label FROM embeddings) e ON e.vec_id = w.vec_id
+    """
+
+
+ORACLES["emb_pq_trained"] = _pqt_oracle()
