@@ -1325,8 +1325,13 @@ def ev_bloom_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events + broadcast joins against tiny bit/user tables.
     """
     ev = table(spark, sf_dir, "events")
+    # Materialized once: day0, the train set, and the probe set all
+    # derive from it — without the checkpoint the plan scans events
+    # three times (at 100 TB you'd write this table, not re-derive it).
     user_days = (
-        ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .localCheckpoint()
     )
     day0 = user_days.agg(F.min("day").alias("day0"))
     train = (
@@ -1468,9 +1473,13 @@ ORACLES["ev_bloom_new_users"] = _bloom_oracle()
 # the distinct agg is map-side combined.
 def ev_rolling_dau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    user_days = ev.select(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).distinct()
+    # Materialized once: both the bounds agg and the window fanout read
+    # it (otherwise the plan scans events twice).
+    user_days = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .localCheckpoint()
+    )
     bounds = user_days.agg(
         F.min("day").alias("d_min"), F.max("day").alias("d_max")
     )
