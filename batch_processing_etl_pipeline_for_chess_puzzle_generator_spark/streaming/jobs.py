@@ -347,3 +347,31 @@ def cms_sketch_stream(events: DataFrame,
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("win.start").alias("bucket_start"), "d", "bucket", "cnt")
     )
+
+
+def bloom_bits_stream(events: DataFrame,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming Bloom-filter bit set — twin of
+    events.py::ev_bloom_new_users's training phase.
+
+    Each user fans out to its K bit positions; the running bit set is a
+    streaming DISTINCT over positions — at most BLOOM_M rows of state
+    total, the fixed-memory property that makes a Bloom filter the
+    right membership structure for an unbounded stream. Downstream, a
+    batch join against the sink's bit table answers "seen before?"
+    with the batch operator's exact semantics (same md5 grid).
+    """
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.events import (
+        BLOOM_K,
+        _bloom_bit_spark,
+    )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.explode(
+                F.array(*[F.expr(_bloom_bit_spark(k)) for k in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .dropDuplicates(["bit"])
+    )

@@ -139,3 +139,79 @@ def test_pq_adc_recall_against_exact(spark):
     # (5/1990 per slot). The bar asserts the codes carry strong signal
     # without over-fitting to one fixture.
     assert hits / total >= 0.1, f"ADC recall@5 collapsed: {hits}/{total}"
+
+
+# ---- multimodal codecs: decode(encode(x)) == x on arbitrary params ----
+# Pure-Python roundtrips (no Spark jobs) — cheap enough for many
+# examples; these lock the byte-level contracts the mm_* oracles
+# assume (stride handling, chunk layout, frame slicing).
+
+@given(
+    width=st.integers(1, 64),
+    height=st.integers(1, 48),
+    value=st.integers(0, 255),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(width, height, value):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    w, h, mean = decode_bmp(encode_bmp(width, height, value))
+    assert (w, h, mean) == (width, height, float(value))
+
+
+@given(
+    n_samples=st.integers(1, 512),
+    amplitude=st.integers(-32768, 32767),
+    rate=st.integers(1000, 96000),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(n_samples, amplitude, rate):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    got = decode_wav(encode_wav(n_samples, amplitude, rate))
+    assert got == (rate, 1, n_samples, amplitude)
+
+
+@given(
+    frames=st.lists(st.integers(0, 255), min_size=1, max_size=12),
+    every_n=st.integers(1, 5),
+    dims=st.tuples(st.integers(1, 16), st.integers(1, 16)),
+)
+@settings(max_examples=60, deadline=None)
+def test_rawv_sampling_property(frames, every_n, dims):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        decode_rawv,
+        encode_rawv,
+    )
+
+    w, h = dims
+    out = decode_rawv(encode_rawv(w, h, frames), every_n)
+    assert [src for src, _ in out] == list(range(0, len(frames), every_n))
+    for src, payload in out:
+        assert len(payload) == w * h * 3
+        assert set(payload) == {frames[src]}
+
+
+@given(
+    width=st.integers(1, 32),
+    height=st.integers(1, 32),
+    value=st.integers(0, 255),
+    out_dims=st.tuples(st.integers(1, 24), st.integers(1, 24)),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_resize_property(width, height, value, out_dims):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_image_batch,
+    )
+
+    ow, oh = out_dims
+    resized = resize_image_batch(encode_bmp(width, height, value), ow, oh)
+    assert decode_bmp(resized) == (ow, oh, float(value))

@@ -290,3 +290,46 @@ def test_cms_sketch_stream_matches_batch_grid(spark, tmp_path):
     assert sum(r["cnt"] for r in got) == CMS_D * 40
     assert all(1 <= r["cnt"] <= 40 for r in got)
     assert len({r["d"] for r in got}) == CMS_D
+
+
+def test_bloom_bits_stream_matches_batch_bits(spark, tmp_path):
+    """The streaming bit set must equal the batch md5 bit grid over the
+    same users, and stay deduped across micro-batches."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.events import (
+        BLOOM_K,
+        BLOOM_M,
+        _bloom_bit_spark,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        bloom_bits_stream,
+    )
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "bloom_stream"
+    src.mkdir()
+    for b, users in enumerate([[1, 2, 3], [2, 3, 4, 5]]):
+        (src / f"b{b}.json").write_text("\n".join(
+            json.dumps({"event_id": 10 * b + i, "ts": "2024-01-01 00:00:00",
+                        "user_id": u})
+            for i, u in enumerate(users)
+        ))
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, user_id LONG")
+        .json(str(src))
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    q = (bloom_bits_stream(stream).writeStream.format("memory")
+         .queryName("bloom_bits").outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["bit"] for r in spark.sql("SELECT * FROM bloom_bits").collect())
+    batch = (
+        spark.createDataFrame([(u,) for u in [1, 2, 3, 4, 5]], "user_id LONG")
+        .select(F.explode(F.array(
+            *[F.expr(_bloom_bit_spark(k)) for k in range(BLOOM_K)]
+        )).alias("bit"))
+        .distinct()
+    )
+    expect = sorted(r["bit"] for r in batch.collect())
+    assert got == expect
+    assert all(0 <= b < BLOOM_M for b in got)
