@@ -1060,3 +1060,44 @@ ORACLES["doc_importance_sample"] = f"""
     WHERE {STABLE_HASH_SQL("('is:' || CAST(d.doc_id AS VARCHAR))")} % 1000000
           < CAST(FLOOR(q.quality_score * 1000000) AS BIGINT)
 """
+
+
+# ------------------------------------------------ BPE-ish pre-tokenizer
+#
+# GPT-2-style regex pre-tokenization count: runs of letters, runs of
+# digits, and runs of punctuation (each with an optional leading
+# space) are the units a byte-level BPE merges within — their count is
+# the standard pre-tokenizer token estimate, a tighter bound than the
+# whitespace count in doc_tokens. ASCII classes keep the pattern
+# dialect-identical between Spark (Java regex) and DuckDB (RE2).
+# Row-local regex scan: zero shuffle, scan-bandwidth-bound.
+BPE_PRETOKEN_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def doc_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n = f"size(regexp_extract_all(text, '{BPE_PRETOKEN_RE}', 0))"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST({n} AS BIGINT)").alias("n_pretokens"),
+        F.expr(f"CAST(size({_WORDS}) AS BIGINT)").alias("n_ws_tokens"),
+        F.expr(
+            f"CASE WHEN size({_WORDS}) > 0 "
+            f"THEN {n} / CAST(size({_WORDS}) AS DOUBLE) ELSE NULL END"
+        ).alias("pretokens_per_word"),
+    )
+
+
+QUERIES["doc_bpe_pretokens"] = doc_bpe_pretokens
+
+ORACLES["doc_bpe_pretokens"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}')) AS BIGINT)
+               AS n_pretokens,
+           CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_ws_tokens,
+           CASE WHEN len({_WORDS_DUCK}) > 0
+                THEN len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}'))
+                     / CAST(len({_WORDS_DUCK}) AS DOUBLE)
+                ELSE NULL END AS pretokens_per_word
+    FROM documents
+"""
