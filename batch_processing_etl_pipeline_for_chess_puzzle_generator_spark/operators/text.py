@@ -1101,3 +1101,58 @@ ORACLES["doc_bpe_pretokens"] = f"""
                 ELSE NULL END AS pretokens_per_word
     FROM documents
 """
+
+
+# ------------------------------------------- n-gram language ID variant
+#
+# Character-trigram profile language ID (next to doc_langid's stopword
+# profile): score = fraction of the document's char trigrams found in
+# a fixed English trigram profile. Real systems learn per-language
+# profiles; the fixed profile keeps the oracle exact while the shape —
+# row-local trigram fanout + membership against a broadcast-literal
+# set, zero shuffle — is the production shape.
+EN_TRIGRAMS = (
+    "the", "he ", " th", "ing", "ng ", "er ", " an", "and", "nd ",
+    " a ", "ed ", " to", "to ", " of", "of ", " in", "in ", "ion",
+    "ent", "at ",
+)
+_TRI_IN = ", ".join(f"'{t}'" for t in EN_TRIGRAMS)
+LANGID_NGRAM_MIN = 0.04
+
+
+def doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tris = (
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+    )
+    hits = f"size(filter({tris}, t -> t IN ({_TRI_IN})))"
+    return docs.filter(F.expr("length(text) >= 3")).select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(length(text) - 2 AS BIGINT)").alias("n_trigrams"),
+        F.expr(f"CAST({hits} AS BIGINT)").alias("n_profile_hits"),
+        F.expr(
+            f"CASE WHEN {hits} / CAST(length(text) - 2 AS DOUBLE) "
+            f">= {LANGID_NGRAM_MIN} THEN 'en' ELSE 'other' END"
+        ).alias("predicted_lang"),
+    )
+
+
+QUERIES["doc_langid_ngram"] = doc_langid_ngram
+
+ORACLES["doc_langid_ngram"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(length(text) - 2 AS BIGINT) AS n_trigrams,
+               CAST(len(list_filter(
+                   list_transform(range(1, length(text) - 1),
+                                  i -> substring(text, CAST(i AS INTEGER), 3)),
+                   t -> t IN ({_TRI_IN}))) AS BIGINT) AS n_profile_hits
+        FROM documents
+        WHERE length(text) >= 3
+    )
+    SELECT doc_id, lang, n_trigrams, n_profile_hits,
+           CASE WHEN n_profile_hits / CAST(n_trigrams AS DOUBLE)
+                >= {LANGID_NGRAM_MIN} THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM t
+"""
