@@ -66,3 +66,41 @@ def test_profile_counts(spark):
         assert row.n_null == 0
         assert row.min_val <= row.max_val
     assert prof["l_discount"].n_distinct == li.select("l_discount").distinct().count()
+
+
+def test_catalog_normalizes_events_ts_variants(spark, tmp_path):
+    """The r2 TIMESTAMP_NTZ fix: whatever physical type events.ts
+    arrives in (µs NTZ like the driver's parquet, or raw bigint nanos),
+    catalog.table() must hand operators a plain TIMESTAMP that
+    unix_micros() accepts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+
+    base = dict(
+        event_id=pa.array([1, 2], pa.int64()),
+        user_id=pa.array([10, 11], pa.int64()),
+        event_type=pa.array(["view", "click"]),
+        value=pa.array([1.0, 2.0], pa.float64()),
+        props=pa.array(['{"a":1}', "{}"]),
+    )
+    micros = [1704067200_000_000, 1704067260_000_000]
+
+    for name, ts_arr in [
+        ("ntz", pa.array(micros, pa.timestamp("us"))),          # TIMESTAMP_NTZ
+        ("nanos", pa.array([m * 1000 for m in micros],
+                           pa.timestamp("ns"))),                # nanosAsLong path
+    ]:
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.table({"event_id": base["event_id"], "ts": ts_arr,
+                                 "user_id": base["user_id"],
+                                 "event_type": base["event_type"],
+                                 "value": base["value"], "props": base["props"]}),
+                       str(d / "events.parquet"))
+        df = table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", name
+        got = sorted(r[0] for r in df.select(F.expr("unix_micros(ts)")).collect())
+        assert got == micros, name
