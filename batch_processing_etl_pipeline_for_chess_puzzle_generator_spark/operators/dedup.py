@@ -323,20 +323,58 @@ def doc_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- ngram jaccard
+#
+# Document-frequency cap: a shingle shared by k documents emits k² rows
+# in the inverted-index self-join, so one hot shingle (boilerplate, a
+# license header) is the only quadratic risk in this operator. Shingles
+# with df > NGRAM_DF_CAP carry no dedup signal — a 3-gram present in
+# hundreds of documents distinguishes nothing — so they are dropped
+# from the postings BEFORE the join, bounding per-shingle join fanout
+# at CAP² and total cost at CAP · |postings|. 128 is far above the max
+# observed df on the test corpora (9 / 7 / 25 at sf0.001/0.01/0.1), so
+# output is unchanged there; the cap is mirrored in the DuckDB oracle
+# so capped semantics are themselves oracle-checked.
+NGRAM_DF_CAP = 128
+
+
+def _ngram_postings(docs: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Df-capped shingle postings: (doc_id, n_chars, sz, s) with every
+    shingle of document frequency > ``cap`` removed and ``sz`` = the
+    doc's POST-cap shingle count (so Jaccard is computed over the
+    capped sets in both engines).
+
+    Two window passes over the postings — partitionBy(s) to attach df,
+    partitionBy(doc_id) to recount sz — both plain shuffles with no
+    driver collect and no broadcast-size assumption, so the same plan
+    runs at any corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    ex0 = docs.select(
+        "doc_id", "n_chars", F.explode(F.expr(_SHINGLES_WS)).alias("s")
+    )
+    kept = (
+        ex0.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .filter(F.col("df") <= cap)
+        .drop("df")
+    )
+    return kept.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+
+
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard: pairs within 10 chars of each
-    other in length and Jaccard ≥ 0.5.
+    other in length and Jaccard ≥ 0.5, over df-capped shingle sets.
 
     Inverted-index formulation: explode (doc, shingle), self-join on
     the shingle, and the per-pair intersection size IS the groupBy
     count — no candidate materialization, no per-pair array_intersect.
-    Cost ∝ Σ shingle-frequency², which distinct word-3-grams keep small
-    (near-dups are the only repeats). The length predicate is applied
-    on the shingle join directly — equivalent to width-20 bucket
-    blocking with emit-two-buckets, since an interval of length 10
-    spans at most two width-20 buckets. At 100 TB, cap shingle
-    frequency first (drop shingles with df > threshold — they carry no
-    dedup signal and are the only quadratic risk).
+    Cost ∝ Σ shingle-frequency², bounded by the NGRAM_DF_CAP postings
+    filter (see above). The length predicate is applied on the shingle
+    join directly — equivalent to width-20 bucket blocking with
+    emit-two-buckets, since an interval of length 10 spans at most two
+    width-20 buckets.
     """
     docs = table(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
     # Persist the exploded postings: both join sides read it, and the
@@ -344,13 +382,7 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Generate and re-evaluating the shingle transform per row (a
     # measured ~10× blowup without it). At production scale this is the
     # materialized postings/signature table.
-    ex = docs.select(
-        "doc_id",
-        "n_chars",
-        F.expr(_SHINGLES_WS).alias("sh"),
-    ).select(
-        "doc_id", "n_chars", F.expr("size(sh)").alias("sz"), F.explode("sh").alias("s")
-    ).persist()
+    ex = _ngram_postings(docs).persist()
     a = ex.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_chars").alias("na"),
@@ -654,10 +686,26 @@ ORACLES = {
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
     """,
+    # Df-cap mirrored: rebuild each doc's shingle list from postings
+    # with df > NGRAM_DF_CAP removed, so both engines compute Jaccard
+    # over the same capped sets.
     "doc_ngram_jaccard": f"""
-        WITH d AS (
-            SELECT doc_id, n_chars, {_SHINGLES_DUCK} AS sh, n_chars // 20 AS bkt
+        WITH d0 AS (
+            SELECT doc_id, n_chars, {_SHINGLES_DUCK} AS sh
             FROM documents
+        ),
+        ex AS (SELECT doc_id, n_chars, unnest(sh) AS s FROM d0),
+        kept AS (
+            SELECT doc_id, n_chars, s FROM (
+                SELECT doc_id, n_chars, s,
+                       count(*) OVER (PARTITION BY s) AS df
+                FROM ex
+            ) WHERE df <= {NGRAM_DF_CAP}
+        ),
+        d AS (
+            SELECT doc_id, any_value(n_chars) AS n_chars, list(s) AS sh,
+                   any_value(n_chars) // 20 AS bkt
+            FROM kept GROUP BY doc_id
         ),
         blocked AS (
             SELECT doc_id, n_chars, bkt AS jb FROM d

@@ -54,3 +54,71 @@ def test_dedup_corpus_plus_dropped_equals_docs(spark):
         .count()
     )
     assert kept + dropped == n_docs
+
+
+# ------------------------------------------------- df-cap (hot shingles)
+def _hot_shingle_dir(spark, tmp_path):
+    """A corpus with a stuffed shingle: 300 docs share one boilerplate
+    sentence (every boilerplate 3-gram has df=300 > NGRAM_DF_CAP), each
+    doc otherwise unique; plus one genuine near-dup pair whose shared
+    shingles are rare."""
+    boiler = "all rights reserved by the example corporation of example city"
+    rows = []
+    for i in range(300):
+        text = f"{boiler} unique token{i}a token{i}b token{i}c token{i}d"
+        rows.append((i, text, "en", "web", len(text)))
+    # Near-dup pair 1000/1001: same rare 12-word body, one-word tail
+    # diff, same length (tails 'endx'/'endy') -> |n_chars| diff 0 <= 10.
+    body = "quick zebra vaults over nine lazy marmots while rain falls softly"
+    rows.append((1000, body + " endx", "en", "web", len(body) + 5))
+    rows.append((1001, body + " endy", "en", "web", len(body) + 5))
+    d = str(tmp_path / "hotcorpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_ngram_df_cap_bounds_join_volume(spark, tmp_path):
+    """The postings feeding the self-join must never contain a shingle
+    with df > NGRAM_DF_CAP: one hot shingle shared by k docs would emit
+    k^2 join rows (the quadratic risk the cap exists to kill)."""
+    d = _hot_shingle_dir(spark, tmp_path)
+    docs = table(spark, d, "documents").withColumn("ws", F.split("text", " "))
+    post = D._ngram_postings(docs)
+    dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    stats = dfreq.agg(
+        F.max("df").alias("max_df"),
+        F.sum(F.col("df") * F.col("df")).alias("join_rows"),
+        F.sum("df").alias("postings"),
+    ).first()
+    assert stats["max_df"] <= D.NGRAM_DF_CAP
+    # Uncapped, the boilerplate shingles alone contribute >= 9 * 300^2
+    # join rows; capped, total join volume is bounded by CAP * postings.
+    assert stats["join_rows"] <= D.NGRAM_DF_CAP * stats["postings"]
+    assert stats["join_rows"] < 9 * 300 * 300
+
+
+def test_ngram_df_cap_keeps_true_pairs_and_matches_oracle(spark, tmp_path):
+    """On the stuffed corpus the operator still finds the genuine
+    near-dup pair, emits no boilerplate-driven pairs, and matches the
+    df-cap-mirrored DuckDB oracle row-for-row."""
+    import duckdb
+
+    from tools.check_parity import normalize
+
+    d = _hot_shingle_dir(spark, tmp_path)
+    sdf = D.doc_ngram_jaccard(spark, d)
+    srows = [tuple(r) for r in sdf.collect()]
+    assert (1000, 1001) in {(a, b) for a, b, _ in srows}
+    assert all(a >= 1000 for a, _, _ in srows)  # no boilerplate pairs
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    res = con.execute(D.ORACLES["doc_ngram_jaccard"])
+    ocols = [c[0] for c in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows)
+    assert normalize(srows, sdf.columns) == normalize(orows, ocols)
