@@ -49,7 +49,18 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_delete", F.expr("o_orderkey % 10 = 0"))
         .withColumn("o_totalprice", F.expr(_NEW_PRICE))
     )
-    survivors = base.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
+    # The change-key set is explicitly broadcast: CDC change batches are
+    # small relative to the base by contract (the common MERGE case), and
+    # pinning the hint means the anti-join can never degrade to a
+    # shuffled SMJ at larger SFs if size estimates drift — the base table
+    # is then never shuffled at all. (Benchmarked: the plan is a static
+    # BroadcastHashJoin LeftAnti either way at sf0.1; the r2 driver-bench
+    # spike on this query was cold-block noise, see SCALING.md.) For a
+    # change batch too big to broadcast, drop the hint and bucket both
+    # sides on the merge key instead.
+    survivors = base.join(
+        F.broadcast(changes.select("o_orderkey")), "o_orderkey", "left_anti"
+    )
     upserts = changes.filter(~F.col("is_delete")).drop("is_delete")
     return survivors.select(*_ORDER_COLS).unionByName(upserts.select(*_ORDER_COLS))
 
