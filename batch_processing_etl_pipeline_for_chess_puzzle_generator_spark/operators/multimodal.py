@@ -431,13 +431,35 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+# The synthesized media table is memoized + persisted per (session,
+# sf_dir, kind): every mm_* registry query starts from the same media
+# frame, so without the cache each query re-runs the generator
+# mapInPandas (payload encode per document — the single most expensive
+# step of the block, and the r2 driver bench priced the first mm_*
+# query at 9.6 s largely re-paying it). Bounded FIFO like dedup's
+# signature cache so many (sf_dir, kind) combos can't pin unbounded
+# executor storage. In production this IS the materialized bronze
+# media table — written once, scanned by every feature job.
+_MEDIA_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_MEDIA_CACHE_MAX = 6
+
+
+def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _MEDIA_CACHE:
+        while len(_MEDIA_CACHE) >= _MEDIA_CACHE_MAX:
+            _MEDIA_CACHE.pop(next(iter(_MEDIA_CACHE))).unpersist()
+        docs = table(spark, sf_dir, "documents")
+        _MEDIA_CACHE[key] = synth_media(docs, kind).persist()
+    return _MEDIA_CACHE[key]
+
+
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode a BMP per document, REAL-decode it, emit features the
     oracle reproduces arithmetically (dims/mean are functions of
     doc_id). Exercises header parse + stride-aware pixel decode on
     actual bytes through the full binary→Arrow→numpy path."""
-    docs = table(spark, sf_dir, "documents")
-    feats = extract_media_features(synth_media(docs, "image"))
+    feats = extract_media_features(media_table(spark, sf_dir, "image"))
     return feats.select("media_id", "kind", "n_bytes", "width", "height", "mean_pixel")
 
 
@@ -475,8 +497,7 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV-per-document: encode PCM16, real-parse RIFF chunks back.
     duration_ms is derived JVM-side from the decoded columns so both
     engines run the identical double expression."""
-    docs = table(spark, sf_dir, "documents")
-    feats = extract_audio_features(synth_media(docs, "audio"))
+    feats = extract_audio_features(media_table(spark, sf_dir, "audio"))
     return feats.select(
         "media_id", "sample_rate", "n_channels", "n_samples", "peak", "n_bytes",
         # 1000.0D: a bare 1000.0 literal is DECIMAL in Spark SQL, which
@@ -521,8 +542,7 @@ def sample_frame_stats(media: DataFrame, every_n: int) -> DataFrame:
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAWV-per-document, sample every 2nd frame: real container parse
     with 1-to-many row fanout; frame means are oracle-predictable."""
-    docs = table(spark, sf_dir, "documents")
-    return sample_frame_stats(synth_media(docs, "video"), every_n=2)
+    return sample_frame_stats(media_table(spark, sf_dir, "video"), every_n=2)
 
 
 QUERIES = {
@@ -573,8 +593,7 @@ def mm_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never touch payload bytes again" half of the multimodal story:
     after one decode pass, every downstream aggregate runs on typed
     columns. Oracle reproduces the aggregate arithmetically."""
-    docs = table(spark, sf_dir, "documents")
-    feats = extract_media_features(synth_media(docs, "image"))
+    feats = extract_media_features(media_table(spark, sf_dir, "image"))
     return media_summary(feats).select(
         "kind",
         "n_items",
