@@ -79,9 +79,17 @@ def to_pgn(flat: DataFrame, numbered: bool = True) -> DataFrame:
     """
     if not numbered:
         return flat.select(pgn_block(None).alias("pgn"))
+    # persist(): the offsets branch and the data branch below both read
+    # ``part``. Without a materialization point they'd only agree on
+    # partition ids because Spark's ReuseExchange dedupes the identical
+    # range exchange — if the exchange were ever computed twice, the
+    # RangePartitioner's SAMPLED boundaries could differ between
+    # branches and mis-number games. Persisting pins one physical
+    # partitioning both branches observe, making the invariant explicit
+    # rather than an optimizer accident.
     part = flat.repartitionByRange(F.col("game_id")).withColumn(
         "_pid", F.spark_partition_id()
-    )
+    ).persist()
     wl = Window.partitionBy("_pid").orderBy("game_id")
     wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

@@ -104,18 +104,31 @@ def _family(i: int, base: str) -> str:
     return f"(({2 * i + 1} * {base} + {1000003 * i}) % {MH_PRIME})"
 
 
-# Signature / cluster tables are memoized per (session, sf_dir): the
-# minhash-pairs, cluster, and corpus operators all derive from them,
-# and a production pipeline materializes the signature table once and
-# reuses it. Keyed by applicationId (stable per live session, unlike
-# id()). The signature cache is BOUNDED: persisted frames for old
-# (sf_dir, width) keys are unpersisted FIFO past the cap, so a session
-# that touches many datasets can't pin unbounded executor storage
-# (the r1 caveat).
+# Signature / pair / cluster tables are memoized per (session, sf_dir):
+# the minhash-pairs, cluster, and corpus operators all derive from
+# them, and a production pipeline materializes the signature table once
+# and reuses it. Keyed by applicationId (stable per live session,
+# unlike id()). EVERY cache is BOUNDED: persisted / localCheckpoint'd
+# frames (both pin executor block storage) for old keys are released
+# FIFO past the cap, so a session that touches many datasets can't pin
+# unbounded executor storage (the r1 caveat, extended to the pair and
+# CC caches per the r2 advice).
 _SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
-_SIG_CACHE_MAX = 8
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIG_CACHE_MAX = 8
+
+
+def _cache_put(cache: dict, key, df: DataFrame,
+               cap: int = _SIG_CACHE_MAX) -> DataFrame:
+    """FIFO-bounded insert: past ``cap`` entries the oldest frame is
+    unpersisted (which also frees localCheckpoint blocks — they live in
+    the same block store) before the new one is remembered."""
+    while len(cache) >= cap:
+        old_key = next(iter(cache))
+        cache.pop(old_key).unpersist()
+    cache[key] = df
+    return df
 
 
 def _signatures(spark: SparkSession, sf_dir: str,
@@ -128,13 +141,9 @@ def _signatures(spark: SparkSession, sf_dir: str,
         "doc_id", F.explode(F.expr(_SHINGLES_WS)).alias("shingle")
     ).select("doc_id", F.expr(f"{SPARK_HASH_SQL('shingle')} % {MH_PRIME}").alias("bm"))
     mins = [F.expr(f"min({_family(i, 'bm')})").alias(f"mh{i}") for i in range(n_hashes)]
-    while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
-        old_key = next(iter(_SIG_CACHE))
-        _SIG_CACHE.pop(old_key).unpersist()
     # Persist: the signatures feed the band explode AND both sides of
     # the candidate join.
-    _SIG_CACHE[key] = exploded.groupBy("doc_id").agg(*mins).persist()
-    return _SIG_CACHE[key]
+    return _cache_put(_SIG_CACHE, key, exploded.groupBy("doc_id").agg(*mins).persist())
 
 
 def _band_hash_expr(b: int, rows_per_band: int = ROWS_PER_BAND) -> str:
@@ -188,13 +197,14 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair table (what a 100 TB dedup run does with a parquet write):
     # clusters + report consume it with a truncated lineage instead of
     # replaying the band join per consumer.
-    _PAIRS_CACHE[key] = (
+    return _cache_put(
+        _PAIRS_CACHE,
+        key,
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.expr(f"({agree}) / {N_HASHES}.0").alias("est_jaccard"))
-        .localCheckpoint()
+        .localCheckpoint(),
     )
-    return _PAIRS_CACHE[key]
 
 
 # ----------------------------------------------- wide (64-perm) minhash
@@ -469,8 +479,7 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            _CC_CACHE[key] = labels
-            return labels
+            return _cache_put(_CC_CACHE, key, labels)
 
 
 # ---------------------------------------------- end-to-end dedup corpus

@@ -295,8 +295,17 @@ def ev_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition. Sketch internals are engine-specific, so the oracle can't
 # replay the estimate itself; instead each query emits the EXACT answer
 # plus a boolean "sketch within tolerance" column, and the oracle
-# asserts that boolean is TRUE. A drifting sketch breaks the value
-# hash, so these are fully oracle-gated, not rows-only.
+# asserts that boolean is TRUE.
+#
+# These gates are STATISTICAL, not exact: the tolerance is a ~4-sigma
+# bound on the sketch's error distribution (rsd=0.02 → 8% relative),
+# so a false failure needs a >4σ deviation — vanishingly unlikely but
+# not impossible on a new dataset. Groups too small for relative error
+# to mean anything (below the absolute-slack / _APPROX_MIN_N floor)
+# are accepted outright, the per-group analog of a rows-only check.
+_APPROX_MIN_N = 100
+
+
 def ev_daily_active_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
@@ -306,14 +315,14 @@ def ev_daily_active_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        # rsd=0.02 → 5% is a ≳2.5σ bound; +2 absolute slack covers
+        # rsd=0.02 → 8% is a 4σ bound; +4 absolute slack covers
         # single-digit groups where relative error is meaningless.
         .select(
             "day",
             "dau_exact",
             "n_events",
             F.expr(
-                "abs(dau_approx - dau_exact) <= greatest(0.05 * dau_exact, 2.0)"
+                "abs(dau_approx - dau_exact) <= greatest(0.08 * dau_exact, 4.0)"
             ).alias("hll_ok"),
         )
     )
@@ -334,12 +343,16 @@ def ev_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ex"),
         F.count(F.lit(1)).alias("n"),
     )
+    # Small groups fall back to accepted-outright: approx_percentile
+    # returns a real data value, which on a handful of rows can sit
+    # outside the interpolated p±0.02 window even though the sketch is
+    # exact there (GK keeps every value for n ≤ accuracy).
     return agged.select(
         "event_type",
         "n",
-        F.expr("ap[0] BETWEEN ex[0] AND ex[1]").alias("p50_ok"),
-        F.expr("ap[1] BETWEEN ex[2] AND ex[3]").alias("p90_ok"),
-        F.expr("ap[2] BETWEEN ex[4] AND ex[5]").alias("p99_ok"),
+        F.expr(f"n < {_APPROX_MIN_N} OR ap[0] BETWEEN ex[0] AND ex[1]").alias("p50_ok"),
+        F.expr(f"n < {_APPROX_MIN_N} OR ap[1] BETWEEN ex[2] AND ex[3]").alias("p90_ok"),
+        F.expr(f"n < {_APPROX_MIN_N} OR ap[2] BETWEEN ex[4] AND ex[5]").alias("p99_ok"),
     )
 
 

@@ -1455,7 +1455,7 @@ def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Round-0 centroids: sub-vectors of the seed rows, n = 1.
-    cents = (
+    cents0 = (
         base.filter(F.col("vec_id") < _PQ_K)
         .select(
             F.col("vec_id").alias("cid"),
@@ -1472,12 +1472,12 @@ def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # One Lloyd round on the sample: map-side assignment, one shuffle
     # for the (b, cid) centroid update.
-    asg = sample.crossJoin(broadcast(as_model(cents))).select(
+    asg = sample.crossJoin(broadcast(as_model(cents0))).select(
         "vec_id",
         "subs",
         F.expr(_pqt_assign_expr()).alias("cids"),
     )
-    cents = (
+    cents1 = (
         asg.select(F.posexplode("subs").alias("b", "sub"), "cids")
         .select("b", F.expr("element_at(cids, b + 1)").alias("cid"), "sub")
         .groupBy("b", "cid")
@@ -1492,7 +1492,19 @@ def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    model = as_model(cents)
+    # Degenerate-corpus guard: on a corpus so small the deterministic
+    # 1/PQT_SAMPLE_MOD hash-sample is EMPTY, the trained model collapses
+    # to zero centroids (array_min over an empty candidate list → NULL
+    # codes). Fall back to the round-0 seed codebook — mirrored in the
+    # oracle — so the operator degrades to emb_pq4_encode semantics
+    # instead of emitting NULL rows.
+    model = (
+        as_model(cents1)
+        .crossJoin(as_model(cents0).withColumnRenamed("cts", "seed_cts"))
+        .select(
+            F.expr("CASE WHEN size(cts) > 0 THEN cts ELSE seed_cts END").alias("cts")
+        )
+    )
     # Full-corpus encode, LONG-FORM (vec_id, b, code, dist_b): one row
     # per sub-space keeps every emitted double a single-formula value
     # (a per-vector sum of 4 doubles would be association-order
@@ -1573,14 +1585,26 @@ def _pqt_oracle() -> str:
             JOIN (SELECT b, cid, sum(s * s) AS csq FROM cent1 GROUP BY b, cid) c1
               ON n1.b = c1.b AND n1.cid = c1.cid
         ),
+        centf AS (
+            SELECT b, cid, i, s FROM cent1
+            UNION ALL
+            SELECT b, cid, i, s FROM cent0
+            WHERE NOT EXISTS (SELECT 1 FROM cent1)
+        ),
+        metaf AS (
+            SELECT b, cid, n, csq FROM meta1
+            UNION ALL
+            SELECT b, cid, n, csq FROM meta0
+            WHERE NOT EXISTS (SELECT 1 FROM meta1)
+        ),
         dotf AS (
             SELECT c.vec_id, c.b, ct.cid, sum(c.x * ct.s) AS bsum
-            FROM comp c JOIN cent1 ct ON c.b = ct.b AND c.i = ct.i
+            FROM comp c JOIN centf ct ON c.b = ct.b AND c.i = ct.i
             GROUP BY c.vec_id, c.b, ct.cid
         ),
         df AS (
             SELECT vec_id, d.b, d.cid, {dform} AS d
-            FROM dotf d JOIN meta1 m ON d.b = m.b AND d.cid = m.cid
+            FROM dotf d JOIN metaf m ON d.b = m.b AND d.cid = m.cid
         ),
         av AS (SELECT vec_id, b, sum(x * x) AS a FROM comp GROUP BY vec_id, b),
         win AS (

@@ -145,31 +145,58 @@ def funnel_events_stream(events: DataFrame,
     one — is recomputed from the merged buffers, so a later-stage event
     that ARRIVES before its prior stage has completed is replayed once
     the prior stage lands (the r1 limitation). One row emits the moment
-    the final stage completes and the state drops; users idle past
-    ``ttl_ms`` beyond the watermark are evicted by the event-time
-    timeout, so abandoned funnels can't accumulate state at 100 TB.
+    the final stage completes; the state then flips to a CONVERTED
+    TOMBSTONE (done=1, buffers dropped) instead of being removed, so a
+    late replay or continued activity for an already-converted user
+    can't re-open the funnel and emit a duplicate row — matching the
+    batch twin's one-row-per-user semantics. Tombstones and abandoned
+    funnels alike are evicted by the event-time timeout ``ttl_ms`` past
+    the watermark (re-armed while the key stays active), so state stays
+    bounded at 100 TB; a duplicate is only possible if the SAME user
+    re-converts more than ``ttl_ms`` after the tombstone evicted —
+    the documented staleness/dedup trade every TTL'd stream makes.
+
+    ``buffer_cap`` miss mode: each stage keeps only its EARLIEST
+    ``buffer_cap`` timestamps, so a conversion whose only valid
+    later-stage candidates were evicted (more than ``buffer_cap``
+    stage-N events all earlier than the stage N-1 completion) is
+    missed. With the default cap of 64 that needs a user emitting 64+
+    out-of-order same-stage events inside the watermark — raise
+    ``buffer_cap`` if the domain makes that plausible; cost is
+    O(stages × cap) longs of state per in-flight user.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     n = len(stages)
     out_fields = ", ".join(f"ts_{s} TIMESTAMP" for s in stages)
-    state_fields = ", ".join(f"s{i} ARRAY<LONG>" for i in range(n))
+    state_fields = "done LONG, " + ", ".join(f"s{i} ARRAY<LONG>" for i in range(n))
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
         if state.hasTimedOut:
             state.remove()
             return
-        bufs = (
-            [list(b) if b is not None else [] for b in state.get]
-            if state.exists
-            else [[] for _ in range(n)]
-        )
+        done = False
+        bufs = [[] for _ in range(n)]
+        if state.exists:
+            stored = state.get
+            done = bool(stored[0])
+            if not done:
+                bufs = [list(b) if b is not None else [] for b in stored[1:]]
+        latest = 0
         for pdf in pdf_iter:
             for t, et in zip(pdf["ts"], pdf["event_type"]):
-                if et in stages:
-                    bufs[stages.index(et)].append(int(t.value // 1_000_000))
+                ms = int(t.value // 1_000_000)
+                latest = max(latest, ms)
+                if not done and et in stages:
+                    bufs[stages.index(et)].append(ms)
+        wm = state.getCurrentWatermarkMs()
+        if done:
+            # Tombstone: swallow the activity, keep the tombstone alive
+            # ttl_ms past the newest signal so replays stay deduped.
+            state.setTimeoutTimestamp(max(wm, latest) + ttl_ms)
+            return
         # Earliest candidates are the only ones the chain can use: keep
         # each buffer sorted, deduped, and capped.
         bufs = [sorted(set(b))[:buffer_cap] for b in bufs]
@@ -183,17 +210,17 @@ def funnel_events_stream(events: DataFrame,
                 break
             chain[i] = cands[0]
         if chain[-1] is not None:
-            state.remove()
+            state.update((1, *[[] for _ in range(n)]))
+            state.setTimeoutTimestamp(max(wm, latest) + ttl_ms)
             yield pd.DataFrame({
                 "user_id": [user_id],
                 **{f"ts_{s}": [pd.Timestamp(chain[i], unit="ms")]
                    for i, s in enumerate(stages)},
             })
         else:
-            state.update(tuple(bufs))
-            wm = state.getCurrentWatermarkMs()
-            latest = max((b[-1] for b in bufs if b), default=0)
-            state.setTimeoutTimestamp(max(wm, latest) + ttl_ms)
+            state.update((0, *bufs))
+            buf_latest = max((b[-1] for b in bufs if b), default=0)
+            state.setTimeoutTimestamp(max(wm, latest, buf_latest) + ttl_ms)
 
     return (
         events.withWatermark("ts", watermark)
