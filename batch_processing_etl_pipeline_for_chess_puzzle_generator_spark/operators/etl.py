@@ -334,6 +334,143 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["snapshot_diff_orders"] = snapshot_diff_orders
 
+# ------------------------------------------- versioned snapshot reads
+#
+# Delta-style time travel over the CDC pipeline above: version 0 is the
+# raw orders table, version 1 the first MERGE (cdc_merge_orders' change
+# batch), version 2 a second MERGE (upsert every orderkey ≡ 0 mod 5 at
+# +5%, delete every orderkey ≡ 0 mod 7). Each state is COMMITTED as an
+# immutable versioned snapshot (versioned.py: staged write → atomic
+# manifest publish) once per (session, sf_dir), then the query READS
+# ALL THREE VERSIONS BACK FROM THE MANIFESTS — time-traveling the same
+# table path to three different states — and aggregates each. The
+# oracle rebuilds every state relationally from the base table, so a
+# hash match proves the committed snapshots ARE the declared states.
+#
+# All change-batch prices derive from the ORIGINAL order price by exact
+# decimal arithmetic (scale ≤ 4), never by re-rounding an
+# already-bumped double — the only formulation where Spark and DuckDB
+# produce bit-identical doubles. The per-version aggregate sums at
+# DECIMAL(18,4) for the same reason.
+_NEW_PRICE2 = ("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * "
+               "CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE)")
+_VERSIONS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _changes_v2(o: DataFrame) -> DataFrame:
+    return (
+        o.filter(F.expr("o_orderkey % 5 = 0 OR o_orderkey % 7 = 0"))
+        .withColumn("is_delete", F.expr("o_orderkey % 7 = 0"))
+        .withColumn("o_totalprice", F.expr(_NEW_PRICE2))
+    )
+
+
+def _versioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _VERSIONS_CACHE:
+        return _VERSIONS_CACHE[key]
+    path = tempfile.mkdtemp(prefix="orders_versions_")
+    o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    v1 = cdc_merge_orders(spark, sf_dir)
+    ch2 = _changes_v2(table(spark, sf_dir, "orders"))
+    v2 = (
+        v1.join(F.broadcast(ch2.select("o_orderkey")), "o_orderkey", "left_anti")
+        .select(*_ORDER_COLS)
+        .unionByName(
+            ch2.filter(~F.col("is_delete")).select(*_ORDER_COLS)
+        )
+    )
+    versioned.write_version(o, path, 0)
+    versioned.write_version(v1, path, 1)
+    versioned.write_version(v2, path, 2)
+    _VERSIONS_CACHE[key] = path
+    return path
+
+
+def snapshot_read_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    path = _versioned_orders_path(spark, sf_dir)
+    per_version = []
+    for v in versioned.versions(path):
+        per_version.append(
+            versioned.read_version(spark, path, v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.expr(
+                    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+                ).alias("total_sales"),
+            )
+            .select(
+                F.lit(v).cast("long").alias("version"),
+                "o_orderstatus",
+                "n_orders",
+                "total_sales",
+            )
+        )
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+QUERIES["snapshot_read_version"] = snapshot_read_version
+
+_V_AGG = ("SELECT CAST({v} AS BIGINT) AS version, o_orderstatus, "
+          "count(*) AS n_orders, "
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_sales "
+          "FROM {src} GROUP BY o_orderstatus")
+
+ORACLES["snapshot_read_version"] = f"""
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               {_NEW_PRICE} AS o_totalprice,
+               o_orderdate, o_orderpriority,
+               o_orderkey % 10 = 0 AS is_delete
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders b
+        WHERE o_orderkey % 3 != 0
+          AND NOT EXISTS (SELECT 1 FROM changes c
+                          WHERE c.o_orderkey = b.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM changes WHERE NOT is_delete
+    ),
+    changes2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               {_NEW_PRICE2} AS o_totalprice,
+               o_orderdate, o_orderpriority,
+               o_orderkey % 7 = 0 AS is_delete
+        FROM orders WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 = 0
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM v1
+        WHERE NOT EXISTS (SELECT 1 FROM changes2 c
+                          WHERE c.o_orderkey = v1.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM changes2 WHERE NOT is_delete
+    )
+    {_V_AGG.format(v=0, src="orders")}
+    UNION ALL
+    {_V_AGG.format(v=1, src="v1")}
+    UNION ALL
+    {_V_AGG.format(v=2, src="v2")}
+"""
+
 ORACLES["snapshot_diff_orders"] = f"""
     WITH changes AS (
         SELECT o_orderkey, {_NEW_PRICE} AS o_totalprice,

@@ -1,0 +1,104 @@
+"""Versioned snapshot tables: Delta-style time-travel reads on plain
+parquet.
+
+The reference tracks progress at file granularity (a processed-files
+ledger, etl/transform.py:24-34); a warehouse user needs the TABLE-level
+analog — "read this table as of version N" — after every CDC merge or
+compaction rewrite. This module provides the minimal transaction-log
+pattern the real lakehouse formats (Delta/Iceberg) build on:
+
+- every write lands in an immutable data directory ``v_N/``,
+- a version becomes VISIBLE only when its tiny manifest JSON appears in
+  ``_manifest/`` (written tmp-then-rename, so a crash mid-commit leaves
+  no partial version — readers simply never see it),
+- readers resolve a version by listing manifests (or pinning an
+  explicit N) and read only that version's directory.
+
+Scale notes (100 TB): data directories are immutable, so concurrent
+readers never race a writer — a reader that pinned version N keeps a
+consistent snapshot while N+1 commits. The manifest dir holds one
+O(100-byte) JSON per version (the Delta log shape); listing it is
+metadata-only. Real formats refine this to file-level manifests so a
+version can share unchanged files with its parent instead of rewriting
+the table — the commit protocol (stage → atomic manifest publish) is
+identical, which is what this module demonstrates. The write path is a
+plain distributed ``df.write.parquet``; nothing here touches the
+driver beyond manifest metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifest"
+
+
+def _manifest_path(table_path: str) -> str:
+    return os.path.join(table_path, _MANIFEST_DIR)
+
+
+def versions(table_path: str) -> list[int]:
+    """Committed versions, ascending. A version exists iff its manifest
+    JSON does — staged/crashed writes are invisible."""
+    mdir = _manifest_path(table_path)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.endswith(".json"):
+            out.append(int(f[: -len(".json")]))
+    return sorted(out)
+
+
+def write_version(df: DataFrame, table_path: str,
+                  version: int | None = None) -> int:
+    """Commit ``df`` as the next (or an explicit) version of the table.
+
+    Commit protocol: distributed write into ``_staged_N`` → atomic
+    rename to ``v_N`` → manifest JSON written tmp-then-rename. Readers
+    only discover the version at the final rename, so every
+    intermediate failure leaves the table exactly as it was. Versions
+    are immutable: committing an existing N raises.
+    """
+    existing = versions(table_path)
+    if version is None:
+        version = (existing[-1] + 1) if existing else 0
+    if version in existing:
+        raise ValueError(f"version {version} already committed at {table_path}")
+    os.makedirs(_manifest_path(table_path), exist_ok=True)
+    staged = os.path.join(table_path, f"_staged_{version}")
+    final = os.path.join(table_path, f"v_{version}")
+    df.write.mode("overwrite").parquet(staged)
+    os.rename(staged, final)
+    manifest = {
+        "version": version,
+        "dir": f"v_{version}",
+        "schema": df.schema.json(),
+    }
+    tmp = os.path.join(_manifest_path(table_path), f".{version}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(_manifest_path(table_path), f"{version}.json"))
+    return version
+
+
+def read_version(spark: SparkSession, table_path: str,
+                 version: int | None = None) -> DataFrame:
+    """Time-travel read: the table as of ``version`` (default: latest).
+
+    Resolves the manifest, then reads ONLY that version's immutable
+    directory — a later commit can't disturb this snapshot.
+    """
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    if version is None:
+        version = avail[-1]
+    if version not in avail:
+        raise ValueError(f"version {version} not in {avail} at {table_path}")
+    with open(os.path.join(_manifest_path(table_path), f"{version}.json")) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(os.path.join(table_path, manifest["dir"]))
