@@ -114,7 +114,7 @@ def _family(i: int, base: str) -> str:
 # unbounded executor storage (the r1 caveat, extended to the pair and
 # CC caches per the r2 advice).
 _SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 _CC_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SIG_CACHE_MAX = 8
 
@@ -153,17 +153,84 @@ def _band_hash_expr(b: int, rows_per_band: int = ROWS_PER_BAND) -> str:
     return f"md5(concat_ws(',', '{b}', {cols}))"
 
 
-def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Band-bucket size above which the salted band join spreads a bucket
+# over several reducers. Candidate volume is Σ bucket² either way; the
+# salt only changes WHERE the quadratic work runs — a bucket of k docs
+# produces k²/2 join rows through ONE reducer unsalted, or spread over
+# n_salts reducers salted. On a real skewed corpus (boilerplate docs
+# sharing a band value) that single reducer is the straggler.
+BAND_SALT_HOT = 1024
+
+
+def _band_pairs(bands: DataFrame, n_salts: int = 1,
+                hot: int = BAND_SALT_HOT) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing a band bucket.
+
+    ``n_salts=1`` (default) is the plain equality self-join — one
+    shuffle per side on the band key. ``n_salts>1`` enables the
+    HOT-BUCKET SALT: bucket sizes are attached with a window count
+    (same shuffle key the join needs anyway), buckets larger than
+    ``hot`` get group count n_salts (others stay 1), the left side
+    takes a DETERMINISTIC per-doc salt in [0, g) — xxhash64, never
+    rand(): task retries must re-derive identical salts — and the
+    right side replicates each row g ways. Every in-bucket pair meets
+    exactly once (on the left doc's salt), so the result set is
+    IDENTICAL to the plain join (property-tested, incl. a stuffed
+    bucket), but a hot bucket's k² work fans out over n_salts
+    reducers instead of serializing one.
+    """
+    if n_salts <= 1:
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+    from pyspark.sql.window import Window
+
+    sized = bands.withColumn(
+        "_g",
+        F.when(
+            F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+            > hot,
+            F.lit(n_salts),
+        ).otherwise(F.lit(1)).cast("long"),
+    )
+    a = sized.select(
+        "doc_id", "band_idx", "band_hash",
+        F.pmod(F.xxhash64("doc_id"), F.col("_g")).alias("_s"),
+    )
+    b = sized.select(
+        F.col("doc_id").alias("_doc_b"), "band_idx", "band_hash",
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), _g - 1)")).alias("_s"),
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash", "_s"])
+        .filter(F.col("doc_id") < F.col("_doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("_doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str,
+                      n_salts: int = 1) -> DataFrame:
     """MinHash/LSH near-duplicate candidate pairs with estimated
     Jaccard (fraction of agreeing signature components).
 
     16 hash families, 4 bands × 4 rows: pairs with true Jaccard ≥ ~0.9
     are found with probability ~1-(1-0.9⁴)⁴ ≈ 0.95; the band equality
     join replaces the O(n²) pairing entirely. The scored pair table is
-    memoized+persisted per (session, sf_dir): clusters and the dedup
-    report reuse it instead of replaying the band join.
+    memoized+persisted per (session, sf_dir, n_salts): clusters and the
+    dedup report reuse it instead of replaying the band join.
+    ``n_salts>1`` turns on the hot-bucket salt (see ``_band_pairs``) —
+    the knob to set on a corpus whose band buckets skew.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, n_salts)
     if key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
     sig = _signatures(spark, sf_dir)
@@ -179,17 +246,7 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bd"),
     ).select("doc_id", "bd.band_idx", "bd.band_hash")
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = _band_pairs(bands, n_salts)
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)])
     agree = " + ".join(f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES))
@@ -208,7 +265,8 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------- wide (64-perm) minhash
-def doc_minhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_minhash64_pairs(spark: SparkSession, sf_dir: str,
+                        n_salts: int = 1) -> DataFrame:
     """64-permutation MinHash / LSH pairs — the production width.
 
     8 bands × 8 rows: the collision threshold moves to ~0.77 Jaccard
@@ -218,6 +276,7 @@ def doc_minhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + one groupBy signature pass — the 64 families are still
     derived from ONE md5 per shingle by universal hashing, so the
     wider signature costs 48 extra integer mins, not 48 digests.
+    ``n_salts>1`` turns on the hot-bucket salt (see ``_band_pairs``).
     """
     sig = _signatures(spark, sf_dir, n_hashes=N_HASHES_W)
     bands = sig.select(
@@ -232,17 +291,7 @@ def doc_minhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bd"),
     ).select("doc_id", "bd.band_idx", "bd.band_hash")
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = _band_pairs(bands, n_salts)
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES_W)])
     sb = sig.select(F.col("doc_id").alias("doc_b"),

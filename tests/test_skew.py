@@ -62,6 +62,39 @@ def test_two_phase_agg_matches_plain_agg(spark):
         assert abs(g["total"] - r["total"]) < 1e-6
 
 
+def test_band_pairs_salted_identical_on_stuffed_bucket(spark):
+    """The MinHash band join's hot-bucket salt is a physical rewrite:
+    on a corpus with one STUFFED band bucket (300 docs sharing a band
+    hash, far past the test threshold) plus scattered small buckets,
+    the salted pair set must equal the plain join's exactly."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.dedup import _band_pairs
+
+    bands = spark.range(0, 400).selectExpr(
+        "id AS doc_id",
+        "CAST(0 AS INT) AS band_idx",
+        # docs 0..299 share one hot bucket; 300+ spread over tiny ones
+        "CASE WHEN id < 300 THEN 'hot' ELSE concat('b', CAST(id % 350 AS STRING)) END AS band_hash",
+    )
+    plain = _sorted(_band_pairs(bands).collect())
+    salted = _sorted(_band_pairs(bands, n_salts=8, hot=100).collect())
+    assert salted == plain
+    # the stuffed bucket alone contributes C(300,2) pairs
+    assert len(plain) >= 300 * 299 // 2
+
+
+def test_minhash_pairs_salted_identical_on_corpus(spark):
+    """End-to-end: doc_minhash_pairs with the salt knob on returns the
+    identical scored pair set on the real test corpus."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.dedup import doc_minhash_pairs
+
+    plain = _sorted(doc_minhash_pairs(spark, SF_DIR).collect())
+    # n_salts=4 routes through the sized/replicated join (buckets here
+    # are all below the hot threshold, so g=1 — the degenerate path
+    # must also be exact)
+    salted = _sorted(doc_minhash_pairs(spark, SF_DIR, n_salts=4).collect())
+    assert salted == plain
+
+
 def test_aqe_splits_skewed_join(spark):
     """Pathological key distribution (one key owns half the rows) must
     trigger AQE's skew-join split when broadcast is off — the runtime
