@@ -376,6 +376,34 @@ def cms_sketch_stream(events: DataFrame,
     )
 
 
+def dau_sketch_stream(events: DataFrame,
+                      window: str = "1 day",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming HLL++ daily-active-users sketch — twin of
+    events.py::ev_daily_active_approx.
+
+    ``approx_count_distinct`` over a tumbling event-time window: the
+    per-window state is ONE fixed-size HLL sketch (2^p registers,
+    ~kilobytes at rsd=0.02) regardless of user cardinality — the
+     100 TB answer to streaming COUNT(DISTINCT), whose exact form
+    needs O(users) state per window. Sketch-merge is a register-wise
+    max — associative, commutative, and idempotent on identical
+    hashes — so the estimate is INDEPENDENT of micro-batch slicing
+    and equals the batch operator's estimate on the same rows
+    bit-for-bit (asserted in tests). The watermark drops window state
+    once closed.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("win.start").alias("day"), "dau_approx", "n_events")
+    )
+
+
 def bloom_bits_stream(events: DataFrame,
                       watermark: str = "2 hours") -> DataFrame:
     """Streaming Bloom-filter bit set — twin of

@@ -292,6 +292,91 @@ def test_cms_sketch_stream_matches_batch_grid(spark, tmp_path):
     assert len({r["d"] for r in got}) == CMS_D
 
 
+def test_dau_sketch_stream_matches_batch_estimate(spark, tmp_path):
+    """The streaming HLL DAU estimate must equal the batch
+    approx_count_distinct on the same rows, even when the stream
+    delivers them across several micro-batches — HLL merge is
+    register-wise max, so micro-batch slicing can't change it."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        dau_sketch_stream,
+    )
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "dau_stream"
+    src.mkdir()
+    # two days of events split across two micro-batch files, with
+    # overlapping users so dedup-across-batches matters
+    batches = [
+        [(i, f"2024-01-0{1 + i % 2} 0{i % 9}:00:00", i % 37) for i in range(0, 60)],
+        [(i, f"2024-01-0{1 + i % 2} 1{i % 9}:00:00", i % 23) for i in range(60, 120)],
+    ]
+    for bi, rows in enumerate(batches):
+        (src / f"b{bi}.json").write_text("\n".join(
+            json.dumps({"event_id": e, "ts": t, "user_id": u})
+            for e, t, u in rows
+        ))
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, user_id LONG")
+        .json(str(src))
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    q = (dau_sketch_stream(stream).writeStream.format("memory")
+         .queryName("dau_out").outputMode("complete").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {str(r["day"]): (r["dau_approx"], r["n_events"])
+           for r in spark.sql("SELECT * FROM dau_out").collect()}
+    batch = (
+        spark.createDataFrame(
+            [r for b in batches for r in b], "event_id LONG, ts STRING, user_id LONG"
+        )
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("dau"),
+             F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("day"), "dau", "n")
+    )
+    expect = {str(r["day"]): (r["dau"], r["n"]) for r in batch.collect()}
+    assert got == expect
+    assert len(got) == 2
+
+
+def test_funnel_stream_tombstone_dedups_replay(spark, tmp_path):
+    """After a user converts, a replayed/late event for the same user
+    must NOT re-open the funnel and emit a second conversion row."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        funnel_events_stream,
+    )
+
+    src = tmp_path / "funnel_tomb"
+    src.mkdir()
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 7, "event_type": "view"},
+        {"event_id": 2, "ts": "2024-01-01 00:01:00", "user_id": 7, "event_type": "click"},
+        {"event_id": 3, "ts": "2024-01-01 00:02:00", "user_id": 7, "event_type": "purchase"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, user_id LONG, event_type STRING")
+        .json(str(src))
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    )
+    _run_stream(funnel_events_stream(stream), "tomb1")
+    assert spark.sql("SELECT * FROM tomb1").count() == 1
+    # a full replay of the same funnel events (plus fresh activity)
+    # arrives later — the tombstone must swallow it
+    batch2 = [
+        {"event_id": 4, "ts": "2024-01-01 00:10:00", "user_id": 7, "event_type": "view"},
+        {"event_id": 5, "ts": "2024-01-01 00:11:00", "user_id": 7, "event_type": "click"},
+        {"event_id": 6, "ts": "2024-01-01 00:12:00", "user_id": 7, "event_type": "purchase"},
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in batch2))
+    _run_stream(funnel_events_stream(stream), "tomb2")
+    rows = spark.sql("SELECT * FROM tomb2").collect()
+    assert len(rows) == 1, "tombstone failed: duplicate conversion emitted"
+    assert str(rows[0]["ts_purchase"]) == "2024-01-01 00:02:00"
+
+
 def test_bloom_bits_stream_matches_batch_bits(spark, tmp_path):
     """The streaming bit set must equal the batch md5 bit grid over the
     same users, and stay deduped across micro-batches."""
