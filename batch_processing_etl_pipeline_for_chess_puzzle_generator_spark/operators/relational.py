@@ -1222,6 +1222,52 @@ ORACLES["stats_equidepth_hist"] = """
 """
 
 
+# The RUNNABLE 100 TB twin of stats_equidepth_hist: cut points from
+# approx_percentile (t-digest-style bounded summary — no partition
+# sort, fixed-size merge state) in the SAME plan shape, exactly the
+# swap the exact operator's docstring promises. The sketch's output is
+# engine-specific, so the oracle gate is STATISTICAL (see events.py's
+# approx twins): the histogram must be equi-depth within tolerance —
+# with accuracy=10000 each cut point's rank error is ≤ n/10000, so
+# every bucket holds n/10 ± 2% (+4 absolute for tiny inputs). The
+# exact per-bucket boolean reaches the value hash; a drifting sketch
+# flips it and fails the gate.
+def stats_equidepth_hist_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.1, 0.2, 0.3, 0.4, "
+            "0.5, 0.6, 0.7, 0.8, 0.9), 10000)"
+        ).alias("bs")
+    )
+    hist = (
+        li.join(F.broadcast(bounds))
+        .select(
+            F.expr(
+                "CAST(size(filter(bs, b -> l_extendedprice > b)) AS BIGINT)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = hist.agg(F.expr("CAST(SUM(n) AS BIGINT)").alias("n_total"))
+    return hist.join(F.broadcast(tot)).select(
+        "bucket",
+        "n_total",
+        F.expr("abs(n - n_total / 10.0) <= n_total * 0.02 + 4").alias("depth_ok"),
+    )
+
+
+QUERIES["stats_equidepth_hist_approx"] = stats_equidepth_hist_approx
+
+ORACLES["stats_equidepth_hist_approx"] = """
+    SELECT CAST(t.i AS BIGINT) AS bucket,
+           (SELECT count(*) FROM lineitem) AS n_total,
+           TRUE AS depth_ok
+    FROM UNNEST(range(0, 10)) AS t(i)
+"""
+
+
 # Pure-SQL API surface: the same engine driven entirely through
 # spark.sql over catalog-registered views — proving a SQL-only user of
 # the reference can run unchanged ANSI SQL here. The text below IS the

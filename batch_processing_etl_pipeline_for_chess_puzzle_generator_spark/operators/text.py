@@ -808,6 +808,61 @@ ORACLES["doc_length_deciles"] = f"""
 """
 
 
+# The RUNNABLE 100 TB twin of doc_length_deciles: the per-source
+# decile vector from approx_percentile in the same grouped single-agg
+# plan — the swap the exact operator documents. Statistical oracle
+# gate (the events.py approx-twin pattern): each sketch decile must
+# land inside the exact p±0.02 quantile bracket (rank error at
+# accuracy=10000 is ≤ n/10000, far inside ±0.02·n); sources with
+# fewer than 100 docs are accepted outright, since a real data value
+# on a handful of rows can legitimately sit outside an interpolated
+# bracket. The per-decile boolean reaches the value hash.
+def doc_length_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ps = [p / 10 for p in range(1, 10)]
+    brackets = ", ".join(f"{max(p - 0.02, 0.0)}, {min(p + 0.02, 1.0)}" for p in ps)
+    agged = (
+        docs.select("source", F.expr(f"size({_WORDS})").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "approx_percentile(n_tokens, array("
+                + ", ".join(str(p) for p in ps)
+                + "), 10000)"
+            ).alias("ap"),
+            F.expr(f"percentile(n_tokens, array({brackets}))").alias("ex"),
+        )
+    )
+    return (
+        agged.select(
+            "source",
+            "n_docs",
+            F.posexplode("ap").alias("pos", "v"),
+            "ex",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("CAST(pos + 1 AS BIGINT)").alias("decile"),
+            F.expr(
+                "n_docs < 100 OR (v >= ex[pos * 2] AND v <= ex[pos * 2 + 1])"
+            ).alias("decile_ok"),
+        )
+    )
+
+
+QUERIES["doc_length_deciles_approx"] = doc_length_deciles_approx
+
+ORACLES["doc_length_deciles_approx"] = """
+    SELECT source, count(*) AS n_docs,
+           CAST(t.i AS BIGINT) AS decile,
+           TRUE AS decile_ok
+    FROM documents, UNNEST(range(1, 10)) AS t(i)
+    GROUP BY source, t.i
+"""
+
+
 # N-gram novelty — per document, the share of its distinct 3-gram
 # shingles never seen in any EARLIER document (doc_id order = ingestion
 # order). The corpus-wide diversity/memorization curve every data-mix
