@@ -173,3 +173,52 @@ ORACLES["ev_error_window_join"] = """
     WHERE e.event_type = 'error'
     GROUP BY 1, 2
 """
+
+
+# Last-touch attribution revenue — the marketing rollup every event
+# pipeline ships: each purchase's value is attributed to the DAY of the
+# user's latest prior (or simultaneous) view via the as-of join above,
+# then revenue rolls up per attribution day. Purchases with no prior
+# view land in the NULL-day bucket (unattributed) instead of being
+# dropped — the honest report. Plan: the as-of union-sort (one shuffle
+# on user_id) + one partial-agg shuffle on the day; nothing scans
+# events twice.
+def ev_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join(purchases, views, on=["user_id"])
+    return (
+        out.select(
+            F.date_trunc("day", F.col("ts_asof")).alias("view_day"),
+            "value",
+        )
+        .groupBy("view_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
+            .alias("revenue"),
+        )
+    )
+
+
+QUERIES["ev_attribution_revenue"] = ev_attribution_revenue
+
+ORACLES["ev_attribution_revenue"] = """
+    WITH attributed AS (
+        SELECT p.value,
+               date_trunc('day', (SELECT max(v.ts) FROM events v
+                                  WHERE v.event_type = 'view'
+                                    AND v.user_id = p.user_id
+                                    AND v.ts <= p.ts)) AS view_day
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    )
+    SELECT CAST(view_day AS TIMESTAMP) AS view_day,
+           count(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM attributed
+    GROUP BY view_day
+"""

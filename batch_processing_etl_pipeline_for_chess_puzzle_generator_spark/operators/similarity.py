@@ -1623,3 +1623,37 @@ def _pqt_oracle() -> str:
 
 
 ORACLES["emb_pq_trained"] = _pqt_oracle()
+
+
+# --------------------------------------------------- cosine range search
+#
+# Threshold (range) search — "every corpus vector with cosine ≥ τ of
+# the query", the retrieval mode dedup/link-prediction pipelines use
+# when the neighbor COUNT is unknown a priori (top-k is wrong there:
+# it truncates dense neighborhoods and pads sparse ones). Exact
+# baseline shape: broadcast the small query set, scan the corpus once,
+# keep pairs past the threshold — no per-query sort at all (cheaper
+# than top-k: the window rank disappears). τ = 0.25 is ~2σ of the
+# null cosine distribution at 64 dims. At 100 TB the same threshold
+# drops into the LSH/IVF bucketed scans (emb_lsh_ann / emb_ivf_ann)
+# as the rerank predicate; this operator is their exact-recall oracle.
+RANGE_TAU = 0.25
+
+
+def emb_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, c = _split(spark, sf_dir)
+    return (
+        c.crossJoin(broadcast(q))
+        .select("q_id", "c_id", F.expr(_SIM).alias("sim"))
+        .filter(F.col("sim") >= RANGE_TAU)
+    )
+
+
+QUERIES["emb_range_search"] = emb_range_search
+
+ORACLES["emb_range_search"] = f"""
+    WITH {_DUCK_PAIRS},
+    pairs AS (SELECT q_id, qe, c_id, ce FROM q CROSS JOIN c),
+    {_DUCK_SCORE}
+    SELECT q_id, c_id, sim FROM scored WHERE sim >= {RANGE_TAU}
+"""

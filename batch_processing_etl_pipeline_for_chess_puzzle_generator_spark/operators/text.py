@@ -1211,3 +1211,83 @@ ORACLES["doc_langid_ngram"] = f"""
                 >= {LANGID_NGRAM_MIN} THEN 'en' ELSE 'other' END AS predicted_lang
     FROM t
 """
+
+
+# ------------------------------------------------ cross-split leakage
+#
+# Train→test 5-gram leakage report: for every TEST-split document, the
+# share of its distinct 5-gram shingles that also occur anywhere in the
+# TRAIN split (the deterministic hash split of doc_train_split). This
+# is the decontamination check run the other way around — and unlike
+# doc_contamination, whose eval-shingle set is tiny and broadcasts, the
+# train-gram set here is CORPUS-SIZED, so the membership test must be a
+# DISTRIBUTED join: distinct train grams (one partial-agg shuffle on
+# the gram hash) left-joined to the test side's exploded grams on the
+# same key — co-partitioned, no broadcast, no collect. Three shuffles
+# total at any corpus size; shuffle rows are (hash, id) pairs only.
+def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = SPARK_HASH_SQL("concat_ws(' ', slice(ws, i, 5))")
+    grams = f"array_distinct(transform(sequence(1, size(ws) - 4), i -> {h}))"
+    sh = SPARK_HASH_SQL("CONCAT('split:', CAST(doc_id AS STRING))")
+    split = (
+        f"CASE WHEN pmod({sh}, 10) < 8 THEN 'train' "
+        f"WHEN pmod({sh}, 10) = 8 THEN 'val' ELSE 'test' END"
+    )
+    ex = (
+        docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+        .filter(F.expr("size(ws) >= 5"))
+        .select("doc_id", F.expr(split).alias("split"),
+                F.explode(F.expr(grams)).alias("g"))
+    )
+    train_grams = (
+        ex.filter(F.col("split") == "train")
+        .select("g")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        ex.filter(F.col("split") == "test")
+        .join(train_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.expr("CAST(SUM(COALESCE(_hit, 0)) AS BIGINT)").alias("n_leaked"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_leaked",
+            F.expr("n_leaked / n_ngrams").alias("leak_frac"),
+        )
+    )
+
+
+QUERIES["doc_split_leakage"] = doc_split_leakage
+
+_LEAK_H_DUCK = STABLE_HASH_SQL("array_to_string(ws[i:i+4], ' ')")
+ORACLES["doc_split_leakage"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_WORDS_DUCK} AS ws FROM documents
+        WHERE len({_WORDS_DUCK}) >= 5
+    ),
+    ex AS (
+        SELECT doc_id,
+               CASE WHEN {_SPLIT_H_DUCK} % 10 < 8 THEN 'train'
+                    WHEN {_SPLIT_H_DUCK} % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+                                                   i -> {_LEAK_H_DUCK}))) AS g
+        FROM toks
+    ),
+    tg AS (SELECT DISTINCT g FROM ex WHERE split = 'train')
+    SELECT e.doc_id,
+           count(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaked,
+           SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE) AS leak_frac
+    FROM ex e LEFT JOIN tg ON e.g = tg.g
+    WHERE e.split = 'test'
+    GROUP BY e.doc_id
+"""
