@@ -1016,3 +1016,77 @@ ORACLES["doc_dedup_report"] = f"""
                AS keep_rate
     FROM exact CROSS JOIN np CROSS JOIN ccagg
 """
+
+
+# ------------------------------------------ LSH candidates + exact verify
+#
+# The two-stage production dedup: LSH proposes, exact Jaccard disposes.
+# Stage 1 is the memoized band join (doc_minhash_pairs) — candidates
+# bounded by Σ bucket². Stage 2 computes EXACT shingle Jaccard ONLY on
+# those candidates: the per-doc shingle array joins in by doc key (two
+# hash joins on a pair table that is tiny relative to the corpus), and
+# the set intersection is row-local array math. This is the shape that
+# makes exact verification affordable at 100 TB — all-pairs exact
+# Jaccard is O(n²); candidate-only is O(|candidates|).
+VERIFY_MIN_JACCARD = 0.5
+
+
+def doc_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    shingled = docs.select("doc_id", F.expr(_SHINGLES_WS).alias("sh"))
+    cand = doc_minhash_pairs(spark, sf_dir)
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.expr("size(array_intersect(sha, shb))").alias("_i"),
+            F.expr("size(sha)").alias("_na"),
+            F.expr("size(shb)").alias("_nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.expr("_i / (_na + _nb - _i)").alias("exact_jaccard"),
+            F.expr(f"_i / (_na + _nb - _i) >= {VERIFY_MIN_JACCARD}").alias("confirmed"),
+        )
+    )
+
+
+QUERIES["doc_minhash_verified"] = doc_minhash_verified
+
+ORACLES["doc_minhash_verified"] = f"""
+    WITH {_duck_sig_cte()},
+    {_duck_bands_cte()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT doc_a, doc_b, ({_AGREE}) / {N_HASHES}.0 AS est_jaccard
+        FROM cand
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id
+    ),
+    d AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents)
+    SELECT doc_a, doc_b, est_jaccard,
+           len(list_intersect(da.sh, db.sh))
+               / CAST(len(da.sh) + len(db.sh)
+                      - len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+               AS exact_jaccard,
+           len(list_intersect(da.sh, db.sh))
+               / CAST(len(da.sh) + len(db.sh)
+                      - len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+               >= {VERIFY_MIN_JACCARD} AS confirmed
+    FROM est
+    JOIN d da ON doc_a = da.doc_id
+    JOIN d db ON doc_b = db.doc_id
+"""

@@ -1530,3 +1530,57 @@ ORACLES["ev_rolling_dau_7d"] = """
     WHERE win_day BETWEEN d_min AND d_max
     GROUP BY win_day
 """
+
+
+# --------------------------------------------------- activity streaks
+#
+# Longest consecutive-day activity streak per user — the classic
+# gaps-and-islands window: distinct (user, day), number the days per
+# user, and day − row_number is CONSTANT within one consecutive run, so
+# grouping on it isolates every streak without a self-join. Plan: one
+# partial-agg shuffle for the distinct user-day set, then the window
+# and both aggs all ride the same user_id hash partitioning (no further
+# exchange). Streak state is never materialized per event — only per
+# active user-day — so the plan scales with distinct activity, not
+# event volume.
+def ev_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day")
+    ).distinct()
+    runs = days.withColumn(
+        "grp", F.expr("date_sub(day, CAST(row_number() OVER "
+                      "(PARTITION BY user_id ORDER BY day) AS INT))")
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.expr("CAST(SUM(len) AS BIGINT)").alias("n_active_days"),
+        F.expr("CAST(MAX(len) AS BIGINT)").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+QUERIES["ev_activity_streaks"] = ev_activity_streaks
+
+ORACLES["ev_activity_streaks"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER
+                          (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, grp, count(*) AS len FROM runs GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           count(*) AS n_streaks
+    FROM streaks GROUP BY user_id
+"""

@@ -615,3 +615,53 @@ ORACLES["mm_media_summary"] = """
            ROUND(AVG(16 + doc_id % 24), 6) AS avg_height
     FROM documents
 """
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over the RAWV frame stream —
+    the sampler a video training pipeline runs to pick representative
+    frames per shot. Decode happens ONCE in the sanctioned Arrow kernel
+    (sample_frame_stats, every frame); detection itself is pure JVM
+    window math on the typed per-frame means: a cut is a frame whose
+    mean shifts > 32 levels from its predecessor. The lag partitions by
+    media_id — frames of one video are a handful of rows, so the sort
+    is partition-local and the plan scales with video count, never
+    frame count per partition."""
+    from pyspark.sql.window import Window
+
+    stats = sample_frame_stats(media_table(spark, sf_dir, "video"), every_n=1)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    return (
+        stats.withColumn("prev_mean", F.lag("frame_mean").over(w))
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.expr(
+                "CAST(SUM(CASE WHEN prev_mean IS NOT NULL "
+                "AND abs(frame_mean - prev_mean) > 32 THEN 1 ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("n_cuts"),
+        )
+    )
+
+
+QUERIES["mm_scene_cuts"] = mm_scene_cuts
+
+# Frame means are (doc_id + 7·i) % 256, so a >32 jump happens exactly
+# at the modular wrap — the oracle replays the arithmetic + lag.
+ORACLES["mm_scene_cuts"] = """
+    WITH frames AS (
+        SELECT doc_id AS media_id, CAST(t.i AS INTEGER) AS frame_idx,
+               CAST((doc_id + 7 * t.i) % 256 AS DOUBLE) AS fm
+        FROM documents, unnest(range(0, 4 + doc_id % 5)) AS t(i)
+    ),
+    lagd AS (
+        SELECT media_id, fm,
+               lag(fm) OVER (PARTITION BY media_id ORDER BY frame_idx) AS pm
+        FROM frames
+    )
+    SELECT media_id, count(*) AS n_frames,
+           CAST(SUM(CASE WHEN pm IS NOT NULL AND abs(fm - pm) > 32
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+    FROM lagd GROUP BY media_id
+"""
