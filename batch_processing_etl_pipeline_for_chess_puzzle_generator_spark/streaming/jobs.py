@@ -326,6 +326,57 @@ def apply_cdc_stream(changes: DataFrame,
     return writer.start()
 
 
+def apply_cdc_versioned_stream(changes: DataFrame,
+                               table_path: str,
+                               key: str,
+                               delete_col: str = "is_delete",
+                               checkpoint: str | None = None):
+    """Continuous CDC apply with TIME TRAVEL: each micro-batch MERGEs
+    into the latest committed snapshot and publishes the result as a
+    NEW immutable version (versioned.py's staged-write → atomic
+    manifest protocol) instead of overwriting in place.
+
+    This upgrades ``apply_cdc_stream``'s swap semantics to the
+    lakehouse contract: a reader pinned to version N keeps a consistent
+    snapshot while N+1..M commit underneath it, every historical state
+    stays queryable (audit/rollback), and a crash between the data
+    write and the manifest publish leaves the table at version N with
+    no partial state visible. Idempotent replay comes from the
+    streaming checkpoint (a re-delivered batch re-merges onto whatever
+    version is current — the MERGE is idempotent per key-version);
+    retention at 100 TB is a manifest-driven vacuum of versions older
+    than the pin horizon. Returns the StreamingQuery.
+    """
+    from pyspark.sql.window import Window as W
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        latest = (
+            batch.withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy(key).orderBy(F.col("ts").desc())
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        base = versioned.read_version(spark, table_path)
+        survivors = base.join(latest.select(key), key, "left_anti")
+        upserts = latest.filter(~F.col(delete_col)).drop(delete_col)
+        merged = survivors.unionByName(upserts.select(*base.columns))
+        versioned.write_version(merged, table_path)
+
+    writer = changes.writeStream.foreachBatch(merge_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def streaming_puzzle_pipeline(games: DataFrame) -> DataFrame:
     """The reference's full ETL as one continuous query: typed ND-JSON
     stream → mate filter → nested projection → PGN text column.

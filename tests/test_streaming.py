@@ -223,6 +223,61 @@ def test_apply_cdc_stream(spark, tmp_path):
     assert got == {2: "b2", 3: "c"}  # 1 deleted, 2 updated to latest, 3 inserted
 
 
+def test_apply_cdc_versioned_stream(spark, tmp_path):
+    """Each micro-batch commits a new queryable version; history stays
+    intact and the latest read reflects all merges."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        apply_cdc_versioned_stream,
+    )
+
+    table_path = str(tmp_path / "vtable")
+    base = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (2, "b", "2024-01-01 00:00:00")],
+        "k LONG, v STRING, ts STRING",
+    ).selectExpr("k", "v", "CAST(ts AS TIMESTAMP) AS ts")
+    versioned.write_version(base, table_path)
+
+    src = tmp_path / "vchanges"
+    src.mkdir()
+    batch1 = [
+        {"k": 1, "v": "x", "ts": "2024-01-01 01:00:00", "is_delete": True},
+        {"k": 3, "v": "c", "ts": "2024-01-01 01:00:00", "is_delete": False},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+
+    def start():
+        stream = (
+            spark.readStream
+            .schema("k LONG, v STRING, ts STRING, is_delete BOOLEAN")
+            .json(str(src))
+            .selectExpr("k", "v", "CAST(ts AS TIMESTAMP) AS ts", "is_delete")
+        )
+        q = apply_cdc_versioned_stream(
+            stream, table_path, key="k", checkpoint=str(tmp_path / "vckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    start()
+    assert versioned.versions(table_path) == [0, 1]
+    (src / "b2.json").write_text(json.dumps(
+        {"k": 3, "v": "c2", "ts": "2024-01-01 02:00:00", "is_delete": False}
+    ))
+    start()
+    assert versioned.versions(table_path) == [0, 1, 2]
+
+    def snap(v):
+        return {r.k: r.v for r in
+                versioned.read_version(spark, table_path, v).collect()}
+
+    assert snap(0) == {1: "a", 2: "b"}
+    assert snap(1) == {2: "b", 3: "c"}
+    assert snap(2) == {2: "b", 3: "c2"}
+    assert {r.k: r.v for r in
+            versioned.read_version(spark, table_path).collect()} == snap(2)
+
+
 def test_funnel_stream_replays_out_of_order_stage(spark, tmp_path):
     """A later-stage event that ARRIVES before its prior stage completes
     must be buffered and replayed (r2 hardening), not dropped."""
