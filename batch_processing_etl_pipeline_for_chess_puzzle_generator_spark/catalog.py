@@ -46,7 +46,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
+# Last-registered sf_dir per live session: re-registering the same 10
+# views costs ~0.5 s of parquet-footer schema reads EACH call (measured
+# 5.4 s total), so repeated SQL-surface queries would re-pay it every
+# run. Keyed by applicationId; switching sf_dir re-registers.
+_VIEWS_REGISTERED: dict[str, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register each table as a temp view for spark.sql queries."""
+    """Register each table as a temp view for spark.sql queries
+    (idempotent per session + sf_dir)."""
+    key = spark.sparkContext.applicationId
+    if _VIEWS_REGISTERED.get(key) == sf_dir:
+        return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_REGISTERED[key] = sf_dir

@@ -61,6 +61,38 @@ def test_salted_join_equals_plain(spark, facts, dim):
     assert plain == salted
 
 
+@given(
+    assignments=st.lists(
+        # (doc, bucket): many docs may share one bucket — hypothesis is
+        # free to stuff a single bucket, the skew case the salt exists
+        # for.
+        st.tuples(st.integers(0, 40), st.integers(0, 3)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    n_salts=st.integers(2, 5),
+)
+@settings(**_SETTINGS)
+def test_band_pairs_salted_equals_plain(spark, assignments, n_salts):
+    """The MinHash band join's hot-bucket salt must be result-identical
+    to the plain self-join on ARBITRARY bucket assignments — including
+    buckets holding most of the corpus (hot=2 forces nearly every
+    bucket through the salted branch)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.dedup import _band_pairs
+
+    bands = spark.createDataFrame(
+        [(d, 0, f"b{b}") for d, b in assignments],
+        "doc_id LONG, band_idx INT, band_hash STRING",
+    )
+    plain = sorted(tuple(r) for r in _band_pairs(bands).collect())
+    salted = sorted(
+        tuple(r)
+        for r in _band_pairs(bands, n_salts=n_salts, hot=2).collect()
+    )
+    assert plain == salted
+
+
 def test_pagerank_conserves_mass(spark):
     """Total rank stays ~1 (on the 1e12 grid): teleport + damped mass
     must re-sum to the node count × 1e12 within per-node rounding (±1
