@@ -455,6 +455,43 @@ def dau_sketch_stream(events: DataFrame,
     )
 
 
+def percentiles_sketch_stream(events: DataFrame,
+                              window: str = "1 hour",
+                              watermark: str = "2 hours",
+                              accuracy: int = 10000) -> DataFrame:
+    """Streaming quantile sketch — twin of events.py::ev_percentiles_approx.
+
+    ``approx_percentile`` (Greenwald-Khanna summary) per tumbling
+    window and event type: state per group is one bounded summary of
+    O(accuracy) entries regardless of event volume — the streaming
+    COUNT/ORDER-BY-free answer to percentiles, where the exact form
+    would buffer every value. Unlike the HLL twin, GK summary merge is
+    only rank-error-bounded (≤ n/accuracy), not bit-invariant to
+    micro-batch slicing in general; for n ≤ accuracy the summary holds
+    every value, so estimates equal the batch operator's exactly
+    (asserted in tests at that regime, the honest claim).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.expr(
+                "approx_percentile(CAST(value AS DOUBLE), "
+                f"array(0.5, 0.9, 0.99), {accuracy})"
+            ).alias("ap"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("win.start").alias("bucket"),
+            "event_type",
+            F.expr("ap[0]").alias("p50"),
+            F.expr("ap[1]").alias("p90"),
+            F.expr("ap[2]").alias("p99"),
+            "n",
+        )
+    )
+
+
 def bloom_bits_stream(events: DataFrame,
                       watermark: str = "2 hours") -> DataFrame:
     """Streaming Bloom-filter bit set — twin of

@@ -85,6 +85,45 @@ def write_version(df: DataFrame, table_path: str,
     return version
 
 
+def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` versions.
+
+    Order matters for crash safety — the MANIFEST is deleted first, so
+    a version disappears from the catalog atomically before its data
+    dir goes; a crash mid-vacuum leaves either a fully visible version
+    or an invisible one whose orphaned data dir the next vacuum
+    sweeps. Readers that already resolved a manifest may race a
+    concurrent vacuum (same as Delta/Iceberg: retention must exceed
+    the longest reader pin — pick ``keep_last`` accordingly). The
+    orphan sweep also clears ``_staged_*`` dirs, so vacuum must not
+    run concurrently with an in-flight writer (single-writer
+    maintenance window — the same contract the real formats put on
+    VACUUM vs OPTIMIZE). Returns the versions removed.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    avail = versions(table_path)
+    drop = avail[:-keep_last] if len(avail) > keep_last else []
+    for v in drop:
+        os.remove(os.path.join(_manifest_path(table_path), f"{v}.json"))
+    for v in drop:
+        shutil.rmtree(os.path.join(table_path, f"v_{v}"), ignore_errors=True)
+    # sweep orphans from earlier crashes: data/staged dirs with no
+    # manifest
+    live = set(versions(table_path))
+    for d in os.listdir(table_path):
+        full = os.path.join(table_path, d)
+        if not os.path.isdir(full) or d == _MANIFEST_DIR:
+            continue
+        if d.startswith("_staged_"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif d.startswith("v_") and int(d[2:]) not in live:
+            shutil.rmtree(full, ignore_errors=True)
+    return drop
+
+
 def read_version(spark: SparkSession, table_path: str,
                  version: int | None = None) -> DataFrame:
     """Time-travel read: the table as of ``version`` (default: latest).

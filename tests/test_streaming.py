@@ -396,6 +396,60 @@ def test_dau_sketch_stream_matches_batch_estimate(spark, tmp_path):
     assert len(got) == 2
 
 
+def test_percentiles_sketch_stream_matches_batch(spark, tmp_path):
+    """At n ≤ accuracy the GK summary holds every value, so the stream
+    estimates must equal the batch approx_percentile on the same rows
+    even across micro-batch boundaries."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        percentiles_sketch_stream,
+    )
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "pct_stream"
+    src.mkdir()
+    batches = [
+        [(i, f"2024-01-01 00:{i % 50:02d}:00",
+          "click" if i % 3 else "view", float((i * 37) % 101)) for i in range(50)],
+        [(i, f"2024-01-01 00:{i % 50:02d}:00",
+          "click" if i % 2 else "view", float((i * 13) % 97)) for i in range(50, 100)],
+    ]
+    for bi, rows in enumerate(batches):
+        (src / f"b{bi}.json").write_text("\n".join(
+            json.dumps({"event_id": e, "ts": t, "event_type": et, "value": v})
+            for e, t, et, v in rows
+        ))
+    stream = (
+        spark.readStream
+        .schema("event_id LONG, ts STRING, event_type STRING, value DOUBLE")
+        .json(str(src))
+        .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+    )
+    q = (percentiles_sketch_stream(stream).writeStream.format("memory")
+         .queryName("pct_out").outputMode("complete").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(str(r["bucket"]), r["event_type"]): (r["p50"], r["p90"], r["p99"], r["n"])
+           for r in spark.sql("SELECT * FROM pct_out").collect()}
+    batch = (
+        spark.createDataFrame(
+            [r for b in batches for r in b],
+            "event_id LONG, ts STRING, event_type STRING, value DOUBLE",
+        )
+        .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.expr("approx_percentile(CAST(value AS DOUBLE), "
+                    "array(0.5, 0.9, 0.99), 10000)").alias("ap"),
+             F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("bucket"), "event_type",
+                F.expr("ap[0]").alias("p50"), F.expr("ap[1]").alias("p90"),
+                F.expr("ap[2]").alias("p99"), "n")
+    )
+    expect = {(str(r["bucket"]), r["event_type"]): (r["p50"], r["p90"], r["p99"], r["n"])
+              for r in batch.collect()}
+    assert got == expect
+    assert len(got) >= 2
+
+
 def test_funnel_stream_tombstone_dedups_replay(spark, tmp_path):
     """After a user converts, a replayed/late event for the same user
     must NOT re-open the funnel and emit a second conversion row."""

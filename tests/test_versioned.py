@@ -59,6 +59,30 @@ def test_staged_dirs_invisible(spark, tmp_path):
     assert [tuple(r) for r in latest.collect()] == [(1, "a")]
 
 
+def test_vacuum_retention(spark, tmp_path):
+    """vacuum drops old versions (manifest first), keeps the newest
+    keep_last readable, and sweeps crash orphans."""
+    path = str(tmp_path / "tbl")
+    for i in range(4):
+        versioned.write_version(_mk(spark, [(i, "x")]), path)
+    # crash orphans: staged dir + data dir without manifest
+    os.makedirs(os.path.join(path, "_staged_9"))
+    os.makedirs(os.path.join(path, "v_9"))
+    dropped = versioned.vacuum(path, keep_last=2)
+    assert dropped == [0, 1]
+    assert versioned.versions(path) == [2, 3]
+    assert not os.path.exists(os.path.join(path, "v_0"))
+    assert not os.path.exists(os.path.join(path, "_staged_9"))
+    assert not os.path.exists(os.path.join(path, "v_9"))
+    with pytest.raises(ValueError, match="not in"):
+        versioned.read_version(spark, path, 0)
+    got = [tuple(r) for r in versioned.read_version(spark, path, 3).collect()]
+    assert got == [(3, "x")]
+    # vacuum with fewer versions than keep_last is a no-op
+    assert versioned.vacuum(path, keep_last=5) == []
+    assert versioned.versions(path) == [2, 3]
+
+
 def test_snapshot_read_version_time_travels(spark):
     """The registry query reads three distinct committed states, and
     version 0 equals a direct aggregate of the base table."""
