@@ -8,6 +8,8 @@ catalog/metastore; here it fronts ``{sf_dir}/{name}.parquet``.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,16 +51,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # Last-registered sf_dir per live session: re-registering the same 10
 # views costs ~0.5 s of parquet-footer schema reads EACH call (measured
 # 5.4 s total), so repeated SQL-surface queries would re-pay it every
-# run. Keyed by applicationId; switching sf_dir re-registers.
-_VIEWS_REGISTERED: dict[str, str] = {}
+# run. Temp views are scoped to the SparkSession (spark.newSession()
+# shares the applicationId but NOT the view catalog), so the memo is
+# keyed on the session object itself — weakly, so a dropped session
+# doesn't pin the entry.
+_VIEWS_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view for spark.sql queries
     (idempotent per session + sf_dir)."""
-    key = spark.sparkContext.applicationId
-    if _VIEWS_REGISTERED.get(key) == sf_dir:
+    if _VIEWS_REGISTERED.get(spark) == sf_dir:
         return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _VIEWS_REGISTERED[key] = sf_dir
+    _VIEWS_REGISTERED[spark] = sf_dir

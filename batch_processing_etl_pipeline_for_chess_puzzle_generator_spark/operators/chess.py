@@ -100,19 +100,33 @@ def to_pgn(flat: DataFrame, numbered: bool = True) -> DataFrame:
             F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).alias("_off"),
         )
     )
-    return (
+    out = (
         part.withColumn("_ln", F.row_number().over(wl))
         .join(F.broadcast(offsets), "_pid")
         .withColumn("_n", F.col("_off") + F.col("_ln"))
         .select(pgn_block(F.col("_n")).alias("pgn"))
     )
+    # The returned plan lazily reads the persisted frame; the caller
+    # releases it after the terminal action (write_pgn does). Exposed
+    # as an attribute because the persist must outlive this function
+    # but not the consuming action — otherwise every numbered to_pgn
+    # call would pin one cached copy of the corpus for the session.
+    out._pgn_persisted = part
+    return out
 
 
 def write_pgn(flat: DataFrame, output_path: str, numbered: bool = True) -> None:
     """Distributed PGN sink: every executor writes its own split —
     the Spark-native replacement for the reference's foreachPartition
-    with driver-side file appends."""
-    to_pgn(flat, numbered=numbered).write.mode("overwrite").text(output_path)
+    with driver-side file appends. Releases to_pgn's numbering persist
+    once the write lands."""
+    df = to_pgn(flat, numbered=numbered)
+    try:
+        df.write.mode("overwrite").text(output_path)
+    finally:
+        cached = getattr(df, "_pgn_persisted", None)
+        if cached is not None:
+            cached.unpersist()
 
 
 def puzzle_pipeline(games: DataFrame) -> DataFrame:

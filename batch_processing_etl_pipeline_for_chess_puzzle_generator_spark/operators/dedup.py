@@ -113,22 +113,13 @@ def _family(i: int, base: str) -> str:
 # FIFO past the cap, so a session that touches many datasets can't pin
 # unbounded executor storage (the r1 caveat, extended to the pair and
 # CC caches per the r2 advice).
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.caching import (
+    bounded_cache_put as _cache_put,
+)
+
 _SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 _PAIRS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 _CC_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SIG_CACHE_MAX = 8
-
-
-def _cache_put(cache: dict, key, df: DataFrame,
-               cap: int = _SIG_CACHE_MAX) -> DataFrame:
-    """FIFO-bounded insert: past ``cap`` entries the oldest frame is
-    unpersisted (which also frees localCheckpoint blocks — they live in
-    the same block store) before the new one is remembered."""
-    while len(cache) >= cap:
-        old_key = next(iter(cache))
-        cache.pop(old_key).unpersist()
-    cache[key] = df
-    return df
 
 
 def _signatures(spark: SparkSession, sf_dir: str,

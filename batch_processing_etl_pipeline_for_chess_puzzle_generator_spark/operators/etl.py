@@ -373,7 +373,11 @@ def _versioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _VERSIONS_CACHE:
         return _VERSIONS_CACHE[key]
+    import atexit
+    import shutil
+
     path = tempfile.mkdtemp(prefix="orders_versions_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
     v1 = cdc_merge_orders(spark, sf_dir)
     ch2 = _changes_v2(table(spark, sf_dir, "orders"))

@@ -445,12 +445,15 @@ _MEDIA_CACHE_MAX = 6
 
 
 def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.caching import (
+        bounded_cache_put,
+    )
+
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _MEDIA_CACHE:
-        while len(_MEDIA_CACHE) >= _MEDIA_CACHE_MAX:
-            _MEDIA_CACHE.pop(next(iter(_MEDIA_CACHE))).unpersist()
         docs = table(spark, sf_dir, "documents")
-        _MEDIA_CACHE[key] = synth_media(docs, kind).persist()
+        bounded_cache_put(_MEDIA_CACHE, key, synth_media(docs, kind).persist(),
+                          cap=_MEDIA_CACHE_MAX)
     return _MEDIA_CACHE[key]
 
 

@@ -1223,48 +1223,63 @@ ORACLES["stats_equidepth_hist"] = """
 
 
 # The RUNNABLE 100 TB twin of stats_equidepth_hist: cut points from
-# approx_percentile (t-digest-style bounded summary — no partition
-# sort, fixed-size merge state) in the SAME plan shape, exactly the
-# swap the exact operator's docstring promises. The sketch's output is
+# approx_percentile (GK bounded summary — no partition sort, fixed
+# merge state) in the SAME plan shape, exactly the swap the exact
+# operator's docstring promises. The sketch's output is
 # engine-specific, so the oracle gate is STATISTICAL (see events.py's
-# approx twins): the histogram must be equi-depth within tolerance —
-# with accuracy=10000 each cut point's rank error is ≤ n/10000, so
-# every bucket holds n/10 ± 2% (+4 absolute for tiny inputs). The
-# exact per-bucket boolean reaches the value hash; a drifting sketch
-# flips it and fails the gate.
+# approx twins), formulated as a RANK BRACKET so heavy duplicate mass
+# can't false-fail it: for each decile p, the returned cut value's
+# rank span [count(< v)+1, count(<= v)] must intersect n·(p ± 0.02) —
+# GK guarantees a rank within n/accuracy = n/10000 of the target,
+# far inside the bracket, for ANY distribution including one value
+# owning >10% of rows (where bucket-population checks break because
+# adjacent cut points legitimately coincide). One broadcast of the
+# cut array + one conditional-sum scan; the per-decile boolean
+# reaches the value hash, so a drifting sketch still fails.
 def stats_equidepth_hist_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     bounds = li.agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.1, 0.2, 0.3, 0.4, "
             "0.5, 0.6, 0.7, 0.8, 0.9), 10000)"
-        ).alias("bs")
+        ).alias("bs"),
+        F.count(F.lit(1)).alias("n_total"),
     )
-    hist = (
-        li.join(F.broadcast(bounds))
-        .select(
-            F.expr(
-                "CAST(size(filter(bs, b -> l_extendedprice > b)) AS BIGINT)"
-            ).alias("bucket")
+    aggs = []
+    for i in range(1, 10):
+        aggs.append(F.expr(
+            f"SUM(CASE WHEN l_extendedprice < element_at(bs, {i}) "
+            "THEN 1 ELSE 0 END)"
+        ).alias(f"lt{i}"))
+        aggs.append(F.expr(
+            f"SUM(CASE WHEN l_extendedprice <= element_at(bs, {i}) "
+            "THEN 1 ELSE 0 END)"
+        ).alias(f"le{i}"))
+    wide = li.join(F.broadcast(bounds)).groupBy("n_total").agg(*aggs)
+    stack = ", ".join(f"{i}L, lt{i}, le{i}" for i in range(1, 10))
+    return (
+        wide.select(
+            "n_total",
+            F.expr(f"stack(9, {stack}) AS (decile, lt, le)"),
         )
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    tot = hist.agg(F.expr("CAST(SUM(n) AS BIGINT)").alias("n_total"))
-    return hist.join(F.broadcast(tot)).select(
-        "bucket",
-        "n_total",
-        F.expr("abs(n - n_total / 10.0) <= n_total * 0.02 + 4").alias("depth_ok"),
+        .select(
+            "decile",
+            "n_total",
+            F.expr(
+                "lt <= n_total * (decile / 10.0 + 0.02) "
+                "AND le >= n_total * (decile / 10.0 - 0.02)"
+            ).alias("rank_ok"),
+        )
     )
 
 
 QUERIES["stats_equidepth_hist_approx"] = stats_equidepth_hist_approx
 
 ORACLES["stats_equidepth_hist_approx"] = """
-    SELECT CAST(t.i AS BIGINT) AS bucket,
+    SELECT CAST(t.i AS BIGINT) AS decile,
            (SELECT count(*) FROM lineitem) AS n_total,
-           TRUE AS depth_ok
-    FROM UNNEST(range(0, 10)) AS t(i)
+           TRUE AS rank_ok
+    FROM UNNEST(range(1, 10)) AS t(i)
 """
 
 

@@ -930,15 +930,20 @@ ORACLES["doc_ngram_novelty"] = f"""
 # no shuffle beyond the summary agg), so it is stable across reruns,
 # engines, and cluster sizes — the property that matters when the split
 # must not leak between training jobs.
+# The ONE split definition: doc_split_leakage audits the same split
+# this operator assigns, so both read this expression — a ratio or
+# salt change can't desynchronize them.
+_SPLIT_H = SPARK_HASH_SQL("CONCAT('split:', CAST(doc_id AS STRING))")
+_SPLIT_CASE = (
+    f"CASE WHEN pmod({_SPLIT_H}, 10) < 8 THEN 'train' "
+    f"WHEN pmod({_SPLIT_H}, 10) = 8 THEN 'val' ELSE 'test' END"
+)
+
+
 def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    h = SPARK_HASH_SQL("CONCAT('split:', CAST(doc_id AS STRING))")
-    split = (
-        f"CASE WHEN pmod({h}, 10) < 8 THEN 'train' "
-        f"WHEN pmod({h}, 10) = 8 THEN 'val' ELSE 'test' END"
-    )
     return (
-        docs.groupBy("source", F.expr(split).alias("split"))
+        docs.groupBy("source", F.expr(_SPLIT_CASE).alias("split"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("n_chars"),
@@ -1229,16 +1234,18 @@ def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     h = SPARK_HASH_SQL("concat_ws(' ', slice(ws, i, 5))")
     grams = f"array_distinct(transform(sequence(1, size(ws) - 4), i -> {h}))"
-    sh = SPARK_HASH_SQL("CONCAT('split:', CAST(doc_id AS STRING))")
-    split = (
-        f"CASE WHEN pmod({sh}, 10) < 8 THEN 'train' "
-        f"WHEN pmod({sh}, 10) = 8 THEN 'val' ELSE 'test' END"
-    )
+    # Persist the exploded gram postings: the train-distinct branch and
+    # the test branch both read them, and without a materialization
+    # point the corpus tokenize + 5-gram md5 pass would run twice
+    # (same guard doc_ngram_jaccard carries). Released by LRU eviction
+    # under memory pressure; at production scale this is the
+    # materialized gram-postings table.
     ex = (
         docs.select("doc_id", F.expr(_WORDS).alias("ws"))
         .filter(F.expr("size(ws) >= 5"))
-        .select("doc_id", F.expr(split).alias("split"),
+        .select("doc_id", F.expr(_SPLIT_CASE).alias("split"),
                 F.explode(F.expr(grams)).alias("g"))
+        .persist()
     )
     train_grams = (
         ex.filter(F.col("split") == "train")

@@ -63,6 +63,8 @@ def write_version(df: DataFrame, table_path: str,
     intermediate failure leaves the table exactly as it was. Versions
     are immutable: committing an existing N raises.
     """
+    import shutil
+
     existing = versions(table_path)
     if version is None:
         version = (existing[-1] + 1) if existing else 0
@@ -71,6 +73,13 @@ def write_version(df: DataFrame, table_path: str,
     os.makedirs(_manifest_path(table_path), exist_ok=True)
     staged = os.path.join(table_path, f"_staged_{version}")
     final = os.path.join(table_path, f"v_{version}")
+    # Crash recovery: a previous writer may have died between the data
+    # rename and the manifest publish, leaving an orphaned v_N with no
+    # manifest. The version was never visible (manifest IS visibility),
+    # so clearing the orphan is safe under the single-writer contract —
+    # without this, os.rename below fails forever and the table wedges.
+    if os.path.exists(final):
+        shutil.rmtree(final)
     df.write.mode("overwrite").parquet(staged)
     os.rename(staged, final)
     manifest = {

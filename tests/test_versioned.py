@@ -59,6 +59,19 @@ def test_staged_dirs_invisible(spark, tmp_path):
     assert [tuple(r) for r in latest.collect()] == [(1, "a")]
 
 
+def test_write_recovers_from_crash_orphan(spark, tmp_path):
+    """A writer that died between the data rename and the manifest
+    publish must not wedge the NEXT writer: the orphaned v_N dir is
+    cleared and version N commits cleanly."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk(spark, [(1, "a")]), path)
+    os.makedirs(os.path.join(path, "v_1", "junk"))
+    v = versioned.write_version(_mk(spark, [(2, "b")]), path)
+    assert v == 1
+    got = [tuple(r) for r in versioned.read_version(spark, path, 1).collect()]
+    assert got == [(2, "b")]
+
+
 def test_vacuum_retention(spark, tmp_path):
     """vacuum drops old versions (manifest first), keeps the newest
     keep_last readable, and sweeps crash orphans."""
