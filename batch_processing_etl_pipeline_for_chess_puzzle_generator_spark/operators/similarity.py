@@ -1657,3 +1657,47 @@ ORACLES["emb_range_search"] = f"""
     {_DUCK_SCORE}
     SELECT q_id, c_id, sim FROM scored WHERE sim >= {RANGE_TAU}
 """
+
+
+# The bucketed scale path for range search: multi-probe LSH prunes the
+# corpus to the probed buckets (|probes|/2^bits of it per query), then
+# the SAME τ threshold filters exact sims inside them — candidates
+# that straddle >2 hyperplanes are missed, which is precisely what
+# RECALL.md measures against emb_range_search's exact answer. Fully
+# deterministic (bucketing + threshold), so the oracle is exact, not
+# bounds-style.
+def emb_lsh_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, c = _split(spark, sf_dir)
+    probes = ", ".join(f"bkt0 ^ {m}" for m in _LSH_PROBE_MASKS)
+    qb = (
+        q.withColumn("bkt0", F.expr(_bucket_expr("qe")))
+        .select(
+            "q_id", "qa", "qn",
+            F.explode(F.expr(f"array({probes})")).alias("bkt"),
+        )
+    )
+    cb = c.withColumn("bkt", F.expr(_bucket_expr("ce")))
+    return (
+        cb.join(broadcast(qb), "bkt")
+        .select("q_id", "c_id", F.expr(_SIM).alias("sim"))
+        .filter(F.col("sim") >= RANGE_TAU)
+    )
+
+
+QUERIES["emb_lsh_range"] = emb_lsh_range
+
+ORACLES["emb_lsh_range"] = f"""
+    WITH {_DUCK_PAIRS},
+    qb0 AS (SELECT q_id, qe,
+                  {" + ".join(f"(CASE WHEN CAST(qe[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSH_BITS))}
+                      AS bkt0 FROM q),
+    qb AS (SELECT q_id, qe,
+                  unnest([{", ".join(f"xor(bkt0, {m})" for m in _LSH_PROBE_MASKS)}]) AS bkt
+           FROM qb0),
+    cb AS (SELECT c_id, ce,
+                  {" + ".join(f"(CASE WHEN CAST(ce[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSH_BITS))}
+                      AS bkt FROM c),
+    pairs AS (SELECT q_id, qe, c_id, ce FROM qb JOIN cb USING (bkt)),
+    {_DUCK_SCORE}
+    SELECT q_id, c_id, sim FROM scored WHERE sim >= {RANGE_TAU}
+"""

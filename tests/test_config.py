@@ -51,3 +51,21 @@ def test_defaults_when_sections_missing(tmp_path):
     assert cfg.master == "yarn"
     assert cfg.raw_data_path == "data/raw/"
     assert cfg.conf == {} and cfg.extra == {}
+
+
+def test_register_views_scoped_per_session(spark):
+    """The register_views memo must not skip a sibling session: temp
+    views are per-SparkSession even though applicationId is shared."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import register_views
+    from tests.conftest import SF_SMALL
+
+    register_views(spark, SF_SMALL)
+    assert spark.sql("SELECT count(*) FROM region").collect()[0][0] > 0
+    sibling = spark.newSession()
+    try:
+        register_views(sibling, SF_SMALL)
+        assert sibling.sql("SELECT count(*) FROM region").collect()[0][0] > 0
+        # and the memo still short-circuits repeat calls per session
+        register_views(sibling, SF_SMALL)
+    finally:
+        pass
