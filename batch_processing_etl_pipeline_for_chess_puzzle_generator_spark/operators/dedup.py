@@ -1081,3 +1081,78 @@ ORACLES["doc_minhash_verified"] = f"""
     JOIN d da ON doc_a = da.doc_id
     JOIN d db ON doc_b = db.doc_id
 """
+
+
+# ---------------------------------------- quality-aware keeper choice
+#
+# Production curation keeps the BEST document per near-dup cluster,
+# not the lowest id: the keeper is the member with the highest quality
+# score (doc_quality's composite, on the ppm integer grid the
+# importance sampler already proved engine-identical), ties to the
+# smaller doc_id. Composes the memoized CC labels with the row-local
+# quality pass; the ranking window partitions by cluster_id — clusters
+# are tiny (dup groups), so the sort never goes global.
+def doc_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.text import (
+        doc_quality,
+    )
+
+    cc = doc_dedup_clusters(spark, sf_dir)
+    q = doc_quality(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(FLOOR(quality_score * 1000000) AS BIGINT)").alias("q_ppm"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q_ppm").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        cc.join(q, "doc_id")
+        .select(
+            "cluster_id",
+            "doc_id",
+            "q_ppm",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            "n_members",
+            F.col("q_ppm").alias("best_q_ppm"),
+        )
+    )
+
+
+QUERIES["doc_dedup_best_quality"] = doc_dedup_best_quality
+
+
+def _best_quality_oracle() -> str:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.text import (
+        ORACLES as _TEXT_ORACLES,
+    )
+
+    return f"""
+        {_DUCK_CC_CTES},
+        cc AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
+        q AS (
+            SELECT doc_id,
+                   CAST(FLOOR(quality_score * 1000000) AS BIGINT) AS q_ppm
+            FROM ({_TEXT_ORACLES["doc_quality"]})
+        ),
+        r AS (
+            SELECT cc.cluster_id, cc.doc_id, q.q_ppm,
+                   row_number() OVER (PARTITION BY cc.cluster_id
+                                      ORDER BY q.q_ppm DESC, cc.doc_id) AS rn,
+                   count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+            FROM cc JOIN q USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS keep_id, n_members, q_ppm AS best_q_ppm
+        FROM r WHERE rn = 1
+    """
+
+
+ORACLES["doc_dedup_best_quality"] = _best_quality_oracle()
