@@ -59,6 +59,18 @@ def test_staged_dirs_invisible(spark, tmp_path):
     assert [tuple(r) for r in latest.collect()] == [(1, "a")]
 
 
+def test_read_version_scans_only_its_dir(spark, tmp_path):
+    """A pinned read must plan a scan of exactly its version's
+    directory — later versions' files never enter the plan (the
+    snapshot-isolation property)."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk(spark, [(1, "a")]), path)
+    versioned.write_version(_mk(spark, [(2, "b")]), path)
+    files = versioned.read_version(spark, path, 0).inputFiles()
+    assert files and all("/v_0/" in f for f in files)
+    assert not any("/v_1/" in f for f in files)
+
+
 def test_write_recovers_from_crash_orphan(spark, tmp_path):
     """A writer that died between the data rename and the manifest
     publish must not wedge the NEXT writer: the orphaned v_N dir is
