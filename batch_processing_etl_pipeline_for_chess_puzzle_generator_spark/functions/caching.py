@@ -19,8 +19,15 @@ DEFAULT_CACHE_CAP = 8
 
 def bounded_cache_put(cache: dict, key, df: DataFrame,
                       cap: int = DEFAULT_CACHE_CAP) -> DataFrame:
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    # Re-putting an existing key releases the frame it replaces —
+    # otherwise the old persisted blocks leak unreachable — and must
+    # not evict an unrelated entry (the dict doesn't grow).
+    old = cache.pop(key, None)
+    if old is not None:
+        old.unpersist()
     while len(cache) >= cap:
-        old_key = next(iter(cache))
-        cache.pop(old_key).unpersist()
+        cache.pop(next(iter(cache))).unpersist()
     cache[key] = df
     return df

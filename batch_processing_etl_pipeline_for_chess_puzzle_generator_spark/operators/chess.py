@@ -76,6 +76,13 @@ def to_pgn(flat: DataFrame, numbered: bool = True) -> DataFrame:
     BY game_id)`` — without the single-partition sort that would
     serialize the whole corpus through one task at 100 TB. The only
     single-partition window runs over n_partitions count rows.
+
+    Caller contract (numbered=True): the returned plan reads a
+    persisted frame exposed as ``out._pgn_persisted``; ``write_pgn``
+    releases it after its write action, and any OTHER caller that runs
+    an action directly must ``out._pgn_persisted.unpersist()`` when
+    done (the attribute lives on THIS DataFrame — further
+    transformations return new objects without it).
     """
     if not numbered:
         return flat.select(pgn_block(None).alias("pgn"))

@@ -120,6 +120,7 @@ from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.ca
 _SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 _PAIRS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 _CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+_NGRAM_POSTINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _signatures(spark: SparkSession, sf_dir: str,
@@ -430,9 +431,16 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist the exploded postings: both join sides read it, and the
     # persist boundary stops Catalyst from pushing null-filters through
     # the Generate and re-evaluating the shingle transform per row (a
-    # measured ~10× blowup without it). At production scale this is the
+    # measured ~10× blowup without it). Memoized through the bounded
+    # cache so repeated calls reuse one persisted frame instead of
+    # pinning a fresh copy each time. At production scale this is the
     # materialized postings/signature table.
-    ex = _ngram_postings(docs).persist()
+    pkey = (spark.sparkContext.applicationId, sf_dir)
+    if pkey in _NGRAM_POSTINGS_CACHE:
+        ex = _NGRAM_POSTINGS_CACHE[pkey]
+    else:
+        ex = _cache_put(_NGRAM_POSTINGS_CACHE, pkey,
+                        _ngram_postings(docs).persist())
     a = ex.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_chars").alias("na"),

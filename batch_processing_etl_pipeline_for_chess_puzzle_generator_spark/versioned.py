@@ -53,6 +53,25 @@ def versions(table_path: str) -> list[int]:
     return sorted(out)
 
 
+_HIGH_WATER = ".high_water"
+
+
+def _high_water(table_path: str) -> int:
+    """Largest version number EVER committed (−1 for a fresh table) —
+    survives vacuum, unlike the live manifest list, so history stays
+    append-only: a vacuumed number can never be silently re-committed
+    with different data (that would corrupt time-travel ordering)."""
+    avail = versions(table_path)
+    live = avail[-1] if avail else -1
+    p = os.path.join(_manifest_path(table_path), _HIGH_WATER)
+    if os.path.exists(p):
+        with open(p) as fh:
+            # max(): a crash between manifest publish and the marker
+            # update leaves the marker one behind the live manifests.
+            return max(int(fh.read()), live)
+    return live
+
+
 def write_version(df: DataFrame, table_path: str,
                   version: int | None = None) -> int:
     """Commit ``df`` as the next (or an explicit) version of the table.
@@ -60,16 +79,21 @@ def write_version(df: DataFrame, table_path: str,
     Commit protocol: distributed write into ``_staged_N`` → atomic
     rename to ``v_N`` → manifest JSON written tmp-then-rename. Readers
     only discover the version at the final rename, so every
-    intermediate failure leaves the table exactly as it was. Versions
-    are immutable: committing an existing N raises.
+    intermediate failure leaves the table exactly as it was. Version
+    numbers are append-only for the table's lifetime: committing a
+    number at or below the high-water mark raises, even if vacuum has
+    since dropped that version's manifest.
     """
     import shutil
 
-    existing = versions(table_path)
+    hw = _high_water(table_path)
     if version is None:
-        version = (existing[-1] + 1) if existing else 0
-    if version in existing:
-        raise ValueError(f"version {version} already committed at {table_path}")
+        version = hw + 1
+    if version <= hw:
+        raise ValueError(
+            f"version {version} already committed (or vacuumed; high water "
+            f"{hw}) at {table_path} — history is append-only"
+        )
     os.makedirs(_manifest_path(table_path), exist_ok=True)
     staged = os.path.join(table_path, f"_staged_{version}")
     final = os.path.join(table_path, f"v_{version}")
@@ -91,6 +115,10 @@ def write_version(df: DataFrame, table_path: str,
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.rename(tmp, os.path.join(_manifest_path(table_path), f"{version}.json"))
+    hw_tmp = os.path.join(_manifest_path(table_path), f"{_HIGH_WATER}.tmp")
+    with open(hw_tmp, "w") as fh:
+        fh.write(str(version))
+    os.rename(hw_tmp, os.path.join(_manifest_path(table_path), _HIGH_WATER))
     return version
 
 
@@ -128,7 +156,7 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
             continue
         if d.startswith("_staged_"):
             shutil.rmtree(full, ignore_errors=True)
-        elif d.startswith("v_") and int(d[2:]) not in live:
+        elif d.startswith("v_") and d[2:].isdigit() and int(d[2:]) not in live:
             shutil.rmtree(full, ignore_errors=True)
     return drop
 

@@ -92,7 +92,9 @@ def test_extract_game_fields(spark, ndjson_dir):
 
 def test_pgn_golden(spark, ndjson_dir):
     flat = puzzle_pipeline(read_games(spark, str(ndjson_dir)))
-    blocks = [r["pgn"] for r in to_pgn(flat).collect()]
+    numbered = to_pgn(flat)
+    blocks = [r["pgn"] for r in numbered.collect()]
+    numbered._pgn_persisted.unpersist()  # caller contract (see to_pgn)
     joined = "".join(sorted(blocks))
     expected_g1 = (
         "[Game 1]\n"

@@ -53,19 +53,27 @@ def test_defaults_when_sections_missing(tmp_path):
     assert cfg.conf == {} and cfg.extra == {}
 
 
-def test_register_views_scoped_per_session(spark):
-    """The register_views memo must not skip a sibling session: temp
-    views are per-SparkSession even though applicationId is shared."""
-    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import register_views
+def test_register_views_scoped_per_session(spark, monkeypatch):
+    """The register_views memo must not skip a sibling session (temp
+    views are per-SparkSession even though applicationId is shared),
+    and must actually short-circuit a repeat call per session."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import catalog
     from tests.conftest import SF_SMALL
 
-    register_views(spark, SF_SMALL)
+    calls = []
+    real_table = catalog.table
+    monkeypatch.setattr(
+        catalog, "table",
+        lambda sp, sf, name: (calls.append(name), real_table(sp, sf, name))[1],
+    )
+    catalog.register_views(spark, SF_SMALL)
     assert spark.sql("SELECT count(*) FROM region").collect()[0][0] > 0
     sibling = spark.newSession()
-    try:
-        register_views(sibling, SF_SMALL)
-        assert sibling.sql("SELECT count(*) FROM region").collect()[0][0] > 0
-        # and the memo still short-circuits repeat calls per session
-        register_views(sibling, SF_SMALL)
-    finally:
-        pass
+    n_before = len(calls)
+    catalog.register_views(sibling, SF_SMALL)
+    assert len(calls) == n_before + len(catalog.TABLES), \
+        "sibling session must register its own views"
+    assert sibling.sql("SELECT count(*) FROM region").collect()[0][0] > 0
+    n_before = len(calls)
+    catalog.register_views(sibling, SF_SMALL)
+    assert len(calls) == n_before, "repeat call must short-circuit"

@@ -106,6 +106,16 @@ def test_vacuum_retention(spark, tmp_path):
     # vacuum with fewer versions than keep_last is a no-op
     assert versioned.vacuum(path, keep_last=5) == []
     assert versioned.versions(path) == [2, 3]
+    # history stays append-only past vacuum: a dropped number can't be
+    # silently re-committed with different data, and auto-versioning
+    # continues above the high-water mark
+    with pytest.raises(ValueError, match="append-only"):
+        versioned.write_version(_mk(spark, [(9, "z")]), path, 0)
+    assert versioned.write_version(_mk(spark, [(4, "y")]), path) == 4
+    # non-numeric v_* dirs don't wedge the orphan sweep
+    os.makedirs(os.path.join(path, "v_backup"))
+    versioned.vacuum(path, keep_last=2)
+    assert os.path.isdir(os.path.join(path, "v_backup"))
 
 
 def test_snapshot_read_version_time_travels(spark):
