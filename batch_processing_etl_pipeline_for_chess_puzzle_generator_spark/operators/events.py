@@ -1584,3 +1584,65 @@ ORACLES["ev_activity_streaks"] = """
            count(*) AS n_streaks
     FROM streaks GROUP BY user_id
 """
+
+
+# ------------------------------------------------- DAU/MAU stickiness
+#
+# Monthly product-stickiness readout: average daily active users over
+# the month divided by the month's distinct actives. Two count-distinct
+# aggregates over the same scan — per (month, day) and per month — then
+# a broadcast join of two tiny rollups; the division is written
+# identically in both engines. At 100 TB both distincts partial-agg on
+# (period, user) pairs; no per-user state ever reaches the driver.
+def ev_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    daily = (
+        ev.groupBy("month", "day")
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("CAST(SUM(dau) AS BIGINT)").alias("sum_dau"),
+        )
+    )
+    monthly = ev.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        daily.join(F.broadcast(monthly), "month")
+        .select(
+            "month",
+            "n_days",
+            "mau",
+            F.expr("ROUND(sum_dau / n_days, 6)").alias("avg_dau"),
+            F.expr("ROUND(sum_dau / n_days / mau, 6)").alias("stickiness"),
+        )
+    )
+
+
+QUERIES["ev_dau_stickiness"] = ev_dau_stickiness
+
+ORACLES["ev_dau_stickiness"] = """
+    WITH daily AS (
+        SELECT date_trunc('month', ts) AS month,
+               date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    per_month AS (
+        SELECT month, count(*) AS n_days,
+               CAST(SUM(dau) AS BIGINT) AS sum_dau
+        FROM daily GROUP BY month
+    ),
+    monthly AS (
+        SELECT date_trunc('month', ts) AS month,
+               count(DISTINCT user_id) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(p.month AS TIMESTAMP) AS month, p.n_days, m.mau,
+           ROUND(p.sum_dau / CAST(p.n_days AS DOUBLE), 6) AS avg_dau,
+           ROUND(p.sum_dau / CAST(p.n_days AS DOUBLE) / m.mau, 6) AS stickiness
+    FROM per_month p JOIN monthly m USING (month)
+"""
