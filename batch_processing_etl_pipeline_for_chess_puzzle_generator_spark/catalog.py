@@ -62,8 +62,14 @@ _VIEWS_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view for spark.sql queries
-    (idempotent per session + sf_dir)."""
-    if _VIEWS_REGISTERED.get(spark) == sf_dir:
+    (idempotent per session + sf_dir). The short-circuit re-verifies
+    the views still EXIST (catalog lookups, no file I/O), so a dropped
+    view self-heals on the next call; a view someone re-pointed at a
+    different frame is indistinguishable from ours and stays — the
+    standard temp-view sharing caveat."""
+    if _VIEWS_REGISTERED.get(spark) == sf_dir and all(
+        spark.catalog.tableExists(t) for t in TABLES
+    ):
         return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)

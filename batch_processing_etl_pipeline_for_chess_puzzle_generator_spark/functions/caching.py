@@ -4,10 +4,18 @@ Several operator families memoize an expensive intermediate per
 (session, dataset) — MinHash signatures and scored pairs, CC labels,
 synthesized media tables. Each persisted frame pins executor block
 storage, so every cache shares this FIFO-bounded insert: past ``cap``
-entries the oldest frame is unpersisted (which also frees
-localCheckpoint blocks — they live in the same block store) before the
-new one is remembered. One implementation means an eviction-semantics
-fix lands everywhere at once.
+entries the oldest frame is evicted before the new one is remembered.
+One implementation means an eviction-semantics fix lands everywhere at
+once.
+
+Release semantics: ``unpersist()`` frees frames cached via
+``persist()`` immediately (CacheManager-registered plans). For
+localCheckpoint'd frames it is a no-op at the block level — their
+storage is RDD-level and invisible to the CacheManager — so eviction's
+job there is dropping the LAST reference: Spark's ContextCleaner
+reclaims a checkpoint's blocks once the RDD is garbage-collected.
+Caches holding frames that must free promptly should therefore store
+``persist()`` frames, not checkpoints (the dedup pair cache does).
 """
 
 from __future__ import annotations

@@ -118,7 +118,7 @@ from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.ca
 )
 
 _SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
-_PAIRS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CC_CACHE: dict[tuple[str, str], DataFrame] = {}
 _NGRAM_POSTINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
@@ -217,12 +217,15 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str,
     16 hash families, 4 bands × 4 rows: pairs with true Jaccard ≥ ~0.9
     are found with probability ~1-(1-0.9⁴)⁴ ≈ 0.95; the band equality
     join replaces the O(n²) pairing entirely. The scored pair table is
-    memoized+persisted per (session, sf_dir, n_salts): clusters and the
-    dedup report reuse it instead of replaying the band join.
+    memoized+persisted per (session, sf_dir): clusters and the dedup
+    report reuse it instead of replaying the band join.
     ``n_salts>1`` turns on the hot-bucket salt (see ``_band_pairs``) —
     the knob to set on a corpus whose band buckets skew.
     """
-    key = (spark.sparkContext.applicationId, sf_dir, n_salts)
+    # Memo key ignores n_salts: the salt is a physical rewrite with a
+    # property-tested identical result, so one cached pair table serves
+    # every salt setting (first caller's plan computes it).
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
     sig = _signatures(spark, sf_dir)
@@ -242,17 +245,21 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str,
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)])
     agree = " + ".join(f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES))
-    # localCheckpoint = the local analog of materializing the scored
-    # pair table (what a 100 TB dedup run does with a parquet write):
-    # clusters + report consume it with a truncated lineage instead of
-    # replaying the band join per consumer.
+    # persist() = the local analog of materializing the scored pair
+    # table (what a 100 TB dedup run does with a parquet write):
+    # clusters + report reuse the cached blocks instead of replaying
+    # the band join per consumer. persist, not localCheckpoint, so the
+    # bounded cache's eviction actually frees the blocks promptly
+    # (checkpoint storage is CacheManager-invisible — see
+    # functions/caching.py); the lineage here is one join deep, so
+    # truncation buys nothing.
     return _cache_put(
         _PAIRS_CACHE,
         key,
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.expr(f"({agree}) / {N_HASHES}.0").alias("est_jaccard"))
-        .localCheckpoint(),
+        .persist(),
     )
 
 

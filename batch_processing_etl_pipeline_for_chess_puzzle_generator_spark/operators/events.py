@@ -303,7 +303,9 @@ def ev_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not impossible on a new dataset. Groups too small for relative error
 # to mean anything (below the absolute-slack / _APPROX_MIN_N floor)
 # are accepted outright, the per-group analog of a rows-only check.
-_APPROX_MIN_N = 100
+# Public: text.py's approx twin shares the same floor.
+APPROX_MIN_N = 100
+_APPROX_MIN_N = APPROX_MIN_N
 
 
 def ev_daily_active_approx(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1275,11 +1275,15 @@ def stats_equidepth_hist_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["stats_equidepth_hist_approx"] = stats_equidepth_hist_approx
 
+# EXISTS guard: on an EMPTY lineitem the Spark side's join against the
+# bounds row produces zero rows, so the oracle must too — no data, no
+# histogram, in both engines.
 ORACLES["stats_equidepth_hist_approx"] = """
     SELECT CAST(t.i AS BIGINT) AS decile,
            (SELECT count(*) FROM lineitem) AS n_total,
            TRUE AS rank_ok
     FROM UNNEST(range(1, 10)) AS t(i)
+    WHERE EXISTS (SELECT 1 FROM lineitem)
 """
 
 

@@ -818,6 +818,10 @@ ORACLES["doc_length_deciles"] = f"""
 # on a handful of rows can legitimately sit outside an interpolated
 # bracket. The per-decile boolean reaches the value hash.
 def doc_length_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.events import (
+        APPROX_MIN_N,
+    )
+
     docs = table(spark, sf_dir, "documents")
     ps = [p / 10 for p in range(1, 10)]
     brackets = ", ".join(f"{max(p - 0.02, 0.0)}, {min(p + 0.02, 1.0)}" for p in ps)
@@ -846,7 +850,8 @@ def doc_length_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.expr("CAST(pos + 1 AS BIGINT)").alias("decile"),
             F.expr(
-                "n_docs < 100 OR (v >= ex[pos * 2] AND v <= ex[pos * 2 + 1])"
+                f"n_docs < {APPROX_MIN_N} OR "
+                "(v >= ex[pos * 2] AND v <= ex[pos * 2 + 1])"
             ).alias("decile_ok"),
         )
     )

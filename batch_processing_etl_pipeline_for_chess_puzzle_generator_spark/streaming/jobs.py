@@ -164,6 +164,12 @@ def funnel_events_stream(events: DataFrame,
     out-of-order same-stage events inside the watermark — raise
     ``buffer_cap`` if the domain makes that plausible; cost is
     O(stages × cap) longs of state per in-flight user.
+
+    Upgrade note: the r3 tombstone added a ``done`` field at the head
+    of the state schema, so a checkpoint written by the pre-tombstone
+    build cannot be resumed (Spark state-store schemas are fixed per
+    checkpoint) — restart such a job with a fresh checkpoint, the
+    standard Structured Streaming state-evolution constraint.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -345,7 +351,10 @@ def apply_cdc_versioned_stream(changes: DataFrame,
     streaming checkpoint (a re-delivered batch re-merges onto whatever
     version is current — the MERGE is idempotent per key-version);
     retention at 100 TB is a manifest-driven vacuum of versions older
-    than the pin horizon. Returns the StreamingQuery.
+    than the pin horizon. An UNSEEDED table bootstraps itself: the
+    first micro-batch's upserts commit as version 0 (missing base ≡
+    empty base), so the stream can own the table from birth. Returns
+    the StreamingQuery.
     """
     from pyspark.sql.window import Window as W
 
@@ -365,9 +374,12 @@ def apply_cdc_versioned_stream(changes: DataFrame,
             .filter("_rn = 1")
             .drop("_rn")
         )
+        upserts = latest.filter(~F.col(delete_col)).drop(delete_col)
+        if not versioned.versions(table_path):
+            versioned.write_version(upserts, table_path)
+            return
         base = versioned.read_version(spark, table_path)
         survivors = base.join(latest.select(key), key, "left_anti")
-        upserts = latest.filter(~F.col(delete_col)).drop(delete_col)
         merged = survivors.unionByName(upserts.select(*base.columns))
         versioned.write_version(merged, table_path)
 

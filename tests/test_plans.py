@@ -118,7 +118,9 @@ def test_pgn_numbering_has_no_global_sort(spark):
         "game_id string, white_name string, black_name string, "
         "opening_eco string, opening_name string, winner string, moves string",
     )
-    plan = to_pgn(flat)._jdf.queryExecution().executedPlan().toString()
+    numbered = to_pgn(flat)
+    plan = numbered._jdf.queryExecution().executedPlan().toString()
+    numbered._pgn_persisted.unpersist()  # caller contract (see to_pgn)
     assert len(re.findall(r"Exchange rangepartitioning", plan)) >= 1
     # The data path range-partitions; window sorts are per-partition.
     assert "Window" in plan

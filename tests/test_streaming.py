@@ -278,6 +278,39 @@ def test_apply_cdc_versioned_stream(spark, tmp_path):
             versioned.read_version(spark, table_path).collect()} == snap(2)
 
 
+def test_apply_cdc_versioned_stream_bootstraps_unseeded_table(spark, tmp_path):
+    """Starting the versioned CDC stream against a table with no
+    committed versions must commit the first batch's upserts as v0
+    instead of crashing on the missing base."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        apply_cdc_versioned_stream,
+    )
+
+    table_path = str(tmp_path / "fresh")
+    src = tmp_path / "fresh_changes"
+    src.mkdir()
+    rows = [
+        {"k": 1, "v": "a", "ts": "2024-01-01 00:00:00", "is_delete": False},
+        {"k": 2, "v": "b", "ts": "2024-01-01 00:00:00", "is_delete": True},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream
+        .schema("k LONG, v STRING, ts STRING, is_delete BOOLEAN")
+        .json(str(src))
+        .selectExpr("k", "v", "CAST(ts AS TIMESTAMP) AS ts", "is_delete")
+    )
+    q = apply_cdc_versioned_stream(
+        stream, table_path, key="k", checkpoint=str(tmp_path / "fresh_ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert versioned.versions(table_path) == [0]
+    got = {r.k: r.v for r in versioned.read_version(spark, table_path).collect()}
+    assert got == {1: "a"}  # the delete row never lands
+
+
 def test_funnel_stream_replays_out_of_order_stage(spark, tmp_path):
     """A later-stage event that ARRIVES before its prior stage completes
     must be buffered and replayed (r2 hardening), not dropped."""
