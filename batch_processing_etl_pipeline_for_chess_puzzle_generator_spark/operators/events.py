@@ -1648,3 +1648,57 @@ ORACLES["ev_dau_stickiness"] = """
            ROUND(p.sum_dau / CAST(p.n_days AS DOUBLE) / m.mau, 6) AS stickiness
     FROM per_month p JOIN monthly m USING (month)
 """
+
+
+# ------------------------------------------------ robust MAD anomalies
+#
+# Median-absolute-deviation anomaly flags — the robust twin of
+# ev_daily_anomaly's z-score: median and MAD don't move when the
+# anomalies themselves inflate the baseline (the classic failure of
+# mean/stddev flagging). Two tiny aggregates over the DAILY rollup
+# (|days| rows, never the event table): median of counts, then median
+# of |count − median|; both medians interpolate over integer counts,
+# so the doubles are bit-identical across engines. A day is anomalous
+# when |count − median| > 3 × 1.4826 × MAD (the normal-consistent
+# scale). Zero-MAD degenerates to flagging any deviation.
+def ev_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    med = daily.agg(F.expr("percentile(n_events, 0.5)").alias("med"))
+    dev = daily.join(F.broadcast(med)).select(
+        "day", "n_events", "med", F.expr("abs(n_events - med)").alias("adev")
+    )
+    mad = dev.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad))
+        .select(
+            "day",
+            "n_events",
+            F.expr("ROUND(med, 6)").alias("median_events"),
+            F.expr("ROUND(mad, 6)").alias("mad"),
+            F.expr("adev > 3 * 1.4826 * mad").alias("is_anomaly"),
+        )
+    )
+
+
+QUERIES["ev_daily_anomaly_mad"] = ev_daily_anomaly_mad
+
+ORACLES["ev_daily_anomaly_mad"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM daily),
+    dev AS (
+        SELECT day, n_events, med, abs(n_events - med) AS adev
+        FROM daily CROSS JOIN med
+    ),
+    mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+    SELECT CAST(day AS TIMESTAMP) AS day, n_events,
+           ROUND(med, 6) AS median_events,
+           ROUND(mad, 6) AS mad,
+           adev > 3 * 1.4826 * mad AS is_anomaly
+    FROM dev CROSS JOIN mad
+"""

@@ -1701,3 +1701,77 @@ ORACLES["emb_lsh_range"] = f"""
     {_DUCK_SCORE}
     SELECT q_id, c_id, sim FROM scored WHERE sim >= {RANGE_TAU}
 """
+
+
+# --------------------------------------------- metadata-filtered top-k
+#
+# Pre-filtered vector search — "top-k among candidates whose metadata
+# matches the query's" (the vector-DB filter clause). The filter IS the
+# block: query and corpus join on the label equality BEFORE any
+# scoring, so the scan prunes to the matching partition of the corpus
+# instead of post-filtering a global top-k (which under-fills k when
+# the filter is selective). Broadcast the query side; rank within
+# (query, label). At 100 TB with a label-partitioned corpus layout the
+# label predicate prunes at the file level before the scan.
+def emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.expr(_QUANT.format(col="embedding")).alias("qa"),
+        )
+        .withColumn("qn", F.expr(_qnorm("qa")))
+    )
+    c = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            "label",
+            F.expr(_QUANT.format(col="embedding")).alias("ca"),
+        )
+        .withColumn("cn", F.expr(_qnorm("ca")))
+    )
+    scored = c.join(broadcast(q), c.label == q.q_label).select(
+        "q_id", "c_id", "label", F.expr(_SIM).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "label", "c_id", "rank", "sim")
+    )
+
+
+QUERIES["emb_filtered_topk"] = emb_filtered_topk
+
+ORACLES["emb_filtered_topk"] = f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, label, embedding AS ce
+          FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    pairs AS (SELECT q_id, qe, c_id, label, ce
+              FROM q JOIN c ON c.label = q.q_label),
+    comp AS (
+        SELECT q_id, c_id, label,
+               CAST(round(CAST(unnest(qe) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+               CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT) AS xc
+        FROM pairs
+    ),
+    scored AS (
+        SELECT q_id, c_id, any_value(label) AS label,
+               CAST(sum(xq * xc) AS DOUBLE)
+               / (sqrt(CAST(sum(xq * xq) AS DOUBLE)) * sqrt(CAST(sum(xc * xc) AS DOUBLE)))
+                   AS sim
+        FROM comp GROUP BY q_id, c_id
+    )
+    SELECT q_id, label, c_id, rank, sim FROM (
+        SELECT q_id, label, c_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+"""
