@@ -1775,3 +1775,91 @@ ORACLES["emb_filtered_topk"] = f"""
     )
     WHERE rank <= {TOP_K}
 """
+
+
+# ------------------------------------------------ embedding drift watch
+#
+# Distribution-shift monitor for an embedding pipeline: split the
+# corpus into a deterministic reference half and current half (md5
+# hash of vec_id — in production these are yesterday's vs today's
+# partitions), compare per-label centroids, and report the L2 shift.
+# All math rides exact integer component sums on the 1e-6 quantization
+# grid; the cross-multiplied difference (s_ref·n_cur − s_cur·n_ref)
+# squares inside DECIMAL(38,0) — the emb_label_centroids pattern — so
+# both engines sum EXACT integers and only the final per-label sqrt /
+# normalization is floating point (one expression, bit-identical).
+# Per-(label, pos) partial aggregation: the corpus shuffles once as
+# (label, pos, component) rows; the drift table is |labels| rows.
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    half = SPARK_HASH_SQL("CONCAT('drift:', CAST(vec_id AS STRING))")
+    comp = emb.select(
+        "label",
+        F.expr(f"pmod({half}, 2) = 0").alias("is_ref"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "label", "is_ref", "pos",
+        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").alias("xi"),
+    )
+    per_pos = comp.groupBy("label", "pos").agg(
+        F.expr("SUM(CASE WHEN is_ref THEN xi ELSE 0 END)").alias("s_ref"),
+        F.expr("SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)").alias("n_ref"),
+        F.expr("SUM(CASE WHEN NOT is_ref THEN xi ELSE 0 END)").alias("s_cur"),
+        F.expr("SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)").alias("n_cur"),
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.expr("CAST(MAX(n_ref) AS BIGINT)").alias("n_ref"),
+            F.expr("CAST(MAX(n_cur) AS BIGINT)").alias("n_cur"),
+            F.expr(
+                "SUM(CAST(s_ref * n_cur - s_cur * n_ref AS DECIMAL(19,0))"
+                " * CAST(s_ref * n_cur - s_cur * n_ref AS DECIMAL(19,0)))"
+            ).alias("ssq"),
+        )
+        .select(
+            "label",
+            "n_ref",
+            "n_cur",
+            F.expr(
+                "ROUND(sqrt(CAST(ssq AS DOUBLE)) "
+                "/ (1000000.0 * n_ref * n_cur), 6)"
+            ).alias("centroid_shift"),
+        )
+    )
+
+
+QUERIES["emb_centroid_drift"] = emb_centroid_drift
+
+ORACLES["emb_centroid_drift"] = f"""
+    WITH comp AS (
+        SELECT label,
+               {STABLE_HASH_SQL("('drift:' || CAST(vec_id AS VARCHAR))")} % 2 = 0
+                   AS is_ref,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+                   AS xi
+        FROM embeddings
+    ),
+    per_pos AS (
+        SELECT label, pos,
+               SUM(CASE WHEN is_ref THEN xi ELSE 0 END) AS s_ref,
+               SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN NOT is_ref THEN xi ELSE 0 END) AS s_cur,
+               SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+        FROM comp GROUP BY label, pos
+    ),
+    agg AS (
+        SELECT label,
+               CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+               CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+               SUM(CAST(s_ref * n_cur - s_cur * n_ref AS DECIMAL(19,0))
+                   * CAST(s_ref * n_cur - s_cur * n_ref AS DECIMAL(19,0)))
+                   AS ssq
+        FROM per_pos GROUP BY label
+    )
+    SELECT label, n_ref, n_cur,
+           ROUND(sqrt(CAST(ssq AS DOUBLE)) / (1000000.0 * n_ref * n_cur), 6)
+               AS centroid_shift
+    FROM agg
+"""

@@ -1319,3 +1319,85 @@ ORACLES["doc_split_leakage"] = f"""
     WHERE e.split = 'test'
     GROUP BY e.doc_id
 """
+
+
+# ------------------------------------------------- token-mixture drift
+#
+# Per-source token-distribution drift: total-variation distance between
+# each source's token frequencies and the whole corpus's, over the
+# corpus top-50 vocabulary — the text-side twin of
+# emb_centroid_drift's monitor. Every frequency lives on an integer
+# ppm grid (floor(count·1e6 / total)), so the half-L1 sum is exact
+# integer arithmetic in both engines. The (source × vocab) grid is
+# built explicitly so tokens ABSENT from a source still contribute
+# their corpus mass (dropping them understates drift). Plan: one
+# token-count shuffle (the vocab pass), one (source, token) count
+# shuffle; the grid/join work is |sources|·50 rows — broadcast scale.
+def doc_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    vocab = doc_vocab_topk(spark, sf_dir).select("token", "freq")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    in_vocab = tok.join(F.broadcast(vocab.select("token")), "token")
+    src_counts = in_vocab.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    src_tot = src_counts.groupBy("source").agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("src_total")
+    )
+    corpus_tot = vocab.agg(F.expr("CAST(SUM(freq) AS BIGINT)").alias("all_total"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(vocab))
+        .join(src_counts, ["source", "token"], "left")
+        .join(F.broadcast(corpus_tot))
+        .select(
+            "source",
+            "src_total",
+            F.expr(
+                "abs(CAST(FLOOR(COALESCE(cnt, 0) * 1000000 / src_total) AS BIGINT)"
+                " - CAST(FLOOR(freq * 1000000 / all_total) AS BIGINT))"
+            ).alias("adiff"),
+        )
+    )
+    return grid.groupBy("source").agg(
+        F.expr("CAST(MAX(src_total) AS BIGINT)").alias("n_vocab_tokens"),
+        F.expr("CAST(SUM(adiff) DIV 2 AS BIGINT)").alias("tv_ppm"),
+    )
+
+
+QUERIES["doc_token_drift"] = doc_token_drift
+
+ORACLES["doc_token_drift"] = """
+    WITH vocab2 AS (
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY freq DESC, token
+        LIMIT 50
+    ),
+    tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    src_counts AS (
+        SELECT source, token, count(*) AS cnt
+        FROM tok JOIN vocab2 USING (token)
+        GROUP BY source, token
+    ),
+    src_tot AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS src_total
+        FROM src_counts GROUP BY source
+    ),
+    corpus_tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS all_total FROM vocab2),
+    grid AS (
+        SELECT st.source, st.src_total,
+               abs(CAST(FLOOR(COALESCE(sc.cnt, 0) * 1000000 / st.src_total) AS BIGINT)
+                   - CAST(FLOOR(v.freq * 1000000 / ct.all_total) AS BIGINT)) AS adiff
+        FROM src_tot st
+        CROSS JOIN vocab2 v
+        LEFT JOIN src_counts sc ON sc.source = st.source AND sc.token = v.token
+        CROSS JOIN corpus_tot ct
+    )
+    SELECT source,
+           CAST(MAX(src_total) AS BIGINT) AS n_vocab_tokens,
+           CAST(SUM(adiff) // 2 AS BIGINT) AS tv_ppm
+    FROM grid GROUP BY source
+"""
