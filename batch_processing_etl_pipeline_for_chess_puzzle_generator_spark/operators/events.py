@@ -1702,3 +1702,89 @@ ORACLES["ev_daily_anomaly_mad"] = """
            adev > 3 * 1.4826 * mad AS is_anomaly
     FROM dev CROSS JOIN mad
 """
+
+
+# ---------------------------------------------- Holt trend forecasting
+#
+# Holt's linear (double exponential) smoothing per event type: level
+# AND trend recurrences (α = β = 0.3) over the daily value series —
+# the step up from ev_exp_smoothing when the series drifts. Same
+# 100 TB shape as the EWMA: one shuffle builds each type's day-ordered
+# series (bounded by the calendar, never the corpus), then the
+# recurrence is a row-local struct-state fold on the 1e-6 integer
+# grid, re-rounded each step so the (level, trend) trajectory is
+# bit-identical across engines — the DuckDB oracle unrolls the same
+# recurrence with a recursive CTE. l' appears twice inside the lambda
+# (HOFs have no let-binding); both copies are the same expression, so
+# they evaluate to the same rounded value.
+def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+    ).agg(
+        F.expr(
+            f"CAST(ROUND({SUM_VALUE} * 1000000, 0) AS BIGINT)"
+        ).alias("m")
+    )
+    lp = "CAST(ROUND(0.3 * x + 0.7 * (acc.l + acc.b), 0) AS BIGINT)"
+    fold = (
+        "aggregate(slice(xs, 3, size(xs) - 2), "
+        "named_struct('l', element_at(xs, 2), "
+        "'b', element_at(xs, 2) - element_at(xs, 1)), "
+        f"(acc, x) -> named_struct('l', {lp}, "
+        f"'b', CAST(ROUND(0.3 * ({lp} - acc.l) + 0.7 * acc.b, 0) AS BIGINT)))"
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, m))), p -> p.m)"
+            ).alias("xs")
+        )
+        .filter(F.expr("size(xs) >= 2"))
+        .select(
+            "event_type",
+            F.expr("CAST(size(xs) AS BIGINT)").alias("n_days"),
+            F.expr(f"{fold}.l / 1e6").alias("level"),
+            F.expr(f"{fold}.b / 1e6").alias("trend"),
+            F.expr(f"({fold}.l + {fold}.b) / 1e6").alias("forecast_next"),
+        )
+    )
+
+
+QUERIES["ev_holt_forecast"] = ev_holt_forecast
+
+ORACLES["ev_holt_forecast"] = """
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                          * 1000000, 0) AS BIGINT) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+               m
+        FROM daily
+    ),
+    n AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1),
+    rec(event_type, i, l, b) AS (
+        SELECT x2.event_type, 2, x2.m, x2.m - x1.m
+        FROM idx x2
+        JOIN idx x1 ON x1.event_type = x2.event_type AND x1.i = 1
+        WHERE x2.i = 2
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               CAST(ROUND(0.3 * x.m + 0.7 * (r.l + r.b), 0) AS BIGINT),
+               CAST(ROUND(0.3 * (CAST(ROUND(0.3 * x.m + 0.7 * (r.l + r.b), 0)
+                                      AS BIGINT) - r.l)
+                          + 0.7 * r.b, 0) AS BIGINT)
+        FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+    )
+    SELECT r.event_type, CAST(n.n AS BIGINT) AS n_days,
+           r.l / 1e6 AS level, r.b / 1e6 AS trend,
+           (r.l + r.b) / 1e6 AS forecast_next
+    FROM rec r JOIN n USING (event_type)
+    WHERE r.i = n.n AND n.n >= 2
+"""

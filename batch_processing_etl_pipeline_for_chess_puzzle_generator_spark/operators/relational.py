@@ -1557,3 +1557,101 @@ ORACLES["customer_recency_cohorts"] = """
     FROM months
     GROUP BY 1
 """
+
+
+# ---------------------------------------------- ABC (Pareto) classes
+#
+# Classic warehouse ABC analysis: parts contributing the first 80% of
+# cumulative revenue are class A, the next 15% B, the tail C. The
+# global cumulative sum is computed DISTRIBUTED with the
+# range-partition + broadcast prefix-sum-offsets pattern (the same
+# trick to_pgn uses for game numbering): revenue ranks
+# range-partition, each partition cumsums locally, and only
+# n_partitions offset rows cross a single-partition window — never
+# the parts table itself, which a plain ORDER BY window would
+# serialize through one task at 100 TB. All revenue lives on an exact
+# scale-4 integer grid and class boundaries are integer
+# cross-multiplications, so the classification is bit-identical to
+# the oracle's ordinary window formulation. The ranked frame is
+# memoized through the bounded cache (both the offsets branch and the
+# data branch must observe ONE physical partitioning).
+_REV_INT = ("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(8,2)))) * 10000 AS BIGINT)")
+_ABC_RANKED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def abc_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.caching import (
+        bounded_cache_put,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _ABC_RANKED_CACHE:
+        ranked = _ABC_RANKED_CACHE[key]
+    else:
+        li = table(spark, sf_dir, "lineitem")
+        rev = li.groupBy("l_partkey").agg(F.expr(_REV_INT).alias("r"))
+        ranked = bounded_cache_put(
+            _ABC_RANKED_CACHE,
+            key,
+            rev.repartitionByRange(F.col("r").desc(), F.col("l_partkey"))
+            .withColumn("_pid", F.spark_partition_id())
+            .persist(),
+        )
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranked.groupBy("_pid")
+        .agg(F.expr("SUM(r)").alias("_psum"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_psum").over(wo), F.lit(0)).alias("_off"),
+        )
+    )
+    wl = Window.partitionBy("_pid").orderBy(
+        F.col("r").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = ranked.agg(F.expr("SUM(r)").alias("_tot"))
+    return (
+        ranked.withColumn("_lcum", F.sum("r").over(wl))
+        .join(F.broadcast(offsets), "_pid")
+        .join(F.broadcast(total))
+        .select(
+            F.expr(
+                "CASE WHEN (_lcum + _off) * 100 <= _tot * 80 THEN 'A' "
+                "WHEN (_lcum + _off) * 100 <= _tot * 95 THEN 'B' "
+                "ELSE 'C' END"
+            ).alias("abc_class"),
+            "r",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr("CAST(SUM(r) AS BIGINT)").alias("class_revenue_e4"),
+        )
+    )
+
+
+QUERIES["abc_parts_revenue"] = abc_parts_revenue
+
+ORACLES["abc_parts_revenue"] = f"""
+    WITH rev AS (
+        SELECT l_partkey, {_REV_INT} AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(r) AS t FROM rev),
+    c AS (
+        SELECT r, SUM(r) OVER (ORDER BY r DESC, l_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+        FROM rev
+    )
+    SELECT CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                WHEN cum * 100 <= t * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_parts,
+           CAST(SUM(r) AS BIGINT) AS class_revenue_e4
+    FROM c CROSS JOIN tot
+    GROUP BY 1
+"""
