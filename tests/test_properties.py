@@ -93,6 +93,36 @@ def test_band_pairs_salted_equals_plain(spark, assignments, n_salts):
     assert plain == salted
 
 
+@given(
+    history=st.lists(
+        st.lists(st.tuples(st.integers(0, 20), st.text("ab", max_size=3)),
+                 min_size=0, max_size=6, unique_by=lambda t: t[0]),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(**_SETTINGS)
+def test_versioned_round_trip_arbitrary_history(spark, tmp_path_factory, history):
+    """Every committed version must read back exactly as written, for
+    ARBITRARY version contents (including empty versions), and the
+    latest read must equal the last commit."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    path = str(tmp_path_factory.mktemp("vprop") / "tbl")
+    for rows in history:
+        df = (spark.createDataFrame(rows, "k INT, v STRING") if rows
+              else spark.createDataFrame([], "k INT, v STRING"))
+        versioned.write_version(df, path)
+    assert versioned.versions(path) == list(range(len(history)))
+    for v, rows in enumerate(history):
+        got = sorted(tuple(r) for r in
+                     versioned.read_version(spark, path, v).collect())
+        assert got == sorted(rows)
+    latest = sorted(tuple(r) for r in
+                    versioned.read_version(spark, path).collect())
+    assert latest == sorted(history[-1])
+
+
 def test_pagerank_conserves_mass(spark):
     """Total rank stays ~1 (on the 1e12 grid): teleport + damped mass
     must re-sum to the node count × 1e12 within per-node rounding (±1
