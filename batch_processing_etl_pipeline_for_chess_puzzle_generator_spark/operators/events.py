@@ -1743,12 +1743,20 @@ def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xs")
         )
         .filter(F.expr("size(xs) >= 2"))
+        # fold once into a struct column, then project — four inline
+        # copies would each re-run the whole recurrence wherever
+        # common-subexpression elimination doesn't fire
         .select(
             "event_type",
             F.expr("CAST(size(xs) AS BIGINT)").alias("n_days"),
-            F.expr(f"{fold}.l / 1e6").alias("level"),
-            F.expr(f"{fold}.b / 1e6").alias("trend"),
-            F.expr(f"({fold}.l + {fold}.b) / 1e6").alias("forecast_next"),
+            F.expr(fold).alias("s"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.expr("s.l / 1e6").alias("level"),
+            F.expr("s.b / 1e6").alias("trend"),
+            F.expr("(s.l + s.b) / 1e6").alias("forecast_next"),
         )
     )
 

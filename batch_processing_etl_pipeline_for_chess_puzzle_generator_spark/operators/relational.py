@@ -1618,9 +1618,16 @@ def abc_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(offsets), "_pid")
         .join(F.broadcast(total))
         .select(
+            # DECIMAL(38) cross-multiplication: the cumulative revenue
+            # on the e4 grid approaches ~2e15 per TPC-H SF unit, so a
+            # BIGINT ×100 overflows int64 around SF 40 — three orders
+            # below the design point. Decimal keeps the comparison
+            # exact at any scale (and matches DuckDB's HUGEINT math).
             F.expr(
-                "CASE WHEN (_lcum + _off) * 100 <= _tot * 80 THEN 'A' "
-                "WHEN (_lcum + _off) * 100 <= _tot * 95 THEN 'B' "
+                "CASE WHEN CAST(_lcum + _off AS DECIMAL(38,0)) * 100 "
+                "<= CAST(_tot AS DECIMAL(38,0)) * 80 THEN 'A' "
+                "WHEN CAST(_lcum + _off AS DECIMAL(38,0)) * 100 "
+                "<= CAST(_tot AS DECIMAL(38,0)) * 95 THEN 'B' "
                 "ELSE 'C' END"
             ).alias("abc_class"),
             "r",

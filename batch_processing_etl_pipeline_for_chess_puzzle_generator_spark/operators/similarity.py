@@ -66,6 +66,7 @@ def _split(spark: SparkSession, sf_dir: str):
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
             F.col("embedding").alias("qe"),
             F.expr(_QUANT.format(col="embedding")).alias("qa"),
         )
@@ -75,6 +76,7 @@ def _split(spark: SparkSession, sf_dir: str):
         emb.filter(F.col("vec_id") >= N_QUERIES)
         .select(
             F.col("vec_id").alias("c_id"),
+            "label",
             F.col("embedding").alias("ce"),
             F.expr(_QUANT.format(col="embedding")).alias("ca"),
         )
@@ -1716,25 +1718,7 @@ ORACLES["emb_lsh_range"] = f"""
 def emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    emb = table(spark, sf_dir, "embeddings")
-    q = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("label").alias("q_label"),
-            F.expr(_QUANT.format(col="embedding")).alias("qa"),
-        )
-        .withColumn("qn", F.expr(_qnorm("qa")))
-    )
-    c = (
-        emb.filter(F.col("vec_id") >= N_QUERIES)
-        .select(
-            F.col("vec_id").alias("c_id"),
-            "label",
-            F.expr(_QUANT.format(col="embedding")).alias("ca"),
-        )
-        .withColumn("cn", F.expr(_qnorm("ca")))
-    )
+    q, c = _split(spark, sf_dir)
     scored = c.join(broadcast(q), c.label == q.q_label).select(
         "q_id", "c_id", "label", F.expr(_SIM).alias("sim")
     )
@@ -1783,11 +1767,14 @@ ORACLES["emb_filtered_topk"] = f"""
 # corpus into a deterministic reference half and current half (md5
 # hash of vec_id — in production these are yesterday's vs today's
 # partitions), compare per-label centroids, and report the L2 shift.
-# All math rides exact integer component sums on the 1e-6 quantization
-# grid; the cross-multiplied difference (s_ref·n_cur − s_cur·n_ref)
-# squares inside DECIMAL(38,0) — the emb_label_centroids pattern — so
-# both engines sum EXACT integers and only the final per-label sqrt /
-# normalization is floating point (one expression, bit-identical).
+# Component sums are exact integers on the 1e-6 quantization grid;
+# each per-position MEAN DIFFERENCE is then re-rounded onto the same
+# grid (one double formula, bit-identical across engines — the
+# _pqt_drel precedent), so md is bounded by the grid range (~1e6)
+# regardless of corpus size and Σmd² stays far inside BIGINT at ANY
+# scale — no cross-multiplication that would overflow int64 once a
+# label holds millions of vectors. The ≤1e-6-per-position
+# re-quantization is noise for a drift monitor reporting 6dp.
 # Per-(label, pos) partial aggregation: the corpus shuffles once as
 # (label, pos, component) rows; the drift table is |labels| rows.
 def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1807,23 +1794,24 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(CASE WHEN NOT is_ref THEN xi ELSE 0 END)").alias("s_cur"),
         F.expr("SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)").alias("n_cur"),
     )
+    # labels with an empty half have no centroid to compare (and the
+    # division would NaN) — dropped, mirrored in the oracle
+    md = ("CAST(ROUND(CAST(s_ref AS DOUBLE) / n_ref "
+          "- CAST(s_cur AS DOUBLE) / n_cur, 0) AS BIGINT)")
     return (
-        per_pos.groupBy("label")
+        per_pos.filter("n_ref > 0 AND n_cur > 0")
+        .groupBy("label")
         .agg(
             F.expr("CAST(MAX(n_ref) AS BIGINT)").alias("n_ref"),
             F.expr("CAST(MAX(n_cur) AS BIGINT)").alias("n_cur"),
-            F.expr(
-                "SUM(CAST(s_ref * n_cur - s_cur * n_ref AS DECIMAL(19,0))"
-                " * CAST(s_ref * n_cur - s_cur * n_ref AS DECIMAL(19,0)))"
-            ).alias("ssq"),
+            F.expr(f"SUM({md} * {md})").alias("ssq"),
         )
         .select(
             "label",
             "n_ref",
             "n_cur",
             F.expr(
-                "ROUND(sqrt(CAST(ssq AS DOUBLE)) "
-                "/ (1000000.0 * n_ref * n_cur), 6)"
+                "ROUND(sqrt(CAST(ssq AS DOUBLE)) / 1000000.0, 6)"
             ).alias("centroid_shift"),
         )
     )
@@ -1853,13 +1841,16 @@ ORACLES["emb_centroid_drift"] = f"""
         SELECT label,
                CAST(MAX(n_ref) AS BIGINT) AS n_ref,
                CAST(MAX(n_cur) AS BIGINT) AS n_cur,
-               SUM(CAST(s_ref * n_cur - s_cur * n_ref AS DECIMAL(19,0))
-                   * CAST(s_ref * n_cur - s_cur * n_ref AS DECIMAL(19,0)))
+               SUM(CAST(ROUND(CAST(s_ref AS DOUBLE) / n_ref
+                              - CAST(s_cur AS DOUBLE) / n_cur, 0) AS BIGINT)
+                   * CAST(ROUND(CAST(s_ref AS DOUBLE) / n_ref
+                                - CAST(s_cur AS DOUBLE) / n_cur, 0) AS BIGINT))
                    AS ssq
-        FROM per_pos GROUP BY label
+        FROM per_pos
+        WHERE n_ref > 0 AND n_cur > 0
+        GROUP BY label
     )
     SELECT label, n_ref, n_cur,
-           ROUND(sqrt(CAST(ssq AS DOUBLE)) / (1000000.0 * n_ref * n_cur), 6)
-               AS centroid_shift
+           ROUND(sqrt(CAST(ssq AS DOUBLE)) / 1000000.0, 6) AS centroid_shift
     FROM agg
 """

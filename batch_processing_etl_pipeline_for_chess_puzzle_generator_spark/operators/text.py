@@ -1341,8 +1341,20 @@ def doc_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_counts = in_vocab.groupBy("source", "token").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    src_tot = src_counts.groupBy("source").agg(
-        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("src_total")
+    # Sources come from the DOCUMENTS table, not from the in-vocab
+    # counts: a source sharing NO tokens with the corpus vocabulary —
+    # the maximally drifted case a monitor exists to catch — would
+    # otherwise vanish from the report instead of scoring tv ≈ 0.5.
+    src_tot = (
+        docs.select("source").distinct()
+        .join(
+            src_counts.groupBy("source").agg(
+                F.expr("CAST(SUM(cnt) AS BIGINT)").alias("_st")
+            ),
+            "source",
+            "left",
+        )
+        .select("source", F.expr("COALESCE(_st, CAST(0 AS BIGINT))").alias("src_total"))
     )
     corpus_tot = vocab.agg(F.expr("CAST(SUM(freq) AS BIGINT)").alias("all_total"))
     grid = (
@@ -1353,7 +1365,8 @@ def doc_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "src_total",
             F.expr(
-                "abs(CAST(FLOOR(COALESCE(cnt, 0) * 1000000 / src_total) AS BIGINT)"
+                "abs(CASE WHEN src_total = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(FLOOR(COALESCE(cnt, 0) * 1000000 / src_total) AS BIGINT) END"
                 " - CAST(FLOOR(freq * 1000000 / all_total) AS BIGINT))"
             ).alias("adiff"),
         )
@@ -1383,13 +1396,17 @@ ORACLES["doc_token_drift"] = """
         GROUP BY source, token
     ),
     src_tot AS (
-        SELECT source, CAST(SUM(cnt) AS BIGINT) AS src_total
-        FROM src_counts GROUP BY source
+        SELECT d.source, CAST(COALESCE(t._st, 0) AS BIGINT) AS src_total
+        FROM (SELECT DISTINCT source FROM documents) d
+        LEFT JOIN (SELECT source, SUM(cnt) AS _st
+                   FROM src_counts GROUP BY source) t
+          ON t.source = d.source
     ),
     corpus_tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS all_total FROM vocab2),
     grid AS (
         SELECT st.source, st.src_total,
-               abs(CAST(FLOOR(COALESCE(sc.cnt, 0) * 1000000 / st.src_total) AS BIGINT)
+               abs(CASE WHEN st.src_total = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(FLOOR(COALESCE(sc.cnt, 0) * 1000000 / st.src_total) AS BIGINT) END
                    - CAST(FLOOR(v.freq * 1000000 / ct.all_total) AS BIGINT)) AS adiff
         FROM src_tot st
         CROSS JOIN vocab2 v
