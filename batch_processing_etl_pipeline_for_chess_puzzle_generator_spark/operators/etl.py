@@ -498,3 +498,110 @@ ORACLES["snapshot_diff_orders"] = f"""
     FULL OUTER JOIN merged m ON b.o_orderkey = m.o_orderkey
     GROUP BY 1
 """
+
+
+# ----------------------------------------- copy-on-write MERGE version
+#
+# The file-level-manifest upgrade of snapshot_read_version: version 0 is
+# orders range-partitioned into 8 files on o_orderkey (per-file
+# [min,max] stats recorded in the manifest), version 1 is committed by
+# versioned.merge_version_cow with a change batch confined to the LOWEST
+# TENTH of the keyspace (upsert +5%, delete keys ≡ 0 mod 7). Because the
+# files are range-partitioned and the manifest carries key stats, the
+# merge stat-prunes ~90% of the parent files, rewrites only the one file
+# holding the touched range, and SHARES the rest with version 0 — the
+# Delta MERGE physical plan. The query reads BOTH versions back through
+# their manifests and aggregates each; the oracle rebuilds both states
+# relationally, so a hash match proves the shared-file manifest
+# reconstructs exactly the declared merged state. File-sharing /
+# stat-pruning counts are asserted in tests/test_versioned.py (they
+# depend on partition layout, not data values, so they're test-side).
+_COW_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cow_changes(o: DataFrame) -> DataFrame:
+    bound = o.agg((F.max("o_orderkey") / F.lit(10)).alias("cow_bound"))
+    return (
+        o.crossJoin(F.broadcast(bound))
+        .filter(F.col("o_orderkey") <= F.col("cow_bound"))
+        .withColumn("is_delete", F.expr("o_orderkey % 7 = 0"))
+        .withColumn("o_totalprice", F.expr(_NEW_PRICE2))
+        .select(*_ORDER_COLS, "is_delete")
+    )
+
+
+def _cow_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _COW_CACHE:
+        return _COW_CACHE[key]
+    path = tempfile.mkdtemp(prefix="orders_cow_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    versioned.write_version(
+        o.repartitionByRange(8, "o_orderkey"), path, 0, stats_col="o_orderkey"
+    )
+    versioned.merge_version_cow(spark, path, _cow_changes(o), "o_orderkey")
+    _COW_CACHE[key] = path
+    return path
+
+
+def snapshot_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    path = _cow_orders_path(spark, sf_dir)
+    per_version = []
+    for v in versioned.versions(path):
+        per_version.append(
+            versioned.read_version(spark, path, v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.expr(
+                    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+                ).alias("total_sales"),
+            )
+            .select(
+                F.lit(v).cast("long").alias("version"),
+                "o_orderstatus",
+                "n_orders",
+                "total_sales",
+            )
+        )
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+QUERIES["snapshot_merge_cow"] = snapshot_merge_cow
+
+ORACLES["snapshot_merge_cow"] = f"""
+    WITH bound AS (SELECT MAX(o_orderkey) / 10 AS b FROM orders),
+    changes AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               {_NEW_PRICE2} AS o_totalprice,
+               o_orderdate, o_orderpriority,
+               o_orderkey % 7 = 0 AS is_delete
+        FROM orders, bound WHERE o_orderkey <= b
+    ),
+    v1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM changes c
+                          WHERE c.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM changes WHERE NOT is_delete
+    )
+    {_V_AGG.format(v=0, src="orders")}
+    UNION ALL
+    {_V_AGG.format(v=1, src="v1")}
+"""

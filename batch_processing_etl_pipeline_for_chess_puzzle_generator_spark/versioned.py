@@ -18,12 +18,23 @@ Scale notes (100 TB): data directories are immutable, so concurrent
 readers never race a writer — a reader that pinned version N keeps a
 consistent snapshot while N+1 commits. The manifest dir holds one
 O(100-byte) JSON per version (the Delta log shape); listing it is
-metadata-only. Real formats refine this to file-level manifests so a
-version can share unchanged files with its parent instead of rewriting
-the table — the commit protocol (stage → atomic manifest publish) is
-identical, which is what this module demonstrates. The write path is a
-plain distributed ``df.write.parquet``; nothing here touches the
-driver beyond manifest metadata.
+metadata-only. The write path is a plain distributed
+``df.write.parquet``; nothing here touches the driver beyond manifest
+metadata.
+
+Manifests are FILE-level: each records the parquet files making up the
+version (optionally with per-file min/max stats on a chosen column —
+the Delta data-skipping shape), so a version can SHARE unchanged files
+with its parent instead of rewriting the table. ``merge_version_cow``
+exploits that for copy-on-write MERGE: stat-prune parent files whose
+[min,max] can't contain a change key, scan only the candidates to find
+the files actually touched, rewrite just those merged with the
+changes, and publish a manifest = untouched parent files + new files.
+The only driver-side state is the file LIST (O(#files), the same
+planning metadata Delta's driver holds), never row data. ``vacuum``
+is reference-counting-aware: a data file survives as long as ANY live
+manifest references it, so dropping the parent version never breaks a
+child that shares its files.
 """
 
 from __future__ import annotations
@@ -72,8 +83,75 @@ def _high_water(table_path: str) -> int:
     return live
 
 
+def _list_data_files(table_path: str, data_dir: str) -> list[str]:
+    """Relative paths of the parquet data files inside one data dir
+    (skips _SUCCESS / checksums / hidden files)."""
+    full = os.path.join(table_path, data_dir)
+    out = []
+    for f in sorted(os.listdir(full)):
+        if f.startswith(("_", ".")):
+            continue
+        out.append(f"{data_dir}/{f}")
+    return out
+
+
+def _file_stats(spark: SparkSession, table_path: str, rel_files: list[str],
+                stats_col: str) -> dict[str, list]:
+    """Per-file [min, max] of ``stats_col`` — the data-skipping index.
+    One column-pruned scan of exactly the new files; the result is
+    O(#files) manifest metadata (what Delta stores per AddFile)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(*[os.path.join(table_path, f) for f in rel_files])
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min(stats_col).alias("lo"), F.max(stats_col).alias("hi"))
+        .collect()
+    )
+    by_name = {}
+    for r in rows:
+        by_name[os.path.basename(_uri_to_path(r["f"]))] = [r["lo"], r["hi"]]
+    return {f: by_name.get(os.path.basename(f)) for f in rel_files}
+
+
+def _uri_to_path(uri: str) -> str:
+    from urllib.parse import unquote, urlparse
+
+    if "://" in uri or uri.startswith("file:"):
+        return unquote(urlparse(uri).path)
+    return uri
+
+
+def _publish(table_path: str, manifest: dict) -> int:
+    """Atomically publish a manifest + advance the high-water mark."""
+    version = manifest["version"]
+    mdir = _manifest_path(table_path)
+    tmp = os.path.join(mdir, f".{version}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(mdir, f"{version}.json"))
+    hw_tmp = os.path.join(mdir, f"{_HIGH_WATER}.tmp")
+    with open(hw_tmp, "w") as fh:
+        fh.write(str(version))
+    os.rename(hw_tmp, os.path.join(mdir, _HIGH_WATER))
+    return version
+
+
+def _next_version(table_path: str, version: int | None) -> int:
+    hw = _high_water(table_path)
+    if version is None:
+        version = hw + 1
+    if version <= hw:
+        raise ValueError(
+            f"version {version} already committed (or vacuumed; high water "
+            f"{hw}) at {table_path} — history is append-only"
+        )
+    return version
+
+
 def write_version(df: DataFrame, table_path: str,
-                  version: int | None = None) -> int:
+                  version: int | None = None,
+                  stats_col: str | None = None) -> int:
     """Commit ``df`` as the next (or an explicit) version of the table.
 
     Commit protocol: distributed write into ``_staged_N`` → atomic
@@ -83,17 +161,14 @@ def write_version(df: DataFrame, table_path: str,
     numbers are append-only for the table's lifetime: committing a
     number at or below the high-water mark raises, even if vacuum has
     since dropped that version's manifest.
+
+    The manifest records the version's parquet FILES; with
+    ``stats_col`` it also records per-file [min, max] of that column,
+    enabling data-skipping during ``merge_version_cow``.
     """
     import shutil
 
-    hw = _high_water(table_path)
-    if version is None:
-        version = hw + 1
-    if version <= hw:
-        raise ValueError(
-            f"version {version} already committed (or vacuumed; high water "
-            f"{hw}) at {table_path} — history is append-only"
-        )
+    version = _next_version(table_path, version)
     os.makedirs(_manifest_path(table_path), exist_ok=True)
     staged = os.path.join(table_path, f"_staged_{version}")
     final = os.path.join(table_path, f"v_{version}")
@@ -106,20 +181,129 @@ def write_version(df: DataFrame, table_path: str,
         shutil.rmtree(final)
     df.write.mode("overwrite").parquet(staged)
     os.rename(staged, final)
+    files = _list_data_files(table_path, f"v_{version}")
     manifest = {
         "version": version,
         "dir": f"v_{version}",
+        "files": files,
         "schema": df.schema.json(),
     }
-    tmp = os.path.join(_manifest_path(table_path), f".{version}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(_manifest_path(table_path), f"{version}.json"))
-    hw_tmp = os.path.join(_manifest_path(table_path), f"{_HIGH_WATER}.tmp")
-    with open(hw_tmp, "w") as fh:
-        fh.write(str(version))
-    os.rename(hw_tmp, os.path.join(_manifest_path(table_path), _HIGH_WATER))
-    return version
+    if stats_col is not None:
+        manifest["stats_col"] = stats_col
+        manifest["stats"] = _file_stats(
+            df.sparkSession, table_path, files, stats_col
+        )
+    return _publish(table_path, manifest)
+
+
+def merge_version_cow(spark: SparkSession, table_path: str,
+                      changes: DataFrame, key_col: str,
+                      delete_col: str = "is_delete",
+                      version: int | None = None) -> dict:
+    """Copy-on-write MERGE: commit a new version that REWRITES ONLY the
+    parent files containing a change key and SHARES every other file
+    with the parent (Delta's MERGE physical plan).
+
+    Steps, each scan bounded by the pruning before it:
+
+    1. Stat-prune: if the parent manifest carries [min, max] stats on
+       ``key_col``, drop files whose range can't intersect the change
+       keys' [min, max] (two-scalar agg — Delta's data-skipping step).
+    2. Find-touched: scan ONLY candidate files with
+       ``input_file_name()``, semi-join the (broadcast) change keys,
+       and collect the distinct file names — O(#files) driver
+       metadata, the same planning list Delta's driver holds.
+    3. Rewrite: rows of touched files anti-joined on the change keys,
+       unioned with the non-deleted changes, written to ``d_N/``.
+    4. Publish: manifest = untouched parent entries (stats carried
+       over unchanged — the files are immutable) + new files.
+
+    ``changes`` must have the parent's data columns plus a boolean
+    ``delete_col``. Returns commit stats: files shared vs rewritten.
+    """
+    from pyspark.sql import functions as F
+
+    version = _next_version(table_path, version)
+    parent = _load_manifest(table_path, versions(table_path)[-1])
+    data_cols = [f["name"] for f in json.loads(parent["schema"])["fields"]]
+    pfiles = parent.get("files") or _list_data_files(table_path, parent["dir"])
+    pstats = parent.get("stats") if parent.get("stats_col") == key_col else None
+
+    # 1. stat-prune candidates against the change-key span (the one
+    # driver-side scalar pair — planning metadata, not row data)
+    lo, hi = changes.agg(F.min(key_col), F.max(key_col)).first()
+    if pstats is not None and lo is not None:
+        candidates = [
+            f for f in pfiles
+            if pstats.get(f) is None
+            or (pstats[f][0] <= hi and lo <= pstats[f][1])
+        ]
+    else:
+        candidates = list(pfiles)
+
+    # 2. exact touched set over candidates only
+    keys = F.broadcast(changes.select(key_col).distinct())
+    touched_abs = set()
+    if candidates:
+        cand_df = spark.read.parquet(
+            *[os.path.join(table_path, f) for f in candidates]
+        )
+        rows = (
+            cand_df.select(key_col, F.input_file_name().alias("f"))
+            .join(keys, key_col, "left_semi")
+            .select("f").distinct().collect()
+        )
+        touched_abs = {os.path.basename(_uri_to_path(r["f"])) for r in rows}
+    touched = [f for f in candidates if os.path.basename(f) in touched_abs]
+    untouched = [f for f in pfiles if os.path.basename(f) not in touched_abs]
+
+    # 3. rewrite only the touched files, merged with the changes
+    staged = os.path.join(table_path, f"_staged_{version}")
+    final_dir = f"d_{version}"
+    final = os.path.join(table_path, final_dir)
+    if os.path.exists(final):
+        import shutil
+
+        shutil.rmtree(final)
+    upserts = changes.filter(~F.col(delete_col)).select(*data_cols)
+    if touched:
+        kept = (
+            spark.read.parquet(
+                *[os.path.join(table_path, f) for f in touched]
+            )
+            .join(keys, key_col, "left_anti")
+            .select(*data_cols)
+        )
+        merged = kept.unionByName(upserts)
+    else:
+        merged = upserts
+    # Rewrite granularity == touched-file count: a COW of k files must
+    # emit ~k files, not one file per shuffle partition, or the table
+    # fragments a little more on every merge.
+    merged.coalesce(max(1, len(touched))).write.mode("overwrite").parquet(staged)
+    os.rename(staged, final)
+    new_files = _list_data_files(table_path, final_dir)
+
+    # 4. publish: untouched parent files keep their stats verbatim
+    manifest = {
+        "version": version,
+        "files": untouched + new_files,
+        "schema": parent["schema"],
+    }
+    if parent.get("stats_col") == key_col:
+        stats = {f: pstats[f] for f in untouched}
+        stats.update(_file_stats(spark, table_path, new_files, key_col)
+                     if new_files else {})
+        manifest["stats_col"] = key_col
+        manifest["stats"] = stats
+    _publish(table_path, manifest)
+    return {
+        "version": version,
+        "files_total": len(untouched) + len(new_files),
+        "files_shared": len(untouched),
+        "files_rewritten": len(touched),
+        "files_pruned_by_stats": len(pfiles) - len(candidates),
+    }
 
 
 def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
@@ -127,15 +311,18 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
 
     Order matters for crash safety — the MANIFEST is deleted first, so
     a version disappears from the catalog atomically before its data
-    dir goes; a crash mid-vacuum leaves either a fully visible version
-    or an invisible one whose orphaned data dir the next vacuum
-    sweeps. Readers that already resolved a manifest may race a
-    concurrent vacuum (same as Delta/Iceberg: retention must exceed
-    the longest reader pin — pick ``keep_last`` accordingly). The
-    orphan sweep also clears ``_staged_*`` dirs, so vacuum must not
-    run concurrently with an in-flight writer (single-writer
-    maintenance window — the same contract the real formats put on
-    VACUUM vs OPTIMIZE). Returns the versions removed.
+    goes; a crash mid-vacuum leaves either a fully visible version or
+    an invisible one whose orphaned data the next vacuum sweeps.
+    Reclamation is REFERENCE-COUNTED at file granularity: a data file
+    is deleted only when no LIVE manifest references it, so a
+    copy-on-write child that shares its parent's files stays readable
+    after the parent is vacuumed. Readers that already resolved a
+    manifest may race a concurrent vacuum (same as Delta/Iceberg:
+    retention must exceed the longest reader pin — pick ``keep_last``
+    accordingly). The orphan sweep also clears ``_staged_*`` dirs, so
+    vacuum must not run concurrently with an in-flight writer
+    (single-writer maintenance window — the same contract the real
+    formats put on VACUUM vs OPTIMIZE). Returns the versions removed.
     """
     import shutil
 
@@ -145,20 +332,43 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
     drop = avail[:-keep_last] if len(avail) > keep_last else []
     for v in drop:
         os.remove(os.path.join(_manifest_path(table_path), f"{v}.json"))
-    for v in drop:
-        shutil.rmtree(os.path.join(table_path, f"v_{v}"), ignore_errors=True)
-    # sweep orphans from earlier crashes: data/staged dirs with no
-    # manifest
-    live = set(versions(table_path))
+    # file-level refcount across the surviving manifests
+    referenced: set[str] = set()
+    for v in versions(table_path):
+        m = _load_manifest(table_path, v)
+        if "files" in m:
+            referenced.update(m["files"])
+        else:  # legacy dir-level manifest: the whole dir is live
+            referenced.update(_list_data_files(table_path, m["dir"]))
     for d in os.listdir(table_path):
         full = os.path.join(table_path, d)
         if not os.path.isdir(full) or d == _MANIFEST_DIR:
             continue
         if d.startswith("_staged_"):
             shutil.rmtree(full, ignore_errors=True)
-        elif d.startswith("v_") and d[2:].isdigit() and int(d[2:]) not in live:
+            continue
+        versioned_dir = (
+            (d.startswith("v_") or d.startswith("d_")) and d[2:].isdigit()
+        )
+        if not versioned_dir:
+            continue
+        for f in list(os.listdir(full)):
+            rel = f"{d}/{f}"
+            if rel not in referenced:
+                try:
+                    os.remove(os.path.join(full, f))
+                except IsADirectoryError:
+                    shutil.rmtree(os.path.join(full, f), ignore_errors=True)
+        if not any(
+            not f.startswith(("_", ".")) for f in os.listdir(full)
+        ) and not any(_list_data_files(table_path, d)):
             shutil.rmtree(full, ignore_errors=True)
     return drop
+
+
+def _load_manifest(table_path: str, version: int) -> dict:
+    with open(os.path.join(_manifest_path(table_path), f"{version}.json")) as fh:
+        return json.load(fh)
 
 
 def read_version(spark: SparkSession, table_path: str,
@@ -166,7 +376,9 @@ def read_version(spark: SparkSession, table_path: str,
     """Time-travel read: the table as of ``version`` (default: latest).
 
     Resolves the manifest, then reads ONLY that version's immutable
-    directory — a later commit can't disturb this snapshot.
+    file set — a later commit can't disturb this snapshot, and a
+    copy-on-write version transparently reads the parent files it
+    shares plus its own rewrites.
     """
     avail = versions(table_path)
     if not avail:
@@ -175,6 +387,14 @@ def read_version(spark: SparkSession, table_path: str,
         version = avail[-1]
     if version not in avail:
         raise ValueError(f"version {version} not in {avail} at {table_path}")
-    with open(os.path.join(_manifest_path(table_path), f"{version}.json")) as fh:
-        manifest = json.load(fh)
+    manifest = _load_manifest(table_path, version)
+    if "files" in manifest:
+        if not manifest["files"]:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(manifest["schema"]))
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(
+            *[os.path.join(table_path, f) for f in manifest["files"]]
+        )
     return spark.read.parquet(os.path.join(table_path, manifest["dir"]))

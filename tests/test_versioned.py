@@ -149,3 +149,112 @@ def test_snapshot_read_version_time_travels(spark):
         .collect()
     )
     assert {r.o_orderstatus: (r.n, r.t) for r in base} == by_version[0]
+
+
+# ---------------------------------------- file-level manifests / COW
+
+
+def _mk_ranged(spark, n, parts):
+    """n rows keyed 0..n-1, range-partitioned into ``parts`` files."""
+    df = spark.range(n).selectExpr("CAST(id AS INT) AS k",
+                                   "CONCAT('v', id) AS v")
+    return df.repartitionByRange(parts, "k")
+
+
+def test_cow_merge_shares_untouched_files(spark, tmp_path):
+    """A COW merge whose changes hit one key range must rewrite only
+    the file(s) holding that range, share every other parent file
+    byte-identically, and stat-prune non-intersecting files without
+    scanning them."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 800, 8), path, stats_col="k")
+    ch = spark.createDataFrame(
+        [(5, "upd5", False), (7, None, True), (9, "upd9", False)],
+        "k INT, v STRING, is_delete BOOLEAN",
+    )
+    stats = versioned.merge_version_cow(spark, path, ch, "k")
+    assert stats["version"] == 1
+    assert stats["files_rewritten"] >= 1
+    assert stats["files_shared"] >= stats["files_total"] - 2
+    # stat-pruning actually skipped most parent files
+    assert stats["files_pruned_by_stats"] >= 5
+    m0 = versioned._load_manifest(path, 0)
+    m1 = versioned._load_manifest(path, 1)
+    shared = set(m0["files"]) & set(m1["files"])
+    assert len(shared) == stats["files_shared"] and shared
+    # content is the merged state
+    got = {r.k: r.v for r in versioned.read_version(spark, path, 1).collect()}
+    assert got[5] == "upd5" and got[9] == "upd9"
+    assert 7 not in got
+    assert len(got) == 800 - 1  # one delete
+    # parent snapshot untouched
+    v0 = {r.k: r.v for r in versioned.read_version(spark, path, 0).collect()}
+    assert v0[5] == "v5" and 7 in v0 and len(v0) == 800
+
+
+def test_cow_read_plans_shared_plus_new_files(spark, tmp_path):
+    """The child's scan must contain parent (shared) files AND its own
+    d_1 rewrites — proof the manifest, not a dir copy, drives the
+    read."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 400, 4), path, stats_col="k")
+    ch = spark.createDataFrame([(1, "x", False)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, path, ch, "k")
+    files = versioned.read_version(spark, path, 1).inputFiles()
+    assert any("/v_0/" in f for f in files)
+    assert any("/d_1/" in f for f in files)
+
+
+def test_cow_vacuum_refcounts_shared_files(spark, tmp_path):
+    """Vacuuming the parent must delete ONLY parent files the child
+    does not reference; the child stays fully readable."""
+    import os as _os
+
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 800, 8), path, stats_col="k")
+    ch = spark.createDataFrame([(3, "x", False)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    stats = versioned.merge_version_cow(spark, path, ch, "k")
+    m0 = versioned._load_manifest(path, 0)
+    m1 = versioned._load_manifest(path, 1)
+    only_v0 = set(m0["files"]) - set(m1["files"])
+    assert only_v0  # the rewritten file's original
+    dropped = versioned.vacuum(path, keep_last=1)
+    assert dropped == [0]
+    # unshared parent files gone, shared ones alive
+    for f in only_v0:
+        assert not _os.path.exists(_os.path.join(path, f))
+    for f in set(m1["files"]) & set(m0["files"]):
+        assert _os.path.exists(_os.path.join(path, f))
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[3] == "x" and len(got) == 800
+    assert stats["files_shared"] == len(set(m1["files"]) & set(m0["files"]))
+
+
+def test_cow_without_stats_still_correct(spark, tmp_path):
+    """No stats on the parent → no pruning (all files are candidates)
+    but the merge result is identical."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 200, 4), path)  # no stats_col
+    ch = spark.createDataFrame([(0, "z", False), (199, None, True)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    stats = versioned.merge_version_cow(spark, path, ch, "k")
+    assert stats["files_pruned_by_stats"] == 0
+    got = {r.k: r.v for r in versioned.read_version(spark, path, 1).collect()}
+    assert got[0] == "z" and 199 not in got and len(got) == 199
+
+
+def test_cow_insert_only_changes(spark, tmp_path):
+    """Changes whose keys miss every parent file (pure inserts) rewrite
+    nothing: the child = all parent files + one new file."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 100, 2), path, stats_col="k")
+    ch = spark.createDataFrame([(1000, "new", False)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    stats = versioned.merge_version_cow(spark, path, ch, "k")
+    assert stats["files_rewritten"] == 0
+    assert stats["files_shared"] == 2
+    got = versioned.read_version(spark, path, 1)
+    assert got.count() == 101
+    assert got.filter("k = 1000").first().v == "new"
