@@ -1854,3 +1854,117 @@ ORACLES["emb_centroid_drift"] = f"""
            ROUND(sqrt(CAST(ssq AS DOUBLE)) / 1000000.0, 6) AS centroid_shift
     FROM agg
 """
+
+
+# ------------------------------------------------------------ SemDeDup
+#
+# Semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication"): cluster the
+# corpus with a coarse quantizer, then WITHIN each cluster drop every
+# vector that has a higher-priority near-twin above a cosine threshold.
+# Candidate volume is Σ cluster² — never the corpus cross product — and
+# at 100 TB you grow K with the corpus (K ≈ N/⟨cluster size⟩) so the
+# per-cluster quadratic stays bounded; the keep rule (lowest vec_id
+# wins) is a deterministic stand-in for SemDeDup's
+# farthest-from-centroid keeper so the oracle can replay it. The
+# cluster assignment is the same broadcast-seed scoring as emb_ivf_ann
+# (similarity.py:310); generalizes the reference's exact duplicate
+# drop (etl/transform.py:100 filters rows by a predicate) to
+# embedding-space near-duplicates.
+SEMDEDUP_K = 8
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_QUANT.format(col="embedding")).alias("qi"),
+    ).withColumn("nrm", F.expr(_qnorm("qi"))).persist()
+    seeds = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("s_id"),
+        F.col("qi").alias("qa"),
+        F.col("nrm").alias("qn"),
+    )
+    # Coarse assignment: nearest seed (ties → lowest seed id); one
+    # broadcast, no shuffle until the per-vector argmax window.
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("s_id")
+    )
+    assign = (
+        emb.withColumnRenamed("qi", "ca").withColumnRenamed("nrm", "cn")
+        .crossJoin(broadcast(seeds))
+        .select("vec_id", "ca", "cn", "s_id", F.expr(_SIM).alias("sim"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "ca", "cn", F.col("s_id").alias("cluster"))
+    )
+    a = assign.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("ca").alias("qa"),
+        F.col("cn").alias("qn"),
+        "cluster",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("ca"),
+        F.col("cn"),
+        "cluster",
+    )
+    # Within-cluster near-twins; the HIGHER id of each pair is the drop
+    # candidate (lowest id in a dup set survives transitively: it has
+    # no lower neighbor, and every other member has one — it).
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("b_id", F.expr(_SIM).alias("sim"))
+        .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assign.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+QUERIES["emb_semdedup"] = emb_semdedup
+
+_SD_SCORE = (
+    _DUCK_SCORE.replace("scored", "sdscored").replace("comp", "sdcomp")
+    .replace("pairs", "sdpairs").replace("q_id", "a_id")
+    .replace("c_id", "b_id")
+)
+
+ORACLES["emb_semdedup"] = f"""
+    WITH v AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+    seeds AS (SELECT vec_id AS s_id, embedding AS se FROM embeddings
+              WHERE vec_id < {SEMDEDUP_K}),
+    apairs AS (SELECT s_id, se, c_id, ce FROM seeds CROSS JOIN v),
+    {_A_SCORE},
+    assign AS (
+        SELECT c_id, cluster, ce FROM (
+            SELECT a.c_id, a.s_id AS cluster, v.ce,
+                   row_number() OVER (PARTITION BY a.c_id
+                                      ORDER BY a.sim DESC, a.s_id) AS rn
+            FROM ascored a JOIN v USING (c_id)
+        ) WHERE rn = 1
+    ),
+    sdpairs AS (
+        SELECT a.c_id AS a_id, a.ce AS qe, b.c_id AS b_id, b.ce
+        FROM assign a JOIN assign b USING (cluster)
+        WHERE a.c_id < b.c_id
+    ),
+    {_SD_SCORE},
+    dups AS (SELECT DISTINCT b_id FROM sdscored
+             WHERE sim >= {SEMDEDUP_THRESHOLD})
+    SELECT a.c_id AS vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           d.b_id IS NULL AS keep
+    FROM assign a LEFT JOIN dups d ON a.c_id = d.b_id
+"""

@@ -1418,3 +1418,163 @@ ORACLES["doc_token_drift"] = """
            CAST(SUM(adiff) // 2 AS BIGINT) AS tv_ppm
     FROM grid GROUP BY source
 """
+
+
+# ----------------------------------------------------- sliding chunking
+#
+# RAG / context-window chunking: split every document into overlapping
+# fixed-width windows (chunk CHUNK_SIZE chars, stride CHUNK_STRIDE —
+# the overlap keeps sentences that straddle a boundary retrievable from
+# both sides). The chunk grid is a row-local ``sequence`` + posexplode
+# (a generator, not a join), so the operator is a pure map with fanout
+# ≈ n_chars/stride per doc — scan-bandwidth-bound at any corpus size,
+# and the natural upstream of doc_pack_sequences (text.py:674) and the
+# embedding pipeline. Each chunk carries an md5 so the oracle checks
+# CONTENT, not just geometry.
+CHUNK_SIZE = 120
+CHUNK_STRIDE = 80
+
+
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    starts = f"sequence(0, length(text) - 1, {CHUNK_STRIDE})"
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.posexplode(F.expr(starts)).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.expr(
+                f"CAST(length(substring(text, chunk_start + 1, {CHUNK_SIZE})) AS BIGINT)"
+            ).alias("chunk_len"),
+            F.expr(
+                f"md5(substring(text, chunk_start + 1, {CHUNK_SIZE}))"
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+QUERIES["doc_chunk_sliding"] = doc_chunk_sliding
+
+ORACLES["doc_chunk_sliding"] = f"""
+    WITH starts AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, length(text) - 1, {CHUNK_STRIDE}))
+                   AS chunk_start
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY chunk_start)
+                - 1 AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, chunk_start + 1, {CHUNK_SIZE})) AS BIGINT)
+               AS chunk_len,
+           md5(substr(text, chunk_start + 1, {CHUNK_SIZE})) AS chunk_md5
+    FROM starts
+"""
+
+
+# ------------------------------------------- repeated-span boilerplate
+#
+# Cross-document repeated n-gram report — the distributed stand-in for
+# suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better"): a word 5-gram appearing
+# in ≥ REPEAT_MIN_DF distinct documents is boilerplate (license
+# headers, navigation chrome) that inflates memorization. The plan is
+# explode → one two-level agg (map-side combine makes the shuffle
+# carry only distinct (gram, doc) partials), so candidate volume is
+# the corpus token count, never a pairwise join — this is the REPORT
+# side; feeding it back as a removal filter is a broadcast semi-join
+# of the flagged grams, same shape as doc_contamination (text.py:583).
+REPEAT_NGRAM_N = 5
+REPEAT_MIN_DF = 2
+
+
+def doc_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = (
+        f"transform(sequence(1, greatest(size({_WORDS}) - {REPEAT_NGRAM_N - 1}, 0)), "
+        f"i -> concat_ws(' ', slice({_WORDS}, i, {REPEAT_NGRAM_N})))"
+    )
+    return (
+        docs.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("df") >= REPEAT_MIN_DF)
+    )
+
+
+QUERIES["doc_repeated_ngrams"] = doc_repeated_ngrams
+
+ORACLES["doc_repeated_ngrams"] = f"""
+    WITH w AS (SELECT doc_id, {_WORDS_DUCK} AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 array_to_string(list_slice(ws, i, i + {REPEAT_NGRAM_N - 1}), ' ')
+                     AS gram
+          FROM w, LATERAL unnest(
+              generate_series(1, len(ws) - {REPEAT_NGRAM_N - 1})) AS t(i))
+    SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           COUNT(*) AS n_occurrences
+    FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {REPEAT_MIN_DF}
+"""
+
+
+# --------------------------------------------------- BPE pair counting
+#
+# The inner loop of BPE tokenizer training: count adjacent CHARACTER
+# pairs inside every pretoken across the corpus and surface the top
+# merge candidates. One explode chain (pretokens → char pairs, both
+# row-local generators) into a two-level agg; the pair space is ≤
+# alphabet², so the shuffle after map-side combine is tiny no matter
+# the corpus size — the 100 TB cost is the scan, which is optimal. A
+# full BPE train iterates this: apply the best merge, recount —
+# each round is this same plan over the rewritten symbol stream.
+BPE_TOP_PAIRS = 20
+
+
+def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pretokens = f"regexp_extract_all(text, '{BPE_PRETOKEN_RE}', 0)"
+    pairs = (
+        "transform(sequence(1, greatest(length(t) - 1, 0)), "
+        "i -> substring(t, i, 2))"
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        docs.select(F.explode(F.expr(pretokens)).alias("t"))
+        .select(F.explode(F.expr(pairs)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(BPE_TOP_PAIRS)
+        .select("pair", "n",
+                F.row_number().over(w).cast("long").alias("rank"))
+    )
+
+
+QUERIES["doc_bpe_pair_counts"] = doc_bpe_pair_counts
+
+ORACLES["doc_bpe_pair_counts"] = f"""
+    WITH pt AS (
+        SELECT unnest(regexp_extract_all(text, '{BPE_PRETOKEN_RE}')) AS t
+        FROM documents
+    ),
+    pr AS (
+        SELECT substr(t, i, 2) AS pair
+        FROM pt, LATERAL unnest(generate_series(1, length(t) - 1)) AS u(i)
+    )
+    SELECT pair, COUNT(*) AS n,
+           CAST(row_number() OVER (ORDER BY COUNT(*) DESC, pair) AS BIGINT)
+               AS rank
+    FROM pr GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOP_PAIRS}
+"""
