@@ -1796,3 +1796,76 @@ ORACLES["ev_holt_forecast"] = """
     FROM rec r JOIN n USING (event_type)
     WHERE r.i = n.n AND n.n >= 2
 """
+
+
+# ------------------------------------------- mergeable HLL weekly WAU
+#
+# The sketch-MERGE pattern that makes approx-distinct work at 100 TB:
+# build one Datasketches HLL per (week, day) partial (hll_sketch_agg —
+# partial-aggregable, so the map side combines before the shuffle),
+# then UNION the daily sketches into weekly WAU (hll_union_agg) without
+# ever re-touching raw events. Re-aggregation is what plain
+# approx_count_distinct can't do — its estimate isn't mergeable across
+# a different grouping, while sketches union losslessly: day partials
+# serve DAU, their unions serve WAU/MAU, and a 1000-executor rollup
+# ships kilobyte sketches instead of user-id sets. The estimate gate
+# (4σ-style bound vs the exact WAU, small groups accepted outright) is
+# checked as data, same as ev_daily_active_approx (events.py:300).
+HLL_LGK = 14  # 2^14 registers → rsd ≈ 1.04/√2^14 ≈ 0.8%; 4σ ≈ 3.3%
+
+
+def ev_hll_union_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(
+        F.expr(f"hll_sketch_agg(user_id, {HLL_LGK})").alias("sk"),
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    weekly = daily.groupBy("week").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("wau_est"),
+        F.sum("dau").alias("sum_daily_dau"),
+        F.sum("n_events").alias("n_events"),
+    )
+    exact = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.countDistinct("user_id").alias("wau_exact")
+    )
+    return weekly.join(exact, "week").select(
+        "week",
+        "wau_exact",
+        "sum_daily_dau",
+        "n_events",
+        F.expr(
+            "abs(wau_est - wau_exact) <= greatest(0.04 * wau_exact, 4.0)"
+        ).alias("sketch_ok"),
+        # a user active on several days is counted once by the sketch
+        # union but once PER DAY by the naive daily-DAU sum — the gap
+        # is the whole point of mergeable sketches
+        (F.col("sum_daily_dau") >= F.col("wau_exact")).alias("union_dedups"),
+    )
+
+
+QUERIES["ev_hll_union_weekly"] = ev_hll_union_weekly
+
+ORACLES["ev_hll_union_weekly"] = """
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               COUNT(DISTINCT user_id) AS wau_exact,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY date_trunc('week', ts), date_trunc('day', ts)
+    )
+    SELECT w.week, w.wau_exact,
+           (SELECT SUM(dau) FROM daily d WHERE d.week = w.week)
+               AS sum_daily_dau,
+           w.n_events,
+           TRUE AS sketch_ok,
+           TRUE AS union_dedups
+    FROM weekly w
+"""

@@ -1863,29 +1863,44 @@ ORACLES["emb_centroid_drift"] = f"""
 # corpus with a coarse quantizer, then WITHIN each cluster drop every
 # vector that has a higher-priority near-twin above a cosine threshold.
 # Candidate volume is Σ cluster² — never the corpus cross product — and
-# at 100 TB you grow K with the corpus (K ≈ N/⟨cluster size⟩) so the
-# per-cluster quadratic stays bounded; the keep rule (lowest vec_id
-# wins) is a deterministic stand-in for SemDeDup's
+# K GROWS WITH THE CORPUS: K = max(8, N div SEMDEDUP_CLUSTER_TARGET),
+# computed IN the plan (one-row count broadcast, mirrored as a scalar
+# subquery in the oracle), so mean cluster size stays ~constant and
+# the per-cluster quadratic is Σ cluster² ≈ N·target — linear in N —
+# at every scale, enforced rather than documented. The keep rule
+# (lowest vec_id wins) is a deterministic stand-in for SemDeDup's
 # farthest-from-centroid keeper so the oracle can replay it. The
 # cluster assignment is the same broadcast-seed scoring as emb_ivf_ann
 # (similarity.py:310); generalizes the reference's exact duplicate
 # drop (etl/transform.py:100 filters rows by a predicate) to
 # embedding-space near-duplicates.
-SEMDEDUP_K = 8
+SEMDEDUP_K_MIN = 8
+SEMDEDUP_CLUSTER_TARGET = 256  # ⟨cluster size⟩ the adaptive K aims at
 SEMDEDUP_THRESHOLD = 0.35
+_SEMDEDUP_K = (
+    f"greatest({SEMDEDUP_K_MIN}, n_vecs DIV {SEMDEDUP_CLUSTER_TARGET})"
+)
 
 
-def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semdedup(emb: DataFrame) -> DataFrame:
+    """Core SemDeDup over a (vec_id, embedding) frame — separated from
+    the registry wrapper so tests can drive it with a synthetic corpus
+    large enough to engage the adaptive-K guard."""
     from pyspark.sql.window import Window
 
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = emb.select(
         "vec_id",
         F.expr(_QUANT.format(col="embedding")).alias("qi"),
     ).withColumn("nrm", F.expr(_qnorm("qi"))).persist()
-    seeds = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("s_id"),
-        F.col("qi").alias("qa"),
-        F.col("nrm").alias("qn"),
+    n = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    seeds = (
+        emb.crossJoin(broadcast(n))
+        .filter(F.expr(f"vec_id < {_SEMDEDUP_K}"))
+        .select(
+            F.col("vec_id").alias("s_id"),
+            F.col("qi").alias("qa"),
+            F.col("nrm").alias("qn"),
+        )
     )
     # Coarse assignment: nearest seed (ties → lowest seed id); one
     # broadcast, no shuffle until the per-vector argmax window.
@@ -1934,6 +1949,10 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semdedup(table(spark, sf_dir, "embeddings"))
+
+
 QUERIES["emb_semdedup"] = emb_semdedup
 
 _SD_SCORE = (
@@ -1945,7 +1964,9 @@ _SD_SCORE = (
 ORACLES["emb_semdedup"] = f"""
     WITH v AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
     seeds AS (SELECT vec_id AS s_id, embedding AS se FROM embeddings
-              WHERE vec_id < {SEMDEDUP_K}),
+              WHERE vec_id < (SELECT GREATEST({SEMDEDUP_K_MIN},
+                                             COUNT(*) // {SEMDEDUP_CLUSTER_TARGET})
+                              FROM embeddings)),
     apairs AS (SELECT s_id, se, c_id, ce FROM seeds CROSS JOIN v),
     {_A_SCORE},
     assign AS (

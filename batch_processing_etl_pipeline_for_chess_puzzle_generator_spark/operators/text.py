@@ -1578,3 +1578,91 @@ ORACLES["doc_bpe_pair_counts"] = f"""
     FROM pr GROUP BY pair
     ORDER BY n DESC, pair LIMIT {BPE_TOP_PAIRS}
 """
+
+
+# ---------------------------------------------- CCNet quality buckets
+#
+# CCNet-style (Wenzek et al. 2020) perplexity bucketing: score every
+# document with the corpus-self-trained bigram LM (doc_lm_score,
+# text.py:294), cut the score distribution at terciles, and report the
+# head / middle / tail partitions — the standard "keep head+middle,
+# drop tail" curation gate. The two cut points are ONE exact-percentile
+# aggregate broadcast back over the scored table (same shape as
+# stats_equidepth_hist, relational.py:1183 — no global sort, no ntile
+# over the corpus; at 100 TB swap approx_percentile into the identical
+# plan). Bucketing itself is a row-local CASE.
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = doc_lm_score(spark, sf_dir).join(docs, "doc_id")
+    cuts = scored.agg(
+        F.expr(
+            "percentile(avg_neg_logp, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))"
+        ).alias("c")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            F.expr(
+                "CASE WHEN avg_neg_logp <= c[0] THEN 'head' "
+                "WHEN avg_neg_logp <= c[1] THEN 'middle' "
+                "ELSE 'tail' END"
+            ).alias("bucket"),
+            "avg_neg_logp",
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("ROUND(AVG(avg_neg_logp), 6)").alias("avg_score"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+QUERIES["doc_ccnet_buckets"] = doc_ccnet_buckets
+
+_LM_SCORED_DUCK = """
+    tok AS (
+        SELECT doc_id,
+               unnest({words}) AS w,
+               generate_subscripts({words}, 1) AS i
+        FROM documents
+    ),
+    bpairs AS (
+        SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        FROM tok
+    ),
+    lp AS (
+        SELECT doc_id,
+               CAST(ROUND(ln(
+                   count(*) OVER (PARTITION BY w1, w2)
+                   / CAST(count(*) OVER (PARTITION BY w1) AS DOUBLE)
+               ) * 1e9, 0) AS BIGINT) AS lp_int
+        FROM bpairs WHERE w2 IS NOT NULL
+    ),
+    lm_scored AS (
+        SELECT doc_id,
+               ROUND(-SUM(lp_int) / count(*) / 1e9, 6) AS avg_neg_logp
+        FROM lp GROUP BY doc_id
+    )"""
+
+ORACLES["doc_ccnet_buckets"] = f"""
+    WITH {_LM_SCORED_DUCK.format(words=_WORDS_DUCK)},
+    scored AS (
+        SELECT s.doc_id, s.avg_neg_logp, d.n_chars
+        FROM lm_scored s JOIN documents d USING (doc_id)
+    ),
+    cuts AS (
+        SELECT quantile_cont(avg_neg_logp, CAST(1 AS DOUBLE)/3) AS c1,
+               quantile_cont(avg_neg_logp, CAST(2 AS DOUBLE)/3) AS c2
+        FROM scored
+    )
+    SELECT CASE WHEN avg_neg_logp <= c1 THEN 'head'
+                WHEN avg_neg_logp <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(avg_neg_logp), 6) AS avg_score,
+           SUM(n_chars) AS total_chars
+    FROM scored CROSS JOIN cuts
+    GROUP BY 1
+"""

@@ -530,3 +530,34 @@ def bloom_bits_stream(events: DataFrame,
         )
         .dropDuplicates(["bit"])
     )
+
+
+def wau_hll_union_stream(events: DataFrame,
+                         window: str = "7 days",
+                         watermark: str = "2 hours",
+                         lgk: int = 14) -> DataFrame:
+    """Streaming Datasketches-HLL weekly-active-users — twin of
+    events.py::ev_hll_union_weekly.
+
+    ``hll_sketch_agg`` per tumbling week window: every micro-batch
+    folds its users into the window's single fixed-size sketch
+    (2^lgk registers), and because Datasketches HLL union is a
+    register-wise max the estimate is independent of micro-batch
+    slicing — it equals the batch ``hll_sketch_agg`` over the same
+    rows bit-for-bit (asserted in tests). This is the stream side of
+    the mergeable-sketch contract: the BATCH job can union the very
+    same day-partial sketches into weeks, and the STREAM maintains
+    the identical sketch incrementally — one data structure, both
+    topologies.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            F.expr(
+                f"hll_sketch_estimate(hll_sketch_agg(user_id, {lgk}))"
+            ).alias("wau_est"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("win.start").alias("week"), "wau_est", "n_events")
+    )

@@ -398,3 +398,35 @@ def read_version(spark: SparkSession, table_path: str,
             *[os.path.join(table_path, f) for f in manifest["files"]]
         )
     return spark.read.parquet(os.path.join(table_path, manifest["dir"]))
+
+
+def optimize_version(spark: SparkSession, table_path: str,
+                     target_files: int = 1,
+                     sort_col: str | None = None,
+                     stats_col: str | None = None) -> dict:
+    """Delta-OPTIMIZE-style compaction: commit a NEW version whose
+    content is identical to the latest but rewritten into
+    ``target_files`` files (optionally range-clustered on ``sort_col``
+    so per-file [min,max] spans are tight and later COW merges prune
+    harder). Time travel to the pre-optimize version keeps working —
+    its manifest still references the old files, and vacuum's refcount
+    only reclaims them once that version is retired. This is the
+    maintenance half of the small-files problem: many COW merges each
+    add a small ``d_N`` file; OPTIMIZE folds them back into few
+    well-sized ones.
+    """
+    latest = versions(table_path)
+    if not latest:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    df = read_version(spark, table_path, latest[-1])
+    if sort_col is not None:
+        df = df.repartitionByRange(target_files, sort_col)
+    else:
+        df = df.coalesce(target_files)
+    before = len(_load_manifest(table_path, latest[-1]).get("files", []))
+    v = write_version(df, table_path, stats_col=stats_col)
+    return {
+        "version": v,
+        "files_before": before,
+        "files_after": len(_load_manifest(table_path, v)["files"]),
+    }

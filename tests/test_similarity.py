@@ -49,3 +49,39 @@ def test_sq8_dim_stats_match_embedding_width(spark):
 
     dim = len(table(spark, SF_SMALL, "embeddings").first()["embedding"])
     assert S.emb_dim_stats(spark, SF_SMALL).count() == dim
+
+
+def test_semdedup_adaptive_k_engages(spark):
+    """The cluster count must GROW with the corpus (K = max(8, N div
+    256)) so per-cluster candidate volume stays ~linear: a 5 120-vector
+    corpus must spread over 20 clusters, and exact duplicates must
+    still be dropped while the lowest-id copy survives."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.similarity import _semdedup
+
+    n = 5120
+    base = spark.range(n).selectExpr(
+        "id AS vec_id",
+        # deterministic hash-noise 64-dim vectors (fract(sin·K) noise —
+        # decorrelated across ids, chance cosine ~1/√64, far under the
+        # 0.35 threshold); vec_id 117 and 4017 are exact copies of
+        # vec_id 100 (near-twins by construction, none of them seeds)
+        """transform(sequence(0, 63), j ->
+             CAST(((sin((CASE WHEN id IN (117, 4017) THEN 100 ELSE id END)
+                         * 12.9898 + j * 78.233) * 43758.5453) % 1.0
+                   + 1.0) % 1.0 - 0.5 AS FLOAT)
+           ) AS embedding""",
+    )
+    out = _semdedup(base)
+    clusters = out.select("cluster").distinct().count()
+    # K = max(8, 5120 div 256) = 20 seeds; every NON-EMPTY cluster is
+    # one of them, and far more than the fixed-K floor must be in use
+    assert 8 < clusters <= 20
+    kept = {r.vec_id: r.keep for r in out.collect()}
+    # the two higher-id exact copies always have the lower-id copy as
+    # a sim-1.0 neighbor, so they can never survive
+    assert kept[117] is False
+    assert kept[4017] is False
+    # the corpus isn't degenerately flagged: a large share survives
+    assert sum(kept.values()) > n * 0.4

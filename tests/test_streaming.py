@@ -560,3 +560,49 @@ def test_bloom_bits_stream_matches_batch_bits(spark, tmp_path):
     expect = sorted(r["bit"] for r in batch.collect())
     assert got == expect
     assert all(0 <= b < BLOOM_M for b in got)
+
+
+def test_wau_hll_union_stream_matches_batch_estimate(spark, tmp_path):
+    """The streaming Datasketches-HLL WAU estimate must equal the
+    batch hll_sketch_agg estimate on the same rows across micro-batch
+    slicings (register-max union ⇒ slicing-invariant)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        wau_hll_union_stream,
+    )
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "wau_stream"
+    src.mkdir()
+    # two ISO weeks, users overlapping across days AND batches
+    batches = [
+        [(i, f"2024-01-{1 + i % 10:02d} 03:00:00", i % 41) for i in range(0, 70)],
+        [(i, f"2024-01-{1 + i % 10:02d} 15:00:00", i % 29) for i in range(70, 140)],
+    ]
+    for bi, rows in enumerate(batches):
+        (src / f"b{bi}.json").write_text("\n".join(
+            json.dumps({"event_id": e, "ts": t, "user_id": u})
+            for e, t, u in rows
+        ))
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, user_id LONG")
+        .json(str(src))
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    q = (wau_hll_union_stream(stream).writeStream.format("memory")
+         .queryName("wau_out").outputMode("complete").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {str(r["week"]): (r["wau_est"], r["n_events"])
+           for r in spark.sql("SELECT * FROM wau_out").collect()}
+    batch = (
+        spark.createDataFrame(
+            [r for b in batches for r in b], "event_id LONG, ts STRING, user_id LONG"
+        )
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+        .groupBy(F.window("ts", "7 days").alias("win"))
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("e"),
+             F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("week"), "e", "n")
+    )
+    expect = {str(r["week"]): (r["e"], r["n"]) for r in batch.collect()}
+    assert got == expect and len(got) >= 2

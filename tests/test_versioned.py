@@ -258,3 +258,38 @@ def test_cow_insert_only_changes(spark, tmp_path):
     got = versioned.read_version(spark, path, 1)
     assert got.count() == 101
     assert got.filter("k = 1000").first().v == "new"
+
+
+def test_optimize_version_compacts_preserving_history(spark, tmp_path):
+    """OPTIMIZE commits a content-identical compacted version; the
+    pre-optimize version still time-travels; vacuum then reclaims the
+    fragmented files once that version is retired."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 400, 8), path, stats_col="k")
+    # a couple of COW merges fragment the table with small d_N files
+    for i, k in enumerate((3, 397)):
+        ch = spark.createDataFrame([(k, f"u{k}", False)],
+                                   "k INT, v STRING, is_delete BOOLEAN")
+        versioned.merge_version_cow(spark, path, ch, "k")
+    frag = versioned._load_manifest(path, 2)
+    stats = versioned.optimize_version(spark, path, target_files=2,
+                                       sort_col="k", stats_col="k")
+    assert stats["files_before"] == len(frag["files"]) >= 8
+    assert stats["files_after"] == 2
+    # content identical to pre-optimize latest
+    want = sorted((r.k, r.v) for r in
+                  versioned.read_version(spark, path, 2).collect())
+    got = sorted((r.k, r.v) for r in
+                 versioned.read_version(spark, path, stats["version"]).collect())
+    assert got == want
+    assert got[3][1] == "u3"
+    # optimized manifest carries fresh range stats for future pruning
+    m = versioned._load_manifest(path, stats["version"])
+    assert m["stats_col"] == "k" and len(m["stats"]) == 2
+    # retiring every pre-optimize version reclaims the fragments
+    versioned.vacuum(path, keep_last=1)
+    import os as _os
+    for f in frag["files"]:
+        assert not _os.path.exists(_os.path.join(path, f))
+    assert sorted((r.k, r.v) for r in
+                  versioned.read_version(spark, path).collect()) == want
