@@ -1869,3 +1869,153 @@ ORACLES["ev_hll_union_weekly"] = """
            TRUE AS union_dedups
     FROM weekly w
 """
+
+
+# ------------------------------------------ mergeable KLL quantiles
+#
+# The quantile analog of ev_hll_union_weekly: one KLL sketch per
+# (week, day) partial (kll_sketch_agg_double — mergeable, map-side
+# combined), then kll_merge_agg_double folds the day partials into
+# weekly p50/p90/p99 WITHOUT re-scanning raw events. This is what
+# approx_percentile's opaque result can't do — re-aggregate to a
+# coarser grouping — and at 100 TB it's the difference between a
+# kilobyte-sketch rollup and a second full pass. Gate: the KLL value
+# must land inside the exact [p−0.03, p+0.03] rank bracket (KLL k=200
+# has ~1.7% one-sided normalized rank error; 0.03 is a ~2× margin),
+# small weeks accepted outright — same statistical-gate design as
+# ev_percentiles_approx (events.py:322).
+KLL_K = 200
+_KLL_MIN_N = 200
+
+
+def ev_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(
+        F.expr(
+            f"kll_sketch_agg_double(CAST(value AS DOUBLE), {KLL_K})"
+        ).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    weekly = daily.groupBy("week").agg(
+        F.expr("kll_merge_agg_double(sk)").alias("sk"),
+        F.sum("n").alias("n"),
+    ).select(
+        "week", "n",
+        F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("kp50"),
+        F.expr("kll_sketch_get_quantile_double(sk, 0.9)").alias("kp90"),
+        F.expr("kll_sketch_get_quantile_double(sk, 0.99)").alias("kp99"),
+    )
+    exact = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.expr(
+            "percentile(CAST(value AS DOUBLE), "
+            "array(0.47, 0.53, 0.87, 0.93, 0.96, 1.0))"
+        ).alias("ex")
+    )
+    return weekly.join(exact, "week").select(
+        "week",
+        "n",
+        F.expr(f"n < {_KLL_MIN_N} OR kp50 BETWEEN ex[0] AND ex[1]").alias("p50_ok"),
+        F.expr(f"n < {_KLL_MIN_N} OR kp90 BETWEEN ex[2] AND ex[3]").alias("p90_ok"),
+        F.expr(f"n < {_KLL_MIN_N} OR kp99 BETWEEN ex[4] AND ex[5]").alias("p99_ok"),
+    )
+
+
+QUERIES["ev_kll_quantile_merge"] = ev_kll_quantile_merge
+
+ORACLES["ev_kll_quantile_merge"] = """
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           COUNT(*) AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------- Theta sketch set ops
+#
+# Audience overlap via Theta sketches: distinct clickers vs buyers as
+# two sketches, then UNION / INTERSECTION / DIFFERENCE estimated from
+# the sketches alone — the adtech audience calculus. HLL can only
+# union; Theta's KMV-style samples support all three set ops on
+# kilobyte summaries, so segment overlap at 100 TB needs one scan per
+# segment ever, not a distinct-join per question. Estimates are gated
+# against the exact overlap counts (4σ-style relative bound, tiny
+# segments accepted outright).
+def ev_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sk = ev.filter(F.col("event_type").isin("click", "purchase")).agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'click' "
+            "THEN user_id END)"
+        ).alias("sk_click"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase' "
+            "THEN user_id END)"
+        ).alias("sk_buy"),
+    )
+    est = sk.select(
+        F.expr("theta_sketch_estimate(sk_click)").alias("est_click"),
+        F.expr("theta_sketch_estimate(sk_buy)").alias("est_buy"),
+        F.expr(
+            "theta_sketch_estimate(theta_union(sk_click, sk_buy))"
+        ).alias("est_union"),
+        F.expr(
+            "theta_sketch_estimate(theta_intersection(sk_click, sk_buy))"
+        ).alias("est_inter"),
+        F.expr(
+            "theta_sketch_estimate(theta_difference(sk_click, sk_buy))"
+        ).alias("est_diff"),
+    )
+    exact = ev.agg(
+        F.countDistinct(
+            F.expr("CASE WHEN event_type = 'click' THEN user_id END")
+        ).alias("n_click"),
+        F.countDistinct(
+            F.expr("CASE WHEN event_type = 'purchase' THEN user_id END")
+        ).alias("n_buy"),
+        F.countDistinct(
+            F.expr(
+                "CASE WHEN event_type IN ('click', 'purchase') "
+                "THEN user_id END"
+            )
+        ).alias("n_union"),
+    )
+    gate = "abs({e} - {x}) <= greatest(0.05 * {x}, 4.0)"
+    return est.crossJoin(exact).select(
+        "n_click",
+        "n_buy",
+        "n_union",
+        (F.col("n_click") + F.col("n_buy") - F.col("n_union"))
+        .alias("n_inter"),
+        F.expr(gate.format(e="est_click", x="n_click")).alias("click_ok"),
+        F.expr(gate.format(e="est_buy", x="n_buy")).alias("buy_ok"),
+        F.expr(gate.format(e="est_union", x="n_union")).alias("union_ok"),
+        F.expr(
+            gate.format(e="est_inter", x="(n_click + n_buy - n_union)")
+        ).alias("inter_ok"),
+        F.expr(
+            gate.format(e="est_diff", x="(n_union - n_buy)")
+        ).alias("diff_ok"),
+    )
+
+
+QUERIES["ev_theta_audience_overlap"] = ev_theta_audience_overlap
+
+ORACLES["ev_theta_audience_overlap"] = """
+    WITH x AS (
+        SELECT COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                   THEN user_id END) AS n_click,
+               COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                   THEN user_id END) AS n_buy,
+               COUNT(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                                   THEN user_id END) AS n_union
+        FROM events
+    )
+    SELECT n_click, n_buy, n_union,
+           n_click + n_buy - n_union AS n_inter,
+           TRUE AS click_ok, TRUE AS buy_ok, TRUE AS union_ok,
+           TRUE AS inter_ok, TRUE AS diff_ok
+    FROM x
+"""

@@ -430,3 +430,31 @@ def optimize_version(spark: SparkSession, table_path: str,
         "files_before": before,
         "files_after": len(_load_manifest(table_path, v)["files"]),
     }
+
+
+def history(spark: SparkSession, table_path: str) -> DataFrame:
+    """DESCRIBE HISTORY analog: one row per live version with its file
+    count, total bytes, and how many files are shared with the
+    previous live version — the audit a warehouse user runs to see
+    what each MERGE/OPTIMIZE actually rewrote. Pure manifest metadata
+    (no data files are opened); the result is O(#versions)."""
+    rows = []
+    prev_files: set[str] = set()
+    for v in versions(table_path):
+        m = _load_manifest(table_path, v)
+        files = m.get("files") or _list_data_files(table_path, m["dir"])
+        size = 0
+        for f in files:
+            try:
+                size += os.path.getsize(os.path.join(table_path, f))
+            except OSError:
+                pass
+        rows.append((v, len(files), size,
+                     len(set(files) & prev_files),
+                     m.get("stats_col")))
+        prev_files = set(files)
+    return spark.createDataFrame(
+        rows,
+        "version INT, n_files INT, total_bytes LONG, "
+        "files_shared_with_prev INT, stats_col STRING",
+    )

@@ -293,3 +293,20 @@ def test_optimize_version_compacts_preserving_history(spark, tmp_path):
         assert not _os.path.exists(_os.path.join(path, f))
     assert sorted((r.k, r.v) for r in
                   versioned.read_version(spark, path).collect()) == want
+
+
+def test_history_reports_sharing_and_sizes(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 400, 4), path, stats_col="k")
+    ch = spark.createDataFrame([(1, "x", False)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, path, ch, "k")
+    versioned.optimize_version(spark, path, target_files=1,
+                               sort_col="k", stats_col="k")
+    h = {r.version: r for r in versioned.history(spark, path).collect()}
+    assert sorted(h) == [0, 1, 2]
+    assert h[0].n_files == 4 and h[0].files_shared_with_prev == 0
+    assert h[1].files_shared_with_prev == 3  # COW shared 3 of 4
+    assert h[2].n_files == 1 and h[2].files_shared_with_prev == 0
+    assert all(r.total_bytes > 0 for r in h.values())
+    assert h[0].stats_col == "k"
