@@ -277,3 +277,44 @@ def test_bmp_resize_property(width, height, value, out_dims):
     ow, oh = out_dims
     resized = resize_image_batch(encode_bmp(width, height, value), ow, oh)
     assert decode_bmp(resized) == (ow, oh, float(value))
+
+
+# ------------------------- versioned COW merge ≡ relational MERGE
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(0, 40), st.text("ab", max_size=3)),
+                  min_size=1, max_size=40, unique_by=lambda t: t[0]),
+    changes=st.lists(
+        st.tuples(st.integers(0, 50), st.text("cd", max_size=3),
+                  st.booleans()),
+        min_size=1, max_size=15, unique_by=lambda t: t[0]),
+    parts=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_cow_merge_equals_relational_merge(spark, tmp_path_factory,
+                                           base, changes, parts):
+    """For ARBITRARY base tables, change batches (upserts + deletes,
+    keys inside and outside the base), and file layouts, the
+    copy-on-write merge must read back exactly anti-join ∪ upserts —
+    file sharing and stat pruning are physical, never semantic."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    path = str(tmp_path_factory.mktemp("cowprop") / "tbl")
+    bdf = spark.createDataFrame(base, "k INT, v STRING") \
+        .repartitionByRange(parts, "k")
+    versioned.write_version(bdf, path, stats_col="k")
+    cdf = spark.createDataFrame(changes, "k INT, v STRING, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, path, cdf, "k")
+    got = sorted((r.k, r.v) for r in
+                 versioned.read_version(spark, path, 1).collect())
+    ch = {k: (v, d) for k, v, d in changes}
+    want = sorted(
+        [(k, v) for k, v in base if k not in ch]
+        + [(k, v) for k, (v, d) in ch.items() if not d]
+    )
+    assert got == want
+    # parent snapshot untouched by the merge
+    v0 = sorted((r.k, r.v) for r in
+                versioned.read_version(spark, path, 0).collect())
+    assert v0 == sorted(base)
