@@ -1437,7 +1437,14 @@ CHUNK_STRIDE = 80
 
 def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    starts = f"sequence(0, length(text) - 1, {CHUNK_STRIDE})"
+    # the CASE guards empty documents: sequence(0, -1, +stride) is an
+    # illegal-bounds error in Spark (the oracle's generate_series is
+    # simply empty), and an empty doc should yield zero chunks
+    starts = (
+        "CASE WHEN length(text) > 0 "
+        f"THEN sequence(0, length(text) - 1, {CHUNK_STRIDE}) "
+        "ELSE array() END"
+    )
     return (
         docs.select(
             "doc_id",
@@ -1496,9 +1503,15 @@ REPEAT_MIN_DF = 2
 
 def doc_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # the CASE guards short documents: sequence(1, 0) DESCENDS in
+    # Spark (default step -1, yielding [1, 0] and an illegal
+    # slice(ws, 0, n)) where the oracle's generate_series(1, 0) is
+    # empty — a < N-word doc must emit zero grams
     grams = (
-        f"transform(sequence(1, greatest(size({_WORDS}) - {REPEAT_NGRAM_N - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({_WORDS}, i, {REPEAT_NGRAM_N})))"
+        f"CASE WHEN size({_WORDS}) >= {REPEAT_NGRAM_N} "
+        f"THEN transform(sequence(1, size({_WORDS}) - {REPEAT_NGRAM_N - 1}), "
+        f"i -> concat_ws(' ', slice({_WORDS}, i, {REPEAT_NGRAM_N}))) "
+        "ELSE array() END"
     )
     return (
         docs.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
@@ -1544,9 +1557,15 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     pretokens = f"regexp_extract_all(text, '{BPE_PRETOKEN_RE}', 0)"
+    # the CASE guards 1-char pretokens: sequence(1, 0) descends to
+    # [1, 0] and substring tolerates start 0, so without it every
+    # single-char token would emit two phantom self-pairs the oracle
+    # (whose generate_series(1, 0) is empty) never counts
     pairs = (
-        "transform(sequence(1, greatest(length(t) - 1, 0)), "
-        "i -> substring(t, i, 2))"
+        "CASE WHEN length(t) >= 2 "
+        "THEN transform(sequence(1, length(t) - 1), "
+        "i -> substring(t, i, 2)) "
+        "ELSE array() END"
     )
     w = Window.orderBy(F.col("n").desc(), F.col("pair"))
     return (

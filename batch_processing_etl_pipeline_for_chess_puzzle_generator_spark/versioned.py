@@ -110,7 +110,9 @@ def _file_stats(spark: SparkSession, table_path: str, rel_files: list[str],
     )
     by_name = {}
     for r in rows:
-        by_name[os.path.basename(_uri_to_path(r["f"]))] = [r["lo"], r["hi"]]
+        by_name[os.path.basename(_uri_to_path(r["f"]))] = [
+            _stat_encode(r["lo"]), _stat_encode(r["hi"])
+        ]
     return {f: by_name.get(os.path.basename(f)) for f in rel_files}
 
 
@@ -120,6 +122,26 @@ def _uri_to_path(uri: str) -> str:
     if "://" in uri or uri.startswith("file:"):
         return unquote(urlparse(uri).path)
     return uri
+
+
+def _stat_encode(v):
+    """Make a min/max stat JSON-serializable AND order-preserving:
+    numbers/strings pass through; date/datetime become ISO strings
+    (lexicographic order == chronological order, so pruning stays
+    correct). Types whose string form does NOT preserve order
+    (Decimal, bytes) are rejected up front — a wrong silent prune
+    would drop rows from a MERGE."""
+    import datetime
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    raise TypeError(
+        f"stats_col values of type {type(v).__name__} are not supported "
+        "(string form is not order-preserving) — cast the column to a "
+        "numeric, string, date, or timestamp type first"
+    )
 
 
 def _publish(table_path: str, manifest: dict) -> int:
@@ -168,6 +190,23 @@ def write_version(df: DataFrame, table_path: str,
     """
     import shutil
 
+    if stats_col is not None:
+        # Validate BEFORE any data lands: a TypeError mid-publish would
+        # leave an orphaned (invisible but written) data dir.
+        from pyspark.sql import types as T
+
+        dt = df.schema[stats_col].dataType
+        ok = isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.FloatType, T.DoubleType, T.StringType, T.DateType,
+                 T.TimestampType, T.TimestampNTZType, T.BooleanType)
+        )
+        if not ok:
+            raise TypeError(
+                f"stats_col '{stats_col}' has type {dt.simpleString()}, "
+                "whose JSON form is not order-preserving — cast to a "
+                "numeric, string, date, or timestamp type first"
+            )
     version = _next_version(table_path, version)
     os.makedirs(_manifest_path(table_path), exist_ok=True)
     staged = os.path.join(table_path, f"_staged_{version}")
@@ -219,23 +258,38 @@ def merge_version_cow(spark: SparkSession, table_path: str,
        over unchanged — the files are immutable) + new files.
 
     ``changes`` must have the parent's data columns plus a boolean
-    ``delete_col``. Returns commit stats: files shared vs rewritten.
+    ``delete_col`` (a NULL flag is treated as an upsert). Returns
+    commit stats: files shared vs rewritten.
     """
     from pyspark.sql import functions as F
 
     version = _next_version(table_path, version)
     parent = _load_manifest(table_path, versions(table_path)[-1])
     data_cols = [f["name"] for f in json.loads(parent["schema"])["fields"]]
-    pfiles = parent.get("files") or _list_data_files(table_path, parent["dir"])
+    if "files" in parent:
+        pfiles = parent["files"]
+    else:  # legacy dir-level manifest
+        pfiles = _list_data_files(table_path, parent["dir"])
     pstats = parent.get("stats") if parent.get("stats_col") == key_col else None
+
+    # The change source is evaluated by several independent jobs below
+    # (bounds agg, touched-file scan, anti-join, upsert write): pin it
+    # once so a non-deterministic or re-read source can't give each
+    # job a different key set (Delta materializes the MERGE source for
+    # exactly this reason).
+    changes = changes.localCheckpoint(eager=True)
 
     # 1. stat-prune candidates against the change-key span (the one
     # driver-side scalar pair — planning metadata, not row data)
     lo, hi = changes.agg(F.min(key_col), F.max(key_col)).first()
+    lo, hi = _stat_encode(lo), _stat_encode(hi)
     if pstats is not None and lo is not None:
+        # a file whose stats are missing or [None, None] (all-null
+        # keys) can't be pruned — it stays a candidate
         candidates = [
             f for f in pfiles
             if pstats.get(f) is None
+            or pstats[f][0] is None or pstats[f][1] is None
             or (pstats[f][0] <= hi and lo <= pstats[f][1])
         ]
     else:
@@ -265,7 +319,12 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         import shutil
 
         shutil.rmtree(final)
-    upserts = changes.filter(~F.col(delete_col)).select(*data_cols)
+    # NULL delete flags count as upserts — without the coalesce, ~NULL
+    # is NULL and the row would silently vanish (key anti-joined away
+    # but never re-inserted).
+    upserts = changes.filter(
+        ~F.coalesce(F.col(delete_col), F.lit(False))
+    ).select(*data_cols)
     if touched:
         kept = (
             spark.read.parquet(
@@ -353,15 +412,17 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
         if not versioned_dir:
             continue
         for f in list(os.listdir(full)):
-            rel = f"{d}/{f}"
-            if rel not in referenced:
+            if f.startswith(("_", ".")):
+                # marker/checksum files (_SUCCESS, .crc) are never in
+                # a manifest; leave live dirs' copies untouched —
+                # they go only when the whole dir empties below
+                continue
+            if f"{d}/{f}" not in referenced:
                 try:
                     os.remove(os.path.join(full, f))
                 except IsADirectoryError:
                     shutil.rmtree(os.path.join(full, f), ignore_errors=True)
-        if not any(
-            not f.startswith(("_", ".")) for f in os.listdir(full)
-        ) and not any(_list_data_files(table_path, d)):
+        if not _list_data_files(table_path, d):
             shutil.rmtree(full, ignore_errors=True)
     return drop
 
@@ -442,7 +503,10 @@ def history(spark: SparkSession, table_path: str) -> DataFrame:
     prev_files: set[str] = set()
     for v in versions(table_path):
         m = _load_manifest(table_path, v)
-        files = m.get("files") or _list_data_files(table_path, m["dir"])
+        if "files" in m:
+            files = m["files"]
+        else:  # legacy dir-level manifest
+            files = _list_data_files(table_path, m["dir"])
         size = 0
         for f in files:
             try:

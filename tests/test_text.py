@@ -48,3 +48,47 @@ def test_resample_mixture_downsamples_majority_sources(spark):
         assert n <= before[src]
         # each source lands near the minority count (hash thinning)
         assert n <= m * 1.5 + 10
+
+
+def test_short_doc_guards_match_oracle(spark, tmp_path):
+    """Pathological documents (empty text, 1 word, < N-gram width,
+    1-char punctuation pretokens) must neither crash Spark's sequence()
+    (whose (1, 0) bounds DESCEND, unlike DuckDB's empty
+    generate_series) nor diverge from the DuckDB oracle."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rows = [
+        (1, "", "en", "web", 0),
+        (2, "one", "en", "web", 3),
+        (3, "just four tiny words", "en", "web", 20),
+        (4, "end. a b. c , x", "en", "web", 15),
+        (5, "five words are here now exactly repeated five words are here now exactly repeated", "en", "web", 81),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    for name in ("doc_chunk_sliding", "doc_repeated_ngrams",
+                 "doc_bpe_pair_counts"):
+        sdf = entrymod.queries()[name](spark, sf_dir)
+        srows = sorted(tuple(r) for r in sdf.collect())
+        res = con.execute(entrymod.oracle_sql()[name])
+        ocols = [d[0] for d in res.description]
+        # align duckdb column order to spark's
+        idx = [ocols.index(c) for c in sdf.columns]
+        orows = sorted(tuple(r[i] for i in idx) for r in res.fetchall())
+        assert srows == orows, name
+    # geometry sanity: empty doc → no chunks; 4-word doc → no 5-grams
+    chunks = entrymod.queries()["doc_chunk_sliding"](spark, sf_dir)
+    assert chunks.filter("doc_id = 1").count() == 0
+    grams = entrymod.queries()["doc_repeated_ngrams"](spark, sf_dir)
+    reps = {r.gram for r in grams.collect()}
+    assert all("just four" not in g for g in reps)

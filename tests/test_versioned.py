@@ -310,3 +310,85 @@ def test_history_reports_sharing_and_sizes(spark, tmp_path):
     assert h[2].n_files == 1 and h[2].files_shared_with_prev == 0
     assert all(r.total_bytes > 0 for r in h.values())
     assert h[0].stats_col == "k"
+
+
+def test_cow_merge_tolerates_all_null_stats_file(spark, tmp_path):
+    """A parent file whose key column is entirely NULL records stats
+    [None, None]; the stat-prune must keep it as a candidate instead
+    of crashing on a None comparison."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(None, "n1"), (None, "n2"), (5, "a"), (9, "b")],
+        "k INT, v STRING",
+    ).repartitionByRange(2, "k")  # nulls-first range → one all-null file
+    versioned.write_version(base, path, stats_col="k")
+    m0 = versioned._load_manifest(path, 0)
+    assert any(s == [None, None] for s in m0["stats"].values())
+    ch = spark.createDataFrame([(5, "upd", False)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, path, ch, "k")
+    got = sorted(
+        ((r.k, r.v) for r in versioned.read_version(spark, path, 1).collect()),
+        key=str,
+    )
+    assert (5, "upd") in got and len(got) == 4
+
+
+def test_cow_null_delete_flag_is_upsert(spark, tmp_path):
+    """A NULL is_delete must behave as an upsert — never silently drop
+    the row (the ~NULL trap)."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 10, 1), path, stats_col="k")
+    ch = spark.createDataFrame([(3, "upd", None)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, path, ch, "k")
+    got = {r.k: r.v for r in versioned.read_version(spark, path, 1).collect()}
+    assert got[3] == "upd" and len(got) == 10
+
+
+def test_stats_col_date_supported_decimal_rejected(spark, tmp_path):
+    """Date stats serialize as ISO strings (order-preserving) and still
+    prune; decimal stats are rejected BEFORE any data is written."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(f"2024-0{m}-01", m) for m in range(1, 9)],
+        "d STRING, m INT",
+    ).selectExpr("CAST(d AS DATE) AS d", "m").repartitionByRange(4, "d")
+    versioned.write_version(base, path, stats_col="d")
+    m0 = versioned._load_manifest(path, 0)
+    assert all(isinstance(s[0], str) for s in m0["stats"].values())
+    ch = spark.createDataFrame([("2024-08-01", 99, False)],
+                               "d STRING, m INT, is_delete BOOLEAN") \
+        .selectExpr("CAST(d AS DATE) AS d", "m", "is_delete")
+    stats = versioned.merge_version_cow(spark, path, ch, "d")
+    assert stats["files_pruned_by_stats"] >= 2  # ISO order prunes
+    got = {str(r.d): r.m for r in
+           versioned.read_version(spark, path, 1).collect()}
+    assert got["2024-08-01"] == 99 and len(got) == 8
+    # decimal rejected up front: nothing staged, nothing committed
+    dec_path = str(tmp_path / "dec")
+    dec = spark.createDataFrame([(1,)], "k INT").selectExpr(
+        "CAST(k AS DECIMAL(10,2)) AS k"
+    )
+    with _pytest.raises(TypeError, match="not order-preserving"):
+        versioned.write_version(dec, dec_path, stats_col="k")
+    assert versioned.versions(dec_path) == []
+    import os as _os
+    assert not _os.path.exists(_os.path.join(dec_path, "v_0"))
+
+
+def test_vacuum_preserves_markers_in_live_dirs(spark, tmp_path):
+    """vacuum must not strip _SUCCESS / checksum files from LIVE
+    version directories — immutability means untouched, not cleaned."""
+    import os as _os
+
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 20, 1), path)
+    versioned.write_version(_mk_ranged(spark, 20, 1), path)
+    success = _os.path.join(path, "v_1", "_SUCCESS")
+    assert _os.path.exists(success)
+    versioned.vacuum(path, keep_last=1)
+    assert _os.path.exists(success)
+    assert versioned.versions(path) == [1]
