@@ -2019,3 +2019,123 @@ ORACLES["ev_theta_audience_overlap"] = """
            TRUE AS inter_ok, TRUE AS diff_ok
     FROM x
 """
+
+
+# ------------------------------------- Holt-Winters seasonal forecast
+#
+# Triple exponential smoothing (additive, period 7 — weekly shape on
+# daily series), extending ev_holt_forecast (events.py) with a rotating
+# 7-slot seasonal state. Same distributed contract as Holt: the per-day
+# aggregation is the only data-sized shuffle; the recurrence folds the
+# tiny per-group day array (one row per group per day — thousands of
+# entries at ANY corpus size) inside one aggregate HOF, all on an exact
+# 1e-6 integer grid with explicit ROUND at every assignment so the
+# DuckDB recursive-CTE oracle replays it bit-for-bit. Seasonal init =
+# first-week deviations from the first-week mean; trend init = 0.
+HW_PERIOD = 7
+
+
+def ev_holtwinters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    P = HW_PERIOD
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+    ).agg(
+        F.expr(
+            f"CAST(ROUND({SUM_VALUE} * 1000000, 0) AS BIGINT)"
+        ).alias("m")
+    )
+    s7 = "element_at(acc.s, 1)"
+    lp = (
+        f"CAST(ROUND(0.3 * (x - {s7}) + 0.7 * (acc.l + acc.b), 0) AS BIGINT)"
+    )
+    bp = f"CAST(ROUND(0.2 * ({lp} - acc.l) + 0.8 * acc.b, 0) AS BIGINT)"
+    sp = f"CAST(ROUND(0.1 * (x - {lp}) + 0.9 * {s7}, 0) AS BIGINT)"
+    fold = (
+        f"aggregate(slice(xs, {P + 1}, size(xs) - {P}), "
+        "named_struct('l', l0, 'b', CAST(0 AS BIGINT), 's', s0), "
+        f"(acc, x) -> named_struct('l', {lp}, 'b', {bp}, "
+        f"'s', concat(slice(acc.s, 2, {P - 1}), array({sp}))))"
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, m))), p -> p.m)"
+            ).alias("xs")
+        )
+        .filter(F.expr(f"size(xs) >= {2 * P}"))
+        .withColumn(
+            "l0",
+            F.expr(
+                f"CAST(ROUND(aggregate(slice(xs, 1, {P}), CAST(0 AS BIGINT), "
+                f"(a, v) -> a + v) / {P}.0, 0) AS BIGINT)"
+            ),
+        )
+        .withColumn("s0", F.expr(f"transform(slice(xs, 1, {P}), v -> v - l0)"))
+        .select(
+            "event_type",
+            F.expr("CAST(size(xs) AS BIGINT)").alias("n_days"),
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.expr("st.l / 1e6").alias("level"),
+            F.expr("st.b / 1e6").alias("trend"),
+            F.expr("element_at(st.s, 1) / 1e6").alias("season_next"),
+            F.expr(
+                "(st.l + st.b + element_at(st.s, 1)) / 1e6"
+            ).alias("forecast_next"),
+        )
+    )
+
+
+QUERIES["ev_holtwinters_forecast"] = ev_holtwinters_forecast
+
+_HW_LP = ("CAST(ROUND(0.3 * (x.m - r.s[1]) + 0.7 * (r.l + r.b), 0) "
+          "AS BIGINT)")
+
+ORACLES["ev_holtwinters_forecast"] = f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                          * 1000000, 0) AS BIGINT) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+               m
+        FROM daily
+    ),
+    n AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1),
+    init AS (
+        SELECT i.event_type,
+               CAST(ROUND(SUM(i.m) / {HW_PERIOD}.0, 0) AS BIGINT) AS l0,
+               list(i.m ORDER BY i.i) AS w1
+        FROM idx i WHERE i.i <= {HW_PERIOD}
+        GROUP BY i.event_type
+    ),
+    rec(event_type, i, l, b, s) AS (
+        SELECT init.event_type, {HW_PERIOD}, init.l0, CAST(0 AS BIGINT),
+               list_transform(init.w1, v -> v - init.l0)
+        FROM init JOIN n USING (event_type) WHERE n.n >= {2 * HW_PERIOD}
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               {_HW_LP},
+               CAST(ROUND(0.2 * ({_HW_LP} - r.l) + 0.8 * r.b, 0) AS BIGINT),
+               list_slice(r.s, 2, {HW_PERIOD})
+                   || [CAST(ROUND(0.1 * (x.m - {_HW_LP}) + 0.9 * r.s[1], 0)
+                            AS BIGINT)]
+        FROM rec r JOIN idx x ON x.event_type = r.event_type
+                             AND x.i = r.i + 1
+    )
+    SELECT r.event_type, CAST(n.n AS BIGINT) AS n_days,
+           r.l / 1e6 AS level, r.b / 1e6 AS trend,
+           r.s[1] / 1e6 AS season_next,
+           (r.l + r.b + r.s[1]) / 1e6 AS forecast_next
+    FROM rec r JOIN n USING (event_type)
+    WHERE r.i = n.n AND n.n >= {2 * HW_PERIOD}
+"""
