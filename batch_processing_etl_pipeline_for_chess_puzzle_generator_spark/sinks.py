@@ -159,3 +159,65 @@ def compact_partitioned(spark: SparkSession, path: str, fmt: str = "parquet",
             spark, leaf, fmt=fmt, target_file_bytes=target_file_bytes
         )
     return done
+
+
+def write_quarantine(df: DataFrame, rules: dict[str, str], path: str,
+                     fmt: str = "parquet") -> dict[str, int]:
+    """Dead-letter split: route rows failing any rule to ``bad/`` (with
+    the names of the violated rules) and the rest to ``good/`` — in ONE
+    scan of the input.
+
+    ``rules`` maps rule name → boolean SQL expression that must hold.
+    The split is a ``partitionBy`` on a computed validity flag, so the
+    input is read once and the writer fans rows to the two directories
+    (the alternative — two filtered writes — scans twice, and a
+    ``persist`` big enough to avoid that doesn't exist at 100 TB).
+    Row counts come from ``observe`` metrics on the SAME job, not a
+    second count() pass. Generalizes the reference's silent drop
+    (etl/transform.py:100 filters malformed rows away) into an
+    auditable quarantine.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.observation import Observation
+
+    violated = F.array_compact(F.array(*[
+        F.when(~F.expr(expr), F.lit(name)).otherwise(F.lit(None))
+        for name, expr in rules.items()
+    ]))
+    obs = Observation("quarantine")
+    flagged = (
+        df.withColumn("_violations", violated)
+        .withColumn("_ok", F.size("_violations") == 0)
+        .observe(
+            obs,
+            F.sum(F.expr("CASE WHEN _ok THEN 1 ELSE 0 END")).alias("n_good"),
+            F.sum(F.expr("CASE WHEN _ok THEN 0 ELSE 1 END")).alias("n_bad"),
+        )
+        .withColumn(
+            "_violations",
+            F.expr("CASE WHEN _ok THEN NULL "
+                   "ELSE concat_ws(',', _violations) END"),
+        )
+    )
+    (
+        flagged.withColumn("_bucket",
+                           F.expr("CASE WHEN _ok THEN 'good' ELSE 'bad' END"))
+        .drop("_ok")
+        .write.format(fmt).mode("overwrite")
+        .partitionBy("_bucket").save(path)
+    )
+    got = obs.get
+    return {"n_good": got["n_good"] or 0, "n_bad": got["n_bad"] or 0}
+
+
+def read_quarantine(spark: SparkSession, path: str, bucket: str,
+                    fmt: str = "parquet") -> DataFrame:
+    """Read back one side of a quarantine split ('good' or 'bad');
+    partition pruning keeps the scan to that side's directory."""
+    if bucket not in ("good", "bad"):
+        raise ValueError(f"bucket must be 'good' or 'bad', got {bucket!r}")
+    return (
+        spark.read.format(fmt).load(path)
+        .filter(f"_bucket = '{bucket}'")
+        .drop("_bucket")
+    )

@@ -167,3 +167,43 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # explicit schema the read is still total (missing column -> null).
     explicit = spark.read.schema("id LONG, v LONG, tag STRING").parquet(out)
     assert explicit.count() == 10
+
+
+def test_write_quarantine_single_scan_split(spark, tmp_path):
+    """Failing rows land in bad/ with the violated rule names, passing
+    rows in good/; counts come from observe metrics; each side reads
+    back partition-pruned."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import (
+        read_quarantine,
+        write_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (3, 7.0, None), (4, -1.0, None)],
+        "id INT, amount DOUBLE, status STRING",
+    )
+    rules = {
+        "amount_nonneg": "amount >= 0",
+        "status_present": "status IS NOT NULL",
+    }
+    path = str(tmp_path / "q")
+    counts = write_quarantine(df, rules, path)
+    assert counts == {"n_good": 1, "n_bad": 3}
+    good = read_quarantine(spark, path, "good")
+    assert [r.id for r in good.collect()] == [1]
+    assert "_violations" in good.columns  # NULL for good rows, kept for audit
+    bad = {r.id: r["_violations"] for r in
+           read_quarantine(spark, path, "bad").collect()}
+    assert bad[2] == "amount_nonneg"
+    assert bad[3] == "status_present"
+    assert set(bad[4].split(",")) == {"amount_nonneg", "status_present"}
+    # partition pruning: the good-side scan carries a PartitionFilters
+    # clause on _bucket (same assertion style as
+    # test_partitioned_write_prunes — inputFiles() reflects the
+    # pre-pruning file index, so it can't be used here)
+    plan = good._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    import pytest as _p
+    with _p.raises(ValueError, match="good.*bad|bad.*good"):
+        read_quarantine(spark, path, "ugly")
