@@ -1982,21 +1982,30 @@ def ev_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_union"),
     )
-    gate = "abs({e} - {x}) <= greatest(0.05 * {x}, 4.0)"
+    gate = "abs({e} - {x}) <= greatest(0.05 * {s}, 4.0)"
+    # Set-op estimate error scales with the UNION size (the sketches
+    # being combined), NOT the result size — a small overlap of two
+    # big segments has union-sized noise, so the inter/diff gates
+    # scale their tolerance by n_union or they'd false-fail exactly
+    # when overlaps are interesting (small relative to the segments).
     return est.crossJoin(exact).select(
         "n_click",
         "n_buy",
         "n_union",
         (F.col("n_click") + F.col("n_buy") - F.col("n_union"))
         .alias("n_inter"),
-        F.expr(gate.format(e="est_click", x="n_click")).alias("click_ok"),
-        F.expr(gate.format(e="est_buy", x="n_buy")).alias("buy_ok"),
-        F.expr(gate.format(e="est_union", x="n_union")).alias("union_ok"),
+        F.expr(gate.format(e="est_click", x="n_click", s="n_click"))
+        .alias("click_ok"),
+        F.expr(gate.format(e="est_buy", x="n_buy", s="n_buy"))
+        .alias("buy_ok"),
+        F.expr(gate.format(e="est_union", x="n_union", s="n_union"))
+        .alias("union_ok"),
         F.expr(
-            gate.format(e="est_inter", x="(n_click + n_buy - n_union)")
+            gate.format(e="est_inter", x="(n_click + n_buy - n_union)",
+                        s="n_union")
         ).alias("inter_ok"),
         F.expr(
-            gate.format(e="est_diff", x="(n_union - n_buy)")
+            gate.format(e="est_diff", x="(n_union - n_buy)", s="n_union")
         ).alias("diff_ok"),
     )
 

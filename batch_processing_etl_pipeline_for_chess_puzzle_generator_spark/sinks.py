@@ -180,8 +180,18 @@ def write_quarantine(df: DataFrame, rules: dict[str, str], path: str,
     from pyspark.sql import functions as F
     from pyspark.sql.observation import Observation
 
+    reserved = {"_violations", "_ok", "_bucket"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns {sorted(reserved)} collide with quarantine "
+            "bookkeeping columns — rename them first"
+        )
+    # a rule evaluating to NULL (e.g. 'amount >= 0' on a NULL amount)
+    # counts as a VIOLATION — the coalesce closes the ~NULL trap that
+    # would otherwise route unvalidatable rows to good/
     violated = F.array_compact(F.array(*[
-        F.when(~F.expr(expr), F.lit(name)).otherwise(F.lit(None))
+        F.when(~F.coalesce(F.expr(expr), F.lit(False)), F.lit(name))
+        .otherwise(F.lit(None))
         for name, expr in rules.items()
     ]))
     obs = Observation("quarantine")

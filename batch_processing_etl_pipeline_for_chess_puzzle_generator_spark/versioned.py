@@ -282,14 +282,23 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     # 1. stat-prune candidates against the change-key span (the one
     # driver-side scalar pair — planning metadata, not row data)
     lo, hi = changes.agg(F.min(key_col), F.max(key_col)).first()
-    lo, hi = _stat_encode(lo), _stat_encode(hi)
-    if pstats is not None and lo is not None:
-        # a file whose stats are missing or [None, None] (all-null
-        # keys) can't be pruned — it stays a candidate
+
+    def _unpruneable(v) -> bool:
+        # missing, NULL, or NaN bounds give interval tests that are
+        # False for EVERY comparison — treating them as "prunes" would
+        # silently skip a file that holds change keys and duplicate
+        # those keys after the merge
+        return v is None or (isinstance(v, float) and v != v)
+
+    if pstats is not None and not _unpruneable(lo) and not _unpruneable(hi):
+        # encode only on the pruning path: a non-whitelisted key type
+        # (no stats recorded for it anyway) must still merge, just
+        # without pruning
+        lo, hi = _stat_encode(lo), _stat_encode(hi)
         candidates = [
             f for f in pfiles
             if pstats.get(f) is None
-            or pstats[f][0] is None or pstats[f][1] is None
+            or _unpruneable(pstats[f][0]) or _unpruneable(pstats[f][1])
             or (pstats[f][0] <= hi and lo <= pstats[f][1])
         ]
     else:

@@ -207,3 +207,28 @@ def test_write_quarantine_single_scan_split(spark, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match="good.*bad|bad.*good"):
         read_quarantine(spark, path, "ugly")
+
+
+def test_quarantine_null_rule_is_violation_and_reserved_names_rejected(
+        spark, tmp_path):
+    """A rule evaluating to NULL must quarantine the row (the ~NULL
+    trap), and caller columns colliding with bookkeeping names must be
+    rejected instead of silently clobbered."""
+    import pytest as _p
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import (
+        read_quarantine,
+        write_quarantine,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, 5.0)],
+                               "id INT, amount DOUBLE")
+    counts = write_quarantine(df, {"amount_nonneg": "amount >= 0"},
+                              str(tmp_path / "q"))
+    assert counts == {"n_good": 1, "n_bad": 1}
+    bad = read_quarantine(spark, str(tmp_path / "q"), "bad").collect()
+    assert [r.id for r in bad] == [1]
+    assert bad[0]["_violations"] == "amount_nonneg"
+    clash = df.withColumnRenamed("amount", "_bucket")
+    with _p.raises(ValueError, match="_bucket"):
+        write_quarantine(clash, {"r": "id > 0"}, str(tmp_path / "q2"))

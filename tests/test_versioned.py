@@ -392,3 +392,39 @@ def test_vacuum_preserves_markers_in_live_dirs(spark, tmp_path):
     versioned.vacuum(path, keep_last=1)
     assert _os.path.exists(success)
     assert versioned.versions(path) == [1]
+
+
+def test_cow_merge_nan_stats_never_prune(spark, tmp_path):
+    """NaN in a file's double-key stats (NaN sorts greatest, so max =
+    NaN) defeats interval tests; such files must stay candidates or a
+    merge would duplicate keys."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(5.0, "a"), (float("nan"), "n"), (9.0, "b"), (1.0, "c")],
+        "k DOUBLE, v STRING",
+    ).repartitionByRange(2, "k")
+    versioned.write_version(base, path, stats_col="k")
+    ch = spark.createDataFrame([(5.0, "upd", False)],
+                               "k DOUBLE, v STRING, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, path, ch, "k")
+    vals = [r.v for r in versioned.read_version(spark, path, 1).collect()
+            if r.k == 5.0]
+    assert vals == ["upd"]  # exactly once — no duplicate from a bad prune
+
+
+def test_cow_merge_decimal_key_without_stats_works(spark, tmp_path):
+    """A non-whitelisted key type must still merge when the parent has
+    no stats — pruning is just skipped (regression: unconditional
+    _stat_encode raised TypeError)."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING") \
+        .selectExpr("CAST(k AS DECIMAL(10,2)) AS k", "v")
+    versioned.write_version(base, path)  # no stats_col
+    ch = spark.createDataFrame([(2, "upd", False)],
+                               "k INT, v STRING, is_delete BOOLEAN") \
+        .selectExpr("CAST(k AS DECIMAL(10,2)) AS k", "v", "is_delete")
+    stats = versioned.merge_version_cow(spark, path, ch, "k")
+    assert stats["files_pruned_by_stats"] == 0
+    got = {str(r.k): r.v for r in
+           versioned.read_version(spark, path, 1).collect()}
+    assert got["2.00"] == "upd" and len(got) == 2
