@@ -2148,3 +2148,83 @@ ORACLES["ev_holtwinters_forecast"] = f"""
     FROM rec r JOIN n USING (event_type)
     WHERE r.i = n.n AND n.n >= {2 * HW_PERIOD}
 """
+
+
+# ------------------------------------------------ SLO burn-rate alert
+#
+# Multi-window error-budget burn (the SRE alerting pattern: page only
+# when BOTH a fast and a slow window burn hot, killing flappy alerts):
+# per-hour error rate over the 'error' event share, normalized by the
+# SLO budget, joined to the enclosing day's burn. Two partial-agg
+# shuffles (hour, day) + a broadcast of the tiny day table — the day
+# side has one row per day regardless of corpus size, so the join
+# never shuffles the hourly side a second time.
+SLO_ERROR_BUDGET = 0.25  # tolerated error share
+SLO_FAST_BURN = 1.50     # hourly burn threshold
+SLO_SLOW_BURN = 0.90     # daily burn threshold
+
+
+def ev_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    err = "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)"
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(err).alias("n_errors"),
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_day"),
+        F.expr(err).alias("err_day"),
+    )
+    return (
+        hourly.withColumn("day", F.expr("date_trunc('day', hour)"))
+        .join(F.broadcast(daily), "day")
+        .select(
+            "hour",
+            "n_events",
+            "n_errors",
+            F.expr(
+                f"ROUND(n_errors / n_events / {SLO_ERROR_BUDGET}, 6)"
+            ).alias("burn_1h"),
+            F.expr(
+                f"ROUND(err_day / n_day / {SLO_ERROR_BUDGET}, 6)"
+            ).alias("burn_1d"),
+            F.expr(
+                f"n_errors / n_events / {SLO_ERROR_BUDGET} > {SLO_FAST_BURN} "
+                f"AND err_day / n_day / {SLO_ERROR_BUDGET} > {SLO_SLOW_BURN}"
+            ).alias("page"),
+        )
+    )
+
+
+QUERIES["ev_slo_burn_rate"] = ev_slo_burn_rate
+
+ORACLES["ev_slo_burn_rate"] = f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(*) AS n_day,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS err_day
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(h.hour AS TIMESTAMP) AS hour, h.n_events, h.n_errors,
+           ROUND(h.n_errors / CAST(h.n_events AS DOUBLE)
+                 / {SLO_ERROR_BUDGET}, 6) AS burn_1h,
+           ROUND(d.err_day / CAST(d.n_day AS DOUBLE)
+                 / {SLO_ERROR_BUDGET}, 6) AS burn_1d,
+           h.n_errors / CAST(h.n_events AS DOUBLE) / {SLO_ERROR_BUDGET}
+               > {SLO_FAST_BURN}
+           AND d.err_day / CAST(d.n_day AS DOUBLE) / {SLO_ERROR_BUDGET}
+               > {SLO_SLOW_BURN} AS page
+    FROM hourly h JOIN daily d ON date_trunc('day', h.hour) = d.day
+"""

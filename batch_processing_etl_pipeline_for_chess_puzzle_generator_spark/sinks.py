@@ -162,7 +162,8 @@ def compact_partitioned(spark: SparkSession, path: str, fmt: str = "parquet",
 
 
 def write_quarantine(df: DataFrame, rules: dict[str, str], path: str,
-                     fmt: str = "parquet") -> dict[str, int]:
+                     fmt: str = "parquet",
+                     mode: str = "overwrite") -> dict[str, int]:
     """Dead-letter split: route rows failing any rule to ``bad/`` (with
     the names of the violated rules) and the rest to ``good/`` — in ONE
     scan of the input.
@@ -213,7 +214,7 @@ def write_quarantine(df: DataFrame, rules: dict[str, str], path: str,
         flagged.withColumn("_bucket",
                            F.expr("CASE WHEN _ok THEN 'good' ELSE 'bad' END"))
         .drop("_ok")
-        .write.format(fmt).mode("overwrite")
+        .write.format(fmt).mode(mode)
         .partitionBy("_bucket").save(path)
     )
     got = obs.get

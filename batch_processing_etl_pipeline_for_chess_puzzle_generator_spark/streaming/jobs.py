@@ -561,3 +561,27 @@ def wau_hll_union_stream(events: DataFrame,
         )
         .select(F.col("win.start").alias("week"), "wau_est", "n_events")
     )
+
+
+def quarantine_stream(events: DataFrame, rules: dict[str, str],
+                      path: str, checkpoint: str):
+    """Streaming dead-letter split — the continuous twin of
+    sinks.write_quarantine: every micro-batch is routed good/bad in
+    one pass (append mode, so both sides accumulate), with the same
+    violated-rule audit column. foreachBatch is the right shape here
+    because the split is a WRITE policy, not a transformation — state
+    lives in the output layout, so the stream itself stays stateless
+    and restart-safe via the checkpoint."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import write_quarantine
+
+    def _apply(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_quarantine(batch_df, rules, path, mode="append")
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -606,3 +606,35 @@ def test_wau_hll_union_stream_matches_batch_estimate(spark, tmp_path):
     )
     expect = {str(r["week"]): (r["e"], r["n"]) for r in batch.collect()}
     assert got == expect and len(got) >= 2
+
+
+def test_quarantine_stream_splits_across_batches(spark, tmp_path):
+    """Each micro-batch routes its rows good/bad in append mode; both
+    sides accumulate across batches with the violated-rule audit."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import read_quarantine
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        quarantine_stream,
+    )
+
+    src = tmp_path / "q_stream"
+    src.mkdir()
+    batches = [
+        [{"event_id": 1, "value": 2.0}, {"event_id": 2, "value": -1.0}],
+        [{"event_id": 3, "value": None}, {"event_id": 4, "value": 7.0}],
+    ]
+    for bi, rows in enumerate(batches):
+        (src / f"b{bi}.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("event_id LONG, value DOUBLE").json(str(src))
+    q = quarantine_stream(
+        stream, {"value_nonneg": "value >= 0"},
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    good = sorted(r.event_id for r in
+                  read_quarantine(spark, str(tmp_path / "out"), "good").collect())
+    bad = {r.event_id: r["_violations"] for r in
+           read_quarantine(spark, str(tmp_path / "out"), "bad").collect()}
+    assert good == [1, 4]
+    assert set(bad) == {2, 3}  # NULL value rule → quarantined
+    assert all(v == "value_nonneg" for v in bad.values())
