@@ -144,14 +144,38 @@ def _stat_encode(v):
     )
 
 
+class CommitConflict(Exception):
+    """Another writer committed this version number first. The loser's
+    staged data is orphaned-but-invisible (the next vacuum sweeps it);
+    retry by re-running the write against the new latest version."""
+
+
 def _publish(table_path: str, manifest: dict) -> int:
-    """Atomically publish a manifest + advance the high-water mark."""
+    """Atomically publish a manifest + advance the high-water mark.
+
+    The publish is a COMPARE-AND-SWAP on the manifest name: the JSON is
+    staged to a tmp file and then ``os.link``-ed into place, which
+    FAILS if version N's manifest already exists — so two concurrent
+    writers racing to commit the same version number get exactly one
+    winner and one ``CommitConflict`` (the optimistic-concurrency
+    contract of the Delta/Iceberg log; a plain rename would let the
+    second writer silently overwrite the first's commit). On a shared
+    filesystem without atomic link (e.g. some object stores), swap
+    this for the store's conditional-put."""
     version = manifest["version"]
     mdir = _manifest_path(table_path)
     tmp = os.path.join(mdir, f".{version}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(mdir, f"{version}.json"))
+    try:
+        os.link(tmp, os.path.join(mdir, f"{version}.json"))
+    except FileExistsError:
+        os.remove(tmp)
+        raise CommitConflict(
+            f"version {version} at {table_path} was committed by a "
+            "concurrent writer — re-read the table and retry"
+        ) from None
+    os.remove(tmp)
     hw_tmp = os.path.join(mdir, f"{_HIGH_WATER}.tmp")
     with open(hw_tmp, "w") as fh:
         fh.write(str(version))
@@ -473,7 +497,9 @@ def read_version(spark: SparkSession, table_path: str,
 def optimize_version(spark: SparkSession, table_path: str,
                      target_files: int = 1,
                      sort_col: str | None = None,
-                     stats_col: str | None = None) -> dict:
+                     stats_col: str | None = None,
+                     zorder_cols: tuple[str, str] | None = None,
+                     zorder_bits: int = 8) -> dict:
     """Delta-OPTIMIZE-style compaction: commit a NEW version whose
     content is identical to the latest but rewritten into
     ``target_files`` files (optionally range-clustered on ``sort_col``
@@ -484,12 +510,42 @@ def optimize_version(spark: SparkSession, table_path: str,
     maintenance half of the small-files problem: many COW merges each
     add a small ``d_N`` file; OPTIMIZE folds them back into few
     well-sized ones.
+
+    ``zorder_cols=(x, y)`` clusters on the Morton interleave of the two
+    integer columns instead (OPTIMIZE ZORDER BY): each column is first
+    scaled to ``zorder_bits`` buckets against its own min/max (one tiny
+    agg broadcast back — no collect), then files are range-partitioned
+    and sorted on the interleaved key, so per-file AND per-row-group
+    min/max stats are tight on BOTH dimensions and range predicates on
+    either column prune.
     """
+    from pyspark.sql import functions as F
+
     latest = versions(table_path)
     if not latest:
         raise FileNotFoundError(f"no committed versions at {table_path}")
     df = read_version(spark, table_path, latest[-1])
-    if sort_col is not None:
+    if zorder_cols is not None:
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.zorder import morton_sql
+
+        x, y = zorder_cols
+        n = 1 << zorder_bits
+        bounds = df.agg(
+            F.min(x).alias("_xlo"), F.max(x).alias("_xhi"),
+            F.min(y).alias("_ylo"), F.max(y).alias("_yhi"),
+        )
+        bx = (f"least({n - 1}, CAST(floor(({x} - _xlo) * {n}.0 "
+              f"/ (_xhi - _xlo + 1)) AS BIGINT))")
+        by = (f"least({n - 1}, CAST(floor(({y} - _ylo) * {n}.0 "
+              f"/ (_yhi - _ylo + 1)) AS BIGINT))")
+        df = (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn("_zk", F.expr(morton_sql(bx, by, zorder_bits)))
+            .repartitionByRange(target_files, "_zk")
+            .sortWithinPartitions("_zk")
+            .drop("_zk", "_xlo", "_xhi", "_ylo", "_yhi")
+        )
+    elif sort_col is not None:
         df = df.repartitionByRange(target_files, sort_col)
     else:
         df = df.coalesce(target_files)

@@ -428,3 +428,66 @@ def test_cow_merge_decimal_key_without_stats_works(spark, tmp_path):
     got = {str(r.k): r.v for r in
            versioned.read_version(spark, path, 1).collect()}
     assert got["2.00"] == "upd" and len(got) == 2
+
+
+def test_publish_cas_rejects_concurrent_commit(spark, tmp_path):
+    """The manifest publish is a compare-and-swap: when two writers
+    race the same version number, exactly one wins and the other gets
+    CommitConflict — never a silent overwrite of the winner's commit.
+    (The race window is between both writers passing the high-water
+    check and publishing; we drive _publish directly to hit it.)"""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk(spark, [(1, "a")]), path)
+    manifest = versioned._load_manifest(path, 0)
+    winner = dict(manifest, version=1, files=manifest["files"])
+    loser = dict(manifest, version=1, files=[])
+    assert versioned._publish(path, winner) == 1
+    with pytest.raises(versioned.CommitConflict, match="concurrent"):
+        versioned._publish(path, loser)
+    # the winner's manifest is intact, not clobbered by the loser
+    assert versioned._load_manifest(path, 1)["files"] == manifest["files"]
+    # no stray tmp file wedges the manifest dir
+    mdir = os.path.join(path, "_manifest")
+    assert not any(f.endswith(".tmp") for f in os.listdir(mdir))
+
+
+def test_optimize_zorder_tightens_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER must produce files whose [min,max] spans are
+    narrow on BOTH columns; a plain range sort on x leaves every file
+    spanning the full y range. Content must be unchanged."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    grid = spark.range(32 * 32).selectExpr(
+        "CAST(id % 32 AS INT) AS x",
+        "CAST(id DIV 32 AS INT) AS y",
+    )
+    versioned.write_version(grid.coalesce(1), path)
+
+    def spans(version):
+        m = versioned._load_manifest(path, version)
+        df = spark.read.parquet(
+            *[f"{path}/{f}" for f in m["files"]]
+        ).groupBy(F.input_file_name()).agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        return [(r.sx, r.sy) for r in df.collect()]
+
+    sv = versioned.optimize_version(spark, path, target_files=4,
+                                    sort_col="x")
+    zv = versioned.optimize_version(spark, path, target_files=4,
+                                    zorder_cols=("x", "y"), zorder_bits=5)
+    sort_spans = spans(sv["version"])
+    z_spans = spans(zv["version"])
+    assert len(z_spans) == 4
+    # plain x-sort: every file spans all of y (31)
+    assert all(sy == 31 for _, sy in sort_spans)
+    # z-order: every file covers about half of each dimension — range
+    # predicates on EITHER column prune files
+    assert all(sy <= 20 and sx <= 20 for sx, sy in z_spans)
+    # content identical
+    got = sorted((r.x, r.y) for r in
+                 versioned.read_version(spark, path, zv["version"]).collect())
+    want = sorted((r.x, r.y) for r in grid.collect())
+    assert got == want
