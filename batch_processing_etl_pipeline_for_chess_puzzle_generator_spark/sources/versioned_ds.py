@@ -1,0 +1,94 @@
+"""``spark.read.format("versioned")`` — the time-travel reader as a
+Spark 4 Python Data Source.
+
+``versioned.read_version`` is the library API; this wraps the same
+manifest resolution behind Spark's DataSource registry so SQL-surface
+users (and tools that only speak ``spark.read.format(...)``) can
+time-travel without importing the library:
+
+    spark.dataSource.register(VersionedDataSource)
+    df = (spark.read.format("versioned")
+          .option("path", table_path)
+          .option("version", 2)        # omit for latest
+          .load())
+
+Partition planning mirrors the engine's: ONE InputPartition per
+manifest file (the version's immutable file set — a later commit can't
+disturb a running read), and each partition streams its parquet file
+as Arrow RecordBatches, which Spark ingests zero-copy. Schema comes
+from the manifest, so planning never opens a data file. This is the
+sanctioned slow-ish path (Python workers ingest the bytes) — it
+demonstrates the integration point; perf-critical jobs use
+``versioned.read_version`` which plans a native parquet scan of the
+same file list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class VersionedReader(DataSourceReader):
+    def __init__(self, table_path: str, version: int | None):
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+        avail = versioned.versions(table_path)
+        if not avail:
+            raise FileNotFoundError(f"no committed versions at {table_path}")
+        self.version = avail[-1] if version is None else version
+        if self.version not in avail:
+            raise ValueError(
+                f"version {self.version} not in {avail} at {table_path}"
+            )
+        m = versioned._load_manifest(table_path, self.version)
+        files = m.get("files")
+        if files is None:  # legacy dir-level manifest
+            files = versioned._list_data_files(table_path, m["dir"])
+        self.files = [os.path.join(table_path, f) for f in files]
+
+    def partitions(self):
+        return [_FilePartition(f) for f in self.files]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        # stream row groups as Arrow batches — bounded memory per task
+        f = pq.ParquetFile(partition.path)
+        yield from f.iter_batches()
+
+
+class VersionedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "versioned"
+
+    def schema(self):
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+        table_path = self.options.get("path")
+        if not table_path:
+            raise ValueError("option 'path' is required")
+        avail = versioned.versions(table_path)
+        if not avail:
+            raise FileNotFoundError(f"no committed versions at {table_path}")
+        v = self.options.get("version")
+        version = avail[-1] if v is None else int(v)
+        if version not in avail:
+            raise ValueError(f"version {version} not in {avail}")
+        m = versioned._load_manifest(table_path, version)
+        return StructType.fromJson(json.loads(m["schema"]))
+
+    def reader(self, schema) -> VersionedReader:
+        v = self.options.get("version")
+        return VersionedReader(
+            self.options["path"], None if v is None else int(v)
+        )

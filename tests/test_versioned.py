@@ -491,3 +491,41 @@ def test_optimize_zorder_tightens_both_dimensions(spark, tmp_path):
                  versioned.read_version(spark, path, zv["version"]).collect())
     want = sorted((r.x, r.y) for r in grid.collect())
     assert got == want
+
+
+def test_versioned_python_datasource_time_travels(spark, tmp_path):
+    """spark.read.format('versioned') resolves the manifest like
+    read_version: pinned versions, latest default, COW children with
+    shared files, schema from the manifest (no data file opened at
+    planning)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 100, 4), path, stats_col="k")
+    ch = spark.createDataFrame([(3, "upd", False)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, path, ch, "k")
+
+    def rd(version=None):
+        r = spark.read.format("versioned").option("path", path)
+        if version is not None:
+            r = r.option("version", version)
+        return r.load()
+
+    v0 = {r.k: r.v for r in rd(0).collect()}
+    v1 = {r.k: r.v for r in rd(1).collect()}
+    latest = {r.k: r.v for r in rd().collect()}
+    assert v0[3] == "v3" and len(v0) == 100
+    assert v1[3] == "upd" and len(v1) == 100
+    assert latest == v1
+    # manifest schema preserves the writer's nullability; the native
+    # parquet scan relaxes to nullable — names/types must agree
+    assert [(f.name, f.dataType) for f in rd(0).schema.fields] == \
+        [(f.name, f.dataType)
+         for f in versioned.read_version(spark, path, 0).schema.fields]
+    import pytest as _p
+    with _p.raises(Exception, match="not in"):
+        rd(9).collect()
