@@ -1,0 +1,89 @@
+"""End-to-end lakehouse flow: raw ND-JSON → quarantine → versioned
+commit → copy-on-write MERGE → OPTIMIZE → time-travel reads → vacuum.
+Each stage is covered unit-wise elsewhere; this test proves the
+COMPOSITION — the artifact each stage hands the next is exactly what
+the next stage expects."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import (
+    read_quarantine,
+    write_quarantine,
+)
+
+
+def test_lakehouse_pipeline_end_to_end(spark, tmp_path):
+    # 1. raw ND-JSON lands (two extract batches, some rows malformed)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rows = (
+        [{"k": i, "amount": float(i), "day": i % 3} for i in range(40)]
+        + [{"k": 100, "amount": -4.0, "day": 0},     # rule violation
+           {"k": 101, "amount": None, "day": 1}]     # NULL → violation
+    )
+    (raw / "b0.ndjson").write_text("\n".join(json.dumps(r) for r in rows[:21]))
+    (raw / "b1.ndjson").write_text("\n".join(json.dumps(r) for r in rows[21:]))
+    src = spark.read.schema("k INT, amount DOUBLE, day INT").json(
+        str(raw / "*.ndjson")
+    )
+
+    # 2. quarantine: bad rows split off with audit, good rows proceed
+    qpath = str(tmp_path / "quarantine")
+    counts = write_quarantine(src, {"amount_nonneg": "amount >= 0"}, qpath)
+    assert counts == {"n_good": 40, "n_bad": 2}
+    good = read_quarantine(spark, qpath, "good").drop("_violations")
+
+    # 3. first versioned commit, range-laid-out with key stats
+    table = str(tmp_path / "table")
+    v0 = versioned.write_version(
+        good.repartitionByRange(4, "k"), table, stats_col="k"
+    )
+    assert v0 == 0
+
+    # 4. CDC batch → copy-on-write MERGE (upsert k=5, delete k=7)
+    ch = spark.createDataFrame(
+        [(5, 500.0, 2, False), (7, 0.0, 1, True), (200, 42.0, 0, False)],
+        "k INT, amount DOUBLE, day INT, is_delete BOOLEAN",
+    )
+    mstats = versioned.merge_version_cow(spark, table, ch, "k")
+    # change keys span the whole keyspace (200 is an insert above every
+    # file's range), so stat-pruning can't exclude by span — the exact
+    # touched-file scan still keeps the rewrite to the files actually
+    # holding keys 5 and 7
+    assert mstats["files_shared"] >= 2
+    assert mstats["files_rewritten"] < mstats["files_total"]
+
+    # 5. OPTIMIZE back to two tight files, history preserved
+    ostats = versioned.optimize_version(spark, table, target_files=2,
+                                        sort_col="k", stats_col="k")
+    assert ostats["files_after"] == 2
+
+    # 6. time travel: all three states remain readable and correct
+    s0 = {r.k: r.amount for r in versioned.read_version(spark, table, 0).collect()}
+    s1 = {r.k: r.amount for r in versioned.read_version(spark, table, 1).collect()}
+    s2 = {r.k: r.amount for r in versioned.read_version(spark, table).collect()}
+    assert len(s0) == 40 and s0[5] == 5.0 and 7 in s0
+    assert s1[5] == 500.0 and 7 not in s1 and s1[200] == 42.0 and len(s1) == 40
+    assert s2 == s1  # OPTIMIZE changed layout, not content
+
+    # 7. DESCRIBE HISTORY reflects sharing, then vacuum retires v0/v1
+    hist = {r.version: r for r in versioned.history(spark, table).collect()}
+    assert hist[1].files_shared_with_prev >= 2
+    dropped = versioned.vacuum(table, keep_last=1)
+    assert dropped == [0, 1]
+    final = {r.k: r.amount for r in versioned.read_version(spark, table).collect()}
+    assert final == s1
+    # everything not referenced by the surviving manifest is gone
+    live = set(versioned._load_manifest(table, 2)["files"])
+    on_disk = {
+        f"{d}/{f}"
+        for d in os.listdir(table)
+        if os.path.isdir(os.path.join(table, d)) and d != "_manifest"
+        for f in os.listdir(os.path.join(table, d))
+        if not f.startswith(("_", "."))
+    }
+    assert on_disk == live
