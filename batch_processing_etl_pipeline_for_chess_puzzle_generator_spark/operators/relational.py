@@ -1662,3 +1662,72 @@ ORACLES["abc_parts_revenue"] = f"""
     FROM c CROSS JOIN tot
     GROUP BY 1
 """
+
+
+# ---------------------------------------- customer value-band windows
+#
+# Rank-family window breadth over a GROUPED partition (never a global
+# sort — each window partitions by market segment, so sorted runs are
+# bounded by segment size; at 100 TB you'd band by broadcast
+# approx-quantile cut points in the same output shape): ntile quartile
+# bands per segment, with percent_rank / cume_dist of each band's
+# edges and the segment's 2nd-highest balance via nth_value. One
+# shuffle (the window partition), one partial agg on top.
+def w_customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    banded = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("band"),
+        F.expr("ROUND(percent_rank() OVER (PARTITION BY c_mktsegment "
+               "ORDER BY c_acctbal DESC, c_custkey), 6)").alias("pr"),
+        F.expr("ROUND(cume_dist() OVER (PARTITION BY c_mktsegment "
+               "ORDER BY c_acctbal DESC, c_custkey), 6)").alias("cd"),
+        F.expr("nth_value(c_acctbal, 2) OVER (PARTITION BY c_mktsegment "
+               "ORDER BY c_acctbal DESC, c_custkey "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+               ).alias("second_highest"),
+    )
+    return banded.groupBy("c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr("CAST(MIN(c_acctbal) AS DECIMAL(12,2))").alias("min_bal"),
+        F.expr("CAST(MAX(c_acctbal) AS DECIMAL(12,2))").alias("max_bal"),
+        F.min("pr").alias("pr_lo"),
+        F.max("cd").alias("cd_hi"),
+        F.expr("CAST(MAX(second_highest) AS DECIMAL(12,2))")
+        .alias("second_highest"),
+    )
+
+
+QUERIES["w_customer_value_bands"] = w_customer_value_bands
+
+ORACLES["w_customer_value_bands"] = """
+    WITH banded AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER w AS band,
+               ROUND(percent_rank() OVER w, 6) AS pr,
+               ROUND(cume_dist() OVER w, 6) AS cd,
+               nth_value(c_acctbal, 2) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS second_highest
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+    )
+    SELECT c_mktsegment, band,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DECIMAL(12,2)) AS min_bal,
+           CAST(MAX(c_acctbal) AS DECIMAL(12,2)) AS max_bal,
+           MIN(pr) AS pr_lo,
+           MAX(cd) AS cd_hi,
+           CAST(MAX(second_highest) AS DECIMAL(12,2)) AS second_highest
+    FROM banded
+    GROUP BY c_mktsegment, band
+"""
