@@ -1685,3 +1685,91 @@ ORACLES["doc_ccnet_buckets"] = f"""
     FROM scored CROSS JOIN cuts
     GROUP BY 1
 """
+
+
+# ------------------------------------------- composed curation gate
+#
+# The decision a real training-data pipeline actually ships: one
+# keep/drop verdict per document with the FIRST failing reason, layering
+# (1) exact dedup (md5 keeper, lowest doc_id wins), (2) Gopher quality
+# filters (doc_gopher_quality, text.py), (3) CCNet perplexity tail
+# (doc_ccnet_buckets' top tercile). Each signal is the same
+# plan as its standalone operator — one md5 groupBy, row-local quality
+# math, the bigram-LM windows + one broadcast cut point — joined on
+# doc_id; ordering of reasons is fixed so the verdict is deterministic.
+# Short docs (< 10 words) fail the Gopher gate before the perplexity
+# check, so the LM score's ≥ 2-word domain never leaves a NULL verdict.
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    keeper = (
+        docs.groupBy(F.expr("md5(text)").alias("h"))
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    hashed = docs.withColumn("h", F.expr("md5(text)")).join(keeper, "h")
+    gq = doc_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    scored = doc_lm_score(spark, sf_dir).select("doc_id", "avg_neg_logp")
+    cut = scored.agg(
+        F.expr(
+            "percentile(avg_neg_logp, CAST(2 AS DOUBLE)/3)"
+        ).alias("c2")
+    )
+    return (
+        hashed.join(gq, "doc_id", "left")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN doc_id != keeper_id THEN 'exact_dup' "
+                "WHEN gopher_keep IS NULL OR NOT gopher_keep THEN 'gopher' "
+                "WHEN avg_neg_logp > c2 THEN 'perplexity' "
+                "ELSE NULL END"
+            ).alias("reason"),
+        )
+        .select("doc_id", F.expr("reason IS NULL").alias("keep"), "reason")
+    )
+
+
+QUERIES["doc_curation_pipeline"] = doc_curation_pipeline
+
+ORACLES["doc_curation_pipeline"] = f"""
+    WITH {_LM_SCORED_DUCK.format(words=_WORDS_DUCK)},
+    keeper AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS keeper_id
+        FROM documents GROUP BY 1
+    ),
+    toks AS (
+        SELECT doc_id, n_chars, {_WORDS_DUCK} AS ws FROM documents
+        WHERE len({_WORDS_DUCK}) >= 2
+    ),
+    bgs AS (SELECT doc_id, n_chars, ws, {_BG_DUCK} AS bg FROM toks),
+    gq AS (
+        SELECT doc_id,
+               (CAST(len(ws) AS BIGINT) >= 10
+                AND (n_chars - len(ws) + 1) / CAST(len(ws) AS DOUBLE)
+                    BETWEEN 2.0 AND 12.0
+                AND {_TOP_BG_DUCK} / CAST(len(bg) AS DOUBLE) < 0.18)
+                   AS gopher_keep
+        FROM bgs
+    ),
+    cut AS (
+        SELECT quantile_cont(avg_neg_logp, CAST(2 AS DOUBLE)/3) AS c2
+        FROM lm_scored
+    ),
+    verdict AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id != k.keeper_id THEN 'exact_dup'
+                    WHEN g.gopher_keep IS NULL OR NOT g.gopher_keep
+                        THEN 'gopher'
+                    WHEN s.avg_neg_logp > c.c2 THEN 'perplexity'
+                    ELSE NULL END AS reason
+        FROM documents d
+        JOIN keeper k ON md5(d.text) = k.h
+        LEFT JOIN gq g ON g.doc_id = d.doc_id
+        LEFT JOIN lm_scored s ON s.doc_id = d.doc_id
+        CROSS JOIN cut c
+    )
+    SELECT doc_id, reason IS NULL AS keep, reason FROM verdict
+"""

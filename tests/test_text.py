@@ -92,3 +92,39 @@ def test_short_doc_guards_match_oracle(spark, tmp_path):
     grams = entrymod.queries()["doc_repeated_ngrams"](spark, sf_dir)
     reps = {r.gram for r in grams.collect()}
     assert all("just four" not in g for g in reps)
+
+
+def test_curation_pipeline_all_reasons(spark, tmp_path):
+    """Every branch of the composed verdict fires: exact duplicates
+    drop with 'exact_dup' (keeper survives), short/low-quality docs
+    with 'gopher', high-perplexity docs with 'perplexity', and the
+    reason order is exact_dup > gopher > perplexity."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the green hills beyond the river")
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base, "en", "web", len(base)),          # exact dup of 1
+        (3, "too short", "en", "web", 9),            # gopher (n_words)
+        (4, base + " extra tail words here", "en", "web", len(base) + 23),
+        (5, "zq xv qj kz vx jq zx qv " * 3, "en", "web", 72),  # weird but 24 words → perplexity candidate
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    import __spark_entry__ as entrymod
+
+    out = {r.doc_id: (r.keep, r.reason) for r in
+           entrymod.queries()["doc_curation_pipeline"](spark, sf_dir).collect()}
+    # doc 1 shares doc 2's text and ALSO sits above the perplexity
+    # tercile (a corpus-self-trained LM scores natural text higher
+    # than repeated junk) — doc 2 still reports exact_dup, proving the
+    # reason precedence; doc 1, the md5 keeper, falls through to the
+    # later gates
+    assert out[2] == (False, "exact_dup")
+    assert out[1][1] in (None, "perplexity")
+    assert out[3] == (False, "gopher")
+    reasons = {r for _, r in out.values()}
+    assert "perplexity" in reasons           # tercile drops someone
+    assert any(k for k, _ in out.values())
