@@ -2228,3 +2228,82 @@ ORACLES["ev_slo_burn_rate"] = f"""
                > {SLO_SLOW_BURN} AS page
     FROM hourly h JOIN daily d ON date_trunc('day', h.hour) = d.day
 """
+
+
+# ------------------------------------------- funnel conversion latency
+#
+# How long conversion takes, not just whether it happens (the
+# complement of ev_funnel): per user, the first 'signup' and the first
+# 'purchase' AT OR AFTER it; report the latency distribution
+# (n, median/p90 minutes, fastest, slowest) per signup day. Two
+# per-user min-aggregations (conditional min avoids a join between the
+# stage streams — one shuffle on user_id), then a per-day exact
+# percentile agg over the converted users. At 100 TB the percentile
+# swaps to approx_percentile in the same plan (the registry's standard
+# exact-twin convention).
+def ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "MIN(CASE WHEN event_type = 'signup' THEN ts END)"
+            ).alias("t_signup"),
+        )
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(per_user.filter(F.col("t_signup").isNotNull())),
+              "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        first_purchase
+        .withColumn(
+            "latency_min",
+            F.expr(
+                "CAST(unix_micros(t_purchase) - unix_micros(t_signup) "
+                "AS DOUBLE) / 60e6"
+            ),
+        )
+        .groupBy(F.date_trunc("day", "t_signup").alias("signup_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.expr("ROUND(percentile(latency_min, 0.5), 6)").alias("p50_min"),
+            F.expr("ROUND(percentile(latency_min, 0.9), 6)").alias("p90_min"),
+            F.expr("ROUND(MIN(latency_min), 6)").alias("fastest_min"),
+            F.expr("ROUND(MAX(latency_min), 6)").alias("slowest_min"),
+        )
+    )
+
+
+QUERIES["ev_funnel_latency"] = ev_funnel_latency
+
+ORACLES["ev_funnel_latency"] = """
+    WITH signups AS (
+        SELECT user_id, MIN(ts) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conv AS (
+        SELECT s.user_id, s.t_signup, MIN(e.ts) AS t_purchase
+        FROM signups s
+        JOIN events e ON e.user_id = s.user_id
+                     AND e.event_type = 'purchase'
+                     AND e.ts >= s.t_signup
+        GROUP BY s.user_id, s.t_signup
+    )
+    SELECT CAST(date_trunc('day', t_signup) AS TIMESTAMP) AS signup_day,
+           COUNT(*) AS n_converted,
+           ROUND(quantile_cont(CAST(epoch_us(t_purchase - t_signup)
+                               AS DOUBLE) / 60e6, 0.5), 6) AS p50_min,
+           ROUND(quantile_cont(CAST(epoch_us(t_purchase - t_signup)
+                               AS DOUBLE) / 60e6, 0.9), 6) AS p90_min,
+           ROUND(MIN(CAST(epoch_us(t_purchase - t_signup) AS DOUBLE) / 60e6),
+                 6) AS fastest_min,
+           ROUND(MAX(CAST(epoch_us(t_purchase - t_signup) AS DOUBLE) / 60e6),
+                 6) AS slowest_min
+    FROM conv GROUP BY 1
+"""
