@@ -1731,3 +1731,44 @@ ORACLES["w_customer_value_bands"] = """
     FROM banded
     GROUP BY c_mktsegment, band
 """
+
+
+# ------------------------------------- SQL surface: windowed CTE query
+#
+# Second pure-SQL-surface entry (next to sql_revenue_by_region): a
+# user-authored CTE + window + top-1-per-group query run verbatim via
+# spark.sql over the registered views — the "paste your warehouse SQL
+# at the engine" path. ANSI enough that the IDENTICAL string is the
+# DuckDB oracle; the plan is the same broadcast-dim + single
+# fact-shuffle shape as the DataFrame twin would build.
+_SQL_TOP_CUSTOMER_PER_NATION = """
+    WITH spend AS (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_spend,
+               COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+                                     ORDER BY total_spend DESC, c_custkey)
+                      AS rn
+        FROM spend
+    )
+    SELECT n_name, c_custkey, c_name, total_spend, n_orders
+    FROM ranked WHERE rn = 1
+"""
+
+
+def sql_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TOP_CUSTOMER_PER_NATION)
+
+
+QUERIES["sql_top_customer_per_nation"] = sql_top_customer_per_nation
+ORACLES["sql_top_customer_per_nation"] = _SQL_TOP_CUSTOMER_PER_NATION
