@@ -1772,3 +1772,107 @@ def sql_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_top_customer_per_nation"] = sql_top_customer_per_nation
 ORACLES["sql_top_customer_per_nation"] = _SQL_TOP_CUSTOMER_PER_NATION
+
+
+# --------------------------------------------------- cohort LTV curves
+#
+# Customer lifetime value by acquisition cohort: cohort = month of the
+# customer's first order; for each (cohort, months-since-first) report
+# the cohort's cumulative revenue and LTV per acquired customer — the
+# curve a growth team reads to see payback periods. Month arithmetic is
+# pure integers (year*12 + month), revenue sums exact decimal, and the
+# cumulative window partitions BY COHORT ordered by month index
+# (bounded sorted runs — never a global sort); cohort sizes ride a
+# broadcast of the tiny per-cohort dimension.
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.expr("MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1)")
+        .alias("m0")
+    )
+    cohort_sizes = first.groupBy("m0").agg(
+        F.countDistinct("o_custkey").alias("cohort_customers")
+    )
+    monthly = (
+        o.join(first, "o_custkey")
+        .withColumn(
+            "months_since",
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 - m0 "
+                "AS BIGINT)"
+            ),
+        )
+        .groupBy("m0", "months_since")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+            ).alias("revenue"),
+        )
+    )
+    w = Window.partitionBy("m0").orderBy("months_since") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        monthly
+        .withColumn(
+            "cum_revenue",
+            F.expr(
+                "CAST(SUM(revenue) OVER (PARTITION BY m0 ORDER BY months_since "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "AS DECIMAL(18,2))"
+            ),
+        )
+        .join(F.broadcast(cohort_sizes), "m0")
+        .select(
+            F.expr("CONCAT(CAST(m0 DIV 12 AS STRING), '-', "
+                   "LPAD(CAST(m0 % 12 + 1 AS STRING), 2, '0'))")
+            .alias("cohort_month"),
+            "months_since",
+            "n_active",
+            "cohort_customers",
+            F.expr("CAST(cum_revenue AS DOUBLE)").alias("cum_revenue"),
+            F.expr("ROUND(CAST(cum_revenue AS DOUBLE) / cohort_customers, 6)")
+            .alias("ltv_per_customer"),
+        )
+    )
+
+
+QUERIES["customer_ltv_cohorts"] = customer_ltv_cohorts
+
+ORACLES["customer_ltv_cohorts"] = """
+    WITH first AS (
+        SELECT o_custkey,
+               MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m0
+        FROM orders GROUP BY 1
+    ),
+    sizes AS (
+        SELECT m0, COUNT(DISTINCT o_custkey) AS cohort_customers
+        FROM first GROUP BY 1
+    ),
+    monthly AS (
+        SELECT f.m0,
+               CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                    - f.m0 AS BIGINT) AS months_since,
+               COUNT(DISTINCT o.o_custkey) AS n_active,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS revenue
+        FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT m0, months_since, n_active,
+               CAST(SUM(revenue) OVER (PARTITION BY m0 ORDER BY months_since
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(18,2)) AS cum_revenue
+        FROM monthly
+    )
+    SELECT CAST(m0 // 12 AS VARCHAR) || '-'
+               || lpad(CAST(m0 % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+           months_since, n_active, s.cohort_customers,
+           CAST(cum_revenue AS DOUBLE) AS cum_revenue,
+           ROUND(CAST(cum_revenue AS DOUBLE) / s.cohort_customers, 6)
+               AS ltv_per_customer
+    FROM cum JOIN sizes s USING (m0)
+"""
