@@ -2252,10 +2252,11 @@ def ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_signup"),
         )
     )
+    # the signup side is per-USER — unbounded, so it joins by hash on
+    # user_id (never a forced broadcast, which would cap out at scale)
     first_purchase = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(per_user.filter(F.col("t_signup").isNotNull())),
-              "user_id")
+        .join(per_user.filter(F.col("t_signup").isNotNull()), "user_id")
         .filter(F.col("ts") >= F.col("t_signup"))
         .groupBy("user_id", "t_signup")
         .agg(F.min("ts").alias("t_purchase"))

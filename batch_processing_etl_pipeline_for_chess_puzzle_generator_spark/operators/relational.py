@@ -1785,15 +1785,14 @@ ORACLES["sql_top_customer_per_nation"] = _SQL_TOP_CUSTOMER_PER_NATION
 # (bounded sorted runs — never a global sort); cohort sizes ride a
 # broadcast of the tiny per-cohort dimension.
 def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     o = table(spark, sf_dir, "orders")
     first = o.groupBy("o_custkey").agg(
         F.expr("MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1)")
         .alias("m0")
     )
+    # `first` is one row per customer already — a plain count suffices
     cohort_sizes = first.groupBy("m0").agg(
-        F.countDistinct("o_custkey").alias("cohort_customers")
+        F.count(F.lit(1)).alias("cohort_customers")
     )
     monthly = (
         o.join(first, "o_custkey")
@@ -1812,8 +1811,6 @@ def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
-    w = Window.partitionBy("m0").orderBy("months_since") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         monthly
         .withColumn(

@@ -163,7 +163,8 @@ def compact_partitioned(spark: SparkSession, path: str, fmt: str = "parquet",
 
 def write_quarantine(df: DataFrame, rules: dict[str, str], path: str,
                      fmt: str = "parquet",
-                     mode: str = "overwrite") -> dict[str, int]:
+                     mode: str = "overwrite",
+                     epoch: int | None = None) -> dict[str, int]:
     """Dead-letter split: route rows failing any rule to ``bad/`` (with
     the names of the violated rules) and the rest to ``good/`` — in ONE
     scan of the input.
@@ -177,11 +178,17 @@ def write_quarantine(df: DataFrame, rules: dict[str, str], path: str,
     second count() pass. Generalizes the reference's silent drop
     (etl/transform.py:100 filters malformed rows away) into an
     auditable quarantine.
+
+    With ``epoch`` the write is IDEMPOTENT per epoch: rows land under
+    ``_epoch=<id>/_bucket=.../`` via dynamic partition overwrite, so a
+    replayed micro-batch overwrites its own partitions instead of
+    appending duplicates — the exactly-once output contract the
+    streaming twin needs.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.observation import Observation
 
-    reserved = {"_violations", "_ok", "_bucket"} & set(df.columns)
+    reserved = {"_violations", "_ok", "_bucket", "_epoch"} & set(df.columns)
     if reserved:
         raise ValueError(
             f"input columns {sorted(reserved)} collide with quarantine "
@@ -210,13 +217,18 @@ def write_quarantine(df: DataFrame, rules: dict[str, str], path: str,
                    "ELSE concat_ws(',', _violations) END"),
         )
     )
-    (
-        flagged.withColumn("_bucket",
-                           F.expr("CASE WHEN _ok THEN 'good' ELSE 'bad' END"))
-        .drop("_ok")
-        .write.format(fmt).mode(mode)
-        .partitionBy("_bucket").save(path)
-    )
+    routed = flagged.withColumn(
+        "_bucket", F.expr("CASE WHEN _ok THEN 'good' ELSE 'bad' END")
+    ).drop("_ok")
+    if epoch is not None:
+        (
+            routed.withColumn("_epoch", F.lit(int(epoch)))
+            .write.format(fmt).mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch", "_bucket").save(path)
+        )
+    else:
+        routed.write.format(fmt).mode(mode).partitionBy("_bucket").save(path)
     got = obs.get
     return {"n_good": got["n_good"] or 0, "n_bad": got["n_bad"] or 0}
 
@@ -227,8 +239,9 @@ def read_quarantine(spark: SparkSession, path: str, bucket: str,
     partition pruning keeps the scan to that side's directory."""
     if bucket not in ("good", "bad"):
         raise ValueError(f"bucket must be 'good' or 'bad', got {bucket!r}")
-    return (
+    out = (
         spark.read.format(fmt).load(path)
         .filter(f"_bucket = '{bucket}'")
         .drop("_bucket")
     )
+    return out.drop("_epoch") if "_epoch" in out.columns else out

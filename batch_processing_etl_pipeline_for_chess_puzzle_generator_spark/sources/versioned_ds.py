@@ -38,29 +38,22 @@ class _FilePartition(InputPartition):
 
 
 class VersionedReader(DataSourceReader):
-    def __init__(self, table_path: str, version: int | None):
-        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
-
-        avail = versioned.versions(table_path)
-        if not avail:
-            raise FileNotFoundError(f"no committed versions at {table_path}")
-        self.version = avail[-1] if version is None else version
-        if self.version not in avail:
-            raise ValueError(
-                f"version {self.version} not in {avail} at {table_path}"
-            )
-        m = versioned._load_manifest(table_path, self.version)
-        files = m.get("files")
-        if files is None:  # legacy dir-level manifest
-            files = versioned._list_data_files(table_path, m["dir"])
-        self.files = [os.path.join(table_path, f) for f in files]
+    def __init__(self, files: list[str]):
+        self.files = files
 
     def partitions(self):
+        # an empty-files version (all rows merged away) still needs one
+        # sentinel partition: PySpark substitutes [None] for an empty
+        # list and read(None) would crash
+        if not self.files:
+            return [_FilePartition(None)]
         return [_FilePartition(f) for f in self.files]
 
     def read(self, partition: _FilePartition):
         import pyarrow.parquet as pq
 
+        if partition is None or partition.path is None:
+            return
         # stream row groups as Arrow batches — bounded memory per task
         f = pq.ParquetFile(partition.path)
         yield from f.iter_batches()
@@ -71,24 +64,39 @@ class VersionedDataSource(DataSource):
     def name(cls) -> str:
         return "versioned"
 
-    def schema(self):
-        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    def _resolve(self):
+        """Resolve version → (schema, files) exactly ONCE per read and
+        cache on the instance: schema() and reader() re-resolving
+        independently would let a commit landing between planning and
+        reader construction serve version N+1's rows under version N's
+        schema."""
+        if not hasattr(self, "_resolved"):
+            from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
-        table_path = self.options.get("path")
-        if not table_path:
-            raise ValueError("option 'path' is required")
-        avail = versioned.versions(table_path)
-        if not avail:
-            raise FileNotFoundError(f"no committed versions at {table_path}")
-        v = self.options.get("version")
-        version = avail[-1] if v is None else int(v)
-        if version not in avail:
-            raise ValueError(f"version {version} not in {avail}")
-        m = versioned._load_manifest(table_path, version)
-        return StructType.fromJson(json.loads(m["schema"]))
+            table_path = self.options.get("path")
+            if not table_path:
+                raise ValueError("option 'path' is required")
+            avail = versioned.versions(table_path)
+            if not avail:
+                raise FileNotFoundError(
+                    f"no committed versions at {table_path}"
+                )
+            v = self.options.get("version")
+            version = avail[-1] if v is None else int(v)
+            if version not in avail:
+                raise ValueError(f"version {version} not in {avail}")
+            m = versioned._load_manifest(table_path, version)
+            files = m.get("files")
+            if files is None:  # legacy dir-level manifest
+                files = versioned._list_data_files(table_path, m["dir"])
+            self._resolved = (
+                StructType.fromJson(json.loads(m["schema"])),
+                [os.path.join(table_path, f) for f in files],
+            )
+        return self._resolved
+
+    def schema(self):
+        return self._resolve()[0]
 
     def reader(self, schema) -> VersionedReader:
-        v = self.options.get("version")
-        return VersionedReader(
-            self.options["path"], None if v is None else int(v)
-        )
+        return VersionedReader(self._resolve()[1])

@@ -567,17 +567,19 @@ def quarantine_stream(events: DataFrame, rules: dict[str, str],
                       path: str, checkpoint: str):
     """Streaming dead-letter split — the continuous twin of
     sinks.write_quarantine: every micro-batch is routed good/bad in
-    one pass (append mode, so both sides accumulate), with the same
-    violated-rule audit column. foreachBatch is the right shape here
-    because the split is a WRITE policy, not a transformation — state
-    lives in the output layout, so the stream itself stays stateless
-    and restart-safe via the checkpoint."""
+    one pass with the same violated-rule audit column. Each batch
+    lands under its OWN ``_epoch=<id>`` partitions via dynamic
+    partition overwrite, so a micro-batch replayed after a crash
+    overwrites itself instead of appending duplicates — foreachBatch
+    is at-least-once delivery, and the per-epoch overwrite is what
+    upgrades the OUTPUT to exactly-once (the standard idempotent-sink
+    recipe); the checkpoint bounds how far the source rewinds."""
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import write_quarantine
 
-    def _apply(batch_df: DataFrame, _epoch: int) -> None:
+    def _apply(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        write_quarantine(batch_df, rules, path, mode="append")
+        write_quarantine(batch_df, rules, path, epoch=epoch)
 
     return (
         events.writeStream.foreachBatch(_apply)

@@ -162,9 +162,16 @@ def _publish(table_path: str, manifest: dict) -> int:
     second writer silently overwrite the first's commit). On a shared
     filesystem without atomic link (e.g. some object stores), swap
     this for the store's conditional-put."""
+    import uuid
+
     version = manifest["version"]
     mdir = _manifest_path(table_path)
-    tmp = os.path.join(mdir, f".{version}.json.tmp")
+    # The tmp name must be PER-WRITER unique: with a shared name, two
+    # racing writers would stage into the same inode and the loser's
+    # re-open could truncate bytes the winner is about to (or already
+    # did, via the link's shared inode) publish.
+    token = uuid.uuid4().hex
+    tmp = os.path.join(mdir, f".{version}.{token}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     try:
@@ -176,7 +183,7 @@ def _publish(table_path: str, manifest: dict) -> int:
             "concurrent writer — re-read the table and retry"
         ) from None
     os.remove(tmp)
-    hw_tmp = os.path.join(mdir, f"{_HIGH_WATER}.tmp")
+    hw_tmp = os.path.join(mdir, f"{_HIGH_WATER}.{token}.tmp")
     with open(hw_tmp, "w") as fh:
         fh.write(str(version))
     os.rename(hw_tmp, os.path.join(mdir, _HIGH_WATER))
@@ -432,6 +439,15 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
             referenced.update(m["files"])
         else:  # legacy dir-level manifest: the whole dir is live
             referenced.update(_list_data_files(table_path, m["dir"]))
+    # sweep staged tmp manifests from crashed/conflicted writers
+    mdir = _manifest_path(table_path)
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            if f.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(mdir, f))
+                except OSError:
+                    pass
     for d in os.listdir(table_path):
         full = os.path.join(table_path, d)
         if not os.path.isdir(full) or d == _MANIFEST_DIR:
@@ -529,6 +545,12 @@ def optimize_version(spark: SparkSession, table_path: str,
         from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.zorder import morton_sql
 
         x, y = zorder_cols
+        reserved = {"_zk", "_xlo", "_xhi", "_ylo", "_yhi"} & set(df.columns)
+        if reserved:
+            raise ValueError(
+                f"table columns {sorted(reserved)} collide with OPTIMIZE "
+                "ZORDER bookkeeping columns — rename them first"
+            )
         n = 1 << zorder_bits
         bounds = df.agg(
             F.min(x).alias("_xlo"), F.max(x).alias("_xhi"),

@@ -638,3 +638,20 @@ def test_quarantine_stream_splits_across_batches(spark, tmp_path):
     assert good == [1, 4]
     assert set(bad) == {2, 3}  # NULL value rule → quarantined
     assert all(v == "value_nonneg" for v in bad.values())
+    # replaying a micro-batch (at-least-once delivery) must NOT
+    # duplicate output: the per-epoch dynamic partition overwrite makes
+    # the sink idempotent, and other epochs' partitions are untouched
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import write_quarantine
+    p2 = str(tmp_path / "out2")
+    b0 = spark.createDataFrame([(1, 2.0), (2, -1.0)],
+                               "event_id LONG, value DOUBLE")
+    b1 = spark.createDataFrame([(4, 7.0)], "event_id LONG, value DOUBLE")
+    write_quarantine(b0, {"value_nonneg": "value >= 0"}, p2, epoch=0)
+    write_quarantine(b1, {"value_nonneg": "value >= 0"}, p2, epoch=1)
+    for _ in range(2):  # crash-replay of epoch 0
+        write_quarantine(b0, {"value_nonneg": "value >= 0"}, p2, epoch=0)
+    good2 = sorted(r.event_id for r in
+                   read_quarantine(spark, p2, "good").collect())
+    bad2 = sorted(r.event_id for r in
+                  read_quarantine(spark, p2, "bad").collect())
+    assert good2 == [1, 4] and bad2 == [2]
