@@ -2308,3 +2308,58 @@ ORACLES["ev_funnel_latency"] = """
                  6) AS slowest_min
     FROM conv GROUP BY 1
 """
+
+
+# --------------------------------------------- inter-arrival analysis
+#
+# Inter-event-time distribution per event type: lag-diff within each
+# (type, user) ordered stream — the telemetry readout behind rate
+# limiting, heartbeat tuning, and bot detection. The window partitions
+# by (event_type, user_id), so sorted runs are bounded by one user's
+# activity (never a global sort); the percentile agg on top is exact
+# for the oracle, approx at scale per the registry convention.
+def ev_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.expr(
+                "CAST(unix_micros(ts) - unix_micros(LAG(ts) OVER ("
+                "PARTITION BY event_type, user_id "
+                "ORDER BY ts, event_id)) AS DOUBLE) / 60e6"
+            ).alias("gap_min"),
+        )
+        .filter(F.col("gap_min").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("ROUND(percentile(gap_min, 0.5), 6)").alias("p50_min"),
+        F.expr("ROUND(percentile(gap_min, 0.9), 6)").alias("p90_min"),
+        F.expr("ROUND(AVG(gap_min), 6)").alias("mean_min"),
+        F.expr("ROUND(MAX(gap_min), 6)").alias("max_min"),
+    )
+
+
+QUERIES["ev_inter_arrival"] = ev_inter_arrival
+
+ORACLES["ev_inter_arrival"] = """
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(epoch_us(ts - LAG(ts) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id)) AS DOUBLE) / 60e6 AS gap_min
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           ROUND(quantile_cont(gap_min, 0.5), 6) AS p50_min,
+           ROUND(quantile_cont(gap_min, 0.9), 6) AS p90_min,
+           ROUND(AVG(gap_min), 6) AS mean_min,
+           ROUND(MAX(gap_min), 6) AS max_min
+    FROM gaps WHERE gap_min IS NOT NULL
+    GROUP BY 1
+"""

@@ -1873,3 +1873,60 @@ ORACLES["customer_ltv_cohorts"] = """
                AS ltv_per_customer
     FROM cum JOIN sizes s USING (m0)
 """
+
+
+# ------------------------------------------- supplier concentration
+#
+# Herfindahl–Hirschman market-concentration index per part type: each
+# supplier's share of the type's supply cost, squared and summed
+# (HHI ∈ (0, 1]; 1 = monopoly). Two partial-agg shuffles — per
+# (type, supplier) then per type — with the share math as exact
+# decimal sums divided once at the end; no window, no join. The
+# procurement-risk readout next to q16's variety count.
+def part_type_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem")
+    supply = (
+        l.join(F.broadcast(p.select("p_partkey", "p_type")),
+               l.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) "
+                "AS DECIMAL(18,2))"
+            ).alias("supplier_cost")
+        )
+    )
+    return (
+        supply.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.expr(
+                "CAST(SUM(supplier_cost) AS DOUBLE)"
+            ).alias("total_cost"),
+            F.expr(
+                "ROUND(SUM(POW(CAST(supplier_cost AS DOUBLE), 2)) "
+                "/ POW(SUM(CAST(supplier_cost AS DOUBLE)), 2), 9)"
+            ).alias("hhi"),
+        )
+    )
+
+
+QUERIES["part_type_hhi"] = part_type_hhi
+
+ORACLES["part_type_hhi"] = """
+    WITH supply AS (
+        SELECT p.p_type, l.l_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS supplier_cost
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p_type,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(supplier_cost) AS DOUBLE) AS total_cost,
+           ROUND(SUM(POW(CAST(supplier_cost AS DOUBLE), 2))
+                 / POW(SUM(CAST(supplier_cost AS DOUBLE)), 2), 9) AS hhi
+    FROM supply GROUP BY 1
+"""
