@@ -1989,3 +1989,178 @@ ORACLES["emb_semdedup"] = f"""
            d.b_id IS NULL AS keep
     FROM assign a LEFT JOIN dups d ON a.c_id = d.b_id
 """
+
+
+# ------------------------------------------ hybrid retrieval (RRF)
+#
+# Modern RAG retrieval: BM25 keyword search and exact-cosine vector
+# search each produce a top-50 candidate list, fused by Reciprocal
+# Rank Fusion (score = Σ 1/(60 + rank)) into the final top-10 — the
+# standard hybrid-search recipe (Elastic/vector-DB default). The
+# documents and embeddings tables are row-paired (doc_id == vec_id),
+# so doc 0's embedding is the vector query while fixed terms are the
+# keyword query. Scale shape: each side is rank-on-top-k — candidate
+# generation prunes first (term postings / full cosine here, ANN
+# buckets at 100 TB), the global sort only ever touches k rows, and
+# the fuse is a k×k outer join of two tiny lists. BM25 doubles are
+# rounded to 1e-9 before ranking so a last-ulp ln() difference between
+# engines can't flip a rank.
+RRF_K = 60
+RRF_TOP = 50
+HYBRID_TERMS = ("join", "merge", "shuffle")
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    terms_in = ", ".join(f"'{t}'" for t in HYBRID_TERMS)
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= N_QUERIES
+    )
+    words = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("dl"),
+        F.explode(F.expr("split(text, ' ')")).alias("w"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("AVG(size(split(text, ' ')))").alias("avgdl"),
+    )
+    tf = (
+        words.filter(F.expr(f"w IN ({terms_in})"))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    bm25 = (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "ln((n_docs - df + 0.5) / (df + 0.5) + 1) * "
+                "tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+            ).alias("part_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.expr("ROUND(SUM(part_score), 9)").alias("text_score"))
+    )
+    wt = Window.orderBy(F.col("text_score").desc(), F.col("doc_id"))
+    text_top = (
+        bm25.orderBy(F.col("text_score").desc(), F.col("doc_id"))
+        .limit(RRF_TOP)
+        .withColumn("text_rank", F.row_number().over(wt).cast("long"))
+        .select("doc_id", "text_rank")
+    )
+    q, c = _split(spark, sf_dir)
+    q0 = q.filter(F.col("q_id") == 0).select("qa", "qn")
+    wv = Window.orderBy(F.col("sim").desc(), F.col("c_id"))
+    vec_top = (
+        c.crossJoin(broadcast(q0))
+        .select(F.col("c_id").alias("doc_id"), F.expr(_SIM).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("doc_id"))
+        .limit(RRF_TOP)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
+            ).cast("long"),
+        )
+        .select("doc_id", "vec_rank")
+    )
+    fused = (
+        text_top.join(vec_top, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "text_rank",
+            "vec_rank",
+            # CAST(1 AS DOUBLE): a 1.0 literal is DECIMAL in both
+            # engines, and DECIMAL / BIGINT truncates scale in DuckDB
+            F.expr(
+                f"ROUND(COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + text_rank), 0.0) "
+                f"+ COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + vec_rank), 0.0), 9)"
+            ).alias("rrf_score"),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(wf).cast("long"))
+    )
+
+
+QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
+
+ORACLES["hybrid_search_rrf"] = f"""
+    WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= {N_QUERIES}
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               AVG(len(string_split(text, ' '))) AS avgdl
+        FROM docs
+    ),
+    words AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS w
+        FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, dl, w, COUNT(*) AS tf
+        FROM words
+        WHERE w IN ({", ".join(f"'{t}'" for t in HYBRID_TERMS)})
+        GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    bm25 AS (
+        SELECT doc_id,
+               ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
+                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 9)
+                   AS text_score
+        FROM tf JOIN dfreq USING (w) CROSS JOIN stats
+        GROUP BY doc_id
+    ),
+    text_top AS (
+        SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY text_score DESC, doc_id) AS BIGINT) AS text_rank
+        FROM bm25
+        ORDER BY text_score DESC, doc_id LIMIT {RRF_TOP}
+    ),
+    q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    vpairs AS (
+        SELECT 0 AS q_id, q0.qe, e.vec_id AS c_id, e.embedding AS ce
+        FROM embeddings e CROSS JOIN q0 WHERE e.vec_id >= {N_QUERIES}
+    ),
+    vcomp AS (
+        SELECT c_id,
+               CAST(round(CAST(unnest(qe) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+               CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT) AS xc
+        FROM vpairs
+    ),
+    vscored AS (
+        SELECT c_id,
+               CAST(sum(xq * xc) AS DOUBLE)
+               / (sqrt(CAST(sum(xq * xq) AS DOUBLE))
+                  * sqrt(CAST(sum(xc * xc) AS DOUBLE))) AS sim
+        FROM vcomp GROUP BY c_id
+    ),
+    vec_top AS (
+        SELECT c_id AS doc_id, CAST(row_number() OVER (
+                   ORDER BY sim DESC, c_id) AS BIGINT) AS vec_rank
+        FROM vscored
+        ORDER BY sim DESC, c_id LIMIT {RRF_TOP}
+    ),
+    fused AS (
+        SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+               t.text_rank, v.vec_rank,
+               ROUND(COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + t.text_rank), 0.0)
+                     + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + v.vec_rank), 0.0), 9)
+                   AS rrf_score
+        FROM text_top t FULL OUTER JOIN vec_top v ON t.doc_id = v.doc_id
+    )
+    SELECT doc_id, text_rank, vec_rank, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
