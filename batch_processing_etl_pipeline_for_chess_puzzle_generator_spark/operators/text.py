@@ -1773,3 +1773,81 @@ ORACLES["doc_curation_pipeline"] = f"""
     )
     SELECT doc_id, reason IS NULL AS keep, reason FROM verdict
 """
+
+
+# ----------------------------------------------- inverted-index build
+#
+# The index-construction half of search (hybrid_search_rrf consumes
+# such an index at query time): per term, the document-frequency,
+# total occurrences, and an md5 digest of the full postings list
+# (doc_id:positions, ordered) — digesting lets the oracle verify the
+# COMPLETE postings content without shipping megabyte lists through
+# the compare. The plan is one explode with positions (posexplode —
+# row-local), a (term, doc) partial agg, then a per-term agg whose
+# shuffle carries one row per (term, doc); report the top-100 terms by
+# df. At 100 TB this is exactly a distributed index build: partition
+# by term, each reducer owns a term shard's postings.
+INDEX_TOP_TERMS = 100
+
+
+def doc_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.expr(_WORDS)).alias("pos", "term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.expr("concat_ws(',', sort_array(collect_list(pos)))")
+            .alias("positions"),
+        )
+    )
+    per_term = per_doc.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.sum("tf").alias("n_occurrences"),
+        F.expr(
+            "md5(concat_ws(';', transform("
+            "array_sort(collect_list(struct(doc_id, positions))), "
+            "e -> concat(CAST(e.doc_id AS STRING), ':', e.positions))))"
+        ).alias("postings_md5"),
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("term"))
+    return (
+        per_term.orderBy(F.col("df").desc(), F.col("term"))
+        .limit(INDEX_TOP_TERMS)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+QUERIES["doc_index_postings"] = doc_index_postings
+
+ORACLES["doc_index_postings"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest({_WORDS_DUCK}) AS term,
+               generate_subscripts({_WORDS_DUCK}, 1) - 1 AS pos
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT term, doc_id, COUNT(*) AS tf,
+               string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)
+                   AS positions
+        FROM tok GROUP BY 1, 2
+    ),
+    per_term AS (
+        SELECT term,
+               COUNT(DISTINCT doc_id) AS df,
+               SUM(tf) AS n_occurrences,
+               md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || positions,
+                              ';' ORDER BY doc_id)) AS postings_md5
+        FROM per_doc GROUP BY 1
+    )
+    SELECT term, df, n_occurrences, postings_md5,
+           CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT)
+               AS rank
+    FROM per_term ORDER BY df DESC, term LIMIT {INDEX_TOP_TERMS}
+"""
