@@ -1785,8 +1785,12 @@ ORACLES["doc_curation_pipeline"] = f"""
 # the compare. The plan is one explode with positions (posexplode —
 # row-local), a (term, doc) partial agg, then a per-term agg whose
 # shuffle carries one row per (term, doc); report the top-100 terms by
-# df. At 100 TB this is exactly a distributed index build: partition
-# by term, each reducer owns a term shard's postings.
+# df. At 100 TB the term-sharded SHUFFLE is the real index build —
+# but the in-memory digest (collect_list of one term's postings on
+# its reducer) must become a partitionBy(term-bucket) disk write
+# there: a stopword's postings are GBs, and no single-reducer list
+# should hold them. The digest exists here as the oracle's
+# full-content evidence, not as the production sink.
 INDEX_TOP_TERMS = 100
 
 
