@@ -1930,3 +1930,73 @@ ORACLES["part_type_hhi"] = """
                  / POW(SUM(CAST(supplier_cost AS DOUBLE)), 2), 9) AS hhi
     FROM supply GROUP BY 1
 """
+
+
+# -------------------------------------------- priority share trends
+#
+# Is expedited ordering growing? Monthly share of each order priority,
+# with an integer-grid OLS slope per priority over the month index
+# (the doc_zipf_slope formulation, text.py: exact integer sums into
+# one double division — no window over time, order-independent). Two
+# partial-agg shuffles and a broadcast of the tiny per-month totals.
+def orders_priority_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").alias("m"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = monthly.groupBy("m").agg(F.sum("n").alias("n_month"))
+    shares = (
+        monthly.join(F.broadcast(totals), "m")
+        .select(
+            "o_orderpriority",
+            "m",
+            F.expr(
+                "CAST(round(n * 1000000.0 / n_month) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+    base = shares.agg(F.min("m").alias("m_min"))
+    xy = shares.crossJoin(F.broadcast(base)).select(
+        "o_orderpriority",
+        F.expr("CAST(m - m_min AS BIGINT)").alias("x"),
+        F.col("share_ppm").alias("y"),
+    )
+    return xy.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.expr("ROUND(AVG(CAST(y AS DOUBLE)) / 1e6, 6)").alias("mean_share"),
+        F.expr(
+            "ROUND(CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) / "
+            "CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) / 1e6, 9)"
+        ).alias("share_slope_per_month"),
+    )
+
+
+QUERIES["orders_priority_share_trend"] = orders_priority_share_trend
+
+ORACLES["orders_priority_share_trend"] = """
+    WITH monthly AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+               o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    totals AS (SELECT m, SUM(n) AS n_month FROM monthly GROUP BY 1),
+    shares AS (
+        SELECT o_orderpriority, m,
+               CAST(round(n * 1000000.0 / n_month) AS BIGINT) AS share_ppm
+        FROM monthly JOIN totals USING (m)
+    ),
+    base AS (SELECT MIN(m) AS m_min FROM shares),
+    xy AS (
+        SELECT o_orderpriority, CAST(m - m_min AS BIGINT) AS x,
+               share_ppm AS y
+        FROM shares CROSS JOIN base
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_months,
+           ROUND(AVG(CAST(y AS DOUBLE)) / 1e6, 6) AS mean_share,
+           ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) /
+                 CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+                 / 1e6, 9) AS share_slope_per_month
+    FROM xy GROUP BY 1
+"""

@@ -1855,3 +1855,66 @@ ORACLES["doc_index_postings"] = f"""
                AS rank
     FROM per_term ORDER BY df DESC, term LIMIT {INDEX_TOP_TERMS}
 """
+
+
+# -------------------------------------------- vocabulary growth curve
+#
+# Heaps'-law evidence for tokenizer planning: how fast does NEW
+# vocabulary appear as the corpus grows? Each term's first occurrence
+# is min(doc_id) (one agg — no cumulative distinct over the corpus,
+# which would be a running set); bucketing first occurrences into ten
+# equal doc_id-range slices gives new-terms-per-slice and the
+# cumulative vocabulary curve (a 10-row running sum — window over the
+# bucket table, not the corpus).
+def doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    firsts = (
+        docs.select("doc_id", F.explode(F.expr(_WORDS)).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    bucketed = (
+        firsts.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                "least(9, CAST(floor((first_doc - lo) * 10.0 / (hi - lo + 1)) "
+                "AS BIGINT))"
+            ).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.select(
+        "decile",
+        "new_terms",
+        F.sum("new_terms").over(w).alias("cum_vocab"),
+    )
+
+
+QUERIES["doc_vocab_growth"] = doc_vocab_growth
+
+ORACLES["doc_vocab_growth"] = f"""
+    WITH firsts AS (
+        SELECT w, MIN(doc_id) AS first_doc FROM (
+            SELECT doc_id, unnest({_WORDS_DUCK}) AS w FROM documents
+        ) GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+    bucketed AS (
+        SELECT LEAST(9, CAST(floor((first_doc - lo) * 10.0 / (hi - lo + 1))
+                             AS BIGINT)) AS decile,
+               COUNT(*) AS new_terms
+        FROM firsts CROSS JOIN bounds
+        GROUP BY 1
+    )
+    SELECT decile, new_terms,
+           SUM(new_terms) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+    FROM bucketed
+"""

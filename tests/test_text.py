@@ -128,3 +128,27 @@ def test_curation_pipeline_all_reasons(spark, tmp_path):
     reasons = {r for _, r in out.values()}
     assert "perplexity" in reasons           # tercile drops someone
     assert any(k for k, _ in out.values())
+
+
+def test_vocab_growth_curve_shape(spark, tmp_path):
+    """A corpus that introduces fresh terms later in doc_id order must
+    show them in later deciles with a monotone cumulative curve."""
+    rows = [(i, f"common filler w{i // 10}", "en", "web", 20)
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    import __spark_entry__ as entrymod
+
+    out = {r.decile: (r.new_terms, r.cum_vocab) for r in
+           entrymod.queries()["doc_vocab_growth"](spark, sf_dir).collect()}
+    # decile 0 carries 'common','filler','w0'; every decile d>=1 adds
+    # exactly its one fresh wN term
+    assert out[0] == (3, 3)
+    for d in range(1, 10):
+        assert out[d][0] == 1
+    assert out[9][1] == 12
+    curve = [out[d][1] for d in sorted(out)]
+    assert curve == sorted(curve)
