@@ -2000,3 +2000,82 @@ ORACLES["orders_priority_share_trend"] = """
                  / 1e6, 9) AS share_slope_per_month
     FROM xy GROUP BY 1
 """
+
+
+# --------------------------------------------- order-value ANOVA
+#
+# Does order priority associate with order value? One-way ANOVA of
+# o_totalprice across priorities: F = between-group variance /
+# within-group variance. Determinism discipline: every cross-row SUM
+# is over EXACT values (decimal sums; the Σ s²/n term is rounded to
+# an integer per group before summing) because a double SUM's
+# accumulation order differs between engines — division to double
+# happens only in row-local final expressions. One data shuffle; the
+# grand row broadcasts.
+def orders_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+        ).alias("s"),
+        F.expr(
+            "SUM(CAST(o_totalprice AS DECIMAL(18,2)) "
+            "* CAST(o_totalprice AS DECIMAL(18,2)))"
+        ).alias("ss"),
+    )
+    grand = per_g.agg(
+        F.sum("n").alias("nt"),
+        F.expr("SUM(s)").alias("st"),
+        F.expr("SUM(ss)").alias("sst"),
+        F.count(F.lit(1)).alias("k"),
+        F.expr(
+            "SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0) "
+            "AS BIGINT))"
+        ).alias("ssb_num"),
+    )
+    return (
+        per_g.crossJoin(F.broadcast(grand))
+        .select(
+            "o_orderpriority",
+            "n",
+            F.expr("ROUND(CAST(s AS DOUBLE) / n, 6)").alias("mean_value"),
+            F.expr(
+                "ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n "
+                "- CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt * n / nt, 4)"
+            ).alias("ssb_contrib"),
+            F.expr(
+                "ROUND(((ssb_num - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) "
+                "/ nt) / (k - 1)) / "
+                "((CAST(sst AS DOUBLE) - ssb_num) / (nt - k)), 6)"
+            ).alias("f_stat"),
+        )
+    )
+
+
+QUERIES["orders_value_anova"] = orders_value_anova
+
+ORACLES["orders_value_anova"] = """
+    WITH per_g AS (
+        SELECT o_orderpriority, COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                   * CAST(o_totalprice AS DECIMAL(18,2))) AS ss
+        FROM orders GROUP BY 1
+    ),
+    grand AS (
+        SELECT SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst, COUNT(*) AS k,
+               SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0)
+                        AS BIGINT)) AS ssb_num
+        FROM per_g
+    )
+    SELECT o_orderpriority, n,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_value,
+           ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt * n / nt, 4)
+               AS ssb_contrib,
+           ROUND(((ssb_num - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+                  / (k - 1)) /
+                 ((CAST(sst AS DOUBLE) - ssb_num) / (nt - k)), 6) AS f_stat
+    FROM per_g CROSS JOIN grand
+"""
