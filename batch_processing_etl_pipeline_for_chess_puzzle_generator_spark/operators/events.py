@@ -2319,10 +2319,7 @@ ORACLES["ev_funnel_latency"] = """
 # activity (never a global sort); the percentile agg on top is exact
 # for the oracle, approx at scale per the registry convention.
 def ev_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
     gaps = (
         ev.select(
             "event_type",

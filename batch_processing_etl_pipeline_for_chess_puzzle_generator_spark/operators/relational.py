@@ -1880,8 +1880,10 @@ ORACLES["customer_ltv_cohorts"] = """
 # Herfindahl–Hirschman market-concentration index per part type: each
 # supplier's share of the type's supply cost, squared and summed
 # (HHI ∈ (0, 1]; 1 = monopoly). Two partial-agg shuffles — per
-# (type, supplier) then per type — with the share math as exact
-# decimal sums divided once at the end; no window, no join. The
+# (type, supplier) then per type — with BOTH the squared-cost sum and
+# the total-cost sum as exact decimals (a double SUM's accumulation
+# order differs across partitionings/engines) and one double division
+# at the end; no window, no join beyond the broadcast part dim. The
 # procurement-risk readout next to q16's variety count.
 def part_type_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
@@ -1905,8 +1907,8 @@ def part_type_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(SUM(supplier_cost) AS DOUBLE)"
             ).alias("total_cost"),
             F.expr(
-                "ROUND(SUM(POW(CAST(supplier_cost AS DOUBLE), 2)) "
-                "/ POW(SUM(CAST(supplier_cost AS DOUBLE)), 2), 9)"
+                "ROUND(CAST(SUM(supplier_cost * supplier_cost) AS DOUBLE) "
+                "/ POW(CAST(SUM(supplier_cost) AS DOUBLE), 2), 9)"
             ).alias("hhi"),
         )
     )
@@ -1926,8 +1928,8 @@ ORACLES["part_type_hhi"] = """
     SELECT p_type,
            COUNT(*) AS n_suppliers,
            CAST(SUM(supplier_cost) AS DOUBLE) AS total_cost,
-           ROUND(SUM(POW(CAST(supplier_cost AS DOUBLE), 2))
-                 / POW(SUM(CAST(supplier_cost AS DOUBLE)), 2), 9) AS hhi
+           ROUND(CAST(SUM(supplier_cost * supplier_cost) AS DOUBLE)
+                 / POW(CAST(SUM(supplier_cost) AS DOUBLE), 2), 9) AS hhi
     FROM supply GROUP BY 1
 """
 
@@ -1965,9 +1967,12 @@ def orders_priority_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xy.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_months"),
         F.expr("ROUND(AVG(CAST(y AS DOUBLE)) / 1e6, 6)").alias("mean_share"),
+        # NULLIF: a single-month series has zero x-variance — emit
+        # NULL, not 0/0 = NaN
         F.expr(
             "ROUND(CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) / "
-            "CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) / 1e6, 9)"
+            "NULLIF(CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) "
+            "AS DOUBLE), 0) / 1e6, 9)"
         ).alias("share_slope_per_month"),
     )
 
@@ -1996,7 +2001,8 @@ ORACLES["orders_priority_share_trend"] = """
            COUNT(*) AS n_months,
            ROUND(AVG(CAST(y AS DOUBLE)) / 1e6, 6) AS mean_share,
            ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) /
-                 CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+                 NULLIF(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
+                             AS DOUBLE), 0)
                  / 1e6, 9) AS share_slope_per_month
     FROM xy GROUP BY 1
 """
@@ -2029,9 +2035,12 @@ def orders_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(s)").alias("st"),
         F.expr("SUM(ss)").alias("sst"),
         F.count(F.lit(1)).alias("k"),
+        # DECIMAL(38,0), not BIGINT: the sum is ~nt·mean² and clears
+        # int64 around sf1000 — the same overflow class fixed repo-wide
+        # in the ABC/drift math
         F.expr(
             "SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0) "
-            "AS BIGINT))"
+            "AS DECIMAL(38,0)))"
         ).alias("ssb_num"),
     )
     return (
@@ -2045,9 +2054,10 @@ def orders_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "- CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt * n / nt, 4)"
             ).alias("ssb_contrib"),
             F.expr(
-                "ROUND(((ssb_num - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) "
-                "/ nt) / (k - 1)) / "
-                "((CAST(sst AS DOUBLE) - ssb_num) / (nt - k)), 6)"
+                "ROUND(((CAST(ssb_num AS DOUBLE) - CAST(st AS DOUBLE) "
+                "* CAST(st AS DOUBLE) / nt) / (k - 1)) / "
+                "((CAST(sst AS DOUBLE) - CAST(ssb_num AS DOUBLE)) "
+                "/ (nt - k)), 6)"
             ).alias("f_stat"),
         )
     )
@@ -2066,7 +2076,7 @@ ORACLES["orders_value_anova"] = """
     grand AS (
         SELECT SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst, COUNT(*) AS k,
                SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0)
-                        AS BIGINT)) AS ssb_num
+                        AS DECIMAL(38,0))) AS ssb_num
         FROM per_g
     )
     SELECT o_orderpriority, n,
@@ -2074,8 +2084,10 @@ ORACLES["orders_value_anova"] = """
            ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt * n / nt, 4)
                AS ssb_contrib,
-           ROUND(((ssb_num - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+           ROUND(((CAST(ssb_num AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
                   / (k - 1)) /
-                 ((CAST(sst AS DOUBLE) - ssb_num) / (nt - k)), 6) AS f_stat
+                 ((CAST(sst AS DOUBLE) - CAST(ssb_num AS DOUBLE))
+                  / (nt - k)), 6) AS f_stat
     FROM per_g CROSS JOIN grand
 """

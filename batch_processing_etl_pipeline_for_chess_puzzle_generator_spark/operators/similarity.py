@@ -2031,7 +2031,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is already unique per (doc_id, w) — a plain count is the df
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     bm25 = (
         tf.join(F.broadcast(df_), "w")
         .crossJoin(F.broadcast(stats))
@@ -2054,7 +2055,6 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q, c = _split(spark, sf_dir)
     q0 = q.filter(F.col("q_id") == 0).select("qa", "qn")
-    wv = Window.orderBy(F.col("sim").desc(), F.col("c_id"))
     vec_top = (
         c.crossJoin(broadcast(q0))
         .select(F.col("c_id").alias("doc_id"), F.expr(_SIM).alias("sim"))

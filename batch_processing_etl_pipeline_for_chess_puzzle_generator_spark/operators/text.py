@@ -1811,7 +1811,8 @@ def doc_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_term = per_doc.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df"),
+        # per_doc is unique per (term, doc_id) — plain count IS the df
+        F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("n_occurrences"),
         F.expr(
             "md5(concat_ws(';', transform("
