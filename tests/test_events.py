@@ -51,3 +51,37 @@ def test_funnel_is_monotone(spark):
     steps = [c for c in row.asDict() if c.startswith("n_")]
     vals = [row[c] for c in sorted(steps)]
     assert all(v >= 0 for v in vals)
+
+
+def test_hll_union_dedups_across_days(spark):
+    """The weekly sketch union must count a multi-day-active user once:
+    union_dedups holds on the real data, and on a synthetic corpus
+    where every user is active every day, sum(daily DAU) is 7× the
+    true WAU while the sketch stays at the true value."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL
+
+    out = entrymod.queries()["ev_hll_union_weekly"](spark, SF_SMALL).collect()
+    assert out and all(r.union_dedups for r in out)
+    assert all(r.sketch_ok for r in out)
+    # synthetic worst case: 40 users × 7 days
+    rows = [(d * 100 + u, f"2024-01-{1 + d:02d} 03:00:00", u)
+            for d in range(7) for u in range(40)]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts STRING, user_id LONG"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id")
+    from pyspark.sql import functions as F
+
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+          F.countDistinct("user_id").alias("dau"))
+    weekly = daily.groupBy("week").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.sum("dau").alias("sum_dau"),
+    ).collect()
+    total_est = sum(r.est for r in weekly)
+    total_sum = sum(r.sum_dau for r in weekly)
+    assert total_est == 40          # exact at this cardinality
+    assert total_sum == 7 * 40      # the naive sum overcounts 7x

@@ -318,3 +318,45 @@ def test_cow_merge_equals_relational_merge(spark, tmp_path_factory,
     v0 = sorted((r.k, r.v) for r in
                 versioned.read_version(spark, path, 0).collect())
     assert v0 == sorted(base)
+
+
+# --------------------------- sliding-chunk geometry invariants
+
+
+@given(
+    lengths=st.lists(st.integers(0, 400), min_size=1, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_chunk_sliding_geometry(spark, tmp_path_factory, lengths):
+    """For ARBITRARY document lengths (including empty), the chunk grid
+    must tile the text: starts at stride intervals from 0, every char
+    covered, every chunk non-empty and within bounds, zero chunks for
+    empty text."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunk_sliding,
+    )
+
+    sf_dir = str(tmp_path_factory.mktemp("chunks") / "sf")
+    rows = [(i, "x" * n, "en", "t", n) for i, n in enumerate(lengths)]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    out = doc_chunk_sliding(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r.chunk_id)
+        if n == 0:
+            assert chunks == []
+            continue
+        import math
+        assert len(chunks) == math.ceil(n / CHUNK_STRIDE)
+        for j, c in enumerate(chunks):
+            assert c.chunk_start == j * CHUNK_STRIDE
+            assert 1 <= c.chunk_len <= CHUNK_SIZE
+            assert c.chunk_start + c.chunk_len <= n
+        # full coverage: consecutive starts differ by stride < size
+        assert chunks[-1].chunk_start + chunks[-1].chunk_len == n
