@@ -85,3 +85,31 @@ def test_semdedup_adaptive_k_engages(spark):
     assert kept[4017] is False
     # the corpus isn't degenerately flagged: a large share survives
     assert sum(kept.values()) > n * 0.4
+
+
+def test_hybrid_rrf_fuses_both_sides(spark):
+    """The fused top-10 must rank docs by RRF with contributions from
+    BOTH retrieval sides: at least one result carries a text rank and
+    at least one carries a vector rank; rank is dense 1..10; a doc
+    present in both top-50 lists outscores one with a single equal
+    rank."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL
+
+    out = sorted(
+        entrymod.queries()["hybrid_search_rrf"](spark, SF_SMALL).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in out] == list(range(1, 11))
+    assert any(r.text_rank is not None for r in out)
+    assert any(r.vec_rank is not None for r in out)
+    # rrf monotone non-increasing with rank
+    scores = [r.rrf_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # both-sides doc (if any) beats a one-sided doc with the same
+    # best-side rank
+    both = [r for r in out if r.text_rank is not None and r.vec_rank is not None]
+    if both:
+        assert both[0].rrf_score > 1.0 / (60 + min(
+            x for x in (both[0].text_rank, both[0].vec_rank)
+        ))

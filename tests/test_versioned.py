@@ -529,3 +529,18 @@ def test_versioned_python_datasource_time_travels(spark, tmp_path):
     import pytest as _p
     with _p.raises(Exception, match="not in"):
         rd(9).collect()
+
+
+def test_optimize_zorder_rejects_reserved_columns(spark, tmp_path):
+    """A table whose columns collide with the ZORDER bookkeeping names
+    must be rejected up front — never silently corrupted."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).selectExpr("CAST(id AS INT) AS x",
+                                    "CAST(id AS INT) AS y",
+                                    "CAST(id AS INT) AS _zk")
+    versioned.write_version(df, path)
+    with pytest.raises(ValueError, match="_zk"):
+        versioned.optimize_version(spark, path, target_files=2,
+                                   zorder_cols=("x", "y"))
+    # nothing was committed by the failed OPTIMIZE
+    assert versioned.versions(path) == [0]
