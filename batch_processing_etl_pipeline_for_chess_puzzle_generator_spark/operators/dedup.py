@@ -258,7 +258,9 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str,
         key,
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.expr(f"({agree}) / {N_HASHES}.0").alias("est_jaccard"))
+        .select("doc_a", "doc_b",
+                F.expr(f"({agree}) / CAST({N_HASHES} AS DOUBLE)")
+                .alias("est_jaccard"))
         .persist(),
     )
 
@@ -302,7 +304,8 @@ def doc_minhash64_pairs(spark: SparkSession, sf_dir: str,
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b",
-                F.expr(f"({agree}) / {N_HASHES_W}.0").alias("est_jaccard"))
+                F.expr(f"({agree}) / CAST({N_HASHES_W} AS DOUBLE)")
+                .alias("est_jaccard"))
     )
 
 
@@ -686,7 +689,8 @@ ORACLES = {
                         AND a.band_hash = b.band_hash
                         AND a.doc_id < b.doc_id
         )
-        SELECT doc_a, doc_b, ({_AGREE}) / {N_HASHES}.0 AS est_jaccard
+        SELECT doc_a, doc_b,
+               ({_AGREE}) / CAST({N_HASHES} AS DOUBLE) AS est_jaccard
         FROM pairs
         JOIN sig sa ON doc_a = sa.doc_id
         JOIN sig sb ON doc_b = sb.doc_id
@@ -703,7 +707,8 @@ ORACLES = {
         )
         SELECT doc_a, doc_b,
                ({" + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
-                            for i in range(N_HASHES_W))}) / {N_HASHES_W}.0
+                            for i in range(N_HASHES_W))})
+                   / CAST({N_HASHES_W} AS DOUBLE)
                    AS est_jaccard
         FROM pairs
         JOIN sig sa ON doc_a = sa.doc_id
@@ -1077,7 +1082,8 @@ ORACLES["doc_minhash_verified"] = f"""
                     AND a.doc_id < b.doc_id
     ),
     est AS (
-        SELECT doc_a, doc_b, ({_AGREE}) / {N_HASHES}.0 AS est_jaccard
+        SELECT doc_a, doc_b,
+               ({_AGREE}) / CAST({N_HASHES} AS DOUBLE) AS est_jaccard
         FROM cand
         JOIN sig sa ON doc_a = sa.doc_id
         JOIN sig sb ON doc_b = sb.doc_id

@@ -1684,10 +1684,16 @@ def w_customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_acctbal",
         F.ntile(4).over(w).alias("band"),
-        F.expr("ROUND(percent_rank() OVER (PARTITION BY c_mktsegment "
-               "ORDER BY c_acctbal DESC, c_custkey), 6)").alias("pr"),
-        F.expr("ROUND(cume_dist() OVER (PARTITION BY c_mktsegment "
-               "ORDER BY c_acctbal DESC, c_custkey), 6)").alias("cd"),
+        # ppm integer grid: percent_rank/cume_dist are k/(n-1) raw
+        # doubles whose ROUND(.,6) is last-ulp engine-sensitive; the
+        # BIGINT grid makes the hash engine-stable (house style, cf.
+        # orders_value_anova / doc_zipf_slope).
+        F.expr("CAST(ROUND(percent_rank() OVER (PARTITION BY c_mktsegment "
+               "ORDER BY c_acctbal DESC, c_custkey) * 1e6) AS BIGINT)"
+               ).alias("pr"),
+        F.expr("CAST(ROUND(cume_dist() OVER (PARTITION BY c_mktsegment "
+               "ORDER BY c_acctbal DESC, c_custkey) * 1e6) AS BIGINT)"
+               ).alias("cd"),
         F.expr("nth_value(c_acctbal, 2) OVER (PARTITION BY c_mktsegment "
                "ORDER BY c_acctbal DESC, c_custkey "
                "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
@@ -1710,8 +1716,8 @@ ORACLES["w_customer_value_bands"] = """
     WITH banded AS (
         SELECT c_mktsegment, c_acctbal,
                ntile(4) OVER w AS band,
-               ROUND(percent_rank() OVER w, 6) AS pr,
-               ROUND(cume_dist() OVER w, 6) AS cd,
+               CAST(ROUND(percent_rank() OVER w * 1e6) AS BIGINT) AS pr,
+               CAST(ROUND(cume_dist() OVER w * 1e6) AS BIGINT) AS cd,
                nth_value(c_acctbal, 2) OVER (
                    PARTITION BY c_mktsegment
                    ORDER BY c_acctbal DESC, c_custkey

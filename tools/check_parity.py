@@ -25,7 +25,11 @@ def normalize(rows, colnames) -> list[tuple]:
                 if math.isnan(v):
                     vals.append("nan")
                 else:
-                    vals.append(f"{v:.6f}")
+                    # Full-precision repr: the driver hashes raw values,
+                    # so any sub-1e-6 double drift must fail HERE too
+                    # (a %.6f normalize let w_customer_value_bands ship
+                    # red in r3). -0.0 folds to 0.0 first.
+                    vals.append(repr(v + 0.0 if v == 0 else v))
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
