@@ -2360,3 +2360,137 @@ ORACLES["ev_inter_arrival"] = """
     FROM gaps WHERE gap_min IS NOT NULL
     GROUP BY 1
 """
+
+
+# The runnable-at-100TB twin of ev_funnel_latency: approx_percentile's
+# GK sketch replaces the exact percentile() whose single sorted agg
+# buffer is the scale-killer. Statistical oracle per the registry
+# convention (ev_percentiles_approx): the sketch value must land inside
+# the exact p±0.02 rank bracket computed in the SAME plan, so the
+# DuckDB side only re-derives the group structure and asserts TRUE.
+def ev_funnel_latency_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "MIN(CASE WHEN event_type = 'signup' THEN ts END)"
+            ).alias("t_signup"),
+        )
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per_user.filter(F.col("t_signup").isNotNull()), "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    agged = (
+        first_purchase
+        .withColumn(
+            "latency_min",
+            F.expr(
+                "CAST(unix_micros(t_purchase) - unix_micros(t_signup) "
+                "AS DOUBLE) / 60e6"
+            ),
+        )
+        .groupBy(F.date_trunc("day", "t_signup").alias("signup_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.expr(
+                "approx_percentile(latency_min, array(0.5, 0.9), 10000)"
+            ).alias("ap"),
+            F.expr(
+                "percentile(latency_min, array(0.48, 0.52, 0.88, 0.92))"
+            ).alias("ex"),
+        )
+    )
+    return agged.select(
+        "signup_day",
+        "n_converted",
+        F.expr(
+            f"n_converted < {_APPROX_MIN_N} OR ap[0] BETWEEN ex[0] AND ex[1]"
+        ).alias("p50_ok"),
+        F.expr(
+            f"n_converted < {_APPROX_MIN_N} OR ap[1] BETWEEN ex[2] AND ex[3]"
+        ).alias("p90_ok"),
+    )
+
+
+QUERIES["ev_funnel_latency_approx"] = ev_funnel_latency_approx
+
+ORACLES["ev_funnel_latency_approx"] = """
+    WITH signups AS (
+        SELECT user_id, MIN(ts) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conv AS (
+        SELECT s.user_id, s.t_signup, MIN(e.ts) AS t_purchase
+        FROM signups s
+        JOIN events e ON e.user_id = s.user_id
+                     AND e.event_type = 'purchase'
+                     AND e.ts >= s.t_signup
+        GROUP BY s.user_id, s.t_signup
+    )
+    SELECT CAST(date_trunc('day', t_signup) AS TIMESTAMP) AS signup_day,
+           COUNT(*) AS n_converted,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok
+    FROM conv GROUP BY 1
+"""
+
+
+# Runnable-at-100TB twin of ev_inter_arrival — same lag-diff stream,
+# GK sketch percentiles with the in-plan exact rank-bracket gate.
+def ev_inter_arrival_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    gaps = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(unix_micros(ts) - unix_micros(LAG(ts) OVER ("
+                "PARTITION BY event_type, user_id "
+                "ORDER BY ts, event_id)) AS DOUBLE) / 60e6"
+            ).alias("gap_min"),
+        )
+        .filter(F.col("gap_min").isNotNull())
+    )
+    agged = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr(
+            "approx_percentile(gap_min, array(0.5, 0.9), 10000)"
+        ).alias("ap"),
+        F.expr(
+            "percentile(gap_min, array(0.48, 0.52, 0.88, 0.92))"
+        ).alias("ex"),
+    )
+    return agged.select(
+        "event_type",
+        "n_gaps",
+        F.expr(
+            f"n_gaps < {_APPROX_MIN_N} OR ap[0] BETWEEN ex[0] AND ex[1]"
+        ).alias("p50_ok"),
+        F.expr(
+            f"n_gaps < {_APPROX_MIN_N} OR ap[1] BETWEEN ex[2] AND ex[3]"
+        ).alias("p90_ok"),
+    )
+
+
+QUERIES["ev_inter_arrival_approx"] = ev_inter_arrival_approx
+
+ORACLES["ev_inter_arrival_approx"] = """
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(epoch_us(ts - LAG(ts) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id)) AS DOUBLE) / 60e6 AS gap_min
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok
+    FROM gaps WHERE gap_min IS NOT NULL
+    GROUP BY 1
+"""
