@@ -188,6 +188,14 @@ def write_quarantine(df: DataFrame, rules: dict[str, str], path: str,
     from pyspark.sql import functions as F
     from pyspark.sql.observation import Observation
 
+    if epoch is not None and mode != "overwrite":
+        # the epoch path hardcodes dynamic-partition overwrite (that IS
+        # the idempotence mechanism) — honoring e.g. mode='append' is
+        # impossible, so reject it rather than silently ignore it
+        raise ValueError(
+            f"mode={mode!r} is incompatible with epoch: per-epoch writes "
+            "always use dynamic-partition overwrite for idempotent replay"
+        )
     reserved = {"_violations", "_ok", "_bucket", "_epoch"} & set(df.columns)
     if reserved:
         raise ValueError(

@@ -238,23 +238,27 @@ def write_version(df: DataFrame, table_path: str,
                 "whose JSON form is not order-preserving — cast to a "
                 "numeric, string, date, or timestamp type first"
             )
+    import uuid
+
     version = _next_version(table_path, version)
     os.makedirs(_manifest_path(table_path), exist_ok=True)
-    staged = os.path.join(table_path, f"_staged_{version}")
-    final = os.path.join(table_path, f"v_{version}")
-    # Crash recovery: a previous writer may have died between the data
-    # rename and the manifest publish, leaving an orphaned v_N with no
-    # manifest. The version was never visible (manifest IS visibility),
-    # so clearing the orphan is safe under the single-writer contract —
-    # without this, os.rename below fails forever and the table wedges.
-    if os.path.exists(final):
-        shutil.rmtree(final)
+    # PER-WRITER unique staged AND final dirs (like _publish's tmp
+    # manifest): two writers racing version N each write their own
+    # v_N_<token>; the CAS on the manifest picks the winner, and the
+    # loser's dir is invisible (manifest IS visibility) — it is
+    # removed on conflict below, or by vacuum's orphan sweep after a
+    # crash. A shared final name would let the loser delete/replace
+    # the winner's already-committed data.
+    token = uuid.uuid4().hex[:12]
+    data_dir = f"v_{version}_{token}"
+    staged = os.path.join(table_path, f"_staged_{version}_{token}")
+    final = os.path.join(table_path, data_dir)
     df.write.mode("overwrite").parquet(staged)
     os.rename(staged, final)
-    files = _list_data_files(table_path, f"v_{version}")
+    files = _list_data_files(table_path, data_dir)
     manifest = {
         "version": version,
-        "dir": f"v_{version}",
+        "dir": data_dir,
         "files": files,
         "schema": df.schema.json(),
     }
@@ -263,7 +267,11 @@ def write_version(df: DataFrame, table_path: str,
         manifest["stats"] = _file_stats(
             df.sparkSession, table_path, files, stats_col
         )
-    return _publish(table_path, manifest)
+    try:
+        return _publish(table_path, manifest)
+    except CommitConflict:
+        shutil.rmtree(final, ignore_errors=True)
+        raise
 
 
 def merge_version_cow(spark: SparkSession, table_path: str,
@@ -294,8 +302,11 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     """
     from pyspark.sql import functions as F
 
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
     version = _next_version(table_path, version)
-    parent = _load_manifest(table_path, versions(table_path)[-1])
+    parent = _load_manifest(table_path, avail[-1])
     data_cols = [f["name"] for f in json.loads(parent["schema"])["fields"]]
     if "files" in parent:
         pfiles = parent["files"]
@@ -335,9 +346,12 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     else:
         candidates = list(pfiles)
 
-    # 2. exact touched set over candidates only
+    # 2. exact touched set over candidates only. Keyed by full
+    # table-relative path, NOT basename: parent files span multiple
+    # version dirs, and a basename collision across dirs would
+    # silently drop an untouched file from the child manifest.
     keys = F.broadcast(changes.select(key_col).distinct())
-    touched_abs = set()
+    touched_rel: set = set()
     if candidates:
         cand_df = spark.read.parquet(
             *[os.path.join(table_path, f) for f in candidates]
@@ -347,18 +361,22 @@ def merge_version_cow(spark: SparkSession, table_path: str,
             .join(keys, key_col, "left_semi")
             .select("f").distinct().collect()
         )
-        touched_abs = {os.path.basename(_uri_to_path(r["f"])) for r in rows}
-    touched = [f for f in candidates if os.path.basename(f) in touched_abs]
-    untouched = [f for f in pfiles if os.path.basename(f) not in touched_abs]
+        troot = os.path.abspath(table_path)
+        touched_rel = {
+            os.path.relpath(_uri_to_path(r["f"]), troot) for r in rows
+        }
+    touched = [f for f in candidates if f in touched_rel]
+    untouched = [f for f in pfiles if f not in touched_rel]
 
-    # 3. rewrite only the touched files, merged with the changes
-    staged = os.path.join(table_path, f"_staged_{version}")
-    final_dir = f"d_{version}"
+    # 3. rewrite only the touched files, merged with the changes.
+    # Per-writer unique dirs — see write_version: a losing concurrent
+    # merge must never be able to delete the winner's committed data.
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    staged = os.path.join(table_path, f"_staged_{version}_{token}")
+    final_dir = f"d_{version}_{token}"
     final = os.path.join(table_path, final_dir)
-    if os.path.exists(final):
-        import shutil
-
-        shutil.rmtree(final)
     # NULL delete flags count as upserts — without the coalesce, ~NULL
     # is NULL and the row would silently vanish (key anti-joined away
     # but never re-inserted).
@@ -395,7 +413,13 @@ def merge_version_cow(spark: SparkSession, table_path: str,
                      if new_files else {})
         manifest["stats_col"] = key_col
         manifest["stats"] = stats
-    _publish(table_path, manifest)
+    try:
+        _publish(table_path, manifest)
+    except CommitConflict:
+        import shutil
+
+        shutil.rmtree(final, ignore_errors=True)
+        raise
     return {
         "version": version,
         "files_total": len(untouched) + len(new_files),
@@ -455,9 +479,8 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
         if d.startswith("_staged_"):
             shutil.rmtree(full, ignore_errors=True)
             continue
-        versioned_dir = (
-            (d.startswith("v_") or d.startswith("d_")) and d[2:].isdigit()
-        )
+        stem = d[2:].split("_", 1)[0]  # v_3_ab12cd → "3"; v_3 → "3"
+        versioned_dir = (d.startswith("v_") or d.startswith("d_")) and stem.isdigit()
         if not versioned_dir:
             continue
         for f in list(os.listdir(full)):

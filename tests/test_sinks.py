@@ -232,3 +232,8 @@ def test_quarantine_null_rule_is_violation_and_reserved_names_rejected(
     clash = df.withColumnRenamed("amount", "_bucket")
     with _p.raises(ValueError, match="_bucket"):
         write_quarantine(clash, {"r": "id > 0"}, str(tmp_path / "q2"))
+    # epoch hardcodes dynamic-partition overwrite; a conflicting mode
+    # must be rejected, not silently ignored
+    with _p.raises(ValueError, match="incompatible with epoch"):
+        write_quarantine(df, {"r": "id > 0"}, str(tmp_path / "q3"),
+                         mode="append", epoch=1)

@@ -66,20 +66,29 @@ def test_read_version_scans_only_its_dir(spark, tmp_path):
     path = str(tmp_path / "tbl")
     versioned.write_version(_mk(spark, [(1, "a")]), path)
     versioned.write_version(_mk(spark, [(2, "b")]), path)
+    d0 = versioned._load_manifest(path, 0)["dir"]
+    d1 = versioned._load_manifest(path, 1)["dir"]
     files = versioned.read_version(spark, path, 0).inputFiles()
-    assert files and all("/v_0/" in f for f in files)
-    assert not any("/v_1/" in f for f in files)
+    assert files and all(f"/{d0}/" in f for f in files)
+    assert not any(f"/{d1}/" in f for f in files)
 
 
 def test_write_recovers_from_crash_orphan(spark, tmp_path):
     """A writer that died between the data rename and the manifest
-    publish must not wedge the NEXT writer: the orphaned v_N dir is
-    cleared and version N commits cleanly."""
+    publish must not wedge the NEXT writer: data dirs are per-writer
+    unique, so version N commits cleanly alongside the orphan, which
+    vacuum's sweep then reclaims."""
     path = str(tmp_path / "tbl")
     versioned.write_version(_mk(spark, [(1, "a")]), path)
-    os.makedirs(os.path.join(path, "v_1", "junk"))
+    orphan = os.path.join(path, "v_1_deadbeef0000")
+    os.makedirs(os.path.join(orphan, "junk"))
     v = versioned.write_version(_mk(spark, [(2, "b")]), path)
     assert v == 1
+    got = [tuple(r) for r in versioned.read_version(spark, path, 1).collect()]
+    assert got == [(2, "b")]
+    versioned.vacuum(path, keep_last=2)
+    assert not os.path.exists(orphan)
+    # the live version is untouched by the sweep
     got = [tuple(r) for r in versioned.read_version(spark, path, 1).collect()]
     assert got == [(2, "b")]
 
@@ -90,13 +99,15 @@ def test_vacuum_retention(spark, tmp_path):
     path = str(tmp_path / "tbl")
     for i in range(4):
         versioned.write_version(_mk(spark, [(i, "x")]), path)
+    v0_dir = os.path.join(path, versioned._load_manifest(path, 0)["dir"])
+    assert os.path.isdir(v0_dir)
     # crash orphans: staged dir + data dir without manifest
     os.makedirs(os.path.join(path, "_staged_9"))
     os.makedirs(os.path.join(path, "v_9"))
     dropped = versioned.vacuum(path, keep_last=2)
     assert dropped == [0, 1]
     assert versioned.versions(path) == [2, 3]
-    assert not os.path.exists(os.path.join(path, "v_0"))
+    assert not os.path.exists(v0_dir)
     assert not os.path.exists(os.path.join(path, "_staged_9"))
     assert not os.path.exists(os.path.join(path, "v_9"))
     with pytest.raises(ValueError, match="not in"):
@@ -201,9 +212,10 @@ def test_cow_read_plans_shared_plus_new_files(spark, tmp_path):
     ch = spark.createDataFrame([(1, "x", False)],
                                "k INT, v STRING, is_delete BOOLEAN")
     versioned.merge_version_cow(spark, path, ch, "k")
+    d0 = versioned._load_manifest(path, 0)["dir"]
     files = versioned.read_version(spark, path, 1).inputFiles()
-    assert any("/v_0/" in f for f in files)
-    assert any("/d_1/" in f for f in files)
+    assert any(f"/{d0}/" in f for f in files)
+    assert any("/d_1_" in f for f in files)
 
 
 def test_cow_vacuum_refcounts_shared_files(spark, tmp_path):
@@ -376,7 +388,9 @@ def test_stats_col_date_supported_decimal_rejected(spark, tmp_path):
         versioned.write_version(dec, dec_path, stats_col="k")
     assert versioned.versions(dec_path) == []
     import os as _os
-    assert not _os.path.exists(_os.path.join(dec_path, "v_0"))
+    assert not _os.path.exists(dec_path) or not [
+        d for d in _os.listdir(dec_path) if d.startswith(("v_", "_staged_"))
+    ]
 
 
 def test_vacuum_preserves_markers_in_live_dirs(spark, tmp_path):
@@ -387,7 +401,9 @@ def test_vacuum_preserves_markers_in_live_dirs(spark, tmp_path):
     path = str(tmp_path / "tbl")
     versioned.write_version(_mk_ranged(spark, 20, 1), path)
     versioned.write_version(_mk_ranged(spark, 20, 1), path)
-    success = _os.path.join(path, "v_1", "_SUCCESS")
+    success = _os.path.join(
+        path, versioned._load_manifest(path, 1)["dir"], "_SUCCESS"
+    )
     assert _os.path.exists(success)
     versioned.vacuum(path, keep_last=1)
     assert _os.path.exists(success)
@@ -544,3 +560,67 @@ def test_optimize_zorder_rejects_reserved_columns(spark, tmp_path):
                                    zorder_cols=("x", "y"))
     # nothing was committed by the failed OPTIMIZE
     assert versioned.versions(path) == [0]
+
+
+def test_losing_concurrent_writer_cannot_clobber_winner(spark, tmp_path,
+                                                        monkeypatch):
+    """Two writers race version 1: B resolves the version number, A
+    commits it first. B must get CommitConflict AND the winner's data
+    must stay readable — a shared final dir name would let B delete
+    A's committed files before its own publish fails."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk(spark, [(1, "a")]), path)  # v0
+
+    real_next = versioned._next_version
+
+    def racing_next(table_path, version):
+        v = real_next(table_path, version)
+        monkeypatch.undo()  # writer A below uses the real resolver
+        versioned.write_version(_mk(spark, [(2, "A")]), table_path,
+                                version=v)
+        return v
+
+    monkeypatch.setattr(versioned, "_next_version", racing_next)
+    with pytest.raises(versioned.CommitConflict):
+        versioned.write_version(_mk(spark, [(3, "B")]), path)
+    got = [tuple(r) for r in versioned.read_version(spark, path, 1).collect()]
+    assert got == [(2, "A")]
+    # the loser's staged data did not linger as a visible or orphan dir
+    lingering = [d for d in os.listdir(path)
+                 if d.startswith(("_staged_", "v_1"))
+                 and d != versioned._load_manifest(path, 1)["dir"]]
+    assert lingering == []
+
+
+def test_losing_concurrent_merge_cannot_clobber_winner(spark, tmp_path,
+                                                       monkeypatch):
+    """Same race through merge_version_cow: the losing COW merge must
+    conflict cleanly and leave the winner's v1 intact."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk(spark, [(1, "a"), (2, "b")]), path)
+
+    real_next = versioned._next_version
+
+    def racing_next(table_path, version):
+        v = real_next(table_path, version)
+        monkeypatch.undo()
+        versioned.write_version(_mk(spark, [(9, "A")]), table_path,
+                                version=v)
+        return v
+
+    monkeypatch.setattr(versioned, "_next_version", racing_next)
+    ch = spark.createDataFrame([(1, "B", False)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    with pytest.raises(versioned.CommitConflict):
+        versioned.merge_version_cow(spark, path, ch, "k")
+    got = [tuple(r) for r in versioned.read_version(spark, path, 1).collect()]
+    assert got == [(9, "A")]
+
+
+def test_merge_on_empty_table_raises_filenotfound(spark, tmp_path):
+    """MERGE against a table with no committed versions follows the
+    read_version contract (FileNotFoundError, not IndexError)."""
+    ch = spark.createDataFrame([(1, "x", False)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    with pytest.raises(FileNotFoundError):
+        versioned.merge_version_cow(spark, str(tmp_path / "nope"), ch, "k")
