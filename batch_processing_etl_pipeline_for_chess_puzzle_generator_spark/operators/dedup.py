@@ -507,10 +507,15 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= CLUSTER_MIN_JACCARD)
         .select("doc_a", "doc_b")
     )
+    # localCheckpoint, not persist: every propagation round re-plans
+    # edges' logical tree (persist only short-circuits execution), and
+    # that tree embeds the MinHash subtree twice — truncating lineage
+    # once here removes a flat per-round Catalyst cost (see
+    # doc_pagerank).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -810,16 +815,23 @@ PR_ITERS = 3
 _PR_TELEPORT = "CAST(ROUND(150000000000.0 / n, 0) AS BIGINT)"
 
 
-def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_pagerank(spark: SparkSession, sf_dir: str,
+                 checkpoint_every: int = 4) -> DataFrame:
     pairs = (
         doc_minhash_pairs(spark, sf_dir)
         .filter(F.col("est_jaccard") >= CLUSTER_MIN_JACCARD)
         .select("doc_a", "doc_b")
     )
+    # localCheckpoint (not persist): edges is referenced by deg and by
+    # every iteration, and each logical-plan REFERENCE duplicates the
+    # whole upstream MinHash subtree — persist short-circuits execution
+    # but Catalyst still re-optimizes the duplicated tree on every
+    # action, a flat SF-independent driver cost that dominated this
+    # operator. Truncating lineage makes each reference a leaf.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
+        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("n_out"))
     cnt = deg.agg(F.count(F.lit(1)).alias("n"))
@@ -830,7 +842,7 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST(ROUND(1e12 / n, 0) AS BIGINT)").alias("r"),
     )
-    for _ in range(PR_ITERS):
+    for i in range(PR_ITERS):
         contrib = (
             ranks.join(edges, ranks.doc_id == edges.src)
             .select("dst", F.expr("CAST(ROUND(r / n_out, 0) AS BIGINT)").alias("c"))
@@ -847,11 +859,18 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{_PR_TELEPORT} + CAST(ROUND(0.85 * COALESCE(s, 0), 0) AS BIGINT)"
                 ).alias("r"),
             )
-            # truncate lineage each iteration (the 100 TB pattern is a
-            # checkpoint to durable storage); without it round N's plan
-            # replays rounds 1..N-1
-            .localCheckpoint()
         )
+        # Each rank frame feeds the next iteration exactly ONCE and
+        # edges/nodes are persisted, so the un-truncated plan is a
+        # LINEAR chain one job executes end-to-end — an eager
+        # checkpoint per iteration only adds a fixed job-submission +
+        # materialize cost (it doubled this operator's wall clock).
+        # Deep iteration counts still truncate periodically so plan
+        # depth stays bounded (the 100 TB pattern is the same cadence
+        # against durable storage).
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < PR_ITERS:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         "doc_id", F.col("r").alias("rank_micro"), F.expr("r / 1e12").alias("rank")
     )
