@@ -38,8 +38,9 @@ class _FilePartition(InputPartition):
 
 
 class VersionedReader(DataSourceReader):
-    def __init__(self, files: list[str]):
+    def __init__(self, files: list[str], schema: StructType):
         self.files = files
+        self.target = schema
 
     def partitions(self):
         # an empty-files version (all rows merged away) still needs one
@@ -50,13 +51,35 @@ class VersionedReader(DataSourceReader):
         return [_FilePartition(f) for f in self.files]
 
     def read(self, partition: _FilePartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         if partition is None or partition.path is None:
             return
         # stream row groups as Arrow batches — bounded memory per task
         f = pq.ParquetFile(partition.path)
-        yield from f.iter_batches()
+        missing = [name for name in self.target.fieldNames()
+                   if name not in f.schema_arrow.names]
+        if not missing:
+            yield from f.iter_batches()
+            return
+        # schema-evolved table: this file predates one or more columns
+        # of the manifest schema — NULL-backfill them (the same
+        # semantics read_version gets from the explicit-schema scan)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.target)
+        for batch in f.iter_batches():
+            cols = []
+            for field in target:
+                if field.name in batch.schema.names:
+                    col = batch.column(batch.schema.names.index(field.name))
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                    cols.append(col)
+                else:
+                    cols.append(pa.nulls(batch.num_rows, type=field.type))
+            yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 class VersionedDataSource(DataSource):
@@ -99,4 +122,4 @@ class VersionedDataSource(DataSource):
         return self._resolve()[0]
 
     def reader(self, schema) -> VersionedReader:
-        return VersionedReader(self._resolve()[1])
+        return VersionedReader(self._resolve()[1], self._resolve()[0])

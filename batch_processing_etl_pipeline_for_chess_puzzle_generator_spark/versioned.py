@@ -277,7 +277,8 @@ def write_version(df: DataFrame, table_path: str,
 def merge_version_cow(spark: SparkSession, table_path: str,
                       changes: DataFrame, key_col: str,
                       delete_col: str = "is_delete",
-                      version: int | None = None) -> dict:
+                      version: int | None = None,
+                      evolve_schema: bool = False) -> dict:
     """Copy-on-write MERGE: commit a new version that REWRITES ONLY the
     parent files containing a change key and SHARES every other file
     with the parent (Delta's MERGE physical plan).
@@ -299,15 +300,39 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     ``changes`` must have the parent's data columns plus a boolean
     ``delete_col`` (a NULL flag is treated as an upsert). Returns
     commit stats: files shared vs rewritten.
+
+    Schema evolution (``evolve_schema=True``): columns in ``changes``
+    beyond the parent schema are ADDED to the table (Delta's
+    mergeSchema). The child manifest records the widened schema;
+    untouched parent files are still shared byte-identically, and the
+    read path NULL-backfills the new columns for them by reading with
+    the manifest schema — no historical rewrite, exactly Delta's
+    add-column mechanics. Time travel to pre-evolution versions keeps
+    the old schema. Without the flag, extra columns raise.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     avail = versions(table_path)
     if not avail:
         raise FileNotFoundError(f"no committed versions at {table_path}")
     version = _next_version(table_path, version)
     parent = _load_manifest(table_path, avail[-1])
-    data_cols = [f["name"] for f in json.loads(parent["schema"])["fields"]]
+    parent_struct = T.StructType.fromJson(json.loads(parent["schema"]))
+    data_cols = [f.name for f in parent_struct.fields]
+    extra = [f for f in changes.schema.fields
+             if f.name not in data_cols and f.name != delete_col]
+    if extra and not evolve_schema:
+        raise ValueError(
+            f"changes carry columns {[f.name for f in extra]} not in the "
+            "table schema — pass evolve_schema=True to add them "
+            "(NULL-backfilled for existing rows), or drop them"
+        )
+    out_struct = T.StructType(
+        parent_struct.fields
+        + [T.StructField(f.name, f.dataType, True) for f in extra]
+    )
+    out_cols = [f.name for f in out_struct.fields]
     if "files" in parent:
         pfiles = parent["files"]
     else:  # legacy dir-level manifest
@@ -382,14 +407,16 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     # but never re-inserted).
     upserts = changes.filter(
         ~F.coalesce(F.col(delete_col), F.lit(False))
-    ).select(*data_cols)
+    ).select(*out_cols)
     if touched:
+        # reading touched files with the (possibly widened) manifest
+        # schema NULL-backfills any evolved columns they predate
         kept = (
-            spark.read.parquet(
+            spark.read.schema(out_struct).parquet(
                 *[os.path.join(table_path, f) for f in touched]
             )
             .join(keys, key_col, "left_anti")
-            .select(*data_cols)
+            .select(*out_cols)
         )
         merged = kept.unionByName(upserts)
     else:
@@ -405,7 +432,7 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     manifest = {
         "version": version,
         "files": untouched + new_files,
-        "schema": parent["schema"],
+        "schema": out_struct.json() if extra else parent["schema"],
     }
     if parent.get("stats_col") == key_col:
         stats = {f: pstats[f] for f in untouched}
@@ -522,12 +549,16 @@ def read_version(spark: SparkSession, table_path: str,
         raise ValueError(f"version {version} not in {avail} at {table_path}")
     manifest = _load_manifest(table_path, version)
     if "files" in manifest:
-        if not manifest["files"]:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            schema = StructType.fromJson(json.loads(manifest["schema"]))
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        if not manifest["files"]:
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(
+        # Read with the MANIFEST schema, not parquet inference: after a
+        # schema-evolving MERGE, shared pre-evolution files lack the
+        # new columns and this NULL-backfills them (Delta's read path);
+        # it also pins column order/nullability to what was committed.
+        return spark.read.schema(schema).parquet(
             *[os.path.join(table_path, f) for f in manifest["files"]]
         )
     return spark.read.parquet(os.path.join(table_path, manifest["dir"]))

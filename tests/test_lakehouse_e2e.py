@@ -70,15 +70,47 @@ def test_lakehouse_pipeline_end_to_end(spark, tmp_path):
     assert s1[5] == 500.0 and 7 not in s1 and s1[200] == 42.0 and len(s1) == 40
     assert s2 == s1  # OPTIMIZE changed layout, not content
 
-    # 7. DESCRIBE HISTORY reflects sharing, then vacuum retires v0/v1
+    # 7. schema-evolving MERGE: a CDC batch arrives with a new column
+    ch2 = spark.createDataFrame(
+        [(5, 555.0, 2, "EUR", False), (300, 7.0, 1, "USD", False)],
+        "k INT, amount DOUBLE, day INT, currency STRING, is_delete BOOLEAN",
+    )
+    import pytest
+    with pytest.raises(ValueError, match="evolve_schema"):
+        versioned.merge_version_cow(spark, table, ch2, "k")
+    estats = versioned.merge_version_cow(spark, table, ch2, "k",
+                                         evolve_schema=True)
+    assert estats["files_shared"] >= 1  # untouched files NOT rewritten
+    s3 = {r.k: (r.amount, r.currency)
+          for r in versioned.read_version(spark, table).collect()}
+    assert s3[5] == (555.0, "EUR") and s3[300] == (7.0, "USD")
+    # pre-evolution rows are NULL-backfilled, not rewritten
+    assert s3[200] == (42.0, None) and len(s3) == 41
+    # time travel ACROSS the schema change: old versions keep old schema
+    assert "currency" not in versioned.read_version(spark, table, 1).columns
+    assert s1 == {r.k: r.amount
+                  for r in versioned.read_version(spark, table, 1).collect()}
+    # the format("versioned") reader serves the evolved schema too
+    spark.dataSource.register(
+        __import__(
+            "batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds",
+            fromlist=["VersionedDataSource"],
+        ).VersionedDataSource
+    )
+    ds = (spark.read.format("versioned").option("path", table).load()
+          .collect())
+    assert {r.k: (r.amount, r.currency) for r in ds} == s3
+
+    # 8. DESCRIBE HISTORY reflects sharing, then vacuum retires v0-v2
     hist = {r.version: r for r in versioned.history(spark, table).collect()}
     assert hist[1].files_shared_with_prev >= 2
     dropped = versioned.vacuum(table, keep_last=1)
-    assert dropped == [0, 1]
-    final = {r.k: r.amount for r in versioned.read_version(spark, table).collect()}
-    assert final == s1
+    assert dropped == [0, 1, 2]
+    final = {r.k: (r.amount, r.currency)
+             for r in versioned.read_version(spark, table).collect()}
+    assert final == s3
     # everything not referenced by the surviving manifest is gone
-    live = set(versioned._load_manifest(table, 2)["files"])
+    live = set(versioned._load_manifest(table, 3)["files"])
     on_disk = {
         f"{d}/{f}"
         for d in os.listdir(table)
