@@ -62,6 +62,72 @@ def read_partitioned(spark: SparkSession, path: str, fmt: str = "parquet",
     return reader.load(path)
 
 
+def write_partitioned_evolving(df: DataFrame, path: str,
+                               partition_cols: list[str],
+                               fmt: str = "parquet") -> int:
+    """Partition-spec evolution over the hive layout (Iceberg's
+    partition evolution, expressed Spark-first): each distinct spec
+    gets its own ``spec=N`` subtree, recorded in ``_spec.json``. Old
+    data is NEVER rewritten when the spec changes — new writes land
+    under the new spec, and :func:`read_partitioned_evolving` unions
+    the subtrees. Appending with the CURRENT spec reuses its subtree.
+    Returns the spec id written to.
+
+    Why not rewrite: at 100 TB a repartition of history is a full-table
+    job; the whole point of spec evolution is that yesterday's layout
+    keeps serving yesterday's data while today's queries prune on the
+    new key for new data.
+    """
+    import json as _json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    spec_file = os.path.join(path, "_spec.json")
+    specs: list[list[str]] = []
+    if os.path.exists(spec_file):
+        with open(spec_file) as fh:
+            specs = _json.load(fh)
+    if specs and specs[-1] == list(partition_cols):
+        spec_id = len(specs) - 1
+    else:
+        specs.append(list(partition_cols))
+        spec_id = len(specs) - 1
+        tmp = spec_file + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(specs, fh)
+        os.replace(tmp, spec_file)
+    write_partitioned(df, os.path.join(path, f"spec={spec_id}"),
+                      list(partition_cols), fmt=fmt, mode="append")
+    return spec_id
+
+
+def read_partitioned_evolving(spark: SparkSession, path: str,
+                              fmt: str = "parquet") -> DataFrame:
+    """Read a spec-evolved table: one pruned scan per spec subtree,
+    ``unionByName`` with NULL-fill for partition columns an older spec
+    lacks. A filter on a new-spec partition column folds the old
+    subtrees to empty relations (NULL = literal is constant-false), so
+    partition pruning survives the union in every branch."""
+    import json as _json
+    import os
+
+    spec_file = os.path.join(path, "_spec.json")
+    with open(spec_file) as fh:
+        specs = _json.load(fh)
+    out = None
+    for spec_id in range(len(specs)):
+        sub = os.path.join(path, f"spec={spec_id}")
+        if not os.path.isdir(sub):
+            continue  # spec registered but never written
+        part = spark.read.format(fmt).load(sub)
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    if out is None:
+        raise FileNotFoundError(f"no spec subtrees under {path}")
+    return out
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int, sort_cols: list[str] | None = None,
                    fmt: str = "parquet") -> None:

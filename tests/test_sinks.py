@@ -237,3 +237,55 @@ def test_quarantine_null_rule_is_violation_and_reserved_names_rejected(
     with _p.raises(ValueError, match="incompatible with epoch"):
         write_quarantine(df, {"r": "id > 0"}, str(tmp_path / "q3"),
                          mode="append", epoch=1)
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Iceberg-style partition-spec evolution: day-partitioned history
+    stays in place when the spec widens to (day, region); the union
+    read NULL-fills, and filters still prune — a new-key filter folds
+    the old subtree out of the plan entirely."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import (
+        read_partitioned_evolving,
+        write_partitioned_evolving,
+    )
+
+    path = str(tmp_path / "t")
+    old = spark.createDataFrame(
+        [(1, 10, "x"), (2, 11, "y")], "id INT, day INT, payload STRING"
+    )
+    assert write_partitioned_evolving(old, path, ["day"]) == 0
+    new = spark.createDataFrame(
+        [(3, 12, "eu", "z"), (4, 12, "us", "w")],
+        "id INT, day INT, region STRING, payload STRING",
+    )
+    assert write_partitioned_evolving(new, path, ["day", "region"]) == 1
+    # appending with the current spec reuses it
+    more = spark.createDataFrame(
+        [(5, 13, "eu", "q")], "id INT, day INT, region STRING, payload STRING"
+    )
+    assert write_partitioned_evolving(more, path, ["day", "region"]) == 1
+
+    df = read_partitioned_evolving(spark, path)
+    got = {r.id: (r.day, r.region) for r in df.collect()}
+    assert got == {1: (10, None), 2: (11, None), 3: (12, "eu"),
+                   4: (12, "us"), 5: (13, "eu")}
+
+    # filter on the NEW partition key: the old-spec union branch folds
+    # to an empty relation (NULL = 'eu' is constant-false), so spec=0
+    # files never enter the plan at all
+    eu = df.filter("region = 'eu'")
+    assert sorted(r.id for r in eu.collect()) == [3, 5]
+    files = eu.inputFiles()
+    assert files and all("/spec=1/" in f for f in files)
+    # and within spec 1 the predicate reaches PartitionFilters
+    plan = eu._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "region" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+
+    # filter on the SHARED partition key prunes within both subtrees
+    d12 = df.filter("day = 12")
+    assert sorted(r.id for r in d12.collect()) == [3, 4]
+    plan = d12._jdf.queryExecution().executedPlan().toString()
+    parts = plan.split("PartitionFilters")[1:]
+    assert len(parts) >= 2  # one pruned scan per spec subtree
+    assert all("day" in p.split("]", 1)[0] for p in parts)
