@@ -122,11 +122,32 @@ def to_pgn(flat: DataFrame, numbered: bool = True) -> DataFrame:
     return out
 
 
-def write_pgn(flat: DataFrame, output_path: str, numbered: bool = True) -> None:
+def write_pgn(flat: DataFrame, output_path: str, numbered: bool = True,
+              per_source_col: str | None = None) -> None:
     """Distributed PGN sink: every executor writes its own split —
     the Spark-native replacement for the reference's foreachPartition
     with driver-side file appends. Releases to_pgn's numbering persist
-    once the write lands."""
+    once the write lands.
+
+    ``per_source_col`` reproduces the reference's one-PGN-per-input-
+    file layout (etl/transform.py:36-54 writes ``{source}.pgn`` per raw
+    file): rows land under ``<col>=<source>/`` via ``partitionBy`` and
+    [Game N] numbering RESTARTS per source, exactly the reference's
+    per-file ``count`` — still one distributed plan, no driver loop."""
+    if per_source_col is not None:
+        w = Window.partitionBy(per_source_col).orderBy("game_id")
+        df = flat.select(
+            F.col(per_source_col),
+            pgn_block(F.row_number().over(w) if numbered else None)
+            .alias("pgn"),
+        )
+        (
+            df.repartition(F.col(per_source_col))
+            .write.mode("overwrite")
+            .partitionBy(per_source_col)
+            .text(output_path)
+        )
+        return
     df = to_pgn(flat, numbered=numbered)
     try:
         df.write.mode("overwrite").text(output_path)

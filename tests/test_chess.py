@@ -119,6 +119,27 @@ def test_write_pgn_distributed_sink(spark, ndjson_dir, tmp_path):
     assert '[Game ID "g1"]' in text and '[Game ID "g4"]' in text
 
 
+def test_write_pgn_per_source_file(spark, ndjson_dir, tmp_path):
+    """Reference parity (etl/transform.py:36-54): one PGN output per
+    raw input file, with [Game N] numbering restarting per file."""
+    from pyspark.sql import functions as F
+
+    flat = puzzle_pipeline(read_games(spark, str(ndjson_dir))).withColumn(
+        "source_file",
+        F.regexp_extract(F.input_file_name(), r"([^/]+)\.ndjson", 1),
+    )
+    sources = {r.source_file for r in flat.select("source_file").collect()}
+    assert len(sources) == 2
+    out = tmp_path / "pgn_by_src"
+    write_pgn(flat, str(out), per_source_col="source_file")
+    for src in sources:
+        files = sorted((out / f"source_file={src}").glob("part-*"))
+        assert files, f"no output for {src}"
+        text = "\n".join(p.read_text() for p in files)
+        # numbering restarts in every source's output
+        assert "[Game 1]" in text
+
+
 def test_corrupt_records_quarantined(spark, tmp_path):
     p = tmp_path / "bad.ndjson"
     p.write_text(json.dumps(GAMES[0]) + "\n" + "{not json]]\n")
