@@ -61,3 +61,44 @@ def extract_batch(fetch: Fetcher,
     cursor.set(until)
     log.info("wrote %d rows to %s", n, out)
     return out
+
+
+def http_ndjson_fetcher(url: str,
+                        params: dict | None = None,
+                        headers: dict | None = None,
+                        timeout: float = 30.0,
+                        since_param: str = "since",
+                        until_param: str = "until",
+                        transport: Callable[..., str] | None = None
+                        ) -> Fetcher:
+    """Build a :data:`Fetcher` over an ND-JSON HTTP endpoint — the
+    reference's requests-based extraction (etl/extract.py:41-88) as an
+    adapter for :func:`extract_batch`, which fixes the reference's
+    save-cursor-before-durable-write drop window by construction (the
+    cursor here advances only after the batch file lands).
+
+    ``transport(url, params, headers, timeout) -> str`` is injectable
+    for tests and for non-requests stacks; the default uses
+    ``requests`` with raise-for-status. The (since, until] window is
+    passed through ``since_param``/``until_param`` (a None since is
+    omitted — full-history first pull, like the reference's absent
+    cursor file)."""
+    def default_transport(u, p, h, t) -> str:
+        import requests
+
+        resp = requests.get(u, params=p, headers=h, timeout=t)
+        resp.raise_for_status()
+        return resp.text
+
+    send = transport or default_transport
+
+    def fetch(since: str | None, until: str) -> Iterable[dict]:
+        p = dict(params or {})
+        if since is not None:
+            p[since_param] = since
+        p[until_param] = until
+        h = {"Accept": "application/x-ndjson", **(headers or {})}
+        body = send(url, p, h, timeout)
+        return [json.loads(line) for line in body.splitlines() if line.strip()]
+
+    return fetch

@@ -202,3 +202,40 @@ def test_write_ndjson_atomic_and_empty(tmp_path):
     assert p.read_text() == ""
     assert write_ndjson([{"a": 1}, {"b": "é"}], p) == 2
     assert "é" in p.read_text()
+
+
+def test_http_ndjson_fetcher_window_and_parse(tmp_path):
+    """The HTTP adapter passes the (since, until] window through the
+    query params, omits a None since, parses ND-JSON bodies, and
+    composes with extract_batch's durable-write-then-cursor ordering
+    (no network: transport is injected)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.extract import (
+        extract_batch,
+        http_ndjson_fetcher,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.incremental import Cursor
+
+    calls = []
+
+    def fake_transport(url, params, headers, timeout):
+        calls.append((url, dict(params), dict(headers)))
+        return '{"id": "g1"}\n{"id": "g2"}\n\n'
+
+    fetch = http_ndjson_fetcher(
+        "https://example.invalid/games", params={"max": 3},
+        transport=fake_transport,
+    )
+    rows = list(fetch(None, "t1"))
+    assert rows == [{"id": "g1"}, {"id": "g2"}]
+    url, params, headers = calls[-1]
+    assert "since" not in params and params["until"] == "t1"
+    assert params["max"] == 3
+    assert headers["Accept"] == "application/x-ndjson"
+
+    cur = Cursor(tmp_path / "cursor.txt")
+    out = extract_batch(fetch, cur, tmp_path / "raw", "games", "t2")
+    assert out is not None and out.read_text().count("\n") == 2
+    assert cur.get() == "t2"
+    # second window carries the advanced cursor as `since`
+    list(fetch(cur.get(), "t3"))
+    assert calls[-1][1]["since"] == "t2" and calls[-1][1]["until"] == "t3"
