@@ -2164,3 +2164,164 @@ ORACLES["hybrid_search_rrf"] = f"""
                 AS BIGINT) AS rank
     FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
+
+
+# ------------------------------------- binary quantization / hamming
+# Sign-bit binary embeddings: 64 float dims pack into TWO 32-bit words
+# (16 bytes/vector, a 16x memory cut vs float32), and similarity
+# becomes popcount(xor) — the binary-quantization retrieval shape
+# (cf. faiss IndexBinaryFlat). 32-bit words keep every shift positive
+# in BOTH engines (a 1<<63 BIGINT sign bit is an overflow trap in
+# DuckDB). All arithmetic is integer → the oracle is bit-exact by
+# construction. At 100 TB the packed words are a narrow projected
+# column scan; queries broadcast; the only shuffle is the per-query
+# top-k window over candidates.
+BQ_WORDS = 2
+BQ_WORD_BITS = 32
+
+
+def _bq_pack_expr(col: str, word: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN CAST(element_at({col}, {word * BQ_WORD_BITS + j + 1}) "
+        f"AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(BQ_WORD_BITS)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+_BQ_HAMMING = " + ".join(
+    f"bit_count(qw{w} ^ cw{w})" for w in range(BQ_WORDS)
+)
+
+
+def _bq_split(spark: SparkSession, sf_dir: str):
+    q, c = _split(spark, sf_dir)
+    qb = q.select(
+        "q_id", "qa", "qn",
+        *[F.expr(_bq_pack_expr("qe", w)).alias(f"qw{w}")
+          for w in range(BQ_WORDS)],
+    )
+    cb = c.select(
+        "c_id", "ca", "cn",
+        *[F.expr(_bq_pack_expr("ce", w)).alias(f"cw{w}")
+          for w in range(BQ_WORDS)],
+    )
+    return qb, cb
+
+
+def emb_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by Hamming distance over sign-bit packed embeddings."""
+    from pyspark.sql.window import Window
+
+    qb, cb = _bq_split(spark, sf_dir)
+    scored = cb.crossJoin(broadcast(qb.select(
+        "q_id", *[f"qw{w}" for w in range(BQ_WORDS)]
+    ))).select(
+        "q_id", "c_id",
+        F.expr(f"CAST({_BQ_HAMMING} AS BIGINT)").alias("hamming"),
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "rank", "hamming")
+    )
+
+
+def emb_bq_rerank(spark: SparkSession, sf_dir: str,
+                  shortlist: int = 20) -> DataFrame:
+    """Two-stage retrieval: Hamming over packed sign bits prefilters a
+    shortlist (cheap popcount scan), exact quantized cosine reranks
+    ONLY the shortlist — the standard binary-quantization serving
+    architecture (scan compressed codes, rerank a constant number of
+    full vectors). Per-pair float work drops from |corpus| to
+    ``shortlist`` per query."""
+    from pyspark.sql.window import Window
+
+    qb, cb = _bq_split(spark, sf_dir)
+    coarse = cb.crossJoin(broadcast(qb)).select(
+        "q_id", "c_id", "qa", "qn", "ca", "cn",
+        F.expr(f"CAST({_BQ_HAMMING} AS BIGINT)").alias("hamming"),
+    )
+    wh = Window.partitionBy("q_id").orderBy("hamming", "c_id")
+    short = coarse.withColumn("h_rank", F.row_number().over(wh)).filter(
+        F.col("h_rank") <= shortlist
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        short.select("q_id", "c_id", "hamming", F.expr(_SIM).alias("sim"))
+        .withColumn("rank", F.row_number().over(ws).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "rank", "hamming", "sim")
+    )
+
+
+QUERIES["emb_bq_hamming"] = emb_bq_hamming
+QUERIES["emb_bq_rerank"] = emb_bq_rerank
+
+
+def _duck_bq_pack(col: str, word: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN CAST({col}[{word * BQ_WORD_BITS + j + 1}] "
+        f"AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(BQ_WORD_BITS)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+_DUCK_BQ = f"""
+    qb AS (SELECT vec_id AS q_id, embedding AS qe,
+                  {_duck_bq_pack('embedding', 0)} AS qw0,
+                  {_duck_bq_pack('embedding', 1)} AS qw1
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+    cb AS (SELECT vec_id AS c_id, embedding AS ce,
+                  {_duck_bq_pack('embedding', 0)} AS cw0,
+                  {_duck_bq_pack('embedding', 1)} AS cw1
+           FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    hpairs AS (
+        SELECT q_id, c_id, qe, ce,
+               CAST(bit_count(xor(qw0, cw0))
+                    + bit_count(xor(qw1, cw1)) AS BIGINT) AS hamming
+        FROM qb CROSS JOIN cb
+    )"""
+
+ORACLES["emb_bq_hamming"] = f"""
+    WITH {_DUCK_BQ}
+    SELECT q_id, c_id, rank, hamming FROM (
+        SELECT q_id, c_id, hamming,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY hamming, c_id) AS BIGINT) AS rank
+        FROM hpairs
+    ) WHERE rank <= {TOP_K}
+"""
+
+ORACLES["emb_bq_rerank"] = f"""
+    WITH {_DUCK_BQ},
+    short AS (
+        SELECT q_id, c_id, qe, ce, hamming FROM (
+            SELECT q_id, c_id, qe, ce, hamming,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY hamming, c_id) AS h_rank
+            FROM hpairs
+        ) WHERE h_rank <= 20
+    ),
+    comp AS (
+        SELECT q_id, c_id, hamming,
+               CAST(round(CAST(unnest(qe) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+               CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT) AS xc
+        FROM short
+    ),
+    scored AS (
+        SELECT q_id, c_id, max(hamming) AS hamming,
+               CAST(sum(xq * xc) AS DOUBLE)
+               / (sqrt(CAST(sum(xq * xq) AS DOUBLE))
+                  * sqrt(CAST(sum(xc * xc) AS DOUBLE))) AS sim
+        FROM comp GROUP BY q_id, c_id
+    )
+    SELECT q_id, c_id, rank, hamming, sim FROM (
+        SELECT q_id, c_id, hamming, sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, c_id) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
