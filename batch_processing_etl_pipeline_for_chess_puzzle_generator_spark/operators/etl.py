@@ -123,7 +123,8 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("CAST(SUM(d_sum) AS DOUBLE)").alias("total_sales"),
             F.expr("SUM(d_cnt)").alias("n_orders"),
-            F.expr("ROUND(CAST(SUM(d_sum) AS DOUBLE) / SUM(d_cnt), 6)").alias("avg_order"),
+            F.expr("CAST(ROUND(CAST(SUM(d_sum) AS DOUBLE) / SUM(d_cnt) "
+                   "* 1e6) AS BIGINT)").alias("avg_order"),
         )
     )
 
@@ -180,8 +181,8 @@ ORACLES = {
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
                count(*) AS n_orders,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                     / count(*), 6) AS avg_order
+               CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS avg_order
         FROM orders GROUP BY 1
     """,
     "cdc_merge_orders": f"""

@@ -272,9 +272,12 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ev_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.expr("ROUND(percentile(CAST(value AS DOUBLE), 0.5), 6)").alias("p50"),
-        F.expr("ROUND(percentile(CAST(value AS DOUBLE), 0.9), 6)").alias("p90"),
-        F.expr("ROUND(percentile(CAST(value AS DOUBLE), 0.99), 6)").alias("p99"),
+        F.expr("CAST(ROUND(percentile(CAST(value AS DOUBLE), 0.5) * 1e6) "
+               "AS BIGINT)").alias("p50"),
+        F.expr("CAST(ROUND(percentile(CAST(value AS DOUBLE), 0.9) * 1e6) "
+               "AS BIGINT)").alias("p90"),
+        F.expr("CAST(ROUND(percentile(CAST(value AS DOUBLE), 0.99) * 1e6) "
+               "AS BIGINT)").alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -433,7 +436,8 @@ def ev_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differently — decimal keeps both engines bit-exact.
     s7 = F.sum(F.col("day_value").cast("decimal(18,2)")).over(w).cast("double")
     return daily.withColumn(
-        "avg_7d", F.round(s7 / F.count(F.lit(1)).over(w), 6)
+        "avg_7d",
+        F.round(s7 / F.count(F.lit(1)).over(w) * 1e6).cast("long"),
     ).select("day", "day_value", "n_events", "avg_7d")
 
 
@@ -458,9 +462,12 @@ def ev_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day",
             "day_value",
+            # ppm grid, not ROUND(.,6): decimal-rounding a computed
+            # DOUBLE is the engine-version-sensitive op (r3 lesson)
             F.expr(
-                "ROUND((day_value - sx / n_days) / "
-                "SQRT((n_days * sxx - sx * sx) / (CAST(n_days AS DOUBLE) * n_days)), 6)"
+                "CAST(ROUND((day_value - sx / n_days) / "
+                "SQRT((n_days * sxx - sx * sx) / (CAST(n_days AS DOUBLE) * n_days))"
+                " * 1e6) AS BIGINT)"
             ).alias("z_score"),
         )
     )
@@ -482,9 +489,10 @@ ORACLES["ev_daily_anomaly"] = """
         FROM daily
     )
     SELECT day, day_value,
-           ROUND((day_value - sx / n_days) /
+           CAST(ROUND((day_value - sx / n_days) /
                  SQRT((n_days * sxx - sx * sx)
-                      / (CAST(n_days AS DOUBLE) * n_days)), 6) AS z_score
+                      / (CAST(n_days AS DOUBLE) * n_days)) * 1e6)
+                AS BIGINT) AS z_score
     FROM daily CROSS JOIN stats
 """
 
@@ -519,9 +527,9 @@ ORACLES["ev_moving_avg_7d"] = """
         FROM events GROUP BY 1
     )
     SELECT day, day_value, n_events,
-           ROUND(
+           CAST(ROUND(
                CAST(sum(CAST(day_value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-               / count(*) OVER w, 6) AS avg_7d
+               / count(*) OVER w * 1e6) AS BIGINT) AS avg_7d
     FROM daily
     WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
                  AND CURRENT ROW)
@@ -552,9 +560,12 @@ ORACLES["ev_session_window"] = """
 
 ORACLES["ev_percentiles"] = """
     SELECT event_type,
-           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
-           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
-           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99,
+           CAST(ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5) * 1e6)
+                AS BIGINT) AS p50,
+           CAST(ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9) * 1e6)
+                AS BIGINT) AS p90,
+           CAST(ROUND(quantile_cont(CAST(value AS DOUBLE), 0.99) * 1e6)
+                AS BIGINT) AS p99,
            count(*) AS n
     FROM events GROUP BY event_type
 """
@@ -1618,8 +1629,10 @@ def ev_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month",
             "n_days",
             "mau",
-            F.expr("ROUND(sum_dau / n_days, 6)").alias("avg_dau"),
-            F.expr("ROUND(sum_dau / n_days / mau, 6)").alias("stickiness"),
+            F.expr("CAST(ROUND(sum_dau / n_days * 1e6) AS BIGINT)")
+            .alias("avg_dau"),
+            F.expr("CAST(ROUND(sum_dau / n_days / mau * 1e6) AS BIGINT)")
+            .alias("stickiness"),
         )
     )
 
@@ -1644,8 +1657,10 @@ ORACLES["ev_dau_stickiness"] = """
         FROM events GROUP BY 1
     )
     SELECT CAST(p.month AS TIMESTAMP) AS month, p.n_days, m.mau,
-           ROUND(p.sum_dau / CAST(p.n_days AS DOUBLE), 6) AS avg_dau,
-           ROUND(p.sum_dau / CAST(p.n_days AS DOUBLE) / m.mau, 6) AS stickiness
+           CAST(ROUND(p.sum_dau / CAST(p.n_days AS DOUBLE) * 1e6)
+                AS BIGINT) AS avg_dau,
+           CAST(ROUND(p.sum_dau / CAST(p.n_days AS DOUBLE) / m.mau * 1e6)
+                AS BIGINT) AS stickiness
     FROM per_month p JOIN monthly m USING (month)
 """
 
@@ -1676,8 +1691,8 @@ def ev_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day",
             "n_events",
-            F.expr("ROUND(med, 6)").alias("median_events"),
-            F.expr("ROUND(mad, 6)").alias("mad"),
+            F.expr("CAST(ROUND(med * 1e6) AS BIGINT)").alias("median_events"),
+            F.expr("CAST(ROUND(mad * 1e6) AS BIGINT)").alias("mad"),
             F.expr("adev > 3 * 1.4826 * mad").alias("is_anomaly"),
         )
     )
@@ -1697,8 +1712,8 @@ ORACLES["ev_daily_anomaly_mad"] = """
     ),
     mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
     SELECT CAST(day AS TIMESTAMP) AS day, n_events,
-           ROUND(med, 6) AS median_events,
-           ROUND(mad, 6) AS mad,
+           CAST(ROUND(med * 1e6) AS BIGINT) AS median_events,
+           CAST(ROUND(mad * 1e6) AS BIGINT) AS mad,
            adev > 3 * 1.4826 * mad AS is_anomaly
     FROM dev CROSS JOIN mad
 """
@@ -2187,10 +2202,12 @@ def ev_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "n_errors",
             F.expr(
-                f"ROUND(n_errors / n_events / {SLO_ERROR_BUDGET}, 6)"
+                f"CAST(ROUND(n_errors / n_events / {SLO_ERROR_BUDGET} "
+                "* 1e6) AS BIGINT)"
             ).alias("burn_1h"),
             F.expr(
-                f"ROUND(err_day / n_day / {SLO_ERROR_BUDGET}, 6)"
+                f"CAST(ROUND(err_day / n_day / {SLO_ERROR_BUDGET} "
+                "* 1e6) AS BIGINT)"
             ).alias("burn_1d"),
             F.expr(
                 f"n_errors / n_events / {SLO_ERROR_BUDGET} > {SLO_FAST_BURN} "
@@ -2218,10 +2235,10 @@ ORACLES["ev_slo_burn_rate"] = f"""
         FROM events GROUP BY 1
     )
     SELECT CAST(h.hour AS TIMESTAMP) AS hour, h.n_events, h.n_errors,
-           ROUND(h.n_errors / CAST(h.n_events AS DOUBLE)
-                 / {SLO_ERROR_BUDGET}, 6) AS burn_1h,
-           ROUND(d.err_day / CAST(d.n_day AS DOUBLE)
-                 / {SLO_ERROR_BUDGET}, 6) AS burn_1d,
+           CAST(ROUND(h.n_errors / CAST(h.n_events AS DOUBLE)
+                 / {SLO_ERROR_BUDGET} * 1e6) AS BIGINT) AS burn_1h,
+           CAST(ROUND(d.err_day / CAST(d.n_day AS DOUBLE)
+                 / {SLO_ERROR_BUDGET} * 1e6) AS BIGINT) AS burn_1d,
            h.n_errors / CAST(h.n_events AS DOUBLE) / {SLO_ERROR_BUDGET}
                > {SLO_FAST_BURN}
            AND d.err_day / CAST(d.n_day AS DOUBLE) / {SLO_ERROR_BUDGET}
@@ -2273,10 +2290,14 @@ def ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", "t_signup").alias("signup_day"))
         .agg(
             F.count(F.lit(1)).alias("n_converted"),
-            F.expr("ROUND(percentile(latency_min, 0.5), 6)").alias("p50_min"),
-            F.expr("ROUND(percentile(latency_min, 0.9), 6)").alias("p90_min"),
-            F.expr("ROUND(MIN(latency_min), 6)").alias("fastest_min"),
-            F.expr("ROUND(MAX(latency_min), 6)").alias("slowest_min"),
+            F.expr("CAST(ROUND(percentile(latency_min, 0.5) * 1e6) "
+                   "AS BIGINT)").alias("p50_min"),
+            F.expr("CAST(ROUND(percentile(latency_min, 0.9) * 1e6) "
+                   "AS BIGINT)").alias("p90_min"),
+            F.expr("CAST(ROUND(MIN(latency_min) * 1e6) AS BIGINT)")
+            .alias("fastest_min"),
+            F.expr("CAST(ROUND(MAX(latency_min) * 1e6) AS BIGINT)")
+            .alias("slowest_min"),
         )
     )
 
@@ -2298,14 +2319,16 @@ ORACLES["ev_funnel_latency"] = """
     )
     SELECT CAST(date_trunc('day', t_signup) AS TIMESTAMP) AS signup_day,
            COUNT(*) AS n_converted,
-           ROUND(quantile_cont(CAST(epoch_us(t_purchase - t_signup)
-                               AS DOUBLE) / 60e6, 0.5), 6) AS p50_min,
-           ROUND(quantile_cont(CAST(epoch_us(t_purchase - t_signup)
-                               AS DOUBLE) / 60e6, 0.9), 6) AS p90_min,
-           ROUND(MIN(CAST(epoch_us(t_purchase - t_signup) AS DOUBLE) / 60e6),
-                 6) AS fastest_min,
-           ROUND(MAX(CAST(epoch_us(t_purchase - t_signup) AS DOUBLE) / 60e6),
-                 6) AS slowest_min
+           CAST(ROUND(quantile_cont(CAST(epoch_us(t_purchase - t_signup)
+                               AS DOUBLE) / 60e6, 0.5) * 1e6)
+                AS BIGINT) AS p50_min,
+           CAST(ROUND(quantile_cont(CAST(epoch_us(t_purchase - t_signup)
+                               AS DOUBLE) / 60e6, 0.9) * 1e6)
+                AS BIGINT) AS p90_min,
+           CAST(ROUND(MIN(CAST(epoch_us(t_purchase - t_signup) AS DOUBLE)
+                          / 60e6) * 1e6) AS BIGINT) AS fastest_min,
+           CAST(ROUND(MAX(CAST(epoch_us(t_purchase - t_signup) AS DOUBLE)
+                          / 60e6) * 1e6) AS BIGINT) AS slowest_min
     FROM conv GROUP BY 1
 """
 
@@ -2320,24 +2343,33 @@ ORACLES["ev_funnel_latency"] = """
 # for the oracle, approx at scale per the registry convention.
 def ev_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # gap_us stays an exact BIGINT so the mean's cross-row sum is
+    # integer (order-independent); gap_min is derived per-row for the
+    # percentile/max, and every output lands on the ppm integer grid.
     gaps = (
         ev.select(
             "event_type",
             "user_id",
             F.expr(
-                "CAST(unix_micros(ts) - unix_micros(LAG(ts) OVER ("
+                "unix_micros(ts) - unix_micros(LAG(ts) OVER ("
                 "PARTITION BY event_type, user_id "
-                "ORDER BY ts, event_id)) AS DOUBLE) / 60e6"
-            ).alias("gap_min"),
+                "ORDER BY ts, event_id))"
+            ).alias("gap_us"),
         )
-        .filter(F.col("gap_min").isNotNull())
+        .filter(F.col("gap_us").isNotNull())
+        .withColumn("gap_min", F.expr("CAST(gap_us AS DOUBLE) / 60e6"))
     )
     return gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.expr("ROUND(percentile(gap_min, 0.5), 6)").alias("p50_min"),
-        F.expr("ROUND(percentile(gap_min, 0.9), 6)").alias("p90_min"),
-        F.expr("ROUND(AVG(gap_min), 6)").alias("mean_min"),
-        F.expr("ROUND(MAX(gap_min), 6)").alias("max_min"),
+        F.expr("CAST(ROUND(percentile(gap_min, 0.5) * 1e6) AS BIGINT)")
+        .alias("p50_min"),
+        F.expr("CAST(ROUND(percentile(gap_min, 0.9) * 1e6) AS BIGINT)")
+        .alias("p90_min"),
+        # SUM(gap_us)/n/60 == mean-in-minutes on the ppm grid
+        F.expr("CAST(ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 60) "
+               "AS BIGINT)").alias("mean_min"),
+        F.expr("CAST(ROUND(MAX(gap_min) * 1e6) AS BIGINT)")
+        .alias("max_min"),
     )
 
 
@@ -2346,19 +2378,24 @@ QUERIES["ev_inter_arrival"] = ev_inter_arrival
 ORACLES["ev_inter_arrival"] = """
     WITH gaps AS (
         SELECT event_type,
-               CAST(epoch_us(ts - LAG(ts) OVER (
+               epoch_us(ts - LAG(ts) OVER (
                    PARTITION BY event_type, user_id
-                   ORDER BY ts, event_id)) AS DOUBLE) / 60e6 AS gap_min
+                   ORDER BY ts, event_id)) AS gap_us
         FROM events
+    ),
+    g AS (
+        SELECT event_type, gap_us,
+               CAST(gap_us AS DOUBLE) / 60e6 AS gap_min
+        FROM gaps WHERE gap_us IS NOT NULL
     )
     SELECT event_type,
            COUNT(*) AS n_gaps,
-           ROUND(quantile_cont(gap_min, 0.5), 6) AS p50_min,
-           ROUND(quantile_cont(gap_min, 0.9), 6) AS p90_min,
-           ROUND(AVG(gap_min), 6) AS mean_min,
-           ROUND(MAX(gap_min), 6) AS max_min
-    FROM gaps WHERE gap_min IS NOT NULL
-    GROUP BY 1
+           CAST(ROUND(quantile_cont(gap_min, 0.5) * 1e6) AS BIGINT) AS p50_min,
+           CAST(ROUND(quantile_cont(gap_min, 0.9) * 1e6) AS BIGINT) AS p90_min,
+           CAST(ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 60)
+                AS BIGINT) AS mean_min,
+           CAST(ROUND(MAX(gap_min) * 1e6) AS BIGINT) AS max_min
+    FROM g GROUP BY 1
 """
 
 

@@ -601,8 +601,8 @@ def mm_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         "n_items",
         F.expr("CAST(total_bytes AS BIGINT)").alias("total_bytes"),
-        F.expr("ROUND(avg_width, 6)").alias("avg_width"),
-        F.expr("ROUND(avg_height, 6)").alias("avg_height"),
+        F.expr("CAST(ROUND(avg_width * 1e6) AS BIGINT)").alias("avg_width"),
+        F.expr("CAST(ROUND(avg_height * 1e6) AS BIGINT)").alias("avg_height"),
     )
 
 
@@ -614,8 +614,8 @@ ORACLES["mm_media_summary"] = """
            CAST(SUM(54 + (16 + doc_id % 24)
                     * (((3 * (16 + doc_id % 32) + 3) // 4) * 4)) AS BIGINT)
                AS total_bytes,
-           ROUND(AVG(16 + doc_id % 32), 6) AS avg_width,
-           ROUND(AVG(16 + doc_id % 24), 6) AS avg_height
+           CAST(ROUND(AVG(16 + doc_id % 32) * 1e6) AS BIGINT) AS avg_width,
+           CAST(ROUND(AVG(16 + doc_id % 24) * 1e6) AS BIGINT) AS avg_height
     FROM documents
 """
 

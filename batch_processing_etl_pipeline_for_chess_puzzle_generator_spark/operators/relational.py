@@ -374,12 +374,15 @@ def stat_sales_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         F.expr(
-            "ROUND((n * sxy - sx * sy) / "
-            "SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)"
+            "CAST(ROUND((n * sxy - sx * sy) / "
+            "SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6) "
+            "AS BIGINT)"
         ).alias("corr_qty_price"),
-        F.expr("ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)").alias("slope"),
+        F.expr("CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) "
+               "* 1e6) AS BIGINT)").alias("slope"),
         F.expr(
-            "ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)"
+            "CAST(ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+            " * sx) / n * 1e6) AS BIGINT)"
         ).alias("intercept"),
     )
 
@@ -398,12 +401,12 @@ def w_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.row_number().over(w).cast("long").alias("seq"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.expr("ROUND(percent_rank() OVER "
-               "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6)")
-            .alias("pct_rank"),
-        F.expr("ROUND(cume_dist() OVER "
-               "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6)")
-            .alias("cume"),
+        F.expr("CAST(ROUND(percent_rank() OVER "
+               "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+               " * 1e6) AS BIGINT)").alias("pct_rank"),
+        F.expr("CAST(ROUND(cume_dist() OVER "
+               "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+               " * 1e6) AS BIGINT)").alias("cume"),
         F.first("o_orderkey").over(full).alias("first_order"),
         F.last("o_orderkey").over(full).alias("last_order"),
     )
@@ -455,8 +458,8 @@ ORACLES = {
         SELECT o_custkey, o_orderkey,
                row_number() OVER w AS seq,
                ntile(4) OVER w AS quartile,
-               ROUND(percent_rank() OVER w, 6) AS pct_rank,
-               ROUND(cume_dist() OVER w, 6) AS cume,
+               CAST(ROUND(percent_rank() OVER w * 1e6) AS BIGINT) AS pct_rank,
+               CAST(ROUND(cume_dist() OVER w * 1e6) AS BIGINT) AS cume,
                first_value(o_orderkey) OVER wf AS first_order,
                last_value(o_orderkey) OVER wf AS last_order
         FROM orders
@@ -489,11 +492,13 @@ ORACLES = {
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag, n,
-               ROUND((n * sxy - sx * sy)
-                     / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
-               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-               ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-                   AS intercept
+               CAST(ROUND((n * sxy - sx * sy)
+                     / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     * 1e6) AS BIGINT) AS corr_qty_price,
+               CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6)
+                    AS BIGINT) AS slope,
+               CAST(ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                           * sx) / n * 1e6) AS BIGINT) AS intercept
         FROM sums
     """,
     "q1_pricing_summary": f"""
@@ -1836,7 +1841,8 @@ def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active",
             "cohort_customers",
             F.expr("CAST(cum_revenue AS DOUBLE)").alias("cum_revenue"),
-            F.expr("ROUND(CAST(cum_revenue AS DOUBLE) / cohort_customers, 6)")
+            F.expr("CAST(ROUND(CAST(cum_revenue AS DOUBLE) "
+                   "/ cohort_customers * 1e6) AS BIGINT)")
             .alias("ltv_per_customer"),
         )
     )
@@ -1875,8 +1881,8 @@ ORACLES["customer_ltv_cohorts"] = """
                || lpad(CAST(m0 % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
            months_since, n_active, s.cohort_customers,
            CAST(cum_revenue AS DOUBLE) AS cum_revenue,
-           ROUND(CAST(cum_revenue AS DOUBLE) / s.cohort_customers, 6)
-               AS ltv_per_customer
+           CAST(ROUND(CAST(cum_revenue AS DOUBLE) / s.cohort_customers * 1e6)
+                AS BIGINT) AS ltv_per_customer
     FROM cum JOIN sizes s USING (m0)
 """
 
@@ -1913,8 +1919,8 @@ def part_type_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(SUM(supplier_cost) AS DOUBLE)"
             ).alias("total_cost"),
             F.expr(
-                "ROUND(CAST(SUM(supplier_cost * supplier_cost) AS DOUBLE) "
-                "/ POW(CAST(SUM(supplier_cost) AS DOUBLE), 2), 9)"
+                "CAST(ROUND(CAST(SUM(supplier_cost * supplier_cost) AS DOUBLE) "
+                "/ POW(CAST(SUM(supplier_cost) AS DOUBLE), 2) * 1e9) AS BIGINT)"
             ).alias("hhi"),
         )
     )
@@ -1934,8 +1940,9 @@ ORACLES["part_type_hhi"] = """
     SELECT p_type,
            COUNT(*) AS n_suppliers,
            CAST(SUM(supplier_cost) AS DOUBLE) AS total_cost,
-           ROUND(CAST(SUM(supplier_cost * supplier_cost) AS DOUBLE)
-                 / POW(CAST(SUM(supplier_cost) AS DOUBLE), 2), 9) AS hhi
+           CAST(ROUND(CAST(SUM(supplier_cost * supplier_cost) AS DOUBLE)
+                 / POW(CAST(SUM(supplier_cost) AS DOUBLE), 2) * 1e9)
+                AS BIGINT) AS hhi
     FROM supply GROUP BY 1
 """
 
@@ -1972,13 +1979,16 @@ def orders_priority_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return xy.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_months"),
-        F.expr("ROUND(AVG(CAST(y AS DOUBLE)) / 1e6, 6)").alias("mean_share"),
+        # ppm / nano grids (mean in ppm; slope in nano-share/month)
+        F.expr("CAST(ROUND(AVG(CAST(y AS DOUBLE))) AS BIGINT)")
+        .alias("mean_share"),
         # NULLIF: a single-month series has zero x-variance — emit
         # NULL, not 0/0 = NaN
         F.expr(
-            "ROUND(CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) / "
+            "CAST(ROUND(CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) "
+            "AS DOUBLE) / "
             "NULLIF(CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) "
-            "AS DOUBLE), 0) / 1e6, 9)"
+            "AS DOUBLE), 0) * 1e3) AS BIGINT)"
         ).alias("share_slope_per_month"),
     )
 
@@ -2005,11 +2015,11 @@ ORACLES["orders_priority_share_trend"] = """
     )
     SELECT o_orderpriority,
            COUNT(*) AS n_months,
-           ROUND(AVG(CAST(y AS DOUBLE)) / 1e6, 6) AS mean_share,
-           ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) /
+           CAST(ROUND(AVG(CAST(y AS DOUBLE))) AS BIGINT) AS mean_share,
+           CAST(ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) /
                  NULLIF(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
                              AS DOUBLE), 0)
-                 / 1e6, 9) AS share_slope_per_month
+                 * 1e3) AS BIGINT) AS share_slope_per_month
     FROM xy GROUP BY 1
 """
 
@@ -2054,16 +2064,21 @@ def orders_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderpriority",
             "n",
-            F.expr("ROUND(CAST(s AS DOUBLE) / n, 6)").alias("mean_value"),
+            # grids: mean on ppm BIGINT; ssb on a unit-grid
+            # DECIMAL(38,0) (a finer grid would clear int64 at sf100);
+            # F on ppm BIGINT
+            F.expr("CAST(ROUND(CAST(s AS DOUBLE) / n * 1e6) AS BIGINT)")
+            .alias("mean_value"),
             F.expr(
-                "ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n "
-                "- CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt * n / nt, 4)"
+                "CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n "
+                "- CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt * n / nt, 0)"
+                " AS DECIMAL(38,0))"
             ).alias("ssb_contrib"),
             F.expr(
-                "ROUND(((CAST(ssb_num AS DOUBLE) - CAST(st AS DOUBLE) "
+                "CAST(ROUND(((CAST(ssb_num AS DOUBLE) - CAST(st AS DOUBLE) "
                 "* CAST(st AS DOUBLE) / nt) / (k - 1)) / "
                 "((CAST(sst AS DOUBLE) - CAST(ssb_num AS DOUBLE)) "
-                "/ (nt - k)), 6)"
+                "/ (nt - k)) * 1e6) AS BIGINT)"
             ).alias("f_stat"),
         )
     )
@@ -2086,14 +2101,14 @@ ORACLES["orders_value_anova"] = """
         FROM per_g
     )
     SELECT o_orderpriority, n,
-           ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_value,
-           ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
-                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt * n / nt, 4)
-               AS ssb_contrib,
-           ROUND(((CAST(ssb_num AS DOUBLE)
+           CAST(ROUND(CAST(s AS DOUBLE) / n * 1e6) AS BIGINT) AS mean_value,
+           CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt * n / nt, 0)
+                AS DECIMAL(38,0)) AS ssb_contrib,
+           CAST(ROUND(((CAST(ssb_num AS DOUBLE)
                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
                   / (k - 1)) /
                  ((CAST(sst AS DOUBLE) - CAST(ssb_num AS DOUBLE))
-                  / (nt - k)), 6) AS f_stat
+                  / (nt - k)) * 1e6) AS BIGINT) AS f_stat
     FROM per_g CROSS JOIN grand
 """

@@ -690,8 +690,8 @@ def emb_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(size(filter(transform(embedding, x -> {code}), c -> c = 0)) AS BIGINT)"
         ).alias("n_zero"),
         F.expr(
-            f"ROUND(aggregate(transform(embedding, x -> {_SQ_E2I.format(x='x')}), "
-            "CAST(0 AS BIGINT), (a, v) -> a + v) / 1e12, 6)"
+            f"CAST(ROUND(aggregate(transform(embedding, x -> {_SQ_E2I.format(x='x')}), "
+            "CAST(0 AS BIGINT), (a, v) -> a + v) / 1e6) AS BIGINT)"
         ).alias("sse"),
     )
 
@@ -711,8 +711,9 @@ ORACLES["emb_sq8_quantize"] = f"""
            list_max(list_transform(embedding, x -> {_SQ_CODE_D})) AS code_max,
            CAST(len(list_filter(list_transform(embedding, x -> {_SQ_CODE_D}),
                                 c -> c = 0)) AS BIGINT) AS n_zero,
-           ROUND(list_sum(list_transform(embedding,
-               x -> CAST(ROUND({_SQ_E_D} * {_SQ_E_D} * 1e12, 0) AS BIGINT))) / 1e12, 6) AS sse
+           CAST(ROUND(list_sum(list_transform(embedding,
+               x -> CAST(ROUND({_SQ_E_D} * {_SQ_E_D} * 1e12, 0) AS BIGINT)))
+               / 1e6) AS BIGINT) AS sse
     FROM embeddings CROSS JOIN bounds
 """
 
@@ -1523,7 +1524,8 @@ def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, {_PQ_M - 1}), b -> named_struct("
         f"'b', CAST(b AS BIGINT), "
         f"'code', {win}.cid, "
-        f"'dist_b', ROUND((CAST({a_term} AS DOUBLE) + {win}.d) / 1e12, 6)))"
+        f"'dist_b', CAST(ROUND((CAST({a_term} AS DOUBLE) + {win}.d) / 1e6) "
+        "AS BIGINT)))"
     )
     return (
         base.crossJoin(broadcast(model))
@@ -1617,7 +1619,8 @@ def _pqt_oracle() -> str:
             ) WHERE rn = 1
         )
         SELECT w.vec_id, e.label, CAST(w.b AS BIGINT) AS b, w.cid AS code,
-               ROUND((CAST(av.a AS DOUBLE) + w.d) / 1e12, 6) AS dist_b
+               CAST(ROUND((CAST(av.a AS DOUBLE) + w.d) / 1e6) AS BIGINT)
+                   AS dist_b
         FROM win w
         JOIN av ON av.vec_id = w.vec_id AND av.b = w.b
         JOIN (SELECT vec_id, label FROM embeddings) e ON e.vec_id = w.vec_id
@@ -1810,8 +1813,11 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "n_ref",
             "n_cur",
+            # µ grid == sqrt(ssq) itself (ssq is on the 1e-6 component
+            # grid); correctly-rounded sqrt + integer ROUND is
+            # engine-stable, unlike a fractional ROUND of the quotient
             F.expr(
-                "ROUND(sqrt(CAST(ssq AS DOUBLE)) / 1000000.0, 6)"
+                "CAST(ROUND(sqrt(CAST(ssq AS DOUBLE))) AS BIGINT)"
             ).alias("centroid_shift"),
         )
     )
@@ -1851,7 +1857,7 @@ ORACLES["emb_centroid_drift"] = f"""
         GROUP BY label
     )
     SELECT label, n_ref, n_cur,
-           ROUND(sqrt(CAST(ssq AS DOUBLE)) / 1000000.0, 6) AS centroid_shift
+           CAST(ROUND(sqrt(CAST(ssq AS DOUBLE))) AS BIGINT) AS centroid_shift
     FROM agg
 """
 
@@ -2044,7 +2050,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("part_score"),
         )
         .groupBy("doc_id")
-        .agg(F.expr("ROUND(SUM(part_score), 9)").alias("text_score"))
+        .agg(F.expr("CAST(ROUND(SUM(part_score) * 1e9) AS BIGINT)")
+             .alias("text_score"))
     )
     wt = Window.orderBy(F.col("text_score").desc(), F.col("doc_id"))
     text_top = (
@@ -2077,8 +2084,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             # CAST(1 AS DOUBLE): a 1.0 literal is DECIMAL in both
             # engines, and DECIMAL / BIGINT truncates scale in DuckDB
             F.expr(
-                f"ROUND(COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + text_rank), 0.0) "
-                f"+ COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + vec_rank), 0.0), 9)"
+                f"CAST(ROUND((COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + text_rank), 0.0) "
+                f"+ COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + vec_rank), 0.0))"
+                " * 1e9) AS BIGINT)"
             ).alias("rrf_score"),
         )
     )
@@ -2115,9 +2123,9 @@ ORACLES["hybrid_search_rrf"] = f"""
     dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
     bm25 AS (
         SELECT doc_id,
-               ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
-                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 9)
-                   AS text_score
+               CAST(ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
+                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e9)
+                    AS BIGINT) AS text_score
         FROM tf JOIN dfreq USING (w) CROSS JOIN stats
         GROUP BY doc_id
     ),
@@ -2154,9 +2162,9 @@ ORACLES["hybrid_search_rrf"] = f"""
     fused AS (
         SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
                t.text_rank, v.vec_rank,
-               ROUND(COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + t.text_rank), 0.0)
-                     + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + v.vec_rank), 0.0), 9)
-                   AS rrf_score
+               CAST(ROUND((COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + t.text_rank), 0.0)
+                     + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + v.vec_rank), 0.0))
+                     * 1e9) AS BIGINT) AS rrf_score
         FROM text_top t FULL OUTER JOIN vec_top v ON t.doc_id = v.doc_id
     )
     SELECT doc_id, text_rank, vec_rank, rrf_score,

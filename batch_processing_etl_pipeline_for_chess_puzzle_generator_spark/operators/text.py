@@ -239,7 +239,8 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
-        .select("doc_id", "token", "rank", F.expr("ROUND(score, 6)").alias("tfidf"))
+        .select("doc_id", "token", "rank",
+                F.expr("CAST(ROUND(score * 1e6) AS BIGINT)").alias("tfidf"))
     )
 
 
@@ -272,7 +273,9 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver merge of 20-row heads) — never a single-partition window over
     # the full bigram table. The rank window then runs on 20 rows only.
     topk = (
-        bg_cnt.withColumn("prob", F.round(F.col("cnt") / ctx, 6))
+        bg_cnt.withColumn(
+            "prob", F.round(F.col("cnt") / ctx * 1e6).cast("long")
+        )
         .orderBy(F.col("cnt").desc(), "w1", "w2")
         .limit(20)
     )
@@ -315,7 +318,10 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.expr("ROUND(-SUM(lp_int) / COUNT(*) / 1e9, 6)").alias("avg_neg_logp"),
+        # µ-nats grid: lp_int is already exact; one integer division
+        # chain, no fractional ROUND of a double
+        F.expr("CAST(ROUND(-SUM(lp_int) / COUNT(*) / 1e3) AS BIGINT)")
+        .alias("avg_neg_logp"),
     )
 
 
@@ -346,7 +352,8 @@ ORACLES["doc_lm_score"] = f"""
         FROM pairs WHERE w2 IS NOT NULL
     )
     SELECT doc_id, count(*) AS n_bigrams,
-           ROUND(-SUM(lp_int) / count(*) / 1e9, 6) AS avg_neg_logp
+           CAST(ROUND(-SUM(lp_int) / count(*) / 1e3) AS BIGINT)
+               AS avg_neg_logp
     FROM scored GROUP BY doc_id
 """
 
@@ -366,7 +373,8 @@ ORACLES["doc_bigram_lm"] = f"""
     ctx AS (SELECT w1, count(*) AS ctx FROM pairs
             WHERE w2 IS NOT NULL GROUP BY w1)
     SELECT row_number() OVER (ORDER BY cnt DESC, w1, w2) AS rank,
-           w1, w2, cnt, ROUND(cnt / CAST(ctx AS DOUBLE), 6) AS prob
+           w1, w2, cnt,
+           CAST(ROUND(cnt / CAST(ctx AS DOUBLE) * 1e6) AS BIGINT) AS prob
     FROM bg JOIN ctx USING (w1)
     ORDER BY cnt DESC, w1, w2 LIMIT 20
 """
@@ -383,7 +391,8 @@ ORACLES["doc_tfidf_topk"] = """
                tf * (ln((n_docs + 1) / (df + 1.0)) + 1) AS score
         FROM tf JOIN df USING (token) CROSS JOIN n
     )
-    SELECT doc_id, token, rank, ROUND(score, 6) AS tfidf FROM (
+    SELECT doc_id, token, rank,
+           CAST(ROUND(score * 1e6) AS BIGINT) AS tfidf FROM (
         SELECT doc_id, token, score,
                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
         FROM scored
@@ -787,7 +796,7 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             F.expr("CAST(pos + 1 AS BIGINT)").alias("decile"),
-            F.expr("ROUND(bound, 6)").alias("bound"),
+            F.expr("CAST(ROUND(bound * 1e6) AS BIGINT)").alias("bound"),
         )
     )
 
@@ -803,7 +812,7 @@ ORACLES["doc_length_deciles"] = f"""
     )
     SELECT source, n_docs,
            CAST(t.i AS BIGINT) AS decile,
-           ROUND(qs[t.i], 6) AS bound
+           CAST(ROUND(qs[t.i] * 1e6) AS BIGINT) AS bound
     FROM per, UNNEST(range(1, 10)) AS t(i)
 """
 
@@ -989,8 +998,10 @@ def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.expr(
-            "ROUND(CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) / "
-            "CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE), 6)"
+            "CAST(ROUND(CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) "
+            "AS DOUBLE) / "
+            "CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) "
+            "* 1e6) AS BIGINT)"
         ).alias("zipf_slope"),
     )
 
@@ -1029,9 +1040,9 @@ ORACLES["doc_zipf_slope"] = f"""
     )
     SELECT source,
            count(*) AS n_words,
-           ROUND(CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
-                 / CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE), 6)
-               AS zipf_slope
+           CAST(ROUND(CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+                 / CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+                 * 1e6) AS BIGINT) AS zipf_slope
     FROM top
     GROUP BY source
 """
@@ -1632,7 +1643,8 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.expr("ROUND(AVG(avg_neg_logp), 6)").alias("avg_score"),
+            F.expr("CAST(ROUND(AVG(avg_neg_logp)) AS BIGINT)")
+            .alias("avg_score"),
             F.sum("n_chars").alias("total_chars"),
         )
     )
@@ -1661,7 +1673,8 @@ _LM_SCORED_DUCK = """
     ),
     lm_scored AS (
         SELECT doc_id,
-               ROUND(-SUM(lp_int) / count(*) / 1e9, 6) AS avg_neg_logp
+               CAST(ROUND(-SUM(lp_int) / count(*) / 1e3) AS BIGINT)
+                   AS avg_neg_logp
         FROM lp GROUP BY doc_id
     )"""
 
@@ -1680,7 +1693,7 @@ ORACLES["doc_ccnet_buckets"] = f"""
                 WHEN avg_neg_logp <= c2 THEN 'middle'
                 ELSE 'tail' END AS bucket,
            COUNT(*) AS n_docs,
-           ROUND(AVG(avg_neg_logp), 6) AS avg_score,
+           CAST(ROUND(AVG(avg_neg_logp)) AS BIGINT) AS avg_score,
            SUM(n_chars) AS total_chars
     FROM scored CROSS JOIN cuts
     GROUP BY 1
