@@ -606,3 +606,50 @@ ORACLES["snapshot_merge_cow"] = f"""
     UNION ALL
     {_V_AGG.format(v=1, src="v1")}
 """
+
+
+# ------------------------------------------------- NDV profile (HLL)
+# The at-scale twin of profile_columns' exact countDistinct: per-column
+# approximate NDV via HyperLogLog++ (approx_count_distinct, rsd=0.01).
+# Exact NDV shuffles every distinct value per column; the HLL sketch is
+# a fixed-size mergeable register set — the only NDV a 100 TB profiler
+# can afford. Statistical oracle per the registry convention: the
+# sketch must land within the advertised ±5·rsd of the exact count
+# computed in the SAME plan (and small columns are exact by sparse
+# mode); DuckDB re-derives group structure and asserts TRUE.
+_NDV_COLS = ("l_quantity", "l_extendedprice", "l_suppkey", "l_partkey")
+_NDV_RSD = 0.01
+
+
+def profile_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _NDV_COLS:
+        aggs += [
+            F.expr(f"approx_count_distinct({c}, {_NDV_RSD})").alias(f"{c}__a"),
+            F.countDistinct(c).alias(f"{c}__e"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(f"'{c}', {c}__a, {c}__e" for c in _NDV_COLS)
+    tall = wide.select(
+        F.expr(
+            f"stack({len(_NDV_COLS)}, {stack}) AS (col_name, ndv_approx, ndv_exact)"
+        )
+    )
+    return tall.select(
+        "col_name",
+        "ndv_exact",
+        F.expr(
+            f"abs(ndv_approx - ndv_exact) <= GREATEST(5 * {_NDV_RSD} "
+            "* ndv_exact, 16)"
+        ).alias("ndv_ok"),
+    )
+
+
+QUERIES["profile_ndv"] = profile_ndv
+
+ORACLES["profile_ndv"] = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, "
+    f"COUNT(DISTINCT {c}) AS ndv_exact, TRUE AS ndv_ok FROM lineitem"
+    for c in _NDV_COLS
+)

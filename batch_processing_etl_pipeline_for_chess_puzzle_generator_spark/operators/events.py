@@ -2531,3 +2531,119 @@ ORACLES["ev_inter_arrival_approx"] = """
     FROM gaps WHERE gap_min IS NOT NULL
     GROUP BY 1
 """
+
+
+# --------------------------------------------- peak session concurrency
+# Sweep-line interval counting: peak concurrent 30-min-gap sessions per
+# day — the capacity-planning readout. Sessions are clipped to each
+# day they span (a session is a bounded interval, so the explode is
+# ≤ #days-touched per session), then the +1/−1 delta stream runs a
+# running sum WINDOWED PER DAY — the sort is bounded by one day's
+# deltas, never a global order-by (the 100 TB shape; a single global
+# sweep would serialize the corpus through one task). Ends sort before
+# starts at the same instant ([start, end) intervals: back-to-back
+# sessions never overlap). All-integer arithmetic → exact oracle.
+def ev_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("s_start"),
+            F.col("sw.end").alias("s_end"),
+        )
+    )
+    clipped = (
+        sess.select(
+            "s_start",
+            "s_end",
+            F.explode(
+                F.expr("sequence(CAST(s_start AS DATE), "
+                       "CAST(s_end - INTERVAL 1 MICROSECOND AS DATE))")
+            ).alias("day"),
+        )
+        .select(
+            "day",
+            F.expr("GREATEST(s_start, CAST(day AS TIMESTAMP))").alias("a"),
+            F.expr("LEAST(s_end, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)")
+            .alias("b"),
+        )
+    )
+    deltas = clipped.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("b").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("e"),
+    ).select("day", F.col("e.t").alias("t"), F.col("e.d").alias("d"))
+    w = Window.partitionBy("day").orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        deltas.withColumn("running", F.sum("d").over(w))
+        .groupBy("day")
+        .agg(
+            F.expr("CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)")
+            .alias("n_sessions"),
+            F.expr("CAST(MAX(running) AS BIGINT)").alias("peak_concurrency"),
+        )
+        .select(F.col("day").cast("timestamp").alias("day"),
+                "n_sessions", "peak_concurrency")
+    )
+
+
+QUERIES["ev_concurrency_peak"] = ev_concurrency_peak
+
+ORACLES["ev_concurrency_peak"] = """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged
+    ),
+    sess AS (
+        SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end
+        FROM numbered GROUP BY user_id, seq
+    ),
+    clipped AS (
+        SELECT unnest(generate_series(CAST(s_start AS DATE),
+                      CAST(s_end - INTERVAL 1 MICROSECOND AS DATE),
+                      INTERVAL 1 DAY))::DATE AS day,
+               s_start, s_end
+        FROM sess
+    ),
+    bounds AS (
+        SELECT day,
+               GREATEST(s_start, CAST(day AS TIMESTAMP)) AS a,
+               LEAST(s_end, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) AS b
+        FROM clipped
+    ),
+    deltas AS (
+        SELECT day, a AS t, 1 AS d FROM bounds
+        UNION ALL
+        SELECT day, b AS t, -1 AS d FROM bounds
+    ),
+    swept AS (
+        SELECT day, d,
+               sum(d) OVER (PARTITION BY day ORDER BY t, d
+                            ROWS UNBOUNDED PRECEDING) AS running
+        FROM deltas
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions,
+           CAST(MAX(running) AS BIGINT) AS peak_concurrency
+    FROM swept GROUP BY day
+"""
