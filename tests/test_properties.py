@@ -360,3 +360,44 @@ def test_chunk_sliding_geometry(spark, tmp_path_factory, lengths):
             assert c.chunk_start + c.chunk_len <= n
         # full coverage: consecutive starts differ by stride < size
         assert chunks[-1].chunk_start + chunks[-1].chunk_len == n
+
+
+# ---------------------------- binary-quantization packing invariants
+_vec64 = st.lists(
+    st.floats(min_value=-2.0, max_value=2.0,
+              allow_nan=False, allow_infinity=False),
+    min_size=64, max_size=64,
+)
+
+
+@given(va=_vec64, vb=_vec64)
+@settings(**_SETTINGS)
+def test_bq_pack_hamming_equals_sign_disagreements(spark, va, vb):
+    """The packed-word popcount(xor) Hamming must equal the number of
+    dimensions whose sign bits (> 0) disagree — for ARBITRARY vectors,
+    including zeros and equal components; and self-distance is 0."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.similarity import (
+        BQ_WORDS,
+        _BQ_HAMMING,
+        _bq_pack_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(va, vb)], "qe ARRAY<DOUBLE>, ce ARRAY<DOUBLE>"
+    ).select(
+        *[F.expr(_bq_pack_expr("qe", w)).alias(f"qw{w}")
+          for w in range(BQ_WORDS)],
+        *[F.expr(_bq_pack_expr("ce", w)).alias(f"cw{w}")
+          for w in range(BQ_WORDS)],
+        *[F.expr(_bq_pack_expr("qe", w)).alias(f"sw{w}")
+          for w in range(BQ_WORDS)],
+    )
+    got = df.select(
+        F.expr(f"CAST({_BQ_HAMMING} AS BIGINT)").alias("h"),
+        F.expr("CAST(" + " + ".join(
+            f"bit_count(qw{w} ^ sw{w})" for w in range(BQ_WORDS)
+        ) + " AS BIGINT)").alias("self_h"),
+    ).collect()[0]
+    expected = sum((a > 0) != (b > 0) for a, b in zip(va, vb))
+    assert got["h"] == expected
+    assert got["self_h"] == 0
