@@ -1932,3 +1932,81 @@ ORACLES["doc_vocab_growth"] = f"""
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
     FROM bucketed
 """
+
+
+# ------------------------------------- paragraph-level exact dedup
+# Sub-document deduplication (the C4 / RefinedWeb curation step):
+# repeated PARAGRAPHS are removed corpus-wide, keeping the first
+# occurrence in (doc_id, position) order, and each document is
+# re-assembled from its surviving paragraphs. Paragraphs here are
+# fixed 20-word groups (the synthetic corpus has no newlines — the
+# grouping expression is the only corpus-specific piece). The plan is
+# the at-scale shape: one explode, ONE shuffle keyed on the paragraph
+# hash (groups are tiny — duplicate cardinality), and a per-doc
+# re-assembly agg; no self-join, no global sort. The rebuilt text is
+# verified by digest so the oracle checks full content without
+# shipping documents through the compare.
+PARA_WORDS = 20
+
+
+def doc_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size({_WORDS}) > 0 THEN "
+                f"transform(sequence(0, (size({_WORDS}) - 1) DIV {PARA_WORDS}), "
+                f"p -> array_join(slice({_WORDS}, p * {PARA_WORDS} + 1, "
+                f"{PARA_WORDS}), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("para_idx", "para"),
+    ).select("doc_id", F.col("para_idx").cast("long").alias("para_idx"), "para")
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "para_idx")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.expr("CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("n_dup_paras"),
+        F.expr(
+            "md5(COALESCE(array_join(transform(array_sort("
+            "collect_list(CASE WHEN rn = 1 THEN struct(para_idx, para) END)), "
+            "s -> s.para), ' '), ''))"
+        ).alias("kept_md5"),
+    )
+
+
+QUERIES["doc_para_dedup"] = doc_para_dedup
+
+ORACLES["doc_para_dedup"] = f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_DUCK} AS ws FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS para_idx,
+               array_to_string(ws[p * {PARA_WORDS} + 1 : p * {PARA_WORDS}
+                               + {PARA_WORDS}], ' ') AS para
+        FROM (
+            SELECT doc_id, ws,
+                   unnest(generate_series(0, (len(ws) - 1) // {PARA_WORDS}))
+                       AS p
+            FROM w WHERE len(ws) > 0
+        )
+    ),
+    ranked AS (
+        SELECT doc_id, para_idx, para,
+               row_number() OVER (PARTITION BY md5(para)
+                                  ORDER BY doc_id, para_idx) AS rn
+        FROM paras
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_paras,
+           md5(COALESCE(string_agg(para, ' ' ORDER BY para_idx)
+                        FILTER (WHERE rn = 1), '')) AS kept_md5
+    FROM ranked GROUP BY doc_id
+"""
