@@ -1196,3 +1196,51 @@ def _best_quality_oracle() -> str:
 
 
 ORACLES["doc_dedup_best_quality"] = _best_quality_oracle()
+
+
+# --------------------------------------- cross-source duplication map
+# Which sources copy which: for every pair of sources sharing at least
+# one byte-identical document, count the shared duplicate groups — the
+# provenance readout a curation team uses to pick which feed to drop.
+# Per content hash, the DISTINCT source set is aggregated first (groups
+# are duplicate-cardinality small), then pairs explode WITHIN each
+# group only — candidates ∝ Σ |sources-per-dup|², never corpus².
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    groups = (
+        docs.select(F.md5("text").alias("h"), "source")
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "b -> struct(a AS src_a, b AS src_b))))"
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_shared_dups")
+    )
+
+
+QUERIES["doc_source_overlap"] = doc_source_overlap
+
+ORACLES["doc_source_overlap"] = """
+    WITH groups AS (
+        SELECT md5(text) AS h, list_sort(list(DISTINCT source)) AS srcs
+        FROM documents GROUP BY 1
+        HAVING len(list(DISTINCT source)) >= 2
+    ),
+    pairs AS (
+        SELECT a.s AS src_a, b.s AS src_b
+        FROM (SELECT h, unnest(srcs) AS s FROM groups) a
+        JOIN (SELECT h, unnest(srcs) AS s FROM groups) b
+          ON a.h = b.h AND a.s < b.s
+    )
+    SELECT src_a, src_b, COUNT(*) AS n_shared_dups
+    FROM pairs GROUP BY 1, 2
+"""
