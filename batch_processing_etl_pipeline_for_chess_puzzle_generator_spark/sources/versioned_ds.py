@@ -28,7 +28,15 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 
@@ -123,3 +131,110 @@ class VersionedDataSource(DataSource):
 
     def reader(self, schema) -> VersionedReader:
         return VersionedReader(self._resolve()[1], self._resolve()[0])
+
+    def writer(self, schema, overwrite: bool) -> "VersionedWriter":
+        table_path = self.options.get("path")
+        if not table_path:
+            raise ValueError("option 'path' is required")
+        return VersionedWriter(table_path, schema, overwrite)
+
+
+@dataclass
+class _WrotePart(WriterCommitMessage):
+    filename: str | None
+    n_rows: int
+
+
+class VersionedWriter(DataSourceArrowWriter):
+    """``df.write.format("versioned")`` — every save commits a NEW
+    version through the same manifest CAS as the library API:
+
+    - ``mode("append")``: the new manifest shares EVERY parent file
+      entry and adds this job's part files — a Delta-style fast append
+      that rewrites nothing. The parent schema must match exactly
+      (schema evolution goes through ``merge_version_cow``).
+    - ``mode("overwrite")``: the new version's content is only this
+      job's files; history stays time-travelable.
+
+    Executors stream Arrow batches straight into parquet part files
+    under a per-writer-unique ``_staged_w_<token>`` dir (invisible to
+    readers — manifests are visibility; a crashed job's dir is swept
+    by vacuum). The driver-side commit renames the staged dir to
+    ``v_N_<token>`` and publishes the manifest; a losing concurrent
+    commit cleans up its own dir and raises CommitConflict, never
+    touching the winner's data (same contract as write_version).
+    """
+
+    def __init__(self, table_path: str, schema, overwrite: bool):
+        import uuid
+
+        self.table_path = table_path
+        self.schema = schema
+        self.overwrite = overwrite
+        self.token = uuid.uuid4().hex[:12]
+        self.staged = os.path.join(table_path, f"_staged_w_{self.token}")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        part = None
+        writer = None
+        n = 0
+        for batch in iterator:
+            if writer is None:
+                os.makedirs(self.staged, exist_ok=True)
+                part = f"part-{uuid.uuid4().hex}.parquet"
+                writer = pq.ParquetWriter(
+                    os.path.join(self.staged, part), batch.schema
+                )
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is not None:
+            writer.close()
+        return _WrotePart(filename=part, n_rows=n)
+
+    def commit(self, messages):
+        import shutil
+
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+        parent_files: list[str] = []
+        avail = versioned.versions(self.table_path)
+        if avail and not self.overwrite:
+            parent = versioned._load_manifest(self.table_path, avail[-1])
+            if json.loads(parent["schema"]) != self.schema.jsonValue():
+                shutil.rmtree(self.staged, ignore_errors=True)
+                raise ValueError(
+                    "append schema does not match the table schema — "
+                    "use merge_version_cow(evolve_schema=True) to evolve"
+                )
+            parent_files = parent.get("files")
+            if parent_files is None:  # legacy dir-level manifest
+                parent_files = versioned._list_data_files(
+                    self.table_path, parent["dir"]
+                )
+        version = versioned._next_version(self.table_path, None)
+        os.makedirs(versioned._manifest_path(self.table_path), exist_ok=True)
+        data_dir = f"v_{version}_{self.token}"
+        final = os.path.join(self.table_path, data_dir)
+        new_files = []
+        if os.path.isdir(self.staged):
+            os.rename(self.staged, final)
+            new_files = versioned._list_data_files(self.table_path, data_dir)
+        manifest = {
+            "version": version,
+            "files": list(parent_files) + new_files,
+            "schema": self.schema.json(),
+        }
+        try:
+            versioned._publish(self.table_path, manifest)
+        except versioned.CommitConflict:
+            shutil.rmtree(final, ignore_errors=True)
+            raise
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.staged, ignore_errors=True)

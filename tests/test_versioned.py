@@ -624,3 +624,62 @@ def test_merge_on_empty_table_raises_filenotfound(spark, tmp_path):
                                "k INT, v STRING, is_delete BOOLEAN")
     with pytest.raises(FileNotFoundError):
         versioned.merge_version_cow(spark, str(tmp_path / "nope"), ch, "k")
+
+
+def _register_ds(spark):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    try:
+        spark.dataSource.register(VersionedDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+def test_versioned_writer_append_and_overwrite(spark, tmp_path):
+    """df.write.format('versioned'): append commits a new version that
+    SHARES every parent file (fast append, nothing rewritten);
+    overwrite commits a fresh-content version; history stays
+    time-travelable; a mismatched append schema is rejected."""
+    import pytest
+
+    _register_ds(spark)
+    path = str(tmp_path / "tbl")
+    df0 = spark.range(10).selectExpr("id AS k", "CAST(id * 2 AS LONG) AS v")
+    df0.write.format("versioned").mode("overwrite").option("path", path).save()
+    assert versioned.versions(path) == [0]
+
+    df1 = spark.range(10, 15).selectExpr("id AS k", "CAST(id * 2 AS LONG) AS v")
+    df1.write.format("versioned").mode("append").option("path", path).save()
+    assert versioned.versions(path) == [0, 1]
+    m0 = versioned._load_manifest(path, 0)
+    m1 = versioned._load_manifest(path, 1)
+    # fast append: every v0 file is shared byte-identically by v1
+    assert set(m0["files"]) <= set(m1["files"])
+    assert len(m1["files"]) > len(m0["files"])
+
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got == {i: 2 * i for i in range(15)}
+    # the DS read path sees the same latest version
+    ds = {r.k: r.v for r in spark.read.format("versioned")
+          .option("path", path).load().collect()}
+    assert ds == got
+    # time travel to the pre-append state
+    v0 = {r.k: r.v for r in versioned.read_version(spark, path, 0).collect()}
+    assert v0 == {i: 2 * i for i in range(10)}
+
+    # overwrite replaces content in a NEW version; v1 stays readable
+    df2 = spark.range(3).selectExpr("id AS k", "CAST(0 AS LONG) AS v")
+    df2.write.format("versioned").mode("overwrite").option("path", path).save()
+    assert versioned.versions(path) == [0, 1, 2]
+    assert {r.k for r in versioned.read_version(spark, path).collect()} == {0, 1, 2}
+    assert len({r.k for r in versioned.read_version(spark, path, 1).collect()}) == 15
+
+    # append with a different schema is rejected loudly
+    bad = spark.range(2).selectExpr("id AS k", "CAST(id AS STRING) AS w")
+    with pytest.raises(Exception, match="schema"):
+        bad.write.format("versioned").mode("append").option("path", path).save()
+    assert versioned.versions(path) == [0, 1, 2]
+    # no stray staged dirs survive the failed append
+    assert not [d for d in os.listdir(path) if d.startswith("_staged_w_")]
