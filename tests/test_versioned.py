@@ -683,3 +683,36 @@ def test_versioned_writer_append_and_overwrite(spark, tmp_path):
     assert versioned.versions(path) == [0, 1, 2]
     # no stray staged dirs survive the failed append
     assert not [d for d in os.listdir(path) if d.startswith("_staged_w_")]
+
+
+def test_purge_then_vacuum_physically_erases(spark, tmp_path):
+    """Right-to-be-forgotten through the lakehouse: a MERGE delete
+    removes the rows logically; after vacuum retires the pre-delete
+    versions, NO surviving data file contains the purged key — the
+    bytes are gone, not just unreferenced."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"user{i}@example.test") for i in range(100)], "k INT, pii STRING"
+    ).repartitionByRange(4, "k")
+    versioned.write_version(df, path, stats_col="k")
+    ch = spark.createDataFrame([(42, None, True)],
+                               "k INT, pii STRING, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, path, ch, "k")
+    # logically gone at latest, still present via time travel
+    assert 42 not in {r.k for r in versioned.read_version(spark, path).collect()}
+    assert 42 in {r.k for r in versioned.read_version(spark, path, 0).collect()}
+    # retire history → physical erasure
+    versioned.vacuum(path, keep_last=1)
+    leftovers = []
+    for root, _dirs, files in os.walk(path):
+        if versioned._MANIFEST_DIR in root:
+            continue
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            blob = open(os.path.join(root, f), "rb").read()
+            if b"user42@example.test" in blob:
+                leftovers.append(os.path.join(root, f))
+    assert leftovers == []
+    # and the table still serves the 99 survivors
+    assert len(versioned.read_version(spark, path).collect()) == 99
