@@ -135,15 +135,20 @@ def write_pgn(flat: DataFrame, output_path: str, numbered: bool = True,
     [Game N] numbering RESTARTS per source, exactly the reference's
     per-file ``count`` — still one distributed plan, no driver loop."""
     if per_source_col is not None:
+        # ONE shuffle: repartition the narrow input on the source key
+        # BEFORE rendering; the numbering window requires the same
+        # hash distribution, so it reuses this exchange, and the
+        # partitionBy writer then sees co-located rows — repartitioning
+        # after the window would shuffle the rendered PGN text blocks
+        # (the widest column) a second time.
         w = Window.partitionBy(per_source_col).orderBy("game_id")
-        df = flat.select(
+        df = flat.repartition(F.col(per_source_col)).select(
             F.col(per_source_col),
             pgn_block(F.row_number().over(w) if numbered else None)
             .alias("pgn"),
         )
         (
-            df.repartition(F.col(per_source_col))
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .partitionBy(per_source_col)
             .text(output_path)
         )

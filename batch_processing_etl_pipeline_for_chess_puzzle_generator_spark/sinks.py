@@ -119,7 +119,7 @@ def read_partitioned_evolving(spark: SparkSession, path: str,
         sub = os.path.join(path, f"spec={spec_id}")
         if not os.path.isdir(sub):
             continue  # spec registered but never written
-        part = spark.read.format(fmt).load(sub)
+        part = read_partitioned(spark, sub, fmt=fmt)
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
         )

@@ -215,14 +215,30 @@ class VersionedWriter(DataSourceArrowWriter):
                 parent_files = versioned._list_data_files(
                     self.table_path, parent["dir"]
                 )
-        version = versioned._next_version(self.table_path, None)
+        # The version number derives from the SAME snapshot the parent
+        # file list came from: a concurrent commit that lands after
+        # versions() above then owns this number, so our CAS fails with
+        # CommitConflict instead of silently publishing a manifest that
+        # omits the interleaved version's files (lost update).
+        version = (avail[-1] + 1 if avail
+                   else versioned._next_version(self.table_path, None))
         os.makedirs(versioned._manifest_path(self.table_path), exist_ok=True)
         data_dir = f"v_{version}_{self.token}"
         final = os.path.join(self.table_path, data_dir)
+        # Only the files named by task COMMIT MESSAGES enter the
+        # version: the staged dir may also hold half-written parts from
+        # failed or speculative attempts (no footer, or duplicate rows)
+        # that must never be manifested.
+        names = sorted({m.filename for m in messages
+                        if m is not None and m.filename})
         new_files = []
-        if os.path.isdir(self.staged):
-            os.rename(self.staged, final)
-            new_files = versioned._list_data_files(self.table_path, data_dir)
+        if names:
+            os.makedirs(final)
+            for n in names:
+                os.rename(os.path.join(self.staged, n),
+                          os.path.join(final, n))
+            new_files = [f"{data_dir}/{n}" for n in names]
+        shutil.rmtree(self.staged, ignore_errors=True)
         manifest = {
             "version": version,
             "files": list(parent_files) + new_files,

@@ -316,7 +316,16 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     avail = versions(table_path)
     if not avail:
         raise FileNotFoundError(f"no committed versions at {table_path}")
-    version = _next_version(table_path, version)
+    # Auto-numbering derives from the SAME snapshot the parent comes
+    # from (avail[-1] + 1), NOT from a later high-water read: a commit
+    # interleaving between the two reads must collide on the version
+    # number (CommitConflict at publish) rather than let this merge
+    # publish one number higher with the stale parent's file list —
+    # which would silently drop the interleaved version's rows.
+    if version is None:
+        version = avail[-1] + 1
+    else:
+        version = _next_version(table_path, version)
     parent = _load_manifest(table_path, avail[-1])
     parent_struct = T.StructType.fromJson(json.loads(parent["schema"]))
     data_cols = [f.name for f in parent_struct.fields]

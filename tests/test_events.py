@@ -85,3 +85,22 @@ def test_hll_union_dedups_across_days(spark):
     total_sum = sum(r.sum_dau for r in weekly)
     assert total_est == 40          # exact at this cardinality
     assert total_sum == 7 * 40      # the naive sum overcounts 7x
+
+
+def test_session_gap_boundary_convention(spark):
+    """Pin the exact-30-minute boundary: Spark's session_window MERGES
+    an event landing exactly at prev_ts + gap (verified empirically),
+    and the lag-gap oracles use strict '> INTERVAL 30 MINUTE', which
+    merges the same case — the two formulations agree at the boundary.
+    (An r4 review claimed the opposite; this test is the receipt.)"""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"),
+         (1, "2024-01-01 10:30:00"),       # exactly gap after the first
+         (1, "2024-01-01 11:00:00.000001")],  # 1 us past gap: new session
+        "user_id INT, ts_s STRING",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    n = (df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+         .count().count())
+    assert n == 2

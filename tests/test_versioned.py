@@ -594,21 +594,24 @@ def test_losing_concurrent_writer_cannot_clobber_winner(spark, tmp_path,
 
 def test_losing_concurrent_merge_cannot_clobber_winner(spark, tmp_path,
                                                        monkeypatch):
-    """Same race through merge_version_cow: the losing COW merge must
-    conflict cleanly and leave the winner's v1 intact."""
+    """Same race through merge_version_cow: writer A commits version 1
+    AFTER the merge has taken its table snapshot. The merge must
+    collide on the version number (CommitConflict) — publishing one
+    number higher with the stale parent would silently drop A's rows —
+    and A's v1 must stay intact."""
     path = str(tmp_path / "tbl")
     versioned.write_version(_mk(spark, [(1, "a"), (2, "b")]), path)
 
-    real_next = versioned._next_version
+    real_load = versioned._load_manifest
 
-    def racing_next(table_path, version):
-        v = real_next(table_path, version)
+    def racing_load(table_path, version):
+        # fires inside the merge's snapshot window, right after
+        # versions() resolved [0]: A lands v1 now
         monkeypatch.undo()
-        versioned.write_version(_mk(spark, [(9, "A")]), table_path,
-                                version=v)
-        return v
+        versioned.write_version(_mk(spark, [(9, "A")]), table_path)
+        return real_load(table_path, version)
 
-    monkeypatch.setattr(versioned, "_next_version", racing_next)
+    monkeypatch.setattr(versioned, "_load_manifest", racing_load)
     ch = spark.createDataFrame([(1, "B", False)],
                                "k INT, v STRING, is_delete BOOLEAN")
     with pytest.raises(versioned.CommitConflict):
@@ -716,3 +719,56 @@ def test_purge_then_vacuum_physically_erases(spark, tmp_path):
     assert leftovers == []
     # and the table still serves the 99 survivors
     assert len(versioned.read_version(spark, path).collect()) == 99
+
+
+def test_ds_writer_commit_messages_and_stale_snapshot(spark, tmp_path,
+                                                       monkeypatch):
+    """Direct unit test of VersionedWriter.commit (a real save() runs
+    it in a separate Python worker, out of monkeypatch reach):
+    (1) only files named by task commit messages are manifested — a
+    half-written stray from a failed attempt is discarded; (2) a
+    commit whose table snapshot went stale collides on the version
+    number (CommitConflict) instead of silently dropping the
+    interleaved version's files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedWriter,
+        _WrotePart,
+    )
+
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk(spark, [(1, "a")]), path)  # v0
+    schema = _mk(spark, [(1, "a")]).schema
+
+    # ---- (1) stray files without a commit message never get manifested
+    w = VersionedWriter(path, schema, overwrite=False)
+    os.makedirs(w.staged)
+    pq.write_table(pa.table({"k": pa.array([5], pa.int32()),
+                             "v": ["z"]}), os.path.join(w.staged, "part-good.parquet"))
+    open(os.path.join(w.staged, "part-halfwritten.parquet"), "wb").write(b"PAR1junk")
+    w.commit([_WrotePart(filename="part-good.parquet", n_rows=1), None])
+    m1 = versioned._load_manifest(path, 1)
+    assert [f for f in m1["files"] if "halfwritten" in f] == []
+    got = sorted(tuple(r) for r in versioned.read_version(spark, path).collect())
+    assert got == [(1, "a"), (5, "z")]
+    assert not os.path.exists(w.staged)
+
+    # ---- (2) stale snapshot -> CommitConflict, winner intact
+    w2 = VersionedWriter(path, schema, overwrite=False)
+    os.makedirs(w2.staged)
+    pq.write_table(pa.table({"k": pa.array([7], pa.int32()), "v": ["B"]}),
+                   os.path.join(w2.staged, "part-b.parquet"))
+    real_load = versioned._load_manifest
+
+    def racing_load(tp, v):
+        monkeypatch.undo()
+        versioned.write_version(_mk(spark, [(9, "A")]), tp)  # v2 lands
+        return real_load(tp, v)
+
+    monkeypatch.setattr(versioned, "_load_manifest", racing_load)
+    with pytest.raises(versioned.CommitConflict):
+        w2.commit([_WrotePart(filename="part-b.parquet", n_rows=1)])
+    got = [tuple(r) for r in versioned.read_version(spark, path, 2).collect()]
+    assert got == [(9, "A")]
