@@ -1674,35 +1674,50 @@ ORACLES["abc_parts_revenue"] = f"""
 # Rank-family window breadth over a GROUPED partition (never a global
 # sort — each window partitions by market segment, so sorted runs are
 # bounded by segment size; at 100 TB you'd band by broadcast
-# approx-quantile cut points in the same output shape): ntile quartile
-# bands per segment, with percent_rank / cume_dist of each band's
-# edges and the segment's 2nd-highest balance via nth_value. One
-# shuffle (the window partition), one partial agg on top.
+# approx-quantile cut points in the same output shape): quartile bands
+# per segment with percent-rank / cume-dist of each band's edges and
+# the segment's 2nd-highest balance. One shuffle (the window
+# partition), one partial agg on top.
+#
+# Engine-robustness (r4 driver verdict): the oracle must NOT lean on
+# the engine's rank-statistic library — DuckDB's ntile remainder
+# placement has changed across releases, and a band is a GROUP KEY
+# here, so a different remainder rule silently reshapes every band
+# aggregate while keeping row count + schema (exactly the r3/r4 red
+# signature). Both sides therefore derive band/pr/cd from the only
+# window functions every engine agrees on bit-for-bit — row_number()
+# and count(*) — via pure integer arithmetic: the SQL-standard ntile
+# formula (first n%t buckets get one extra row) written out as
+# integer CASE math, and ppm grids (rn-1)*1e6 DIV (n-1) /
+# rn*1e6 DIV n (Spark `DIV` ↔ DuckDB `//`). Zero doubles, zero
+# engine-library dependence anywhere in the exposed columns.
 def w_customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     c = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
-    )
-    banded = c.select(
+    ranked = c.selectExpr(
         "c_mktsegment",
         "c_acctbal",
-        F.ntile(4).over(w).alias("band"),
-        # ppm integer grid: percent_rank/cume_dist are k/(n-1) raw
-        # doubles whose ROUND(.,6) is last-ulp engine-sensitive; the
-        # BIGINT grid makes the hash engine-stable (house style, cf.
-        # orders_value_anova / doc_zipf_slope).
-        F.expr("CAST(ROUND(percent_rank() OVER (PARTITION BY c_mktsegment "
-               "ORDER BY c_acctbal DESC, c_custkey) * 1e6) AS BIGINT)"
-               ).alias("pr"),
-        F.expr("CAST(ROUND(cume_dist() OVER (PARTITION BY c_mktsegment "
-               "ORDER BY c_acctbal DESC, c_custkey) * 1e6) AS BIGINT)"
-               ).alias("cd"),
-        F.expr("nth_value(c_acctbal, 2) OVER (PARTITION BY c_mktsegment "
-               "ORDER BY c_acctbal DESC, c_custkey "
-               "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
-               ).alias("second_highest"),
+        # row_number() is INT in Spark (BIGINT in DuckDB): widen before
+        # the *1e6 grid multiply or it overflows int32 beyond ~2147 rows
+        "CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
+        "ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn",
+        "COUNT(*) OVER (PARTITION BY c_mktsegment) AS nseg",
+    )
+    banded = ranked.selectExpr(
+        "c_mktsegment",
+        "c_acctbal",
+        # standard ntile(4): base = n DIV 4, rem = n % 4; rows
+        # 1..rem*(base+1) fall in the first rem (base+1)-sized
+        # buckets, the rest in base-sized buckets. CASE keeps the
+        # base=0 division unreachable when n < 4.
+        "CAST(CASE WHEN rn <= (nseg % 4) * (nseg DIV 4 + 1) "
+        "THEN (rn - 1) DIV (nseg DIV 4 + 1) + 1 "
+        "ELSE (nseg % 4) + (rn - 1 - (nseg % 4) * (nseg DIV 4 + 1)) "
+        "DIV (nseg DIV 4) + 1 END AS INT) AS band",
+        "CASE WHEN nseg = 1 THEN CAST(0 AS BIGINT) "
+        "ELSE (rn - 1) * 1000000 DIV (nseg - 1) END AS pr",
+        "rn * 1000000 DIV nseg AS cd",
+        "MAX(CASE WHEN rn = 2 THEN c_acctbal END) "
+        "OVER (PARTITION BY c_mktsegment) AS second_highest",
     )
     return banded.groupBy("c_mktsegment", "band").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -1718,19 +1733,25 @@ def w_customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["w_customer_value_bands"] = w_customer_value_bands
 
 ORACLES["w_customer_value_bands"] = """
-    WITH banded AS (
+    WITH ranked AS (
         SELECT c_mktsegment, c_acctbal,
-               ntile(4) OVER w AS band,
-               CAST(ROUND(percent_rank() OVER w * 1e6) AS BIGINT) AS pr,
-               CAST(ROUND(cume_dist() OVER w * 1e6) AS BIGINT) AS cd,
-               nth_value(c_acctbal, 2) OVER (
-                   PARTITION BY c_mktsegment
-                   ORDER BY c_acctbal DESC, c_custkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND UNBOUNDED FOLLOWING) AS second_highest
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS nseg
         FROM customer
-        WINDOW w AS (PARTITION BY c_mktsegment
-                     ORDER BY c_acctbal DESC, c_custkey)
+    ),
+    banded AS (
+        SELECT c_mktsegment, c_acctbal,
+               CAST(CASE WHEN rn <= (nseg % 4) * (nseg // 4 + 1)
+                    THEN (rn - 1) // (nseg // 4 + 1) + 1
+                    ELSE (nseg % 4) + (rn - 1 - (nseg % 4) * (nseg // 4 + 1))
+                         // (nseg // 4) + 1 END AS INT) AS band,
+               CASE WHEN nseg = 1 THEN CAST(0 AS BIGINT)
+                    ELSE (rn - 1) * 1000000 // (nseg - 1) END AS pr,
+               rn * 1000000 // nseg AS cd,
+               MAX(CASE WHEN rn = 2 THEN c_acctbal END)
+                   OVER (PARTITION BY c_mktsegment) AS second_highest
+        FROM ranked
     )
     SELECT c_mktsegment, band,
            COUNT(*) AS n_customers,
@@ -2051,33 +2072,37 @@ def orders_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(s)").alias("st"),
         F.expr("SUM(ss)").alias("sst"),
         F.count(F.lit(1)).alias("k"),
-        # DECIMAL(38,0), not BIGINT: the sum is ~nt·mean² and clears
-        # int64 around sf1000 — the same overflow class fixed repo-wide
-        # in the ABC/drift math
+        # r4 lesson (driver verdict): NEVER materialize a >2^53 double
+        # into DECIMAL/BIGINT digits — Spark's BigDecimal.valueOf
+        # (shortest-repr) and DuckDB's exact-binary conversion disagree
+        # below the ulp. Scale the double under 2^53 FIRST (s²/n is
+        # ~nt·mean² ≈ 3e19 at sf1000; /1e6 → ~3e13), THEN round: the
+        # divide is identical IEEE arithmetic on both engines and the
+        # BIGINT cast is exact. The per-group terms then sum exactly.
         F.expr(
-            "SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0) "
-            "AS DECIMAL(38,0)))"
-        ).alias("ssb_num"),
+            "SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n "
+            "/ 1e6) AS BIGINT))"
+        ).alias("ssb_num_m"),
     )
     return (
         per_g.crossJoin(F.broadcast(grand))
         .select(
             "o_orderpriority",
             "n",
-            # grids: mean on ppm BIGINT; ssb on a unit-grid
-            # DECIMAL(38,0) (a finer grid would clear int64 at sf100);
+            # grids: mean on ppm BIGINT; ssb contributions on a
+            # millions-grid BIGINT (scaled before rounding, see above);
             # F on ppm BIGINT
             F.expr("CAST(ROUND(CAST(s AS DOUBLE) / n * 1e6) AS BIGINT)")
             .alias("mean_value"),
             F.expr(
-                "CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n "
-                "- CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt * n / nt, 0)"
-                " AS DECIMAL(38,0))"
-            ).alias("ssb_contrib"),
+                "CAST(ROUND((CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n "
+                "- CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt * n / nt) "
+                "/ 1e6) AS BIGINT)"
+            ).alias("ssb_contrib_m"),
             F.expr(
-                "CAST(ROUND(((CAST(ssb_num AS DOUBLE) - CAST(st AS DOUBLE) "
-                "* CAST(st AS DOUBLE) / nt) / (k - 1)) / "
-                "((CAST(sst AS DOUBLE) - CAST(ssb_num AS DOUBLE)) "
+                "CAST(ROUND(((CAST(ssb_num_m AS DOUBLE) * 1e6 "
+                "- CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt) / (k - 1)) "
+                "/ ((CAST(sst AS DOUBLE) - CAST(ssb_num_m AS DOUBLE) * 1e6) "
                 "/ (nt - k)) * 1e6) AS BIGINT)"
             ).alias("f_stat"),
         )
@@ -2096,19 +2121,19 @@ ORACLES["orders_value_anova"] = """
     ),
     grand AS (
         SELECT SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst, COUNT(*) AS k,
-               SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0)
-                        AS DECIMAL(38,0))) AS ssb_num
+               SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                        / 1e6) AS BIGINT)) AS ssb_num_m
         FROM per_g
     )
     SELECT o_orderpriority, n,
            CAST(ROUND(CAST(s AS DOUBLE) / n * 1e6) AS BIGINT) AS mean_value,
-           CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
-                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt * n / nt, 0)
-                AS DECIMAL(38,0)) AS ssb_contrib,
-           CAST(ROUND(((CAST(ssb_num AS DOUBLE)
+           CAST(ROUND((CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt * n / nt)
+                / 1e6) AS BIGINT) AS ssb_contrib_m,
+           CAST(ROUND(((CAST(ssb_num_m AS DOUBLE) * 1e6
                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
                   / (k - 1)) /
-                 ((CAST(sst AS DOUBLE) - CAST(ssb_num AS DOUBLE))
+                 ((CAST(sst AS DOUBLE) - CAST(ssb_num_m AS DOUBLE) * 1e6)
                   / (nt - k)) * 1e6) AS BIGINT) AS f_stat
     FROM per_g CROSS JOIN grand
 """
