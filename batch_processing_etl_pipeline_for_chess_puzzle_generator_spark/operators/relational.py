@@ -388,27 +388,41 @@ def stat_sales_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Window-function breadth on one pass: rank family, distribution
-# functions (ntile/percent_rank/cume_dist) and frame-navigation
+# stats (quartile / percent-rank / cume-dist) and frame-navigation
 # (first/last value) over each customer's order history — one shuffle,
-# every function shares the same window spec so Spark evaluates them
-# in a single Window operator.
+# every window shares the same partition so Spark evaluates them in a
+# single exchange. Like w_customer_value_bands, the distribution stats
+# are derived from row_number + count(*) with pure integer arithmetic
+# (the SQL-standard ntile formula as CASE math; ppm grids via integer
+# DIV) rather than the engine's ntile/percent_rank/cume_dist library —
+# those drift across engine versions and are banned repo-wide by
+# tools/lint_formulations.py.
 def w_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return o.select(
+    full_w = ("PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
+    ranked = o.selectExpr(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).cast("long").alias("seq"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.expr("CAST(ROUND(percent_rank() OVER "
-               "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
-               " * 1e6) AS BIGINT)").alias("pct_rank"),
-        F.expr("CAST(ROUND(cume_dist() OVER "
-               "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
-               " * 1e6) AS BIGINT)").alias("cume"),
-        F.first("o_orderkey").over(full).alias("first_order"),
-        F.last("o_orderkey").over(full).alias("last_order"),
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq",
+        "COUNT(*) OVER (PARTITION BY o_custkey) AS n",
+        f"FIRST_VALUE(o_orderkey) OVER ({full_w}) AS first_order",
+        f"LAST_VALUE(o_orderkey) OVER ({full_w}) AS last_order",
+    )
+    return ranked.selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "seq",
+        "CASE WHEN seq <= (n % 4) * (n DIV 4 + 1) "
+        "THEN (seq - 1) DIV (n DIV 4 + 1) + 1 "
+        "ELSE (n % 4) + (seq - 1 - (n % 4) * (n DIV 4 + 1)) "
+        "DIV (n DIV 4) + 1 END AS quartile",
+        "CASE WHEN n = 1 THEN CAST(0 AS BIGINT) "
+        "ELSE (seq - 1) * 1000000 DIV (n - 1) END AS pct_rank",
+        "seq * 1000000 DIV n AS cume",
+        "first_order",
+        "last_order",
     )
 
 
@@ -455,17 +469,30 @@ QUERIES = {
 
 ORACLES = {
     "w_order_stats": """
-        SELECT o_custkey, o_orderkey,
-               row_number() OVER w AS seq,
-               ntile(4) OVER w AS quartile,
-               CAST(ROUND(percent_rank() OVER w * 1e6) AS BIGINT) AS pct_rank,
-               CAST(ROUND(cume_dist() OVER w * 1e6) AS BIGINT) AS cume,
-               first_value(o_orderkey) OVER wf AS first_order,
-               last_value(o_orderkey) OVER wf AS last_order
-        FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER w AS seq,
+                   count(*) OVER (PARTITION BY o_custkey) AS n,
+                   first_value(o_orderkey) OVER wf AS first_order,
+                   last_value(o_orderkey) OVER wf AS last_order
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                   wf AS (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING)
+        )
+        SELECT o_custkey, o_orderkey, seq,
+               CASE WHEN seq <= (n % 4) * (n // 4 + 1)
+                    THEN (seq - 1) // (n // 4 + 1) + 1
+                    ELSE (n % 4) + (seq - 1 - (n % 4) * (n // 4 + 1))
+                         // (n // 4) + 1 END AS quartile,
+               CASE WHEN n = 1 THEN CAST(0 AS BIGINT)
+                    ELSE (seq - 1) * 1000000 // (n - 1) END AS pct_rank,
+               seq * 1000000 // n AS cume,
+               first_order, last_order
+        FROM ranked
     """,
     "set_ops_customers": """
         WITH y94 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
