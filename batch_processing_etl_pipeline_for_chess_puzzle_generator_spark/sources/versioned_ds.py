@@ -145,6 +145,41 @@ class _WrotePart(WriterCommitMessage):
     n_rows: int
 
 
+def _footer_stats(path: str, stats_col: str):
+    """Exact [min, max] of ``stats_col`` from the parquet footer's
+    row-group statistics — no data scan. Returns None (= never pruned)
+    unless EVERY row group reports exact, non-null stats of a type the
+    manifest encoding preserves order for; NaN bounds also bail (NaN
+    sorts greatest into parquet double stats and defeats interval
+    comparison — same rule as merge_version_cow's _unpruneable)."""
+    import pyarrow.parquet as pq
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    md = pq.ParquetFile(path).metadata
+    try:
+        idx = md.schema.to_arrow_schema().names.index(stats_col)
+    except ValueError:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if (st is None or not st.has_min_max
+                or st.min is None or st.max is None):
+            return None
+        rmin, rmax = st.min, st.max
+        if any(isinstance(v, float) and v != v for v in (rmin, rmax)):
+            return None
+        lo = rmin if lo is None or rmin < lo else lo
+        hi = rmax if hi is None or rmax > hi else hi
+    if lo is None:
+        return None
+    try:
+        return [versioned._stat_encode(lo), versioned._stat_encode(hi)]
+    except TypeError:
+        return None
+
+
 class VersionedWriter(DataSourceArrowWriter):
     """``df.write.format("versioned")`` — every save commits a NEW
     version through the same manifest CAS as the library API:
@@ -201,9 +236,11 @@ class VersionedWriter(DataSourceArrowWriter):
         from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
         parent_files: list[str] = []
+        parent = None
         avail = versioned.versions(self.table_path)
-        if avail and not self.overwrite:
+        if avail:
             parent = versioned._load_manifest(self.table_path, avail[-1])
+        if parent is not None and not self.overwrite:
             if json.loads(parent["schema"]) != self.schema.jsonValue():
                 shutil.rmtree(self.staged, ignore_errors=True)
                 raise ValueError(
@@ -215,13 +252,16 @@ class VersionedWriter(DataSourceArrowWriter):
                 parent_files = versioned._list_data_files(
                     self.table_path, parent["dir"]
                 )
-        # The version number derives from the SAME snapshot the parent
-        # file list came from: a concurrent commit that lands after
-        # versions() above then owns this number, so our CAS fails with
-        # CommitConflict instead of silently publishing a manifest that
-        # omits the interleaved version's files (lost update).
-        version = (avail[-1] + 1 if avail
-                   else versioned._next_version(self.table_path, None))
+        # The version number derives from the SAME versions() snapshot
+        # the parent file list came from — in BOTH branches. Reading
+        # state again (e.g. via _next_version) would re-open the race
+        # it exists to close: a concurrent writer committing v0 to a
+        # fresh table between the two reads would make this append
+        # publish v1 with parent_files=[], silently dropping v0's rows
+        # from latest. Deriving 0 from the same empty snapshot means
+        # the manifest CAS on 0.json turns that interleave into a
+        # CommitConflict instead.
+        version = avail[-1] + 1 if avail else 0
         os.makedirs(versioned._manifest_path(self.table_path), exist_ok=True)
         data_dir = f"v_{version}_{self.token}"
         final = os.path.join(self.table_path, data_dir)
@@ -244,6 +284,23 @@ class VersionedWriter(DataSourceArrowWriter):
             "files": list(parent_files) + new_files,
             "schema": self.schema.json(),
         }
+        # Carry the parent's data-skipping stats forward instead of
+        # dropping them: a DS save on a stats_col table used to publish
+        # a stats-less manifest, silently costing every subsequent
+        # merge_version_cow its file pruning. Parent entries are copied
+        # verbatim (the files are immutable); new part files get exact
+        # [min,max] from their parquet footers where the footer stats
+        # are trustworthy, else None (= unpruneable, always correct).
+        if parent is not None and parent.get("stats_col"):
+            stats_col = parent["stats_col"]
+            stats = ({f: parent.get("stats", {}).get(f)
+                      for f in parent_files} if not self.overwrite else {})
+            for f in new_files:
+                stats[f] = _footer_stats(
+                    os.path.join(self.table_path, f), stats_col
+                )
+            manifest["stats_col"] = stats_col
+            manifest["stats"] = stats
         try:
             versioned._publish(self.table_path, manifest)
         except versioned.CommitConflict:

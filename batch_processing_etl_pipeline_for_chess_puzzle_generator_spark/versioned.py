@@ -108,12 +108,18 @@ def _file_stats(spark: SparkSession, table_path: str, rel_files: list[str],
         .agg(F.min(stats_col).alias("lo"), F.max(stats_col).alias("hi"))
         .collect()
     )
-    by_name = {}
+    # Keyed by full table-relative path, NOT basename (same rule as the
+    # merge touched-set): rel_files may span version dirs, and a
+    # basename collision would silently merge two files' stats —
+    # correctness-neutral (stats only prune) but pruning-pessimal and
+    # a trap for future callers.
+    troot = os.path.abspath(table_path)
+    by_rel = {}
     for r in rows:
-        by_name[os.path.basename(_uri_to_path(r["f"]))] = [
+        by_rel[os.path.relpath(_uri_to_path(r["f"]), troot)] = [
             _stat_encode(r["lo"]), _stat_encode(r["hi"])
         ]
-    return {f: by_name.get(os.path.basename(f)) for f in rel_files}
+    return {f: by_rel.get(f) for f in rel_files}
 
 
 def _uri_to_path(uri: str) -> str:
@@ -324,8 +330,17 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     # which would silently drop the interleaved version's rows.
     if version is None:
         version = avail[-1] + 1
-    else:
-        version = _next_version(table_path, version)
+    elif version != avail[-1] + 1:
+        # An explicit number above avail[-1]+1 would skip the CAS slot a
+        # concurrent commit is racing for: that commit lands at
+        # avail[-1]+1 without conflict, and this merge — built from the
+        # now-stale parent — publishes over it, vanishing its rows.
+        # Every merge must contend for exactly the next slot.
+        raise ValueError(
+            f"merge version must be the next version "
+            f"({avail[-1] + 1}), got {version} — explicit gaps would "
+            "let a concurrent commit interleave without CommitConflict"
+        )
     parent = _load_manifest(table_path, avail[-1])
     parent_struct = T.StructType.fromJson(json.loads(parent["schema"]))
     data_cols = [f.name for f in parent_struct.fields]

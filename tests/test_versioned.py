@@ -772,3 +772,135 @@ def test_ds_writer_commit_messages_and_stale_snapshot(spark, tmp_path,
         w2.commit([_WrotePart(filename="part-b.parquet", n_rows=1)])
     got = [tuple(r) for r in versioned.read_version(spark, path, 2).collect()]
     assert got == [(9, "A")]
+
+
+def test_ds_fresh_table_race_collides_instead_of_dropping_v0(spark, tmp_path,
+                                                             monkeypatch):
+    """ADVICE r4 (medium): an append to a FRESH table whose snapshot
+    goes stale — a concurrent writer commits v0 between versions() and
+    publish — must raise CommitConflict, not publish v1 with
+    parent_files=[] (which would drop v0's rows from latest). The
+    version number must derive from the same empty snapshot as the
+    (empty) parent file list."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedWriter,
+        _WrotePart,
+    )
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    schema = _mk(spark, [(1, "a")]).schema
+    w = VersionedWriter(path, schema, overwrite=False)
+    os.makedirs(w.staged)
+    pq.write_table(pa.table({"k": pa.array([5], pa.int32()), "v": ["z"]}),
+                   os.path.join(w.staged, "part-z.parquet"))
+    real_versions = versioned.versions
+
+    def racing_versions(tp):
+        snap = real_versions(tp)
+        if snap == []:
+            monkeypatch.undo()
+            versioned.write_version(_mk(spark, [(9, "A")]), tp)  # v0 lands
+        return snap
+
+    monkeypatch.setattr(versioned, "versions", racing_versions)
+    with pytest.raises(versioned.CommitConflict):
+        w.commit([_WrotePart(filename="part-z.parquet", n_rows=1)])
+    # the interleaved v0 is intact and IS latest
+    assert versioned.versions(path) == [0]
+    got = [tuple(r) for r in versioned.read_version(spark, path).collect()]
+    assert got == [(9, "A")]
+
+
+def test_ds_append_carries_stats_forward(spark, tmp_path):
+    """ADVICE r4 (low): a DS append on a table written with stats_col
+    must carry the parent's per-file stats forward (files are
+    immutable) and give its own part files footer-derived stats — so a
+    subsequent merge_version_cow still data-skips instead of scanning
+    every candidate file."""
+    _register_ds(spark)
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 800, 8), path, stats_col="k")
+    m0 = versioned._load_manifest(path, 0)
+
+    extra = spark.range(900, 905).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('n', id) AS v").coalesce(1)
+    extra.write.format("versioned").mode("append").option("path", path).save()
+
+    m1 = versioned._load_manifest(path, 1)
+    assert m1["stats_col"] == "k"
+    # parent entries verbatim
+    for f in m0["files"]:
+        assert m1["stats"][f] == m0["stats"][f]
+    # the appended file got exact footer stats
+    new = [f for f in m1["files"] if f not in set(m0["files"])]
+    assert new
+    for f in new:
+        assert m1["stats"][f] == [900, 904]
+    # and the pruning still works end-to-end after the DS append
+    ch = spark.createDataFrame([(3, "upd", False)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    stats = versioned.merge_version_cow(spark, path, ch, "k")
+    assert stats["files_pruned_by_stats"] >= 7
+
+
+def test_ds_overwrite_keeps_stats_col_with_footer_stats(spark, tmp_path):
+    """Overwrite replaces content, so no parent entries carry over —
+    but the table's stats_col discipline survives via footer stats on
+    the new files."""
+    _register_ds(spark)
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 100, 2), path, stats_col="k")
+    fresh = spark.createDataFrame([(i, "w") for i in range(50, 60)],
+                                  "k INT, v STRING").coalesce(1)
+    fresh.write.format("versioned").mode("overwrite").option("path", path).save()
+    m1 = versioned._load_manifest(path, 1)
+    assert m1["stats_col"] == "k"
+    assert set(m1["stats"]) == set(m1["files"])
+    assert all(s == [50, 59] for s in m1["stats"].values())
+
+
+def test_file_stats_keyed_by_relpath_not_basename(spark, tmp_path):
+    """VERDICT r4 item 5: _file_stats must key by table-relative path.
+    Two files in different version dirs sharing a basename must keep
+    DISTINCT stats — a basename-keyed map silently merged them
+    (pruning-pessimal)."""
+    import shutil
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(i, "a") for i in range(10)],
+                          "k INT, v STRING").coalesce(1) \
+        .write.parquet(os.path.join(path, "dir_a"))
+    spark.createDataFrame([(i, "b") for i in range(1000, 1010)],
+                          "k INT, v STRING").coalesce(1) \
+        .write.parquet(os.path.join(path, "dir_b"))
+    # force a basename collision across the dirs
+    for d in ("dir_a", "dir_b"):
+        src = [f for f in os.listdir(os.path.join(path, d))
+               if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(path, d, src),
+                    os.path.join(path, d, "part-same.parquet"))
+    rel = ["dir_a/part-same.parquet", "dir_b/part-same.parquet"]
+    stats = versioned._file_stats(spark, path, rel, "k")
+    assert stats["dir_a/part-same.parquet"] == [0, 9]
+    assert stats["dir_b/part-same.parquet"] == [1000, 1009]
+
+
+def test_merge_rejects_non_next_explicit_version(spark, tmp_path):
+    """ADVICE r4 (low): a merge pinned above avail[-1]+1 would publish
+    from a stale parent without ever colliding with an interleaved
+    commit at avail[-1]+1 — explicit merge versions must be exactly
+    the next slot."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 100, 2), path, stats_col="k")
+    ch = spark.createDataFrame([(1, "x", False)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    with pytest.raises(ValueError, match="next version"):
+        versioned.merge_version_cow(spark, path, ch, "k", version=4)
+    assert versioned.versions(path) == [0]  # nothing published
+    # the exact next slot is still accepted
+    stats = versioned.merge_version_cow(spark, path, ch, "k", version=1)
+    assert stats["version"] == 1
