@@ -1,0 +1,145 @@
+"""SQL ``MERGE INTO`` surface over versioned tables.
+
+Warehouse users type MERGE, not library calls. Spark's parser accepts
+MERGE INTO only against DSv2 catalog tables, so this module provides
+the statement surface for path-addressed versioned tables directly:
+the canonical upsert shape is parsed here and routed onto
+:func:`versioned.merge_version_cow`, which already implements the
+copy-on-write physical plan (stat-prune → touched-file scan → rewrite
+only touched files → CAS publish). Reference parity: the reference has
+no MERGE at all (its pipeline is insert-only, etl/load.py); this is
+the lakehouse-completing API its users would reach for next.
+
+Supported statement shape (the Delta/Iceberg canonical upsert; ``<``
+``>`` mark placeholders, clause order fixed, case-insensitive):
+
+    MERGE INTO versioned.`/path/to/table` [AS] t
+    USING <source view or (subquery)> [AS] s
+    ON t.<key> = s.<key>
+    [WHEN MATCHED AND <delete-condition over s> THEN DELETE]
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *
+
+Anything else — non-equi ON, column-list SET/INSERT, multiple
+conditional update clauses — raises ``ValueError`` loudly rather than
+approximating different semantics. The mapping is exact:
+
+- source rows with the delete-condition true  → ``is_delete = true``
+  (merge_version_cow removes the key),
+- every other source row                      → upsert
+  (UPDATE SET * for matched keys, INSERT * for new ones — precisely
+  merge_version_cow's anti-join + union).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MERGE_RE = re.compile(
+    r"""^\s*MERGE\s+INTO\s+versioned\.`(?P<path>[^`]+)`
+        (?:\s+AS)?\s+(?P<t>\w+)
+        \s+USING\s+(?P<source>\((?:[^()]|\([^()]*\))*\)|[\w.]+)
+        (?:\s+AS)?\s+(?P<s>\w+)
+        \s+ON\s+(?P<ton>\w+)\.(?P<tkey>\w+)\s*=\s*(?P<son>\w+)\.(?P<skey>\w+)
+        (?:\s+WHEN\s+MATCHED\s+AND\s+(?P<delcond>.+?)\s+THEN\s+DELETE)?
+        \s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*
+        \s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*
+        \s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_DELETE_FLAG = "__merge_is_delete"
+
+
+def merge_into(spark: SparkSession, statement: str,
+               evolve_schema: bool = False) -> dict:
+    """Execute a ``MERGE INTO versioned.`<path>``` statement. Returns
+    :func:`merge_version_cow`'s commit stats (files shared/rewritten/
+    pruned). ``evolve_schema`` forwards Delta's mergeSchema behavior
+    for sources that carry new columns."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    m = _MERGE_RE.match(statement)
+    if not m:
+        raise ValueError(
+            "unsupported MERGE shape — expected:\n"
+            "  MERGE INTO versioned.`/path` [AS] t USING <view|(subquery)> "
+            "[AS] s\n  ON t.<key> = s.<key>\n"
+            "  [WHEN MATCHED AND <cond> THEN DELETE]\n"
+            "  WHEN MATCHED THEN UPDATE SET *\n"
+            "  WHEN NOT MATCHED THEN INSERT *"
+        )
+    t, s = m.group("t"), m.group("s")
+    # the ON equality must join target key to source key (either order)
+    sides = {m.group("ton"): m.group("tkey"), m.group("son"): m.group("skey")}
+    if set(sides) != {t, s}:
+        raise ValueError(
+            f"ON clause must equate {t}.<key> with {s}.<key>, "
+            f"got aliases {sorted(sides)}"
+        )
+    if sides[t] != sides[s]:
+        raise ValueError(
+            f"ON clause must equate the SAME key column on both sides "
+            f"(got {t}.{sides[t]} = {s}.{sides[s]}) — merge_version_cow "
+            "merges by one key column"
+        )
+    key = sides[t]
+
+    source = m.group("source")
+    if source.startswith("("):
+        changes = spark.sql(source[1:-1])
+    else:
+        changes = spark.table(source)
+
+    delcond = m.group("delcond")
+    if delcond is not None:
+        # the condition may only reference the source alias: the target
+        # row is about to be replaced/deleted, so s.* is the data both
+        # clauses see (and what merge_version_cow's flag column holds)
+        cond_sql = re.sub(rf"\b{re.escape(s)}\.", "", delcond)
+        if re.search(rf"\b{re.escape(t)}\.", delcond):
+            raise ValueError(
+                f"DELETE condition may only reference the source alias "
+                f"'{s}' (got a '{t}.' reference) — target columns are "
+                "not visible to the COW delete flag"
+            )
+        flagged = changes.withColumn(_DELETE_FLAG, F.expr(cond_sql))
+        # CDC sources commonly carry flag-driving columns (op codes,
+        # tombstone booleans) that are not table columns: once the
+        # condition has consumed them into the flag, drop them so they
+        # neither land in the table nor trip the evolve_schema check.
+        # Source columns the condition does NOT reference still follow
+        # evolve_schema rules (new data columns must be explicit).
+        avail = versioned.versions(m.group("path"))
+        if avail:
+            import json as _json
+
+            parent_schema = _json.loads(
+                versioned._load_manifest(m.group("path"), avail[-1])["schema"]
+            )
+            data_cols = {f["name"] for f in parent_schema["fields"]}
+            consumed = [
+                c for c in changes.columns
+                if c not in data_cols
+                and re.search(rf"\b{re.escape(c)}\b", cond_sql)
+            ]
+            flagged = flagged.drop(*consumed)
+    else:
+        flagged = changes.withColumn(_DELETE_FLAG, F.lit(False))
+
+    return versioned.merge_version_cow(
+        spark, m.group("path"), flagged, key,
+        delete_col=_DELETE_FLAG, evolve_schema=evolve_schema,
+    )
+
+
+def read_versioned_sql(spark: SparkSession, path: str,
+                       version: int | None = None) -> DataFrame:
+    """Convenience twin for the SQL surface: resolve a versioned table
+    path the way ``merge_into`` addresses it."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    return versioned.read_version(spark, path, version)

@@ -128,6 +128,236 @@ def read_partitioned_evolving(spark: SparkSession, path: str,
     return out
 
 
+# --------------------- Iceberg-style hidden-partitioning transforms
+#
+# Users filter on the SOURCE column (an event timestamp, a join key);
+# the table partitions on a DERIVED value (its day, its hash bucket).
+# Iceberg resolves the derivation at plan time; the Spark-first
+# re-expression keeps the derived value as an ordinary hive partition
+# column computed at write and RECONSTRUCTS the partition predicate
+# from the source-column predicate at read — Catalyst constant-folds
+# the reconstruction, so it prunes directories exactly like a
+# hand-written partition filter. Transform specs ("days(ts)",
+# "bucket(16, k)", "truncate(8, s)", or a bare column for identity)
+# plug into the SAME spec-evolution machinery as plain columns:
+# history written under days(ts) keeps pruning by day while new data
+# partitions by hours(ts), per subtree.
+
+import re as _re
+
+_TRANSFORM_RE = _re.compile(
+    r"^\s*(identity|years|months|days|hours|bucket|truncate)\s*\(\s*"
+    r"(?:(\d+)\s*,\s*)?(\w+)\s*\)\s*$"
+)
+
+# date_format patterns whose STRING sort order is chronological, so
+# between-predicates on the hidden column stay correct
+_TIME_FMT = {"years": "yyyy", "months": "yyyy-MM",
+             "days": "yyyy-MM-dd", "hours": "yyyy-MM-dd-HH"}
+_TIME_SLICE = {"years": 4, "months": 7, "days": 10, "hours": 13}
+
+
+class _Transform:
+    """One parsed partition transform. ``hidden`` is the physical
+    partition column name; ``value_sql(x)`` derives the partition
+    value of any source-typed SQL expression (used on the data at
+    write time and on folded literals at read time)."""
+
+    def __init__(self, spec: str):
+        m = _TRANSFORM_RE.match(spec)
+        if m:
+            self.kind, arg, self.col = m.group(1), m.group(2), m.group(3)
+            if self.kind in ("bucket", "truncate"):
+                if not arg:
+                    raise ValueError(f"{self.kind} needs a width: {spec!r}")
+                self.n = int(arg)
+                if self.n <= 0:
+                    raise ValueError(f"{self.kind} width must be > 0: {spec!r}")
+            elif arg:
+                raise ValueError(f"{self.kind} takes no width: {spec!r}")
+            else:
+                self.n = None
+        elif _re.fullmatch(r"\w+", spec.strip()):
+            self.kind, self.col, self.n = "identity", spec.strip(), None
+        else:
+            raise ValueError(f"unparseable partition transform: {spec!r}")
+
+    @property
+    def canonical(self) -> str:
+        if self.kind == "identity":
+            return self.col
+        if self.n is not None:
+            return f"{self.kind}({self.n}, {self.col})"
+        return f"{self.kind}({self.col})"
+
+    @property
+    def hidden(self) -> str:
+        if self.kind == "identity":
+            return self.col
+        suffix = f"_{self.n}" if self.n is not None else ""
+        return f"{self.col}__{self.kind}{suffix}"
+
+    def value_sql(self, x: str, dtype: str) -> str:
+        if self.kind == "identity":
+            return x
+        if self.kind in _TIME_FMT:
+            return f"date_format({x}, '{_TIME_FMT[self.kind]}')"
+        if self.kind == "bucket":
+            # Spark murmur3 via hash(); the literal side MUST be cast
+            # to the source column's type — hash(5) != hash(5L)
+            return f"pmod(hash(CAST({x} AS {dtype})), {self.n})"
+        if dtype.lower() in ("string", "varchar"):
+            return f"substring({x}, 1, {self.n})"
+        # numeric truncate floors toward -inf (Iceberg semantics)
+        return f"CAST(floor({x} / {self.n}) * {self.n} AS {dtype})"
+
+    def range_values(self, lo, hi):
+        """Partition-value [lo, hi] implied by a source-value range —
+        valid only for monotone transforms (not bucket)."""
+        if self.kind == "identity":
+            return lo, hi
+        if self.kind in _TIME_SLICE:
+            w = _TIME_SLICE[self.kind]
+            def _s(v):
+                s = v.isoformat() if hasattr(v, "isoformat") else str(v)
+                return s.replace("T", "-").replace(" ", "-")[:w]
+            return _s(lo), _s(hi)
+        if self.kind == "truncate":
+            if isinstance(lo, str):
+                return lo[:self.n], hi[:self.n]
+            import math
+            return (int(math.floor(lo / self.n) * self.n),
+                    int(math.floor(hi / self.n) * self.n))
+        return None  # bucket: ranges don't prune
+
+
+def _parse_specs(specs: list[str]) -> list[_Transform]:
+    return [_Transform(s) for s in specs]
+
+
+def write_hidden_partitioned(df: DataFrame, path: str, specs: list[str],
+                             fmt: str = "parquet") -> int:
+    """Write with hidden-partitioning transforms through the
+    spec-evolution layout: derives one physical partition column per
+    transform, records the CANONICAL transform strings in _spec.json,
+    and appends under the matching ``spec=N`` subtree (a new transform
+    list = a new spec id; history is never rewritten). Identity
+    transforms partition on the source column directly; derived
+    columns keep the source column in the data files, so reads see the
+    original schema."""
+    from pyspark.sql import functions as F
+
+    ts = _parse_specs(specs)
+    types = dict(df.dtypes)
+    hidden_cols = []
+    for t in ts:
+        if t.col not in types:
+            raise ValueError(f"transform column {t.col!r} not in schema")
+        if t.kind != "identity":
+            df = df.withColumn(
+                t.hidden, F.expr(t.value_sql(t.col, types[t.col]))
+            )
+        hidden_cols.append(t.hidden)
+    return _append_under_spec(df, path, [t.canonical for t in ts],
+                              hidden_cols, fmt)
+
+
+def _append_under_spec(df: DataFrame, path: str, spec_strings: list[str],
+                       partition_cols: list[str], fmt: str) -> int:
+    import json as _json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    spec_file = os.path.join(path, "_spec.json")
+    specs: list[list[str]] = []
+    if os.path.exists(spec_file):
+        with open(spec_file) as fh:
+            specs = _json.load(fh)
+    if specs and specs[-1] == spec_strings:
+        spec_id = len(specs) - 1
+    else:
+        specs.append(spec_strings)
+        spec_id = len(specs) - 1
+        tmp = spec_file + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(specs, fh)
+        os.replace(tmp, spec_file)
+    write_partitioned(df, os.path.join(path, f"spec={spec_id}"),
+                      partition_cols, fmt=fmt, mode="append")
+    return spec_id
+
+
+def read_hidden_partitioned(spark: SparkSession, path: str,
+                            fmt: str = "parquet",
+                            eq: dict | None = None,
+                            between: dict | None = None) -> DataFrame:
+    """Read a hidden-partitioned (possibly spec-evolved) table with
+    source-level predicates that PRUNE like partition filters:
+
+    - ``eq={"k": 5}``     → rows where k = 5; every subtree whose spec
+      buckets/days/truncates k also gets the derived partition
+      predicate (bucket equality included — the hash folds to a
+      constant).
+    - ``between={"ts": (lo, hi)}`` → rows in the closed range; monotone
+      transforms (time/truncate/identity) derive a partition range,
+      bucket transforms can't and fall back to the row filter alone.
+
+    Each spec subtree is scanned with ITS OWN derived predicates, so
+    pruning follows the layout each era of the table actually has —
+    Iceberg's read-time behavior, reconstructed with ordinary Catalyst
+    constant folding (assert via explain: PartitionFilters on the
+    hidden column). Hidden columns are dropped from the result."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    spec_file = os.path.join(path, "_spec.json")
+    with open(spec_file) as fh:
+        specs = _json.load(fh)
+    eq = eq or {}
+    between = between or {}
+    out = None
+    for spec_id, spec_strings in enumerate(specs):
+        sub = os.path.join(path, f"spec={spec_id}")
+        if not os.path.isdir(sub):
+            continue
+        part = read_partitioned(spark, sub, fmt=fmt)
+        types = dict(part.dtypes)
+        ts = _parse_specs(spec_strings)
+        preds = []
+        for col, v in eq.items():
+            preds.append(F.col(col) == F.lit(v))
+            for t in ts:
+                if t.col == col and t.kind != "identity":
+                    lit = f"CAST({_sql_lit(v)} AS {types[col]})"
+                    preds.append(
+                        F.col(t.hidden) == F.expr(t.value_sql(lit, types[col]))
+                    )
+        for col, (lo, hi) in between.items():
+            preds.append(F.col(col).between(F.lit(lo), F.lit(hi)))
+            for t in ts:
+                if t.col == col and t.kind != "identity":
+                    rng = t.range_values(lo, hi)
+                    if rng is not None:
+                        preds.append(F.col(t.hidden).between(*rng))
+        for p in preds:
+            part = part.filter(p)
+        part = part.drop(*[t.hidden for t in ts if t.kind != "identity"])
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    if out is None:
+        raise FileNotFoundError(f"no spec subtrees under {path}")
+    return out
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int, sort_cols: list[str] | None = None,
                    fmt: str = "parquet") -> None:

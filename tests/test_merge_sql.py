@@ -1,0 +1,125 @@
+"""SQL MERGE INTO surface (merge_sql.py) over versioned tables."""
+
+from __future__ import annotations
+
+import pytest
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import merge_into
+
+
+def _base(spark, n=400, parts=4):
+    return spark.range(n).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v"
+    ).repartitionByRange(parts, "k")
+
+
+def test_merge_into_upsert_and_delete(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark), path, stats_col="k")
+    spark.createDataFrame(
+        [(5, "upd5", False), (7, "ignored", True), (9000, "new", False)],
+        "k INT, v STRING, del BOOLEAN",
+    ).createOrReplaceTempView("merge_src")
+
+    stats = merge_into(spark, """
+        MERGE INTO versioned.`%s` AS t
+        USING merge_src AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.del THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """ % path)
+    assert stats["version"] == 1
+    # the 9000 insert stretches the change span over every file, so
+    # span pruning can't fire here — but the COW must still share the
+    # untouched files rather than rewrite the table
+    assert stats["files_shared"] >= 2
+    assert stats["files_rewritten"] <= 2
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[5] == "upd5" and got[9000] == "new" and 7 not in got
+    assert len(got) == 400 - 1 + 1
+    # the delete flag column never leaks into the table
+    assert "__merge_is_delete" not in versioned.read_version(spark, path).columns
+    assert "del" not in versioned.read_version(spark, path).columns
+
+
+def test_merge_into_subquery_source_no_delete_clause(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, 100, 2), path, stats_col="k")
+    spark.createDataFrame([(1, "one"), (101, "hundred-one")],
+                          "k INT, v STRING").createOrReplaceTempView("raw_src")
+    merge_into(spark, """
+        MERGE INTO versioned.`%s` t
+        USING (SELECT k, UPPER(v) AS v FROM raw_src) s
+        ON s.k = t.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """ % path)
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[1] == "ONE" and got[101] == "HUNDRED-ONE" and len(got) == 101
+
+
+def test_merge_into_rejects_unsupported_shapes(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, 10, 1), path)
+    spark.createDataFrame([(1, "x", False)],
+                          "k INT, v STRING, del BOOLEAN"
+                          ).createOrReplaceTempView("ms")
+    # non-equi / two-column ON
+    with pytest.raises(ValueError, match="unsupported MERGE shape"):
+        merge_into(spark, f"""
+            MERGE INTO versioned.`{path}` t USING ms s
+            ON t.k < s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+    # column-list SET is not UPDATE SET *
+    with pytest.raises(ValueError, match="unsupported MERGE shape"):
+        merge_into(spark, f"""
+            MERGE INTO versioned.`{path}` t USING ms s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+    # mismatched key columns on the two sides
+    with pytest.raises(ValueError, match="SAME key column"):
+        merge_into(spark, f"""
+            MERGE INTO versioned.`{path}` t USING ms s
+            ON t.k = s.del
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+    # DELETE condition referencing the target alias
+    with pytest.raises(ValueError, match="source alias"):
+        merge_into(spark, f"""
+            MERGE INTO versioned.`{path}` t USING ms s
+            ON t.k = s.k
+            WHEN MATCHED AND t.v = 'x' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+    # nothing was committed by any rejected statement
+    assert versioned.versions(path) == [0]
+
+
+def test_merge_into_schema_evolution_forwarding(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, 20, 1), path)
+    spark.range(1).selectExpr(
+        "CAST(3 AS INT) AS k", "CAST('three' AS STRING) AS v",
+        "CAST(99 AS INT) AS score"
+    ).createOrReplaceTempView("evo_src")
+    stmt = f"""
+        MERGE INTO versioned.`{path}` t USING evo_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """
+    with pytest.raises(ValueError, match="evolve_schema"):
+        merge_into(spark, stmt)
+    merge_into(spark, stmt, evolve_schema=True)
+    df = versioned.read_version(spark, path)
+    assert "score" in df.columns
+    rows = {r.k: r.score for r in df.collect()}
+    assert rows[3] == 99 and rows[4] is None
