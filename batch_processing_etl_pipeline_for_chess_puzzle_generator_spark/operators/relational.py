@@ -1143,8 +1143,80 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Association rules over the top co-occurring pairs: support /
+# confidence / lift. The expensive work is the SAME two-shuffle basket
+# fanout as basket_part_pairs; the top-20 cut happens BEFORE any
+# enrichment, so the per-item-count and basket-count joins touch 20
+# rows (broadcast the tiny pair side into the item-count table, never
+# the reverse — item counts are corpus-sized at 100 TB). All exposed
+# ratios are integer ppm grids: support/confidence by pure integer
+# DIV; lift through row-local IEEE over exact sub-2^53 counts (the
+# co*N product would clear int64 at scale, and doubles computed from
+# exact integers fold identically on both engines).
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pair_fanout = (
+        "flatten(transform(ps, p1 -> "
+        "transform(filter(ps, p2 -> p2 > p1), p2 -> struct(p1, p2))))"
+    )
+    # ONE wide shuffle total: collect_set dedups while it groups, so
+    # the single per-order grouping feeds pair counts, item counts
+    # (row-local explode of the same sets) and the basket count. The
+    # frame is persisted because three plan branches share it — without
+    # the cache each branch would rescan lineitem and re-shuffle
+    # (CacheManager keys by canonicalized plan, so repeated calls reuse
+    # one entry). No distinct-aggs anywhere: countDistinct per group
+    # would expand the shuffle by the distinct key (the profile_ndv
+    # trap, etl.py:624).
+    basket_sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("collect_set(l_partkey)").alias("ps"))
+        .persist()
+    )
+    top_pairs = (
+        basket_sets
+        .select(F.explode(F.expr(pair_fanout)).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(20)
+    )
+    item_counts = (
+        basket_sets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nb = basket_sets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    return (
+        item_counts.join(
+            broadcast(top_pairs), F.col("l_partkey") == F.col("p1")
+        )
+        .select("p1", "p2", "n_orders", F.col("cnt").alias("c1"))
+        .alias("l")
+        .join(
+            item_counts.alias("r"),
+            F.col("l.p2") == F.col("r.l_partkey"),
+        )
+        .select("p1", "p2", "n_orders", "c1", F.col("r.cnt").alias("c2"))
+        .crossJoin(broadcast(nb))
+        .selectExpr(
+            "p1",
+            "p2",
+            "n_orders",
+            "c1",
+            "c2",
+            "n_orders * 1000000 DIV n_baskets AS support_ppm",
+            "n_orders * 1000000 DIV c1 AS confidence_ppm",
+            "CAST(ROUND(CAST(n_orders AS DOUBLE) * CAST(n_baskets AS DOUBLE)"
+            " / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) * 1e6) AS BIGINT)"
+            " AS lift_ppm",
+        )
+    )
+
+
 QUERIES["yoy_nation_growth"] = yoy_nation_growth
 QUERIES["basket_part_pairs"] = basket_part_pairs
+QUERIES["basket_pair_lift"] = basket_pair_lift
 
 ORACLES["yoy_nation_growth"] = """
     WITH rev AS (
@@ -1170,6 +1242,32 @@ ORACLES["basket_part_pairs"] = """
     GROUP BY 1, 2
     ORDER BY n_orders DESC, p1, p2
     LIMIT 20
+"""
+
+ORACLES["basket_pair_lift"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    top_pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, p1, p2
+        LIMIT 20
+    ),
+    item_counts AS (
+        SELECT l_partkey, count(*) AS cnt FROM li GROUP BY 1
+    ),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem)
+    SELECT p1, p2, n_orders, i1.cnt AS c1, i2.cnt AS c2,
+           n_orders * 1000000 // n_baskets AS support_ppm,
+           n_orders * 1000000 // i1.cnt AS confidence_ppm,
+           CAST(ROUND(CAST(n_orders AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+                / (CAST(i1.cnt AS DOUBLE) * CAST(i2.cnt AS DOUBLE)) * 1e6)
+                AS BIGINT) AS lift_ppm
+    FROM top_pairs
+    JOIN item_counts i1 ON p1 = i1.l_partkey
+    JOIN item_counts i2 ON p2 = i2.l_partkey
+    CROSS JOIN nb
 """
 
 

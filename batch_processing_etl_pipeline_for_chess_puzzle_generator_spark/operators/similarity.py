@@ -2333,3 +2333,104 @@ ORACLES["emb_bq_rerank"] = f"""
         FROM scored
     ) WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------- in-plan ANN recall gate
+#
+# Retrieval quality measured AS A QUERY: recall@3 of the multi-probe
+# LSH shortlist against the exact brute-force top-3, per query vector.
+# This is the observability primitive a 100 TB retrieval stack runs
+# continuously (sampled queries → recall trend), expressed with the
+# same registry operators it audits — both sides score on the identical
+# integer-quantized grid, so the comparison is bit-deterministic and
+# fully oracle-gated (RECALL.md holds the offline wide-sweep twin).
+# Cost: the exact side IS brute force — at scale you run it over a
+# sampled query set (N_QUERIES here), which is exactly this plan.
+RECALL_K = 3
+
+
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        emb_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= RECALL_K)
+        .select("q_id", "c_id")
+    )
+    approx = emb_lsh_ann(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("m")
+    )
+    return (
+        exact.join(approx, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("m").alias("n_matched"),
+        )
+        .selectExpr(
+            "q_id",
+            "n_exact",
+            "n_matched",
+            "n_matched * 1000000 DIV n_exact AS recall_ppm",
+        )
+    )
+
+
+QUERIES["emb_ann_recall"] = emb_ann_recall
+
+
+def _duck_score_sfx(sfx: str, src: str) -> str:
+    """The quantized-cosine scoring block with suffixed CTE names, so
+    two scoring pipelines can coexist in one oracle."""
+    return f"""
+        comp{sfx} AS (
+            SELECT q_id, c_id,
+                   CAST(round(CAST(unnest(qe) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+                   CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT) AS xc
+            FROM {src}
+        ),
+        scored{sfx} AS (
+            SELECT q_id, c_id,
+                   CAST(sum(xq * xc) AS DOUBLE)
+                   / (sqrt(CAST(sum(xq * xq) AS DOUBLE)) * sqrt(CAST(sum(xc * xc) AS DOUBLE)))
+                       AS sim
+            FROM comp{sfx} GROUP BY q_id, c_id
+        )"""
+
+
+ORACLES["emb_ann_recall"] = f"""
+    WITH {_DUCK_PAIRS},
+    pairs_ex AS (SELECT q_id, qe, c_id, ce FROM q CROSS JOIN c),
+    {_duck_score_sfx("_ex", "pairs_ex")},
+    exact AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, c_id) AS r
+            FROM scored_ex
+        ) WHERE r <= {RECALL_K}
+    ),
+    qb0 AS (SELECT q_id, qe,
+                  {" + ".join(f"(CASE WHEN CAST(qe[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSH_BITS))}
+                      AS bkt0 FROM q),
+    qb AS (SELECT q_id, qe,
+                  unnest([{", ".join(f"xor(bkt0, {m})" for m in _LSH_PROBE_MASKS)}]) AS bkt
+           FROM qb0),
+    cb AS (SELECT c_id, ce,
+                  {" + ".join(f"(CASE WHEN CAST(ce[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSH_BITS))}
+                      AS bkt FROM c),
+    pairs_ap AS (SELECT q_id, qe, c_id, ce FROM qb JOIN cb USING (bkt)),
+    {_duck_score_sfx("_ap", "pairs_ap")},
+    approx AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, c_id) AS r
+            FROM scored_ap
+        ) WHERE r <= {RECALL_K}
+    )
+    SELECT e.q_id, count(*) AS n_exact,
+           count(a.c_id) AS n_matched,
+           count(a.c_id) * 1000000 // count(*) AS recall_ppm
+    FROM exact e LEFT JOIN approx a
+      ON e.q_id = a.q_id AND e.c_id = a.c_id
+    GROUP BY e.q_id
+"""
