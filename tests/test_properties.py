@@ -401,3 +401,34 @@ def test_bq_pack_hamming_equals_sign_disagreements(spark, va, vb):
     expected = sum((a > 0) != (b > 0) for a, b in zip(va, vb))
     assert got["h"] == expected
     assert got["self_h"] == 0
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=37),
+                   min_size=1, max_size=5),
+    tiles=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_integer_band_formula_equals_spark_ntile(spark, sizes, tiles):
+    """The engine-robustness rewrite (w_customer_value_bands /
+    w_order_stats) replaced ntile() with the SQL-standard formula as
+    integer CASE math. Property: for arbitrary partition sizes and tile
+    counts, the formula reproduces Spark's own ntile() bit-for-bit —
+    the rewrite changed the oracle's engine-dependence, not the
+    semantics."""
+    rows = [(g, i) for g, n in enumerate(sizes) for i in range(n)]
+    df = spark.createDataFrame(rows, "g INT, i INT")
+    got = df.selectExpr(
+        "g", "i",
+        f"ntile({tiles}) OVER (PARTITION BY g ORDER BY i) AS want",
+        "CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY i) AS BIGINT) AS rn",
+        "COUNT(*) OVER (PARTITION BY g) AS n",
+    ).selectExpr(
+        "want",
+        f"CAST(CASE WHEN rn <= (n % {tiles}) * (n DIV {tiles} + 1) "
+        f"THEN (rn - 1) DIV (n DIV {tiles} + 1) + 1 "
+        f"ELSE (n % {tiles}) + (rn - 1 - (n % {tiles}) * (n DIV {tiles} + 1)) "
+        f"DIV (n DIV {tiles}) + 1 END AS INT) AS got",
+    ).collect()
+    assert all(r.want == r.got for r in got)
