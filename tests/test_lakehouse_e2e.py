@@ -119,3 +119,67 @@ def test_lakehouse_pipeline_end_to_end(spark, tmp_path):
         if not f.startswith(("_", "."))
     }
     assert on_disk == live
+
+
+def test_lakehouse_sql_and_hidden_partition_composition(spark, tmp_path):
+    """r5 surfaces composed end-to-end: land raw events into a
+    hidden-partitioned (days→hours spec-evolved) hive table, curate a
+    versioned dimension through the SQL MERGE INTO statement, and
+    verify both read paths — source-predicate partition pruning and
+    post-MERGE time travel — agree with the raw data."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import merge_into
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import (
+        read_hidden_partitioned,
+        write_hidden_partitioned,
+    )
+
+    # -- fact side: two eras of layout, one logical table
+    facts = spark.range(96).selectExpr(
+        "id AS k",
+        "timestampadd(HOUR, CAST(id AS INT), "
+        "TIMESTAMP '2024-05-01 00:00:00') AS ts",
+        "CAST(id % 5 AS INT) AS dim_id",
+    )
+    fpath = str(tmp_path / "facts")
+    write_hidden_partitioned(facts.filter("k < 48"), fpath, ["days(ts)"])
+    write_hidden_partitioned(facts.filter("k >= 48"), fpath, ["hours(ts)"])
+
+    day2 = (datetime.datetime(2024, 5, 2, 0, 0),
+            datetime.datetime(2024, 5, 2, 23, 59))
+    pruned = read_hidden_partitioned(spark, fpath, between={"ts": day2})
+    assert pruned.count() == 24
+
+    # -- dimension side: versioned table curated via SQL MERGE
+    dpath = str(tmp_path / "dim")
+    dim = spark.range(5).selectExpr("CAST(id AS INT) AS dim_id",
+                                    "CONCAT('seg', id) AS segment")
+    versioned.write_version(dim, dpath, stats_col="dim_id")
+    spark.createDataFrame([(1, "gold", False), (4, None, True)],
+                          "dim_id INT, segment STRING, dead BOOLEAN"
+                          ).createOrReplaceTempView("dim_changes")
+    merge_into(spark, f"""
+        MERGE INTO versioned.`{dpath}` AS t USING dim_changes AS s
+        ON t.dim_id = s.dim_id
+        WHEN MATCHED AND s.dead THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+
+    # -- join the pruned facts against the curated dimension
+    joined = pruned.join(
+        F.broadcast(versioned.read_version(spark, dpath)), "dim_id"
+    )
+    segs = {r.segment for r in joined.collect()}
+    assert "gold" in segs and "seg1" not in segs and "seg4" not in segs
+    # dim_id 4 was deleted by the MERGE: its fact rows drop from the join
+    assert joined.count() == sum(
+        1 for h in range(24, 48) if h % 5 != 4
+    )
+    # pre-MERGE snapshot still serves the old dimension
+    old = {r.segment for r in versioned.read_version(spark, dpath, 0).collect()}
+    assert old == {f"seg{i}" for i in range(5)}
