@@ -10,25 +10,34 @@ only touched files → CAS publish). Reference parity: the reference has
 no MERGE at all (its pipeline is insert-only, etl/load.py); this is
 the lakehouse-completing API its users would reach for next.
 
-Supported statement shape (the Delta/Iceberg canonical upsert; ``<``
-``>`` mark placeholders, clause order fixed, case-insensitive):
+Supported statement shape (the Delta/Iceberg canonical clauses; ``<``
+``>`` mark placeholders, clause order fixed, case-insensitive, each
+WHEN clause optional but at least one required):
 
     MERGE INTO versioned.`/path/to/table` [AS] t
     USING <source view or (subquery)> [AS] s
     ON t.<key> = s.<key>
     [WHEN MATCHED AND <delete-condition over s> THEN DELETE]
-    WHEN MATCHED THEN UPDATE SET *
-    WHEN NOT MATCHED THEN INSERT *
+    [WHEN MATCHED THEN UPDATE SET *]
+    [WHEN NOT MATCHED THEN INSERT *]
 
 Anything else — non-equi ON, column-list SET/INSERT, multiple
 conditional update clauses — raises ``ValueError`` loudly rather than
-approximating different semantics. The mapping is exact:
+approximating different semantics. Clause semantics follow Delta
+exactly, per source row:
 
-- source rows with the delete-condition true  → ``is_delete = true``
-  (merge_version_cow removes the key),
-- every other source row                      → upsert
-  (UPDATE SET * for matched keys, INSERT * for new ones — precisely
-  merge_version_cow's anti-join + union).
+- MATCHED + delete-condition true → ``is_delete`` (the key is removed),
+- MATCHED + UPDATE clause present → upsert (rewrites the row),
+- NOT MATCHED + INSERT clause present → insert,
+- any row no clause covers → ignored (e.g. an unmatched row under a
+  delete+update-only merge, or a matched row under insert-only).
+
+Whenever the statement's behavior depends on matchedness beyond the
+plain upsert (a DELETE clause, or a missing UPDATE/INSERT clause),
+the source is joined against the target's (column-pruned, distinct)
+key set to split matched from unmatched rows first — the same
+planning-scan class merge_version_cow's touched-file discovery
+already performs. The full-upsert statement skips that join.
 """
 
 from __future__ import annotations
@@ -45,8 +54,8 @@ _MERGE_RE = re.compile(
         (?:\s+AS)?\s+(?P<s>\w+)
         \s+ON\s+(?P<ton>\w+)\.(?P<tkey>\w+)\s*=\s*(?P<son>\w+)\.(?P<skey>\w+)
         (?:\s+WHEN\s+MATCHED\s+AND\s+(?P<delcond>.+?)\s+THEN\s+DELETE)?
-        \s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*
-        \s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*
+        (?P<upd>\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*)?
+        (?P<ins>\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?
         \s*;?\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
@@ -95,6 +104,14 @@ def merge_into(spark: SparkSession, statement: str,
         changes = spark.table(source)
 
     delcond = m.group("delcond")
+    has_upd = m.group("upd") is not None
+    has_ins = m.group("ins") is not None
+    if delcond is None and not has_upd and not has_ins:
+        raise ValueError(
+            "MERGE needs at least one WHEN clause (DELETE / UPDATE SET * "
+            "/ INSERT *)"
+        )
+
     if delcond is not None:
         # the condition may only reference the source alias: the target
         # row is about to be replaced/deleted, so s.* is the data both
@@ -106,7 +123,40 @@ def merge_into(spark: SparkSession, statement: str,
                 f"'{s}' (got a '{t}.' reference) — target columns are "
                 "not visible to the COW delete flag"
             )
-        flagged = changes.withColumn(_DELETE_FLAG, F.expr(cond_sql))
+
+    # Matchedness matters whenever the statement is not the plain full
+    # upsert: a DELETE clause fires only for MATCHED rows (an unmatched
+    # row whose condition is true still INSERTs under INSERT *, Delta
+    # semantics), and a missing UPDATE/INSERT clause means the
+    # corresponding row class is ignored, not merged. Split on the
+    # target's key set — one column-pruned distinct scan of latest, the
+    # same planning class as the COW's touched-file discovery.
+    needs_match = delcond is not None or not has_upd or not has_ins
+    if needs_match:
+        matched_keys = (
+            versioned.read_version(spark, m.group("path"))
+            .select(F.col(key)).distinct()
+            .withColumn("__merge_matched", F.lit(True))
+        )
+        split = changes.join(matched_keys, key, "left").withColumn(
+            "__m", F.coalesce(F.col("__merge_matched"), F.lit(False))
+        ).drop("__merge_matched")
+        if delcond is not None:
+            split = split.withColumn(
+                _DELETE_FLAG, F.col("__m") & F.expr(cond_sql)
+            )
+        else:
+            split = split.withColumn(_DELETE_FLAG, F.lit(False))
+        keep = F.col(_DELETE_FLAG)
+        if has_upd:
+            keep = keep | F.col("__m")
+        if has_ins:
+            keep = keep | ~F.col("__m")
+        flagged = split.filter(keep).drop("__m")
+    else:
+        flagged = changes.withColumn(_DELETE_FLAG, F.lit(False))
+
+    if delcond is not None:
         # CDC sources commonly carry flag-driving columns (op codes,
         # tombstone booleans) that are not table columns: once the
         # condition has consumed them into the flag, drop them so they
@@ -127,8 +177,6 @@ def merge_into(spark: SparkSession, statement: str,
                 and re.search(rf"\b{re.escape(c)}\b", cond_sql)
             ]
             flagged = flagged.drop(*consumed)
-    else:
-        flagged = changes.withColumn(_DELETE_FLAG, F.lit(False))
 
     return versioned.merge_version_cow(
         spark, m.group("path"), flagged, key,

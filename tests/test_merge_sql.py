@@ -123,3 +123,94 @@ def test_merge_into_schema_evolution_forwarding(spark, tmp_path):
     assert "score" in df.columns
     rows = {r.k: r.score for r in df.collect()}
     assert rows[3] == 99 and rows[4] is None
+
+
+def test_merge_into_insert_only(spark, tmp_path):
+    """Insert-only MERGE (append-if-absent dedup): matched source rows
+    are IGNORED, not updated."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, 50, 2), path, stats_col="k")
+    spark.createDataFrame([(3, "CLOBBER"), (500, "new")],
+                          "k INT, v STRING").createOrReplaceTempView("ins_src")
+    merge_into(spark, f"""
+        MERGE INTO versioned.`{path}` t USING ins_src s
+        ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[3] == "v3"          # matched row untouched
+    assert got[500] == "new"       # unmatched row inserted
+    assert len(got) == 51
+
+
+def test_merge_into_update_only(spark, tmp_path):
+    """Update-only MERGE: unmatched source rows are IGNORED, not
+    inserted."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, 50, 2), path, stats_col="k")
+    spark.createDataFrame([(3, "upd3"), (500, "ghost")],
+                          "k INT, v STRING").createOrReplaceTempView("upd_src")
+    merge_into(spark, f"""
+        MERGE INTO versioned.`{path}` t USING upd_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+    """)
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[3] == "upd3"
+    assert 500 not in got
+    assert len(got) == 50
+
+
+def test_merge_into_delete_only(spark, tmp_path):
+    """Delete-only MERGE (compliance purge shape): only matched rows
+    satisfying the condition are removed; everything else — including
+    unmatched source rows — is ignored."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, 50, 2), path, stats_col="k")
+    spark.createDataFrame(
+        [(3, None, True), (7, None, False), (500, None, True)],
+        "k INT, v STRING, purge BOOLEAN",
+    ).createOrReplaceTempView("del_src")
+    merge_into(spark, f"""
+        MERGE INTO versioned.`{path}` t USING del_src s
+        ON t.k = s.k
+        WHEN MATCHED AND s.purge THEN DELETE
+    """)
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert 3 not in got and 7 in got and 500 not in got
+    assert len(got) == 49
+
+
+def test_merge_delete_condition_only_fires_for_matched(spark, tmp_path):
+    """Delta semantics: WHEN MATCHED AND cond THEN DELETE applies to
+    MATCHED rows only — an unmatched source row whose condition happens
+    to be true still reaches INSERT *."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, 20, 1), path)
+    spark.createDataFrame(
+        [(5, "gone", True), (900, "kept-insert", True)],
+        "k INT, v STRING, tomb BOOLEAN",
+    ).createOrReplaceTempView("tomb_src")
+    merge_into(spark, f"""
+        MERGE INTO versioned.`{path}` t USING tomb_src s
+        ON t.k = s.k
+        WHEN MATCHED AND s.tomb THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert 5 not in got                   # matched + tomb -> deleted
+    assert got[900] == "kept-insert"      # unmatched + tomb -> inserted
+    assert len(got) == 20
+
+
+def test_merge_into_requires_some_clause(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, 10, 1), path)
+    spark.createDataFrame([(1, "x")], "k INT, v STRING"
+                          ).createOrReplaceTempView("noop_src")
+    with pytest.raises(ValueError, match="at least one WHEN clause"):
+        merge_into(spark, f"""
+            MERGE INTO versioned.`{path}` t USING noop_src s
+            ON t.k = s.k
+        """)
