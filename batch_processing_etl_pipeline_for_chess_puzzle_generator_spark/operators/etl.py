@@ -659,3 +659,74 @@ ORACLES["profile_ndv"] = " UNION ALL ".join(
     f"COUNT(DISTINCT {c}) AS ndv_exact, TRUE AS ndv_ok FROM lineitem"
     for c in _NDV_COLS
 )
+
+
+# ------------------------- hidden-partitioning round-trip (oracle-gated)
+#
+# The hidden-partitioning sink (sinks.py::write_hidden_partitioned) as
+# a driver-checkable registry entry, not just a tests-only component:
+# the events table is written ONCE per session as a two-era
+# spec-evolved layout (era 1 partitions by days(ts); era 2 by days(ts)
+# + bucket(8, user_id)), then read back through
+# read_hidden_partitioned with source-column predicates — the
+# reconstruction derives per-subtree partition predicates (day range
+# on both eras, constant-folded hash bucket on era 2) and the result
+# must equal the plain filtered scan the oracle runs on the raw
+# parquet. Aggregation discipline: exact decimal sum, one final double
+# cast (lint-audited).
+_HIDDEN_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _hidden_events_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import write_hidden_partitioned
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _HIDDEN_CACHE:
+        return _HIDDEN_CACHE[key]
+    path = tempfile.mkdtemp(prefix="events_hidden_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    ev = table(spark, sf_dir, "events")
+    write_hidden_partitioned(
+        ev.filter("event_id % 2 = 0"), path, ["days(ts)"]
+    )
+    write_hidden_partitioned(
+        ev.filter("event_id % 2 = 1"), path,
+        ["days(ts)", "bucket(8, user_id)"],
+    )
+    _HIDDEN_CACHE[key] = path
+    return path
+
+
+def hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sinks import read_hidden_partitioned
+
+    path = _hidden_events_path(spark, sf_dir)
+    week2 = (datetime.datetime(2024, 1, 8, 0, 0, 0),
+             datetime.datetime(2024, 1, 14, 23, 59, 59))
+    df = read_hidden_partitioned(
+        spark, path, eq={"user_id": 7}, between={"ts": week2}
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)")
+        .alias("total_value"),
+    )
+
+
+QUERIES["hidden_partition_prune"] = hidden_partition_prune
+
+ORACLES["hidden_partition_prune"] = """
+    SELECT event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id = 7
+      AND ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                 AND TIMESTAMP '2024-01-14 23:59:59'
+    GROUP BY event_type
+"""
