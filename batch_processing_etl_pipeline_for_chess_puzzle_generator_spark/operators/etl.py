@@ -667,7 +667,7 @@ ORACLES["profile_ndv"] = " UNION ALL ".join(
 # a driver-checkable registry entry, not just a tests-only component:
 # the events table is written ONCE per session as a two-era
 # spec-evolved layout (era 1 partitions by days(ts); era 2 by days(ts)
-# + bucket(8, user_id)), then read back through
+# + bucket(4, user_id)), then read back through
 # read_hidden_partitioned with source-column predicates — the
 # reconstruction derives per-subtree partition predicates (day range
 # on both eras, constant-folded hash bucket on era 2) and the result
@@ -690,13 +690,34 @@ def _hidden_events_path(spark: SparkSession, sf_dir: str) -> str:
     path = tempfile.mkdtemp(prefix="events_hidden_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     ev = table(spark, sf_dir, "events")
-    write_hidden_partitioned(
-        ev.filter("event_id % 2 = 0"), path, ["days(ts)"]
-    )
-    write_hidden_partitioned(
-        ev.filter("event_id % 2 = 1"), path,
-        ["days(ts)", "bucket(8, user_id)"],
-    )
+    # The two eras must land as spec=0 / spec=1 in order (the spec file
+    # append is ordered), but each era's WRITE JOB is independent — so
+    # register both specs serially, then run the two write jobs
+    # concurrently and let the scheduler overlap them on idle cores.
+    import threading
+
+    jobs = [
+        (ev.filter("event_id % 2 = 0"), ["days(ts)"]),
+        (ev.filter("event_id % 2 = 1"), ["days(ts)", "bucket(4, user_id)"]),
+    ]
+    errs: list[BaseException] = []
+
+    def _run(df, specs):
+        try:
+            write_hidden_partitioned(df, path, specs)
+        except BaseException as exc:  # surfaced below
+            errs.append(exc)
+
+    threads = [threading.Thread(target=_run, args=j) for j in jobs]
+    threads[0].start()
+    # stagger so spec=0 registers its subtree before spec=1 appends
+    import time as _time
+    _time.sleep(0.05)
+    threads[1].start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
     _HIDDEN_CACHE[key] = path
     return path
 

@@ -262,26 +262,40 @@ def write_hidden_partitioned(df: DataFrame, path: str, specs: list[str],
                               hidden_cols, fmt)
 
 
-def _append_under_spec(df: DataFrame, path: str, spec_strings: list[str],
-                       partition_cols: list[str], fmt: str) -> int:
+_SPEC_LOCK = __import__("threading").Lock()
+
+
+def _register_spec(path: str, spec_strings: list[str]) -> int:
+    """Atomically record ``spec_strings`` in ``_spec.json`` and return
+    its spec id. The read-modify-write is serialized so concurrent
+    writers registering different specs can't lose each other's entry
+    (the write JOBS may still overlap — only the tiny registration is
+    locked)."""
     import json as _json
     import os
 
-    os.makedirs(path, exist_ok=True)
-    spec_file = os.path.join(path, "_spec.json")
-    specs: list[list[str]] = []
-    if os.path.exists(spec_file):
-        with open(spec_file) as fh:
-            specs = _json.load(fh)
-    if specs and specs[-1] == spec_strings:
-        spec_id = len(specs) - 1
-    else:
+    with _SPEC_LOCK:
+        os.makedirs(path, exist_ok=True)
+        spec_file = os.path.join(path, "_spec.json")
+        specs: list[list[str]] = []
+        if os.path.exists(spec_file):
+            with open(spec_file) as fh:
+                specs = _json.load(fh)
+        if specs and specs[-1] == spec_strings:
+            return len(specs) - 1
         specs.append(spec_strings)
-        spec_id = len(specs) - 1
         tmp = spec_file + ".tmp"
         with open(tmp, "w") as fh:
             _json.dump(specs, fh)
         os.replace(tmp, spec_file)
+        return len(specs) - 1
+
+
+def _append_under_spec(df: DataFrame, path: str, spec_strings: list[str],
+                       partition_cols: list[str], fmt: str) -> int:
+    import os
+
+    spec_id = _register_spec(path, spec_strings)
     write_partitioned(df, os.path.join(path, f"spec={spec_id}"),
                       partition_cols, fmt=fmt, mode="append")
     return spec_id
