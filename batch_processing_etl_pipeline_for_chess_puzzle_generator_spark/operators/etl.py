@@ -431,7 +431,10 @@ _V_AGG = ("SELECT CAST({v} AS BIGINT) AS version, o_orderstatus, "
           "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_sales "
           "FROM {src} GROUP BY o_orderstatus")
 
-ORACLES["snapshot_read_version"] = f"""
+# The deterministic CDC-state rebuild (v1 = first MERGE, v2 = second)
+# shared by every versioned-snapshot oracle: the SQL mirror of what
+# _versioned_orders_path commits.
+_CDC_STATES_CTES = f"""
     WITH changes AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
                {_NEW_PRICE} AS o_totalprice,
@@ -469,6 +472,10 @@ ORACLES["snapshot_read_version"] = f"""
                o_orderdate, o_orderpriority
         FROM changes2 WHERE NOT is_delete
     )
+"""
+
+ORACLES["snapshot_read_version"] = f"""
+    {_CDC_STATES_CTES}
     {_V_AGG.format(v=0, src="orders")}
     UNION ALL
     {_V_AGG.format(v=1, src="v1")}
@@ -750,4 +757,61 @@ ORACLES["hidden_partition_prune"] = """
       AND ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
                  AND TIMESTAMP '2024-01-14 23:59:59'
     GROUP BY event_type
+"""
+
+
+# ------------------------- change data feed between versions (CDF)
+#
+# versioned.table_changes as an oracle-gated entry: the row-level
+# insert/delete/update_preimage/update_postimage feed between the v1
+# and v2 snapshots committed by _versioned_orders_path. The oracle
+# rebuilds both states relationally (shared _CDC_STATES_CTES) and
+# derives the same feed with EXISTS/IS DISTINCT FROM — a hash match
+# proves the manifest-backed CDF equals the declared state delta.
+# o_totalprice is exact-decimal-derived (identical doubles on both
+# engines, same discipline as cdc_merge_orders; lint-allowlisted).
+def snapshot_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    path = _versioned_orders_path(spark, sf_dir)
+    ch = versioned.table_changes(spark, path, ["o_orderkey"], 1, 2)
+    return ch.select(
+        "_change_type", "o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice", "_from_version", "_to_version",
+    )
+
+
+QUERIES["snapshot_changes_cdf"] = snapshot_changes_cdf
+
+_CDF_COLS = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+             "o_orderpriority")
+_CDF_CHANGED = " OR ".join(
+    f"p.{c} IS DISTINCT FROM q.{c}" for c in _CDF_COLS
+)
+
+ORACLES["snapshot_changes_cdf"] = f"""
+    {_CDC_STATES_CTES}
+    SELECT 'insert' AS _change_type, q.o_orderkey, q.o_orderstatus,
+           q.o_orderpriority, q.o_totalprice,
+           CAST(1 AS BIGINT) AS _from_version,
+           CAST(2 AS BIGINT) AS _to_version
+    FROM v2 q
+    WHERE NOT EXISTS (SELECT 1 FROM v1 p WHERE p.o_orderkey = q.o_orderkey)
+    UNION ALL
+    SELECT 'delete', p.o_orderkey, p.o_orderstatus, p.o_orderpriority,
+           p.o_totalprice, CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+    FROM v1 p
+    WHERE NOT EXISTS (SELECT 1 FROM v2 q WHERE q.o_orderkey = p.o_orderkey)
+    UNION ALL
+    SELECT 'update_preimage', p.o_orderkey, p.o_orderstatus,
+           p.o_orderpriority, p.o_totalprice,
+           CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+    FROM v1 p JOIN v2 q ON p.o_orderkey = q.o_orderkey
+    WHERE {_CDF_CHANGED}
+    UNION ALL
+    SELECT 'update_postimage', q.o_orderkey, q.o_orderstatus,
+           q.o_orderpriority, q.o_totalprice,
+           CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+    FROM v1 p JOIN v2 q ON p.o_orderkey = q.o_orderkey
+    WHERE {_CDF_CHANGED}
 """

@@ -687,3 +687,75 @@ def history(spark: SparkSession, table_path: str) -> DataFrame:
         "version INT, n_files INT, total_bytes LONG, "
         "files_shared_with_prev INT, stats_col STRING",
     )
+
+
+def table_changes(spark: SparkSession, table_path: str,
+                  key_cols: list[str], v_from: int,
+                  v_to: int | None = None) -> DataFrame:
+    """Change Data Feed between two committed versions (Delta's
+    ``table_changes`` analog, key-based): a row-level feed classifying
+    every primary key as ``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage`` between the ``v_from``
+    and ``v_to`` snapshots. The consumer shape downstream incremental
+    pipelines subscribe to instead of re-diffing full snapshots.
+
+    Spark-first plan: two time-travel reads + ONE full-outer join on
+    the key (the only shuffle; AQE handles skewed keys), then change
+    classification and pre/post-image fan-out as row-local expressions
+    (an inline struct array + explode) — no window, no second pass,
+    no driver-side rows. Unchanged keys are dropped before the
+    explode, so the feed's cost is O(changed keys) after the join.
+    Value comparison is null-safe (``<=>``) per non-key column.
+    """
+    from pyspark.sql import functions as F
+
+    if v_to is None:
+        v_to = versions(table_path)[-1]
+    pre = read_version(spark, table_path, v_from)
+    post = read_version(spark, table_path, v_to)
+    cols = pre.columns
+    if post.columns != cols:
+        # schema evolution between the versions: diff on the union of
+        # columns; the missing side reads as NULL (Delta's behavior).
+        cols = list(dict.fromkeys(cols + post.columns))
+        for c in cols:
+            if c not in pre.columns:
+                pre = pre.withColumn(c, F.lit(None))
+            if c not in post.columns:
+                post = post.withColumn(c, F.lit(None))
+    val_cols = [c for c in cols if c not in key_cols]
+    p = pre.select(
+        *[F.col(c).alias(f"p_{c}") for c in cols], F.lit(True).alias("p_in")
+    )
+    q = post.select(
+        *[F.col(c).alias(f"q_{c}") for c in cols], F.lit(True).alias("q_in")
+    )
+    on = [p[f"p_{k}"].eqNullSafe(q[f"q_{k}"]) for k in key_cols]
+    j = p.join(q, on, "full_outer")
+
+    def _img(side: str, ctype: str):
+        return F.struct(
+            F.lit(ctype).alias("_change_type"),
+            *[F.col(f"{side}_{c}").alias(c) for c in cols],
+        )
+
+    changed = None
+    for c in val_cols:
+        d = ~F.col(f"p_{c}").eqNullSafe(F.col(f"q_{c}"))
+        changed = d if changed is None else (changed | d)
+    if changed is None:  # key-only table: presence is the only signal
+        changed = F.lit(False)
+    feed = (
+        j.filter(F.col("p_in").isNull() | F.col("q_in").isNull() | changed)
+        .select(
+            F.when(F.col("p_in").isNull(), F.array(_img("q", "insert")))
+            .when(F.col("q_in").isNull(), F.array(_img("p", "delete")))
+            .otherwise(F.array(_img("p", "update_preimage"),
+                               _img("q", "update_postimage")))
+            .alias("_changes")
+        )
+        .select(F.explode("_changes").alias("_c"))
+        .select("_c.*")
+    )
+    return feed.withColumn("_from_version", F.lit(v_from).cast("long")) \
+               .withColumn("_to_version", F.lit(v_to).cast("long"))

@@ -904,3 +904,54 @@ def test_merge_rejects_non_next_explicit_version(spark, tmp_path):
     # the exact next slot is still accepted
     stats = versioned.merge_version_cow(spark, path, ch, "k", version=1)
     assert stats["version"] == 1
+
+
+def test_table_changes_cdf_classifies_all_types(spark, tmp_path):
+    """table_changes emits insert/delete/update pre+post images between
+    two snapshots, keyed diff, unchanged keys dropped."""
+    path = str(tmp_path / "tbl")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k INT, s STRING, v INT"
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)], "k INT, s STRING, v INT"
+    )
+    versioned.write_version(v0, path, 0)
+    versioned.write_version(v1, path, 1)
+    feed = versioned.table_changes(spark, path, ["k"], 0, 1)
+    got = {(r["_change_type"], r["k"]) for r in feed.collect()}
+    assert got == {
+        ("insert", 4), ("delete", 3),
+        ("update_preimage", 2), ("update_postimage", 2),
+    }
+    row = {r["_change_type"]: r for r in feed.collect()}
+    assert row["update_preimage"]["v"] == 20
+    assert row["update_postimage"]["v"] == 99
+    assert row["insert"]["_from_version"] == 0
+    assert row["insert"]["_to_version"] == 1
+
+
+def test_table_changes_cdf_schema_evolution(spark, tmp_path):
+    """A column added between the versions reads as NULL on the pre
+    side; the widened row classifies as an update."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(
+        spark.createDataFrame([(1, "a")], "k INT, s STRING"), path, 0
+    )
+    versioned.write_version(
+        spark.createDataFrame([(1, "a", 7)], "k INT, s STRING, extra INT"),
+        path, 1,
+    )
+    feed = versioned.table_changes(spark, path, ["k"], 0, 1)
+    rows = {r["_change_type"]: r for r in feed.collect()}
+    assert set(rows) == {"update_preimage", "update_postimage"}
+    assert rows["update_preimage"]["extra"] is None
+    assert rows["update_postimage"]["extra"] == 7
+
+
+def test_table_changes_cdf_identical_versions_empty(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, s STRING")
+    versioned.write_version(df, path, 0)
+    versioned.write_version(df, path, 1)
+    assert versioned.table_changes(spark, path, ["k"], 0, 1).count() == 0

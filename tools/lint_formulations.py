@@ -148,6 +148,7 @@ DOUBLE_ALLOWLIST: dict[str, set[str]] = {
     "snapshot_merge_cow": {"total_sales"},
     "snapshot_read_version": {"total_sales"},
     "cdc_merge_orders": {"o_totalprice"},
+    "snapshot_changes_cdf": {"o_totalprice"},
     "hidden_partition_prune": {"total_value"},
     "profile_columns": {"min_val", "max_val"},
     # -- events: value is a raw input column (1) or exact-decimal cast (2)
