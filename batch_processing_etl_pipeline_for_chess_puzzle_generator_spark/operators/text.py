@@ -2010,3 +2010,61 @@ ORACLES["doc_para_dedup"] = f"""
                         FILTER (WHERE rn = 1), '')) AS kept_md5
     FROM ranked GROUP BY doc_id
 """
+
+
+# ------------------------------ per-source frequency caps (curation)
+#
+# Domain/source frequency capping — the curation step that stops one
+# crawl domain from dominating a training mix (C4/RefinedWeb cap
+# documents per registered domain). Keep the first CAP docs per
+# (source, lang) in deterministic doc_id order and report what the cap
+# keeps vs drops, per group. One window over the group key (row_number
+# is integer-exact on every engine), then a single groupBy — two
+# shuffles on the same key, and AQE coalesces them.
+#
+# 100 TB note: a hot domain makes its window partition hot. The cap
+# still computes — WindowExec spills — but the scalable variant
+# pre-prunes with a per-partition sort-limit (top-CAP per domain per
+# input partition, then a final window over ≤ CAP × #partitions rows
+# per domain). The semantics gate here is the plain window; swap the
+# pre-prune in when domains exceed executor memory.
+SOURCE_CAP = 8
+
+
+def doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rn") <= SOURCE_CAP).cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("rn") <= SOURCE_CAP, F.col("n_chars"))
+                  .otherwise(F.lit(0))).alias("chars_kept"),
+            F.sum(F.when(F.col("rn") > SOURCE_CAP, F.col("n_chars"))
+                  .otherwise(F.lit(0))).alias("chars_dropped"),
+        )
+    )
+
+
+QUERIES["doc_source_caps"] = doc_source_caps
+
+ORACLES["doc_source_caps"] = f"""
+    WITH ranked AS (
+        SELECT source, lang, n_chars,
+               row_number() OVER (PARTITION BY source, lang
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {SOURCE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= {SOURCE_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_kept,
+           CAST(SUM(CASE WHEN rn > {SOURCE_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_dropped
+    FROM ranked GROUP BY source, lang
+"""
