@@ -222,3 +222,67 @@ ORACLES["ev_attribution_revenue"] = """
     FROM attributed
     GROUP BY view_day
 """
+
+
+# ----------------------------------- salted join for hot keys (skew)
+#
+# First-class demonstration of the skew playbook: when a join key's
+# distribution is dominated by a few hot keys, a plain shuffle join
+# lands each hot key on ONE reducer. The salted shape splits every
+# probe-side row across SALT_N sub-keys (deterministic salt — here
+# event_id % SALT_N so the oracle is replayable; at runtime any
+# uniform hash works) and replicates the build side SALT_N× via a
+# row-local explode, so a hot key's rows spread over SALT_N reducers.
+# Build-side replication cost: |dim| × SALT_N rows — the trade the
+# salting chooses over one straggler task. AQE's skew-join split
+# handles moderate skew automatically; explicit salting is the
+# deterministic, planner-independent version for the pathological
+# keys. The salt never escapes: the post-join aggregate is on the
+# original columns, and the oracle is the UNSALTED join — a hash
+# match proves salting is semantics-neutral.
+SALT_N = 8
+
+
+def salted_join(probe: DataFrame, build: DataFrame, key: str,
+                salt_expr: str, n: int = SALT_N) -> DataFrame:
+    """Equi-join ``probe ⋈ build`` on ``key`` with an ``n``-way salt:
+    probe rows get ``salt = salt_expr % n``; build rows are exploded
+    to all ``n`` salts. Result = the plain inner join, with hot keys
+    spread over ``n`` reducers."""
+    p = probe.withColumn("_salt", F.expr(f"CAST(({salt_expr}) % {n} AS INT)"))
+    b = build.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {n - 1})"))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return p.join(b, [key, "_salt"]).drop("_salt")
+
+
+def ev_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().withColumn(
+        "tier",
+        F.expr("CASE WHEN user_id % 3 = 0 THEN 'gold' "
+               "WHEN user_id % 3 = 1 THEN 'silver' ELSE 'bronze' END"),
+    )
+    joined = salted_join(ev, dim, "user_id", "event_id")
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)")
+        .alias("total_value"),
+    )
+
+
+QUERIES["ev_skew_salted_join"] = ev_skew_salted_join
+
+ORACLES["ev_skew_salted_join"] = """
+    WITH dim AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN user_id % 3 = 0 THEN 'gold'
+                    WHEN user_id % 3 = 1 THEN 'silver'
+                    ELSE 'bronze' END AS tier
+        FROM events
+    )
+    SELECT tier, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY tier
+"""

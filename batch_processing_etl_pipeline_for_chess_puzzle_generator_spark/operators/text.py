@@ -2068,3 +2068,61 @@ ORACLES["doc_source_caps"] = f"""
                 AS BIGINT) AS chars_dropped
     FROM ranked GROUP BY source, lang
 """
+
+
+# --------------------------------- blocklist filtering (C4-style)
+#
+# Bad-word/blocklist document filtering (C4 dropped any page with a
+# "dirty word" hit; RefinedWeb filters on hit *ratios*). Per doc, count
+# blocklist hits over the shared whitespace tokenization and flag docs
+# whose hit ratio crosses 1/BLOCK_DIV — the threshold compare is
+# integer cross-multiplied (n_bad * BLOCK_DIV >= n_words), so no
+# doubles anywhere. Row-local HOF math (zero shuffle before the final
+# per-source rollup); at 100 TB a longer blocklist becomes a broadcast
+# map-side semi-match over the same plan shape.
+_BLOCKLIST = ("hash", "merge", "dup")
+BLOCK_DIV = 12
+
+
+def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bl = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+    return (
+        docs.select(
+            "source",
+            F.expr(f"size(filter({_WORDS}, w -> w IN ({bl})))").alias("n_bad"),
+            F.expr(f"size({_WORDS})").alias("n_words"),
+        )
+        .select(
+            "source", "n_bad",
+            (F.col("n_bad") * BLOCK_DIV >= F.col("n_words")).alias("flagged"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bad").cast("long").alias("total_hits"),
+            F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+            F.sum((~F.col("flagged")).cast("long")).alias("n_kept"),
+        )
+    )
+
+
+QUERIES["doc_blocklist_filter"] = doc_blocklist_filter
+
+ORACLES["doc_blocklist_filter"] = f"""
+    WITH t AS (
+        SELECT source,
+               len(list_filter({_WORDS_DUCK},
+                   x -> x IN ({', '.join(f"'{w}'" for w in _BLOCKLIST)})))
+                   AS n_bad,
+               len({_WORDS_DUCK}) AS n_words
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(SUM(n_bad) AS BIGINT) AS total_hits,
+           CAST(SUM(CASE WHEN n_bad * {BLOCK_DIV} >= n_words
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN n_bad * {BLOCK_DIV} >= n_words
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM t GROUP BY source
+"""

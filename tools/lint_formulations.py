@@ -153,6 +153,7 @@ DOUBLE_ALLOWLIST: dict[str, set[str]] = {
     "profile_columns": {"min_val", "max_val"},
     # -- events: value is a raw input column (1) or exact-decimal cast (2)
     "ev_tumbling_window": {"total_value", "avg_value"},
+    "ev_skew_salted_join": {"total_value"},
     "ev_sessionize": {"total_value"},
     "ev_session_window": {"total_value"},
     "ev_topk_users": {"total_value"},
