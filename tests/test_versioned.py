@@ -955,3 +955,26 @@ def test_table_changes_cdf_identical_versions_empty(spark, tmp_path):
     versioned.write_version(df, path, 0)
     versioned.write_version(df, path, 1)
     assert versioned.table_changes(spark, path, ["k"], 0, 1).count() == 0
+
+
+def test_files_metadata_table(spark, tmp_path):
+    """versioned.files: one row per data file with size + manifest
+    [min,max] stats — the Iceberg table.files analog."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 100, 4), path, stats_col="k")
+    meta = versioned.files(spark, path)
+    rows = meta.collect()
+    assert len(rows) == 4
+    assert all(r["size_bytes"] > 0 for r in rows)
+    assert all(r["stats_col"] == "k" for r in rows)
+    assert all(r["version"] == 0 for r in rows)
+    los = sorted(int(r["stats_min"]) for r in rows)
+    his = sorted(int(r["stats_max"]) for r in rows)
+    assert los[0] == 0 and his[-1] == 99
+    # a version without stats still lists files, stats NULL
+    versioned.write_version(_mk_ranged(spark, 10, 1), path, 1)
+    meta1 = versioned.files(spark, path, 1)
+    r1 = meta1.collect()
+    assert len(r1) == 1 and r1[0]["stats_min"] is None
+    with pytest.raises(ValueError):
+        versioned.files(spark, path, 9)
