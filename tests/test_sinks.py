@@ -289,3 +289,35 @@ def test_partition_spec_evolution(spark, tmp_path):
     parts = plan.split("PartitionFilters")[1:]
     assert len(parts) >= 2  # one pruned scan per spec subtree
     assert all("day" in p.split("]", 1)[0] for p in parts)
+
+
+def test_fixed_width_round_trip(spark, tmp_path):
+    """COBOL-layout fixed-width sink + source round-trip: numerics
+    right-aligned, strings left-aligned, NULLs as all-spaces."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.fixedwidth import (
+        read_fixed_width, write_fixed_width)
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 12.5), (22, "b", None), (333, None, -4.25)],
+        "k INT, name STRING, amt DOUBLE",
+    )
+    path = str(tmp_path / "fw")
+    write_fixed_width(df, path, [("k", 6), ("name", 8), ("amt", 10)])
+    # raw lines are exactly 24 chars, fields at fixed offsets
+    lines = [r["value"] for r in spark.read.text(path).collect()]
+    assert all(len(ln) == 24 for ln in lines)
+    assert any(ln[:6] == "     1" and ln[6:14] == "alpha   " for ln in lines)
+    back = read_fixed_width(
+        spark, path, [("k", 6, "int"), ("name", 8, "string"),
+                      ("amt", 10, "double")]
+    )
+    got = {tuple(r) for r in back.collect()}
+    assert got == {(1, "alpha", 12.5), (22, "b", None), (333, None, -4.25)}
+
+
+def test_fixed_width_overflow_raises(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.fixedwidth import write_fixed_width
+
+    df = spark.createDataFrame([("toolongvalue",)], "s STRING")
+    with pytest.raises(Exception, match="fixed-width overflow"):
+        write_fixed_width(df, str(tmp_path / "fw"), [("s", 4)])
