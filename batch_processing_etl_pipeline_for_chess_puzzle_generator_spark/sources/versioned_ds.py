@@ -12,6 +12,11 @@ time-travel without importing the library:
           .option("version", 2)        # omit for latest
           .load())
 
+Also a STREAMING source (``spark.readStream.format("versioned")``):
+every committed version is a micro-batch of its added files, offsets
+are version numbers, and a checkpointed query resumes from the last
+committed version — see ``VersionedStreamReader``.
+
 Partition planning mirrors the engine's: ONE InputPartition per
 manifest file (the version's immutable file set — a later commit can't
 disturb a running read), and each partition streams its parquet file
@@ -34,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -43,6 +49,36 @@ from pyspark.sql.types import StructType
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
+
+
+def _iter_file_batches(path: str, target: StructType):
+    """Stream one parquet file's row groups as Arrow batches (bounded
+    memory per task), NULL-backfilling any column the file predates —
+    the same semantics read_version gets from the explicit-schema scan.
+    Shared by the batch and streaming readers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    missing = [name for name in target.fieldNames()
+               if name not in f.schema_arrow.names]
+    if not missing:
+        yield from f.iter_batches()
+        return
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    t = to_arrow_schema(target)
+    for batch in f.iter_batches():
+        cols = []
+        for field in t:
+            if field.name in batch.schema.names:
+                col = batch.column(batch.schema.names.index(field.name))
+                if col.type != field.type:
+                    col = col.cast(field.type)
+                cols.append(col)
+            else:
+                cols.append(pa.nulls(batch.num_rows, type=field.type))
+        yield pa.RecordBatch.from_arrays(cols, schema=t)
 
 
 class VersionedReader(DataSourceReader):
@@ -59,35 +95,75 @@ class VersionedReader(DataSourceReader):
         return [_FilePartition(f) for f in self.files]
 
     def read(self, partition: _FilePartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         if partition is None or partition.path is None:
             return
-        # stream row groups as Arrow batches — bounded memory per task
-        f = pq.ParquetFile(partition.path)
-        missing = [name for name in self.target.fieldNames()
-                   if name not in f.schema_arrow.names]
-        if not missing:
-            yield from f.iter_batches()
-            return
-        # schema-evolved table: this file predates one or more columns
-        # of the manifest schema — NULL-backfill them (the same
-        # semantics read_version gets from the explicit-schema scan)
-        from pyspark.sql.pandas.types import to_arrow_schema
+        yield from _iter_file_batches(partition.path, self.target)
 
-        target = to_arrow_schema(self.target)
-        for batch in f.iter_batches():
-            cols = []
-            for field in target:
-                if field.name in batch.schema.names:
-                    col = batch.column(batch.schema.names.index(field.name))
-                    if col.type != field.type:
-                        col = col.cast(field.type)
-                    cols.append(col)
-                else:
-                    cols.append(pa.nulls(batch.num_rows, type=field.type))
-            yield pa.RecordBatch.from_arrays(cols, schema=target)
+
+class VersionedStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("versioned")`` — the versioned table
+    as a STREAMING source: every committed version is a micro-batch
+    (Delta's streaming-source shape). The offset is simply the version
+    number; a batch between offsets (lo, hi] reads the files ADDED by
+    each version in that range (files not referenced by the previous
+    live version) — exact append deltas for fast-append commits
+    (DS ``mode("append")``, streaming ``stream_cdc_versioned``). A
+    copy-on-write MERGE's rewritten files stream as re-emitted rows
+    (Delta's default behavior without CDF); consumers needing
+    row-level change semantics read ``versioned.table_changes``.
+
+    Option ``startingVersion``: first batch replays from that version
+    (default 0 = full history; for an append-only table that equals
+    the current snapshot). Offsets are checkpointable dicts, so a
+    restarted query resumes from the last committed version.
+    """
+
+    def __init__(self, table_path: str, schema: StructType,
+                 starting: int | None):
+        self.table_path = table_path
+        self.target = schema
+        self.starting = 0 if starting is None else starting
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting - 1}
+
+    def latestOffset(self) -> dict:
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+        avail = versioned.versions(self.table_path)
+        return {"version": avail[-1] if avail else self.starting - 1}
+
+    def _added_files(self, lo: int, hi: int) -> list[str]:
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+        added: list[str] = []
+        prev: set[str] = set()
+        for v in versioned.versions(self.table_path):
+            if v > hi:
+                break
+            m = versioned._load_manifest(self.table_path, v)
+            files = m.get("files")
+            if files is None:  # legacy dir-level manifest
+                files = versioned._list_data_files(self.table_path, m["dir"])
+            if lo < v <= hi:
+                added.extend(f for f in files if f not in prev)
+            prev = set(files)
+        return added
+
+    def partitions(self, start: dict, end: dict):
+        files = self._added_files(start["version"], end["version"])
+        if not files:
+            return [_FilePartition(None)]
+        return [_FilePartition(os.path.join(self.table_path, f))
+                for f in files]
+
+    def read(self, partition: _FilePartition):
+        if partition is None or partition.path is None:
+            return
+        yield from _iter_file_batches(partition.path, self.target)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to ack
 
 
 class VersionedDataSource(DataSource):
@@ -131,6 +207,16 @@ class VersionedDataSource(DataSource):
 
     def reader(self, schema) -> VersionedReader:
         return VersionedReader(self._resolve()[1], self._resolve()[0])
+
+    def streamReader(self, schema) -> VersionedStreamReader:
+        table_path = self.options.get("path")
+        if not table_path:
+            raise ValueError("option 'path' is required")
+        sv = self.options.get("startingversion",
+                              self.options.get("startingVersion"))
+        return VersionedStreamReader(
+            table_path, schema, None if sv is None else int(sv)
+        )
 
     def writer(self, schema, overwrite: bool) -> "VersionedWriter":
         table_path = self.options.get("path")

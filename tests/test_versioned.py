@@ -978,3 +978,59 @@ def test_files_metadata_table(spark, tmp_path):
     assert len(r1) == 1 and r1[0]["stats_min"] is None
     with pytest.raises(ValueError):
         versioned.files(spark, path, 9)
+
+
+def test_versioned_stream_source_replays_and_resumes(spark, tmp_path):
+    """readStream.format('versioned'): every committed version is a
+    micro-batch of its ADDED files; a checkpointed restart resumes
+    from the last committed version and streams only new commits."""
+    _register_ds(spark)
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.range(5).selectExpr("id AS k").write.format("versioned") \
+        .mode("overwrite").option("path", path).save()
+    spark.range(5, 8).selectExpr("id AS k").write.format("versioned") \
+        .mode("append").option("path", path).save()
+
+    out = str(tmp_path / "out")
+
+    def _drain():
+        q = (
+            spark.readStream.format("versioned").option("path", path).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["k"] for r in spark.read.parquet(out).collect())
+
+    # first run replays the full history (v0's files + v1's delta)
+    assert _drain() == list(range(8))
+
+    # new commit after the stream stopped; resume streams ONLY v2's
+    # added files (checkpointed offset = version 1): the sink grows by
+    # exactly {8, 9} with NO re-emitted rows — duplicates would show
+    # as a longer list
+    spark.range(8, 10).selectExpr("id AS k").write.format("versioned") \
+        .mode("append").option("path", path).save()
+    assert _drain() == list(range(10))
+
+
+def test_versioned_stream_source_starting_version(spark, tmp_path):
+    _register_ds(spark)
+    path = str(tmp_path / "tbl")
+    spark.range(3).selectExpr("id AS k").write.format("versioned") \
+        .mode("overwrite").option("path", path).save()
+    spark.range(3, 5).selectExpr("id AS k").write.format("versioned") \
+        .mode("append").option("path", path).save()
+    q = (
+        spark.readStream.format("versioned").option("path", path)
+        .option("startingVersion", 1).load()
+        .writeStream.format("memory").queryName("vs_sv")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"] for r in spark.sql("SELECT k FROM vs_sv").collect()}
+    assert got == {3, 4}  # only version 1's added files
