@@ -587,3 +587,26 @@ def quarantine_stream(events: DataFrame, rules: dict[str, str],
         .outputMode("append")
         .start()
     )
+
+
+def append_stream_versioned(changes: DataFrame, table_path: str,
+                            checkpoint: str | None = None):
+    """Bronze-layer ingest: append each micro-batch as a NEW committed
+    version of a versioned table via the Data Source fast-append
+    (every version shares all parent files — nothing rewritten, one
+    manifest per batch). Downstream consumers read the table as a
+    stream (``spark.readStream.format("versioned")``: one micro-batch
+    per version) or time-travel any historical state — the medallion
+    bronze→silver handoff without a proprietary format. Idempotency
+    comes from the streaming checkpoint; the versioned Data Source
+    must be registered on the session. Returns the StreamingQuery."""
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (batch.write.format("versioned").mode("append")
+         .option("path", table_path).save())
+
+    writer = changes.writeStream.foreachBatch(_append)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -183,3 +183,74 @@ def test_lakehouse_sql_and_hidden_partition_composition(spark, tmp_path):
     # pre-MERGE snapshot still serves the old dimension
     old = {r.segment for r in versioned.read_version(spark, dpath, 0).collect()}
     assert old == {f"seg{i}" for i in range(5)}
+
+
+def test_medallion_streaming_through_versioned_table(spark, tmp_path):
+    """Bronze→silver medallion composition: a streaming JSON feed is
+    fast-appended into a versioned table one version per micro-batch
+    (append_stream_versioned), and the SILVER layer consumes that
+    table AS A STREAM (readStream.format('versioned')) into an
+    aggregation — the full lakehouse streaming handoff with exact
+    per-version deltas and checkpointed resume on both legs."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        append_stream_versioned,
+    )
+
+    try:
+        spark.dataSource.register(VersionedDataSource)
+    except Exception:
+        pass
+
+    bronze = str(tmp_path / "bronze")
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def feed(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def ingest():
+        stream = (
+            spark.readStream.schema("user_id LONG, value LONG")
+            .json(str(src))
+        )
+        q = append_stream_versioned(
+            stream, bronze, checkpoint=str(tmp_path / "bronze_ckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    feed("b1.json", [{"user_id": 1, "value": 10},
+                     {"user_id": 2, "value": 20}])
+    ingest()
+    feed("b2.json", [{"user_id": 1, "value": 5}])
+    ingest()
+    assert versioned.versions(bronze) == [0, 1]
+    # fast append: v1 shares v0's files
+    m0 = versioned._load_manifest(bronze, 0)
+    m1 = versioned._load_manifest(bronze, 1)
+    assert set(m0["files"]) < set(m1["files"])
+
+    silver_out = str(tmp_path / "silver")
+
+    def drain_silver():
+        q = (
+            spark.readStream.format("versioned").option("path", bronze)
+            .load()
+            .writeStream.format("parquet").option("path", silver_out)
+            .option("checkpointLocation", str(tmp_path / "silver_ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(silver_out).groupBy("user_id").sum("value")
+        return {r["user_id"]: r["sum(value)"] for r in rows.collect()}
+
+    assert drain_silver() == {1: 15, 2: 20}
+    # another bronze batch; the silver stream resumes from its
+    # checkpoint and consumes ONLY version 2's delta (no double count)
+    feed("b3.json", [{"user_id": 2, "value": 7}])
+    ingest()
+    assert versioned.versions(bronze) == [0, 1, 2]
+    assert drain_silver() == {1: 15, 2: 27}
