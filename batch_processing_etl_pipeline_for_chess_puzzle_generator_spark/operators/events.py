@@ -2647,3 +2647,68 @@ ORACLES["ev_concurrency_peak"] = """
            CAST(MAX(running) AS BIGINT) AS peak_concurrency
     FROM swept GROUP BY day
 """
+
+
+# ---------------------------- exact audience-overlap Jaccard matrix
+#
+# Exact twin of ev_theta_audience_overlap: pairwise audience Jaccard
+# across event types. The scalable shape: one distinct over
+# (event_type, user_id), then each user's SORTED type set fans out its
+# pairs ROW-LOCALLY (types-per-user choose 2 — bounded by the type
+# vocabulary, never |users|²); intersections aggregate per pair, and
+# per-type audience sizes broadcast-join onto the ≤ |types|² result.
+# Jaccard lands on an integer ppm grid (DIV on both engines) — no
+# doubles. At 100 TB the theta-sketch twin is the cheap first pass;
+# this exact matrix runs on the shortlisted pairs.
+def ev_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    per_user = ut.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    )
+    pairs = (
+        per_user.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) -> "
+                    "transform(slice(ts, i + 2, size(ts)), "
+                    "y -> struct(x AS ta, y AS tb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ta", "p.tb")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("event_type", "ta")
+                               .withColumnRenamed("n", "n_a")), "ta")
+        .join(F.broadcast(sizes.withColumnRenamed("event_type", "tb")
+                          .withColumnRenamed("n", "n_b")), "tb")
+        .select(
+            "ta", "tb", "n_both", "n_a", "n_b",
+            F.expr("n_both * 1000000 DIV (n_a + n_b - n_both)")
+            .cast("long").alias("jaccard_ppm"),
+        )
+    )
+
+
+QUERIES["ev_audience_jaccard"] = ev_audience_jaccard
+
+ORACLES["ev_audience_jaccard"] = """
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    pair_cnt AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+    SELECT ta, tb, n_both, sa.n AS n_a, sb.n AS n_b,
+           CAST(n_both * 1000000 // (sa.n + sb.n - n_both) AS BIGINT)
+               AS jaccard_ppm
+    FROM pair_cnt
+    JOIN sz sa ON sa.event_type = ta
+    JOIN sz sb ON sb.event_type = tb
+"""
