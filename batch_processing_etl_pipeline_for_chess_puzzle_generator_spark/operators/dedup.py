@@ -1244,3 +1244,60 @@ ORACLES["doc_source_overlap"] = """
     SELECT src_a, src_b, COUNT(*) AS n_shared_dups
     FROM pairs GROUP BY 1, 2
 """
+
+
+# --------------------- triangle counting on the near-dup graph
+#
+# Classic distributed graph analytic over the MinHash candidate graph:
+# per-document triangle participation (how many 3-cliques of mutual
+# near-duplicates a doc sits in — dense dup neighborhoods are template
+# farms / boilerplate mills, prime curation targets). The scalable
+# shape: edges are kept canonically ordered (doc_a < doc_b, as the
+# band join emits them), so each triangle (a<b<c) is enumerated
+# exactly once by the two-hop chain e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) —
+# join fan-out ∝ Σ deg², bounded because the LSH band join already
+# bounds degrees; no global adjacency materialization. Edges are
+# localCheckpointed once (same lineage-truncation lesson as
+# doc_pagerank: three references to the MinHash subtree would
+# re-optimize it three times).
+def doc_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        doc_minhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+QUERIES["doc_dup_triangles"] = doc_dup_triangles
+
+ORACLES["doc_dup_triangles"] = f"""
+    WITH edges AS (
+        SELECT DISTINCT doc_a, doc_b
+        FROM ({ORACLES["doc_minhash_pairs"]}) mh
+    ),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.doc_a = e1.doc_b
+        JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT doc_id, count(*) AS n_triangles
+    FROM (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    GROUP BY doc_id
+"""

@@ -2262,3 +2262,63 @@ ORACLES["orders_value_anova"] = """
                   / (nt - k)) * 1e6) AS BIGINT) AS f_stat
     FROM per_g CROSS JOIN grand
 """
+
+
+# ------------------------ exact per-group median, engine-proof shape
+#
+# Exact median order value per priority WITHOUT any engine median /
+# percentile_cont call (whose interpolation and NULL rules drift
+# across engines/versions): rank each group with row_number over a
+# deterministic total order (value, then key as tiebreak), keep the
+# one or two middle rows by integer arithmetic, and expose the SUM of
+# the middle values in exact-decimal cents ×2-invariant form
+# (odd group: 2×the middle row; even: the two middles) — so the
+# median is median_x2_cents / 200, but the exposed column is pure
+# BIGINT and bit-identical everywhere. One window + one groupBy on
+# the same key.
+def orders_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        F.expr("CAST(o_totalprice AS DECIMAL(18,2))").alias("price"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("o_orderpriority")
+        ).cast("long").alias("n"),
+    )
+    mid = ranked.filter(
+        "(n % 2 = 1 AND rn = (n + 1) DIV 2) "
+        "OR (n % 2 = 0 AND (rn = n DIV 2 OR rn = n DIV 2 + 1))"
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        F.expr(
+            "CAST(SUM(price * 100) * IF(MAX(n) % 2 = 1, 2, 1) AS BIGINT)"
+        ).alias("median_x2_cents"),
+    )
+
+
+QUERIES["orders_median_by_priority"] = orders_median_by_priority
+
+ORACLES["orders_median_by_priority"] = """
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                   AS BIGINT) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority, max(n) AS n_orders,
+           CAST(SUM(price * 100)
+                * CASE WHEN MAX(n) % 2 = 1 THEN 2 ELSE 1 END AS BIGINT)
+               AS median_x2_cents
+    FROM ranked
+    WHERE (n % 2 = 1 AND rn = (n + 1) // 2)
+       OR (n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1))
+    GROUP BY o_orderpriority
+"""
