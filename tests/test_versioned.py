@@ -1034,3 +1034,37 @@ def test_versioned_stream_source_starting_version(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["k"] for r in spark.sql("SELECT k FROM vs_sv").collect()}
     assert got == {3, 4}  # only version 1's added files
+
+
+def test_table_changes_feed_reconstructs_target(spark, tmp_path):
+    """CDF soundness invariant: v_from − deletes − update_preimages
+    + inserts + update_postimages == v_to, row for row. This is the
+    contract a downstream incremental consumer relies on."""
+    path = str(tmp_path / "tbl")
+    v0 = spark.range(0, 40).selectExpr(
+        "id AS k", "CAST(id % 7 AS STRING) AS s", "id * 3 AS v")
+    # v1: drop k%5==0, rewrite v for k%3==0, add 5 new keys
+    v1 = (
+        spark.range(0, 40).filter("id % 5 != 0")
+        .selectExpr("id AS k", "CAST(id % 7 AS STRING) AS s",
+                    "IF(id % 3 = 0, id * 100, id * 3) AS v")
+        .unionByName(spark.range(100, 105).selectExpr(
+            "id AS k", "'new' AS s", "id AS v"))
+    )
+    versioned.write_version(v0, path, 0)
+    versioned.write_version(v1, path, 1)
+    feed = versioned.table_changes(spark, path, ["k"], 0, 1)
+    feed.createOrReplaceTempView("cdf_feed")
+    versioned.read_version(spark, path, 0).createOrReplaceTempView("cdf_v0")
+    rebuilt = spark.sql("""
+        SELECT k, s, v FROM cdf_v0
+        WHERE k NOT IN (SELECT k FROM cdf_feed
+                        WHERE _change_type IN ('delete', 'update_preimage'))
+        UNION ALL
+        SELECT k, s, v FROM cdf_feed
+        WHERE _change_type IN ('insert', 'update_postimage')
+    """)
+    got = sorted(tuple(r) for r in rebuilt.collect())
+    want = sorted(tuple(r) for r in
+                  versioned.read_version(spark, path, 1).collect())
+    assert got == want
