@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
 from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import (
@@ -1300,4 +1301,71 @@ ORACLES["doc_dup_triangles"] = f"""
         UNION ALL SELECT c FROM tri
     )
     GROUP BY doc_id
+"""
+
+
+# ------------------------------------- incremental corpus dedup
+#
+# The production dedup loop is INCREMENTAL: a new crawl batch arrives
+# and must be deduped (a) against the already-curated corpus and
+# (b) within itself — without ever re-shuffling the existing corpus.
+# The existing side (doc_id % 10 < 8 here; the versioned-table latest
+# snapshot in production) reduces to its DISTINCT content-hash set
+# once; the new batch LEFT-joins that hash set (a semi-join shape:
+# only the new batch carries payload through the shuffle) and
+# first-occurrence-ranks itself within surviving hashes. Every new doc
+# lands in exactly one triage class: dup_corpus (already curated),
+# dup_batch (intra-batch duplicate, keep lowest doc_id), or unique.
+# The content hash is the engine-portable md5-60 (functions/hashing.py)
+# so the oracle reproduces the exact assignment. At 100 TB the corpus
+# hash set is TB-scale but hash-partitioned and payload-free — the
+# classic bloom-filter pre-pass (ev_bloom_new_users) slots in front of
+# the semi-join to cut its shuffle by the true-new fraction.
+def doc_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    existing = (
+        docs.filter("doc_id % 10 < 8")
+        .select(stable_hash64(F.col("text")).alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    new = docs.filter("doc_id % 10 >= 8").select(
+        "doc_id", "source", stable_hash64(F.col("text")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    triaged = (
+        new.join(existing, "h", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .selectExpr(
+            "source",
+            "CASE WHEN in_corpus THEN 'dup_corpus' "
+            "WHEN rn > 1 THEN 'dup_batch' ELSE 'unique' END AS status",
+        )
+    )
+    return triaged.groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+QUERIES["doc_incr_dedup"] = doc_incr_dedup
+
+ORACLES["doc_incr_dedup"] = f"""
+    WITH existing AS (
+        SELECT DISTINCT {STABLE_HASH_SQL("text")} AS h
+        FROM documents WHERE doc_id % 10 < 8
+    ),
+    new_batch AS (
+        SELECT doc_id, source, {STABLE_HASH_SQL("text")} AS h
+        FROM documents WHERE doc_id % 10 >= 8
+    ),
+    triaged AS (
+        SELECT n.source,
+               CASE WHEN e.h IS NOT NULL THEN 'dup_corpus'
+                    WHEN row_number() OVER (PARTITION BY n.h
+                                            ORDER BY n.doc_id) > 1
+                    THEN 'dup_batch' ELSE 'unique' END AS status
+        FROM new_batch n LEFT JOIN existing e ON n.h = e.h
+    )
+    SELECT source, status, count(*) AS n_docs
+    FROM triaged GROUP BY source, status
 """

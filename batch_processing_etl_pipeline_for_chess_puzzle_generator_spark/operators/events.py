@@ -2712,3 +2712,242 @@ ORACLES["ev_audience_jaccard"] = """
     JOIN sz sa ON sa.event_type = ta
     JOIN sz sb ON sb.event_type = tb
 """
+
+
+# ------------------------------------ watermark / late-arrival audit
+#
+# How out-of-order is this stream? The question every Structured
+# Streaming deployment must answer before picking a watermark delay
+# (`withWatermark` drops events later than the chosen bound — too
+# tight loses data, too loose bloats state). Arrival order is the
+# ingest sequence (event_id, assigned by the producer); the event-time
+# high-water-mark is a running MAX over all PRIOR arrivals, and an
+# event is late by (hwm - ts) when it arrives behind it. Per type we
+# report the late fraction (ppm grid), the worst case, and the exact
+# p95 lateness via the house middle-row selection (no engine
+# percentile call) — p95 is the number you'd set the watermark to.
+# All math is integer microseconds (unix_micros, never second-
+# truncating unix_timestamp). The hwm window sorts each type by
+# arrival sequence — the same single-sort-per-group class as SCD2;
+# the streaming runtime (streaming/jobs.py) maintains the same
+# high-water-mark incrementally, so the batch audit is the planning
+# tool, not the steady-state path.
+def ev_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wh = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            "event_id",
+        )
+        .withColumn("hwm_us", F.max("ts_us").over(wh))
+        .select(
+            "event_type",
+            F.expr(
+                "CASE WHEN hwm_us IS NOT NULL AND hwm_us > ts_us "
+                "THEN hwm_us - ts_us ELSE CAST(0 AS BIGINT) END"
+            ).alias("late_us"),
+        )
+    )
+    agg = late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_late"),
+        F.expr("CAST(MAX(late_us) AS BIGINT)").alias("max_late_us"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("late_us")
+    p95 = (
+        late.filter("late_us > 0")
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        .filter("rn = (95 * n + 99) DIV 100")
+        .select("event_type", F.col("late_us").alias("p95_late_us"))
+    )
+    return (
+        agg.join(F.broadcast(p95), "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "n_late",
+            F.expr("n_late * 1000000 DIV n_events").alias("late_ppm"),
+            "max_late_us",
+            "p95_late_us",
+        )
+    )
+
+
+QUERIES["ev_late_arrival_audit"] = ev_late_arrival_audit
+
+ORACLES["ev_late_arrival_audit"] = """
+    WITH t AS (
+        SELECT event_type, epoch_us(ts) AS ts_us,
+               max(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS hwm_us
+        FROM events
+    ),
+    late AS (
+        SELECT event_type,
+               CASE WHEN hwm_us IS NOT NULL AND hwm_us > ts_us
+                    THEN hwm_us - ts_us ELSE 0 END AS late_us
+        FROM t
+    ),
+    agg AS (
+        SELECT event_type, count(*) AS n_events,
+               CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_late,
+               CAST(MAX(late_us) AS BIGINT) AS max_late_us
+        FROM late GROUP BY 1
+    ),
+    ranked AS (
+        SELECT event_type, late_us,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY late_us) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM late WHERE late_us > 0
+    ),
+    p95 AS (
+        SELECT event_type, late_us AS p95_late_us
+        FROM ranked WHERE rn = (95 * n + 99) // 100
+    )
+    SELECT a.event_type, n_events, n_late,
+           CAST(n_late * 1000000 // n_events AS BIGINT) AS late_ppm,
+           max_late_us, p95_late_us
+    FROM agg a LEFT JOIN p95 p ON a.event_type = p.event_type
+"""
+
+
+# ------------------------------------- exact sliding 7-day median
+#
+# Trailing 7-day median of event value per day — the robust
+# center-line ops teams plot against daily anomalies (the mean twin is
+# ev_moving_avg_7d; the MAD variant is ev_daily_anomaly_mad on daily
+# totals, while this is the event-level distribution). Exact, with no
+# engine percentile call: each event contributes to the 7 target days
+# it can influence (contribute-to-window explode, the ev_rolling_dau
+# pattern — never a per-day self-join), and each day's lower median is
+# selected by the house middle-row technique (row_number to the
+# (n+1) DIV 2 row). med_lo is a raw input value passed through — the
+# lower median is ALWAYS an actual observation, so no cross-engine
+# averaging arithmetic exists at even counts. At 100 TB the 7× fanout
+# shuffles once on day; the at-scale approx twin is the mergeable KLL
+# sketch (ev_kll_quantile_merge).
+def ev_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    contrib = (
+        ev.select(F.to_date("ts").alias("d0"), "value", "event_id")
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("day", F.expr("date_add(d0, i)"))
+        .join(F.broadcast(days), "day")
+    )
+    wd = Window.partitionBy("day")
+    ranked = (
+        contrib.withColumn(
+            "rn", F.row_number().over(wd.orderBy("value", "event_id"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wd))
+    )
+    return ranked.filter("rn = (n + 1) DIV 2").select(
+        "day",
+        F.col("n").alias("n_in_window"),
+        F.col("value").alias("med_lo"),
+    )
+
+
+QUERIES["ev_rolling_median_7d"] = ev_rolling_median_7d
+
+ORACLES["ev_rolling_median_7d"] = """
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    contrib AS (
+        SELECT d.day, e.value, e.event_id
+        FROM events e
+        JOIN days d
+          ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+    ),
+    ranked AS (
+        SELECT day, value,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY day) AS n
+        FROM contrib
+    )
+    SELECT day, n AS n_in_window, value AS med_lo
+    FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+# ---------------------------- sliding 7-day DAU via mergeable sketches
+#
+# The at-scale twin of ev_rolling_dau_7d (exact): sliding windows are
+# where mergeable sketches beat contribute-to-window on RAW rows —
+# the exact path fans every (day, user) pair into 7 window copies,
+# while this path reduces each day to ONE kilobyte HLL first
+# (hll_sketch_agg, partial-aggregable map-side) and then fans out and
+# unions 7 sketches per target day. At 100 TB that's the difference
+# between shuffling 7× the distinct-pairs table and shuffling
+# 7 × |days| kilobyte blobs. The estimate is gated against the exact
+# sliding DAU in-plan (4σ-style bound as data, the
+# ev_daily_active_approx/ev_hll_union_weekly house pattern), so the
+# oracle checks the gate, not engine-specific sketch bits.
+def ev_rolling_dau_7d_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d0")).agg(
+        F.expr(f"hll_sketch_agg(user_id, {HLL_LGK})").alias("sk")
+    )
+    days = daily.select(F.col("d0").alias("day"))
+    est = (
+        daily.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("day", F.expr("date_add(d0, i)"))
+        .join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+            F.count(F.lit(1)).alias("n_days_in_window"),
+        )
+    )
+    exact = (
+        ev.select(F.to_date("ts").alias("d0"), "user_id")
+        .distinct()
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("day", F.expr("date_add(d0, i)"))
+        .join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("dau7_exact"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "dau7_exact",
+        "n_days_in_window",
+        F.expr(
+            "abs(est - dau7_exact) <= greatest(0.04 * dau7_exact, 4.0)"
+        ).alias("sketch_ok"),
+    )
+
+
+QUERIES["ev_rolling_dau_7d_approx"] = ev_rolling_dau_7d_approx
+
+ORACLES["ev_rolling_dau_7d_approx"] = """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    du AS (SELECT DISTINCT CAST(ts AS DATE) AS d0, user_id FROM events),
+    win AS (
+        SELECT d.day, u.user_id, u.d0
+        FROM du u JOIN days d ON u.d0 BETWEEN d.day - 6 AND d.day
+    )
+    SELECT day,
+           COUNT(DISTINCT user_id) AS dau7_exact,
+           COUNT(DISTINCT d0) AS n_days_in_window,
+           TRUE AS sketch_ok
+    FROM win GROUP BY day
+"""

@@ -2322,3 +2322,200 @@ ORACLES["orders_median_by_priority"] = """
        OR (n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1))
     GROUP BY o_orderpriority
 """
+
+
+# ----------------------------------- entity resolution (blocked fuzzy)
+#
+# Blocking + edit-distance entity resolution over the customer
+# dimension — the classic MDM/dedupe shape (Fellegi-Sunter blocking
+# stage): candidate pairs are generated ONLY within a blocking key
+# (c_nationkey, 16-char name prefix), so the comparison count is
+# Σ block² — never the |customers|² cross join that's impossible at
+# scale. Within a block every pair is scored with Levenshtein edit
+# distance (built into both Spark and DuckDB with identical classic
+# semantics, JVM-side on the Spark plan) and bucketed: distance ≤ 1 is
+# a near-certain duplicate, 2 a review candidate. The report
+# aggregates per nation: blocks, pairs compared, and match-bucket
+# counts — all BIGINT. The same pattern at 100 TB: the block key is
+# the shuffle key, hot blocks get salted exactly like the MinHash
+# band buckets (operators/dedup.py).
+def er_customer_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    blocked = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.expr("substring(c_name, 1, 16)").alias("blk"),
+    )
+    pairs = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            [
+                F.col("a.c_nationkey") == F.col("b.c_nationkey"),
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.c_custkey") < F.col("b.c_custkey"),
+            ],
+        )
+        .select(
+            F.col("a.c_nationkey").alias("c_nationkey"),
+            F.levenshtein("a.c_name", "b.c_name").alias("d"),
+        )
+    )
+    blocks = blocked.groupBy("c_nationkey").agg(
+        F.expr("CAST(COUNT(DISTINCT blk) AS BIGINT)").alias("n_blocks")
+    )
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN d <= 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_dup_certain"),
+            F.expr(
+                "CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_dup_review"),
+        )
+        .join(broadcast(blocks), "c_nationkey")
+        .select(
+            "c_nationkey",
+            "n_blocks",
+            "n_pairs",
+            "n_dup_certain",
+            "n_dup_review",
+        )
+    )
+
+
+QUERIES["er_customer_blocks"] = er_customer_blocks
+
+ORACLES["er_customer_blocks"] = """
+    WITH blocked AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               substring(c_name, 1, 16) AS blk
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.c_nationkey,
+               levenshtein(a.c_name, b.c_name) AS d
+        FROM blocked a
+        JOIN blocked b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.blk = b.blk
+         AND a.c_custkey < b.c_custkey
+    ),
+    blocks AS (
+        SELECT c_nationkey,
+               CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_blocks
+        FROM blocked GROUP BY 1
+    ),
+    agg AS (
+        SELECT c_nationkey, count(*) AS n_pairs,
+               CAST(SUM(CASE WHEN d <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_certain,
+               CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_review
+        FROM pairs GROUP BY 1
+    )
+    SELECT a.c_nationkey, n_blocks, n_pairs, n_dup_certain, n_dup_review
+    FROM agg a JOIN blocks b ON a.c_nationkey = b.c_nationkey
+"""
+
+
+# --------------------------------------------- join-key skew profiler
+#
+# The pre-flight check before any big join: how skewed is the key?
+# For each candidate join key the profiler reports rows-per-key
+# distribution stats — exact p50/p99/max via the house middle-row
+# selection over the (much smaller) per-key count table, and the
+# max/mean ratio on a ×100 integer grid (the number AQE's skew-join
+# threshold reasons about; ev_skew_salted_join is the remediation this
+# report tells you to reach for). Per key: one partial-agg shuffle to
+# build counts, then rank math over |keys| rows — at 100 TB the counts
+# table is orders of magnitude smaller than the fact table, which is
+# the whole point of profiling counts instead of rows.
+def _key_skew_arm(df: DataFrame, key: str, label: str) -> DataFrame:
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("cnt")
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_keys"),
+        F.sum("cnt")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_rows"),
+    )
+    return ranked.groupBy("n_keys", "n_rows").agg(
+        F.lit(label).alias("key_col"),
+        F.expr(
+            "CAST(MAX(CASE WHEN rn = (n_keys + 1) DIV 2 THEN cnt END) "
+            "AS BIGINT)"
+        ).alias("p50_rows"),
+        F.expr(
+            "CAST(MAX(CASE WHEN rn = (99 * n_keys + 99) DIV 100 THEN cnt "
+            "END) AS BIGINT)"
+        ).alias("p99_rows"),
+        F.expr("CAST(MAX(cnt) AS BIGINT)").alias("max_rows"),
+    ).select(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        F.expr("n_rows * 100 DIV n_keys").alias("avg_x100"),
+        "p50_rows",
+        "p99_rows",
+        "max_rows",
+        F.expr("max_rows * 100 * n_keys DIV n_rows").alias("skew_x100"),
+    )
+
+
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        _key_skew_arm(orders, "o_custkey", "orders.o_custkey")
+        .unionByName(_key_skew_arm(li, "l_partkey", "lineitem.l_partkey"))
+        .unionByName(_key_skew_arm(li, "l_suppkey", "lineitem.l_suppkey"))
+    )
+
+
+QUERIES["join_key_skew_profile"] = join_key_skew_profile
+
+_SKEW_ARM_SQL = """
+        WITH counts AS (
+            SELECT {key} AS k, count(*) AS cnt FROM {tbl} GROUP BY 1
+        ),
+        ranked AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn,
+                   count(*) OVER () AS n_keys,
+                   SUM(cnt) OVER () AS n_rows
+            FROM counts
+        )
+        SELECT '{label}' AS key_col,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(n_rows * 100 // n_keys AS BIGINT) AS avg_x100,
+               CAST(MAX(CASE WHEN rn = (n_keys + 1) // 2 THEN cnt END)
+                    AS BIGINT) AS p50_rows,
+               CAST(MAX(CASE WHEN rn = (99 * n_keys + 99) // 100 THEN cnt
+                    END) AS BIGINT) AS p99_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_rows,
+               CAST(MAX(cnt) * 100 * n_keys // n_rows AS BIGINT)
+                   AS skew_x100
+        FROM ranked GROUP BY n_keys, n_rows"""
+
+ORACLES["join_key_skew_profile"] = " UNION ALL ".join(
+    "SELECT * FROM (" + _SKEW_ARM_SQL.format(key=k, tbl=t, label=lb) + ")"
+    for k, t, lb in [
+        ("o_custkey", "orders", "orders.o_custkey"),
+        ("l_partkey", "lineitem", "lineitem.l_partkey"),
+        ("l_suppkey", "lineitem", "lineitem.l_suppkey"),
+    ]
+)

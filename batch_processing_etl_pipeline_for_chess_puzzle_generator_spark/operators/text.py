@@ -2126,3 +2126,148 @@ ORACLES["doc_blocklist_filter"] = f"""
                          THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
     FROM t GROUP BY source
 """
+
+
+# ----------------------------------------- training-shard manifest
+#
+# Shard planner for a training run: every document is assigned to one
+# of 16 shards by the engine-portable content-address hash
+# (functions/hashing.py — NOT Spark-private hash(), so the assignment
+# is reproducible by any engine downstream, including the dataloader
+# that reads the shards back). The manifest reports per-shard doc and
+# whitespace-token totals plus each shard's token share on the ppm
+# grid — the balance evidence that the hash really levels the shards
+# (greedy bin-packing is unnecessary when the key is uniform). One
+# groupBy on a 16-value key; the one-row corpus total broadcasts onto
+# the 16-row result. At 100 TB this is the plan for
+# `df.write.partitionBy("shard")`: each shard lands as one directory
+# the trainer streams independently.
+def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import stable_hash64
+
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        (stable_hash64(F.expr("CAST(doc_id AS STRING)")) % 16).alias(
+            "shard"
+        ),
+        F.expr(f"CAST(size({_WORDS}) AS BIGINT)").alias("toks"),
+    )
+    agg = per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(toks) AS BIGINT)").alias("shard_tokens"),
+        F.expr("CAST(MIN(toks) AS BIGINT)").alias("min_doc_tokens"),
+        F.expr("CAST(MAX(toks) AS BIGINT)").alias("max_doc_tokens"),
+    )
+    total = agg.agg(F.expr("CAST(SUM(shard_tokens) AS BIGINT)").alias("t"))
+    return agg.join(F.broadcast(total)).select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        "min_doc_tokens",
+        "max_doc_tokens",
+        F.expr("shard_tokens * 1000000 DIV t").alias("token_share_ppm"),
+    )
+
+
+QUERIES["doc_shard_manifest"] = doc_shard_manifest
+
+ORACLES["doc_shard_manifest"] = f"""
+    WITH t AS (
+        SELECT {STABLE_HASH_SQL("CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+               len({_WORDS_DUCK}) AS toks
+        FROM documents
+    ),
+    agg AS (
+        SELECT shard, count(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS shard_tokens,
+               CAST(MIN(toks) AS BIGINT) AS min_doc_tokens,
+               CAST(MAX(toks) AS BIGINT) AS max_doc_tokens
+        FROM t GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(shard_tokens) AS BIGINT) AS t FROM agg)
+    SELECT shard, n_docs, shard_tokens, min_doc_tokens, max_doc_tokens,
+           CAST(shard_tokens * 1000000 // t AS BIGINT) AS token_share_ppm
+    FROM agg CROSS JOIN tot
+"""
+
+
+# ------------------------------------------ regex redaction audit
+#
+# In-place pattern redaction with an audit trail — the PII-scrub
+# shape (emails/phones/SSNs in production; here a term list over the
+# synthetic corpus so the patterns actually fire). Unlike
+# doc_blocklist_filter (which DROPS whole documents) this measures
+# what in-place regexp_replace would remove: per (source, pattern) the
+# docs touched, match occurrences, and characters redacted. The regex
+# subset is chosen to mean the same thing in Java regex (Spark,
+# JVM-side codegen — no Python in the loop) and RE2 (DuckDB/warehouse
+# engines): literal alternation + \\b word boundaries only. One
+# narrow shuffle on the (source, pattern) key; the per-doc pass is
+# row-local scan math, so at 100 TB this is scan-bandwidth-bound like
+# every other per-doc pass.
+_REDACT_PATTERNS = [
+    ("term_the", r"\bthe\b"),
+    ("term_speed", r"\b(fast|slow)\b"),
+    ("term_data", r"\bdata\b"),
+]
+
+
+def doc_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cols = []
+    stack_args = []
+    for i, (name, pat) in enumerate(_REDACT_PATTERNS):
+        # Spark's SQL parser processes backslash escapes inside string
+        # literals (DuckDB's does not), so the Spark-side literal needs
+        # its backslashes doubled for both engines to see the same regex.
+        spat = pat.replace("\\", "\\\\")
+        cols.append(
+            F.expr(
+                f"CAST(size(regexp_extract_all(text, '{spat}', 0)) AS BIGINT)"
+            ).alias(f"m{i}")
+        )
+        cols.append(
+            F.expr(
+                f"CAST(length(text) - length(regexp_replace(text, '{spat}', "
+                f"'')) AS BIGINT)"
+            ).alias(f"c{i}")
+        )
+        stack_args.append(f"'{name}', m{i}, c{i}")
+    long = docs.select("source", *cols).selectExpr(
+        "source",
+        f"stack({len(_REDACT_PATTERNS)}, {', '.join(stack_args)}) "
+        "AS (pattern, n_matches, chars_redacted)",
+    )
+    return long.groupBy("source", "pattern").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("docs_matched"),
+        F.expr("CAST(SUM(n_matches) AS BIGINT)").alias("n_matches"),
+        F.expr("CAST(SUM(chars_redacted) AS BIGINT)").alias(
+            "chars_redacted"
+        ),
+    )
+
+
+QUERIES["doc_redact_patterns"] = doc_redact_patterns
+
+_REDACT_ORACLE_ARMS = "\n        UNION ALL\n".join(
+    f"""
+        SELECT source, '{name}' AS pattern,
+               len(regexp_extract_all(text, '{pat}')) AS n_matches,
+               length(text) - length(regexp_replace(text, '{pat}', '', 'g'))
+                   AS chars_redacted
+        FROM documents"""
+    for name, pat in _REDACT_PATTERNS
+)
+
+ORACLES["doc_redact_patterns"] = f"""
+    WITH long AS ({_REDACT_ORACLE_ARMS}
+    )
+    SELECT source, pattern,
+           CAST(SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_matched,
+           CAST(SUM(n_matches) AS BIGINT) AS n_matches,
+           CAST(SUM(chars_redacted) AS BIGINT) AS chars_redacted
+    FROM long GROUP BY source, pattern
+"""

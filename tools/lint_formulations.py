@@ -176,6 +176,8 @@ DOUBLE_ALLOWLIST: dict[str, set[str]] = {
     "ev_holt_forecast": {"level", "trend", "forecast_next"},
     "ev_holtwinters_forecast": {"level", "trend", "season_next",
                                 "forecast_next"},
+    # lower median is an actual observation passed through unchanged (1)
+    "ev_rolling_median_7d": {"med_lo"},
     # -- documents/text: row-local IEEE over exact integer counts (3)
     "doc_quality": {"dup_ratio", "avg_word_len", "stop_ratio",
                     "quality_score"},
