@@ -1369,3 +1369,103 @@ ORACLES["doc_incr_dedup"] = f"""
     SELECT source, status, count(*) AS n_docs
     FROM triaged GROUP BY source, status
 """
+
+
+# --------------------------------- incremental MinHash near-dup triage
+#
+# The fuzzy stage of the incremental dedup loop (doc_incr_dedup is the
+# exact stage): a new crawl batch is triaged against the curated
+# corpus WITHOUT re-pairing the corpus against itself. The corpus side
+# collapses to its DISTINCT LSH band-bucket keys once (payload-free,
+# exactly the artifact a production pipeline keeps materialized
+# between crawls); new docs that share any band bucket with the
+# corpus are `near_corpus`, remaining new docs sharing a bucket among
+# themselves are `near_batch`, the rest `clean`. No pair join at all —
+# corpus hits are a semi-join on the band key and intra-batch hits a
+# bucket-population window — so the incremental cost is
+# O(new · bands), independent of corpus size per band lookup. Docs too
+# short to shingle simply never collide (clean), matching the batch
+# operators' convention.
+def doc_incr_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.expr(_band_hash_expr(b)).alias("band_hash"),
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_idx", "bd.band_hash")
+    new_b = bands.filter("doc_id % 10 >= 8")
+    corp_b = (
+        bands.filter("doc_id % 10 < 8")
+        .select("band_idx", "band_hash")
+        .distinct()
+    )
+    hit_corpus = (
+        new_b.join(corp_b, ["band_idx", "band_hash"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hc", F.lit(True))
+    )
+    wb = Window.partitionBy("band_idx", "band_hash")
+    hit_batch = (
+        new_b.withColumn("nb", F.count(F.lit(1)).over(wb))
+        .filter("nb >= 2")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hb", F.lit(True))
+    )
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter("doc_id % 10 >= 8")
+        .select("doc_id", "source")
+    )
+    return (
+        base.join(hit_corpus, "doc_id", "left")
+        .join(hit_batch, "doc_id", "left")
+        .selectExpr(
+            "source",
+            "CASE WHEN hc THEN 'near_corpus' WHEN hb THEN 'near_batch' "
+            "ELSE 'clean' END AS status",
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+QUERIES["doc_incr_minhash"] = doc_incr_minhash
+
+ORACLES["doc_incr_minhash"] = f"""
+    WITH {_duck_sig_cte()},
+    {_duck_bands_cte()},
+    corp AS (
+        SELECT DISTINCT band_idx, band_hash FROM bands WHERE doc_id % 10 < 8
+    ),
+    newb AS (SELECT * FROM bands WHERE doc_id % 10 >= 8),
+    hitc AS (
+        SELECT DISTINCT n.doc_id
+        FROM newb n JOIN corp c USING (band_idx, band_hash)
+    ),
+    bucket AS (
+        SELECT band_idx, band_hash FROM newb
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    hitb AS (
+        SELECT DISTINCT n.doc_id
+        FROM newb n JOIN bucket b USING (band_idx, band_hash)
+    ),
+    base AS (
+        SELECT doc_id, source FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT source,
+           CASE WHEN doc_id IN (SELECT doc_id FROM hitc) THEN 'near_corpus'
+                WHEN doc_id IN (SELECT doc_id FROM hitb) THEN 'near_batch'
+                ELSE 'clean' END AS status,
+           count(*) AS n_docs
+    FROM base GROUP BY 1, 2
+"""

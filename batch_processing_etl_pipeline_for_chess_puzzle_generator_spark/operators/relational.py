@@ -2519,3 +2519,92 @@ ORACLES["join_key_skew_profile"] = " UNION ALL ".join(
         ("l_suppkey", "lineitem", "lineitem.l_suppkey"),
     ]
 )
+
+
+# ---------------------------------- temporal (point-in-time) SCD2 join
+#
+# The point-in-time dimension lookup every warehouse needs once it has
+# SCD2 history: enrich a fact row with the dimension version that was
+# CURRENT at the fact's own timestamp — here each lineitem joined to
+# the customer's order-history version (scd2_order_history's interval
+# table) in effect on the item's ship date. The join is an equi-join
+# on the customer key with a residual interval predicate
+# (valid_from <= d < valid_to, NULL-open tail), so Spark executes one
+# keyed shuffle with row-local interval filtering; SCD2 intervals
+# partition the timeline per key (same-day versions collapse to empty
+# intervals), so the join is provably fanout-free — every fact row
+# matches at most one version. The report aggregates by the as-of
+# status with exact-decimal quantity sums. At 100 TB both sides
+# shuffle once on the customer key; bucketed tables make it
+# exchange-free (pkg/sinks.py bucketed join).
+def temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    w = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    dim = o.select(
+        F.col("o_custkey").alias("d_custkey"),
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.expr(f"lead(o_orderdate) OVER ({w})").alias("valid_to"),
+        F.expr(f"CAST(row_number() OVER ({w}) AS BIGINT)").alias("version"),
+    )
+    fact = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("o_custkey", "l_orderkey", "l_shipdate", "l_quantity")
+    joined = fact.join(
+        dim,
+        (F.col("o_custkey") == F.col("d_custkey"))
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull()
+           | (F.col("l_shipdate") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce("o_orderstatus", F.lit("NONE")).alias("as_of_status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.expr("CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)").alias(
+            "n_orders"
+        ),
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))"
+        ).alias("sum_qty"),
+        F.expr("CAST(MAX(version) AS BIGINT)").alias("max_version"),
+    )
+
+
+QUERIES["temporal_scd2_join"] = temporal_scd2_join
+
+ORACLES["temporal_scd2_join"] = """
+    WITH dim AS (
+        SELECT o_custkey AS d_custkey, o_orderstatus,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   AS valid_to,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                    AS BIGINT) AS version
+        FROM orders
+    ),
+    fact AS (
+        SELECT o.o_custkey, l.l_orderkey, l.l_shipdate, l.l_quantity
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    joined AS (
+        SELECT f.*, d.o_orderstatus, d.version
+        FROM fact f
+        LEFT JOIN dim d
+          ON f.o_custkey = d.d_custkey
+         AND f.l_shipdate >= d.valid_from
+         AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+    )
+    SELECT COALESCE(o_orderstatus, 'NONE') AS as_of_status,
+           count(*) AS n_lineitems,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+               AS sum_qty,
+           CAST(MAX(version) AS BIGINT) AS max_version
+    FROM joined GROUP BY 1
+"""

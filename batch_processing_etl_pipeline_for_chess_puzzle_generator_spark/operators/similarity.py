@@ -2434,3 +2434,114 @@ ORACLES["emb_ann_recall"] = f"""
       ON e.q_id = a.q_id AND e.c_id = a.c_id
     GROUP BY e.q_id
 """
+
+
+# --------------------------------------- near-dup threshold sweep
+#
+# The threshold-selection evidence behind every near-dup/SemDeDup run:
+# how many candidate pairs (and how many distinct documents) would a
+# given cosine cutoff remove? The sweep scores the SAME label-blocked
+# candidate pairs as emb_neardup_pairs ONCE (Σ block² candidates,
+# never n²), then evaluates the whole threshold grid over the scored
+# pairs by conditional aggregation — one pass, six answers, no
+# re-scan per threshold. Counts are BIGINT; thresholds live on a ×100
+# integer grid and the comparison constant t/100.0 is the identical
+# double literal on both engines. At 100 TB you run this once on the
+# blocked pairs and read off the cutoff that hits your dedup budget
+# before committing to the full semdedup pass.
+THRESH_GRID = (40, 50, 60, 70, 80, 90)
+
+
+def emb_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_QUANT.format(col="embedding")).alias("qi"),
+        )
+        .withColumn("nrm", F.expr(_qnorm("qi")))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("qi").alias("qa"),
+        F.col("label").alias("blk"),
+        F.col("nrm").alias("qn"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("qi").alias("ca"),
+        F.col("label").alias("blk"),
+        F.col("nrm").alias("cn"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.expr(_SIM).alias("sim"))
+        .persist()
+    )
+    grid_arr = f"array({', '.join(str(t) for t in THRESH_GRID)})"
+    grid = spark.range(1).selectExpr(f"explode({grid_arr}) AS t")
+    pc = (
+        F.broadcast(grid)
+        .crossJoin(pairs)
+        .groupBy("t")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN sim >= t / 100.0 THEN 1 ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("n_pairs")
+        )
+    )
+    ids = pairs.selectExpr("sim", "explode(array(a_id, b_id)) AS id")
+    nd = (
+        F.broadcast(grid)
+        .crossJoin(ids)
+        .groupBy("t")
+        .agg(
+            F.expr(
+                "CAST(COUNT(DISTINCT CASE WHEN sim >= t / 100.0 THEN id "
+                "END) AS BIGINT)"
+            ).alias("n_docs")
+        )
+    )
+    return (
+        pc.join(nd, "t")
+        .select(F.col("t").cast("int").alias("threshold_x100"),
+                "n_pairs", "n_docs")
+    )
+
+
+QUERIES["emb_threshold_sweep"] = emb_threshold_sweep
+
+ORACLES["emb_threshold_sweep"] = f"""
+    WITH a AS (SELECT vec_id AS a_id, embedding AS qe, label AS blk
+               FROM embeddings),
+         b AS (SELECT vec_id AS b_id, embedding AS ce, label AS blk
+               FROM embeddings),
+         pairs AS (
+            SELECT a_id, qe, b_id, ce FROM a JOIN b USING (blk)
+            WHERE a_id < b_id
+         ),
+         {_DUCK_SCORE.replace("q_id", "a_id").replace("c_id", "b_id")},
+    g AS (SELECT unnest([{', '.join(str(t) for t in THRESH_GRID)}]) AS t),
+    pc AS (
+        SELECT g.t,
+               CAST(SUM(CASE WHEN s.sim >= g.t / 100.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pairs
+        FROM g CROSS JOIN scored s GROUP BY g.t
+    ),
+    ids AS (
+        SELECT sim, a_id AS id FROM scored
+        UNION ALL
+        SELECT sim, b_id AS id FROM scored
+    ),
+    nd AS (
+        SELECT g.t,
+               CAST(COUNT(DISTINCT CASE WHEN i.sim >= g.t / 100.0
+                          THEN i.id END) AS BIGINT) AS n_docs
+        FROM g CROSS JOIN ids i GROUP BY g.t
+    )
+    SELECT CAST(pc.t AS INT) AS threshold_x100, n_pairs, n_docs
+    FROM pc JOIN nd ON pc.t = nd.t
+"""
