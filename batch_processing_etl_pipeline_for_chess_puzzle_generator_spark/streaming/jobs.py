@@ -610,3 +610,63 @@ def append_stream_versioned(changes: DataFrame, table_path: str,
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def dedup_ingest_versioned_stream(docs: DataFrame, table_path: str,
+                                  content_col: str = "text",
+                                  checkpoint: str | None = None):
+    """Dedup-on-ingest: each micro-batch of documents is exact-deduped
+    (a) against everything already committed to the versioned corpus
+    and (b) within itself, and ONLY the genuinely-new rows commit as a
+    new version — the streaming twin of the batch ``doc_incr_dedup``
+    triage. The corpus side joins payload-free (content hash only,
+    functions/hashing.py's engine-portable md5-60), so the per-batch
+    cost is one semi-join against the hash projection of the table
+    plus an in-batch first-occurrence window; re-delivered batches
+    (checkpoint replay) are absorbed naturally because their rows hash
+    into the corpus and drop out — the version history stays clean
+    instead of double-committing. Empty post-dedup batches commit
+    nothing (no empty versions). At 100 TB the hash projection is the
+    thing to keep materialized (or bloom-fronted, ev_bloom_new_users)
+    between batches. Returns the StreamingQuery."""
+    from pyspark.sql.window import Window as W
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import stable_hash64
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        hashed = batch.withColumn("_h", stable_hash64(F.col(content_col)))
+        firsts = (
+            hashed.withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("_h").orderBy(*batch.columns)
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        if versioned.versions(table_path):
+            corpus_h = (
+                versioned.read_version(spark, table_path)
+                .select(stable_hash64(F.col(content_col)).alias("_h"))
+            )
+            firsts = firsts.join(corpus_h, "_h", "left_anti")
+        fresh = firsts.drop("_h")
+        if fresh.isEmpty():
+            return
+        # fast-append via the versioned Data Source (must be registered
+        # on the session): the new version SHARES every parent file and
+        # adds only the fresh rows — O(batch) per commit, never
+        # O(corpus), which is what makes this viable as a continuous
+        # ingest path.
+        (fresh.write.format("versioned").mode("append")
+         .option("path", table_path).save())
+
+    writer = docs.writeStream.foreachBatch(dedup_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -801,3 +801,61 @@ def files(spark: SparkSession, table_path: str,
         "file STRING, size_bytes LONG, stats_min STRING, stats_max STRING",
     ).withColumn("version", F.lit(version).cast("int")) \
      .withColumn("stats_col", F.lit(m.get("stats_col")))
+
+
+def backfill_stats(table_path: str, stats_col: str,
+                   version: int | None = None) -> int:
+    """Metadata-only stats backfill: publish a NEW version whose
+    manifest carries per-file [min, max] of ``stats_col`` for the SAME
+    data files as ``version`` (default latest) — read from the parquet
+    FOOTERS' row-group statistics, so no data row is ever scanned and
+    no file is rewritten (Iceberg's replace-with-same-files shape).
+    This retro-enables data skipping (merge_version_cow stat pruning)
+    on tables written before anyone passed ``stats_col=``. The commit
+    goes through the normal manifest CAS, so it serializes against
+    concurrent writers like any other commit; time travel to the
+    parent version still sees the stats-free manifest. Files whose
+    footer lacks statistics for the column get ``None`` (scanned, not
+    pruned — never a wrong prune). Raises KeyError if the column is
+    absent from the files and TypeError (via ``_stat_encode``) for
+    types whose JSON form is not order-preserving."""
+    import pyarrow.parquet as pq
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    base = avail[-1] if version is None else version
+    parent = _load_manifest(table_path, base)
+    stats: dict[str, list | None] = {}
+    for rel in parent["files"]:
+        md = pq.ParquetFile(os.path.join(table_path, rel)).metadata
+        # physical leaf index of the column (flat schemas only — the
+        # same restriction write_version's type gate implies)
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        if stats_col not in names:
+            raise KeyError(
+                f"stats_col '{stats_col}' not present in {rel}"
+            )
+        ci = names.index(stats_col)
+        lo = hi = None
+        ok = True
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        stats[rel] = (
+            [_stat_encode(lo), _stat_encode(hi)] if ok else None
+        )
+    manifest = {
+        "version": avail[-1] + 1,
+        "dir": parent.get("dir"),
+        "files": list(parent["files"]),
+        "schema": parent["schema"],
+        "stats_col": stats_col,
+        "stats": stats,
+        "backfilled_from": base,
+    }
+    return _publish(table_path, manifest)

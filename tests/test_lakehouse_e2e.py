@@ -254,3 +254,68 @@ def test_medallion_streaming_through_versioned_table(spark, tmp_path):
     ingest()
     assert versioned.versions(bronze) == [0, 1, 2]
     assert drain_silver() == {1: 15, 2: 27}
+
+
+def test_dedup_ingest_versioned_stream(spark, tmp_path):
+    """Dedup-on-ingest: a streaming document feed lands in a versioned
+    corpus with exact dedup against (a) everything already committed
+    and (b) the batch itself; replayed/duplicate content commits
+    nothing, so versions advance only when genuinely new rows arrive
+    and the corpus never holds two copies of one text."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        dedup_ingest_versioned_stream,
+    )
+
+    try:
+        spark.dataSource.register(VersionedDataSource)
+    except Exception:
+        pass
+
+    corpus = str(tmp_path / "corpus")
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def feed(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def ingest():
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .json(str(src))
+        )
+        q = dedup_ingest_versioned_stream(
+            stream, corpus, checkpoint=str(tmp_path / "ckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # batch 1: an intra-batch duplicate (docs 1 and 2 share text)
+    feed("b1.json", [{"doc_id": 1, "text": "alpha beta"},
+                     {"doc_id": 2, "text": "alpha beta"},
+                     {"doc_id": 3, "text": "gamma"}])
+    ingest()
+    assert versioned.versions(corpus) == [0]
+    got = {r.text for r in versioned.read_version(spark, corpus).collect()}
+    assert got == {"alpha beta", "gamma"}
+
+    # batch 2: one corpus duplicate + one new doc -> only the new row
+    feed("b2.json", [{"doc_id": 4, "text": "gamma"},
+                     {"doc_id": 5, "text": "delta"}])
+    ingest()
+    assert versioned.versions(corpus) == [0, 1]
+    rows = versioned.read_version(spark, corpus).collect()
+    assert {r.text for r in rows} == {"alpha beta", "gamma", "delta"}
+    assert len(rows) == 3
+    # fast append: v1 shares v0's files
+    m0 = versioned._load_manifest(corpus, 0)
+    m1 = versioned._load_manifest(corpus, 1)
+    assert set(m0["files"]) < set(m1["files"])
+
+    # batch 3: all duplicates -> NO new version
+    feed("b3.json", [{"doc_id": 6, "text": "delta"},
+                     {"doc_id": 7, "text": "alpha beta"}])
+    ingest()
+    assert versioned.versions(corpus) == [0, 1]

@@ -1068,3 +1068,37 @@ def test_table_changes_feed_reconstructs_target(spark, tmp_path):
     want = sorted(tuple(r) for r in
                   versioned.read_version(spark, path, 1).collect())
     assert got == want
+
+
+def test_backfill_stats_enables_pruning(spark, tmp_path):
+    """A table written WITHOUT stats_col gains data skipping after a
+    metadata-only footer backfill: same files, new version, and the
+    next COW merge prunes non-intersecting files just like a table
+    born with stats. Footer stats must equal the scanning path's."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 800, 8), path)  # no stats
+    v1 = versioned.backfill_stats(path, "k")
+    assert v1 == 1
+    m0 = versioned._load_manifest(path, 0)
+    m1 = versioned._load_manifest(path, 1)
+    assert m0.get("stats_col") is None
+    assert m1["stats_col"] == "k"
+    assert m1["files"] == m0["files"]          # no data rewritten
+    assert m1["backfilled_from"] == 0
+    # footer stats == what a full scan would have recorded
+    assert m1["stats"] == versioned._file_stats(spark, path, m1["files"], "k")
+    ch = spark.createDataFrame(
+        [(5, "upd5", False)], "k INT, v STRING, is_delete BOOLEAN"
+    )
+    stats = versioned.merge_version_cow(spark, path, ch, "k")
+    assert stats["files_pruned_by_stats"] >= 5
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[5] == "upd5" and len(got) == 800
+
+
+def test_backfill_stats_rejects_missing_column(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 20, 2), path)
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        versioned.backfill_stats(path, "nope")
