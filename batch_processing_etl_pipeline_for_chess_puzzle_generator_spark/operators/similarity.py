@@ -2545,3 +2545,133 @@ ORACLES["emb_threshold_sweep"] = f"""
     SELECT CAST(pc.t AS INT) AS threshold_x100, n_pairs, n_docs
     FROM pc JOIN nd ON pc.t = nd.t
 """
+
+
+# ------------------------------------------- IVF nprobe tuning curve
+#
+# The other half of ANN parameter tuning (emb_threshold_sweep picks
+# the dedup cutoff; this picks the probe budget): candidate recall@K
+# as a function of NPROBE, measured in ONE pass. Assignment and probe
+# ranking run once — probes keep their full seed ranking instead of
+# cutting at a fixed NPROBE — and every ground-truth neighbor's
+# "visible at probe rank pn" value answers the whole nprobe grid by
+# conditional aggregation. Candidate recall (is the true neighbor's
+# list probed at all) is the standard IVF tuning metric: rerank can't
+# recover a neighbor whose list was never probed. Counts are BIGINT on
+# the ppm grid. At 100 TB this is the offline evaluation you run on a
+# query sample before fixing nprobe in the serving config.
+def emb_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q, c = _split(spark, sf_dir)
+    seeds = c.filter(F.col("c_id") < N_QUERIES + IVF_K).select(
+        F.col("c_id").alias("s_id"),
+        F.col("ca").alias("qa"),
+        F.col("cn").alias("qn"),
+    )
+    wa = Window.partitionBy("c_id").orderBy(F.col("sim").desc(), F.col("s_id"))
+    assign = (
+        c.crossJoin(broadcast(seeds))
+        .select("c_id", "ca", "cn", "s_id", F.expr(_SIM).alias("sim"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("c_id", F.col("s_id").alias("cluster"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("s_id"))
+    seeds_c = seeds.select(
+        "s_id", F.col("qa").alias("ca"), F.col("qn").alias("cn")
+    )
+    probes = (
+        q.crossJoin(broadcast(seeds_c))
+        .select("q_id", "qa", "qn", "s_id", F.expr(_SIM).alias("sim"))
+        .select(
+            "q_id",
+            F.col("s_id").alias("cluster"),
+            F.row_number().over(wp).alias("pn"),
+        )
+    )
+    truth = (
+        emb_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= RECALL_K)
+        .select("q_id", "c_id")
+    )
+    vis = truth.join(assign, "c_id").join(
+        broadcast(probes), ["q_id", "cluster"]
+    )
+    grid = spark.range(1).selectExpr(
+        f"explode(sequence(1, {IVF_K})) AS nprobe"
+    )
+    return (
+        F.broadcast(grid)
+        .crossJoin(vis)
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.expr(
+                "CAST(SUM(CASE WHEN pn <= nprobe THEN 1 ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("n_covered"),
+        )
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_truth",
+            "n_covered",
+            F.expr("n_covered * 1000000 DIV n_truth").alias("recall_ppm"),
+        )
+    )
+
+
+QUERIES["emb_nprobe_sweep"] = emb_nprobe_sweep
+
+_EX_SCORE = (
+    _DUCK_SCORE.replace("scored", "scored_ex").replace("comp", "comp_ex")
+    .replace("pairs", "pairs_ex")
+)
+
+ORACLES["emb_nprobe_sweep"] = f"""
+    WITH {_DUCK_PAIRS},
+    pairs_ex AS (SELECT q_id, qe, c_id, ce FROM q CROSS JOIN c),
+    {_EX_SCORE},
+    exact AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, c_id) AS r
+            FROM scored_ex
+        ) WHERE r <= {RECALL_K}
+    ),
+    seeds AS (SELECT vec_id AS s_id, embedding AS se FROM embeddings
+              WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K}),
+    apairs AS (SELECT s_id, se, c_id, ce FROM seeds CROSS JOIN c),
+    {_A_SCORE},
+    assign AS (
+        SELECT c_id, s_id AS cluster FROM (
+            SELECT c_id, s_id,
+                   row_number() OVER (PARTITION BY c_id
+                       ORDER BY sim DESC, s_id) AS rn
+            FROM ascored
+        ) WHERE rn = 1
+    ),
+    ppairs AS (SELECT q_id, qe, s_id, se FROM q CROSS JOIN seeds),
+    {_P_SCORE},
+    probes AS (
+        SELECT q_id, s_id AS cluster,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, s_id) AS pn
+        FROM pscored
+    ),
+    vis AS (
+        SELECT e.q_id, p.pn
+        FROM exact e
+        JOIN assign a ON e.c_id = a.c_id
+        JOIN probes p ON p.q_id = e.q_id AND p.cluster = a.cluster
+    ),
+    g AS (SELECT unnest(range(1, {IVF_K + 1})) AS nprobe)
+    SELECT CAST(g.nprobe AS INT) AS nprobe,
+           count(*) AS n_truth,
+           CAST(SUM(CASE WHEN v.pn <= g.nprobe THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN v.pn <= g.nprobe THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS recall_ppm
+    FROM g CROSS JOIN vis v GROUP BY g.nprobe
+"""
