@@ -2951,3 +2951,94 @@ ORACLES["ev_rolling_dau_7d_approx"] = """
            TRUE AS sketch_ok
     FROM win GROUP BY day
 """
+
+
+# --------------------------------------- watermark delay sweep
+#
+# The decision curve on top of ev_late_arrival_audit: for each
+# candidate watermark delay, what fraction of events would a
+# Structured Streaming job with `withWatermark(ts, delay)` drop?
+# An event is dropped iff it arrives later than delay behind the
+# event-time high-water-mark, so the lateness column (integer
+# microseconds over arrival order, computed ONCE) answers the whole
+# delay grid by conditional aggregation — the sweep-family shape
+# (emb_threshold_sweep / emb_nprobe_sweep). Delays are labeled in
+# seconds; drop rates land on the ppm grid. Read the row where
+# drop_ppm crosses your loss budget and that's the watermark to ship.
+WATERMARK_GRID_S = (60, 300, 900, 3600, 14400, 86400)
+
+
+def ev_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wh = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            "event_id",
+        )
+        .withColumn("hwm_us", F.max("ts_us").over(wh))
+        .select(
+            "event_type",
+            F.expr(
+                "CASE WHEN hwm_us IS NOT NULL AND hwm_us > ts_us "
+                "THEN hwm_us - ts_us ELSE CAST(0 AS BIGINT) END"
+            ).alias("late_us"),
+        )
+    )
+    grid_arr = f"array({', '.join(str(s) for s in WATERMARK_GRID_S)})"
+    grid = spark.range(1).selectExpr(f"explode({grid_arr}) AS delay_s")
+    grid = grid.selectExpr("CAST(delay_s AS BIGINT) AS delay_s")
+    return (
+        F.broadcast(grid)
+        .crossJoin(late)
+        .groupBy("event_type", "delay_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(SUM(CASE WHEN late_us > delay_s * 1000000 "
+                "THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_dropped"),
+        )
+        .select(
+            "event_type",
+            F.col("delay_s").cast("int").alias("delay_s"),
+            "n_events",
+            "n_dropped",
+            F.expr("n_dropped * 1000000 DIV n_events").alias("drop_ppm"),
+        )
+    )
+
+
+QUERIES["ev_watermark_sweep"] = ev_watermark_sweep
+
+ORACLES["ev_watermark_sweep"] = f"""
+    WITH t AS (
+        SELECT event_type, epoch_us(ts) AS ts_us,
+               max(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS hwm_us
+        FROM events
+    ),
+    late AS (
+        SELECT event_type,
+               CASE WHEN hwm_us IS NOT NULL AND hwm_us > ts_us
+                    THEN hwm_us - ts_us ELSE 0 END AS late_us
+        FROM t
+    ),
+    g AS (SELECT CAST(unnest([{', '.join(str(s) for s in WATERMARK_GRID_S)}])
+                      AS BIGINT) AS delay_s)
+    SELECT event_type, CAST(delay_s AS INT) AS delay_s,
+           count(*) AS n_events,
+           CAST(SUM(CASE WHEN late_us > delay_s * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN late_us > delay_s * 1000000
+                    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+               AS drop_ppm
+    FROM g CROSS JOIN late GROUP BY event_type, delay_s
+"""
