@@ -432,3 +432,43 @@ def test_integer_band_formula_equals_spark_ntile(spark, sizes, tiles):
         f"DIV (n DIV {tiles}) + 1 END AS INT) AS got",
     ).collect()
     assert all(r.want == r.got for r in got)
+
+
+# ---------------------------------------------------------------------------
+# House middle-row rank selection (the engine-proof percentile pattern
+# used by orders_median_by_priority / ev_late_arrival_audit /
+# join_key_skew_profile / ev_rolling_median_7d): the value at
+# row_number == ceil(q·n) in ascending order IS the inverted-CDF
+# q-quantile. Pin the integer formulas to numpy's definition so any
+# future re-derivation drift fails here, not at the driver.
+@given(
+    vals=st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=400),
+    q_pct=st.sampled_from([50, 95, 99]),
+)
+@settings(max_examples=200, deadline=None)
+def test_rank_selection_is_inverted_cdf(vals, q_pct):
+    import numpy as np
+
+    n = len(vals)
+    s = sorted(vals)
+    # the integer-only rank formulas as written in the SQL
+    if q_pct == 50:
+        rn = (n + 1) // 2            # lower median: ceil(0.5*n)
+    else:
+        rn = (q_pct * n + 99) // 100  # ceil(q_pct*n/100)
+    got = s[rn - 1]
+    want = np.percentile(np.array(vals), q_pct, method="inverted_cdf")
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 10**6), min_size=1, max_size=300),
+)
+@settings(max_examples=100, deadline=None)
+def test_rank_selection_formulas_are_valid_rows(vals):
+    """Every grid rank lands on a real 1..n row for any n ≥ 1 (the
+    guard that makes the filter `rn = <formula>` total, so a group can
+    never silently vanish from a percentile report)."""
+    n = len(vals)
+    for f in ((n + 1) // 2, (95 * n + 99) // 100, (99 * n + 99) // 100):
+        assert 1 <= f <= n
