@@ -859,3 +859,26 @@ def backfill_stats(table_path: str, stats_col: str,
         "backfilled_from": base,
     }
     return _publish(table_path, manifest)
+
+
+def restore_version(table_path: str, to_version: int) -> int:
+    """RESTORE (Delta's analog): publish a NEW version whose manifest
+    is a copy of ``to_version``'s — files, schema, stats — so the
+    table's latest state rolls back WITHOUT rewriting data or erasing
+    history (the bad versions stay time-travelable for the
+    post-mortem; vacuum reclaims them when the pin horizon passes).
+    Metadata-only and CAS-serialized like every commit; refcounted
+    vacuum already handles many manifests sharing one file. Raises
+    FileNotFoundError if ``to_version`` is not a live manifest (e.g.
+    already vacuumed — a vacuumed state is gone by design)."""
+    avail = versions(table_path)
+    if to_version not in avail:
+        raise FileNotFoundError(
+            f"version {to_version} is not live at {table_path} "
+            f"(live: {avail}) — vacuumed states cannot be restored"
+        )
+    src = _load_manifest(table_path, to_version)
+    manifest = dict(src)
+    manifest["version"] = avail[-1] + 1
+    manifest["restored_from"] = to_version
+    return _publish(table_path, manifest)

@@ -1102,3 +1102,47 @@ def test_backfill_stats_rejects_missing_column(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         versioned.backfill_stats(path, "nope")
+
+
+def test_restore_version_rolls_back_without_losing_history(spark, tmp_path):
+    """RESTORE publishes a metadata-only copy of an old state as the
+    new latest: no data rewritten (same file set), the bad version
+    stays time-travelable, and a subsequent merge builds on the
+    restored state."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 100, 2), path, stats_col="k")
+    bad = spark.createDataFrame(
+        [(k, "oops", False) for k in range(50)],
+        "k INT, v STRING, is_delete BOOLEAN",
+    )
+    versioned.merge_version_cow(spark, path, bad, "k")      # v1: bad write
+    v2 = versioned.restore_version(path, 0)
+    assert v2 == 2
+    m0 = versioned._load_manifest(path, 0)
+    m2 = versioned._load_manifest(path, 2)
+    assert m2["files"] == m0["files"]           # zero-copy rollback
+    assert m2["restored_from"] == 0
+    assert m2.get("stats_col") == "k"           # stats survive restore
+    # latest == v0 state; the bad v1 still queryable for post-mortem
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[5] == "v5"
+    bad1 = {r.k: r.v for r in versioned.read_version(spark, path, 1).collect()}
+    assert bad1[5] == "oops"
+    # forward progress on top of the restore, with stats pruning alive
+    ch = spark.createDataFrame(
+        [(7, "post", False)], "k INT, v STRING, is_delete BOOLEAN"
+    )
+    stats = versioned.merge_version_cow(spark, path, ch, "k")
+    assert stats["version"] == 3
+    got3 = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got3[7] == "post" and got3[5] == "v5"
+
+
+def test_restore_rejects_vacuumed_version(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    for i in range(4):
+        versioned.write_version(_mk_ranged(spark, 20 + i, 2), path)
+    versioned.vacuum(path, keep_last=2)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        versioned.restore_version(path, 0)
