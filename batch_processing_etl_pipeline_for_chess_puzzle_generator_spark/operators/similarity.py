@@ -2480,35 +2480,39 @@ def emb_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.expr(_SIM).alias("sim"))
         .persist()
     )
-    grid_arr = f"array({', '.join(str(t) for t in THRESH_GRID)})"
-    grid = spark.range(1).selectExpr(f"explode({grid_arr}) AS t")
-    pc = (
-        F.broadcast(grid)
-        .crossJoin(pairs)
-        .groupBy("t")
-        .agg(
-            F.expr(
-                "CAST(SUM(CASE WHEN sim >= t / 100.0 THEN 1 ELSE 0 END) "
-                "AS BIGINT)"
-            ).alias("n_pairs")
-        )
+    # Whole grid from ONE aggregation pass each — no grid×pairs fanout:
+    # pair counts are 6 conditional sums over the scored pairs, and
+    # "distinct docs at cutoff t" reduces to counting ids whose MAX
+    # pair-sim clears t (max is order-insensitive, so this is exact),
+    # over the |ids| table instead of 6× the exploded pair rows.
+    pc = pairs.agg(*[
+        F.expr(
+            f"CAST(SUM(CASE WHEN sim >= {t} / 100.0 THEN 1 ELSE 0 END) "
+            f"AS BIGINT)"
+        ).alias(f"p{t}")
+        for t in THRESH_GRID
+    ])
+    doc_max = (
+        pairs.selectExpr("sim", "explode(array(a_id, b_id)) AS id")
+        .groupBy("id")
+        .agg(F.max("sim").alias("msim"))
     )
-    ids = pairs.selectExpr("sim", "explode(array(a_id, b_id)) AS id")
-    nd = (
-        F.broadcast(grid)
-        .crossJoin(ids)
-        .groupBy("t")
-        .agg(
-            F.expr(
-                "CAST(COUNT(DISTINCT CASE WHEN sim >= t / 100.0 THEN id "
-                "END) AS BIGINT)"
-            ).alias("n_docs")
-        )
+    nd = doc_max.agg(*[
+        F.expr(
+            f"CAST(SUM(CASE WHEN msim >= {t} / 100.0 THEN 1 ELSE 0 END) "
+            f"AS BIGINT)"
+        ).alias(f"d{t}")
+        for t in THRESH_GRID
+    ])
+    stack = ", ".join(
+        f"{t}, p{t}, d{t}" for t in THRESH_GRID
     )
-    return (
-        pc.join(nd, "t")
-        .select(F.col("t").cast("int").alias("threshold_x100"),
-                "n_pairs", "n_docs")
+    return pc.crossJoin(nd).selectExpr(
+        f"stack({len(THRESH_GRID)}, {stack}) "
+        "AS (threshold_x100, n_pairs, n_docs)"
+    ).selectExpr(
+        "CAST(threshold_x100 AS INT) AS threshold_x100",
+        "n_pairs", "n_docs"
     )
 
 
