@@ -2732,14 +2732,17 @@ ORACLES["ev_audience_jaccard"] = """
 # the streaming runtime (streaming/jobs.py) maintains the same
 # high-water-mark incrementally, so the batch audit is the planning
 # tool, not the steady-state path.
-def ev_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+def _lateness_by_type(ev: DataFrame) -> DataFrame:
+    """(event_type, late_us) for every event: microseconds behind the
+    running event-time high-water-mark over arrival order (event_id),
+    0 for in-order rows. Shared by the audit and the delay sweep so
+    the lateness definition lives in exactly one place."""
     wh = (
         Window.partitionBy("event_type")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    late = (
+    return (
         ev.select(
             "event_type",
             F.expr("unix_micros(ts)").alias("ts_us"),
@@ -2754,6 +2757,27 @@ def ev_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late_us"),
         )
     )
+
+
+#: the oracle twin of _lateness_by_type — prepend WITH and compose
+_LATE_CTES_SQL = """t AS (
+        SELECT event_type, epoch_us(ts) AS ts_us,
+               max(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS hwm_us
+        FROM events
+    ),
+    late AS (
+        SELECT event_type,
+               CASE WHEN hwm_us IS NOT NULL AND hwm_us > ts_us
+                    THEN hwm_us - ts_us ELSE 0 END AS late_us
+        FROM t
+    )"""
+
+
+def ev_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    late = _lateness_by_type(table(spark, sf_dir, "events"))
     agg = late.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.expr(
@@ -2786,21 +2810,8 @@ def ev_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ev_late_arrival_audit"] = ev_late_arrival_audit
 
-ORACLES["ev_late_arrival_audit"] = """
-    WITH t AS (
-        SELECT event_type, epoch_us(ts) AS ts_us,
-               max(epoch_us(ts)) OVER (
-                   PARTITION BY event_type ORDER BY event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ) AS hwm_us
-        FROM events
-    ),
-    late AS (
-        SELECT event_type,
-               CASE WHEN hwm_us IS NOT NULL AND hwm_us > ts_us
-                    THEN hwm_us - ts_us ELSE 0 END AS late_us
-        FROM t
-    ),
+ORACLES["ev_late_arrival_audit"] = f"""
+    WITH {_LATE_CTES_SQL},
     agg AS (
         SELECT event_type, count(*) AS n_events,
                CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -2969,27 +2980,7 @@ WATERMARK_GRID_S = (60, 300, 900, 3600, 14400, 86400)
 
 
 def ev_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    wh = (
-        Window.partitionBy("event_type")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    late = (
-        ev.select(
-            "event_type",
-            F.expr("unix_micros(ts)").alias("ts_us"),
-            "event_id",
-        )
-        .withColumn("hwm_us", F.max("ts_us").over(wh))
-        .select(
-            "event_type",
-            F.expr(
-                "CASE WHEN hwm_us IS NOT NULL AND hwm_us > ts_us "
-                "THEN hwm_us - ts_us ELSE CAST(0 AS BIGINT) END"
-            ).alias("late_us"),
-        )
-    )
+    late = _lateness_by_type(table(spark, sf_dir, "events"))
     grid_arr = f"array({', '.join(str(s) for s in WATERMARK_GRID_S)})"
     grid = spark.range(1).selectExpr(f"explode({grid_arr}) AS delay_s")
     grid = grid.selectExpr("CAST(delay_s AS BIGINT) AS delay_s")
@@ -3017,20 +3008,7 @@ def ev_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ev_watermark_sweep"] = ev_watermark_sweep
 
 ORACLES["ev_watermark_sweep"] = f"""
-    WITH t AS (
-        SELECT event_type, epoch_us(ts) AS ts_us,
-               max(epoch_us(ts)) OVER (
-                   PARTITION BY event_type ORDER BY event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ) AS hwm_us
-        FROM events
-    ),
-    late AS (
-        SELECT event_type,
-               CASE WHEN hwm_us IS NOT NULL AND hwm_us > ts_us
-                    THEN hwm_us - ts_us ELSE 0 END AS late_us
-        FROM t
-    ),
+    WITH {_LATE_CTES_SQL},
     g AS (SELECT CAST(unnest([{', '.join(str(s) for s in WATERMARK_GRID_S)}])
                       AS BIGINT) AS delay_s)
     SELECT event_type, CAST(delay_s AS INT) AS delay_s,

@@ -26,6 +26,11 @@ _DEFAULTS = {
     # still used for clarity on known-small tables.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.parquet.filterPushdown": "true",
+    # Write timestamps as TIMESTAMP_MICROS, not the deprecated INT96:
+    # INT96 columns carry NO parquet min/max statistics, which blinds
+    # every footer-based data-skipping path (versioned stats, DS
+    # writer stats, backfill_stats) to timestamp columns.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.session.timeZone": "UTC",
     # Local test files are a few MB; split them small so all cores scan.
     # A production deployment keeps the 128m default (set via env).

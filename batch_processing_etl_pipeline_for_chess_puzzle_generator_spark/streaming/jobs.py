@@ -634,11 +634,19 @@ def dedup_ingest_versioned_stream(docs: DataFrame, table_path: str,
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import stable_hash64
 
+    # NULL content hashes to NULL, and a NULL key neither groups with
+    # itself in the window nor matches in the anti-join — NULL-content
+    # rows would re-commit on every batch (and on checkpoint replay).
+    # stable_hash64 is non-negative (60-bit), so -1 is a collision-free
+    # sentinel that makes all NULL contents one dedup group.
+    def _h(col):
+        return F.coalesce(stable_hash64(F.col(col)), F.lit(-1))
+
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if batch.isEmpty():
             return
-        hashed = batch.withColumn("_h", stable_hash64(F.col(content_col)))
+        hashed = batch.withColumn("_h", _h(content_col))
         firsts = (
             hashed.withColumn(
                 "_rn",
@@ -652,11 +660,15 @@ def dedup_ingest_versioned_stream(docs: DataFrame, table_path: str,
         if versioned.versions(table_path):
             corpus_h = (
                 versioned.read_version(spark, table_path)
-                .select(stable_hash64(F.col(content_col)).alias("_h"))
+                .select(_h(content_col).alias("_h"))
             )
             firsts = firsts.join(corpus_h, "_h", "left_anti")
-        fresh = firsts.drop("_h")
+        # the dedup plan (corpus-wide hash projection + anti-join) is
+        # consumed twice — the emptiness gate and the write; persist so
+        # the expensive stage runs once per batch
+        fresh = firsts.drop("_h").persist()
         if fresh.isEmpty():
+            fresh.unpersist()
             return
         # fast-append via the versioned Data Source (must be registered
         # on the session): the new version SHARES every parent file and
@@ -665,6 +677,7 @@ def dedup_ingest_versioned_stream(docs: DataFrame, table_path: str,
         # ingest path.
         (fresh.write.format("versioned").mode("append")
          .option("path", table_path).save())
+        fresh.unpersist()
 
     writer = docs.writeStream.foreachBatch(dedup_batch)
     if checkpoint:

@@ -136,12 +136,27 @@ def _stat_encode(v):
     (lexicographic order == chronological order, so pruning stays
     correct). Types whose string form does NOT preserve order
     (Decimal, bytes) are rejected up front — a wrong silent prune
-    would drop rows from a MERGE."""
+    would drop rows from a MERGE.
+
+    Timestamps are CANONICALIZED to the DRIVER-LOCAL zone and
+    rendered naive: PySpark's `collect()` (the scanning stats path
+    and the merge change bounds) converts TIMESTAMP values to naive
+    datetimes in the Python process's LOCAL zone (independent of
+    spark.sql.session.timeZone), while parquet FOOTERS (the DS writer
+    and backfill_stats paths) yield tz-AWARE UTC ones — encoding both
+    verbatim would make the lexicographic interval prune compare
+    shifted representations and silently prune a file that holds
+    change keys. `astimezone()` with no argument converts an aware
+    datetime to that same driver-local zone."""
     import datetime
 
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
-    if isinstance(v, (datetime.date, datetime.datetime)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone().replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     raise TypeError(
         f"stats_col values of type {type(v).__name__} are not supported "
@@ -342,7 +357,12 @@ def merge_version_cow(spark: SparkSession, table_path: str,
             "let a concurrent commit interleave without CommitConflict"
         )
     parent = _load_manifest(table_path, avail[-1])
-    parent_struct = T.StructType.fromJson(json.loads(parent["schema"]))
+    if "schema" in parent:
+        parent_struct = T.StructType.fromJson(json.loads(parent["schema"]))
+    else:  # legacy dir-level manifest: footer-infer the schema
+        parent_struct = spark.read.parquet(
+            os.path.join(table_path, parent["dir"])
+        ).schema
     data_cols = [f.name for f in parent_struct.fields]
     extra = [f for f in changes.schema.fields
              if f.name not in data_cols and f.name != delete_col]
@@ -456,7 +476,9 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     manifest = {
         "version": version,
         "files": untouched + new_files,
-        "schema": out_struct.json() if extra else parent["schema"],
+        # out_struct == parent schema when no columns were added; always
+        # regenerating also covers legacy manifests with no schema key
+        "schema": out_struct.json(),
     }
     if parent.get("stats_col") == key_col:
         stats = {f: pstats[f] for f in untouched}
@@ -803,61 +825,57 @@ def files(spark: SparkSession, table_path: str,
      .withColumn("stats_col", F.lit(m.get("stats_col")))
 
 
-def backfill_stats(table_path: str, stats_col: str,
-                   version: int | None = None) -> int:
+def backfill_stats(table_path: str, stats_col: str) -> int:
     """Metadata-only stats backfill: publish a NEW version whose
     manifest carries per-file [min, max] of ``stats_col`` for the SAME
-    data files as ``version`` (default latest) — read from the parquet
-    FOOTERS' row-group statistics, so no data row is ever scanned and
-    no file is rewritten (Iceberg's replace-with-same-files shape).
-    This retro-enables data skipping (merge_version_cow stat pruning)
-    on tables written before anyone passed ``stats_col=``. The commit
-    goes through the normal manifest CAS, so it serializes against
-    concurrent writers like any other commit; time travel to the
-    parent version still sees the stats-free manifest. Files whose
-    footer lacks statistics for the column get ``None`` (scanned, not
-    pruned — never a wrong prune). Raises KeyError if the column is
-    absent from the files and TypeError (via ``_stat_encode``) for
-    types whose JSON form is not order-preserving."""
+    data files as the LATEST version — read from the parquet FOOTERS'
+    row-group statistics (the shared ``_footer_stats`` reader the Data
+    Source writer uses: NaN/partial-stats files get ``None`` = scanned,
+    never wrongly pruned), so no data row is ever scanned and no file
+    is rewritten (Iceberg's replace-with-same-files shape). This
+    retro-enables data skipping (merge_version_cow stat pruning) on
+    tables written before anyone passed ``stats_col=``; legacy
+    dir-level manifests are supported and stay dir-shaped. Only the
+    latest version can be annotated — an older snapshot's file list
+    must never be republished as latest (that would be a silent
+    rollback; use ``restore_version`` when a rollback is the intent).
+    The commit goes through the normal manifest CAS, so it serializes
+    against concurrent writers like any other commit. Raises KeyError
+    if the column is absent from the current files."""
     import pyarrow.parquet as pq
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        _footer_stats,
+    )
 
     avail = versions(table_path)
     if not avail:
         raise FileNotFoundError(f"no committed versions at {table_path}")
-    base = avail[-1] if version is None else version
+    base = avail[-1]
     parent = _load_manifest(table_path, base)
+    legacy = "files" not in parent
+    rel_files = (
+        _list_data_files(table_path, parent["dir"]) if legacy
+        else parent["files"]
+    )
     stats: dict[str, list | None] = {}
-    for rel in parent["files"]:
-        md = pq.ParquetFile(os.path.join(table_path, rel)).metadata
-        # physical leaf index of the column (flat schemas only — the
-        # same restriction write_version's type gate implies)
+    for rel in rel_files:
+        full = os.path.join(table_path, rel)
+        md = pq.ParquetFile(full).metadata
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         if stats_col not in names:
             raise KeyError(
                 f"stats_col '{stats_col}' not present in {rel}"
             )
-        ci = names.index(stats_col)
-        lo = hi = None
-        ok = True
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(ci).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            lo = st.min if lo is None or st.min < lo else lo
-            hi = st.max if hi is None or st.max > hi else hi
-        stats[rel] = (
-            [_stat_encode(lo), _stat_encode(hi)] if ok else None
-        )
-    manifest = {
-        "version": avail[-1] + 1,
-        "dir": parent.get("dir"),
-        "files": list(parent["files"]),
-        "schema": parent["schema"],
-        "stats_col": stats_col,
-        "stats": stats,
-        "backfilled_from": base,
-    }
+        stats[rel] = _footer_stats(full, stats_col)
+    manifest = dict(parent)
+    manifest.pop("restored_from", None)  # provenance is per-commit
+    manifest["version"] = base + 1
+    if not legacy:
+        manifest["files"] = list(rel_files)
+    manifest["stats_col"] = stats_col
+    manifest["stats"] = stats
+    manifest["backfilled_from"] = base
     return _publish(table_path, manifest)
 
 

@@ -319,3 +319,16 @@ def test_dedup_ingest_versioned_stream(spark, tmp_path):
                      {"doc_id": 7, "text": "alpha beta"}])
     ingest()
     assert versioned.versions(corpus) == [0, 1]
+
+    # NULL content dedups like any other value (sentinel hash): two
+    # null-text rows in one batch keep one; a later null-text row is a
+    # corpus duplicate and commits nothing
+    feed("b4.json", [{"doc_id": 8, "text": None},
+                     {"doc_id": 9, "text": None}])
+    ingest()
+    assert versioned.versions(corpus) == [0, 1, 2]
+    rows = versioned.read_version(spark, corpus).collect()
+    assert sum(1 for r in rows if r.text is None) == 1
+    feed("b5.json", [{"doc_id": 10, "text": None}])
+    ingest()
+    assert versioned.versions(corpus) == [0, 1, 2]

@@ -1146,3 +1146,64 @@ def test_restore_rejects_vacuumed_version(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         versioned.restore_version(path, 0)
+
+
+def test_backfill_stats_legacy_dir_manifest(spark, tmp_path):
+    """A legacy {version, dir} manifest (no files/schema keys) gains
+    stats without changing shape: reads still resolve through the dir
+    branch and the next merge consumes the stats via its legacy file
+    listing."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 200, 4), path)
+    m0 = versioned._load_manifest(path, 0)
+    import json as _json
+    import os as _os
+    legacy = {"version": 0, "dir": m0["dir"]}
+    with open(_os.path.join(versioned._manifest_path(path), "0.json"),
+              "w") as fh:
+        _json.dump(legacy, fh)
+    v1 = versioned.backfill_stats(path, "k")
+    m1 = versioned._load_manifest(path, v1)
+    assert "files" not in m1 and m1["dir"] == m0["dir"]
+    assert m1["stats_col"] == "k" and len(m1["stats"]) == 4
+    assert versioned.read_version(spark, path).count() == 200
+    ch = spark.createDataFrame(
+        [(3, "u", False)], "k INT, v STRING, is_delete BOOLEAN"
+    )
+    stats = versioned.merge_version_cow(spark, path, ch, "k")
+    assert stats["files_pruned_by_stats"] >= 2
+
+
+def test_backfill_timestamp_stats_prune_is_tz_safe(spark, tmp_path):
+    """Footer timestamp stats are tz-AWARE UTC while scan/collect
+    paths render naive DRIVER-LOCAL datetimes — the manifest encoding
+    must canonicalize both to one representation or the interval prune
+    compares shifted strings (wrong prune = silent row duplication).
+    Run under a skewed session zone to prove session-tz immunity; all
+    instants are epoch-anchored so expectations are rendering-free."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        path = str(tmp_path / "tbl")
+        df = spark.range(200).selectExpr(
+            "timestamp_seconds(id * 3600) AS ts",
+            "CONCAT('v', id) AS v",
+        ).repartitionByRange(4, "ts")
+        versioned.write_version(df, path)
+        versioned.backfill_stats(path, "ts")
+        m1 = versioned._load_manifest(path, 1)
+        # canonical: naive isoformat, no UTC offset suffix
+        for lohi in m1["stats"].values():
+            assert lohi is not None and "+" not in lohi[0]
+        ch = spark.range(1).selectExpr(
+            "timestamp_seconds(5 * 3600) AS ts",
+            "'upd' AS v",
+            "false AS is_delete",
+        )
+        stats = versioned.merge_version_cow(spark, path, ch, "ts")
+        assert stats["files_pruned_by_stats"] >= 2      # pruning alive
+        got = {r.v for r in versioned.read_version(spark, path).collect()}
+        assert "upd" in got and "v5" not in got          # upsert landed
+        assert versioned.read_version(spark, path).count() == 200
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
