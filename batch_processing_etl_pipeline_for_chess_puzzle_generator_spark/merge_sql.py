@@ -191,3 +191,70 @@ def read_versioned_sql(spark: SparkSession, path: str,
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
     return versioned.read_version(spark, path, version)
+
+
+# --------------------------------------------------------------------
+# Table-maintenance statements: the Delta-canonical RESTORE / VACUUM /
+# OPTIMIZE / DESCRIBE HISTORY, path-addressed like MERGE INTO above.
+# Same philosophy: parse the exact canonical shape, route onto the
+# library implementation, raise loudly on anything else.
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
+    r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+versioned\.`(?P<path>[^`]+)`"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+versioned\.`(?P<path>[^`]+)`"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<za>\w+)\s*,\s*(?P<zb>\w+)\s*\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+versioned\.`(?P<path>[^`]+)`\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def maintenance_sql(spark: SparkSession, statement: str):
+    """Execute one maintenance statement against a versioned table.
+
+    Supported shapes (case-insensitive, trailing ``;`` optional):
+
+    - ``RESTORE TABLE versioned.`/p` TO VERSION AS OF <n>`` →
+      :func:`versioned.restore_version`; returns the new version int.
+    - ``VACUUM versioned.`/p` [RETAIN <n> VERSIONS]`` (default 2) →
+      :func:`versioned.vacuum`; returns the dropped version list.
+    - ``OPTIMIZE versioned.`/p` [ZORDER BY (a, b)]`` →
+      :func:`versioned.optimize_version`; returns its stats dict.
+    - ``DESCRIBE HISTORY versioned.`/p``` → :func:`versioned.history`;
+      returns the history DataFrame.
+
+    Anything else raises ``ValueError`` with the supported grammar.
+    """
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    m = _RESTORE_RE.match(statement)
+    if m:
+        return versioned.restore_version(m["path"], int(m["v"]))
+    m = _VACUUM_RE.match(statement)
+    if m:
+        keep = int(m["n"]) if m["n"] else 2
+        return versioned.vacuum(m["path"], keep_last=keep)
+    m = _OPTIMIZE_RE.match(statement)
+    if m:
+        z = (m["za"], m["zb"]) if m["za"] else None
+        return versioned.optimize_version(spark, m["path"], zorder_cols=z)
+    m = _HISTORY_RE.match(statement)
+    if m:
+        return versioned.history(spark, m["path"])
+    raise ValueError(
+        "unsupported maintenance statement — expected RESTORE TABLE "
+        "versioned.`/p` TO VERSION AS OF n | VACUUM versioned.`/p` "
+        "[RETAIN n VERSIONS] | OPTIMIZE versioned.`/p` [ZORDER BY "
+        f"(a, b)] | DESCRIBE HISTORY versioned.`/p`; got: {statement!r}"
+    )

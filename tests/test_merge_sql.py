@@ -214,3 +214,33 @@ def test_merge_into_requires_some_clause(spark, tmp_path):
             MERGE INTO versioned.`{path}` t USING noop_src s
             ON t.k = s.k
         """)
+
+
+def test_maintenance_sql_statements(spark, tmp_path):
+    """RESTORE / VACUUM / OPTIMIZE / DESCRIBE HISTORY statements route
+    onto the library maintenance ops, path-addressed like MERGE INTO."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import maintenance_sql
+
+    path = str(tmp_path / "tbl")
+    for n in (100, 120, 140):
+        versioned.write_version(
+            spark.range(n).selectExpr("id AS k", "CONCAT('v', id) AS v"),
+            path,
+        )
+    hist = maintenance_sql(spark, f"DESCRIBE HISTORY versioned.`{path}`")
+    assert hist.count() == 3
+    v3 = maintenance_sql(
+        spark, f"RESTORE TABLE versioned.`{path}` TO VERSION AS OF 0"
+    )
+    assert v3 == 3
+    assert versioned.read_version(spark, path).count() == 100
+    stats = maintenance_sql(spark, f"OPTIMIZE versioned.`{path}`")
+    assert isinstance(stats, dict) and stats["version"] == 4
+    dropped = maintenance_sql(
+        spark, f"VACUUM versioned.`{path}` RETAIN 2 VERSIONS"
+    )
+    assert dropped == [0, 1, 2]
+    assert versioned.read_version(spark, path).count() == 100
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        maintenance_sql(spark, "TRUNCATE TABLE versioned.`/x`")
