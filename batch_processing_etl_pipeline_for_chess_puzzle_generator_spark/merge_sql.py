@@ -258,3 +258,55 @@ def maintenance_sql(spark: SparkSession, statement: str):
         "[RETAIN n VERSIONS] | OPTIMIZE versioned.`/p` [ZORDER BY "
         f"(a, b)] | DESCRIBE HISTORY versioned.`/p`; got: {statement!r}"
     )
+
+
+# ------------------------------------------------ DML/DDL statements
+# INSERT INTO (fast append through the Data Source writer — shares
+# every parent file) and CREATE TABLE AS (first commit). The query
+# body after the table address is handed to spark.sql verbatim, so
+# the full SELECT surface (CTEs, joins, windows) is available.
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+versioned\.`(?P<path>[^`]+)`\s+(?P<q>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+versioned\.`(?P<path>[^`]+)`\s+AS\s+(?P<q>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def insert_into(spark: SparkSession, statement: str) -> None:
+    """``INSERT INTO versioned.`/p` <select>`` — appends the SELECT's
+    rows as a new version via the versioned Data Source fast-append
+    (requires ``spark.dataSource.register(VersionedDataSource)``;
+    nothing is rewritten, the manifest CAS serializes writers). The
+    SELECT's schema must match the table's (schema evolution goes
+    through MERGE)."""
+    m = _INSERT_RE.match(statement)
+    if not m:
+        raise ValueError(
+            "expected INSERT INTO versioned.`/path` <select...>; got: "
+            f"{statement!r}"
+        )
+    (spark.sql(m["q"]).write.format("versioned").mode("append")
+     .option("path", m["path"]).save())
+
+
+def create_table_as(spark: SparkSession, statement: str) -> int:
+    """``CREATE TABLE versioned.`/p` AS <select>`` — commits the
+    SELECT's result as version 0 of a NEW versioned table (fails if
+    the table already has commits: CTAS never clobbers history)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    m = _CTAS_RE.match(statement)
+    if not m:
+        raise ValueError(
+            "expected CREATE TABLE versioned.`/path` AS <select...>; "
+            f"got: {statement!r}"
+        )
+    if versioned.versions(m["path"]):
+        raise ValueError(
+            f"table already exists at {m['path']} — CTAS never clobbers "
+            "history (use MERGE INTO or INSERT INTO)"
+        )
+    return versioned.write_version(spark.sql(m["q"]), m["path"])

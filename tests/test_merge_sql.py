@@ -244,3 +244,42 @@ def test_maintenance_sql_statements(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         maintenance_sql(spark, "TRUNCATE TABLE versioned.`/x`")
+
+
+def test_ctas_and_insert_into(spark, tmp_path):
+    """CREATE TABLE AS commits v0; INSERT INTO fast-appends a version;
+    CTAS refuses to clobber an existing table."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import (
+        create_table_as,
+        insert_into,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    try:
+        spark.dataSource.register(VersionedDataSource)
+    except Exception:
+        pass
+    path = str(tmp_path / "tbl")
+    v0 = create_table_as(
+        spark,
+        f"CREATE TABLE versioned.`{path}` AS "
+        "SELECT id AS k, CONCAT('v', id) AS v FROM range(100)",
+    )
+    assert v0 == 0
+    insert_into(
+        spark,
+        f"INSERT INTO versioned.`{path}` "
+        "SELECT id AS k, CONCAT('n', id) AS v FROM range(100, 120)",
+    )
+    assert versioned.versions(path) == [0, 1]
+    assert versioned.read_version(spark, path).count() == 120
+    m0 = versioned._load_manifest(path, 0)
+    m1 = versioned._load_manifest(path, 1)
+    assert set(m0["files"]) < set(m1["files"])  # fast append
+    with pytest.raises(ValueError):
+        create_table_as(
+            spark,
+            f"CREATE TABLE versioned.`{path}` AS SELECT 1 AS k, 'x' AS v",
+        )
