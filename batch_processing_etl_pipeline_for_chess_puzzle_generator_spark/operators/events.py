@@ -3020,3 +3020,105 @@ ORACLES["ev_watermark_sweep"] = f"""
                AS drop_ppm
     FROM g CROSS JOIN late GROUP BY event_type, delay_s
 """
+
+
+# ------------------------------------ process conformance checking
+#
+# Process-mining conformance: sessions are replayed against a declared
+# transition model (the allowed happy-path edges of the
+# signup→view→click→purchase lifecycle; error is reachable from
+# anywhere but must recover through view) and every observed adjacent
+# transition is classified allowed/violating. The report is the
+# conformance evidence per edge: how often each transition occurs, in
+# how many distinct sessions, and whether the model permits it —
+# ev_transition_matrix gives the raw dynamics, this scores them
+# against intent. Sessionization is the house 30-minute lag-gap (same
+# definition as ev_sessionize), transitions pair up with one lag
+# window per session, and the allowed set is a literal IN list — all
+# JVM-side, two keyed window passes and one small groupBy.
+_CONF_ALLOWED = (
+    "signup>view", "view>view", "view>click", "click>view",
+    "click>click", "click>purchase", "purchase>view",
+    "view>error", "click>error", "signup>error", "purchase>error",
+    "error>view",
+)
+
+
+def ev_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "new_session",
+            F.expr(
+                "CASE WHEN lag(ts) OVER (PARTITION BY user_id "
+                "ORDER BY ts, event_id) IS NULL OR "
+                "ts - lag(ts) OVER (PARTITION BY user_id "
+                "ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+                "THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_session").over(
+                wu.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    allowed_list = ", ".join(f"'{a}'" for a in _CONF_ALLOWED)
+    trans = (
+        sess.withColumn("prev_type", F.lag("event_type").over(ws))
+        .filter("prev_type IS NOT NULL")
+        .selectExpr(
+            "prev_type",
+            "event_type AS next_type",
+            "CONCAT(user_id, ':', sid) AS sess_key",
+            f"CONCAT(prev_type, '>', event_type) IN ({allowed_list}) "
+            "AS is_allowed",
+        )
+    )
+    return trans.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.expr("CAST(COUNT(DISTINCT sess_key) AS BIGINT)").alias(
+            "n_sessions"
+        ),
+        F.expr("BOOL_OR(is_allowed)").alias("is_allowed"),
+    )
+
+
+QUERIES["ev_conformance"] = ev_conformance
+
+ORACLES["ev_conformance"] = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    trans AS (
+        SELECT lag(event_type) OVER ws AS prev_type,
+               event_type AS next_type,
+               user_id || ':' || sid AS sess_key
+        FROM sess
+        WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT prev_type, next_type,
+           count(*) AS n_transitions,
+           CAST(COUNT(DISTINCT sess_key) AS BIGINT) AS n_sessions,
+           BOOL_OR(prev_type || '>' || next_type IN
+                   ({', '.join(f"'{a}'" for a in _CONF_ALLOWED)}))
+               AS is_allowed
+    FROM trans WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+"""
