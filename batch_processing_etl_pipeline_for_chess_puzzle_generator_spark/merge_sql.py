@@ -292,6 +292,93 @@ def insert_into(spark: SparkSession, statement: str) -> None:
      .option("path", m["path"]).save())
 
 
+_DELETE_FROM_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+versioned\.`(?P<path>[^`]+)`"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+versioned\.`(?P<path>[^`]+)`"
+    r"\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_assignments(sets: str) -> dict[str, str]:
+    """Split ``a = e1, b = e2`` on TOP-LEVEL commas only (commas inside
+    parens or single-quoted strings belong to the expression), then
+    each piece on its first ``=``. Duplicate targets raise — SQL
+    forbids assigning one column twice in an UPDATE."""
+    parts, depth, quote, buf = [], 0, False, []
+    for ch in sets:
+        if quote:
+            buf.append(ch)
+            if ch == "'":
+                quote = False
+            continue
+        if ch == "'":
+            quote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    out: dict[str, str] = {}
+    for p in parts:
+        col, eq, expr = p.partition("=")
+        col, expr = col.strip(), expr.strip()
+        if not eq or not re.fullmatch(r"\w+", col) or not expr:
+            raise ValueError(
+                f"bad SET assignment {p.strip()!r} — expected "
+                "<column> = <expression>"
+            )
+        if col in out:
+            raise ValueError(f"column {col!r} assigned twice in SET")
+        out[col] = expr
+    return out
+
+
+def delete_from(spark: SparkSession, statement: str) -> dict:
+    """``DELETE FROM versioned.`/p` [WHERE <pred>]`` → COW predicate
+    delete via :func:`versioned.delete_where` (omitting WHERE deletes
+    every row, Delta semantics). Returns the commit stats dict
+    (``version`` is None when nothing matched — no empty commit)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    m = _DELETE_FROM_RE.match(statement)
+    if not m:
+        raise ValueError(
+            "expected DELETE FROM versioned.`/path` [WHERE <pred>]; "
+            f"got: {statement!r}"
+        )
+    return versioned.delete_where(spark, m["path"], m["pred"] or "true")
+
+
+def update_table(spark: SparkSession, statement: str) -> dict:
+    """``UPDATE versioned.`/p` SET a = e1[, b = e2 ...] [WHERE <pred>]``
+    → COW predicate update via :func:`versioned.update_where`. All SET
+    expressions see the pre-update row; results are cast back to the
+    column's declared type (schema never drifts through UPDATE)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    m = _UPDATE_RE.match(statement)
+    if not m:
+        raise ValueError(
+            "expected UPDATE versioned.`/path` SET col = expr[, ...] "
+            f"[WHERE <pred>]; got: {statement!r}"
+        )
+    return versioned.update_where(
+        spark, m["path"], _split_assignments(m["sets"]),
+        m["pred"] or "true",
+    )
+
+
 def create_table_as(spark: SparkSession, statement: str) -> int:
     """``CREATE TABLE versioned.`/p` AS <select>`` — commits the
     SELECT's result as version 0 of a NEW versioned table (fails if

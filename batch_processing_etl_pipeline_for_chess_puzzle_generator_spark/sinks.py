@@ -395,6 +395,30 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def write_xml(df: DataFrame, path: str, mode: str = "overwrite",
+              row_tag: str = "row", root_tag: str = "rows") -> None:
+    """XML sink (built into Spark since 4.0 — no external spark-xml
+    jar, unlike avro). Nested structs become nested elements and
+    arrays become repeated elements, so the reference's nested
+    ND-JSON shape (players.white.user.name) round-trips through XML
+    unchanged. Distributed like every other format writer: one XML
+    document per partition file."""
+    (df.write.mode(mode).format("xml")
+     .option("rowTag", row_tag).option("rootTag", root_tag).save(path))
+
+
+def read_xml(spark: SparkSession, path: str, schema: str | None = None,
+             row_tag: str = "row") -> DataFrame:
+    """XML source. Pass ``schema`` (DDL string) to pin types — XML
+    carries no type metadata, so schema-less reads infer (the same
+    schema-on-read contract as the ND-JSON source; production readers
+    should pin, exactly like sources/ndjson.py does)."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
 def compact(spark: SparkSession, path: str, fmt: str = "parquet",
             target_file_bytes: int = 128 * 1024 * 1024) -> int:
     """Small-file compaction: rewrite a directory of many small files

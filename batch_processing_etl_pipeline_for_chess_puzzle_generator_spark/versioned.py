@@ -502,6 +502,181 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     }
 
 
+def _predicate_cow(spark: SparkSession, table_path: str,
+                   predicate_sql: str, rewrite) -> dict:
+    """Shared physical plan for predicate-driven DML (DELETE / UPDATE):
+    Delta's COW rewrite shape.
+
+    1. Discovery scan: read the latest snapshot's files with the
+       predicate PUSHED to parquet (row-group min/max pruning happens
+       in the scan; only the predicate's columns plus
+       ``input_file_name()`` are materialized) and collect the DISTINCT
+       set of files holding at least one matching row — O(#files)
+       driver metadata, the same planning list the MERGE path builds.
+    2. Rewrite: ``rewrite(df_of_touched_files)`` produces the touched
+       files' replacement rows; every other parent file is SHARED
+       byte-identically in the child manifest.
+    3. Publish through the manifest CAS (concurrent commits collide as
+       ``CommitConflict``); untouched files keep their stats verbatim,
+       new files get stats recomputed when the table carries a
+       stats column.
+
+    A predicate matching no rows returns ``{"version": None, ...}``
+    without committing — an empty rewrite would only fragment history.
+    """
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    # Same-snapshot version derivation as merge_version_cow: an
+    # interleaved commit must collide on the CAS, never be skipped.
+    version = avail[-1] + 1
+    parent = _load_manifest(table_path, avail[-1])
+    if "schema" in parent:
+        schema = T.StructType.fromJson(json.loads(parent["schema"]))
+        pfiles = parent["files"]
+    else:  # legacy dir-level manifest
+        schema = spark.read.parquet(
+            os.path.join(table_path, parent["dir"])
+        ).schema
+        pfiles = _list_data_files(table_path, parent["dir"])
+    if not pfiles:
+        return {"version": None, "files_total": 0, "files_shared": 0,
+                "files_rewritten": 0}
+
+    # NULL predicate results select nothing (SQL WHERE semantics).
+    hit = F.coalesce(F.expr(predicate_sql), F.lit(False))
+    full_paths = [os.path.join(table_path, f) for f in pfiles]
+    rows = (
+        spark.read.schema(schema).parquet(*full_paths)
+        .withColumn("__f", F.input_file_name())
+        .filter(hit)
+        .select("__f").distinct().collect()
+    )
+    troot = os.path.abspath(table_path)
+    touched_rel = {os.path.relpath(_uri_to_path(r["__f"]), troot)
+                   for r in rows}
+    touched = [f for f in pfiles if f in touched_rel]
+    untouched = [f for f in pfiles if f not in touched_rel]
+    if not touched:
+        return {"version": None, "files_total": len(pfiles),
+                "files_shared": len(pfiles), "files_rewritten": 0}
+
+    replacement = rewrite(
+        spark.read.schema(schema).parquet(
+            *[os.path.join(table_path, f) for f in touched]
+        )
+    ).select(*[f.name for f in schema.fields])
+
+    token = uuid.uuid4().hex[:12]
+    staged = os.path.join(table_path, f"_staged_{version}_{token}")
+    final_dir = f"d_{version}_{token}"
+    final = os.path.join(table_path, final_dir)
+    # Rewrite granularity == touched-file count, like the MERGE path:
+    # a DML touching k files emits ~k files, not one per partition.
+    replacement.coalesce(max(1, len(touched))).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    os.rename(staged, final)
+    new_files = _list_data_files(table_path, final_dir)
+
+    manifest = {
+        "version": version,
+        "files": untouched + new_files,
+        "schema": schema.json(),
+    }
+    stats_col = parent.get("stats_col")
+    if stats_col is not None and parent.get("stats") is not None:
+        stats = {f: parent["stats"].get(f) for f in untouched}
+        if new_files:
+            stats.update(
+                _file_stats(spark, table_path, new_files, stats_col)
+            )
+        manifest["stats_col"] = stats_col
+        manifest["stats"] = stats
+    try:
+        _publish(table_path, manifest)
+    except CommitConflict:
+        shutil.rmtree(final, ignore_errors=True)
+        raise
+    return {
+        "version": version,
+        "files_total": len(untouched) + len(new_files),
+        "files_shared": len(untouched),
+        "files_rewritten": len(touched),
+    }
+
+
+def delete_where(spark: SparkSession, table_path: str,
+                 predicate_sql: str) -> dict:
+    """Predicate DELETE (Delta's ``DELETE FROM t WHERE p``): commit a
+    new version with every row matching ``predicate_sql`` removed,
+    rewriting ONLY the files that hold a matching row and sharing the
+    rest. Rows where the predicate is NULL are KEPT (SQL WHERE
+    semantics: only TRUE deletes). History stays time-travelable; the
+    physical bytes go when vacuum retires the old versions (the
+    compliance-purge path proven in tests/test_versioned.py)."""
+    from pyspark.sql import functions as F
+
+    return _predicate_cow(
+        spark, table_path, predicate_sql,
+        lambda df: df.filter(
+            ~F.coalesce(F.expr(predicate_sql), F.lit(False))
+        ),
+    )
+
+
+def update_where(spark: SparkSession, table_path: str,
+                 assignments: dict[str, str],
+                 predicate_sql: str = "true") -> dict:
+    """Predicate UPDATE (Delta's ``UPDATE t SET c = e WHERE p``):
+    commit a new version where rows matching ``predicate_sql`` have
+    each ``assignments`` target column replaced by its SQL expression,
+    rewriting only touched files. All expressions are evaluated
+    against the PRE-update row simultaneously (standard SQL UPDATE:
+    ``SET a = b, b = a`` swaps), and each result is cast back to the
+    column's declared type so the table schema never drifts. Assigning
+    a column the table doesn't have raises."""
+    from pyspark.sql import functions as F
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    parent = _load_manifest(table_path, avail[-1])
+    if "schema" in parent:
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(parent["schema"]))
+    else:
+        schema = spark.read.parquet(
+            os.path.join(table_path, parent["dir"])
+        ).schema
+    by_name = {f.name: f for f in schema.fields}
+    unknown = sorted(set(assignments) - set(by_name))
+    if unknown:
+        raise ValueError(
+            f"UPDATE assigns columns {unknown} not in the table schema "
+            f"({sorted(by_name)}) — schema evolution goes through MERGE"
+        )
+
+    def _apply(df):
+        hit = F.coalesce(F.expr(predicate_sql), F.lit(False))
+        # one select → every expression sees the pre-update row
+        return df.select(*[
+            (F.when(hit, F.expr(assignments[f.name])
+                    .cast(f.dataType)).otherwise(F.col(f.name))
+             if f.name in assignments else F.col(f.name)).alias(f.name)
+            for f in schema.fields
+        ])
+
+    return _predicate_cow(spark, table_path, predicate_sql, _apply)
+
+
 def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` versions.
 

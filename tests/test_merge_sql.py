@@ -283,3 +283,129 @@ def test_ctas_and_insert_into(spark, tmp_path):
             spark,
             f"CREATE TABLE versioned.`{path}` AS SELECT 1 AS k, 'x' AS v",
         )
+
+
+def test_delete_from_predicate_cow(spark, tmp_path):
+    """DELETE FROM rewrites ONLY files holding matching rows; the rest
+    are shared byte-identically, history stays time-travelable, and
+    the stats index survives with new files re-indexed."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import delete_from
+
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark), path, stats_col="k")
+    stats = delete_from(
+        spark, f"DELETE FROM versioned.`{path}` WHERE k >= 300"
+    )
+    # range-partitioned base: k>=300 lives in exactly one of 4 files
+    assert stats["version"] == 1
+    assert stats["files_rewritten"] == 1 and stats["files_shared"] == 3
+    got = versioned.read_version(spark, path)
+    assert got.count() == 300 and got.agg({"k": "max"}).first()[0] == 299
+    # time travel to v0 still sees all 400 rows
+    assert versioned.read_version(spark, path, 0).count() == 400
+    m0 = versioned._load_manifest(path, 0)
+    m1 = versioned._load_manifest(path, 1)
+    assert m1["stats_col"] == "k"
+    assert set(m1["stats"]) == set(m1["files"])
+    shared = set(m0["files"]) & set(m1["files"])
+    assert len(shared) == 3
+    for f in shared:  # untouched files keep their stats verbatim
+        assert m1["stats"][f] == m0["stats"][f] is not None
+
+
+def test_delete_from_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL WHERE semantics: only TRUE deletes — rows where the
+    predicate evaluates NULL are kept."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.versioned import delete_where
+
+    path = str(tmp_path / "tbl")
+    versioned.write_version(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "k INT, v STRING"
+        ),
+        path,
+    )
+    delete_where(spark, path, "v = 'a'")  # NULL = 'a' is NULL -> kept
+    got = {r.k for r in versioned.read_version(spark, path).collect()}
+    assert got == {2, 3}
+
+
+def test_delete_from_no_match_no_commit(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import delete_from
+
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, 100, 2), path)
+    stats = delete_from(
+        spark, f"DELETE FROM versioned.`{path}` WHERE k > 10000"
+    )
+    assert stats["version"] is None and stats["files_rewritten"] == 0
+    assert versioned.versions(path) == [0]
+
+
+def test_update_where_simultaneous_and_typed(spark, tmp_path):
+    """SET expressions all see the PRE-update row (a=b, b=a swaps) and
+    results are cast back to the declared column types."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.versioned import update_where
+
+    path = str(tmp_path / "tbl")
+    versioned.write_version(
+        spark.createDataFrame(
+            [(1, 10, 20), (2, 30, 40)], "k INT, a INT, b INT"
+        ),
+        path,
+    )
+    update_where(spark, path, {"a": "b", "b": "a"}, "k = 1")
+    got = {r.k: (r.a, r.b) for r in
+           versioned.read_version(spark, path).collect()}
+    assert got[1] == (20, 10) and got[2] == (30, 40)
+    # 2.5 casts back to INT (schema never drifts through UPDATE)
+    update_where(spark, path, {"a": "a + 2.5"}, "k = 2")
+    tbl = versioned.read_version(spark, path)
+    assert dict(tbl.dtypes)["a"] == "int"
+    assert {r.k: r.a for r in tbl.collect()}[2] == 32
+
+
+def test_update_sql_statement_and_sharing(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import update_table
+
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark), path, stats_col="k")
+    stats = update_table(
+        spark,
+        f"UPDATE versioned.`{path}` "
+        "SET v = CONCAT(v, '!'), k = k WHERE k < 100;",
+    )
+    assert stats["files_rewritten"] == 1 and stats["files_shared"] == 3
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[5] == "v5!" and got[350] == "v350" and len(got) == 400
+    # WHERE omitted -> every row (Delta semantics)
+    update_table(spark, f"UPDATE versioned.`{path}` SET v = 'x'")
+    vals = set(r.v for r in versioned.read_version(spark, path).collect())
+    assert vals == {"x"}
+
+
+def test_update_rejects_bad_shapes(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import (
+        _split_assignments,
+        delete_from,
+        update_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, 10, 1), path)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        update_table(
+            spark, f"UPDATE versioned.`{path}` SET nope = 1 WHERE k = 1"
+        )
+    with pytest.raises(ValueError, match="assigned twice"):
+        update_table(
+            spark, f"UPDATE versioned.`{path}` SET v = 'a', v = 'b'"
+        )
+    with pytest.raises(ValueError, match="expected UPDATE"):
+        update_table(spark, "UPDATE elsewhere SET v = 1")
+    with pytest.raises(ValueError, match="expected DELETE"):
+        delete_from(spark, "DELETE FROM other WHERE 1=1")
+    # top-level comma split respects parens and quoted strings
+    assert _split_assignments(
+        "a = greatest(1, 2), b = 'x,y', c = a + 1"
+    ) == {"a": "greatest(1, 2)", "b": "'x,y'", "c": "a + 1"}

@@ -321,3 +321,43 @@ def test_fixed_width_overflow_raises(spark, tmp_path):
     df = spark.createDataFrame([("toolongvalue",)], "s STRING")
     with pytest.raises(Exception, match="fixed-width overflow"):
         write_fixed_width(df, str(tmp_path / "fw"), [("s", 4)])
+
+
+def test_xml_round_trip(spark, tmp_path, docs):
+    """XML source/sink (built into Spark 4 — no external jar): flat
+    round-trip with a pinned schema, plus the reference's NESTED shape
+    (players.white.user.name, etl/transform.py:60-75) through nested
+    elements and a repeated-element array."""
+    path = str(tmp_path / "rt_xml")
+    sub = docs.select("doc_id", "lang", "n_chars")
+    sinks.write_xml(sub, path)
+    back = sinks.read_xml(
+        spark, path, schema="doc_id LONG, lang STRING, n_chars LONG"
+    )
+    assert back.count() == sub.count()
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in sub.collect()
+    )
+
+    nested = spark.sql("""
+        SELECT id AS game_id,
+               named_struct('white', named_struct(
+                   'user', named_struct('name', concat('p', id)),
+                   'rating', CAST(1500 + id AS INT)
+               )) AS players,
+               array(concat('e', id), 'e4') AS moves
+        FROM range(20)
+    """)
+    npath = str(tmp_path / "rt_xml_nested")
+    sinks.write_xml(nested, npath, row_tag="game", root_tag="games")
+    nback = sinks.read_xml(
+        spark, npath, row_tag="game",
+        schema=("game_id LONG, players STRUCT<white: STRUCT<"
+                "user: STRUCT<name: STRING>, rating: INT>>, "
+                "moves ARRAY<STRING>"),
+    )
+    got = {r.game_id: (r.players.white.user.name, r.players.white.rating,
+                       list(r.moves))
+           for r in nback.collect()}
+    assert got[7] == ("p7", 1507, ["e7", "e4"])
+    assert len(got) == 20
