@@ -2608,3 +2608,51 @@ ORACLES["temporal_scd2_join"] = """
            CAST(MAX(version) AS BIGINT) AS max_version
     FROM joined GROUP BY 1
 """
+
+
+# -------------------------------------- recursive CTE (Spark 4 surface)
+#
+# WITH RECURSIVE hierarchy rollup — the org-chart/bill-of-materials
+# query class that needs true recursion (depth is data-dependent, so
+# no fixed number of self-joins expresses it). Spark gained recursive
+# CTEs in 4.0; this runs one THROUGH spark.sql against a supplier
+# hierarchy derived arithmetically on both engines (parent = suppkey
+# DIV 10 — a 10-ary tree over the real supplier table; suppkeys are
+# 0-based, so the `>= 10` guard keeps node 0 from being its own child
+# and the recursion provably terminates at depth ceil(log10(n))).
+# Each iteration is one broadcast-able join of the frontier against
+# supplier; the frontier is O(level width), never the cumulative tree,
+# so the 100 TB shape is sound: Spark's UnionLoopExec feeds ONLY the
+# previous step's rows to the next join. Money lands on the exact
+# cents grid (BIGINT) per the engine-robustness lint.
+_SQL_RECURSIVE_SUPPLIER_TREE_SPARK = """
+    WITH RECURSIVE tree(root, k, depth, bal_cents) AS (
+        SELECT s_suppkey, s_suppkey, 0,
+               CAST(ROUND(s_acctbal * 100) AS BIGINT)
+        FROM supplier WHERE s_suppkey <= 9
+        UNION ALL
+        SELECT t.root, s.s_suppkey, t.depth + 1,
+               CAST(ROUND(s.s_acctbal * 100) AS BIGINT)
+        FROM tree t JOIN supplier s
+          ON s.s_suppkey DIV 10 = t.k AND s.s_suppkey >= 10
+    )
+    SELECT CAST(root AS BIGINT) AS root,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(bal_cents) AS BIGINT) AS subtree_bal_cents,
+           CAST(MAX(depth) AS BIGINT) AS max_depth
+    FROM tree GROUP BY root
+"""
+
+
+def sql_recursive_supplier_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE_SUPPLIER_TREE_SPARK)
+
+
+QUERIES["sql_recursive_supplier_tree"] = sql_recursive_supplier_tree
+# identical text modulo integer-division spelling (Spark DIV, DuckDB //)
+ORACLES["sql_recursive_supplier_tree"] = (
+    _SQL_RECURSIVE_SUPPLIER_TREE_SPARK.replace("DIV", "//")
+)
