@@ -2679,3 +2679,64 @@ ORACLES["emb_nprobe_sweep"] = f"""
                 * 1000000 // count(*) AS BIGINT) AS recall_ppm
     FROM g CROSS JOIN vis v GROUP BY g.nprobe
 """
+
+
+# ------------------------------ ANN recall evaluation (LSH vs exact)
+#
+# The evaluation harness every ANN deployment needs IN the engine, not
+# offline: per query, how much of the exact top-3 does the multi-probe
+# LSH shortlist recover? Composes the two registered operators — the
+# brute-force top-k truth and the LSH candidate list — with one
+# left-semi hit-join and a per-query count. RECALL.md measures this
+# offline for tuning; this entry makes the measurement itself an
+# oracle-gated, rerunnable query (the loop a production pipeline runs
+# after re-hashing or re-bucketing a refreshed corpus). recall_ppm is
+# non-negative integer math (hits * 1e6 DIV 3), so the DIV↔// floor
+# vs trunc divergence on negatives can't bite.
+def emb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = (
+        emb_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id")
+    )
+    cand = emb_lsh_ann(spark, sf_dir).select("q_id", "c_id")
+    hits = (
+        truth.join(cand, ["q_id", "c_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_hits"))
+    )
+    return (
+        truth.select("q_id").distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.expr("CAST(COALESCE(n_hits, 0) AS BIGINT)").alias("n_hits"),
+            F.expr(
+                "CAST(COALESCE(n_hits, 0) * 1000000 DIV 3 AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+QUERIES["emb_lsh_recall_eval"] = emb_lsh_recall_eval
+
+# The oracle IS the composition of the two component oracles (nested
+# CTE bodies), so the truth and candidate definitions can never drift
+# from the entries they evaluate.
+ORACLES["emb_lsh_recall_eval"] = f"""
+    WITH bf_all AS ({ORACLES["emb_cosine_topk"]}),
+    ann AS ({ORACLES["emb_lsh_ann"]}),
+    truth AS (SELECT q_id, c_id FROM bf_all WHERE rank <= 3),
+    hits AS (
+        SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM truth t SEMI JOIN ann a
+          ON t.q_id = a.q_id AND t.c_id = a.c_id
+        GROUP BY t.q_id
+    )
+    SELECT q.q_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) * 1000000 // 3 AS BIGINT)
+               AS recall_ppm
+    FROM (SELECT DISTINCT q_id FROM truth) q
+    LEFT JOIN hits h ON q.q_id = h.q_id
+"""

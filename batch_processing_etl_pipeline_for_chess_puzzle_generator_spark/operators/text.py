@@ -2271,3 +2271,70 @@ ORACLES["doc_redact_patterns"] = f"""
            CAST(SUM(chars_redacted) AS BIGINT) AS chars_redacted
     FROM long GROUP BY source, pattern
 """
+
+
+# ------------------------------- hashed linear classifier (fasttext shape)
+#
+# Quality/domain classifiers in production data pipelines (fasttext,
+# DSIR-style importance models) are linear models over HASHED token
+# features: no vocabulary table ships to executors at all — the
+# feature index IS the hash, so scoring is a row-local fold over the
+# token list, zero shuffle, zero broadcast. The 100 TB shape is
+# scan-bandwidth-bound like every per-doc pass. Here the weight table
+# is a deterministic function of the bucket hash ((h % 2001) - 1000
+# centi-units — a stand-in for trained weights with the same plumbing);
+# swapping in real weights means one broadcast map lookup instead of
+# the modular expression, same plan. All-integer outputs; the class
+# decision is a sign test, so no negative integer division anywhere
+# (Spark DIV truncates toward zero, DuckDB // floors — they disagree
+# on negatives, so the lint-clean formulation avoids dividing).
+def doc_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = SPARK_HASH_SQL("w")
+    weight = f"(({h} % 2001) - 1000)"
+    return (
+        docs.select(
+            "lang",
+            "source",
+            F.expr(f"CAST(size({_WORDS}) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                f"aggregate({_WORDS}, CAST(0 AS BIGINT), "
+                f"(acc, w) -> acc + {weight})"
+            ).alias("w_centi"),
+        )
+        .withColumn(
+            "predicted",
+            F.expr("CASE WHEN w_centi >= 0 THEN 'keep' ELSE 'drop' END"),
+        )
+        .groupBy("lang", "predicted")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("sum_tokens"),
+            F.expr("CAST(SUM(w_centi) AS BIGINT)").alias("sum_weight_centi"),
+            F.expr(
+                "CAST(COUNT(DISTINCT source) AS BIGINT)"
+            ).alias("n_sources"),
+        )
+    )
+
+
+QUERIES["doc_hash_classifier"] = doc_hash_classifier
+
+_CLS_DH = STABLE_HASH_SQL("w")
+
+ORACLES["doc_hash_classifier"] = f"""
+    WITH scored AS (
+        SELECT lang, source,
+               CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform({_WORDS_DUCK},
+                    w -> (({_CLS_DH} % 2001) - 1000))) AS BIGINT) AS w_centi
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN w_centi >= 0 THEN 'keep' ELSE 'drop' END AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(w_centi) AS BIGINT) AS sum_weight_centi,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM scored GROUP BY 1, 2
+"""
