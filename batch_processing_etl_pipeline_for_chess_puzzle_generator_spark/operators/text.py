@@ -2338,3 +2338,132 @@ ORACLES["doc_hash_classifier"] = f"""
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
     FROM scored GROUP BY 1, 2
 """
+
+
+# ------------------------------------------ distributed BPE trainer
+#
+# True byte-pair-encoding TRAINING (doc_bpe_pair_counts is one round
+# of pair statistics; this runs the full greedy loop): K rounds of
+# (count adjacent symbol pairs weighted by word frequency) → (merge
+# the argmax pair everywhere, greedy left-to-right). The working set
+# after the first shuffle is the DISTINCT-WORD frequency table — the
+# classic trainer trick that makes corpus size irrelevant (100 TB of
+# text with a 10M-word vocab trains on 10M rows; each round is one
+# map-side-combined agg + a row-local fold). The only driver traffic
+# is ONE (pair, freq) scalar per round — the same O(rounds) pattern
+# as doc_pagerank's convergence probe. The greedy fold needs no
+# "just-merged" flag: a merged token equals the pair's LEFT symbol
+# only if the right symbol were empty, so a plain last-element check
+# is exactly greedy semantics (property-tested in tests).
+#
+# Determinism: pair frequencies are exact BIGINTs; the argmax
+# tiebreak is (freq DESC, left ASC, right ASC); the oracle replays
+# the identical K rounds as generated CTE blocks, so both engines
+# walk the same merge path or the value hash fails.
+_BPE_ROUNDS = 6
+
+_BPE_CHARS = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+_BPE_CHARS_DUCK = "list_transform(range(1, length(w) + 1), i -> w[i])"
+
+
+def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(_WORDS)).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.expr(_BPE_CHARS).alias("syms"), "freq")
+    )
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        best = (
+            words.filter(F.expr("size(syms) >= 2"))
+            .select(
+                "freq",
+                F.expr(
+                    "explode(transform(sequence(1, size(syms) - 1), "
+                    "j -> struct(element_at(syms, CAST(j AS INT)) AS l, "
+                    "element_at(syms, CAST(j + 1 AS INT)) AS r)))"
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("f"))
+            .orderBy(F.col("f").desc(), "l", "r")
+            .first()
+        )
+        if best is None:
+            break
+        l, r = best["l"], best["r"]
+        merges.append((rnd, l, r, l + r, int(best["f"])))
+        le, re = l.replace("'", "\\'"), r.replace("'", "\\'")
+        me = (l + r).replace("'", "\\'")
+        words = words.select(
+            F.expr(
+                "aggregate(syms, CAST(array() AS ARRAY<STRING>), "
+                "(acc, x) -> CASE WHEN try_element_at(acc, -1) = "
+                f"'{le}' AND x = '{re}' THEN "
+                "concat(slice(acc, 1, size(acc) - 1), "
+                f"array('{me}')) ELSE concat(acc, array(x)) END)"
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=True)  # truncate the per-round lineage
+    schema = T.StructType([
+        T.StructField("round", T.LongType()),
+        T.StructField("left_sym", T.StringType()),
+        T.StructField("right_sym", T.StringType()),
+        T.StructField("merged", T.StringType()),
+        T.StructField("pair_freq", T.LongType()),
+    ])
+    return spark.createDataFrame(merges, schema)
+
+
+QUERIES["doc_bpe_train"] = doc_bpe_train
+
+
+def _bpe_oracle(rounds: int) -> str:
+    ctes = [f"""
+    r0_words AS (
+        SELECT {_BPE_CHARS_DUCK} AS syms, freq FROM (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                SELECT unnest({_WORDS_DUCK}) AS w FROM documents
+            ) GROUP BY w
+        )
+    )"""]
+    finals = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(f"""
+    r{i}_pairs AS (
+        SELECT pr.l AS l, pr.r AS r, CAST(SUM(freq) AS BIGINT) AS f
+        FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(syms)),
+                          j -> {{'l': syms[j], 'r': syms[j + 1]}})) AS pr
+            FROM r{p}_words WHERE len(syms) >= 2
+        ) GROUP BY 1, 2
+    )""")
+        ctes.append(f"""
+    r{i}_best AS (
+        SELECT l, r, f FROM r{i}_pairs ORDER BY f DESC, l, r LIMIT 1
+    )""")
+        ctes.append(f"""
+    r{i}_words AS (
+        SELECT list_reduce(
+                   list_transform(w.syms, s -> [s]),
+                   (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                               THEN list_concat(acc[1:-2], [b.l || b.r])
+                               ELSE list_concat(acc, x) END) AS syms,
+               w.freq
+        FROM r{p}_words w CROSS JOIN r{i}_best b
+    )""")
+        finals.append(
+            f"SELECT CAST({i} AS BIGINT) AS round, l AS left_sym, "
+            f"r AS right_sym, l || r AS merged, f AS pair_freq "
+            f"FROM r{i}_best"
+        )
+    return ("WITH " + ",".join(ctes) + "\n    "
+            + "\n    UNION ALL ".join(finals))
+
+
+ORACLES["doc_bpe_train"] = _bpe_oracle(_BPE_ROUNDS)

@@ -472,3 +472,44 @@ def test_rank_selection_formulas_are_valid_rows(vals):
     n = len(vals)
     for f in ((n + 1) // 2, (95 * n + 99) // 100, (99 * n + 99) // 100):
         assert 1 <= f <= n
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "c", "ab", "bc"]),
+                  min_size=1, max_size=12),
+    pair=st.tuples(st.sampled_from(["a", "b", "c", "ab"]),
+                   st.sampled_from(["a", "b", "c", "bc"])),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_fold_equals_greedy_scan(syms, pair):
+    """doc_bpe_train's merge fold (text.py) claims a plain
+    last-element check IS greedy left-to-right BPE merging — no
+    'just-merged' flag needed, because a merged token can only equal
+    the pair's left symbol if the right symbol were empty. Verify the
+    fold against an index-walking greedy reference on arbitrary
+    symbol sequences, including multi-char symbols and overlapping
+    pairs (aaa + (a,a) → [aa, a])."""
+    a, b = pair
+    merged = a + b
+
+    def greedy(s):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    def fold(s):
+        acc = []
+        for x in s:
+            if acc and acc[-1] == a and x == b:
+                acc[-1] = merged
+            else:
+                acc.append(x)
+        return acc
+
+    assert fold(syms) == greedy(syms)
