@@ -60,6 +60,39 @@ _VIEWS_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
 )
 
 
+# SQL-defined functions (Spark 4 CREATE FUNCTION … RETURN): the
+# engine-portable way to ship reusable business logic to SQL-surface
+# users — the body is a plain SQL expression Catalyst inlines into the
+# calling plan (whole-stage codegen keeps running; nothing here is a
+# Python UDF). These are the house conventions the operators use
+# everywhere, exposed to ad-hoc SQL:
+#   cents(x)         — money onto the exact BIGINT cents grid
+#   share_ppm(n, d)  — non-negative integer share in parts-per-million
+#                      (NULL when d = 0), the lint-safe ratio grid
+#   stable_hash(s)   — the 60-bit md5 content hash of hashing.py
+#   ws_tokens(s)     — table function: whitespace tokens of s
+_SQL_FUNCTIONS = (
+    """CREATE OR REPLACE TEMPORARY FUNCTION cents(x DOUBLE)
+       RETURNS BIGINT RETURN CAST(ROUND(x * 100) AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION share_ppm(n BIGINT, d BIGINT)
+       RETURNS BIGINT RETURN
+       CASE WHEN d = 0 THEN NULL ELSE n * 1000000 DIV d END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION stable_hash(s STRING)
+       RETURNS BIGINT RETURN
+       CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION ws_tokens(s STRING)
+       RETURNS TABLE(w STRING) RETURN SELECT explode(split(s, ' '))""",
+)
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register the house SQL-function library (idempotent — CREATE OR
+    REPLACE). Session-scoped like the temp views; a cluster deployment
+    would CREATE FUNCTION them once into the metastore instead."""
+    for stmt in _SQL_FUNCTIONS:
+        spark.sql(stmt)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view for spark.sql queries
     (idempotent per session + sf_dir). The short-circuit re-verifies

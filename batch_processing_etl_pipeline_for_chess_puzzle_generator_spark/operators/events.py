@@ -3122,3 +3122,52 @@ ORACLES["ev_conformance"] = f"""
     FROM trans WHERE prev_type IS NOT NULL
     GROUP BY prev_type, next_type
 """
+
+
+# --------------------------------- VARIANT semi-structured extraction
+#
+# Spark 4's VARIANT type is the at-scale answer to JSON property
+# columns: parse_json once into the binary variant encoding, then
+# variant_get path extraction — an order of magnitude cheaper than
+# re-parsing the JSON string per accessed field, and the storage shape
+# the open-format warehouses (Delta/Iceberg v3) are standardizing on.
+# ev_json_props keeps the classic get_json_object string path; this is
+# its VARIANT twin over the same events.props column, rolled up as a
+# per-(event_type, k-decade) histogram. k is non-negative in this
+# corpus, so the decade bucket's integer division is DIV↔//-safe.
+def ev_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.expr(
+                "variant_get(parse_json(props), '$.k', 'long')"
+            ).alias("k"),
+        )
+        .groupBy(
+            "event_type",
+            F.expr("CAST(k DIV 10 AS BIGINT)").alias("k_decade"),
+        )
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_events"),
+            F.expr("CAST(SUM(k) AS BIGINT)").alias("sum_k"),
+            F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").alias(
+                "n_users"
+            ),
+        )
+    )
+
+
+QUERIES["ev_props_variant"] = ev_props_variant
+ORACLES["ev_props_variant"] = """
+    SELECT event_type,
+           CAST(k // 10 AS BIGINT) AS k_decade,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (SELECT event_type, user_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY 1, 2
+"""

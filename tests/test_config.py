@@ -77,3 +77,47 @@ def test_register_views_scoped_per_session(spark, monkeypatch):
     n_before = len(calls)
     catalog.register_views(sibling, SF_SMALL)
     assert len(calls) == n_before, "repeat call must short-circuit"
+
+
+def test_sql_function_library(spark):
+    """Spark 4 SQL-defined functions (CREATE FUNCTION ... RETURN):
+    scalar cents/share_ppm/stable_hash plus the ws_tokens table
+    function, registered by catalog.register_sql_functions and
+    inlined by Catalyst (SQL bodies, no Python UDF). Each is checked
+    against the expression it wraps on real testdata."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import (
+        register_sql_functions,
+        register_views,
+    )
+
+    register_sql_functions(spark)
+    register_views(spark, "/root/testdata/sf0.001")
+
+    got = spark.sql("""
+        SELECT cents(o_totalprice) AS c,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c_ref,
+               stable_hash(o_orderstatus) AS h,
+               CAST(CONV(SUBSTRING(MD5(o_orderstatus), 1, 15), 16, 10)
+                    AS BIGINT) AS h_ref
+        FROM orders LIMIT 200
+    """).collect()
+    assert got and all(r.c == r.c_ref and r.h == r.h_ref for r in got)
+
+    r = spark.sql(
+        "SELECT share_ppm(1, 4) AS a, share_ppm(5, 0) AS b"
+    ).first()
+    assert r.a == 250000 and r.b is None
+
+    toks = spark.sql("SELECT * FROM ws_tokens('spark sql udf')").collect()
+    assert [t.w for t in toks] == ["spark", "sql", "udf"]
+
+    # registration is idempotent (CREATE OR REPLACE)
+    register_sql_functions(spark)
+    assert spark.sql("SELECT cents(1.5) AS c").first().c == 150
+
+    # the scalar body INLINES into the calling plan: no python worker,
+    # no BatchEvalPython node
+    plan = spark.sql(
+        "SELECT cents(o_totalprice) FROM orders"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
