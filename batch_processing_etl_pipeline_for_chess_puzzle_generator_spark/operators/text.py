@@ -2366,17 +2366,22 @@ _BPE_CHARS = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
 _BPE_CHARS_DUCK = "list_transform(range(1, length(w) + 1), i -> w[i])"
 
 
-def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import types as T
-
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, freq, syms) distinct-word table — the trainer working set."""
     docs = table(spark, sf_dir, "documents")
-    words = (
+    return (
         docs.select(F.explode(F.expr(_WORDS)).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.expr(_BPE_CHARS).alias("syms"), "freq")
+        .select("w", F.expr(_BPE_CHARS).alias("syms"), "freq")
     )
+
+
+def _bpe_run_rounds(words: DataFrame, rounds: int):
+    """The greedy training loop shared by doc_bpe_train (which reports
+    the merge table) and doc_bpe_encode (which uses the final symbol
+    lists). Returns (fully-merged words, merge list)."""
     merges = []
-    for rnd in range(1, _BPE_ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         best = (
             words.filter(F.expr("size(syms) >= 2"))
             .select(
@@ -2399,6 +2404,7 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         le, re = l.replace("'", "\\'"), r.replace("'", "\\'")
         me = (l + r).replace("'", "\\'")
         words = words.select(
+            "w",
             F.expr(
                 "aggregate(syms, CAST(array() AS ARRAY<STRING>), "
                 "(acc, x) -> CASE WHEN try_element_at(acc, -1) = "
@@ -2408,6 +2414,13 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("syms"),
             "freq",
         ).localCheckpoint(eager=True)  # truncate the per-round lineage
+    return words, merges
+
+
+def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    _, merges = _bpe_run_rounds(_bpe_vocab(spark, sf_dir), _BPE_ROUNDS)
     schema = T.StructType([
         T.StructField("round", T.LongType()),
         T.StructField("left_sym", T.StringType()),
@@ -2424,7 +2437,7 @@ QUERIES["doc_bpe_train"] = doc_bpe_train
 def _bpe_oracle(rounds: int) -> str:
     ctes = [f"""
     r0_words AS (
-        SELECT {_BPE_CHARS_DUCK} AS syms, freq FROM (
+        SELECT w, {_BPE_CHARS_DUCK} AS syms, freq FROM (
             SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
                 SELECT unnest({_WORDS_DUCK}) AS w FROM documents
             ) GROUP BY w
@@ -2449,7 +2462,8 @@ def _bpe_oracle(rounds: int) -> str:
     )""")
         ctes.append(f"""
     r{i}_words AS (
-        SELECT list_reduce(
+        SELECT w.w,
+               list_reduce(
                    list_transform(w.syms, s -> [s]),
                    (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
                                THEN list_concat(acc[1:-2], [b.l || b.r])
@@ -2467,3 +2481,50 @@ def _bpe_oracle(rounds: int) -> str:
 
 
 ORACLES["doc_bpe_train"] = _bpe_oracle(_BPE_ROUNDS)
+
+
+# BPE ENCODE — the trainer's sibling: apply the learned merges to the
+# corpus and report the token economics per language. The encode join
+# is corpus-side words → fully-merged vocabulary (tiny here, so it
+# broadcasts; at a 10M-word vocab it's a plain shuffled equi-join —
+# either way the per-word encode work happened ONCE per DISTINCT word
+# in the trainer, never per occurrence, which is the whole point).
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    final_words, _ = _bpe_run_rounds(_bpe_vocab(spark, sf_dir), _BPE_ROUNDS)
+    vocab = final_words.select(
+        "w", F.expr("CAST(size(syms) AS BIGINT)").alias("n_bpe")
+    )
+    corpus = docs.select("lang", F.explode(F.expr(_WORDS)).alias("w"))
+    return (
+        corpus.join(F.broadcast(vocab), "w")
+        .groupBy("lang")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_words"),
+            F.expr("CAST(SUM(length(w)) AS BIGINT)").alias("n_chars"),
+            F.expr("CAST(SUM(n_bpe) AS BIGINT)").alias("n_bpe_tokens"),
+        )
+    )
+
+
+QUERIES["doc_bpe_encode"] = doc_bpe_encode
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    chain = ORACLES["doc_bpe_train"]
+    # reuse the train oracle's CTE chain verbatim, swap the final select
+    chain = chain[: chain.index("\n    SELECT CAST(1 AS BIGINT)")]
+    return chain + f"""
+    , enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_bpe
+              FROM r{rounds}_words),
+    corpus AS (SELECT lang, unnest({_WORDS_DUCK}) AS w FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+    FROM corpus JOIN enc USING (w)
+    GROUP BY lang
+"""
+
+
+ORACLES["doc_bpe_encode"] = _bpe_encode_oracle(_BPE_ROUNDS)
