@@ -397,3 +397,77 @@ def create_table_as(spark: SparkSession, statement: str) -> int:
             "history (use MERGE INTO or INSERT INTO)"
         )
     return versioned.write_version(spark.sql(m["q"]), m["path"])
+
+
+# ------------------------------------------- unified statement router
+_VERSIONED_REF_RE = re.compile(
+    r"versioned\.`(?P<path>[^`]+)`"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_versioned_refs(spark: SparkSession, statement: str) -> str:
+    """Replace every ``versioned.`/p` [VERSION AS OF n]`` reference in
+    a SELECT with a temp view over the resolved snapshot, so the FULL
+    spark.sql surface (CTEs, joins — including a self-join of two
+    versions of the same table, the ad-hoc diff pattern) works over
+    versioned tables."""
+    import hashlib
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    def _sub(m: re.Match) -> str:
+        path = m["path"]
+        v = int(m["v"]) if m["v"] else None
+        name = "__versioned_" + hashlib.md5(
+            f"{path}@{v}".encode()
+        ).hexdigest()[:12]
+        versioned.read_version(spark, path, v).createOrReplaceTempView(name)
+        return name
+
+    return _VERSIONED_REF_RE.sub(_sub, statement)
+
+
+def sql(spark: SparkSession, statement: str):
+    """One entry point for the whole versioned-table SQL surface —
+    routes on the leading keyword:
+
+    - ``MERGE INTO`` → :func:`merge_into`
+    - ``DELETE FROM`` → :func:`delete_from`
+    - ``UPDATE`` → :func:`update_table`
+    - ``INSERT INTO`` → :func:`insert_into`
+    - ``CREATE TABLE … AS`` → :func:`create_table_as`
+    - ``RESTORE`` / ``VACUUM`` / ``OPTIMIZE`` / ``DESCRIBE HISTORY`` →
+      :func:`maintenance_sql`
+    - ``SELECT`` / ``WITH`` → versioned references (with optional
+      ``VERSION AS OF n`` time travel) are resolved to snapshot views,
+      then the statement runs through ``spark.sql`` verbatim —
+      returning a DataFrame with the full SELECT surface.
+
+    Statements against non-versioned tables pass through untouched
+    (a SELECT with no ``versioned.`` reference is just ``spark.sql``).
+    """
+    kw = statement.lstrip().split(None, 1)
+    if not kw:
+        raise ValueError("empty statement")
+    head = kw[0].upper()
+    if head == "MERGE":
+        return merge_into(spark, statement)
+    if head == "DELETE":
+        return delete_from(spark, statement)
+    if head == "UPDATE":
+        return update_table(spark, statement)
+    if head == "INSERT":
+        return insert_into(spark, statement)
+    if head == "CREATE":
+        return create_table_as(spark, statement)
+    if head in ("RESTORE", "VACUUM", "OPTIMIZE", "DESCRIBE"):
+        return maintenance_sql(spark, statement)
+    if head in ("SELECT", "WITH"):
+        return spark.sql(_rewrite_versioned_refs(spark, statement))
+    raise ValueError(
+        f"unsupported statement keyword {head!r} — supported: MERGE, "
+        "DELETE, UPDATE, INSERT, CREATE, RESTORE, VACUUM, OPTIMIZE, "
+        "DESCRIBE, SELECT, WITH"
+    )

@@ -2656,3 +2656,35 @@ QUERIES["sql_recursive_supplier_tree"] = sql_recursive_supplier_tree
 ORACLES["sql_recursive_supplier_tree"] = (
     _SQL_RECURSIVE_SUPPLIER_TREE_SPARK.replace("DIV", "//")
 )
+
+
+# ----------------------------------- LATERAL correlated subquery (SQL)
+#
+# The LATERAL join surface — "for each outer row, run this correlated
+# subquery" — is how SQL users write per-group top-k without window
+# functions. Catalyst decorrelates it (DecorrelateInnerQuery) into a
+# ranked join rather than executing the subquery per row, so the plan
+# is the same shuffle-once shape as the window formulation; the entry
+# pins that rewrite. The statement text is fully engine-portable and
+# IS the oracle, like sql_revenue_by_region. Money is exposed on the
+# exact BIGINT cents grid; ORDER BY ties break on c_name.
+_SQL_LATERAL_TOPK = """
+    SELECT n.n_name, c.c_name, c.bal_cents
+    FROM nation n,
+    LATERAL (
+        SELECT c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer WHERE c_nationkey = n.n_nationkey
+        ORDER BY bal_cents DESC, c_name LIMIT 2
+    ) c
+"""
+
+
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOPK)
+
+
+QUERIES["sql_lateral_topk"] = sql_lateral_topk
+ORACLES["sql_lateral_topk"] = _SQL_LATERAL_TOPK

@@ -409,3 +409,51 @@ def test_update_rejects_bad_shapes(spark, tmp_path):
     assert _split_assignments(
         "a = greatest(1, 2), b = 'x,y', c = a + 1"
     ) == {"a": "greatest(1, 2)", "b": "'x,y'", "c": "a + 1"}
+
+
+def test_unified_sql_router_end_to_end(spark, tmp_path):
+    """pkg.merge_sql.sql() routes every statement class, and SELECT
+    gains time travel: versioned refs (VERSION AS OF n) resolve to
+    snapshot views, including a self-join of two versions of the same
+    table — the ad-hoc diff every warehouse user eventually writes."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    try:
+        spark.dataSource.register(VersionedDataSource)
+    except Exception:
+        pass
+    path = str(tmp_path / "tbl")
+    sql(spark, f"CREATE TABLE versioned.`{path}` AS "
+               "SELECT id AS k, CAST(id * 10 AS BIGINT) AS v FROM range(50)")
+    sql(spark, f"INSERT INTO versioned.`{path}` "
+               "SELECT id AS k, CAST(id * 10 AS BIGINT) AS v "
+               "FROM range(50, 60)")
+    sql(spark, f"UPDATE versioned.`{path}` SET v = v + 1 WHERE k < 5")
+    sql(spark, f"DELETE FROM versioned.`{path}` WHERE k >= 55")
+    assert versioned.versions(path) == [0, 1, 2, 3]
+
+    cur = sql(spark, f"SELECT COUNT(*) AS n, SUM(v) AS s "
+                     f"FROM versioned.`{path}`").first()
+    assert cur.n == 55 and cur.s == sum(i * 10 for i in range(55)) + 5
+
+    # time-travel self-join: what changed between v0 and latest?
+    diff = sql(spark, f"""
+        SELECT a.k, a.v AS v0, b.v AS v_now
+        FROM versioned.`{path}` VERSION AS OF 0 a
+        JOIN versioned.`{path}` b ON a.k = b.k
+        WHERE a.v <> b.v
+    """).collect()
+    assert sorted((r.k, r.v0, r.v_now) for r in diff) == [
+        (i, i * 10, i * 10 + 1) for i in range(5)
+    ]
+
+    hist = sql(spark, f"DESCRIBE HISTORY versioned.`{path}`")
+    assert hist.count() == 4
+
+    with pytest.raises(ValueError, match="unsupported statement keyword"):
+        sql(spark, "TRUNCATE TABLE versioned.`/x`")
+    # plain SELECT with no versioned ref passes straight through
+    assert sql(spark, "SELECT 1 AS one").first().one == 1
