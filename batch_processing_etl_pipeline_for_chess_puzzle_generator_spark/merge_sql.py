@@ -99,7 +99,7 @@ def merge_into(spark: SparkSession, statement: str,
 
     source = m.group("source")
     if source.startswith("("):
-        changes = spark.sql(source[1:-1])
+        changes = spark.sql(_rewrite_versioned_refs(spark, source[1:-1]))
     else:
         changes = spark.table(source)
 
@@ -288,7 +288,8 @@ def insert_into(spark: SparkSession, statement: str) -> None:
             "expected INSERT INTO versioned.`/path` <select...>; got: "
             f"{statement!r}"
         )
-    (spark.sql(m["q"]).write.format("versioned").mode("append")
+    body = _rewrite_versioned_refs(spark, m["q"])
+    (spark.sql(body).write.format("versioned").mode("append")
      .option("path", m["path"]).save())
 
 
@@ -299,10 +300,36 @@ _DELETE_FROM_RE = re.compile(
 )
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+versioned\.`(?P<path>[^`]+)`"
-    r"\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    r"\s+SET\s+(?P<tail>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _toplevel_find(text: str, word: str) -> int:
+    """Index of the first whitespace-delimited ``word`` (upper-case)
+    at paren depth 0 and outside single-quoted strings, else -1. A
+    WHERE inside a subquery or a string literal is NOT the statement's
+    WHERE — a lazy regex split gets that wrong."""
+    depth, i, n, wl = 0, 0, len(text), len(word)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            i += 1
+            while i < n and text[i] != "'":
+                i += 2 if text[i] == "\\" else 1
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i:i + wl].upper() == word:
+            before_ok = i == 0 or text[i - 1].isspace()
+            after = text[i + wl:i + wl + 1]
+            if before_ok and (after == "" or after.isspace()):
+                return i
+        i += 1
+    return -1
 
 
 def _split_assignments(sets: str) -> dict[str, str]:
@@ -310,11 +337,15 @@ def _split_assignments(sets: str) -> dict[str, str]:
     parens or single-quoted strings belong to the expression), then
     each piece on its first ``=``. Duplicate targets raise — SQL
     forbids assigning one column twice in an UPDATE."""
-    parts, depth, quote, buf = [], 0, False, []
+    parts, depth, quote, esc, buf = [], 0, False, False, []
     for ch in sets:
         if quote:
             buf.append(ch)
-            if ch == "'":
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == "'":
                 quote = False
             continue
         if ch == "'":
@@ -373,9 +404,12 @@ def update_table(spark: SparkSession, statement: str) -> dict:
             "expected UPDATE versioned.`/path` SET col = expr[, ...] "
             f"[WHERE <pred>]; got: {statement!r}"
         )
+    tail = m["tail"]
+    idx = _toplevel_find(tail, "WHERE")
+    sets = tail if idx < 0 else tail[:idx]
+    pred = "true" if idx < 0 else tail[idx + len("WHERE"):].strip()
     return versioned.update_where(
-        spark, m["path"], _split_assignments(m["sets"]),
-        m["pred"] or "true",
+        spark, m["path"], _split_assignments(sets.strip()), pred,
     )
 
 
@@ -396,7 +430,9 @@ def create_table_as(spark: SparkSession, statement: str) -> int:
             f"table already exists at {m['path']} — CTAS never clobbers "
             "history (use MERGE INTO or INSERT INTO)"
         )
-    return versioned.write_version(spark.sql(m["q"]), m["path"])
+    return versioned.write_version(
+        spark.sql(_rewrite_versioned_refs(spark, m["q"])), m["path"]
+    )
 
 
 # ------------------------------------------- unified statement router
@@ -426,7 +462,27 @@ def _rewrite_versioned_refs(spark: SparkSession, statement: str) -> str:
         versioned.read_version(spark, path, v).createOrReplaceTempView(name)
         return name
 
-    return _VERSIONED_REF_RE.sub(_sub, statement)
+    # Substitute only OUTSIDE single-quoted string literals: a literal
+    # that happens to contain "versioned.`...`" is data, not a table
+    # reference. Segments alternate unquoted/quoted; escaped quotes
+    # (\' and '') stay inside the literal.
+    out, i, n, seg = [], 0, len(statement), []
+    while i < n:
+        ch = statement[i]
+        if ch == "'":
+            out.append(_VERSIONED_REF_RE.sub(_sub, "".join(seg)))
+            seg = []
+            j = i + 1
+            while j < n and statement[j] != "'":
+                j += 2 if statement[j] == "\\" else 1
+            j = min(j + 1, n)
+            out.append(statement[i:j])
+            i = j
+            continue
+        seg.append(ch)
+        i += 1
+    out.append(_VERSIONED_REF_RE.sub(_sub, "".join(seg)))
+    return "".join(out)
 
 
 def sql(spark: SparkSession, statement: str):
@@ -445,8 +501,11 @@ def sql(spark: SparkSession, statement: str):
       then the statement runs through ``spark.sql`` verbatim —
       returning a DataFrame with the full SELECT surface.
 
-    Statements against non-versioned tables pass through untouched
-    (a SELECT with no ``versioned.`` reference is just ``spark.sql``).
+    Only SELECT/WITH pass through for non-versioned tables (a SELECT
+    with no ``versioned.`` reference is exactly ``spark.sql``); the
+    DML/DDL/maintenance routes require a ``versioned.`` target and
+    raise ValueError otherwise — this router is the versioned-table
+    surface, not a general spark.sql wrapper.
     """
     kw = statement.lstrip().split(None, 1)
     if not kw:

@@ -2705,8 +2705,12 @@ def emb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id")
         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_hits"))
     )
+    # q_id universe from the query split directly (O(#queries)) — via
+    # truth.distinct() the corpus-wide brute-force plan would run a
+    # SECOND time inside the same action just to enumerate 10 ids.
+    q, _ = _split(spark, sf_dir)
     return (
-        truth.select("q_id").distinct()
+        q.select("q_id")
         .join(hits, "q_id", "left")
         .select(
             "q_id",

@@ -2401,8 +2401,12 @@ def _bpe_run_rounds(words: DataFrame, rounds: int):
             break
         l, r = best["l"], best["r"]
         merges.append((rnd, l, r, l + r, int(best["f"])))
-        le, re = l.replace("'", "\\'"), r.replace("'", "\\'")
-        me = (l + r).replace("'", "\\'")
+        def _esc(x: str) -> str:
+            # backslash first, then quote: Spark's parser processes
+            # both inside single-quoted literals
+            return x.replace("\\", "\\\\").replace("'", "\\'")
+
+        le, re, me = _esc(l), _esc(r), _esc(l + r)
         words = words.select(
             "w",
             F.expr(
@@ -2462,14 +2466,21 @@ def _bpe_oracle(rounds: int) -> str:
     )""")
         ctes.append(f"""
     r{i}_words AS (
+        -- LEFT JOIN ON true, not CROSS JOIN: when a round finds no
+        -- pairs (r{i}_best empty) the vocabulary must CARRY FORWARD
+        -- unchanged — the Spark loop breaks and keeps its words; a
+        -- cross join would erase them and doc_bpe_encode would
+        -- diverge on a fully-merged corpus.
         SELECT w.w,
-               list_reduce(
-                   list_transform(w.syms, s -> [s]),
-                   (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
-                               THEN list_concat(acc[1:-2], [b.l || b.r])
-                               ELSE list_concat(acc, x) END) AS syms,
+               CASE WHEN b.l IS NULL THEN w.syms
+                    ELSE list_reduce(
+                        list_transform(w.syms, s -> [s]),
+                        (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                                    THEN list_concat(acc[1:-2], [b.l || b.r])
+                                    ELSE list_concat(acc, x) END)
+               END AS syms,
                w.freq
-        FROM r{p}_words w CROSS JOIN r{i}_best b
+        FROM r{p}_words w LEFT JOIN r{i}_best b ON true
     )""")
         finals.append(
             f"SELECT CAST({i} AS BIGINT) AS round, l AS left_sym, "

@@ -503,7 +503,7 @@ def merge_version_cow(spark: SparkSession, table_path: str,
 
 
 def _predicate_cow(spark: SparkSession, table_path: str,
-                   predicate_sql: str, rewrite) -> dict:
+                   predicate_sql: str, rewrite, validate=None) -> dict:
     """Shared physical plan for predicate-driven DML (DELETE / UPDATE):
     Delta's COW rewrite shape.
 
@@ -520,6 +520,12 @@ def _predicate_cow(spark: SparkSession, table_path: str,
        ``CommitConflict``); untouched files keep their stats verbatim,
        new files get stats recomputed when the table carries a
        stats column.
+
+    ``rewrite(df, schema)`` receives the SAME snapshot schema this
+    function resolved (and ``validate(schema)``, when given, runs
+    right after that resolution) — so a caller's column checks and
+    casts can never race a concurrent commit into using a different
+    schema than the snapshot being rewritten.
 
     A predicate matching no rows returns ``{"version": None, ...}``
     without committing — an empty rewrite would only fragment history.
@@ -545,6 +551,8 @@ def _predicate_cow(spark: SparkSession, table_path: str,
             os.path.join(table_path, parent["dir"])
         ).schema
         pfiles = _list_data_files(table_path, parent["dir"])
+    if validate is not None:
+        validate(schema)
     if not pfiles:
         return {"version": None, "files_total": 0, "files_shared": 0,
                 "files_rewritten": 0}
@@ -570,7 +578,8 @@ def _predicate_cow(spark: SparkSession, table_path: str,
     replacement = rewrite(
         spark.read.schema(schema).parquet(
             *[os.path.join(table_path, f) for f in touched]
-        )
+        ),
+        schema,
     ).select(*[f.name for f in schema.fields])
 
     token = uuid.uuid4().hex[:12]
@@ -625,7 +634,7 @@ def delete_where(spark: SparkSession, table_path: str,
 
     return _predicate_cow(
         spark, table_path, predicate_sql,
-        lambda df: df.filter(
+        lambda df, _schema: df.filter(
             ~F.coalesce(F.expr(predicate_sql), F.lit(False))
         ),
     )
@@ -644,27 +653,17 @@ def update_where(spark: SparkSession, table_path: str,
     a column the table doesn't have raises."""
     from pyspark.sql import functions as F
 
-    avail = versions(table_path)
-    if not avail:
-        raise FileNotFoundError(f"no committed versions at {table_path}")
-    parent = _load_manifest(table_path, avail[-1])
-    if "schema" in parent:
-        from pyspark.sql import types as T
+    def _validate(schema):
+        by_name = {f.name for f in schema.fields}
+        unknown = sorted(set(assignments) - by_name)
+        if unknown:
+            raise ValueError(
+                f"UPDATE assigns columns {unknown} not in the table "
+                f"schema ({sorted(by_name)}) — schema evolution goes "
+                "through MERGE"
+            )
 
-        schema = T.StructType.fromJson(json.loads(parent["schema"]))
-    else:
-        schema = spark.read.parquet(
-            os.path.join(table_path, parent["dir"])
-        ).schema
-    by_name = {f.name: f for f in schema.fields}
-    unknown = sorted(set(assignments) - set(by_name))
-    if unknown:
-        raise ValueError(
-            f"UPDATE assigns columns {unknown} not in the table schema "
-            f"({sorted(by_name)}) — schema evolution goes through MERGE"
-        )
-
-    def _apply(df):
+    def _apply(df, schema):
         hit = F.coalesce(F.expr(predicate_sql), F.lit(False))
         # one select → every expression sees the pre-update row
         return df.select(*[
@@ -674,7 +673,8 @@ def update_where(spark: SparkSession, table_path: str,
             for f in schema.fields
         ])
 
-    return _predicate_cow(spark, table_path, predicate_sql, _apply)
+    return _predicate_cow(spark, table_path, predicate_sql, _apply,
+                          validate=_validate)
 
 
 def vacuum(table_path: str, keep_last: int = 2) -> list[int]:

@@ -89,9 +89,10 @@ def test_sql_function_library(spark):
         register_sql_functions,
         register_views,
     )
+    from tests.conftest import SF_SMALL
 
     register_sql_functions(spark)
-    register_views(spark, "/root/testdata/sf0.001")
+    register_views(spark, SF_SMALL)
 
     got = spark.sql("""
         SELECT cents(o_totalprice) AS c,

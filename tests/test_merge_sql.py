@@ -457,3 +457,69 @@ def test_unified_sql_router_end_to_end(spark, tmp_path):
         sql(spark, "TRUNCATE TABLE versioned.`/x`")
     # plain SELECT with no versioned ref passes straight through
     assert sql(spark, "SELECT 1 AS one").first().one == 1
+
+
+def test_update_where_split_ignores_nested_where(spark, tmp_path):
+    """The SET/WHERE split is quote- and paren-aware: a WHERE inside a
+    scalar subquery or a string literal belongs to the SET expression,
+    not the statement."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import update_table
+
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, 20, 1), path)
+    update_table(spark, f"""
+        UPDATE versioned.`{path}`
+        SET v = (SELECT CONCAT('m', COUNT(*)) FROM range(7) WHERE id > 4)
+        WHERE k = 3
+    """)
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[3] == "m2" and got[4] == "v4"
+
+    update_table(spark, f"""
+        UPDATE versioned.`{path}` SET v = 'has WHERE inside' WHERE k = 5
+    """)
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[5] == "has WHERE inside" and got[6] == "v6"
+
+
+def test_router_rewrites_versioned_refs_in_dml_bodies(spark, tmp_path):
+    """CTAS / INSERT INTO / MERGE-subquery bodies support versioned
+    references with time travel — the snapshot-copy and backfill
+    shapes."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    try:
+        spark.dataSource.register(VersionedDataSource)
+    except Exception:
+        pass
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    sql(spark, f"CREATE TABLE versioned.`{a}` AS "
+               "SELECT id AS k, CAST(id AS BIGINT) AS v FROM range(10)")
+    sql(spark, f"DELETE FROM versioned.`{a}` WHERE k >= 5")
+    # CTAS from a time-traveled snapshot of another versioned table
+    sql(spark, f"CREATE TABLE versioned.`{b}` AS "
+               f"SELECT * FROM versioned.`{a}` VERSION AS OF 0")
+    assert sql(spark, f"SELECT COUNT(*) AS n FROM versioned.`{b}`"
+               ).first().n == 10
+    # INSERT INTO from the current snapshot of a
+    sql(spark, f"INSERT INTO versioned.`{b}` "
+               f"SELECT k + 100 AS k, v FROM versioned.`{a}`")
+    assert sql(spark, f"SELECT COUNT(*) AS n FROM versioned.`{b}`"
+               ).first().n == 15
+    # MERGE with a versioned subquery source
+    sql(spark, f"""
+        MERGE INTO versioned.`{b}` t
+        USING (SELECT k, v + 1000 AS v FROM versioned.`{a}`) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+    """)
+    got = {r.k: r.v for r in
+           sql(spark, f"SELECT * FROM versioned.`{b}`").collect()}
+    assert got[3] == 1003 and got[103] == 3 and len(got) == 15
+    # a string literal containing a versioned ref is data, not a ref
+    r = sql(spark, "SELECT 'versioned.`/nope`' AS s").first()
+    assert r.s == "versioned.`/nope`"
