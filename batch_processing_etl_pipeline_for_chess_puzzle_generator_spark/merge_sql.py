@@ -413,6 +413,31 @@ def update_table(spark: SparkSession, statement: str) -> dict:
     )
 
 
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+versioned\.`(?P<dst>[^`]+)`"
+    r"\s+SHALLOW\s+CLONE\s+versioned\.`(?P<src>[^`]+)`"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def shallow_clone(spark: SparkSession, statement: str) -> int:
+    """``CREATE TABLE versioned.`/dst` SHALLOW CLONE versioned.`/src`
+    [VERSION AS OF n]`` → :func:`versioned.clone_table`: a zero-copy
+    manifest-only clone of the chosen source snapshot."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    m = _CLONE_RE.match(statement)
+    if not m:
+        raise ValueError(
+            "expected CREATE TABLE versioned.`/dst` SHALLOW CLONE "
+            f"versioned.`/src` [VERSION AS OF n]; got: {statement!r}"
+        )
+    return versioned.clone_table(
+        m["src"], m["dst"], int(m["v"]) if m["v"] else None
+    )
+
+
 def create_table_as(spark: SparkSession, statement: str) -> int:
     """``CREATE TABLE versioned.`/p` AS <select>`` — commits the
     SELECT's result as version 0 of a NEW versioned table (fails if
@@ -520,6 +545,8 @@ def sql(spark: SparkSession, statement: str):
     if head == "INSERT":
         return insert_into(spark, statement)
     if head == "CREATE":
+        if _CLONE_RE.match(statement):
+            return shallow_clone(spark, statement)
         return create_table_as(spark, statement)
     if head in ("RESTORE", "VACUUM", "OPTIMIZE", "DESCRIBE"):
         return maintenance_sql(spark, statement)

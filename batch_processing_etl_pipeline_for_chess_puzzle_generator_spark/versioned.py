@@ -103,7 +103,7 @@ def _file_stats(spark: SparkSession, table_path: str, rel_files: list[str],
     from pyspark.sql import functions as F
 
     rows = (
-        spark.read.parquet(*[os.path.join(table_path, f) for f in rel_files])
+        spark.read.parquet(*[_abs_file(table_path, f) for f in rel_files])
         .groupBy(F.input_file_name().alias("f"))
         .agg(F.min(stats_col).alias("lo"), F.max(stats_col).alias("hi"))
         .collect()
@@ -113,13 +113,19 @@ def _file_stats(spark: SparkSession, table_path: str, rel_files: list[str],
     # basename collision would silently merge two files' stats —
     # correctness-neutral (stats only prune) but pruning-pessimal and
     # a trap for future callers.
-    troot = os.path.abspath(table_path)
-    by_rel = {}
+    by_abs = {}
     for r in rows:
-        by_rel[os.path.relpath(_uri_to_path(r["f"]), troot)] = [
+        by_abs[os.path.normpath(_uri_to_path(r["f"]))] = [
             _stat_encode(r["lo"]), _stat_encode(r["hi"])
         ]
-    return {f: by_rel.get(f) for f in rel_files}
+    return {f: by_abs.get(_abs_file(table_path, f)) for f in rel_files}
+
+
+def _abs_file(table_path: str, entry: str) -> str:
+    """Absolute path of a manifest file entry. Entries are normally
+    table-relative; a SHALLOW CLONE writes ABSOLUTE entries pointing
+    into the source table, and os.path.join passes those through."""
+    return os.path.normpath(os.path.join(os.path.abspath(table_path), entry))
 
 
 def _uri_to_path(uri: str) -> str:
@@ -420,22 +426,21 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     # version dirs, and a basename collision across dirs would
     # silently drop an untouched file from the child manifest.
     keys = F.broadcast(changes.select(key_col).distinct())
-    touched_rel: set = set()
+    touched_abs: set = set()
     if candidates:
         cand_df = spark.read.parquet(
-            *[os.path.join(table_path, f) for f in candidates]
+            *[_abs_file(table_path, f) for f in candidates]
         )
         rows = (
             cand_df.select(key_col, F.input_file_name().alias("f"))
             .join(keys, key_col, "left_semi")
             .select("f").distinct().collect()
         )
-        troot = os.path.abspath(table_path)
-        touched_rel = {
-            os.path.relpath(_uri_to_path(r["f"]), troot) for r in rows
-        }
-    touched = [f for f in candidates if f in touched_rel]
-    untouched = [f for f in pfiles if f not in touched_rel]
+        touched_abs = {os.path.normpath(_uri_to_path(r["f"])) for r in rows}
+    touched = [f for f in candidates
+               if _abs_file(table_path, f) in touched_abs]
+    untouched = [f for f in pfiles
+                 if _abs_file(table_path, f) not in touched_abs]
 
     # 3. rewrite only the touched files, merged with the changes.
     # Per-writer unique dirs — see write_version: a losing concurrent
@@ -457,7 +462,7 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         # schema NULL-backfills any evolved columns they predate
         kept = (
             spark.read.schema(out_struct).parquet(
-                *[os.path.join(table_path, f) for f in touched]
+                *[_abs_file(table_path, f) for f in touched]
             )
             .join(keys, key_col, "left_anti")
             .select(*out_cols)
@@ -559,25 +564,25 @@ def _predicate_cow(spark: SparkSession, table_path: str,
 
     # NULL predicate results select nothing (SQL WHERE semantics).
     hit = F.coalesce(F.expr(predicate_sql), F.lit(False))
-    full_paths = [os.path.join(table_path, f) for f in pfiles]
+    full_paths = [_abs_file(table_path, f) for f in pfiles]
     rows = (
         spark.read.schema(schema).parquet(*full_paths)
         .withColumn("__f", F.input_file_name())
         .filter(hit)
         .select("__f").distinct().collect()
     )
-    troot = os.path.abspath(table_path)
-    touched_rel = {os.path.relpath(_uri_to_path(r["__f"]), troot)
-                   for r in rows}
-    touched = [f for f in pfiles if f in touched_rel]
-    untouched = [f for f in pfiles if f not in touched_rel]
+    touched_abs = {os.path.normpath(_uri_to_path(r["__f"])) for r in rows}
+    touched = [f for f in pfiles
+               if _abs_file(table_path, f) in touched_abs]
+    untouched = [f for f in pfiles
+                 if _abs_file(table_path, f) not in touched_abs]
     if not touched:
         return {"version": None, "files_total": len(pfiles),
                 "files_shared": len(pfiles), "files_rewritten": 0}
 
     replacement = rewrite(
         spark.read.schema(schema).parquet(
-            *[os.path.join(table_path, f) for f in touched]
+            *[_abs_file(table_path, f) for f in touched]
         ),
         schema,
     ).select(*[f.name for f in schema.fields])
@@ -780,7 +785,7 @@ def read_version(spark: SparkSession, table_path: str,
         # new columns and this NULL-backfills them (Delta's read path);
         # it also pins column order/nullability to what was committed.
         return spark.read.schema(schema).parquet(
-            *[os.path.join(table_path, f) for f in manifest["files"]]
+            *[_abs_file(table_path, f) for f in manifest["files"]]
         )
     return spark.read.parquet(os.path.join(table_path, manifest["dir"]))
 
@@ -872,7 +877,7 @@ def history(spark: SparkSession, table_path: str) -> DataFrame:
         size = 0
         for f in files:
             try:
-                size += os.path.getsize(os.path.join(table_path, f))
+                size += os.path.getsize(_abs_file(table_path, f))
             except OSError:
                 pass
         rows.append((v, len(files), size,
@@ -984,7 +989,7 @@ def files(spark: SparkSession, table_path: str,
     rows = []
     for f in file_list:
         try:
-            size = os.path.getsize(os.path.join(table_path, f))
+            size = os.path.getsize(_abs_file(table_path, f))
         except OSError:
             size = None
         lo_hi = stats.get(f)
@@ -1035,7 +1040,7 @@ def backfill_stats(table_path: str, stats_col: str) -> int:
     )
     stats: dict[str, list | None] = {}
     for rel in rel_files:
-        full = os.path.join(table_path, rel)
+        full = _abs_file(table_path, rel)
         md = pq.ParquetFile(full).metadata
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         if stats_col not in names:
@@ -1075,3 +1080,73 @@ def restore_version(table_path: str, to_version: int) -> int:
     manifest["version"] = avail[-1] + 1
     manifest["restored_from"] = to_version
     return _publish(table_path, manifest)
+
+
+def clone_table(src_path: str, dst_path: str,
+                version: int | None = None) -> int:
+    """SHALLOW CLONE (Delta's analog): commit version 0 of a NEW table
+    at ``dst_path`` whose manifest references the SOURCE snapshot's
+    data files by ABSOLUTE path — no data is copied, so a 100 TB table
+    clones in manifest-write time. The clone is fully independent
+    going forward: merges/DML on it rewrite only touched files into
+    its own directory (untouched absolute refs stay shared), and its
+    vacuum never reclaims source-owned files (refcounting is local by
+    construction — absolute refs never match a local data dir). The
+    sharp edge is Delta's own: ``vacuum`` on the SOURCE does not know
+    about clones, so retiring the source versions a clone still
+    references breaks the clone. Retention on cloned sources must
+    exceed clone lifetime, exactly like readers' pin horizon.
+
+    ``version`` picks the source snapshot (default: latest). The
+    destination must be fresh — clone never clobbers history.
+    """
+    avail = versions(src_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {src_path}")
+    if version is None:
+        version = avail[-1]
+    if version not in avail:
+        raise ValueError(
+            f"version {version} not in {avail} at {src_path}"
+        )
+    if versions(dst_path):
+        raise ValueError(
+            f"table already exists at {dst_path} — clone never clobbers "
+            "history"
+        )
+    src = _load_manifest(src_path, version)
+    if "files" in src:
+        entries = src["files"]
+    else:  # legacy dir-level manifest
+        entries = _list_data_files(src_path, src["dir"])
+    abs_files = [_abs_file(src_path, f) for f in entries]
+    manifest = {
+        "version": 0,
+        "files": abs_files,
+        "schema": src["schema"] if "schema" in src else None,
+        "cloned_from": {
+            "table": os.path.abspath(src_path),
+            "version": version,
+        },
+    }
+    if manifest["schema"] is None:
+        # legacy source: infer once from the files' footers at clone
+        # time so the clone is self-describing
+        import pyarrow.parquet as pq  # noqa: F401  (env-guaranteed)
+
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "cloning a legacy (schema-less) manifest needs an "
+                "active SparkSession to infer the schema"
+            )
+        manifest["schema"] = spark.read.parquet(*abs_files).schema.json()
+    if src.get("stats_col") is not None and src.get("stats") is not None:
+        manifest["stats_col"] = src["stats_col"]
+        manifest["stats"] = {
+            a: src["stats"].get(e) for a, e in zip(abs_files, entries)
+        }
+    os.makedirs(_manifest_path(dst_path), exist_ok=True)
+    return _publish(dst_path, manifest)

@@ -523,3 +523,23 @@ def test_router_rewrites_versioned_refs_in_dml_bodies(spark, tmp_path):
     # a string literal containing a versioned ref is data, not a ref
     r = sql(spark, "SELECT 'versioned.`/nope`' AS s").first()
     assert r.s == "versioned.`/nope`"
+
+
+def test_shallow_clone_statement(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    sql(spark, f"CREATE TABLE versioned.`{src}` AS "
+               "SELECT id AS k, CAST(id AS BIGINT) AS v FROM range(30)")
+    sql(spark, f"DELETE FROM versioned.`{src}` WHERE k >= 20")
+    sql(spark, f"CREATE TABLE versioned.`{dst}` "
+               f"SHALLOW CLONE versioned.`{src}` VERSION AS OF 0")
+    assert sql(spark, f"SELECT COUNT(*) AS n FROM versioned.`{dst}`"
+               ).first().n == 30
+    # post-clone DML through the router, source untouched
+    sql(spark, f"UPDATE versioned.`{dst}` SET v = v + 1 WHERE k = 0")
+    assert sql(spark, f"SELECT v FROM versioned.`{dst}` WHERE k = 0"
+               ).first().v == 1
+    assert sql(spark, f"SELECT v FROM versioned.`{src}` WHERE k = 0"
+               ).first().v == 0

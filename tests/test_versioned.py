@@ -1207,3 +1207,67 @@ def test_backfill_timestamp_stats_prune_is_tz_safe(spark, tmp_path):
         assert versioned.read_version(spark, path).count() == 200
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    """SHALLOW CLONE: manifest-only (no data copied), reads equal the
+    source snapshot, and post-clone DML rewrites only touched files
+    into the CLONE's directory — the source stays byte-identical and
+    the clone's vacuum never reclaims source-owned files."""
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(400).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v"
+    ).repartitionByRange(4, "k")
+    versioned.write_version(df, src, stats_col="k")
+
+    v = versioned.clone_table(src, dst)
+    assert v == 0
+    # zero copy: no parquet landed under dst
+    assert not [f for _, _, fs in os.walk(dst) for f in fs
+                if f.endswith(".parquet")]
+    got = versioned.read_version(spark, dst)
+    assert got.count() == 400
+    # stats carried under the absolute keys -> merges can still prune
+    m = versioned._load_manifest(dst, 0)
+    assert m["stats_col"] == "k"
+    assert all(k.startswith("/") and s is not None
+               for k, s in m["stats"].items())
+
+    # DML on the clone: only the touched file is rewritten, locally
+    stats = versioned.delete_where(spark, dst, "k >= 300")
+    assert stats["files_rewritten"] == 1 and stats["files_shared"] == 3
+    assert versioned.read_version(spark, dst).count() == 300
+    # source untouched
+    assert versioned.read_version(spark, src).count() == 400
+    assert versioned.versions(src) == [0]
+
+    # clone vacuum drops its own stale version but never source files
+    src_files_before = sorted(
+        f for _, _, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    versioned.vacuum(dst, keep_last=1)
+    src_files_after = sorted(
+        f for _, _, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    assert src_files_before == src_files_after
+    assert versioned.read_version(spark, dst).count() == 300
+
+
+def test_shallow_clone_time_travel_and_guards(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    versioned.write_version(
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v"), src
+    )
+    versioned.write_version(
+        spark.range(20).selectExpr("id AS k", "id * 2 AS v"), src
+    )
+    versioned.clone_table(src, dst, version=0)
+    assert versioned.read_version(spark, dst).count() == 10
+    with pytest.raises(ValueError, match="never clobbers"):
+        versioned.clone_table(src, dst)
+    with pytest.raises(ValueError, match="not in"):
+        versioned.clone_table(src, str(tmp_path / "d2"), version=9)
