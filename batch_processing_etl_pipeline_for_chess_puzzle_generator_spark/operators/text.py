@@ -2369,10 +2369,16 @@ _BPE_CHARS_DUCK = "list_transform(range(1, length(w) + 1), i -> w[i])"
 def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(w, freq, syms) distinct-word table — the trainer working set."""
     docs = table(spark, sf_dir, "documents")
+    # The distinct-word table is orders of magnitude smaller than the
+    # corpus (31 words here; ~10M at web scale). Pack it into few
+    # partitions so the 6 training rounds schedule O(1) tasks each
+    # instead of shuffle.partitions empties — at a 10M-word vocab
+    # you'd size this to ~64MB partitions instead of 1.
     return (
         docs.select(F.explode(F.expr(_WORDS)).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
         .select("w", F.expr(_BPE_CHARS).alias("syms"), "freq")
+        .coalesce(1)
     )
 
 
@@ -2380,6 +2386,10 @@ def _bpe_run_rounds(words: DataFrame, rounds: int):
     """The greedy training loop shared by doc_bpe_train (which reports
     the merge table) and doc_bpe_encode (which uses the final symbol
     lists). Returns (fully-merged words, merge list)."""
+    # Materialize the vocab ONCE before round 1: otherwise the round-1
+    # argmax and the round-1 merge each rescan the corpus (the only
+    # O(corpus) work in the loop — everything after is O(vocab)).
+    words = words.localCheckpoint(eager=True)
     merges = []
     for rnd in range(1, rounds + 1):
         best = (
