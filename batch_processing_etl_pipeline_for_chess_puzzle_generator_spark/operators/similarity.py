@@ -2681,66 +2681,163 @@ ORACLES["emb_nprobe_sweep"] = f"""
 """
 
 
-# ------------------------------ ANN recall evaluation (LSH vs exact)
+# ------------------------------ MMR diversity reranking (retrieval)
 #
-# The evaluation harness every ANN deployment needs IN the engine, not
-# offline: per query, how much of the exact top-3 does the multi-probe
-# LSH shortlist recover? Composes the two registered operators — the
-# brute-force top-k truth and the LSH candidate list — with one
-# left-semi hit-join and a per-query count. RECALL.md measures this
-# offline for tuning; this entry makes the measurement itself an
-# oracle-gated, rerunnable query (the loop a production pipeline runs
-# after re-hashing or re-bucketing a refreshed corpus). recall_ppm is
-# non-negative integer math (hits * 1e6 DIV 3), so the DIV↔// floor
-# vs trunc divergence on negatives can't bite.
-def emb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = (
-        emb_cosine_topk(spark, sf_dir)
-        .filter(F.col("rank") <= 3)
-        .select("q_id", "c_id")
+# Maximal Marginal Relevance — the standard diversification pass a
+# retrieval stack runs AFTER top-k: greedily pick results that are
+# relevant to the query but dissimilar to what's already picked
+# (score = λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s)). Greedy
+# selection is inherently sequential, but the sequence length is the
+# PICK COUNT, not the corpus: each step is one tiny join over the
+# per-query shortlist, so the plan unrolls into PICKS-1 declarative
+# stages — no driver loop over data, no UDF. The shortlist (80 rows
+# here; k×|queries| in general) is localCheckpoint-ed once so the
+# brute-force scoring plan runs exactly once, like the BPE trainer's
+# vocab. All similarities ride the exact quantized-integer grid, so
+# the greedy argmax path is bit-identical to the DuckDB oracle, which
+# replays the same unrolled steps as generated CTEs.
+MMR_SHORTLIST = 8
+MMR_PICKS = 4
+_MMR_LAMBDA = "0.7"  # same literal both engines → same double
+
+
+def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q, c = _split(spark, sf_dir)
+    scored = c.crossJoin(broadcast(q)).select(
+        "q_id", "c_id", F.expr(_SIM).alias("sim"), "ca", "cn"
     )
-    cand = emb_lsh_ann(spark, sf_dir).select("q_id", "c_id")
-    hits = (
-        truth.join(cand, ["q_id", "c_id"], "left_semi")
-        .groupBy("q_id")
-        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_hits"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MMR_SHORTLIST)
+        .localCheckpoint(eager=True)  # score the corpus exactly once
     )
-    # q_id universe from the query split directly (O(#queries)) — via
-    # truth.distinct() the corpus-wide brute-force plan would run a
-    # SECOND time inside the same action just to enumerate 10 ids.
-    q, _ = _split(spark, sf_dir)
-    return (
-        q.select("q_id")
-        .join(hits, "q_id", "left")
-        .select(
-            "q_id",
-            F.expr("CAST(COALESCE(n_hits, 0) AS BIGINT)").alias("n_hits"),
-            F.expr(
-                "CAST(COALESCE(n_hits, 0) * 1000000 DIV 3 AS BIGINT)"
-            ).alias("recall_ppm"),
+    lhs = short.select(
+        "q_id", F.col("c_id").alias("a_id"),
+        F.col("ca").alias("qa"), F.col("cn").alias("qn"),
+    )
+    rhs = short.select("q_id", F.col("c_id").alias("b_id"), "ca", "cn")
+    pairsim = (
+        lhs.join(rhs, "q_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("q_id", "a_id", "b_id", F.expr(_SIM).alias("sim_ab"))
+    )
+    selected = short.filter(F.col("rank") == 1).select(
+        "q_id", "c_id", F.lit(1).cast("long").alias("pick")
+    )
+    for t in range(2, MMR_PICKS + 1):
+        pen = (
+            pairsim.join(
+                selected.select("q_id", F.col("c_id").alias("b_id")),
+                ["q_id", "b_id"],
+            )
+            .groupBy("q_id", F.col("a_id").alias("c_id"))
+            .agg(F.max("sim_ab").alias("pen"))
         )
-    )
+        step = (
+            short.join(selected.select("q_id", "c_id"),
+                       ["q_id", "c_id"], "left_anti")
+            .join(pen, ["q_id", "c_id"])
+            .withColumn(
+                "mmr",
+                F.expr(f"{_MMR_LAMBDA} * sim - (1 - {_MMR_LAMBDA}) * pen"),
+            )
+        )
+        ws = Window.partitionBy("q_id").orderBy(
+            F.col("mmr").desc(), F.col("c_id")
+        )
+        picked = (
+            step.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("q_id", "c_id", F.lit(t).cast("long").alias("pick"))
+        )
+        selected = selected.unionByName(picked)
+    return selected
 
 
-QUERIES["emb_lsh_recall_eval"] = emb_lsh_recall_eval
+QUERIES["emb_mmr_diversify"] = emb_mmr_diversify
 
-# The oracle IS the composition of the two component oracles (nested
-# CTE bodies), so the truth and candidate definitions can never drift
-# from the entries they evaluate.
-ORACLES["emb_lsh_recall_eval"] = f"""
-    WITH bf_all AS ({ORACLES["emb_cosine_topk"]}),
-    ann AS ({ORACLES["emb_lsh_ann"]}),
-    truth AS (SELECT q_id, c_id FROM bf_all WHERE rank <= 3),
-    hits AS (
-        SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-        FROM truth t SEMI JOIN ann a
-          ON t.q_id = a.q_id AND t.c_id = a.c_id
-        GROUP BY t.q_id
-    )
-    SELECT q.q_id,
-           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-           CAST(COALESCE(h.n_hits, 0) * 1000000 // 3 AS BIGINT)
-               AS recall_ppm
-    FROM (SELECT DISTINCT q_id FROM truth) q
-    LEFT JOIN hits h ON q.q_id = h.q_id
-"""
+
+def _mmr_oracle() -> str:
+    lam = _MMR_LAMBDA
+    ctes = [f"""
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+          WHERE vec_id >= {N_QUERIES}),
+    comp AS (
+        SELECT q_id, c_id,
+               CAST(round(CAST(unnest(qe) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+               CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT) AS xc
+        FROM (SELECT q_id, qe, c_id, ce FROM q CROSS JOIN c)
+    ),
+    scored AS (
+        SELECT q_id, c_id,
+               CAST(sum(xq * xc) AS DOUBLE)
+               / (sqrt(CAST(sum(xq * xq) AS DOUBLE))
+                  * sqrt(CAST(sum(xc * xc) AS DOUBLE))) AS sim
+        FROM comp GROUP BY q_id, c_id
+    ),
+    shortlist AS (
+        SELECT q_id, c_id, sim, rank FROM (
+            SELECT q_id, c_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, c_id) AS rank
+            FROM scored
+        ) WHERE rank <= {MMR_SHORTLIST}
+    ),
+    pair_comp AS (
+        SELECT s1.q_id, s1.c_id AS a_id, s2.c_id AS b_id,
+               CAST(round(CAST(unnest(v1.ce) AS DOUBLE) * 1000000) AS BIGINT) AS xa,
+               CAST(round(CAST(unnest(v2.ce) AS DOUBLE) * 1000000) AS BIGINT) AS xb
+        FROM shortlist s1
+        JOIN shortlist s2 ON s1.q_id = s2.q_id AND s1.c_id <> s2.c_id
+        JOIN c v1 ON v1.c_id = s1.c_id
+        JOIN c v2 ON v2.c_id = s2.c_id
+    ),
+    pair_sim AS (
+        SELECT q_id, a_id, b_id,
+               CAST(sum(xa * xb) AS DOUBLE)
+               / (sqrt(CAST(sum(xa * xa) AS DOUBLE))
+                  * sqrt(CAST(sum(xb * xb) AS DOUBLE))) AS sim_ab
+        FROM pair_comp GROUP BY 1, 2, 3
+    ),
+    selall1 AS (
+        SELECT q_id, c_id, 1 AS pick FROM shortlist WHERE rank = 1
+    )"""]
+    for t in range(2, MMR_PICKS + 1):
+        p = t - 1
+        ctes.append(f"""
+    pen{t} AS (
+        SELECT ps.q_id, ps.a_id, MAX(ps.sim_ab) AS pen
+        FROM pair_sim ps
+        JOIN selall{p} s ON ps.q_id = s.q_id AND ps.b_id = s.c_id
+        GROUP BY 1, 2
+    )""")
+        ctes.append(f"""
+    pick{t} AS (
+        SELECT q_id, c_id, {t} AS pick FROM (
+            SELECT sh.q_id, sh.c_id,
+                   row_number() OVER (
+                       PARTITION BY sh.q_id
+                       ORDER BY {lam} * sh.sim - (1 - {lam}) * pn.pen DESC,
+                                sh.c_id) AS rn
+            FROM shortlist sh
+            JOIN pen{t} pn ON pn.q_id = sh.q_id AND pn.a_id = sh.c_id
+            LEFT JOIN selall{p} s
+              ON s.q_id = sh.q_id AND s.c_id = sh.c_id
+            WHERE s.c_id IS NULL
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""
+    selall{t} AS (
+        SELECT * FROM selall{p} UNION ALL SELECT * FROM pick{t}
+    )""")
+    return ("WITH " + ",".join(ctes)
+            + f"\n    SELECT q_id, c_id, CAST(pick AS BIGINT) AS pick"
+              f" FROM selall{MMR_PICKS}")
+
+
+ORACLES["emb_mmr_diversify"] = _mmr_oracle()
