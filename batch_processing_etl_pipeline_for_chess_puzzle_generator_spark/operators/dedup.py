@@ -1469,3 +1469,82 @@ ORACLES["doc_incr_minhash"] = f"""
            count(*) AS n_docs
     FROM base GROUP BY 1, 2
 """
+
+
+# -------------------------------------------- containment near-dup
+#
+# Containment — |A∩B| / min(|A|,|B|) — is the ASYMMETRIC near-dup
+# measure Jaccard misses: a short document quoted whole inside a long
+# one has tiny Jaccard (the union is huge) but containment ≈ 1. This
+# is the doc-in-doc detector production corpus curation runs next to
+# the symmetric Jaccard pass (doc_ngram_jaccard), and the reason it
+# drops that entry's length-similarity blocking entirely: length
+# disparity is exactly the signal here. Same df-capped inverted-index
+# postings (shared through the bounded cache — the join cost story in
+# doc_ngram_jaccard's docstring carries over: Σ df² bounded by the
+# cap); the per-pair intersection IS the groupBy count. Both ratios
+# are non-negative ppm grids (DIV↔// safe).
+CONTAINMENT_PPM = 800000
+
+
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "ws", F.split("text", " ")
+    )
+    pkey = (spark.sparkContext.applicationId, sf_dir)
+    if pkey in _NGRAM_POSTINGS_CACHE:
+        ex = _NGRAM_POSTINGS_CACHE[pkey]
+    else:
+        ex = _cache_put(_NGRAM_POSTINGS_CACHE, pkey,
+                        _ngram_postings(docs).persist())
+    a = ex.select(F.col("doc_id").alias("doc_a"),
+                  F.col("sz").alias("sa_sz"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"),
+                  F.col("sz").alias("sb_sz"), "s")
+    return (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sa_sz", "sb_sz")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .selectExpr(
+            "doc_a", "doc_b",
+            "CAST(inter AS BIGINT) AS inter",
+            "CAST(least(sa_sz, sb_sz) AS BIGINT) AS min_sz",
+            "inter * 1000000 DIV least(sa_sz, sb_sz) AS containment_ppm",
+            "inter * 1000000 DIV (sa_sz + sb_sz - inter) AS jaccard_ppm",
+        )
+        .filter(F.col("containment_ppm") >= CONTAINMENT_PPM)
+    )
+
+
+QUERIES["doc_containment_pairs"] = doc_containment_pairs
+
+ORACLES["doc_containment_pairs"] = f"""
+    WITH d0 AS (
+        SELECT doc_id, {_SHINGLES_DUCK} AS sh
+        FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM d0),
+    kept AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+            FROM ex
+        ) WHERE df <= {NGRAM_DF_CAP}
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+           FROM kept GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           CAST(least(za.sz, zb.sz) AS BIGINT) AS min_sz,
+           inter * 1000000 // least(za.sz, zb.sz) AS containment_ppm,
+           inter * 1000000 // (za.sz + zb.sz - inter) AS jaccard_ppm
+    FROM inter
+    JOIN sz za ON doc_a = za.doc_id
+    JOIN sz zb ON doc_b = zb.doc_id
+    WHERE inter * 1000000 // least(za.sz, zb.sz) >= {CONTAINMENT_PPM}
+"""
