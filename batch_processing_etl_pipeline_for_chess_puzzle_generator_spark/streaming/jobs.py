@@ -48,6 +48,38 @@ def windowed_event_counts(events: DataFrame,
     )
 
 
+def session_window_counts(events: DataFrame,
+                          gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization via Spark's NATIVE session_window
+    aggregation — the built-in twin of sessionize_events_stream's
+    custom applyInPandasWithState operator (and of the batch
+    ev_session_window entry, same 30-min gap semantics). The engine
+    merges overlapping per-event windows into sessions and, in append
+    mode, emits a session only once the watermark passes its close —
+    state is O(open sessions), evicted by watermark, no Python in the
+    loop. Use THIS when gap sessionization is all you need; the
+    custom-state twin exists for logic session_window can't express
+    (per-session funnels, ordered payload digests)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+            ).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event stream: drop duplicate event_ids. The
     watermark bounds the dedup state — ids older than it are evicted."""

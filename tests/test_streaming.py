@@ -655,3 +655,66 @@ def test_quarantine_stream_splits_across_batches(spark, tmp_path):
     bad2 = sorted(r.event_id for r in
                   read_quarantine(spark, p2, "bad").collect())
     assert good2 == [1, 4] and bad2 == [2]
+
+
+def test_session_window_counts_native_stream(spark, tmp_path):
+    """Native session_window streaming aggregation: gap-merge happens
+    in the engine, append mode emits a session once the watermark
+    passes its close, and the result matches the batch
+    F.session_window aggregation over the same rows."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        session_window_counts,
+    )
+
+    src = tmp_path / "sess_stream"
+    src.mkdir()
+    rows = [
+        # user 7: two events 10 min apart (one session), then a 40-min
+        # gap (second session)
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 7, "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:10:00", "user_id": 7, "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01 00:50:00", "user_id": 7, "value": 4.0},
+        {"event_id": 4, "ts": "2024-01-01 00:05:00", "user_id": 8, "value": 8.0},
+    ]
+    (src / "b1.json").write_text("\n".join(__import__("json").dumps(r) for r in rows))
+
+    def stream():
+        return (
+            spark.readStream
+            .schema("event_id LONG, ts STRING, user_id LONG, value DOUBLE")
+            .json(str(src))
+            .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+                        "user_id", "value")
+        )
+
+    # first pass: watermark hasn't passed the sessions' close yet →
+    # append emits nothing (sessions still open to late data)
+    _run_stream(session_window_counts(stream()), "sess_native1")
+    assert spark.sql("SELECT * FROM sess_native1").count() == 0
+    # late batch far in the future closes everything
+    (src / "b2.json").write_text(__import__("json").dumps(
+        {"event_id": 9, "ts": "2024-01-01 09:00:00", "user_id": 9, "value": 0.0}
+    ))
+    _run_stream(session_window_counts(stream()), "sess_native2")
+    got = {
+        (r.user_id, str(r.session_start)): (r.n_events, float(r.session_value))
+        for r in spark.sql("SELECT * FROM sess_native2").collect()
+    }
+    assert got[(7, "2024-01-01 00:00:00")] == (2, 3.0)
+    assert got[(7, "2024-01-01 00:50:00")] == (1, 4.0)
+    assert got[(8, "2024-01-01 00:05:00")] == (1, 8.0)
+
+    # equals the batch session_window agg over the same rows
+    batch = (
+        spark.read.schema("event_id LONG, ts STRING, user_id LONG, value DOUBLE")
+        .json(str(src))
+        .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "user_id", "value")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    b = {(r.user_id, str(r.sw.start)): r.n for r in batch.collect()}
+    assert {(u, s): n for (u, s), (n, _) in got.items()} == {
+        k: v for k, v in b.items() if k[0] != 9
+    }
