@@ -2719,10 +2719,17 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ca").alias("qa"), F.col("cn").alias("qn"),
     )
     rhs = short.select("q_id", F.col("c_id").alias("b_id"), "ca", "cn")
+    # Checkpointed like the shortlist: every greedy stage references
+    # pairsim and the growing selected set, and without truncation the
+    # FINAL plan re-plans those subtrees per stage (measured: 104
+    # exchanges / 52 sort-merge joins for 80 rows). With it, each
+    # stage is a handful of tiny jobs and the final plan is a union of
+    # materialized frames.
     pairsim = (
         lhs.join(rhs, "q_id")
         .filter(F.col("a_id") != F.col("b_id"))
         .select("q_id", "a_id", "b_id", F.expr(_SIM).alias("sim_ab"))
+        .localCheckpoint(eager=True)
     )
     selected = short.filter(F.col("rank") == 1).select(
         "q_id", "c_id", F.lit(1).cast("long").alias("pick")
@@ -2752,6 +2759,7 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             step.withColumn("rn", F.row_number().over(ws))
             .filter(F.col("rn") == 1)
             .select("q_id", "c_id", F.lit(t).cast("long").alias("pick"))
+            .localCheckpoint(eager=True)
         )
         selected = selected.unionByName(picked)
     return selected

@@ -1271,3 +1271,62 @@ def test_shallow_clone_time_travel_and_guards(spark, tmp_path):
         versioned.clone_table(src, dst)
     with pytest.raises(ValueError, match="not in"):
         versioned.clone_table(src, str(tmp_path / "d2"), version=9)
+
+
+def test_predicate_dml_concurrent_commit_conflicts(spark, tmp_path, monkeypatch):
+    """Predicate DELETE rides the same manifest CAS as MERGE: if
+    another writer commits between the snapshot read and the publish,
+    the DML must raise CommitConflict and clean up its staged data —
+    never silently drop the interleaved commit."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    versioned.write_version(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v"), path
+    )
+
+    real_publish = versioned._publish
+    fired = {"done": False}
+
+    def interleaving_publish(table_path, manifest):
+        # the first publish attempt (the DML's) gets beaten to the
+        # version slot by a competing append
+        if not fired["done"] and manifest.get("version") == 1:
+            fired["done"] = True
+            versioned.write_version(  # a competing FULL snapshot
+                spark.range(105).selectExpr("id AS k", "id * 3 AS v"),
+                table_path,
+            )
+        return real_publish(table_path, manifest)
+
+    monkeypatch.setattr(versioned, "_publish", interleaving_publish)
+    with pytest.raises(versioned.CommitConflict):
+        versioned.delete_where(spark, path, "k < 10")
+    monkeypatch.setattr(versioned, "_publish", real_publish)
+
+    # the interleaved append won; nothing was lost, nothing staged left
+    assert versioned.versions(path) == [0, 1]
+    assert versioned.read_version(spark, path).count() == 105
+    assert not [d for d in os.listdir(path) if d.startswith("_staged_")]
+    # retry against the new snapshot succeeds
+    stats = versioned.delete_where(spark, path, "k < 10")
+    assert stats["version"] == 2
+    assert versioned.read_version(spark, path).count() == 95
+
+
+def test_clone_breaks_if_source_vacuums_referenced_files(spark, tmp_path):
+    """The documented SHALLOW CLONE sharp edge (same as Delta's): the
+    source's vacuum does not know about clones, so retiring source
+    versions a clone references breaks the clone. Pin the failure
+    mode so the contract stays honest."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    versioned.write_version(
+        spark.range(50).selectExpr("id AS k", "id AS v"), src
+    )
+    versioned.clone_table(src, dst)
+    # source rewrites everything (optimize), then vacuums the old version
+    versioned.optimize_version(spark, src)
+    versioned.vacuum(src, keep_last=1)
+    with pytest.raises(Exception):
+        versioned.read_version(spark, dst).collect()
