@@ -2849,3 +2849,84 @@ def _mmr_oracle() -> str:
 
 
 ORACLES["emb_mmr_diversify"] = _mmr_oracle()
+
+
+# --------------------------- nearest-centroid label confusion matrix
+#
+# Embedding-space label coherence, measured as the confusion matrix of
+# the nearest-LABEL-centroid classifier — the sanity check you run
+# before trusting labels for supervised filtering or a centroid
+# router. Centroids are element-wise EXACT integer sums per label
+# (cosine is scale-invariant, so the sum works as the mean); the
+# assignment pass is one row-local argmax against the broadcast
+# 10-centroid model — identical plan shape to the IVF assignment, one
+# scan of the corpus, no shuffle beyond the tiny centroid agg. Ties
+# break to the smallest label on both engines (_model_scored's negid
+# ↔ ORDER BY sim DESC, cl ASC).
+def emb_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, c = _split(spark, sf_dir)
+    cents = (
+        c.select("label", F.posexplode("ca").alias("pos", "x"))
+        .groupBy("label", "pos").agg(F.sum("x").alias("s"))
+        .groupBy("label")
+        .agg(F.expr(
+            "transform(array_sort(collect_list("
+            "named_struct('pos', pos, 's', s))), e -> e.s)"
+        ).alias("sa"))
+        .select(F.col("label").alias("cluster_id"), "sa")
+        .withColumn("sn", F.expr(_qnorm("sa")))
+    )
+    assign = c.crossJoin(broadcast(_as_model(cents))).select(
+        "label",
+        F.expr(
+            f"array_max({_model_scored('ca', 'cn')}).cluster_id"
+        ).alias("pred_label"),
+    )
+    return assign.groupBy(
+        F.col("label").cast("long").alias("label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_vecs"))
+
+
+QUERIES["emb_centroid_confusion"] = emb_centroid_confusion
+
+ORACLES["emb_centroid_confusion"] = f"""
+    WITH v AS (
+        SELECT vec_id AS c_id, label, embedding AS ce FROM embeddings
+        WHERE vec_id >= {N_QUERIES}
+    ),
+    comp AS (
+        SELECT c_id, label,
+               unnest(range(1, len(ce) + 1)) AS pos,
+               CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT)
+                   AS x
+        FROM v
+    ),
+    nrm AS (SELECT c_id, sum(x * x) AS n2 FROM comp GROUP BY 1),
+    cent AS (SELECT label AS cl, pos, sum(x) AS s FROM comp GROUP BY 1, 2),
+    cn AS (SELECT cl, sum(s * s) AS n2 FROM cent GROUP BY 1),
+    dots AS (
+        SELECT c.c_id, ct.cl, sum(c.x * ct.s) AS d
+        FROM comp c JOIN cent ct USING (pos) GROUP BY 1, 2
+    ),
+    sims AS (
+        SELECT d.c_id, d.cl,
+               CAST(d.d AS DOUBLE)
+               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+                   AS sim
+        FROM dots d JOIN nrm n USING (c_id) JOIN cn ON cn.cl = d.cl
+    ),
+    pred AS (
+        SELECT c_id, cl FROM (
+            SELECT c_id, cl,
+                   row_number() OVER (PARTITION BY c_id
+                                      ORDER BY sim DESC, cl) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    )
+    SELECT CAST(v.label AS BIGINT) AS label,
+           CAST(p.cl AS BIGINT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM v JOIN pred p USING (c_id)
+    GROUP BY 1, 2
+"""

@@ -513,3 +513,55 @@ def test_bpe_fold_equals_greedy_scan(syms, pair):
         return acc
 
     assert fold(syms) == greedy(syms)
+
+
+# ---------------- predicate DML (DELETE/UPDATE) ≡ relational reference
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(0, 60), st.integers(-50, 50)),
+                  min_size=1, max_size=40, unique_by=lambda t: t[0]),
+    threshold=st.integers(-60, 60),
+    add=st.integers(-5, 5),
+    parts=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_predicate_dml_equals_relational(spark, tmp_path_factory,
+                                         base, threshold, add, parts):
+    """For arbitrary tables, layouts, and predicates: DELETE reads
+    back exactly the anti-filter, UPDATE exactly the CASE projection,
+    with all pre-DML snapshots untouched — the touched-file rewrite is
+    physical, never semantic. Also pins the no-match no-commit rule."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    path = str(tmp_path_factory.mktemp("dmlprop") / "tbl")
+    bdf = spark.createDataFrame(base, "k INT, v INT") \
+        .repartitionByRange(parts, "k")
+    versioned.write_version(bdf, path, stats_col="k")
+
+    stats = versioned.delete_where(spark, path, f"v < {threshold}")
+    want_del = sorted((k, v) for k, v in base if not (v < threshold))
+    if stats["version"] is None:  # nothing matched → no commit
+        assert want_del == sorted(base)
+        assert versioned.versions(path) == [0]
+    else:
+        got = sorted((r.k, r.v) for r in
+                     versioned.read_version(spark, path).collect())
+        assert got == want_del
+
+    ustats = versioned.update_where(
+        spark, path, {"v": f"v + {add}"}, f"k % 3 = 0"
+    )
+    want_upd = sorted(
+        (k, v + add if k % 3 == 0 else v) for k, v in want_del
+    )
+    if ustats["version"] is None:
+        assert not any(k % 3 == 0 for k, _ in want_del)
+    else:
+        got = sorted((r.k, r.v) for r in
+                     versioned.read_version(spark, path).collect())
+        assert got == want_upd
+    # version 0 is immutable through both statements
+    assert sorted((r.k, r.v) for r in
+                  versioned.read_version(spark, path, 0).collect()) \
+        == sorted(base)
