@@ -58,6 +58,17 @@ def get_spark(app_name: str = "spark-graft-engine", master: str | None = None,
         builder = builder.master(master)
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
+    # Deployment escape hatch: comma-separated k=v pairs layered on
+    # top of the defaults (e.g. spark.scheduler.mode=FAIR for the
+    # multi-stream throughput bench).
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in extra.split(","))):
+        k, _, v = pair.partition("=")
+        if not v:
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF entry {pair!r} is not k=v"
+            )
+        builder = builder.config(k, v)
     builder = builder.config(
         "spark.sql.shuffle.partitions",
         str(shuffle_partitions if shuffle_partitions is not None else int(cpus)),

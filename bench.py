@@ -19,6 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # --streams N: TPC-H-style throughput test — N concurrent query
+    # streams on ONE session, each running the full registry in a
+    # stream-specific rotation, under FAIR scheduling so no stream
+    # starves (the multi-tenant contention a shared cluster actually
+    # sees; single-stream latency is the plain path below). Prints one
+    # JSON line with per-stream walls and the aggregate queries/sec.
+    if "--streams" in sys.argv:
+        _run_streams(int(sys.argv[sys.argv.index("--streams") + 1]))
+        return
     # --sweep: one JSON line per SF (scaling evidence); the driver's
     # plain `python bench.py` path is unchanged.
     if "--sweep" in sys.argv:
@@ -114,6 +123,54 @@ def _run_one() -> None:
         compact["queries"] = {}
         line = json.dumps(compact)
     print(line)
+
+
+def _run_streams(n_streams: int) -> None:
+    import concurrent.futures as cf
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import get_spark
+
+    # FAIR mode must be set before the context starts; without an
+    # allocation file every job lands in one fair-shared default pool,
+    # which is exactly the no-starvation behavior the test wants.
+    os.environ.setdefault("SPARK_GRAFT_EXTRA_CONF",
+                          "spark.scheduler.mode=FAIR")
+    spark = get_spark("bench-streams")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    qs = list(entrymod.queries().items())
+
+    def stream(i: int) -> float:
+        # per-stream rotation: stream i starts at query i·|Q|/N, so the
+        # streams hit different plans at any instant (the TPC-H
+        # throughput-test shuffle) while every stream still runs ALL
+        # queries.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+                                            f"stream-{i}")
+        order = qs[i * len(qs) // n_streams:] + qs[:i * len(qs) // n_streams]
+        t0 = time.perf_counter()
+        for _name, fn in order:
+            fn(spark, sf_dir).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    t_all = time.perf_counter()
+    with cf.ThreadPoolExecutor(max_workers=n_streams) as pool:
+        walls = list(pool.map(stream, range(n_streams)))
+    total = round(time.perf_counter() - t_all, 3)
+    print(json.dumps({
+        "metric": f"{n_streams}-stream throughput",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "stream_walls": walls,
+        "queries_per_sec": round(n_streams * len(qs) / total, 2),
+        "n_queries_per_stream": len(qs),
+    }))
 
 
 if __name__ == "__main__":
