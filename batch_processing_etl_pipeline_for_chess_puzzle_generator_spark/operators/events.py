@@ -3171,3 +3171,128 @@ ORACLES["ev_props_variant"] = """
           FROM events)
     GROUP BY 1, 2
 """
+
+
+# ------------------------------------- CUSUM sustained-shift detection
+#
+# CUSUM (cumulative sum control chart) detects SUSTAINED level shifts
+# that per-day z-score/MAD anomaly flags miss: s_i = max(0, s_{i-1} +
+# (x_i − μ − slack)) accumulates persistent small excess and alarms
+# when it crosses h, while one-day spikes decay back to zero. The
+# recurrence is inherently sequential IN DAYS, so like ev_exp_smoothing
+# it folds row-locally over each type's collected daily series
+# (O(days) per group — hundreds of elements, never corpus-sized); the
+# corpus-scale work is only the daily count agg. Baseline μ = mean of
+# the first 7 days, slack = μ/20, alarm threshold h = μ — all on a
+# non-negative ×100 integer grid (counts are non-negative, and s is
+# clamped at 0, so DIV↔// never sees a negative dividend).
+def ev_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+    ).agg(F.expr("CAST(COUNT(*) * 100 AS BIGINT)").alias("xc"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, xc))), p -> p.xc)"
+        ).alias("xs")
+    ).selectExpr(
+        "event_type",
+        "xs",
+        "aggregate(slice(xs, 1, 7), CAST(0 AS BIGINT), (a, x) -> a + x) "
+        "DIV least(CAST(7 AS BIGINT), size(xs)) AS mu",
+    ).selectExpr(
+        "event_type", "xs", "mu",
+        "mu DIV 20 AS slack",
+        "mu AS h",
+    )
+    elem = ("named_struct("
+            "'s', greatest(CAST(0 AS BIGINT), x - mu - slack), "
+            "'mx', greatest(CAST(0 AS BIGINT), x - mu - slack), "
+            "'alarms', CAST(CASE WHEN greatest(CAST(0 AS BIGINT), "
+            "x - mu - slack) > h THEN 1 ELSE 0 END AS BIGINT), "
+            "'xc', x)")
+    step = ("named_struct("
+            "'s', greatest(CAST(0 AS BIGINT), acc.s + e.xc - mu - slack), "
+            "'mx', greatest(acc.mx, greatest(CAST(0 AS BIGINT), "
+            "acc.s + e.xc - mu - slack)), "
+            "'alarms', acc.alarms + CAST(CASE WHEN "
+            "greatest(CAST(0 AS BIGINT), acc.s + e.xc - mu - slack) > h "
+            "THEN 1 ELSE 0 END AS BIGINT), "
+            "'xc', e.xc)")
+    fold = (
+        f"aggregate(slice(es, 2, size(es) - 1), element_at(es, 1), "
+        f"(acc, e) -> {step})"
+    )
+    return series.selectExpr(
+        "event_type", "mu", "slack", "h",
+        f"transform(xs, x -> {elem}) AS es",
+        "CAST(size(xs) AS BIGINT) AS n_days",
+    ).selectExpr(
+        "event_type", "n_days", "mu AS mu_c100",
+        f"{fold}.s AS cusum_final_c100",
+        f"{fold}.mx AS cusum_max_c100",
+        f"{fold}.alarms AS n_alarm_days",
+    )
+
+
+QUERIES["ev_cusum_shift"] = ev_cusum_shift
+
+ORACLES["ev_cusum_shift"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) * 100 AS BIGINT) AS xc
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, list(xc ORDER BY day) AS xs FROM daily GROUP BY 1
+    ),
+    params AS (
+        SELECT event_type, xs,
+               CAST(list_sum(xs[1:7]) AS BIGINT)
+                   // least(CAST(7 AS BIGINT), len(xs)) AS mu
+        FROM series
+    ),
+    p2 AS (
+        SELECT event_type, xs, mu, mu // 20 AS slack, mu AS h FROM params
+    ),
+    folded AS (
+        -- Field ORDER in the step struct is load-bearing for DuckDB:
+        -- its lambda evaluates struct fields sequentially and a later
+        -- field referencing acc.s sees the value the 's' field just
+        -- wrote (measured: putting 's' first inflated 'mx' by
+        -- double-adding the day's excess). Dependent fields ('mx',
+        -- 'alarms') therefore come BEFORE 's', so they read the
+        -- PRE-step accumulator like Spark's side-effect-free
+        -- named_struct does.
+        SELECT event_type, mu, slack, h,
+               CAST(len(xs) AS BIGINT) AS n_days,
+               list_reduce(
+                   list_transform(xs, x -> {
+                       'mx': greatest(CAST(0 AS BIGINT), x - mu - slack),
+                       'alarms': CAST(CASE WHEN greatest(CAST(0 AS BIGINT),
+                                   x - mu - slack) > h
+                                   THEN 1 ELSE 0 END AS BIGINT),
+                       's': greatest(CAST(0 AS BIGINT), x - mu - slack),
+                       'xc': x
+                   }),
+                   (acc, e) -> {
+                       'mx': greatest(acc.mx,
+                                      greatest(CAST(0 AS BIGINT),
+                                               acc.s + e.xc - mu - slack)),
+                       'alarms': acc.alarms + CAST(CASE WHEN
+                                   greatest(CAST(0 AS BIGINT),
+                                            acc.s + e.xc - mu - slack) > h
+                                   THEN 1 ELSE 0 END AS BIGINT),
+                       's': greatest(CAST(0 AS BIGINT),
+                                     acc.s + e.xc - mu - slack),
+                       'xc': e.xc
+                   }) AS st
+        FROM p2
+    )
+    SELECT event_type, n_days, mu AS mu_c100,
+           st.s AS cusum_final_c100,
+           st.mx AS cusum_max_c100,
+           st.alarms AS n_alarm_days
+    FROM folded
+"""
