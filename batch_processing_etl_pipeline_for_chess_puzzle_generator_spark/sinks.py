@@ -408,12 +408,19 @@ def write_xml(df: DataFrame, path: str, mode: str = "overwrite",
 
 
 def read_xml(spark: SparkSession, path: str, schema: str | None = None,
-             row_tag: str = "row") -> DataFrame:
+             row_tag: str = "row", **options: str) -> DataFrame:
     """XML source. Pass ``schema`` (DDL string) to pin types — XML
     carries no type metadata, so schema-less reads infer (the same
     schema-on-read contract as the ND-JSON source; production readers
-    should pin, exactly like sources/ndjson.py does)."""
+    should pin, exactly like sources/ndjson.py does). Extra reader
+    options pass through — the malformed-input contract mirrors the
+    ND-JSON source: ``mode="PERMISSIVE"`` +
+    ``columnNameOfCorruptRecord`` (with that column in the schema)
+    routes bad rows to the corrupt column instead of failing the job.
+    """
     r = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        r = r.option(k, v)
     if schema is not None:
         r = r.schema(schema)
     return r.load(path)

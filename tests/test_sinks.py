@@ -361,3 +361,29 @@ def test_xml_round_trip(spark, tmp_path, docs):
            for r in nback.collect()}
     assert got[7] == ("p7", 1507, ["e7", "e4"])
     assert len(got) == 20
+
+
+def test_xml_corrupt_record_routing(spark, tmp_path):
+    """Malformed XML rows land in the corrupt-record column instead of
+    failing the read — the same PERMISSIVE contract the ND-JSON source
+    ships (sources/ndjson.py), on the second wire format."""
+    d = tmp_path / "xmlsrc"
+    d.mkdir()
+    (d / "part.xml").write_text(
+        "<rows>"
+        "<row><doc_id>1</doc_id><lang>en</lang></row>"
+        "<row><doc_id>not-a-number</doc_id><lang>de</lang></row>"
+        "<row><doc_id>3</doc_id><lang>fr</lang></row>"
+        "</rows>"
+    )
+    back = sinks.read_xml(
+        spark, str(d),
+        schema="doc_id LONG, lang STRING, _corrupt_record STRING",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = back.collect()
+    good = {r.doc_id: r.lang for r in rows if r._corrupt_record is None}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert good == {1: "en", 3: "fr"}
+    assert len(bad) == 1 and "not-a-number" in bad[0]._corrupt_record
