@@ -20,9 +20,38 @@ Caches holding frames that must free promptly should therefore store
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 DEFAULT_CACHE_CAP = 8
+
+# One process-wide lock serializes every memo-cache's check-then-put:
+# concurrent registry runs (the --streams throughput bench, notebook
+# threads) would otherwise both miss, both persist(), and the second
+# put would unpersist the first thread's frame mid-collection. Cache
+# hits stay lock-cheap (dict read under a briefly-held lock); the
+# factory runs OUTSIDE the lock on a miss — two racers may build
+# twice, but the loser's frame is released, never one in active use.
+_CACHE_LOCK = threading.Lock()
+
+
+def cache_get_or_put(cache: dict, key, factory,
+                     cap: int = DEFAULT_CACHE_CAP) -> DataFrame:
+    """Thread-safe memoized build: return ``cache[key]`` if present,
+    else build via ``factory()`` (outside the lock) and insert through
+    :func:`bounded_cache_put`. If another thread won the race while
+    the factory ran, the freshly built frame is released and the
+    winner's is returned."""
+    with _CACHE_LOCK:
+        if key in cache:
+            return cache[key]
+    df = factory()
+    with _CACHE_LOCK:
+        if key in cache:  # lost the race: keep the winner's frame
+            df.unpersist()
+            return cache[key]
+        return bounded_cache_put(cache, key, df, cap=cap)
 
 
 def bounded_cache_put(cache: dict, key, df: DataFrame,

@@ -434,7 +434,7 @@ def shallow_clone(spark: SparkSession, statement: str) -> int:
             f"versioned.`/src` [VERSION AS OF n]; got: {statement!r}"
         )
     return versioned.clone_table(
-        m["src"], m["dst"], int(m["v"]) if m["v"] else None
+        m["src"], m["dst"], int(m["v"]) if m["v"] else None, spark=spark
     )
 
 

@@ -116,6 +116,7 @@ def _family(i: int, base: str) -> str:
 # CC caches per the r2 advice).
 from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.caching import (
     bounded_cache_put as _cache_put,
+    cache_get_or_put as _cache_get_or_put,
 )
 
 _SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
@@ -425,6 +426,19 @@ def _ngram_postings(docs: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
     )
 
 
+def _cached_postings(spark: SparkSession, sf_dir: str,
+                     docs: DataFrame) -> DataFrame:
+    """Shared df-capped postings, persisted once per (session, sf_dir)
+    and reused by every entry that joins on shingles (Jaccard,
+    containment). Thread-safe: the --streams bench runs registry
+    entries concurrently."""
+    pkey = (spark.sparkContext.applicationId, sf_dir)
+    return _cache_get_or_put(
+        _NGRAM_POSTINGS_CACHE, pkey,
+        lambda: _ngram_postings(docs).persist(),
+    )
+
+
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard: pairs within 10 chars of each
     other in length and Jaccard ≥ 0.5, over df-capped shingle sets.
@@ -446,12 +460,7 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache so repeated calls reuse one persisted frame instead of
     # pinning a fresh copy each time. At production scale this is the
     # materialized postings/signature table.
-    pkey = (spark.sparkContext.applicationId, sf_dir)
-    if pkey in _NGRAM_POSTINGS_CACHE:
-        ex = _NGRAM_POSTINGS_CACHE[pkey]
-    else:
-        ex = _cache_put(_NGRAM_POSTINGS_CACHE, pkey,
-                        _ngram_postings(docs).persist())
+    ex = _cached_postings(spark, sf_dir, docs)
     a = ex.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_chars").alias("na"),
@@ -1491,12 +1500,7 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").withColumn(
         "ws", F.split("text", " ")
     )
-    pkey = (spark.sparkContext.applicationId, sf_dir)
-    if pkey in _NGRAM_POSTINGS_CACHE:
-        ex = _NGRAM_POSTINGS_CACHE[pkey]
-    else:
-        ex = _cache_put(_NGRAM_POSTINGS_CACHE, pkey,
-                        _ngram_postings(docs).persist())
+    ex = _cached_postings(spark, sf_dir, docs)
     a = ex.select(F.col("doc_id").alias("doc_a"),
                   F.col("sz").alias("sa_sz"), "s")
     b = ex.select(F.col("doc_id").alias("doc_b"),

@@ -2865,9 +2865,24 @@ ORACLES["emb_mmr_diversify"] = _mmr_oracle()
 # ↔ ORDER BY sim DESC, cl ASC).
 def emb_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, c = _split(spark, sf_dir)
+    # Centroid components are the rounded MEAN, not the raw sum:
+    # cosine is scale-invariant so either works semantically, but a
+    # full-corpus per-label SUM grows with cluster size and its
+    # squared norm overflows int64 near ~3000 members/label — the
+    # mean stays on the vectors' own ±1e6 grid, so norms and dot
+    # products are bounded exactly like the vector-vector case at ANY
+    # corpus size. (The exact integer sum itself is int64-safe to
+    # ~9e12 members; only the division's operand order matters for
+    # determinism, and BIGINT→DOUBLE + ROUND round identically on
+    # both engines.)
     cents = (
         c.select("label", F.posexplode("ca").alias("pos", "x"))
-        .groupBy("label", "pos").agg(F.sum("x").alias("s"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .selectExpr(
+            "label", "pos",
+            "CAST(ROUND(CAST(sm AS DOUBLE) / n) AS BIGINT) AS s",
+        )
         .groupBy("label")
         .agg(F.expr(
             "transform(array_sort(collect_list("
@@ -2903,7 +2918,11 @@ ORACLES["emb_centroid_confusion"] = f"""
         FROM v
     ),
     nrm AS (SELECT c_id, sum(x * x) AS n2 FROM comp GROUP BY 1),
-    cent AS (SELECT label AS cl, pos, sum(x) AS s FROM comp GROUP BY 1, 2),
+    cent AS (
+        SELECT label AS cl, pos,
+               CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS s
+        FROM comp GROUP BY 1, 2
+    ),
     cn AS (SELECT cl, sum(s * s) AS n2 FROM cent GROUP BY 1),
     dots AS (
         SELECT c.c_id, ct.cl, sum(c.x * ct.s) AS d

@@ -42,6 +42,31 @@ _DEFAULTS = {
 }
 
 
+def _parse_extra_conf(extra: str) -> list[tuple[str, str]]:
+    """Lenient comma parse of SPARK_GRAFT_EXTRA_CONF: some Spark conf
+    VALUES are themselves comma-separated lists (spark.sql.extensions),
+    so a fragment with no '=' continues the PREVIOUS entry's value
+    instead of erroring; a leading non-k=v fragment is still a hard
+    error, as is an empty key or value."""
+    pairs: list[list[str]] = []
+    for frag in filter(None, (p.strip() for p in extra.split(","))):
+        if "=" in frag:
+            k, _, v = frag.partition("=")
+            if not k.strip() or not v:
+                raise ValueError(
+                    f"SPARK_GRAFT_EXTRA_CONF entry {frag!r} is not k=v"
+                )
+            pairs.append([k.strip(), v])
+        elif pairs:
+            pairs[-1][1] += "," + frag
+        else:
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF starts with a non-k=v "
+                f"fragment: {frag!r}"
+            )
+    return [(k, v) for k, v in pairs]
+
+
 def get_spark(app_name: str = "spark-graft-engine", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) the tuned session.
@@ -61,13 +86,9 @@ def get_spark(app_name: str = "spark-graft-engine", master: str | None = None,
     # Deployment escape hatch: comma-separated k=v pairs layered on
     # top of the defaults (e.g. spark.scheduler.mode=FAIR for the
     # multi-stream throughput bench).
-    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
-    for pair in filter(None, (p.strip() for p in extra.split(","))):
-        k, _, v = pair.partition("=")
-        if not v:
-            raise ValueError(
-                f"SPARK_GRAFT_EXTRA_CONF entry {pair!r} is not k=v"
-            )
+    for k, v in _parse_extra_conf(
+        os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    ):
         builder = builder.config(k, v)
     builder = builder.config(
         "spark.sql.shuffle.partitions",

@@ -1083,7 +1083,8 @@ def restore_version(table_path: str, to_version: int) -> int:
 
 
 def clone_table(src_path: str, dst_path: str,
-                version: int | None = None) -> int:
+                version: int | None = None,
+                spark: SparkSession | None = None) -> int:
     """SHALLOW CLONE (Delta's analog): commit version 0 of a NEW table
     at ``dst_path`` whose manifest references the SOURCE snapshot's
     data files by ABSOLUTE path — no data is copied, so a 100 TB table
@@ -1130,19 +1131,17 @@ def clone_table(src_path: str, dst_path: str,
         },
     }
     if manifest["schema"] is None:
-        # legacy source: infer once from the files' footers at clone
-        # time so the clone is self-describing
-        import pyarrow.parquet as pq  # noqa: F401  (env-guaranteed)
-
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
-        if spark is None:
+        # legacy source: infer the schema once at clone time so the
+        # clone is self-describing. Prefer the caller's session — the
+        # active-session fallback is None on worker threads (exactly
+        # the --streams execution shape).
+        sess = spark or SparkSession.getActiveSession()
+        if sess is None:
             raise RuntimeError(
-                "cloning a legacy (schema-less) manifest needs an "
-                "active SparkSession to infer the schema"
+                "cloning a legacy (schema-less) manifest needs a "
+                "SparkSession to infer the schema — pass spark="
             )
-        manifest["schema"] = spark.read.parquet(*abs_files).schema.json()
+        manifest["schema"] = sess.read.parquet(*abs_files).schema.json()
     if src.get("stats_col") is not None and src.get("stats") is not None:
         manifest["stats_col"] = src["stats_col"]
         manifest["stats"] = {

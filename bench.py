@@ -137,8 +137,14 @@ def _run_streams(n_streams: int) -> None:
     # FAIR mode must be set before the context starts; without an
     # allocation file every job lands in one fair-shared default pool,
     # which is exactly the no-starvation behavior the test wants.
-    os.environ.setdefault("SPARK_GRAFT_EXTRA_CONF",
-                          "spark.scheduler.mode=FAIR")
+    # APPEND to any user-supplied extra conf — setdefault would
+    # silently run FIFO (and report it as FAIR) whenever the user
+    # already set the documented tuning knob.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    if "spark.scheduler.mode" not in extra:
+        os.environ["SPARK_GRAFT_EXTRA_CONF"] = (
+            (extra + "," if extra else "") + "spark.scheduler.mode=FAIR"
+        )
     spark = get_spark("bench-streams")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -154,14 +160,21 @@ def _run_streams(n_streams: int) -> None:
                                             f"stream-{i}")
         order = qs[i * len(qs) // n_streams:] + qs[:i * len(qs) // n_streams]
         t0 = time.perf_counter()
+        errs = 0
         for _name, fn in order:
-            fn(spark, sf_dir).collect()
-        return round(time.perf_counter() - t0, 3)
+            try:
+                fn(spark, sf_dir).collect()
+            except Exception:  # noqa: BLE001 — same contract as
+                errs += 1      # _run_one: one bad query must not lose
+                               # the whole throughput record
+        return round(time.perf_counter() - t0, 3), errs
 
     t_all = time.perf_counter()
     with cf.ThreadPoolExecutor(max_workers=n_streams) as pool:
-        walls = list(pool.map(stream, range(n_streams)))
+        results = list(pool.map(stream, range(n_streams)))
     total = round(time.perf_counter() - t_all, 3)
+    walls = [w for w, _ in results]
+    n_errors = sum(e for _, e in results)
     print(json.dumps({
         "metric": f"{n_streams}-stream throughput",
         "value": total,
@@ -170,6 +183,7 @@ def _run_streams(n_streams: int) -> None:
         "stream_walls": walls,
         "queries_per_sec": round(n_streams * len(qs) / total, 2),
         "n_queries_per_stream": len(qs),
+        "n_errors": n_errors,
     }))
 
 

@@ -122,3 +122,26 @@ def test_sql_function_library(spark):
         "SELECT cents(o_totalprice) FROM orders"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_parse_extra_conf_lenient_commas():
+    """SPARK_GRAFT_EXTRA_CONF parsing: comma-separated k=v pairs, with
+    a no-'=' fragment CONTINUING the previous value (Spark confs like
+    spark.sql.extensions are themselves comma-lists)."""
+    import pytest as _pytest
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.session import (
+        _parse_extra_conf,
+    )
+
+    assert _parse_extra_conf("") == []
+    assert _parse_extra_conf("a=1, b=2") == [("a", "1"), ("b", "2")]
+    assert _parse_extra_conf(
+        "spark.sql.extensions=com.A$Ext,com.B$Ext,x=y"
+    ) == [("spark.sql.extensions", "com.A$Ext,com.B$Ext"), ("x", "y")]
+    with _pytest.raises(ValueError, match="not k=v"):
+        _parse_extra_conf("a=")
+    with _pytest.raises(ValueError, match="not k=v"):
+        _parse_extra_conf("=v")
+    with _pytest.raises(ValueError, match="starts with"):
+        _parse_extra_conf("loosefrag,a=1")
