@@ -32,7 +32,11 @@ DEFAULT_CACHE_CAP = 8
 # put would unpersist the first thread's frame mid-collection. Cache
 # hits stay lock-cheap (dict read under a briefly-held lock); the
 # factory runs OUTSIDE the lock on a miss — two racers may build
-# twice, but the loser's frame is released, never one in active use.
+# twice, and the loser's frame is released. Cap eviction can still
+# unpersist a frame another thread fetched earlier and is actively
+# collecting — Spark just recomputes, so that is a perf cliff on an
+# over-subscribed cache, not a correctness hazard (true pinning would
+# need per-entry refcounts; not worth it at cap=8).
 _CACHE_LOCK = threading.Lock()
 
 

@@ -325,8 +325,11 @@ def _toplevel_find(text: str, word: str) -> int:
             depth -= 1
         elif depth == 0 and text[i:i + wl].upper() == word:
             before_ok = i == 0 or text[i - 1].isspace()
+            # any non-identifier char terminates the keyword — SQL
+            # allows `WHERE(k = 1)` with no space before the paren
             after = text[i + wl:i + wl + 1]
-            if before_ok and (after == "" or after.isspace()):
+            if before_ok and (after == ""
+                              or not (after.isalnum() or after == "_")):
                 return i
         i += 1
     return -1
@@ -487,26 +490,47 @@ def _rewrite_versioned_refs(spark: SparkSession, statement: str) -> str:
         versioned.read_version(spark, path, v).createOrReplaceTempView(name)
         return name
 
-    # Substitute only OUTSIDE single-quoted string literals: a literal
-    # that happens to contain "versioned.`...`" is data, not a table
-    # reference. Segments alternate unquoted/quoted; escaped quotes
-    # (\' and '') stay inside the literal.
+    # Substitute only OUTSIDE string literals and comments: a literal
+    # or comment that happens to contain "versioned.`...`" is data
+    # (rewriting it would eagerly read_version a possibly-nonexistent
+    # path, or swap the literal's value for a view name). Spark's
+    # default parser treats both '...' and "..." as string literals,
+    # and -- / /* */ as comments — all four are passed through
+    # untouched. Escaped quotes (\') stay inside the literal.
     out, i, n, seg = [], 0, len(statement), []
+
+    def _flush():
+        out.append(_VERSIONED_REF_RE.sub(_sub, "".join(seg)))
+        seg.clear()
+
     while i < n:
         ch = statement[i]
-        if ch == "'":
-            out.append(_VERSIONED_REF_RE.sub(_sub, "".join(seg)))
-            seg = []
+        if ch in ("'", '"'):
+            _flush()
             j = i + 1
-            while j < n and statement[j] != "'":
+            while j < n and statement[j] != ch:
                 j += 2 if statement[j] == "\\" else 1
             j = min(j + 1, n)
             out.append(statement[i:j])
             i = j
             continue
+        if ch == "-" and statement[i:i + 2] == "--":
+            _flush()
+            j = statement.find("\n", i)
+            j = n if j == -1 else j + 1
+            out.append(statement[i:j])
+            i = j
+            continue
+        if ch == "/" and statement[i:i + 2] == "/*":
+            _flush()
+            j = statement.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            out.append(statement[i:j])
+            i = j
+            continue
         seg.append(ch)
         i += 1
-    out.append(_VERSIONED_REF_RE.sub(_sub, "".join(seg)))
+    _flush()
     return "".join(out)
 
 

@@ -151,7 +151,7 @@ def _run_streams(n_streams: int) -> None:
 
     qs = list(entrymod.queries().items())
 
-    def stream(i: int) -> float:
+    def stream(i: int) -> tuple[float, int]:
         # per-stream rotation: stream i starts at query i·|Q|/N, so the
         # streams hit different plans at any instant (the TPC-H
         # throughput-test shuffle) while every stream still runs ALL

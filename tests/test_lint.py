@@ -57,3 +57,37 @@ def test_static_rules_catch_the_incident_constructs():
         "ok": "SELECT CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))"
               " FROM t",
     }) == []
+
+
+def test_rule_b2_catches_decimal_of_double_at_any_precision():
+    """The r5 false-negative hole: w_customer_value_bands shipped red
+    three rounds running on CAST(MIN/MAX(DOUBLE) AS DECIMAL(12,2)) —
+    narrow precision, so rule B's p>18 threshold never fired. Rule B2
+    must flag agg-of-raw-double and AS-DOUBLE bodies at ANY precision,
+    while leaving the sanctioned constructs alone."""
+    findings = lint_oracles({
+        # the literal r3-r5 red construct (narrow DECIMAL)
+        "red": "SELECT CAST(MIN(c_acctbal) AS DECIMAL(12,2)) AS min_bal"
+               " FROM customer",
+        # a double value laundered through AS DOUBLE inside the cast
+        "dbl": "SELECT CAST(CAST(s AS DOUBLE) / n AS DECIMAL(12,6)) FROM t",
+        # scientific-notation literal (DOUBLE in both engines)
+        "sci": "SELECT CAST(x * 1e6 AS DECIMAL(18,0)) FROM t",
+    })
+    assert any("red: rule B2" in f for f in findings)
+    assert any("dbl: rule B2" in f for f in findings)
+    assert any("sci: rule B2" in f for f in findings)
+    # sanctioned constructs pass:
+    assert lint_oracles({
+        # bare-column scan-time normalization (the house fix itself)
+        "n1": "SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer",
+        # same, table-qualified (part_type_hhi / customer_ltv_cohorts)
+        "n2": "SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))"
+              " AS DECIMAL(18,2)) AS cost FROM lineitem l",
+        # exact-decimal aggregation over a pre-normalized CTE column
+        "n3": "WITH c AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p"
+              " FROM orders) SELECT CAST(SUM(p) AS DECIMAL(18,2)) FROM c",
+        # nested BIGINT-grid cast never materializes decimal digits
+        "n4": "SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100"
+              " AS BIGINT) AS bal_c FROM customer",
+    }) == []

@@ -543,3 +543,36 @@ def test_shallow_clone_statement(spark, tmp_path):
                ).first().v == 1
     assert sql(spark, f"SELECT v FROM versioned.`{src}` WHERE k = 0"
                ).first().v == 0
+
+
+def test_toplevel_keyword_needs_no_trailing_space(spark, tmp_path):
+    """r5 advice: `WHERE(k = 1)` — any non-identifier char terminates
+    the keyword, so the WHERE clause must split off the SET text
+    instead of raising 'bad SET assignment'."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import update_table
+
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, 6, 1), path)
+    update_table(spark,
+                 f"UPDATE versioned.`{path}` SET v = 'hit' WHERE(k = 1)")
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[1] == "hit" and got[2] == "v2"
+
+
+def test_versioned_ref_masking_skips_double_quotes_and_comments(spark):
+    """r5 advice: Spark's default parser treats "..." as a string
+    literal and -- / /* */ as comments; a versioned ref inside any of
+    them is data, not a table reference — rewriting it would eagerly
+    read_version a nonexistent path and abort a valid statement."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql
+
+    r = sql(spark, 'SELECT "versioned.`/nope`" AS s').first()
+    assert r.s == "versioned.`/nope`"
+    r = sql(spark, "SELECT 1 AS n -- versioned.`/nope` VERSION AS OF 3\n"
+                   "FROM range(1)").first()
+    assert r.n == 1
+    r = sql(spark, "SELECT /* versioned.`/nope` */ 2 AS n").first()
+    assert r.n == 2
+    # unterminated trailing comment does not crash the scanner
+    r = sql(spark, "SELECT 3 AS n -- versioned.`/nope`").first()
+    assert r.n == 3

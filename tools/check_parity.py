@@ -8,10 +8,27 @@ Run: python tools/check_parity.py [sf_dir] [key ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+
+def _canon_decimal(v: decimal.Decimal) -> str:
+    """Canonical fixed-point form with trailing zeros stripped.
+
+    Engines disagree on DECIMAL *rendering* even when the value is
+    identical — an engine that hands back ``9561.950`` for a
+    DECIMAL(13,3) must hash equal to one that hands back ``9561.95``
+    (r5 verdict #3: the driver stringifies raw values, so a scale
+    difference alone would read as a hash mismatch locally-undetected).
+    normalize() strips trailing zeros but renders 100 as 1E+2; the
+    'f' format puts it back in fixed-point. -0 folds to 0.
+    """
+    if v == 0:
+        v = decimal.Decimal(0)
+    return format(v.normalize(), "f")
 
 
 def normalize(rows, colnames) -> list[tuple]:
@@ -21,7 +38,9 @@ def normalize(rows, colnames) -> list[tuple]:
         vals = []
         for i in order:
             v = row[i]
-            if isinstance(v, float):
+            if isinstance(v, decimal.Decimal):
+                vals.append(_canon_decimal(v))
+            elif isinstance(v, float):
                 if math.isnan(v):
                     vals.append("nan")
                 else:

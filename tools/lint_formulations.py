@@ -39,6 +39,30 @@ B. NO WIDE-DECIMAL MATERIALIZATION OF DOUBLES — no ``CAST(expr AS
    emb_label_centroids) is the one legitimate wide-decimal use and is
    not flagged.
 
+B2. NO DECIMAL MATERIALIZATION OF DOUBLE-SOURCED VALUES AT *ANY*
+   PRECISION — the r5-verdict hole that kept w_customer_value_bands
+   red for three rounds while rule B looked only at p>18: its exposed
+   ``CAST(MIN/MAX(c_acctbal) AS DECIMAL(12,2))`` materializes the
+   decimal digits of an aggregated DOUBLE, and even below 2^53 that
+   conversion differs across engine versions (Spark shortest-repr
+   BigDecimal + HALF_UP vs DuckDB exact-binary conversion whose
+   rounding mode changed across releases). Flag every ``CAST(expr AS
+   DECIMAL(p,s))`` — any precision — whose body still touches a raw
+   DOUBLE after the sanctioned normalizations are masked out:
+     - a raw DOUBLE-typed source column (c_acctbal, o_totalprice,
+       l_extendedprice, events.value, …) that is NOT bare-column
+       decimal-normalized (``CAST(col AS DECIMAL(p,s))`` — the
+       scan-time idiom proven driver-green by
+       orders_median_by_priority, masked before matching);
+     - an ``AS DOUBLE`` cast inside the body (a double value flowing
+       into decimal digits);
+     - a scientific-notation literal (``1e6`` is DOUBLE in both
+       engines).
+   Exact-DECIMAL-sourced casts (sums of normalized decimals, integer
+   grids widened to DECIMAL) pass the mask automatically; anything
+   else must be rewritten onto a BIGINT grid or audited into
+   ``B2_ALLOWLIST`` with the reason recorded there.
+
 C. NO FRACTIONAL ROUND — ``ROUND(x, k>=1)`` exposed from an oracle is
    the r3 incident class: the 10^-k scaling path rounds a last-ulp
    boundary differently across engine versions. Integer ROUND
@@ -86,9 +110,11 @@ BANNED_FNS = re.compile(
 _DOUBLEISH = re.compile(r"\bROUND\b|\bDOUBLE\b|/|\d\.\d|\de\d", re.IGNORECASE)
 
 
-def _wide_decimal_casts(sql: str):
-    """Yield (precision, inner_expr) for every CAST(expr AS DECIMAL(p,...))
-    with p > 18, by balancing parens from each CAST( site."""
+def _decimal_casts(sql: str):
+    """Yield (precision, inner_expr) for EVERY CAST(expr AS DECIMAL(p,...)),
+    by balancing parens from each CAST( site. Only THIS cast's own
+    target type counts: the ``AS DECIMAL`` must sit at paren depth 0
+    within the body, not inside a nested CAST."""
     for m in re.finditer(r"\bCAST\s*\(", sql, re.IGNORECASE):
         depth, i = 1, m.end()
         while i < len(sql) and depth:
@@ -98,10 +124,44 @@ def _wide_decimal_casts(sql: str):
                 depth -= 1
             i += 1
         body = sql[m.end():i - 1]
-        tail = re.search(r"\bAS\s+DECIMAL\s*\(\s*(\d+)\s*[,)]",
-                         body, re.IGNORECASE)
-        if tail and int(tail.group(1)) > 18:
-            yield int(tail.group(1)), body[:tail.start()]
+        for tail in re.finditer(r"\bAS\s+DECIMAL\s*\(\s*(\d+)\s*[,)]",
+                                body, re.IGNORECASE):
+            prefix = body[:tail.start()]
+            if prefix.count("(") == prefix.count(")"):
+                yield int(tail.group(1)), prefix
+                break
+
+
+# Rule B2 machinery: the raw DOUBLE-typed source columns across the ten
+# testdata tables (embeddings' FLOAT[] never meets a DECIMAL cast).
+DOUBLE_SOURCE_COLS = (
+    "c_acctbal", "s_acctbal", "p_retailprice", "o_totalprice",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "value",
+)
+_RAW_DOUBLE_COL = re.compile(
+    r"\b(" + "|".join(DOUBLE_SOURCE_COLS) + r")\b", re.IGNORECASE
+)
+# The sanctioned scan-time normalization — a BARE double column cast
+# straight to DECIMAL, no arithmetic and no aggregate inside the cast
+# (orders_median_by_priority's driver-green idiom). Masked out before
+# rule B2 looks for raw doubles.
+_DECNORM = re.compile(
+    r"CAST\s*\(\s*(?:[A-Za-z_][A-Za-z0-9_]*\s*\.\s*)?(?:"
+    + "|".join(DOUBLE_SOURCE_COLS)
+    + r")\s+AS\s+DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)\s*\)",
+    re.IGNORECASE,
+)
+# Double markers surviving the mask: an AS DOUBLE cast in the body, or
+# a scientific-notation literal (DOUBLE-typed in Spark AND DuckDB).
+_B2_DOUBLE_MARKER = re.compile(
+    r"\bAS\s+DOUBLE\b|\b\d+(?:\.\d+)?[eE][-+]?\d+\b"
+)
+
+# (key) entries whose flagged DECIMAL cast was hand-audited safe.
+# Adding a key here is a statement that every rule-B2 hit in its oracle
+# was traced to an exact-DECIMAL/BIGINT source (alias shadowing a
+# normalized column, never a raw double). Keep the reason inline.
+B2_ALLOWLIST: dict[str, str] = {}
 
 # ROUND with an explicit second argument; nested parens up to 2 deep.
 FRACTIONAL_ROUND = re.compile(
@@ -227,13 +287,32 @@ def lint_oracles(oracles: dict[str, str]) -> list[str]:
                 f"{key}: rule A — banned engine function "
                 f"'{m.group(1)}' in oracle SQL"
             )
-        for prec, inner in _wide_decimal_casts(sql):
-            if _DOUBLEISH.search(inner):
+        for prec, inner in _decimal_casts(sql):
+            if prec > 18 and _DOUBLEISH.search(inner):
                 findings.append(
                     f"{key}: rule B — CAST of double-arithmetic expression "
                     f"to DECIMAL({prec},...) in oracle SQL "
                     f"(digit-materialization of a >2^53 double is "
                     f"engine-dependent; scale below 2^53 first)"
+                )
+            if re.fullmatch(r"\s*[A-Za-z_][A-Za-z0-9_.]*\s*", inner):
+                # bare-column normalization — the sanctioned scan-time
+                # idiom (orders_median_by_priority, driver-green)
+                continue
+            masked = _DECNORM.sub("__DECNORM__", inner)
+            if key not in B2_ALLOWLIST and (
+                _RAW_DOUBLE_COL.search(masked)
+                or _B2_DOUBLE_MARKER.search(masked)
+            ):
+                hit = (_RAW_DOUBLE_COL.search(masked)
+                       or _B2_DOUBLE_MARKER.search(masked)).group(0)
+                findings.append(
+                    f"{key}: rule B2 — CAST(... AS DECIMAL({prec},...)) "
+                    f"materializes a double-sourced value ('{hit}' in the "
+                    f"cast body after masking bare-column normalizations); "
+                    f"decimal digits of a double differ across engine "
+                    f"versions — normalize at the scan and use a BIGINT "
+                    f"grid (house pattern: orders_median_by_priority)"
                 )
         for m in FRACTIONAL_ROUND.finditer(sql):
             findings.append(
