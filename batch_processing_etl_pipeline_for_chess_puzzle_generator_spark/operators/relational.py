@@ -2559,22 +2559,30 @@ ORACLES["join_key_skew_profile"] = " UNION ALL ".join(
 # status with exact-decimal quantity sums. At 100 TB both sides
 # shuffle once on the customer key; bucketed tables make it
 # exchange-free (pkg/sinks.py bucketed join).
-def temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+def _scd2_dim(o: DataFrame) -> DataFrame:
+    """SCD2 interval table from orders (shared by the shuffle-join
+    query entry and the bucketed exchange-free serving variant)."""
     w = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
-    dim = o.select(
+    return o.select(
         F.col("o_custkey").alias("d_custkey"),
         "o_orderstatus",
         F.col("o_orderdate").alias("valid_from"),
         F.expr(f"lead(o_orderdate) OVER ({w})").alias("valid_to"),
         F.expr(f"CAST(row_number() OVER ({w}) AS BIGINT)").alias("version"),
     )
-    fact = li.join(
+
+
+def _scd2_fact(li: DataFrame, o: DataFrame) -> DataFrame:
+    return li.join(
         o.select("o_orderkey", "o_custkey"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).select("o_custkey", "l_orderkey", "l_shipdate", "l_quantity")
-    joined = fact.join(
+
+
+def _scd2_pit_join(fact: DataFrame, dim: DataFrame) -> DataFrame:
+    """Point-in-time join: equi-key + interval residual, fanout-free
+    since SCD2 intervals partition the timeline per key."""
+    return fact.join(
         dim,
         (F.col("o_custkey") == F.col("d_custkey"))
         & (F.col("l_shipdate") >= F.col("valid_from"))
@@ -2582,6 +2590,9 @@ def temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            | (F.col("l_shipdate") < F.col("valid_to"))),
         "left",
     )
+
+
+def _scd2_report(joined: DataFrame) -> DataFrame:
     return joined.groupBy(
         F.coalesce("o_orderstatus", F.lit("NONE")).alias("as_of_status")
     ).agg(
@@ -2594,6 +2605,40 @@ def temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_qty"),
         F.expr("CAST(MAX(version) AS BIGINT)").alias("max_version"),
     )
+
+
+def temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return _scd2_report(_scd2_pit_join(_scd2_fact(li, o), _scd2_dim(o)))
+
+
+def temporal_scd2_join_bucketed(spark: SparkSession, sf_dir: str,
+                                n_buckets: int = 8,
+                                prefix: str = "scd2_pit") -> DataFrame:
+    """The 100 TB SERVING shape of the point-in-time join: both sides
+    written ONCE as bucketed+sorted tables on the customer key
+    (sinks.write_bucketed), after which every point-in-time lookup is
+    a sort-merge join over pre-co-located buckets — ZERO exchange in
+    the join plan (asserted in tests/test_sinks.py). The dim build
+    pays its window shuffle at write time; the recurring cost, the
+    fact-dim join every downstream query repeats, never shuffles
+    again. Side-effectful (saveAsTable), so tests-only — not a
+    queries() entry. Returns the pre-aggregation joined frame so
+    callers can assert the join plan before composing aggregates."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import sinks
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    sinks.write_bucketed(_scd2_dim(o), f"{prefix}_dim", ["d_custkey"],
+                         n_buckets, sort_cols=["d_custkey"])
+    sinks.write_bucketed(_scd2_fact(li, o), f"{prefix}_fact", ["o_custkey"],
+                         n_buckets, sort_cols=["o_custkey"])
+    fact = spark.table(f"{prefix}_fact")
+    dim = spark.table(f"{prefix}_dim")
+    # merge hint: at test scale AQE would broadcast (its own exchange);
+    # the scale-relevant plan is the exchange-free sort-merge join
+    return _scd2_pit_join(fact.hint("merge"), dim)
 
 
 QUERIES["temporal_scd2_join"] = temporal_scd2_join
