@@ -1398,10 +1398,20 @@ ORACLES["emb_matryoshka_overlap"] = f"""
 # grid) and n the cluster size, L2² = A − 2B/n + C/n²; the argmin drops
 # the per-row constant A, and the double formula is written identically
 # in Spark and DuckDB, so IEEE rounding is bit-equal. The centroid
-# model (4×16 sums + counts) is one collected row broadcast to every
+# model (M×K sums + counts) is one collected row broadcast to every
 # task — assignment never shuffles; only the per-(subspace, cluster)
 # update aggregation does.
 PQT_SAMPLE_MOD = 4  # train on the ~1/4 deterministic hash-sample
+
+# r6 (r5 verdict #6): production-width trained codebook — 8 sub-spaces
+# × 8 dims with K=64 entries each, vs the teaching-width 4×16/K=16 of
+# the seeded pq4 family. Same one-Lloyd-round trainer and broadcast
+# model; codes per vector grow 4→8 and the model row 64→512 centroids
+# (still kilobytes — the broadcast stays trivially small at any corpus
+# size). Seeds exist at every SF: min |embeddings| = 500 ≥ 64.
+_PQT_M = 8
+_PQT_DSUB = 8
+_PQT_K = 64
 
 
 def _pqt_subs(emb: DataFrame) -> DataFrame:
@@ -1410,9 +1420,9 @@ def _pqt_subs(emb: DataFrame) -> DataFrame:
         "vec_id",
         "label",
         F.expr(
-            f"transform(sequence(0, {_PQ_M - 1}), b -> "
-            f"transform(slice(embedding, CAST(b * {_PQ_DSUB} + 1 AS INT), "
-            f"{_PQ_DSUB}), x -> {_pq_q('x')}))"
+            f"transform(sequence(0, {_PQT_M - 1}), b -> "
+            f"transform(slice(embedding, CAST(b * {_PQT_DSUB} + 1 AS INT), "
+            f"{_PQT_DSUB}), x -> {_pq_q('x')}))"
         ).alias("subs"),
     )
 
@@ -1443,7 +1453,7 @@ def _pqt_assign_expr() -> str:
         f"named_struct('d', {_pqt_drel(_PQT_SUB)}, 'cid', ct.cid))"
     )
     return (
-        f"transform(sequence(0, {_PQ_M - 1}), b -> "
+        f"transform(sequence(0, {_PQT_M - 1}), b -> "
         f"array_min({scored}).cid)"
     )
 
@@ -1459,7 +1469,7 @@ def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Round-0 centroids: sub-vectors of the seed rows, n = 1.
     cents0 = (
-        base.filter(F.col("vec_id") < _PQ_K)
+        base.filter(F.col("vec_id") < _PQT_K)
         .select(
             F.col("vec_id").alias("cid"),
             F.posexplode("subs").alias("b", "s"),
@@ -1521,7 +1531,7 @@ def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"named_struct('d', {_pqt_drel(_PQT_SUB)}, 'cid', ct.cid)))"
     )
     per_b = (
-        f"transform(sequence(0, {_PQ_M - 1}), b -> named_struct("
+        f"transform(sequence(0, {_PQT_M - 1}), b -> named_struct("
         f"'b', CAST(b AS BIGINT), "
         f"'code', {win}.cid, "
         f"'dist_b', CAST(ROUND((CAST({a_term} AS DOUBLE) + {win}.d) / 1e6) "
@@ -1546,15 +1556,15 @@ def _pqt_oracle() -> str:
     return f"""
         WITH comp AS (
             SELECT vec_id, label, b, i,
-                   CAST(round(CAST(embedding[b * {_PQ_DSUB} + i] AS DOUBLE)
+                   CAST(round(CAST(embedding[b * {_PQT_DSUB} + i] AS DOUBLE)
                               * 1000000, 0) AS BIGINT) AS x
             FROM embeddings,
-                 unnest(range(0, {_PQ_M})) AS tb(b),
-                 unnest(range(1, {_PQ_DSUB + 1})) AS ti(i)
+                 unnest(range(0, {_PQT_M})) AS tb(b),
+                 unnest(range(1, {_PQT_DSUB + 1})) AS ti(i)
         ),
         samp AS (SELECT vec_id FROM embeddings WHERE {samp_hash} % {PQT_SAMPLE_MOD} = 0),
         cent0 AS (
-            SELECT vec_id AS cid, b, i, x AS s FROM comp WHERE vec_id < {_PQ_K}
+            SELECT vec_id AS cid, b, i, x AS s FROM comp WHERE vec_id < {_PQT_K}
         ),
         meta0 AS (
             SELECT cid, b, CAST(1 AS BIGINT) AS n, sum(s * s) AS csq

@@ -1330,3 +1330,44 @@ def test_clone_breaks_if_source_vacuums_referenced_files(spark, tmp_path):
     versioned.vacuum(src, keep_last=1)
     with pytest.raises(Exception):
         versioned.read_version(spark, dst).collect()
+
+
+def test_clone_of_restored_snapshot(spark, tmp_path):
+    """RESTORE × CLONE interaction (r5 verdict #6): a clone taken
+    AFTER a restore must reference the restored (old) file set, not
+    the rolled-back bad version; and cloning the bad version
+    explicitly still works for post-mortems — the two commits expose
+    different file sets of the same source table."""
+    src = str(tmp_path / "src")
+    versioned.write_version(_mk_ranged(spark, 40, 2), src, stats_col="k")
+    bad = spark.createDataFrame(
+        [(k, "oops", False) for k in range(40)],
+        "k INT, v STRING, is_delete BOOLEAN",
+    )
+    versioned.merge_version_cow(spark, src, bad, "k")       # v1: bad
+    versioned.restore_version(src, 0)                       # v2 == v0
+
+    good = str(tmp_path / "good")
+    versioned.clone_table(src, good)                        # clone latest
+    got = {r.k: r.v for r in versioned.read_version(spark, good).collect()}
+    assert got[5] == "v5"
+    # the clone's manifest points at the SAME files the restore re-published
+    m_src0 = versioned._load_manifest(src, 0)
+    m_good = versioned._load_manifest(good, 0)
+    assert {f.split("/")[-1] for f in m_good["files"]} == \
+        {f.split("/")[-1] for f in m_src0["files"]}
+
+    # explicit clone of the bad version for post-mortem
+    post = str(tmp_path / "post")
+    versioned.clone_table(src, post, version=1)
+    assert versioned.read_version(spark, post).filter("v = 'oops'").count() == 40
+
+    # the clone is independent: DML on it never disturbs the source
+    ch = spark.createDataFrame(
+        [(3, "patched", False)], "k INT, v STRING, is_delete BOOLEAN"
+    )
+    versioned.merge_version_cow(spark, good, ch, "k")
+    assert {r.v for r in versioned.read_version(spark, src)
+            .filter("k = 3").collect()} == {"v3"}
+    assert {r.v for r in versioned.read_version(spark, good)
+            .filter("k = 3").collect()} == {"patched"}
