@@ -1552,3 +1552,87 @@ ORACLES["doc_containment_pairs"] = f"""
     JOIN sz zb ON doc_b = zb.doc_id
     WHERE inter * 1000000 // least(za.sz, zb.sz) >= {CONTAINMENT_PPM}
 """
+
+
+# --------------------------- exact-substring duplication (window level)
+#
+# The ExactSubstr statistic from "Deduplicating Training Data Makes
+# Language Models Better" (Lee et al. 2021): a fixed-width token
+# window is DUPLICATED when the identical window occurs at any other
+# position in the corpus, and a document's health metric is the
+# fraction of its windows that are duplicated — finer than
+# doc_para_dedup (paragraph unit) and cross-document, unlike
+# doc_repeated_ngrams (within-doc repetition). Width 8 here (the
+# paper's 50 scaled to this corpus's ~25-word docs).
+#
+# Shape for 100 TB — and why this beats pairing: the statistic needs
+# NO pair join at all. Window hashes group once (per-hash occurrence
+# count), join back to the per-(doc, hash) table on the same key, and
+# aggregate per doc — candidate volume is LINEAR in corpus tokens
+# (two shuffles on the window hash), while any pair-based formulation
+# is Σ df². Hot boilerplate hashes skew the count shuffle's reduce
+# side only as single wide rows (a count, not a pair fanout).
+SUBSTR_W = 8
+
+
+def doc_substr_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = SPARK_HASH_SQL(f"concat_ws(' ', slice(ws, i, {SUBSTR_W}))")
+    per_doc_hash = (
+        docs.select("doc_id", F.expr("split(text, ' ')").alias("ws"))
+        .filter(F.expr(f"size(ws) >= {SUBSTR_W}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(1, size(ws) - {SUBSTR_W} + 1), "
+                       f"i -> {h})")
+            ).alias("h"),
+        )
+        .groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    totals = per_doc_hash.groupBy("h").agg(F.sum("k").alias("c"))
+    return (
+        per_doc_hash.join(totals, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_windows"),
+            F.expr("SUM(CASE WHEN c >= 2 THEN k ELSE 0 END)")
+            .alias("n_dup_windows"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            "n_dup_windows * 1000000 DIV n_windows AS dup_ppm",
+        )
+    )
+
+
+QUERIES["doc_substr_dup"] = doc_substr_dup
+
+_SUBSTR_H = STABLE_HASH_SQL(f"array_to_string(ws[i:i+{SUBSTR_W - 1}], ' ')")
+ORACLES["doc_substr_dup"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= {SUBSTR_W}
+    ),
+    pdh AS (
+        SELECT doc_id, h, count(*) AS k
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(ws) - {SUBSTR_W} + 2),
+                       i -> {_SUBSTR_H})) AS h
+            FROM toks
+        )
+        GROUP BY doc_id, h
+    ),
+    totals AS (SELECT h, SUM(k) AS c FROM pdh GROUP BY h)
+    SELECT doc_id, SUM(k) AS n_windows,
+           SUM(CASE WHEN c >= 2 THEN k ELSE 0 END) AS n_dup_windows,
+           SUM(CASE WHEN c >= 2 THEN k ELSE 0 END) * 1000000 // SUM(k)
+               AS dup_ppm
+    FROM pdh JOIN totals USING (h)
+    GROUP BY doc_id
+"""

@@ -815,3 +815,197 @@ ORACLES["snapshot_changes_cdf"] = f"""
     FROM v1 p JOIN v2 q ON p.o_orderkey = q.o_orderkey
     WHERE {_CDF_CHANGED}
 """
+
+
+# --------------------------------------- k-anonymity privacy audit
+#
+# The governance gate next to doc_redact_patterns' PII scrubbing: a
+# record is re-identifiable when its QUASI-IDENTIFIER combination
+# (here nation × market segment × a 2000-unit balance band) is shared
+# by fewer than k rows — the k-anonymity model (Sweeney 2002). The
+# audit reports, for each QI granularity on the generalization ladder
+# (fine = with the balance band, coarse = without it) and each
+# conventional k, how many equivalence classes and how many ROWS fall
+# below k, plus the dataset-wide minimum class size (the table's
+# actual k). The coarse row IS the remediation readout: generalizing
+# away the band shows exactly how much risk the next rung removes.
+#
+# Shape for 100 TB: one partial-agg shuffle per QI level over the
+# class keys (the Σ-classes table is tiny); the k-threshold sweep is
+# conditional aggregation over that table — the sweep-family pattern
+# (ev_watermark_sweep), never one pass per k. The balance band is the
+# house BIGINT-cents grid, so class keys are engine-exact.
+_KANON_KS = (2, 5, 10, 25)
+
+
+def dq_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    banded = c.selectExpr(
+        "c_nationkey",
+        "c_mktsegment",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "DIV 200000 AS bal_band",
+    )
+    # ONE base shuffle builds the fine classes; the coarse rung is a
+    # re-aggregation of those classes (tiny), never a second base scan
+    fine = banded.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    coarse = fine.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("class_size").alias("class_size")
+    )
+    k_grid = "explode(array(%s)) AS k" % ", ".join(
+        f"CAST({k} AS BIGINT)" for k in _KANON_KS
+    )
+
+    def sweep(classes: DataFrame, level: str) -> DataFrame:
+        return (
+            classes.select(F.expr(k_grid), "class_size")
+            .groupBy("k")
+            .agg(
+                F.expr(
+                    "SUM(CASE WHEN class_size < k THEN 1 ELSE 0 END)"
+                ).alias("n_classes_below"),
+                F.expr(
+                    "SUM(CASE WHEN class_size < k THEN class_size "
+                    "ELSE 0 END)"
+                ).alias("n_rows_at_risk"),
+                F.expr("MIN(class_size)").alias("min_class_size"),
+                F.count(F.lit(1)).alias("n_classes"),
+            )
+            .select(
+                F.lit(level).alias("qi_level"), "k", "n_classes_below",
+                "n_rows_at_risk", "min_class_size", "n_classes",
+            )
+        )
+
+    return sweep(fine, "nation_segment_band").unionByName(
+        sweep(coarse, "nation_segment")
+    )
+
+
+QUERIES["dq_kanonymity_audit"] = dq_kanonymity_audit
+
+ORACLES["dq_kanonymity_audit"] = f"""
+    WITH banded AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 200000 AS bal_band
+        FROM customer
+    ),
+    fine AS (
+        SELECT count(*) AS class_size FROM banded
+        GROUP BY c_nationkey, c_mktsegment, bal_band
+    ),
+    coarse AS (
+        SELECT count(*) AS class_size FROM banded
+        GROUP BY c_nationkey, c_mktsegment
+    ),
+    ks AS (SELECT unnest({list(_KANON_KS)}) AS k)
+    SELECT 'nation_segment_band' AS qi_level, CAST(k AS BIGINT) AS k,
+           SUM(CASE WHEN class_size < k THEN 1 ELSE 0 END)
+               AS n_classes_below,
+           SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END)
+               AS n_rows_at_risk,
+           MIN(class_size) AS min_class_size,
+           count(*) AS n_classes
+    FROM fine CROSS JOIN ks GROUP BY k
+    UNION ALL
+    SELECT 'nation_segment' AS qi_level, CAST(k AS BIGINT) AS k,
+           SUM(CASE WHEN class_size < k THEN 1 ELSE 0 END),
+           SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END),
+           MIN(class_size),
+           count(*)
+    FROM coarse CROSS JOIN ks GROUP BY k
+"""
+
+
+# ------------------------------------ Benford first-digit DQ audit
+#
+# The forensic-accounting screen on a money column: naturally-grown
+# multiplicative amounts follow Benford's law (P(first digit d) =
+# log10(1+1/d)); fabricated or clipped data deviates. The audit
+# reports, per leading digit, the observed ppm share vs the Benford
+# expectation and the chi-square contribution — the table an auditor
+# reads to spot digit stuffing. One partial-agg shuffle over 9 keys;
+# every exposed number is an exact BIGINT grid (obs counts, ppm via
+# integer DIV, chi² ×1e3 from a row-local double over exact ints).
+# The nine expectation constants are hard-coded literals on BOTH
+# sides — universal constants, never engine libm log10 calls (whose
+# last ulp differs across runtimes: the rule-A lesson applied to
+# transcendentals).
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                51153, 45757)
+
+
+def dq_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    exp_arr = "array(%s)" % ", ".join(
+        f"CAST({p} AS BIGINT)" for p in _BENFORD_PPM
+    )
+    digits = (
+        o.selectExpr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS cents"
+        )
+        .filter("cents > 0")
+        # leading digit of cents == leading digit of the value (×100
+        # shifts the decimal point, never the mantissa)
+        .selectExpr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT) "
+                    "AS digit")
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = digits.agg(F.sum("n_obs").alias("n_total"))
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "digit",
+            "n_obs",
+            "n_obs * 1000000 DIV n_total AS obs_ppm",
+            f"element_at({exp_arr}, digit) AS expected_ppm",
+            "n_obs * 1000000 DIV n_total "
+            f"- element_at({exp_arr}, digit) AS dev_ppm",
+            # per-digit chi² contribution ×1e3:
+            # (obs − n·p)² / (n·p), p = expected_ppm/1e6
+            "CAST(ROUND((CAST(n_obs AS DOUBLE) "
+            f"- CAST(n_total AS DOUBLE) * element_at({exp_arr}, digit) / 1e6)"
+            " * (CAST(n_obs AS DOUBLE) "
+            f"- CAST(n_total AS DOUBLE) * element_at({exp_arr}, digit) / 1e6)"
+            f" / (CAST(n_total AS DOUBLE) * element_at({exp_arr}, digit) "
+            "/ 1e6) * 1e3) AS BIGINT) AS chi2_contrib_m",
+        )
+    )
+
+
+QUERIES["dq_benford_orders"] = dq_benford_orders
+
+ORACLES["dq_benford_orders"] = f"""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT)
+                   AS digit,
+               count(*) AS n_obs
+        FROM (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders
+        ) WHERE cents > 0
+        GROUP BY 1
+    ),
+    total AS (SELECT SUM(n_obs) AS n_total FROM digits),
+    exp_t AS (
+        SELECT unnest(range(1, 10)) AS digit,
+               unnest({list(_BENFORD_PPM)}) AS expected_ppm
+    )
+    SELECT d.digit, d.n_obs,
+           d.n_obs * 1000000 // n_total AS obs_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           d.n_obs * 1000000 // n_total - e.expected_ppm AS dev_ppm,
+           CAST(ROUND((CAST(d.n_obs AS DOUBLE)
+                 - CAST(n_total AS DOUBLE) * e.expected_ppm / 1e6)
+                * (CAST(d.n_obs AS DOUBLE)
+                 - CAST(n_total AS DOUBLE) * e.expected_ppm / 1e6)
+                / (CAST(n_total AS DOUBLE) * e.expected_ppm / 1e6)
+                * 1e3) AS BIGINT) AS chi2_contrib_m
+    FROM digits d JOIN exp_t e USING (digit) CROSS JOIN total
+"""

@@ -3296,3 +3296,144 @@ ORACLES["ev_cusum_shift"] = """
            st.alarms AS n_alarm_days
     FROM folded
 """
+
+
+# ------------------------------- autocorrelation diagnostics (ACF)
+#
+# The seasonality DETECTOR next to the forecasters that ASSUME a
+# period (ev_holtwinters_forecast hard-codes 7): the sample
+# autocorrelation function of the gap-filled hourly event-count
+# series at lags 1..36 — the curve an analyst reads to pick the
+# seasonal period (a daily cycle would surface as a lag-24 peak) and
+# the watermark/window sizing evidence for everything downstream.
+#
+# Shape for 100 TB: ONE partial-agg shuffle rolls the raw events to
+# O(hours) rows (720 here; a century of hours is <1M rows), and every
+# step after — gap-fill spine, the ≤36·n lag self-join, the global
+# moment row — runs on that tiny series with broadcast joins, nothing
+# driver-side. Determinism: all cross-row sums (S, Σx², Σx·x_lag,
+# boundary sums) are exact BIGINTs; the mean-centered ACF formula is
+# then a single row-local double expression written identically in
+# the oracle (identical IEEE tree => identical bits), exposed on the
+# house ×1e6 ppm grid.
+ACF_MAX_LAG = 36
+
+
+def ev_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        F.expr("CAST(date_trunc('hour', ts) AS TIMESTAMP)").alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    bounds = hours.agg(
+        F.expr("MIN(unix_timestamp(h)) DIV 3600").alias("t0"),
+        F.expr("MAX(unix_timestamp(h)) DIV 3600").alias("t1"),
+    )
+    # gap-filled integer-indexed series: t = hours since the first hour
+    xs = (
+        bounds.select(
+            F.explode(F.expr("sequence(CAST(0 AS BIGINT), t1 - t0)"))
+            .alias("t")
+        )
+        .join(
+            F.broadcast(
+                hours.crossJoin(F.broadcast(bounds)).select(
+                    F.expr("unix_timestamp(h) DIV 3600 - t0").alias("t"),
+                    "x",
+                )
+            ),
+            "t",
+            "left",
+        )
+        .select("t", F.expr("COALESCE(x, CAST(0 AS BIGINT))").alias("x"))
+    )
+    moments = xs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.expr("SUM(x * x)").alias("sx2"),
+    )
+    a = xs.alias("a")
+    b = xs.alias("b")
+    lagged = (
+        a.join(
+            b,
+            (F.col("b.t") > F.col("a.t"))
+            & (F.col("b.t") <= F.col("a.t") + ACF_MAX_LAG),
+        )
+        .select(
+            (F.col("b.t") - F.col("a.t")).alias("lag"),
+            (F.col("a.x") * F.col("b.x")).alias("xx"),
+            F.col("a.x").alias("xa"),
+            F.col("b.x").alias("xb"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum("xx").alias("sxx"),
+            F.sum("xa").alias("sa"),
+            F.sum("xb").alias("sb"),
+        )
+    )
+    # acf(L) = Σ(x_t−m)(x_{t+L}−m) / Σ(x_t−m)²
+    #        = (Σxx − m(A+B) + (n−L)m²) / (Σx² − S²/n),  m = S/n
+    return (
+        lagged.crossJoin(F.broadcast(moments))
+        .select(
+            "lag",
+            F.expr("n - lag").alias("n_pairs"),
+            F.expr(
+                "CAST(ROUND((CAST(sxx AS DOUBLE) "
+                "- CAST(s AS DOUBLE) / n * CAST(sa + sb AS DOUBLE) "
+                "+ CAST(n - lag AS DOUBLE) * (CAST(s AS DOUBLE) / n) "
+                "* (CAST(s AS DOUBLE) / n)) "
+                "/ NULLIF(CAST(sx2 AS DOUBLE) "
+                "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0) "
+                "* 1e6) AS BIGINT)"
+            ).alias("acf_ppm"),
+        )
+    )
+
+
+QUERIES["ev_acf"] = ev_acf
+
+ORACLES["ev_acf"] = f"""
+    WITH hours AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    bounds AS (
+        SELECT CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS t0,
+               CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS t1
+        FROM hours
+    ),
+    spine AS (
+        SELECT unnest(range(0, t1 - t0 + 1)) AS t FROM bounds
+    ),
+    xs AS (
+        SELECT s.t, COALESCE(hx.x, CAST(0 AS BIGINT)) AS x
+        FROM spine s
+        LEFT JOIN (
+            SELECT CAST(epoch(h) AS BIGINT) // 3600 - t0 AS t, x
+            FROM hours CROSS JOIN bounds
+        ) hx ON hx.t = s.t
+    ),
+    moments AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS s, SUM(x * x) AS sx2
+        FROM xs
+    ),
+    lagged AS (
+        SELECT b.t - a.t AS lag,
+               SUM(a.x * b.x) AS sxx, SUM(a.x) AS sa, SUM(b.x) AS sb
+        FROM xs a JOIN xs b
+          ON b.t > a.t AND b.t <= a.t + {ACF_MAX_LAG}
+        GROUP BY 1
+    )
+    SELECT lag, n - lag AS n_pairs,
+           CAST(ROUND((CAST(sxx AS DOUBLE)
+                 - CAST(s AS DOUBLE) / n * CAST(sa + sb AS DOUBLE)
+                 + CAST(n - lag AS DOUBLE) * (CAST(s AS DOUBLE) / n)
+                 * (CAST(s AS DOUBLE) / n))
+                / NULLIF(CAST(sx2 AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0)
+                * 1e6) AS BIGINT) AS acf_ppm
+    FROM lagged CROSS JOIN moments
+"""

@@ -2755,3 +2755,193 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_lateral_topk"] = sql_lateral_topk
 ORACLES["sql_lateral_topk"] = _SQL_LATERAL_TOPK
+
+
+# --------------------------- chi-square independence (categorical)
+#
+# The categorical sibling of orders_value_anova (continuous Y): is
+# order PRIORITY independent of order STATUS? Pearson's chi-square
+# over the 5×3 contingency table — per cell, observed count vs the
+# independence expectation r_i·c_j/N and the cell's χ² contribution.
+# Determinism discipline: the contingency counts, row/column totals
+# and N are exact BIGINTs from ONE groupBy shuffle (the marginals are
+# re-aggregations of the tiny cell table, broadcast back); expected
+# and contribution are single row-local double formulas over those
+# ints, written identically in the oracle, exposed on ×1e3 grids.
+# No engine stat library anywhere (rule A), nothing wide (rule B).
+def stat_priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    rows = cells.groupBy("o_orderpriority").agg(F.sum("n_obs").alias("r"))
+    cols = cells.groupBy("o_orderstatus").agg(F.sum("n_obs").alias("c"))
+    grand = cells.agg(F.sum("n_obs").alias("nt"))
+    return (
+        cells.join(F.broadcast(rows), "o_orderpriority")
+        .join(F.broadcast(cols), "o_orderstatus")
+        .crossJoin(F.broadcast(grand))
+        .selectExpr(
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_obs",
+            "CAST(ROUND(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) "
+            "/ CAST(nt AS DOUBLE) * 1e3) AS BIGINT) AS expected_m",
+            "CAST(ROUND((CAST(n_obs AS DOUBLE) - CAST(r AS DOUBLE) "
+            "* CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)) "
+            "* (CAST(n_obs AS DOUBLE) - CAST(r AS DOUBLE) "
+            "* CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)) "
+            "/ (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) "
+            "/ CAST(nt AS DOUBLE)) * 1e3) AS BIGINT) AS chi2_contrib_m",
+        )
+    )
+
+
+QUERIES["stat_priority_status_chi2"] = stat_priority_status_chi2
+
+ORACLES["stat_priority_status_chi2"] = """
+    WITH cells AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_obs
+        FROM orders GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT o_orderpriority, SUM(n_obs) AS r FROM cells GROUP BY 1),
+    cols_t AS (SELECT o_orderstatus, SUM(n_obs) AS c FROM cells GROUP BY 1),
+    grand AS (SELECT SUM(n_obs) AS nt FROM cells)
+    SELECT x.o_orderpriority, x.o_orderstatus, x.n_obs,
+           CAST(ROUND(CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                / CAST(nt AS DOUBLE) * 1e3) AS BIGINT) AS expected_m,
+           CAST(ROUND((CAST(n_obs AS DOUBLE) - CAST(r AS DOUBLE)
+                 * CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+                * (CAST(n_obs AS DOUBLE) - CAST(r AS DOUBLE)
+                 * CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+                / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                 / CAST(nt AS DOUBLE)) * 1e3) AS BIGINT)
+               AS chi2_contrib_m
+    FROM cells x
+    JOIN rows_t USING (o_orderpriority)
+    JOIN cols_t USING (o_orderstatus)
+    CROSS JOIN grand
+"""
+
+
+# ------------------------------ Kaplan-Meier customer survival curve
+#
+# Survival analysis next to the LTV curves (customer_ltv_cohorts asks
+# "how much do they spend"; this asks "WHEN do they leave"): the
+# Kaplan-Meier estimator over discrete month durations. Lifetime =
+# months between a customer's first and last order; customers whose
+# last order falls in the dataset's final 3 months are CENSORED
+# (still alive — treating them as churned is survivorship bias, the
+# estimator's whole reason to exist). s(t) = Π_{u≤t} (1 − d_u/n_u)
+# with d = churn events at u, n = at-risk at u.
+#
+# Determinism discipline for the cumulative PRODUCT (the construct
+# every engine-stat library hides): the curve is folded on the house
+# ppm grid — s_t = s_{t-1}·(n_t−d_t) DIV n_t, all nonneg BIGINTs, so
+# truncation is identical in Spark and DuckDB. The per-month duration
+# table is tiny (≤ #months), so the per-t prefix fold (O(T²) lambda
+# steps on a ≤100-element array in ONE row) costs nothing; the data
+# shuffles exactly once (per-customer rollup). DuckDB's list_reduce
+# evaluates struct fields sequentially, so the acc-reading field 's'
+# is ordered FIRST in the step struct on the oracle side.
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.expr("MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1)")
+        .alias("m0"),
+        F.expr("MAX(year(o_orderdate) * 12 + month(o_orderdate) - 1)")
+        .alias("m1"),
+    )
+    horizon = per_cust.agg(F.expr("MAX(m1)").alias("mmax"))
+    lifetimes = per_cust.crossJoin(F.broadcast(horizon)).selectExpr(
+        "CAST(m1 - m0 AS BIGINT) AS t",
+        "CASE WHEN m1 >= mmax - 2 THEN 1 ELSE 0 END AS censored",
+    )
+    by_t = lifetimes.groupBy("t").agg(
+        F.expr("SUM(1 - censored)").alias("d"),
+        F.count(F.lit(1)).alias("ending"),
+    )
+    # at-risk n_t = everyone whose observed lifetime is >= t: total
+    # minus the running count of lifetimes that ended before t
+    w = "ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    stats = by_t.crossJoin(
+        F.broadcast(lifetimes.agg(F.count(F.lit(1)).alias("total")))
+    ).selectExpr(
+        "t", "d",
+        f"total - COALESCE(SUM(ending) OVER ({w}), 0) AS n",
+    )
+    folded = stats.agg(
+        F.expr("array_sort(collect_list(named_struct("
+               "'t', t, 'd', d, 'n', n)))").alias("fs")
+    )
+    curve = (
+        "transform(sequence(1, size(fs)), i -> named_struct("
+        "'t', element_at(fs, i).t, "
+        "'d', element_at(fs, i).d, "
+        "'n', element_at(fs, i).n, "
+        "'s', aggregate(slice(fs, 1, i), CAST(1000000 AS BIGINT), "
+        "(acc, e) -> acc * (e.n - e.d) DIV e.n)))"
+    )
+    return (
+        folded.select(F.explode(F.expr(curve)).alias("p"))
+        .selectExpr(
+            "p.t AS duration_months",
+            "p.n AS n_at_risk",
+            "p.d AS n_churned",
+            "p.s AS survival_ppm",
+        )
+    )
+
+
+QUERIES["customer_survival_km"] = customer_survival_km
+
+ORACLES["customer_survival_km"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m0,
+               MAX(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m1
+        FROM orders GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(m1) AS mmax FROM per_cust),
+    lifetimes AS (
+        SELECT CAST(m1 - m0 AS BIGINT) AS t,
+               CASE WHEN m1 >= mmax - 2 THEN 1 ELSE 0 END AS censored
+        FROM per_cust CROSS JOIN horizon
+    ),
+    by_t AS (
+        SELECT t, SUM(1 - censored) AS d, count(*) AS ending
+        FROM lifetimes GROUP BY t
+    ),
+    stats AS (
+        SELECT t, d,
+               (SELECT count(*) FROM lifetimes)
+                   - COALESCE(SUM(ending) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS n
+        FROM by_t
+    ),
+    folded AS (
+        SELECT list(struct_pack(t := t, d := d, n := n) ORDER BY t) AS fs
+        FROM stats
+    ),
+    curve AS (
+        SELECT unnest(list_transform(range(1, len(fs) + 1), i ->
+            struct_pack(
+                t := fs[i].t, d := fs[i].d, n := fs[i].n,
+                s := list_reduce(
+                    list_prepend(struct_pack(s := CAST(1000000 AS BIGINT),
+                                             d := CAST(0 AS BIGINT),
+                                             n := CAST(1 AS BIGINT)),
+                        list_transform(fs[1:i], e ->
+                            struct_pack(s := CAST(0 AS BIGINT),
+                                        d := e.d, n := e.n))),
+                    (acc, e) -> struct_pack(
+                        s := acc.s * (e.n - e.d) // e.n,
+                        d := e.d, n := e.n))
+                    .s))) AS p
+        FROM folded
+    )
+    SELECT p.t AS duration_months, p.n AS n_at_risk,
+           p.d AS n_churned, p.s AS survival_ppm
+    FROM curve
+"""
