@@ -715,3 +715,101 @@ def dedup_ingest_versioned_stream(docs: DataFrame, table_path: str,
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def sessionize_events_tws_stream(events: DataFrame,
+                                 gap_seconds: int = 1800,
+                                 watermark: str = "2 hours") -> DataFrame:
+    """Gap sessionization on the Spark 4 ``transformWithStateInPandas``
+    API — the successor to ``applyInPandasWithState`` (typed state
+    objects + explicit timers instead of one state tuple + a single
+    timeout), with IDENTICAL semantics to
+    :func:`sessionize_events_stream`: a session row is emitted when a
+    later event opens a new session or the event-time timer fires past
+    last_event + gap (tests assert the two twins emit the same rows).
+
+    Why keep both: applyInPandasWithState is the API real deployments
+    run today; transformWithState is where multi-state operators
+    (session + per-user counters + TTL'd maps in ONE processor) land
+    at scale — this is the migration template. State per key is three
+    longs in a ValueState; the watermark bounds state and timers.
+    """
+    import pandas as pd  # arrow-batched; not in the per-row hot path
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_seconds * 1000
+
+    def _emit(user_id, closed):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="ms")
+                                  for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="ms")
+                                for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_ms LONG, end_ms LONG, n LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            ts_ms: list[int] = []
+            for pdf in rows:
+                ts_ms.extend(int(t.value // 1_000_000) for t in pdf["ts"])
+            if not ts_ms:
+                return
+            ts_ms.sort()
+            if self._sess.exists():
+                start_ms, end_ms, n = self._sess.get()
+                # the timer for the previous end is superseded below
+                self._handle.deleteTimer(end_ms + gap_ms)
+            else:
+                start_ms, end_ms, n = ts_ms[0], ts_ms[0], 0
+            closed = []
+            for t in ts_ms:
+                if t - end_ms > gap_ms and n > 0:
+                    closed.append((start_ms, end_ms, n))
+                    start_ms, n = t, 0
+                end_ms = max(end_ms, t)
+                n += 1
+            self._sess.update((start_ms, end_ms, n))
+            self._handle.registerTimer(end_ms + gap_ms)
+            if closed:
+                yield _emit(user_id, closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if not self._sess.exists():
+                return
+            start_ms, end_ms, n = self._sess.get()
+            # a superseded timer may still fire; only close the session
+            # the expiring timer actually belongs to
+            if expiredTimerInfo.getExpiryTimeInMs() < end_ms + gap_ms:
+                return
+            self._sess.clear()
+            yield _emit(user_id, [(start_ms, end_ms, n)])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType="user_id LONG, session_start TIMESTAMP, "
+                             "session_end TIMESTAMP, n_events LONG",
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

@@ -718,3 +718,62 @@ def test_session_window_counts_native_stream(spark, tmp_path):
     assert {(u, s): n for (u, s), (n, _) in got.items()} == {
         k: v for k, v in b.items() if k[0] != 9
     }
+
+
+def test_sessionize_tws_stream_matches_applyinpandas_twin(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas sessionizer emits the
+    SAME session rows as the applyInPandasWithState twin on the same
+    input — mid-batch closes and timer-driven closes both.
+
+    Capability-probed like avro: the transformWithState runtime talks
+    protobuf to its Python state server, and this sandbox has no
+    google.protobuf wheel (and no network). The operator code is
+    complete and exercised wherever the wheel exists."""
+    import pytest as _pytest
+
+    _pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (absent here)",
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        sessionize_events_tws_stream,
+    )
+
+    src = tmp_path / "tws_stream"
+    src.mkdir()
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1},
+        {"event_id": 2, "ts": "2024-01-01 00:05:00", "user_id": 1},
+        {"event_id": 3, "ts": "2024-01-01 02:05:00", "user_id": 1},
+        {"event_id": 4, "ts": "2024-01-01 00:00:00", "user_id": 2},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    # watermark-advancing second batch times out the open sessions
+    (src / "b2.json").write_text(json.dumps(
+        {"event_id": 9, "ts": "2024-01-01 09:00:00", "user_id": 3}
+    ))
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, user_id LONG")
+        .json(str(src))
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    _run_stream(sessionize_events_tws_stream(stream, gap_seconds=1800,
+                                             watermark="10 minutes"),
+                "tws_out")
+    got = {
+        (r["user_id"], str(r["session_start"])): (str(r["session_end"]),
+                                                  r["n_events"])
+        for r in spark.sql("SELECT * FROM tws_out").collect()
+    }
+    _run_stream(sessionize_events_stream(stream, gap_seconds=1800,
+                                         watermark="10 minutes"),
+                "tws_ref_out")
+    want = {
+        (r["user_id"], str(r["session_start"])): (str(r["session_end"]),
+                                                  r["n_events"])
+        for r in spark.sql("SELECT * FROM tws_ref_out").collect()
+    }
+    assert got == want
+    assert got[(1, "2024-01-01 00:00:00")] == ("2024-01-01 00:05:00", 2)
+    assert got[(1, "2024-01-01 02:05:00")] == ("2024-01-01 02:05:00", 1)
+    assert got[(2, "2024-01-01 00:00:00")] == ("2024-01-01 00:00:00", 1)
