@@ -3437,3 +3437,254 @@ ORACLES["ev_acf"] = f"""
                 * 1e6) AS BIGINT) AS acf_ppm
     FROM lagged CROSS JOIN moments
 """
+
+
+# ------------------------ Markov removal-effect attribution
+#
+# Data-driven multi-touch attribution (Anderl et al. 2014), the model
+# that replaces last-touch heuristics (ev_attribution_revenue):
+# journeys are per-user event sequences truncated at the first
+# purchase; a first-order Markov chain over {start, view, click,
+# signup, error, conv, null} is fitted from transition counts, and a
+# channel's credit is its REMOVAL EFFECT — how much the start→conv
+# absorption probability drops when every edge into the channel is
+# redirected to the null absorber.
+#
+# Determinism discipline: the fitted chain lives on a ppm integer
+# grid (row-normalized transition counts, DIV), and absorption is 60
+# synchronized power-iteration steps folding a ×1e9 mass vector —
+# m'[j] = Σ_i m[i]·T[i][j] DIV 1e6 — all BIGINT, truncation identical
+# in both engines (the model IS the grid chain, as ev_cusum_shift's
+# model IS the ×100 grid). The chain is 7×7 — the fold is one
+# collected row; corpus work is ONE user-partitioned window pass plus
+# a 49-key count, regardless of event volume.
+_MK_STATES = ("start", "view", "click", "signup", "error")
+_MK_K = 60  # power-iteration steps (journeys are short; geometric tail)
+
+
+def _mk_fold(mat: str) -> str:
+    """start→conv absorbed mass (×1e9) after _MK_K synchronized steps
+    of the ppm-grid chain ``mat`` (flat 49-array, (i-1)*7+j)."""
+    m0 = ("transform(sequence(1, 7), z -> "
+          "CAST(IF(z = 1, 1000000000, 0) AS BIGINT))")
+    step = (
+        "transform(sequence(1, 7), j -> "
+        "aggregate(sequence(1, 7), CAST(0 AS BIGINT), "
+        f"(a, i) -> a + element_at(acc, i) "
+        f"* element_at({mat}, (i - 1) * 7 + j)) DIV 1000000)"
+    )
+    return (
+        f"element_at(aggregate(sequence(1, {_MK_K}), {m0}, "
+        f"(acc, s) -> {step}), 6)"
+    )
+
+
+def ev_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = ev.select(
+        "user_id", "event_type",
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).withColumn(
+        "p_rn",
+        F.expr("MIN(CASE WHEN event_type = 'purchase' THEN rn END) "
+               "OVER (PARTITION BY user_id)"),
+    )
+    kept = rn.filter("rn <= COALESCE(p_rn, CAST(9223372036854775807 AS BIGINT))")
+    pairs = kept.select(
+        F.expr("COALESCE(LAG(event_type) OVER (PARTITION BY user_id "
+               "ORDER BY rn), 'start')").alias("src"),
+        F.col("event_type").alias("dst"),
+        "rn", "p_rn", "user_id",
+    ).select("src", "dst")
+    tails = (
+        kept.filter("p_rn IS NULL")
+        .groupBy("user_id")
+        .agg(F.expr("MAX_BY(event_type, rn)").alias("src"))
+        .select("src", F.lit("null").alias("dst"))
+    )
+    sidx = ("CASE " + " ".join(
+        "WHEN {c} = '%s' THEN %d" % (s, i + 1)
+        for i, s in enumerate(_MK_STATES)
+    ) + " WHEN {c} = 'purchase' THEN 6 ELSE 7 END")
+    counts = (
+        pairs.unionByName(tails)
+        .selectExpr(
+            sidx.replace("{c}", "src") + " AS i",
+            sidx.replace("{c}", "dst") + " AS j",
+        )
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = counts.groupBy("i").agg(F.sum("n").alias("tot"))
+    sparse = (
+        counts.join(row_tot, "i")
+        .selectExpr("i", "j", "n * 1000000 DIV tot AS ppm")
+        .agg(F.expr("collect_list(named_struct('i', i, 'j', j, "
+                    "'ppm', ppm))").alias("cts"))
+    )
+    # dense 49-array: absorbers (6=conv, 7=null) self-loop; a touch
+    # state with no observed outgoing edges absorbs to null
+    dense = (
+        "transform(sequence(1, 49), k -> CAST(CASE "
+        "WHEN (k - 1) DIV 7 + 1 IN (6, 7) "
+        "THEN IF((k - 1) % 7 + 1 = (k - 1) DIV 7 + 1, 1000000, 0) "
+        "WHEN NOT exists(cts, x -> x.i = (k - 1) DIV 7 + 1) "
+        "THEN IF((k - 1) % 7 + 1 = 7, 1000000, 0) "
+        "ELSE COALESCE(try_element_at(transform(filter(cts, "
+        "x -> x.i = (k - 1) DIV 7 + 1 AND x.j = (k - 1) % 7 + 1), "
+        "x -> x.ppm), 1), CAST(0 AS BIGINT)) END AS BIGINT))"
+    )
+    # per-channel removed matrix: edges into channel c go to null
+    # instead; row c absorbs to null
+    removed = (
+        "transform(sequence(1, 49), k -> CAST(CASE "
+        "WHEN (k - 1) DIV 7 + 1 = c "
+        "THEN IF((k - 1) % 7 + 1 = 7, 1000000, 0) "
+        "WHEN (k - 1) % 7 + 1 = c THEN 0 "
+        "WHEN (k - 1) % 7 + 1 = 7 "
+        "THEN element_at(t, k) + element_at(t, k - 7 + c) "
+        "ELSE element_at(t, k) END AS BIGINT))"
+    )
+    per_channel = (
+        sparse.withColumn("t", F.expr(dense))
+        .withColumn("p_base", F.expr(_mk_fold("t")))
+        .select(
+            "t", "p_base",
+            F.explode(F.expr("sequence(2, 5)")).alias("c"),
+        )
+        .withColumn("tc", F.expr(removed))
+        .withColumn("p_removed", F.expr(_mk_fold("tc")))
+        .selectExpr(
+            "element_at(array(%s), CAST(c AS INT) - 1) AS channel"
+            % ", ".join(f"'{s}'" for s in _MK_STATES[1:]),
+            "p_base AS p_conv_base_ppb",
+            "p_removed AS p_conv_removed_ppb",
+            "GREATEST(p_base - p_removed, CAST(0 AS BIGINT)) "
+            "AS removal_effect_ppb",
+        )
+    )
+    tot_eff = per_channel.agg(
+        F.sum("removal_effect_ppb").alias("eff_tot")
+    )
+    return per_channel.crossJoin(F.broadcast(tot_eff)).selectExpr(
+        "channel", "p_conv_base_ppb", "p_conv_removed_ppb",
+        "removal_effect_ppb",
+        "CAST(ROUND(CAST(removal_effect_ppb AS DOUBLE) "
+        "/ NULLIF(CAST(eff_tot AS DOUBLE), 0) * 1e6) AS BIGINT) "
+        "AS attribution_ppm",
+    )
+
+
+QUERIES["ev_attribution_markov"] = ev_attribution_markov
+
+_MK_SIDX_DUCK = ("CASE " + " ".join(
+    f"WHEN {{c}} = '{s}' THEN {i + 1}" for i, s in enumerate(_MK_STATES)
+) + " WHEN {c} = 'purchase' THEN 6 ELSE 7 END")
+_MK_M0_DUCK = ("list_transform(range(1, 8), z -> "
+               "CAST(CASE WHEN z = 1 THEN 1000000000 ELSE 0 END AS BIGINT))")
+
+
+def _mk_fold_duck(mat: str) -> str:
+    # list_reduce has no init arg: all K+1 elements are the m0 list and
+    # the step ignores e, so element 1 seeds and K steps run
+    step = (
+        "list_transform(range(1, 8), j -> "
+        "CAST(list_sum(list_transform(range(1, 8), i -> "
+        f"acc[i] * {mat}[(i - 1) * 7 + j])) // 1000000 AS BIGINT))"
+    )
+    return (
+        f"list_reduce(list_transform(range(0, {_MK_K + 1}), "
+        f"s -> {_MK_M0_DUCK}), (acc, e) -> {step})[6]"
+    )
+
+
+ORACLES["ev_attribution_markov"] = f"""
+    WITH rn_t AS (
+        SELECT user_id, event_type,
+               CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS BIGINT) AS rn
+        FROM events
+    ),
+    prn AS (
+        SELECT user_id, event_type, rn,
+               MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+                   OVER (PARTITION BY user_id) AS p_rn
+        FROM rn_t
+    ),
+    kept AS (
+        SELECT * FROM prn
+        WHERE rn <= COALESCE(p_rn, CAST(9223372036854775807 AS BIGINT))
+    ),
+    pairs AS (
+        SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY rn), 'start') AS src,
+               event_type AS dst
+        FROM kept
+    ),
+    tails AS (
+        SELECT MAX_BY(event_type, rn) AS src, 'null' AS dst
+        FROM kept WHERE p_rn IS NULL GROUP BY user_id
+    ),
+    counts AS (
+        SELECT {_MK_SIDX_DUCK.format(c='src')} AS i,
+               {_MK_SIDX_DUCK.format(c='dst')} AS j,
+               count(*) AS n
+        FROM (SELECT src, dst FROM pairs
+              UNION ALL SELECT src, dst FROM tails)
+        GROUP BY 1, 2
+    ),
+    row_tot AS (SELECT i, SUM(n) AS tot FROM counts GROUP BY i),
+    sparse AS (
+        SELECT list(struct_pack(i := c.i, j := c.j,
+                    ppm := c.n * 1000000 // r.tot)) AS cts
+        FROM counts c JOIN row_tot r USING (i)
+    ),
+    densed AS (
+        SELECT list_transform(range(1, 50), k -> CAST(CASE
+            WHEN (k - 1) // 7 + 1 IN (6, 7)
+            THEN CASE WHEN (k - 1) % 7 + 1 = (k - 1) // 7 + 1
+                 THEN 1000000 ELSE 0 END
+            WHEN len(list_filter(cts, x -> x.i = (k - 1) // 7 + 1)) = 0
+            THEN CASE WHEN (k - 1) % 7 + 1 = 7 THEN 1000000 ELSE 0 END
+            ELSE COALESCE(list_transform(list_filter(cts,
+                 x -> x.i = (k - 1) // 7 + 1 AND x.j = (k - 1) % 7 + 1),
+                 x -> x.ppm)[1], CAST(0 AS BIGINT)) END AS BIGINT)) AS t
+        FROM sparse
+    ),
+    chans AS (
+        SELECT t, {_mk_fold_duck('t')} AS p_base, unnest(range(2, 6)) AS c
+        FROM densed
+    ),
+    rem AS (
+        SELECT c, p_base,
+               list_transform(range(1, 50), k -> CAST(CASE
+                   WHEN (k - 1) // 7 + 1 = c
+                   THEN CASE WHEN (k - 1) % 7 + 1 = 7
+                        THEN 1000000 ELSE 0 END
+                   WHEN (k - 1) % 7 + 1 = c THEN 0
+                   WHEN (k - 1) % 7 + 1 = 7
+                   THEN t[k] + t[k - 7 + c]
+                   ELSE t[k] END AS BIGINT)) AS tc
+        FROM chans
+    ),
+    eff AS (
+        SELECT ['view', 'click', 'signup', 'error'][CAST(c AS INT) - 1]
+                   AS channel,
+               p_base AS p_conv_base_ppb,
+               {_mk_fold_duck('tc')} AS p_conv_removed_ppb
+        FROM rem
+    ),
+    eff2 AS (
+        SELECT channel, p_conv_base_ppb, p_conv_removed_ppb,
+               GREATEST(p_conv_base_ppb - p_conv_removed_ppb,
+                        CAST(0 AS BIGINT)) AS removal_effect_ppb
+        FROM eff
+    )
+    SELECT channel, p_conv_base_ppb, p_conv_removed_ppb,
+           removal_effect_ppb,
+           CAST(ROUND(CAST(removal_effect_ppb AS DOUBLE)
+                / NULLIF(CAST((SELECT SUM(removal_effect_ppb) FROM eff2)
+                    AS DOUBLE), 0) * 1e6) AS BIGINT) AS attribution_ppm
+    FROM eff2
+"""

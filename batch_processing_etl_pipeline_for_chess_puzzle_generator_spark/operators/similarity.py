@@ -2959,3 +2959,85 @@ ORACLES["emb_centroid_confusion"] = f"""
     FROM v JOIN pred p USING (c_id)
     GROUP BY 1, 2
 """
+
+
+# ----------------------------- incremental ANN (new-batch triage)
+#
+# The vector side of the incremental-ingest loop (doc_incr_dedup /
+# doc_incr_minhash are the text side): a NEW embedding batch
+# (vec_id % 10 >= 8, the house batch convention) is triaged against
+# the committed corpus index — each new vector probes its own LSH
+# bucket plus the 1-bit flips and exact-reranks ONLY inside those
+# buckets. The corpus is never re-paired with itself and never fans
+# out probes: at scale its bucket assignment is the persisted index
+# (bucket = partition key), so each probe is a pruned partition read
+# and the recurring cost is |new| · probes · bucket-size — the
+# corpus-size-independent nightly increment a production ANN runs.
+def emb_incr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    new = (
+        emb.filter("vec_id % 10 >= 8")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.expr(_QUANT.format(col="embedding")).alias("qa"),
+        )
+        .withColumn("qn", F.expr(_qnorm("qa")))
+        .withColumn("bkt0", F.expr(_bucket_expr("qe")))
+    )
+    probes = ", ".join(
+        ["bkt0"] + [f"bkt0 ^ {1 << j}" for j in range(LSH_BITS)]
+    )
+    new_p = new.select(
+        "q_id", "qa", "qn",
+        F.explode(F.expr(f"array({probes})")).alias("bkt"),
+    )
+    corpus = (
+        emb.filter("vec_id % 10 < 8")
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("ce"),
+            F.expr(_QUANT.format(col="embedding")).alias("ca"),
+        )
+        .withColumn("cn", F.expr(_qnorm("ca")))
+        .withColumn("bkt", F.expr(_bucket_expr("ce")))
+    )
+    scored = corpus.join(broadcast(new_p), "bkt").select(
+        "q_id", "c_id", F.expr(_SIM).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "rank", "sim")
+    )
+
+
+QUERIES["emb_incr_ann"] = emb_incr_ann
+
+ORACLES["emb_incr_ann"] = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id % 10 >= 8),
+    c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+          WHERE vec_id % 10 < 8),
+    qb0 AS (SELECT q_id, qe,
+                  {" + ".join(f"(CASE WHEN CAST(qe[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSH_BITS))}
+                      AS bkt0 FROM q),
+    qb AS (SELECT q_id, qe,
+                  unnest([bkt0{"".join(f", xor(bkt0, {1 << j})" for j in range(LSH_BITS))}]) AS bkt
+           FROM qb0),
+    cb AS (SELECT c_id, ce,
+                  {" + ".join(f"(CASE WHEN CAST(ce[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSH_BITS))}
+                      AS bkt FROM c),
+    pairs AS (SELECT q_id, qe, c_id, ce FROM qb JOIN cb USING (bkt)),
+    {_DUCK_SCORE}
+    SELECT q_id, c_id, rank, sim FROM (
+        SELECT q_id, c_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+                   AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+"""

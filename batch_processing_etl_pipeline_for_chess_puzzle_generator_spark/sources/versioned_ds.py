@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -224,6 +225,38 @@ class VersionedDataSource(DataSource):
             raise ValueError("option 'path' is required")
         return VersionedWriter(table_path, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        table_path = self.options.get("path")
+        if not table_path:
+            raise ValueError("option 'path' is required")
+        return VersionedStreamWriter(table_path, schema)
+
+
+def _write_arrow_part(staged: str, iterator):
+    """Executor side of both the batch and streaming writers: stream
+    this task's Arrow batches into ONE parquet part file under the
+    invisible staged dir; only the returned commit message can make
+    the file visible (failed/speculative attempts are never
+    manifested)."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    part = None
+    writer = None
+    n = 0
+    for batch in iterator:
+        if writer is None:
+            os.makedirs(staged, exist_ok=True)
+            part = f"part-{uuid.uuid4().hex}.parquet"
+            writer = pq.ParquetWriter(os.path.join(staged, part),
+                                      batch.schema)
+        writer.write_batch(batch)
+        n += batch.num_rows
+    if writer is not None:
+        writer.close()
+    return _WrotePart(filename=part, n_rows=n)
+
 
 @dataclass
 class _WrotePart(WriterCommitMessage):
@@ -294,27 +327,12 @@ class VersionedWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
         self.token = uuid.uuid4().hex[:12]
         self.staged = os.path.join(table_path, f"_staged_w_{self.token}")
+        # extra manifest keys merged in at commit (the streaming sink
+        # records its micro-batch id here for replay detection)
+        self.extra_manifest: dict = {}
 
     def write(self, iterator):
-        import uuid
-
-        import pyarrow.parquet as pq
-
-        part = None
-        writer = None
-        n = 0
-        for batch in iterator:
-            if writer is None:
-                os.makedirs(self.staged, exist_ok=True)
-                part = f"part-{uuid.uuid4().hex}.parquet"
-                writer = pq.ParquetWriter(
-                    os.path.join(self.staged, part), batch.schema
-                )
-            writer.write_batch(batch)
-            n += batch.num_rows
-        if writer is not None:
-            writer.close()
-        return _WrotePart(filename=part, n_rows=n)
+        return _write_arrow_part(self.staged, iterator)
 
     def commit(self, messages):
         import shutil
@@ -369,6 +387,7 @@ class VersionedWriter(DataSourceArrowWriter):
             "version": version,
             "files": list(parent_files) + new_files,
             "schema": self.schema.json(),
+            **self.extra_manifest,
         }
         # Carry the parent's data-skipping stats forward instead of
         # dropping them: a DS save on a stats_col table used to publish
@@ -394,6 +413,75 @@ class VersionedWriter(DataSourceArrowWriter):
             raise
 
     def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.staged, ignore_errors=True)
+
+
+class VersionedStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("versioned")`` — the streaming SINK that
+    completes the Data Source matrix (batch read/write + stream read
+    now have a stream write): every micro-batch commits one new
+    version through the same manifest CAS append path as the batch
+    writer (parent files shared, nothing rewritten).
+
+    Exactly-once: each commit records its micro-batch id in the
+    manifest (``stream_batch_id``). After a crash between the sink
+    commit and the checkpoint write, Structured Streaming replays the
+    last batch — the replayed commit sees its id already published,
+    discards the re-staged part files, and publishes nothing, so rows
+    are never doubled. Contract: ONE streaming query writes a given
+    table at a time (two queries would share the batch-id sequence);
+    concurrent BATCH writers stay safe — they race through the same
+    manifest CAS as always.
+    """
+
+    def __init__(self, table_path: str, schema):
+        self.table_path = table_path
+        self.schema = schema
+        # DETERMINISTIC staged dir — unlike the batch writer, the
+        # streaming protocol re-instantiates this object independently
+        # in the write tasks AND in the commit-runner process
+        # (PythonStreamingSinkCommitRunner), so a random per-instance
+        # token would point the committer at an empty dir. Safe under
+        # the documented single-streaming-writer contract; only
+        # commit-message-named files ever become visible.
+        self.staged = os.path.join(table_path, "_staged_stream")
+
+    def write(self, iterator):
+        return _write_arrow_part(self.staged, iterator)
+
+    def _last_stream_batch(self):
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+        for v in reversed(versioned.versions(self.table_path)):
+            m = versioned._load_manifest(self.table_path, v)
+            if "stream_batch_id" in m:
+                return m["stream_batch_id"]
+        return None
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        last = self._last_stream_batch()
+        if last is not None and last >= batchId:
+            # checkpoint-replayed batch: already published — the
+            # re-staged part files must never become visible
+            shutil.rmtree(self.staged, ignore_errors=True)
+            return
+        import uuid
+
+        delegate = VersionedWriter(self.table_path, self.schema,
+                                   overwrite=False)
+        # commit-time-unique data dir: a crashed commit attempt leaves
+        # an unmanifested orphan (vacuum sweeps it); the retry must not
+        # collide with it
+        delegate.token = f"stream_b{batchId}_{uuid.uuid4().hex[:8]}"
+        delegate.staged = self.staged
+        delegate.extra_manifest = {"stream_batch_id": batchId}
+        delegate.commit(messages)
+
+    def abort(self, messages, batchId: int) -> None:
         import shutil
 
         shutil.rmtree(self.staged, ignore_errors=True)

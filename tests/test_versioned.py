@@ -1371,3 +1371,61 @@ def test_clone_of_restored_snapshot(spark, tmp_path):
             .filter("k = 3").collect()} == {"v3"}
     assert {r.v for r in versioned.read_version(spark, good)
             .filter("k = 3").collect()} == {"patched"}
+
+
+def test_versioned_stream_writer_sink(spark, tmp_path):
+    """writeStream.format('versioned'): each micro-batch commits one
+    fast-append version (manifest CAS, parent files shared); the
+    manifest records the micro-batch id, and a checkpoint-replayed
+    commit publishes nothing (exactly-once)."""
+    _register_ds(spark)
+    src = tmp_path / "sw_src"
+    src.mkdir()
+    (src / "a.json").write_text('{"k": 0}\n{"k": 1}\n{"k": 2}')
+    (src / "b.json").write_text('{"k": 3}\n{"k": 4}')
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = (
+        spark.readStream.schema("k LONG").option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.format("versioned").option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    vs = versioned.versions(path)
+    assert len(vs) == 2  # one version per micro-batch
+    got = sorted(r.k for r in versioned.read_version(spark, path).collect())
+    assert got == [0, 1, 2, 3, 4]
+    # v1 shares v0's files (fast append, nothing rewritten)
+    m0 = versioned._load_manifest(path, 0)
+    m1 = versioned._load_manifest(path, 1)
+    assert set(m0["files"]) < set(m1["files"])
+    assert m0["stream_batch_id"] == 0 and m1["stream_batch_id"] == 1
+
+    # a replayed commit (same batch id) is a no-op: nothing published,
+    # staged files discarded
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedStreamWriter,
+    )
+
+    w = VersionedStreamWriter(path, spark.read.json(str(src)).schema)
+    w.commit([], batchId=1)
+    assert versioned.versions(path) == vs
+
+    # the stream resumes from the checkpoint: a third file commits
+    # exactly one more version with only the new rows
+    (src / "c.json").write_text('{"k": 9}')
+    q2 = (
+        spark.readStream.schema("k LONG").option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.format("versioned").option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    assert len(versioned.versions(path)) == 3
+    got = sorted(r.k for r in versioned.read_version(spark, path).collect())
+    assert got == [0, 1, 2, 3, 4, 9]
