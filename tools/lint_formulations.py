@@ -258,6 +258,7 @@ DOUBLE_ALLOWLIST: dict[str, set[str]] = {
     "emb_cosine_topk": {"sim"},
     "emb_bq_rerank": {"sim"},
     "emb_filtered_topk": {"sim"},
+    "emb_incr_ann": {"sim"},
     "emb_ivf_ann": {"sim"},
     "emb_kmeans_ivf": {"sim"},
     "emb_lsh_ann": {"sim"},
