@@ -1009,3 +1009,71 @@ ORACLES["dq_benford_orders"] = f"""
                 * 1e3) AS BIGINT) AS chi2_contrib_m
     FROM digits d JOIN exp_t e USING (digit) CROSS JOIN total
 """
+
+
+# ----------------------------- functional-dependency discovery
+#
+# Schema-profiling next to profile_columns' value stats: does A
+# (approximately) determine B? For each declared candidate FD the
+# audit reports the LHS group count, how many groups see >1 distinct
+# RHS value, the share of ROWS inside violating groups (the
+# approximate-FD g3-style error on a ppm grid), and whether the FD
+# holds exactly — the evidence a modeler reads before declaring keys,
+# denormalizing, or trusting a dimension hierarchy. One two-column
+# partial-agg pass per candidate (COUNT + MIN/MAX-equality instead of
+# COUNT DISTINCT — the sketch-free exact check that stays one
+# aggregation); candidates over the same table could share a grouping
+# at scale, but each pass is already a narrow column-pruned scan.
+_FD_CANDIDATES = (
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_orderkey", "l_suppkey"),
+    ("lineitem", "l_partkey", "l_extendedprice"),
+)
+
+
+def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = table(spark, sf_dir, tbl)
+        groups = t.groupBy(lhs).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # a group violates iff it holds >1 distinct RHS — detected
+            # by min != max (exact, no distinct-count expand)
+            F.expr(f"IF(MIN({rhs}) = MAX({rhs}) "
+                   f"AND COUNT({rhs}) = COUNT(*), 0, 1)").alias("viol"),
+        )
+        row = groups.agg(
+            F.lit(f"{tbl}.{lhs}").alias("lhs"),
+            F.lit(f"{tbl}.{rhs}").alias("rhs"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("viol").alias("n_violating_groups"),
+            F.expr("SUM(viol * n_rows) * 1000000 DIV SUM(n_rows)")
+            .alias("violating_rows_ppm"),
+            F.expr("CAST(SUM(viol) = 0 AS STRING)").alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["dq_fd_discovery"] = dq_fd_discovery
+
+ORACLES["dq_fd_discovery"] = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{tbl}.{lhs}' AS lhs, '{tbl}.{rhs}' AS rhs,
+           count(*) AS n_groups,
+           SUM(viol) AS n_violating_groups,
+           SUM(viol * n_rows) * 1000000 // SUM(n_rows)
+               AS violating_rows_ppm,
+           CAST(SUM(viol) = 0 AS VARCHAR) AS holds
+    FROM (
+        SELECT {lhs}, count(*) AS n_rows,
+               CASE WHEN MIN({rhs}) = MAX({rhs})
+                    AND COUNT({rhs}) = COUNT(*) THEN 0 ELSE 1 END AS viol
+        FROM {tbl} GROUP BY {lhs}
+    )
+    """
+    for tbl, lhs, rhs in _FD_CANDIDATES
+)

@@ -3041,3 +3041,91 @@ ORACLES["emb_incr_ann"] = f"""
     )
     WHERE rank <= 3
 """
+
+
+# ---------------------- contrastive mining: hard negatives / positives
+#
+# The training-data miner for embedding models (in-batch negatives are
+# too easy; hard negatives drive contrastive learning — e.g. the ANCE
+# / SimCSE recipes): for each anchor (the query split), the corpus
+# vector most similar with a DIFFERENT label (hardest negative), the
+# least similar with the SAME label (hardest positive), and the
+# training margin between them. One broadcast of the anchor set, one
+# corpus scan, one per-anchor max/min conditional aggregate — the
+# exact brute-force shape of emb_cosine_topk; at 100 TB the LSH/IVF
+# bucketed scans (emb_lsh_ann / emb_ivf_ann) supply the candidates
+# and this aggregate runs per bucket. Ties break to the smallest
+# corpus id via lexicographic struct extremes; sims land on the house
+# ppm BIGINT grid (ROUND of the identical-formula double).
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, c = _split(spark, sf_dir)
+    scored = c.join(broadcast(q), F.lit(True)).select(
+        "q_id", "q_label", "c_id", "label",
+        F.expr(f"CAST(ROUND(({_SIM}) * 1e6) AS BIGINT)").alias("sim_ppm"),
+    )
+    return scored.groupBy("q_id", "q_label").agg(
+        F.expr(
+            "MAX(CASE WHEN label != q_label THEN "
+            "named_struct('s', sim_ppm, 'neg', -c_id) END).s"
+        ).alias("hard_neg_sim_ppm"),
+        F.expr(
+            "-MAX(CASE WHEN label != q_label THEN "
+            "named_struct('s', sim_ppm, 'neg', -c_id) END).neg"
+        ).alias("hard_neg_id"),
+        F.expr(
+            "MIN(CASE WHEN label = q_label THEN "
+            "named_struct('s', sim_ppm, 'id', c_id) END).s"
+        ).alias("hard_pos_sim_ppm"),
+        F.expr(
+            "MIN(CASE WHEN label = q_label THEN "
+            "named_struct('s', sim_ppm, 'id', c_id) END).id"
+        ).alias("hard_pos_id"),
+    ).selectExpr(
+        "q_id", "q_label", "hard_neg_id", "hard_neg_sim_ppm",
+        "hard_pos_id", "hard_pos_sim_ppm",
+        "hard_pos_sim_ppm - hard_neg_sim_ppm AS margin_ppm",
+    )
+
+
+QUERIES["emb_hard_negatives"] = emb_hard_negatives
+
+ORACLES["emb_hard_negatives"] = f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, label, embedding AS ce
+          FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    pairs AS (SELECT q_id, q_label, qe, c_id, label, ce
+              FROM q CROSS JOIN c),
+    comp AS (
+        SELECT q_id, q_label, c_id, label,
+               CAST(round(CAST(unnest(qe) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+               CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT) AS xc
+        FROM pairs
+    ),
+    scored AS (
+        SELECT q_id, q_label, c_id, label,
+               CAST(ROUND(CAST(sum(xq * xc) AS DOUBLE)
+                    / (sqrt(CAST(sum(xq * xq) AS DOUBLE))
+                       * sqrt(CAST(sum(xc * xc) AS DOUBLE))) * 1e6)
+                   AS BIGINT) AS sim_ppm
+        FROM comp GROUP BY q_id, q_label, c_id, label
+    )
+    SELECT q_id, q_label,
+           -MAX(CASE WHEN label != q_label THEN
+               struct_pack(s := sim_ppm, neg := -c_id) END).neg
+               AS hard_neg_id,
+           MAX(CASE WHEN label != q_label THEN
+               struct_pack(s := sim_ppm, neg := -c_id) END).s
+               AS hard_neg_sim_ppm,
+           MIN(CASE WHEN label = q_label THEN
+               struct_pack(s := sim_ppm, id := c_id) END).id
+               AS hard_pos_id,
+           MIN(CASE WHEN label = q_label THEN
+               struct_pack(s := sim_ppm, id := c_id) END).s
+               AS hard_pos_sim_ppm,
+           MIN(CASE WHEN label = q_label THEN
+               struct_pack(s := sim_ppm, id := c_id) END).s
+           - MAX(CASE WHEN label != q_label THEN
+               struct_pack(s := sim_ppm, neg := -c_id) END).s AS margin_ppm
+    FROM scored GROUP BY q_id, q_label
+"""
