@@ -1429,14 +1429,18 @@ def _pqt_subs(emb: DataFrame) -> DataFrame:
 
 def _pqt_drel(sub: str) -> str:
     """Relative L2² to a centroid mean (per-row constant A = Σx²
-    dropped): −2B/n + C/n² from exact integer B, C, n. The double
-    formula is written identically in the DuckDB oracle, so IEEE
-    rounding is bit-equal."""
+    dropped): −2B/n + C/n² from exact integer B, C, n. C = Σs² is
+    PRECOMPUTED per candidate in the model struct (ct.csq) — it is
+    candidate-local, so computing it per (corpus row × candidate)
+    wasted a third of the hot loop (the oracle always had it in its
+    meta CTE; same exact integer → same double). The formula is
+    written identically in the DuckDB oracle, so IEEE rounding is
+    bit-equal."""
     return (
         f"CAST(aggregate(zip_with({sub}, ct.s, (x, y) -> x * y), "
         "CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE) "
         "* CAST(-2 AS DOUBLE) / CAST(ct.n AS DOUBLE) "
-        "+ CAST(aggregate(ct.s, CAST(0 AS BIGINT), (a, v) -> a + v * v) AS DOUBLE) "
+        "+ CAST(ct.csq AS DOUBLE) "
         "/ (CAST(ct.n AS DOUBLE) * CAST(ct.n AS DOUBLE))"
     )
 
@@ -1446,10 +1450,12 @@ _PQT_SUB = "element_at(subs, b + 1)"
 
 def _pqt_assign_expr() -> str:
     """Per-row array of M winning cluster ids over the broadcast model
-    column ``cts`` (array<struct<b, cid, s, n>>); ties break to the
-    smallest cid via lexicographic struct min."""
+    column ``ctsb`` (array-of-arrays: candidates pre-grouped per
+    sub-space, so the hot loop scans K candidates, never filters the
+    full M*K list — measured 7.0 -> 2.5 s at 8x64 on sf0.1); ties
+    break to the smallest cid via lexicographic struct min."""
     scored = (
-        f"transform(filter(cts, ct -> ct.b = b), ct -> "
+        f"transform(element_at(ctsb, CAST(b + 1 AS INT)), ct -> "
         f"named_struct('d', {_pqt_drel(_PQT_SUB)}, 'cid', ct.cid))"
     )
     return (
@@ -1475,17 +1481,24 @@ def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode("subs").alias("b", "s"),
         )
         .withColumn("n", F.lit(1).cast("long"))
+        .withColumn("csq", F.expr(
+            "aggregate(s, CAST(0 AS BIGINT), (a, v) -> a + v * v)"))
     )
 
     def as_model(c: DataFrame) -> DataFrame:
         return c.agg(
-            F.expr("collect_list(named_struct('b', b, 'cid', cid, 's', s, 'n', n))")
+            F.expr("collect_list(named_struct('b', b, 'cid', cid, "
+                   "'s', s, 'n', n, 'csq', csq))")
             .alias("cts")
         )
 
     # One Lloyd round on the sample: map-side assignment, one shuffle
     # for the (b, cid) centroid update.
-    asg = sample.crossJoin(broadcast(as_model(cents0))).select(
+    _by_b = (f"transform(sequence(0, {_PQT_M - 1}), "
+             "b -> filter(cts, ct -> ct.b = b))")
+    asg = sample.crossJoin(
+        broadcast(as_model(cents0).select(F.expr(_by_b).alias("ctsb")))
+    ).select(
         "vec_id",
         "subs",
         F.expr(_pqt_assign_expr()).alias("cids"),
@@ -1504,6 +1517,8 @@ def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "n",
         )
+        .withColumn("csq", F.expr(
+            "aggregate(s, CAST(0 AS BIGINT), (a, v) -> a + v * v)"))
     )
     # Degenerate-corpus guard: on a corpus so small the deterministic
     # 1/PQT_SAMPLE_MOD hash-sample is EMPTY, the trained model collapses
@@ -1517,6 +1532,10 @@ def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.expr("CASE WHEN size(cts) > 0 THEN cts ELSE seed_cts END").alias("cts")
         )
+        # the ONE model row is re-shaped per sub-space once, so the
+        # per-corpus-row argmin indexes K candidates instead of
+        # filtering the M*K list
+        .select(F.expr(_by_b).alias("ctsb"))
     )
     # Full-corpus encode, LONG-FORM (vec_id, b, code, dist_b): one row
     # per sub-space keeps every emitted double a single-formula value
@@ -1527,20 +1546,27 @@ def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate({_PQT_SUB}, CAST(0 AS BIGINT), (a, v) -> a + v * v)"
     )
     win = (
-        "array_min(transform(filter(cts, ct -> ct.b = b), ct -> "
+        "array_min(transform(element_at(ctsb, CAST(b + 1 AS INT)), ct -> "
         f"named_struct('d', {_pqt_drel(_PQT_SUB)}, 'cid', ct.cid)))"
     )
+    # the winner struct is materialized ONCE per (row, b) — naming it
+    # 'w' and projecting after the explode avoids evaluating the
+    # argmin twice (interpreted HOFs get no subexpression elimination)
     per_b = (
         f"transform(sequence(0, {_PQT_M - 1}), b -> named_struct("
         f"'b', CAST(b AS BIGINT), "
-        f"'code', {win}.cid, "
-        f"'dist_b', CAST(ROUND((CAST({a_term} AS DOUBLE) + {win}.d) / 1e6) "
-        "AS BIGINT)))"
+        f"'w', {win}, "
+        f"'a', {a_term}))"
     )
     return (
         base.crossJoin(broadcast(model))
         .select("vec_id", "label", F.explode(F.expr(per_b)).alias("e"))
-        .select("vec_id", "label", "e.b", "e.code", "e.dist_b")
+        .selectExpr(
+            "vec_id", "label", "e.b",
+            "e.w.cid AS code",
+            "CAST(ROUND((CAST(e.a AS DOUBLE) + e.w.d) / 1e6) AS BIGINT) "
+            "AS dist_b",
+        )
     )
 
 
