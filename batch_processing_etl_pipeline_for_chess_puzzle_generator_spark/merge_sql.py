@@ -198,6 +198,13 @@ def read_versioned_sql(spark: SparkSession, path: str,
 # OPTIMIZE / DESCRIBE HISTORY, path-addressed like MERGE INTO above.
 # Same philosophy: parse the exact canonical shape, route onto the
 # library implementation, raise loudly on anything else.
+_ALTER_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
+    r"\s+(?:(?P<add>ADD\s+CONSTRAINT\s+(?P<aname>\w+)\s+CHECK\s*"
+    r"\((?P<expr>.+)\))|(?:DROP\s+CONSTRAINT\s+(?P<dname>\w+)))"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
     r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*;?\s*$",
@@ -252,11 +259,20 @@ def maintenance_sql(spark: SparkSession, statement: str):
     m = _HISTORY_RE.match(statement)
     if m:
         return versioned.history(spark, m["path"])
+    m = _ALTER_CONSTRAINT_RE.match(statement)
+    if m:
+        if m["add"]:
+            return versioned.add_constraint(
+                spark, m["path"], m["aname"], m["expr"].strip()
+            )
+        return versioned.drop_constraint(m["path"], m["dname"])
     raise ValueError(
         "unsupported maintenance statement — expected RESTORE TABLE "
         "versioned.`/p` TO VERSION AS OF n | VACUUM versioned.`/p` "
         "[RETAIN n VERSIONS] | OPTIMIZE versioned.`/p` [ZORDER BY "
-        f"(a, b)] | DESCRIBE HISTORY versioned.`/p`; got: {statement!r}"
+        "(a, b)] | DESCRIBE HISTORY versioned.`/p` | ALTER TABLE "
+        "versioned.`/p` ADD CONSTRAINT name CHECK (expr) | ALTER TABLE "
+        f"versioned.`/p` DROP CONSTRAINT name; got: {statement!r}"
     )
 
 
@@ -572,7 +588,7 @@ def sql(spark: SparkSession, statement: str):
         if _CLONE_RE.match(statement):
             return shallow_clone(spark, statement)
         return create_table_as(spark, statement)
-    if head in ("RESTORE", "VACUUM", "OPTIMIZE", "DESCRIBE"):
+    if head in ("RESTORE", "VACUUM", "OPTIMIZE", "DESCRIBE", "ALTER"):
         return maintenance_sql(spark, statement)
     if head in ("SELECT", "WITH"):
         return spark.sql(_rewrite_versioned_refs(spark, statement))

@@ -2945,3 +2945,86 @@ ORACLES["customer_survival_km"] = """
            p.d AS n_churned, p.s AS survival_ppm
     FROM curve
 """
+
+
+# ----------------------------- Theil-Sen robust trend estimator
+#
+# The robust sibling of orders_priority_share_trend's OLS slope: the
+# Theil-Sen estimator (median of all pairwise slopes) has a 29.3%
+# breakdown point, so a few anomalous months cannot drag the trend —
+# the estimator a forecaster trusts on dirty operational series.
+# Pairwise slopes live on the house ×1e6 BIGINT grid ((Δy·1e6) DIV Δx
+# — identical truncation both engines); the median is the engine-free
+# middle-row selection (orders_median_by_priority's pattern: lower
+# median at rn = (n+1) DIV 2, ties broken by the pair key). Pair
+# volume is O(months²) per priority on the TINY monthly rollup — the
+# corpus contributes one partial-agg shuffle; at a century of months
+# the pair table is still < 1M rows.
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+        .cast("long").alias("m"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.expr("a.o_orderpriority = b.o_orderpriority"))
+            & (F.col("b.m") > F.col("a.m")),
+        )
+        .selectExpr(
+            "a.o_orderpriority AS o_orderpriority",
+            "(b.y - a.y) * 1000000 DIV (b.m - a.m) AS s_ppm",
+            "a.m * 100000 + b.m AS pair_key",
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("s_ppm", "pair_key")
+    ranked = slopes.select(
+        "o_orderpriority",
+        "s_ppm",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("o_orderpriority")
+        ).cast("long").alias("n"),
+    )
+    return (
+        ranked.filter("rn = (n + 1) DIV 2")
+        .selectExpr(
+            "o_orderpriority",
+            "n AS n_pairs",
+            "s_ppm AS ts_slope_ppm",
+        )
+    )
+
+
+QUERIES["orders_theilsen_trend"] = orders_theilsen_trend
+
+ORACLES["orders_theilsen_trend"] = """
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                    AS BIGINT) AS m,
+               count(*) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.o_orderpriority,
+               (b.y - a.y) * 1000000 // (b.m - a.m) AS s_ppm,
+               a.m * 100000 + b.m AS pair_key
+        FROM monthly a JOIN monthly b
+          ON a.o_orderpriority = b.o_orderpriority AND b.m > a.m
+    ),
+    ranked AS (
+        SELECT o_orderpriority, s_ppm,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY s_ppm, pair_key) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                   AS BIGINT) AS n
+        FROM slopes
+    )
+    SELECT o_orderpriority, n AS n_pairs, s_ppm AS ts_slope_ppm
+    FROM ranked WHERE rn = (n + 1) // 2
+"""

@@ -3155,3 +3155,75 @@ ORACLES["emb_hard_negatives"] = f"""
                struct_pack(s := sim_ppm, neg := -c_id) END).s AS margin_ppm
     FROM scored GROUP BY q_id, q_label
 """
+
+
+# -------------------------- retrieval rank-quality eval (MRR)
+#
+# The rank-quality probe next to emb_ann_recall's set-overlap gate:
+# for each query, the EXACT cosine top-1 neighbor is the relevant
+# item, and the ANN under test (the multi-probe LSH path) is scored
+# by the reciprocal of the rank at which it surfaces that item
+# (0 when missed) — Mean Reciprocal Rank, the eval RAG retrieval
+# actually reports. nDCG is deliberately NOT used: its log2 weights
+# are engine-libm territory, while reciprocal ranks are exact
+# rationals of integer ranks (identical double division both sides,
+# ppm grid out). Plan shape: both rankings reuse the existing
+# brute-force/LSH operators' shapes; the join is per-query on ≤ k
+# rows.
+def emb_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q, c = _split(spark, sf_dir)
+    # exact top-1 per query (the relevant item)
+    exact = c.crossJoin(broadcast(q.select("q_id", "qa", "qn"))).select(
+        "q_id", "c_id", F.expr(_SIM).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    truth = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("q_id", F.col("c_id").alias("relevant_id"))
+    )
+    ann = emb_lsh_ann(spark, sf_dir).select("q_id", "c_id", "rank")
+    hit = ann.join(
+        truth,
+        (ann.q_id == truth.q_id) & (ann.c_id == truth.relevant_id),
+    ).select(truth.q_id, "relevant_id", F.col("rank").alias("found_rank"))
+    return (
+        truth.join(hit, ["q_id", "relevant_id"], "left")
+        .selectExpr(
+            "q_id",
+            "relevant_id",
+            "found_rank",
+            # reciprocal rank on the ppm grid; miss = 0
+            "COALESCE(CAST(ROUND(1e6 / CAST(found_rank AS DOUBLE)) "
+            "AS BIGINT), 0) AS rr_ppm",
+        )
+    )
+
+
+QUERIES["emb_mrr_eval"] = emb_mrr_eval
+
+ORACLES["emb_mrr_eval"] = f"""
+    WITH {_DUCK_PAIRS},
+    pairs AS (SELECT q_id, qe, c_id, ce FROM q CROSS JOIN c),
+    {_DUCK_SCORE},
+    truth AS (
+        SELECT q_id, c_id AS relevant_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, c_id) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    ),
+    ann AS ({ORACLES['emb_lsh_ann']}),
+    hit AS (
+        SELECT t.q_id, t.relevant_id, a.rank AS found_rank
+        FROM truth t JOIN ann a
+          ON a.q_id = t.q_id AND a.c_id = t.relevant_id
+    )
+    SELECT t.q_id, t.relevant_id, h.found_rank,
+           COALESCE(CAST(ROUND(1e6 / CAST(h.found_rank AS DOUBLE))
+               AS BIGINT), 0) AS rr_ppm
+    FROM truth t LEFT JOIN hit h USING (q_id, relevant_id)
+"""

@@ -396,6 +396,13 @@ class VersionedWriter(DataSourceArrowWriter):
         # verbatim (the files are immutable); new part files get exact
         # [min,max] from their parquet footers where the footer stats
         # are trustworthy, else None (= unpruneable, always correct).
+        # CHECK constraints carry forward in the manifest; the DS
+        # writer does not ENFORCE them (no SparkSession at commit
+        # time) — enforcement lives on the library write paths
+        # (write_version / merge_version_cow / predicate DML), and
+        # add_constraint re-validates the whole table when declared
+        if parent is not None and parent.get("constraints"):
+            manifest["constraints"] = parent["constraints"]
         if parent is not None and parent.get("stats_col"):
             stats_col = parent["stats_col"]
             stats = ({f: parent.get("stats", {}).get(f)

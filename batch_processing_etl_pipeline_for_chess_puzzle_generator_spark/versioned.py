@@ -177,6 +177,111 @@ class CommitConflict(Exception):
     retry by re-running the write against the new latest version."""
 
 
+class ConstraintViolation(Exception):
+    """A write tried to commit rows failing a table CHECK constraint
+    (Delta's `ALTER TABLE ADD CONSTRAINT` analog). The staged data was
+    removed; nothing was published."""
+
+
+def _table_constraints(table_path: str) -> dict:
+    """{name: sql_expr} recorded on the latest manifest ({} if none)."""
+    avail = versions(table_path)
+    if not avail:
+        return {}
+    return _load_manifest(table_path, avail[-1]).get("constraints") or {}
+
+
+def _enforce_constraints(spark: SparkSession, table_path: str,
+                         new_files: list[str], constraints: dict,
+                         cleanup_dir: str | None) -> None:
+    """CHECK-constraint gate on a commit's NEW files only (untouched
+    parent files were validated by the commit that wrote them): one
+    combined aggregate pass counts, per constraint, the rows where the
+    expression is not TRUE (NULL counts as a violation — SQL CHECK's
+    accept-on-UNKNOWN leniency silently admits NULL garbage, so this
+    engine is strict; write an explicit `x IS NULL OR ...` to opt in).
+    On any violation the staged data dir is removed and nothing
+    publishes."""
+    if not constraints or not new_files:
+        return
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*[_abs_file(table_path, f) for f in new_files])
+    names = sorted(constraints)
+    aggs = [
+        F.sum((~F.expr(constraints[n]).eqNullSafe(True)).cast("long"))
+        .alias(f"c{i}")
+        for i, n in enumerate(names)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: int(row[f"c{i}"]) for i, n in enumerate(names)
+           if row[f"c{i}"]}
+    if bad:
+        if cleanup_dir:
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
+        raise ConstraintViolation(
+            "constraint violations (rows not satisfying CHECK): "
+            + ", ".join(f"{n} ({constraints[n]!r}): {c}"
+                        for n, c in sorted(bad.items()))
+        )
+
+
+def add_constraint(spark: SparkSession, table_path: str, name: str,
+                   expr: str) -> int:
+    """Record a CHECK constraint as a metadata-only commit — AFTER
+    proving the CURRENT data satisfies it (a constraint the existing
+    table already violates would make every future write fail). Every
+    subsequent write_version / merge_version_cow / predicate-DML
+    commit enforces it on the rows it adds; the Data Source writer
+    carries it forward in the manifest but leaves enforcement to the
+    library paths (documented there)."""
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    base = avail[-1]
+    parent = _load_manifest(table_path, base)
+    cons = dict(parent.get("constraints") or {})
+    if name in cons:
+        raise ValueError(f"constraint '{name}' already exists")
+    from pyspark.sql import functions as F
+
+    n_bad = (
+        read_version(spark, table_path)
+        .filter(~F.expr(expr).eqNullSafe(True))
+        .count()
+    )
+    if n_bad:
+        raise ConstraintViolation(
+            f"cannot add '{name}': {n_bad} existing rows violate {expr!r}"
+        )
+    cons[name] = expr
+    manifest = dict(parent)
+    manifest.pop("restored_from", None)
+    manifest["version"] = base + 1
+    manifest["constraints"] = cons
+    return _publish(table_path, manifest)
+
+
+def drop_constraint(table_path: str, name: str) -> int:
+    """Remove a CHECK constraint (metadata-only commit)."""
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    base = avail[-1]
+    parent = _load_manifest(table_path, base)
+    cons = dict(parent.get("constraints") or {})
+    if name not in cons:
+        raise KeyError(f"no constraint '{name}' on {table_path}")
+    del cons[name]
+    manifest = dict(parent)
+    manifest.pop("restored_from", None)
+    manifest["version"] = base + 1
+    manifest["constraints"] = cons
+    return _publish(table_path, manifest)
+
+
 def _publish(table_path: str, manifest: dict) -> int:
     """Atomically publish a manifest + advance the high-water mark.
 
@@ -283,12 +388,19 @@ def write_version(df: DataFrame, table_path: str,
     df.write.mode("overwrite").parquet(staged)
     os.rename(staged, final)
     files = _list_data_files(table_path, data_dir)
+    # CHECK constraints: enforced on the written files (one combined
+    # aggregate scan — the df itself is never recomputed), carried
+    # forward in the manifest so every future write keeps enforcing
+    cons = _table_constraints(table_path)
+    _enforce_constraints(df.sparkSession, table_path, files, cons, final)
     manifest = {
         "version": version,
         "dir": data_dir,
         "files": files,
         "schema": df.schema.json(),
     }
+    if cons:
+        manifest["constraints"] = cons
     if stats_col is not None:
         manifest["stats_col"] = stats_col
         manifest["stats"] = _file_stats(
@@ -477,6 +589,11 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     os.rename(staged, final)
     new_files = _list_data_files(table_path, final_dir)
 
+    # CHECK constraints gate only the NEW files (untouched parent files
+    # were validated by the commits that wrote them)
+    cons = parent.get("constraints") or {}
+    _enforce_constraints(spark, table_path, new_files, cons, final)
+
     # 4. publish: untouched parent files keep their stats verbatim
     manifest = {
         "version": version,
@@ -485,6 +602,8 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         # regenerating also covers legacy manifests with no schema key
         "schema": out_struct.json(),
     }
+    if cons:
+        manifest["constraints"] = cons
     if parent.get("stats_col") == key_col:
         stats = {f: pstats[f] for f in untouched}
         stats.update(_file_stats(spark, table_path, new_files, key_col)
@@ -599,11 +718,18 @@ def _predicate_cow(spark: SparkSession, table_path: str,
     os.rename(staged, final)
     new_files = _list_data_files(table_path, final_dir)
 
+    # CHECK constraints gate the rewritten files (an UPDATE ... SET can
+    # introduce violations into previously-valid rows)
+    cons = parent.get("constraints") or {}
+    _enforce_constraints(spark, table_path, new_files, cons, final)
+
     manifest = {
         "version": version,
         "files": untouched + new_files,
         "schema": schema.json(),
     }
+    if cons:
+        manifest["constraints"] = cons
     stats_col = parent.get("stats_col")
     if stats_col is not None and parent.get("stats") is not None:
         stats = {f: parent["stats"].get(f) for f in untouched}

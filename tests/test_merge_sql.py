@@ -576,3 +576,22 @@ def test_versioned_ref_masking_skips_double_quotes_and_comments(spark):
     # unterminated trailing comment does not crash the scanner
     r = sql(spark, "SELECT 3 AS n -- versioned.`/nope`").first()
     assert r.n == 3
+
+
+def test_alter_table_constraint_statements(spark, tmp_path):
+    """ALTER TABLE versioned.`/p` ADD CONSTRAINT ... CHECK (...) /
+    DROP CONSTRAINT route through the unified router."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql
+
+    path = str(tmp_path / "tbl")
+    sql(spark, f"CREATE TABLE versioned.`{path}` AS "
+               "SELECT id AS k, CAST(id AS BIGINT) AS v FROM range(10)")
+    v = sql(spark, f"ALTER TABLE versioned.`{path}` "
+                   "ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
+    assert v == 1
+    with pytest.raises(versioned.ConstraintViolation):
+        sql(spark, f"UPDATE versioned.`{path}` SET v = -1 WHERE k = 2")
+    sql(spark, f"ALTER TABLE versioned.`{path}` DROP CONSTRAINT v_nonneg")
+    sql(spark, f"UPDATE versioned.`{path}` SET v = -1 WHERE k = 2")
+    assert sql(spark, f"SELECT v FROM versioned.`{path}` WHERE k = 2"
+               ).first().v == -1

@@ -1429,3 +1429,65 @@ def test_versioned_stream_writer_sink(spark, tmp_path):
     assert len(versioned.versions(path)) == 3
     got = sorted(r.k for r in versioned.read_version(spark, path).collect())
     assert got == [0, 1, 2, 3, 4, 9]
+
+
+def test_check_constraints_lifecycle(spark, tmp_path):
+    """CHECK constraints (Delta ADD CONSTRAINT analog): declared as a
+    metadata-only commit after validating current data; enforced on
+    every library write path's NEW files; carried forward by the DS
+    writer; droppable."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_mk_ranged(spark, 30, 2), path, stats_col="k")
+    v = versioned.add_constraint(spark, path, "k_nonneg", "k >= 0")
+    assert v == 1
+    # declaring a constraint existing data violates must fail
+    with pytest.raises(versioned.ConstraintViolation):
+        versioned.add_constraint(spark, path, "impossible", "k > 5")
+    with pytest.raises(ValueError):
+        versioned.add_constraint(spark, path, "k_nonneg", "k >= 0")
+
+    # write_version: violating data is rejected, no version published
+    bad = spark.createDataFrame([(-1, "x", False)],
+                                "k INT, v STRING, is_delete BOOLEAN")
+    n_before = versioned.versions(path)
+    with pytest.raises(versioned.ConstraintViolation):
+        versioned.write_version(
+            bad.select("k", "v"), path)
+    assert versioned.versions(path) == n_before
+
+    # merge: violating upsert rejected; valid upsert commits and the
+    # constraint carries forward
+    with pytest.raises(versioned.ConstraintViolation):
+        versioned.merge_version_cow(spark, path, bad, "k")
+    ok = spark.createDataFrame([(3, "patched", False)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, path, ok, "k")
+    m = versioned._load_manifest(path, versioned.versions(path)[-1])
+    assert m["constraints"] == {"k_nonneg": "k >= 0"}
+
+    # UPDATE that would break the constraint is rejected
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql as vsql
+    with pytest.raises(versioned.ConstraintViolation):
+        vsql(spark, f"UPDATE versioned.`{path}` SET k = -5 WHERE k = 3")
+
+    # NULL in the checked expression counts as a violation (strict)
+    null_row = spark.createDataFrame([(None, "n", False)],
+                                     "k INT, v STRING, is_delete BOOLEAN")
+    with pytest.raises(versioned.ConstraintViolation):
+        versioned.merge_version_cow(spark, path, null_row, "k")
+
+    # DS append carries the constraint metadata forward
+    _register_ds(spark)
+    spark.range(99, 100).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('ds', id) AS v"
+    ).write.format("versioned").mode("append").option("path", path).save()
+    m2 = versioned._load_manifest(path, versioned.versions(path)[-1])
+    assert m2["constraints"] == {"k_nonneg": "k >= 0"}
+
+    # drop: subsequent writes accept previously-violating rows
+    versioned.drop_constraint(path, "k_nonneg")
+    versioned.merge_version_cow(spark, path, bad, "k")
+    got = {r.k for r in versioned.read_version(spark, path).collect()}
+    assert -1 in got
+    with pytest.raises(KeyError):
+        versioned.drop_constraint(path, "nope")
