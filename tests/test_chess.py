@@ -239,3 +239,59 @@ def test_http_ndjson_fetcher_window_and_parse(tmp_path):
     # second window carries the advanced cursor as `since`
     list(fetch(cur.get(), "t3"))
     assert calls[-1][1]["since"] == "t2" and calls[-1][1]["until"] == "t3"
+
+
+def test_pgn_data_source_round_trip(spark, ndjson_dir, tmp_path):
+    """write_pgn → spark.read.format("pgn") is lossless: the reader
+    reconstructs the flat puzzle rows (numbering included, '?' decoded
+    back to NULL) from the distributed sink's part files."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.pgn_ds import PgnDataSource
+
+    try:
+        spark.dataSource.register(PgnDataSource)
+    except Exception:
+        pass
+    flat = puzzle_pipeline(read_games(spark, str(ndjson_dir)))
+    out = tmp_path / "pgn_rt"
+    write_pgn(flat, str(out))
+    got = (
+        spark.read.format("pgn").option("path", str(out)).load()
+    )
+    rows = {r.game_id: r for r in got.collect()}
+    want = {r.game_id: r for r in flat.collect()}
+    assert set(rows) == set(want)
+    for gid, w in want.items():
+        g = rows[gid]
+        assert (g.white_name, g.black_name, g.opening_eco,
+                g.opening_name, g.winner, g.moves) == (
+            w.white_name, w.black_name, w.opening_eco,
+            w.opening_name, w.winner, w.moves)
+    # numbering survived: the set of game numbers is 1..n
+    assert sorted(r.game_number for r in rows.values()) == \
+        list(range(1, len(rows) + 1))
+
+
+def test_pgn_data_source_decodes_missing_tags(spark, tmp_path):
+    """A hand-written PGN with '?' placeholders and multi-line
+    movetext parses to NULLs and concatenated moves."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.pgn_ds import PgnDataSource
+
+    try:
+        spark.dataSource.register(PgnDataSource)
+    except Exception:
+        pass
+    p = tmp_path / "one.pgn"
+    p.write_text(
+        "[Game ?]\n"
+        '[Game ID "gx"]\n'
+        '[White "?"]\n'
+        '[Black "carol"]\n'
+        '[Opening Eco "?"]\n'
+        '[Opening Name "Unknown"]\n'
+        '[Game Winner "black"]\n'
+        "\ne4 e5\nNf3 Nc6\n"
+    )
+    r = (spark.read.format("pgn").option("path", str(p)).load()).first()
+    assert r.game_number is None and r.white_name is None
+    assert r.opening_eco is None and r.black_name == "carol"
+    assert r.moves == "e4 e5 Nf3 Nc6"
