@@ -74,12 +74,14 @@ def test_merge_into_rejects_unsupported_shapes(spark, tmp_path):
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED THEN INSERT *
         """)
-    # column-list SET is not UPDATE SET *
+    # conditional UPDATE clauses (WHEN MATCHED AND ... THEN UPDATE)
+    # remain unsupported (column-list SET itself became a supported
+    # path in r6 — see test_merge_column_list_set_and_insert)
     with pytest.raises(ValueError, match="unsupported MERGE shape"):
         merge_into(spark, f"""
             MERGE INTO versioned.`{path}` t USING ms s
             ON t.k = s.k
-            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN MATCHED AND s.v = 'x' THEN UPDATE SET *
             WHEN NOT MATCHED THEN INSERT *
         """)
     # mismatched key columns on the two sides
@@ -595,3 +597,66 @@ def test_alter_table_constraint_statements(spark, tmp_path):
     sql(spark, f"UPDATE versioned.`{path}` SET v = -1 WHERE k = 2")
     assert sql(spark, f"SELECT v FROM versioned.`{path}` WHERE k = 2"
                ).first().v == -1
+
+
+def test_merge_column_list_set_and_insert(spark, tmp_path):
+    """Column-list MERGE shapes (the everyday Delta statement): SET
+    col = expr over both aliases, INSERT (cols) VALUES (exprs) with
+    NULL backfill for unlisted columns."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import merge_into, sql
+
+    path = str(tmp_path / "tbl")
+    sql(spark, f"CREATE TABLE versioned.`{path}` AS "
+               "SELECT id AS k, CAST(id * 10 AS BIGINT) AS v, "
+               "CAST('old' AS STRING) AS tag FROM range(6)")
+    spark.createDataFrame(
+        [(2, 100), (4, 200), (9, 900)], "k LONG, delta LONG"
+    ).createOrReplaceTempView("chg_cl")
+    merge_into(spark, f"""
+        MERGE INTO versioned.`{path}` t USING chg_cl s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.delta, tag = 'upd'
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.delta * 2)
+    """)
+    got = {r.k: (r.v, r.tag) for r in
+           sql(spark, f"SELECT * FROM versioned.`{path}`").collect()}
+    assert got[2] == (120, "upd") and got[4] == (240, "upd")
+    assert got[9] == (1800, None)          # unlisted column -> NULL
+    assert got[1] == (10, "old")           # untouched row intact
+    assert len(got) == 7
+
+    # assigning the merge key is rejected; unknown columns rejected
+    with pytest.raises(ValueError):
+        merge_into(spark, f"""
+            MERGE INTO versioned.`{path}` t USING chg_cl s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET k = s.k + 1
+        """)
+    with pytest.raises(ValueError):
+        merge_into(spark, f"""
+            MERGE INTO versioned.`{path}` t USING chg_cl s ON t.k = s.k
+            WHEN NOT MATCHED THEN INSERT (nope) VALUES (s.k)
+        """)
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE — the full-sync shape:
+    target rows absent from the source are removed (optionally under
+    a condition over the target row), composed with the other
+    clauses."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import merge_into, sql
+
+    path = str(tmp_path / "tbl")
+    sql(spark, f"CREATE TABLE versioned.`{path}` AS "
+               "SELECT id AS k, CAST(id * 10 AS BIGINT) AS v FROM range(6)")
+    spark.createDataFrame(
+        [(1, 111), (7, 777)], "k LONG, v LONG"
+    ).createOrReplaceTempView("sync_src")
+    merge_into(spark, f"""
+        MERGE INTO versioned.`{path}` t USING sync_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.k >= 3 THEN DELETE
+    """)
+    got = {r.k: r.v for r in
+           sql(spark, f"SELECT * FROM versioned.`{path}`").collect()}
+    # 1 updated, 7 inserted, 3/4/5 deleted (k>=3, no source), 0/2 kept
+    assert got == {0: 0, 1: 111, 2: 20, 7: 777}
