@@ -3028,3 +3028,107 @@ ORACLES["orders_theilsen_trend"] = """
     SELECT o_orderpriority, n AS n_pairs, s_ppm AS ts_slope_ppm
     FROM ranked WHERE rn = (n + 1) // 2
 """
+
+
+# ------------------------- Mann-Whitney U (nonparametric two-sample)
+#
+# The nonparametric member of the stats family (ANOVA = parametric
+# means, chi² = categorical, KM = survival): does the order-value
+# DISTRIBUTION differ between URGENT and LOW priority orders, with no
+# normality assumption? Exact U from the VALUE HISTOGRAM, never a
+# global row rank: per distinct cents value the two group counts, a
+# cumulative window over the (much smaller) distinct-value table, and
+# U_A = Σ_v nA(v)·cumB(<v) + nA(v)·nB(v)/2 — ties get half-credit, so
+# everything rides a ×2 integer grid. The tie-corrected normal
+# approximation's variance uses Σ(t³−t) (exact BIGINT over the same
+# histogram); z is one identical row-local double formula on the ×1e3
+# grid. At 100 TB the histogram is bounded by value cardinality (a
+# money column's distinct cents), not row count — the one window sort
+# runs over that table; with an unbounded-cardinality column you'd
+# range-partition ranks like abc_parts_revenue.
+_MWU_A = "'1-URGENT'"
+_MWU_B = "'5-LOW'"
+
+
+def stat_orders_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    hist = (
+        o.filter(f"o_orderpriority IN ({_MWU_A}, {_MWU_B})")
+        .selectExpr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS v",
+            f"CASE WHEN o_orderpriority = {_MWU_A} THEN 1 ELSE 0 END "
+            "AS in_a",
+        )
+        .groupBy("v")
+        .agg(
+            F.expr("SUM(in_a)").alias("na_v"),
+            F.expr("SUM(1 - in_a)").alias("nb_v"),
+        )
+    )
+    w = "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    cum = hist.selectExpr(
+        "na_v", "nb_v",
+        f"COALESCE(SUM(nb_v) OVER ({w}), 0) AS cumb_before",
+        "na_v + nb_v AS t",
+    )
+    return cum.agg(
+        F.expr("SUM(na_v)").alias("n_a"),
+        F.expr("SUM(nb_v)").alias("n_b"),
+        # ×2 grid: wins count double, ties single
+        F.expr("SUM(2 * na_v * cumb_before + na_v * nb_v)")
+        .alias("u_a_x2"),
+        F.expr("SUM(t * t * t - t)").alias("tie_term"),
+    ).selectExpr(
+        "n_a",
+        "n_b",
+        "u_a_x2",
+        "n_a * n_b AS mean_u_x2",  # 2·(nA·nB/2)
+        # z = (U − nAnB/2) / sqrt(nAnB/12·((n+1) − Σ(t³−t)/(n(n−1))))
+        "CAST(ROUND((CAST(u_a_x2 AS DOUBLE) / 2 "
+        "- CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2) "
+        "/ SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12 "
+        "* (CAST(n_a + n_b + 1 AS DOUBLE) "
+        "- CAST(tie_term AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) "
+        "* CAST(n_a + n_b - 1 AS DOUBLE)))) * 1e3) AS BIGINT) AS z_m",
+    )
+
+
+QUERIES["stat_orders_mannwhitney"] = stat_orders_mannwhitney
+
+ORACLES["stat_orders_mannwhitney"] = f"""
+    WITH hist AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v,
+               SUM(CASE WHEN o_orderpriority = {_MWU_A} THEN 1 ELSE 0 END)
+                   AS na_v,
+               SUM(CASE WHEN o_orderpriority = {_MWU_B} THEN 1 ELSE 0 END)
+                   AS nb_v
+        FROM orders
+        WHERE o_orderpriority IN ({_MWU_A}, {_MWU_B})
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT na_v, nb_v,
+               COALESCE(SUM(nb_v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cumb_before,
+               na_v + nb_v AS t
+        FROM hist
+    ),
+    agg AS (
+        SELECT SUM(na_v) AS n_a, SUM(nb_v) AS n_b,
+               SUM(2 * na_v * cumb_before + na_v * nb_v) AS u_a_x2,
+               SUM(t * t * t - t) AS tie_term
+        FROM cum
+    )
+    SELECT n_a, n_b, u_a_x2,
+           n_a * n_b AS mean_u_x2,
+           CAST(ROUND((CAST(u_a_x2 AS DOUBLE) / 2
+                - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+               / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
+               * (CAST(n_a + n_b + 1 AS DOUBLE)
+               - CAST(tie_term AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE)
+               * CAST(n_a + n_b - 1 AS DOUBLE)))) * 1e3) AS BIGINT) AS z_m
+    FROM agg
+"""
