@@ -1591,9 +1591,14 @@ def doc_substr_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h", "doc_id")
         .agg(F.count(F.lit(1)).alias("k"))
     )
-    totals = per_doc_hash.groupBy("h").agg(F.sum("k").alias("c"))
+    # per-hash corpus total as a WINDOW over the already-h-shuffled
+    # table, not a groupBy + self-join: the join formulation planned
+    # ZERO ReusedExchange under AQE, so the whole corpus windowing ran
+    # twice (measured; Generate ×2 / scans ×2 in the executed plan) —
+    # the window keeps one lineage and one shuffle on h
+    totals_w = Window.partitionBy("h")
     return (
-        per_doc_hash.join(totals, "h")
+        per_doc_hash.withColumn("c", F.sum("k").over(totals_w))
         .groupBy("doc_id")
         .agg(
             F.sum("k").alias("n_windows"),
