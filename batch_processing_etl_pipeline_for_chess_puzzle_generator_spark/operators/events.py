@@ -3496,24 +3496,32 @@ def ev_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
                "OVER (PARTITION BY user_id)"),
     )
     kept = rn.filter("rn <= COALESCE(p_rn, CAST(9223372036854775807 AS BIGINT))")
-    pairs = kept.select(
+    # ONE pass emits every edge a row owns: its (prev → cur) pair and,
+    # on the last kept row of a non-converting user, the (cur → null)
+    # tail — a row-local array explode, so the corpus is scanned once
+    # (the earlier pairs-UNION-tails shape re-ran the whole window
+    # lineage per branch: 8 scans in the executed plan). Kept rns are
+    # contiguous from 1, so the last row is rn = count(*) over user.
+    edges = kept.select(
         F.expr("COALESCE(LAG(event_type) OVER (PARTITION BY user_id "
-               "ORDER BY rn), 'start')").alias("src"),
-        F.col("event_type").alias("dst"),
-        "rn", "p_rn", "user_id",
-    ).select("src", "dst")
-    tails = (
-        kept.filter("p_rn IS NULL")
-        .groupBy("user_id")
-        .agg(F.expr("MAX_BY(event_type, rn)").alias("src"))
-        .select("src", F.lit("null").alias("dst"))
-    )
+               "ORDER BY rn), 'start')").alias("prev"),
+        "event_type", "rn", "p_rn",
+        F.expr("COUNT(*) OVER (PARTITION BY user_id)").alias("n_user"),
+    ).select(
+        F.explode(F.expr(
+            "filter(array("
+            "named_struct('src', prev, 'dst', event_type), "
+            "IF(rn = n_user AND p_rn IS NULL, "
+            "named_struct('src', event_type, 'dst', 'null'), NULL)"
+            "), x -> x IS NOT NULL)"
+        )).alias("e")
+    ).select("e.src", "e.dst")
     sidx = ("CASE " + " ".join(
         "WHEN {c} = '%s' THEN %d" % (s, i + 1)
         for i, s in enumerate(_MK_STATES)
     ) + " WHEN {c} = 'purchase' THEN 6 ELSE 7 END")
     counts = (
-        pairs.unionByName(tails)
+        edges
         .selectExpr(
             sidx.replace("{c}", "src") + " AS i",
             sidx.replace("{c}", "dst") + " AS j",
@@ -3569,6 +3577,9 @@ def ev_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS removal_effect_ppb",
         )
     )
+    # 4 rows; the effect-total branch would otherwise re-run the whole
+    # fit+fold chain (one more corpus scan per consumer)
+    per_channel = per_channel.localCheckpoint()
     tot_eff = per_channel.agg(
         F.sum("removal_effect_ppb").alias("eff_tot")
     )
