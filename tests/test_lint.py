@@ -91,3 +91,26 @@ def test_rule_b2_catches_decimal_of_double_at_any_precision():
         "n4": "SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100"
               " AS BIGINT) AS bal_c FROM customer",
     }) == []
+
+
+def test_rule_e_catches_double_and_timestamp_stringification():
+    """Rule E: engine rendering of doubles (shortest-repr vs printf)
+    and timestamps (fractional-second padding) differs — stringifying
+    either is the next foreseeable hash-drift class. Integer/boolean
+    stringification stays allowed."""
+    findings = lint_oracles({
+        "d1": "SELECT CAST(o_totalprice AS VARCHAR) AS s FROM orders",
+        "d2": "SELECT CAST(SUM(value) / n AS STRING) AS s FROM t",
+        "t1": "SELECT CAST(ts AS VARCHAR) AS s FROM events",
+    })
+    assert any("d1: rule E" in f for f in findings)
+    assert any("d2: rule E" in f for f in findings)
+    assert any("t1: rule E" in f for f in findings)
+    assert lint_oracles({
+        # integer and boolean stringification render identically
+        "ok1": "SELECT CAST(user_id AS VARCHAR) AS s FROM events",
+        "ok2": "SELECT CAST(SUM(viol) = 0 AS VARCHAR) AS s FROM t",
+        # decimal-normalized cents grid stringified as an integer
+        "ok3": "SELECT CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 "
+               "AS BIGINT) AS STRING) AS s FROM customer",
+    }) == []

@@ -63,6 +63,16 @@ B2. NO DECIMAL MATERIALIZATION OF DOUBLE-SOURCED VALUES AT *ANY*
    else must be rewritten onto a BIGINT grid or audited into
    ``B2_ALLOWLIST`` with the reason recorded there.
 
+E. NO ENGINE STRINGIFICATION OF DOUBLES OR TIMESTAMPS — no
+   ``CAST(expr AS VARCHAR/STRING)`` where ``expr`` is double-sourced
+   (same mask as rule B2) or a raw TIMESTAMP column. Double→string
+   rendering is shortest-repr vs printf-style across engines, and
+   timestamp→string differs in fractional-second padding — both are
+   the hash-mismatch class with rows+schema green. Integer/boolean
+   stringification (every current use: id grids, `SUM(viol) = 0`
+   flags) renders identically and passes. Render timestamps with an
+   explicit ``date_format``/``strftime`` pattern instead.
+
 C. NO FRACTIONAL ROUND — ``ROUND(x, k>=1)`` exposed from an oracle is
    the r3 incident class: the 10^-k scaling path rounds a last-ulp
    boundary differently across engine versions. Integer ROUND
@@ -162,6 +172,31 @@ _B2_DOUBLE_MARKER = re.compile(
 # was traced to an exact-DECIMAL/BIGINT source (alias shadowing a
 # normalized column, never a raw double). Keep the reason inline.
 B2_ALLOWLIST: dict[str, str] = {}
+
+# Rule E: CAST(... AS VARCHAR/STRING) extraction mirrors _decimal_casts
+_STRING_CAST_TAIL = re.compile(r"\bAS\s+(?:VARCHAR|STRING)\s*\)",
+                               re.IGNORECASE)
+_RAW_TS_COL = re.compile(r"\bts\b", re.IGNORECASE)
+
+
+def _string_casts(sql: str):
+    """Yield the inner expr of every CAST(expr AS VARCHAR/STRING), with
+    the AS at paren depth 0 of the cast body."""
+    for m in re.finditer(r"\bCAST\s*\(", sql, re.IGNORECASE):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        body = sql[m.end():i - 1]
+        for tail in re.finditer(r"\bAS\s+(?:VARCHAR|STRING)\b",
+                                body, re.IGNORECASE):
+            prefix = body[:tail.start()]
+            if prefix.count("(") == prefix.count(")"):
+                yield prefix
+                break
 
 # ROUND with an explicit second argument; nested parens up to 2 deep.
 FRACTIONAL_ROUND = re.compile(
@@ -314,6 +349,21 @@ def lint_oracles(oracles: dict[str, str]) -> list[str]:
                     f"decimal digits of a double differ across engine "
                     f"versions — normalize at the scan and use a BIGINT "
                     f"grid (house pattern: orders_median_by_priority)"
+                )
+        for inner in _string_casts(sql):
+            masked = _DECNORM.sub("__DECNORM__", inner)
+            if (_RAW_DOUBLE_COL.search(masked)
+                    or _B2_DOUBLE_MARKER.search(masked)
+                    or _RAW_TS_COL.search(masked)):
+                hit = (_RAW_DOUBLE_COL.search(masked)
+                       or _B2_DOUBLE_MARKER.search(masked)
+                       or _RAW_TS_COL.search(masked)).group(0)
+                findings.append(
+                    f"{key}: rule E — CAST(... AS VARCHAR/STRING) of a "
+                    f"double-sourced or timestamp value ('{hit}'): "
+                    f"engine rendering differs (shortest-repr vs printf; "
+                    f"fractional-second padding) — use integer grids or "
+                    f"an explicit date_format pattern"
                 )
         for m in FRACTIONAL_ROUND.finditer(sql):
             findings.append(
