@@ -33,12 +33,35 @@ from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versi
 DEFAULT_BITS = 8192
 DEFAULT_HASHES = 4
 
+# Types whose Python str() rendering is IDENTICAL to Spark's
+# CAST(col AS STRING) for every value — the only types the bitmap
+# build (Spark-side hashing) and the probe (Python-side hashing) agree
+# on. BOOLEAN ('True' vs 'true'), DOUBLE (repr drift), DECIMAL and
+# DATE/TIMESTAMP all diverge between the two renderings, which would
+# produce silent false negatives — so they are REJECTED, not merely
+# documented away.
+_INDEXABLE_SPARK_TYPES = {
+    "tinyint", "smallint", "int", "integer", "bigint", "long", "string",
+}
+
+
+def _check_probe_value(value) -> None:
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            f"bloom point-lookup values must be int or str (got "
+            f"{type(value).__name__}) — other types render differently "
+            "in Python str() vs Spark CAST(... AS STRING) and would "
+            "silently miss files"
+        )
+
 
 def _positions(value, n_bits: int, n_hashes: int) -> list[int]:
     """The k bit positions of a value: md5 of 'i:str(value)' per hash
     family member (same construction as hashing.stable_hash64_seeded).
-    Values are canonicalized through str(); intended for INT/BIGINT/
-    STRING key columns."""
+    Values are canonicalized through str(); only INT/BIGINT/STRING keys
+    are accepted (enforced at backfill AND probe time — see
+    ``_INDEXABLE_SPARK_TYPES``)."""
+    _check_probe_value(value)
     return [
         int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16)
         % n_bits
@@ -64,6 +87,23 @@ def backfill_bloom(spark: SparkSession, table_path: str, col: str,
     rel_files = parent.get("files")
     if rel_files is None:  # legacy dir-level manifest
         rel_files = versioned._list_data_files(table_path, parent["dir"])
+    # Enforce the indexable-type whitelist at BUILD time: an index on a
+    # type whose str()/CAST renderings diverge would pass silently here
+    # and miss rows at lookup time.
+    if rel_files:
+        dtypes = dict(
+            spark.read.parquet(
+                versioned._abs_file(table_path, rel_files[0])
+            ).dtypes
+        )
+        if col not in dtypes:
+            raise KeyError(f"column '{col}' not present in {table_path}")
+        if dtypes[col] not in _INDEXABLE_SPARK_TYPES:
+            raise TypeError(
+                f"bloom index on '{col}' ({dtypes[col]}) is not "
+                "supported — only integer and string key columns hash "
+                "identically in Python and Spark; cast the column first"
+            )
     filters: dict[str, str] = {}
     for rel in rel_files:
         full = versioned._abs_file(table_path, rel)
@@ -95,11 +135,19 @@ def backfill_bloom(spark: SparkSession, table_path: str, col: str,
 
 
 def prune_files(table_path: str, value,
-                version: int | None = None) -> tuple[list[str], list[str]]:
+                version: int | None = None,
+                col: str | None = None) -> tuple[list[str], list[str]]:
     """(kept, all) relative file lists for a point lookup on the
     bloom-indexed column: a file is kept iff ALL k of the value's bits
     are set in its bitmap (no false negatives by construction — a
-    value written into a file set exactly these bits)."""
+    value written into a file set exactly these bits).
+
+    ``col`` names the column the caller is looking up. When the
+    manifest's bloom index was built on a DIFFERENT column, pruning is
+    SKIPPED (all files kept) — hashing the probe value against bitmaps
+    built from another column's values would prune files that do hold
+    matching rows. Omitting ``col`` asserts the caller already knows
+    the indexed column."""
     avail = versioned.versions(table_path)
     v = avail[-1] if version is None else version
     m = versioned._load_manifest(table_path, v)
@@ -107,7 +155,7 @@ def prune_files(table_path: str, value,
     if rel_files is None:
         rel_files = versioned._list_data_files(table_path, m["dir"])
     bloom = m.get("bloom")
-    if not bloom:
+    if not bloom or (col is not None and bloom.get("col") != col):
         return list(rel_files), list(rel_files)
     pos = _positions(value, bloom["bits"], bloom["k"])
     kept = []
@@ -134,13 +182,15 @@ def read_point_lookup(spark: SparkSession, table_path: str, col: str,
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    kept, _ = prune_files(table_path, value, version)
+    _check_probe_value(value)
+    kept, _ = prune_files(table_path, value, version, col=col)
+    avail = versioned.versions(table_path)
+    v = avail[-1] if version is None else version
+    m = versioned._load_manifest(table_path, v)
+    schema = (StructType.fromJson(_json.loads(m["schema"]))
+              if "schema" in m else None)
     if not kept:
-        avail = versioned.versions(table_path)
-        v = avail[-1] if version is None else version
-        m = versioned._load_manifest(table_path, v)
-        if "schema" in m:
-            schema = StructType.fromJson(_json.loads(m["schema"]))
+        if schema is not None:
             return spark.createDataFrame([], schema)
         # legacy dir-level manifest: no recorded schema — empty slice
         # of the real read (plans the files, scans no rows)
@@ -148,4 +198,9 @@ def read_point_lookup(spark: SparkSession, table_path: str, col: str,
             F.lit(False)
         )
     paths = [versioned._abs_file(table_path, f) for f in kept]
-    return spark.read.parquet(*paths).filter(F.col(col) == F.lit(value))
+    # Read with the MANIFEST schema, exactly like read_version: on a
+    # schema-evolved table, inference over the kept subset could fail
+    # or reorder/drop columns that pre-evolution files lack, breaking
+    # the documented row-equality with read_version().filter().
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*paths).filter(F.col(col) == F.lit(value))

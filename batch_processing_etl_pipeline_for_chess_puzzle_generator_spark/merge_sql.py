@@ -76,6 +76,37 @@ _MERGE_RE = re.compile(
 _DELETE_FLAG = "__merge_is_delete"
 
 
+def _reject_multi_match_source(spark: SparkSession, path: str,
+                               changes: DataFrame, key: str) -> None:
+    """Delta raises when MULTIPLE source rows match ONE target row —
+    applying two updates/deletes to the same row is ambiguous (and the
+    COW upsert would silently duplicate the key instead). Enforced
+    whenever the statement carries a MATCHED-affecting clause: first a
+    source-side aggregate finds duplicated merge keys (cheap — the
+    source is the small side of every merge), and only if any exist is
+    the target's pruned key column scanned to see whether a duplicate
+    actually matches. Duplicate source keys that are all UNMATCHED
+    insert multiple rows, exactly Delta's (legal) behavior."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    dups = (changes.groupBy(key).count()
+            .filter(F.col("count") > 1).select(key))
+    if not dups.take(1):
+        return
+    n = (dups.join(
+            versioned.read_version(spark, path).select(key).distinct(),
+            key, "left_semi")
+         .count())
+    if n:
+        raise ValueError(
+            f"MERGE source has {n} key(s) with multiple rows matching "
+            "an existing target row — resolve duplicates in the source "
+            "(e.g. pick the latest per key) before merging; applying "
+            "several matched clauses to one target row is ambiguous "
+            "(Delta raises the same error)"
+        )
+
+
 def merge_into(spark: SparkSession, statement: str,
                evolve_schema: bool = False) -> dict:
     """Execute a ``MERGE INTO versioned.`<path>``` statement. Returns
@@ -127,6 +158,8 @@ def merge_into(spark: SparkSession, statement: str,
             "MERGE needs at least one WHEN clause (DELETE / UPDATE SET "
             "/ INSERT / NOT MATCHED BY SOURCE DELETE)"
         )
+    if (delcond is not None or has_upd) and versioned.versions(m.group("path")):
+        _reject_multi_match_source(spark, m.group("path"), changes, key)
     # Column-list and BY SOURCE shapes take the row-construction path:
     # the upsert rows are BUILT from the target×source join, then fed
     # to the same COW merge as whole rows.
@@ -271,6 +304,8 @@ def _merge_row_construction(spark: SparkSession, m: re.Match,
     has_nmbs = m.group("nmbs") is not None
     nmbs_cond = m.group("nmbscond")
 
+    if set_clause is not None or delcond is not None:
+        _reject_multi_match_source(spark, path, changes, key)
     target = versioned.read_version(spark, path)
     tcols = target.columns
     dtypes = dict(target.dtypes)

@@ -229,7 +229,22 @@ class VersionedDataSource(DataSource):
         table_path = self.options.get("path")
         if not table_path:
             raise ValueError("option 'path' is required")
-        return VersionedStreamWriter(table_path, schema)
+        # The query's checkpoint location is its durable identity: it is
+        # stable across restarts of the SAME logical query (replays must
+        # be skipped) and necessarily different for a NEW query with a
+        # fresh checkpoint (whose batch ids restart at 0 and must NOT be
+        # skipped — Delta's sink keys idempotency on (queryId, batchId)
+        # for exactly this reason).
+        ckpt = self.options.get("checkpointlocation",
+                                self.options.get("checkpointLocation"))
+        query_key = None
+        if ckpt:
+            import hashlib
+
+            query_key = hashlib.md5(
+                os.path.normpath(ckpt).encode()
+            ).hexdigest()[:16]
+        return VersionedStreamWriter(table_path, schema, query_key)
 
 
 def _write_arrow_part(staged: str, iterator):
@@ -432,20 +447,26 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
     version through the same manifest CAS append path as the batch
     writer (parent files shared, nothing rewritten).
 
-    Exactly-once: each commit records its micro-batch id in the
-    manifest (``stream_batch_id``). After a crash between the sink
-    commit and the checkpoint write, Structured Streaming replays the
-    last batch — the replayed commit sees its id already published,
-    discards the re-staged part files, and publishes nothing, so rows
-    are never doubled. Contract: ONE streaming query writes a given
-    table at a time (two queries would share the batch-id sequence);
-    concurrent BATCH writers stay safe — they race through the same
-    manifest CAS as always.
+    Exactly-once: each commit records its micro-batch id AND the
+    query's identity (``stream_batch_id`` + ``stream_query_id``, the
+    latter derived from the checkpoint location — Delta keys sink
+    idempotency on (queryId, batchId) the same way). After a crash
+    between the sink commit and the checkpoint write, Structured
+    Streaming replays the last batch — the replayed commit sees its
+    (query, batch) already published, discards the re-staged part
+    files, and publishes nothing, so rows are never doubled. A NEW
+    query with a FRESH checkpoint restarts batch ids at 0 but carries
+    a different query id, so its commits are never mistaken for
+    replays (batch-id-only guards silently discard such a query's
+    entire output). Contract: ONE streaming query writes a given table
+    at a time; concurrent BATCH writers stay safe — they race through
+    the same manifest CAS as always.
     """
 
-    def __init__(self, table_path: str, schema):
+    def __init__(self, table_path: str, schema, query_key: str | None = None):
         self.table_path = table_path
         self.schema = schema
+        self.query_key = query_key
         # DETERMINISTIC staged dir — unlike the batch writer, the
         # streaming protocol re-instantiates this object independently
         # in the write tasks AND in the commit-runner process
@@ -459,21 +480,27 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
         return _write_arrow_part(self.staged, iterator)
 
     def _last_stream_batch(self):
+        """(query_id, batch_id) of the most recent streaming commit,
+        or (None, None) if the table has none."""
         from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
         for v in reversed(versioned.versions(self.table_path)):
             m = versioned._load_manifest(self.table_path, v)
             if "stream_batch_id" in m:
-                return m["stream_batch_id"]
-        return None
+                return m.get("stream_query_id"), m["stream_batch_id"]
+        return None, None
 
     def commit(self, messages, batchId: int) -> None:
         import shutil
 
-        last = self._last_stream_batch()
-        if last is not None and last >= batchId:
-            # checkpoint-replayed batch: already published — the
-            # re-staged part files must never become visible
+        last_qid, last = self._last_stream_batch()
+        if (last is not None and last >= batchId
+                and last_qid == self.query_key):
+            # checkpoint-replayed batch OF THIS QUERY: already
+            # published — the re-staged part files must never become
+            # visible. A different query id means a new query with a
+            # fresh checkpoint took over the table: its batch 0 is new
+            # data, not a replay, and MUST commit.
             shutil.rmtree(self.staged, ignore_errors=True)
             return
         import uuid
@@ -485,7 +512,8 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
         # collide with it
         delegate.token = f"stream_b{batchId}_{uuid.uuid4().hex[:8]}"
         delegate.staged = self.staged
-        delegate.extra_manifest = {"stream_batch_id": batchId}
+        delegate.extra_manifest = {"stream_batch_id": batchId,
+                                   "stream_query_id": self.query_key}
         delegate.commit(messages)
 
     def abort(self, messages, batchId: int) -> None:

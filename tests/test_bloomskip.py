@@ -92,3 +92,64 @@ def test_bloom_never_false_negative(spark, tmp_path_factory, keys):
     for k in keys[:5]:
         got = bloomskip.read_point_lookup(spark, path, "k", k).collect()
         assert len(got) == 1 and got[0].k == k
+
+
+def test_lookup_on_unindexed_column_never_prunes(spark, tmp_path):
+    """A point lookup on a column OTHER than the indexed one must not
+    prune: hashing the probe against bitmaps built from a different
+    column's values would drop files that do hold matching rows."""
+    path = _mk_table(spark, tmp_path)
+    bloomskip.backfill_bloom(spark, path, "k")   # index on k ...
+    kept, allf = bloomskip.prune_files(path, "42", col="v")  # ... probe v
+    assert kept == allf
+    got = sorted(
+        r.k for r in bloomskip.read_point_lookup(spark, path, "v", "42")
+        .collect()
+    )
+    want = sorted(
+        r.k for r in versioned.read_version(spark, path)
+        .filter("v = '42'").collect()
+    )
+    assert got == want and got
+
+
+def test_unsupported_types_raise_loudly(spark, tmp_path):
+    """The INT/BIGINT/STRING restriction is ENFORCED, not documented:
+    backfill on a type whose str()/CAST renderings diverge raises, and
+    so does probing with a non-int/str value."""
+    path = str(tmp_path / "dbl")
+    df = spark.range(20).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS x", "id % 2 = 0 AS b"
+    )
+    versioned.write_version(df, path)
+    with pytest.raises(TypeError):
+        bloomskip.backfill_bloom(spark, path, "x")
+    with pytest.raises(TypeError):
+        bloomskip.backfill_bloom(spark, path, "b")
+    with pytest.raises(KeyError):
+        bloomskip.backfill_bloom(spark, path, "nope")
+    bloomskip.backfill_bloom(spark, path, "k")
+    with pytest.raises(TypeError):
+        bloomskip.read_point_lookup(spark, path, "k", 1.5)
+    with pytest.raises(TypeError):
+        bloomskip.read_point_lookup(spark, path, "k", True)
+
+
+def test_point_lookup_reads_with_manifest_schema(spark, tmp_path):
+    """On a schema-evolved table the pruned read must NULL-backfill
+    pre-evolution files and pin column order, exactly like
+    read_version — inference over the kept subset would break the
+    documented equivalence."""
+    path = _mk_table(spark, tmp_path)
+    bloomskip.backfill_bloom(spark, path, "k")
+    ch = spark.createDataFrame(
+        [(9000, "new", "extra", False)],
+        "k LONG, v STRING, w STRING, is_delete BOOLEAN",
+    )
+    versioned.merge_version_cow(spark, path, ch, "k", evolve_schema=True)
+    for key in (7, 9000):
+        got = bloomskip.read_point_lookup(spark, path, "k", key)
+        want = versioned.read_version(spark, path).filter(f"k = {key}")
+        assert got.columns == want.columns
+        assert [tuple(r) for r in got.collect()] == \
+            [tuple(r) for r in want.collect()]

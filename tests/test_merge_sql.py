@@ -660,3 +660,39 @@ def test_merge_not_matched_by_source_delete(spark, tmp_path):
            sql(spark, f"SELECT * FROM versioned.`{path}`").collect()}
     # 1 updated, 7 inserted, 3/4/5 deleted (k>=3, no source), 0/2 kept
     assert got == {0: 0, 1: 111, 2: 20, 7: 777}
+
+
+def test_merge_rejects_multi_match_source(spark, tmp_path):
+    """Multiple source rows matching ONE target row raise (Delta's
+    multiple-matches error) — the COW upsert would otherwise silently
+    duplicate the key. Duplicate UNMATCHED keys under insert-only
+    stay legal and insert multiple rows (also Delta semantics)."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, n=20), path)
+    spark.createDataFrame(
+        [(5, "a", False), (5, "b", False), (9000, "new", False)],
+        "k INT, v STRING, del BOOLEAN",
+    ).createOrReplaceTempView("dup_src")
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into(spark, f"""
+            MERGE INTO versioned.`{path}` AS t USING dup_src AS s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into(spark, f"""
+            MERGE INTO versioned.`{path}` AS t USING dup_src AS s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.v
+        """)
+    # duplicates confined to UNMATCHED keys: legal, both rows insert
+    spark.createDataFrame(
+        [(8000, "x"), (8000, "y")], "k INT, v STRING",
+    ).createOrReplaceTempView("dup_unmatched")
+    merge_into(spark, f"""
+        MERGE INTO versioned.`{path}` AS t USING dup_unmatched AS s
+        ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert versioned.read_version(spark, path).filter("k = 8000").count() == 2

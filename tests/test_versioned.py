@@ -1405,15 +1405,39 @@ def test_versioned_stream_writer_sink(spark, tmp_path):
     assert set(m0["files"]) < set(m1["files"])
     assert m0["stream_batch_id"] == 0 and m1["stream_batch_id"] == 1
 
-    # a replayed commit (same batch id) is a no-op: nothing published,
-    # staged files discarded
+    # a replayed commit (same query id + batch id) is a no-op: nothing
+    # published, staged files discarded
+    import hashlib
+    import os as _os
+
+    import pyarrow as pa
+
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
         VersionedStreamWriter,
+        _write_arrow_part,
     )
 
-    w = VersionedStreamWriter(path, spark.read.json(str(src)).schema)
+    # the sink derives the query id from the checkpoint location — it
+    # must have been recorded in the stream commits' manifests
+    qkey = hashlib.md5(_os.path.normpath(ckpt).encode()).hexdigest()[:16]
+    assert m1.get("stream_query_id") == qkey
+
+    w = VersionedStreamWriter(path, spark.read.json(str(src)).schema, qkey)
     w.commit([], batchId=1)
     assert versioned.versions(path) == vs
+
+    # a NEW query with a FRESH checkpoint restarts batch ids at 0 — its
+    # commit must NOT be mistaken for a replay (batch-id-only guards
+    # silently discard the new query's entire output)
+    w2 = VersionedStreamWriter(
+        path, spark.read.json(str(src)).schema, "fresh-query-id"
+    )
+    msg = _write_arrow_part(
+        w2.staged, iter([pa.record_batch({"k": pa.array([77], pa.int64())})])
+    )
+    w2.commit([msg], batchId=0)
+    assert len(versioned.versions(path)) == len(vs) + 1
+    assert versioned.read_version(spark, path).filter("k = 77").count() == 1
 
     # the stream resumes from the checkpoint: a third file commits
     # exactly one more version with only the new rows
@@ -1426,9 +1450,9 @@ def test_versioned_stream_writer_sink(spark, tmp_path):
         .trigger(availableNow=True).start()
     )
     q2.awaitTermination(120)
-    assert len(versioned.versions(path)) == 3
+    assert len(versioned.versions(path)) == 4  # + w2's commit above
     got = sorted(r.k for r in versioned.read_version(spark, path).collect())
-    assert got == [0, 1, 2, 3, 4, 9]
+    assert got == [0, 1, 2, 3, 4, 9, 77]
 
 
 def test_check_constraints_lifecycle(spark, tmp_path):
