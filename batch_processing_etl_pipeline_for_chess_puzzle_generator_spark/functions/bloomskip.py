@@ -197,10 +197,12 @@ def read_point_lookup(spark: SparkSession, table_path: str, col: str,
         return versioned.read_version(spark, table_path, v).filter(
             F.lit(False)
         )
-    paths = [versioned._abs_file(table_path, f) for f in kept]
     # Read with the MANIFEST schema, exactly like read_version: on a
     # schema-evolved table, inference over the kept subset could fail
     # or reorder/drop columns that pre-evolution files lack, breaking
-    # the documented row-equality with read_version().filter().
-    reader = spark.read if schema is None else spark.read.schema(schema)
-    return reader.parquet(*paths).filter(F.col(col) == F.lit(value))
+    # the documented row-equality with read_version().filter(). The
+    # DV-aware scan keeps deletion-vectored rows out for the same
+    # reason (identical to the full read on a DV-free table).
+    return versioned._read_files_dv(
+        spark, table_path, m, kept, schema
+    ).filter(F.col(col) == F.lit(value))

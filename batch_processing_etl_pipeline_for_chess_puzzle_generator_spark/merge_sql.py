@@ -417,6 +417,12 @@ _ALTER_CONSTRAINT_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_TBLPROPERTIES_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
+    r"\s+SET\s+TBLPROPERTIES\s*\(\s*'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'"
+    r"\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
     r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*;?\s*$",
@@ -471,6 +477,9 @@ def maintenance_sql(spark: SparkSession, statement: str):
     m = _HISTORY_RE.match(statement)
     if m:
         return versioned.history(spark, m["path"])
+    m = _TBLPROPERTIES_RE.match(statement)
+    if m:
+        return versioned.set_table_property(m["path"], m["k"], m["v"])
     m = _ALTER_CONSTRAINT_RE.match(statement)
     if m:
         if m["add"]:
@@ -484,7 +493,9 @@ def maintenance_sql(spark: SparkSession, statement: str):
         "[RETAIN n VERSIONS] | OPTIMIZE versioned.`/p` [ZORDER BY "
         "(a, b)] | DESCRIBE HISTORY versioned.`/p` | ALTER TABLE "
         "versioned.`/p` ADD CONSTRAINT name CHECK (expr) | ALTER TABLE "
-        f"versioned.`/p` DROP CONSTRAINT name; got: {statement!r}"
+        "versioned.`/p` DROP CONSTRAINT name | ALTER TABLE "
+        "versioned.`/p` SET TBLPROPERTIES ('k' = 'v'); "
+        f"got: {statement!r}"
     )
 
 

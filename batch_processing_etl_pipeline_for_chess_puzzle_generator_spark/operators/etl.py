@@ -1077,3 +1077,93 @@ ORACLES["dq_fd_discovery"] = "\nUNION ALL\n".join(
     """
     for tbl, lhs, rhs in _FD_CANDIDATES
 )
+
+
+# --------------------------------------- deletion-vector read parity
+# Merge-on-read DML (versioned.py deletion vectors, the Delta 3.x
+# shape) proven READ-EQUIVALENT to copy-on-write: the same predicate
+# DELETE + UPDATE sequence runs against two copies of the orders
+# snapshot — one with dv.enabled (positions land in a tiny sidecar,
+# data files shared byte-identically), one rewriting touched files —
+# and the final aggregate must agree with the oracle's direct rebuild
+# for BOTH. Generalizes the reference's rewrite-the-world refresh
+# (reference etl/transform.py:24-34 tracks whole files; a warehouse
+# needs row-level DML that does not rewrite a 1 GB file per row).
+_DV_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _dv_orders_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import atexit
+    import shutil
+    import tempfile
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DV_CACHE:
+        return _DV_CACHE[key]
+    mor = tempfile.mkdtemp(prefix="orders_dv_mor_")
+    cow = tempfile.mkdtemp(prefix="orders_dv_cow_")
+    for p in (mor, cow):
+        atexit.register(shutil.rmtree, p, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    for p in (mor, cow):
+        versioned.write_version(
+            o.repartitionByRange(8, "o_orderkey"), p, 0,
+            stats_col="o_orderkey",
+        )
+    versioned.set_table_property(mor, "dv.enabled", "true")
+    for p in (mor, cow):  # identical DML sequence, different physics
+        versioned.delete_where(spark, p, "o_orderkey % 10 = 3")
+        versioned.update_where(
+            spark, p, {"o_totalprice": _NEW_PRICE}, "o_orderkey % 4 = 0"
+        )
+    _DV_CACHE[key] = (mor, cow)
+    return mor, cow
+
+
+def snapshot_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    mor, cow = _dv_orders_paths(spark, sf_dir)
+    parts = []
+    for mode, p in (("mor", mor), ("cow", cow)):
+        parts.append(
+            versioned.read_version(spark, p)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.expr(
+                    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+                ).alias("total_sales"),
+            )
+            .select(
+                F.lit(mode).alias("mode"), "o_orderstatus",
+                "n_orders", "total_sales",
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+QUERIES["snapshot_dv_read"] = snapshot_dv_read
+
+ORACLES["snapshot_dv_read"] = f"""
+    WITH survive AS (
+        SELECT * FROM orders WHERE o_orderkey % 10 != 3
+    ),
+    final AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 4 = 0
+                    THEN {_NEW_PRICE} ELSE o_totalprice END AS o_totalprice
+        FROM survive
+    ),
+    agg AS (
+        SELECT o_orderstatus, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_sales
+        FROM final GROUP BY o_orderstatus
+    )
+    SELECT 'mor' AS mode, o_orderstatus, n_orders, total_sales FROM agg
+    UNION ALL
+    SELECT 'cow' AS mode, o_orderstatus, n_orders, total_sales FROM agg
+"""

@@ -48,14 +48,39 @@ from pyspark.sql.types import StructType
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, dv_sidecars: list[str] | None = None):
         self.path = path
+        self.dv_sidecars = dv_sidecars
 
 
-def _iter_file_batches(path: str, target: StructType):
+def _deleted_positions(sidecar_paths: list[str], data_path: str) -> set:
+    """The deletion-vector positions for ONE data file, read from its
+    sidecar parquet(s) ON THE EXECUTOR (the Delta reader shape: each
+    task loads only its own file's vector). Sidecar rows key on the
+    Spark-rendered file URI; matching decodes both sides to a
+    normalized path."""
+    import pyarrow.parquet as pq
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    want = os.path.normpath(versioned._uri_to_path(data_path))
+    pos: set = set()
+    for s in sidecar_paths:
+        t = pq.read_table(s, columns=["file", "pos"])
+        for f, p in zip(t.column("file").to_pylist(),
+                        t.column("pos").to_pylist()):
+            if os.path.normpath(versioned._uri_to_path(f)) == want:
+                pos.add(p)
+    return pos
+
+
+def _iter_file_batches(path: str, target: StructType,
+                       skip_positions: set | None = None):
     """Stream one parquet file's row groups as Arrow batches (bounded
     memory per task), NULL-backfilling any column the file predates —
     the same semantics read_version gets from the explicit-schema scan.
+    ``skip_positions`` (deletion-vector rows) are filtered out by
+    in-file position, tracked as a running offset across batches.
     Shared by the batch and streaming readers."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -63,29 +88,38 @@ def _iter_file_batches(path: str, target: StructType):
     f = pq.ParquetFile(path)
     missing = [name for name in target.fieldNames()
                if name not in f.schema_arrow.names]
-    if not missing:
-        yield from f.iter_batches()
-        return
     from pyspark.sql.pandas.types import to_arrow_schema
 
     t = to_arrow_schema(target)
+    offset = 0
     for batch in f.iter_batches():
-        cols = []
-        for field in t:
-            if field.name in batch.schema.names:
-                col = batch.column(batch.schema.names.index(field.name))
-                if col.type != field.type:
-                    col = col.cast(field.type)
-                cols.append(col)
-            else:
-                cols.append(pa.nulls(batch.num_rows, type=field.type))
-        yield pa.RecordBatch.from_arrays(cols, schema=t)
+        n = batch.num_rows
+        if missing:
+            cols = []
+            for field in t:
+                if field.name in batch.schema.names:
+                    col = batch.column(batch.schema.names.index(field.name))
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                    cols.append(col)
+                else:
+                    cols.append(pa.nulls(n, type=field.type))
+            batch = pa.RecordBatch.from_arrays(cols, schema=t)
+        if skip_positions:
+            keep = [i for i in range(n)
+                    if (offset + i) not in skip_positions]
+            if len(keep) < n:
+                batch = batch.take(pa.array(keep, type=pa.int64()))
+        offset += n
+        yield batch
 
 
 class VersionedReader(DataSourceReader):
-    def __init__(self, files: list[str], schema: StructType):
+    def __init__(self, files: list[str], schema: StructType,
+                 dv: dict | None = None):
         self.files = files
         self.target = schema
+        self.dv = dv or {}  # data-file path -> [sidecar paths]
 
     def partitions(self):
         # an empty-files version (all rows merged away) still needs one
@@ -93,12 +127,14 @@ class VersionedReader(DataSourceReader):
         # list and read(None) would crash
         if not self.files:
             return [_FilePartition(None)]
-        return [_FilePartition(f) for f in self.files]
+        return [_FilePartition(f, self.dv.get(f)) for f in self.files]
 
     def read(self, partition: _FilePartition):
         if partition is None or partition.path is None:
             return
-        yield from _iter_file_batches(partition.path, self.target)
+        skip = (_deleted_positions(partition.dv_sidecars, partition.path)
+                if getattr(partition, "dv_sidecars", None) else None)
+        yield from _iter_file_batches(partition.path, self.target, skip)
 
 
 class VersionedStreamReader(DataSourceStreamReader):
@@ -197,9 +233,16 @@ class VersionedDataSource(DataSource):
             files = m.get("files")
             if files is None:  # legacy dir-level manifest
                 files = versioned._list_data_files(table_path, m["dir"])
+            dv_rel = versioned._dv_map(m)
+            dv = {
+                os.path.join(table_path, f):
+                    [os.path.join(table_path, s) for s in dv_rel[f]]
+                for f in files if f in dv_rel
+            }
             self._resolved = (
                 StructType.fromJson(json.loads(m["schema"])),
                 [os.path.join(table_path, f) for f in files],
+                dv,
             )
         return self._resolved
 
@@ -207,7 +250,8 @@ class VersionedDataSource(DataSource):
         return self._resolve()[0]
 
     def reader(self, schema) -> VersionedReader:
-        return VersionedReader(self._resolve()[1], self._resolve()[0])
+        resolved = self._resolve()
+        return VersionedReader(resolved[1], resolved[0], resolved[2])
 
     def streamReader(self, schema) -> VersionedStreamReader:
         table_path = self.options.get("path")
@@ -418,6 +462,14 @@ class VersionedWriter(DataSourceArrowWriter):
         # add_constraint re-validates the whole table when declared
         if parent is not None and parent.get("constraints"):
             manifest["constraints"] = parent["constraints"]
+        if parent is not None and parent.get("properties"):
+            manifest["properties"] = parent["properties"]
+        # an APPEND shares the parent's data files, so their deletion
+        # vectors must ride along or deleted rows would resurrect;
+        # an overwrite starts from fresh files with no DVs
+        if (parent is not None and not self.overwrite
+                and versioned._dv_map(parent)):
+            manifest["dv"] = versioned._dv_map(parent)
         if parent is not None and parent.get("stats_col"):
             stats_col = parent["stats_col"]
             stats = ({f: parent.get("stats", {}).get(f)

@@ -171,6 +171,85 @@ def _stat_encode(v):
     )
 
 
+def _dv_map(manifest: dict) -> dict:
+    """{data-file entry: [sidecar parquet file entries]} — the
+    manifest's deletion-vector index ({} if the version has none)."""
+    return manifest.get("dv") or {}
+
+
+def _read_files_dv(spark: SparkSession, table_path: str, manifest: dict,
+                   rel_files: list[str], schema=None,
+                   file_col: str | None = None,
+                   pos_col: str | None = None) -> DataFrame:
+    """Scan a subset of a version's files with the manifest's DELETION
+    VECTORS applied (merge-on-read, Delta 3.x shape): rows whose
+    (file, position) appear in a referenced DV sidecar are filtered
+    JVM-side by ONE anti-join on (_metadata.file_path,
+    _metadata.row_index) against the sidecar rows — the small side is
+    O(deleted rows), AQE broadcasts it. The join key is the RAW Spark
+    file URI on BOTH sides (sidecars store the URI the writing scan
+    itself rendered), so no path re-encoding can ever diverge.
+
+    ``file_col`` / ``pos_col`` optionally keep the row's source-file
+    URI and in-file position — the COW discovery scans and the MOR
+    writers attribute rows to files through them. With no DVs and no
+    metadata columns requested this is exactly the plain parquet scan
+    (zero overhead for DV-free tables)."""
+    from pyspark.sql import functions as F
+
+    paths = [_abs_file(table_path, f) for f in rel_files]
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    dv = _dv_map(manifest)
+    sidecars = sorted({s for f in rel_files for s in dv.get(f, ())})
+    df = reader.parquet(*paths)
+    if not sidecars and file_col is None and pos_col is None:
+        return df
+    df = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("__dv_uri"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    if sidecars:
+        dvdf = (
+            spark.read.parquet(*[_abs_file(table_path, s) for s in sidecars])
+            .select(F.col("file").alias("__dv_uri"),
+                    F.col("pos").alias("__dv_pos"))
+        )
+        df = df.join(dvdf, ["__dv_uri", "__dv_pos"], "left_anti")
+    if file_col is not None:
+        df = df.withColumn(file_col, F.col("__dv_uri"))
+    if pos_col is not None:
+        df = df.withColumn(pos_col, F.col("__dv_pos"))
+    return df.drop("__dv_uri", "__dv_pos")
+
+
+def table_properties(table_path: str) -> dict:
+    """{key: value} table properties on the latest manifest."""
+    avail = versions(table_path)
+    if not avail:
+        return {}
+    return _load_manifest(table_path, avail[-1]).get("properties") or {}
+
+
+def set_table_property(table_path: str, key: str, value: str) -> int:
+    """Record a table property as a metadata-only commit (Delta's
+    ``ALTER TABLE SET TBLPROPERTIES``). Properties ride every
+    subsequent manifest. The property this engine interprets:
+    ``dv.enabled = 'true'`` routes predicate DELETE/UPDATE through the
+    merge-on-read deletion-vector path instead of copy-on-write."""
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    parent = _load_manifest(table_path, avail[-1])
+    props = dict(parent.get("properties") or {})
+    props[str(key)] = str(value)
+    manifest = dict(parent)
+    manifest.pop("restored_from", None)
+    manifest["version"] = avail[-1] + 1
+    manifest["properties"] = props
+    return _publish(table_path, manifest)
+
+
 class CommitConflict(Exception):
     """Another writer committed this version number first. The loser's
     staged data is orphaned-but-invisible (the next vacuum sweeps it);
@@ -401,6 +480,9 @@ def write_version(df: DataFrame, table_path: str,
     }
     if cons:
         manifest["constraints"] = cons
+    props = table_properties(table_path)
+    if props:
+        manifest["properties"] = props
     if stats_col is not None:
         manifest["stats_col"] = stats_col
         manifest["stats"] = _file_stats(
@@ -540,11 +622,15 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     keys = F.broadcast(changes.select(key_col).distinct())
     touched_abs: set = set()
     if candidates:
-        cand_df = spark.read.parquet(
-            *[_abs_file(table_path, f) for f in candidates]
+        # DV-aware discovery: a row already deleted by a deletion
+        # vector must not mark its file touched (and must never
+        # resurrect through the rewrite below)
+        cand_df = _read_files_dv(
+            spark, table_path, parent, candidates, parent_struct,
+            file_col="__cow_f",
         )
         rows = (
-            cand_df.select(key_col, F.input_file_name().alias("f"))
+            cand_df.select(key_col, F.col("__cow_f").alias("f"))
             .join(keys, key_col, "left_semi")
             .select("f").distinct().collect()
         )
@@ -571,11 +657,10 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     ).select(*out_cols)
     if touched:
         # reading touched files with the (possibly widened) manifest
-        # schema NULL-backfills any evolved columns they predate
+        # schema NULL-backfills any evolved columns they predate; the
+        # DV-aware scan keeps already-deleted rows out of the rewrite
         kept = (
-            spark.read.schema(out_struct).parquet(
-                *[_abs_file(table_path, f) for f in touched]
-            )
+            _read_files_dv(spark, table_path, parent, touched, out_struct)
             .join(keys, key_col, "left_anti")
             .select(*out_cols)
         )
@@ -604,6 +689,14 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     }
     if cons:
         manifest["constraints"] = cons
+    if parent.get("properties"):
+        manifest["properties"] = parent["properties"]
+    # untouched files keep their deletion vectors; rewritten files got
+    # their DVs materialized into the rewrite and drop the mapping
+    parent_dv = _dv_map(parent)
+    child_dv = {f: parent_dv[f] for f in untouched if f in parent_dv}
+    if child_dv:
+        manifest["dv"] = child_dv
     if parent.get("stats_col") == key_col:
         stats = {f: pstats[f] for f in untouched}
         stats.update(_file_stats(spark, table_path, new_files, key_col)
@@ -682,11 +775,12 @@ def _predicate_cow(spark: SparkSession, table_path: str,
                 "files_rewritten": 0}
 
     # NULL predicate results select nothing (SQL WHERE semantics).
+    # DV-aware on both scans: an already-deleted row must neither mark
+    # its file touched nor resurrect through the rewrite.
     hit = F.coalesce(F.expr(predicate_sql), F.lit(False))
-    full_paths = [_abs_file(table_path, f) for f in pfiles]
     rows = (
-        spark.read.schema(schema).parquet(*full_paths)
-        .withColumn("__f", F.input_file_name())
+        _read_files_dv(spark, table_path, parent, pfiles, schema,
+                       file_col="__f")
         .filter(hit)
         .select("__f").distinct().collect()
     )
@@ -700,9 +794,7 @@ def _predicate_cow(spark: SparkSession, table_path: str,
                 "files_shared": len(pfiles), "files_rewritten": 0}
 
     replacement = rewrite(
-        spark.read.schema(schema).parquet(
-            *[_abs_file(table_path, f) for f in touched]
-        ),
+        _read_files_dv(spark, table_path, parent, touched, schema),
         schema,
     ).select(*[f.name for f in schema.fields])
 
@@ -730,6 +822,12 @@ def _predicate_cow(spark: SparkSession, table_path: str,
     }
     if cons:
         manifest["constraints"] = cons
+    if parent.get("properties"):
+        manifest["properties"] = parent["properties"]
+    parent_dv = _dv_map(parent)
+    child_dv = {f: parent_dv[f] for f in untouched if f in parent_dv}
+    if child_dv:
+        manifest["dv"] = child_dv
     stats_col = parent.get("stats_col")
     if stats_col is not None and parent.get("stats") is not None:
         stats = {f: parent["stats"].get(f) for f in untouched}
@@ -760,9 +858,17 @@ def delete_where(spark: SparkSession, table_path: str,
     rest. Rows where the predicate is NULL are KEPT (SQL WHERE
     semantics: only TRUE deletes). History stays time-travelable; the
     physical bytes go when vacuum retires the old versions (the
-    compliance-purge path proven in tests/test_versioned.py)."""
+    compliance-purge path proven in tests/test_versioned.py).
+
+    With table property ``dv.enabled = 'true'`` the delete routes
+    through the merge-on-read deletion-vector path instead
+    (:func:`delete_where_mor`) — same visible result, bytes written
+    ∝ deleted rows."""
     from pyspark.sql import functions as F
 
+    avail = versions(table_path)
+    if avail and _dv_enabled(_load_manifest(table_path, avail[-1])):
+        return delete_where_mor(spark, table_path, predicate_sql)
     return _predicate_cow(
         spark, table_path, predicate_sql,
         lambda df, _schema: df.filter(
@@ -781,8 +887,16 @@ def update_where(spark: SparkSession, table_path: str,
     against the PRE-update row simultaneously (standard SQL UPDATE:
     ``SET a = b, b = a`` swaps), and each result is cast back to the
     column's declared type so the table schema never drifts. Assigning
-    a column the table doesn't have raises."""
+    a column the table doesn't have raises.
+
+    With table property ``dv.enabled = 'true'`` the update routes
+    through the merge-on-read path (:func:`update_where_mor`)."""
     from pyspark.sql import functions as F
+
+    avail = versions(table_path)
+    if avail and _dv_enabled(_load_manifest(table_path, avail[-1])):
+        return update_where_mor(spark, table_path, assignments,
+                                predicate_sql)
 
     def _validate(schema):
         by_name = {f.name for f in schema.fields}
@@ -806,6 +920,218 @@ def update_where(spark: SparkSession, table_path: str,
 
     return _predicate_cow(spark, table_path, predicate_sql, _apply,
                           validate=_validate)
+
+
+_DV_ENABLED_PROP = "dv.enabled"
+
+
+def _dv_enabled(manifest: dict) -> bool:
+    return (manifest.get("properties") or {}).get(
+        _DV_ENABLED_PROP, ""
+    ).lower() == "true"
+
+
+def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
+             make_rows=None, validate=None) -> dict:
+    """Shared physical plan for MERGE-ON-READ DML (Delta 3.x deletion
+    vectors): instead of rewriting every touched file (copy-on-write),
+    commit a tiny positional-delete SIDECAR and leave every data file
+    byte-identical.
+
+    1. Discovery scan: the DV-aware snapshot read keeps each row's
+       source file + in-file position; rows matching the predicate are
+       pinned once (localCheckpoint — the same source-stability rule
+       as MERGE).
+    2. Sidecar write: the matched (file, position) pairs, UNIONED with
+       the touched files' existing DV rows (a file's vector is always
+       replaced whole, so each file maps to exactly ONE current
+       sidecar), land in a new ``s_N_<token>`` parquet dir. Bytes
+       written ∝ DELETED rows, not touched-file size — the whole point
+       at 100 TB: a 1-row delete in a 1 GB file costs ~100 bytes of
+       sidecar, not 1 GB of rewrite.
+    3. For UPDATE (``make_rows`` given): the post-update images of the
+       matched rows are fast-APPENDED as new data files (old positions
+       are DV'd away) — Delta's MOR update shape exactly.
+    4. Publish: manifest shares EVERY parent data file verbatim
+       (stats too — [min,max] stay valid upper bounds under deletes),
+       remaps touched files' DV pointers, and goes through the same
+       CAS as every commit.
+
+    Readers (read_version, the Data Source, CDF, bloom point lookups,
+    the COW merge's own scans) all apply DVs through
+    ``_read_files_dv``; OPTIMIZE compacts DV-laden files back to plain
+    ones (its rewrite reads through the DVs); vacuum refcounts
+    sidecars like data files.
+    """
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    version = avail[-1] + 1
+    parent = _load_manifest(table_path, avail[-1])
+    if "schema" not in parent:
+        raise ValueError(
+            "merge-on-read DML needs a file-level manifest with a "
+            "recorded schema — legacy dir-level tables are COW-only"
+        )
+    schema = T.StructType.fromJson(json.loads(parent["schema"]))
+    pfiles = parent["files"]
+    if validate is not None:
+        validate(schema)
+    if not pfiles:
+        return {"version": None, "files_total": 0, "files_shared": 0,
+                "rows_deleted": 0, "dv_bytes": 0}
+
+    hit = F.coalesce(F.expr(predicate_sql), F.lit(False))
+    matched = (
+        _read_files_dv(spark, table_path, parent, pfiles, schema,
+                       file_col="__f", pos_col="__p")
+        .filter(hit)
+        .localCheckpoint(eager=True)
+    )
+    touched_uris = [r["__f"] for r in
+                    matched.select("__f").distinct().collect()]
+    if not touched_uris:
+        return {"version": None, "files_total": len(pfiles),
+                "files_shared": len(pfiles), "rows_deleted": 0,
+                "dv_bytes": 0}
+    by_abs = {_abs_file(table_path, f): f for f in pfiles}
+    touched = sorted(
+        by_abs[os.path.normpath(_uri_to_path(u))] for u in touched_uris
+    )
+    n_deleted = matched.count()
+
+    # new sidecar = touched files' existing DV rows + the new positions
+    # (disjoint by construction: the discovery scan already excluded
+    # DV'd rows, so no distinct/shuffle is needed)
+    parent_dv = _dv_map(parent)
+    new_rows = matched.select(F.col("__f").alias("file"),
+                              F.col("__p").alias("pos"))
+    old_sidecars = sorted({s for f in touched for s in parent_dv.get(f, ())})
+    if old_sidecars:
+        old_rows = (
+            spark.read.parquet(
+                *[_abs_file(table_path, s) for s in old_sidecars]
+            )
+            .filter(F.col("file").isin(touched_uris))
+            .select("file", "pos")
+        )
+        new_rows = new_rows.unionByName(old_rows)
+    token = uuid.uuid4().hex[:12]
+    dv_dir = f"s_{version}_{token}"
+    staged_dv = os.path.join(table_path, f"_staged_{version}_dv_{token}")
+    final_dv = os.path.join(table_path, dv_dir)
+    new_rows.coalesce(1).write.mode("overwrite").parquet(staged_dv)
+    os.rename(staged_dv, final_dv)
+    sidecar_files = _list_data_files(table_path, dv_dir)
+    dv_bytes = sum(os.path.getsize(_abs_file(table_path, f))
+                   for f in sidecar_files)
+
+    # UPDATE: append the post-update row images as new data files
+    new_files: list[str] = []
+    cons = parent.get("constraints") or {}
+    final_data = None
+    if make_rows is not None:
+        data_dir = f"d_{version}_{token}"
+        staged = os.path.join(table_path, f"_staged_{version}_{token}")
+        final_data = os.path.join(table_path, data_dir)
+        updated = make_rows(matched, schema).select(
+            *[f.name for f in schema.fields]
+        )
+        updated.coalesce(max(1, len(touched))).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        os.rename(staged, final_data)
+        new_files = _list_data_files(table_path, data_dir)
+        _enforce_constraints(spark, table_path, new_files, cons, final_data)
+
+    manifest = {
+        "version": version,
+        "files": list(pfiles) + new_files,
+        "schema": parent["schema"],
+    }
+    if cons:
+        manifest["constraints"] = cons
+    if parent.get("properties"):
+        manifest["properties"] = parent["properties"]
+    dv = {f: s for f, s in parent_dv.items() if f not in set(touched)}
+    for f in touched:
+        dv[f] = sidecar_files
+    manifest["dv"] = dv
+    stats_col = parent.get("stats_col")
+    if stats_col is not None and parent.get("stats") is not None:
+        stats = dict(parent["stats"])  # every parent file survives
+        if new_files:
+            stats.update(_file_stats(spark, table_path, new_files,
+                                     stats_col))
+        manifest["stats_col"] = stats_col
+        manifest["stats"] = stats
+    try:
+        _publish(table_path, manifest)
+    except CommitConflict:
+        shutil.rmtree(final_dv, ignore_errors=True)
+        if final_data is not None:
+            shutil.rmtree(final_data, ignore_errors=True)
+        raise
+    return {
+        "version": version,
+        "files_total": len(pfiles) + len(new_files),
+        "files_shared": len(pfiles),
+        "files_rewritten": 0,
+        "files_dv": len(touched),
+        "rows_deleted": n_deleted,
+        "dv_bytes": dv_bytes,
+        "new_files": len(new_files),
+    }
+
+
+def delete_where_mor(spark: SparkSession, table_path: str,
+                     predicate_sql: str) -> dict:
+    """Merge-on-read predicate DELETE: commit a deletion-vector
+    sidecar instead of rewriting touched files — bytes written scale
+    with DELETED ROWS, not touched-file size. Read-equivalent to
+    :func:`delete_where` (proven by the ``snapshot_dv_read`` oracle
+    entry and tests/test_versioned.py's COW-vs-MOR sequence)."""
+    return _mor_dml(spark, table_path, predicate_sql)
+
+
+def update_where_mor(spark: SparkSession, table_path: str,
+                     assignments: dict[str, str],
+                     predicate_sql: str = "true") -> dict:
+    """Merge-on-read predicate UPDATE (Delta 3.x DV update): matched
+    rows' old positions are deletion-vectored away and their
+    post-update images fast-appended as new files — touched files are
+    never rewritten. Same expression semantics as
+    :func:`update_where` (all assignments see the pre-update row;
+    results cast back to the declared column type)."""
+    from pyspark.sql import functions as F
+
+    def _validate(schema):
+        by_name = {f.name for f in schema.fields}
+        unknown = sorted(set(assignments) - by_name)
+        if unknown:
+            raise ValueError(
+                f"UPDATE assigns columns {unknown} not in the table "
+                f"schema ({sorted(by_name)}) — schema evolution goes "
+                "through MERGE"
+            )
+
+    def _apply(matched, schema):
+        # matched rows ALL satisfy the predicate; one select → every
+        # expression sees the pre-update row
+        return matched.select(*[
+            (F.expr(assignments[f.name]).cast(f.dataType)
+             if f.name in assignments else F.col(f.name)).alias(f.name)
+            for f in schema.fields
+        ])
+
+    return _mor_dml(spark, table_path, predicate_sql, make_rows=_apply,
+                    validate=_validate)
 
 
 def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
@@ -834,7 +1160,9 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
     drop = avail[:-keep_last] if len(avail) > keep_last else []
     for v in drop:
         os.remove(os.path.join(_manifest_path(table_path), f"{v}.json"))
-    # file-level refcount across the surviving manifests
+    # file-level refcount across the surviving manifests — DATA files
+    # and DV SIDECAR files alike (a sidecar lives as long as any live
+    # manifest's dv map points at it)
     referenced: set[str] = set()
     for v in versions(table_path):
         m = _load_manifest(table_path, v)
@@ -842,6 +1170,8 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
             referenced.update(m["files"])
         else:  # legacy dir-level manifest: the whole dir is live
             referenced.update(_list_data_files(table_path, m["dir"]))
+        for sidecars in _dv_map(m).values():
+            referenced.update(sidecars)
     # sweep staged tmp manifests from crashed/conflicted writers
     mdir = _manifest_path(table_path)
     if os.path.isdir(mdir):
@@ -859,7 +1189,7 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(full, ignore_errors=True)
             continue
         stem = d[2:].split("_", 1)[0]  # v_3_ab12cd → "3"; v_3 → "3"
-        versioned_dir = (d.startswith("v_") or d.startswith("d_")) and stem.isdigit()
+        versioned_dir = d.startswith(("v_", "d_", "s_")) and stem.isdigit()
         if not versioned_dir:
             continue
         for f in list(os.listdir(full)):
@@ -910,8 +1240,11 @@ def read_version(spark: SparkSession, table_path: str,
         # schema-evolving MERGE, shared pre-evolution files lack the
         # new columns and this NULL-backfills them (Delta's read path);
         # it also pins column order/nullability to what was committed.
-        return spark.read.schema(schema).parquet(
-            *[_abs_file(table_path, f) for f in manifest["files"]]
+        # Deletion vectors (if the version carries any) are applied by
+        # the same scan — a DV-free version plans the identical plain
+        # parquet read as before.
+        return _read_files_dv(
+            spark, table_path, manifest, manifest["files"], schema
         )
     return spark.read.parquet(os.path.join(table_path, manifest["dir"]))
 
@@ -1112,6 +1445,7 @@ def files(spark: SparkSession, table_path: str,
     else:  # legacy dir-level manifest
         file_list = _list_data_files(table_path, m["dir"])
     stats = m.get("stats") or {}
+    dv = _dv_map(m)
     rows = []
     for f in file_list:
         try:
@@ -1123,10 +1457,12 @@ def files(spark: SparkSession, table_path: str,
             f, size,
             str(lo_hi[0]) if lo_hi else None,
             str(lo_hi[1]) if lo_hi else None,
+            f in dv,
         ))
     return spark.createDataFrame(
         rows,
-        "file STRING, size_bytes LONG, stats_min STRING, stats_max STRING",
+        "file STRING, size_bytes LONG, stats_min STRING, "
+        "stats_max STRING, has_dv BOOLEAN",
     ).withColumn("version", F.lit(version).cast("int")) \
      .withColumn("stats_col", F.lit(m.get("stats_col")))
 
@@ -1273,5 +1609,16 @@ def clone_table(src_path: str, dst_path: str,
         manifest["stats"] = {
             a: src["stats"].get(e) for a, e in zip(abs_files, entries)
         }
+    # deletion vectors ride the clone by ABSOLUTE reference like the
+    # data files (sidecar rows key on the source files' URIs, which
+    # the clone's scans render identically)
+    src_dv = _dv_map(src)
+    if src_dv:
+        manifest["dv"] = {
+            a: [_abs_file(src_path, s) for s in src_dv[e]]
+            for a, e in zip(abs_files, entries) if e in src_dv
+        }
+    if src.get("properties"):
+        manifest["properties"] = src["properties"]
     os.makedirs(_manifest_path(dst_path), exist_ok=True)
     return _publish(dst_path, manifest)

@@ -1,0 +1,266 @@
+"""Deletion vectors / merge-on-read DML (versioned.py `_mor_dml`):
+read-equivalence with copy-on-write on the same DML sequence, write
+amplification ∝ deleted rows, every reader applying DVs (library read,
+Data Source, CDF, bloom lookup, COW scans), OPTIMIZE compaction, and
+vacuum refcounting of sidecars."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql as vsql
+
+
+def _mk(spark, path, n=600, files=6, stats=True):
+    df = spark.range(n).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v",
+        "CAST(id % 7 AS INT) AS grp",
+    ).repartitionByRange(files, "k")
+    versioned.write_version(df, path, stats_col="k" if stats else None)
+    return path
+
+
+def _rows(spark, path, version=None):
+    return sorted(
+        tuple(r) for r in
+        versioned.read_version(spark, path, version).collect()
+    )
+
+
+def _data_bytes_of_version(path, v):
+    m = versioned._load_manifest(path, v)
+    prev = versioned._load_manifest(path, v - 1) if v else {"files": []}
+    new = set(m.get("files", [])) - set(prev.get("files", []))
+    total = sum(os.path.getsize(versioned._abs_file(path, f)) for f in new)
+    for sidecars in versioned._dv_map(m).values():
+        for s in set(sidecars):
+            total += os.path.getsize(versioned._abs_file(path, s))
+    return total
+
+
+def test_mor_delete_equals_cow_and_writes_less(spark, tmp_path):
+    """The headline contract: the SAME predicate delete through MOR
+    and COW yields identical visible rows, and the MOR commit writes
+    orders of magnitude fewer bytes (sidecar ∝ deleted rows, COW ∝
+    touched-file size)."""
+    # realistically-sized files (~50k rows each): at toy sizes the
+    # fixed parquet footer dominates and hides the amplification gap
+    cow = _mk(spark, str(tmp_path / "cow"), n=200_000, files=4)
+    mor = _mk(spark, str(tmp_path / "mor"), n=200_000, files=4)
+    versioned.set_table_property(mor, "dv.enabled", "true")
+
+    pred = "k = 123"  # 1-row delete: the worst case for COW
+    s_cow = versioned.delete_where(spark, cow, pred)
+    s_mor = versioned.delete_where(spark, mor, pred)
+    assert s_cow["files_rewritten"] == 1
+    assert s_mor["files_rewritten"] == 0 and s_mor["files_dv"] == 1
+    assert s_mor["rows_deleted"] == 1
+    assert _rows(spark, cow) == _rows(spark, mor)
+
+    # every parent DATA file is shared verbatim by the MOR commit
+    m0 = versioned._load_manifest(mor, 1)  # v1 = property commit parent
+    m2 = versioned._load_manifest(mor, 2)
+    assert m2["files"] == m0["files"]
+
+    # write amplification: MOR bytes ≪ COW bytes for the same delete
+    cow_bytes = _data_bytes_of_version(cow, 1)
+    mor_bytes = _data_bytes_of_version(mor, 2)
+    assert mor_bytes < cow_bytes / 50, (mor_bytes, cow_bytes)
+    assert s_mor["dv_bytes"] == mor_bytes
+
+    # files() surfaces which file carries the vector
+    f = versioned.files(spark, mor)
+    assert f.filter("has_dv").count() == 1
+
+
+def test_mor_update_equals_cow(spark, tmp_path):
+    cow = _mk(spark, str(tmp_path / "cow"))
+    mor = _mk(spark, str(tmp_path / "mor"))
+    versioned.set_table_property(mor, "dv.enabled", "true")
+    assigns = {"v": "CONCAT(v, '!')", "grp": "grp + 100"}
+    pred = "k % 50 = 0"
+    versioned.update_where(spark, cow, assigns, pred)
+    s = versioned.update_where(spark, mor, assigns, pred)
+    assert s["files_rewritten"] == 0 and s["new_files"] >= 1
+    assert _rows(spark, cow) == _rows(spark, mor)
+
+
+def test_mor_sequence_time_travel_and_second_delete(spark, tmp_path):
+    """A DML sequence (delete, delete-overlapping-file, update) stays
+    read-equivalent to COW at EVERY version, and a second delete on an
+    already-vectored file replaces its vector whole (old + new
+    positions)."""
+    cow = _mk(spark, str(tmp_path / "cow"))
+    mor = _mk(spark, str(tmp_path / "mor"))
+    versioned.set_table_property(mor, "dv.enabled", "true")
+    seq = [
+        ("delete", "k % 10 = 3"),
+        ("delete", "k % 10 = 7"),        # same files again
+        ("update", {"v": "'patched'"}, "k % 25 = 0"),
+        ("delete", "grp = 5"),
+    ]
+    for step in seq:
+        if step[0] == "delete":
+            versioned.delete_where(spark, cow, step[1])
+            versioned.delete_where(spark, mor, step[1])
+        else:
+            versioned.update_where(spark, cow, step[1], step[2])
+            versioned.update_where(spark, mor, step[1], step[2])
+    # final states agree...
+    assert _rows(spark, cow) == _rows(spark, mor)
+    # ...and so does every intermediate snapshot (offset: mor has the
+    # extra property commit at v1)
+    for i in range(len(seq) + 1):
+        assert _rows(spark, cow, i) == _rows(spark, mor, i + 1 if i else 0)
+    # deleted keys are really gone
+    got = versioned.read_version(spark, mor)
+    assert got.filter("k % 10 IN (3, 7)").count() == 0
+    assert got.filter("grp = 5").count() == 0
+    assert got.filter("v = 'patched'").count() > 0
+
+
+def test_cow_merge_reads_through_dvs(spark, tmp_path):
+    """merge_version_cow on a DV-laden table: vectored rows never
+    resurrect through the rewrite, untouched files keep their DVs."""
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k BETWEEN 0 AND 20")
+    ch = spark.createDataFrame(
+        [(5, "resurrect?", 0, False), (300, "upd", 1, False),
+         (10_000, "new", 2, False)],
+        "k INT, v STRING, grp INT, is_delete BOOLEAN",
+    )
+    versioned.merge_version_cow(spark, path, ch, "k")
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    # k=5 was DV-deleted; the merge UPSERTS it back (one row, the new
+    # value) — crucially rows 0..20 other than 5 stay deleted
+    assert got[5] == "resurrect?" and got[300] == "upd" and got[10_000] == "new"
+    assert all(k not in got for k in range(21) if k != 5)
+    assert versioned.read_version(spark, path).filter("k = 5").count() == 1
+
+
+def test_every_reader_applies_dvs(spark, tmp_path):
+    """Data Source read, CDF, bloom point lookup, and a shallow clone
+    all agree with the library read on a DV-laden table."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions import bloomskip
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    path = _mk(spark, str(tmp_path / "t"))
+    bloomskip.backfill_bloom(spark, path, "k")
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k % 3 = 0")
+    want = _rows(spark, path)
+    assert want and all(r[0] % 3 != 0 for r in want)
+
+    spark.dataSource.register(VersionedDataSource)
+    ds = sorted(tuple(r) for r in (
+        spark.read.format("versioned").option("path", path).load().collect()
+    ))
+    assert ds == want
+
+    # bloom point lookup: a vectored key is gone, a live key found
+    # (bloom false-positively keeps the file; the DV filters the row)
+    assert bloomskip.read_point_lookup(spark, path, "k", 9).count() == 0
+    assert bloomskip.read_point_lookup(spark, path, "k", 10).count() == 1
+
+    # CDF between the pre- and post-delete versions: pure deletes
+    # (v0 data, v1 bloom backfill, v2 property, v3 MOR delete)
+    feed = versioned.table_changes(spark, path, ["k"], 2, 3)
+    assert feed.filter("_change_type != 'delete'").count() == 0
+    assert feed.count() == 200
+
+    # clone carries the vectors by absolute reference
+    clone = str(tmp_path / "clone")
+    versioned.clone_table(path, clone, spark=spark)
+    assert _rows(spark, clone) == want
+
+
+def test_optimize_compacts_dvs_and_vacuum_refcounts_sidecars(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k < 100")
+    want = _rows(spark, path)
+    assert versioned._dv_map(versioned._load_manifest(path, 2))
+
+    # OPTIMIZE reads through the DVs and rewrites plain files
+    versioned.optimize_version(spark, path, target_files=2, stats_col="k")
+    m = versioned._load_manifest(path, 3)
+    assert not versioned._dv_map(m)
+    assert _rows(spark, path) == want
+
+    # while the DV'd version is live, its sidecar survives vacuum...
+    sidecars = {s for lst in
+                versioned._dv_map(versioned._load_manifest(path, 2)).values()
+                for s in lst}
+    versioned.vacuum(path, keep_last=2)  # keeps v2 (DV) + v3
+    for s in sidecars:
+        assert os.path.exists(versioned._abs_file(path, s))
+    assert _rows(spark, path, 2) == want
+    # ...and goes once no live manifest references it
+    versioned.vacuum(path, keep_last=1)
+    for s in sidecars:
+        assert not os.path.exists(versioned._abs_file(path, s))
+    assert _rows(spark, path) == want
+
+
+def test_mor_sql_surface_and_constraints(spark, tmp_path):
+    """ALTER TABLE SET TBLPROPERTIES routes the SQL DELETE/UPDATE
+    through MOR; CHECK constraints still gate MOR-update appends."""
+    path = _mk(spark, str(tmp_path / "t"))
+    v = vsql(spark, f"ALTER TABLE versioned.`{path}` SET TBLPROPERTIES "
+                    "('dv.enabled' = 'true')")
+    assert v == 1
+    stats = vsql(spark, f"DELETE FROM versioned.`{path}` WHERE k < 50")
+    assert stats["files_rewritten"] == 0 and stats["files_dv"] >= 1
+    assert versioned.read_version(spark, path).filter("k < 50").count() == 0
+
+    versioned.add_constraint(spark, path, "grp_small", "grp < 200")
+    with pytest.raises(versioned.ConstraintViolation):
+        versioned.update_where(spark, path, {"grp": "grp + 500"}, "k = 100")
+    # the failed update must not have published anything
+    assert versioned.read_version(spark, path).filter(
+        "grp >= 200").count() == 0
+    ok = vsql(spark, f"UPDATE versioned.`{path}` SET grp = grp + 100 "
+                     "WHERE k = 100")
+    assert ok["files_rewritten"] == 0
+    assert versioned.read_version(spark, path).filter(
+        "k = 100 AND grp >= 100").count() == 1
+
+
+def test_ds_append_carries_dvs_and_streaming_source_sees_appends(
+        spark, tmp_path):
+    """A DS fast-append on a DV-laden table keeps the vectors (deleted
+    rows must not resurrect), and a MOR delete feeds the streaming
+    source ZERO added files (append-stream semantics, like Delta
+    without CDF)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k < 300")
+    extra = spark.range(10_000, 10_001).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('app', id) AS v",
+        "CAST(id % 7 AS INT) AS grp",
+    )
+    (extra.write.format("versioned").mode("append")
+     .option("path", path).save())
+    got = versioned.read_version(spark, path)
+    assert got.filter("k < 300").count() == 0
+    assert got.filter("k = 10000").count() == 1
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedStreamReader,
+    )
+
+    r = VersionedStreamReader(path, got.schema, None)
+    # versions: 0 data, 1 property, 2 MOR delete, 3 append
+    assert r._added_files(1, 2) == []          # DV commit adds no files
+    assert len(r._added_files(2, 3)) >= 1      # the append streams

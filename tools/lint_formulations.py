@@ -241,6 +241,9 @@ DOUBLE_ALLOWLIST: dict[str, set[str]] = {
     "stats_equidepth_hist": {"lo", "hi"},
     "agg_incremental_rollup": {"total_sales"},
     "snapshot_merge_cow": {"total_sales"},
+    # same audited construction as snapshot_merge_cow: DOUBLE cast
+    # of an exact DECIMAL(18,4) sum (safe construction #2)
+    "snapshot_dv_read": {"total_sales"},
     "snapshot_read_version": {"total_sales"},
     "cdc_merge_orders": {"o_totalprice"},
     "snapshot_changes_cdf": {"o_totalprice"},
