@@ -22,9 +22,29 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
+# Memoized lazy DataFrames per live session: spark.read.parquet pays a
+# file listing + footer schema inference EVERY call (~10-40 ms), and a
+# registry run calls table() ~600 times — reusing the immutable lazy
+# plan removes that fixed cost from every query without changing any
+# plan (the relation is resolved once; each query still analyzes and
+# executes its own tree on top). Keyed weakly on the session so a
+# stopped session doesn't pin JVM-side state.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in per_session:
+        per_session[key] = _load_table(spark, sf_dir, name)
+    return per_session[key]
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as long and truncate to micros (the

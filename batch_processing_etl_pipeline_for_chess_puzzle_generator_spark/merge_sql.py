@@ -705,17 +705,20 @@ def create_table_as(spark: SparkSession, statement: str) -> int:
 # ------------------------------------------- unified statement router
 _VERSIONED_REF_RE = re.compile(
     r"versioned\.`(?P<path>[^`]+)`"
-    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?",
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?",
     re.IGNORECASE,
 )
 
 
 def _rewrite_versioned_refs(spark: SparkSession, statement: str) -> str:
-    """Replace every ``versioned.`/p` [VERSION AS OF n]`` reference in
-    a SELECT with a temp view over the resolved snapshot, so the FULL
-    spark.sql surface (CTEs, joins — including a self-join of two
-    versions of the same table, the ad-hoc diff pattern) works over
-    versioned tables."""
+    """Replace every ``versioned.`/p` [VERSION AS OF n | TIMESTAMP AS
+    OF 'ts']`` reference in a SELECT with a temp view over the
+    resolved snapshot, so the FULL spark.sql surface (CTEs, joins —
+    including a self-join of two versions of the same table, the
+    ad-hoc diff pattern) works over versioned tables. A timestamp is
+    resolved to its version ONCE here, so the view is a stable
+    snapshot for the statement."""
     import hashlib
 
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
@@ -723,6 +726,8 @@ def _rewrite_versioned_refs(spark: SparkSession, statement: str) -> str:
     def _sub(m: re.Match) -> str:
         path = m["path"]
         v = int(m["v"]) if m["v"] else None
+        if m["ts"]:
+            v = versioned.resolve_timestamp(path, m["ts"])
         name = "__versioned_" + hashlib.md5(
             f"{path}@{v}".encode()
         ).hexdigest()[:12]
@@ -742,15 +747,24 @@ def _rewrite_versioned_refs(spark: SparkSession, statement: str) -> str:
         out.append(_VERSIONED_REF_RE.sub(_sub, "".join(seg)))
         seg.clear()
 
+    ts_tail = re.compile(
+        r"versioned\.`[^`]+`\s+TIMESTAMP\s+AS\s+OF\s*$", re.IGNORECASE
+    )
     while i < n:
         ch = statement[i]
         if ch in ("'", '"'):
-            _flush()
             j = i + 1
             while j < n and statement[j] != ch:
                 j += 2 if statement[j] == "\\" else 1
             j = min(j + 1, n)
-            out.append(statement[i:j])
+            # a single-quoted literal completing a `TIMESTAMP AS OF`
+            # clause is PART of the versioned reference, not data —
+            # keep it in the substitutable segment
+            if ch == "'" and ts_tail.search("".join(seg)):
+                seg.append(statement[i:j])
+            else:
+                _flush()
+                out.append(statement[i:j])
             i = j
             continue
         if ch == "-" and statement[i:i + 2] == "--":

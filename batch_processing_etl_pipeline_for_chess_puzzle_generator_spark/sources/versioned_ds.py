@@ -115,11 +115,22 @@ def _iter_file_batches(path: str, target: StructType,
 
 
 class VersionedReader(DataSourceReader):
+    """Plans one InputPartition per manifest file. The
+    ``_PushdownVersionedReader`` subclass adds DSv2 filter pushdown
+    (file pruning); this base stays pushdown-free because a reader
+    that OVERRIDES ``pushFilters`` hard-fails on sessions where
+    ``spark.sql.python.filterPushdown.enabled`` is false — the
+    DataSource picks the subclass only when the conf is on."""
+
     def __init__(self, files: list[str], schema: StructType,
-                 dv: dict | None = None):
+                 dv: dict | None = None, skip_meta: dict | None = None):
         self.files = files
         self.target = schema
         self.dv = dv or {}  # data-file path -> [sidecar paths]
+        # skipping metadata keyed by data-file path:
+        #   stats_col, stats {path: [lo, hi]|None},
+        #   bloom {col, bits, k, filters {path: hex}}
+        self.skip_meta = skip_meta or {}
 
     def partitions(self):
         # an empty-files version (all rows merged away) still needs one
@@ -135,6 +146,78 @@ class VersionedReader(DataSourceReader):
         skip = (_deleted_positions(partition.dv_sidecars, partition.path)
                 if getattr(partition, "dv_sidecars", None) else None)
         yield from _iter_file_batches(partition.path, self.target, skip)
+
+
+class _PushdownVersionedReader(VersionedReader):
+    """``pushFilters`` (Spark 4.1 DSv2 pushdown) prunes the partition
+    plan against the manifest's per-file [min,max] stats and Bloom
+    bitmaps BEFORE partitioning — the same metadata-only skipping the
+    library paths use — so a point lookup on a 10k-file table plans
+    1-2 partitions, not 10k. Every filter is returned as UNHANDLED, so
+    Spark still applies the exact predicate to the surviving rows:
+    pruning can only be conservative, never wrong."""
+
+    def pushFilters(self, filters):
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions import bloomskip
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        stats_col = self.skip_meta.get("stats_col")
+        stats = self.skip_meta.get("stats") or {}
+        bloom = self.skip_meta.get("bloom")
+
+        def _keep(path: str, flt) -> bool:
+            col = flt.attribute[0] if len(flt.attribute) == 1 else None
+            # range skipping on the stats column (missing stats = keep)
+            if col == stats_col and stats.get(path) is not None:
+                try:
+                    v = versioned._stat_encode(flt.value)
+                except TypeError:
+                    return True
+                lo, hi = stats[path]
+                if lo is None or hi is None:
+                    return True
+                if not isinstance(v, type(lo)) and not (
+                        isinstance(v, (int, float))
+                        and isinstance(lo, (int, float))):
+                    return True  # cross-type compare: never prune
+                if isinstance(flt, EqualTo):
+                    return lo <= v <= hi
+                if isinstance(flt, GreaterThan):
+                    return hi > v
+                if isinstance(flt, GreaterThanOrEqual):
+                    return hi >= v
+                if isinstance(flt, LessThan):
+                    return lo < v
+                if isinstance(flt, LessThanOrEqual):
+                    return lo <= v
+            # bloom point skipping (no false negatives by construction)
+            if (bloom is not None and isinstance(flt, EqualTo)
+                    and col == bloom.get("col")
+                    and isinstance(flt.value, (int, str))
+                    and not isinstance(flt.value, bool)):
+                hexmap = bloom["filters"].get(path)
+                if hexmap is not None:
+                    bits = int(hexmap, 16)
+                    pos = bloomskip._positions(
+                        flt.value, bloom["bits"], bloom["k"]
+                    )
+                    return all(bits >> p & 1 for p in pos)
+            return True
+
+        supported = (EqualTo, GreaterThan, GreaterThanOrEqual,
+                     LessThan, LessThanOrEqual)
+        for flt in filters:
+            if isinstance(flt, supported) and len(flt.attribute) == 1:
+                self.files = [f for f in self.files if _keep(f, flt)]
+        # Spark re-applies EVERY filter on the surviving rows
+        return filters
 
 
 class VersionedStreamReader(DataSourceStreamReader):
@@ -226,7 +309,16 @@ class VersionedDataSource(DataSource):
                     f"no committed versions at {table_path}"
                 )
             v = self.options.get("version")
-            version = avail[-1] if v is None else int(v)
+            ts = self.options.get("timestampasof",
+                                  self.options.get("timestampAsOf"))
+            if v is not None and ts is not None:
+                raise ValueError(
+                    "pass option 'version' OR 'timestampAsOf', not both"
+                )
+            if ts is not None:
+                version = versioned.resolve_timestamp(table_path, ts)
+            else:
+                version = avail[-1] if v is None else int(v)
             if version not in avail:
                 raise ValueError(f"version {version} not in {avail}")
             m = versioned._load_manifest(table_path, version)
@@ -239,10 +331,29 @@ class VersionedDataSource(DataSource):
                     [os.path.join(table_path, s) for s in dv_rel[f]]
                 for f in files if f in dv_rel
             }
+            # skipping metadata for pushFilters, re-keyed by the same
+            # paths the partition plan uses
+            skip_meta: dict = {}
+            if m.get("stats_col") and m.get("stats"):
+                skip_meta["stats_col"] = m["stats_col"]
+                skip_meta["stats"] = {
+                    os.path.join(table_path, f): m["stats"].get(f)
+                    for f in files
+                }
+            if m.get("bloom"):
+                b = m["bloom"]
+                skip_meta["bloom"] = {
+                    "col": b.get("col"), "bits": b["bits"], "k": b["k"],
+                    "filters": {
+                        os.path.join(table_path, f): b["filters"].get(f)
+                        for f in files
+                    },
+                }
             self._resolved = (
                 StructType.fromJson(json.loads(m["schema"])),
                 [os.path.join(table_path, f) for f in files],
                 dv,
+                skip_meta,
             )
         return self._resolved
 
@@ -250,8 +361,24 @@ class VersionedDataSource(DataSource):
         return self._resolve()[0]
 
     def reader(self, schema) -> VersionedReader:
+        import sys
+
         resolved = self._resolve()
-        return VersionedReader(resolved[1], resolved[0], resolved[2])
+        # The pushdown subclass must be returned ONLY to Spark's
+        # filter-pushdown planning worker (data_source_pushdown_filters
+        # — the one that calls reader.pushFilters and ships the PRUNED
+        # partition list back to the JVM). The plain planning worker
+        # (plan_data_source_read) RAISES for any reader that merely
+        # overrides pushFilters when spark.sql.python.filterPushdown
+        # .enabled is false — and this DataSource is constructed in a
+        # sessionless worker, so no conf is reachable to branch on.
+        # Keying on the CALLER is exact: pushdown caller → pruning
+        # reader; anyone else → the plain reader, identical semantics.
+        caller = sys._getframe(1).f_globals.get("__name__", "")
+        cls = (_PushdownVersionedReader
+               if caller.endswith("data_source_pushdown_filters")
+               else VersionedReader)
+        return cls(resolved[1], resolved[0], resolved[2], resolved[3])
 
     def streamReader(self, schema) -> VersionedStreamReader:
         table_path = self.options.get("path")

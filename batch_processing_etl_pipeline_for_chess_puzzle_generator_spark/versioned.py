@@ -373,9 +373,14 @@ def _publish(table_path: str, manifest: dict) -> int:
     second writer silently overwrite the first's commit). On a shared
     filesystem without atomic link (e.g. some object stores), swap
     this for the store's conditional-put."""
+    import time
     import uuid
 
     version = manifest["version"]
+    # Commit wall-clock (UTC epoch) — the TIMESTAMP AS OF index. Set
+    # HERE, at publish, so copied manifests (restore/backfill/clone)
+    # never inherit their source's commit time.
+    manifest["committed_at"] = time.time()
     mdir = _manifest_path(table_path)
     # The tmp name must be PER-WRITER unique: with a shared name, two
     # racing writers would stage into the same inode and the loser's
@@ -1213,15 +1218,68 @@ def _load_manifest(table_path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _commit_ts(table_path: str, version: int) -> float:
+    """Commit wall-clock of a live version (UTC epoch seconds). Falls
+    back to the manifest file's mtime for manifests committed before
+    ``committed_at`` existed (same physical moment — the manifest is
+    written exactly once)."""
+    ts = _load_manifest(table_path, version).get("committed_at")
+    if ts is not None:
+        return float(ts)
+    return os.path.getmtime(
+        os.path.join(_manifest_path(table_path), f"{version}.json")
+    )
+
+
+def resolve_timestamp(table_path: str, ts) -> int:
+    """``TIMESTAMP AS OF`` resolution (Delta semantics): the LATEST
+    live version whose commit time is <= ``ts``. Accepts an epoch
+    number, a ``datetime`` (naive = local time, like Delta's session-
+    zone interpretation), or an ISO string. Raises if ``ts`` predates
+    the earliest live commit — there is no table state to serve."""
+    import datetime
+
+    if isinstance(ts, str):
+        try:  # numeric string = epoch seconds (the DS option form)
+            ts = float(ts)
+        except ValueError:
+            ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        ts = ts.timestamp()
+    ts = float(ts)
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    best = None
+    for v in avail:  # commit times are monotone with version numbers
+        if _commit_ts(table_path, v) <= ts:
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the earliest live commit at "
+            f"{table_path} (earliest: {_commit_ts(table_path, avail[0])})"
+        )
+    return best
+
+
 def read_version(spark: SparkSession, table_path: str,
-                 version: int | None = None) -> DataFrame:
-    """Time-travel read: the table as of ``version`` (default: latest).
+                 version: int | None = None,
+                 timestamp=None) -> DataFrame:
+    """Time-travel read: the table as of ``version`` (default: latest)
+    or, with ``timestamp`` (exclusive with ``version``), as of the
+    latest commit at that wall-clock moment — ``TIMESTAMP AS OF``.
 
     Resolves the manifest, then reads ONLY that version's immutable
     file set — a later commit can't disturb this snapshot, and a
     copy-on-write version transparently reads the parent files it
     shares plus its own rewrites.
     """
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = resolve_timestamp(table_path, timestamp)
     avail = versions(table_path)
     if not avail:
         raise FileNotFoundError(f"no committed versions at {table_path}")
@@ -1341,12 +1399,14 @@ def history(spark: SparkSession, table_path: str) -> DataFrame:
                 pass
         rows.append((v, len(files), size,
                      len(set(files) & prev_files),
-                     m.get("stats_col")))
+                     m.get("stats_col"),
+                     float(_commit_ts(table_path, v))))
         prev_files = set(files)
     return spark.createDataFrame(
         rows,
         "version INT, n_files INT, total_bytes LONG, "
-        "files_shared_with_prev INT, stats_col STRING",
+        "files_shared_with_prev INT, stats_col STRING, "
+        "committed_at DOUBLE",
     )
 
 

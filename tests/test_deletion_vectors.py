@@ -264,3 +264,46 @@ def test_ds_append_carries_dvs_and_streaming_source_sees_appends(
     # versions: 0 data, 1 property, 2 MOR delete, 3 append
     assert r._added_files(1, 2) == []          # DV commit adds no files
     assert len(r._added_files(2, 3)) >= 1      # the append streams
+
+
+def test_ds_pushdown_prunes_partitions(spark, tmp_path):
+    """spark.read.format('versioned') + filter: the DSv2 pushFilters
+    hook prunes the partition plan against manifest [min,max] stats and
+    bloom bitmaps — strictly fewer partitions than files on a
+    stats-backfilled table, result identical to the unpruned read."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions import bloomskip
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=1000, files=8)      # range-clustered on k
+    bloomskip.backfill_bloom(spark, path, "v")
+    n_files = len(versioned._load_manifest(
+        path, versioned.versions(path)[-1])["files"])
+    assert n_files == 8
+
+    def _read():
+        return spark.read.format("versioned").option("path", path).load()
+
+    # stats-range prune: an equality inside one file's [lo, hi]
+    got = _read().filter("k = 500")
+    assert got.rdd.getNumPartitions() < n_files
+    assert got.count() == 1
+    # range predicate
+    got = _read().filter("k >= 900")
+    assert got.rdd.getNumPartitions() < n_files
+    assert got.count() == 100
+    # bloom prune on the string column (unclustered: stats can't help)
+    got = _read().filter("v = 'v17'")
+    assert got.rdd.getNumPartitions() < n_files
+    assert [r.k for r in got.collect()] == [17]
+    # conjunction: both prunes engage; rows still exact
+    got = _read().filter("k < 200 AND v = 'v17'")
+    assert got.rdd.getNumPartitions() < n_files
+    assert got.count() == 1
+    # a predicate matching nothing prunes everything but stays correct
+    assert _read().filter("k = -5").count() == 0
+    # and an unfiltered read still plans every file
+    assert _read().rdd.getNumPartitions() == n_files

@@ -129,3 +129,128 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------
+# Stuffed-key scale proofs for the r6 heavy window operators: their
+# shuffle keys (user_id, window-hash h) are exactly the keys a 100×
+# corpus skews — one bot user, one boilerplate sentence. Property: the
+# result stays EXACT (vs the DuckDB oracle on the same stuffed corpus)
+# and the corpus is still scanned ONCE in the executed plan (the
+# single-pass shape that holds at 100×; a skew-triggered replan that
+# re-ran the window lineage would show extra scans).
+
+
+def _oracle_rows(sql: str, view_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{view_dir}/{t}.parquet'"
+        )
+    res = con.execute(sql)
+    return [d[0] for d in res.description], res.fetchall()
+
+
+def _assert_matches_oracle(sdf, key: str, view_dir: str):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from tools.check_parity import normalize
+
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    ocols, orows = _oracle_rows(entrymod.oracle_sql()[key], view_dir)
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert normalize(srows, scols) == normalize(orows, ocols)
+
+
+def _scan_count(sdf, fragment: str) -> int:
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    return plan.count(fragment)
+
+
+def _stuffed_dir(tmp_path, table_name: str, extra_select: str):
+    """A tmp sf-dir whose ``table_name`` is the base sf0.001 table plus
+    the stuffed rows (built in DuckDB so the parquet physical types —
+    including events' TIMESTAMP_NS — stay identical to the base file);
+    every other table symlinks to the base files."""
+    import os
+
+    import duckdb
+
+    d = tmp_path / "sfstuffed"
+    d.mkdir()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        if t != table_name:
+            os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    duckdb.connect().execute(f"""
+        COPY (
+            SELECT * FROM '{SF_DIR}/{table_name}.parquet'
+            UNION ALL BY NAME
+            {extra_select}
+        ) TO '{d}/{table_name}.parquet' (FORMAT parquet)
+    """)
+    return str(d)
+
+
+def test_markov_attribution_exact_under_stuffed_user(spark, tmp_path):
+    """ev_attribution_markov with ONE user owning 10^4 events (the bot
+    that a 100× event log always contains): the per-user window shuffle
+    concentrates on one key, but the fit stays exact vs the oracle and
+    the corpus scans once."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.events import (
+        ev_attribution_markov,
+    )
+
+    hot = """
+        SELECT 5000000 + r AS event_id,
+               TIMESTAMP '2024-01-01' + to_seconds(r) AS ts,
+               CAST(1 AS BIGINT) AS user_id,
+               ['page_view','click','search','add_to_cart',
+                'page_view','click','checkout'][CAST(r % 7 AS INT) + 1]
+                   AS event_type,
+               CAST(r % 13 AS DOUBLE) AS value,
+               '{}' AS props
+        FROM range(10000) t(r)
+    """
+    d = _stuffed_dir(tmp_path, "events", hot)
+    out = ev_attribution_markov(spark, d)
+    assert _scan_count(out, "Scan parquet") <= 1  # single corpus pass
+    _assert_matches_oracle(out, "ev_attribution_markov", d)
+
+
+def test_substr_dup_exact_under_stuffed_sentence(spark, tmp_path):
+    """doc_substr_dup with ONE boilerplate sentence shared by 10^4 docs
+    (the cookie banner of a 100× crawl): the h-shuffle concentrates on
+    one window hash, but per-doc duplication stays exact vs the oracle
+    on the same corpus, still in one h-shuffle / one scan."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.dedup import (
+        doc_substr_dup,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(8))  # SUBSTR_W tokens
+    # 8 unique lead tokens + the shared 8-token boilerplate tail:
+    # every doc contributes the SAME tail window hash
+    hot = f"""
+        SELECT 900000 + r AS doc_id,
+               concat_ws(' ', 'u' || r, 'v' || r, 'w' || r, 'x' || r,
+                         'y' || r, 'z' || r, 'q' || r, 'r' || r,
+                         '{boiler}') AS text,
+               'en' AS lang, 'stuffed' AS source,
+               CAST(100 AS BIGINT) AS n_chars
+        FROM range(10000) t(r)
+    """
+    d = _stuffed_dir(tmp_path, "documents", hot)
+    out = doc_substr_dup(spark, d)
+    assert _scan_count(out, "Scan parquet") <= 1
+    # every stuffed doc must report its boilerplate window duplicated
+    dup = {r.doc_id: r.n_dup_windows for r in out.collect()
+           if r.doc_id >= 900000}
+    assert len(dup) == 10_000 and all(v >= 1 for v in dup.values())
+    _assert_matches_oracle(out, "doc_substr_dup", d)

@@ -1515,3 +1515,69 @@ def test_check_constraints_lifecycle(spark, tmp_path):
     assert -1 in got
     with pytest.raises(KeyError):
         versioned.drop_constraint(path, "nope")
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: library read, Data Source option, and SQL
+    route all resolve to the latest version committed at or before the
+    instant — cross-checked against VERSION AS OF for every commit."""
+    import datetime
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql as vsql
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        versioned.write_version(
+            spark.range(10 * (i + 1)).selectExpr("id AS k"), path
+        )
+    ts = [versioned._commit_ts(path, v) for v in (0, 1, 2)]
+    assert ts == sorted(ts) and len(set(ts)) == 3
+
+    # cross-check: the commit instant itself (and any moment before
+    # the NEXT commit) serves exactly that version's rows
+    for v in (0, 1, 2):
+        want = sorted(r.k for r in
+                      versioned.read_version(spark, path, v).collect())
+        got = sorted(r.k for r in versioned.read_version(
+            spark, path, timestamp=ts[v]).collect())
+        assert got == want
+        if v < 2:
+            mid = (ts[v] + ts[v + 1]) / 2
+            assert versioned.resolve_timestamp(path, mid) == v
+    assert versioned.resolve_timestamp(path, ts[2] + 3600) == 2
+    with pytest.raises(ValueError):
+        versioned.resolve_timestamp(path, ts[0] - 10)
+    with pytest.raises(ValueError):
+        versioned.read_version(spark, path, version=1, timestamp=ts[1])
+
+    # ISO-string form (naive = local time, like a SQL literal) — a
+    # millisecond past the commit, clear of float→µs rounding
+    iso = datetime.datetime.fromtimestamp(ts[1] + 0.001).isoformat()
+    assert versioned.resolve_timestamp(path, iso) == 1
+
+    # Data Source option
+    spark.dataSource.register(VersionedDataSource)
+    n = (spark.read.format("versioned").option("path", path)
+         .option("timestampAsOf", str(ts[0])).load().count())
+    assert n == 10
+    with pytest.raises(Exception):
+        (spark.read.format("versioned").option("path", path)
+         .option("version", 1).option("timestampAsOf", str(ts[0]))
+         .load().count())
+
+    # SQL surface: TIMESTAMP AS OF in a SELECT (self-join of two
+    # moments of the same table — the ad-hoc diff pattern)
+    row = vsql(spark, f"""
+        SELECT (SELECT count(*) FROM versioned.`{path}`
+                TIMESTAMP AS OF '{iso}') AS then_n,
+               (SELECT count(*) FROM versioned.`{path}`) AS now_n
+    """).collect()[0]
+    assert row.then_n == 20 and row.now_n == 30
+
+    # history() surfaces the commit instants the resolution uses
+    h = versioned.history(spark, path).orderBy("version").collect()
+    assert [round(r.committed_at, 3) for r in h] == \
+        [round(t, 3) for t in ts]
