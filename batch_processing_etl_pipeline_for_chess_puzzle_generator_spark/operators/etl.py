@@ -1167,3 +1167,54 @@ ORACLES["snapshot_dv_read"] = f"""
     UNION ALL
     SELECT 'cow' AS mode, o_orderstatus, n_orders, total_sales FROM agg
 """
+
+
+# ------------------------------------------- Hilbert layout histogram
+# The Hilbert-curve twin of zorder_layout_hist: same part-table grid,
+# same histogram shape, key from functions/hilbert.py's unrolled fold
+# (adjacency-true space-filling curve — the clustering Databricks
+# moved Delta to for liquid clustering). A hash match proves the Spark
+# chain and the DuckDB nested-subquery twin compute bit-identical
+# Hilbert indices; the LOCALITY advantage over Morton is measured in
+# tests/test_zorder.py and recorded in SCALING.md.
+def hilbert_layout_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hilbert import (
+        with_hilbert_key,
+    )
+
+    p = table(spark, sf_dir, "part").selectExpr(
+        "p_partkey % 256 AS gx", "p_size % 256 AS gy"
+    )
+    return (
+        with_hilbert_key(p, "gx", "gy", bits=8)
+        .groupBy(F.expr("h_key DIV 1024").cast("long").alias("h_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("h_key").alias("min_key"),
+            F.max("h_key").alias("max_key"),
+        )
+    )
+
+
+QUERIES["hilbert_layout_hist"] = hilbert_layout_hist
+
+
+def _hilbert_oracle() -> str:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hilbert import (
+        hilbert_oracle_sql,
+    )
+
+    keyed = hilbert_oracle_sql(
+        "gx", "gy", 8,
+        "SELECT p_partkey % 256 AS gx, p_size % 256 AS gy FROM part",
+    )
+    return f"""
+        SELECT CAST(h_key // 1024 AS BIGINT) AS h_bucket,
+               count(*) AS n_parts,
+               min(h_key) AS min_key,
+               max(h_key) AS max_key
+        FROM ({keyed}) GROUP BY 1
+    """
+
+
+ORACLES["hilbert_layout_hist"] = _hilbert_oracle()

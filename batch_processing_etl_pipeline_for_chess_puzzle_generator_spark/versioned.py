@@ -1312,7 +1312,8 @@ def optimize_version(spark: SparkSession, table_path: str,
                      sort_col: str | None = None,
                      stats_col: str | None = None,
                      zorder_cols: tuple[str, str] | None = None,
-                     zorder_bits: int = 8) -> dict:
+                     zorder_bits: int = 8,
+                     curve: str = "morton") -> dict:
     """Delta-OPTIMIZE-style compaction: commit a NEW version whose
     content is identical to the latest but rewritten into
     ``target_files`` files (optionally range-clustered on ``sort_col``
@@ -1324,13 +1325,17 @@ def optimize_version(spark: SparkSession, table_path: str,
     add a small ``d_N`` file; OPTIMIZE folds them back into few
     well-sized ones.
 
-    ``zorder_cols=(x, y)`` clusters on the Morton interleave of the two
-    integer columns instead (OPTIMIZE ZORDER BY): each column is first
-    scaled to ``zorder_bits`` buckets against its own min/max (one tiny
-    agg broadcast back — no collect), then files are range-partitioned
-    and sorted on the interleaved key, so per-file AND per-row-group
-    min/max stats are tight on BOTH dimensions and range predicates on
-    either column prune.
+    ``zorder_cols=(x, y)`` clusters on a space-filling-curve key of the
+    two integer columns instead (OPTIMIZE ZORDER BY): each column is
+    first scaled to ``zorder_bits`` buckets against its own min/max
+    (one tiny agg broadcast back — no collect), then files are
+    range-partitioned and sorted on the curve key, so per-file AND
+    per-row-group min/max stats are tight on BOTH dimensions and range
+    predicates on either column prune. ``curve`` picks the key:
+    ``"morton"`` (Z-order, Delta's OPTIMIZE ZORDER) or ``"hilbert"``
+    (adjacency-true curve — fewer files per 2-D box, the clustering
+    Delta's liquid clustering moved to; locality numbers in
+    SCALING.md).
     """
     from pyspark.sql import functions as F
 
@@ -1339,10 +1344,15 @@ def optimize_version(spark: SparkSession, table_path: str,
         raise FileNotFoundError(f"no committed versions at {table_path}")
     df = read_version(spark, table_path, latest[-1])
     if zorder_cols is not None:
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hilbert import with_hilbert_key
         from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.zorder import morton_sql
 
+        if curve not in ("morton", "hilbert"):
+            raise ValueError(f"curve must be 'morton' or 'hilbert', "
+                             f"got {curve!r}")
         x, y = zorder_cols
-        reserved = {"_zk", "_xlo", "_xhi", "_ylo", "_yhi"} & set(df.columns)
+        reserved = ({"_zk", "_xlo", "_xhi", "_ylo", "_yhi", "_bx", "_by"}
+                    & set(df.columns))
         if reserved:
             raise ValueError(
                 f"table columns {sorted(reserved)} collide with OPTIMIZE "
@@ -1357,12 +1367,21 @@ def optimize_version(spark: SparkSession, table_path: str,
               f"/ (_xhi - _xlo + 1)) AS BIGINT))")
         by = (f"least({n - 1}, CAST(floor(({y} - _ylo) * {n}.0 "
               f"/ (_yhi - _ylo + 1)) AS BIGINT))")
+        cols = df.columns
+        keyed = df.crossJoin(F.broadcast(bounds))
+        if curve == "hilbert":
+            keyed = with_hilbert_key(
+                keyed.selectExpr(*cols, f"{bx} AS _bx", f"{by} AS _by"),
+                "_bx", "_by", bits=zorder_bits, key_col="_zk",
+            ).drop("_bx", "_by")
+        else:
+            keyed = keyed.withColumn(
+                "_zk", F.expr(morton_sql(bx, by, zorder_bits))
+            ).drop("_xlo", "_xhi", "_ylo", "_yhi")
         df = (
-            df.crossJoin(F.broadcast(bounds))
-            .withColumn("_zk", F.expr(morton_sql(bx, by, zorder_bits)))
-            .repartitionByRange(target_files, "_zk")
+            keyed.repartitionByRange(target_files, "_zk")
             .sortWithinPartitions("_zk")
-            .drop("_zk", "_xlo", "_xhi", "_ylo", "_yhi")
+            .select(*cols)
         )
     elif sort_col is not None:
         df = df.repartitionByRange(target_files, sort_col)

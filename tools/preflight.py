@@ -1,0 +1,51 @@
+"""Pre-commit gate: formulation lint + full-registry DuckDB parity.
+
+One command that runs the two defenses that caught (or would have
+caught) every historical driver-red:
+
+1. ``tools/lint_formulations.py`` — static rules A-D/B2 + the
+   stringification bans over every registry entry's exposed schema.
+2. ``tools/check_parity.py`` at sf0.001 — the driver's own t2 gate
+   (row count + column names + order-insensitive value hash vs the
+   DuckDB oracle) over the full registry.
+
+Run before committing any new or changed ``queries()`` formulation:
+
+    python tools/preflight.py            # lint + parity at sf0.001
+    python tools/preflight.py /root/testdata/sf0.01   # heavier parity
+
+Exits nonzero on the FIRST failing stage, so it can gate a commit
+hook or CI step directly.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    stages = [
+        ("lint", [sys.executable, f"{REPO}/tools/lint_formulations.py"]),
+        ("parity", [sys.executable, f"{REPO}/tools/check_parity.py", sf_dir]),
+    ]
+    for name, cmd in stages:
+        t0 = time.perf_counter()
+        print(f"== preflight: {name} ==", flush=True)
+        rc = subprocess.call(cmd, cwd=REPO)
+        dt = time.perf_counter() - t0
+        if rc != 0:
+            print(f"preflight FAILED at {name} ({dt:.1f}s) — fix before "
+                  "committing", flush=True)
+            return rc
+        print(f"== {name} ok ({dt:.1f}s) ==", flush=True)
+    print("preflight green", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
