@@ -131,6 +131,7 @@ def backfill_bloom(spark: SparkSession, table_path: str, col: str,
         "col": col, "bits": n_bits, "k": n_hashes, "filters": filters,
     }
     manifest["bloom_backfilled_from"] = base
+    manifest["operation"] = "BACKFILL BLOOM"
     return versioned._publish(table_path, manifest)
 
 

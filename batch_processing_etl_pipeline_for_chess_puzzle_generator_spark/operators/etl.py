@@ -1218,3 +1218,84 @@ def _hilbert_oracle() -> str:
 
 
 ORACLES["hilbert_layout_hist"] = _hilbert_oracle()
+
+
+# --------------------------------- CDF-driven incremental maintenance
+# agg_incremental_rollup's at-scale successor: instead of re-reading
+# daily partials, the materialized monthly rollup is advanced by
+# CONSUMING THE CHANGE DATA FEED between two commits —
+# insert/update_postimage rows add, delete/update_preimage rows
+# subtract — so maintenance cost is O(changed rows), not O(table).
+# This is the consumer loop Delta's `table_changes`-driven
+# materialized views run; it composes the engine's own CDF
+# (versioned.table_changes over the COW merge committed by
+# _cow_orders_path). Exactness: deltas are ±DECIMAL(18,4) partial
+# sums, merged decimal-exact, cast to DOUBLE only at the output edge
+# (the audited snapshot_merge_cow construction). The oracle rebuilds
+# the post-merge state directly and aggregates — a hash match proves
+# the incremental feed-consumption is lossless.
+def agg_incremental_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    path = _cow_orders_path(spark, sf_dir)  # v0 base, v1 = COW merge
+    month = F.date_trunc("month", "o_orderdate").alias("month")
+    base = (
+        versioned.read_version(spark, path, 0)
+        .groupBy(month)
+        .agg(
+            F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,4)))").alias("m_sum"),
+            F.count(F.lit(1)).alias("m_cnt"),
+        )
+    )
+    sign = F.expr(
+        "CASE WHEN _change_type IN ('delete', 'update_preimage') "
+        "THEN -1 ELSE 1 END"
+    )
+    deltas = (
+        versioned.table_changes(spark, path, ["o_orderkey"], 0, 1)
+        .groupBy(month)
+        .agg(
+            F.expr(
+                "SUM(CAST(o_totalprice AS DECIMAL(18,4)) * "
+                "(CASE WHEN _change_type IN ('delete', 'update_preimage') "
+                "THEN -1 ELSE 1 END))"
+            ).alias("m_sum"),
+            F.sum(sign.cast("long")).alias("m_cnt"),
+        )
+    )
+    return (
+        base.unionByName(deltas)
+        .groupBy("month")
+        .agg(
+            F.expr("CAST(SUM(m_sum) AS DOUBLE)").alias("total_sales"),
+            F.sum("m_cnt").alias("n_orders"),
+        )
+        .filter("n_orders > 0")  # a fully-deleted month leaves the view
+    )
+
+
+QUERIES["agg_incremental_cdf"] = agg_incremental_cdf
+
+# the direct rebuild of v1 (same CTE as snapshot_merge_cow), aggregated
+ORACLES["agg_incremental_cdf"] = f"""
+    WITH bound AS (SELECT MAX(o_orderkey) / 10 AS b FROM orders),
+    changes AS (
+        SELECT o_orderkey, {_NEW_PRICE2} AS o_totalprice, o_orderdate,
+               o_orderkey % 7 = 0 AS is_delete
+        FROM orders, bound WHERE o_orderkey <= b
+    ),
+    v1 AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM changes c
+                          WHERE c.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM changes WHERE NOT is_delete
+    )
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_sales,
+           count(*) AS n_orders
+    FROM v1 GROUP BY 1
+"""

@@ -573,6 +573,7 @@ class VersionedWriter(DataSourceArrowWriter):
             "version": version,
             "files": list(parent_files) + new_files,
             "schema": self.schema.json(),
+            "operation": "OVERWRITE" if self.overwrite else "APPEND",
             **self.extra_manifest,
         }
         # Carry the parent's data-skipping stats forward instead of
@@ -692,7 +693,8 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
         delegate.token = f"stream_b{batchId}_{uuid.uuid4().hex[:8]}"
         delegate.staged = self.staged
         delegate.extra_manifest = {"stream_batch_id": batchId,
-                                   "stream_query_id": self.query_key}
+                                   "stream_query_id": self.query_key,
+                                   "operation": "STREAMING APPEND"}
         delegate.commit(messages)
 
     def abort(self, messages, batchId: int) -> None:

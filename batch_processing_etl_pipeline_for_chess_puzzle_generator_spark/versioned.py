@@ -247,6 +247,7 @@ def set_table_property(table_path: str, key: str, value: str) -> int:
     manifest.pop("restored_from", None)
     manifest["version"] = avail[-1] + 1
     manifest["properties"] = props
+    manifest["operation"] = "SET TBLPROPERTIES"
     return _publish(table_path, manifest)
 
 
@@ -358,6 +359,7 @@ def drop_constraint(table_path: str, name: str) -> int:
     manifest.pop("restored_from", None)
     manifest["version"] = base + 1
     manifest["constraints"] = cons
+    manifest["operation"] = "DROP CONSTRAINT"
     return _publish(table_path, manifest)
 
 
@@ -420,7 +422,8 @@ def _next_version(table_path: str, version: int | None) -> int:
 
 def write_version(df: DataFrame, table_path: str,
                   version: int | None = None,
-                  stats_col: str | None = None) -> int:
+                  stats_col: str | None = None,
+                  _operation: str = "WRITE") -> int:
     """Commit ``df`` as the next (or an explicit) version of the table.
 
     Commit protocol: distributed write into ``_staged_N`` → atomic
@@ -482,6 +485,7 @@ def write_version(df: DataFrame, table_path: str,
         "dir": data_dir,
         "files": files,
         "schema": df.schema.json(),
+        "operation": _operation,
     }
     if cons:
         manifest["constraints"] = cons
@@ -691,6 +695,7 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         # out_struct == parent schema when no columns were added; always
         # regenerating also covers legacy manifests with no schema key
         "schema": out_struct.json(),
+        "operation": "MERGE",
     }
     if cons:
         manifest["constraints"] = cons
@@ -725,7 +730,8 @@ def merge_version_cow(spark: SparkSession, table_path: str,
 
 
 def _predicate_cow(spark: SparkSession, table_path: str,
-                   predicate_sql: str, rewrite, validate=None) -> dict:
+                   predicate_sql: str, rewrite, validate=None,
+                   operation: str = "DELETE") -> dict:
     """Shared physical plan for predicate-driven DML (DELETE / UPDATE):
     Delta's COW rewrite shape.
 
@@ -824,6 +830,7 @@ def _predicate_cow(spark: SparkSession, table_path: str,
         "version": version,
         "files": untouched + new_files,
         "schema": schema.json(),
+        "operation": operation,
     }
     if cons:
         manifest["constraints"] = cons
@@ -879,6 +886,7 @@ def delete_where(spark: SparkSession, table_path: str,
         lambda df, _schema: df.filter(
             ~F.coalesce(F.expr(predicate_sql), F.lit(False))
         ),
+        operation="DELETE",
     )
 
 
@@ -924,7 +932,7 @@ def update_where(spark: SparkSession, table_path: str,
         ])
 
     return _predicate_cow(spark, table_path, predicate_sql, _apply,
-                          validate=_validate)
+                          validate=_validate, operation="UPDATE")
 
 
 _DV_ENABLED_PROP = "dv.enabled"
@@ -1059,6 +1067,8 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         "version": version,
         "files": list(pfiles) + new_files,
         "schema": parent["schema"],
+        "operation": ("UPDATE (DV)" if make_rows is not None
+                      else "DELETE (DV)"),
     }
     if cons:
         manifest["constraints"] = cons
@@ -1388,7 +1398,8 @@ def optimize_version(spark: SparkSession, table_path: str,
     else:
         df = df.coalesce(target_files)
     before = len(_load_manifest(table_path, latest[-1]).get("files", []))
-    v = write_version(df, table_path, stats_col=stats_col)
+    v = write_version(df, table_path, stats_col=stats_col,
+                      _operation="OPTIMIZE")
     return {
         "version": v,
         "files_before": before,
@@ -1426,6 +1437,45 @@ def history(spark: SparkSession, table_path: str) -> DataFrame:
         "version INT, n_files INT, total_bytes LONG, "
         "files_shared_with_prev INT, stats_col STRING, "
         "committed_at DOUBLE",
+    )
+
+
+def snapshots(spark: SparkSession, table_path: str) -> DataFrame:
+    """Iceberg ``table.snapshots`` metadata-table analog: one row per
+    LIVE version with its commit instant, the OPERATION that produced
+    it (every commit path stamps one — WRITE / MERGE / DELETE /
+    UPDATE / DELETE (DV) / OPTIMIZE / RESTORE / CLONE / APPEND /
+    STREAMING APPEND / the metadata ops), file/byte totals and how
+    many files carry deletion vectors — the first table an operator
+    reads in an audit. Pure manifest metadata, O(#versions); older
+    manifests committed before operations were stamped read as NULL."""
+    rows = []
+    for v in versions(table_path):
+        m = _load_manifest(table_path, v)
+        if "files" in m:
+            file_list = m["files"]
+        else:  # legacy dir-level manifest
+            file_list = _list_data_files(table_path, m["dir"])
+        size = 0
+        for f in file_list:
+            try:
+                size += os.path.getsize(_abs_file(table_path, f))
+            except OSError:
+                pass
+        rows.append((
+            v,
+            float(_commit_ts(table_path, v)),
+            m.get("operation"),
+            len(file_list),
+            size,
+            len(_dv_map(m)),
+            bool(m.get("stream_batch_id") is not None),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version INT, committed_at DOUBLE, operation STRING, "
+        "n_files INT, total_bytes LONG, n_dv_files INT, "
+        "is_stream_commit BOOLEAN",
     )
 
 
@@ -1597,6 +1647,7 @@ def backfill_stats(table_path: str, stats_col: str) -> int:
     manifest["stats_col"] = stats_col
     manifest["stats"] = stats
     manifest["backfilled_from"] = base
+    manifest["operation"] = "BACKFILL STATS"
     return _publish(table_path, manifest)
 
 
@@ -1620,6 +1671,7 @@ def restore_version(table_path: str, to_version: int) -> int:
     manifest = dict(src)
     manifest["version"] = avail[-1] + 1
     manifest["restored_from"] = to_version
+    manifest["operation"] = "RESTORE"
     return _publish(table_path, manifest)
 
 
@@ -1670,6 +1722,7 @@ def clone_table(src_path: str, dst_path: str,
             "table": os.path.abspath(src_path),
             "version": version,
         },
+        "operation": "CLONE",
     }
     if manifest["schema"] is None:
         # legacy source: infer the schema once at clone time so the

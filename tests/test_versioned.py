@@ -1581,3 +1581,34 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     h = versioned.history(spark, path).orderBy("version").collect()
     assert [round(r.committed_at, 3) for r in h] == \
         [round(t, 3) for t in ts]
+
+
+def test_snapshots_metadata_table_records_operations(spark, tmp_path):
+    """snapshots() (Iceberg table.snapshots analog): one row per live
+    version with the stamped operation, commit instant, and DV file
+    count — the audit-first metadata table."""
+    path = str(tmp_path / "t")
+    df = spark.range(200).selectExpr("CAST(id AS INT) AS k",
+                                     "CONCAT('v', id) AS v")
+    versioned.write_version(df.repartition(4), path, stats_col="k")
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k < 10")          # DV delete
+    versioned.update_where(spark, path, {"v": "'u'"}, "k = 50")
+    ch = spark.createDataFrame([(300, "new", False)],
+                               "k INT, v STRING, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, path, ch, "k")
+    versioned.optimize_version(spark, path, target_files=1, stats_col="k")
+    versioned.restore_version(path, 4)
+
+    snaps = {r.version: r for r in
+             versioned.snapshots(spark, path).collect()}
+    assert [snaps[v].operation for v in sorted(snaps)] == [
+        "WRITE", "SET TBLPROPERTIES", "DELETE (DV)", "UPDATE (DV)",
+        "MERGE", "OPTIMIZE", "RESTORE",
+    ]
+    # DV bookkeeping visible where vectors live; commit times monotone
+    assert snaps[2].n_dv_files >= 1
+    assert snaps[5].n_dv_files == 0  # OPTIMIZE compacted them away
+    ts = [snaps[v].committed_at for v in sorted(snaps)]
+    assert ts == sorted(ts)
+    assert not any(r.is_stream_commit for r in snaps.values())

@@ -244,6 +244,9 @@ DOUBLE_ALLOWLIST: dict[str, set[str]] = {
     # same audited construction as snapshot_merge_cow: DOUBLE cast
     # of an exact DECIMAL(18,4) sum (safe construction #2)
     "snapshot_dv_read": {"total_sales"},
+    # DOUBLE cast of an exact DECIMAL(18,4) sum merged decimal-
+    # exact from CDF deltas (safe construction #2)
+    "agg_incremental_cdf": {"total_sales"},
     "snapshot_read_version": {"total_sales"},
     "cdc_merge_orders": {"o_totalprice"},
     "snapshot_changes_cdf": {"o_totalprice"},
