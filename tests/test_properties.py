@@ -638,3 +638,56 @@ def test_markov_fold_invariants(seed):
     r[1][6] = 1_000_000
     removed_conv = fold(r)[5]
     assert removed_conv <= base_conv            # removal never helps
+
+
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(["delete", "update"]),
+            st.integers(2, 9),       # predicate modulus
+            st.integers(0, 8),       # predicate residue
+        ),
+        min_size=1, max_size=4,
+    )
+)
+@settings(**_SETTINGS)
+def test_mor_equals_cow_for_arbitrary_dml(spark, tmp_path_factory, steps):
+    """Deletion vectors are a PHYSICAL rewrite, never a semantic one:
+    for an ARBITRARY sequence of predicate deletes/updates, the
+    merge-on-read table must stay row-identical to the copy-on-write
+    twin at EVERY version."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    tmp = tmp_path_factory.mktemp("morprop")
+    base = spark.range(120).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v"
+    ).repartition(3)
+    cow, mor = str(tmp / "cow"), str(tmp / "mor")
+    versioned.write_version(base, cow, stats_col="k")
+    versioned.write_version(base, mor, stats_col="k")
+    versioned.set_table_property(mor, "dv.enabled", "true")
+    for op, m, r in steps:
+        pred = f"k % {m} = {r % m}"
+        if op == "delete":
+            versioned.delete_where(spark, cow, pred)
+            versioned.delete_where(spark, mor, pred)
+        else:
+            versioned.update_where(spark, cow, {"v": "CONCAT(v, '!')"},
+                                   pred)
+            versioned.update_where(spark, mor, {"v": "CONCAT(v, '!')"},
+                                   pred)
+
+    def _rows(path, version=None):
+        return sorted(
+            tuple(r) for r in
+            versioned.read_version(spark, path, version).collect()
+        )
+
+    # COW commits skip no-match predicates, MOR too — version lists
+    # must stay in lockstep (mor has the +1 property commit)
+    vs_cow = versioned.versions(cow)
+    vs_mor = versioned.versions(mor)
+    assert len(vs_mor) == len(vs_cow) + 1
+    for i, vc in enumerate(vs_cow):
+        vm = vs_mor[i + 1] if i else vs_mor[0]
+        assert _rows(cow, vc) == _rows(mor, vm), (vc, vm)
