@@ -430,7 +430,7 @@ _RESTORE_RE = re.compile(
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+versioned\.`(?P<path>[^`]+)`"
-    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*;?\s*$",
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+(?P<unit>VERSIONS|HOURS))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _OPTIMIZE_RE = re.compile(
@@ -452,8 +452,10 @@ def maintenance_sql(spark: SparkSession, statement: str):
 
     - ``RESTORE TABLE versioned.`/p` TO VERSION AS OF <n>`` →
       :func:`versioned.restore_version`; returns the new version int.
-    - ``VACUUM versioned.`/p` [RETAIN <n> VERSIONS]`` (default 2) →
-      :func:`versioned.vacuum`; returns the dropped version list.
+    - ``VACUUM versioned.`/p` [RETAIN <n> VERSIONS | RETAIN <n>
+      HOURS]`` (default 2 versions; HOURS = Delta's wall-clock
+      retention, latest never dropped) → :func:`versioned.vacuum`;
+      returns the dropped version list.
     - ``OPTIMIZE versioned.`/p` [ZORDER BY (a, b)]`` →
       :func:`versioned.optimize_version`; returns its stats dict.
     - ``DESCRIBE HISTORY versioned.`/p``` → :func:`versioned.history`;
@@ -468,6 +470,9 @@ def maintenance_sql(spark: SparkSession, statement: str):
         return versioned.restore_version(m["path"], int(m["v"]))
     m = _VACUUM_RE.match(statement)
     if m:
+        if m["unit"] and m["unit"].upper() == "HOURS":
+            return versioned.vacuum(m["path"],
+                                    retain_hours=float(m["n"]))
         keep = int(m["n"]) if m["n"] else 2
         return versioned.vacuum(m["path"], keep_last=keep)
     m = _OPTIMIZE_RE.match(statement)

@@ -236,13 +236,26 @@ class VersionedStreamReader(DataSourceStreamReader):
     (default 0 = full history; for an append-only table that equals
     the current snapshot). Offsets are checkpointable dicts, so a
     restarted query resumes from the last committed version.
+
+    Change semantics (Delta parity): a commit that REMOVES files or
+    touches deletion vectors (COW MERGE/DML, MOR DML, overwrite,
+    RESTORE) is a DATA CHANGE an append stream cannot represent — by
+    default the stream FAILS on it with guidance, instead of silently
+    emitting re-written rows as duplicates or silently skipping
+    deletes. Option ``ignoreChanges`` (``ignoreDeletes`` accepted as
+    an alias) opts into Delta's relaxed behavior: added files stream
+    (rewritten files re-emit their surviving rows), removals are
+    skipped. OPTIMIZE commits (incl. incremental) are data-NEUTRAL
+    compaction — their rewritten files are never re-emitted, exactly
+    Delta's dataChange=false handling.
     """
 
     def __init__(self, table_path: str, schema: StructType,
-                 starting: int | None):
+                 starting: int | None, ignore_changes: bool = False):
         self.table_path = table_path
         self.target = schema
         self.starting = 0 if starting is None else starting
+        self.ignore_changes = ignore_changes
 
     def initialOffset(self) -> dict:
         return {"version": self.starting - 1}
@@ -258,6 +271,7 @@ class VersionedStreamReader(DataSourceStreamReader):
 
         added: list[str] = []
         prev: set[str] = set()
+        prev_dv: dict = {}
         for v in versioned.versions(self.table_path):
             if v > hi:
                 break
@@ -265,9 +279,32 @@ class VersionedStreamReader(DataSourceStreamReader):
             files = m.get("files")
             if files is None:  # legacy dir-level manifest
                 files = versioned._list_data_files(self.table_path, m["dir"])
+            dv = versioned._dv_map(m)
             if lo < v <= hi:
+                op = (m.get("operation") or "").upper()
+                if op.startswith("OPTIMIZE"):
+                    # data-neutral compaction (Delta dataChange=false):
+                    # rewritten content was already emitted — skip
+                    prev, prev_dv = set(files), dv
+                    continue
+                removed = prev - set(files)
+                dv_changed = any(
+                    dv.get(f) != prev_dv.get(f)
+                    for f in files if f in prev
+                )
+                if (removed or dv_changed) and not self.ignore_changes:
+                    raise ValueError(
+                        f"version {v} of {self.table_path} "
+                        f"({m.get('operation') or 'unknown op'}) removed "
+                        "or deletion-vectored rows — an append stream "
+                        "cannot represent that. Read row-level changes "
+                        "via versioned.table_changes, or set "
+                        ".option('ignoreChanges', 'true') to stream "
+                        "added files only (rewritten files re-emit "
+                        "their surviving rows)"
+                    )
                 added.extend(f for f in files if f not in prev)
-            prev = set(files)
+            prev, prev_dv = set(files), dv
         return added
 
     def partitions(self, start: dict, end: dict):
@@ -386,8 +423,12 @@ class VersionedDataSource(DataSource):
             raise ValueError("option 'path' is required")
         sv = self.options.get("startingversion",
                               self.options.get("startingVersion"))
+        ic = str(
+            self.options.get("ignorechanges",
+                             self.options.get("ignoredeletes", "false"))
+        ).lower() == "true"
         return VersionedStreamReader(
-            table_path, schema, None if sv is None else int(sv)
+            table_path, schema, None if sv is None else int(sv), ic
         )
 
     def writer(self, schema, overwrite: bool) -> "VersionedWriter":

@@ -1149,8 +1149,15 @@ def update_where_mor(spark: SparkSession, table_path: str,
                     validate=_validate)
 
 
-def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
-    """Retention: drop all but the newest ``keep_last`` versions.
+def vacuum(table_path: str, keep_last: int = 2,
+           retain_hours: float | None = None) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` versions — or,
+    with ``retain_hours`` (Delta's ``VACUUM … RETAIN n HOURS``), drop
+    every version whose commit is older than the horizon, ALWAYS
+    keeping the latest (the current table state is never vacuumable).
+    Time-based retention is what a real deployment schedules: "7 days
+    of time travel" is a policy about reader pin horizons, which are
+    measured in wall-clock, not commit counts.
 
     Order matters for crash safety — the MANIFEST is deleted first, so
     a version disappears from the catalog atomically before its data
@@ -1172,7 +1179,14 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     avail = versions(table_path)
-    drop = avail[:-keep_last] if len(avail) > keep_last else []
+    if retain_hours is not None:
+        import time
+
+        cutoff = time.time() - retain_hours * 3600.0
+        drop = [v for v in avail[:-1]  # latest is never vacuumable
+                if _commit_ts(table_path, v) < cutoff]
+    else:
+        drop = avail[:-keep_last] if len(avail) > keep_last else []
     for v in drop:
         os.remove(os.path.join(_manifest_path(table_path), f"{v}.json"))
     # file-level refcount across the surviving manifests — DATA files
@@ -1404,6 +1418,107 @@ def optimize_version(spark: SparkSession, table_path: str,
         "version": v,
         "files_before": before,
         "files_after": len(_load_manifest(table_path, v)["files"]),
+    }
+
+
+def optimize_incremental(spark: SparkSession, table_path: str,
+                         min_file_bytes: int = 32 * 1024 * 1024,
+                         sort_col: str | None = None,
+                         target_files: int = 1) -> dict:
+    """Incremental OPTIMIZE (Delta auto-compaction / bin-packing
+    shape): compact ONLY the files that need it — files smaller than
+    ``min_file_bytes`` (the small-file debt every fast-append and COW
+    merge accrues) and files carrying deletion vectors (whose debt is
+    read-time anti-join work) — into ``target_files`` well-sized files,
+    SHARING every healthy file byte-identically. A full
+    ``optimize_version`` rewrites the whole table; on a 100 TB table
+    where 1% of files are small, that is 100× more write I/O than this
+    for the same layout benefit — incremental compaction is the only
+    OPTIMIZE an operator can afford to run continuously.
+
+    DV-laden files are read through their vectors and re-emitted
+    plain, so the commit also retires their sidecars. Healthy files
+    keep their stats verbatim. No-op (no commit) when nothing
+    qualifies. Returns commit stats."""
+    import shutil
+    import uuid
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    version = avail[-1] + 1
+    parent = _load_manifest(table_path, avail[-1])
+    if "schema" not in parent:
+        raise ValueError(
+            "incremental OPTIMIZE needs a file-level manifest — legacy "
+            "dir-level tables go through optimize_version"
+        )
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(parent["schema"]))
+    pfiles = parent["files"]
+    dv = _dv_map(parent)
+    small: list[str] = []
+    for f in pfiles:
+        try:
+            sz = os.path.getsize(_abs_file(table_path, f))
+        except OSError:
+            sz = 0
+        if sz < min_file_bytes or f in dv:
+            small.append(f)
+    kept = [f for f in pfiles if f not in set(small)]
+    if len(small) <= 1 and not any(f in dv for f in small):
+        # one small DV-free file compacts to itself: nothing to gain
+        return {"version": None, "files_total": len(pfiles),
+                "files_compacted": 0, "files_shared": len(pfiles)}
+
+    compacted = _read_files_dv(spark, table_path, parent, small, schema)
+    if sort_col is not None:
+        compacted = compacted.repartitionByRange(target_files, sort_col)
+    else:
+        compacted = compacted.coalesce(target_files)
+    token = uuid.uuid4().hex[:12]
+    staged = os.path.join(table_path, f"_staged_{version}_{token}")
+    final_dir = f"d_{version}_{token}"
+    final = os.path.join(table_path, final_dir)
+    compacted.write.mode("overwrite").parquet(staged)
+    os.rename(staged, final)
+    new_files = _list_data_files(table_path, final_dir)
+
+    manifest = {
+        "version": version,
+        "files": kept + new_files,
+        "schema": parent["schema"],
+        "operation": "OPTIMIZE (INCREMENTAL)",
+    }
+    # content-identical rewrite: constraints can't be newly violated,
+    # so they carry forward unchecked (same reasoning as COW sharing)
+    if parent.get("constraints"):
+        manifest["constraints"] = parent["constraints"]
+    if parent.get("properties"):
+        manifest["properties"] = parent["properties"]
+    kept_dv = {f: s for f, s in dv.items() if f in set(kept)}
+    if kept_dv:
+        manifest["dv"] = kept_dv
+    stats_col = parent.get("stats_col")
+    if stats_col is not None and parent.get("stats") is not None:
+        stats = {f: parent["stats"].get(f) for f in kept}
+        if new_files:
+            stats.update(_file_stats(spark, table_path, new_files,
+                                     stats_col))
+        manifest["stats_col"] = stats_col
+        manifest["stats"] = stats
+    try:
+        _publish(table_path, manifest)
+    except CommitConflict:
+        shutil.rmtree(final, ignore_errors=True)
+        raise
+    return {
+        "version": version,
+        "files_total": len(kept) + len(new_files),
+        "files_compacted": len(small),
+        "files_shared": len(kept),
+        "dv_files_retired": sum(1 for f in small if f in dv),
     }
 
 

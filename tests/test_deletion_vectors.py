@@ -260,10 +260,18 @@ def test_ds_append_carries_dvs_and_streaming_source_sees_appends(
         VersionedStreamReader,
     )
 
+    # versions: 0 data, 1 property, 2 MOR delete, 3 append. An append
+    # stream cannot represent the delete: by default it FAILS on that
+    # version (Delta semantics) instead of silently skipping rows...
     r = VersionedStreamReader(path, got.schema, None)
-    # versions: 0 data, 1 property, 2 MOR delete, 3 append
-    assert r._added_files(1, 2) == []          # DV commit adds no files
-    assert len(r._added_files(2, 3)) >= 1      # the append streams
+    with pytest.raises(ValueError, match="ignoreChanges"):
+        r._added_files(1, 2)
+    # ...and with ignoreChanges the DV commit streams zero added files
+    # while the later append still streams
+    r_ic = VersionedStreamReader(path, got.schema, None,
+                                 ignore_changes=True)
+    assert r_ic._added_files(1, 2) == []
+    assert len(r_ic._added_files(2, 3)) >= 1
 
 
 def test_ds_pushdown_prunes_partitions(spark, tmp_path):

@@ -1612,3 +1612,105 @@ def test_snapshots_metadata_table_records_operations(spark, tmp_path):
     ts = [snaps[v].committed_at for v in sorted(snaps)]
     assert ts == sorted(ts)
     assert not any(r.is_stream_commit for r in snaps.values())
+
+
+def test_optimize_incremental_compacts_only_debt(spark, tmp_path):
+    """Incremental OPTIMIZE (Delta bin-packing analog): only small and
+    DV-laden files compact; healthy files are SHARED byte-identically;
+    DV sidecars of compacted files retire; content identical."""
+    path = str(tmp_path / "t")
+    # one big healthy file + a trail of tiny appends
+    big = spark.range(50_000).selectExpr("CAST(id AS BIGINT) AS k",
+                                         "CONCAT('v', id) AS v")
+    versioned.write_version(big.coalesce(1), path, stats_col="k")
+    for i in range(3):
+        extra = spark.range(100_000 + i, 100_001 + i).selectExpr(
+            "CAST(id AS BIGINT) AS k", "CONCAT('v', id) AS v")
+        versioned.merge_version_cow(spark, path, extra.selectExpr(
+            "k", "v", "CAST(false AS BOOLEAN) AS is_delete"), "k")
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k = 7")   # DV on the big file
+    want = sorted(r.k for r in versioned.read_version(spark, path).collect())
+
+    parent = versioned._load_manifest(
+        path, versioned.versions(path)[-1])
+    stats = versioned.optimize_incremental(
+        spark, path, min_file_bytes=64 * 1024, sort_col="k")
+    # the big file has a DV → compacts too; every file qualified here,
+    # so run the interesting assertion on a second round: after the
+    # compaction, one big healthy file remains and a new tiny append
+    # is the only thing a second incremental pass rewrites
+    assert stats["files_compacted"] >= 4
+    assert stats["dv_files_retired"] == 1
+    m = versioned._load_manifest(path, stats["version"])
+    assert not versioned._dv_map(m)
+    got = sorted(r.k for r in versioned.read_version(spark, path).collect())
+    assert got == want
+
+    for i in range(2):  # two tiny appends = compactable debt
+        extra = spark.range(200_000 + i, 200_001 + i).selectExpr(
+            "CAST(id AS BIGINT) AS k", "CONCAT('v', id) AS v")
+        versioned.merge_version_cow(spark, path, extra.selectExpr(
+            "k", "v", "CAST(false AS BOOLEAN) AS is_delete"), "k")
+    s2 = versioned.optimize_incremental(
+        spark, path, min_file_bytes=64 * 1024, sort_col="k")
+    assert s2["files_shared"] >= 1      # the big compacted file shared
+    assert s2["files_compacted"] == 2   # only the tiny appends rewrote
+    m2 = versioned._load_manifest(path, s2["version"])
+    prev = versioned._load_manifest(path, s2["version"] - 1)
+    shared = set(m2["files"]) & set(prev["files"])
+    assert shared                        # byte-identical sharing
+    got = sorted(r.k for r in versioned.read_version(spark, path).collect())
+    assert got == sorted(want + [200_000, 200_001])
+    # a table with nothing to compact commits nothing
+    s3 = versioned.optimize_incremental(spark, path,
+                                        min_file_bytes=64 * 1024)
+    # (the compacted output may itself be under the threshold at this
+    # toy size; accept either a no-op or a single-file fold)
+    assert s3["version"] is None or s3["files_compacted"] >= 1
+
+
+def test_vacuum_retain_hours(spark, tmp_path):
+    """Time-based retention: versions older than the horizon drop,
+    the latest NEVER drops; the SQL RETAIN n HOURS route parses."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql as vsql
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        versioned.write_version(
+            spark.range(i + 1).selectExpr("id AS k"), path)
+    # horizon in the future: everything but the latest is older
+    dropped = versioned.vacuum(path, retain_hours=-1.0)
+    assert dropped == [0, 1]
+    assert versioned.versions(path) == [2]
+    assert versioned.read_version(spark, path).count() == 3
+    # a generous horizon drops nothing
+    versioned.write_version(spark.range(9).selectExpr("id AS k"), path)
+    assert vsql(spark, f"VACUUM versioned.`{path}` RETAIN 168 HOURS") == []
+    assert versioned.versions(path) == [2, 3]
+
+
+def test_stream_source_fails_on_changes_unless_opted_in(spark, tmp_path):
+    """The streaming source FAILS on a data-changing commit (COW
+    delete removes files) unless ignoreChanges is set; OPTIMIZE
+    commits are data-neutral and never re-emit."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("CAST(id AS INT) AS k")
+    versioned.write_version(df.repartition(4), path, stats_col="k")
+    versioned.delete_where(spark, path, "k = 5")        # v1: COW delete
+    versioned.optimize_version(spark, path, target_files=1)  # v2
+    schema = versioned.read_version(spark, path).schema
+
+    r = VersionedStreamReader(path, schema, None)
+    with pytest.raises(ValueError, match="ignoreChanges"):
+        r._added_files(0, 1)
+    r_ic = VersionedStreamReader(path, schema, None, ignore_changes=True)
+    assert len(r_ic._added_files(0, 1)) >= 1  # rewritten file re-emits
+    # OPTIMIZE is data-neutral: no failure, nothing re-emitted — for
+    # BOTH readers
+    assert r._added_files(1, 2) == []
+    assert r_ic._added_files(1, 2) == []
