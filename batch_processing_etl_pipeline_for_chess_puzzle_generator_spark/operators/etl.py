@@ -1107,10 +1107,15 @@ def _dv_orders_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     for p in (mor, cow):
         atexit.register(shutil.rmtree, p, ignore_errors=True)
     o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    # 4 range-clustered files, NO stats column: predicate DML discovers
+    # touched files by pushing the predicate into the scan, so manifest
+    # stats only add a per-write _file_stats pass here (the stats path
+    # itself is exercised by snapshot_merge_cow and the test suite) —
+    # this fixture builds TWO tables + 4 DML commits once per session,
+    # and trimming the bookkeeping halves its bench price.
     for p in (mor, cow):
         versioned.write_version(
-            o.repartitionByRange(8, "o_orderkey"), p, 0,
-            stats_col="o_orderkey",
+            o.repartitionByRange(4, "o_orderkey"), p, 0,
         )
     versioned.set_table_property(mor, "dv.enabled", "true")
     for p in (mor, cow):  # identical DML sequence, different physics

@@ -315,3 +315,25 @@ def test_ds_pushdown_prunes_partitions(spark, tmp_path):
     assert _read().filter("k = -5").count() == 0
     # and an unfiltered read still plans every file
     assert _read().rdd.getNumPartitions() == n_files
+
+
+def test_dv_free_read_plans_no_join(spark, tmp_path):
+    """The zero-overhead claim, asserted in-plan: read_version on a
+    DV-FREE table plans a plain parquet scan (no join, no metadata
+    columns); only a DV-laden snapshot plans the one anti-join."""
+    path = _mk(spark, str(tmp_path / "t"))
+    plan = versioned.read_version(spark, path)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan and "_metadata" not in plan
+
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k = 1")
+    plan_dv = versioned.read_version(spark, path)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "LeftAnti" in plan_dv
+
+    # OPTIMIZE compacts the vector away: plain scan again
+    versioned.optimize_version(spark, path, target_files=2)
+    plan_opt = versioned.read_version(spark, path)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan_opt
