@@ -566,6 +566,12 @@ def merge_version_cow(spark: SparkSession, table_path: str,
             "let a concurrent commit interleave without CommitConflict"
         )
     parent = _load_manifest(table_path, avail[-1])
+    # dv.enabled routes MERGE through the merge-on-read path (no file
+    # rewrites) — except schema evolution, whose rewrite is what
+    # materializes the widened schema
+    if _dv_enabled(parent) and not evolve_schema and "schema" in parent:
+        return merge_version_mor(spark, table_path, changes, key_col,
+                                 delete_col=delete_col, version=version)
     if "schema" in parent:
         parent_struct = T.StructType.fromJson(json.loads(parent["schema"]))
     else:  # legacy dir-level manifest: footer-infer the schema
@@ -944,6 +950,41 @@ def _dv_enabled(manifest: dict) -> bool:
     ).lower() == "true"
 
 
+def _write_dv_sidecar(spark: SparkSession, table_path: str, version: int,
+                      token: str, matched: DataFrame, touched: list[str],
+                      touched_uris: list[str], parent_dv: dict):
+    """Write the commit's deletion-vector sidecar: the matched rows'
+    (file URI, position) pairs UNIONED with the touched files' existing
+    DV rows (a file's vector is always replaced whole, so each file
+    maps to exactly ONE current sidecar). New positions are disjoint
+    from old ones by construction — the discovery scan already
+    excluded DV'd rows — so no distinct/shuffle is needed. Returns
+    (sidecar rel files, bytes written, final dir)."""
+    from pyspark.sql import functions as F
+
+    new_rows = matched.select(F.col("__f").alias("file"),
+                              F.col("__p").alias("pos"))
+    old_sidecars = sorted({s for f in touched for s in parent_dv.get(f, ())})
+    if old_sidecars:
+        old_rows = (
+            spark.read.parquet(
+                *[_abs_file(table_path, s) for s in old_sidecars]
+            )
+            .filter(F.col("file").isin(touched_uris))
+            .select("file", "pos")
+        )
+        new_rows = new_rows.unionByName(old_rows)
+    dv_dir = f"s_{version}_{token}"
+    staged_dv = os.path.join(table_path, f"_staged_{version}_dv_{token}")
+    final_dv = os.path.join(table_path, dv_dir)
+    new_rows.coalesce(1).write.mode("overwrite").parquet(staged_dv)
+    os.rename(staged_dv, final_dv)
+    sidecar_files = _list_data_files(table_path, dv_dir)
+    dv_bytes = sum(os.path.getsize(_abs_file(table_path, f))
+                   for f in sidecar_files)
+    return sidecar_files, dv_bytes, final_dv
+
+
 def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
              make_rows=None, validate=None) -> dict:
     """Shared physical plan for MERGE-ON-READ DML (Delta 3.x deletion
@@ -1019,31 +1060,12 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
     )
     n_deleted = matched.count()
 
-    # new sidecar = touched files' existing DV rows + the new positions
-    # (disjoint by construction: the discovery scan already excluded
-    # DV'd rows, so no distinct/shuffle is needed)
     parent_dv = _dv_map(parent)
-    new_rows = matched.select(F.col("__f").alias("file"),
-                              F.col("__p").alias("pos"))
-    old_sidecars = sorted({s for f in touched for s in parent_dv.get(f, ())})
-    if old_sidecars:
-        old_rows = (
-            spark.read.parquet(
-                *[_abs_file(table_path, s) for s in old_sidecars]
-            )
-            .filter(F.col("file").isin(touched_uris))
-            .select("file", "pos")
-        )
-        new_rows = new_rows.unionByName(old_rows)
     token = uuid.uuid4().hex[:12]
-    dv_dir = f"s_{version}_{token}"
-    staged_dv = os.path.join(table_path, f"_staged_{version}_dv_{token}")
-    final_dv = os.path.join(table_path, dv_dir)
-    new_rows.coalesce(1).write.mode("overwrite").parquet(staged_dv)
-    os.rename(staged_dv, final_dv)
-    sidecar_files = _list_data_files(table_path, dv_dir)
-    dv_bytes = sum(os.path.getsize(_abs_file(table_path, f))
-                   for f in sidecar_files)
+    sidecar_files, dv_bytes, final_dv = _write_dv_sidecar(
+        spark, table_path, version, token, matched, touched,
+        touched_uris, parent_dv,
+    )
 
     # UPDATE: append the post-update row images as new data files
     new_files: list[str] = []
@@ -1147,6 +1169,162 @@ def update_where_mor(spark: SparkSession, table_path: str,
 
     return _mor_dml(spark, table_path, predicate_sql, make_rows=_apply,
                     validate=_validate)
+
+
+def merge_version_mor(spark: SparkSession, table_path: str,
+                      changes: DataFrame, key_col: str,
+                      delete_col: str = "is_delete",
+                      version: int | None = None) -> dict:
+    """Merge-on-read MERGE (Delta's DV-enabled merge): matched target
+    rows are deletion-vectored away and the non-delete change rows are
+    fast-APPENDED as new files — NO data file is ever rewritten. MERGE
+    is the highest-volume DML a warehouse runs, so this is where the
+    deletion-vector write-amplification win matters most: a CDC batch
+    touching 1k keys spread over 1k × 1 GB files costs ~1 TB of COW
+    rewrite but only O(1k positions) of sidecar + the new rows here.
+    Same visible semantics as :func:`merge_version_cow` (upsert =
+    old copies vectored + new image appended; delete = vectored only;
+    NULL delete flags are upserts); schema evolution still goes
+    through the COW path (the rewrite is what materializes the new
+    column). ``merge_version_cow`` routes here automatically when the
+    table property ``dv.enabled = 'true'`` is set (and evolve_schema
+    is off)."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    # same next-slot contention rule as merge_version_cow
+    if version is None:
+        version = avail[-1] + 1
+    elif version != avail[-1] + 1:
+        raise ValueError(
+            f"merge version must be the next version ({avail[-1] + 1}), "
+            f"got {version} — explicit gaps would let a concurrent "
+            "commit interleave without CommitConflict"
+        )
+    parent = _load_manifest(table_path, avail[-1])
+    if "schema" not in parent:
+        raise ValueError(
+            "merge-on-read MERGE needs a file-level manifest — legacy "
+            "dir-level tables go through merge_version_cow"
+        )
+    schema = T.StructType.fromJson(json.loads(parent["schema"]))
+    data_cols = [f.name for f in schema.fields]
+    extra = [c for c in changes.columns
+             if c not in data_cols and c != delete_col]
+    if extra:
+        raise ValueError(
+            f"changes carry columns {extra} not in the table schema — "
+            "schema evolution goes through "
+            "merge_version_cow(evolve_schema=True)"
+        )
+    pfiles = parent["files"]
+    parent_dv = _dv_map(parent)
+    # pin the change source once (same stability rule as COW merge)
+    changes = changes.localCheckpoint(eager=True)
+    keys = F.broadcast(changes.select(key_col).distinct())
+
+    token = uuid.uuid4().hex[:12]
+    touched: list[str] = []
+    touched_uris: list[str] = []
+    sidecar_files: list[str] = []
+    dv_bytes = 0
+    n_deleted = 0
+    final_dv = None
+    if pfiles:
+        matched = (
+            _read_files_dv(spark, table_path, parent, pfiles, schema,
+                           file_col="__f", pos_col="__p")
+            .join(keys, key_col, "left_semi")
+            .select("__f", "__p")
+            .localCheckpoint(eager=True)
+        )
+        touched_uris = [r["__f"] for r in
+                        matched.select("__f").distinct().collect()]
+        if touched_uris:
+            by_abs = {_abs_file(table_path, f): f for f in pfiles}
+            touched = sorted(
+                by_abs[os.path.normpath(_uri_to_path(u))]
+                for u in touched_uris
+            )
+            n_deleted = matched.count()
+            sidecar_files, dv_bytes, final_dv = _write_dv_sidecar(
+                spark, table_path, version, token, matched, touched,
+                touched_uris, parent_dv,
+            )
+
+    upserts = changes.filter(
+        ~F.coalesce(F.col(delete_col), F.lit(False))
+    ).select(*data_cols)
+    n_upserts = upserts.count()
+    new_files: list[str] = []
+    cons = parent.get("constraints") or {}
+    final_data = None
+    if n_upserts:
+        data_dir = f"d_{version}_{token}"
+        staged = os.path.join(table_path, f"_staged_{version}_{token}")
+        final_data = os.path.join(table_path, data_dir)
+        upserts.coalesce(max(1, len(touched))).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        os.rename(staged, final_data)
+        new_files = _list_data_files(table_path, data_dir)
+        _enforce_constraints(spark, table_path, new_files, cons,
+                             final_data)
+    if not touched and not new_files:
+        if final_dv is not None:
+            shutil.rmtree(final_dv, ignore_errors=True)
+        return {"version": None, "files_total": len(pfiles),
+                "files_shared": len(pfiles), "files_rewritten": 0,
+                "files_dv": 0, "rows_deleted": 0, "new_files": 0,
+                "dv_bytes": 0}
+
+    manifest = {
+        "version": version,
+        "files": list(pfiles) + new_files,
+        "schema": parent["schema"],
+        "operation": "MERGE (DV)",
+    }
+    if cons:
+        manifest["constraints"] = cons
+    if parent.get("properties"):
+        manifest["properties"] = parent["properties"]
+    dv = {f: s for f, s in parent_dv.items() if f not in set(touched)}
+    for f in touched:
+        dv[f] = sidecar_files
+    if dv:
+        manifest["dv"] = dv
+    stats_col = parent.get("stats_col")
+    if stats_col is not None and parent.get("stats") is not None:
+        stats = dict(parent["stats"])  # every parent file survives
+        if new_files:
+            stats.update(_file_stats(spark, table_path, new_files,
+                                     stats_col))
+        manifest["stats_col"] = stats_col
+        manifest["stats"] = stats
+    try:
+        _publish(table_path, manifest)
+    except CommitConflict:
+        if final_dv is not None:
+            shutil.rmtree(final_dv, ignore_errors=True)
+        if final_data is not None:
+            shutil.rmtree(final_data, ignore_errors=True)
+        raise
+    return {
+        "version": version,
+        "files_total": len(pfiles) + len(new_files),
+        "files_shared": len(pfiles),
+        "files_rewritten": 0,
+        "files_dv": len(touched),
+        "rows_deleted": n_deleted,
+        "new_files": len(new_files),
+        "dv_bytes": dv_bytes,
+    }
 
 
 def vacuum(table_path: str, keep_last: int = 2,

@@ -337,3 +337,65 @@ def test_dv_free_read_plans_no_join(spark, tmp_path):
     plan_opt = versioned.read_version(spark, path)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Join" not in plan_opt
+
+
+def test_mor_merge_equals_cow_and_rewrites_nothing(spark, tmp_path):
+    """MERGE on a dv.enabled table routes merge-on-read: matched rows
+    deletion-vectored, new images appended, ZERO files rewritten —
+    row-identical to the COW merge on the twin table."""
+    cow = _mk(spark, str(tmp_path / "cow"))
+    mor = _mk(spark, str(tmp_path / "mor"))
+    versioned.set_table_property(mor, "dv.enabled", "true")
+    ch = spark.createDataFrame(
+        [(5, "upd5", 0, False), (7, "gone", 0, True),
+         (10_000, "new", 1, False)],
+        "k INT, v STRING, grp INT, is_delete BOOLEAN",
+    )
+    s_cow = versioned.merge_version_cow(spark, cow, ch, "k")
+    s_mor = versioned.merge_version_cow(spark, mor, ch, "k")  # routed
+    assert s_cow["files_rewritten"] >= 1
+    assert s_mor["files_rewritten"] == 0 and s_mor["files_dv"] >= 1
+    assert s_mor["new_files"] >= 1
+    assert _rows(spark, cow) == _rows(spark, mor)
+    m = versioned._load_manifest(mor, s_mor["version"])
+    assert m["operation"] == "MERGE (DV)"
+
+    # every parent data file shared; merged keys correct
+    got = {r.k: r.v for r in versioned.read_version(spark, mor).collect()}
+    assert got[5] == "upd5" and got[10_000] == "new" and 7 not in got
+
+    # second MOR merge on the same keys: vectors replaced whole, still
+    # equal to the COW twin
+    ch2 = spark.createDataFrame(
+        [(5, "upd5b", 0, False), (10_000, "gone", 1, True)],
+        "k INT, v STRING, grp INT, is_delete BOOLEAN",
+    )
+    versioned.merge_version_cow(spark, cow, ch2, "k")
+    s2 = versioned.merge_version_cow(spark, mor, ch2, "k")
+    assert s2["files_rewritten"] == 0
+    assert _rows(spark, cow) == _rows(spark, mor)
+
+    # insert-only merge (no matched keys): pure fast-append, no sidecar
+    ch3 = spark.createDataFrame(
+        [(20_000, "ins", 2, False)],
+        "k INT, v STRING, grp INT, is_delete BOOLEAN",
+    )
+    s3 = versioned.merge_version_cow(spark, mor, ch3, "k")
+    assert s3["files_dv"] == 0 and s3["new_files"] >= 1
+    # no-op merge (all-delete flags on absent keys) commits nothing
+    ch4 = spark.createDataFrame(
+        [(99_999, "x", 0, True)],
+        "k INT, v STRING, grp INT, is_delete BOOLEAN",
+    )
+    s4 = versioned.merge_version_cow(spark, mor, ch4, "k")
+    assert s4["version"] is None
+    # schema evolution still takes the COW path (rewrite materializes
+    # the new column)
+    ch5 = spark.createDataFrame(
+        [(5, "upd5c", 0, "extra", False)],
+        "k INT, v STRING, grp INT, w STRING, is_delete BOOLEAN",
+    )
+    s5 = versioned.merge_version_cow(spark, mor, ch5, "k",
+                                     evolve_schema=True)
+    assert s5["files_rewritten"] >= 1
+    assert "w" in versioned.read_version(spark, mor).columns

@@ -1604,7 +1604,8 @@ def test_snapshots_metadata_table_records_operations(spark, tmp_path):
              versioned.snapshots(spark, path).collect()}
     assert [snaps[v].operation for v in sorted(snaps)] == [
         "WRITE", "SET TBLPROPERTIES", "DELETE (DV)", "UPDATE (DV)",
-        "MERGE", "OPTIMIZE", "RESTORE",
+        "MERGE (DV)",  # dv.enabled routes MERGE merge-on-read too
+        "OPTIMIZE", "RESTORE",
     ]
     # DV bookkeeping visible where vectors live; commit times monotone
     assert snaps[2].n_dv_files >= 1
