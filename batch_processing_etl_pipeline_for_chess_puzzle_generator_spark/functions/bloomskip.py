@@ -89,13 +89,25 @@ def backfill_bloom(spark: SparkSession, table_path: str, col: str,
         rel_files = versioned._list_data_files(table_path, parent["dir"])
     # Enforce the indexable-type whitelist at BUILD time: an index on a
     # type whose str()/CAST renderings diverge would pass silently here
-    # and miss rows at lookup time.
+    # and miss rows at lookup time. The MANIFEST schema is the
+    # authority — on a schema-evolved table the first file may predate
+    # the column entirely (footer inference would wrongly KeyError a
+    # legitimate column); legacy dir-level manifests footer-infer.
     if rel_files:
-        dtypes = dict(
-            spark.read.parquet(
-                versioned._abs_file(table_path, rel_files[0])
-            ).dtypes
-        )
+        if "schema" in parent:
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            struct = StructType.fromJson(_json.loads(parent["schema"]))
+            dtypes = {f.name: f.dataType.simpleString()
+                      for f in struct.fields}
+        else:
+            dtypes = dict(
+                spark.read.parquet(
+                    versioned._abs_file(table_path, rel_files[0])
+                ).dtypes
+            )
         if col not in dtypes:
             raise KeyError(f"column '{col}' not present in {table_path}")
         if dtypes[col] not in _INDEXABLE_SPARK_TYPES:
@@ -112,8 +124,14 @@ def backfill_bloom(spark: SparkSession, table_path: str, col: str,
             "1, 15), 16, 10) AS BIGINT) %% %d" % (i, col, n_bits)
             for i in range(n_hashes)
         )
+        # read with the manifest schema where available: a shared
+        # pre-evolution file lacking the column NULL-backfills (its
+        # bitmap stays empty = that file always prunes for point
+        # lookups, correctly — NULL never equals a probe value)
+        reader = (spark.read.schema(struct) if "schema" in parent
+                  else spark.read)
         pos = (
-            spark.read.parquet(full)
+            reader.parquet(full)
             .selectExpr(f"explode(array({hashes})) AS p")
             .where("p IS NOT NULL")
             .distinct()

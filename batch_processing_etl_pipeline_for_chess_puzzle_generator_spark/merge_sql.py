@@ -158,11 +158,10 @@ def merge_into(spark: SparkSession, statement: str,
             "MERGE needs at least one WHEN clause (DELETE / UPDATE SET "
             "/ INSERT / NOT MATCHED BY SOURCE DELETE)"
         )
-    if (delcond is not None or has_upd) and versioned.versions(m.group("path")):
-        _reject_multi_match_source(spark, m.group("path"), changes, key)
     # Column-list and BY SOURCE shapes take the row-construction path:
     # the upsert rows are BUILT from the target×source join, then fed
-    # to the same COW merge as whole rows.
+    # to the same COW merge as whole rows (it runs its own clause-aware
+    # multiple-matches check on the materialized join).
     if (has_nmbs or (set_clause not in (None, "*"))
             or (ins_clause not in (None, "*"))):
         return _merge_row_construction(
@@ -179,6 +178,25 @@ def merge_into(spark: SparkSession, statement: str,
                 f"DELETE condition may only reference the source alias "
                 f"'{s}' (got a '{t}.' reference) — target columns are "
                 "not visible to the COW delete flag"
+            )
+
+    # Multiple-matches guard, CLAUSE-AWARE like Delta's: only source
+    # rows that would actually FIRE a matched clause count. With an
+    # UPDATE clause every matched row fires; with only a conditional
+    # DELETE, only rows satisfying the condition fire — so the common
+    # CDC shape (a tombstone + a fresh insert for the same key) stays
+    # legal when just one of them acts on the target row.
+    if versioned.versions(m.group("path")):
+        if has_upd:
+            _reject_multi_match_source(spark, m.group("path"), changes,
+                                       key)
+        elif delcond is not None:
+            _reject_multi_match_source(
+                spark, m.group("path"),
+                changes.filter(
+                    F.coalesce(F.expr(cond_sql), F.lit(False))
+                ),
+                key,
             )
 
     # Matchedness matters whenever the statement is not the plain full
@@ -304,8 +322,6 @@ def _merge_row_construction(spark: SparkSession, m: re.Match,
     has_nmbs = m.group("nmbs") is not None
     nmbs_cond = m.group("nmbscond")
 
-    if set_clause is not None or delcond is not None:
-        _reject_multi_match_source(spark, path, changes, key)
     target = versioned.read_version(spark, path)
     tcols = target.columns
     dtypes = dict(target.dtypes)
@@ -313,6 +329,31 @@ def _merge_row_construction(spark: SparkSession, m: re.Match,
     src = changes.alias(s)
     join_cond = F.col(f"{t}.{key}") == F.col(f"{s}.{key}")
     matched = tgt.join(src, join_cond)
+
+    # Multiple-matches guard on the MATERIALIZED join (this path may
+    # reference both aliases in conditions, so source-side counting
+    # can't decide what fires): with a SET clause every matched row
+    # fires; with only a conditional DELETE, only condition-true rows
+    # fire — Delta's exact cardinality check.
+    firing = None
+    if set_clause is not None:
+        firing = matched
+    elif delcond is not None:
+        firing = matched.filter(
+            F.coalesce(F.expr(delcond), F.lit(False))
+        )
+    if firing is not None:
+        n_dup = (
+            firing.groupBy(F.col(f"{t}.{key}"))
+            .count().filter("count > 1").count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"MERGE source has {n_dup} key(s) with multiple rows "
+                "firing a matched clause on one target row — resolve "
+                "duplicates in the source first (Delta raises the "
+                "same error)"
+            )
 
     def _as_row(frame: DataFrame, col_expr, deleted: bool) -> DataFrame:
         cols = [col_expr(c).cast(dtypes[c]).alias(c) for c in tcols]

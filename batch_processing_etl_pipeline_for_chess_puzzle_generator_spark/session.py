@@ -32,11 +32,14 @@ _DEFAULTS = {
     # still used for clarity on known-small tables.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.parquet.filterPushdown": "true",
-    # Let Python Data Sources see filters (off by default in 4.1): the
-    # versioned DS uses them for manifest stats/bloom FILE pruning and
-    # returns every filter unhandled, so Spark still applies the exact
-    # predicate — pruning only, never semantics.
-    "spark.sql.python.filterPushdown.enabled": "true",
+    # NOTE: spark.sql.python.filterPushdown.enabled stays OFF: the
+    # python-DS scan plan is cached per relation and reused across
+    # queries with DIFFERENT pushed-filter sets (reproduced in 4.1.2 —
+    # after df.filter(p).count(), a plain df.count() on the same
+    # DataFrame served the pruned scan), so a pruning pushFilters
+    # reader returns wrong results. The versioned DS exposes file
+    # pruning through the load-time .option("filter", ...) instead,
+    # which is part of the relation identity and reuse-safe.
     # Write timestamps as TIMESTAMP_MICROS, not the deprecated INT96:
     # INT96 columns carry NO parquet min/max statistics, which blinds
     # every footer-based data-skipping path (versioned stats, DS

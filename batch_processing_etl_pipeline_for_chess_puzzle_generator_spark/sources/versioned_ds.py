@@ -63,7 +63,7 @@ def _deleted_positions(sidecar_paths: list[str], data_path: str) -> set:
 
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
-    want = os.path.normpath(versioned._uri_to_path(data_path))
+    want = os.path.abspath(versioned._uri_to_path(data_path))
     pos: set = set()
     for s in sidecar_paths:
         t = pq.read_table(s, columns=["file", "pos"])
@@ -114,16 +114,124 @@ def _iter_file_batches(path: str, target: StructType,
         yield batch
 
 
+_FILTER_OPT_RE = None  # compiled lazily in _parse_filter_option
+
+
+def _parse_filter_option(expr: str, schema: StructType):
+    """Parse the ``.option("filter", "col OP literal")`` grammar into
+    (col, op, value): op ∈ {=, ==, !=, <, <=, >, >=}; literal is a
+    single-quoted string or a numeric. The column must exist in the
+    table schema. Anything else raises — a silently-ignored filter
+    option would read as 'pruned' when it wasn't."""
+    import re
+
+    global _FILTER_OPT_RE
+    if _FILTER_OPT_RE is None:
+        _FILTER_OPT_RE = re.compile(
+            r"^\s*(?P<col>\w+)\s*(?P<op>==|=|!=|<=|>=|<|>)\s*"
+            r"(?:'(?P<s>[^']*)'|(?P<n>-?\d+(?:\.\d+)?))\s*$"
+        )
+    m = _FILTER_OPT_RE.match(expr)
+    if not m:
+        raise ValueError(
+            f"unsupported filter option {expr!r} — expected "
+            "<column> <op> <literal> with op in = == != < <= > >= and "
+            "a quoted-string or numeric literal"
+        )
+    col = m["col"]
+    if col not in schema.fieldNames():
+        raise ValueError(
+            f"filter option references unknown column {col!r} "
+            f"(table has {schema.fieldNames()})"
+        )
+    if m["s"] is not None:
+        value = m["s"]
+    else:
+        value = float(m["n"]) if "." in m["n"] else int(m["n"])
+    op = "=" if m["op"] == "==" else m["op"]
+    return col, op, value
+
+
+def _file_survives(path: str, col: str, op: str, value,
+                   skip_meta: dict) -> bool:
+    """Manifest-stats / bloom-bitmap file skipping for one parsed
+    filter — the same metadata-only pruning the library paths use.
+    Missing metadata always keeps the file (conservative)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions import bloomskip
+
+    stats = skip_meta.get("stats") or {}
+    if skip_meta.get("stats_col") == col and stats.get(path) is not None:
+        try:
+            v = versioned._stat_encode(value)
+        except TypeError:
+            v = None
+        lo, hi = stats[path]
+        comparable = (
+            v is not None and lo is not None and hi is not None
+            and (isinstance(v, type(lo))
+                 or (isinstance(v, (int, float))
+                     and isinstance(lo, (int, float))))
+        )
+        if comparable:
+            if op == "=" and not (lo <= v <= hi):
+                return False
+            if op == ">" and not (hi > v):
+                return False
+            if op == ">=" and not (hi >= v):
+                return False
+            if op == "<" and not (lo < v):
+                return False
+            if op == "<=" and not (lo <= v):
+                return False
+            # != never prunes on [min,max]
+    bloom = skip_meta.get("bloom")
+    if (bloom is not None and op == "=" and col == bloom.get("col")
+            and isinstance(value, (int, str))
+            and not isinstance(value, bool)):
+        hexmap = bloom["filters"].get(path)
+        if hexmap is not None:
+            bits = int(hexmap, 16)
+            pos = bloomskip._positions(value, bloom["bits"], bloom["k"])
+            if not all(bits >> p & 1 for p in pos):
+                return False
+    return True
+
+
+def _apply_row_filter(batch, col: str, op: str, value):
+    """Row-exact application of the parsed filter on an Arrow batch
+    (SQL comparison semantics: NULL never matches)."""
+    import pyarrow.compute as pc
+
+    c = batch.column(batch.schema.names.index(col))
+    fn = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+          "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+    mask = fn[op](c, value)
+    return batch.filter(mask)
+
+
 class VersionedReader(DataSourceReader):
-    """Plans one InputPartition per manifest file. The
-    ``_PushdownVersionedReader`` subclass adds DSv2 filter pushdown
-    (file pruning); this base stays pushdown-free because a reader
-    that OVERRIDES ``pushFilters`` hard-fails on sessions where
-    ``spark.sql.python.filterPushdown.enabled`` is false — the
-    DataSource picks the subclass only when the conf is on."""
+    """Plans one InputPartition per manifest file. With a parsed
+    ``filter`` option, the partition plan is PRUNED against the
+    manifest's per-file [min,max] stats and Bloom bitmaps — the same
+    metadata-only skipping the library paths use, so a point lookup on
+    a 10k-file table plans 1-2 partitions, not 10k — and the predicate
+    is ALSO applied row-exactly inside read(), so the relation equals
+    ``read_version(...).filter(pred)``.
+
+    Why a load-time OPTION and not the DSv2 ``pushFilters`` hook: in
+    Spark 4.1.2 the python-DS scan plan is cached per relation and
+    REUSED for queries that push a different (e.g. empty) filter set —
+    reproduced: after `df.filter(k<100).count()`, a plain `df.count()`
+    on the same DataFrame served the pruned scan and returned wrong
+    results, even when the reader claimed the filters and applied them
+    row-level. A load-time option is part of the relation identity, so
+    every query on the DataFrame sees one consistent, fully-filtered
+    scan — no cross-query hazard by construction."""
 
     def __init__(self, files: list[str], schema: StructType,
-                 dv: dict | None = None, skip_meta: dict | None = None):
+                 dv: dict | None = None, skip_meta: dict | None = None,
+                 row_filter=None):
         self.files = files
         self.target = schema
         self.dv = dv or {}  # data-file path -> [sidecar paths]
@@ -131,6 +239,13 @@ class VersionedReader(DataSourceReader):
         #   stats_col, stats {path: [lo, hi]|None},
         #   bloom {col, bits, k, filters {path: hex}}
         self.skip_meta = skip_meta or {}
+        self.row_filter = row_filter  # parsed (col, op, value) or None
+        if row_filter is not None:
+            col, op, value = row_filter
+            self.files = [
+                f for f in self.files
+                if _file_survives(f, col, op, value, self.skip_meta)
+            ]
 
     def partitions(self):
         # an empty-files version (all rows merged away) still needs one
@@ -145,79 +260,10 @@ class VersionedReader(DataSourceReader):
             return
         skip = (_deleted_positions(partition.dv_sidecars, partition.path)
                 if getattr(partition, "dv_sidecars", None) else None)
-        yield from _iter_file_batches(partition.path, self.target, skip)
-
-
-class _PushdownVersionedReader(VersionedReader):
-    """``pushFilters`` (Spark 4.1 DSv2 pushdown) prunes the partition
-    plan against the manifest's per-file [min,max] stats and Bloom
-    bitmaps BEFORE partitioning — the same metadata-only skipping the
-    library paths use — so a point lookup on a 10k-file table plans
-    1-2 partitions, not 10k. Every filter is returned as UNHANDLED, so
-    Spark still applies the exact predicate to the surviving rows:
-    pruning can only be conservative, never wrong."""
-
-    def pushFilters(self, filters):
-        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
-        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions import bloomskip
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            LessThan,
-            LessThanOrEqual,
-        )
-
-        stats_col = self.skip_meta.get("stats_col")
-        stats = self.skip_meta.get("stats") or {}
-        bloom = self.skip_meta.get("bloom")
-
-        def _keep(path: str, flt) -> bool:
-            col = flt.attribute[0] if len(flt.attribute) == 1 else None
-            # range skipping on the stats column (missing stats = keep)
-            if col == stats_col and stats.get(path) is not None:
-                try:
-                    v = versioned._stat_encode(flt.value)
-                except TypeError:
-                    return True
-                lo, hi = stats[path]
-                if lo is None or hi is None:
-                    return True
-                if not isinstance(v, type(lo)) and not (
-                        isinstance(v, (int, float))
-                        and isinstance(lo, (int, float))):
-                    return True  # cross-type compare: never prune
-                if isinstance(flt, EqualTo):
-                    return lo <= v <= hi
-                if isinstance(flt, GreaterThan):
-                    return hi > v
-                if isinstance(flt, GreaterThanOrEqual):
-                    return hi >= v
-                if isinstance(flt, LessThan):
-                    return lo < v
-                if isinstance(flt, LessThanOrEqual):
-                    return lo <= v
-            # bloom point skipping (no false negatives by construction)
-            if (bloom is not None and isinstance(flt, EqualTo)
-                    and col == bloom.get("col")
-                    and isinstance(flt.value, (int, str))
-                    and not isinstance(flt.value, bool)):
-                hexmap = bloom["filters"].get(path)
-                if hexmap is not None:
-                    bits = int(hexmap, 16)
-                    pos = bloomskip._positions(
-                        flt.value, bloom["bits"], bloom["k"]
-                    )
-                    return all(bits >> p & 1 for p in pos)
-            return True
-
-        supported = (EqualTo, GreaterThan, GreaterThanOrEqual,
-                     LessThan, LessThanOrEqual)
-        for flt in filters:
-            if isinstance(flt, supported) and len(flt.attribute) == 1:
-                self.files = [f for f in self.files if _keep(f, flt)]
-        # Spark re-applies EVERY filter on the surviving rows
-        return filters
+        for batch in _iter_file_batches(partition.path, self.target, skip):
+            if self.row_filter is not None:
+                batch = _apply_row_filter(batch, *self.row_filter)
+            yield batch
 
 
 class VersionedStreamReader(DataSourceStreamReader):
@@ -363,9 +409,15 @@ class VersionedDataSource(DataSource):
             if files is None:  # legacy dir-level manifest
                 files = versioned._list_data_files(table_path, m["dir"])
             dv_rel = versioned._dv_map(m)
+            # every planned path goes through _abs_file (absolutized +
+            # normalized): deletion-vector sidecar rows key on ABSOLUTE
+            # file URIs, so a relative .option("path", ...) must not
+            # leak relative paths into the partition plan — matching
+            # would silently miss and DV'd rows would resurrect
             dv = {
-                os.path.join(table_path, f):
-                    [os.path.join(table_path, s) for s in dv_rel[f]]
+                versioned._abs_file(table_path, f):
+                    [versioned._abs_file(table_path, s)
+                     for s in dv_rel[f]]
                 for f in files if f in dv_rel
             }
             # skipping metadata for pushFilters, re-keyed by the same
@@ -374,7 +426,7 @@ class VersionedDataSource(DataSource):
             if m.get("stats_col") and m.get("stats"):
                 skip_meta["stats_col"] = m["stats_col"]
                 skip_meta["stats"] = {
-                    os.path.join(table_path, f): m["stats"].get(f)
+                    versioned._abs_file(table_path, f): m["stats"].get(f)
                     for f in files
                 }
             if m.get("bloom"):
@@ -382,13 +434,14 @@ class VersionedDataSource(DataSource):
                 skip_meta["bloom"] = {
                     "col": b.get("col"), "bits": b["bits"], "k": b["k"],
                     "filters": {
-                        os.path.join(table_path, f): b["filters"].get(f)
+                        versioned._abs_file(table_path, f):
+                            b["filters"].get(f)
                         for f in files
                     },
                 }
             self._resolved = (
                 StructType.fromJson(json.loads(m["schema"])),
-                [os.path.join(table_path, f) for f in files],
+                [versioned._abs_file(table_path, f) for f in files],
                 dv,
                 skip_meta,
             )
@@ -398,24 +451,12 @@ class VersionedDataSource(DataSource):
         return self._resolve()[0]
 
     def reader(self, schema) -> VersionedReader:
-        import sys
-
         resolved = self._resolve()
-        # The pushdown subclass must be returned ONLY to Spark's
-        # filter-pushdown planning worker (data_source_pushdown_filters
-        # — the one that calls reader.pushFilters and ships the PRUNED
-        # partition list back to the JVM). The plain planning worker
-        # (plan_data_source_read) RAISES for any reader that merely
-        # overrides pushFilters when spark.sql.python.filterPushdown
-        # .enabled is false — and this DataSource is constructed in a
-        # sessionless worker, so no conf is reachable to branch on.
-        # Keying on the CALLER is exact: pushdown caller → pruning
-        # reader; anyone else → the plain reader, identical semantics.
-        caller = sys._getframe(1).f_globals.get("__name__", "")
-        cls = (_PushdownVersionedReader
-               if caller.endswith("data_source_pushdown_filters")
-               else VersionedReader)
-        return cls(resolved[1], resolved[0], resolved[2], resolved[3])
+        flt = self.options.get("filter")
+        row_filter = (_parse_filter_option(flt, resolved[0])
+                      if flt is not None else None)
+        return VersionedReader(resolved[1], resolved[0], resolved[2],
+                               resolved[3], row_filter)
 
     def streamReader(self, schema) -> VersionedStreamReader:
         table_path = self.options.get("path")
@@ -715,13 +756,21 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
         import shutil
 
         last_qid, last = self._last_stream_batch()
-        if (last is not None and last >= batchId
-                and last_qid == self.query_key):
-            # checkpoint-replayed batch OF THIS QUERY: already
-            # published — the re-staged part files must never become
-            # visible. A different query id means a new query with a
-            # fresh checkpoint took over the table: its batch 0 is new
-            # data, not a replay, and MUST commit.
+        # Skip iff this is a checkpoint REPLAY of an already-published
+        # batch: same query id (or a legacy manifest with no recorded
+        # id — those commits predate query-id stamping, and replaying
+        # them must still be idempotent; a FRESH query restarting ids
+        # at 0 against such a table is the one case the legacy guard
+        # cannot distinguish, hence batchId > 0 below) and a batch id
+        # not newer than the last published one. A different recorded
+        # query id means a new query with a fresh checkpoint took over
+        # the table: its batch 0 is new data, not a replay, and MUST
+        # commit.
+        is_replay = last is not None and last >= batchId and (
+            last_qid == self.query_key
+            or (last_qid is None and batchId > 0)
+        )
+        if is_replay:
             shutil.rmtree(self.staged, ignore_errors=True)
             return
         import uuid

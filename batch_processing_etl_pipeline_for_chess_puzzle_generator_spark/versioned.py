@@ -204,6 +204,15 @@ def _read_files_dv(spark: SparkSession, table_path: str, manifest: dict,
     df = reader.parquet(*paths)
     if not sidecars and file_col is None and pos_col is None:
         return df
+    # bookkeeping-column collision guard (same contract as OPTIMIZE's
+    # _zk check): a table column named like a working column would be
+    # silently shadowed and then dropped from every read
+    reserved = {"__dv_uri", "__dv_pos", file_col, pos_col} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"table columns {sorted(reserved)} collide with deletion-"
+            "vector bookkeeping columns — rename them first"
+        )
     df = df.select(
         "*",
         F.col("_metadata.file_path").alias("__dv_uri"),
@@ -1229,6 +1238,28 @@ def merge_version_mor(spark: SparkSession, table_path: str,
     changes = changes.localCheckpoint(eager=True)
     keys = F.broadcast(changes.select(key_col).distinct())
 
+    # stat-prune the matched-row discovery exactly like the COW path:
+    # files whose [min,max] can't intersect the change-key span never
+    # get scanned (on a 10k-file range-clustered table a narrow CDC
+    # batch scans a handful of files, not the table)
+    pstats = (parent.get("stats")
+              if parent.get("stats_col") == key_col else None)
+    candidates = list(pfiles)
+    if pstats is not None and pfiles:
+        lo, hi = changes.agg(F.min(key_col), F.max(key_col)).first()
+
+        def _unpruneable(v) -> bool:
+            return v is None or (isinstance(v, float) and v != v)
+
+        if not _unpruneable(lo) and not _unpruneable(hi):
+            lo, hi = _stat_encode(lo), _stat_encode(hi)
+            candidates = [
+                f for f in pfiles
+                if pstats.get(f) is None
+                or _unpruneable(pstats[f][0]) or _unpruneable(pstats[f][1])
+                or (pstats[f][0] <= hi and lo <= pstats[f][1])
+            ]
+
     token = uuid.uuid4().hex[:12]
     touched: list[str] = []
     touched_uris: list[str] = []
@@ -1236,9 +1267,9 @@ def merge_version_mor(spark: SparkSession, table_path: str,
     dv_bytes = 0
     n_deleted = 0
     final_dv = None
-    if pfiles:
+    if candidates:
         matched = (
-            _read_files_dv(spark, table_path, parent, pfiles, schema,
+            _read_files_dv(spark, table_path, parent, candidates, schema,
                            file_col="__f", pos_col="__p")
             .join(keys, key_col, "left_semi")
             .select("__f", "__p")
@@ -1324,6 +1355,7 @@ def merge_version_mor(spark: SparkSession, table_path: str,
         "rows_deleted": n_deleted,
         "new_files": len(new_files),
         "dv_bytes": dv_bytes,
+        "files_pruned_by_stats": len(pfiles) - len(candidates),
     }
 
 
@@ -1420,12 +1452,16 @@ def _load_manifest(table_path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _commit_ts(table_path: str, version: int) -> float:
+def _commit_ts(table_path: str, version: int,
+               manifest: dict | None = None) -> float:
     """Commit wall-clock of a live version (UTC epoch seconds). Falls
     back to the manifest file's mtime for manifests committed before
     ``committed_at`` existed (same physical moment — the manifest is
-    written exactly once)."""
-    ts = _load_manifest(table_path, version).get("committed_at")
+    written exactly once). Pass ``manifest`` when the caller already
+    holds it (history/snapshots loops) to skip the re-read."""
+    if manifest is None:
+        manifest = _load_manifest(table_path, version)
+    ts = manifest.get("committed_at")
     if ts is not None:
         return float(ts)
     return os.path.getmtime(
@@ -1442,10 +1478,14 @@ def resolve_timestamp(table_path: str, ts) -> int:
     import datetime
 
     if isinstance(ts, str):
-        try:  # numeric string = epoch seconds (the DS option form)
-            ts = float(ts)
-        except ValueError:
+        # ISO-8601 first: compact forms like '20260101' are valid
+        # dates in fromisoformat and must not be misread as epoch
+        # seconds; strings no datetime parse accepts (e.g.
+        # '1786791104.165' — the DS option form) fall back to epoch.
+        try:
             ts = datetime.datetime.fromisoformat(ts)
+        except ValueError:
+            ts = float(ts)
     if isinstance(ts, datetime.datetime):
         ts = ts.timestamp()
     ts = float(ts)
@@ -1723,7 +1763,7 @@ def history(spark: SparkSession, table_path: str) -> DataFrame:
         rows.append((v, len(files), size,
                      len(set(files) & prev_files),
                      m.get("stats_col"),
-                     float(_commit_ts(table_path, v))))
+                     float(_commit_ts(table_path, v, m))))
         prev_files = set(files)
     return spark.createDataFrame(
         rows,
@@ -1757,7 +1797,7 @@ def snapshots(spark: SparkSession, table_path: str) -> DataFrame:
                 pass
         rows.append((
             v,
-            float(_commit_ts(table_path, v)),
+            float(_commit_ts(table_path, v, m)),
             m.get("operation"),
             len(file_list),
             size,

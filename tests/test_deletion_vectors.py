@@ -274,11 +274,16 @@ def test_ds_append_carries_dvs_and_streaming_source_sees_appends(
     assert len(r_ic._added_files(2, 3)) >= 1
 
 
-def test_ds_pushdown_prunes_partitions(spark, tmp_path):
-    """spark.read.format('versioned') + filter: the DSv2 pushFilters
-    hook prunes the partition plan against manifest [min,max] stats and
-    bloom bitmaps — strictly fewer partitions than files on a
-    stats-backfilled table, result identical to the unpruned read."""
+def test_ds_filter_option_prunes_partitions(spark, tmp_path):
+    """spark.read.format('versioned').option('filter', ...): manifest
+    [min,max] stats and bloom bitmaps prune the PARTITION PLAN, and
+    the predicate applies row-exactly — the relation equals
+    read_version().filter(pred) with strictly fewer planned partitions
+    on a stats-backfilled table. (A load-time option rather than DSv2
+    pushFilters: Spark 4.1.2 reuses the cached python-DS scan across
+    queries with different pushed-filter sets, which makes any
+    pruning pushFilters reader return wrong results — reproduced and
+    documented in VersionedReader.)"""
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions import bloomskip
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
         VersionedDataSource,
@@ -292,29 +297,50 @@ def test_ds_pushdown_prunes_partitions(spark, tmp_path):
         path, versioned.versions(path)[-1])["files"])
     assert n_files == 8
 
-    def _read():
-        return spark.read.format("versioned").option("path", path).load()
+    def _read(flt=None):
+        r = spark.read.format("versioned").option("path", path)
+        if flt:
+            r = r.option("filter", flt)
+        return r.load()
+
+    def _want(pred):
+        return sorted(tuple(r) for r in
+                      versioned.read_version(spark, path)
+                      .filter(pred).collect())
 
     # stats-range prune: an equality inside one file's [lo, hi]
-    got = _read().filter("k = 500")
+    got = _read("k = 500")
     assert got.rdd.getNumPartitions() < n_files
-    assert got.count() == 1
+    assert sorted(tuple(r) for r in got.collect()) == _want("k = 500")
     # range predicate
-    got = _read().filter("k >= 900")
+    got = _read("k >= 900")
     assert got.rdd.getNumPartitions() < n_files
-    assert got.count() == 100
+    assert sorted(tuple(r) for r in got.collect()) == _want("k >= 900")
     # bloom prune on the string column (unclustered: stats can't help)
-    got = _read().filter("v = 'v17'")
+    got = _read("v = 'v17'")
     assert got.rdd.getNumPartitions() < n_files
     assert [r.k for r in got.collect()] == [17]
-    # conjunction: both prunes engage; rows still exact
-    got = _read().filter("k < 200 AND v = 'v17'")
-    assert got.rdd.getNumPartitions() < n_files
-    assert got.count() == 1
     # a predicate matching nothing prunes everything but stays correct
-    assert _read().filter("k = -5").count() == 0
-    # and an unfiltered read still plans every file
+    assert _read("k = -5").count() == 0
+    # the filtered relation is CONSISTENT across repeated and further-
+    # filtered queries (the reuse hazard pushFilters had)
+    got = _read("k >= 900")
+    assert got.count() == 100
+    assert got.filter("k >= 950").count() == 50
+    assert got.count() == 100
+    # an unfiltered read still plans every file and returns everything
     assert _read().rdd.getNumPartitions() == n_files
+    assert _read().count() == 1000
+    # malformed / unknown-column options fail loudly
+    with pytest.raises(Exception):
+        _read("k BETWEEN 1 AND 2").count()
+    with pytest.raises(Exception):
+        _read("nope = 5").count()
+    # DV interaction: filter option composes with deletion vectors
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k = 500")
+    assert _read("k = 500").count() == 0
+    assert _read("k >= 900").count() == 100
 
 
 def test_dv_free_read_plans_no_join(spark, tmp_path):
@@ -399,3 +425,108 @@ def test_mor_merge_equals_cow_and_rewrites_nothing(spark, tmp_path):
                                      evolve_schema=True)
     assert s5["files_rewritten"] >= 1
     assert "w" in versioned.read_version(spark, mor).columns
+
+
+def test_ds_dv_read_with_relative_table_path(spark, tmp_path):
+    """Code-review regression: the DS keyed DV matching on the raw
+    option path — a RELATIVE path never matched the sidecars' absolute
+    URIs and every deleted row silently resurrected. All planned paths
+    now go through _abs_file."""
+    import os as _os
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        _deleted_positions,
+    )
+
+    # build with an absolute path (Spark writes resolve relative paths
+    # against the warehouse dir, not the process cwd) ...
+    abs_path = str(tmp_path / "t_rel")
+    _mk(spark, abs_path)
+    versioned.set_table_property(abs_path, "dv.enabled", "true")
+    versioned.delete_where(spark, abs_path, "k < 100")
+    # ... then RESOLVE through a relative option path, as the planning
+    # worker would when its cwd contains the table: every planned path
+    # must come out ABSOLUTE (sidecar rows key on absolute file URIs —
+    # a relative partition path would silently match nothing and every
+    # DV'd row would resurrect), and the executor-side vector load must
+    # find the positions for a planned file.
+    old_cwd = _os.getcwd()
+    _os.chdir(str(tmp_path))
+    try:
+        ds = VersionedDataSource({"path": "t_rel"})
+        schema, files, dv, _skip = ds._resolve()
+        assert files and all(_os.path.isabs(f) for f in files)
+        assert dv, "the DV mapping must survive resolution"
+        assert all(_os.path.isabs(s)
+                   for lst in dv.values() for s in lst)
+        data_file, sidecars = next(iter(dv.items()))
+        assert _deleted_positions(sidecars, data_file)
+    finally:
+        _os.chdir(old_cwd)
+    # end-to-end through the engine session (absolute path): rows gone
+    got = (spark.read.format("versioned").option("path", abs_path)
+           .load())
+    assert got.filter("k < 100").count() == 0
+    assert got.count() == 500
+
+
+def test_stream_sink_replay_guard_on_legacy_manifests(spark, tmp_path):
+    """Code-review regression: manifests from before query-id stamping
+    (stream_query_id absent) must STILL be replay-protected — a
+    same-sequence batch id at or below the last one skips; only a
+    fresh query's batch 0 commits."""
+    import pyarrow as pa
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedStreamWriter,
+        _write_arrow_part,
+    )
+
+    path = str(tmp_path / "t")
+    schema = spark.range(1).selectExpr("id AS k").schema
+
+    def _commit(writer, batch_id, value):
+        msg = _write_arrow_part(
+            writer.staged,
+            iter([pa.record_batch({"k": pa.array([value], pa.int64())})]),
+        )
+        writer.commit([msg], batchId=batch_id)
+
+    legacy = VersionedStreamWriter(path, schema, query_key=None)
+    _commit(legacy, 0, 10)
+    _commit(legacy, 1, 11)
+    assert len(versioned.versions(path)) == 2
+
+    # upgraded code replays batch 1 (query id now derived): the legacy
+    # manifest has no id — still treated as a replay, nothing publishes
+    upgraded = VersionedStreamWriter(path, schema, query_key="q-new")
+    _commit(upgraded, 1, 99)
+    assert len(versioned.versions(path)) == 2
+    assert versioned.read_version(spark, path).filter("k = 99").count() == 0
+    # ...but its NEXT batch commits normally
+    _commit(upgraded, 2, 12)
+    assert sorted(r.k for r in
+                  versioned.read_version(spark, path).collect()) == \
+        [10, 11, 12]
+    # and a FRESH query restarting at batch 0 against a legacy-tailed
+    # table is new data, not a replay
+    legacy2 = VersionedStreamWriter(str(tmp_path / "t2"), schema, None)
+    _commit(legacy2, 0, 20)
+    fresh = VersionedStreamWriter(str(tmp_path / "t2"), schema, "q-f")
+    _commit(fresh, 0, 21)
+    assert sorted(r.k for r in versioned.read_version(
+        spark, str(tmp_path / "t2")).collect()) == [20, 21]
+
+
+def test_dv_bookkeeping_column_collision_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("id AS k", "id AS __dv_pos")
+    versioned.write_version(df, path)
+    versioned.set_table_property(path, "dv.enabled", "true")
+    with pytest.raises(ValueError, match="bookkeeping"):
+        versioned.delete_where(spark, path, "k = 1")

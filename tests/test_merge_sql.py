@@ -696,3 +696,35 @@ def test_merge_rejects_multi_match_source(spark, tmp_path):
         WHEN NOT MATCHED THEN INSERT *
     """)
     assert versioned.read_version(spark, path).filter("k = 8000").count() == 2
+
+
+def test_merge_cdc_tombstone_plus_insert_same_key_is_legal(spark, tmp_path):
+    """Code-review regression: the multi-match guard must be
+    CLAUSE-AWARE — a CDC source carrying a tombstone AND a fresh row
+    for the same matched key is legal when only the tombstone fires a
+    matched clause (delete-only merge with insert for new keys)."""
+    path = str(tmp_path / "tbl")
+    versioned.write_version(_base(spark, n=20), path)
+    spark.createDataFrame(
+        [(5, "dead", True), (5, "ignored", False), (900, "new", False)],
+        "k INT, v STRING, del BOOLEAN",
+    ).createOrReplaceTempView("cdc_src")
+    merge_into(spark, f"""
+        MERGE INTO versioned.`{path}` AS t USING cdc_src AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.del THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert 5 not in got and got[900] == "new"
+    # but TWO tombstones for one matched key still raise
+    spark.createDataFrame(
+        [(6, "d1", True), (6, "d2", True)],
+        "k INT, v STRING, del BOOLEAN",
+    ).createOrReplaceTempView("cdc_dup")
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into(spark, f"""
+            MERGE INTO versioned.`{path}` AS t USING cdc_dup AS s
+            ON t.k = s.k
+            WHEN MATCHED AND s.del THEN DELETE
+        """)

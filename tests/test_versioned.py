@@ -1715,3 +1715,16 @@ def test_stream_source_fails_on_changes_unless_opted_in(spark, tmp_path):
     # BOTH readers
     assert r._added_files(1, 2) == []
     assert r_ic._added_files(1, 2) == []
+
+
+def test_resolve_timestamp_prefers_iso_over_epoch(spark, tmp_path):
+    """Code-review regression: compact all-digit ISO dates ('20990101')
+    must parse as dates, not epoch seconds;真 epoch strings still work."""
+    path = str(tmp_path / "t")
+    versioned.write_version(spark.range(3).selectExpr("id AS k"), path)
+    assert versioned.resolve_timestamp(path, "2099-01-01T00:00:00") == 0
+    assert versioned.resolve_timestamp(path, "20990101") == 0
+    ts = versioned._commit_ts(path, 0)
+    assert versioned.resolve_timestamp(path, str(ts + 1)) == 0
+    with pytest.raises(ValueError):
+        versioned.resolve_timestamp(path, "1999-01-01")
