@@ -354,10 +354,14 @@ class VersionedStreamReader(DataSourceStreamReader):
         return added
 
     def partitions(self, start: dict, end: dict):
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
         files = self._added_files(start["version"], end["version"])
         if not files:
             return [_FilePartition(None)]
-        return [_FilePartition(os.path.join(self.table_path, f))
+        # Absolutize like the batch reader: a relative .option("path", ...)
+        # must not leak relative paths into executor-side partition reads.
+        return [_FilePartition(versioned._abs_file(self.table_path, f))
                 for f in files]
 
     def read(self, partition: _FilePartition):

@@ -253,7 +253,12 @@ def set_table_property(table_path: str, key: str, value: str) -> int:
     props = dict(parent.get("properties") or {})
     props[str(key)] = str(value)
     manifest = dict(parent)
-    manifest.pop("restored_from", None)
+    # Per-commit provenance stamps must not ride into a metadata-only
+    # commit: a SET TBLPROPERTIES is not a stream batch or a backfill,
+    # and snapshots() would misreport it as one.
+    for stamp in ("restored_from", "stream_batch_id", "stream_query_id",
+                  "backfilled_from"):
+        manifest.pop(stamp, None)
     manifest["version"] = avail[-1] + 1
     manifest["properties"] = props
     manifest["operation"] = "SET TBLPROPERTIES"

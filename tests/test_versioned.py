@@ -1728,3 +1728,61 @@ def test_resolve_timestamp_prefers_iso_over_epoch(spark, tmp_path):
     assert versioned.resolve_timestamp(path, str(ts + 1)) == 0
     with pytest.raises(ValueError):
         versioned.resolve_timestamp(path, "1999-01-01")
+
+
+def test_set_table_property_drops_per_commit_stamps(spark, tmp_path):
+    """Advice regression (r7): a SET TBLPROPERTIES commit copies its
+    parent manifest, but per-commit provenance stamps (stream batch
+    ids, backfill markers) must NOT ride along — snapshots() would
+    misreport the metadata-only commit as a stream/backfill commit."""
+    path = str(tmp_path / "t")
+    versioned.write_version(spark.range(5).selectExpr("id AS k"), path)
+    # simulate a streaming-sink + backfill parent commit
+    parent = versioned._load_manifest(path, 0)
+    m = dict(parent)
+    m.update(version=1, stream_batch_id=7, stream_query_id="q-1",
+             backfilled_from="/tmp/elsewhere", operation="STREAMING APPEND")
+    versioned._publish(path, m)
+
+    versioned.set_table_property(path, "dv.enabled", "true")
+    prop_m = versioned._load_manifest(path, 2)
+    assert prop_m["operation"] == "SET TBLPROPERTIES"
+    for stamp in ("stream_batch_id", "stream_query_id",
+                  "backfilled_from", "restored_from"):
+        assert stamp not in prop_m
+    snaps = {r.version: r for r in
+             versioned.snapshots(spark, path).collect()}
+    assert snaps[1].is_stream_commit is True
+    assert snaps[2].is_stream_commit is False
+
+
+def test_stream_reader_partitions_are_absolute(spark, tmp_path):
+    """Advice regression (r7): stream partitions joined the raw option
+    path, unlike the batch reader's _abs_file route — a relative
+    .option('path', …) leaked relative paths into executor reads."""
+    import os as _os
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedStreamReader,
+    )
+
+    abs_path = str(tmp_path / "t_stream_rel")
+    versioned.write_version(
+        spark.range(6).selectExpr("id AS k"), abs_path)
+    schema = versioned.read_version(spark, abs_path).schema
+    old_cwd = _os.getcwd()
+    _os.chdir(str(tmp_path))
+    try:
+        r = VersionedStreamReader("t_stream_rel", schema, None)
+        parts = r.partitions({"version": -1}, {"version": 0})
+        assert parts and all(
+            p.path is None or _os.path.isabs(p.path) for p in parts)
+        got = sorted(
+            row["k"]
+            for p in parts if p.path is not None
+            for batch in r.read(p)
+            for row in batch.to_pylist()
+        )
+        assert got == list(range(6))
+    finally:
+        _os.chdir(old_cwd)
