@@ -115,99 +115,193 @@ def _iter_file_batches(path: str, target: StructType,
 
 
 _FILTER_OPT_RE = None  # compiled lazily in _parse_filter_option
+_FILTER_IN_RE = None
+_FILTER_LIT = r"(?:'([^']*)'|(-?\d+(?:\.\d+)?))"
+
+
+def _split_and(expr: str) -> list[str]:
+    """Split on top-level AND (case-insensitive), never inside a
+    quoted string literal."""
+    import re
+
+    parts, buf, in_q = [], [], False
+    tokens = re.split(r"(\s+[Aa][Nn][Dd]\s+|')", expr)
+    for t in tokens:
+        if t == "'":
+            in_q = not in_q
+            buf.append(t)
+        elif not in_q and t.strip().lower() == "and" and t != t.strip():
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(t)
+    parts.append("".join(buf))
+    return [p for p in parts if p.strip()]
+
+
+def _lit_value(s: str | None, n: str | None):
+    if s is not None:
+        return s
+    return float(n) if "." in n else int(n)
 
 
 def _parse_filter_option(expr: str, schema: StructType):
-    """Parse the ``.option("filter", "col OP literal")`` grammar into
-    (col, op, value): op ∈ {=, ==, !=, <, <=, >, >=}; literal is a
-    single-quoted string or a numeric. The column must exist in the
-    table schema. Anything else raises — a silently-ignored filter
-    option would read as 'pruned' when it wasn't."""
+    """Parse the ``.option("filter", …)`` grammar into a list of
+    conjuncts [(col, op, value), …]: ``expr`` is AND-of-simple
+    predicates, each ``col OP literal`` (op ∈ {=, ==, !=, <, <=, >,
+    >=}) or ``col IN (lit, lit, …)`` (op = 'in', value = list).
+    Literals are single-quoted strings or numerics; columns must
+    exist in the table schema. Anything else raises — a
+    silently-ignored filter option would read as 'pruned' when it
+    wasn't. Each conjunct prunes files independently (a file must
+    survive ALL of them), matching how real point lookups are spelled
+    (``k = 5 AND ds >= '2026-01-01'``)."""
     import re
 
-    global _FILTER_OPT_RE
+    global _FILTER_OPT_RE, _FILTER_IN_RE
     if _FILTER_OPT_RE is None:
         _FILTER_OPT_RE = re.compile(
             r"^\s*(?P<col>\w+)\s*(?P<op>==|=|!=|<=|>=|<|>)\s*"
-            r"(?:'(?P<s>[^']*)'|(?P<n>-?\d+(?:\.\d+)?))\s*$"
+            rf"{_FILTER_LIT}\s*$"
         )
-    m = _FILTER_OPT_RE.match(expr)
-    if not m:
+        _FILTER_IN_RE = re.compile(
+            r"^\s*(?P<col>\w+)\s+[Ii][Nn]\s*\((?P<items>[^)]*)\)\s*$"
+        )
+    conjuncts = []
+    for part in _split_and(expr):
+        m = _FILTER_OPT_RE.match(part)
+        if m:
+            col, op = m["col"], m["op"]
+            value = _lit_value(m.group(3), m.group(4))
+            conjuncts.append((col, "=" if op == "==" else op, value))
+            continue
+        m = _FILTER_IN_RE.match(part)
+        if m:
+            items = []
+            rest = m["items"].strip()
+            if not rest:
+                raise ValueError(
+                    f"empty IN list in filter option {part!r}")
+            for item in rest.split(","):
+                lm = re.fullmatch(rf"\s*{_FILTER_LIT}\s*", item)
+                if not lm:
+                    raise ValueError(
+                        f"unsupported IN-list literal {item!r} in "
+                        f"filter option {part!r}")
+                items.append(_lit_value(lm.group(1), lm.group(2)))
+            conjuncts.append((m["col"], "in", items))
+            continue
         raise ValueError(
-            f"unsupported filter option {expr!r} — expected "
-            "<column> <op> <literal> with op in = == != < <= > >= and "
-            "a quoted-string or numeric literal"
+            f"unsupported filter option {part!r} — expected "
+            "<column> <op> <literal> (op in = == != < <= > >=), "
+            "<column> IN (<literal>, …), or an AND of those, with "
+            "quoted-string or numeric literals"
         )
-    col = m["col"]
-    if col not in schema.fieldNames():
-        raise ValueError(
-            f"filter option references unknown column {col!r} "
-            f"(table has {schema.fieldNames()})"
-        )
-    if m["s"] is not None:
-        value = m["s"]
-    else:
-        value = float(m["n"]) if "." in m["n"] else int(m["n"])
-    op = "=" if m["op"] == "==" else m["op"]
-    return col, op, value
+    for col, _, _ in conjuncts:
+        if col not in schema.fieldNames():
+            raise ValueError(
+                f"filter option references unknown column {col!r} "
+                f"(table has {schema.fieldNames()})"
+            )
+    return conjuncts
+
+
+def _bounds_reject(lo, hi, op: str, value) -> bool:
+    """True iff a file with [lo, hi] bounds CANNOT hold a row matching
+    ``op value`` (encoded comparably). Conservative: incomparable or
+    missing bounds never reject."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    def _enc(v):
+        try:
+            return versioned._stat_encode(v)
+        except TypeError:
+            return None
+
+    def _comparable(v):
+        return (v is not None and lo is not None and hi is not None
+                and (isinstance(v, type(lo))
+                     or (isinstance(v, (int, float))
+                         and not isinstance(v, bool)
+                         and isinstance(lo, (int, float))
+                         and not isinstance(lo, bool))))
+
+    if op == "in":
+        vs = [_enc(v) for v in value]
+        if not all(_comparable(v) for v in vs):
+            return False
+        return not any(lo <= v <= hi for v in vs)
+    v = _enc(value)
+    if not _comparable(v):
+        return False
+    if op == "=":
+        return not (lo <= v <= hi)
+    if op == ">":
+        return not (hi > v)
+    if op == ">=":
+        return not (hi >= v)
+    if op == "<":
+        return not (lo < v)
+    if op == "<=":
+        return not (lo <= v)
+    return False  # != never prunes on [min,max]
 
 
 def _file_survives(path: str, col: str, op: str, value,
                    skip_meta: dict) -> bool:
     """Manifest-stats / bloom-bitmap file skipping for one parsed
-    filter — the same metadata-only pruning the library paths use.
-    Missing metadata always keeps the file (conservative)."""
-    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    conjunct — the same metadata-only pruning the library paths use.
+    Multi-column ``col_stats`` prune on ANY column; the legacy single
+    ``stats_col`` pair and bloom bitmaps still apply. Missing metadata
+    always keeps the file (conservative)."""
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions import bloomskip
 
-    stats = skip_meta.get("stats") or {}
-    if skip_meta.get("stats_col") == col and stats.get(path) is not None:
-        try:
-            v = versioned._stat_encode(value)
-        except TypeError:
-            v = None
-        lo, hi = stats[path]
-        comparable = (
-            v is not None and lo is not None and hi is not None
-            and (isinstance(v, type(lo))
-                 or (isinstance(v, (int, float))
-                     and isinstance(lo, (int, float))))
-        )
-        if comparable:
-            if op == "=" and not (lo <= v <= hi):
-                return False
-            if op == ">" and not (hi > v):
-                return False
-            if op == ">=" and not (hi >= v):
-                return False
-            if op == "<" and not (lo < v):
-                return False
-            if op == "<=" and not (lo <= v):
-                return False
-            # != never prunes on [min,max]
+    bounds = None
+    per_file = (skip_meta.get("col_stats") or {}).get(path)
+    if per_file is not None and per_file.get(col) is not None:
+        bounds = per_file[col]
+    elif (skip_meta.get("stats_col") == col
+            and (skip_meta.get("stats") or {}).get(path) is not None):
+        bounds = skip_meta["stats"][path]
+    if bounds is not None and _bounds_reject(bounds[0], bounds[1],
+                                             op, value):
+        return False
     bloom = skip_meta.get("bloom")
-    if (bloom is not None and op == "=" and col == bloom.get("col")
-            and isinstance(value, (int, str))
-            and not isinstance(value, bool)):
+    if bloom is not None and col == bloom.get("col"):
         hexmap = bloom["filters"].get(path)
         if hexmap is not None:
-            bits = int(hexmap, 16)
-            pos = bloomskip._positions(value, bloom["bits"], bloom["k"])
-            if not all(bits >> p & 1 for p in pos):
-                return False
+            probes = value if op == "in" else (
+                [value] if op == "=" else None)
+            if probes is not None and all(
+                    isinstance(p, (int, str)) and not isinstance(p, bool)
+                    for p in probes):
+                bits = int(hexmap, 16)
+                # a file survives if ANY probed value may be present
+                if not any(
+                        all(bits >> p & 1 for p in
+                            bloomskip._positions(v, bloom["bits"],
+                                                 bloom["k"]))
+                        for v in probes):
+                    return False
     return True
 
 
-def _apply_row_filter(batch, col: str, op: str, value):
-    """Row-exact application of the parsed filter on an Arrow batch
-    (SQL comparison semantics: NULL never matches)."""
+def _apply_row_filter(batch, conjuncts):
+    """Row-exact application of every parsed conjunct on an Arrow
+    batch (SQL comparison semantics: NULL never matches)."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    c = batch.column(batch.schema.names.index(col))
     fn = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
           "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
-    mask = fn[op](c, value)
-    return batch.filter(mask)
+    for col, op, value in conjuncts:
+        c = batch.column(batch.schema.names.index(col))
+        if op == "in":
+            mask = pc.is_in(c, value_set=pa.array(value, type=c.type))
+        else:
+            mask = fn[op](c, value)
+        batch = batch.filter(mask)
+    return batch
 
 
 class VersionedReader(DataSourceReader):
@@ -239,12 +333,14 @@ class VersionedReader(DataSourceReader):
         #   stats_col, stats {path: [lo, hi]|None},
         #   bloom {col, bits, k, filters {path: hex}}
         self.skip_meta = skip_meta or {}
-        self.row_filter = row_filter  # parsed (col, op, value) or None
-        if row_filter is not None:
-            col, op, value = row_filter
+        # parsed conjunct list [(col, op, value), …] or None; a file
+        # must survive EVERY conjunct to stay in the partition plan
+        self.row_filter = row_filter
+        if row_filter:
             self.files = [
                 f for f in self.files
-                if _file_survives(f, col, op, value, self.skip_meta)
+                if all(_file_survives(f, col, op, value, self.skip_meta)
+                       for col, op, value in row_filter)
             ]
 
     def partitions(self):
@@ -261,8 +357,8 @@ class VersionedReader(DataSourceReader):
         skip = (_deleted_positions(partition.dv_sidecars, partition.path)
                 if getattr(partition, "dv_sidecars", None) else None)
         for batch in _iter_file_batches(partition.path, self.target, skip):
-            if self.row_filter is not None:
-                batch = _apply_row_filter(batch, *self.row_filter)
+            if self.row_filter:
+                batch = _apply_row_filter(batch, self.row_filter)
             yield batch
 
 
@@ -433,6 +529,12 @@ class VersionedDataSource(DataSource):
                     versioned._abs_file(table_path, f): m["stats"].get(f)
                     for f in files
                 }
+            if m.get("col_stats"):
+                skip_meta["col_stats"] = {
+                    versioned._abs_file(table_path, f):
+                        m["col_stats"].get(f)
+                    for f in files
+                }
             if m.get("bloom"):
                 b = m["bloom"]
                 skip_meta["bloom"] = {
@@ -542,33 +644,11 @@ def _footer_stats(path: str, stats_col: str):
     unless EVERY row group reports exact, non-null stats of a type the
     manifest encoding preserves order for; NaN bounds also bail (NaN
     sorts greatest into parquet double stats and defeats interval
-    comparison — same rule as merge_version_cow's _unpruneable)."""
-    import pyarrow.parquet as pq
-
+    comparison — same rule as merge_version_cow's _unpruneable).
+    Thin single-column view of versioned._footer_col_stats."""
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
-    md = pq.ParquetFile(path).metadata
-    try:
-        idx = md.schema.to_arrow_schema().names.index(stats_col)
-    except ValueError:
-        return None
-    lo = hi = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if (st is None or not st.has_min_max
-                or st.min is None or st.max is None):
-            return None
-        rmin, rmax = st.min, st.max
-        if any(isinstance(v, float) and v != v for v in (rmin, rmax)):
-            return None
-        lo = rmin if lo is None or rmin < lo else lo
-        hi = rmax if hi is None or rmax > hi else hi
-    if lo is None:
-        return None
-    try:
-        return [versioned._stat_encode(lo), versioned._stat_encode(hi)]
-    except TypeError:
-        return None
+    return versioned._footer_col_stats(path, [stats_col])[stats_col]
 
 
 class VersionedWriter(DataSourceArrowWriter):
@@ -694,6 +774,10 @@ class VersionedWriter(DataSourceArrowWriter):
                 )
             manifest["stats_col"] = stats_col
             manifest["stats"] = stats
+        # multi-column skipping index: shared parent entries verbatim,
+        # one footer read per new part file (same shape as write_version)
+        versioned._set_col_stats(manifest, parent, self.table_path,
+                                 list(parent_files), new_files)
         try:
             versioned._publish(self.table_path, manifest)
         except versioned.CommitConflict:

@@ -121,6 +121,116 @@ def _file_stats(spark: SparkSession, table_path: str, rel_files: list[str],
     return {f: by_abs.get(_abs_file(table_path, f)) for f in rel_files}
 
 
+#: Delta collects data-skipping stats for the first 32 columns by
+#: default; the same cap bounds manifest size here (#files × #cols × 2
+#: scalars of JSON metadata).
+_MAX_STATS_COLS = 32
+
+
+def _stats_eligible_cols(schema) -> list[str]:
+    """Top-level columns whose min/max JSON form preserves order —
+    the columns `col_stats` indexes (first ``_MAX_STATS_COLS``).
+    Binary/complex/decimal columns are excluded for the same reason
+    ``_stat_encode`` rejects their values: their string form does not
+    sort like the value, and a wrong prune drops rows."""
+    from pyspark.sql import types as T
+
+    ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+          T.FloatType, T.DoubleType, T.StringType, T.DateType,
+          T.TimestampType, T.TimestampNTZType, T.BooleanType)
+    return [f.name for f in schema.fields
+            if isinstance(f.dataType, ok)][:_MAX_STATS_COLS]
+
+
+def _footer_col_stats(path: str, cols: list[str]) -> dict:
+    """Exact per-column [min, max] for ``cols`` from ONE parquet-footer
+    read — no data scan (what Delta persists per AddFile). A column
+    encodes as None (= never pruned, always correct) unless EVERY row
+    group reports exact non-null stats of an order-preserving type;
+    NaN bounds also bail (NaN sorts greatest into parquet double stats
+    and defeats interval comparison)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = md.schema.to_arrow_schema().names
+    out: dict[str, list | None] = {}
+    for col in cols:
+        try:
+            idx = names.index(col)
+        except ValueError:
+            out[col] = None
+            continue
+        lo = hi = None
+        bad = False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if (st is None or not st.has_min_max
+                    or st.min is None or st.max is None):
+                bad = True
+                break
+            rmin, rmax = st.min, st.max
+            if any(isinstance(v, float) and v != v for v in (rmin, rmax)):
+                bad = True
+                break
+            lo = rmin if lo is None or rmin < lo else lo
+            hi = rmax if hi is None or rmax > hi else hi
+        if bad or lo is None:
+            out[col] = None
+            continue
+        try:
+            out[col] = [_stat_encode(lo), _stat_encode(hi)]
+        except TypeError:
+            out[col] = None
+    return out
+
+
+def _collect_col_stats(table_path: str, rel_files: list[str],
+                       schema) -> dict:
+    """{rel_file: {col: [lo, hi] | None}} for every stats-eligible
+    column — O(#files) driver-side footer reads, zero Spark jobs."""
+    cols = _stats_eligible_cols(schema)
+    if not cols:
+        return {f: {} for f in rel_files}
+    return {rel: _footer_col_stats(_abs_file(table_path, rel), cols)
+            for rel in rel_files}
+
+
+def _set_col_stats(manifest: dict, parent: dict | None, table_path: str,
+                   shared_files: list[str], new_files: list[str]) -> None:
+    """Record multi-column data-skipping stats (``col_stats``) on a
+    commit's manifest: shared files copy the parent's entries verbatim
+    (data files are immutable; files the parent never indexed stay
+    None until :func:`backfill_stats`), new files get one parquet
+    footer read each. Called by every commit path that changes the
+    file list, so any column — not just the legacy single
+    ``stats_col`` — can prune merges and Data Source filter reads."""
+    from pyspark.sql import types as T
+
+    pcs = (parent or {}).get("col_stats") or {}
+    cs: dict = {f: pcs.get(f) for f in shared_files}
+    if new_files:
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        cs.update(_collect_col_stats(table_path, new_files, schema))
+    if cs:
+        manifest["col_stats"] = cs
+
+
+def _bounds_for(manifest: dict, col: str) -> dict | None:
+    """Per-file [lo, hi] bounds of ``col`` for stat pruning, preferring
+    the multi-column ``col_stats`` index over the legacy single-column
+    ``stats``/``stats_col`` pair. None = no usable index for ``col``
+    (callers must then treat every file as a candidate)."""
+    cs = manifest.get("col_stats")
+    if cs:
+        bounds = {f: (per or {}).get(col) for f, per in cs.items()}
+        if any(b is not None for b in bounds.values()):
+            return bounds
+    if (manifest.get("stats_col") == col
+            and manifest.get("stats") is not None):
+        return manifest["stats"]
+    return None
+
+
 def _abs_file(table_path: str, entry: str) -> str:
     """Absolute path of a manifest file entry. Entries are normally
     table-relative; a SHALLOW CLONE writes ABSOLUTE entries pointing
@@ -511,6 +621,7 @@ def write_version(df: DataFrame, table_path: str,
         manifest["stats"] = _file_stats(
             df.sparkSession, table_path, files, stats_col
         )
+    _set_col_stats(manifest, None, table_path, [], files)
     try:
         return _publish(table_path, manifest)
     except CommitConflict:
@@ -610,7 +721,9 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         pfiles = parent["files"]
     else:  # legacy dir-level manifest
         pfiles = _list_data_files(table_path, parent["dir"])
-    pstats = parent.get("stats") if parent.get("stats_col") == key_col else None
+    # prune on ANY stats-indexed column (multi-column col_stats first,
+    # the legacy single stats_col as fallback)
+    pstats = _bounds_for(parent, key_col)
 
     # The change source is evaluated by several independent jobs below
     # (bounds agg, touched-file scan, anti-join, upsert write): pin it
@@ -727,12 +840,13 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     child_dv = {f: parent_dv[f] for f in untouched if f in parent_dv}
     if child_dv:
         manifest["dv"] = child_dv
-    if parent.get("stats_col") == key_col:
-        stats = {f: pstats[f] for f in untouched}
+    if parent.get("stats_col") == key_col and parent.get("stats") is not None:
+        stats = {f: parent["stats"].get(f) for f in untouched}
         stats.update(_file_stats(spark, table_path, new_files, key_col)
                      if new_files else {})
         manifest["stats_col"] = key_col
         manifest["stats"] = stats
+    _set_col_stats(manifest, parent, table_path, untouched, new_files)
     try:
         _publish(table_path, manifest)
     except CommitConflict:
@@ -869,6 +983,7 @@ def _predicate_cow(spark: SparkSession, table_path: str,
             )
         manifest["stats_col"] = stats_col
         manifest["stats"] = stats
+    _set_col_stats(manifest, parent, table_path, untouched, new_files)
     try:
         _publish(table_path, manifest)
     except CommitConflict:
@@ -1122,6 +1237,7 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
                                      stats_col))
         manifest["stats_col"] = stats_col
         manifest["stats"] = stats
+    _set_col_stats(manifest, parent, table_path, list(pfiles), new_files)
     try:
         _publish(table_path, manifest)
     except CommitConflict:
@@ -1247,8 +1363,7 @@ def merge_version_mor(spark: SparkSession, table_path: str,
     # files whose [min,max] can't intersect the change-key span never
     # get scanned (on a 10k-file range-clustered table a narrow CDC
     # batch scans a handful of files, not the table)
-    pstats = (parent.get("stats")
-              if parent.get("stats_col") == key_col else None)
+    pstats = _bounds_for(parent, key_col)
     candidates = list(pfiles)
     if pstats is not None and pfiles:
         lo, hi = changes.agg(F.min(key_col), F.max(key_col)).first()
@@ -1343,6 +1458,7 @@ def merge_version_mor(spark: SparkSession, table_path: str,
                                      stats_col))
         manifest["stats_col"] = stats_col
         manifest["stats"] = stats
+    _set_col_stats(manifest, parent, table_path, list(pfiles), new_files)
     try:
         _publish(table_path, manifest)
     except CommitConflict:
@@ -1731,6 +1847,7 @@ def optimize_incremental(spark: SparkSession, table_path: str,
                                      stats_col))
         manifest["stats_col"] = stats_col
         manifest["stats"] = stats
+    _set_col_stats(manifest, parent, table_path, kept, new_files)
     try:
         _publish(table_path, manifest)
     except CommitConflict:
@@ -1984,6 +2101,15 @@ def backfill_stats(table_path: str, stats_col: str) -> int:
         manifest["files"] = list(rel_files)
     manifest["stats_col"] = stats_col
     manifest["stats"] = stats
+    # also (re)build the multi-column index for EVERY eligible column
+    # while we're touching each footer anyway — retro-enables skipping
+    # on any column for tables committed before col_stats existed
+    if parent.get("schema"):
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(parent["schema"]))
+        manifest["col_stats"] = _collect_col_stats(
+            table_path, list(rel_files), schema)
     manifest["backfilled_from"] = base
     manifest["operation"] = "BACKFILL STATS"
     return _publish(table_path, manifest)
@@ -2078,6 +2204,12 @@ def clone_table(src_path: str, dst_path: str,
         manifest["stats_col"] = src["stats_col"]
         manifest["stats"] = {
             a: src["stats"].get(e) for a, e in zip(abs_files, entries)
+        }
+    if src.get("col_stats"):
+        # multi-column skipping stats ride the clone re-keyed to the
+        # same absolute entries the clone's file list uses
+        manifest["col_stats"] = {
+            a: src["col_stats"].get(e) for a, e in zip(abs_files, entries)
         }
     # deletion vectors ride the clone by ABSOLUTE reference like the
     # data files (sidecar rows key on the source files' URIs, which

@@ -1,0 +1,220 @@
+"""Multi-column data-skipping stats (`col_stats` manifests): every
+commit path indexes per-file [min, max] for ALL eligible top-level
+columns from the parquet footers (Delta's per-AddFile stats shape), so
+COW/MOR merge discovery and the Data Source `.option("filter", ...)`
+prune on ANY column — not just the legacy single `stats_col`."""
+
+from __future__ import annotations
+
+import pytest
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+
+def _mk(spark, path, n=1000, files=8, stats_col=None):
+    # range-clustered on k; k2 rides along monotonic in k, so BOTH
+    # columns have disjoint per-file ranges while only k (optionally)
+    # carries legacy stats
+    df = spark.range(n).selectExpr(
+        "CAST(id AS INT) AS k",
+        "CAST(id * 10 AS BIGINT) AS k2",
+        "CONCAT('v', id) AS v",
+        "CAST(id % 7 AS INT) AS grp",
+    ).repartitionByRange(files, "k")
+    versioned.write_version(df, path, stats_col=stats_col)
+    return path
+
+
+def test_write_version_records_col_stats_for_all_columns(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    m = versioned._load_manifest(path, 0)
+    cs = m["col_stats"]
+    assert set(cs) == set(m["files"])
+    for f in m["files"]:
+        per = cs[f]
+        # every eligible column indexed: ints, bigints, strings
+        assert set(per) == {"k", "k2", "v", "grp"}
+        lo, hi = per["k"]
+        assert 0 <= lo <= hi <= 999
+        lo2, hi2 = per["k2"]
+        assert (lo2, hi2) == (lo * 10, hi * 10)
+    # the index is exact: per-file spans are disjoint and cover 0..999
+    spans = sorted(cs[f]["k"] for f in m["files"])
+    assert spans[0][0] == 0 and spans[-1][1] == 999
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi < blo
+
+
+def test_cow_merge_prunes_on_key_without_stats_col(spark, tmp_path):
+    """The r7 gap: a table with NO stats_col still stat-prunes its COW
+    merge discovery, because col_stats indexes the merge key."""
+    path = _mk(spark, str(tmp_path / "t"))   # no stats_col at all
+    assert versioned._load_manifest(path, 0).get("stats_col") is None
+
+    ch = spark.createDataFrame([(3, 30, "u", 3, False)],
+                               "k INT, k2 BIGINT, v STRING, grp INT, "
+                               "is_delete BOOLEAN")
+    s = versioned.merge_version_cow(spark, path, ch, "k")
+    assert s["files_pruned_by_stats"] >= 6
+    assert s["files_rewritten"] == 1
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[3] == "u" and len(got) == 1000
+    # the child manifest keeps the index: shared files verbatim, the
+    # rewritten file re-read from its new footer
+    m1 = versioned._load_manifest(path, 1)
+    assert set(m1["col_stats"]) == set(m1["files"])
+    assert all(per and per.get("k") for per in m1["col_stats"].values())
+
+
+def test_mor_merge_prunes_on_key_without_stats_col(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_table_property(path, "dv.enabled", "true")
+    ch = spark.createDataFrame([(3, 30, "u", 3, False)],
+                               "k INT, k2 BIGINT, v STRING, grp INT, "
+                               "is_delete BOOLEAN")
+    s = versioned.merge_version_mor(spark, path, ch, "k")
+    assert s["files_pruned_by_stats"] >= 6
+    got = {r.k: r.v for r in versioned.read_version(spark, path).collect()}
+    assert got[3] == "u" and len(got) == 1000
+
+
+def test_ds_filter_prunes_on_non_stats_col(spark, tmp_path):
+    """The verdict's done-criterion: `.option("filter", ...)` on a
+    column that is NOT the legacy stats_col plans strictly fewer
+    partitions and stays row-exact."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = _mk(spark, str(tmp_path / "t"), stats_col="k")
+    n_files = len(versioned._load_manifest(path, 0)["files"])
+    assert n_files == 8
+
+    got = (spark.read.format("versioned").option("path", path)
+           .option("filter", "k2 >= 9000").load())
+    assert got.rdd.getNumPartitions() < n_files
+    want = sorted(tuple(r) for r in versioned.read_version(spark, path)
+                  .filter("k2 >= 9000").collect())
+    assert sorted(tuple(r) for r in got.collect()) == want
+
+
+def test_ds_filter_conjunction_and_in(spark, tmp_path):
+    """AND-of-simple-predicates and IN(...) in the filter option: each
+    conjunct prunes independently; the result equals
+    read_version().filter() of the same predicate."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions import bloomskip
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = _mk(spark, str(tmp_path / "t"))
+    bloomskip.backfill_bloom(spark, path, "v")
+    n_files = len(versioned._load_manifest(
+        path, versioned.versions(path)[-1])["files"])
+
+    def _read(flt):
+        return (spark.read.format("versioned").option("path", path)
+                .option("filter", flt).load())
+
+    def _want(pred):
+        return sorted(tuple(r) for r in versioned.read_version(spark, path)
+                      .filter(pred).collect())
+
+    # two conjuncts on two different columns, each pruning: their
+    # intersection plans at most min of either side's survivors
+    got = _read("k >= 250 AND k2 < 5000")
+    assert got.rdd.getNumPartitions() < n_files
+    assert sorted(tuple(r) for r in got.collect()) == \
+        _want("k >= 250 AND k2 < 5000")
+
+    # disjoint conjuncts prune everything and return nothing
+    assert _read("k < 100 AND k2 >= 9000").count() == 0
+
+    # IN on the range-clustered int column: only files whose [lo,hi]
+    # covers a member survive
+    got = _read("k IN (5, 6, 990)")
+    assert got.rdd.getNumPartitions() <= 2
+    assert sorted(r.k for r in got.collect()) == [5, 6, 990]
+
+    # IN on the bloom-indexed string column: bitmap prune per member
+    got = _read("v IN ('v17', 'v argh')")
+    assert got.rdd.getNumPartitions() < n_files
+    assert [r.k for r in got.collect()] == [17]
+
+    # IN composing with a range conjunct
+    got = _read("k IN (5, 990) AND v = 'v990'")
+    assert sorted(r.k for r in got.collect()) == [990]
+
+    # malformed conjuncts still fail loudly
+    with pytest.raises(Exception):
+        _read("k IN ()").count()
+    with pytest.raises(Exception):
+        _read("k = 1 OR k = 2").count()
+
+
+def test_backfill_stats_builds_col_stats(spark, tmp_path):
+    """backfill_stats retro-enables multi-column skipping on manifests
+    that predate col_stats."""
+    path = _mk(spark, str(tmp_path / "t"))
+    # simulate a pre-col_stats manifest: republish without the index
+    m = dict(versioned._load_manifest(path, 0))
+    m.pop("col_stats")
+    m["version"] = 1
+    versioned._publish(path, m)
+
+    versioned.backfill_stats(path, "k")
+    m2 = versioned._load_manifest(path, 2)
+    assert m2["stats_col"] == "k"
+    assert set(m2["col_stats"]) == set(m2["files"])
+    assert all(set(per) == {"k", "k2", "v", "grp"}
+               for per in m2["col_stats"].values())
+
+
+def test_clone_carries_col_stats_and_prunes(spark, tmp_path):
+    """A shallow clone re-keys col_stats to its absolute file entries,
+    so merges against the clone stat-prune from day one."""
+    src = _mk(spark, str(tmp_path / "src"))
+    dst = str(tmp_path / "dst")
+    versioned.clone_table(src, dst)
+    m = versioned._load_manifest(dst, 0)
+    assert set(m["col_stats"]) == set(m["files"])
+
+    ch = spark.createDataFrame([(3, 30, "u", 3, False)],
+                               "k INT, k2 BIGINT, v STRING, grp INT, "
+                               "is_delete BOOLEAN")
+    s = versioned.merge_version_cow(spark, dst, ch, "k")
+    assert s["files_pruned_by_stats"] >= 6
+
+
+def test_dml_paths_keep_col_stats_consistent(spark, tmp_path):
+    """DELETE/UPDATE (COW + DV), OPTIMIZE, and the DS append all leave
+    col_stats covering exactly the manifest's file list."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.delete_where(spark, path, "k = 7")            # COW delete
+    versioned.update_where(spark, path, {"v": "'u'"}, "k = 9")
+    spark.range(2000, 2003).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id * 10 AS BIGINT) AS k2",
+        "CONCAT('v', id) AS v", "CAST(id % 7 AS INT) AS grp",
+    ).write.format("versioned").mode("append") \
+        .option("path", path).save()                        # DS append
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k = 11")           # DV delete
+    versioned.optimize_incremental(spark, path,
+                                   min_file_bytes=1 << 30, sort_col="k")
+
+    for v in versioned.versions(path):
+        m = versioned._load_manifest(path, v)
+        if m.get("operation") == "SET TBLPROPERTIES":
+            continue
+        assert set(m.get("col_stats") or {}) == set(m["files"]), \
+            f"version {v} ({m.get('operation')})"
+    # the final state is intact
+    got = {r.k for r in versioned.read_version(spark, path).collect()}
+    assert 7 not in got and 11 not in got and 2002 in got
