@@ -142,7 +142,8 @@ def backfill_bloom(spark: SparkSession, table_path: str, col: str,
             bits |= 1 << int(r.p)
         filters[rel] = format(bits, "x")
     manifest = dict(parent)
-    manifest.pop("restored_from", None)
+    for stamp in versioned._PER_COMMIT_KEYS:
+        manifest.pop(stamp, None)
     manifest["version"] = base + 1
     manifest["files"] = list(rel_files)
     manifest["bloom"] = {

@@ -53,6 +53,39 @@ class _FilePartition(InputPartition):
         self.dv_sidecars = dv_sidecars
 
 
+class _CdfPartition(InputPartition):
+    """One change-feed file: ``change_type`` None means the file is a
+    persisted cdf file whose ``_change_type`` column is in-file;
+    otherwise every row gets the constant (append-only 'insert')."""
+
+    def __init__(self, path: str | None, change_type: str | None,
+                 commit_version: int):
+        self.path = path
+        self.change_type = change_type
+        self.commit_version = commit_version
+
+
+def _iter_cdf_batches(partition: _CdfPartition, target: StructType):
+    """Arrow batches of one change-feed partition aligned to the
+    CDF-widened schema: _iter_file_batches NULL-backfills whatever the
+    file lacks (_commit_version always; _change_type for insert
+    files), then the constants overwrite those columns."""
+    import pyarrow as pa
+
+    names = target.fieldNames()
+    ct_idx = names.index("_change_type")
+    cv_idx = names.index("_commit_version")
+    for batch in _iter_file_batches(partition.path, target):
+        n = batch.num_rows
+        arrays = list(batch.columns)
+        if partition.change_type is not None:
+            arrays[ct_idx] = pa.array([partition.change_type] * n,
+                                      pa.string())
+        arrays[cv_idx] = pa.array([partition.commit_version] * n,
+                                  pa.int64())
+        yield pa.RecordBatch.from_arrays(arrays, schema=batch.schema)
+
+
 def _deleted_positions(sidecar_paths: list[str], data_path: str) -> set:
     """The deletion-vector positions for ONE data file, read from its
     sidecar parquet(s) ON THE EXECUTOR (the Delta reader shape: each
@@ -362,6 +395,41 @@ class VersionedReader(DataSourceReader):
             yield batch
 
 
+class VersionedCdfReader(DataSourceReader):
+    """Batch Change Data Feed read —
+    ``spark.read.format("versioned").option("readChangeFeed", "true")``
+    (Delta's batch CDF shape): one partition per change-carrying file
+    of every version in [startingVersion, endingVersion] (defaults:
+    full history → latest). DML commits contribute their PERSISTED
+    cdf files (``cdf.enabled``), append-only commits their added files
+    tagged ``insert``; planning is manifest-only and reading never
+    joins snapshots — the library twin is ``versioned.read_changes``."""
+
+    def __init__(self, table_path: str, schema: StructType,
+                 lo: int, hi: int | None):
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+        self.target = schema
+        avail = versioned.versions(table_path)
+        if not avail:
+            raise FileNotFoundError(
+                f"no committed versions at {table_path}")
+        # plan eagerly on the driver (manifest metadata only) by
+        # borrowing the stream reader's classification
+        helper = VersionedStreamReader(table_path, schema, None,
+                                       change_feed=True)
+        self.parts = helper._change_partitions(
+            lo, avail[-1] if hi is None else hi)
+
+    def partitions(self):
+        return self.parts if self.parts else [_CdfPartition(None, None, -1)]
+
+    def read(self, partition: _CdfPartition):
+        if partition is None or partition.path is None:
+            return
+        yield from _iter_cdf_batches(partition, self.target)
+
+
 class VersionedStreamReader(DataSourceStreamReader):
     """``spark.readStream.format("versioned")`` — the versioned table
     as a STREAMING source: every committed version is a micro-batch
@@ -393,11 +461,18 @@ class VersionedStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, table_path: str, schema: StructType,
-                 starting: int | None, ignore_changes: bool = False):
+                 starting: int | None, ignore_changes: bool = False,
+                 change_feed: bool = False):
         self.table_path = table_path
         self.target = schema
         self.starting = 0 if starting is None else starting
         self.ignore_changes = ignore_changes
+        # readChangeFeed mode: micro-batches are row-level change
+        # feeds (insert/delete/update_pre/postimage) instead of added
+        # files — DML commits stream their PERSISTED cdf files
+        # (cdf.enabled), append-only commits their added files tagged
+        # 'insert'; schema is widened by _change_type/_commit_version
+        self.change_feed = change_feed
 
     def initialOffset(self) -> dict:
         return {"version": self.starting - 1}
@@ -439,8 +514,11 @@ class VersionedStreamReader(DataSourceStreamReader):
                         f"version {v} of {self.table_path} "
                         f"({m.get('operation') or 'unknown op'}) removed "
                         "or deletion-vectored rows — an append stream "
-                        "cannot represent that. Read row-level changes "
-                        "via versioned.table_changes, or set "
+                        "cannot represent that. Stream row-level "
+                        "changes with .option('readChangeFeed', 'true') "
+                        "(table property cdf.enabled='true' persists "
+                        "change files for DML commits), read them in "
+                        "batch via versioned.table_changes, or set "
                         ".option('ignoreChanges', 'true') to stream "
                         "added files only (rewritten files re-emit "
                         "their surviving rows)"
@@ -449,9 +527,39 @@ class VersionedStreamReader(DataSourceStreamReader):
             prev, prev_dv = set(files), dv
         return added
 
+    def _change_partitions(self, lo: int, hi: int) -> list:
+        """CDF-mode planning: one partition per change-carrying file of
+        each version in (lo, hi] — persisted cdf files as-is (their
+        ``_change_type`` is in-file), append-only commits' added files
+        tagged ``insert``, data-neutral commits nothing. A destructive
+        commit without change files raises (versioned._change_entries'
+        guidance names both cdf.enabled and table_changes)."""
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+        parts: list[_CdfPartition] = []
+        prev = None
+        for v in versioned.versions(self.table_path):
+            if v > hi:
+                break
+            m = versioned._load_manifest(self.table_path, v)
+            if lo < v <= hi:
+                kind, entries = versioned._change_entries(
+                    self.table_path, v, m, prev)
+                ct = None if kind == "cdf" else "insert"
+                parts.extend(
+                    _CdfPartition(
+                        versioned._abs_file(self.table_path, e), ct, v)
+                    for e in entries)
+            prev = m
+        return parts
+
     def partitions(self, start: dict, end: dict):
         from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
+        if self.change_feed:
+            parts = self._change_partitions(start["version"],
+                                            end["version"])
+            return parts if parts else [_CdfPartition(None, None, -1)]
         files = self._added_files(start["version"], end["version"])
         if not files:
             return [_FilePartition(None)]
@@ -460,10 +568,13 @@ class VersionedStreamReader(DataSourceStreamReader):
         return [_FilePartition(versioned._abs_file(self.table_path, f))
                 for f in files]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
         if partition is None or partition.path is None:
             return
-        yield from _iter_file_batches(partition.path, self.target)
+        if not self.change_feed:
+            yield from _iter_file_batches(partition.path, self.target)
+            return
+        yield from _iter_cdf_batches(partition, self.target)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to ack
@@ -553,11 +664,38 @@ class VersionedDataSource(DataSource):
             )
         return self._resolved
 
-    def schema(self):
-        return self._resolve()[0]
+    def _change_feed(self) -> bool:
+        return str(
+            self.options.get("readchangefeed",
+                             self.options.get("readChangeFeed", "false"))
+        ).lower() == "true"
 
-    def reader(self, schema) -> VersionedReader:
+    def schema(self):
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        base = self._resolve()[0]
+        if self._change_feed():
+            # the CDF relation is the table schema + change metadata
+            # (Delta's _change_type/_commit_version shape)
+            return StructType(
+                list(base.fields)
+                + [StructField("_change_type", StringType()),
+                   StructField("_commit_version", LongType())]
+            )
+        return base
+
+    def reader(self, schema) -> "DataSourceReader":
         resolved = self._resolve()
+        if self._change_feed():
+            sv = self.options.get("startingversion",
+                                  self.options.get("startingVersion"))
+            ev = self.options.get("endingversion",
+                                  self.options.get("endingVersion"))
+            return VersionedCdfReader(
+                self.options.get("path"), schema,
+                -1 if sv is None else int(sv) - 1,
+                None if ev is None else int(ev),
+            )
         flt = self.options.get("filter")
         row_filter = (_parse_filter_option(flt, resolved[0])
                       if flt is not None else None)
@@ -575,7 +713,8 @@ class VersionedDataSource(DataSource):
                              self.options.get("ignoredeletes", "false"))
         ).lower() == "true"
         return VersionedStreamReader(
-            table_path, schema, None if sv is None else int(sv), ic
+            table_path, schema, None if sv is None else int(sv), ic,
+            change_feed=self._change_feed(),
         )
 
     def writer(self, schema, overwrite: bool) -> "VersionedWriter":

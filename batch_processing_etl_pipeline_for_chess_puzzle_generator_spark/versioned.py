@@ -350,6 +350,13 @@ def table_properties(table_path: str) -> dict:
     return _load_manifest(table_path, avail[-1]).get("properties") or {}
 
 
+#: Manifest keys that describe ONE specific commit (provenance stamps,
+#: that commit's change-feed files) and must never ride a manifest COPY
+#: into a different commit.
+_PER_COMMIT_KEYS = ("restored_from", "stream_batch_id",
+                    "stream_query_id", "backfilled_from", "cdf")
+
+
 def set_table_property(table_path: str, key: str, value: str) -> int:
     """Record a table property as a metadata-only commit (Delta's
     ``ALTER TABLE SET TBLPROPERTIES``). Properties ride every
@@ -366,8 +373,7 @@ def set_table_property(table_path: str, key: str, value: str) -> int:
     # Per-commit provenance stamps must not ride into a metadata-only
     # commit: a SET TBLPROPERTIES is not a stream batch or a backfill,
     # and snapshots() would misreport it as one.
-    for stamp in ("restored_from", "stream_batch_id", "stream_query_id",
-                  "backfilled_from"):
+    for stamp in _PER_COMMIT_KEYS:
         manifest.pop(stamp, None)
     manifest["version"] = avail[-1] + 1
     manifest["properties"] = props
@@ -462,7 +468,8 @@ def add_constraint(spark: SparkSession, table_path: str, name: str,
         )
     cons[name] = expr
     manifest = dict(parent)
-    manifest.pop("restored_from", None)
+    for stamp in _PER_COMMIT_KEYS:
+        manifest.pop(stamp, None)
     manifest["version"] = base + 1
     manifest["constraints"] = cons
     return _publish(table_path, manifest)
@@ -480,7 +487,8 @@ def drop_constraint(table_path: str, name: str) -> int:
         raise KeyError(f"no constraint '{name}' on {table_path}")
     del cons[name]
     manifest = dict(parent)
-    manifest.pop("restored_from", None)
+    for stamp in _PER_COMMIT_KEYS:
+        manifest.pop(stamp, None)
     manifest["version"] = base + 1
     manifest["constraints"] = cons
     manifest["operation"] = "DROP CONSTRAINT"
@@ -821,6 +829,26 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     cons = parent.get("constraints") or {}
     _enforce_constraints(spark, table_path, new_files, cons, final)
 
+    # persisted CDF: classify the MERGE's row-level changes from
+    # BOUNDED sides — matched parent rows (confined to the touched
+    # files by construction) vs the change images — with the same
+    # full-outer-key classification table_changes uses, so no-op
+    # upserts are suppressed identically
+    cdf_files: list[str] = []
+    final_cdf = None
+    if _cdf_enabled(parent):
+        if touched:
+            pre_matched = (
+                _read_files_dv(spark, table_path, parent, touched,
+                               out_struct)
+                .join(keys, key_col, "left_semi")
+                .select(*out_cols)
+            )
+        else:
+            pre_matched = spark.createDataFrame([], out_struct)
+        feed = _classify_feed(pre_matched, upserts, [key_col])
+        cdf_files, final_cdf = _write_cdf(table_path, version, token, feed)
+
     # 4. publish: untouched parent files keep their stats verbatim
     manifest = {
         "version": version,
@@ -847,12 +875,16 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         manifest["stats_col"] = key_col
         manifest["stats"] = stats
     _set_col_stats(manifest, parent, table_path, untouched, new_files)
+    if final_cdf is not None:
+        manifest["cdf"] = cdf_files
     try:
         _publish(table_path, manifest)
     except CommitConflict:
         import shutil
 
         shutil.rmtree(final, ignore_errors=True)
+        if final_cdf is not None:
+            shutil.rmtree(final_cdf, ignore_errors=True)
         raise
     return {
         "version": version,
@@ -865,7 +897,7 @@ def merge_version_cow(spark: SparkSession, table_path: str,
 
 def _predicate_cow(spark: SparkSession, table_path: str,
                    predicate_sql: str, rewrite, validate=None,
-                   operation: str = "DELETE") -> dict:
+                   operation: str = "DELETE", make_feed=None) -> dict:
     """Shared physical plan for predicate-driven DML (DELETE / UPDATE):
     Delta's COW rewrite shape.
 
@@ -944,6 +976,18 @@ def _predicate_cow(spark: SparkSession, table_path: str,
     ).select(*[f.name for f in schema.fields])
 
     token = uuid.uuid4().hex[:12]
+    # persisted Change Data Feed (cdf.enabled): the matched rows are
+    # already confined to the touched files — one more bounded scan
+    # builds the row-level feed the CDF consumers read back verbatim
+    cdf_files: list[str] = []
+    final_cdf = None
+    if make_feed is not None and _cdf_enabled(parent):
+        feed = make_feed(
+            _read_files_dv(spark, table_path, parent, touched, schema)
+            .filter(hit),
+            schema,
+        )
+        cdf_files, final_cdf = _write_cdf(table_path, version, token, feed)
     staged = os.path.join(table_path, f"_staged_{version}_{token}")
     final_dir = f"d_{version}_{token}"
     final = os.path.join(table_path, final_dir)
@@ -984,10 +1028,14 @@ def _predicate_cow(spark: SparkSession, table_path: str,
         manifest["stats_col"] = stats_col
         manifest["stats"] = stats
     _set_col_stats(manifest, parent, table_path, untouched, new_files)
+    if final_cdf is not None:
+        manifest["cdf"] = cdf_files
     try:
         _publish(table_path, manifest)
     except CommitConflict:
         shutil.rmtree(final, ignore_errors=True)
+        if final_cdf is not None:
+            shutil.rmtree(final_cdf, ignore_errors=True)
         raise
     return {
         "version": version,
@@ -1022,7 +1070,54 @@ def delete_where(spark: SparkSession, table_path: str,
             ~F.coalesce(F.expr(predicate_sql), F.lit(False))
         ),
         operation="DELETE",
+        make_feed=_delete_feed,
     )
+
+
+def _delete_feed(matched: DataFrame, schema) -> DataFrame:
+    """CDF feed of a predicate DELETE: every matched row is its own
+    ``delete`` preimage — row-local, no join."""
+    from pyspark.sql import functions as F
+
+    return matched.select(
+        F.lit("delete").alias("_change_type"),
+        *[f.name for f in schema.fields],
+    )
+
+
+def _update_feed(assignments: dict[str, str]):
+    """CDF feed builder for a predicate UPDATE: each matched row fans
+    out to its pre/post images IN ONE PASS (the post image re-evaluates
+    the SET expressions against the pre-update row — same simultaneous
+    semantics as the rewrite); no-op updates (every assignment yields
+    the old value) are suppressed to match ``table_changes``."""
+    from pyspark.sql import functions as F
+
+    def _feed(matched: DataFrame, schema) -> DataFrame:
+        cols = [f.name for f in schema.fields]
+
+        def _new(f):
+            if f.name in assignments:
+                return F.expr(assignments[f.name]).cast(f.dataType)
+            return F.col(f.name)
+
+        pre = F.struct(F.lit("update_preimage").alias("_change_type"),
+                       *[F.col(c).alias(c) for c in cols])
+        post = F.struct(F.lit("update_postimage").alias("_change_type"),
+                        *[_new(f).alias(f.name) for f in schema.fields])
+        changed = None
+        for f in schema.fields:
+            if f.name not in assignments:
+                continue
+            d = ~F.col(f.name).eqNullSafe(_new(f))
+            changed = d if changed is None else (changed | d)
+        return (
+            matched.filter(changed if changed is not None else F.lit(False))
+            .select(F.explode(F.array(pre, post)).alias("_c"))
+            .select("_c.*")
+        )
+
+    return _feed
 
 
 def update_where(spark: SparkSession, table_path: str,
@@ -1067,7 +1162,8 @@ def update_where(spark: SparkSession, table_path: str,
         ])
 
     return _predicate_cow(spark, table_path, predicate_sql, _apply,
-                          validate=_validate, operation="UPDATE")
+                          validate=_validate, operation="UPDATE",
+                          make_feed=_update_feed(assignments))
 
 
 _DV_ENABLED_PROP = "dv.enabled"
@@ -1115,7 +1211,7 @@ def _write_dv_sidecar(spark: SparkSession, table_path: str, version: int,
 
 
 def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
-             make_rows=None, validate=None) -> dict:
+             make_rows=None, validate=None, make_feed=None) -> dict:
     """Shared physical plan for MERGE-ON-READ DML (Delta 3.x deletion
     vectors): instead of rewriting every touched file (copy-on-write),
     commit a tiny positional-delete SIDECAR and leave every data file
@@ -1214,6 +1310,14 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         new_files = _list_data_files(table_path, data_dir)
         _enforce_constraints(spark, table_path, new_files, cons, final_data)
 
+    # persisted CDF: the pinned matched rows already hold the full
+    # preimages — the feed costs one bounded pass, no re-scan
+    cdf_files: list[str] = []
+    final_cdf = None
+    if make_feed is not None and _cdf_enabled(parent):
+        feed = make_feed(matched.drop("__f", "__p"), schema)
+        cdf_files, final_cdf = _write_cdf(table_path, version, token, feed)
+
     manifest = {
         "version": version,
         "files": list(pfiles) + new_files,
@@ -1238,12 +1342,16 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         manifest["stats_col"] = stats_col
         manifest["stats"] = stats
     _set_col_stats(manifest, parent, table_path, list(pfiles), new_files)
+    if final_cdf is not None:
+        manifest["cdf"] = cdf_files
     try:
         _publish(table_path, manifest)
     except CommitConflict:
         shutil.rmtree(final_dv, ignore_errors=True)
         if final_data is not None:
             shutil.rmtree(final_data, ignore_errors=True)
+        if final_cdf is not None:
+            shutil.rmtree(final_cdf, ignore_errors=True)
         raise
     return {
         "version": version,
@@ -1264,7 +1372,8 @@ def delete_where_mor(spark: SparkSession, table_path: str,
     with DELETED ROWS, not touched-file size. Read-equivalent to
     :func:`delete_where` (proven by the ``snapshot_dv_read`` oracle
     entry and tests/test_versioned.py's COW-vs-MOR sequence)."""
-    return _mor_dml(spark, table_path, predicate_sql)
+    return _mor_dml(spark, table_path, predicate_sql,
+                    make_feed=_delete_feed)
 
 
 def update_where_mor(spark: SparkSession, table_path: str,
@@ -1298,6 +1407,7 @@ def update_where_mor(spark: SparkSession, table_path: str,
         ])
 
     return _mor_dml(spark, table_path, predicate_sql, make_rows=_apply,
+                    make_feed=_update_feed(assignments),
                     validate=_validate)
 
 
@@ -1387,14 +1497,19 @@ def merge_version_mor(spark: SparkSession, table_path: str,
     dv_bytes = 0
     n_deleted = 0
     final_dv = None
+    want_cdf = _cdf_enabled(parent)
+    matched = None
     if candidates:
         matched = (
             _read_files_dv(spark, table_path, parent, candidates, schema,
                            file_col="__f", pos_col="__p")
             .join(keys, key_col, "left_semi")
-            .select("__f", "__p")
-            .localCheckpoint(eager=True)
         )
+        if not want_cdf:
+            # positions suffice for the sidecar; full preimages are
+            # only pinned when the CDF needs them
+            matched = matched.select("__f", "__p")
+        matched = matched.localCheckpoint(eager=True)
         touched_uris = [r["__f"] for r in
                         matched.select("__f").distinct().collect()]
         if touched_uris:
@@ -1435,6 +1550,18 @@ def merge_version_mor(spark: SparkSession, table_path: str,
                 "files_dv": 0, "rows_deleted": 0, "new_files": 0,
                 "dv_bytes": 0}
 
+    # persisted CDF from bounded sides (same shape as the COW twin):
+    # pinned matched preimages vs the change images
+    cdf_files: list[str] = []
+    final_cdf = None
+    if want_cdf:
+        if matched is not None and touched:
+            pre_matched = matched.drop("__f", "__p")
+        else:
+            pre_matched = spark.createDataFrame([], schema)
+        feed = _classify_feed(pre_matched, upserts, [key_col])
+        cdf_files, final_cdf = _write_cdf(table_path, version, token, feed)
+
     manifest = {
         "version": version,
         "files": list(pfiles) + new_files,
@@ -1459,6 +1586,8 @@ def merge_version_mor(spark: SparkSession, table_path: str,
         manifest["stats_col"] = stats_col
         manifest["stats"] = stats
     _set_col_stats(manifest, parent, table_path, list(pfiles), new_files)
+    if final_cdf is not None:
+        manifest["cdf"] = cdf_files
     try:
         _publish(table_path, manifest)
     except CommitConflict:
@@ -1466,6 +1595,8 @@ def merge_version_mor(spark: SparkSession, table_path: str,
             shutil.rmtree(final_dv, ignore_errors=True)
         if final_data is not None:
             shutil.rmtree(final_data, ignore_errors=True)
+        if final_cdf is not None:
+            shutil.rmtree(final_cdf, ignore_errors=True)
         raise
     return {
         "version": version,
@@ -1532,6 +1663,7 @@ def vacuum(table_path: str, keep_last: int = 2,
             referenced.update(_list_data_files(table_path, m["dir"]))
         for sidecars in _dv_map(m).values():
             referenced.update(sidecars)
+        referenced.update(m.get("cdf") or [])  # change-feed files
     # sweep staged tmp manifests from crashed/conflicted writers
     mdir = _manifest_path(table_path)
     if os.path.isdir(mdir):
@@ -1549,7 +1681,8 @@ def vacuum(table_path: str, keep_last: int = 2,
             shutil.rmtree(full, ignore_errors=True)
             continue
         stem = d[2:].split("_", 1)[0]  # v_3_ab12cd → "3"; v_3 → "3"
-        versioned_dir = d.startswith(("v_", "d_", "s_")) and stem.isdigit()
+        versioned_dir = (d.startswith(("v_", "d_", "s_", "c_"))
+                         and stem.isdigit())
         if not versioned_dir:
             continue
         for f in list(os.listdir(full)):
@@ -1958,9 +2091,25 @@ def table_changes(spark: SparkSession, table_path: str,
         v_to = versions(table_path)[-1]
     pre = read_version(spark, table_path, v_from)
     post = read_version(spark, table_path, v_to)
+    feed = _classify_feed(pre, post, key_cols)
+    return feed.withColumn("_from_version", F.lit(v_from).cast("long")) \
+               .withColumn("_to_version", F.lit(v_to).cast("long"))
+
+
+def _classify_feed(pre: DataFrame, post: DataFrame,
+                   key_cols: list[str]) -> DataFrame:
+    """Row-level change classification between two keyed states — the
+    shared core of :func:`table_changes` (full time-travel reads) and
+    the DML change-file writers (bounded pre/post sides): one
+    full-outer key join, per-column null-safe value comparison,
+    pre/post-image fan-out as a row-local inline array + explode.
+    Unchanged keys drop BEFORE the explode (no-op updates never appear
+    in the feed). Output = union of input columns + ``_change_type``."""
+    from pyspark.sql import functions as F
+
     cols = pre.columns
     if post.columns != cols:
-        # schema evolution between the versions: diff on the union of
+        # schema evolution between the states: diff on the union of
         # columns; the missing side reads as NULL (Delta's behavior).
         cols = list(dict.fromkeys(cols + post.columns))
         for c in cols:
@@ -1990,7 +2139,7 @@ def table_changes(spark: SparkSession, table_path: str,
         changed = d if changed is None else (changed | d)
     if changed is None:  # key-only table: presence is the only signal
         changed = F.lit(False)
-    feed = (
+    return (
         j.filter(F.col("p_in").isNull() | F.col("q_in").isNull() | changed)
         .select(
             F.when(F.col("p_in").isNull(), F.array(_img("q", "insert")))
@@ -2002,8 +2151,135 @@ def table_changes(spark: SparkSession, table_path: str,
         .select(F.explode("_changes").alias("_c"))
         .select("_c.*")
     )
-    return feed.withColumn("_from_version", F.lit(v_from).cast("long")) \
-               .withColumn("_to_version", F.lit(v_to).cast("long"))
+
+
+def _cdf_enabled(parent: dict | None) -> bool:
+    """Table property gate for persisted Change Data Feed files
+    (Delta's ``delta.enableChangeDataFeed`` analog)."""
+    return ((parent or {}).get("properties") or {}) \
+        .get("cdf.enabled") == "true"
+
+
+def _write_cdf(table_path: str, version: int, token: str,
+               feed: DataFrame) -> tuple[list[str], str]:
+    """Persist a DML commit's row-level change feed (columns = table
+    schema + ``_change_type``) as parquet under ``c_<version>_<token>``
+    — Delta's ``_change_data`` files. Written at COMMIT time from rows
+    the DML already has in hand (O(changed rows), no re-diff), so CDF
+    consumers — :func:`read_changes` and the streaming
+    ``readChangeFeed`` source — never join two snapshots at read time.
+    Returns (rel files, final dir) for the manifest's ``cdf`` key and
+    conflict cleanup; vacuum refcounts these like data files."""
+    staged = os.path.join(table_path, f"_staged_{version}_cdf_{token}")
+    cdf_dir = f"c_{version}_{token}"
+    final = os.path.join(table_path, cdf_dir)
+    # change volume is O(changed rows); a handful of files suffices
+    # and keeps tiny CDC commits from spraying shuffle-width parts
+    feed.coalesce(4).write.mode("overwrite").parquet(staged)
+    os.rename(staged, final)
+    return _list_data_files(table_path, cdf_dir), final
+
+
+def _change_entries(table_path: str, version: int, manifest: dict,
+                    prev: dict | None) -> tuple[str, list[str]]:
+    """Classify commit ``version`` for CDF consumers:
+
+    - ``("cdf", files)`` — the commit persisted change files.
+    - ``("insert", added_files)`` — append-only commit (no removes, no
+      DV change): its added data files ARE the inserted rows.
+    - ``("none", [])`` — data-neutral (metadata-only, OPTIMIZE).
+    - raises for a destructive commit with no change files — the
+      consumer cannot reconstruct row-level changes without re-diffing
+      snapshots; enable ``cdf.enabled`` (or use
+      :func:`table_changes` for a key-based batch diff).
+    """
+    if manifest.get("cdf") is not None:
+        return "cdf", manifest["cdf"]
+    op = manifest.get("operation") or ""
+    if "OPTIMIZE" in op or "BACKFILL" in op or op in (
+            "SET TBLPROPERTIES", "ADD CONSTRAINT", "DROP CONSTRAINT"):
+        return "none", []  # data-neutral by construction
+    files = manifest.get("files")
+    if files is None:
+        files = _list_data_files(table_path, manifest["dir"])
+    if prev is None:
+        return "insert", list(files)  # first commit: all rows inserted
+    pfiles = prev.get("files")
+    if pfiles is None:
+        pfiles = _list_data_files(table_path, prev["dir"])
+    removed = set(pfiles) - set(files)
+    dv_changed = _dv_map(manifest) != _dv_map(prev)
+    if removed or dv_changed:
+        raise ValueError(
+            f"version {version} of {table_path} "
+            f"({op or 'unknown op'}) removed or deletion-vectored "
+            "rows without persisted change files — row-level changes "
+            "cannot be reconstructed. Set table property "
+            "cdf.enabled='true' BEFORE the DML (future commits will "
+            "carry change files), or diff snapshots with "
+            "versioned.table_changes"
+        )
+    return "insert", [f for f in files if f not in set(pfiles)]
+
+
+def read_changes(spark: SparkSession, table_path: str, v_from: int,
+                 v_to: int | None = None) -> DataFrame:
+    """Batch Change Data Feed from PERSISTED change files (Delta's
+    ``table_changes(...)`` over ``_change_data``): every commit in
+    ``(v_from, v_to]`` contributes its change rows — DML commits from
+    their ``cdf`` files (written when ``cdf.enabled`` was set),
+    append-only commits as ``insert`` rows read straight from the
+    added data files, data-neutral commits nothing. No snapshot join
+    happens at read time — cost is O(changed rows) — and unlike the
+    key-based :func:`table_changes` no key columns are needed.
+    Output = table schema + ``_change_type`` + ``_commit_version``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    avail = versions(table_path)
+    if v_to is None:
+        v_to = avail[-1]
+    latest = _load_manifest(table_path, v_to)
+    schema = T.StructType.fromJson(json.loads(latest["schema"]))
+    out_cols = [f.name for f in schema.fields]
+    # v_from = -1 streams history from the very first commit
+    missing = [v for v in range(max(v_from, 0), v_to + 1)
+               if v not in avail]
+    if missing:
+        raise FileNotFoundError(
+            f"versions {missing} of {table_path} are not live "
+            "(vacuumed?) — their changes cannot be reconstructed"
+        )
+    parts = []
+    prev = _load_manifest(table_path, v_from) if v_from >= 0 else None
+    for v in range(v_from + 1, v_to + 1):
+        m = _load_manifest(table_path, v)
+        kind, entries = _change_entries(table_path, v, m, prev)
+        prev = m
+        if not entries:
+            continue
+        paths = [_abs_file(table_path, f) for f in entries]
+        if kind == "cdf":
+            cdf_schema = T.StructType(
+                [T.StructField("_change_type", T.StringType())]
+                + list(schema.fields))
+            d = spark.read.schema(cdf_schema).parquet(*paths)
+        else:
+            d = (spark.read.schema(schema).parquet(*paths)
+                 .withColumn("_change_type", F.lit("insert")))
+        parts.append(
+            d.select("_change_type", *out_cols)
+            .withColumn("_commit_version", F.lit(v).cast("long")))
+    if not parts:
+        empty = T.StructType(
+            [T.StructField("_change_type", T.StringType())]
+            + list(schema.fields)
+            + [T.StructField("_commit_version", T.LongType())])
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
 
 
 def files(spark: SparkSession, table_path: str,
@@ -2095,7 +2371,8 @@ def backfill_stats(table_path: str, stats_col: str) -> int:
             )
         stats[rel] = _footer_stats(full, stats_col)
     manifest = dict(parent)
-    manifest.pop("restored_from", None)  # provenance is per-commit
+    for stamp in _PER_COMMIT_KEYS:
+        manifest.pop(stamp, None)  # provenance/changes are per-commit
     manifest["version"] = base + 1
     if not legacy:
         manifest["files"] = list(rel_files)
@@ -2133,6 +2410,10 @@ def restore_version(table_path: str, to_version: int) -> int:
         )
     src = _load_manifest(table_path, to_version)
     manifest = dict(src)
+    # the source's per-commit stamps (incl. its change-feed files)
+    # describe ITS commit, not this restore
+    for stamp in _PER_COMMIT_KEYS:
+        manifest.pop(stamp, None)
     manifest["version"] = avail[-1] + 1
     manifest["restored_from"] = to_version
     manifest["operation"] = "RESTORE"
