@@ -1175,16 +1175,31 @@ def _dv_enabled(manifest: dict) -> bool:
     ).lower() == "true"
 
 
+#: target (file, position) rows per sidecar part file — a bulk delete
+#: fans its sidecar write across ~n_rows/this tasks instead of
+#: funneling everything through one
+_DV_ROWS_PER_PART = 4_000_000
+
+
 def _write_dv_sidecar(spark: SparkSession, table_path: str, version: int,
                       token: str, matched: DataFrame, touched: list[str],
-                      touched_uris: list[str], parent_dv: dict):
+                      touched_uris: list[str], parent_dv: dict,
+                      n_rows: int = 0):
     """Write the commit's deletion-vector sidecar: the matched rows'
     (file URI, position) pairs UNIONED with the touched files' existing
     DV rows (a file's vector is always replaced whole, so each file
     maps to exactly ONE current sidecar). New positions are disjoint
     from old ones by construction — the discovery scan already
-    excluded DV'd rows — so no distinct/shuffle is needed. Returns
-    (sidecar rel files, bytes written, final dir)."""
+    excluded DV'd rows — so no distinct is needed.
+
+    Bulk-delete physics: the write is RANGE-PARTITIONED and SORTED on
+    (file, pos) — small DML stays a single task, but a delete matching
+    millions of rows fans out over ~n_rows/_DV_ROWS_PER_PART tasks
+    (never through one), each file's positions land contiguous and
+    sorted so parquet dictionary-encodes the repeated URI to ~0 bytes
+    and delta-encodes the monotone positions (measured ~0.6 B/row for
+    a 10^5-row delete, SCALING.md). Returns (sidecar rel files, bytes
+    written, final dir)."""
     from pyspark.sql import functions as F
 
     new_rows = matched.select(F.col("__f").alias("file"),
@@ -1199,10 +1214,21 @@ def _write_dv_sidecar(spark: SparkSession, table_path: str, version: int,
             .select("file", "pos")
         )
         new_rows = new_rows.unionByName(old_rows)
+    parts = max(1, min(len(touched) or 1,
+                       n_rows // _DV_ROWS_PER_PART + 1))
+    if parts == 1:
+        out = new_rows.coalesce(1)
+    else:
+        out = new_rows.repartitionByRange(parts, "file", "pos")
+    out = out.sortWithinPartitions("file", "pos")
     dv_dir = f"s_{version}_{token}"
     staged_dv = os.path.join(table_path, f"_staged_{version}_dv_{token}")
     final_dv = os.path.join(table_path, dv_dir)
-    new_rows.coalesce(1).write.mode("overwrite").parquet(staged_dv)
+    # parquet v2 page encoding: sorted positions delta-bit-pack to a
+    # few bits per row (the poor man's roaring bitmap) instead of
+    # 8-byte plains
+    out.write.mode("overwrite") \
+        .option("parquet.writer.version", "v2").parquet(staged_dv)
     os.rename(staged_dv, final_dv)
     sidecar_files = _list_data_files(table_path, dv_dir)
     dv_bytes = sum(os.path.getsize(_abs_file(table_path, f))
@@ -1289,7 +1315,7 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
     token = uuid.uuid4().hex[:12]
     sidecar_files, dv_bytes, final_dv = _write_dv_sidecar(
         spark, table_path, version, token, matched, touched,
-        touched_uris, parent_dv,
+        touched_uris, parent_dv, n_rows=n_deleted,
     )
 
     # UPDATE: append the post-update row images as new data files
@@ -1521,7 +1547,7 @@ def merge_version_mor(spark: SparkSession, table_path: str,
             n_deleted = matched.count()
             sidecar_files, dv_bytes, final_dv = _write_dv_sidecar(
                 spark, table_path, version, token, matched, touched,
-                touched_uris, parent_dv,
+                touched_uris, parent_dv, n_rows=n_deleted,
             )
 
     upserts = changes.filter(

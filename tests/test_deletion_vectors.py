@@ -530,3 +530,25 @@ def test_dv_bookkeeping_column_collision_raises(spark, tmp_path):
     versioned.set_table_property(path, "dv.enabled", "true")
     with pytest.raises(ValueError, match="bookkeeping"):
         versioned.delete_where(spark, path, "k = 1")
+
+
+def test_bulk_delete_sidecar_fans_out_and_delta_packs(spark, tmp_path,
+                                                      monkeypatch):
+    """r7 advice (DV bulk-delete soft spot): the sidecar write is
+    range-partitioned by (file, pos) and sorted — a bulk delete fans
+    out over ~n_rows/_DV_ROWS_PER_PART tasks instead of one — and v2
+    delta-bit-packed pages store sorted positions at bits-per-row
+    (measured 100k-row delete: 402 KB → 4.0 KB, SCALING.md)."""
+    monkeypatch.setattr(versioned, "_DV_ROWS_PER_PART", 20_000)
+    path = _mk(spark, str(tmp_path / "t"), n=200_000, files=8)
+    versioned.set_table_property(path, "dv.enabled", "true")
+    s = versioned.delete_where(spark, path, "k % 4 = 1")  # 50k rows
+    assert s["rows_deleted"] == 50_000
+    m = versioned._load_manifest(path, versioned.versions(path)[-1])
+    sidecars = {x for lst in versioned._dv_map(m).values() for x in lst}
+    assert len(sidecars) >= 2          # fanned out, not coalesce(1)
+    assert s["dv_bytes"] < 120_000     # ~2 bytes/row, not ~8
+    # every reader still applies the multi-part vector exactly
+    got = versioned.read_version(spark, path)
+    assert got.count() == 150_000
+    assert got.filter("k % 4 = 1").count() == 0
