@@ -825,55 +825,92 @@ class VersionedWriter(DataSourceArrowWriter):
     def write(self, iterator):
         return _write_arrow_part(self.staged, iterator)
 
+    #: bounded auto-retry for blind appends racing the manifest CAS
+    _APPEND_RETRIES = 5
+
     def commit(self, messages):
         import shutil
 
         from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
-        parent_files: list[str] = []
-        parent = None
-        avail = versioned.versions(self.table_path)
-        if avail:
-            parent = versioned._load_manifest(self.table_path, avail[-1])
-        if parent is not None and not self.overwrite:
-            if json.loads(parent["schema"]) != self.schema.jsonValue():
+        final = None
+        data_dir = None
+        new_files: list[str] = []
+        # Blind-append conflict protocol (Delta's): an APPEND adds
+        # files and removes nothing, so it cannot conflict with ANY
+        # concurrent commit on content — a CAS loss only means the
+        # version number is stale. Re-resolve the new parent and
+        # re-publish (bounded retries); the staged data never moves
+        # again. OVERWRITEs still raise on the first conflict: whether
+        # last-writer-wins is acceptable is the caller's call.
+        for attempt in range(self._APPEND_RETRIES + 1):
+            parent_files: list[str] = []
+            parent = None
+            avail = versioned.versions(self.table_path)
+            if avail:
+                parent = versioned._load_manifest(self.table_path, avail[-1])
+            if parent is not None and not self.overwrite:
+                if json.loads(parent["schema"]) != self.schema.jsonValue():
+                    # a true conflict even mid-retry: the winner may
+                    # have evolved the schema under us
+                    shutil.rmtree(self.staged, ignore_errors=True)
+                    if final is not None:
+                        shutil.rmtree(final, ignore_errors=True)
+                    raise ValueError(
+                        "append schema does not match the table schema — "
+                        "use merge_version_cow(evolve_schema=True) to evolve"
+                    )
+                parent_files = parent.get("files")
+                if parent_files is None:  # legacy dir-level manifest
+                    parent_files = versioned._list_data_files(
+                        self.table_path, parent["dir"]
+                    )
+            # The version number derives from the SAME versions() snapshot
+            # the parent file list came from — in BOTH branches. Reading
+            # state again (e.g. via _next_version) would re-open the race
+            # it exists to close: a concurrent writer committing v0 to a
+            # fresh table between the two reads would make this append
+            # publish v1 with parent_files=[], silently dropping v0's rows
+            # from latest. Deriving 0 from the same empty snapshot means
+            # the manifest CAS on 0.json turns that interleave into a
+            # CommitConflict instead.
+            version = avail[-1] + 1 if avail else 0
+            os.makedirs(versioned._manifest_path(self.table_path),
+                        exist_ok=True)
+            if final is None:
+                # first attempt: move the committed part files into
+                # place ONCE (the dir name keeps the first-attempt
+                # version — manifests reference files by path, so a
+                # retried commit publishing a later version through
+                # the same dir is fine)
+                data_dir = f"v_{version}_{self.token}"
+                final = os.path.join(self.table_path, data_dir)
+                # Only the files named by task COMMIT MESSAGES enter the
+                # version: the staged dir may also hold half-written
+                # parts from failed or speculative attempts (no footer,
+                # or duplicate rows) that must never be manifested.
+                names = sorted({m.filename for m in messages
+                                if m is not None and m.filename})
+                if names:
+                    os.makedirs(final)
+                    for n in names:
+                        os.rename(os.path.join(self.staged, n),
+                                  os.path.join(final, n))
+                    new_files = [f"{data_dir}/{n}" for n in names]
                 shutil.rmtree(self.staged, ignore_errors=True)
-                raise ValueError(
-                    "append schema does not match the table schema — "
-                    "use merge_version_cow(evolve_schema=True) to evolve"
-                )
-            parent_files = parent.get("files")
-            if parent_files is None:  # legacy dir-level manifest
-                parent_files = versioned._list_data_files(
-                    self.table_path, parent["dir"]
-                )
-        # The version number derives from the SAME versions() snapshot
-        # the parent file list came from — in BOTH branches. Reading
-        # state again (e.g. via _next_version) would re-open the race
-        # it exists to close: a concurrent writer committing v0 to a
-        # fresh table between the two reads would make this append
-        # publish v1 with parent_files=[], silently dropping v0's rows
-        # from latest. Deriving 0 from the same empty snapshot means
-        # the manifest CAS on 0.json turns that interleave into a
-        # CommitConflict instead.
-        version = avail[-1] + 1 if avail else 0
-        os.makedirs(versioned._manifest_path(self.table_path), exist_ok=True)
-        data_dir = f"v_{version}_{self.token}"
-        final = os.path.join(self.table_path, data_dir)
-        # Only the files named by task COMMIT MESSAGES enter the
-        # version: the staged dir may also hold half-written parts from
-        # failed or speculative attempts (no footer, or duplicate rows)
-        # that must never be manifested.
-        names = sorted({m.filename for m in messages
-                        if m is not None and m.filename})
-        new_files = []
-        if names:
-            os.makedirs(final)
-            for n in names:
-                os.rename(os.path.join(self.staged, n),
-                          os.path.join(final, n))
-            new_files = [f"{data_dir}/{n}" for n in names]
-        shutil.rmtree(self.staged, ignore_errors=True)
+            manifest = self._build_manifest(versioned, version, parent,
+                                            parent_files, new_files)
+            try:
+                versioned._publish(self.table_path, manifest)
+                return
+            except versioned.CommitConflict:
+                if self.overwrite or attempt == self._APPEND_RETRIES:
+                    shutil.rmtree(final, ignore_errors=True)
+                    raise
+
+    def _build_manifest(self, versioned, version: int, parent,
+                        parent_files: list[str],
+                        new_files: list[str]) -> dict:
         manifest = {
             "version": version,
             "files": list(parent_files) + new_files,
@@ -917,11 +954,7 @@ class VersionedWriter(DataSourceArrowWriter):
         # one footer read per new part file (same shape as write_version)
         versioned._set_col_stats(manifest, parent, self.table_path,
                                  list(parent_files), new_files)
-        try:
-            versioned._publish(self.table_path, manifest)
-        except versioned.CommitConflict:
-            shutil.rmtree(final, ignore_errors=True)
-            raise
+        return manifest
 
     def abort(self, messages):
         import shutil
