@@ -458,6 +458,16 @@ _ALTER_CONSTRAINT_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
+    r"\s+RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
+    r"\s+DROP\s+COLUMN\s+(?P<col>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _TBLPROPERTIES_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
     r"\s+SET\s+TBLPROPERTIES\s*\(\s*'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'"
@@ -533,6 +543,12 @@ def maintenance_sql(spark: SparkSession, statement: str):
                 spark, m["path"], m["aname"], m["expr"].strip()
             )
         return versioned.drop_constraint(m["path"], m["dname"])
+    m = _RENAME_COL_RE.match(statement)
+    if m:
+        return versioned.rename_column(m["path"], m["old"], m["new"])
+    m = _DROP_COL_RE.match(statement)
+    if m:
+        return versioned.drop_column(m["path"], m["col"])
     raise ValueError(
         "unsupported maintenance statement — expected RESTORE TABLE "
         "versioned.`/p` TO VERSION AS OF n | VACUUM versioned.`/p` "
@@ -540,7 +556,9 @@ def maintenance_sql(spark: SparkSession, statement: str):
         "(a, b)] | DESCRIBE HISTORY versioned.`/p` | ALTER TABLE "
         "versioned.`/p` ADD CONSTRAINT name CHECK (expr) | ALTER TABLE "
         "versioned.`/p` DROP CONSTRAINT name | ALTER TABLE "
-        "versioned.`/p` SET TBLPROPERTIES ('k' = 'v'); "
+        "versioned.`/p` SET TBLPROPERTIES ('k' = 'v') | ALTER TABLE "
+        "versioned.`/p` RENAME COLUMN a TO b | ALTER TABLE "
+        "versioned.`/p` DROP COLUMN a; "
         f"got: {statement!r}"
     )
 

@@ -65,7 +65,8 @@ class _CdfPartition(InputPartition):
         self.commit_version = commit_version
 
 
-def _iter_cdf_batches(partition: _CdfPartition, target: StructType):
+def _iter_cdf_batches(partition: _CdfPartition, target: StructType,
+                      name_map: dict | None = None):
     """Arrow batches of one change-feed partition aligned to the
     CDF-widened schema: _iter_file_batches NULL-backfills whatever the
     file lacks (_commit_version always; _change_type for insert
@@ -75,7 +76,8 @@ def _iter_cdf_batches(partition: _CdfPartition, target: StructType):
     names = target.fieldNames()
     ct_idx = names.index("_change_type")
     cv_idx = names.index("_commit_version")
-    for batch in _iter_file_batches(partition.path, target):
+    for batch in _iter_file_batches(partition.path, target,
+                                    name_map=name_map):
         n = batch.num_rows
         arrays = list(batch.columns)
         if partition.change_type is not None:
@@ -108,19 +110,24 @@ def _deleted_positions(sidecar_paths: list[str], data_path: str) -> set:
 
 
 def _iter_file_batches(path: str, target: StructType,
-                       skip_positions: set | None = None):
+                       skip_positions: set | None = None,
+                       name_map: dict | None = None):
     """Stream one parquet file's row groups as Arrow batches (bounded
     memory per task), NULL-backfilling any column the file predates —
     the same semantics read_version gets from the explicit-schema scan.
     ``skip_positions`` (deletion-vector rows) are filtered out by
     in-file position, tracked as a running offset across batches.
-    Shared by the batch and streaming readers."""
+    ``name_map`` ({logical: physical}, from RENAME COLUMN column
+    mapping) serves a renamed column from its physical in-file name
+    when the file predates the rename. Shared by the batch and
+    streaming readers."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    name_map = name_map or {}
     f = pq.ParquetFile(path)
-    missing = [name for name in target.fieldNames()
-               if name not in f.schema_arrow.names]
+    in_file = set(f.schema_arrow.names)
+    missing = [name for name in target.fieldNames() if name not in in_file]
     from pyspark.sql.pandas.types import to_arrow_schema
 
     t = to_arrow_schema(target)
@@ -130,8 +137,15 @@ def _iter_file_batches(path: str, target: StructType,
         if missing:
             cols = []
             for field in t:
+                # prefer the logical name; fall back to the mapped
+                # physical name (pre-rename files); else NULL-backfill
+                src = None
                 if field.name in batch.schema.names:
-                    col = batch.column(batch.schema.names.index(field.name))
+                    src = field.name
+                elif name_map.get(field.name) in batch.schema.names:
+                    src = name_map[field.name]
+                if src is not None:
+                    col = batch.column(batch.schema.names.index(src))
                     if col.type != field.type:
                         col = col.cast(field.type)
                     cols.append(col)
@@ -358,9 +372,10 @@ class VersionedReader(DataSourceReader):
 
     def __init__(self, files: list[str], schema: StructType,
                  dv: dict | None = None, skip_meta: dict | None = None,
-                 row_filter=None):
+                 row_filter=None, name_map: dict | None = None):
         self.files = files
         self.target = schema
+        self.name_map = name_map or {}  # logical -> physical (renames)
         self.dv = dv or {}  # data-file path -> [sidecar paths]
         # skipping metadata keyed by data-file path:
         #   stats_col, stats {path: [lo, hi]|None},
@@ -389,7 +404,8 @@ class VersionedReader(DataSourceReader):
             return
         skip = (_deleted_positions(partition.dv_sidecars, partition.path)
                 if getattr(partition, "dv_sidecars", None) else None)
-        for batch in _iter_file_batches(partition.path, self.target, skip):
+        for batch in _iter_file_batches(partition.path, self.target, skip,
+                                        self.name_map):
             if self.row_filter:
                 batch = _apply_row_filter(batch, self.row_filter)
             yield batch
@@ -416,6 +432,8 @@ class VersionedCdfReader(DataSourceReader):
                 f"no committed versions at {table_path}")
         # plan eagerly on the driver (manifest metadata only) by
         # borrowing the stream reader's classification
+        self.name_map = versioned._column_mapping(
+            versioned._load_manifest(table_path, avail[-1]))
         helper = VersionedStreamReader(table_path, schema, None,
                                        change_feed=True)
         self.parts = helper._change_partitions(
@@ -427,7 +445,7 @@ class VersionedCdfReader(DataSourceReader):
     def read(self, partition: _CdfPartition):
         if partition is None or partition.path is None:
             return
-        yield from _iter_cdf_batches(partition, self.target)
+        yield from _iter_cdf_batches(partition, self.target, self.name_map)
 
 
 class VersionedStreamReader(DataSourceStreamReader):
@@ -462,11 +480,13 @@ class VersionedStreamReader(DataSourceStreamReader):
 
     def __init__(self, table_path: str, schema: StructType,
                  starting: int | None, ignore_changes: bool = False,
-                 change_feed: bool = False):
+                 change_feed: bool = False,
+                 name_map: dict | None = None):
         self.table_path = table_path
         self.target = schema
         self.starting = 0 if starting is None else starting
         self.ignore_changes = ignore_changes
+        self.name_map = name_map or {}  # logical -> physical (renames)
         # readChangeFeed mode: micro-batches are row-level change
         # feeds (insert/delete/update_pre/postimage) instead of added
         # files — DML commits stream their PERSISTED cdf files
@@ -572,9 +592,10 @@ class VersionedStreamReader(DataSourceStreamReader):
         if partition is None or partition.path is None:
             return
         if not self.change_feed:
-            yield from _iter_file_batches(partition.path, self.target)
+            yield from _iter_file_batches(partition.path, self.target,
+                                          name_map=self.name_map)
             return
-        yield from _iter_cdf_batches(partition, self.target)
+        yield from _iter_cdf_batches(partition, self.target, self.name_map)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to ack
@@ -661,6 +682,7 @@ class VersionedDataSource(DataSource):
                 [versioned._abs_file(table_path, f) for f in files],
                 dv,
                 skip_meta,
+                versioned._column_mapping(m),
             )
         return self._resolved
 
@@ -700,7 +722,7 @@ class VersionedDataSource(DataSource):
         row_filter = (_parse_filter_option(flt, resolved[0])
                       if flt is not None else None)
         return VersionedReader(resolved[1], resolved[0], resolved[2],
-                               resolved[3], row_filter)
+                               resolved[3], row_filter, resolved[4])
 
     def streamReader(self, schema) -> VersionedStreamReader:
         table_path = self.options.get("path")
@@ -712,9 +734,16 @@ class VersionedDataSource(DataSource):
             self.options.get("ignorechanges",
                              self.options.get("ignoredeletes", "false"))
         ).lower() == "true"
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+        nm = {}
+        avail = versioned.versions(table_path)
+        if avail:
+            nm = versioned._column_mapping(
+                versioned._load_manifest(table_path, avail[-1]))
         return VersionedStreamReader(
             table_path, schema, None if sv is None else int(sv), ic,
-            change_feed=self._change_feed(),
+            change_feed=self._change_feed(), name_map=nm,
         )
 
     def writer(self, schema, overwrite: bool) -> "VersionedWriter":
@@ -934,6 +963,14 @@ class VersionedWriter(DataSourceArrowWriter):
             manifest["constraints"] = parent["constraints"]
         if parent is not None and parent.get("properties"):
             manifest["properties"] = parent["properties"]
+        # an APPEND shares the parent's files, so the column mapping
+        # and retired names must ride; an overwrite starts fresh with
+        # logical-named files
+        if parent is not None and not self.overwrite:
+            if parent.get("column_mapping"):
+                manifest["column_mapping"] = parent["column_mapping"]
+            if parent.get("retired_physical"):
+                manifest["retired_physical"] = parent["retired_physical"]
         # an APPEND shares the parent's data files, so their deletion
         # vectors must ride along or deleted rows would resurrect;
         # an overwrite starts from fresh files with no DVs

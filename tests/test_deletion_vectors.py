@@ -459,7 +459,7 @@ def test_ds_dv_read_with_relative_table_path(spark, tmp_path):
     _os.chdir(str(tmp_path))
     try:
         ds = VersionedDataSource({"path": "t_rel"})
-        schema, files, dv, _skip = ds._resolve()
+        schema, files, dv, _skip, _nm = ds._resolve()
         assert files and all(_os.path.isabs(f) for f in files)
         assert dv, "the DV mapping must survive resolution"
         assert all(_os.path.isabs(s)
@@ -547,7 +547,7 @@ def test_bulk_delete_sidecar_fans_out_and_delta_packs(spark, tmp_path,
     m = versioned._load_manifest(path, versioned.versions(path)[-1])
     sidecars = {x for lst in versioned._dv_map(m).values() for x in lst}
     assert len(sidecars) >= 2          # fanned out, not coalesce(1)
-    assert s["dv_bytes"] < 120_000     # ~2 bytes/row, not ~8
+    assert s["dv_bytes"] < 50_000      # bits per row, not bytes
     # every reader still applies the multi-part vector exactly
     got = versioned.read_version(spark, path)
     assert got.count() == 150_000
