@@ -687,6 +687,30 @@ def _publish(table_path: str, manifest: dict) -> int:
     # HERE, at publish, so copied manifests (restore/backfill/clone)
     # never inherit their source's commit time.
     manifest["committed_at"] = time.time()
+    # Delta-log encoding: when the direct parent (version-1) is live,
+    # persist this commit as a structural DELTA of it instead of a
+    # full snapshot — an append to a million-file table then writes
+    # O(new files) of manifest, not O(table files). Every
+    # ``checkpoint interval``-th commit (and any commit whose delta
+    # isn't actually smaller, e.g. an overwrite) writes a full
+    # snapshot, bounding reader replay. A vacuumed/absent parent just
+    # means a full snapshot — the log self-heals.
+    payload = json.dumps(manifest)
+    if version > 0:
+        try:
+            parent_raw = _read_raw_manifest(table_path, version - 1)
+        except (FileNotFoundError, ValueError):
+            parent_raw = None
+        if parent_raw is not None and parent_raw.get("version") == version - 1:
+            depth = (parent_raw.get("~depth", 0)
+                     if "~of" in parent_raw else 0) + 1
+            if depth < _checkpoint_interval(manifest):
+                parent = (_load_manifest(table_path, version - 1)
+                          if "~of" in parent_raw else parent_raw)
+                delta = json.dumps(
+                    _encode_manifest_delta(parent, manifest, depth))
+                if len(delta) < len(payload):
+                    payload = delta
     mdir = _manifest_path(table_path)
     # The tmp name must be PER-WRITER unique: with a shared name, two
     # racing writers would stage into the same inode and the loser's
@@ -695,7 +719,7 @@ def _publish(table_path: str, manifest: dict) -> int:
     token = uuid.uuid4().hex
     tmp = os.path.join(mdir, f".{version}.{token}.json.tmp")
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
+        fh.write(payload)
     try:
         os.link(tmp, os.path.join(mdir, f"{version}.json"))
     except FileExistsError:
@@ -710,6 +734,22 @@ def _publish(table_path: str, manifest: dict) -> int:
         fh.write(str(version))
     os.rename(hw_tmp, os.path.join(mdir, _HIGH_WATER))
     return version
+
+
+#: Write a full manifest snapshot every N commits (Delta's
+#: ``delta.checkpointInterval`` analog) — the bound on how many delta
+#: records a reader replays. Overridable per table via the
+#: ``commit.checkpointInterval`` table property.
+_CHECKPOINT_INTERVAL = 10
+
+
+def _checkpoint_interval(manifest: dict) -> int:
+    try:
+        n = int((manifest.get("properties") or {})
+                .get("commit.checkpointInterval", _CHECKPOINT_INTERVAL))
+    except (TypeError, ValueError):
+        return _CHECKPOINT_INTERVAL
+    return max(1, n)
 
 
 def _next_version(table_path: str, version: int | None) -> int:
@@ -1900,6 +1940,25 @@ def vacuum(table_path: str, keep_last: int = 2,
                 if _commit_ts(table_path, v) < cutoff]
     else:
         drop = avail[:-keep_last] if len(avail) > keep_last else []
+    # Delta-log safety: a SURVIVING manifest stored as a delta whose
+    # parent is about to be dropped must first be MATERIALIZED as a
+    # full snapshot, or it becomes unreadable. Chains are linear
+    # (~of = version-1), so only survivors bordering the dropped range
+    # rewrite — atomically, content-equivalent, committed_at preserved
+    # — BEFORE any removal, keeping every intermediate state readable.
+    dropset = set(drop)
+    if dropset:
+        for v in (x for x in avail if x not in dropset):
+            raw = _read_raw_manifest(table_path, v)
+            if "~of" not in raw or raw["~of"] not in dropset:
+                continue
+            full = _load_manifest(table_path, v)
+            tmp = os.path.join(_manifest_path(table_path),
+                               f".{v}.materialize.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(full, fh)
+            os.rename(tmp, os.path.join(
+                _manifest_path(table_path), f"{v}.json"))
     for v in drop:
         os.remove(os.path.join(_manifest_path(table_path), f"{v}.json"))
     # file-level refcount across the surviving manifests — DATA files
@@ -1952,9 +2011,101 @@ def vacuum(table_path: str, keep_last: int = 2,
     return drop
 
 
-def _load_manifest(table_path: str, version: int) -> dict:
+def _read_raw_manifest(table_path: str, version: int) -> dict:
+    """One manifest file's literal JSON — a FULL snapshot or a DELTA
+    record (``~of`` present). Callers outside the log layer want
+    ``_load_manifest``, which materializes delta chains."""
     with open(os.path.join(_manifest_path(table_path), f"{version}.json")) as fh:
         return json.load(fh)
+
+
+def _encode_manifest_delta(parent: dict, child: dict, depth: int) -> dict:
+    """Delta-log record: the structural diff that rebuilds ``child``
+    from ``parent`` (the Delta-Lake commit-log shape — an append to a
+    million-file table logs O(new files), not O(table files)).
+
+    Three patch granularities, keyed under reserved ``~`` names so no
+    manifest key can collide: dict values (col_stats, dv, stats,
+    constraints, properties, column_mapping) diff per ENTRY
+    (``~dpatch`` put/drop); string-list values (files, cdf,
+    retired_physical) diff as ordered remove+append (``~lpatch``) when
+    that reproduces the child list exactly; everything else replaces
+    wholesale (``~set``/``~unset``). ``~depth`` bounds reader replay —
+    ``_publish`` writes a full snapshot (checkpoint) when the chain
+    would reach the checkpoint interval."""
+    out: dict = {"version": child["version"],
+                 "~of": parent["version"], "~depth": depth}
+    sets: dict = {}
+    unsets = [k for k in parent if k not in child]
+    dpatch: dict = {}
+    lpatch: dict = {}
+    for k, v in child.items():
+        if k == "version":
+            continue
+        if k in parent and parent[k] == v:
+            continue
+        pv = parent.get(k)
+        if isinstance(v, dict) and isinstance(pv, dict):
+            put = {kk: vv for kk, vv in v.items()
+                   if kk not in pv or pv[kk] != vv}
+            drop = [kk for kk in pv if kk not in v]
+            dpatch[k] = {"put": put, "drop": drop}
+        elif (isinstance(v, list) and isinstance(pv, list)
+              and all(isinstance(x, str) for x in v)
+              and all(isinstance(x, str) for x in pv)):
+            vset = set(v)
+            kept = [x for x in pv if x in vset]
+            if v[: len(kept)] == kept:
+                lpatch[k] = {"drop": [x for x in pv if x not in vset],
+                             "append": v[len(kept):]}
+            else:  # reordered (or duplicated) — replace wholesale
+                sets[k] = v
+        else:
+            sets[k] = v
+    if sets:
+        out["~set"] = sets
+    if unsets:
+        out["~unset"] = unsets
+    if dpatch:
+        out["~dpatch"] = dpatch
+    if lpatch:
+        out["~lpatch"] = lpatch
+    return out
+
+
+def _apply_manifest_delta(parent: dict, delta: dict) -> dict:
+    """Inverse of ``_encode_manifest_delta``."""
+    m = {k: v for k, v in parent.items()
+         if k not in set(delta.get("~unset", ()))}
+    for k, p in (delta.get("~dpatch") or {}).items():
+        d = dict(parent.get(k) or {})
+        for kk in p.get("drop", ()):
+            d.pop(kk, None)
+        d.update(p.get("put", {}))
+        m[k] = d
+    for k, p in (delta.get("~lpatch") or {}).items():
+        drop = set(p.get("drop", ()))
+        m[k] = ([x for x in (parent.get(k) or []) if x not in drop]
+                + list(p.get("append", ())))
+    m.update(delta.get("~set") or {})
+    m["version"] = delta["version"]
+    return m
+
+
+def _load_manifest(table_path: str, version: int) -> dict:
+    """The materialized manifest of one version: a full snapshot reads
+    as-is; a delta record replays its chain back to the nearest full
+    snapshot (bounded by the checkpoint interval, so a read costs at
+    most ~interval small JSON files)."""
+    raw = _read_raw_manifest(table_path, version)
+    chain = []
+    while "~of" in raw:
+        chain.append(raw)
+        raw = _read_raw_manifest(table_path, raw["~of"])
+    m = raw
+    for delta in reversed(chain):
+        m = _apply_manifest_delta(m, delta)
+    return m
 
 
 def _commit_ts(table_path: str, version: int,
