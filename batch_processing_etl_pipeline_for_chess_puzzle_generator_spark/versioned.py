@@ -1138,7 +1138,8 @@ def merge_version_cow(spark: SparkSession, table_path: str,
 
 def _predicate_cow(spark: SparkSession, table_path: str,
                    predicate_sql: str, rewrite, validate=None,
-                   operation: str = "DELETE", make_feed=None) -> dict:
+                   operation: str = "DELETE", make_feed=None,
+                   drop_fully_matched: bool = False) -> dict:
     """Shared physical plan for predicate-driven DML (DELETE / UPDATE):
     Delta's COW rewrite shape.
 
@@ -1195,55 +1196,77 @@ def _predicate_cow(spark: SparkSession, table_path: str,
     # NULL predicate results select nothing (SQL WHERE semantics).
     # DV-aware on both scans: an already-deleted row must neither mark
     # its file touched nor resurrect through the rewrite.
+    # Discovery counts MATCHED vs LIVE rows per file so DELETE can take
+    # the metadata-only fast path: a file whose every live row matches
+    # is DROPPED from the child manifest — zero rewrite I/O (Delta's
+    # whole-file delete; "drop yesterday's partition" on a 100 TB
+    # clustered table commits without writing a data byte). Exact for
+    # ARBITRARY predicates (NULLs never match), no stats proof needed.
     hit = F.coalesce(F.expr(predicate_sql), F.lit(False))
     rows = (
         _read_files_dv(spark, table_path, parent, pfiles, schema,
                        file_col="__f")
-        .filter(hit)
-        .select("__f").distinct().collect()
+        .groupBy("__f")
+        .agg(F.sum(hit.cast("long")).alias("__m"),
+             F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__m") > 0)
+        .collect()
     )
-    touched_abs = {os.path.normpath(_uri_to_path(r["__f"])) for r in rows}
-    touched = [f for f in pfiles
-               if _abs_file(table_path, f) in touched_abs]
-    untouched = [f for f in pfiles
-                 if _abs_file(table_path, f) not in touched_abs]
-    if not touched:
+    counts = {os.path.normpath(_uri_to_path(r["__f"])): (r["__m"], r["__n"])
+              for r in rows}
+    touched, dropped, untouched = [], [], []
+    for f in pfiles:
+        m, n = counts.get(_abs_file(table_path, f), (0, 0))
+        if m == 0:
+            untouched.append(f)
+        elif drop_fully_matched and m == n:
+            dropped.append(f)
+        else:
+            touched.append(f)
+    if not touched and not dropped:
         return {"version": None, "files_total": len(pfiles),
-                "files_shared": len(pfiles), "files_rewritten": 0}
+                "files_shared": len(pfiles), "files_rewritten": 0,
+                "files_dropped": 0}
 
-    replacement = rewrite(
-        _read_files_dv(spark, table_path, parent, touched, schema),
-        schema,
-    ).select(*[f.name for f in schema.fields])
+    replacement = None
+    if touched:
+        replacement = rewrite(
+            _read_files_dv(spark, table_path, parent, touched, schema),
+            schema,
+        ).select(*[f.name for f in schema.fields])
 
     token = uuid.uuid4().hex[:12]
     # persisted Change Data Feed (cdf.enabled): the matched rows are
-    # already confined to the touched files — one more bounded scan
-    # builds the row-level feed the CDF consumers read back verbatim
+    # already confined to the touched + dropped files — one more
+    # bounded scan builds the row-level feed CDF consumers read back
     cdf_files: list[str] = []
     final_cdf = None
     if make_feed is not None and _cdf_enabled(parent):
         feed = make_feed(
-            _read_files_dv(spark, table_path, parent, touched, schema)
-            .filter(hit),
+            _read_files_dv(spark, table_path, parent, touched + dropped,
+                           schema).filter(hit),
             schema,
         )
         cdf_files, final_cdf = _write_cdf(table_path, version, token, feed)
-    staged = os.path.join(table_path, f"_staged_{version}_{token}")
-    final_dir = f"d_{version}_{token}"
-    final = os.path.join(table_path, final_dir)
-    # Rewrite granularity == touched-file count, like the MERGE path:
-    # a DML touching k files emits ~k files, not one per partition.
-    replacement.coalesce(max(1, len(touched))).write.mode(
-        "overwrite"
-    ).parquet(staged)
-    os.rename(staged, final)
-    new_files = _list_data_files(table_path, final_dir)
-
-    # CHECK constraints gate the rewritten files (an UPDATE ... SET can
-    # introduce violations into previously-valid rows)
+    new_files: list[str] = []
+    final = None
     cons = parent.get("constraints") or {}
-    _enforce_constraints(spark, table_path, new_files, cons, final)
+    if replacement is not None:
+        staged = os.path.join(table_path, f"_staged_{version}_{token}")
+        final_dir = f"d_{version}_{token}"
+        final = os.path.join(table_path, final_dir)
+        # Rewrite granularity == touched-file count, like the MERGE
+        # path: a DML touching k files emits ~k files, not one per
+        # partition.
+        replacement.coalesce(max(1, len(touched))).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        os.rename(staged, final)
+        new_files = _list_data_files(table_path, final_dir)
+
+        # CHECK constraints gate the rewritten files (an UPDATE ... SET
+        # can introduce violations into previously-valid rows)
+        _enforce_constraints(spark, table_path, new_files, cons, final)
 
     manifest = {
         "version": version,
@@ -1280,7 +1303,8 @@ def _predicate_cow(spark: SparkSession, table_path: str,
     try:
         _publish(table_path, manifest)
     except CommitConflict:
-        shutil.rmtree(final, ignore_errors=True)
+        if final is not None:
+            shutil.rmtree(final, ignore_errors=True)
         if final_cdf is not None:
             shutil.rmtree(final_cdf, ignore_errors=True)
         raise
@@ -1289,6 +1313,7 @@ def _predicate_cow(spark: SparkSession, table_path: str,
         "files_total": len(untouched) + len(new_files),
         "files_shared": len(untouched),
         "files_rewritten": len(touched),
+        "files_dropped": len(dropped),
     }
 
 
@@ -1318,6 +1343,7 @@ def delete_where(spark: SparkSession, table_path: str,
         ),
         operation="DELETE",
         make_feed=_delete_feed,
+        drop_fully_matched=True,
     )
 
 
@@ -1489,6 +1515,49 @@ def _write_dv_sidecar(spark: SparkSession, table_path: str, version: int,
     return sidecar_files, dv_bytes, final_dv
 
 
+def _split_fully_matched(spark: SparkSession, table_path: str,
+                         matched: DataFrame, touched: list[str],
+                         touched_uris: list[str], parent_dv: dict):
+    """Metadata-only whole-file split for MOR DML: a touched file whose
+    every LIVE row matched DROPS from the child manifest instead of
+    carrying a 100%-coverage deletion vector — zero sidecar bytes for
+    it, no read-side anti-join work, vacuum reclaims it at retention
+    (Delta's file-level fast path, MOR flavor; a MOR UPDATE/MERGE
+    drops the old file too — every matched row's post-image is
+    appended). Live totals are METADATA-only: parquet footer row
+    counts minus the file's current DV rows (counted in one tiny
+    sidecar scan). Returns (dropped, dv_touched, dv_uris,
+    matched-rows-in-dv_touched)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    by_abs = {_abs_file(table_path, f): f for f in touched}
+    uri_of = {by_abs[os.path.normpath(_uri_to_path(u))]: u
+              for u in touched_uris
+              if os.path.normpath(_uri_to_path(u)) in by_abs}
+    mcounts = {os.path.normpath(_uri_to_path(r["__f"])): r["count"]
+               for r in matched.groupBy("__f").count().collect()}
+    old_dv_counts: dict[str, int] = {}
+    old_sidecars = sorted({s for f in touched for s in parent_dv.get(f, ())})
+    if old_sidecars:
+        old_dv_counts = {
+            os.path.normpath(_uri_to_path(r["file"])): r["count"]
+            for r in spark.read.parquet(
+                *[_abs_file(table_path, s) for s in old_sidecars]
+            ).groupBy("file").count().collect()
+        }
+    dropped, dv_touched = [], []
+    for f in touched:
+        absf = _abs_file(table_path, f)
+        live = (pq.ParquetFile(absf).metadata.num_rows
+                - old_dv_counts.get(absf, 0))
+        (dropped if mcounts.get(absf, 0) >= live else dv_touched).append(f)
+    return (dropped, dv_touched, [uri_of[f] for f in dv_touched],
+            sum(mcounts.get(_abs_file(table_path, f), 0)
+                for f in dv_touched))
+
+
 def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
              make_rows=None, validate=None, make_feed=None) -> dict:
     """Shared physical plan for MERGE-ON-READ DML (Delta 3.x deletion
@@ -1563,13 +1632,20 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         by_abs[os.path.normpath(_uri_to_path(u))] for u in touched_uris
     )
     n_deleted = matched.count()
-
     parent_dv = _dv_map(parent)
+
+    dropped, dv_touched, dv_uris, n_dv_rows = _split_fully_matched(
+        spark, table_path, matched, touched, touched_uris, parent_dv)
+
     token = uuid.uuid4().hex[:12]
-    sidecar_files, dv_bytes, final_dv = _write_dv_sidecar(
-        spark, table_path, version, token, matched, touched,
-        touched_uris, parent_dv, n_rows=n_deleted,
-    )
+    sidecar_files: list[str] = []
+    dv_bytes, final_dv = 0, None
+    if dv_touched:
+        sidecar_files, dv_bytes, final_dv = _write_dv_sidecar(
+            spark, table_path, version, token,
+            matched.filter(F.col("__f").isin(dv_uris)), dv_touched,
+            dv_uris, parent_dv, n_rows=n_dv_rows,
+        )
 
     # UPDATE: append the post-update row images as new data files
     new_files: list[str] = []
@@ -1597,9 +1673,10 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         feed = make_feed(matched.drop("__f", "__p"), schema)
         cdf_files, final_cdf = _write_cdf(table_path, version, token, feed)
 
+    surviving = [f for f in pfiles if f not in set(dropped)]
     manifest = {
         "version": version,
-        "files": list(pfiles) + new_files,
+        "files": surviving + new_files,
         "schema": parent["schema"],
         "operation": ("UPDATE (DV)" if make_rows is not None
                       else "DELETE (DV)"),
@@ -1615,24 +1692,26 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
     if parent.get("retired_physical"):
         manifest["retired_physical"] = parent["retired_physical"]
     dv = {f: s for f, s in parent_dv.items() if f not in set(touched)}
-    for f in touched:
+    for f in dv_touched:
         dv[f] = sidecar_files
-    manifest["dv"] = dv
+    if dv:
+        manifest["dv"] = dv
     stats_col = parent.get("stats_col")
     if stats_col is not None and parent.get("stats") is not None:
-        stats = dict(parent["stats"])  # every parent file survives
+        stats = {f: parent["stats"].get(f) for f in surviving}
         if new_files:
             stats.update(_file_stats(spark, table_path, new_files,
                                      stats_col))
         manifest["stats_col"] = stats_col
         manifest["stats"] = stats
-    _set_col_stats(manifest, parent, table_path, list(pfiles), new_files)
+    _set_col_stats(manifest, parent, table_path, surviving, new_files)
     if final_cdf is not None:
         manifest["cdf"] = cdf_files
     try:
         _publish(table_path, manifest)
     except CommitConflict:
-        shutil.rmtree(final_dv, ignore_errors=True)
+        if final_dv is not None:
+            shutil.rmtree(final_dv, ignore_errors=True)
         if final_data is not None:
             shutil.rmtree(final_data, ignore_errors=True)
         if final_cdf is not None:
@@ -1640,10 +1719,11 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         raise
     return {
         "version": version,
-        "files_total": len(pfiles) + len(new_files),
-        "files_shared": len(pfiles),
+        "files_total": len(surviving) + len(new_files),
+        "files_shared": len(surviving),
         "files_rewritten": 0,
-        "files_dv": len(touched),
+        "files_dv": len(dv_touched),
+        "files_dropped": len(dropped),
         "rows_deleted": n_deleted,
         "dv_bytes": dv_bytes,
         "new_files": len(new_files),
@@ -1778,6 +1858,8 @@ def merge_version_mor(spark: SparkSession, table_path: str,
     token = uuid.uuid4().hex[:12]
     touched: list[str] = []
     touched_uris: list[str] = []
+    dropped: list[str] = []
+    dv_touched: list[str] = []
     sidecar_files: list[str] = []
     dv_bytes = 0
     n_deleted = 0
@@ -1804,10 +1886,15 @@ def merge_version_mor(spark: SparkSession, table_path: str,
                 for u in touched_uris
             )
             n_deleted = matched.count()
-            sidecar_files, dv_bytes, final_dv = _write_dv_sidecar(
-                spark, table_path, version, token, matched, touched,
-                touched_uris, parent_dv, n_rows=n_deleted,
-            )
+            dropped, dv_touched, dv_uris, n_dv_rows = _split_fully_matched(
+                spark, table_path, matched, touched, touched_uris,
+                parent_dv)
+            if dv_touched:
+                sidecar_files, dv_bytes, final_dv = _write_dv_sidecar(
+                    spark, table_path, version, token,
+                    matched.filter(F.col("__f").isin(dv_uris)),
+                    dv_touched, dv_uris, parent_dv, n_rows=n_dv_rows,
+                )
 
     upserts = changes.filter(
         ~F.coalesce(F.col(delete_col), F.lit(False))
@@ -1847,9 +1934,10 @@ def merge_version_mor(spark: SparkSession, table_path: str,
         feed = _classify_feed(pre_matched, upserts, [key_col])
         cdf_files, final_cdf = _write_cdf(table_path, version, token, feed)
 
+    surviving = [f for f in pfiles if f not in set(dropped)]
     manifest = {
         "version": version,
-        "files": list(pfiles) + new_files,
+        "files": surviving + new_files,
         "schema": parent["schema"],
         "operation": "MERGE (DV)",
     }
@@ -1864,19 +1952,19 @@ def merge_version_mor(spark: SparkSession, table_path: str,
     if parent.get("retired_physical"):
         manifest["retired_physical"] = parent["retired_physical"]
     dv = {f: s for f, s in parent_dv.items() if f not in set(touched)}
-    for f in touched:
+    for f in dv_touched:
         dv[f] = sidecar_files
     if dv:
         manifest["dv"] = dv
     stats_col = parent.get("stats_col")
     if stats_col is not None and parent.get("stats") is not None:
-        stats = dict(parent["stats"])  # every parent file survives
+        stats = {f: parent["stats"].get(f) for f in surviving}
         if new_files:
             stats.update(_file_stats(spark, table_path, new_files,
                                      stats_col))
         manifest["stats_col"] = stats_col
         manifest["stats"] = stats
-    _set_col_stats(manifest, parent, table_path, list(pfiles), new_files)
+    _set_col_stats(manifest, parent, table_path, surviving, new_files)
     if final_cdf is not None:
         manifest["cdf"] = cdf_files
     try:
@@ -1891,10 +1979,11 @@ def merge_version_mor(spark: SparkSession, table_path: str,
         raise
     return {
         "version": version,
-        "files_total": len(pfiles) + len(new_files),
-        "files_shared": len(pfiles),
+        "files_total": len(surviving) + len(new_files),
+        "files_shared": len(surviving),
         "files_rewritten": 0,
-        "files_dv": len(touched),
+        "files_dv": len(dv_touched),
+        "files_dropped": len(dropped),
         "rows_deleted": n_deleted,
         "new_files": len(new_files),
         "dv_bytes": dv_bytes,

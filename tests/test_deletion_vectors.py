@@ -183,7 +183,9 @@ def test_every_reader_applies_dvs(spark, tmp_path):
 def test_optimize_compacts_dvs_and_vacuum_refcounts_sidecars(spark, tmp_path):
     path = _mk(spark, str(tmp_path / "t"))
     versioned.set_table_property(path, "dv.enabled", "true")
-    versioned.delete_where(spark, path, "k < 100")
+    # partial-file predicate: a full "k < 100" would take the whole-
+    # file metadata drop (no DV to compact — covered elsewhere)
+    versioned.delete_where(spark, path, "k >= 20 AND k < 100")
     want = _rows(spark, path)
     assert versioned._dv_map(versioned._load_manifest(path, 2))
 
@@ -448,7 +450,7 @@ def test_ds_dv_read_with_relative_table_path(spark, tmp_path):
     abs_path = str(tmp_path / "t_rel")
     _mk(spark, abs_path)
     versioned.set_table_property(abs_path, "dv.enabled", "true")
-    versioned.delete_where(spark, abs_path, "k < 100")
+    versioned.delete_where(spark, abs_path, "k >= 20 AND k < 100")
     # ... then RESOLVE through a relative option path, as the planning
     # worker would when its cwd contains the table: every planned path
     # must come out ABSOLUTE (sidecar rows key on absolute file URIs —
@@ -471,8 +473,8 @@ def test_ds_dv_read_with_relative_table_path(spark, tmp_path):
     # end-to-end through the engine session (absolute path): rows gone
     got = (spark.read.format("versioned").option("path", abs_path)
            .load())
-    assert got.filter("k < 100").count() == 0
-    assert got.count() == 500
+    assert got.filter("k >= 20 AND k < 100").count() == 0
+    assert got.count() == 520
 
 
 def test_stream_sink_replay_guard_on_legacy_manifests(spark, tmp_path):

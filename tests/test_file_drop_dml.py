@@ -1,0 +1,170 @@
+"""Metadata-only whole-file DML fast path: a file whose every LIVE row
+matches a DELETE predicate (or is consumed by a MOR UPDATE) is DROPPED
+from the child manifest instead of rewritten or deletion-vectored —
+"drop yesterday's partition" on a clustered 100 TB table commits
+without writing a data byte. Exact for arbitrary predicates (per-file
+matched-vs-live counting, not a stats proof), so NULLs and skew can
+never cause a wrong drop."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+
+def _mk(spark, path, n=600, files=6, nulls=False):
+    df = spark.range(n).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v",
+        "CAST(id % 7 AS INT) AS grp",
+    )
+    if nulls:
+        df = df.selectExpr(
+            "IF(k % 100 = 50, CAST(NULL AS INT), k) AS k", "v", "grp")
+    versioned.write_version(
+        df.repartitionByRange(files, "k"), path, stats_col="k")
+    return path
+
+
+def _rows(spark, path, version=None):
+    return sorted(
+        tuple(r) for r in
+        versioned.read_version(spark, path, version).collect()
+    )
+
+
+def _data_dirs(path):
+    return sorted(d for d in os.listdir(path)
+                  if d.startswith(("d_", "v_", "s_")))
+
+
+def test_cow_delete_drops_fully_matched_files(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    before = _data_dirs(path)
+    stats = versioned.delete_where(spark, path, "k < 250")
+    # files 1-2 (k 0..199) drop whole; file 3 (200..299) rewrites
+    assert stats["files_dropped"] == 2
+    assert stats["files_rewritten"] == 1
+    assert stats["files_shared"] == 3
+    assert _rows(spark, path) == _rows(spark, path, 0)[250:]
+    # time travel still serves the dropped files
+    assert len(_rows(spark, path, 0)) == 600
+
+
+def test_cow_aligned_delete_writes_no_data_at_all(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    before = _data_dirs(path)
+    stats = versioned.delete_where(spark, path, "k >= 500")
+    assert stats["files_dropped"] == 1 and stats["files_rewritten"] == 0
+    # metadata-only: not one data/staged dir appeared
+    assert _data_dirs(path) == before
+    m = versioned._load_manifest(path, 1)
+    m0 = versioned._load_manifest(path, 0)
+    assert set(m["files"]) < set(m0["files"])
+    assert len(_rows(spark, path)) == 500
+    # per-file stats follow the drop (no stale keys)
+    assert set(m["stats"]) == set(m["files"])
+
+
+def test_cow_delete_everything_leaves_empty_table(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    stats = versioned.delete_where(spark, path, "true")
+    assert stats["files_dropped"] == 6 and stats["files_rewritten"] == 0
+    got = versioned.read_version(spark, path)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v", "grp"]
+
+
+def test_nulls_block_the_drop(spark, tmp_path):
+    """k=50 is NULL in file 1 — NULL never matches `k < 100`, so the
+    file must NOT drop (one live non-matching row) and the NULL row
+    must survive: the count-based proof is exact where a naive
+    stats-interval proof would wrongly drop the file."""
+    path = _mk(spark, str(tmp_path / "t"), nulls=True)
+    stats = versioned.delete_where(spark, path, "k < 100")
+    assert stats["files_dropped"] == 0 and stats["files_rewritten"] >= 1
+    left = versioned.read_version(spark, path)
+    assert left.filter("k IS NULL").count() >= 1
+
+
+def test_cow_drop_feeds_cdf(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_table_property(path, "cdf.enabled", "true")
+    versioned.delete_where(spark, path, "k >= 500")
+    feed = versioned.read_changes(spark, path, 1, 2)
+    got = feed.groupBy("_change_type").count().collect()
+    assert {(r["_change_type"], r["count"]) for r in got} == {("delete", 100)}
+
+
+def test_mor_delete_drops_whole_files_and_dvs_the_rest(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_table_property(path, "dv.enabled", "true")
+    stats = versioned.delete_where(spark, path, "k < 150")
+    assert stats["files_dropped"] == 1      # file 1 (k 0..99) whole
+    assert stats["files_dv"] == 1           # file 2 half-covered
+    assert stats["files_rewritten"] == 0
+    m = versioned._load_manifest(path, 2)
+    assert len(versioned._dv_map(m)) == 1   # no DV entry for a dropped file
+    assert len(m["files"]) == 5
+    assert len(_rows(spark, path)) == 450
+    assert len(_rows(spark, path, 0)) == 600
+
+
+def test_mor_second_delete_counts_live_rows_not_footer_rows(spark, tmp_path):
+    """A file that already carries a partial DV drops when the
+    REMAINING live rows all match — the live count must be footer
+    rows minus current DV rows, not raw footer rows."""
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_table_property(path, "dv.enabled", "true")
+    s1 = versioned.delete_where(spark, path, "k >= 20 AND k < 60")
+    assert s1["files_dv"] == 1 and s1["files_dropped"] == 0
+    s2 = versioned.delete_where(spark, path, "k < 100")
+    assert s2["files_dropped"] == 1 and s2["files_dv"] == 0
+    assert s2["dv_bytes"] == 0
+    m = versioned._load_manifest(path, 3)
+    assert not versioned._dv_map(m) and len(m["files"]) == 5
+    assert len(_rows(spark, path)) == 500
+
+
+def test_mor_update_drops_consumed_files(spark, tmp_path):
+    """A MOR UPDATE matching a whole file appends every row's
+    post-image, so the old file drops instead of carrying a
+    100%-coverage DV."""
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_table_property(path, "dv.enabled", "true")
+    stats = versioned.update_where(spark, path, {"v": "'upd'"}, "k < 100")
+    assert stats["files_dropped"] == 1 and stats["files_dv"] == 0
+    assert stats["new_files"] >= 1
+    got = versioned.read_version(spark, path)
+    assert got.filter("v = 'upd'").count() == 100
+    assert got.count() == 600
+    assert len(_rows(spark, path, 0)) == 600
+
+
+def test_mor_merge_drops_fully_consumed_files(spark, tmp_path):
+    """A MERGE whose change keys cover every live row of a file drops
+    the file (all its rows get fresh post-images appended or are
+    deleted) instead of DV-ing 100% of it."""
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_table_property(path, "dv.enabled", "true")
+    ch = spark.range(100).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('new', id) AS v",
+        "CAST(id % 7 AS INT) AS grp", "id % 2 = 0 AS is_delete")
+    stats = versioned.merge_version_cow(spark, path, ch, "k")
+    assert stats["files_dropped"] == 1 and stats["files_dv"] == 0
+    assert stats["dv_bytes"] == 0
+    got = versioned.read_version(spark, path)
+    assert got.count() == 550                      # 50 deleted
+    assert got.filter("v LIKE 'new%'").count() == 50
+    assert len(_rows(spark, path, 0)) == 600
+
+
+def test_mor_drop_equals_cow_drop(spark, tmp_path):
+    a = _mk(spark, str(tmp_path / "a"))
+    b = _mk(spark, str(tmp_path / "b"))
+    versioned.set_table_property(b, "dv.enabled", "true")
+    for pred in ("k < 150", "grp = 3", "k >= 580"):
+        versioned.delete_where(spark, a, pred)
+        versioned.delete_where(spark, b, pred)
+        assert _rows(spark, a) == _rows(spark, b), pred

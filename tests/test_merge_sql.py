@@ -298,9 +298,11 @@ def test_delete_from_predicate_cow(spark, tmp_path):
     stats = delete_from(
         spark, f"DELETE FROM versioned.`{path}` WHERE k >= 300"
     )
-    # range-partitioned base: k>=300 lives in exactly one of 4 files
+    # range-partitioned base: k>=300 fully covers one of 4 files, so
+    # the whole-file metadata drop fires — nothing is rewritten
     assert stats["version"] == 1
-    assert stats["files_rewritten"] == 1 and stats["files_shared"] == 3
+    assert stats["files_dropped"] == 1 and stats["files_rewritten"] == 0
+    assert stats["files_shared"] == 3
     got = versioned.read_version(spark, path)
     assert got.count() == 300 and got.agg({"k": "max"}).first()[0] == 299
     # time travel to v0 still sees all 400 rows

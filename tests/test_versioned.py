@@ -1247,9 +1247,11 @@ def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
     assert all(k.startswith("/") and s is not None
                for k, s in m["stats"].items())
 
-    # DML on the clone: only the touched file is rewritten, locally
+    # DML on the clone: the fully-matched shared file DROPS from the
+    # clone's manifest metadata-only (nothing rewritten, nothing local)
     stats = versioned.delete_where(spark, dst, "k >= 300")
-    assert stats["files_rewritten"] == 1 and stats["files_shared"] == 3
+    assert stats["files_dropped"] == 1 and stats["files_rewritten"] == 0
+    assert stats["files_shared"] == 3
     assert versioned.read_version(spark, dst).count() == 300
     # source untouched
     assert versioned.read_version(spark, src).count() == 400
