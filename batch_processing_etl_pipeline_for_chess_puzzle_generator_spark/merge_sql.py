@@ -468,6 +468,11 @@ _DROP_COL_RE = re.compile(
     r"\s+DROP\s+COLUMN\s+(?P<col>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_CONVERT_RE = re.compile(
+    r"^\s*CONVERT\s+TO\s+VERSIONED\s+parquet\.`(?P<path>[^`]+)`"
+    r"(?:\s+STATS\s+BY\s+(?P<sc>\w+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _TBLPROPERTIES_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
     r"\s+SET\s+TBLPROPERTIES\s*\(\s*'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'"
@@ -549,6 +554,10 @@ def maintenance_sql(spark: SparkSession, statement: str):
     m = _DROP_COL_RE.match(statement)
     if m:
         return versioned.drop_column(m["path"], m["col"])
+    m = _CONVERT_RE.match(statement)
+    if m:
+        return versioned.convert_to_versioned(
+            m["path"], stats_col=m["sc"], spark=spark)
     raise ValueError(
         "unsupported maintenance statement — expected RESTORE TABLE "
         "versioned.`/p` TO VERSION AS OF n | VACUUM versioned.`/p` "
@@ -558,7 +567,8 @@ def maintenance_sql(spark: SparkSession, statement: str):
         "versioned.`/p` DROP CONSTRAINT name | ALTER TABLE "
         "versioned.`/p` SET TBLPROPERTIES ('k' = 'v') | ALTER TABLE "
         "versioned.`/p` RENAME COLUMN a TO b | ALTER TABLE "
-        "versioned.`/p` DROP COLUMN a; "
+        "versioned.`/p` DROP COLUMN a | CONVERT TO VERSIONED "
+        "parquet.`/p` [STATS BY col]; "
         f"got: {statement!r}"
     )
 

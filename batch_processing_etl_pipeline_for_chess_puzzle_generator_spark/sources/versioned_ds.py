@@ -819,6 +819,26 @@ def _footer_stats(path: str, stats_col: str):
     return versioned._footer_col_stats(path, [stats_col])[stats_col]
 
 
+def _append_compatible(table_schema: dict, append_schema: dict) -> bool:
+    """Append-time schema check: names, order, and types must match
+    exactly; nullability may only NARROW (non-nullable data into a
+    nullable table column is always safe — e.g. appending a range()
+    projection into a CONVERTed table whose inferred schema is
+    all-nullable). A nullable append into a non-nullable column stays
+    a mismatch."""
+    tf, af = table_schema.get("fields", []), append_schema.get("fields", [])
+    if len(tf) != len(af):
+        return False
+    for t, a in zip(tf, af):
+        if (t.get("name") != a.get("name")
+                or t.get("type") != a.get("type")
+                or t.get("metadata") != a.get("metadata")):
+            return False
+        if a.get("nullable", True) and not t.get("nullable", True):
+            return False
+    return True
+
+
 class VersionedWriter(DataSourceArrowWriter):
     """``df.write.format("versioned")`` — every save commits a NEW
     version through the same manifest CAS as the library API:
@@ -879,7 +899,8 @@ class VersionedWriter(DataSourceArrowWriter):
             if avail:
                 parent = versioned._load_manifest(self.table_path, avail[-1])
             if parent is not None and not self.overwrite:
-                if json.loads(parent["schema"]) != self.schema.jsonValue():
+                if not _append_compatible(json.loads(parent["schema"]),
+                                          self.schema.jsonValue()):
                     # a true conflict even mid-retry: the winner may
                     # have evolved the schema under us
                     shutil.rmtree(self.staged, ignore_errors=True)

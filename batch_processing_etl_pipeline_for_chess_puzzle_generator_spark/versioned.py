@@ -687,6 +687,10 @@ def _publish(table_path: str, manifest: dict) -> int:
     # HERE, at publish, so copied manifests (restore/backfill/clone)
     # never inherit their source's commit time.
     manifest["committed_at"] = time.time()
+    # table-features stamp (Delta protocol analog): record the format
+    # features this snapshot depends on so a build without them fails
+    # loudly at load instead of reading wrongly
+    _stamp_features(manifest, as_delta=False)
     # Delta-log encoding: when the direct parent (version-1) is live,
     # persist this commit as a structural DELTA of it instead of a
     # full snapshot — an append to a million-file table then writes
@@ -707,8 +711,13 @@ def _publish(table_path: str, manifest: dict) -> int:
             if depth < _checkpoint_interval(manifest):
                 parent = (_load_manifest(table_path, version - 1)
                           if "~of" in parent_raw else parent_raw)
-                delta = json.dumps(
-                    _encode_manifest_delta(parent, manifest, depth))
+                record = _encode_manifest_delta(parent, manifest, depth)
+                # the delta RECORD itself needs the delta-manifests
+                # reader feature on top of the content's features
+                record["features"] = sorted(
+                    set(manifest.get("features") or ())
+                    | {"delta-manifests"})
+                delta = json.dumps(record)
                 if len(delta) < len(payload):
                     payload = delta
     mdir = _manifest_path(table_path)
@@ -2181,12 +2190,54 @@ def _apply_manifest_delta(parent: dict, delta: dict) -> dict:
     return m
 
 
+#: Table-features protocol (Delta reader/writer-features analog):
+#: every commit STAMPS the format features its snapshot depends on,
+#: and every load REFUSES features this build doesn't implement — a
+#: future feature degrades to a clear error instead of a silently
+#: wrong read (resurrected deletes, missing renames).
+_SUPPORTED_FEATURES = {
+    "deletion-vectors",   # dv sidecars applied via anti-join
+    "column-mapping",     # logical->physical rename map
+    "change-data-feed",   # persisted cdf files
+    "delta-manifests",    # manifest stored as a delta record chain
+}
+
+
+def _stamp_features(manifest: dict, as_delta: bool) -> None:
+    feats = set()
+    if manifest.get("dv"):
+        feats.add("deletion-vectors")
+    if manifest.get("column_mapping") or manifest.get("retired_physical"):
+        feats.add("column-mapping")
+    if manifest.get("cdf"):
+        feats.add("change-data-feed")
+    if as_delta:
+        feats.add("delta-manifests")
+    if feats:
+        manifest["features"] = sorted(feats)
+    else:
+        manifest.pop("features", None)
+
+
+def _check_features(manifest: dict, table_path: str) -> None:
+    unknown = set(manifest.get("features") or ()) - _SUPPORTED_FEATURES
+    if unknown:
+        raise ValueError(
+            f"table {table_path} requires reader features "
+            f"{sorted(unknown)} this build does not support "
+            f"(supported: {sorted(_SUPPORTED_FEATURES)}) — upgrade "
+            "the engine before reading"
+        )
+
+
 def _load_manifest(table_path: str, version: int) -> dict:
     """The materialized manifest of one version: a full snapshot reads
     as-is; a delta record replays its chain back to the nearest full
     snapshot (bounded by the checkpoint interval, so a read costs at
-    most ~interval small JSON files)."""
+    most ~interval small JSON files). Raises on manifests stamped with
+    reader features this build does not implement."""
     raw = _read_raw_manifest(table_path, version)
+    _check_features(raw, table_path)
     chain = []
     while "~of" in raw:
         chain.append(raw)
@@ -2194,6 +2245,7 @@ def _load_manifest(table_path: str, version: int) -> dict:
     m = raw
     for delta in reversed(chain):
         m = _apply_manifest_delta(m, delta)
+    _check_features(m, table_path)
     return m
 
 
@@ -3007,3 +3059,81 @@ def clone_table(src_path: str, dst_path: str,
         manifest["properties"] = src["properties"]
     os.makedirs(_manifest_path(dst_path), exist_ok=True)
     return _publish(dst_path, manifest)
+
+
+def convert_to_versioned(table_path: str, stats_col: str | None = None,
+                         spark: SparkSession | None = None) -> int:
+    """CONVERT an existing plain-parquet directory into a versioned
+    table IN PLACE (Delta's ``CONVERT TO DELTA`` analog): commit
+    version 0 referencing the directory's parquet files exactly where
+    they are — zero data bytes move, so adopting a 100 TB dataset into
+    the transaction log costs one manifest write plus a parquet-FOOTER
+    pass for the data-skipping index (no row is scanned). From then on
+    the full lakehouse surface applies: time travel, DML (rewrites land
+    in versioned dirs; the originals keep serving older snapshots),
+    OPTIMIZE, CDF, constraints.
+
+    Hive-partitioned layouts (``k=v`` path segments) are REFUSED: their
+    partition values live in paths, not file bytes, so an in-place
+    explicit-schema scan would read those columns as NULL — silently
+    wrong. Rewrite such datasets through ``write_version`` instead
+    (one-time cost, the honest trade Delta's CONVERT makes by
+    demanding a partition schema).
+
+    The reference pipeline (etl/load.py) re-lists its output dir every
+    run with no notion of a committed snapshot; this is the adoption
+    path from that world into the log."""
+    if versions(table_path):
+        raise ValueError(
+            f"{table_path} is already a versioned table — CONVERT only "
+            "adopts plain parquet directories"
+        )
+    rel_files: list[str] = []
+    for root, dirs, fs in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for d in dirs:
+            if "=" in d:
+                raise ValueError(
+                    f"hive-partitioned layout ({d!r} under {root}) — "
+                    "partition values live in paths, not file bytes; "
+                    "rewrite through write_version instead of CONVERT"
+                )
+        for f in fs:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            rel_files.append(os.path.relpath(os.path.join(root, f),
+                                             table_path))
+    if not rel_files:
+        raise FileNotFoundError(f"no parquet files under {table_path}")
+    rel_files.sort()
+    sess = spark or SparkSession.getActiveSession()
+    if sess is None:
+        raise RuntimeError("CONVERT needs a SparkSession to read the "
+                           "schema — pass spark=")
+    from pyspark.sql import types as T  # noqa: F401
+
+    abs_files = [_abs_file(table_path, f) for f in rel_files]
+    schema = sess.read.parquet(*abs_files).schema
+    manifest: dict = {
+        "version": 0,
+        "files": rel_files,
+        "schema": schema.json(),
+        "operation": "CONVERT",
+    }
+    if stats_col is not None:
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (  # noqa: E501
+            _footer_stats,
+        )
+
+        if stats_col not in {f.name for f in schema.fields}:
+            raise KeyError(f"stats_col '{stats_col}' not in schema")
+        manifest["stats_col"] = stats_col
+        manifest["stats"] = {
+            rel: _footer_stats(full, stats_col)
+            for rel, full in zip(rel_files, abs_files)
+        }
+    # multi-column skipping index from the same footer pass
+    manifest["col_stats"] = _collect_col_stats(table_path, rel_files,
+                                               schema)
+    os.makedirs(_manifest_path(table_path), exist_ok=True)
+    return _publish(table_path, manifest)
