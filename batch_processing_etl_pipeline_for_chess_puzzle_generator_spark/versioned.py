@@ -2500,41 +2500,72 @@ def optimize_incremental(spark: SparkSession, table_path: str,
     os.rename(staged, final)
     new_files = _list_data_files(table_path, final_dir)
 
-    manifest = {
-        "version": version,
-        "files": kept + new_files,
-        "schema": parent["schema"],
-        "operation": "OPTIMIZE (INCREMENTAL)",
-    }
-    # content-identical rewrite: constraints can't be newly violated,
-    # so they carry forward unchecked (same reasoning as COW sharing)
-    if parent.get("constraints"):
-        manifest["constraints"] = parent["constraints"]
-    if parent.get("properties"):
-        manifest["properties"] = parent["properties"]
-    # column mapping + retired physical names ride every commit that
-    # shares parent files (their physical layout is unchanged)
-    if parent.get("column_mapping"):
-        manifest["column_mapping"] = parent["column_mapping"]
-    if parent.get("retired_physical"):
-        manifest["retired_physical"] = parent["retired_physical"]
-    kept_dv = {f: s for f, s in dv.items() if f in set(kept)}
-    if kept_dv:
-        manifest["dv"] = kept_dv
-    stats_col = parent.get("stats_col")
-    if stats_col is not None and parent.get("stats") is not None:
-        stats = {f: parent["stats"].get(f) for f in kept}
-        if new_files:
-            stats.update(_file_stats(spark, table_path, new_files,
-                                     stats_col))
-        manifest["stats_col"] = stats_col
-        manifest["stats"] = stats
-    _set_col_stats(manifest, parent, table_path, kept, new_files)
-    try:
-        _publish(table_path, manifest)
-    except CommitConflict:
-        shutil.rmtree(final, ignore_errors=True)
-        raise
+    small_set = set(small)
+
+    def _build(base: dict, v: int):
+        kept = [f for f in base["files"] if f not in small_set]
+        m = {
+            "version": v,
+            "files": kept + new_files,
+            "schema": base["schema"],
+            "operation": "OPTIMIZE (INCREMENTAL)",
+        }
+        # content-identical rewrite: constraints can't be newly
+        # violated, so they carry forward unchecked (same reasoning as
+        # COW sharing)
+        if base.get("constraints"):
+            m["constraints"] = base["constraints"]
+        if base.get("properties"):
+            m["properties"] = base["properties"]
+        # column mapping + retired physical names ride every commit
+        # that shares parent files (physical layout is unchanged)
+        if base.get("column_mapping"):
+            m["column_mapping"] = base["column_mapping"]
+        if base.get("retired_physical"):
+            m["retired_physical"] = base["retired_physical"]
+        kept_dv = {f: s for f, s in _dv_map(base).items()
+                   if f in set(kept)}
+        if kept_dv:
+            m["dv"] = kept_dv
+        stats_col = base.get("stats_col")
+        if stats_col is not None and base.get("stats") is not None:
+            stats = {f: base["stats"].get(f) for f in kept}
+            if new_files:
+                stats.update(_file_stats(spark, table_path, new_files,
+                                         stats_col))
+            m["stats_col"] = stats_col
+            m["stats"] = stats
+        _set_col_stats(m, base, table_path, kept, new_files)
+        return m, kept
+
+    # OPTIMIZE conflict resolution (Delta's): compaction is
+    # data-neutral over its INPUT files, so a racing commit only truly
+    # conflicts when it touched those inputs (removed or re-vectored
+    # them — publishing would resurrect stale bytes) or changed the
+    # schema. Anything else — appends, DML on other files — REBASEs:
+    # rebuild the child manifest against the new parent and republish,
+    # keeping the compacted files already written. This is what lets a
+    # background compactor run continuously under streaming appends
+    # without caller-side retry loops.
+    manifest, kept = _build(parent, version)
+    for attempt in range(4):
+        try:
+            version = _publish(table_path, manifest)
+            break
+        except CommitConflict:
+            avail = versions(table_path)
+            winner = _load_manifest(table_path, avail[-1])
+            rebasable = (
+                attempt < 3
+                and winner.get("schema") == parent["schema"]
+                and small_set <= set(winner.get("files") or ())
+                and all(_dv_map(winner).get(f) == dv.get(f)
+                        for f in small)
+            )
+            if not rebasable:
+                shutil.rmtree(final, ignore_errors=True)
+                raise
+            manifest, kept = _build(winner, avail[-1] + 1)
     return {
         "version": version,
         "files_total": len(kept) + len(new_files),

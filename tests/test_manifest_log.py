@@ -162,3 +162,83 @@ def test_delta_roundtrip_property():
         for c in children:
             d = versioned._encode_manifest_delta(p, c, 1)
             assert versioned._apply_manifest_delta(p, d) == c, (p, c)
+
+
+def _inject_append(path, spark):
+    """Simulate a concurrent appender winning the CAS: publish an
+    append-shaped commit that shares every current file plus one
+    copied data file."""
+    import shutil
+
+    avail = versioned.versions(path)
+    par = versioned._load_manifest(path, avail[-1])
+    src = versioned._abs_file(path, par["files"][0])
+    os.makedirs(os.path.join(path, "d_99_inject"), exist_ok=True)
+    shutil.copy(src, os.path.join(path, "d_99_inject", "part-0.parquet"))
+    m = {"version": avail[-1] + 1,
+         "files": list(par["files"]) + ["d_99_inject/part-0.parquet"],
+         "schema": par["schema"], "operation": "WRITE"}
+    if par.get("properties"):
+        m["properties"] = par["properties"]
+    return versioned._publish(path, m)
+
+
+def test_optimize_rebases_over_concurrent_append(spark, tmp_path,
+                                                 monkeypatch):
+    path = str(tmp_path / "t")
+    base = spark.range(300).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v")
+    versioned.write_version(base.repartitionByRange(6, "k"), path,
+                            stats_col="k")
+    n0 = versioned.read_version(spark, path).count()
+
+    orig = versioned._publish
+    fired = {"done": False}
+
+    def racy(table_path, manifest):
+        if (manifest.get("operation") == "OPTIMIZE (INCREMENTAL)"
+                and not fired["done"]):
+            fired["done"] = True
+            _inject_append(path, spark)   # winner takes our version
+        return orig(table_path, manifest)
+
+    monkeypatch.setattr(versioned, "_publish", racy)
+    stats = versioned.optimize_incremental(spark, path,
+                                           min_file_bytes=10**9,
+                                           target_files=2)
+    assert fired["done"] and stats["version"] == 2
+    m = versioned._load_manifest(path, 2)
+    # the rebase kept the winner's appended file AND our compaction
+    assert "d_99_inject/part-0.parquet" in m["files"]
+    assert len(m["files"]) == 2 + 1
+    dup = versioned.read_version(spark, path, 1).count() - n0
+    assert versioned.read_version(spark, path).count() == n0 + dup
+
+
+def test_optimize_conflict_on_touched_inputs_raises(spark, tmp_path,
+                                                    monkeypatch):
+    """A winner that REMOVED one of the compaction's input files is a
+    true conflict — publishing would resurrect its rows."""
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.range(300).selectExpr("CAST(id AS INT) AS k",
+                                    "CONCAT('v', id) AS v")
+        .repartitionByRange(6, "k"), path, stats_col="k")
+
+    orig = versioned._publish
+    fired = {"done": False}
+
+    def racy(table_path, manifest):
+        if (manifest.get("operation") == "OPTIMIZE (INCREMENTAL)"
+                and not fired["done"]):
+            fired["done"] = True
+            versioned.delete_where(spark, path, "k < 50")  # drops file 1
+        return orig(table_path, manifest)
+
+    monkeypatch.setattr(versioned, "_publish", racy)
+    with pytest.raises(versioned.CommitConflict):
+        versioned.optimize_incremental(spark, path,
+                                       min_file_bytes=10**9,
+                                       target_files=2)
+    # the loser cleaned its staged output; the winner's delete stands
+    assert versioned.read_version(spark, path).count() == 250
