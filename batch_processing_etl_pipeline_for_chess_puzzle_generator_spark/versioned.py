@@ -2063,8 +2063,7 @@ def vacuum(table_path: str, keep_last: int = 2,
     # and DV SIDECAR files alike (a sidecar lives as long as any live
     # manifest's dv map points at it)
     referenced: set[str] = set()
-    for v in versions(table_path):
-        m = _load_manifest(table_path, v)
+    for _v, m in _iter_manifests(table_path):
         if "files" in m:
             referenced.update(m["files"])
         else:  # legacy dir-level manifest: the whole dir is live
@@ -2247,6 +2246,28 @@ def _load_manifest(table_path: str, version: int) -> dict:
         m = _apply_manifest_delta(m, delta)
     _check_features(m, table_path)
     return m
+
+
+def _iter_manifests(table_path: str, version_list: list[int] | None = None):
+    """Yield ``(version, materialized manifest)`` ascending with O(1)
+    manifest-file reads per version: a delta record whose parent is the
+    PREVIOUS yielded version applies against that already-materialized
+    manifest instead of replaying its whole chain — the metadata loops
+    (history, snapshots, vacuum refcount, CDF ranges) stay O(versions)
+    total instead of O(versions × checkpoint interval)."""
+    prev_v: int | None = None
+    prev_m: dict | None = None
+    vs = versions(table_path) if version_list is None else version_list
+    for v in vs:
+        raw = _read_raw_manifest(table_path, v)
+        _check_features(raw, table_path)
+        if prev_m is not None and raw.get("~of") == prev_v:
+            m = _apply_manifest_delta(prev_m, raw)
+            _check_features(m, table_path)
+        else:
+            m = _load_manifest(table_path, v)
+        yield v, m
+        prev_v, prev_m = v, m
 
 
 def _commit_ts(table_path: str, version: int,
@@ -2583,8 +2604,7 @@ def history(spark: SparkSession, table_path: str) -> DataFrame:
     (no data files are opened); the result is O(#versions)."""
     rows = []
     prev_files: set[str] = set()
-    for v in versions(table_path):
-        m = _load_manifest(table_path, v)
+    for v, m in _iter_manifests(table_path):
         if "files" in m:
             files = m["files"]
         else:  # legacy dir-level manifest
@@ -2618,8 +2638,7 @@ def snapshots(spark: SparkSession, table_path: str) -> DataFrame:
     reads in an audit. Pure manifest metadata, O(#versions); older
     manifests committed before operations were stamped read as NULL."""
     rows = []
-    for v in versions(table_path):
-        m = _load_manifest(table_path, v)
+    for v, m in _iter_manifests(table_path):
         if "files" in m:
             file_list = m["files"]
         else:  # legacy dir-level manifest
@@ -2832,8 +2851,8 @@ def read_changes(spark: SparkSession, table_path: str, v_from: int,
         )
     parts = []
     prev = _load_manifest(table_path, v_from) if v_from >= 0 else None
-    for v in range(v_from + 1, v_to + 1):
-        m = _load_manifest(table_path, v)
+    for v, m in _iter_manifests(table_path,
+                                list(range(v_from + 1, v_to + 1))):
         kind, entries = _change_entries(table_path, v, m, prev)
         prev = m
         if not entries:
