@@ -486,7 +486,13 @@ _RESTORE_RE = re.compile(
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+versioned\.`(?P<path>[^`]+)`"
-    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+(?P<unit>VERSIONS|HOURS))?\s*;?\s*$",
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+(?P<unit>VERSIONS|HOURS))?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_FSCK_RE = re.compile(
+    r"^\s*FSCK\s+REPAIR\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _OPTIMIZE_RE = re.compile(
@@ -526,11 +532,15 @@ def maintenance_sql(spark: SparkSession, statement: str):
         return versioned.restore_version(m["path"], int(m["v"]))
     m = _VACUUM_RE.match(statement)
     if m:
+        fn = versioned.vacuum_dry_run if m["dry"] else versioned.vacuum
         if m["unit"] and m["unit"].upper() == "HOURS":
-            return versioned.vacuum(m["path"],
-                                    retain_hours=float(m["n"]))
+            return fn(m["path"], retain_hours=float(m["n"]))
         keep = int(m["n"]) if m["n"] else 2
-        return versioned.vacuum(m["path"], keep_last=keep)
+        return fn(m["path"], keep_last=keep)
+    m = _FSCK_RE.match(statement)
+    if m:
+        return versioned.fsck_repair(spark, m["path"],
+                                     dry_run=bool(m["dry"]))
     m = _OPTIMIZE_RE.match(statement)
     if m:
         z = (m["za"], m["zb"]) if m["za"] else None
@@ -568,7 +578,8 @@ def maintenance_sql(spark: SparkSession, statement: str):
         "versioned.`/p` SET TBLPROPERTIES ('k' = 'v') | ALTER TABLE "
         "versioned.`/p` RENAME COLUMN a TO b | ALTER TABLE "
         "versioned.`/p` DROP COLUMN a | CONVERT TO VERSIONED "
-        "parquet.`/p` [STATS BY col]; "
+        "parquet.`/p` [STATS BY col] | VACUUM versioned.`/p` … DRY "
+        "RUN | FSCK REPAIR TABLE versioned.`/p` [DRY RUN]; "
         f"got: {statement!r}"
     )
 
@@ -899,12 +910,13 @@ def sql(spark: SparkSession, statement: str):
         if _CLONE_RE.match(statement):
             return shallow_clone(spark, statement)
         return create_table_as(spark, statement)
-    if head in ("RESTORE", "VACUUM", "OPTIMIZE", "DESCRIBE", "ALTER"):
+    if head in ("RESTORE", "VACUUM", "OPTIMIZE", "DESCRIBE", "ALTER",
+                "CONVERT", "FSCK"):
         return maintenance_sql(spark, statement)
     if head in ("SELECT", "WITH"):
         return spark.sql(_rewrite_versioned_refs(spark, statement))
     raise ValueError(
         f"unsupported statement keyword {head!r} — supported: MERGE, "
         "DELETE, UPDATE, INSERT, CREATE, RESTORE, VACUUM, OPTIMIZE, "
-        "DESCRIBE, SELECT, WITH"
+        "DESCRIBE, ALTER, CONVERT, FSCK, SELECT, WITH"
     )

@@ -2000,6 +2000,95 @@ def merge_version_mor(spark: SparkSession, table_path: str,
     }
 
 
+def vacuum_dry_run(table_path: str, keep_last: int = 2,
+                   retain_hours: float | None = None) -> dict:
+    """What ``vacuum`` WOULD do, touching nothing (Delta's ``VACUUM …
+    DRY RUN``): the versions that would drop, the data/sidecar/CDF
+    files that would become unreferenced, and their bytes — the number
+    an operator checks before pointing retention at a 100 TB table."""
+    avail = versions(table_path)
+    if retain_hours is not None:
+        import time
+
+        cutoff = time.time() - retain_hours * 3600.0
+        drop = [v for v in avail[:-1]
+                if _commit_ts(table_path, v) < cutoff]
+    else:
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        drop = avail[:-keep_last] if len(avail) > keep_last else []
+    dropset = set(drop)
+    kept_refs: set[str] = set()
+    dropped_refs: set[str] = set()
+    for v, m in _iter_manifests(table_path):
+        refs = set(m["files"] if "files" in m
+                   else _list_data_files(table_path, m["dir"]))
+        for sidecars in _dv_map(m).values():
+            refs.update(sidecars)
+        refs.update(m.get("cdf") or [])
+        (dropped_refs if v in dropset else kept_refs).update(refs)
+    removable = sorted(dropped_refs - kept_refs)
+    nbytes = 0
+    for f in removable:
+        try:
+            nbytes += os.path.getsize(_abs_file(table_path, f))
+        except OSError:
+            pass
+    return {"versions": drop, "files": removable, "bytes": nbytes}
+
+
+def fsck_repair(spark: SparkSession, table_path: str,
+                dry_run: bool = True) -> dict:
+    """FSCK REPAIR TABLE (Delta's analog): find manifest-referenced
+    DATA files missing from storage (out-of-band deletion, a botched
+    restore of shared storage) and — with ``dry_run=False`` — commit a
+    new version that drops the dead references so scans stop failing
+    on FileNotFound. Missing DV SIDECARS are reported but never
+    auto-repaired: dropping a deletion vector would RESURRECT deleted
+    rows — that needs a human (restore the sidecar, or OPTIMIZE the
+    affected files from a good snapshot). Row loss from dropped data
+    refs is the point of the repair and is irreversible; hence the
+    default is report-only."""
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    parent = _load_manifest(table_path, avail[-1])
+    if "files" not in parent:
+        raise ValueError("FSCK needs a file-level manifest")
+    missing = [f for f in parent["files"]
+               if not os.path.exists(_abs_file(table_path, f))]
+    dv = _dv_map(parent)
+    missing_dv = sorted({
+        s for f, sidecars in dv.items() for s in sidecars
+        if not os.path.exists(_abs_file(table_path, s))
+    })
+    out = {"version": None, "missing_files": missing,
+           "missing_sidecars": missing_dv}
+    if dry_run or not missing:
+        return out
+    surviving = [f for f in parent["files"] if f not in set(missing)]
+    manifest = dict(parent)
+    for stamp in _PER_COMMIT_KEYS:
+        manifest.pop(stamp, None)
+    manifest["version"] = avail[-1] + 1
+    manifest["files"] = surviving
+    if dv:
+        kept_dv = {f: s for f, s in dv.items() if f in set(surviving)}
+        if kept_dv:
+            manifest["dv"] = kept_dv
+        else:
+            manifest.pop("dv", None)
+    if manifest.get("stats") is not None:
+        manifest["stats"] = {f: manifest["stats"].get(f)
+                             for f in surviving}
+    if manifest.get("col_stats") is not None:
+        manifest["col_stats"] = {f: manifest["col_stats"].get(f)
+                                 for f in surviving}
+    manifest["operation"] = "FSCK REPAIR"
+    out["version"] = _publish(table_path, manifest)
+    return out
+
+
 def vacuum(table_path: str, keep_last: int = 2,
            retain_hours: float | None = None) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` versions — or,

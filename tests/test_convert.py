@@ -126,3 +126,73 @@ def test_features_stamped_and_gated(spark, tmp_path):
         versioned.read_version(spark, path, 4)
     # earlier versions stay readable
     assert versioned.read_version(spark, path, 3).count() == 99
+
+
+def test_vacuum_dry_run_reports_without_touching(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.range(100).selectExpr("CAST(id AS INT) AS k"), path)
+    versioned.write_version(
+        spark.range(50).selectExpr("CAST(id AS INT) AS k"), path)
+    versioned.write_version(
+        spark.range(25).selectExpr("CAST(id AS INT) AS k"), path)
+    rep = versioned.vacuum_dry_run(path, keep_last=1)
+    assert rep["versions"] == [0, 1]
+    assert rep["files"] and rep["bytes"] > 0
+    # nothing moved
+    assert versioned.versions(path) == [0, 1, 2]
+    for f in rep["files"]:
+        assert os.path.exists(versioned._abs_file(path, f))
+    # the real vacuum removes exactly what the dry run predicted
+    removed = versioned.vacuum(path, keep_last=1)
+    assert removed == rep["versions"]
+    for f in rep["files"]:
+        assert not os.path.exists(versioned._abs_file(path, f))
+    # SQL route returns the report dict
+    versioned.write_version(
+        spark.range(10).selectExpr("CAST(id AS INT) AS k"), path)
+    rep2 = maintenance_sql(
+        spark, f"VACUUM versioned.`{path}` RETAIN 1 VERSIONS DRY RUN")
+    assert rep2["versions"] == [2]
+
+
+def test_fsck_repair_drops_dead_refs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.range(400).selectExpr("CAST(id AS INT) AS k")
+        .repartitionByRange(4, "k"), path, stats_col="k")
+    m = versioned._load_manifest(path, 0)
+    victim = m["files"][1]
+    os.remove(versioned._abs_file(path, victim))
+    # scans now fail; dry run reports, repairs nothing
+    rep = versioned.fsck_repair(spark, path)
+    assert rep["missing_files"] == [victim] and rep["version"] is None
+    assert versioned.versions(path) == [0]
+    # repair commits a new version without the dead ref
+    rep = maintenance_sql(spark, f"FSCK REPAIR TABLE versioned.`{path}`")
+    assert rep["version"] == 1
+    m1 = versioned._load_manifest(path, 1)
+    assert victim not in m1["files"]
+    assert set(m1["stats"]) == set(m1["files"])
+    assert versioned.read_version(spark, path).count() == 300
+    # clean table: FSCK is a no-op report
+    rep = versioned.fsck_repair(spark, path, dry_run=False)
+    assert rep == {"version": None, "missing_files": [],
+                   "missing_sidecars": []}
+
+
+def test_fsck_never_repairs_missing_sidecars(spark, tmp_path):
+    """Dropping a deletion vector would resurrect deleted rows —
+    FSCK reports missing sidecars and refuses to repair them."""
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.range(200).selectExpr("CAST(id AS INT) AS k")
+        .repartitionByRange(2, "k"), path, stats_col="k")
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k = 5")
+    m = versioned._load_manifest(path, 2)
+    sidecar = next(iter(versioned._dv_map(m).values()))[0]
+    os.remove(versioned._abs_file(path, sidecar))
+    rep = versioned.fsck_repair(spark, path, dry_run=False)
+    assert rep["missing_sidecars"] == [sidecar]
+    assert rep["version"] is None           # nothing auto-repaired
