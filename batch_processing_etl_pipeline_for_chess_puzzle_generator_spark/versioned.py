@@ -1160,7 +1160,10 @@ def _predicate_cow(spark: SparkSession, table_path: str,
        driver metadata, the same planning list the MERGE path builds.
     2. Rewrite: ``rewrite(df_of_touched_files)`` produces the touched
        files' replacement rows; every other parent file is SHARED
-       byte-identically in the child manifest.
+       byte-identically in the child manifest. With
+       ``drop_fully_matched`` (DELETE), a file whose every live row
+       matched skips the rewrite entirely and is DROPPED from the
+       manifest — the metadata-only whole-file fast path.
     3. Publish through the manifest CAS (concurrent commits collide as
        ``CommitConflict``); untouched files keep their stats verbatim,
        new files get stats recomputed when the table carries a
