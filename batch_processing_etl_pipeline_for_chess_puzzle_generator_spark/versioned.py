@@ -85,13 +85,23 @@ def _high_water(table_path: str) -> int:
 
 def _list_data_files(table_path: str, data_dir: str) -> list[str]:
     """Relative paths of the parquet data files inside one data dir
-    (skips _SUCCESS / checksums / hidden files)."""
+    (skips _SUCCESS / checksums / hidden files). Recurses into
+    subdirectories — a ``partition_by`` write lays files out as
+    ``v_N/col=value/part-*.parquet``."""
     full = os.path.join(table_path, data_dir)
     out = []
     for f in sorted(os.listdir(full)):
-        if f.startswith(("_", ".")):
+        sub = os.path.join(full, f)
+        isdir = os.path.isdir(sub)
+        # markers/checksums (_SUCCESS, .crc) are skipped; hive-style
+        # partition DIRS pass even when the (duplicated) partition
+        # column name starts with an underscore
+        if f.startswith(("_", ".")) and not (isdir and "=" in f):
             continue
-        out.append(f"{data_dir}/{f}")
+        if isdir:
+            out.extend(_list_data_files(table_path, f"{data_dir}/{f}"))
+        else:
+            out.append(f"{data_dir}/{f}")
     return out
 
 
@@ -776,6 +786,7 @@ def _next_version(table_path: str, version: int | None) -> int:
 def write_version(df: DataFrame, table_path: str,
                   version: int | None = None,
                   stats_col: str | None = None,
+                  partition_by: list[str] | None = None,
                   _operation: str = "WRITE") -> int:
     """Commit ``df`` as the next (or an explicit) version of the table.
 
@@ -790,6 +801,18 @@ def write_version(df: DataFrame, table_path: str,
     The manifest records the version's parquet FILES; with
     ``stats_col`` it also records per-file [min, max] of that column,
     enabling data-skipping during ``merge_version_cow``.
+
+    ``partition_by`` writes hive-aligned files (one partition value
+    never shares a file with another) by partitioning on a DUPLICATED
+    column — the original stays in the data bytes, so the explicit-
+    schema readers need no path parsing and the layout is purely a
+    physical guarantee. The payoff is exactness, not new machinery:
+    per-file ``col_stats`` collapse to lo == hi on the partition
+    columns (pruning becomes partition pruning), and
+    ``DELETE WHERE col = value`` takes the whole-file metadata-only
+    path for every file of that partition — retention on a 100 TB
+    table as manifest arithmetic. DML rewrites land unpartitioned
+    (Delta keeps the layout; here OPTIMIZE re-clusters instead).
     """
     import shutil
 
@@ -825,7 +848,23 @@ def write_version(df: DataFrame, table_path: str,
     data_dir = f"v_{version}_{token}"
     staged = os.path.join(table_path, f"_staged_{version}_{token}")
     final = os.path.join(table_path, data_dir)
-    df.write.mode("overwrite").parquet(staged)
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise KeyError(f"partition_by columns {missing} not in "
+                           f"{df.columns}")
+        # partition on DUPLICATES so partitionBy's column-dropping
+        # never removes the real column from the data files — readers
+        # stay path-agnostic
+        dup = [f"__p_{c}" for c in partition_by]
+        out = df
+        for c, d in zip(partition_by, dup):
+            out = out.withColumn(d, F.col(c))
+        out.write.mode("overwrite").partitionBy(*dup).parquet(staged)
+    else:
+        df.write.mode("overwrite").parquet(staged)
     os.rename(staged, final)
     files = _list_data_files(table_path, data_dir)
     # CHECK constraints: enforced on the written files (one combined
@@ -842,6 +881,8 @@ def write_version(df: DataFrame, table_path: str,
     }
     if cons:
         manifest["constraints"] = cons
+    if partition_by:
+        manifest["partition_by"] = list(partition_by)
     props = table_properties(table_path)
     if props:
         manifest["properties"] = props
@@ -2184,17 +2225,17 @@ def vacuum(table_path: str, keep_last: int = 2,
                          and stem.isdigit())
         if not versioned_dir:
             continue
-        for f in list(os.listdir(full)):
-            if f.startswith(("_", ".")):
-                # marker/checksum files (_SUCCESS, .crc) are never in
-                # a manifest; leave live dirs' copies untouched —
-                # they go only when the whole dir empties below
-                continue
-            if f"{d}/{f}" not in referenced:
+        # recursive: partition_by layouts nest files under
+        # col=value subdirs — sweep file-by-file so a subdir holding
+        # BOTH referenced and dead files never gets rmtree'd whole
+        for rel in _list_data_files(table_path, d):
+            if rel not in referenced:
                 try:
-                    os.remove(os.path.join(full, f))
-                except IsADirectoryError:
-                    shutil.rmtree(os.path.join(full, f), ignore_errors=True)
+                    os.remove(os.path.join(table_path, rel))
+                except OSError:
+                    pass
+        # marker/checksum files (_SUCCESS, .crc) are never in a
+        # manifest; they go only when the whole dir empties
         if not _list_data_files(table_path, d):
             shutil.rmtree(full, ignore_errors=True)
     return drop

@@ -168,3 +168,51 @@ def test_mor_drop_equals_cow_drop(spark, tmp_path):
         versioned.delete_where(spark, a, pred)
         versioned.delete_where(spark, b, pred)
         assert _rows(spark, a) == _rows(spark, b), pred
+
+
+def test_partition_by_aligned_writes_and_metadata_delete(spark, tmp_path):
+    """write_version(partition_by=...) gives hive-aligned files (one
+    value per file, value kept IN the data bytes), col_stats collapse
+    to lo == hi on the partition column, and a whole-partition DELETE
+    is metadata-only."""
+    path = str(tmp_path / "t")
+    df = spark.range(700).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id % 7 AS INT) AS ds",
+        "CONCAT('v', id) AS v")
+    versioned.write_version(df, path, partition_by=["ds"],
+                            stats_col="k")
+    m = versioned._load_manifest(path, 0)
+    assert m["partition_by"] == ["ds"]
+    assert all("__p_ds=" in f for f in m["files"])
+    # exact alignment: every file's ds bounds collapse to a point
+    for f, per in m["col_stats"].items():
+        assert per["ds"] is not None and per["ds"][0] == per["ds"][1], f
+    got = versioned.read_version(spark, path)
+    assert got.count() == 700 and set(got.columns) == {"k", "ds", "v"}
+    assert got.filter("ds = 3").count() == 100
+    # the partition delete: zero rewrites, zero data writes
+    dirs_before = sorted(os.listdir(path))
+    stats = versioned.delete_where(spark, path, "ds = 3")
+    assert stats["files_rewritten"] == 0 and stats["files_dropped"] >= 1
+    assert sorted(os.listdir(path)) == dirs_before
+    assert versioned.read_version(spark, path).count() == 600
+    assert versioned.read_version(spark, path, 0).count() == 700
+
+
+def test_vacuum_reclaims_nested_partition_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(300).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id % 3 AS INT) AS ds")
+    versioned.write_version(df, path, partition_by=["ds"])
+    versioned.delete_where(spark, path, "ds = 1")          # drop files
+    m0 = versioned._load_manifest(path, 0)
+    m1 = versioned._load_manifest(path, 1)
+    dead = sorted(set(m0["files"]) - set(m1["files"]))
+    assert dead
+    live = list(m1["files"])
+    versioned.vacuum(path, keep_last=1)
+    for f in dead:
+        assert not os.path.exists(versioned._abs_file(path, f)), f
+    for f in live:
+        assert os.path.exists(versioned._abs_file(path, f)), f
+    assert versioned.read_version(spark, path).count() == 200
