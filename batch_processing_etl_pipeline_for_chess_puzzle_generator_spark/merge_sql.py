@@ -594,7 +594,9 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+versioned\.`(?P<path>[^`]+)`\s+AS\s+(?P<q>.+?)\s*;?\s*$",
+    r"^\s*CREATE\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
+    r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<pb>\w+(?:\s*,\s*\w+)*)\s*\))?"
+    r"\s+AS\s+(?P<q>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -782,8 +784,10 @@ def create_table_as(spark: SparkSession, statement: str) -> int:
             f"table already exists at {m['path']} — CTAS never clobbers "
             "history (use MERGE INTO or INSERT INTO)"
         )
+    pb = ([c.strip() for c in m["pb"].split(",")] if m["pb"] else None)
     return versioned.write_version(
-        spark.sql(_rewrite_versioned_refs(spark, m["q"])), m["path"]
+        spark.sql(_rewrite_versioned_refs(spark, m["q"])), m["path"],
+        partition_by=pb,
     )
 
 

@@ -992,6 +992,8 @@ class VersionedWriter(DataSourceArrowWriter):
                 manifest["column_mapping"] = parent["column_mapping"]
             if parent.get("retired_physical"):
                 manifest["retired_physical"] = parent["retired_physical"]
+            if parent.get("partition_by"):
+                manifest["partition_by"] = parent["partition_by"]
         # an APPEND shares the parent's data files, so their deletion
         # vectors must ride along or deleted rows would resurrect;
         # an overwrite starts from fresh files with no DVs

@@ -783,6 +783,24 @@ def _next_version(table_path: str, version: int | None) -> int:
     return version
 
 
+def _write_partitioned(df: DataFrame, staged: str,
+                       partition_by: list[str]) -> None:
+    """Hive-aligned staged write, partitioning on DUPLICATED columns so
+    partitionBy's column-dropping never removes the real columns from
+    the data files — readers stay path-agnostic."""
+    from pyspark.sql import functions as F
+
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise KeyError(
+            f"partition_by columns {missing} not in {df.columns}")
+    dup = [f"__p_{c}" for c in partition_by]
+    out = df
+    for c, d in zip(partition_by, dup):
+        out = out.withColumn(d, F.col(c))
+    out.write.mode("overwrite").partitionBy(*dup).parquet(staged)
+
+
 def write_version(df: DataFrame, table_path: str,
                   version: int | None = None,
                   stats_col: str | None = None,
@@ -849,20 +867,7 @@ def write_version(df: DataFrame, table_path: str,
     staged = os.path.join(table_path, f"_staged_{version}_{token}")
     final = os.path.join(table_path, data_dir)
     if partition_by:
-        from pyspark.sql import functions as F
-
-        missing = [c for c in partition_by if c not in df.columns]
-        if missing:
-            raise KeyError(f"partition_by columns {missing} not in "
-                           f"{df.columns}")
-        # partition on DUPLICATES so partitionBy's column-dropping
-        # never removes the real column from the data files — readers
-        # stay path-agnostic
-        dup = [f"__p_{c}" for c in partition_by]
-        out = df
-        for c, d in zip(partition_by, dup):
-            out = out.withColumn(d, F.col(c))
-        out.write.mode("overwrite").partitionBy(*dup).parquet(staged)
+        _write_partitioned(df, staged, partition_by)
     else:
         df.write.mode("overwrite").parquet(staged)
     os.rename(staged, final)
@@ -1153,6 +1158,8 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         manifest["column_mapping"] = parent["column_mapping"]
     if parent.get("retired_physical"):
         manifest["retired_physical"] = parent["retired_physical"]
+    if parent.get("partition_by"):
+        manifest["partition_by"] = parent["partition_by"]
     # untouched files keep their deletion vectors; rewritten files got
     # their DVs materialized into the rewrite and drop the mapping
     parent_dv = _dv_map(parent)
@@ -1337,6 +1344,8 @@ def _predicate_cow(spark: SparkSession, table_path: str,
         manifest["column_mapping"] = parent["column_mapping"]
     if parent.get("retired_physical"):
         manifest["retired_physical"] = parent["retired_physical"]
+    if parent.get("partition_by"):
+        manifest["partition_by"] = parent["partition_by"]
     parent_dv = _dv_map(parent)
     child_dv = {f: parent_dv[f] for f in untouched if f in parent_dv}
     if child_dv:
@@ -1744,6 +1753,8 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         manifest["column_mapping"] = parent["column_mapping"]
     if parent.get("retired_physical"):
         manifest["retired_physical"] = parent["retired_physical"]
+    if parent.get("partition_by"):
+        manifest["partition_by"] = parent["partition_by"]
     dv = {f: s for f, s in parent_dv.items() if f not in set(touched)}
     for f in dv_touched:
         dv[f] = sidecar_files
@@ -2004,6 +2015,8 @@ def merge_version_mor(spark: SparkSession, table_path: str,
         manifest["column_mapping"] = parent["column_mapping"]
     if parent.get("retired_physical"):
         manifest["retired_physical"] = parent["retired_physical"]
+    if parent.get("partition_by"):
+        manifest["partition_by"] = parent["partition_by"]
     dv = {f: s for f, s in parent_dv.items() if f not in set(touched)}
     for f in dv_touched:
         dv[f] = sidecar_files
@@ -2650,7 +2663,12 @@ def optimize_incremental(spark: SparkSession, table_path: str,
     staged = os.path.join(table_path, f"_staged_{version}_{token}")
     final_dir = f"d_{version}_{token}"
     final = os.path.join(table_path, final_dir)
-    compacted.write.mode("overwrite").parquet(staged)
+    if parent.get("partition_by"):
+        # re-compacted files keep the table's partition alignment, so
+        # whole-partition deletes stay metadata-only after OPTIMIZE
+        _write_partitioned(compacted, staged, parent["partition_by"])
+    else:
+        compacted.write.mode("overwrite").parquet(staged)
     os.rename(staged, final)
     new_files = _list_data_files(table_path, final_dir)
 
@@ -2677,6 +2695,8 @@ def optimize_incremental(spark: SparkSession, table_path: str,
             m["column_mapping"] = base["column_mapping"]
         if base.get("retired_physical"):
             m["retired_physical"] = base["retired_physical"]
+        if base.get("partition_by"):
+            m["partition_by"] = base["partition_by"]
         kept_dv = {f: s for f, s in _dv_map(base).items()
                    if f in set(kept)}
         if kept_dv:
@@ -3224,11 +3244,14 @@ def clone_table(src_path: str, dst_path: str,
         manifest["col_stats"] = {
             a: src["col_stats"].get(e) for a, e in zip(abs_files, entries)
         }
-    # column mapping is name-based (no file keys): copy verbatim
+    # column mapping / partition spec are name-based (no file keys):
+    # copy verbatim
     if src.get("column_mapping"):
         manifest["column_mapping"] = src["column_mapping"]
     if src.get("retired_physical"):
         manifest["retired_physical"] = src["retired_physical"]
+    if src.get("partition_by"):
+        manifest["partition_by"] = src["partition_by"]
     # deletion vectors ride the clone by ABSOLUTE reference like the
     # data files (sidecar rows key on the source files' URIs, which
     # the clone's scans render identically)

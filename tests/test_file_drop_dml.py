@@ -216,3 +216,42 @@ def test_vacuum_reclaims_nested_partition_files(spark, tmp_path):
     for f in live:
         assert os.path.exists(versioned._abs_file(path, f)), f
     assert versioned.read_version(spark, path).count() == 200
+
+
+def test_partition_spec_rides_commits_and_optimize_stays_aligned(
+        spark, tmp_path):
+    """PARTITIONED BY CTAS; the spec rides DML/appends; incremental
+    OPTIMIZE re-compacts INTO the same alignment so whole-partition
+    deletes stay metadata-only afterwards."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql as vsql
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (  # noqa: E501
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = str(tmp_path / "t")
+    spark.range(600).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id % 3 AS INT) AS ds"
+    ).createOrReplaceTempView("src_pb")
+    vsql(spark, f"CREATE TABLE versioned.`{path}` PARTITIONED BY (ds) "
+                "AS SELECT * FROM src_pb")
+    assert versioned._load_manifest(path, 0)["partition_by"] == ["ds"]
+    # an append (tiny files) + DML keep the spec in the manifest
+    spark.range(600, 650).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id % 3 AS INT) AS ds"
+    ).write.format("versioned").mode("append").option("path", path).save()
+    versioned.delete_where(spark, path, "k < 10")
+    assert versioned._load_manifest(
+        path, versioned.versions(path)[-1])["partition_by"] == ["ds"]
+    # incremental OPTIMIZE compacts the small files back ALIGNED
+    st = versioned.optimize_incremental(spark, path, target_files=1)
+    assert st["version"] is not None
+    m = versioned._load_manifest(path, st["version"])
+    for f, per in m["col_stats"].items():
+        assert per["ds"][0] == per["ds"][1], f
+    # so a whole-partition delete is STILL metadata-only post-OPTIMIZE
+    st2 = versioned.delete_where(spark, path, "ds = 2")
+    assert st2["files_rewritten"] == 0 and st2["files_dropped"] >= 1
+    got = versioned.read_version(spark, path)
+    assert got.filter("ds = 2").count() == 0
+    assert got.count() > 0
