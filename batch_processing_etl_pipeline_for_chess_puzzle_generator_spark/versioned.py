@@ -223,6 +223,21 @@ def _set_col_stats(manifest: dict, parent: dict | None, table_path: str,
         cs.update(_collect_col_stats(table_path, new_files, schema))
     if cs:
         manifest["col_stats"] = cs
+    # per-file row counts (Delta's numRecords): shared files copy the
+    # parent's entry, new files read ONE footer field — this is what
+    # makes COUNT(*) on the table metadata-only (count_rows)
+    import pyarrow.parquet as pq
+
+    prc = (parent or {}).get("row_counts") or {}
+    rc: dict = {f: prc.get(f) for f in shared_files}
+    for f in new_files:
+        try:
+            rc[f] = pq.ParquetFile(
+                _abs_file(table_path, f)).metadata.num_rows
+        except OSError:
+            rc[f] = None
+    if rc:
+        manifest["row_counts"] = rc
 
 
 def _bounds_for(manifest: dict, col: str) -> dict | None:
@@ -2141,6 +2156,9 @@ def fsck_repair(spark: SparkSession, table_path: str,
     if manifest.get("col_stats") is not None:
         manifest["col_stats"] = {f: manifest["col_stats"].get(f)
                                  for f in surviving}
+    if manifest.get("row_counts") is not None:
+        manifest["row_counts"] = {f: manifest["row_counts"].get(f)
+                                  for f in surviving}
     manifest["operation"] = "FSCK REPAIR"
     out["version"] = _publish(table_path, manifest)
     return out
@@ -2468,6 +2486,44 @@ def resolve_timestamp(table_path: str, ts) -> int:
             f"{table_path} (earliest: {_commit_ts(table_path, avail[0])})"
         )
     return best
+
+
+def count_rows(spark: SparkSession, table_path: str,
+               version: int | None = None) -> int:
+    """Exact ``SELECT COUNT(*)`` from manifest METADATA — no data scan
+    (Delta answers this from per-AddFile numRecords): sum the per-file
+    ``row_counts``, minus deletion-vectored positions counted from the
+    (tiny, O(deleted rows)) sidecars — a sidecar row is subtracted only
+    when it belongs to a file whose CURRENT vector includes that
+    sidecar, so stale positions for since-rewritten files never
+    undercount. Falls back to a real count for manifests predating the
+    index (or clones of them)."""
+    import pyarrow.parquet as pq
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    v = avail[-1] if version is None else version
+    m = _load_manifest(table_path, v)
+    rc = m.get("row_counts")
+    files = m.get("files")
+    if (files is None or rc is None
+            or any(rc.get(f) is None for f in files)):
+        return read_version(spark, table_path, v).count()
+    total = sum(rc[f] for f in files)
+    by_sidecar: dict[str, set] = {}
+    for f, sidecars in _dv_map(m).items():
+        for s in sidecars:
+            by_sidecar.setdefault(s, set()).add(f)
+    for s, fs in by_sidecar.items():
+        targets = {_abs_file(table_path, f) for f in fs}
+        col = pq.read_table(_abs_file(table_path, s),
+                            columns=["file"]).column("file")
+        total -= sum(
+            1 for u in col.to_pylist()
+            if os.path.normpath(_uri_to_path(u)) in targets
+        )
+    return total
 
 
 def read_version(spark: SparkSession, table_path: str,
@@ -3244,6 +3300,10 @@ def clone_table(src_path: str, dst_path: str,
         manifest["col_stats"] = {
             a: src["col_stats"].get(e) for a, e in zip(abs_files, entries)
         }
+    if src.get("row_counts"):
+        manifest["row_counts"] = {
+            a: src["row_counts"].get(e) for a, e in zip(abs_files, entries)
+        }
     # column mapping / partition spec are name-based (no file keys):
     # copy verbatim
     if src.get("column_mapping"):
@@ -3338,8 +3398,8 @@ def convert_to_versioned(table_path: str, stats_col: str | None = None,
             rel: _footer_stats(full, stats_col)
             for rel, full in zip(rel_files, abs_files)
         }
-    # multi-column skipping index from the same footer pass
-    manifest["col_stats"] = _collect_col_stats(table_path, rel_files,
-                                               schema)
+    # multi-column skipping index + per-file row counts from the same
+    # footer pass (count_rows works immediately on an adopted table)
+    _set_col_stats(manifest, None, table_path, [], rel_files)
     os.makedirs(_manifest_path(table_path), exist_ok=True)
     return _publish(table_path, manifest)

@@ -255,3 +255,37 @@ def test_partition_spec_rides_commits_and_optimize_stays_aligned(
     got = versioned.read_version(spark, path)
     assert got.filter("ds = 2").count() == 0
     assert got.count() > 0
+
+
+def test_count_rows_is_metadata_only_and_exact(spark, tmp_path,
+                                               monkeypatch):
+    """count_rows answers COUNT(*) from manifest row_counts minus DV
+    sidecar positions — proven metadata-only by making the scan path
+    explode, and exact across append / COW delete / whole-file drop /
+    MOR delete / OPTIMIZE / time travel."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (  # noqa: E501
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = _mk(spark, str(tmp_path / "t"))                       # 600
+    spark.range(600, 650).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v",
+        "CAST(id % 7 AS INT) AS grp"
+    ).write.format("versioned").mode("append").option("path", path).save()
+    versioned.delete_where(spark, path, "k >= 240 AND k < 250")  # COW
+    versioned.delete_where(spark, path, "k < 100")               # drop
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k >= 150 AND k < 170")  # DV
+    versioned.delete_where(spark, path, "k >= 100 AND k < 200")  # 2nd DV
+    versioned.optimize_incremental(spark, path, target_files=2)
+    expected = {v: versioned.read_version(spark, path, v).count()
+                for v in versioned.versions(path)}
+    # now prove no count goes near the data: the scan path must not run
+    def boom(*a, **k):
+        raise AssertionError("count_rows fell back to a data scan")
+    monkeypatch.setattr(versioned, "read_version", boom)
+    for v, want in expected.items():
+        assert versioned.count_rows(spark, path, v) == want, v
+    assert versioned.count_rows(spark, path) == expected[
+        versioned.versions(path)[-1]]
