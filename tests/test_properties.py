@@ -691,3 +691,48 @@ def test_mor_equals_cow_for_arbitrary_dml(spark, tmp_path_factory, steps):
     for i, vc in enumerate(vs_cow):
         vm = vs_mor[i + 1] if i else vs_mor[0]
         assert _rows(cow, vc) == _rows(mor, vm), (vc, vm)
+
+
+# --- manifest delta-log roundtrip --------------------------------------
+# encode→apply must be the identity for ANY (parent, child) manifest
+# pair — the delta log's correctness reduces entirely to this property
+# (readers materialize by replaying deltas). Shapes cover what real
+# manifests hold: scalars, dicts of scalars/lists/None (col_stats, dv,
+# properties), and string lists (files, cdf, retired_physical).
+
+_scalar = st.one_of(
+    st.integers(-10, 10), st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=6), st.booleans(), st.none(),
+)
+_value = st.one_of(
+    _scalar,
+    st.lists(st.text(min_size=1, max_size=6), max_size=6),
+    st.dictionaries(st.text(min_size=1, max_size=4),
+                    st.one_of(_scalar,
+                              st.lists(st.integers(0, 9), max_size=3)),
+                    max_size=5),
+)
+_manifest_body = st.dictionaries(
+    st.text(min_size=1, max_size=6).filter(lambda k: not k.startswith("~")),
+    _value, max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(parent_body=_manifest_body, child_body=_manifest_body,
+       depth=st.integers(1, 9))
+def test_manifest_delta_roundtrip_hypothesis(parent_body, child_body,
+                                             depth):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    parent = dict(parent_body, version=4)
+    child = dict(child_body, version=5)
+    delta = versioned._encode_manifest_delta(parent, child, depth)
+    assert versioned._apply_manifest_delta(parent, delta) == child
+    # and the record is loadable metadata: round-trips through JSON
+    import json as _json
+
+    delta2 = _json.loads(_json.dumps(delta))
+    applied = versioned._apply_manifest_delta(
+        _json.loads(_json.dumps(parent)), delta2)
+    assert applied == _json.loads(_json.dumps(child))
