@@ -2526,6 +2526,90 @@ def count_rows(spark: SparkSession, table_path: str,
     return total
 
 
+def min_max(spark: SparkSession, table_path: str, col: str,
+            version: int | None = None) -> tuple:
+    """Exact ``SELECT MIN(col), MAX(col)`` from manifest metadata when
+    that is provably safe, else one column-pruned scan. The metadata
+    answer requires: no deletion vectors on the version (a DV could
+    have removed exactly the extreme row — the same guard Spark's own
+    parquet aggregate pushdown applies to formats with row-level
+    deletes) and an exact ``col_stats`` bound for EVERY file (a None
+    entry means unindexed/NaN-tainted bounds). Footer bounds are exact
+    per file, so min(los)/max(his) is the true table extreme.
+    NULL-only or empty tables return (None, None) via the scan path
+    (stats never index NULLs)."""
+    from pyspark.sql import functions as F
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    v = avail[-1] if version is None else version
+    m = _load_manifest(table_path, v)
+    files = m.get("files")
+    bounds = _bounds_for(m, col) if files is not None else None
+    if (files and bounds is not None and not _dv_map(m)
+            and all(bounds.get(f) is not None for f in files)):
+        los = [bounds[f][0] for f in files]
+        his = [bounds[f][1] for f in files]
+        return (min(los), max(his))
+    row = (read_version(spark, table_path, v)
+           .agg(F.min(col), F.max(col)).first())
+    return (_stat_encode(row[0]), _stat_encode(row[1]))
+
+
+def partitions(spark: SparkSession, table_path: str,
+               version: int | None = None) -> DataFrame:
+    """``SHOW PARTITIONS`` analog from manifest metadata alone (no
+    data read): one row per partition-value combination with file and
+    row counts. A file is attributed to a partition when its
+    ``col_stats`` bounds collapse to a point on every partition column
+    — true for all ``partition_by``-aligned writes; files that span
+    values (unpartitioned DML rewrites before the next OPTIMIZE
+    re-clusters them) report as one ``aligned = false`` row with NULL
+    values. ``rows`` sums the per-file row counts; ``has_dv`` marks
+    partitions whose counts are upper bounds (deletion vectors
+    present). Raises on tables without a partition spec."""
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    v = avail[-1] if version is None else version
+    m = _load_manifest(table_path, v)
+    pb = m.get("partition_by")
+    if not pb:
+        raise ValueError(
+            f"{table_path} has no partition spec — write with "
+            "write_version(partition_by=...) or CREATE TABLE … "
+            "PARTITIONED BY"
+        )
+    cs = m.get("col_stats") or {}
+    rc = m.get("row_counts") or {}
+    dv = _dv_map(m)
+    agg: dict[tuple, list] = {}
+    for f in m.get("files") or []:
+        per = cs.get(f) or {}
+        vals = []
+        for c in pb:
+            b = per.get(c)
+            vals.append(b[0] if b is not None and b[0] == b[1] else None)
+        key = tuple(str(x) if x is not None else None for x in vals)
+        if any(x is None for x in key):
+            key = tuple(None for _ in pb)  # unaligned bucket
+        slot = agg.setdefault(key, [0, 0, False, all(x is not None
+                                                     for x in key)])
+        slot[0] += 1
+        n = rc.get(f)
+        slot[1] = None if (n is None or slot[1] is None) else slot[1] + n
+        slot[2] = slot[2] or f in dv
+    rows = [(*k, n_files, n_rows, has_dv, aligned)
+            for k, (n_files, n_rows, has_dv, aligned)
+            in sorted(agg.items(), key=lambda kv: tuple(
+                (x is None, x) for x in kv[0]))]
+    schema = (", ".join(f"`{c}` STRING" for c in pb)
+              + ", files BIGINT, rows BIGINT, has_dv BOOLEAN, "
+                "aligned BOOLEAN")
+    return spark.createDataFrame(rows, schema)
+
+
 def read_version(spark: SparkSession, table_path: str,
                  version: int | None = None,
                  timestamp=None) -> DataFrame:

@@ -289,3 +289,57 @@ def test_count_rows_is_metadata_only_and_exact(spark, tmp_path,
         assert versioned.count_rows(spark, path, v) == want, v
     assert versioned.count_rows(spark, path) == expected[
         versioned.versions(path)[-1]]
+
+
+def test_min_max_from_metadata_with_dv_guard(spark, tmp_path,
+                                             monkeypatch):
+    path = _mk(spark, str(tmp_path / "t"))       # k 0..599
+    assert versioned.min_max(spark, path, "k") == (0, 599)
+    versioned.delete_where(spark, path, "k >= 500")   # whole-file drop
+    # still DV-free: metadata answer, proven by poisoning the scan path
+    real_read = versioned.read_version
+
+    def boom(*a, **k):
+        raise AssertionError("min_max fell back to a scan")
+    monkeypatch.setattr(versioned, "read_version", boom)
+    assert versioned.min_max(spark, path, "k") == (0, 499)
+    monkeypatch.setattr(versioned, "read_version", real_read)
+    # a DV could have removed the extreme row: must scan, and be right
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k = 499")
+    assert versioned.min_max(spark, path, "k") == (0, 498)
+    # time travel
+    assert versioned.min_max(spark, path, "k", version=0) == (0, 599)
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(700).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id % 7 AS INT) AS ds")
+    versioned.write_version(df, path, partition_by=["ds"])
+    got = {r["ds"]: (r["files"], r["rows"], r["aligned"])
+           for r in versioned.partitions(spark, path).collect()}
+    assert set(got) == {str(i) for i in range(7)}
+    assert all(rows == 100 and aligned for _f, rows, aligned
+               in got.values())
+    # a single-partition DML rewrite stays aligned by construction
+    versioned.update_where(spark, path, {"k": "k + 10000"},
+                           "ds = 3 AND k < 10")
+    rows = versioned.partitions(spark, path).collect()
+    assert all(r["aligned"] for r in rows) and len(rows) == 7
+    # a mixed-value unpartitioned append shows as the unaligned bucket
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (  # noqa: E501
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    spark.range(700, 720).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id % 7 AS INT) AS ds"
+    ).coalesce(1).write.format("versioned").mode("append") \
+        .option("path", path).save()
+    rows = versioned.partitions(spark, path).collect()
+    un = [r for r in rows if r["ds"] is None]
+    assert len(un) == 1 and not un[0]["aligned"] and un[0]["rows"] == 20
+    with pytest.raises(ValueError, match="no partition spec"):
+        versioned.partitions(
+            spark, _mk(spark, str(tmp_path / "plain"), n=10, files=1))
