@@ -501,6 +501,10 @@ _OPTIMIZE_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+versioned\.`(?P<path>[^`]+)`\s*;?\s*$",
+    re.IGNORECASE,
+)
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+versioned\.`(?P<path>[^`]+)`\s*;?\s*$",
     re.IGNORECASE,
@@ -545,6 +549,9 @@ def maintenance_sql(spark: SparkSession, statement: str):
     if m:
         z = (m["za"], m["zb"]) if m["za"] else None
         return versioned.optimize_version(spark, m["path"], zorder_cols=z)
+    m = _DETAIL_RE.match(statement)
+    if m:
+        return versioned.describe_detail(spark, m["path"])
     m = _HISTORY_RE.match(statement)
     if m:
         return versioned.history(spark, m["path"])

@@ -813,6 +813,10 @@ def _write_partitioned(df: DataFrame, staged: str,
     out = df
     for c, d in zip(partition_by, dup):
         out = out.withColumn(d, F.col(c))
+    # cluster before partitionBy (Delta's optimized-write shape): each
+    # value lands in one task, so one file per partition value instead
+    # of one per (input task × value) — num_files stays O(partitions)
+    out = out.repartition(*[F.col(d) for d in dup])
     out.write.mode("overwrite").partitionBy(*dup).parquet(staged)
 
 
@@ -2555,6 +2559,59 @@ def min_max(spark: SparkSession, table_path: str, col: str,
     row = (read_version(spark, table_path, v)
            .agg(F.min(col), F.max(col)).first())
     return (_stat_encode(row[0]), _stat_encode(row[1]))
+
+
+def describe_detail(spark: SparkSession, table_path: str) -> DataFrame:
+    """``DESCRIBE DETAIL`` (Delta's analog): ONE row summarizing the
+    table's latest snapshot — version, commit time, file/byte totals,
+    DV'd file count, partition columns, reader features, properties,
+    constraint names, and checkpoint interval — from manifest metadata
+    alone."""
+    import datetime
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    v = avail[-1]
+    m = _load_manifest(table_path, v)
+    files = (m["files"] if "files" in m
+             else _list_data_files(table_path, m["dir"]))
+    size = 0
+    for f in files:
+        try:
+            size += os.path.getsize(_abs_file(table_path, f))
+        except OSError:
+            pass
+    rc = m.get("row_counts") or {}
+    counts = [rc.get(f) for f in files]
+    row = (
+        os.path.abspath(table_path),
+        v,
+        datetime.datetime.fromtimestamp(
+            _commit_ts(table_path, v, m), datetime.timezone.utc
+        ).replace(tzinfo=None),
+        m.get("operation"),
+        len(files),
+        size,
+        (sum(counts) if counts and all(c is not None for c in counts)
+         else None),
+        len(_dv_map(m)),
+        list(m.get("partition_by") or []),
+        list(m.get("features") or []),
+        sorted((m.get("constraints") or {}).keys()),
+        dict((m.get("properties") or {})),
+        _checkpoint_interval(m),
+        len(avail),
+    )
+    return spark.createDataFrame(
+        [row],
+        "location STRING, version INT, committed_at TIMESTAMP_NTZ, "
+        "operation STRING, num_files BIGINT, size_bytes BIGINT, "
+        "num_rows BIGINT, num_dv_files BIGINT, "
+        "partition_columns ARRAY<STRING>, features ARRAY<STRING>, "
+        "constraints ARRAY<STRING>, properties MAP<STRING, STRING>, "
+        "checkpoint_interval INT, num_versions BIGINT",
+    )
 
 
 def partitions(spark: SparkSession, table_path: str,

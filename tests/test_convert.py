@@ -196,3 +196,27 @@ def test_fsck_never_repairs_missing_sidecars(spark, tmp_path):
     rep = versioned.fsck_repair(spark, path, dry_run=False)
     assert rep["missing_sidecars"] == [sidecar]
     assert rep["version"] is None           # nothing auto-repaired
+
+
+def test_describe_detail(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.range(700).selectExpr("CAST(id AS INT) AS k",
+                                    "CAST(id % 7 AS INT) AS ds"),
+        path, partition_by=["ds"], stats_col="k")
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.add_constraint(spark, path, "k_ok", "k >= 0")
+    versioned.delete_where(spark, path, "k = 3")
+    d = maintenance_sql(
+        spark, f"DESCRIBE DETAIL versioned.`{path}`").collect()[0]
+    assert d["version"] == 3 and d["num_versions"] == 4
+    assert d["operation"] == "DELETE (DV)"
+    assert d["num_rows"] == 700          # footer counts; DV'd row still stored
+    assert d["num_dv_files"] == 1
+    assert d["partition_columns"] == ["ds"]
+    assert "deletion-vectors" in d["features"]
+    assert d["constraints"] == ["k_ok"]
+    assert d["properties"]["dv.enabled"] == "true"
+    assert d["num_files"] == 7 and d["size_bytes"] > 0
+    assert d["location"] == path and d["checkpoint_interval"] == 10
+    assert d["committed_at"] is not None
