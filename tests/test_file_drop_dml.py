@@ -343,3 +343,34 @@ def test_partitions_metadata_table(spark, tmp_path):
     with pytest.raises(ValueError, match="no partition spec"):
         versioned.partitions(
             spark, _mk(spark, str(tmp_path / "plain"), n=10, files=1))
+
+
+def test_ds_filter_partition_prunes_aligned_tables(spark, tmp_path):
+    """On a partition_by-aligned table the DS `.option("filter")` on
+    the partition column plans exactly the partition's file — stat
+    pruning IS partition pruning when bounds collapse to points —
+    and the streaming reader serves the nested layout."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (  # noqa: E501
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.range(700).selectExpr("CAST(id AS INT) AS k",
+                                    "CAST(id % 7 AS INT) AS ds"),
+        path, partition_by=["ds"])
+    got = (spark.read.format("versioned").option("path", path)
+           .option("filter", "ds = 3").load())
+    assert got.rdd.getNumPartitions() == 1    # one file per value
+    assert got.count() == 100
+    assert {r.ds for r in got.collect()} == {3}
+    # streaming read of the nested layout (one micro-batch = v0)
+    q = (spark.readStream.format("versioned").option("path", path)
+         .load().groupBy("ds").count()
+         .writeStream.format("memory").queryName("pb_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["ds"]: r["count"]
+            for r in spark.sql("SELECT * FROM pb_stream").collect()}
+    assert rows == {i: 100 for i in range(7)}
