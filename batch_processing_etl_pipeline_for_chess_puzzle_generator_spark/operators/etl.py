@@ -1174,6 +1174,74 @@ ORACLES["snapshot_dv_read"] = f"""
 """
 
 
+# ------------------------------------- partitioned retention snapshot
+# Partition-aligned lakehouse retention, end-to-end through the oracle
+# gate: orders lands as a PARTITIONED versioned table (one file per
+# o_orderpriority value — write_version(partition_by) clusters before
+# partitionBy, keeping the real column in the data bytes), then
+# "retention" drops the URGENT partition. Because every file of that
+# partition is fully matched, the DELETE takes the whole-file
+# METADATA-ONLY path (files_rewritten == 0, asserted at build — a
+# wrong rewrite would fail the fixture, a wrong drop would fail the
+# oracle hash). The read must equal DuckDB's direct rebuild of the
+# surviving rows. This is the "drop yesterday's partition for free"
+# capability (versioned.py::write_version/_predicate_cow) proven on
+# real query data, not synthetic test rows.
+_PART_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PART_CACHE:
+        return _PART_CACHE[key]
+    path = tempfile.mkdtemp(prefix="orders_partitioned_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    versioned.write_version(o, path, 0, partition_by=["o_orderpriority"])
+    stats = versioned.delete_where(
+        spark, path, "o_orderpriority = '1-URGENT'")
+    assert stats["files_rewritten"] == 0 and stats["files_dropped"] >= 1, (
+        "partition delete must be metadata-only on an aligned table"
+    )
+    _PART_CACHE[key] = path
+    return path
+
+
+def snapshot_partition_retention(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    path = _partitioned_orders_path(spark, sf_dir)
+    return (
+        versioned.read_version(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+            ).alias("total_sales"),
+        )
+    )
+
+
+QUERIES["snapshot_partition_retention"] = snapshot_partition_retention
+
+ORACLES["snapshot_partition_retention"] = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_sales
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderpriority
+"""
+
+
 # ------------------------------------------- Hilbert layout histogram
 # The Hilbert-curve twin of zorder_layout_hist: same part-table grid,
 # same histogram shape, key from functions/hilbert.py's unrolled fold
