@@ -1123,6 +1123,15 @@ def _dv_orders_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         versioned.update_where(
             spark, p, {"o_totalprice": _NEW_PRICE}, "o_orderkey % 4 = 0"
         )
+        # PARTIAL-touch delete (only the lowest-range file at every SF)
+        # then a full-touch delete: the later commit must attribute DV
+        # rows per file from its CURRENT vector while an older sidecar
+        # — still current for the untouched files — holds the touched
+        # file's stale positions (the r8 stale-sidecar bug class; this
+        # makes the DRIVER's oracle gate exercise chained-vector state)
+        versioned.delete_where(
+            spark, p, "o_orderkey < 1000 AND o_orderkey % 10 = 7")
+        versioned.delete_where(spark, p, "o_orderkey % 10 = 5")
     _DV_CACHE[key] = (mor, cow)
     return mor, cow
 
@@ -1154,7 +1163,10 @@ QUERIES["snapshot_dv_read"] = snapshot_dv_read
 
 ORACLES["snapshot_dv_read"] = f"""
     WITH survive AS (
-        SELECT * FROM orders WHERE o_orderkey % 10 != 3
+        SELECT * FROM orders
+        WHERE o_orderkey % 10 != 3
+          AND NOT (o_orderkey < 1000 AND o_orderkey % 10 = 7)
+          AND o_orderkey % 10 != 5
     ),
     final AS (
         SELECT o_orderstatus,

@@ -1542,9 +1542,17 @@ def _write_dv_sidecar(spark: SparkSession, table_path: str, version: int,
     """Write the commit's deletion-vector sidecar: the matched rows'
     (file URI, position) pairs UNIONED with the touched files' existing
     DV rows (a file's vector is always replaced whole, so each file
-    maps to exactly ONE current sidecar). New positions are disjoint
-    from old ones by construction — the discovery scan already
-    excluded DV'd rows — so no distinct is needed.
+    maps to exactly ONE current sidecar). Old rows are carried forward
+    ONLY from each file's CURRENT vector (``parent_dv[f]``, filtered
+    to that group's files): an older sidecar that is still current for
+    file g can hold STALE positions for file f, and a blanket
+    union-of-all-touched-sidecars would land f's positions twice —
+    reads tolerate that (anti-join), but every metadata consumer that
+    SUBTRACTS sidecar rows (count_rows, describe_detail, the
+    whole-file drop split) would under-count (the r8 bug). With the
+    per-vector carry-forward, positions ARE disjoint: new ones were
+    excluded by the discovery scan, old ones appear once per file —
+    so no distinct is needed.
 
     Bulk-delete physics: the write is RANGE-PARTITIONED and SORTED on
     (file, pos) — small DML stays a single task, but a delete matching
@@ -1558,14 +1566,26 @@ def _write_dv_sidecar(spark: SparkSession, table_path: str, version: int,
 
     new_rows = matched.select(F.col("__f").alias("file"),
                               F.col("__p").alias("pos"))
-    old_sidecars = sorted({s for f in touched for s in parent_dv.get(f, ())})
-    if old_sidecars:
+    # group by current vector (files touched in the same past DML share
+    # one sidecar list); each group scans ITS sidecars once, keeping
+    # only ITS files' rows — stale positions for files whose vector has
+    # since moved to a newer sidecar are left behind
+    uri_of = dict(zip(touched, touched_uris))
+    vec_groups: dict[tuple, list] = {}
+    for f in touched:
+        sidecars = tuple(parent_dv.get(f, ()))
+        if sidecars:
+            vec_groups.setdefault(sidecars, []).append(uri_of[f])
+    for sidecars, uris in vec_groups.items():
         old_rows = (
             spark.read.parquet(
-                *[_abs_file(table_path, s) for s in old_sidecars]
+                *[_abs_file(table_path, s) for s in sidecars]
             )
-            .filter(F.col("file").isin(touched_uris))
+            .filter(F.col("file").isin(uris))
             .select("file", "pos")
+            # self-heal sidecars written by the pre-fix carry-forward
+            # (which could duplicate positions); O(deleted rows) only
+            .dropDuplicates(["file", "pos"])
         )
         new_rows = new_rows.unionByName(old_rows)
     parts = max(1, min(len(touched) or 1,
@@ -1607,7 +1627,14 @@ def _split_fully_matched(spark: SparkSession, table_path: str,
     drops the old file too — every matched row's post-image is
     appended). Live totals are METADATA-only: parquet footer row
     counts minus the file's current DV rows (counted in one tiny
-    sidecar scan). Returns (dropped, dv_touched, dv_uris,
+    sidecar scan per distinct current vector). A file's DV rows are
+    attributed ONLY from the sidecars in ``parent_dv[f]`` — its
+    CURRENT vector — never from other touched files' sidecars: a
+    vector is replaced whole on each DML, so an OLDER sidecar that is
+    still current for file g can hold STALE positions for file f, and
+    counting those twice understates ``live`` and drops a file that
+    still has live rows (the r8 data-loss bug: the same guard
+    ``count_rows`` applies). Returns (dropped, dv_touched, dv_uris,
     matched-rows-in-dv_touched)."""
     import pyarrow.parquet as pq
 
@@ -1620,14 +1647,22 @@ def _split_fully_matched(spark: SparkSession, table_path: str,
     mcounts = {os.path.normpath(_uri_to_path(r["__f"])): r["count"]
                for r in matched.groupBy("__f").count().collect()}
     old_dv_counts: dict[str, int] = {}
-    old_sidecars = sorted({s for f in touched for s in parent_dv.get(f, ())})
-    if old_sidecars:
-        old_dv_counts = {
-            os.path.normpath(_uri_to_path(r["file"])): r["count"]
-            for r in spark.read.parquet(
-                *[_abs_file(table_path, s) for s in old_sidecars]
-            ).groupBy("file").count().collect()
-        }
+    # group touched files by their current vector (files touched in the
+    # same past DML share one sidecar list) — one scan per group, each
+    # file counted only where ``file == f`` inside ITS OWN sidecars
+    vec_groups: dict[tuple, set] = {}
+    for f in touched:
+        sidecars = tuple(parent_dv.get(f, ()))
+        if sidecars:
+            vec_groups.setdefault(sidecars, set()).add(
+                _abs_file(table_path, f))
+    for sidecars, targets in vec_groups.items():
+        for r in spark.read.parquet(
+            *[_abs_file(table_path, s) for s in sidecars]
+        ).groupBy("file").count().collect():
+            p = os.path.normpath(_uri_to_path(r["file"]))
+            if p in targets:
+                old_dv_counts[p] = r["count"]
     dropped, dv_touched = [], []
     for f in touched:
         absf = _abs_file(table_path, f)

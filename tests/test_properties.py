@@ -646,28 +646,37 @@ def test_markov_fold_invariants(seed):
             st.sampled_from(["delete", "update"]),
             st.integers(2, 9),       # predicate modulus
             st.integers(0, 8),       # predicate residue
+            # optional range restriction: a predicate that touches only
+            # SOME files moves their vectors to a new sidecar while the
+            # old one stays current for the rest — the stale-sidecar
+            # state the r8 data-loss bug needed (layout luck no longer
+            # decides whether the property can see it)
+            st.sampled_from([None, 40, 80]),
         ),
         min_size=1, max_size=4,
     )
 )
-@settings(**_SETTINGS)
+@settings(**dict(_SETTINGS, max_examples=12))
 def test_mor_equals_cow_for_arbitrary_dml(spark, tmp_path_factory, steps):
     """Deletion vectors are a PHYSICAL rewrite, never a semantic one:
     for an ARBITRARY sequence of predicate deletes/updates, the
     merge-on-read table must stay row-identical to the copy-on-write
-    twin at EVERY version."""
+    twin at EVERY version, and metadata count_rows must equal the real
+    read count everywhere (the r8 stale-sidecar bugs broke both)."""
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
     tmp = tmp_path_factory.mktemp("morprop")
     base = spark.range(120).selectExpr(
         "CAST(id AS INT) AS k", "CONCAT('v', id) AS v"
-    ).repartition(3)
+    ).repartitionByRange(3, "k")
     cow, mor = str(tmp / "cow"), str(tmp / "mor")
     versioned.write_version(base, cow, stats_col="k")
     versioned.write_version(base, mor, stats_col="k")
     versioned.set_table_property(mor, "dv.enabled", "true")
-    for op, m, r in steps:
+    for op, m, r, cap in steps:
         pred = f"k % {m} = {r % m}"
+        if cap is not None:
+            pred = f"k < {cap} AND {pred}"
         if op == "delete":
             versioned.delete_where(spark, cow, pred)
             versioned.delete_where(spark, mor, pred)
@@ -690,7 +699,25 @@ def test_mor_equals_cow_for_arbitrary_dml(spark, tmp_path_factory, steps):
     assert len(vs_mor) == len(vs_cow) + 1
     for i, vc in enumerate(vs_cow):
         vm = vs_mor[i + 1] if i else vs_mor[0]
-        assert _rows(cow, vc) == _rows(mor, vm), (vc, vm)
+        rows_cow, rows_mor = _rows(cow, vc), _rows(mor, vm)
+        assert rows_cow == rows_mor, (vc, vm)
+        assert versioned.count_rows(spark, cow, vc) == len(rows_cow), vc
+        assert versioned.count_rows(spark, mor, vm) == len(rows_mor), vm
+    # current vectors hold each (file, pos) exactly once — the
+    # carry-forward invariant every metadata subtraction relies on
+    import os
+
+    m_tip = versioned._load_manifest(mor, vs_mor[-1])
+    for f, sidecars in versioned._dv_map(m_tip).items():
+        absf = os.path.normpath(versioned._abs_file(mor, f))
+        pos = [
+            r["pos"]
+            for s in sidecars
+            for r in spark.read.parquet(
+                versioned._abs_file(mor, s)).collect()
+            if os.path.normpath(versioned._uri_to_path(r["file"])) == absf
+        ]
+        assert len(pos) == len(set(pos)), f
 
 
 # --- manifest delta-log roundtrip --------------------------------------

@@ -8,6 +8,13 @@ caught) every historical driver-red:
 2. ``tools/check_parity.py`` at sf0.001 — the driver's own t2 gate
    (row count + column names + order-insensitive value hash vs the
    DuckDB oracle) over the full registry.
+3. ``dv-state`` — the deletion-vector state-machine gate the r8
+   data-loss bug proved the oracle fixtures structurally cannot
+   cover (they never chain >=3 partial-touch MOR DMLs): the
+   deterministic stale-sidecar regressions in test_file_drop_dml.py
+   plus the MOR==COW hypothesis property at a FIXED seed that is
+   verified to catch the r8 bug class (seed=7 fails on the pre-fix
+   code in <7 min; both gates here run on every commit).
 
 Run before committing any new or changed ``queries()`` formulation:
 
@@ -32,6 +39,13 @@ def main() -> int:
     stages = [
         ("lint", [sys.executable, f"{REPO}/tools/lint_formulations.py"]),
         ("parity", [sys.executable, f"{REPO}/tools/check_parity.py", sf_dir]),
+        ("dv-state", [
+            sys.executable, "-m", "pytest", "-q", "--hypothesis-seed=7",
+            "tests/test_file_drop_dml.py", "-k",
+            "stale_sidecar or carry_forward or merge_with_stale "
+            "or second_delete",
+            "tests/test_properties.py::test_mor_equals_cow_for_arbitrary_dml",
+        ]),
     ]
     for name, cmd in stages:
         t0 = time.perf_counter()
