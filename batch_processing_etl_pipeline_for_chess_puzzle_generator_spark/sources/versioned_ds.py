@@ -166,18 +166,19 @@ _FILTER_IN_RE = None
 _FILTER_LIT = r"(?:'([^']*)'|(-?\d+(?:\.\d+)?))"
 
 
-def _split_and(expr: str) -> list[str]:
-    """Split on top-level AND (case-insensitive), never inside a
+def _split_on_kw(expr: str, kw: str) -> list[str]:
+    """Split on a top-level keyword (case-insensitive), never inside a
     quoted string literal."""
     import re
 
     parts, buf, in_q = [], [], False
-    tokens = re.split(r"(\s+[Aa][Nn][Dd]\s+|')", expr)
+    tokens = re.split(rf"(\s+(?i:{kw})\s+|')", expr)
     for t in tokens:
         if t == "'":
             in_q = not in_q
             buf.append(t)
-        elif not in_q and t.strip().lower() == "and" and t != t.strip():
+        elif (not in_q and t.strip().lower() == kw.lower()
+                and t != t.strip()):
             parts.append("".join(buf))
             buf = []
         else:
@@ -186,23 +187,44 @@ def _split_and(expr: str) -> list[str]:
     return [p for p in parts if p.strip()]
 
 
+def _split_and(expr: str) -> list[str]:
+    return _split_on_kw(expr, "and")
+
+
+def _strip_outer_parens(s: str) -> str:
+    """Strip ONE balanced outer paren pair (``(a AND b)`` → ``a AND b``)
+    so disjuncts may be parenthesized; ``k IN (1, 2)`` is untouched
+    because its parens don't wrap the whole expression."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth, in_q = 0, False
+        for i, ch in enumerate(s):
+            if ch == "'":
+                in_q = not in_q
+            elif not in_q and ch == "(":
+                depth += 1
+            elif not in_q and ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    return s  # closes early: not one outer pair
+        s = s[1:-1].strip()
+    return s
+
+
 def _lit_value(s: str | None, n: str | None):
     if s is not None:
         return s
     return float(n) if "." in n else int(n)
 
 
-def _parse_filter_option(expr: str, schema: StructType):
-    """Parse the ``.option("filter", …)`` grammar into a list of
-    conjuncts [(col, op, value), …]: ``expr`` is AND-of-simple
-    predicates, each ``col OP literal`` (op ∈ {=, ==, !=, <, <=, >,
-    >=}) or ``col IN (lit, lit, …)`` (op = 'in', value = list).
-    Literals are single-quoted strings or numerics; columns must
-    exist in the table schema. Anything else raises — a
-    silently-ignored filter option would read as 'pruned' when it
-    wasn't. Each conjunct prunes files independently (a file must
-    survive ALL of them), matching how real point lookups are spelled
-    (``k = 5 AND ds >= '2026-01-01'``)."""
+def _parse_conjuncts(expr: str) -> list:
+    """Parse one disjunct — an AND of simple predicates — into
+    [(col, op, value), …]. Forms: ``col OP literal`` (op ∈ {=, ==, !=,
+    <, <=, >, >=}), ``col IN (lit, lit, …)`` (op = 'in', value =
+    list), and ``col BETWEEN lit AND lit`` (desugared to >= AND <=).
+    BETWEEN's own AND is consumed here: the quote-aware AND split
+    leaves ``col BETWEEN lo`` followed by a bare ``hi`` part, which
+    are re-joined by lookahead."""
     import re
 
     global _FILTER_OPT_RE, _FILTER_IN_RE
@@ -214,13 +236,36 @@ def _parse_filter_option(expr: str, schema: StructType):
         _FILTER_IN_RE = re.compile(
             r"^\s*(?P<col>\w+)\s+[Ii][Nn]\s*\((?P<items>[^)]*)\)\s*$"
         )
+    between_re = re.compile(
+        rf"^\s*(?P<col>\w+)\s+[Bb][Ee][Tt][Ww][Ee][Ee][Nn]\s+"
+        rf"{_FILTER_LIT}\s*$"
+    )
+    lit_re = re.compile(rf"^\s*{_FILTER_LIT}\s*$")
     conjuncts = []
-    for part in _split_and(expr):
+    parts = _split_and(expr)
+    i = 0
+    while i < len(parts):
+        part = parts[i]
+        m = between_re.match(part)
+        if m:
+            hm = lit_re.match(parts[i + 1]) if i + 1 < len(parts) else None
+            if hm is None:
+                raise ValueError(
+                    f"malformed BETWEEN in filter option {part!r} — "
+                    "expected <column> BETWEEN <literal> AND <literal>")
+            col = m["col"]
+            conjuncts.append((col, ">=", _lit_value(m.group(2),
+                                                    m.group(3))))
+            conjuncts.append((col, "<=", _lit_value(hm.group(1),
+                                                    hm.group(2))))
+            i += 2
+            continue
         m = _FILTER_OPT_RE.match(part)
         if m:
             col, op = m["col"], m["op"]
             value = _lit_value(m.group(3), m.group(4))
             conjuncts.append((col, "=" if op == "==" else op, value))
+            i += 1
             continue
         m = _FILTER_IN_RE.match(part)
         if m:
@@ -237,29 +282,70 @@ def _parse_filter_option(expr: str, schema: StructType):
                         f"filter option {part!r}")
                 items.append(_lit_value(lm.group(1), lm.group(2)))
             conjuncts.append((m["col"], "in", items))
+            i += 1
             continue
         raise ValueError(
             f"unsupported filter option {part!r} — expected "
             "<column> <op> <literal> (op in = == != < <= > >=), "
-            "<column> IN (<literal>, …), or an AND of those, with "
-            "quoted-string or numeric literals"
+            "<column> IN (<literal>, …), <column> BETWEEN <literal> "
+            "AND <literal>, an AND of those, or an OR of "
+            "(optionally parenthesized) AND groups, with quoted-string "
+            "or numeric literals"
         )
-    for col, _, _ in conjuncts:
-        if col not in schema.fieldNames():
-            raise ValueError(
-                f"filter option references unknown column {col!r} "
-                f"(table has {schema.fieldNames()})"
-            )
+    if not conjuncts:
+        raise ValueError(
+            f"empty predicate group in filter option {expr!r}")
     return conjuncts
+
+
+def _parse_filter_option(expr: str, schema: StructType):
+    """Parse the ``.option("filter", …)`` grammar into disjunctive
+    normal form: a list of DISJUNCTS, each a list of conjuncts
+    [(col, op, value), …]. ``expr`` is an OR of (optionally
+    parenthesized) AND-groups of simple predicates — ``col OP lit``,
+    ``col IN (…)``, ``col BETWEEN lo AND hi``. Literals are
+    single-quoted strings or numerics; columns must exist in the table
+    schema. Anything else raises — a silently-ignored filter option
+    would read as 'pruned' when it wasn't.
+
+    Pruning semantics: each disjunct prunes files INDEPENDENTLY (a
+    file survives a disjunct only if it survives all its conjuncts);
+    the partition plan is the union of survivors — so
+    ``ds = 'a' OR ds = 'b'`` plans exactly the files of those two
+    partitions, and ``k BETWEEN 10 AND 19`` plans only the files whose
+    [min, max] overlaps the band."""
+    disjuncts = [
+        _parse_conjuncts(_strip_outer_parens(d))
+        for d in _split_on_kw(expr, "or")
+    ]
+    for conj in disjuncts:
+        for col, _, _ in conj:
+            if col not in schema.fieldNames():
+                raise ValueError(
+                    f"filter option references unknown column {col!r} "
+                    f"(table has {schema.fieldNames()})"
+                )
+    return disjuncts
 
 
 def _bounds_reject(lo, hi, op: str, value) -> bool:
     """True iff a file with [lo, hi] bounds CANNOT hold a row matching
     ``op value`` (encoded comparably). Conservative: incomparable or
-    missing bounds never reject."""
+    missing bounds never reject. DECIMAL-column bounds are stored in
+    the fixed-point encoding; a numeric probe against them is encoded
+    the same way so the lexicographic interval test stays exact."""
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
+    dec_bounds = versioned._is_decimal_stat(lo)
+
     def _enc(v):
+        if dec_bounds and isinstance(v, (int, float, str)) \
+                and not isinstance(v, bool):
+            from decimal import Decimal, InvalidOperation
+            try:
+                return versioned._encode_decimal(Decimal(str(v)))
+            except (InvalidOperation, TypeError, ValueError):
+                return None
         try:
             return versioned._stat_encode(v)
         except TypeError:
@@ -333,22 +419,41 @@ def _file_survives(path: str, col: str, op: str, value,
     return True
 
 
-def _apply_row_filter(batch, conjuncts):
-    """Row-exact application of every parsed conjunct on an Arrow
-    batch (SQL comparison semantics: NULL never matches)."""
+def _apply_row_filter(batch, dnf):
+    """Row-exact application of the parsed DNF on an Arrow batch: OR
+    over disjuncts of AND over conjuncts (SQL comparison semantics:
+    NULL never matches)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     fn = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
           "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
-    for col, op, value in conjuncts:
-        c = batch.column(batch.schema.names.index(col))
-        if op == "in":
-            mask = pc.is_in(c, value_set=pa.array(value, type=c.type))
-        else:
-            mask = fn[op](c, value)
-        batch = batch.filter(mask)
-    return batch
+
+    def _conj_mask(conjuncts):
+        mask = None
+        for col, op, value in conjuncts:
+            c = batch.column(batch.schema.names.index(col))
+            if op == "in":
+                vs = value
+                if pa.types.is_decimal(c.type):
+                    from decimal import Decimal
+                    vs = [Decimal(str(v)) for v in value]
+                m = pc.is_in(c, value_set=pa.array(vs, type=c.type))
+            else:
+                m = fn[op](c, value)
+            # NULL comparisons must NOT match (Kleene or_ would let a
+            # NULL survive an OR) — coalesce each leaf to False
+            m = pc.coalesce(m, pa.scalar(False))
+            mask = m if mask is None else pc.and_(mask, m)
+        return mask
+
+    full = None
+    for conj in dnf:
+        m = _conj_mask(conj)
+        if m is None:  # empty conjunct list: matches everything
+            return batch
+        full = m if full is None else pc.or_(full, m)
+    return batch if full is None else batch.filter(full)
 
 
 class VersionedReader(DataSourceReader):
@@ -381,14 +486,18 @@ class VersionedReader(DataSourceReader):
         #   stats_col, stats {path: [lo, hi]|None},
         #   bloom {col, bits, k, filters {path: hex}}
         self.skip_meta = skip_meta or {}
-        # parsed conjunct list [(col, op, value), …] or None; a file
-        # must survive EVERY conjunct to stay in the partition plan
+        # parsed DNF [[(col, op, value), …], …] or None; a file stays
+        # in the partition plan if ANY disjunct keeps it (all of that
+        # disjunct's conjuncts survive)
         self.row_filter = row_filter
         if row_filter:
             self.files = [
                 f for f in self.files
-                if all(_file_survives(f, col, op, value, self.skip_meta)
-                       for col, op, value in row_filter)
+                if any(
+                    all(_file_survives(f, col, op, value, self.skip_meta)
+                        for col, op, value in conj)
+                    for conj in row_filter
+                )
             ]
 
     def partitions(self):

@@ -140,14 +140,19 @@ _MAX_STATS_COLS = 32
 def _stats_eligible_cols(schema) -> list[str]:
     """Top-level columns whose min/max JSON form preserves order —
     the columns `col_stats` indexes (first ``_MAX_STATS_COLS``).
-    Binary/complex/decimal columns are excluded for the same reason
+    Binary/complex columns are excluded for the same reason
     ``_stat_encode`` rejects their values: their string form does not
-    sort like the value, and a wrong prune drops rows."""
+    sort like the value, and a wrong prune drops rows. DECIMAL is
+    eligible via the order-preserving fixed-point encoding
+    (:func:`_encode_decimal`) — warehouses key money columns as
+    DECIMAL, and skipping them would silently degrade to no-pruning
+    exactly where retention predicates live."""
     from pyspark.sql import types as T
 
     ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
           T.FloatType, T.DoubleType, T.StringType, T.DateType,
-          T.TimestampType, T.TimestampNTZType, T.BooleanType)
+          T.TimestampType, T.TimestampNTZType, T.BooleanType,
+          T.DecimalType)
     return [f.name for f in schema.fields
             if isinstance(f.dataType, ok)][:_MAX_STATS_COLS]
 
@@ -159,6 +164,8 @@ def _footer_col_stats(path: str, cols: list[str]) -> dict:
     group reports exact non-null stats of an order-preserving type;
     NaN bounds also bail (NaN sorts greatest into parquet double stats
     and defeats interval comparison)."""
+    import re
+
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -170,15 +177,34 @@ def _footer_col_stats(path: str, cols: list[str]) -> dict:
         except ValueError:
             out[col] = None
             continue
+        # DECIMAL stats need the raw path: pyarrow's statistics.min
+        # raises ArrowNotImplementedError for the decimal logical type,
+        # but min_raw/max_raw carry the unscaled integer (INT32/INT64
+        # physical) or its big-endian two's-complement bytes (FLBA) —
+        # the scale comes from the column's own parquet logical type
+        dec_scale = None
+        lt = md.schema.column(idx).logical_type
+        if str(getattr(lt, "type", "")).upper() == "DECIMAL":
+            m = re.search(r"scale=(-?\d+)", str(lt))
+            if m is None:
+                out[col] = None
+                continue
+            dec_scale = int(m.group(1))
         lo = hi = None
         bad = False
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
-            if (st is None or not st.has_min_max
-                    or st.min is None or st.max is None):
+            if st is None or not st.has_min_max:
                 bad = True
                 break
-            rmin, rmax = st.min, st.max
+            if dec_scale is not None:
+                rmin = _decimal_from_raw(st.min_raw, dec_scale)
+                rmax = _decimal_from_raw(st.max_raw, dec_scale)
+            else:
+                rmin, rmax = st.min, st.max
+            if rmin is None or rmax is None:
+                bad = True
+                break
             if any(isinstance(v, float) and v != v for v in (rmin, rmax)):
                 bad = True
                 break
@@ -192,6 +218,21 @@ def _footer_col_stats(path: str, cols: list[str]) -> dict:
         except TypeError:
             out[col] = None
     return out
+
+
+def _decimal_from_raw(raw, scale: int):
+    """Decode a parquet DECIMAL statistic from its raw physical form:
+    unscaled int (INT32/INT64) or big-endian two's-complement bytes
+    (FIXED_LEN_BYTE_ARRAY / BYTE_ARRAY)."""
+    from decimal import Decimal
+
+    if raw is None:
+        return None
+    if isinstance(raw, bytes):
+        raw = int.from_bytes(raw, "big", signed=True)
+    if not isinstance(raw, int):
+        return None
+    return Decimal(raw).scaleb(-scale)
 
 
 def _collect_col_stats(table_path: str, rel_files: list[str],
@@ -271,13 +312,65 @@ def _uri_to_path(uri: str) -> str:
     return uri
 
 
+#: Fixed-point stat encoding geometry: decimal128 caps precision at 38,
+#: so 38 integer + 38 fraction digits cover every Spark DecimalType.
+_DEC_DIGITS = 38
+
+
+def _encode_decimal(d) -> str:
+    """Order-preserving fixed-point string for DECIMAL stats: a sign
+    prefix ('0' negative < '1' non-negative) + 38 zero-padded integer
+    digits + '.' + 38 fraction digits; negative magnitudes use
+    9's-complement digits so more-negative sorts first. Lexicographic
+    order of the encoding == numeric order of the value, which is the
+    invariant every [lo, hi] interval prune relies on."""
+    from decimal import Decimal
+
+    d = Decimal(d)
+    neg = d < 0
+    s = format(abs(d), f"0{2 * _DEC_DIGITS + 1}.{_DEC_DIGITS}f")
+    if len(s) != 2 * _DEC_DIGITS + 1:  # |value| >= 10^38: can't happen
+        raise TypeError(               # for decimal128, but never guess
+            f"decimal stat {d} exceeds {_DEC_DIGITS} integer digits")
+    if neg:
+        s = "".join(c if c == "." else str(9 - int(c)) for c in s)
+        return "0" + s
+    return "1" + s
+
+
+def _is_decimal_stat(s) -> bool:
+    """True iff ``s`` is a :func:`_encode_decimal` string (78 chars:
+    sign digit + 38 digits + '.' + 38 digits)."""
+    n = 2 * _DEC_DIGITS + 2
+    return (isinstance(s, str) and len(s) == n and s[0] in "01"
+            and s[_DEC_DIGITS + 1] == "."
+            and s[1:_DEC_DIGITS + 1].isdigit()
+            and s[_DEC_DIGITS + 2:].isdigit())
+
+
+def _stat_decode(v):
+    """Inverse of the stat encoding where one exists: fixed-point
+    DECIMAL strings come back as Decimal; everything else (numbers,
+    strings, ISO date/timestamp strings) passes through unchanged."""
+    from decimal import Decimal
+
+    if not _is_decimal_stat(v):
+        return v
+    body = v[1:]
+    if v[0] == "0":
+        body = "".join(c if c == "." else str(9 - int(c)) for c in body)
+        return -Decimal(body)
+    return Decimal(body)
+
+
 def _stat_encode(v):
     """Make a min/max stat JSON-serializable AND order-preserving:
     numbers/strings pass through; date/datetime become ISO strings
     (lexicographic order == chronological order, so pruning stays
-    correct). Types whose string form does NOT preserve order
-    (Decimal, bytes) are rejected up front — a wrong silent prune
-    would drop rows from a MERGE.
+    correct); Decimal becomes the fixed-point form of
+    :func:`_encode_decimal`. Types whose string form does NOT preserve
+    order (bytes) are rejected up front — a wrong silent prune would
+    drop rows from a MERGE.
 
     Timestamps are CANONICALIZED to the DRIVER-LOCAL zone and
     rendered naive: PySpark's `collect()` (the scanning stats path
@@ -290,9 +383,12 @@ def _stat_encode(v):
     change keys. `astimezone()` with no argument converts an aware
     datetime to that same driver-local zone."""
     import datetime
+    from decimal import Decimal
 
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
+    if isinstance(v, Decimal):
+        return _encode_decimal(v)
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
             v = v.astimezone().replace(tzinfo=None)
@@ -302,7 +398,7 @@ def _stat_encode(v):
     raise TypeError(
         f"stats_col values of type {type(v).__name__} are not supported "
         "(string form is not order-preserving) — cast the column to a "
-        "numeric, string, date, or timestamp type first"
+        "numeric, string, date, decimal, or timestamp type first"
     )
 
 
@@ -820,6 +916,26 @@ def _write_partitioned(df: DataFrame, staged: str,
     out.write.mode("overwrite").partitionBy(*dup).parquet(staged)
 
 
+def _write_rewrite(df: DataFrame, staged: str, parent: dict,
+                   n_touched: int) -> None:
+    """Stage a DML rewrite/append, preserving the table's layout.
+
+    Partition-aligned tables (manifest carries ``partition_by``) keep
+    hive alignment through EVERY rewrite — Delta preserves partitioning
+    on DML; without this a predicate UPDATE would mix partition values
+    into one file and break the whole-file metadata-only path for later
+    partition deletes until an OPTIMIZE re-clustered. Unpartitioned
+    tables coalesce to the touched-file count so a DML touching k files
+    emits ~k files, not one per shuffle partition."""
+    spec = parent.get("partition_by")
+    if spec and all(c in df.columns for c in spec):
+        _write_partitioned(df, staged, spec)
+    else:
+        df.coalesce(max(1, n_touched)).write.mode(
+            "overwrite"
+        ).parquet(staged)
+
+
 def write_version(df: DataFrame, table_path: str,
                   version: int | None = None,
                   stats_col: str | None = None,
@@ -848,8 +964,9 @@ def write_version(df: DataFrame, table_path: str,
     columns (pruning becomes partition pruning), and
     ``DELETE WHERE col = value`` takes the whole-file metadata-only
     path for every file of that partition — retention on a 100 TB
-    table as manifest arithmetic. DML rewrites land unpartitioned
-    (Delta keeps the layout; here OPTIMIZE re-clusters instead).
+    table as manifest arithmetic. DML rewrites preserve the layout
+    (``_write_rewrite``), exactly as Delta does, so alignment survives
+    arbitrary predicate UPDATE/DELETE/MERGE with no OPTIMIZE needed.
     """
     import shutil
 
@@ -862,7 +979,8 @@ def write_version(df: DataFrame, table_path: str,
         ok = isinstance(
             dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                  T.FloatType, T.DoubleType, T.StringType, T.DateType,
-                 T.TimestampType, T.TimestampNTZType, T.BooleanType)
+                 T.TimestampType, T.TimestampNTZType, T.BooleanType,
+                 T.DecimalType)
         )
         if not ok:
             raise TypeError(
@@ -1126,10 +1244,9 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         merged = kept.unionByName(upserts)
     else:
         merged = upserts
-    # Rewrite granularity == touched-file count: a COW of k files must
-    # emit ~k files, not one file per shuffle partition, or the table
-    # fragments a little more on every merge.
-    merged.coalesce(max(1, len(touched))).write.mode("overwrite").parquet(staged)
+    # Rewrite granularity == touched-file count (aligned tables keep
+    # their hive layout instead — see _write_rewrite).
+    _write_rewrite(merged, staged, parent, len(touched))
     os.rename(staged, final)
     new_files = _list_data_files(table_path, final_dir)
 
@@ -1231,10 +1348,15 @@ def _predicate_cow(spark: SparkSession, table_path: str,
        ``drop_fully_matched`` (DELETE), a file whose every live row
        matched skips the rewrite entirely and is DROPPED from the
        manifest — the metadata-only whole-file fast path.
-    3. Publish through the manifest CAS (concurrent commits collide as
-       ``CommitConflict``); untouched files keep their stats verbatim,
-       new files get stats recomputed when the table carries a
-       stats column.
+    3. Publish through the manifest CAS. A racing commit confined to
+       OTHER files (blind append, disjoint DML, compaction elsewhere)
+       REBASES onto the new head and republishes — Delta's
+       WriteSerializable file-level conflict rules — while one that
+       removed/re-vectored this DML's own files, or changed schema /
+       constraints / column mapping / partition spec, raises
+       ``CommitConflict``. Untouched files keep their stats verbatim;
+       new files get stats recomputed when the table carries a stats
+       column.
 
     ``rewrite(df, schema)`` receives the SAME snapshot schema this
     function resolved (and ``validate(schema)``, when given, runs
@@ -1334,12 +1456,9 @@ def _predicate_cow(spark: SparkSession, table_path: str,
         staged = os.path.join(table_path, f"_staged_{version}_{token}")
         final_dir = f"d_{version}_{token}"
         final = os.path.join(table_path, final_dir)
-        # Rewrite granularity == touched-file count, like the MERGE
-        # path: a DML touching k files emits ~k files, not one per
-        # partition.
-        replacement.coalesce(max(1, len(touched))).write.mode(
-            "overwrite"
-        ).parquet(staged)
+        # Rewrite granularity == touched-file count; aligned tables
+        # keep their hive layout (see _write_rewrite).
+        _write_rewrite(replacement, staged, parent, len(touched))
         os.rename(staged, final)
         new_files = _list_data_files(table_path, final_dir)
 
@@ -1347,48 +1466,90 @@ def _predicate_cow(spark: SparkSession, table_path: str,
         # can introduce violations into previously-valid rows)
         _enforce_constraints(spark, table_path, new_files, cons, final)
 
-    manifest = {
-        "version": version,
-        "files": untouched + new_files,
-        "schema": schema.json(),
-        "operation": operation,
-    }
-    if cons:
-        manifest["constraints"] = cons
-    if parent.get("properties"):
-        manifest["properties"] = parent["properties"]
-    # column mapping + retired physical names ride every commit that
-    # shares parent files (their physical layout is unchanged)
-    if parent.get("column_mapping"):
-        manifest["column_mapping"] = parent["column_mapping"]
-    if parent.get("retired_physical"):
-        manifest["retired_physical"] = parent["retired_physical"]
-    if parent.get("partition_by"):
-        manifest["partition_by"] = parent["partition_by"]
     parent_dv = _dv_map(parent)
-    child_dv = {f: parent_dv[f] for f in untouched if f in parent_dv}
-    if child_dv:
-        manifest["dv"] = child_dv
-    stats_col = parent.get("stats_col")
-    if stats_col is not None and parent.get("stats") is not None:
-        stats = {f: parent["stats"].get(f) for f in untouched}
-        if new_files:
-            stats.update(
-                _file_stats(spark, table_path, new_files, stats_col)
-            )
-        manifest["stats_col"] = stats_col
-        manifest["stats"] = stats
-    _set_col_stats(manifest, parent, table_path, untouched, new_files)
-    if final_cdf is not None:
-        manifest["cdf"] = cdf_files
-    try:
-        _publish(table_path, manifest)
-    except CommitConflict:
-        if final is not None:
-            shutil.rmtree(final, ignore_errors=True)
+    own = set(touched) | set(dropped)
+
+    def _build(base: dict, v: int):
+        """Child manifest against ``base``: the DML's rewrite/drop set
+        is fixed (it was computed against the parent snapshot); every
+        OTHER base file is shared verbatim."""
+        unt = [f for f in (base.get("files") or []) if f not in own]
+        m = {
+            "version": v,
+            "files": unt + new_files,
+            "schema": schema.json(),
+            "operation": operation,
+        }
+        if cons:
+            m["constraints"] = cons
+        if base.get("properties"):
+            m["properties"] = base["properties"]
+        # column mapping + retired physical names ride every commit
+        # that shares parent files (their physical layout is unchanged)
+        if base.get("column_mapping"):
+            m["column_mapping"] = base["column_mapping"]
+        if base.get("retired_physical"):
+            m["retired_physical"] = base["retired_physical"]
+        if base.get("partition_by"):
+            m["partition_by"] = base["partition_by"]
+        base_dv = _dv_map(base)
+        child_dv = {f: base_dv[f] for f in unt if f in base_dv}
+        if child_dv:
+            m["dv"] = child_dv
+        stats_col = base.get("stats_col")
+        if stats_col is not None and base.get("stats") is not None:
+            stats = {f: base["stats"].get(f) for f in unt}
+            if new_files:
+                stats.update(
+                    _file_stats(spark, table_path, new_files, stats_col)
+                )
+            m["stats_col"] = stats_col
+            m["stats"] = stats
+        _set_col_stats(m, base, table_path, unt, new_files)
         if final_cdf is not None:
-            shutil.rmtree(final_cdf, ignore_errors=True)
-        raise
+            m["cdf"] = cdf_files
+        return m, unt
+
+    # DML conflict resolution (Delta's WriteSerializable file-level
+    # rules): the rewrite/drop decision only read the files in `own`,
+    # so a racing commit truly conflicts only when it removed or
+    # re-vectored one of THOSE files (publishing would resurrect stale
+    # bytes or double-delete), or changed the table's logical shape
+    # (schema / constraints / column mapping / partition spec).
+    # Anything else — blind appends, DML or compaction confined to
+    # OTHER files — REBASES: rebuild the child manifest against the
+    # new head and republish, keeping the already-written rewrite
+    # files. Rows a racing append added are NOT re-matched against the
+    # predicate (WriteSerializable, Delta's default isolation).
+    manifest, untouched = _build(parent, version)
+    for attempt in range(4):
+        try:
+            version = _publish(table_path, manifest)
+            break
+        except CommitConflict:
+            avail2 = versions(table_path)
+            winner = _load_manifest(table_path, avail2[-1])
+            win_dv = _dv_map(winner)
+            rebasable = (
+                attempt < 3
+                and winner.get("schema") == schema.json()
+                and winner.get("constraints") == parent.get("constraints")
+                and (winner.get("column_mapping")
+                     == parent.get("column_mapping"))
+                and (winner.get("retired_physical")
+                     == parent.get("retired_physical"))
+                and (winner.get("partition_by")
+                     == parent.get("partition_by"))
+                and own <= set(winner.get("files") or ())
+                and all(win_dv.get(f) == parent_dv.get(f) for f in own)
+            )
+            if not rebasable:
+                if final is not None:
+                    shutil.rmtree(final, ignore_errors=True)
+                if final_cdf is not None:
+                    shutil.rmtree(final_cdf, ignore_errors=True)
+                raise
+            manifest, untouched = _build(winner, avail2[-1] + 1)
     return {
         "version": version,
         "files_total": len(untouched) + len(new_files),
@@ -1774,9 +1935,7 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         updated = make_rows(matched, schema).select(
             *[f.name for f in schema.fields]
         )
-        updated.coalesce(max(1, len(touched))).write.mode(
-            "overwrite"
-        ).parquet(staged)
+        _write_rewrite(updated, staged, parent, len(touched))
         os.rename(staged, final_data)
         new_files = _list_data_files(table_path, data_dir)
         _enforce_constraints(spark, table_path, new_files, cons, final_data)
@@ -2025,9 +2184,7 @@ def merge_version_mor(spark: SparkSession, table_path: str,
         data_dir = f"d_{version}_{token}"
         staged = os.path.join(table_path, f"_staged_{version}_{token}")
         final_data = os.path.join(table_path, data_dir)
-        upserts.coalesce(max(1, len(touched))).write.mode(
-            "overwrite"
-        ).parquet(staged)
+        _write_rewrite(upserts, staged, parent, len(touched))
         os.rename(staged, final_data)
         new_files = _list_data_files(table_path, data_dir)
         _enforce_constraints(spark, table_path, new_files, cons,
@@ -2590,10 +2747,13 @@ def min_max(spark: SparkSession, table_path: str, col: str,
             and all(bounds.get(f) is not None for f in files)):
         los = [bounds[f][0] for f in files]
         his = [bounds[f][1] for f in files]
-        return (min(los), max(his))
+        # fixed-point DECIMAL stats decode back to Decimal (min/max of
+        # the encodings IS the numeric min/max — order-preserving)
+        return (_stat_decode(min(los)), _stat_decode(max(his)))
     row = (read_version(spark, table_path, v)
            .agg(F.min(col), F.max(col)).first())
-    return (_stat_encode(row[0]), _stat_encode(row[1]))
+    return (_stat_decode(_stat_encode(row[0])),
+            _stat_decode(_stat_encode(row[1])))
 
 
 def describe_detail(spark: SparkSession, table_path: str) -> DataFrame:

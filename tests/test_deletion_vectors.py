@@ -335,7 +335,7 @@ def test_ds_filter_option_prunes_partitions(spark, tmp_path):
     assert _read().count() == 1000
     # malformed / unknown-column options fail loudly
     with pytest.raises(Exception):
-        _read("k BETWEEN 1 AND 2").count()
+        _read("k LIKE 'v%'").count()
     with pytest.raises(Exception):
         _read("nope = 5").count()
     # DV interaction: filter option composes with deletion vectors

@@ -458,3 +458,75 @@ def test_dv_carry_forward_never_duplicates_positions(spark, tmp_path):
             if os.path.normpath(versioned._uri_to_path(r["file"])) == absf
         ]
         assert len(pos) == len(set(pos)), f
+
+
+def test_dml_rewrites_preserve_partition_alignment(spark, tmp_path):
+    """Delta preserves partitioning through every DML rewrite. After a
+    predicate UPDATE touches partition P's files, a whole-partition
+    DELETE — on P itself or any other partition — must STILL be
+    metadata-only (files_rewritten == 0), with no OPTIMIZE between."""
+    path = str(tmp_path / "t")
+    df = spark.range(700).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id % 7 AS INT) AS ds",
+        "CONCAT('v', id) AS v")
+    versioned.write_version(df, path, partition_by=["ds"], stats_col="k")
+
+    # UPDATE touches rows inside partitions 2 and 4 (k%7 in {2,4} when
+    # k%14 selects them) — the rewrite must land hive-aligned
+    st_up = versioned.update_where(
+        spark, path, {"v": "CONCAT('upd', k)"}, "k % 14 = 2")
+    assert st_up["files_rewritten"] >= 1
+    m = versioned._load_manifest(path, st_up["version"])
+    assert m["partition_by"] == ["ds"]
+    # every file (shared AND rewritten) still holds exactly one ds value
+    for f, per in m["col_stats"].items():
+        assert per["ds"] is not None and per["ds"][0] == per["ds"][1], f
+
+    # whole-partition delete on the partition the UPDATE touched
+    st2 = versioned.delete_where(spark, path, "ds = 2")
+    assert st2["files_rewritten"] == 0 and st2["files_dropped"] >= 1
+    # and on an untouched partition
+    st3 = versioned.delete_where(spark, path, "ds = 5")
+    assert st3["files_rewritten"] == 0 and st3["files_dropped"] >= 1
+
+    got = versioned.read_version(spark, path)
+    assert got.filter("ds IN (2, 5)").count() == 0
+    assert got.count() == 500
+    assert got.filter("v LIKE 'upd%'").count() == 0  # ds=2 rows deleted
+
+    # MERGE keeps alignment too
+    ch = spark.range(50).selectExpr(
+        "CAST(id * 7 AS INT) AS k", "CAST(0 AS INT) AS ds",
+        "CONCAT('m', id) AS v", "false AS is_delete")
+    versioned.merge_version_cow(spark, path, ch, "k")
+    m2 = versioned._load_manifest(path, versioned.versions(path)[-1])
+    for f, per in m2["col_stats"].items():
+        assert per["ds"][0] == per["ds"][1], f
+    st4 = versioned.delete_where(spark, path, "ds = 0")
+    assert st4["files_rewritten"] == 0 and st4["files_dropped"] >= 1
+
+
+def test_mor_appends_preserve_partition_alignment(spark, tmp_path):
+    """MOR UPDATE post-images and MOR MERGE upserts land hive-aligned
+    on partitioned tables, so partition retention stays metadata-only
+    on dv.enabled tables as well."""
+    path = str(tmp_path / "t")
+    df = spark.range(300).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id % 3 AS INT) AS ds",
+        "CONCAT('v', id) AS v")
+    versioned.write_version(df, path, partition_by=["ds"])
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.update_where_mor(
+        spark, path, {"v": "CONCAT('u', k)"}, "k % 6 = 1")
+    ch = spark.range(20).selectExpr(
+        "CAST(id * 9 AS INT) AS k", "CAST(id % 3 AS INT) AS ds",
+        "CONCAT('m', id) AS v", "false AS is_delete")
+    versioned.merge_version_mor(spark, path, ch, "k")
+    m = versioned._load_manifest(path, versioned.versions(path)[-1])
+    assert m["partition_by"] == ["ds"]
+    for f, per in m["col_stats"].items():
+        assert per["ds"] is not None and per["ds"][0] == per["ds"][1], f
+    st = versioned.delete_where(spark, path, "ds = 2")
+    assert st["files_rewritten"] == 0 and st["files_dropped"] >= 1
+    got = versioned.read_version(spark, path)
+    assert got.filter("ds = 2").count() == 0

@@ -358,9 +358,11 @@ def test_cow_null_delete_flag_is_upsert(spark, tmp_path):
     assert got[3] == "upd" and len(got) == 10
 
 
-def test_stats_col_date_supported_decimal_rejected(spark, tmp_path):
-    """Date stats serialize as ISO strings (order-preserving) and still
-    prune; decimal stats are rejected BEFORE any data is written."""
+def test_stats_col_date_and_decimal_supported_binary_rejected(
+        spark, tmp_path):
+    """Date stats serialize as ISO strings, decimal stats as the
+    order-preserving fixed-point form — both prune; BINARY stats are
+    rejected BEFORE any data is written."""
     import pytest as _pytest
 
     path = str(tmp_path / "tbl")
@@ -379,17 +381,28 @@ def test_stats_col_date_supported_decimal_rejected(spark, tmp_path):
     got = {str(r.d): r.m for r in
            versioned.read_version(spark, path, 1).collect()}
     assert got["2024-08-01"] == 99 and len(got) == 8
-    # decimal rejected up front: nothing staged, nothing committed
+    # decimal accepted: fixed-point encoded, order-preserving
     dec_path = str(tmp_path / "dec")
-    dec = spark.createDataFrame([(1,)], "k INT").selectExpr(
-        "CAST(k AS DECIMAL(10,2)) AS k"
+    dec = spark.createDataFrame([(i,) for i in range(8)], "k INT") \
+        .selectExpr("CAST(k - 4 AS DECIMAL(10,2)) AS k") \
+        .repartitionByRange(4, "k")
+    versioned.write_version(dec, dec_path, stats_col="k")
+    dm = versioned._load_manifest(dec_path, 0)
+    spans = sorted(dm["stats"].values())
+    assert all(versioned._is_decimal_stat(s[0]) for s in spans)
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi < blo  # encoded order == numeric order
+    # binary rejected up front: nothing staged, nothing committed
+    bin_path = str(tmp_path / "bin")
+    binv = spark.createDataFrame([(1,)], "k INT").selectExpr(
+        "CAST(CAST(k AS STRING) AS BINARY) AS k"
     )
     with _pytest.raises(TypeError, match="not order-preserving"):
-        versioned.write_version(dec, dec_path, stats_col="k")
-    assert versioned.versions(dec_path) == []
+        versioned.write_version(binv, bin_path, stats_col="k")
+    assert versioned.versions(bin_path) == []
     import os as _os
-    assert not _os.path.exists(dec_path) or not [
-        d for d in _os.listdir(dec_path) if d.startswith(("v_", "_staged_"))
+    assert not _os.path.exists(bin_path) or not [
+        d for d in _os.listdir(bin_path) if d.startswith(("v_", "_staged_"))
     ]
 
 
@@ -428,22 +441,24 @@ def test_cow_merge_nan_stats_never_prune(spark, tmp_path):
     assert vals == ["upd"]  # exactly once — no duplicate from a bad prune
 
 
-def test_cow_merge_decimal_key_without_stats_works(spark, tmp_path):
-    """A non-whitelisted key type must still merge when the parent has
-    no stats — pruning is just skipped (regression: unconditional
-    _stat_encode raised TypeError)."""
+def test_cow_merge_decimal_key_prunes_and_merges(spark, tmp_path):
+    """DECIMAL merge keys stat-prune via the fixed-point col_stats
+    encoding AND merge correctly (pre-r9 they were unindexed and every
+    file was a candidate)."""
     path = str(tmp_path / "tbl")
-    base = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING") \
-        .selectExpr("CAST(k AS DECIMAL(10,2)) AS k", "v")
-    versioned.write_version(base, path)  # no stats_col
+    base = spark.range(100).selectExpr(
+        "CAST(id AS DECIMAL(10,2)) AS k", "CONCAT('v', id) AS v"
+    ).repartitionByRange(4, "k")
+    versioned.write_version(base, path)  # no stats_col: col_stats only
     ch = spark.createDataFrame([(2, "upd", False)],
                                "k INT, v STRING, is_delete BOOLEAN") \
         .selectExpr("CAST(k AS DECIMAL(10,2)) AS k", "v", "is_delete")
     stats = versioned.merge_version_cow(spark, path, ch, "k")
-    assert stats["files_pruned_by_stats"] == 0
+    assert stats["files_pruned_by_stats"] >= 3
+    assert stats["files_rewritten"] == 1
     got = {str(r.k): r.v for r in
            versioned.read_version(spark, path, 1).collect()}
-    assert got["2.00"] == "upd" and len(got) == 2
+    assert got["2.00"] == "upd" and len(got) == 100
 
 
 def test_publish_cas_rejects_concurrent_commit(spark, tmp_path):
@@ -1867,3 +1882,105 @@ def test_overwrite_conflict_still_raises(spark, tmp_path, monkeypatch):
         w.commit([_WrotePart(filename="part-b.parquet", n_rows=1)])
     got = [tuple(r) for r in versioned.read_version(spark, path).collect()]
     assert got == [(9, "A")]  # the interleaved winner stays latest
+
+
+def test_concurrent_disjoint_dml_both_commit(spark, tmp_path,
+                                             monkeypatch):
+    """File-level DML conflict resolution (Delta WriteSerializable):
+    two predicate DELETEs whose touched files are DISJOINT both
+    commit — the CAS loser rebases onto the winner's manifest and
+    republishes its already-written rewrite. A barrier inside
+    _publish forces both discoveries to complete before either
+    publishes, so the race is deterministic."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(600).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v"
+    ).repartitionByRange(6, "k")
+    versioned.write_version(df, path, stats_col="k")
+
+    real = versioned._publish
+    bar = threading.Barrier(2, timeout=120)
+    lock = threading.Lock()
+    calls = []
+
+    def gated(tp, m):
+        with lock:
+            n = len(calls)
+            calls.append(1)
+        if n < 2:  # gate only each thread's FIRST publish attempt
+            bar.wait()
+        return real(tp, m)
+
+    monkeypatch.setattr(versioned, "_publish", gated)
+    errs, stats = [], {}
+
+    def _delete(tag, pred):
+        try:
+            stats[tag] = versioned.delete_where(spark, path, pred)
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errs.append(e)
+
+    # k<150 touches files 1-2; k>=450 touches files 5-6: disjoint
+    threads = [threading.Thread(target=_delete, args=("a", "k < 150")),
+               threading.Thread(target=_delete, args=("b", "k >= 450"))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert errs == []
+    assert stats["a"]["version"] is not None
+    assert stats["b"]["version"] is not None
+    assert sorted(versioned.versions(path)) == [0, 1, 2]
+    rows = sorted(r.k for r in versioned.read_version(spark, path).collect())
+    assert rows == list(range(150, 450))  # both deletes applied
+
+
+def test_concurrent_overlapping_dml_conflicts(spark, tmp_path,
+                                              monkeypatch):
+    """The rebase must NOT extend to overlapping DML: when both
+    predicates touch the SAME file, the CAS loser raises
+    CommitConflict (publishing would double-delete / resurrect)."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(600).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v"
+    ).repartitionByRange(6, "k")
+    versioned.write_version(df, path, stats_col="k")
+
+    real = versioned._publish
+    bar = threading.Barrier(2, timeout=120)
+    lock = threading.Lock()
+    calls = []
+
+    def gated(tp, m):
+        with lock:
+            n = len(calls)
+            calls.append(1)
+        if n < 2:
+            bar.wait()
+        return real(tp, m)
+
+    monkeypatch.setattr(versioned, "_publish", gated)
+    errs = []
+
+    def _delete(pred):
+        try:
+            versioned.delete_where(spark, path, pred)
+        except versioned.CommitConflict as e:
+            errs.append(e)
+
+    # both predicates hit file 1 (k 0..99)
+    threads = [threading.Thread(target=_delete, args=("k < 50",)),
+               threading.Thread(target=_delete, args=("k < 80",))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert len(errs) == 1  # exactly one loser, loudly
+    assert sorted(versioned.versions(path)) == [0, 1]
+    # the surviving table reflects exactly ONE of the deletes
+    n = versioned.read_version(spark, path).count()
+    assert n in (550, 520)
