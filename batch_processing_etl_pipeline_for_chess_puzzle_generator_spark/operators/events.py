@@ -3704,3 +3704,56 @@ ORACLES["ev_attribution_markov"] = f"""
                     AS DOUBLE), 0) * 1e6) AS BIGINT) AS attribution_ppm
     FROM eff2
 """
+
+
+# --------------------------------------------------------------------------
+# Daily event-type diversity — the mix-shift monitor an operator
+# watches next to raw volumes: a traffic incident that collapses the
+# event mix to one type moves this long before volume does. Simpson's
+# diversity (1 − Σ p_i²) instead of Shannon entropy BECAUSE it is
+# exact integer math on the ppm grid (Σc², n² — no engine libm log
+# whose last-ulp could differ between engines); top-type share rides
+# along. One shuffle to (day, type) counts, then a tiny per-day
+# re-aggregation — identical shape at any scale.
+def ev_type_diversity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("day")
+        .agg(
+            F.expr("SUM(c)").alias("n_events"),
+            F.expr("COUNT(*)").alias("n_types"),
+            F.expr("SUM(c * c)").alias("ss"),
+            F.expr("MAX(c)").alias("top_c"),
+        )
+        .selectExpr(
+            "day", "n_events", "n_types",
+            "CAST(1000000 - 1000000 * ss DIV (n_events * n_events) "
+            "AS BIGINT) AS simpson_ppm",
+            "CAST(1000000 * top_c DIV n_events AS BIGINT) "
+            "AS top_share_ppm",
+        )
+    )
+
+
+QUERIES["ev_type_diversity_daily"] = ev_type_diversity_daily
+
+ORACLES["ev_type_diversity_daily"] = """
+    WITH counts AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(1000000 - 1000000 * SUM(c * c)
+               // (SUM(c) * SUM(c)) AS BIGINT) AS simpson_ppm,
+           CAST(1000000 * MAX(c) // SUM(c) AS BIGINT) AS top_share_ppm
+    FROM counts
+    GROUP BY day
+"""

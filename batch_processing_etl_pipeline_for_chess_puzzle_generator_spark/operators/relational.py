@@ -3132,3 +3132,173 @@ ORACLES["stat_orders_mannwhitney"] = f"""
                * CAST(n_a + n_b - 1 AS DOUBLE)))) * 1e3) AS BIGINT) AS z_m
     FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test (URGENT vs LOW order totals) — the
+# distribution-shape sibling of the Mann-Whitney location test: D =
+# sup|F_A - F_B| over the pooled support. Same at-scale discipline as
+# the M-W twin: ECDFs come from the VALUE HISTOGRAM (one shuffle, then
+# a window over distinct cents values — never a global row rank), and
+# the statistic is exact integer math to the end: the max is taken over
+# |cumA·nB - cumB·nA| (common denominator nA·nB), so no float enters
+# until never — D is reported on the ppm grid by integer division.
+# Totals ride a broadcast one-row aggregate.
+_KS_A = "'1-URGENT'"
+_KS_B = "'5-LOW'"
+
+
+def stat_orders_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    hist = (
+        o.filter(f"o_orderpriority IN ({_KS_A}, {_KS_B})")
+        .selectExpr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS v",
+            f"CASE WHEN o_orderpriority = {_KS_A} THEN 1 ELSE 0 END "
+            "AS in_a",
+        )
+        .groupBy("v")
+        .agg(
+            F.expr("SUM(in_a)").alias("na_v"),
+            F.expr("SUM(1 - in_a)").alias("nb_v"),
+        )
+    )
+    w = "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    cum = hist.selectExpr(
+        "v",
+        f"SUM(na_v) OVER ({w}) AS ca",
+        f"SUM(nb_v) OVER ({w}) AS cb",
+    )
+    tots = hist.agg(F.expr("SUM(na_v)").alias("n_a"),
+                    F.expr("SUM(nb_v)").alias("n_b"))
+    diffs = cum.crossJoin(broadcast(tots)).selectExpr(
+        "v", "n_a", "n_b", "abs(ca * n_b - cb * n_a) AS diff")
+    peak = diffs.groupBy("n_a", "n_b").agg(
+        F.expr("MAX(diff)").alias("max_diff"))
+    return (
+        diffs.join(broadcast(peak), ["n_a", "n_b"])
+        .filter("diff = max_diff")
+        .groupBy("n_a", "n_b", "max_diff")
+        .agg(F.expr("MIN(v)").alias("d_at_cents"))
+        .selectExpr(
+            "n_a", "n_b",
+            "CAST(1000000 * max_diff DIV (n_a * n_b) AS BIGINT) AS d_ppm",
+            "d_at_cents",
+        )
+    )
+
+
+QUERIES["stat_orders_ks"] = stat_orders_ks
+
+ORACLES["stat_orders_ks"] = f"""
+    WITH hist AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v,
+               SUM(CASE WHEN o_orderpriority = {_KS_A} THEN 1 ELSE 0 END)
+                   AS na_v,
+               SUM(CASE WHEN o_orderpriority = {_KS_B} THEN 1 ELSE 0 END)
+                   AS nb_v
+        FROM orders
+        WHERE o_orderpriority IN ({_KS_A}, {_KS_B})
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT v,
+               SUM(na_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS ca,
+               SUM(nb_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cb
+        FROM hist
+    ),
+    tots AS (
+        SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+               CAST(SUM(nb_v) AS BIGINT) AS n_b
+        FROM hist
+    ),
+    diffs AS (
+        SELECT v, n_a, n_b,
+               CAST(abs(ca * n_b - cb * n_a) AS BIGINT) AS diff
+        FROM cum, tots
+    ),
+    peak AS (
+        SELECT n_a, n_b, MAX(diff) AS max_diff FROM diffs GROUP BY 1, 2
+    )
+    SELECT d.n_a, d.n_b,
+           CAST(1000000 * p.max_diff // (d.n_a * d.n_b) AS BIGINT)
+               AS d_ppm,
+           CAST(MIN(d.v) AS BIGINT) AS d_at_cents
+    FROM diffs d JOIN peak p
+      ON d.n_a = p.n_a AND d.n_b = p.n_b AND d.diff = p.max_diff
+    GROUP BY d.n_a, d.n_b, p.max_diff
+"""
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer revenue concentration, PER NATION — the
+# inequality-curve sibling of part_type_hhi (share-squared) and
+# abc_parts_revenue (Pareto classes). Per-nation windows partition the
+# rank cleanly (no global sort at any scale); revenue lives on the
+# BIGINT cents grid and G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) is exact
+# integer math until the final ppm division. Ties rank
+# deterministically by (revenue, custkey). Covers transacting
+# customers (inner join: a customer with no orders has no revenue
+# observation).
+def orders_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "
+            "AS BIGINT)").alias("x"))
+    )
+    ranked = rev.selectExpr(
+        "n_name", "x",
+        "ROW_NUMBER() OVER (PARTITION BY n_name "
+        "ORDER BY x, c_custkey) AS i",
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.expr("COUNT(*)").alias("n_cust"),
+            F.expr("SUM(x)").alias("total_cents"),
+            F.expr("SUM(i * x)").alias("ix"),
+        )
+        .selectExpr(
+            "n_name", "n_cust", "total_cents",
+            "CAST((2 * ix - (n_cust + 1) * total_cents) * 1000000 "
+            "DIV (n_cust * total_cents) AS BIGINT) AS gini_ppm",
+        )
+    )
+
+
+QUERIES["orders_gini_by_nation"] = orders_gini_by_nation
+
+ORACLES["orders_gini_by_nation"] = """
+    WITH rev AS (
+        SELECT n_name, c_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                   AS BIGINT) AS x
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT n_name, x,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                   ORDER BY x, c_custkey) AS i
+        FROM rev
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(x) AS BIGINT) AS total_cents,
+           CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
+               // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_ppm
+    FROM ranked
+    GROUP BY n_name
+"""

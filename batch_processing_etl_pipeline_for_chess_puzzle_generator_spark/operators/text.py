@@ -2549,3 +2549,57 @@ def _bpe_encode_oracle(rounds: int) -> str:
 
 
 ORACLES["doc_bpe_encode"] = _bpe_encode_oracle(_BPE_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# Per-source lexical diversity: type-token ratio + hapax-legomena rate
+# — the corpus-health dials next to doc_zipf_slope (a crawler stuck in
+# boilerplate drives TTR down; OCR noise drives hapax up). The working
+# set after the first shuffle is (source, word) DISTINCT pairs — the
+# same bounded vocabulary discipline as the BPE trainer — and every
+# ratio is exact integer ppm.
+def doc_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(F.expr(_WORDS)).alias("w"))
+        .filter("w <> ''")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.expr("SUM(c)").alias("n_words"),
+            F.expr("COUNT(*)").alias("n_distinct"),
+            F.expr("SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)")
+            .alias("n_hapax"),
+        )
+        .selectExpr(
+            "source", "n_words", "n_distinct", "n_hapax",
+            "CAST(1000000 * n_distinct DIV n_words AS BIGINT) AS ttr_ppm",
+            "CAST(1000000 * n_hapax DIV n_distinct AS BIGINT) "
+            "AS hapax_ppm",
+        )
+    )
+
+
+QUERIES["doc_ttr_hapax"] = doc_ttr_hapax
+
+ORACLES["doc_ttr_hapax"] = f"""
+    WITH wc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest({_WORDS_DUCK}) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(1000000 * COUNT(*) // SUM(c) AS BIGINT) AS ttr_ppm,
+           CAST(1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+               // COUNT(*) AS BIGINT) AS hapax_ppm
+    FROM wc
+    GROUP BY source
+"""
