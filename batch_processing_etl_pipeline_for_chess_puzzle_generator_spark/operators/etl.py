@@ -1384,3 +1384,89 @@ ORACLES["agg_incremental_cdf"] = f"""
            count(*) AS n_orders
     FROM v1 GROUP BY 1
 """
+
+
+# ------------------------- generated-column hidden-partition retention
+# snapshot_partition_retention's r9 successor, composing three
+# capabilities into one oracle-gated proof: (1) o_month is GENERATED
+# ALWAYS AS date_trunc('month', o_orderdate) — computed at write, never
+# supplied; (2) the table is partition_by'd on that generated column
+# (hidden partitioning: users query o_orderdate, retention runs on
+# o_month); (3) a predicate UPDATE rewrites touched files ALIGNED and
+# RECOMPUTES the generated column, so the month-drop DELETE that
+# follows is still METADATA-ONLY (files_rewritten == 0 asserted at
+# build — the r8 gap where one UPDATE broke retention until OPTIMIZE).
+# The surviving read must equal DuckDB's direct rebuild (update
+# applied, first month removed).
+_GEN_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+_GEN_MONTH = "CAST(date_trunc('month', o_orderdate) AS DATE)"
+
+
+def _generated_orders_path(spark: SparkSession, sf_dir: str) -> tuple:
+    import atexit
+    import shutil
+    import tempfile
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _GEN_CACHE:
+        return _GEN_CACHE[key]
+    path = tempfile.mkdtemp(prefix="orders_generated_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    versioned.write_version(
+        o, path, 0,
+        generated={"o_month": _GEN_MONTH},
+        partition_by=["o_month"],
+    )
+    st_up = versioned.update_where(
+        spark, path, {"o_orderstatus": "'X'"}, "o_orderkey % 97 = 0")
+    assert st_up["files_rewritten"] >= 1, "update must touch files"
+    first = versioned.read_version(spark, path).agg(
+        F.expr("CAST(MIN(o_month) AS STRING)")).first()[0]
+    stats = versioned.delete_where(spark, path,
+                                   f"o_month = DATE '{first}'")
+    assert stats["files_rewritten"] == 0 and stats["files_dropped"] >= 1, (
+        "month drop must stay metadata-only after the aligned UPDATE"
+    )
+    _GEN_CACHE[key] = (path, first)
+    return _GEN_CACHE[key]
+
+
+def snapshot_generated_retention(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    path, _ = _generated_orders_path(spark, sf_dir)
+    return (
+        versioned.read_version(spark, path)
+        .groupBy("o_month", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+            ).alias("total_sales"),
+        )
+    )
+
+
+QUERIES["snapshot_generated_retention"] = snapshot_generated_retention
+
+ORACLES["snapshot_generated_retention"] = f"""
+    WITH upd AS (
+        SELECT {_GEN_MONTH} AS o_month,
+               CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders
+    )
+    SELECT o_month, o_orderstatus,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_sales
+    FROM upd
+    WHERE o_month <> (SELECT MIN(o_month) FROM upd)
+    GROUP BY o_month, o_orderstatus
+"""

@@ -1103,6 +1103,8 @@ class VersionedWriter(DataSourceArrowWriter):
                 manifest["retired_physical"] = parent["retired_physical"]
             if parent.get("partition_by"):
                 manifest["partition_by"] = parent["partition_by"]
+            if parent.get("generated"):
+                manifest["generated"] = parent["generated"]
         # an APPEND shares the parent's data files, so their deletion
         # vectors must ride along or deleted rows would resurrect;
         # an overwrite starts from fresh files with no DVs

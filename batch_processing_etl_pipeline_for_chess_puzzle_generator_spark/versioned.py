@@ -694,6 +694,40 @@ def _table_constraints(table_path: str) -> dict:
     return _load_manifest(table_path, avail[-1]).get("constraints") or {}
 
 
+def _gen_checks(manifest: dict) -> dict:
+    """GENERATED ALWAYS AS write invariants as CHECK expressions. Delta
+    enforces generated columns exactly this way: a writer MAY supply
+    the column, but every supplied value must equal the generation
+    expression (NULL-safe, so a NULL source generating NULL passes).
+    Merged into the commit-time check set, never stored as table
+    constraints."""
+    return {f"generated:{c}": f"{c} <=> ({e})"
+            for c, e in (manifest.get("generated") or {}).items()}
+
+
+def _apply_generated(df: DataFrame, generated: dict, schema=None):
+    """(Re)compute generated columns: missing ones are added, existing
+    ones are REPLACED by their expression (the UPDATE-rewrite path —
+    Delta recomputes generated columns when their sources change).
+    With ``schema``, results cast to the declared type."""
+    from pyspark.sql import functions as F
+
+    for c, e in (generated or {}).items():
+        col = F.expr(e)
+        if schema is not None and c in schema.fieldNames():
+            col = col.cast(schema[c].dataType)
+        df = df.withColumn(c, col)
+    return df
+
+
+def _table_generated(table_path: str) -> dict:
+    """{col: sql_expr} generated-column spec on the latest manifest."""
+    avail = versions(table_path)
+    if not avail:
+        return {}
+    return _load_manifest(table_path, avail[-1]).get("generated") or {}
+
+
 def _enforce_constraints(spark: SparkSession, table_path: str,
                          new_files: list[str], constraints: dict,
                          cleanup_dir: str | None) -> None:
@@ -940,8 +974,24 @@ def write_version(df: DataFrame, table_path: str,
                   version: int | None = None,
                   stats_col: str | None = None,
                   partition_by: list[str] | None = None,
+                  generated: dict[str, str] | None = None,
                   _operation: str = "WRITE") -> int:
     """Commit ``df`` as the next (or an explicit) version of the table.
+
+    ``generated`` declares GENERATED ALWAYS AS columns ({col: sql_expr},
+    Delta's analog): a column absent from ``df`` is COMPUTED from its
+    expression before the write; one the caller supplies is enforced
+    value-by-value against the expression at commit time (NULL-safe
+    equality — the same CHECK machinery as table constraints). The spec
+    rides the manifest: every subsequent library commit (MERGE,
+    DELETE/UPDATE both physics) enforces it on the rows it adds, and
+    predicate UPDATE RECOMPUTES generated columns after applying its
+    assignments (assigning one directly is refused). Combine with
+    ``partition_by`` on a generated column for hidden partitioning
+    with metadata-only retention: ``{"day": "CAST(ts AS DATE)"}`` +
+    ``partition_by=["day"]`` makes ``DELETE WHERE day = d`` free.
+    The DS writer carries the spec but, as with constraints,
+    enforcement happens on the library paths.
 
     Commit protocol: distributed write into ``_staged_N`` → atomic
     rename to ``v_N`` → manifest JSON written tmp-then-rename. Readers
@@ -990,6 +1040,10 @@ def write_version(df: DataFrame, table_path: str,
             )
     import uuid
 
+    if generated:
+        missing = [c for c, e in generated.items() if c not in df.columns]
+        df = _apply_generated(
+            df, {c: generated[c] for c in missing})
     version = _next_version(table_path, version)
     os.makedirs(_manifest_path(table_path), exist_ok=True)
     # PER-WRITER unique staged AND final dirs (like _publish's tmp
@@ -1013,7 +1067,10 @@ def write_version(df: DataFrame, table_path: str,
     # aggregate scan — the df itself is never recomputed), carried
     # forward in the manifest so every future write keeps enforcing
     cons = _table_constraints(table_path)
-    _enforce_constraints(df.sparkSession, table_path, files, cons, final)
+    checks = dict(cons)
+    if generated:
+        checks.update(_gen_checks({"generated": generated}))
+    _enforce_constraints(df.sparkSession, table_path, files, checks, final)
     manifest = {
         "version": version,
         "dir": data_dir,
@@ -1025,6 +1082,8 @@ def write_version(df: DataFrame, table_path: str,
         manifest["constraints"] = cons
     if partition_by:
         manifest["partition_by"] = list(partition_by)
+    if generated:
+        manifest["generated"] = dict(generated)
     props = table_properties(table_path)
     if props:
         manifest["properties"] = props
@@ -1251,9 +1310,11 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     new_files = _list_data_files(table_path, final_dir)
 
     # CHECK constraints gate only the NEW files (untouched parent files
-    # were validated by the commits that wrote them)
+    # were validated by the commits that wrote them); generated-column
+    # invariants ride along (supplied values must equal the expression)
     cons = parent.get("constraints") or {}
-    _enforce_constraints(spark, table_path, new_files, cons, final)
+    _enforce_constraints(spark, table_path, new_files,
+                         {**cons, **_gen_checks(parent)}, final)
 
     # persisted CDF: classify the MERGE's row-level changes from
     # BOUNDED sides — matched parent rows (confined to the touched
@@ -1296,6 +1357,8 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         manifest["retired_physical"] = parent["retired_physical"]
     if parent.get("partition_by"):
         manifest["partition_by"] = parent["partition_by"]
+    if parent.get("generated"):
+        manifest["generated"] = parent["generated"]
     # untouched files keep their deletion vectors; rewritten files got
     # their DVs materialized into the rewrite and drop the mapping
     parent_dv = _dv_map(parent)
@@ -1434,7 +1497,15 @@ def _predicate_cow(spark: SparkSession, table_path: str,
         replacement = rewrite(
             _read_files_dv(spark, table_path, parent, touched, schema),
             schema,
-        ).select(*[f.name for f in schema.fields])
+        )
+        # GENERATED ALWAYS AS columns recompute after an UPDATE's
+        # assignments (Delta's behavior when their sources change);
+        # idempotent on the kept rows, so no matched-row split needed
+        if operation.startswith("UPDATE") and parent.get("generated"):
+            replacement = _apply_generated(
+                replacement, parent["generated"], schema)
+        replacement = replacement.select(
+            *[f.name for f in schema.fields])
 
     token = uuid.uuid4().hex[:12]
     # persisted Change Data Feed (cdf.enabled): the matched rows are
@@ -1463,8 +1534,10 @@ def _predicate_cow(spark: SparkSession, table_path: str,
         new_files = _list_data_files(table_path, final_dir)
 
         # CHECK constraints gate the rewritten files (an UPDATE ... SET
-        # can introduce violations into previously-valid rows)
-        _enforce_constraints(spark, table_path, new_files, cons, final)
+        # can introduce violations into previously-valid rows);
+        # generated-column invariants ride along
+        _enforce_constraints(spark, table_path, new_files,
+                             {**cons, **_gen_checks(parent)}, final)
 
     parent_dv = _dv_map(parent)
     own = set(touched) | set(dropped)
@@ -1492,6 +1565,8 @@ def _predicate_cow(spark: SparkSession, table_path: str,
             m["retired_physical"] = base["retired_physical"]
         if base.get("partition_by"):
             m["partition_by"] = base["partition_by"]
+        if base.get("generated"):
+            m["generated"] = base["generated"]
         base_dv = _dv_map(base)
         child_dv = {f: base_dv[f] for f in unt if f in base_dv}
         if child_dv:
@@ -1540,6 +1615,7 @@ def _predicate_cow(spark: SparkSession, table_path: str,
                      == parent.get("retired_physical"))
                 and (winner.get("partition_by")
                      == parent.get("partition_by"))
+                and winner.get("generated") == parent.get("generated")
                 and own <= set(winner.get("files") or ())
                 and all(win_dv.get(f) == parent_dv.get(f) for f in own)
             )
@@ -1655,6 +1731,7 @@ def update_where(spark: SparkSession, table_path: str,
     if avail and _dv_enabled(_load_manifest(table_path, avail[-1])):
         return update_where_mor(spark, table_path, assignments,
                                 predicate_sql)
+    _refuse_generated_assignment(table_path, assignments)
 
     def _validate(schema):
         by_name = {f.name for f in schema.fields}
@@ -1679,6 +1756,20 @@ def update_where(spark: SparkSession, table_path: str,
     return _predicate_cow(spark, table_path, predicate_sql, _apply,
                           validate=_validate, operation="UPDATE",
                           make_feed=_update_feed(assignments))
+
+
+def _refuse_generated_assignment(table_path: str,
+                                 assignments: dict) -> None:
+    """GENERATED ALWAYS AS columns cannot be assigned directly (Delta
+    refuses the same): update their SOURCE columns and the engine
+    recomputes them in the rewrite."""
+    bad = sorted(set(assignments) & set(_table_generated(table_path)))
+    if bad:
+        raise ValueError(
+            f"columns {bad} are GENERATED ALWAYS AS and cannot be "
+            "assigned directly — update their source columns; the "
+            "engine recomputes generated columns"
+        )
 
 
 _DV_ENABLED_PROP = "dv.enabled"
@@ -1932,13 +2023,18 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         data_dir = f"d_{version}_{token}"
         staged = os.path.join(table_path, f"_staged_{version}_{token}")
         final_data = os.path.join(table_path, data_dir)
-        updated = make_rows(matched, schema).select(
-            *[f.name for f in schema.fields]
-        )
+        updated = make_rows(matched, schema)
+        # GENERATED ALWAYS AS columns recompute on the post-update
+        # images, same as the COW rewrite path
+        if parent.get("generated"):
+            updated = _apply_generated(
+                updated, parent["generated"], schema)
+        updated = updated.select(*[f.name for f in schema.fields])
         _write_rewrite(updated, staged, parent, len(touched))
         os.rename(staged, final_data)
         new_files = _list_data_files(table_path, data_dir)
-        _enforce_constraints(spark, table_path, new_files, cons, final_data)
+        _enforce_constraints(spark, table_path, new_files,
+                             {**cons, **_gen_checks(parent)}, final_data)
 
     # persisted CDF: the pinned matched rows already hold the full
     # preimages — the feed costs one bounded pass, no re-scan
@@ -1968,6 +2064,8 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         manifest["retired_physical"] = parent["retired_physical"]
     if parent.get("partition_by"):
         manifest["partition_by"] = parent["partition_by"]
+    if parent.get("generated"):
+        manifest["generated"] = parent["generated"]
     dv = {f: s for f, s in parent_dv.items() if f not in set(touched)}
     for f in dv_touched:
         dv[f] = sidecar_files
@@ -2028,6 +2126,8 @@ def update_where_mor(spark: SparkSession, table_path: str,
     :func:`update_where` (all assignments see the pre-update row;
     results cast back to the declared column type)."""
     from pyspark.sql import functions as F
+
+    _refuse_generated_assignment(table_path, assignments)
 
     def _validate(schema):
         by_name = {f.name for f in schema.fields}
@@ -2187,8 +2287,8 @@ def merge_version_mor(spark: SparkSession, table_path: str,
         _write_rewrite(upserts, staged, parent, len(touched))
         os.rename(staged, final_data)
         new_files = _list_data_files(table_path, data_dir)
-        _enforce_constraints(spark, table_path, new_files, cons,
-                             final_data)
+        _enforce_constraints(spark, table_path, new_files,
+                             {**cons, **_gen_checks(parent)}, final_data)
     if not touched and not new_files:
         if final_dv is not None:
             shutil.rmtree(final_dv, ignore_errors=True)
@@ -2228,6 +2328,8 @@ def merge_version_mor(spark: SparkSession, table_path: str,
         manifest["retired_physical"] = parent["retired_physical"]
     if parent.get("partition_by"):
         manifest["partition_by"] = parent["partition_by"]
+    if parent.get("generated"):
+        manifest["generated"] = parent["generated"]
     dv = {f: s for f, s in parent_dv.items() if f not in set(touched)}
     for f in dv_touched:
         dv[f] = sidecar_files
@@ -3089,6 +3191,8 @@ def optimize_incremental(spark: SparkSession, table_path: str,
             m["retired_physical"] = base["retired_physical"]
         if base.get("partition_by"):
             m["partition_by"] = base["partition_by"]
+        if base.get("generated"):
+            m["generated"] = base["generated"]
         kept_dv = {f: s for f, s in _dv_map(base).items()
                    if f in set(kept)}
         if kept_dv:
@@ -3648,6 +3752,8 @@ def clone_table(src_path: str, dst_path: str,
         manifest["retired_physical"] = src["retired_physical"]
     if src.get("partition_by"):
         manifest["partition_by"] = src["partition_by"]
+    if src.get("generated"):
+        manifest["generated"] = src["generated"]
     # deletion vectors ride the clone by ABSOLUTE reference like the
     # data files (sidecar rows key on the source files' URIs, which
     # the clone's scans render identically)

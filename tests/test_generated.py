@@ -1,0 +1,141 @@
+"""GENERATED ALWAYS AS columns (Delta analog): declared at
+write_version as {col: sql_expr}, computed when absent, ENFORCED
+value-by-value when supplied (NULL-safe equality through the CHECK
+machinery), recomputed by predicate UPDATE on both physics, refused as
+a direct assignment target, and carried through every file-sharing
+commit. Combined with partition_by on the generated column this is
+hidden partitioning with metadata-only retention."""
+
+import os
+
+import pytest
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+
+def _mk(spark, n=100):
+    return spark.range(n).selectExpr(
+        "CAST(id AS INT) AS a", "CAST(id * 3 AS INT) AS b",
+        "CONCAT('v', id) AS v")
+
+
+def test_generated_computed_when_absent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned.write_version(_mk(spark), path,
+                            generated={"total": "a + b"})
+    m = versioned._load_manifest(path, 0)
+    assert m["generated"] == {"total": "a + b"}
+    got = versioned.read_version(spark, path)
+    assert "total" in got.columns
+    assert got.filter("total <> a + b").count() == 0
+    assert got.count() == 100
+
+
+def test_generated_supplied_values_enforced(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ok = _mk(spark).selectExpr("a", "b", "v", "a + b AS total")
+    versioned.write_version(ok, path, generated={"total": "a + b"})
+    # wrong supplied values refuse the NEXT full write too
+    bad = _mk(spark).selectExpr("a", "b", "v", "a + b + 1 AS total")
+    with pytest.raises(versioned.ConstraintViolation,
+                       match="generated:total"):
+        versioned.write_version(bad, path, generated={"total": "a + b"})
+    assert versioned.versions(path) == [0]
+    # and a MERGE whose change rows lie about the generated value
+    ch = spark.createDataFrame(
+        [(5, 15, "u", 999, False)],
+        "a INT, b INT, v STRING, total INT, is_delete BOOLEAN")
+    with pytest.raises(versioned.ConstraintViolation,
+                       match="generated:total"):
+        versioned.merge_version_cow(spark, path, ch, "a")
+    # a truthful MERGE commits
+    ch2 = spark.createDataFrame(
+        [(5, 15, "u", 20, False)],
+        "a INT, b INT, v STRING, total INT, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, path, ch2, "a")
+    got = {r.a: (r.v, r.total) for r in
+           versioned.read_version(spark, path).collect()}
+    assert got[5] == ("u", 20)
+
+
+@pytest.mark.parametrize("dv", [False, True])
+def test_update_recomputes_generated(spark, tmp_path, dv):
+    path = str(tmp_path / f"t{dv}")
+    versioned.write_version(_mk(spark), path,
+                            generated={"total": "a + b"})
+    if dv:
+        versioned.set_table_property(path, "dv.enabled", "true")
+    # updating a SOURCE column recomputes the generated one
+    versioned.update_where(spark, path, {"b": "b + 100"}, "a < 10")
+    got = versioned.read_version(spark, path)
+    assert got.filter("total <> a + b").count() == 0
+    assert got.filter("a < 10 AND b < 100").count() == 0
+    # direct assignment refused
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS"):
+        versioned.update_where(spark, path, {"total": "1"}, "a = 0")
+
+
+def test_generated_rides_commits_and_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned.write_version(_mk(spark), path,
+                            generated={"total": "a + b"})
+    versioned.delete_where(spark, path, "a >= 90")
+    m = versioned._load_manifest(path, 1)
+    assert m["generated"] == {"total": "a + b"}
+    assert versioned.read_version(spark, path).count() == 90
+
+
+def test_hidden_partitioning_metadata_retention(spark, tmp_path):
+    """The marquee composition: partition_by a GENERATED day column →
+    `DELETE WHERE day = d` is metadata-only, and stays so after an
+    UPDATE (alignment-preserving rewrites recompute the generated
+    column too)."""
+    path = str(tmp_path / "t")
+    df = spark.range(300).selectExpr(
+        "CAST(id AS INT) AS k",
+        # three distinct days (id % 3 DAYS past 2026-01-01), plus an
+        # intra-day hour so day really is derived, not stored
+        "TIMESTAMP '2026-01-01 00:00:00' "
+        "+ make_interval(0, 0, 0, CAST(id % 3 AS INT), "
+        "CAST(id % 24 AS INT), 0, 0) AS ts",
+        "CONCAT('v', id) AS v")
+    versioned.write_version(
+        df, path,
+        generated={"day": "CAST(date_trunc('day', ts) AS DATE)"},
+        partition_by=["day"])
+    m = versioned._load_manifest(path, 0)
+    assert m["partition_by"] == ["day"]
+    days = set()
+    for f, per in m["col_stats"].items():
+        assert per["day"] is not None and per["day"][0] == per["day"][1]
+        days.add(per["day"][0])
+    assert len(days) == 3
+    st = versioned.update_where(spark, path, {"v": "CONCAT('u', k)"},
+                                "k % 7 = 0")
+    assert st["files_rewritten"] >= 1
+    st2 = versioned.delete_where(
+        spark, path, "day = DATE '2026-01-01'")
+    assert st2["files_dropped"] >= 1 and st2["files_rewritten"] == 0
+    got = versioned.read_version(spark, path)
+    assert got.count() == 200
+    assert got.filter("day = DATE '2026-01-01'").count() == 0
+    assert got.filter("k % 7 = 0 AND v NOT LIKE 'u%'").count() == 0
+
+
+def test_ds_append_carries_generated(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i * 3, f"v{i}") for i in range(20)],
+        "a INT, b INT, v STRING")
+    versioned.write_version(base, path, generated={"total": "a + b"})
+    app = spark.createDataFrame(
+        [(200, 600, "x", 800)], "a INT, b INT, v STRING, total INT")
+    app.write.format("versioned").mode("append") \
+        .option("path", path).save()
+    m = versioned._load_manifest(path, versioned.versions(path)[-1])
+    assert m["generated"] == {"total": "a + b"}
