@@ -2044,54 +2044,92 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         feed = make_feed(matched.drop("__f", "__p"), schema)
         cdf_files, final_cdf = _write_cdf(table_path, version, token, feed)
 
-    surviving = [f for f in pfiles if f not in set(dropped)]
-    manifest = {
-        "version": version,
-        "files": surviving + new_files,
-        "schema": parent["schema"],
-        "operation": ("UPDATE (DV)" if make_rows is not None
-                      else "DELETE (DV)"),
-    }
-    if cons:
-        manifest["constraints"] = cons
-    if parent.get("properties"):
-        manifest["properties"] = parent["properties"]
-    # column mapping + retired physical names ride every commit that
-    # shares parent files (their physical layout is unchanged)
-    if parent.get("column_mapping"):
-        manifest["column_mapping"] = parent["column_mapping"]
-    if parent.get("retired_physical"):
-        manifest["retired_physical"] = parent["retired_physical"]
-    if parent.get("partition_by"):
-        manifest["partition_by"] = parent["partition_by"]
-    if parent.get("generated"):
-        manifest["generated"] = parent["generated"]
-    dv = {f: s for f, s in parent_dv.items() if f not in set(touched)}
-    for f in dv_touched:
-        dv[f] = sidecar_files
-    if dv:
-        manifest["dv"] = dv
-    stats_col = parent.get("stats_col")
-    if stats_col is not None and parent.get("stats") is not None:
-        stats = {f: parent["stats"].get(f) for f in surviving}
-        if new_files:
-            stats.update(_file_stats(spark, table_path, new_files,
-                                     stats_col))
-        manifest["stats_col"] = stats_col
-        manifest["stats"] = stats
-    _set_col_stats(manifest, parent, table_path, surviving, new_files)
-    if final_cdf is not None:
-        manifest["cdf"] = cdf_files
-    try:
-        _publish(table_path, manifest)
-    except CommitConflict:
-        if final_dv is not None:
-            shutil.rmtree(final_dv, ignore_errors=True)
-        if final_data is not None:
-            shutil.rmtree(final_data, ignore_errors=True)
+    own = set(touched) | set(dropped)
+
+    def _build(base: dict, v: int):
+        """Child manifest against ``base``: the DML's drop/vector set
+        is fixed (computed against the parent snapshot); every other
+        base file and its vector are shared verbatim."""
+        surv = [f for f in (base.get("files") or [])
+                if f not in set(dropped)]
+        m = {
+            "version": v,
+            "files": surv + new_files,
+            "schema": base["schema"],
+            "operation": ("UPDATE (DV)" if make_rows is not None
+                          else "DELETE (DV)"),
+        }
+        if cons:
+            m["constraints"] = cons
+        if base.get("properties"):
+            m["properties"] = base["properties"]
+        # column mapping + retired physical names ride every commit
+        # that shares parent files (their physical layout is unchanged)
+        if base.get("column_mapping"):
+            m["column_mapping"] = base["column_mapping"]
+        if base.get("retired_physical"):
+            m["retired_physical"] = base["retired_physical"]
+        if base.get("partition_by"):
+            m["partition_by"] = base["partition_by"]
+        if base.get("generated"):
+            m["generated"] = base["generated"]
+        dv = {f: s for f, s in _dv_map(base).items()
+              if f not in set(touched)}
+        for f in dv_touched:
+            dv[f] = sidecar_files
+        if dv:
+            m["dv"] = dv
+        stats_col = base.get("stats_col")
+        if stats_col is not None and base.get("stats") is not None:
+            stats = {f: base["stats"].get(f) for f in surv}
+            if new_files:
+                stats.update(_file_stats(spark, table_path, new_files,
+                                         stats_col))
+            m["stats_col"] = stats_col
+            m["stats"] = stats
+        _set_col_stats(m, base, table_path, surv, new_files)
         if final_cdf is not None:
-            shutil.rmtree(final_cdf, ignore_errors=True)
-        raise
+            m["cdf"] = cdf_files
+        return m, surv
+
+    # Same WriteSerializable file-level conflict rules as the COW
+    # path: a racing commit confined to OTHER files rebases; one that
+    # removed or RE-VECTORED this DML's own files (our new sidecar
+    # replaced the PARENT vector whole — publishing over a changed one
+    # would lose the winner's deletes), or changed the table's logical
+    # shape, still raises.
+    manifest, surviving = _build(parent, version)
+    for attempt in range(4):
+        try:
+            version = _publish(table_path, manifest)
+            break
+        except CommitConflict:
+            avail2 = versions(table_path)
+            winner = _load_manifest(table_path, avail2[-1])
+            win_dv = _dv_map(winner)
+            rebasable = (
+                attempt < 3
+                and winner.get("schema") == parent["schema"]
+                and winner.get("constraints") == parent.get("constraints")
+                and (winner.get("column_mapping")
+                     == parent.get("column_mapping"))
+                and (winner.get("retired_physical")
+                     == parent.get("retired_physical"))
+                and (winner.get("partition_by")
+                     == parent.get("partition_by"))
+                and winner.get("generated") == parent.get("generated")
+                and own <= set(winner.get("files") or ())
+                and all(win_dv.get(f) == parent_dv.get(f) for f in own)
+            )
+            if not rebasable:
+                if final_dv is not None:
+                    shutil.rmtree(final_dv, ignore_errors=True)
+                if final_data is not None:
+                    shutil.rmtree(final_data, ignore_errors=True)
+                if final_cdf is not None:
+                    shutil.rmtree(final_cdf, ignore_errors=True)
+                raise
+            manifest, surviving = _build(winner, avail2[-1] + 1)
     return {
         "version": version,
         "files_total": len(surviving) + len(new_files),

@@ -1984,3 +1984,108 @@ def test_concurrent_overlapping_dml_conflicts(spark, tmp_path,
     # the surviving table reflects exactly ONE of the deletes
     n = versioned.read_version(spark, path).count()
     assert n in (550, 520)
+
+
+def test_concurrent_disjoint_mor_dml_both_commit(spark, tmp_path,
+                                                 monkeypatch):
+    """The MOR twin of the COW disjoint-DML rebase: two deletion-vector
+    DELETEs on disjoint files both commit; the loser rebases, keeping
+    its already-written sidecar."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(600).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v"
+    ).repartitionByRange(6, "k")
+    versioned.write_version(df, path, stats_col="k")
+    versioned.set_table_property(path, "dv.enabled", "true")
+
+    real = versioned._publish
+    bar = threading.Barrier(2, timeout=120)
+    lock = threading.Lock()
+    calls = []
+
+    def gated(tp, m):
+        with lock:
+            n = len(calls)
+            calls.append(1)
+        if n < 2:
+            bar.wait()
+        return real(tp, m)
+
+    monkeypatch.setattr(versioned, "_publish", gated)
+    errs = []
+
+    def _delete(pred):
+        try:
+            versioned.delete_where(spark, path, pred)  # routes MOR
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errs.append(e)
+
+    # partial-touch predicates (no whole-file drop): disjoint files
+    threads = [
+        threading.Thread(target=_delete, args=("k < 150 AND k % 2 = 0",)),
+        threading.Thread(target=_delete, args=("k >= 450 AND k % 2 = 0",)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert errs == []
+    assert sorted(versioned.versions(path)) == [0, 1, 2, 3]  # prop + 2
+    rows = sorted(r.k for r in versioned.read_version(spark, path).collect())
+    want = [k for k in range(600)
+            if not (k < 150 and k % 2 == 0)
+            and not (k >= 450 and k % 2 == 0)]
+    assert rows == want
+    assert versioned.count_rows(spark, path) == len(want)
+
+
+def test_concurrent_overlapping_mor_dml_conflicts(spark, tmp_path,
+                                                  monkeypatch):
+    """Two DV DMLs vectoring the SAME file must not both commit: the
+    loser's sidecar replaced the PARENT vector whole, so publishing
+    over the winner's would lose the winner's deletes."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(600).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v"
+    ).repartitionByRange(6, "k")
+    versioned.write_version(df, path, stats_col="k")
+    versioned.set_table_property(path, "dv.enabled", "true")
+
+    real = versioned._publish
+    bar = threading.Barrier(2, timeout=120)
+    lock = threading.Lock()
+    calls = []
+
+    def gated(tp, m):
+        with lock:
+            n = len(calls)
+            calls.append(1)
+        if n < 2:
+            bar.wait()
+        return real(tp, m)
+
+    monkeypatch.setattr(versioned, "_publish", gated)
+    errs = []
+
+    def _delete(pred):
+        try:
+            versioned.delete_where(spark, path, pred)
+        except versioned.CommitConflict as e:
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=_delete, args=("k < 50 AND k % 2 = 0",)),
+        threading.Thread(target=_delete, args=("k < 80 AND k % 3 = 0",)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert len(errs) == 1
+    n = versioned.read_version(spark, path).count()
+    assert n in (575, 573)  # exactly one delete applied
+    assert versioned.count_rows(spark, path) == n
