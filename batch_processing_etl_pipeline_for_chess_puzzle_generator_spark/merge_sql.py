@@ -458,6 +458,11 @@ _ALTER_CONSTRAINT_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ADD_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
+    r"\s+ADD\s+COLUMN\s+(?P<col>\w+)\s+(?P<type>[\w()\s,]+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
     r"\s+RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
@@ -565,6 +570,9 @@ def maintenance_sql(spark: SparkSession, statement: str):
                 spark, m["path"], m["aname"], m["expr"].strip()
             )
         return versioned.drop_constraint(m["path"], m["dname"])
+    m = _ADD_COL_RE.match(statement)
+    if m:
+        return versioned.add_column(m["path"], m["col"], m["type"])
     m = _RENAME_COL_RE.match(statement)
     if m:
         return versioned.rename_column(m["path"], m["old"], m["new"])

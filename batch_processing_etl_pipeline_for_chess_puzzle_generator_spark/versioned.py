@@ -438,6 +438,62 @@ def _mapping_plan(schema, mapping: dict):
     return T.StructType(scan_fields), sel
 
 
+def add_column(table_path: str, name: str, type_sql: str) -> int:
+    """ADD COLUMN as a METADATA-ONLY commit (Delta's instant
+    add-column): the schema widens by one NULLABLE field and not a
+    data byte moves — every reader's explicit-schema scan
+    NULL-backfills the column for files that predate it (the same
+    mechanics MERGE's ``evolve_schema`` relies on). The same
+    resurrection guards as schema evolution apply: the new name must
+    not equal a RETIRED physical name (old files still hold those
+    bytes) nor a live column's physical name (one scan would alias
+    two columns)."""
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    parent = _load_manifest(table_path, avail[-1])
+    if "schema" not in parent or "files" not in parent:
+        raise ValueError(
+            "ADD COLUMN needs a file-level manifest with a recorded "
+            "schema — legacy dir-level tables must be rewritten first"
+        )
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(parent["schema"]))
+    names = [f.name for f in schema.fields]
+    if name in names:
+        raise ValueError(f"column '{name}' already exists on {table_path}")
+    if name in set(parent.get("retired_physical") or []):
+        raise ValueError(
+            f"cannot add column '{name}': a dropped column of that "
+            "physical name still exists in old data files and would "
+            "resurrect — OPTIMIZE the table to rewrite them first, or "
+            "pick another name"
+        )
+    live_physical = {
+        (parent.get("column_mapping") or {}).get(n, n) for n in names
+    }
+    if name in live_physical:
+        raise ValueError(
+            f"cannot add column '{name}': it collides with a renamed "
+            "column's physical name — pick another name"
+        )
+    try:
+        dt = T._parse_datatype_string(type_sql)
+    except Exception as exc:
+        raise ValueError(
+            f"cannot parse column type {type_sql!r}: {exc}") from exc
+    manifest = dict(parent)
+    for stamp in _PER_COMMIT_KEYS:
+        manifest.pop(stamp, None)
+    manifest["version"] = avail[-1] + 1
+    manifest["schema"] = T.StructType(
+        schema.fields + [T.StructField(name, dt, True)]
+    ).json()
+    manifest["operation"] = "ADD COLUMNS"
+    return _publish(table_path, manifest)
+
+
 def rename_column(table_path: str, old: str, new: str) -> int:
     """RENAME COLUMN as a METADATA-ONLY commit (Delta column mapping,
     name mode): no data file is rewritten — the manifest's

@@ -156,3 +156,60 @@ def test_sql_rename_and_drop_routes(spark, tmp_path):
     assert versioned.read_version(spark, p).columns == ["k", "label", "grp"]
     maintenance_sql(spark, f"ALTER TABLE versioned.`{p}` DROP COLUMN grp")
     assert versioned.read_version(spark, p).columns == ["k", "label"]
+
+
+def test_add_column_metadata_only(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN widens the schema without moving a data
+    byte: existing rows read back NULL in the new column, later writes
+    fill it, time travel before the add serves the old schema."""
+    import os
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k INT, v STRING")
+    versioned.write_version(df, path)
+    dirs_before = sorted(os.listdir(path))
+    versioned.add_column(path, "note", "STRING")
+    # metadata-only: no new data/staged dir
+    assert [d for d in sorted(os.listdir(path))
+            if not d.startswith("_manifest")] == \
+        [d for d in dirs_before if not d.startswith("_manifest")]
+    got = versioned.read_version(spark, path)
+    assert got.columns == ["k", "v", "note"]
+    assert got.filter("note IS NOT NULL").count() == 0
+    assert got.count() == 20
+    # time travel before the add: old schema
+    assert versioned.read_version(spark, path, 0).columns == ["k", "v"]
+    # a MERGE can now fill the column; old rows stay NULL
+    ch = spark.createDataFrame(
+        [(3, "u3", "hello", False)],
+        "k INT, v STRING, note STRING, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, path, ch, "k")
+    got = {r.k: r.note for r in
+           versioned.read_version(spark, path).collect()}
+    assert got[3] == "hello" and got[4] is None
+    # duplicate / bad type refused
+    with pytest.raises(ValueError, match="already exists"):
+        versioned.add_column(path, "note", "STRING")
+    with pytest.raises(ValueError, match="cannot parse"):
+        versioned.add_column(path, "x", "NOT A TYPE")
+
+
+def test_add_column_resurrection_guard_and_sql(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql as vsql
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10)], "k INT, v STRING, secret INT")
+    versioned.write_version(df, path)
+    versioned.drop_column(path, "secret")
+    # re-adding the retired physical name would resurrect old bytes
+    with pytest.raises(ValueError, match="resurrect"):
+        versioned.add_column(path, "secret", "INT")
+    # SQL route, including a parameterized type
+    vsql(spark, f"ALTER TABLE versioned.`{path}` ADD COLUMN "
+                "amount DECIMAL(10, 2)")
+    got = versioned.read_version(spark, path)
+    assert got.columns == ["k", "v", "amount"]
+    assert [str(f.dataType) for f in got.schema.fields
+            if f.name == "amount"] == ["DecimalType(10,2)"]
