@@ -3302,3 +3302,66 @@ ORACLES["orders_gini_by_nation"] = """
     FROM ranked
     GROUP BY n_name
 """
+
+
+# --------------------------------------------------------------------------
+# Seasonal index per calendar month (the classical ratio-to-overall-
+# average decomposition step), composed from two ppm SHARES so every
+# intermediate fits BIGINT at any scale (a direct 1e6·cents·tn product
+# overflows): index = revenue share / order-count share, each share on
+# the exact ppm grid first (truncation composes identically in both
+# engines). Broadcast grand-total row; one shuffle to 12 groups. The
+# multiplicative sibling of orders_priority_share_trend.
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.expr("MONTH(o_orderdate)").alias("m"))
+        .agg(
+            F.expr("COUNT(*)").alias("n_orders"),
+            F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "
+                   "AS BIGINT)").alias("cents"),
+        )
+    )
+    tot = monthly.agg(F.expr("SUM(n_orders)").alias("tn"),
+                      F.expr("SUM(cents)").alias("tc"))
+    return (
+        monthly.crossJoin(broadcast(tot))
+        .selectExpr(
+            "m", "n_orders",
+            "1000000 * cents DIV tc AS rev_share_ppm",
+            "1000000 * n_orders DIV tn AS n_share_ppm",
+        )
+        .selectExpr(
+            "m", "n_orders", "rev_share_ppm",
+            "CAST(1000000 * rev_share_ppm DIV n_share_ppm AS BIGINT) "
+            "AS index_ppm",
+        )
+    )
+
+
+QUERIES["orders_seasonal_index"] = orders_seasonal_index
+
+ORACLES["orders_seasonal_index"] = """
+    WITH monthly AS (
+        SELECT MONTH(o_orderdate) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                   AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_orders) AS BIGINT) AS tn,
+               CAST(SUM(cents) AS BIGINT) AS tc
+        FROM monthly
+    ),
+    shares AS (
+        SELECT m, n_orders,
+               CAST(1000000 * cents // tc AS BIGINT) AS rev_share_ppm,
+               CAST(1000000 * n_orders // tn AS BIGINT) AS n_share_ppm
+        FROM monthly, tot
+    )
+    SELECT m, n_orders, rev_share_ppm,
+           CAST(1000000 * rev_share_ppm // n_share_ppm AS BIGINT)
+               AS index_ppm
+    FROM shares
+"""

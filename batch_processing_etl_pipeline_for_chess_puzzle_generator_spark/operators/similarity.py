@@ -3227,3 +3227,86 @@ ORACLES["emb_mrr_eval"] = f"""
                AS BIGINT), 0) AS rr_ppm
     FROM truth t LEFT JOIN hit h USING (q_id, relevant_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Retrieval-confidence audit: the cosine margin between each query's
+# top-1 and top-2 neighbors, plus whether top-1 agrees with the query's
+# label. A thin margin means the ANN index (or a quantized variant)
+# will flip that query's answer first — this is the per-query
+# confidence dial next to the corpus-level recall gates
+# (emb_ann_recall / emb_mrr_eval). Same exactness discipline as every
+# emb_* entry: sims come from exact integer dot products and norms, so
+# both engines derive bit-identical doubles and the margin subtraction
+# is deterministic.
+def emb_knn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q, c = _split(spark, sf_dir)
+    scored = c.crossJoin(broadcast(q)).select(
+        "q_id", "q_label", "c_id", "label",
+        F.expr(_SIM).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(),
+                                           F.col("c_id"))
+    top2 = scored.withColumn(
+        "rank", F.row_number().over(w)).filter(F.col("rank") <= 2)
+    return (
+        top2.groupBy("q_id")
+        .agg(
+            F.expr("MAX(CASE WHEN rank = 1 THEN c_id END)")
+            .alias("top1_id"),
+            F.expr("MAX(CASE WHEN rank = 2 THEN c_id END)")
+            .alias("top2_id"),
+            F.expr("MAX(CASE WHEN rank = 1 THEN sim END)").alias("s1"),
+            F.expr("MAX(CASE WHEN rank = 2 THEN sim END)").alias("s2"),
+            F.expr("MAX(CASE WHEN rank = 1 THEN "
+                   "CAST(label = q_label AS INT) END)")
+            .alias("top1_label_match"),
+        )
+        .selectExpr("q_id", "top1_id", "top2_id",
+                    "s1 - s2 AS margin", "top1_label_match")
+    )
+
+
+QUERIES["emb_knn_margin"] = emb_knn_margin
+
+ORACLES["emb_knn_margin"] = f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, label, embedding AS ce
+          FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    pairs AS (SELECT q_id, q_label, qe, c_id, label, ce
+              FROM q CROSS JOIN c),
+    comp AS (
+        SELECT q_id, q_label, c_id, label,
+               CAST(round(CAST(unnest(qe) AS DOUBLE) * 1000000) AS BIGINT)
+                   AS xq,
+               CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT)
+                   AS xc
+        FROM pairs
+    ),
+    scored AS (
+        SELECT q_id, q_label, c_id, label,
+               CAST(sum(xq * xc) AS DOUBLE)
+               / (sqrt(CAST(sum(xq * xq) AS DOUBLE))
+                  * sqrt(CAST(sum(xc * xc) AS DOUBLE))) AS sim
+        FROM comp GROUP BY q_id, q_label, c_id, label
+    ),
+    ranked AS (
+        SELECT q_id, q_label, c_id, label, sim,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, c_id) AS rank
+        FROM scored
+    )
+    SELECT q_id,
+           MAX(CASE WHEN rank = 1 THEN c_id END) AS top1_id,
+           MAX(CASE WHEN rank = 2 THEN c_id END) AS top2_id,
+           MAX(CASE WHEN rank = 1 THEN sim END)
+               - MAX(CASE WHEN rank = 2 THEN sim END) AS margin,
+           MAX(CASE WHEN rank = 1 THEN
+               CAST(label = q_label AS INT) END) AS top1_label_match
+    FROM ranked
+    WHERE rank <= 2
+    GROUP BY q_id
+"""

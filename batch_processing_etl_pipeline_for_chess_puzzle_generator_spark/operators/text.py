@@ -2603,3 +2603,69 @@ ORACLES["doc_ttr_hapax"] = f"""
     FROM wc
     GROUP BY source
 """
+
+
+# --------------------------------------------------------------------------
+# Good-Turing frequency-of-frequencies table — the smoothing statistic
+# under every classical LM (Katz backoff) and the standard unseen-mass
+# estimator for corpus coverage: N_r = #distinct words seen exactly r
+# times, GT-adjusted count r* = (r+1)·N_{r+1}/N_r on the ppm grid
+# (integer-exact; 0 where N_{r+1} is empty). The lowest row IS the
+# Good-Turing estimate of unseen-word mass. Two bounded shuffles
+# (words → word counts → counts-of-counts) + a lead window over the
+# tiny r table; the 20 SMALLEST frequencies present are reported (the
+# head is where smoothing matters; a fixed r <= K filter can be empty
+# when the synthetic vocabulary is dense).
+def doc_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.expr(_WORDS)).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    nr = wc.groupBy("r").agg(F.expr("COUNT(*)").alias("n_r"))
+    w = "ORDER BY r"
+    return (
+        nr.selectExpr(
+            "r", "n_r",
+            f"LEAD(r) OVER ({w}) AS r_next",
+            f"LEAD(n_r) OVER ({w}) AS n_next",
+        )
+        .selectExpr(
+            "r", "n_r",
+            "CASE WHEN r_next = r + 1 THEN "
+            "CAST(1000000 * (r + 1) * n_next DIV n_r AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END AS r_star_ppm",
+            f"ROW_NUMBER() OVER ({w}) AS rk",
+        )
+        .filter("rk <= 20")
+        .drop("rk")
+    )
+
+
+QUERIES["doc_good_turing"] = doc_good_turing
+
+ORACLES["doc_good_turing"] = f"""
+    WITH wc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS r
+        FROM (SELECT unnest({_WORDS_DUCK}) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+    ),
+    nr AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM wc GROUP BY r
+    ),
+    led AS (
+        SELECT r, n_r,
+               LEAD(r) OVER (ORDER BY r) AS r_next,
+               LEAD(n_r) OVER (ORDER BY r) AS n_next
+        FROM nr
+    )
+    SELECT r, n_r,
+           CASE WHEN r_next = r + 1 THEN
+               CAST(1000000 * (r + 1) * n_next // n_r AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS r_star_ppm
+    FROM (SELECT led.*, ROW_NUMBER() OVER (ORDER BY r) AS rk FROM led)
+    WHERE rk <= 20
+"""

@@ -299,6 +299,9 @@ DOUBLE_ALLOWLIST: dict[str, set[str]] = {
     "doc_pagerank": {"rank"},
     # -- embeddings: row-local IEEE over the (identical) float inputs (3)
     "emb_cosine_topk": {"sim"},
+    # margin = difference of two sims from exact integer dot/norms
+    # (safe construction #2: deterministic doubles from exact inputs)
+    "emb_knn_margin": {"margin"},
     "emb_bq_rerank": {"sim"},
     "emb_filtered_topk": {"sim"},
     "emb_incr_ann": {"sim"},
