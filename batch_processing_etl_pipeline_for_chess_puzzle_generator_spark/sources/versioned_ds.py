@@ -1008,6 +1008,19 @@ class VersionedWriter(DataSourceArrowWriter):
             if avail:
                 parent = versioned._load_manifest(self.table_path, avail[-1])
             if parent is not None and not self.overwrite:
+                if parent.get("identity"):
+                    # GENERATED ALWAYS AS IDENTITY: the Arrow-side
+                    # writer cannot allocate values, and supplying
+                    # them is forbidden — appends go through the
+                    # library paths (write_version / MERGE), which
+                    # generate past the high-water mark
+                    shutil.rmtree(self.staged, ignore_errors=True)
+                    raise ValueError(
+                        "table has GENERATED ALWAYS AS IDENTITY "
+                        f"columns {sorted(parent['identity'])} — DS "
+                        "appends cannot allocate identity values; use "
+                        "merge_version_cow / write_version"
+                    )
                 if not _append_compatible(json.loads(parent["schema"]),
                                           self.schema.jsonValue()):
                     # a true conflict even mid-retry: the winner may
@@ -1105,6 +1118,8 @@ class VersionedWriter(DataSourceArrowWriter):
                 manifest["partition_by"] = parent["partition_by"]
             if parent.get("generated"):
                 manifest["generated"] = parent["generated"]
+            if parent.get("identity"):
+                manifest["identity"] = parent["identity"]
         # an APPEND shares the parent's data files, so their deletion
         # vectors must ride along or deleted rows would resurrect;
         # an overwrite starts from fresh files with no DVs

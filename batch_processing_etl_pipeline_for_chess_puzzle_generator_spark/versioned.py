@@ -784,6 +784,68 @@ def _table_generated(table_path: str) -> dict:
     return _load_manifest(table_path, avail[-1]).get("generated") or {}
 
 
+def _validate_identity_spec(identity: dict) -> dict:
+    out = {}
+    for c, sp in (identity or {}).items():
+        start = int((sp or {}).get("start", 1))
+        step = int((sp or {}).get("step", 1))
+        if step < 1:
+            raise ValueError(
+                f"identity column '{c}': step must be a positive "
+                "integer (monotonic allocation keys on the column's "
+                "recorded high-water mark)"
+            )
+        out[c] = {"start": start, "step": step}
+    return out
+
+
+def _identity_high_water(spark: SparkSession, table_path: str,
+                         manifest: dict, col: str):
+    """Largest allocated value of an identity column on a snapshot —
+    answered from per-file col_stats bounds when every file is
+    indexed (metadata-only, the common case since every commit path
+    indexes BIGINT columns), else one column-pruned scan. None on an
+    empty table."""
+    from pyspark.sql import functions as F
+
+    files = manifest.get("files")
+    if files is not None and not files:
+        return None
+    bounds = _bounds_for(manifest, col) if files is not None else None
+    if (files and bounds is not None
+            and all(bounds.get(f) is not None for f in files)):
+        return max(int(bounds[f][1]) for f in files)
+    row = (read_version(spark, table_path, manifest.get("version"))
+           .agg(F.max(col)).first())
+    return None if row[0] is None else int(row[0])
+
+
+def _apply_identity(spark: SparkSession, table_path: str, df: DataFrame,
+                    identity: dict, parent: dict | None) -> DataFrame:
+    """Assign GENERATED ALWAYS AS IDENTITY values to rows that lack
+    them: value = base + monotonically_increasing_id() · step, where
+    base continues past the snapshot's high-water mark (derived from
+    col_stats — no allocator state in the manifest, so restores and
+    clones can never resurrect a stale counter). Values are unique and
+    increasing across commits but NOT consecutive — the same contract
+    Delta documents for identity columns (per-task allocation without
+    a global ordering pass; a global row_number would be a full sort).
+    Supplying the column is refused by the callers (GENERATED ALWAYS)."""
+    from pyspark.sql import functions as F
+
+    for c, sp in identity.items():
+        hw = (None if parent is None
+              else _identity_high_water(spark, table_path, parent, c))
+        base = sp["start"] if hw is None else hw + sp["step"]
+        df = df.withColumn(
+            c,
+            (F.lit(base)
+             + F.monotonically_increasing_id() * F.lit(sp["step"])
+             ).cast("long"),
+        )
+    return df
+
+
 def _enforce_constraints(spark: SparkSession, table_path: str,
                          new_files: list[str], constraints: dict,
                          cleanup_dir: str | None) -> None:
@@ -1031,6 +1093,7 @@ def write_version(df: DataFrame, table_path: str,
                   stats_col: str | None = None,
                   partition_by: list[str] | None = None,
                   generated: dict[str, str] | None = None,
+                  identity: dict[str, dict] | None = None,
                   _operation: str = "WRITE") -> int:
     """Commit ``df`` as the next (or an explicit) version of the table.
 
@@ -1048,6 +1111,18 @@ def write_version(df: DataFrame, table_path: str,
     ``partition_by=["day"]`` makes ``DELETE WHERE day = d`` free.
     The DS writer carries the spec but, as with constraints,
     enforcement happens on the library paths.
+
+    ``identity`` declares GENERATED ALWAYS AS IDENTITY columns
+    ({col: {"start": s, "step": p}}, Delta's analog): the column must
+    be ABSENT from ``df`` (always-generated — supplying it raises) and
+    is assigned unique, increasing BIGINT values continuing past the
+    table's high-water mark (derived from col_stats, so no allocator
+    state rides the manifest and RESTORE/CLONE can never resurrect a
+    stale counter). Values are NOT consecutive — Delta's documented
+    identity contract (per-task allocation, no global ordering pass).
+    MERGE generates identity values for its upserts the same way; DS
+    appends on identity tables are refused (the Arrow-side writer
+    cannot allocate), use the library paths.
 
     Commit protocol: distributed write into ``_staged_N`` → atomic
     rename to ``v_N`` → manifest JSON written tmp-then-rename. Readers
@@ -1100,6 +1175,19 @@ def write_version(df: DataFrame, table_path: str,
         missing = [c for c, e in generated.items() if c not in df.columns]
         df = _apply_generated(
             df, {c: generated[c] for c in missing})
+    if identity:
+        identity = _validate_identity_spec(identity)
+        supplied = sorted(set(identity) & set(df.columns))
+        if supplied:
+            raise ValueError(
+                f"columns {supplied} are GENERATED ALWAYS AS IDENTITY "
+                "and cannot be supplied — drop them from the DataFrame"
+            )
+        prev = versions(table_path)
+        parent_m = (_load_manifest(table_path, prev[-1])
+                    if prev else None)
+        df = _apply_identity(df.sparkSession, table_path, df,
+                             identity, parent_m)
     version = _next_version(table_path, version)
     os.makedirs(_manifest_path(table_path), exist_ok=True)
     # PER-WRITER unique staged AND final dirs (like _publish's tmp
@@ -1140,6 +1228,8 @@ def write_version(df: DataFrame, table_path: str,
         manifest["partition_by"] = list(partition_by)
     if generated:
         manifest["generated"] = dict(generated)
+    if identity:
+        manifest["identity"] = identity
     props = table_properties(table_path)
     if props:
         manifest["properties"] = props
@@ -1346,7 +1436,45 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     # but never re-inserted).
     upserts = changes.filter(
         ~F.coalesce(F.col(delete_col), F.lit(False))
-    ).select(*out_cols)
+    )
+    # GENERATED ALWAYS AS IDENTITY: change rows never carry the column
+    # (refused above by the supplied-check in ident handling) — matched
+    # keys RECOVER their existing value from the touched files'
+    # pre-images (an UPDATE must not renumber), genuinely new keys get
+    # fresh values past the snapshot's high-water mark.
+    ident = parent.get("identity") or {}
+    if ident:
+        supplied = sorted(set(ident) & set(changes.columns))
+        if supplied:
+            raise ValueError(
+                f"columns {supplied} are GENERATED ALWAYS AS IDENTITY "
+                "and cannot be supplied in MERGE changes"
+            )
+        if touched:
+            preim = (
+                _read_files_dv(spark, table_path, parent, touched,
+                               parent_struct)
+                .join(keys, key_col, "left_semi")
+                .select(key_col, *ident.keys())
+            )
+            upserts = upserts.join(preim, key_col, "left")
+        else:
+            for c in ident:
+                upserts = upserts.withColumn(
+                    c, F.lit(None).cast("long"))
+        for c, sp in _validate_identity_spec(ident).items():
+            hw = _identity_high_water(spark, table_path, parent, c)
+            base = sp["start"] if hw is None else hw + sp["step"]
+            upserts = upserts.withColumn(
+                c,
+                F.coalesce(
+                    F.col(c),
+                    (F.lit(base)
+                     + F.monotonically_increasing_id()
+                     * F.lit(sp["step"])).cast("long"),
+                ),
+            )
+    upserts = upserts.select(*out_cols)
     if touched:
         # reading touched files with the (possibly widened) manifest
         # schema NULL-backfills any evolved columns they predate; the
@@ -1415,6 +1543,8 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         manifest["partition_by"] = parent["partition_by"]
     if parent.get("generated"):
         manifest["generated"] = parent["generated"]
+    if parent.get("identity"):
+        manifest["identity"] = parent["identity"]
     # untouched files keep their deletion vectors; rewritten files got
     # their DVs materialized into the rewrite and drop the mapping
     parent_dv = _dv_map(parent)
@@ -1623,6 +1753,8 @@ def _predicate_cow(spark: SparkSession, table_path: str,
             m["partition_by"] = base["partition_by"]
         if base.get("generated"):
             m["generated"] = base["generated"]
+        if base.get("identity"):
+            m["identity"] = base["identity"]
         base_dv = _dv_map(base)
         child_dv = {f: base_dv[f] for f in unt if f in base_dv}
         if child_dv:
@@ -1672,6 +1804,7 @@ def _predicate_cow(spark: SparkSession, table_path: str,
                 and (winner.get("partition_by")
                      == parent.get("partition_by"))
                 and winner.get("generated") == parent.get("generated")
+                and winner.get("identity") == parent.get("identity")
                 and own <= set(winner.get("files") or ())
                 and all(win_dv.get(f) == parent_dv.get(f) for f in own)
             )
@@ -1816,10 +1949,16 @@ def update_where(spark: SparkSession, table_path: str,
 
 def _refuse_generated_assignment(table_path: str,
                                  assignments: dict) -> None:
-    """GENERATED ALWAYS AS columns cannot be assigned directly (Delta
-    refuses the same): update their SOURCE columns and the engine
-    recomputes them in the rewrite."""
-    bad = sorted(set(assignments) & set(_table_generated(table_path)))
+    """GENERATED ALWAYS AS (expression or IDENTITY) columns cannot be
+    assigned directly (Delta refuses the same): update their SOURCE
+    columns and the engine recomputes expression columns; identity
+    values never change after allocation."""
+    avail = versions(table_path)
+    spec: set = set()
+    if avail:
+        m = _load_manifest(table_path, avail[-1])
+        spec = set(m.get("generated") or {}) | set(m.get("identity") or {})
+    bad = sorted(set(assignments) & spec)
     if bad:
         raise ValueError(
             f"columns {bad} are GENERATED ALWAYS AS and cannot be "
@@ -2129,6 +2268,8 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
             m["partition_by"] = base["partition_by"]
         if base.get("generated"):
             m["generated"] = base["generated"]
+        if base.get("identity"):
+            m["identity"] = base["identity"]
         dv = {f: s for f, s in _dv_map(base).items()
               if f not in set(touched)}
         for f in dv_touched:
@@ -2174,6 +2315,7 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
                 and (winner.get("partition_by")
                      == parent.get("partition_by"))
                 and winner.get("generated") == parent.get("generated")
+                and winner.get("identity") == parent.get("identity")
                 and own <= set(winner.get("files") or ())
                 and all(win_dv.get(f) == parent_dv.get(f) for f in own)
             )
@@ -2369,7 +2511,43 @@ def merge_version_mor(spark: SparkSession, table_path: str,
 
     upserts = changes.filter(
         ~F.coalesce(F.col(delete_col), F.lit(False))
-    ).select(*data_cols)
+    )
+    # identity recovery/generation — same contract as the COW merge:
+    # matched keys keep their value (pre-image scan of touched files),
+    # new keys continue past the high-water mark
+    ident = parent.get("identity") or {}
+    if ident:
+        supplied = sorted(set(ident) & set(changes.columns))
+        if supplied:
+            raise ValueError(
+                f"columns {supplied} are GENERATED ALWAYS AS IDENTITY "
+                "and cannot be supplied in MERGE changes"
+            )
+        if touched:
+            preim = (
+                _read_files_dv(spark, table_path, parent, touched,
+                               schema)
+                .join(keys, key_col, "left_semi")
+                .select(key_col, *ident.keys())
+            )
+            upserts = upserts.join(preim, key_col, "left")
+        else:
+            for c in ident:
+                upserts = upserts.withColumn(
+                    c, F.lit(None).cast("long"))
+        for c, sp in _validate_identity_spec(ident).items():
+            hw = _identity_high_water(spark, table_path, parent, c)
+            base = sp["start"] if hw is None else hw + sp["step"]
+            upserts = upserts.withColumn(
+                c,
+                F.coalesce(
+                    F.col(c),
+                    (F.lit(base)
+                     + F.monotonically_increasing_id()
+                     * F.lit(sp["step"])).cast("long"),
+                ),
+            )
+    upserts = upserts.select(*data_cols)
     n_upserts = upserts.count()
     new_files: list[str] = []
     cons = parent.get("constraints") or {}
@@ -2424,6 +2602,8 @@ def merge_version_mor(spark: SparkSession, table_path: str,
         manifest["partition_by"] = parent["partition_by"]
     if parent.get("generated"):
         manifest["generated"] = parent["generated"]
+    if parent.get("identity"):
+        manifest["identity"] = parent["identity"]
     dv = {f: s for f, s in parent_dv.items() if f not in set(touched)}
     for f in dv_touched:
         dv[f] = sidecar_files
@@ -3287,6 +3467,8 @@ def optimize_incremental(spark: SparkSession, table_path: str,
             m["partition_by"] = base["partition_by"]
         if base.get("generated"):
             m["generated"] = base["generated"]
+        if base.get("identity"):
+            m["identity"] = base["identity"]
         kept_dv = {f: s for f, s in _dv_map(base).items()
                    if f in set(kept)}
         if kept_dv:
@@ -3848,6 +4030,8 @@ def clone_table(src_path: str, dst_path: str,
         manifest["partition_by"] = src["partition_by"]
     if src.get("generated"):
         manifest["generated"] = src["generated"]
+    if src.get("identity"):
+        manifest["identity"] = src["identity"]
     # deletion vectors ride the clone by ABSOLUTE reference like the
     # data files (sidecar rows key on the source files' URIs, which
     # the clone's scans render identically)

@@ -139,3 +139,102 @@ def test_ds_append_carries_generated(spark, tmp_path):
         .option("path", path).save()
     m = versioned._load_manifest(path, versioned.versions(path)[-1])
     assert m["generated"] == {"total": "a + b"}
+
+
+# ------------------------- GENERATED ALWAYS AS IDENTITY --------------
+
+
+def test_identity_assigned_unique_and_monotonic(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("CONCAT('v', id) AS v",
+                                     "CAST(id AS INT) AS k")
+    versioned.write_version(df.repartition(4), path,
+                            identity={"row_id": {"start": 1, "step": 1}})
+    m = versioned._load_manifest(path, 0)
+    assert m["identity"] == {"row_id": {"start": 1, "step": 1}}
+    got = versioned.read_version(spark, path)
+    ids = [r.row_id for r in got.select("row_id").collect()]
+    assert len(ids) == 100 and len(set(ids)) == 100
+    assert min(ids) >= 1
+    # supplying the column is refused
+    bad = spark.range(5).selectExpr("CONCAT('x', id) AS v",
+                                    "CAST(id AS INT) AS k",
+                                    "id AS row_id")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        versioned.write_version(bad, str(tmp_path / "t2"),
+                                identity={"row_id": {"start": 1,
+                                                     "step": 1}})
+    with pytest.raises(ValueError, match="step"):
+        versioned.write_version(df, str(tmp_path / "t3"),
+                                identity={"row_id": {"step": 0}})
+
+
+def test_identity_merge_keeps_matched_generates_new(spark, tmp_path):
+    """MERGE: an updated key KEEPS its identity value; a new key gets
+    one past the high-water mark. Both physics."""
+    for dv in (False, True):
+        path = str(tmp_path / f"t{dv}")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(50)], "k INT, v STRING")
+        versioned.write_version(
+            df, path, identity={"row_id": {"start": 1, "step": 1}})
+        if dv:
+            versioned.set_table_property(path, "dv.enabled", "true")
+        before = {r.k: r.row_id for r in
+                  versioned.read_version(spark, path).collect()}
+        hw = max(before.values())
+        ch = spark.createDataFrame(
+            [(3, "upd", False), (999, "new", False), (7, None, True)],
+            "k INT, v STRING, is_delete BOOLEAN")
+        merge = (versioned.merge_version_mor if dv
+                 else versioned.merge_version_cow)
+        merge(spark, path, ch, "k")
+        after = {r.k: (r.v, r.row_id) for r in
+                 versioned.read_version(spark, path).collect()}
+        assert after[3] == ("upd", before[3])      # kept
+        assert after[999][1] > hw                  # fresh, past hw
+        assert 7 not in after
+        ids = [i for _, i in after.values()]
+        assert len(ids) == len(set(ids))
+        # supplying identity in changes is refused
+        bad = spark.createDataFrame(
+            [(4, "x", 123, False)],
+            "k INT, v STRING, row_id BIGINT, is_delete BOOLEAN")
+        with pytest.raises(ValueError, match="IDENTITY"):
+            merge(spark, path, bad, "k")
+
+
+def test_identity_update_refused_delete_fine(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "k INT, v STRING")
+    versioned.write_version(
+        df, path, identity={"row_id": {"start": 100, "step": 2}})
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        versioned.update_where(spark, path, {"row_id": "1"}, "k = 0")
+    # updating other columns keeps identity values intact
+    before = {r.k: r.row_id for r in
+              versioned.read_version(spark, path).collect()}
+    versioned.update_where(spark, path, {"v": "'u'"}, "k < 5")
+    after = {r.k: r.row_id for r in
+             versioned.read_version(spark, path).collect()}
+    assert after == before
+    versioned.delete_where(spark, path, "k >= 20")
+    assert versioned.read_version(spark, path).count() == 20
+
+
+def test_identity_ds_append_refused(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    versioned.write_version(
+        df, path, identity={"row_id": {"start": 1, "step": 1}})
+    app = spark.createDataFrame(
+        [(2, "b", 99)], "k INT, v STRING, row_id BIGINT")
+    with pytest.raises(Exception, match="IDENTITY"):
+        app.write.format("versioned").mode("append") \
+            .option("path", path).save()
