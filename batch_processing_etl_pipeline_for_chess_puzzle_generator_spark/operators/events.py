@@ -3757,3 +3757,97 @@ ORACLES["ev_type_diversity_daily"] = """
     FROM counts
     GROUP BY day
 """
+
+
+# --------------------------------------------------------------------------
+# Fano factor (variance-to-mean ratio) of daily event counts per type —
+# the overdispersion dial: a Poisson-like arrival process reads ~1e6
+# ppm; bursty/clumped traffic reads above, throttled/regular below.
+# Exact integer end-to-end: F = σ²/μ = (n·Σx² − (Σx)²) / (n·Σx) on the
+# ppm grid (x = daily count — the sums fit BIGINT at any scale since
+# the day table is tiny). One (day, type) shuffle, then a per-type
+# re-agg over the small daily table.
+def ev_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("COUNT(*)").alias("n_days"),
+            F.expr("SUM(x)").alias("total"),
+            F.expr("SUM(x * x)").alias("ss"),
+        )
+        .selectExpr(
+            "event_type", "n_days", "total",
+            "CAST(1000000 * (n_days * ss - total * total) "
+            "DIV (n_days * total) AS BIGINT) AS fano_ppm",
+        )
+    )
+
+
+QUERIES["ev_fano_factor"] = ev_fano_factor
+
+ORACLES["ev_fano_factor"] = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(x) AS BIGINT) AS total,
+           CAST(1000000 * (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+               // (COUNT(*) * SUM(x)) AS BIGINT) AS fano_ppm
+    FROM daily GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Day-of-week traffic profile per event type: each (type, dow) cell's
+# exact ppm share of its type's weekly total — the seasonality
+# fingerprint ops teams eyeball before alerting thresholds. Weekday
+# numbering derives from the EPOCH-DAY count ((days % 7 + 7) % 7)
+# rather than engine-local DOW functions, whose week-start conventions
+# differ; the epoch-day is spelled per-engine (Spark unix_date, DuckDB
+# date subtraction) but is the same integer.
+_DOW_SPARK = "CAST((unix_date(CAST(ts AS DATE)) % 7 + 7) % 7 AS INT)"
+_DOW_DUCK = ("CAST(((CAST(ts AS DATE) - DATE '1970-01-01') % 7 + 7) "
+             "% 7 AS INT)")
+
+
+def ev_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.expr(_DOW_SPARK).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.groupBy("event_type").agg(
+        F.expr("SUM(c)").alias("t"))
+    return (
+        cells.join(tot, "event_type")
+        .selectExpr(
+            "event_type", "dow", "c AS n_events",
+            "CAST(1000000 * c DIV t AS BIGINT) AS share_ppm",
+        )
+    )
+
+
+QUERIES["ev_weekday_profile"] = ev_weekday_profile
+
+ORACLES["ev_weekday_profile"] = f"""
+    WITH cells AS (
+        SELECT event_type,
+               {_DOW_DUCK} AS dow,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS t
+        FROM cells GROUP BY event_type
+    )
+    SELECT cells.event_type, dow, c AS n_events,
+           CAST(1000000 * c // t AS BIGINT) AS share_ppm
+    FROM cells JOIN tot USING (event_type)
+"""
