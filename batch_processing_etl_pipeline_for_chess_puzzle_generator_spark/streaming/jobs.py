@@ -813,3 +813,39 @@ def sessionize_events_tws_stream(events: DataFrame,
             timeMode="eventTime",
         )
     )
+
+
+def type_diversity_stream(events: DataFrame,
+                          window: str = "1 day",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch ``ev_type_diversity_daily`` entry:
+    per-window Simpson diversity (1 − Σp², exact integer ppm) of the
+    event-type mix — the mix-shift monitor, continuously.
+
+    Uses Spark's CHAINED stateful windowed aggregations (multiple
+    stateful operators, Spark 3.5+): the first agg counts per
+    (window, type), the second re-aggregates per window ON the window
+    column — both watermark-evicted, so state is O(open windows ×
+    types) then O(open windows). Append mode emits each window's final
+    diversity exactly once when the watermark closes it."""
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy(F.window(F.col("win"), window).alias("win2"))
+        .agg(
+            F.expr("SUM(c)").alias("n_events"),
+            F.expr("COUNT(*)").alias("n_types"),
+            F.expr("SUM(c * c)").alias("ss"),
+            F.expr("MAX(c)").alias("top_c"),
+        )
+        .selectExpr(
+            "win2.start AS day", "n_events", "n_types",
+            "CAST(1000000 - 1000000 * ss DIV (n_events * n_events) "
+            "AS BIGINT) AS simpson_ppm",
+            "CAST(1000000 * top_c DIV n_events AS BIGINT) "
+            "AS top_share_ppm",
+        )
+    )

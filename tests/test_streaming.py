@@ -777,3 +777,49 @@ def test_sessionize_tws_stream_matches_applyinpandas_twin(spark, tmp_path):
     assert got[(1, "2024-01-01 00:00:00")] == ("2024-01-01 00:05:00", 2)
     assert got[(1, "2024-01-01 02:05:00")] == ("2024-01-01 02:05:00", 1)
     assert got[(2, "2024-01-01 00:00:00")] == ("2024-01-01 00:00:00", 1)
+
+
+def test_type_diversity_stream_matches_batch(spark, tmp_path):
+    """Chained stateful windowed aggregations: the streaming Simpson
+    diversity equals the batch ev_type_diversity_daily formula over
+    the same closed windows."""
+    import json as _json
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        type_diversity_stream,
+    )
+
+    src = tmp_path / "ev_div"
+    src.mkdir()
+    rows = []
+    eid = 0
+    for h, t, n in [(0, "click", 6), (1, "view", 3), (2, "buy", 1),
+                    (3, "click", 2)]:
+        for i in range(n):
+            eid += 1
+            rows.append({"event_id": eid,
+                         "ts": f"2024-01-01 0{h}:1{i % 6}:00",
+                         "event_type": t, "value": 1.0})
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream
+        .schema("event_id LONG, ts STRING, event_type STRING, "
+                "value DOUBLE")
+        .json(str(src))
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+                    "event_type", "value")
+    )
+    _run_stream(type_diversity_stream(stream), "div1", mode="append")
+    # close the 2024-01-01 window with a far-future event
+    (src / "b2.json").write_text(_json.dumps(
+        {"event_id": 999, "ts": "2024-01-03 12:00:00",
+         "event_type": "view", "value": 1.0}))
+    _run_stream(type_diversity_stream(stream), "div2", mode="append")
+    got = {str(r["day"]): (r["n_events"], r["n_types"], r["simpson_ppm"],
+                           r["top_share_ppm"])
+           for r in spark.sql("SELECT * FROM div2").collect()}
+    # batch formula: counts 8 click, 3 view, 1 buy → n=12
+    n, ss, top = 12, 8 * 8 + 3 * 3 + 1, 8
+    want = (n, 3, 1000000 - 1000000 * ss // (n * n), 1000000 * top // n)
+    assert got["2024-01-01 00:00:00"] == want
