@@ -1641,3 +1641,119 @@ ORACLES["doc_substr_dup"] = f"""
     FROM pdh JOIN totals USING (h)
     GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# MinHash banding-parameter sweep — the tuning curve for the (bands ×
+# rows) trade every LSH deployment sets ONCE for a 100 TB corpus:
+# more bands → lower collision threshold (~(1/b)^(1/r)) → more
+# candidates and recall, fewer bands → sharper precision. All three
+# configs re-band the SAME 64-perm signature table (one shingle
+# explode + one signature shuffle total); per config, the candidate
+# count and how many candidates clear agree >= 48/64 (est Jaccard
+# 0.75 — an INTEGER compare, no double threshold). The dedup sibling
+# of emb_nprobe_sweep / emb_threshold_sweep.
+_BAND_SWEEP = [(4, 16), (8, 8), (16, 4)]
+_SWEEP_DUP_AGREE = 48
+
+
+def doc_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    sig = _signatures(spark, sf_dir, n_hashes=N_HASHES_W)
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"mh{i}").alias(f"a{i}")
+                      for i in range(N_HASHES_W)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"mh{i}").alias(f"b{i}")
+                      for i in range(N_HASHES_W)])
+    agree = " + ".join(
+        f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES_W)
+    )
+    outs = []
+    for nb, rpb in _BAND_SWEEP:
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(_band_hash_expr(b, rpb)).alias("band_hash"),
+                    )
+                    for b in range(nb)
+                ])
+            ).alias("bd"),
+        ).select("doc_id", "bd.band_idx", "bd.band_hash")
+        scored = (
+            _band_pairs(bands)
+            .join(sa, "doc_a").join(sb, "doc_b")
+            .selectExpr(f"({agree}) AS agree")
+        )
+        outs.append(
+            scored.agg(
+                F.expr("COUNT(*)").alias("n_candidates"),
+                F.expr(f"SUM(CASE WHEN agree >= {_SWEEP_DUP_AGREE} "
+                       "THEN 1 ELSE 0 END)").alias("n_dups"),
+            ).selectExpr(
+                f"CAST({nb} AS INT) AS bands",
+                f"CAST({rpb} AS INT) AS rows_per_band",
+                "n_candidates", "n_dups",
+                "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(1000000 * n_dups DIV n_candidates AS BIGINT) "
+                "END AS precision_ppm",
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), outs)
+
+
+QUERIES["doc_minhash_band_sweep"] = doc_minhash_band_sweep
+
+
+def _band_sweep_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES_W)
+    )
+    selects = []
+    ctes = [_duck_sig_cte(N_HASHES_W)]
+    for nb, rpb in _BAND_SWEEP:
+        parts = []
+        for b in range(nb):
+            cols = " || ',' || ".join(
+                f"mh{i}" for i in range(b * rpb, (b + 1) * rpb))
+            parts.append(
+                f"SELECT doc_id, {b} AS band_idx, "
+                f"md5('{b}' || ',' || {cols}) AS band_hash FROM sig")
+        ctes.append(
+            f"bands_{nb} AS (\n            "
+            + "\n            UNION ALL ".join(parts) + "\n        )")
+        ctes.append(f"""pairs_{nb} AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_{nb} a
+            JOIN bands_{nb} b ON a.band_idx = b.band_idx
+                        AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
+        )""")
+        ctes.append(f"""scored_{nb} AS (
+            SELECT ({agree}) AS agree
+            FROM pairs_{nb}
+            JOIN sig sa ON doc_a = sa.doc_id
+            JOIN sig sb ON doc_b = sb.doc_id
+        )""")
+        selects.append(f"""
+        SELECT CAST({nb} AS INT) AS bands,
+               CAST({rpb} AS INT) AS rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN agree >= {_SWEEP_DUP_AGREE}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+               CASE WHEN COUNT(*) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(1000000 * SUM(CASE WHEN agree >=
+                   {_SWEEP_DUP_AGREE} THEN 1 ELSE 0 END)
+                   // COUNT(*) AS BIGINT) END AS precision_ppm
+        FROM scored_{nb}""")
+    return ("WITH " + ",\n        ".join(ctes)
+            + "\n        UNION ALL ".join(selects))
+
+
+ORACLES["doc_minhash_band_sweep"] = _band_sweep_oracle()

@@ -327,6 +327,8 @@ def _encode_decimal(d) -> str:
     from decimal import Decimal
 
     d = Decimal(d)
+    if not d.is_finite():  # NaN/Inf have no total order against values
+        raise TypeError(f"non-finite decimal stat {d} cannot be encoded")
     neg = d < 0
     s = format(abs(d), f"0{2 * _DEC_DIGITS + 1}.{_DEC_DIGITS}f")
     if len(s) != 2 * _DEC_DIGITS + 1:  # |value| >= 10^38: can't happen
