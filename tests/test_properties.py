@@ -763,3 +763,95 @@ def test_manifest_delta_roundtrip_hypothesis(parent_body, child_body,
     applied = versioned._apply_manifest_delta(
         _json.loads(_json.dumps(parent)), delta2)
     assert applied == _json.loads(_json.dumps(child))
+
+
+# ------------------------------------------------------------------
+# DNF filter-option grammar: for ARBITRARY expressions drawn from the
+# grammar (simple ops, IN, BETWEEN, AND-groups, OR of optionally
+# parenthesized groups), the DS `.option("filter", e)` relation must
+# equal `read_version().filter(e)` — the grammar is a subset of Spark
+# SQL, so the SAME string drives both sides. This pins both layers at
+# once: the file-prune may only ever drop files with no matching rows,
+# and the row-exact Arrow mask must implement SQL comparison
+# semantics (NULL never matches) for every shape the parser accepts.
+_simple = st.one_of(
+    st.tuples(st.just("k"), st.sampled_from(["=", "!=", "<", "<=",
+                                             ">", ">="]),
+              st.integers(-5, 1005).map(str)),
+    st.tuples(st.just("v"), st.sampled_from(["=", "!="]),
+              st.integers(0, 1005).map(lambda i: f"'v{i}'")),
+)
+
+
+def _render_conjunct(c):
+    kind = c[0]
+    if kind == "simple":
+        col, op, lit = c[1]
+        return f"{col} {op} {lit}"
+    if kind == "in":
+        return f"k IN ({', '.join(str(x) for x in c[1])})"
+    lo, hi = c[1]
+    return f"k BETWEEN {lo} AND {hi}"
+
+
+_conjunct = st.one_of(
+    st.tuples(st.just("simple"), _simple),
+    st.tuples(st.just("in"),
+              st.lists(st.integers(-5, 1005), min_size=1, max_size=4)),
+    st.tuples(st.just("between"),
+              st.tuples(st.integers(-5, 500), st.integers(400, 1005))),
+)
+
+_disjunct = st.lists(_conjunct, min_size=1, max_size=3)
+_expr = st.lists(_disjunct, min_size=1, max_size=3)
+
+_GRAMMAR_TABLES: dict = {}
+
+
+def _grammar_table(spark, tmp_path_factory=None):
+    import tempfile
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    key = spark.sparkContext.applicationId
+    if key not in _GRAMMAR_TABLES:
+        spark.dataSource.register(VersionedDataSource)
+        path = tempfile.mkdtemp(prefix="dnf_grammar_")
+        df = spark.range(1000).selectExpr(
+            "CAST(id AS INT) AS k",
+            # NULLs exercise the never-matches semantics
+            "IF(id % 97 = 13, CAST(NULL AS STRING), CONCAT('v', id)) "
+            "AS v",
+        ).repartitionByRange(8, "k")
+        versioned.write_version(df, path)
+        _GRAMMAR_TABLES[key] = path
+    return _GRAMMAR_TABLES[key]
+
+
+@given(tree=_expr)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dnf_filter_option_equals_sql_filter(spark, tree):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    path = _grammar_table(spark)
+    disjuncts = []
+    for i, conj in enumerate(tree):
+        body = " AND ".join(_render_conjunct(c) for c in conj)
+        # parenthesize every other disjunct to exercise the stripper
+        disjuncts.append(f"({body})" if i % 2 == 0 else body)
+    expr = " OR ".join(disjuncts)
+
+    got = sorted(
+        tuple(r) for r in
+        spark.read.format("versioned").option("path", path)
+        .option("filter", expr).load().collect()
+    )
+    want = sorted(
+        tuple(r) for r in
+        versioned.read_version(spark, path).filter(expr).collect()
+    )
+    assert got == want, expr
