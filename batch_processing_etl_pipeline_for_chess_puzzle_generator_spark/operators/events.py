@@ -3714,7 +3714,11 @@ ORACLES["ev_attribution_markov"] = f"""
 # exact integer math on the ppm grid (Σc², n² — no engine libm log
 # whose last-ulp could differ between engines); top-type share rides
 # along. One shuffle to (day, type) counts, then a tiny per-day
-# re-aggregation — identical shape at any scale.
+# re-aggregation — identical shape at any scale. Overflow headroom:
+# a single day at 100 TB has ~1e10 events, so c² ≈ 1e20 and 1e6·Σc²
+# ≈ 1e26 both blow past 2⁶³ — Σc² accumulates in DECIMAL(38,0) and
+# the ppm projection stays on the DECIMAL(38,0) grid (DuckDB mirror:
+# HUGEINT), exact to 1e38 ≫ any real day.
 def ev_type_diversity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     counts = ev.groupBy(
@@ -3725,15 +3729,16 @@ def ev_type_diversity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("SUM(c)").alias("n_events"),
             F.expr("COUNT(*)").alias("n_types"),
-            F.expr("SUM(c * c)").alias("ss"),
+            F.expr("SUM(CAST(c AS DECIMAL(38,0)) * c)").alias("ss"),
             F.expr("MAX(c)").alias("top_c"),
         )
         .selectExpr(
             "day", "n_events", "n_types",
-            "CAST(1000000 - 1000000 * ss DIV (n_events * n_events) "
+            "CAST(1000000 - 1000000 * ss "
+            "DIV (CAST(n_events AS DECIMAL(38,0)) * n_events) "
             "AS BIGINT) AS simpson_ppm",
-            "CAST(1000000 * top_c DIV n_events AS BIGINT) "
-            "AS top_share_ppm",
+            "CAST(1000000 * CAST(top_c AS DECIMAL(38,0)) "
+            "DIV n_events AS BIGINT) AS top_share_ppm",
         )
     )
 
@@ -3751,9 +3756,11 @@ ORACLES["ev_type_diversity_daily"] = """
     SELECT day,
            CAST(SUM(c) AS BIGINT) AS n_events,
            CAST(COUNT(*) AS BIGINT) AS n_types,
-           CAST(1000000 - 1000000 * SUM(c * c)
-               // (SUM(c) * SUM(c)) AS BIGINT) AS simpson_ppm,
-           CAST(1000000 * MAX(c) // SUM(c) AS BIGINT) AS top_share_ppm
+           CAST(1000000 - 1000000 * SUM(CAST(c AS HUGEINT) * c)
+               // (CAST(SUM(c) AS HUGEINT) * SUM(c))
+               AS BIGINT) AS simpson_ppm,
+           CAST(1000000 * CAST(MAX(c) AS HUGEINT) // SUM(c)
+               AS BIGINT) AS top_share_ppm
     FROM counts
     GROUP BY day
 """
@@ -3764,9 +3771,12 @@ ORACLES["ev_type_diversity_daily"] = """
 # the overdispersion dial: a Poisson-like arrival process reads ~1e6
 # ppm; bursty/clumped traffic reads above, throttled/regular below.
 # Exact integer end-to-end: F = σ²/μ = (n·Σx² − (Σx)²) / (n·Σx) on the
-# ppm grid (x = daily count — the sums fit BIGINT at any scale since
-# the day table is tiny). One (day, type) shuffle, then a per-type
-# re-agg over the small daily table.
+# ppm grid (x = daily count). The day table is tiny, but a 100 TB
+# deployment sees ~1e10 events/day per dominant type, so x² ≈ 1e20 and
+# the ×1e6 variance product ≈1e30 both blow past 2⁶³ — Σx² accumulates
+# in DECIMAL(38,0) and the ppm projection stays on the DECIMAL(38,0)
+# grid (DuckDB mirror: HUGEINT), exact to 1e38. One (day, type)
+# shuffle, then a per-type re-agg over the small daily table.
 def ev_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -3777,12 +3787,14 @@ def ev_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("COUNT(*)").alias("n_days"),
             F.expr("SUM(x)").alias("total"),
-            F.expr("SUM(x * x)").alias("ss"),
+            F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("ss"),
         )
         .selectExpr(
             "event_type", "n_days", "total",
-            "CAST(1000000 * (n_days * ss - total * total) "
-            "DIV (n_days * total) AS BIGINT) AS fano_ppm",
+            "CAST(1000000 * (n_days * ss "
+            "- CAST(total AS DECIMAL(38,0)) * total) "
+            "DIV (CAST(n_days AS DECIMAL(38,0)) * total) "
+            "AS BIGINT) AS fano_ppm",
         )
     )
 
@@ -3798,8 +3810,10 @@ ORACLES["ev_fano_factor"] = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_days,
            CAST(SUM(x) AS BIGINT) AS total,
-           CAST(1000000 * (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
-               // (COUNT(*) * SUM(x)) AS BIGINT) AS fano_ppm
+           CAST(1000000 * (COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+                   - CAST(SUM(x) AS HUGEINT) * SUM(x))
+               // (CAST(COUNT(*) AS HUGEINT) * SUM(x))
+               AS BIGINT) AS fano_ppm
     FROM daily GROUP BY event_type
 """
 

@@ -3243,7 +3243,13 @@ ORACLES["stat_orders_ks"] = f"""
 # integer math until the final ppm division. Ties rank
 # deterministically by (revenue, custkey). Covers transacting
 # customers (inner join: a customer with no orders has no revenue
-# observation).
+# observation). Overflow headroom: Σ i·x grows ∝ sf² (≈1e13 at sf0.1,
+# past 2⁶³ by sf≈100), and the ×1e6 ppm product tops 2.1e19 at sf0.1
+# already — so Σ i·x accumulates in DECIMAL(38,0) and the whole ppm
+# projection stays on the DECIMAL(38,0) grid (exact to 1e38; DuckDB's
+# HUGEINT mirror is exact to 1.7e38), divided ONCE at the end. The
+# r9 driver bench caught the BIGINT formulation dying with
+# ARITHMETIC_OVERFLOW at sf0.1.
 def orders_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -3266,12 +3272,14 @@ def orders_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("COUNT(*)").alias("n_cust"),
             F.expr("SUM(x)").alias("total_cents"),
-            F.expr("SUM(i * x)").alias("ix"),
+            F.expr("SUM(CAST(i AS DECIMAL(38,0)) * x)").alias("ix"),
         )
         .selectExpr(
             "n_name", "n_cust", "total_cents",
-            "CAST((2 * ix - (n_cust + 1) * total_cents) * 1000000 "
-            "DIV (n_cust * total_cents) AS BIGINT) AS gini_ppm",
+            "CAST((2 * ix - (CAST(n_cust AS DECIMAL(38,0)) + 1) "
+            "* total_cents) * 1000000 "
+            "DIV (CAST(n_cust AS DECIMAL(38,0)) * total_cents) "
+            "AS BIGINT) AS gini_ppm",
         )
     )
 
@@ -3297,8 +3305,10 @@ ORACLES["orders_gini_by_nation"] = """
     SELECT n_name,
            CAST(COUNT(*) AS BIGINT) AS n_cust,
            CAST(SUM(x) AS BIGINT) AS total_cents,
-           CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
-               // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_ppm
+           CAST((2 * SUM(CAST(i AS HUGEINT) * x)
+                   - (CAST(COUNT(*) AS HUGEINT) + 1) * SUM(x)) * 1000000
+               // (CAST(COUNT(*) AS HUGEINT) * SUM(x))
+               AS BIGINT) AS gini_ppm
     FROM ranked
     GROUP BY n_name
 """

@@ -838,14 +838,17 @@ def type_diversity_stream(events: DataFrame,
         .agg(
             F.expr("SUM(c)").alias("n_events"),
             F.expr("COUNT(*)").alias("n_types"),
-            F.expr("SUM(c * c)").alias("ss"),
+            F.expr("SUM(CAST(c AS DECIMAL(38,0)) * c)").alias("ss"),
             F.expr("MAX(c)").alias("top_c"),
         )
         .selectExpr(
             "win2.start AS day", "n_events", "n_types",
-            "CAST(1000000 - 1000000 * ss DIV (n_events * n_events) "
+            # DECIMAL(38,0) grid like the batch twin: 1e6·Σc² and
+            # n_events² both pass 2⁶³ at ~1e10 events/day.
+            "CAST(1000000 - 1000000 * ss "
+            "DIV (CAST(n_events AS DECIMAL(38,0)) * n_events) "
             "AS BIGINT) AS simpson_ppm",
-            "CAST(1000000 * top_c DIV n_events AS BIGINT) "
-            "AS top_share_ppm",
+            "CAST(1000000 * CAST(top_c AS DECIMAL(38,0)) "
+            "DIV n_events AS BIGINT) AS top_share_ppm",
         )
     )
