@@ -1699,9 +1699,11 @@ def doc_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST({nb} AS INT) AS bands",
                 f"CAST({rpb} AS INT) AS rows_per_band",
                 "n_candidates", "n_dups",
+                # candidate-pair counts grow ∝ Σ bucket² — the ppm
+                # product rides DECIMAL(38,0) (rule F)
                 "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
-                "ELSE CAST(1000000 * n_dups DIV n_candidates AS BIGINT) "
-                "END AS precision_ppm",
+                "ELSE CAST(1000000 * CAST(n_dups AS DECIMAL(38,0)) "
+                "DIV n_candidates AS BIGINT) END AS precision_ppm",
             )
         )
     return reduce(lambda x, y: x.unionByName(y), outs)
@@ -1748,8 +1750,8 @@ def _band_sweep_oracle() -> str:
                CAST(SUM(CASE WHEN agree >= {_SWEEP_DUP_AGREE}
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
                CASE WHEN COUNT(*) = 0 THEN CAST(0 AS BIGINT)
-               ELSE CAST(1000000 * SUM(CASE WHEN agree >=
-                   {_SWEEP_DUP_AGREE} THEN 1 ELSE 0 END)
+               ELSE CAST(1000000 * CAST(SUM(CASE WHEN agree >=
+                   {_SWEEP_DUP_AGREE} THEN 1 ELSE 0 END) AS HUGEINT)
                    // COUNT(*) AS BIGINT) END AS precision_ppm
         FROM scored_{nb}""")
     return ("WITH " + ",\n        ".join(ctes)

@@ -962,10 +962,13 @@ def dq_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "digit",
             "n_obs",
-            "n_obs * 1000000 DIV n_total AS obs_ppm",
+            # per-digit counts are data-proportional — DECIMAL(38,0)
+            # ppm grid (rule F)
+            "CAST(CAST(n_obs AS DECIMAL(38,0)) * 1000000 DIV n_total "
+            "AS BIGINT) AS obs_ppm",
             f"element_at({exp_arr}, digit) AS expected_ppm",
-            "n_obs * 1000000 DIV n_total "
-            f"- element_at({exp_arr}, digit) AS dev_ppm",
+            "CAST(CAST(n_obs AS DECIMAL(38,0)) * 1000000 DIV n_total "
+            f"AS BIGINT) - element_at({exp_arr}, digit) AS dev_ppm",
             # per-digit chi² contribution ×1e3:
             # (obs − n·p)² / (n·p), p = expected_ppm/1e6
             "CAST(ROUND((CAST(n_obs AS DOUBLE) "
@@ -998,9 +1001,11 @@ ORACLES["dq_benford_orders"] = f"""
                unnest({list(_BENFORD_PPM)}) AS expected_ppm
     )
     SELECT d.digit, d.n_obs,
-           d.n_obs * 1000000 // n_total AS obs_ppm,
+           CAST(CAST(d.n_obs AS HUGEINT) * 1000000 // n_total
+               AS BIGINT) AS obs_ppm,
            CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
-           d.n_obs * 1000000 // n_total - e.expected_ppm AS dev_ppm,
+           CAST(CAST(d.n_obs AS HUGEINT) * 1000000 // n_total
+               AS BIGINT) - e.expected_ppm AS dev_ppm,
            CAST(ROUND((CAST(d.n_obs AS DOUBLE)
                  - CAST(n_total AS DOUBLE) * e.expected_ppm / 1e6)
                 * (CAST(d.n_obs AS DOUBLE)
@@ -1050,7 +1055,10 @@ def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(f"{tbl}.{rhs}").alias("rhs"),
             F.count(F.lit(1)).alias("n_groups"),
             F.sum("viol").alias("n_violating_groups"),
-            F.expr("SUM(viol * n_rows) * 1000000 DIV SUM(n_rows)")
+            # violating-row mass is data-proportional — DECIMAL(38,0)
+            # ppm grid (rule F)
+            F.expr("CAST(SUM(CAST(viol AS DECIMAL(38,0)) * n_rows) "
+                   "* 1000000 DIV SUM(n_rows) AS BIGINT)")
             .alias("violating_rows_ppm"),
             F.expr("CAST(SUM(viol) = 0 AS STRING)").alias("holds"),
         )
@@ -1065,8 +1073,8 @@ ORACLES["dq_fd_discovery"] = "\nUNION ALL\n".join(
     SELECT '{tbl}.{lhs}' AS lhs, '{tbl}.{rhs}' AS rhs,
            count(*) AS n_groups,
            SUM(viol) AS n_violating_groups,
-           SUM(viol * n_rows) * 1000000 // SUM(n_rows)
-               AS violating_rows_ppm,
+           CAST(SUM(CAST(viol AS HUGEINT) * n_rows) * 1000000
+               // SUM(n_rows) AS BIGINT) AS violating_rows_ppm,
            CAST(SUM(viol) = 0 AS VARCHAR) AS holds
     FROM (
         SELECT {lhs}, count(*) AS n_rows,

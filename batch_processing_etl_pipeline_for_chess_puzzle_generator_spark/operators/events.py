@@ -2688,7 +2688,10 @@ def ev_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .withColumnRenamed("n", "n_b")), "tb")
         .select(
             "ta", "tb", "n_both", "n_a", "n_b",
-            F.expr("n_both * 1000000 DIV (n_a + n_b - n_both)")
+            # audience counts are data-proportional (1e10+ users at
+            # 100 TB), so the ppm product rides the DECIMAL(38,0) grid
+            F.expr("CAST(n_both AS DECIMAL(38,0)) * 1000000 "
+                   "DIV (n_a + n_b - n_both)")
             .cast("long").alias("jaccard_ppm"),
         )
     )
@@ -2706,7 +2709,8 @@ ORACLES["ev_audience_jaccard"] = """
     ),
     sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
     SELECT ta, tb, n_both, sa.n AS n_a, sb.n AS n_b,
-           CAST(n_both * 1000000 // (sa.n + sb.n - n_both) AS BIGINT)
+           CAST(CAST(n_both AS HUGEINT) * 1000000
+               // (sa.n + sb.n - n_both) AS BIGINT)
                AS jaccard_ppm
     FROM pair_cnt
     JOIN sz sa ON sa.event_type = ta
@@ -2801,7 +2805,9 @@ def ev_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             "n_late",
-            F.expr("n_late * 1000000 DIV n_events").alias("late_ppm"),
+            # n_late is data-proportional — DECIMAL(38,0) ppm grid
+            F.expr("CAST(n_late AS DECIMAL(38,0)) * 1000000 "
+                   "DIV n_events").cast("long").alias("late_ppm"),
             "max_late_us",
             "p95_late_us",
         )
@@ -2831,7 +2837,8 @@ ORACLES["ev_late_arrival_audit"] = f"""
         FROM ranked WHERE rn = (95 * n + 99) // 100
     )
     SELECT a.event_type, n_events, n_late,
-           CAST(n_late * 1000000 // n_events AS BIGINT) AS late_ppm,
+           CAST(CAST(n_late AS HUGEINT) * 1000000 // n_events
+               AS BIGINT) AS late_ppm,
            max_late_us, p95_late_us
     FROM agg a LEFT JOIN p95 p ON a.event_type = p.event_type
 """
@@ -3000,7 +3007,10 @@ def ev_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("delay_s").cast("int").alias("delay_s"),
             "n_events",
             "n_dropped",
-            F.expr("n_dropped * 1000000 DIV n_events").alias("drop_ppm"),
+            # n_dropped is data-proportional — DECIMAL(38,0) ppm grid
+            # (delay_s*1e6 stays BIGINT: bounded by the 86400 s grid)
+            F.expr("CAST(n_dropped AS DECIMAL(38,0)) * 1000000 "
+                   "DIV n_events").cast("long").alias("drop_ppm"),
         )
     )
 
@@ -3015,8 +3025,9 @@ ORACLES["ev_watermark_sweep"] = f"""
            count(*) AS n_events,
            CAST(SUM(CASE WHEN late_us > delay_s * 1000000
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-           CAST(SUM(CASE WHEN late_us > delay_s * 1000000
-                    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+           CAST(CAST(SUM(CASE WHEN late_us > delay_s * 1000000
+                    THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+               // count(*) AS BIGINT)
                AS drop_ppm
     FROM g CROSS JOIN late GROUP BY event_type, delay_s
 """
@@ -3351,10 +3362,13 @@ def ev_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("t", F.expr("COALESCE(x, CAST(0 AS BIGINT))").alias("x"))
     )
+    # hourly counts are data-proportional (~4e8/hour at 100 TB), so
+    # squares and their sums ride the DECIMAL(38,0) grid — Σx² over a
+    # year of hours passes 2⁶³ long before the ppm projection does
     moments = xs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("s"),
-        F.expr("SUM(x * x)").alias("sx2"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sx2"),
     )
     a = xs.alias("a")
     b = xs.alias("b")
@@ -3366,7 +3380,7 @@ def ev_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             (F.col("b.t") - F.col("a.t")).alias("lag"),
-            (F.col("a.x") * F.col("b.x")).alias("xx"),
+            F.expr("CAST(a.x AS DECIMAL(38,0)) * b.x").alias("xx"),
             F.col("a.x").alias("xa"),
             F.col("b.x").alias("xb"),
         )
@@ -3422,12 +3436,14 @@ ORACLES["ev_acf"] = f"""
         ) hx ON hx.t = s.t
     ),
     moments AS (
-        SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS s, SUM(x * x) AS sx2
+        SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS s,
+               SUM(CAST(x AS HUGEINT) * x) AS sx2
         FROM xs
     ),
     lagged AS (
         SELECT b.t - a.t AS lag,
-               SUM(a.x * b.x) AS sxx, SUM(a.x) AS sa, SUM(b.x) AS sb
+               SUM(CAST(a.x AS HUGEINT) * b.x) AS sxx,
+               SUM(a.x) AS sa, SUM(b.x) AS sb
         FROM xs a JOIN xs b
           ON b.t > a.t AND b.t <= a.t + {ACF_MAX_LAG}
         GROUP BY 1
@@ -3532,7 +3548,9 @@ def ev_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_tot = counts.groupBy("i").agg(F.sum("n").alias("tot"))
     sparse = (
         counts.join(row_tot, "i")
-        .selectExpr("i", "j", "n * 1000000 DIV tot AS ppm")
+        # transition counts are data-proportional — DECIMAL(38,0) grid
+        .selectExpr("i", "j", "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 "
+                    "DIV tot AS BIGINT) AS ppm")
         .agg(F.expr("collect_list(named_struct('i', i, 'j', j, "
                     "'ppm', ppm))").alias("cts"))
     )
@@ -3653,7 +3671,8 @@ ORACLES["ev_attribution_markov"] = f"""
     row_tot AS (SELECT i, SUM(n) AS tot FROM counts GROUP BY i),
     sparse AS (
         SELECT list(struct_pack(i := c.i, j := c.j,
-                    ppm := c.n * 1000000 // r.tot)) AS cts
+                    ppm := CAST(CAST(c.n AS HUGEINT) * 1000000
+                                // r.tot AS BIGINT))) AS cts
         FROM counts c JOIN row_tot r USING (i)
     ),
     densed AS (
@@ -3843,7 +3862,10 @@ def ev_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.join(tot, "event_type")
         .selectExpr(
             "event_type", "dow", "c AS n_events",
-            "CAST(1000000 * c DIV t AS BIGINT) AS share_ppm",
+            # cell counts are data-proportional (1e13+/cell possible
+            # at 100 TB) — DECIMAL(38,0) ppm grid
+            "CAST(1000000 * CAST(c AS DECIMAL(38,0)) DIV t AS BIGINT) "
+            "AS share_ppm",
         )
     )
 
@@ -3862,6 +3884,7 @@ ORACLES["ev_weekday_profile"] = f"""
         FROM cells GROUP BY event_type
     )
     SELECT cells.event_type, dow, c AS n_events,
-           CAST(1000000 * c // t AS BIGINT) AS share_ppm
+           CAST(1000000 * CAST(c AS HUGEINT) // t AS BIGINT)
+               AS share_ppm
     FROM cells JOIN tot USING (event_type)
 """

@@ -1205,8 +1205,12 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "c1",
             "c2",
-            "n_orders * 1000000 DIV n_baskets AS support_ppm",
-            "n_orders * 1000000 DIV c1 AS confidence_ppm",
+            # co-occurrence counts are data-proportional — the ppm
+            # products ride the DECIMAL(38,0) grid (rule F)
+            "CAST(CAST(n_orders AS DECIMAL(38,0)) * 1000000 "
+            "DIV n_baskets AS BIGINT) AS support_ppm",
+            "CAST(CAST(n_orders AS DECIMAL(38,0)) * 1000000 "
+            "DIV c1 AS BIGINT) AS confidence_ppm",
             "CAST(ROUND(CAST(n_orders AS DOUBLE) * CAST(n_baskets AS DOUBLE)"
             " / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) * 1e6) AS BIGINT)"
             " AS lift_ppm",
@@ -1259,8 +1263,10 @@ ORACLES["basket_pair_lift"] = """
     ),
     nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem)
     SELECT p1, p2, n_orders, i1.cnt AS c1, i2.cnt AS c2,
-           n_orders * 1000000 // n_baskets AS support_ppm,
-           n_orders * 1000000 // i1.cnt AS confidence_ppm,
+           CAST(CAST(n_orders AS HUGEINT) * 1000000 // n_baskets
+               AS BIGINT) AS support_ppm,
+           CAST(CAST(n_orders AS HUGEINT) * 1000000 // i1.cnt
+               AS BIGINT) AS confidence_ppm,
            CAST(ROUND(CAST(n_orders AS DOUBLE) * CAST(n_baskets AS DOUBLE)
                 / (CAST(i1.cnt AS DOUBLE) * CAST(i2.cnt AS DOUBLE)) * 1e6)
                 AS BIGINT) AS lift_ppm
@@ -2977,7 +2983,10 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr(
             "a.o_orderpriority AS o_orderpriority",
-            "(b.y - a.y) * 1000000 DIV (b.m - a.m) AS s_ppm",
+            # monthly counts are data-proportional — slope numerator
+            # rides DECIMAL(38,0) (rule F); the quotient fits BIGINT
+            "CAST(CAST(b.y - a.y AS DECIMAL(38,0)) * 1000000 "
+            "DIV (b.m - a.m) AS BIGINT) AS s_ppm",
             "a.m * 100000 + b.m AS pair_key",
         )
     )
@@ -3012,7 +3021,8 @@ ORACLES["orders_theilsen_trend"] = """
     ),
     slopes AS (
         SELECT a.o_orderpriority,
-               (b.y - a.y) * 1000000 // (b.m - a.m) AS s_ppm,
+               CAST(CAST(b.y - a.y AS HUGEINT) * 1000000
+                   // (b.m - a.m) AS BIGINT) AS s_ppm,
                a.m * 100000 + b.m AS pair_key
         FROM monthly a JOIN monthly b
           ON a.o_orderpriority = b.o_orderpriority AND b.m > a.m
@@ -3072,18 +3082,22 @@ def stat_orders_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"COALESCE(SUM(nb_v) OVER ({w}), 0) AS cumb_before",
         "na_v + nb_v AS t",
     )
+    # count×cum-count products reach n² ≈ 1e22 (and t³ ≈ 1e36) at
+    # 100 TB — U, ties, and the mean ride the DECIMAL(38,0) grid
     return cum.agg(
         F.expr("SUM(na_v)").alias("n_a"),
         F.expr("SUM(nb_v)").alias("n_b"),
         # ×2 grid: wins count double, ties single
-        F.expr("SUM(2 * na_v * cumb_before + na_v * nb_v)")
+        F.expr("SUM(2 * CAST(na_v AS DECIMAL(38,0)) * cumb_before "
+               "+ CAST(na_v AS DECIMAL(38,0)) * nb_v)")
         .alias("u_a_x2"),
-        F.expr("SUM(t * t * t - t)").alias("tie_term"),
+        F.expr("SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)")
+        .alias("tie_term"),
     ).selectExpr(
         "n_a",
         "n_b",
         "u_a_x2",
-        "n_a * n_b AS mean_u_x2",  # 2·(nA·nB/2)
+        "CAST(n_a AS DECIMAL(38,0)) * n_b AS mean_u_x2",  # 2·(nA·nB/2)
         # z = (U − nAnB/2) / sqrt(nAnB/12·((n+1) − Σ(t³−t)/(n(n−1))))
         "CAST(ROUND((CAST(u_a_x2 AS DOUBLE) / 2 "
         "- CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2) "
@@ -3118,12 +3132,13 @@ ORACLES["stat_orders_mannwhitney"] = f"""
     ),
     agg AS (
         SELECT SUM(na_v) AS n_a, SUM(nb_v) AS n_b,
-               SUM(2 * na_v * cumb_before + na_v * nb_v) AS u_a_x2,
-               SUM(t * t * t - t) AS tie_term
+               SUM(2 * CAST(na_v AS HUGEINT) * cumb_before
+                   + CAST(na_v AS HUGEINT) * nb_v) AS u_a_x2,
+               SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term
         FROM cum
     )
     SELECT n_a, n_b, u_a_x2,
-           n_a * n_b AS mean_u_x2,
+           CAST(n_a AS HUGEINT) * n_b AS mean_u_x2,
            CAST(ROUND((CAST(u_a_x2 AS DOUBLE) / 2
                 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
                / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
@@ -3172,8 +3187,12 @@ def stat_orders_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tots = hist.agg(F.expr("SUM(na_v)").alias("n_a"),
                     F.expr("SUM(nb_v)").alias("n_b"))
+    # cum-count × group-count products reach n_a·n_b ≈ 1e22 at 100 TB
+    # — the whole diff chain rides the DECIMAL(38,0) grid (rule F)
     diffs = cum.crossJoin(broadcast(tots)).selectExpr(
-        "v", "n_a", "n_b", "abs(ca * n_b - cb * n_a) AS diff")
+        "v", "n_a", "n_b",
+        "abs(CAST(ca AS DECIMAL(38,0)) * n_b "
+        "- CAST(cb AS DECIMAL(38,0)) * n_a) AS diff")
     peak = diffs.groupBy("n_a", "n_b").agg(
         F.expr("MAX(diff)").alias("max_diff"))
     return (
@@ -3183,7 +3202,8 @@ def stat_orders_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("MIN(v)").alias("d_at_cents"))
         .selectExpr(
             "n_a", "n_b",
-            "CAST(1000000 * max_diff DIV (n_a * n_b) AS BIGINT) AS d_ppm",
+            "CAST(1000000 * max_diff "
+            "DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) AS d_ppm",
             "d_at_cents",
         )
     )
@@ -3218,14 +3238,16 @@ ORACLES["stat_orders_ks"] = f"""
     ),
     diffs AS (
         SELECT v, n_a, n_b,
-               CAST(abs(ca * n_b - cb * n_a) AS BIGINT) AS diff
+               abs(CAST(ca AS HUGEINT) * n_b
+                   - CAST(cb AS HUGEINT) * n_a) AS diff
         FROM cum, tots
     ),
     peak AS (
         SELECT n_a, n_b, MAX(diff) AS max_diff FROM diffs GROUP BY 1, 2
     )
     SELECT d.n_a, d.n_b,
-           CAST(1000000 * p.max_diff // (d.n_a * d.n_b) AS BIGINT)
+           CAST(1000000 * p.max_diff
+               // (CAST(d.n_a AS HUGEINT) * d.n_b) AS BIGINT)
                AS d_ppm,
            CAST(MIN(d.v) AS BIGINT) AS d_at_cents
     FROM diffs d JOIN peak p
@@ -3338,8 +3360,12 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         monthly.crossJoin(broadcast(tot))
         .selectExpr(
             "m", "n_orders",
-            "1000000 * cents DIV tc AS rev_share_ppm",
-            "1000000 * n_orders DIV tn AS n_share_ppm",
+            # monthly cents/counts are data-proportional (1e15+/month
+            # at 100 TB) — the share products ride DECIMAL(38,0)
+            "CAST(1000000 * CAST(cents AS DECIMAL(38,0)) DIV tc "
+            "AS BIGINT) AS rev_share_ppm",
+            "CAST(1000000 * CAST(n_orders AS DECIMAL(38,0)) DIV tn "
+            "AS BIGINT) AS n_share_ppm",
         )
         .selectExpr(
             "m", "n_orders", "rev_share_ppm",
@@ -3366,8 +3392,10 @@ ORACLES["orders_seasonal_index"] = """
     ),
     shares AS (
         SELECT m, n_orders,
-               CAST(1000000 * cents // tc AS BIGINT) AS rev_share_ppm,
-               CAST(1000000 * n_orders // tn AS BIGINT) AS n_share_ppm
+               CAST(1000000 * CAST(cents AS HUGEINT) // tc AS BIGINT)
+                   AS rev_share_ppm,
+               CAST(1000000 * CAST(n_orders AS HUGEINT) // tn AS BIGINT)
+                   AS n_share_ppm
         FROM monthly, tot
     )
     SELECT m, n_orders, rev_share_ppm,

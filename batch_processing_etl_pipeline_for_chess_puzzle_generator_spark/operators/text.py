@@ -1375,10 +1375,16 @@ def doc_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "src_total",
+            # token counts are data-proportional — the ×1e6 products
+            # ride DECIMAL(38,0), and the floor is exact integer DIV
+            # (identical to FLOOR(a/b) for non-negative operands, with
+            # no double-rounding boundary between the engines; rule F)
             F.expr(
                 "abs(CASE WHEN src_total = 0 THEN CAST(0 AS BIGINT) "
-                "ELSE CAST(FLOOR(COALESCE(cnt, 0) * 1000000 / src_total) AS BIGINT) END"
-                " - CAST(FLOOR(freq * 1000000 / all_total) AS BIGINT))"
+                "ELSE CAST(CAST(COALESCE(cnt, 0) AS DECIMAL(38,0))"
+                " * 1000000 DIV src_total AS BIGINT) END"
+                " - CAST(CAST(freq AS DECIMAL(38,0)) * 1000000 "
+                "DIV all_total AS BIGINT))"
             ).alias("adiff"),
         )
     )
@@ -1417,8 +1423,10 @@ ORACLES["doc_token_drift"] = """
     grid AS (
         SELECT st.source, st.src_total,
                abs(CASE WHEN st.src_total = 0 THEN CAST(0 AS BIGINT)
-                   ELSE CAST(FLOOR(COALESCE(sc.cnt, 0) * 1000000 / st.src_total) AS BIGINT) END
-                   - CAST(FLOOR(v.freq * 1000000 / ct.all_total) AS BIGINT)) AS adiff
+                   ELSE CAST(CAST(COALESCE(sc.cnt, 0) AS HUGEINT)
+                       * 1000000 // st.src_total AS BIGINT) END
+                   - CAST(CAST(v.freq AS HUGEINT) * 1000000
+                       // ct.all_total AS BIGINT)) AS adiff
         FROM src_tot st
         CROSS JOIN vocab2 v
         LEFT JOIN src_counts sc ON sc.source = st.source AND sc.token = v.token
@@ -2165,7 +2173,9 @@ def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_tokens",
         "min_doc_tokens",
         "max_doc_tokens",
-        F.expr("shard_tokens * 1000000 DIV t").alias("token_share_ppm"),
+        # shard token mass is data-proportional — DECIMAL(38,0) grid
+        F.expr("CAST(CAST(shard_tokens AS DECIMAL(38,0)) * 1000000 "
+               "DIV t AS BIGINT)").alias("token_share_ppm"),
     )
 
 
@@ -2186,7 +2196,8 @@ ORACLES["doc_shard_manifest"] = f"""
     ),
     tot AS (SELECT CAST(SUM(shard_tokens) AS BIGINT) AS t FROM agg)
     SELECT shard, n_docs, shard_tokens, min_doc_tokens, max_doc_tokens,
-           CAST(shard_tokens * 1000000 // t AS BIGINT) AS token_share_ppm
+           CAST(CAST(shard_tokens AS HUGEINT) * 1000000 // t
+               AS BIGINT) AS token_share_ppm
     FROM agg CROSS JOIN tot
 """
 
@@ -2635,7 +2646,8 @@ def doc_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "r", "n_r",
             "CASE WHEN r_next = r + 1 THEN "
-            "CAST(1000000 * (r + 1) * n_next DIV n_r AS BIGINT) "
+            "CAST(1000000 * (CAST(r AS DECIMAL(38,0)) + 1) * n_next "
+            "DIV n_r AS BIGINT) "
             "ELSE CAST(0 AS BIGINT) END AS r_star_ppm",
             f"ROW_NUMBER() OVER ({w}) AS rk",
         )
@@ -2664,7 +2676,8 @@ ORACLES["doc_good_turing"] = f"""
     )
     SELECT r, n_r,
            CASE WHEN r_next = r + 1 THEN
-               CAST(1000000 * (r + 1) * n_next // n_r AS BIGINT)
+               CAST(1000000 * (CAST(r AS HUGEINT) + 1) * n_next
+                   // n_r AS BIGINT)
            ELSE CAST(0 AS BIGINT) END AS r_star_ppm
     FROM (SELECT led.*, ROW_NUMBER() OVER (ORDER BY r) AS rk FROM led)
     WHERE rk <= 20

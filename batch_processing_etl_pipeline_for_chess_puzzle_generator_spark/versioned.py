@@ -1173,6 +1173,18 @@ def write_version(df: DataFrame, table_path: str,
             )
     import uuid
 
+    # INHERIT generated/identity from the latest manifest when the
+    # caller omits them — the spec rides the manifest, so a routine
+    # overwrite commit must not silently drop it (Delta: column
+    # metadata survives INSERT OVERWRITE). Passing a spec explicitly
+    # re-declares it; passing {} explicitly drops it.
+    if generated is None:
+        generated = _table_generated(table_path) or None
+    if identity is None:
+        _avail = versions(table_path)
+        if _avail:
+            identity = (_load_manifest(table_path, _avail[-1])
+                        .get("identity")) or None
     if generated:
         missing = [c for c, e in generated.items() if c not in df.columns]
         df = _apply_generated(
@@ -1476,6 +1488,14 @@ def merge_version_cow(spark: SparkSession, table_path: str,
                      * F.lit(sp["step"])).cast("long"),
                 ),
             )
+        # monotonically_increasing_id() is NONDETERMINISTIC across
+        # re-evaluations: the rewrite write and the CDF classification
+        # below each run their own job over this plan (with different
+        # downstream coalesce/partition layouts), so freshly inserted
+        # rows could persist one id in the data and a DIFFERENT id in
+        # the change feed. Pin the assigned values once — the same
+        # source-stability rule as the `changes` checkpoint above.
+        upserts = upserts.localCheckpoint(eager=True)
     upserts = upserts.select(*out_cols)
     if touched:
         # reading touched files with the (possibly widened) manifest
@@ -2549,6 +2569,10 @@ def merge_version_mor(spark: SparkSession, table_path: str,
                      * F.lit(sp["step"])).cast("long"),
                 ),
             )
+        # pin the nondeterministic id assignment once: count(),
+        # the rewrite write, and the CDF classification below are
+        # three separate jobs over this plan (see the COW twin)
+        upserts = upserts.localCheckpoint(eager=True)
     upserts = upserts.select(*data_cols)
     n_upserts = upserts.count()
     new_files: list[str] = []

@@ -28,6 +28,18 @@ def main() -> None:
     if "--streams" in sys.argv:
         _run_streams(int(sys.argv[sys.argv.index("--streams") + 1]))
         return
+    # --check: gate mode — run the full registry once and exit NONZERO
+    # if any query errors. The r9 lesson: orders_gini_by_nation threw
+    # ARITHMETIC_OVERFLOW at sf0.1, bench recorded it in the errors
+    # dict, and nothing failed — the crash was first seen in the
+    # driver's own artifact. preflight runs `bench.py --check` at
+    # sf0.1 so a scale-only crash can never again ship silently.
+    if "--check" in sys.argv:
+        n_err = _run_one()
+        if n_err:
+            print(f"bench --check: {n_err} query error(s) — see the "
+                  "errors dict above", file=sys.stderr)
+        raise SystemExit(1 if n_err else 0)
     # --sweep: one JSON line per SF (scaling evidence); the driver's
     # plain `python bench.py` path is unchanged.
     if "--sweep" in sys.argv:
@@ -43,7 +55,7 @@ def main() -> None:
     _run_one()
 
 
-def _run_one() -> None:
+def _run_one() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -125,6 +137,7 @@ def _run_one() -> None:
         compact["queries"] = {}
         line = json.dumps(compact)
     print(line)
+    return len(errors)
 
 
 def _run_streams(n_streams: int) -> None:

@@ -238,3 +238,85 @@ def test_identity_ds_append_refused(spark, tmp_path):
     with pytest.raises(Exception, match="IDENTITY"):
         app.write.format("versioned").mode("append") \
             .option("path", path).save()
+
+
+def test_overwrite_inherits_generated_and_identity_spec(spark, tmp_path):
+    """r10 advice fix: a routine write_version overwrite that omits
+    generated=/identity= must INHERIT the latest manifest's spec
+    (Delta: column metadata survives INSERT OVERWRITE) — before the
+    fix the spec silently vanished, after which DML stopped
+    recomputing/enforcing and supplying an identity column was no
+    longer refused. Passing {} explicitly still drops the spec."""
+    path = str(tmp_path / "t")
+    versioned.write_version(_mk(spark), path,
+                            generated={"total": "a + b"})
+    # overwrite WITHOUT re-passing the spec
+    versioned.write_version(_mk(spark, 50), path)
+    m = versioned._load_manifest(path, 1)
+    assert m["generated"] == {"total": "a + b"}
+    got = versioned.read_version(spark, path)
+    assert got.count() == 50 and "total" in got.columns
+    assert got.filter("total <> a + b").count() == 0
+    # enforcement survives the overwrite: lying values refuse
+    bad = _mk(spark).selectExpr("a", "b", "v", "a + b + 1 AS total")
+    with pytest.raises(versioned.ConstraintViolation,
+                       match="generated:total"):
+        versioned.write_version(bad, path)
+    # explicit {} drops the spec
+    versioned.write_version(_mk(spark, 10), path, generated={})
+    assert "generated" not in versioned._load_manifest(
+        path, versioned.versions(path)[-1])
+
+    # identity: same inheritance contract
+    ipath = str(tmp_path / "ti")
+    versioned.write_version(
+        _mk(spark), ipath, identity={"rid": {"start": 1, "step": 1}})
+    versioned.write_version(_mk(spark, 20), ipath)  # spec omitted
+    m2 = versioned._load_manifest(ipath, 1)
+    assert m2["identity"] == {"rid": {"start": 1, "step": 1}}
+    rows = versioned.read_version(spark, ipath).select("rid").collect()
+    assert len({r.rid for r in rows}) == 20  # still allocated, unique
+    # supplying the inherited identity column is still refused
+    with_rid = _mk(spark, 5).selectExpr(
+        "a", "b", "v", "CAST(a * 0 AS LONG) AS rid")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        versioned.write_version(with_rid, ipath)
+
+
+@pytest.mark.parametrize("physics", ["cow", "mor"])
+def test_identity_cdf_feed_matches_committed_data(spark, tmp_path,
+                                                  physics):
+    """r10 advice fix: on an identity table with cdf.enabled, the
+    persisted change feed must record the SAME identity values the
+    data commit wrote. monotonically_increasing_id() is
+    nondeterministic across jobs, and the feed classification runs as
+    a separate job from the rewrite — without the localCheckpoint pin
+    on the assigned upserts, fresh inserts can get one id in the data
+    and another in the feed whenever the two jobs plan different
+    partition layouts. (The drift depends on layout, so this test
+    documents the contract; the pin makes it hold by construction.)"""
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        _mk(spark, 30), path,
+        identity={"rid": {"start": 100, "step": 3}})
+    versioned.set_table_property(path, "cdf.enabled", "true")
+    if physics == "mor":
+        versioned.set_table_property(path, "dv.enabled", "true")
+    # many-partition change set: mono ids differ wildly across
+    # partition layouts, so any re-evaluation drift is visible
+    ch = (spark.range(200, 240).repartition(8).selectExpr(
+        "CAST(id AS INT) AS a", "CAST(id * 3 AS INT) AS b",
+        "CONCAT('new', id) AS v", "CAST(false AS BOOLEAN) AS is_delete"))
+    if physics == "mor":
+        versioned.merge_version_mor(spark, path, ch, "a")
+    else:
+        versioned.merge_version_cow(spark, path, ch, "a")
+    data = {r.a: r.rid for r in
+            versioned.read_version(spark, path).collect()}
+    last = versioned.versions(path)[-1]
+    feed = versioned.read_changes(spark, path, last - 1, last)
+    ins = {r.a: r.rid for r in
+           feed.filter("_change_type = 'insert'").collect()}
+    assert len(ins) == 40
+    for a, rid in ins.items():
+        assert data[a] == rid, f"feed rid {rid} != data rid {data[a]}"

@@ -11,7 +11,9 @@ from __future__ import annotations
 from tests.conftest import SF_SMALL
 from tools.lint_formulations import (
     DOUBLE_ALLOWLIST,
+    F_ALLOWLIST,
     lint_oracles,
+    lint_overflow,
     lint_schemas,
 )
 
@@ -36,6 +38,67 @@ def test_allowlist_has_no_orphan_entries():
     queries, _ = _registry()
     orphans = set(DOUBLE_ALLOWLIST) - set(queries)
     assert orphans == set(), f"allowlist names unknown entries: {orphans}"
+    orphans_f = set(F_ALLOWLIST) - set(queries)
+    assert orphans_f == set(), f"F allowlist unknown entries: {orphans_f}"
+
+
+def test_oracles_pass_overflow_headroom():
+    """Rule F over the full registry: no BIGINT product chain may pass
+    2^63 at 100 TB magnitudes unless its bound is audited into
+    F_ALLOWLIST."""
+    _, oracles = _registry()
+    assert lint_overflow(oracles) == []
+
+
+def test_rule_f_catches_the_r9_overflow_incidents():
+    """The three r9 formulations (gini CRASHED the driver bench at
+    sf0.1; Simpson/Fano were latent) must stay flagged forever — if a
+    refactor of the masker stops catching them, the overflow class can
+    ship lint-clean again."""
+    old = {
+        "old_gini": """
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(x) AS BIGINT) AS total_cents,
+                   CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x))
+                       * 1000000
+                       // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_ppm
+            FROM ranked GROUP BY n_name
+        """,
+        "old_simpson": """
+            SELECT day, CAST(1000000 - 1000000 * SUM(c * c)
+                       // (SUM(c) * SUM(c)) AS BIGINT) AS simpson_ppm
+            FROM counts GROUP BY day
+        """,
+        "old_fano": """
+            SELECT event_type,
+                   CAST(1000000 * (COUNT(*) * SUM(x * x)
+                       - SUM(x) * SUM(x))
+                       // (COUNT(*) * SUM(x)) AS BIGINT) AS fano_ppm
+            FROM daily GROUP BY event_type
+        """,
+    }
+    for name, sql in old.items():
+        assert lint_overflow({name: sql}), f"{name} no longer flagged"
+    # ... and the FIXED formulations pass clean
+    fixed = {
+        "new_gini": """
+            SELECT n_name,
+                   CAST((2 * SUM(CAST(i AS HUGEINT) * x)
+                       - (CAST(COUNT(*) AS HUGEINT) + 1) * SUM(x))
+                       * 1000000
+                       // (CAST(COUNT(*) AS HUGEINT) * SUM(x))
+                       AS BIGINT) AS gini_ppm
+            FROM ranked GROUP BY n_name
+        """,
+        "new_simpson": """
+            SELECT day,
+                   CAST(1000000 - 1000000 * SUM(CAST(c AS HUGEINT) * c)
+                       // (CAST(SUM(c) AS HUGEINT) * SUM(c))
+                       AS BIGINT) AS simpson_ppm
+            FROM counts GROUP BY day
+        """,
+    }
+    assert lint_overflow(fixed) == []
 
 
 def test_static_rules_catch_the_incident_constructs():

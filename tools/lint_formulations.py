@@ -80,6 +80,32 @@ C. NO FRACTIONAL ROUND — ``ROUND(x, k>=1)`` exposed from an oracle is
    class (both engines round half-away-from-zero); ppm/millions
    BIGINT grids are the house style.
 
+F. OVERFLOW HEADROOM — the r9 incident class: a lint-clean BIGINT
+   formula that is green at every preflight SF and dies with
+   ARITHMETIC_OVERFLOW at the driver's bench SF (orders_gini_by_nation:
+   ``(2·Σi·x − (n+1)·Σx) × 1e6`` ≈ 2.1e19 > 2⁶³−1 at sf0.1; Spark 4
+   ANSI throws, DuckDB's HUGEINT SUM promotion silently tolerates it —
+   so sf0.001 parity structurally CANNOT see it). Every multiplication
+   that can leave the BIGINT range at 100 TB magnitudes (10¹⁰
+   rows/day, cents grids to ~2e18) must be WIDE — lexically inside or
+   beside a ``CAST(... AS HUGEINT)`` / ``CAST(... AS DECIMAL(38,...))``
+   (the DuckDB/Spark exact-to-1e38 pair) or composed of values an
+   audit bounds away from 2⁶². Flagged shapes, after masking wide
+   casts and resolving wide-cast aliases:
+     (1) an integer literal ≥ 10⁴ (ppm/ppb grids) multiplied by a
+         non-wide term;
+     (2) aggregate × aggregate products (``SUM(x) * SUM(x)``,
+         ``COUNT(*) * SUM(...)`` — each factor alone can be ~1e16);
+     (3) a bare alias squared (``c * c``, ``total * total``) outside
+         a wide context;
+     (4) a product of two non-literal terms INSIDE an aggregate
+         (``SUM(i * x)`` — the per-row product feeds a 2⁶³
+         accumulator on the Spark side even when DuckDB promotes).
+   A finding is either recomposed onto the DECIMAL(38,0)/HUGEINT grid
+   (house pattern: orders_gini_by_nation, ev_fano_factor) or recorded
+   in ``F_ALLOWLIST`` with the audited magnitude bound that keeps its
+   worst case below 2⁶² — the allowlist entry IS the audit.
+
 D. EXPOSED DOUBLES ARE AUDITED — an output column of type DOUBLE is
    only allowed if (entry, column) is in ``DOUBLE_ALLOWLIST`` below.
    Every listed column was audited to be deterministic by
@@ -197,6 +223,361 @@ def _string_casts(sql: str):
             if prefix.count("(") == prefix.count(")"):
                 yield prefix
                 break
+
+# -- Rule F machinery ------------------------------------------------------
+# Wide targets: DuckDB HUGEINT (int128) and DECIMAL(30..38, s) — the
+# pair of types both engines evaluate exactly to >=1e30. A product with
+# a wide factor is computed wide in BOTH engines (Spark decimal
+# arithmetic, DuckDB HUGEINT promotion), so it cannot hit the 2^63 wall.
+_WIDE_TARGET = re.compile(
+    r"\bAS\s+(?:HUGEINT|DECIMAL\s*\(\s*3[0-8]\s*[,)])", re.IGNORECASE)
+_BIG_LITERAL = re.compile(r"\b\d{4,}\b")
+_AGG_FN = r"(?:SUM|COUNT|MIN|MAX|AVG)"
+_AGG_X_AGG = re.compile(
+    rf"\b{_AGG_FN}\s*\((?:[^()]|\([^()]*\))*\)\s*\*\s*{_AGG_FN}\s*\(",
+    re.IGNORECASE,
+)
+_SELF_PRODUCT = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\*\s*\1\b")
+_AGG_INNER_PRODUCT = re.compile(
+    r"\b(?:SUM|AVG)\s*\(\s*((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE)
+_STOP_KEYWORDS = {
+    "DIV", "AS", "FROM", "WHERE", "GROUP", "ORDER", "AND", "OR",
+    "THEN", "WHEN", "ELSE", "END", "BETWEEN", "OVER", "IN", "IS",
+}
+
+
+def _mask_wide_casts(sql: str) -> str:
+    """Replace every CAST(... AS HUGEINT/DECIMAL(30..38,...)) region —
+    body included — with __WIDE__, then mark every alias DEFINED from a
+    wide expression (``... __WIDE__ ... AS name``) so later references
+    to it count as wide too. Lexical and conservative: a wide value
+    re-narrowed via CAST(... AS BIGINT) before a product is a known
+    blind spot (not house style — the grid divides ONCE at the end)."""
+    out, changed = sql, True
+    while changed:
+        changed = False
+        for m in re.finditer(r"\bCAST\s*\(", out, re.IGNORECASE):
+            depth, i = 1, m.end()
+            while i < len(out) and depth:
+                if out[i] == "(":
+                    depth += 1
+                elif out[i] == ")":
+                    depth -= 1
+                i += 1
+            body = out[m.end():i - 1]
+            for tail in _WIDE_TARGET.finditer(body):
+                prefix = body[:tail.start()]
+                if prefix.count("(") == prefix.count(")"):
+                    out = out[:m.start()] + " __WIDE__ " + out[i:]
+                    changed = True
+                    break
+            if changed:
+                break
+    # SUM over a DECIMAL-typed argument accumulates wide in BOTH
+    # engines with no lexical cast (DuckDB promotes to DECIMAL(38,s),
+    # Spark to DECIMAL(p+10,s)) — mask those regions wide too.
+    changed = True
+    while changed:
+        changed = False
+        for m in re.finditer(r"\bSUM\s*\(", out, re.IGNORECASE):
+            depth, i = 1, m.end()
+            while i < len(out) and depth:
+                if out[i] == "(":
+                    depth += 1
+                elif out[i] == ")":
+                    depth -= 1
+                i += 1
+            body = out[m.end():i - 1]
+            if re.search(r"\bDECIMAL\b|__WIDE__", body, re.IGNORECASE):
+                out = out[:m.start()] + " __WIDE__ " + out[i:]
+                changed = True
+                break
+    # a CAST back to a 64-bit-or-smaller integer KILLS wideness — the
+    # value re-enters BIGINT range and downstream products are narrow.
+    out = re.sub(
+        r"\bCAST\s*\(\s*__WIDE__\s*AS\s+(?:BIGINT|INT|INTEGER|SMALLINT|"
+        r"TINYINT)\s*\)",
+        " __NARROW__ ", out, flags=re.IGNORECASE)
+    # a wide value cast to DOUBLE is IEEE-typed from there on — its
+    # products saturate rather than overflowing (rules B2/D govern
+    # them). Collapse before alias propagation so `AS DOUBLE` cannot
+    # be mistaken for an alias name.
+    out = re.sub(
+        r"\bCAST\s*\(\s*__WIDE__\s+AS\s+DOUBLE\s*\)",
+        " __CASTDOUBLE__ ", out, flags=re.IGNORECASE)
+    _TYPEWORDS = {"DOUBLE", "BIGINT", "HUGEINT", "DECIMAL", "INT",
+                  "INTEGER", "VARCHAR", "TIMESTAMP", "DATE", "BOOLEAN"}
+    # propagate wideness through aliases: `__WIDE__ ... AS name` at the
+    # top level of a select item makes every later `name` wide.
+    # Iterate to a fixpoint so wideness flows through alias CHAINS
+    # (diff -> MAX(diff) AS max_diff -> 1e6 * max_diff).
+    changed = True
+    while changed:
+        changed = False
+        for stmt_m in re.finditer(
+            r"__WIDE__[^,]*?\bAS\s+([A-Za-z_][A-Za-z0-9_]*)", out
+        ):
+            a = stmt_m.group(1)
+            if a.upper() not in _TYPEWORDS:
+                new = re.sub(rf"\b{a}\b", "__WIDE__", out)
+                if new != out:
+                    out, changed = new, True
+                    break
+    # an alias defined by a DECIMAL(p,s) cast of ANY precision is
+    # decimal-typed: both engines compute its products in widened
+    # decimal (Spark p1+p2+1 capped at 38, DuckDB likewise), so there
+    # is no 2⁶³ wall — the 1e38 decimal wall needs ~1e19-per-factor
+    # magnitudes no real grid reaches. Mark references wide.
+    dec_aliases = set()
+    for stmt_m in re.finditer(
+        r"\bAS\s+DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)\s*\)\s*"
+        r"AS\s+([A-Za-z_][A-Za-z0-9_]*)",
+        out, re.IGNORECASE,
+    ):
+        if stmt_m.group(1).upper() not in {"DOUBLE", "BIGINT"}:
+            dec_aliases.add(stmt_m.group(1))
+    for a in dec_aliases:
+        out = re.sub(rf"\b{a}\b", "__WIDE__", out)
+    # propagate double-ness the same way: `__CASTDOUBLE__ ... AS name`
+    # (or a plain `CAST(col AS DOUBLE) AS name` item) marks the alias.
+    dbl_aliases = set()
+    for stmt_m in re.finditer(
+        r"(?:__CASTDOUBLE__|\bAS\s+DOUBLE\s*\))[^,]*?"
+        r"\bAS\s+([A-Za-z_][A-Za-z0-9_]*)",
+        out, re.IGNORECASE,
+    ):
+        if stmt_m.group(1).upper() not in _TYPEWORDS:
+            dbl_aliases.add(stmt_m.group(1))
+    for a in dbl_aliases:
+        out = re.sub(rf"\b{a}\b", "__CASTDOUBLE__", out)
+    return out
+
+
+def _operand(s: str, i: int, step: int) -> str:
+    """The multiplicand starting at s[i] scanning by step (+1 right,
+    -1 left), stopping at an operator / keyword / unbalanced paren."""
+    chars: list[str] = []
+    depth = 0
+    n = len(s)
+    while 0 <= i < n:
+        ch = s[i]
+        open_, close = ("(", ")") if step > 0 else (")", "(")
+        if ch == open_:
+            depth += 1
+        elif ch == close:
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and ch in "+-*/,%":
+            break
+        chars.append(ch)
+        if depth == 0 and ch.isspace():
+            # peek the next word — SQL keywords end the operand
+            j = i + step
+            while 0 <= j < n and s[j].isspace():
+                j += step
+            word: list[str] = []
+            while 0 <= j < n and (s[j].isalnum() or s[j] == "_"):
+                word.append(s[j])
+                j += step
+            w = "".join(word if step > 0 else reversed(word)).upper()
+            if w in _STOP_KEYWORDS:
+                break
+        i += step
+    return "".join(chars if step > 0 else reversed(chars)).strip()
+
+
+def _wideish(expr: str) -> bool:
+    return "__WIDE__" in expr
+
+
+def _is_literal(expr: str) -> bool:
+    return bool(re.fullmatch(r"[\d.]+", expr.strip()))
+
+
+# A DOUBLE-typed factor saturates rather than overflowing — the product
+# is IEEE math, governed by rules B2/D, not by BIGINT headroom. Lexical
+# evidence that an operand is double-typed: an AS DOUBLE cast, a float
+# literal, or a raw double-source column as the bare operand.
+_DOUBLE_OPERAND = re.compile(
+    r"\bAS\s+DOUBLE\b|::\s*DOUBLE\b|__CASTDOUBLE__|\d\.\d|\b(?:"
+    + "|".join(DOUBLE_SOURCE_COLS) + r")\b",
+    re.IGNORECASE,
+)
+
+
+def _doubleish_operand(expr: str) -> bool:
+    return bool(_DOUBLE_OPERAND.search(expr))
+
+
+# key -> audited magnitude bound keeping every flagged product < 2^62.
+# Adding an entry is a statement that you traced each flagged factor to
+# the recorded bound (shares <= 1e6 on the ppm grid, counts bounded by
+# a small domain, etc.). Populated by the rule-F audit sweep (r10);
+# everything data-proportional was instead WIDENED onto the
+# DECIMAL(38,0)/HUGEINT grid in the same sweep.
+_EMB_GRID_BOUND = (
+    "1e6-grid embedding components: |comp| <= ~1 (unit-normalized, "
+    "dim 64) so |x| <= ~2e6; per-pair dot/square dim-sums <= 64*4e12 "
+    "~ 2.6e14 < 2^62 — per-vector quantities, independent of corpus "
+    "size; recall counts <= k*|Q| with the fixed 10-query probe set"
+)
+F_ALLOWLIST: dict[str, str] = {
+    # -- embeddings: every product is on the per-vector 1e6 grid
+    "emb_ann_recall": _EMB_GRID_BOUND,
+    "emb_bq_rerank": _EMB_GRID_BOUND,
+    "emb_centroid_confusion": _EMB_GRID_BOUND,
+    "emb_cosine_topk": _EMB_GRID_BOUND,
+    "emb_dim_stats": _EMB_GRID_BOUND,
+    "emb_filtered_topk": _EMB_GRID_BOUND,
+    "emb_hard_negatives": _EMB_GRID_BOUND,
+    "emb_incr_ann": _EMB_GRID_BOUND,
+    "emb_ivf_ann": _EMB_GRID_BOUND,
+    "emb_kmeans_ivf": _EMB_GRID_BOUND,
+    "emb_knn_margin": _EMB_GRID_BOUND,
+    "emb_lsh_ann": _EMB_GRID_BOUND,
+    "emb_lsh_range": _EMB_GRID_BOUND,
+    "emb_matryoshka_overlap": _EMB_GRID_BOUND,
+    "emb_mmr_diversify": _EMB_GRID_BOUND,
+    "emb_mrr_eval": _EMB_GRID_BOUND,
+    "emb_neardup_pairs": _EMB_GRID_BOUND,
+    "emb_nprobe_sweep": _EMB_GRID_BOUND,
+    "emb_outliers": _EMB_GRID_BOUND,
+    "emb_pq_trained": _EMB_GRID_BOUND,
+    "emb_range_search": _EMB_GRID_BOUND,
+    "emb_semdedup": _EMB_GRID_BOUND,
+    "emb_threshold_sweep": _EMB_GRID_BOUND,
+    "emb_whiten": _EMB_GRID_BOUND,
+    "hybrid_search_rrf": _EMB_GRID_BOUND,
+    # -- documents: per-DOC quantities, bounded by doc length not
+    #    corpus size
+    "doc_blocklist_filter": "n_bad*12 <= 12*doc words (doc-local)",
+    "doc_containment_pairs": (
+        "inter <= per-doc shingle count (doc-local, <= ~1e8); "
+        "x1e6 <= ~1e14 < 2^62"
+    ),
+    "doc_dedup_best_quality": (
+        "FLOOR(quality_score*1e6): score is a double in [0,1] -> "
+        "product <= 1e6"
+    ),
+    "doc_importance_sample": (
+        "FLOOR(quality_score*1e6): score is a double in [0,1] -> "
+        "product <= 1e6"
+    ),
+    "doc_substr_dup": (
+        "window counts grouped per doc_id (doc-local <= ~1e8); "
+        "x1e6 <= ~1e14 < 2^62"
+    ),
+    "doc_ttr_hapax": (
+        "distinct-word vocabulary per source: Heaps-bounded <= ~1e10 "
+        "-> x1e6 <= 1e16 < 2^62"
+    ),
+    "doc_zipf_slope": (
+        "rank set fixed at rk <= 100; x,y = ln*1e6 <= 3.5e7 -> "
+        "COUNT*SUM(x*y) <= 100*100*1.2e15 bounded < 2^62"
+    ),
+    # -- events/orders: grid-bounded factors
+    "ev_watermark_sweep": (
+        "delay_s is the fixed 60..86400 s grid -> delay_s*1e6 <= "
+        "8.64e10 (the drop count product is widened to HUGEINT)"
+    ),
+    "orders_priority_share_trend": (
+        "x = month index <= ~1e4, y = share ppm <= 1e6: "
+        "COUNT*SUM(x*y) <= 1e4*1e14 = 1e18 < 2^62"
+    ),
+    "orders_theilsen_trend": (
+        "pair_key = m*1e5 + m: m is a month index <= ~1e5 -> "
+        "<= 1e10 (the slope numerator is widened to DECIMAL(38,0))"
+    ),
+    "orders_seasonal_index": (
+        "remaining hit 1e6*rev_share_ppm: share <= 1e6 by "
+        "construction -> <= 1e12 (cents/n_orders products widened)"
+    ),
+    # -- layout histograms: bit-interleave grids
+    "hilbert_layout_hist": (
+        "literal x 3-bit interleave value <= 3*16384 — constant grid"
+    ),
+    "zorder_layout_hist": (
+        "literal x 1-bit value <= 32768 — constant grid"
+    ),
+    # -- window ranks bounded by group size
+    "w_customer_value_bands": (
+        "rn <= customers per nation (~6e8 at sf1e5) -> rn*1e6 <= "
+        "6e14 < 2^62"
+    ),
+    "w_order_stats": (
+        "seq <= orders per customer (~40, schema-fixed) -> "
+        "seq*1e6 <= 4e7"
+    ),
+}
+
+
+def lint_overflow(oracles: dict[str, str]) -> list[str]:
+    """Rule F over every oracle SQL string (the oracle mirrors the
+    Spark formulation term-for-term, so its products are the Spark
+    products — and the oracle side is where HUGEINT promotion hides
+    exactly this class from sf-small parity)."""
+    findings = []
+    for key, sql in sorted(oracles.items()):
+        if key in F_ALLOWLIST:
+            continue
+        masked = _mask_wide_casts(sql)
+        hits: list[str] = []
+        # (1) big ppm/ppb literal times a non-wide term
+        for m in re.finditer(r"\*", masked):
+            left = _operand(masked, m.start() - 1, -1)
+            right = _operand(masked, m.end(), +1)
+            for lit_side, other in ((left, right), (right, left)):
+                lm = re.fullmatch(r"\d{4,}", lit_side.strip())
+                if lm and int(lm.group(0)) >= 10_000:
+                    if not (_wideish(other) or _is_literal(other)
+                            or _doubleish_operand(other)):
+                        hits.append(
+                            f"literal {lm.group(0)} × non-wide "
+                            f"term {other[:40]!r}"
+                        )
+        # (2) aggregate × aggregate — the second aggregate's balanced
+        # body (not covered by the regex match) may hold the wide cast
+        for m in _AGG_X_AGG.finditer(masked):
+            depth, i = 1, m.end()
+            while i < len(masked) and depth:
+                if masked[i] == "(":
+                    depth += 1
+                elif masked[i] == ")":
+                    depth -= 1
+                i += 1
+            full = masked[m.start():i]
+            if not _wideish(full) and not _doubleish_operand(full):
+                hits.append(f"agg×agg product {full[:60]!r}")
+        # (3) bare alias squared
+        for m in _SELF_PRODUCT.finditer(masked):
+            if (m.group(1) != "__WIDE__"
+                    and not _doubleish_operand(m.group(1))):
+                hits.append(f"self-product {m.group(0)!r}")
+        # (4) product of two non-literal terms inside SUM/AVG
+        for m in _AGG_INNER_PRODUCT.finditer(masked):
+            body = m.group(1)
+            for p in re.finditer(r"\*", body):
+                left = _operand(body, p.start() - 1, -1)
+                right = _operand(body, p.end(), +1)
+                if (left and right
+                        and not _is_literal(left) and not _is_literal(right)
+                        and not _wideish(left) and not _wideish(right)
+                        and not _doubleish_operand(left)
+                        and not _doubleish_operand(right)):
+                    hits.append(
+                        f"in-aggregate product {left[:25]!r}*{right[:25]!r}"
+                    )
+        for h in dict.fromkeys(hits):
+            findings.append(
+                f"{key}: rule F — {h}: BIGINT product can pass 2^63 at "
+                f"100 TB magnitudes (the orders_gini_by_nation sf0.1 "
+                f"ARITHMETIC_OVERFLOW class); widen to "
+                f"HUGEINT/DECIMAL(38,0) or record the audited bound in "
+                f"F_ALLOWLIST"
+            )
+    return findings
+
 
 # ROUND with an explicit second argument; nested parens up to 2 deep.
 FRACTIONAL_ROUND = re.compile(
@@ -417,6 +798,7 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     findings = lint_oracles(entrymod.oracle_sql())
+    findings += lint_overflow(entrymod.oracle_sql())
     spark = get_spark("lint-formulations")
     findings += lint_schemas(spark, entrymod.queries(), sf_dir)
     for f in findings:

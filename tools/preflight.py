@@ -3,8 +3,10 @@
 One command that runs the two defenses that caught (or would have
 caught) every historical driver-red:
 
-1. ``tools/lint_formulations.py`` — static rules A-D/B2 + the
-   stringification bans over every registry entry's exposed schema.
+1. ``tools/lint_formulations.py`` — static rules A-D/B2/F + the
+   stringification bans over every registry entry's exposed schema
+   (rule F is the overflow-headroom gate: no BIGINT product chain may
+   pass 2^63 at 100 TB magnitudes without an audited bound).
 2. ``tools/check_parity.py`` at sf0.001 — the driver's own t2 gate
    (row count + column names + order-insensitive value hash vs the
    DuckDB oracle) over the full registry.
@@ -15,10 +17,19 @@ caught) every historical driver-red:
    plus the MOR==COW hypothesis property at a FIXED seed that is
    verified to catch the r8 bug class (seed=7 fails on the pre-fix
    code in <7 min; both gates here run on every commit).
+4. ``sf0.1-exec`` — EXECUTE the full registry at the driver's bench
+   SF (sf0.1) via ``bench.py --check`` and fail on any per-query
+   error. The r9 lesson: orders_gini_by_nation was lint-clean and
+   parity-green at sf0.001 yet threw ARITHMETIC_OVERFLOW at sf0.1 —
+   a crash the builder first learned about from the driver artifact.
+   Scale-only failures must die here, not there. (Skippable with
+   ``--quick`` when iterating on a formulation already covered by
+   stages 1-3; the full gate runs before any commit.)
 
 Run before committing any new or changed ``queries()`` formulation:
 
-    python tools/preflight.py            # lint + parity at sf0.001
+    python tools/preflight.py            # all four stages
+    python tools/preflight.py --quick    # skip the sf0.1 execution
     python tools/preflight.py /root/testdata/sf0.01   # heavier parity
 
 Exits nonzero on the FIRST failing stage, so it can gate a commit
@@ -27,6 +38,7 @@ hook or CI step directly.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
@@ -35,7 +47,9 @@ REPO = "/root/repo"
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if a != "--quick"]
+    quick = "--quick" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     stages = [
         ("lint", [sys.executable, f"{REPO}/tools/lint_formulations.py"]),
         ("parity", [sys.executable, f"{REPO}/tools/check_parity.py", sf_dir]),
@@ -47,7 +61,12 @@ def main() -> int:
             "tests/test_properties.py::test_mor_equals_cow_for_arbitrary_dml",
         ]),
     ]
+    if not quick:
+        stages.append(
+            ("sf0.1-exec", [sys.executable, f"{REPO}/bench.py", "--check"]))
     for name, cmd in stages:
+        if name == "sf0.1-exec":
+            os.environ["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.1"
         t0 = time.perf_counter()
         print(f"== preflight: {name} ==", flush=True)
         rc = subprocess.call(cmd, cwd=REPO)
