@@ -328,15 +328,21 @@ def _parse_filter_option(expr: str, schema: StructType):
     return disjuncts
 
 
-def _bounds_reject(lo, hi, op: str, value) -> bool:
+def _bounds_reject(lo, hi, op: str, value,
+                   is_decimal: bool | None = None) -> bool:
     """True iff a file with [lo, hi] bounds CANNOT hold a row matching
     ``op value`` (encoded comparably). Conservative: incomparable or
     missing bounds never reject. DECIMAL-column bounds are stored in
     the fixed-point encoding; a numeric probe against them is encoded
-    the same way so the lexicographic interval test stays exact."""
+    the same way so the lexicographic interval test stays exact.
+    ``is_decimal`` is the manifest-schema verdict for the column
+    (False blocks decimal probing of a STRING column whose stored
+    bounds merely LOOK like encodings; None = legacy shape-sniff)."""
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
-    dec_bounds = versioned._is_decimal_stat(lo)
+    dec_bounds = (versioned._is_decimal_stat(lo)
+                  if is_decimal is None
+                  else (is_decimal and versioned._is_decimal_stat(lo)))
 
     def _enc(v):
         if dec_bounds and isinstance(v, (int, float, str)) \
@@ -396,9 +402,12 @@ def _file_survives(path: str, col: str, op: str, value,
     elif (skip_meta.get("stats_col") == col
             and (skip_meta.get("stats") or {}).get(path) is not None):
         bounds = skip_meta["stats"][path]
-    if bounds is not None and _bounds_reject(bounds[0], bounds[1],
-                                             op, value):
-        return False
+    if bounds is not None:
+        dec_cols = skip_meta.get("dec_cols")
+        is_dec = None if dec_cols is None else (col in dec_cols)
+        if _bounds_reject(bounds[0], bounds[1], op, value,
+                          is_decimal=is_dec):
+            return False
     bloom = skip_meta.get("bloom")
     if bloom is not None and col == bloom.get("col"):
         hexmap = bloom["filters"].get(path)
@@ -762,8 +771,16 @@ class VersionedDataSource(DataSource):
                 for f in files if f in dv_rel
             }
             # skipping metadata for pushFilters, re-keyed by the same
-            # paths the partition plan uses
-            skip_meta: dict = {}
+            # paths the partition plan uses; dec_cols is the SCHEMA
+            # verdict on which columns' bounds are fixed-point decimal
+            # encodings (shape-sniffing alone would let a STRING
+            # column's look-alike data flip prune semantics)
+            schema_struct = StructType.fromJson(json.loads(m["schema"]))
+            skip_meta: dict = {
+                "dec_cols": sorted(
+                    f.name for f in schema_struct.fields
+                    if type(f.dataType).__name__ == "DecimalType"),
+            }
             if m.get("stats_col") and m.get("stats"):
                 skip_meta["stats_col"] = m["stats_col"]
                 skip_meta["stats"] = {
@@ -787,7 +804,7 @@ class VersionedDataSource(DataSource):
                     },
                 }
             self._resolved = (
-                StructType.fromJson(json.loads(m["schema"])),
+                schema_struct,
                 [versioned._abs_file(table_path, f) for f in files],
                 dv,
                 skip_meta,

@@ -350,12 +350,35 @@ def _is_decimal_stat(s) -> bool:
             and s[_DEC_DIGITS + 2:].isdigit())
 
 
-def _stat_decode(v):
+def _schema_decimal_cols(manifest: dict) -> set:
+    """Column names of DecimalType in a manifest's recorded schema —
+    the TYPE-based authority for whether a stat string is a
+    fixed-point decimal encoding. Shape-sniffing alone would
+    mis-decode a STRING column whose stored min/max happens to look
+    like an encoding (78 chars of digits around a dot)."""
+    from pyspark.sql import types as T
+
+    try:
+        st = T.StructType.fromJson(json.loads(manifest["schema"]))
+    except Exception:  # noqa: BLE001 — legacy manifest without schema
+        return set()
+    return {f.name for f in st.fields
+            if isinstance(f.dataType, T.DecimalType)}
+
+
+def _stat_decode(v, is_decimal: bool | None = None):
     """Inverse of the stat encoding where one exists: fixed-point
     DECIMAL strings come back as Decimal; everything else (numbers,
-    strings, ISO date/timestamp strings) passes through unchanged."""
+    strings, ISO date/timestamp strings) passes through unchanged.
+    ``is_decimal`` is the manifest-schema verdict for the column:
+    False suppresses decoding even for shape-matching strings (a
+    STRING column's data may look like an encoding), True requires
+    the shape to validate, None falls back to shape-sniffing (legacy
+    manifests with no schema)."""
     from decimal import Decimal
 
+    if is_decimal is False:
+        return v
     if not _is_decimal_stat(v):
         return v
     body = v[1:]
@@ -822,6 +845,29 @@ def _identity_high_water(spark: SparkSession, table_path: str,
     return None if row[0] is None else int(row[0])
 
 
+def _identity_check_headroom(col: str, base: int, step: int,
+                             num_partitions: int) -> None:
+    """Refuse an identity allocation whose largest possible value
+    could pass 2^63−1: monotonically_increasing_id() is
+    (partition_id << 33) + row_in_partition, so each commit can
+    consume up to ~numPartitions·2^33·step of the id space — after
+    enough commits (or with a large step on a wide dataframe) the
+    base+id·step product would wrap (non-ANSI) or throw mid-write
+    (ANSI), either way after data may already be staged. Delta
+    documents the same exhaustion mode for identity columns; failing
+    loudly BEFORE any write is the only safe behavior."""
+    max_id = (num_partitions + 1) << 33  # row_in_partition < 2^33
+    if base + max_id * step > (1 << 63) - 1:
+        raise ValueError(
+            f"identity column '{col}': allocation would exceed BIGINT "
+            f"range (base={base}, step={step}, partitions="
+            f"{num_partitions}; worst-case id ~{base + max_id * step:e})"
+            " — the sparse per-partition allocation has exhausted the "
+            "id space; rewrite the table with a fresh start/step to "
+            "re-seed"
+        )
+
+
 def _apply_identity(spark: SparkSession, table_path: str, df: DataFrame,
                     identity: dict, parent: dict | None) -> DataFrame:
     """Assign GENERATED ALWAYS AS IDENTITY values to rows that lack
@@ -839,6 +885,8 @@ def _apply_identity(spark: SparkSession, table_path: str, df: DataFrame,
         hw = (None if parent is None
               else _identity_high_water(spark, table_path, parent, c))
         base = sp["start"] if hw is None else hw + sp["step"]
+        _identity_check_headroom(c, base, sp["step"],
+                                 df.rdd.getNumPartitions())
         df = df.withColumn(
             c,
             (F.lit(base)
@@ -1479,6 +1527,8 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         for c, sp in _validate_identity_spec(ident).items():
             hw = _identity_high_water(spark, table_path, parent, c)
             base = sp["start"] if hw is None else hw + sp["step"]
+            _identity_check_headroom(c, base, sp["step"],
+                                     upserts.rdd.getNumPartitions())
             upserts = upserts.withColumn(
                 c,
                 F.coalesce(
@@ -1827,6 +1877,13 @@ def _predicate_cow(spark: SparkSession, table_path: str,
                      == parent.get("partition_by"))
                 and winner.get("generated") == parent.get("generated")
                 and winner.get("identity") == parent.get("identity")
+                # a racing property flip (cdf.enabled / dv.enabled)
+                # changes what this DML should have produced (feed
+                # entries, DV routing) — conflict loudly like any
+                # other logical-shape change instead of rebasing a
+                # commit computed under pre-race properties
+                and (winner.get("properties")
+                     == parent.get("properties"))
                 and own <= set(winner.get("files") or ())
                 and all(win_dv.get(f) == parent_dv.get(f) for f in own)
             )
@@ -2338,6 +2395,13 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
                      == parent.get("partition_by"))
                 and winner.get("generated") == parent.get("generated")
                 and winner.get("identity") == parent.get("identity")
+                # a racing property flip (cdf.enabled / dv.enabled)
+                # changes what this DML should have produced (feed
+                # entries, DV routing) — conflict loudly like any
+                # other logical-shape change instead of rebasing a
+                # commit computed under pre-race properties
+                and (winner.get("properties")
+                     == parent.get("properties"))
                 and own <= set(winner.get("files") or ())
                 and all(win_dv.get(f) == parent_dv.get(f) for f in own)
             )
@@ -2560,6 +2624,8 @@ def merge_version_mor(spark: SparkSession, table_path: str,
         for c, sp in _validate_identity_spec(ident).items():
             hw = _identity_high_water(spark, table_path, parent, c)
             base = sp["start"] if hw is None else hw + sp["step"]
+            _identity_check_headroom(c, base, sp["step"],
+                                     upserts.rdd.getNumPartitions())
             upserts = upserts.withColumn(
                 c,
                 F.coalesce(
@@ -3150,12 +3216,17 @@ def min_max(spark: SparkSession, table_path: str, col: str,
         los = [bounds[f][0] for f in files]
         his = [bounds[f][1] for f in files]
         # fixed-point DECIMAL stats decode back to Decimal (min/max of
-        # the encodings IS the numeric min/max — order-preserving)
-        return (_stat_decode(min(los)), _stat_decode(max(his)))
+        # the encodings IS the numeric min/max — order-preserving);
+        # decode strictly by the SCHEMA type of the column, never by
+        # string shape (a STRING column may contain look-alikes)
+        is_dec = col in _schema_decimal_cols(m)
+        return (_stat_decode(min(los), is_dec),
+                _stat_decode(max(his), is_dec))
     row = (read_version(spark, table_path, v)
            .agg(F.min(col), F.max(col)).first())
-    return (_stat_decode(_stat_encode(row[0])),
-            _stat_decode(_stat_encode(row[1])))
+    is_dec = col in _schema_decimal_cols(m)
+    return (_stat_decode(_stat_encode(row[0]), is_dec),
+            _stat_decode(_stat_encode(row[1]), is_dec))
 
 
 def describe_detail(spark: SparkSession, table_path: str) -> DataFrame:

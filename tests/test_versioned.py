@@ -2089,3 +2089,90 @@ def test_concurrent_overlapping_mor_dml_conflicts(spark, tmp_path,
     n = versioned.read_version(spark, path).count()
     assert n in (575, 573)  # exactly one delete applied
     assert versioned.count_rows(spark, path) == n
+
+
+def test_racing_property_flip_conflicts_dml(spark, tmp_path,
+                                            monkeypatch):
+    """r10 advice fix: the DML rebase compares schema/constraints/
+    mapping/partitioning/generated/identity but previously NOT table
+    properties — a racing set_table_property flipping cdf.enabled
+    would rebase a DML that computed its CDF routing from the
+    pre-race parent, committing e.g. a cdf-enabled version with no
+    feed entry. Property changes must conflict loudly."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(600).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v"
+    ).repartitionByRange(6, "k")
+    versioned.write_version(df, path, stats_col="k")
+
+    real = versioned._publish
+    state = {"armed": True}
+
+    def sneaky(tp, m):
+        # on the DML's first publish attempt, land a property flip
+        # FIRST (through the real path), then let the DML's CAS lose
+        if state["armed"] and "DELETE" in (m.get("operation") or ""):
+            state["armed"] = False
+            versioned.set_table_property(path, "cdf.enabled", "true")
+        return real(tp, m)
+
+    monkeypatch.setattr(versioned, "_publish", sneaky)
+    with pytest.raises(versioned.CommitConflict):
+        versioned.delete_where(spark, path, "k < 50 AND k % 2 = 0")
+    # the property commit survived; the DML did not publish
+    assert versioned.table_properties(path) == {"cdf.enabled": "true"}
+    assert versioned.read_version(spark, path).count() == 600
+
+
+def test_string_lookalike_stats_not_decimal_decoded(spark, tmp_path):
+    """r10 advice fix: decimal stat decoding is decided by the
+    manifest SCHEMA type, not by string shape — a STRING column whose
+    values happen to match the 78-char fixed-point encoding must come
+    back from min_max as strings, and DS filter pruning must keep
+    treating probes as strings."""
+    path = str(tmp_path / "tbl")
+    # values shaped exactly like _encode_decimal output
+    mk = ("CONCAT('1', LPAD(CAST(id + 10 AS STRING), 38, '0'), '.',"
+          " REPEAT('0', 38))")
+    df = spark.range(20).selectExpr(
+        "CAST(id AS INT) AS k", f"{mk} AS s")
+    versioned.write_version(df, path, stats_col="s")
+    lo, hi = versioned.min_max(spark, path, "s")
+    assert isinstance(lo, str) and isinstance(hi, str)
+    assert lo.startswith("1") and "." in lo
+    # a genuinely DECIMAL column still decodes
+    path2 = str(tmp_path / "tbl2")
+    df2 = spark.range(20).selectExpr(
+        "CAST(id AS INT) AS k",
+        "CAST(id AS DECIMAL(10,2)) AS d")
+    versioned.write_version(df2, path2, stats_col="d")
+    import decimal
+    lo2, hi2 = versioned.min_max(spark, path2, "d")
+    assert isinstance(lo2, decimal.Decimal) and lo2 == 0
+    assert hi2 == 19
+    # DS read with a string filter on the look-alike column returns
+    # the exact rows (no decimal-probe mis-prune)
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+    spark.dataSource.register(VersionedDataSource)
+    probe = "1" + str(15).zfill(38) + "." + "0" * 38
+    got = (spark.read.format("versioned").option("path", path)
+           .option("filter", f"s = '{probe}'").load().collect())
+    assert len(got) == 1 and got[0].k == 5
+
+
+def test_identity_allocation_overflow_refused(spark, tmp_path):
+    """r10 advice fix: sparse per-partition identity allocation
+    (base + mono_id*step, mono jumping 2^33 per partition) must
+    refuse BEFORE writing when the worst-case value could pass
+    2^63-1, instead of wrapping (non-ANSI) or dying mid-write."""
+    df = spark.range(10).selectExpr("CONCAT('v', id) AS v")
+    with pytest.raises(ValueError, match="BIGINT range"):
+        versioned.write_version(
+            df, str(tmp_path / "t"),
+            identity={"rid": {"start": 2**62, "step": 2**29}})
+    # sane specs still commit
+    versioned.write_version(
+        df, str(tmp_path / "t2"),
+        identity={"rid": {"start": 1, "step": 1}})
