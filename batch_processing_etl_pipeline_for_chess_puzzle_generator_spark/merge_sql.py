@@ -608,6 +608,16 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+versioned\.`(?P<path>[^`]+)`\s+(?P<q>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Delta's REPLACE WHERE verb: the predicate sits between the table
+# address and the SELECT. The predicate itself cannot contain the
+# token 'SELECT'/'WITH' at top level — the query starts at the first
+# one (a predicate needing a subquery belongs in MERGE).
+_REPLACE_WHERE_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+versioned\.`(?P<path>[^`]+)`"
+    r"\s+REPLACE\s+WHERE\s+(?P<pred>.+?)"
+    r"\s+(?P<q>(?:SELECT|WITH)\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
     r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<pb>\w+(?:\s*,\s*\w+)*)\s*\))?"
@@ -623,11 +633,21 @@ def insert_into(spark: SparkSession, statement: str) -> None:
     nothing is rewritten, the manifest CAS serializes writers). The
     SELECT's schema must match the table's (schema evolution goes
     through MERGE)."""
+    rw = _REPLACE_WHERE_RE.match(statement)
+    if rw:
+        # INSERT INTO t REPLACE WHERE pred <select> — Delta's atomic
+        # region replacement (dynamic partition overwrite when pred is
+        # a partition filter); one commit, library physics
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+        body = _rewrite_versioned_refs(spark, rw["q"])
+        return versioned.replace_where(
+            spark, rw["path"], spark.sql(body), rw["pred"])
     m = _INSERT_RE.match(statement)
     if not m:
         raise ValueError(
-            "expected INSERT INTO versioned.`/path` <select...>; got: "
-            f"{statement!r}"
+            "expected INSERT INTO versioned.`/path` [REPLACE WHERE "
+            f"<pred>] <select...>; got: {statement!r}"
         )
     body = _rewrite_versioned_refs(spark, m["q"])
     (spark.sql(body).write.format("versioned").mode("append")

@@ -1478,3 +1478,85 @@ ORACLES["snapshot_generated_retention"] = f"""
     WHERE o_month <> (SELECT MIN(o_month) FROM upd)
     GROUP BY o_month, o_orderstatus
 """
+
+
+# ---------------------------------------------- REPLACE WHERE snapshot
+# Delta's `INSERT INTO t REPLACE WHERE p <select>` (the replaceWhere
+# writer option; dynamic partition overwrite when p is a partition
+# filter) as an oracle-gated fixture: orders lands hive-aligned on
+# o_orderpriority, then ONE atomic replace_where commit swaps the
+# '2-HIGH' partition for a deterministic subset of itself (even order
+# keys, status retagged 'R'). On the aligned layout the build asserts
+# the replace is a metadata-only drop + aligned insert — zero parent
+# files read or rewritten (files_rewritten == 0) — which is the whole
+# 100 TB point: "replace yesterday's partition" costs the new bytes
+# only. The oracle rebuilds the final state relationally; a hash match
+# proves the region swap was exact — no leaked old rows, no
+# out-of-region damage.
+_RW_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _replace_where_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _RW_CACHE:
+        return _RW_CACHE[key]
+    path = tempfile.mkdtemp(prefix="orders_replace_where_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    versioned.write_version(o, path, 0, partition_by=["o_orderpriority"])
+    repl = (
+        o.filter("o_orderpriority = '2-HIGH' AND o_orderkey % 2 = 0")
+        .withColumn("o_orderstatus", F.lit("R"))
+    )
+    stats = versioned.replace_where(
+        spark, path, repl, "o_orderpriority = '2-HIGH'")
+    assert stats["files_rewritten"] == 0 and stats["files_dropped"] >= 1, (
+        "REPLACE WHERE on an aligned table must be a metadata-only "
+        "drop plus an aligned insert"
+    )
+    _RW_CACHE[key] = path
+    return path
+
+
+def snapshot_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    path = _replace_where_path(spark, sf_dir)
+    return (
+        versioned.read_version(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+            ).alias("total_sales"),
+            F.expr("SUM(CASE WHEN o_orderstatus = 'R' THEN 1 ELSE 0 END)")
+            .alias("n_replaced"),
+        )
+    )
+
+
+QUERIES["snapshot_replace_where"] = snapshot_replace_where
+
+ORACLES["snapshot_replace_where"] = """
+    WITH final_t AS (
+        SELECT o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderpriority <> '2-HIGH'
+        UNION ALL
+        SELECT 'R' AS o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 2 = 0
+    )
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_sales,
+           SUM(CASE WHEN o_orderstatus = 'R' THEN 1 ELSE 0 END)
+               AS n_replaced
+    FROM final_t GROUP BY o_orderpriority
+"""

@@ -900,6 +900,45 @@ class VersionedDataSource(DataSource):
         return VersionedStreamWriter(table_path, schema, query_key)
 
 
+def _with_identity(iterator, alloc: dict):
+    """Executor-side identity assignment inside a reserved block:
+    value = base + (partition_id·2³³ + row_in_task)·step — the same
+    sparse geometry as the library's monotonically_increasing_id
+    allocation, so values are unique and increasing across tasks
+    with zero coordination. The plan-time reservation covered
+    partition ids up to IDENTITY_RESERVE_PARTITIONS; a wider write
+    would escape its block and must fail loudly before any row."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else 0
+    if pid >= versioned.IDENTITY_RESERVE_PARTITIONS:
+        raise ValueError(
+            f"identity append task partition id {pid} exceeds the "
+            f"reserved block's "
+            f"{versioned.IDENTITY_RESERVE_PARTITIONS}-partition "
+            "headroom — coalesce the input or raise "
+            "IDENTITY_RESERVE_PARTITIONS"
+        )
+    idx = 0
+    for batch in iterator:
+        n = batch.num_rows
+        arrays = list(batch.columns)
+        names = list(batch.schema.names)
+        for c in sorted(alloc):
+            a = alloc[c]
+            start = a["base"] + ((pid << 33) + idx) * a["step"]
+            arrays.append(pa.array(
+                range(start, start + n * a["step"], a["step"]),
+                type=pa.int64()))
+            names.append(c)
+        idx += n
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
 def _write_arrow_part(staged: str, iterator):
     """Executor side of both the batch and streaming writers: stream
     this task's Arrow batches into ONE parquet part file under the
@@ -996,8 +1035,40 @@ class VersionedWriter(DataSourceArrowWriter):
         # extra manifest keys merged in at commit (the streaming sink
         # records its micro-batch id here for replay detection)
         self.extra_manifest: dict = {}
+        # GENERATED ALWAYS AS IDENTITY on appends: reserve a disjoint
+        # id block NOW (plan time, driver side) via a CAS'd
+        # metadata-only commit, so each executor task can allocate
+        # base + (pid<<33 + row)·step inside the reservation with no
+        # coordination — Delta's documented non-consecutive identity
+        # semantics. Racing appends reserve disjoint blocks (the CAS
+        # loser re-reads past the winner); an aborted write burns its
+        # block (a gap, never a collision). Supplying the column
+        # stays refused (GENERATED ALWAYS).
+        self.identity_alloc: dict = {}
+        if not overwrite:
+            from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+            avail = versioned.versions(table_path)
+            ident = {}
+            if avail:
+                ident = (versioned._load_manifest(table_path, avail[-1])
+                         .get("identity")) or {}
+            if ident:
+                supplied = sorted(set(ident) & set(schema.fieldNames()))
+                if supplied:
+                    raise ValueError(
+                        f"columns {supplied} are GENERATED ALWAYS AS "
+                        "IDENTITY and cannot be supplied — drop them "
+                        "from the DataFrame"
+                    )
+                # no SparkSession exists in the DS worker: the
+                # high-water derives from col_stats / parquet footers
+                self.identity_alloc = versioned.reserve_identity_block(
+                    None, table_path)
 
     def write(self, iterator):
+        if self.identity_alloc:
+            iterator = _with_identity(iterator, self.identity_alloc)
         return _write_arrow_part(self.staged, iterator)
 
     #: bounded auto-retry for blind appends racing the manifest CAS
@@ -1025,20 +1096,31 @@ class VersionedWriter(DataSourceArrowWriter):
             if avail:
                 parent = versioned._load_manifest(self.table_path, avail[-1])
             if parent is not None and not self.overwrite:
-                if parent.get("identity"):
-                    # GENERATED ALWAYS AS IDENTITY: the Arrow-side
-                    # writer cannot allocate values, and supplying
-                    # them is forbidden — appends go through the
-                    # library paths (write_version / MERGE), which
-                    # generate past the high-water mark
+                ident = parent.get("identity") or {}
+                if ident and not self.identity_alloc:
+                    # the identity spec landed AFTER this writer
+                    # planned: the staged files lack the column and
+                    # hold no reservation — a true conflict
                     shutil.rmtree(self.staged, ignore_errors=True)
+                    if final is not None:
+                        shutil.rmtree(final, ignore_errors=True)
                     raise ValueError(
-                        "table has GENERATED ALWAYS AS IDENTITY "
-                        f"columns {sorted(parent['identity'])} — DS "
-                        "appends cannot allocate identity values; use "
-                        "merge_version_cow / write_version"
+                        "GENERATED ALWAYS AS IDENTITY columns "
+                        f"{sorted(ident)} were declared concurrently "
+                        "with this append — retry the save"
                     )
-                if not _append_compatible(json.loads(parent["schema"]),
+                table_schema = json.loads(parent["schema"])
+                if self.identity_alloc:
+                    # written files carry the injected identity
+                    # columns; compare the caller's schema against
+                    # the table schema MINUS those columns
+                    table_schema = dict(
+                        table_schema,
+                        fields=[f for f in table_schema.get("fields", [])
+                                if f.get("name")
+                                not in self.identity_alloc],
+                    )
+                if not _append_compatible(table_schema,
                                           self.schema.jsonValue()):
                     # a true conflict even mid-retry: the winner may
                     # have evolved the schema under us
@@ -1103,7 +1185,13 @@ class VersionedWriter(DataSourceArrowWriter):
         manifest = {
             "version": version,
             "files": list(parent_files) + new_files,
-            "schema": self.schema.json(),
+            # identity appends write the caller's columns PLUS the
+            # injected identity columns — the table schema (which
+            # already includes them) is the recorded truth
+            "schema": (parent["schema"]
+                       if (self.identity_alloc and parent is not None
+                           and not self.overwrite)
+                       else self.schema.json()),
             "operation": "OVERWRITE" if self.overwrite else "APPEND",
             **self.extra_manifest,
         }

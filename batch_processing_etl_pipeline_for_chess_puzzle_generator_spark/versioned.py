@@ -830,19 +830,54 @@ def _identity_high_water(spark: SparkSession, table_path: str,
     answered from per-file col_stats bounds when every file is
     indexed (metadata-only, the common case since every commit path
     indexes BIGINT columns), else one column-pruned scan. None on an
-    empty table."""
+    empty table. An outstanding DS reservation
+    (``identity.reserve.<col>`` in the snapshot's properties, see
+    :func:`reserve_identity_block`) FLOORS the answer so no allocator
+    can hand out ids inside a reserved block."""
     from pyspark.sql import functions as F
 
+    res = (manifest.get("properties") or {}).get(f"identity.reserve.{col}")
+    res_hw = int(res) if res is not None else None
     files = manifest.get("files")
     if files is not None and not files:
-        return None
+        return res_hw
     bounds = _bounds_for(manifest, col) if files is not None else None
     if (files and bounds is not None
             and all(bounds.get(f) is not None for f in files)):
-        return max(int(bounds[f][1]) for f in files)
-    row = (read_version(spark, table_path, manifest.get("version"))
-           .agg(F.max(col)).first())
-    return None if row[0] is None else int(row[0])
+        data_hw = max(int(bounds[f][1]) for f in files)
+    elif spark is None:
+        # DS planning runs in the Python data-source worker with NO
+        # SparkSession — read the missing bounds straight from the
+        # parquet footers. DVs are ignored here, which can only
+        # OVERestimate the high-water (deleted rows lower the true
+        # max): a gap in the id sequence, never a collision.
+        if files is None:
+            files = _list_data_files(table_path, manifest["dir"])
+        import pyarrow.parquet as pq
+
+        vals = []
+        for f in files:
+            b = bounds.get(f) if bounds else None
+            if b is None:
+                absf = _abs_file(table_path, f)
+                if pq.ParquetFile(absf).metadata.num_rows == 0:
+                    continue  # empty part: no rows, no stats, no ids
+                b = _footer_col_stats(absf, [col])[col]
+            if b is None:
+                raise RuntimeError(
+                    f"cannot derive identity high-water for '{col}' "
+                    f"without a scan (file {f} has no usable stats) — "
+                    "use the library write paths for this commit"
+                )
+            vals.append(int(b[1]))
+        data_hw = max(vals) if vals else None
+    else:
+        row = (read_version(spark, table_path, manifest.get("version"))
+               .agg(F.max(col)).first())
+        data_hw = None if row[0] is None else int(row[0])
+    if res_hw is None:
+        return data_hw
+    return res_hw if data_hw is None else max(data_hw, res_hw)
 
 
 def _identity_check_headroom(col: str, base: int, step: int,
@@ -866,6 +901,61 @@ def _identity_check_headroom(col: str, base: int, step: int,
             "id space; rewrite the table with a fresh start/step to "
             "re-seed"
         )
+
+
+#: Partition-id headroom a DS identity reservation covers: an
+#: executor-side writer allocates base + (pid<<33 + row)·step per
+#: task, so one reserved block spans (RESERVE+1)<<33 ids per step.
+IDENTITY_RESERVE_PARTITIONS = 4096
+
+
+def reserve_identity_block(spark: SparkSession | None,
+                           table_path: str) -> dict:
+    """Reserve a disjoint identity-id block for an EXECUTOR-SIDE
+    writer (the DS append path): a CAS-serialized metadata-only
+    commit records ``identity.reserve.<col>`` (the block's inclusive
+    high-water) in the table properties, which ride every subsequent
+    manifest — so racing reservers get DISJOINT blocks (the CAS loser
+    re-reads and reserves past the winner) and every later allocator,
+    library or DS, starts past the reservation via
+    :func:`_identity_high_water`. Returns {col: {"base", "step"}}
+    ({} when the table has no identity spec). Delta's documented
+    identity semantics apply: ids are unique and increasing, NOT
+    consecutive, and a reservation whose write aborts burns its block
+    (a gap, never a collision)."""
+    for _ in range(6):
+        avail = versions(table_path)
+        if not avail:
+            return {}
+        parent = _load_manifest(table_path, avail[-1])
+        ident = parent.get("identity") or {}
+        if not ident:
+            return {}
+        alloc: dict = {}
+        props = dict(parent.get("properties") or {})
+        for c, sp in _validate_identity_spec(ident).items():
+            hw = _identity_high_water(spark, table_path, parent, c)
+            base = sp["start"] if hw is None else hw + sp["step"]
+            _identity_check_headroom(c, base, sp["step"],
+                                     IDENTITY_RESERVE_PARTITIONS)
+            block = ((IDENTITY_RESERVE_PARTITIONS + 1) << 33) * sp["step"]
+            alloc[c] = {"base": base, "step": sp["step"]}
+            props[f"identity.reserve.{c}"] = str(base + block - sp["step"])
+        manifest = dict(parent)
+        for stamp in _PER_COMMIT_KEYS:
+            manifest.pop(stamp, None)
+        manifest["version"] = avail[-1] + 1
+        manifest["properties"] = props
+        manifest["operation"] = "IDENTITY RESERVE"
+        try:
+            _publish(table_path, manifest)
+            return alloc
+        except CommitConflict:
+            continue  # re-read the new latest and reserve past it
+    raise CommitConflict(
+        f"could not reserve an identity block at {table_path} after "
+        "6 attempts — retry the append"
+    )
 
 
 def _apply_identity(spark: SparkSession, table_path: str, df: DataFrame,
@@ -1653,7 +1743,8 @@ def merge_version_cow(spark: SparkSession, table_path: str,
 def _predicate_cow(spark: SparkSession, table_path: str,
                    predicate_sql: str, rewrite, validate=None,
                    operation: str = "DELETE", make_feed=None,
-                   drop_fully_matched: bool = False) -> dict:
+                   drop_fully_matched: bool = False,
+                   insert_rows: DataFrame | None = None) -> dict:
     """Shared physical plan for predicate-driven DML (DELETE / UPDATE):
     Delta's COW rewrite shape.
 
@@ -1711,7 +1802,7 @@ def _predicate_cow(spark: SparkSession, table_path: str,
         pfiles = _list_data_files(table_path, parent["dir"])
     if validate is not None:
         validate(schema)
-    if not pfiles:
+    if not pfiles and insert_rows is None:
         return {"version": None, "files_total": 0, "files_shared": 0,
                 "files_rewritten": 0}
 
@@ -1725,15 +1816,17 @@ def _predicate_cow(spark: SparkSession, table_path: str,
     # clustered table commits without writing a data byte). Exact for
     # ARBITRARY predicates (NULLs never match), no stats proof needed.
     hit = F.coalesce(F.expr(predicate_sql), F.lit(False))
-    rows = (
-        _read_files_dv(spark, table_path, parent, pfiles, schema,
-                       file_col="__f")
-        .groupBy("__f")
-        .agg(F.sum(hit.cast("long")).alias("__m"),
-             F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__m") > 0)
-        .collect()
-    )
+    rows = []
+    if pfiles:
+        rows = (
+            _read_files_dv(spark, table_path, parent, pfiles, schema,
+                           file_col="__f")
+            .groupBy("__f")
+            .agg(F.sum(hit.cast("long")).alias("__m"),
+                 F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__m") > 0)
+            .collect()
+        )
     counts = {os.path.normpath(_uri_to_path(r["__f"])): (r["__m"], r["__n"])
               for r in rows}
     touched, dropped, untouched = [], [], []
@@ -1745,7 +1838,7 @@ def _predicate_cow(spark: SparkSession, table_path: str,
             dropped.append(f)
         else:
             touched.append(f)
-    if not touched and not dropped:
+    if not touched and not dropped and insert_rows is None:
         return {"version": None, "files_total": len(pfiles),
                 "files_shared": len(pfiles), "files_rewritten": 0,
                 "files_dropped": 0}
@@ -1764,6 +1857,35 @@ def _predicate_cow(spark: SparkSession, table_path: str,
                 replacement, parent["generated"], schema)
         replacement = replacement.select(
             *[f.name for f in schema.fields])
+    ins = None
+    if insert_rows is not None:
+        # REPLACE WHERE inserts: compute missing generated columns,
+        # allocate identity values, then cast to the snapshot schema
+        ins = insert_rows
+        gen = parent.get("generated") or {}
+        if gen:
+            missing = {c: e for c, e in gen.items()
+                       if c not in ins.columns}
+            ins = _apply_generated(ins, missing, schema)
+        ident = parent.get("identity") or {}
+        if ident:
+            supplied = sorted(set(ident) & set(insert_rows.columns))
+            if supplied:
+                raise ValueError(
+                    f"columns {supplied} are GENERATED ALWAYS AS "
+                    "IDENTITY and cannot be supplied in REPLACE WHERE"
+                )
+            ins = _apply_identity(spark, table_path, ins,
+                                  _validate_identity_spec(ident), parent)
+        ins = ins.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
+                           for f in schema.fields])
+        # the insert plan is evaluated by the rewrite write AND (with
+        # cdf.enabled) the feed write — pin once so a nondeterministic
+        # source or identity assignment cannot diverge between them
+        if ident or _cdf_enabled(parent):
+            ins = ins.localCheckpoint(eager=True)
+        replacement = (ins if replacement is None
+                       else replacement.unionByName(ins))
 
     token = uuid.uuid4().hex[:12]
     # persisted Change Data Feed (cdf.enabled): the matched rows are
@@ -1777,6 +1899,10 @@ def _predicate_cow(spark: SparkSession, table_path: str,
                            schema).filter(hit),
             schema,
         )
+        if ins is not None:
+            feed = feed.unionByName(ins.select(
+                F.lit("insert").alias("_change_type"),
+                *[f.name for f in schema.fields]))
         cdf_files, final_cdf = _write_cdf(table_path, version, token, feed)
     new_files: list[str] = []
     final = None
@@ -1787,7 +1913,7 @@ def _predicate_cow(spark: SparkSession, table_path: str,
         final = os.path.join(table_path, final_dir)
         # Rewrite granularity == touched-file count; aligned tables
         # keep their hive layout (see _write_rewrite).
-        _write_rewrite(replacement, staged, parent, len(touched))
+        _write_rewrite(replacement, staged, parent, max(1, len(touched)))
         os.rename(staged, final)
         new_files = _list_data_files(table_path, final_dir)
 
@@ -1930,6 +2056,54 @@ def delete_where(spark: SparkSession, table_path: str,
         operation="DELETE",
         make_feed=_delete_feed,
         drop_fully_matched=True,
+    )
+
+
+def replace_where(spark: SparkSession, table_path: str, df: DataFrame,
+                  predicate_sql: str) -> dict:
+    """Atomic ``REPLACE WHERE`` (Delta's ``INSERT INTO t REPLACE WHERE
+    p <select>`` / the ``replaceWhere`` writer option — dynamic
+    partition overwrite when ``p`` is a partition filter): ONE commit
+    that removes every row matching ``predicate_sql`` and inserts
+    ``df``'s rows in their place. Every inserted row must itself
+    satisfy the predicate (Delta's runtime check — a replace that
+    smuggles rows OUTSIDE its declared region would corrupt
+    concurrent readers' reasoning); violations raise before anything
+    is staged.
+
+    Physics = the predicate-COW DELETE shape plus the insert in the
+    same rewrite: files whose every live row matches are DROPPED
+    metadata-only (on a table partitioned/aligned on the predicate
+    column this is the whole point — "replace yesterday's partition"
+    drops its files without reading them), partially-matching files
+    rewrite keeping only non-matching rows, every other file is
+    shared byte-identically, and the replacement rows land through
+    the alignment-preserving writer. Generated columns are computed,
+    identity values allocated, CHECK constraints enforced on the new
+    files, and with ``cdf.enabled`` the change feed records the
+    deletes AND the inserts. Concurrency follows the
+    WriteSerializable predicate-DML rules (disjoint commits rebase,
+    overlapping ones conflict)."""
+    from pyspark.sql import functions as F
+
+    bad = df.filter(
+        ~F.coalesce(F.expr(predicate_sql), F.lit(False))
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "REPLACE WHERE: the replacement data contains rows NOT "
+            f"matching the predicate {predicate_sql!r} — every "
+            "inserted row must satisfy it"
+        )
+    return _predicate_cow(
+        spark, table_path, predicate_sql,
+        lambda kept, _schema: kept.filter(
+            ~F.coalesce(F.expr(predicate_sql), F.lit(False))
+        ),
+        operation="REPLACE WHERE",
+        make_feed=_delete_feed,
+        drop_fully_matched=True,
+        insert_rows=df,
     )
 
 

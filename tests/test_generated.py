@@ -223,21 +223,118 @@ def test_identity_update_refused_delete_fine(spark, tmp_path):
     assert versioned.read_version(spark, path).count() == 20
 
 
-def test_identity_ds_append_refused(spark, tmp_path):
+def test_identity_ds_append_allocates_in_reserved_block(spark, tmp_path):
+    """r10: DS appends to an identity table now ALLOCATE instead of
+    refusing — a plan-time CAS'd reservation commit records
+    identity.reserve.<col> in the properties, and each executor task
+    assigns base + (pid<<33 + row)·step inside the block (Delta's
+    non-consecutive identity contract). Supplying the column is still
+    refused, and library writes allocate PAST the reservation."""
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
         VersionedDataSource,
     )
 
     spark.dataSource.register(VersionedDataSource)
     path = str(tmp_path / "t")
-    df = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    df = spark.createDataFrame([(i, f"a{i}") for i in range(10)],
+                               "k INT, v STRING")
     versioned.write_version(
         df, path, identity={"row_id": {"start": 1, "step": 1}})
-    app = spark.createDataFrame(
+    base_ids = {r.row_id for r in
+                versioned.read_version(spark, path).collect()}
+    # supplying the column is still refused (GENERATED ALWAYS)
+    bad = spark.createDataFrame(
         [(2, "b", 99)], "k INT, v STRING, row_id BIGINT")
     with pytest.raises(Exception, match="IDENTITY"):
-        app.write.format("versioned").mode("append") \
+        bad.write.format("versioned").mode("append") \
             .option("path", path).save()
+    # a clean append commits with unique increasing ids
+    app = spark.createDataFrame(
+        [(100 + i, f"b{i}") for i in range(20)],
+        "k INT, v STRING").repartition(3)
+    app.write.format("versioned").mode("append") \
+        .option("path", path).save()
+    got = versioned.read_version(spark, path)
+    assert got.count() == 30
+    ids = [r.row_id for r in got.collect()]
+    assert len(set(ids)) == 30 and None not in ids
+    new_ids = set(ids) - base_ids
+    assert len(new_ids) == 20
+    assert min(new_ids) > max(base_ids)  # past the high-water
+    # a SUBSEQUENT library write allocates past the reservation, not
+    # inside it (the reserve property floors the high-water)
+    m = versioned._load_manifest(path, versioned.versions(path)[-1])
+    reserve = int(m["properties"]["identity.reserve.row_id"])
+    versioned.write_version(
+        spark.createDataFrame([(500, "z")], "k INT, v STRING"), path,
+        _operation="WRITE")  # append-style overwrite: inherits spec
+    # (overwrite replaces rows; the new allocation must clear reserve)
+    last = versioned.read_version(spark, path).collect()
+    assert all(r.row_id > reserve for r in last)
+
+
+def test_identity_ds_racing_appends_get_disjoint_blocks(spark, tmp_path,
+                                                        monkeypatch):
+    """Two DS appends racing on the same identity table must land
+    DISJOINT id blocks: the reservation commit is CAS-serialized, so
+    the loser re-reads and reserves past the winner; both data
+    commits then ride the blind-append retry loop. No duplicate ids,
+    both row sets present."""
+    import threading
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.createDataFrame([(0, "seed")], "k INT, v STRING"),
+        path, identity={"row_id": {"start": 1, "step": 1}})
+
+    real = versioned._publish
+    bar = threading.Barrier(2, timeout=120)
+    lock = threading.Lock()
+    seen = []
+
+    def gated(tp, m):
+        # rendezvous the two RESERVATION commits so both writers have
+        # read the same parent before either publishes
+        if m.get("operation") == "IDENTITY RESERVE":
+            with lock:
+                n = len(seen)
+                seen.append(1)
+            if n < 2:
+                try:
+                    bar.wait()
+                except threading.BrokenBarrierError:
+                    pass
+        return real(tp, m)
+
+    monkeypatch.setattr(versioned, "_publish", gated)
+    errs = []
+
+    def _append(lo):
+        try:
+            df = spark.createDataFrame(
+                [(lo + i, f"x{i}") for i in range(15)],
+                "k INT, v STRING").repartition(2)
+            df.write.format("versioned").mode("append") \
+                .option("path", path).save()
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=_append, args=(100,)),
+               threading.Thread(target=_append, args=(200,))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(240)
+    assert errs == []
+    got = versioned.read_version(spark, path)
+    assert got.count() == 31
+    ids = [r.row_id for r in got.collect()]
+    assert len(set(ids)) == 31, "identity collision across racers"
 
 
 def test_overwrite_inherits_generated_and_identity_spec(spark, tmp_path):

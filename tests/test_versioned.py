@@ -2176,3 +2176,95 @@ def test_identity_allocation_overflow_refused(spark, tmp_path):
     versioned.write_version(
         df, str(tmp_path / "t2"),
         identity={"rid": {"start": 1, "step": 1}})
+
+
+def test_replace_where_partition_drop_and_insert(spark, tmp_path):
+    """REPLACE WHERE on a hive-aligned table: the matched partition's
+    files DROP metadata-only (never read), the replacement lands
+    aligned, and every non-matching file is shared byte-identically
+    (same manifest entries = same physical files)."""
+    path = str(tmp_path / "t")
+    df = spark.range(300).selectExpr(
+        "CAST(id AS INT) AS k",
+        "CAST(id % 3 AS INT) AS day",
+        "CONCAT('v', id) AS v")
+    versioned.write_version(df, path, partition_by=["day"])
+    parent = versioned._load_manifest(path, 0)
+    repl = spark.range(1000, 1010).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(1 AS INT) AS day",
+        "CONCAT('r', id) AS v")
+    st = versioned.replace_where(spark, path, repl, "day = 1")
+    assert st["files_dropped"] >= 1
+    assert st["files_rewritten"] == 0  # aligned: no partial files
+    child = versioned._load_manifest(path, 1)
+    # non-matching parent files are shared byte-identically
+    kept_parent = [f for f in parent["files"] if f in child["files"]]
+    dropped_parent = [f for f in parent["files"]
+                      if f not in child["files"]]
+    assert kept_parent and dropped_parent
+    got = versioned.read_version(spark, path)
+    assert got.filter("day = 1").count() == 10
+    assert got.filter("day = 1 AND v NOT LIKE 'r%'").count() == 0
+    assert got.filter("day <> 1").count() == 200
+    assert got.count() == 210
+
+
+def test_replace_where_rejects_out_of_region_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.range(30).selectExpr("CAST(id AS INT) AS k",
+                                   "CAST(id % 3 AS INT) AS day"), path)
+    bad = spark.createDataFrame([(99, 2)], "k INT, day INT")
+    with pytest.raises(ValueError, match="REPLACE WHERE"):
+        versioned.replace_where(spark, path, bad, "day = 1")
+    assert versioned.versions(path) == [0]  # nothing committed
+
+
+def test_replace_where_partial_files_and_cdf(spark, tmp_path):
+    """Unaligned layout: partially-matching files rewrite keeping only
+    non-matching rows; with cdf.enabled the feed records the deletes
+    AND the inserts of the single commit."""
+    path = str(tmp_path / "t")
+    df = spark.range(200).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v"
+    ).repartitionByRange(4, "k")
+    versioned.write_version(df, path, stats_col="k")
+    versioned.set_table_property(path, "cdf.enabled", "true")
+    repl = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(40, 60)], "k INT, v STRING")
+    st = versioned.replace_where(
+        spark, path, repl, "k >= 40 AND k < 60")
+    assert st["files_rewritten"] >= 1
+    got = versioned.read_version(spark, path)
+    assert got.count() == 200
+    assert got.filter("k >= 40 AND k < 60 AND v NOT LIKE 'r%'").count() == 0
+    assert got.filter("(k < 40 OR k >= 60) AND v NOT LIKE 'v%'").count() == 0
+    last = versioned.versions(path)[-1]
+    feed = versioned.read_changes(spark, path, last - 1, last)
+    kinds = {r._change_type: 0 for r in feed.collect()}
+    for r in feed.collect():
+        kinds[r._change_type] += 1
+    assert kinds.get("delete") == 20 and kinds.get("insert") == 20
+
+
+def test_replace_where_generated_identity_and_noop_region(spark,
+                                                          tmp_path):
+    """Inserts compute generated columns and allocate identity values;
+    replacing an EMPTY region still commits the inserts (Delta: the
+    delete side may match nothing)."""
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.range(20).selectExpr("CAST(id AS INT) AS a",
+                                   "CAST(id * 3 AS INT) AS b"),
+        path, generated={"total": "a + b"},
+        identity={"rid": {"start": 1, "step": 1}})
+    repl = spark.createDataFrame([(1000, 3000)], "a INT, b INT")
+    st = versioned.replace_where(spark, path, repl, "a >= 1000")
+    assert st["version"] == 1 and st["files_dropped"] == 0
+    got = versioned.read_version(spark, path)
+    assert got.count() == 21
+    row = got.filter("a = 1000").collect()[0]
+    assert row.total == 4000
+    assert row.rid is not None
+    ids = [r.rid for r in got.collect()]
+    assert len(set(ids)) == 21

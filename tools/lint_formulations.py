@@ -627,6 +627,8 @@ DOUBLE_ALLOWLIST: dict[str, set[str]] = {
     "snapshot_dv_read": {"total_sales"},
     "snapshot_partition_retention": {"total_sales"},
     "snapshot_generated_retention": {"total_sales"},
+    # DOUBLE cast of an exact DECIMAL(18,4) sum (safe construction #2)
+    "snapshot_replace_where": {"total_sales"},
     # DOUBLE cast of an exact DECIMAL(18,4) sum merged decimal-
     # exact from CDF deltas (safe construction #2)
     "agg_incremental_cdf": {"total_sales"},
