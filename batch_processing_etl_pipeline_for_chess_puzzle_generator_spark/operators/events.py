@@ -3888,3 +3888,72 @@ ORACLES["ev_weekday_profile"] = f"""
                AS share_ppm
     FROM cells JOIN tot USING (event_type)
 """
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival burstiness per event type: the squared coefficient of
+# variation CV² = Var(d)/E[d]² of the gaps between consecutive events
+# of a (type, user) stream — the queueing-theory dial next to
+# ev_fano_factor's count dispersion (Poisson reads ~1e6 ppm, heavier
+# burst trains read above). Exact integer end-to-end on the µs grid:
+# CV²·1e6 = (n·Σd² − (Σd)²)·1e6 / (Σd)², with Σd² and every cross
+# product on DECIMAL(38,0)/HUGEINT (rule F — gaps reach 1e11 µs, so
+# d² ≈ 1e22 alone passes 2⁶³). Gap extraction reuses the
+# ev_inter_arrival windows (partitioned per (type, user) — no global
+# sort); the re-agg runs over per-type scalars.
+def ev_burstiness_cv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    gaps = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "unix_micros(ts) - unix_micros(LAG(ts) OVER ("
+                "PARTITION BY event_type, user_id "
+                "ORDER BY ts, event_id))"
+            ).alias("d"),
+        )
+        .filter(F.col("d").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.expr("COUNT(*)").alias("n_gaps"),
+            F.expr("SUM(d)").alias("sum_us"),
+            F.expr("SUM(CAST(d AS DECIMAL(38,0)) * d)").alias("ss"),
+        )
+        .filter("sum_us > 0")
+        .selectExpr(
+            "event_type", "n_gaps", "sum_us",
+            "CAST((n_gaps * ss - CAST(sum_us AS DECIMAL(38,0)) "
+            "* sum_us) * 1000000 "
+            "DIV (CAST(sum_us AS DECIMAL(38,0)) * sum_us) "
+            "AS BIGINT) AS cv2_ppm",
+        )
+    )
+
+
+QUERIES["ev_burstiness_cv2"] = ev_burstiness_cv2
+
+ORACLES["ev_burstiness_cv2"] = """
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id) AS d
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(d) AS BIGINT) AS sum_us,
+               SUM(CAST(d AS HUGEINT) * d) AS ss
+        FROM gaps WHERE d IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT event_type, n_gaps, sum_us,
+           CAST((n_gaps * ss - CAST(sum_us AS HUGEINT) * sum_us)
+               * 1000000
+               // (CAST(sum_us AS HUGEINT) * sum_us)
+               AS BIGINT) AS cv2_ppm
+    FROM agg WHERE sum_us > 0
+"""

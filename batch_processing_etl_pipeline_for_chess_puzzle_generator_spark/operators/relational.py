@@ -3403,3 +3403,139 @@ ORACLES["orders_seasonal_index"] = """
                AS index_ppm
     FROM shares
 """
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve deciles of customer revenue, PER NATION — the curve the
+# orders_gini_by_nation scalar summarizes: customers ranked by revenue
+# within their nation, cut into 10 equal-population deciles, each
+# decile's exact cumulative revenue share on the ppm grid. Per-nation
+# windows only (no global sort at any scale); revenue on the BIGINT
+# cents grid with every cross-decile product on DECIMAL(38,0)/HUGEINT
+# (rule F: cum·1e6 passes 2⁶³ at 100 TB). The 10-row-per-nation
+# cumulative window is over the tiny decile table, not the customers.
+def orders_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "
+            "AS BIGINT)").alias("x"))
+    )
+    ranked = rev.selectExpr(
+        "n_name", "x",
+        "ROW_NUMBER() OVER (PARTITION BY n_name "
+        "ORDER BY x, c_custkey) AS i",
+        "COUNT(*) OVER (PARTITION BY n_name) AS n",
+    ).selectExpr(
+        "n_name", "x",
+        "CAST((10 * (i - 1)) DIV n + 1 AS INT) AS decile",
+    )
+    deciles = ranked.groupBy("n_name", "decile").agg(
+        F.expr("COUNT(*)").alias("n_cust"),
+        F.expr("SUM(x)").alias("cents"),
+    )
+    return deciles.selectExpr(
+        "n_name", "decile", "n_cust", "cents",
+        "SUM(cents) OVER (PARTITION BY n_name ORDER BY decile "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
+        "SUM(cents) OVER (PARTITION BY n_name) AS tot",
+    ).selectExpr(
+        "n_name", "decile", "n_cust", "cents",
+        "CAST(1000000 * CAST(cum AS DECIMAL(38,0)) DIV tot AS BIGINT) "
+        "AS cum_share_ppm",
+    )
+
+
+QUERIES["orders_lorenz_deciles"] = orders_lorenz_deciles
+
+ORACLES["orders_lorenz_deciles"] = """
+    WITH rev AS (
+        SELECT n_name, c_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                   AS BIGINT) AS x
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT n_name, x,
+               CAST((10 * (ROW_NUMBER() OVER (PARTITION BY n_name
+                       ORDER BY x, c_custkey) - 1))
+                   // (COUNT(*) OVER (PARTITION BY n_name)) + 1
+                   AS INT) AS decile
+        FROM rev
+    ),
+    deciles AS (
+        SELECT n_name, decile,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(x) AS BIGINT) AS cents
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT n_name, decile, n_cust, cents,
+           CAST(1000000 * CAST(SUM(cents) OVER (PARTITION BY n_name
+                   ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS HUGEINT)
+               // (SUM(cents) OVER (PARTITION BY n_name))
+               AS BIGINT) AS cum_share_ppm
+    FROM deciles
+"""
+
+
+# --------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) of parts per brand — the
+# multi-criteria "not dominated" operator Spark has no verb for: a
+# part is on the frontier iff no same-brand part has size >= AND
+# price >= it with one strictly greater. NOT a quadratic self-join:
+# phase 1 collapses to the per-(brand, size) max price (equal-size
+# rows below their size's max are dominated within the group), phase
+# 2 runs ONE window over the tiny distinct-size table per brand
+# (ordered size DESC, running max of price over strictly larger
+# sizes) — the classic sort-first skyline, partitioned per brand so
+# there is no global sort at any scale. Price on the BIGINT cents
+# grid; ties on (size, cents) all survive, per the standard
+# definition (neither strictly dominates).
+def part_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").selectExpr(
+        "p_brand", "p_partkey", "p_size",
+        "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "AS cents",
+    )
+    size_max = p.groupBy("p_brand", "p_size").agg(
+        F.expr("MAX(cents)").alias("mc"))
+    frontier_sizes = size_max.selectExpr(
+        "p_brand", "p_size", "mc",
+        "MAX(mc) OVER (PARTITION BY p_brand ORDER BY p_size DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better",
+    ).filter("better IS NULL OR mc > better")
+    return (
+        p.join(frontier_sizes.select("p_brand", "p_size", "mc"),
+               ["p_brand", "p_size"])
+        .filter("cents = mc")
+        .selectExpr("p_brand", "p_partkey", "p_size", "cents")
+    )
+
+
+QUERIES["part_skyline_2d"] = part_skyline_2d
+
+ORACLES["part_skyline_2d"] = """
+    WITH p AS (
+        SELECT p_brand, p_partkey, p_size,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT) AS cents
+        FROM part
+    )
+    SELECT b.p_brand, b.p_partkey, b.p_size, b.cents
+    FROM p b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p a
+        WHERE a.p_brand = b.p_brand
+          AND a.p_size >= b.p_size AND a.cents >= b.cents
+          AND (a.p_size > b.p_size OR a.cents > b.cents)
+    )
+"""

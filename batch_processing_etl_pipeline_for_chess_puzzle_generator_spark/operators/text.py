@@ -2682,3 +2682,69 @@ ORACLES["doc_good_turing"] = f"""
     FROM (SELECT led.*, ROW_NUMBER() OVER (ORDER BY r) AS rk FROM led)
     WHERE rk <= 20
 """
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of per-document token counts WITHIN each source —
+# the inequality dial a mixture curator reads next to
+# doc_length_deciles' quantiles: a source whose token mass concentrates
+# in a few giant documents (high Gini) skews any doc-level sampling
+# scheme and needs doc-level caps before mixing. Same exact formulation
+# as orders_gini_by_nation — per-source windows (no global sort),
+# G = (2·Σ i·x − (n+1)·Σx) / (n·Σx) with Σ i·x and the ppm product on
+# DECIMAL(38,0)/HUGEINT (rule F: Σ i·x grows ∝ docs², past 2⁶³ at
+# corpus scale). Whitespace tokenization is the house grid
+# (doc_tokens, text.py).
+def doc_token_gini_by_source(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.selectExpr(
+        "source", "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS x",
+    )
+    ranked = counts.selectExpr(
+        "source", "x",
+        "ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY x, doc_id) AS i",
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.expr("COUNT(*)").alias("n_docs"),
+            F.expr("SUM(x)").alias("total_tokens"),
+            F.expr("SUM(CAST(i AS DECIMAL(38,0)) * x)").alias("ix"),
+        )
+        .selectExpr(
+            "source", "n_docs", "total_tokens",
+            "CAST((2 * ix - (CAST(n_docs AS DECIMAL(38,0)) + 1) "
+            "* total_tokens) * 1000000 "
+            "DIV (CAST(n_docs AS DECIMAL(38,0)) * total_tokens) "
+            "AS BIGINT) AS gini_ppm",
+        )
+    )
+
+
+QUERIES["doc_token_gini_by_source"] = doc_token_gini_by_source
+
+ORACLES["doc_token_gini_by_source"] = """
+    WITH counts AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, x,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY x, doc_id) AS i
+        FROM counts
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(x) AS BIGINT) AS total_tokens,
+           CAST((2 * SUM(CAST(i AS HUGEINT) * x)
+                   - (CAST(COUNT(*) AS HUGEINT) + 1) * SUM(x)) * 1000000
+               // (CAST(COUNT(*) AS HUGEINT) * SUM(x))
+               AS BIGINT) AS gini_ppm
+    FROM ranked
+    GROUP BY source
+"""
