@@ -608,6 +608,36 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+versioned\.`(?P<path>[^`]+)`\s+(?P<q>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_COPY_INTO_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+versioned\.`(?P<path>[^`]+)`"
+    r"\s+FROM\s+'(?P<src>[^']+)'"
+    r"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>\w+))?"
+    r"(?:\s+PATTERN\s*=\s*'(?P<pat>[^']+)')?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def copy_into_sql(spark: SparkSession, statement: str) -> dict:
+    """``COPY INTO versioned.`/p` FROM '/landing' [FILEFORMAT =
+    PARQUET] [PATTERN = '*.parquet']`` — Delta's idempotent file-level
+    ingestion verb, routed to :func:`versioned.copy_into`."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    m = _COPY_INTO_RE.match(statement)
+    if not m:
+        raise ValueError(
+            "expected COPY INTO versioned.`/path` FROM '<dir>' "
+            "[FILEFORMAT = fmt] [PATTERN = '<glob>']; got: "
+            f"{statement!r}"
+        )
+    fmt = (m["fmt"] or "parquet").lower()
+    pat = m["pat"] or {"parquet": "*.parquet", "json": "*.json",
+                       "csv": "*.csv"}.get(fmt, "*")
+    return versioned.copy_into(spark, m["path"], m["src"],
+                               pattern=pat, file_format=fmt)
+
+
 # Delta's REPLACE WHERE verb: the predicate sits between the table
 # address and the SELECT. The predicate itself cannot contain the
 # token 'SELECT'/'WITH' at top level — the query starts at the first
@@ -945,6 +975,8 @@ def sql(spark: SparkSession, statement: str):
         return update_table(spark, statement)
     if head == "INSERT":
         return insert_into(spark, statement)
+    if head == "COPY":
+        return copy_into_sql(spark, statement)
     if head == "CREATE":
         if _CLONE_RE.match(statement):
             return shallow_clone(spark, statement)

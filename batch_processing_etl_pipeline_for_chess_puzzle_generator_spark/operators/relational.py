@@ -3539,3 +3539,231 @@ ORACLES["part_skyline_2d"] = """
           AND (a.p_size > b.p_size OR a.cents > b.cents)
     )
 """
+
+
+# --------------------------------------------------------------------------
+# ABC–XYZ inventory matrix — the classic two-axis part classification
+# every supply-chain planner draws: ABC = cumulative revenue share
+# WITHIN the part's type (A ≤ 80%, B ≤ 95%, C rest — the
+# abc_parts_revenue thresholds, but per-type windows so the rank never
+# needs a global sort), XYZ = demand variability from the squared CV
+# of monthly shipped quantity (X < 0.25e6 ppm, Y < 1e6, Z above — the
+# CV<0.5 / CV<1 textbook cuts on the exact ppm grid). Revenue on the
+# e4 grid with DECIMAL(38,0) cross-multiplied thresholds and CV²
+# products on DECIMAL(38,0)/HUGEINT (rule F). Output: the 9-cell
+# (abc, xyz) matrix with part counts and exact class revenue.
+def part_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    base = li.join(
+        broadcast(p.select("p_partkey", "p_type")),
+        li.l_partkey == p.p_partkey,
+    )
+    rev = base.groupBy("p_type", "l_partkey").agg(
+        F.expr(_REV_INT).alias("r"))
+    wc = Window.partitionBy("p_type").orderBy(
+        F.col("r").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("p_type")
+    abc = rev.select(
+        "l_partkey", "r",
+        F.sum("r").over(wc).alias("cum"),
+        F.sum("r").over(wt).alias("tot"),
+    ).selectExpr(
+        "l_partkey", "r",
+        "CASE WHEN CAST(cum AS DECIMAL(38,0)) * 100 "
+        "<= CAST(tot AS DECIMAL(38,0)) * 80 THEN 'A' "
+        "WHEN CAST(cum AS DECIMAL(38,0)) * 100 "
+        "<= CAST(tot AS DECIMAL(38,0)) * 95 THEN 'B' "
+        "ELSE 'C' END AS abc_class",
+    )
+    monthly = base.groupBy(
+        "l_partkey",
+        F.expr("year(l_shipdate) * 12 + month(l_shipdate)").alias("m"),
+    ).agg(F.expr(
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)"
+    ).alias("q"))
+    xyz = (
+        monthly.groupBy("l_partkey")
+        .agg(
+            F.expr("COUNT(*)").alias("nm"),
+            F.expr("SUM(q)").alias("sq"),
+            F.expr("SUM(CAST(q AS DECIMAL(38,0)) * q)").alias("ssq"),
+        )
+        .selectExpr(
+            "l_partkey",
+            "CAST((nm * ssq - CAST(sq AS DECIMAL(38,0)) * sq) "
+            "* 1000000 DIV (CAST(sq AS DECIMAL(38,0)) * sq) "
+            "AS BIGINT) AS cv2_ppm",
+        )
+        .selectExpr(
+            "l_partkey",
+            "CASE WHEN cv2_ppm < 250000 THEN 'X' "
+            "WHEN cv2_ppm < 1000000 THEN 'Y' ELSE 'Z' END AS xyz_class",
+        )
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr("CAST(SUM(r) AS BIGINT)").alias("revenue_e4"),
+        )
+    )
+
+
+QUERIES["part_abc_xyz"] = part_abc_xyz
+
+ORACLES["part_abc_xyz"] = """
+    WITH base AS (
+        SELECT p.p_type, l.l_partkey, l.l_extendedprice, l.l_discount,
+               l.l_quantity, l.l_shipdate
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    rev AS (
+        SELECT p_type, l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(8,2)))) * 10000
+                   AS BIGINT) AS r
+        FROM base GROUP BY 1, 2
+    ),
+    abc AS (
+        SELECT l_partkey, r,
+               CASE WHEN CAST(SUM(r) OVER (PARTITION BY p_type
+                       ORDER BY r DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS HUGEINT) * 100
+                   <= CAST(SUM(r) OVER (PARTITION BY p_type)
+                       AS HUGEINT) * 80 THEN 'A'
+               WHEN CAST(SUM(r) OVER (PARTITION BY p_type
+                       ORDER BY r DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS HUGEINT) * 100
+                   <= CAST(SUM(r) OVER (PARTITION BY p_type)
+                       AS HUGEINT) * 95 THEN 'B'
+               ELSE 'C' END AS abc_class
+        FROM rev
+    ),
+    monthly AS (
+        SELECT l_partkey,
+               year(l_shipdate) * 12 + month(l_shipdate) AS m,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100)
+                   AS BIGINT) AS q
+        FROM base GROUP BY 1, 2
+    ),
+    xyz AS (
+        SELECT l_partkey,
+               CASE WHEN cv2_ppm < 250000 THEN 'X'
+                    WHEN cv2_ppm < 1000000 THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM (
+            SELECT l_partkey,
+                   CAST((COUNT(*) * SUM(CAST(q AS HUGEINT) * q)
+                       - CAST(SUM(q) AS HUGEINT) * SUM(q)) * 1000000
+                       // (CAST(SUM(q) AS HUGEINT) * SUM(q))
+                       AS BIGINT) AS cv2_ppm
+            FROM monthly GROUP BY l_partkey
+        )
+    )
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS BIGINT) AS revenue_e4
+    FROM abc JOIN xyz USING (l_partkey)
+    GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Wald–Wolfowitz runs test on the daily order-count series — "is daily
+# demand RANDOM around its trend, or do up/down days cluster?" The
+# stats-family randomness dial next to stat_orders_ks (shape) and
+# ev_cusum_shift (level): too FEW runs = momentum/autocorrelation, too
+# MANY = oscillation. The sign sequence (day up vs not-up against the
+# previous day) and the run count come from windows over the TINY
+# daily table (the ev_acf/holt precedent — never over raw orders);
+# n₁·n₂ products ride DECIMAL(38,0)/HUGEINT (rule F: day counts are
+# data-proportional) and z lands on the audited 1e3 grid via one
+# final double ROUND (the stat_orders_mannwhitney construction).
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("CAST(o_orderdate AS DATE)").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    signs = daily.selectExpr(
+        "day", "c",
+        "LAG(c) OVER (ORDER BY day) AS prev",
+    ).filter("prev IS NOT NULL").selectExpr(
+        "day",
+        "IF(c > prev, 1, 0) AS up",
+    )
+    runs = signs.selectExpr(
+        "up",
+        "IF(LAG(up) OVER (ORDER BY day) IS NULL "
+        "OR up <> LAG(up) OVER (ORDER BY day), 1, 0) AS run_start",
+    ).agg(
+        F.expr("SUM(up)").alias("n_up"),
+        F.expr("SUM(1 - up)").alias("n_down"),
+        F.expr("SUM(run_start)").alias("n_runs"),
+    )
+    return runs.selectExpr(
+        "n_up", "n_down", "n_runs",
+        # mu = 2*n1*n2/(n1+n2) + 1 on the exact 1e6 grid
+        "CAST(2 * CAST(n_up AS DECIMAL(38,0)) * n_down * 1000000 "
+        "DIV (n_up + n_down) + 1000000 AS BIGINT) AS mean_runs_ppm",
+        "CAST(ROUND((CAST(n_runs AS DOUBLE) "
+        "- (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
+        "/ (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1)) "
+        "/ SQRT(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
+        "* (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) "
+        "- CAST(n_up AS DOUBLE) - CAST(n_down AS DOUBLE)) "
+        "/ ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) "
+        "* (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) "
+        "* (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) - 1))) "
+        "* 1e3) AS BIGINT) AS z_m",
+    )
+
+
+QUERIES["orders_runs_test"] = orders_runs_test
+
+ORACLES["orders_runs_test"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    signs AS (
+        SELECT day, CASE WHEN c > prev THEN 1 ELSE 0 END AS up
+        FROM (
+            SELECT day, c, LAG(c) OVER (ORDER BY day) AS prev
+            FROM daily
+        ) WHERE prev IS NOT NULL
+    ),
+    runs AS (
+        SELECT CAST(SUM(up) AS BIGINT) AS n_up,
+               CAST(SUM(1 - up) AS BIGINT) AS n_down,
+               CAST(SUM(run_start) AS BIGINT) AS n_runs
+        FROM (
+            SELECT up,
+                   CASE WHEN LAG(up) OVER (ORDER BY day) IS NULL
+                        OR up <> LAG(up) OVER (ORDER BY day)
+                        THEN 1 ELSE 0 END AS run_start
+            FROM signs
+        )
+    )
+    SELECT n_up, n_down, n_runs,
+           CAST(2 * CAST(n_up AS HUGEINT) * n_down * 1000000
+               // (n_up + n_down) + 1000000 AS BIGINT) AS mean_runs_ppm,
+           CAST(ROUND((CAST(n_runs AS DOUBLE)
+               - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+               / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1))
+               / SQRT(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+               * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+               - CAST(n_up AS DOUBLE) - CAST(n_down AS DOUBLE))
+               / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+               * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+               * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) - 1)))
+               * 1e3) AS BIGINT) AS z_m
+    FROM runs
+"""

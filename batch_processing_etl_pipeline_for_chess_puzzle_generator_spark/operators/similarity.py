@@ -3310,3 +3310,82 @@ ORACLES["emb_knn_margin"] = f"""
     WHERE rank <= 2
     GROUP BY q_id
 """
+
+
+# --------------------------------------------------------------------------
+# IVF build-quality stats — the cluster-balance dial an ANN operator
+# reads BEFORE shipping an index: probe cost is driven by the largest
+# inverted lists, and a skewed assignment quietly turns nprobe=3 into
+# a near-full scan. Per cluster: size + exact size share; plus the
+# imbalance factor K·Σs²/(Σs)² on the ppm grid (1e6 = perfectly
+# balanced, Faiss's imbalance_factor), identical on every row like
+# KS's n_a/n_b. Same seed assignment as emb_ivf_ann (one broadcast
+# cross-score + per-vector top-1); share and imbalance products on
+# DECIMAL(38,0)/HUGEINT (rule F: list sizes are corpus-proportional).
+def emb_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q, c = _split(spark, sf_dir)
+    seeds = c.filter(F.col("c_id") < N_QUERIES + IVF_K).select(
+        F.col("c_id").alias("s_id"),
+        F.col("ca").alias("qa"),
+        F.col("cn").alias("qn"),
+    )
+    wa = Window.partitionBy("c_id").orderBy(F.col("sim").desc(), F.col("s_id"))
+    assign = (
+        c.crossJoin(broadcast(seeds))
+        .select("c_id", "s_id", F.expr(_SIM).alias("sim"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("c_id", F.col("s_id").alias("cluster"))
+    )
+    sizes = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"))
+    tot = sizes.agg(
+        F.expr("SUM(n_vectors)").alias("t"),
+        F.expr("COUNT(*)").alias("k"),
+        F.expr("SUM(CAST(n_vectors AS DECIMAL(38,0)) * n_vectors)")
+        .alias("ss"),
+    )
+    return sizes.crossJoin(broadcast(tot)).selectExpr(
+        "cluster", "n_vectors",
+        "CAST(1000000 * CAST(n_vectors AS DECIMAL(38,0)) DIV t "
+        "AS BIGINT) AS share_ppm",
+        "CAST(1000000 * k * ss DIV (CAST(t AS DECIMAL(38,0)) * t) "
+        "AS BIGINT) AS imbalance_ppm",
+    )
+
+
+QUERIES["emb_ivf_build_stats"] = emb_ivf_build_stats
+
+ORACLES["emb_ivf_build_stats"] = f"""
+    WITH {_DUCK_PAIRS},
+    seeds AS (SELECT vec_id AS s_id, embedding AS se FROM embeddings
+              WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K}),
+    apairs AS (SELECT s_id, se, c_id, ce FROM seeds CROSS JOIN c),
+    {_A_SCORE},
+    assign AS (
+        SELECT c_id, s_id AS cluster FROM (
+            SELECT c_id, s_id,
+                   row_number() OVER (PARTITION BY c_id
+                       ORDER BY sim DESC, s_id) AS rn
+            FROM ascored
+        ) WHERE rn = 1
+    ),
+    sizes AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM assign GROUP BY cluster
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_vectors) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(CAST(n_vectors AS HUGEINT) * n_vectors) AS ss
+        FROM sizes
+    )
+    SELECT cluster, n_vectors,
+           CAST(1000000 * CAST(n_vectors AS HUGEINT) // t AS BIGINT)
+               AS share_ppm,
+           CAST(1000000 * k * ss // (CAST(t AS HUGEINT) * t) AS BIGINT)
+               AS imbalance_ppm
+    FROM sizes CROSS JOIN tot
+"""

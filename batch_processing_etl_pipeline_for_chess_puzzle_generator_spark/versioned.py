@@ -728,7 +728,8 @@ def table_properties(table_path: str) -> dict:
 #: that commit's change-feed files) and must never ride a manifest COPY
 #: into a different commit.
 _PER_COMMIT_KEYS = ("restored_from", "stream_batch_id",
-                    "stream_query_id", "backfilled_from", "cdf")
+                    "stream_query_id", "backfilled_from", "cdf",
+                    "copy_sources")
 
 
 def set_table_property(table_path: str, key: str, value: str) -> int:
@@ -1744,7 +1745,8 @@ def _predicate_cow(spark: SparkSession, table_path: str,
                    predicate_sql: str, rewrite, validate=None,
                    operation: str = "DELETE", make_feed=None,
                    drop_fully_matched: bool = False,
-                   insert_rows: DataFrame | None = None) -> dict:
+                   insert_rows: DataFrame | None = None,
+                   extra_manifest: dict | None = None) -> dict:
     """Shared physical plan for predicate-driven DML (DELETE / UPDATE):
     Delta's COW rewrite shape.
 
@@ -1817,7 +1819,9 @@ def _predicate_cow(spark: SparkSession, table_path: str,
     # ARBITRARY predicates (NULLs never match), no stats proof needed.
     hit = F.coalesce(F.expr(predicate_sql), F.lit(False))
     rows = []
-    if pfiles:
+    # pure-insert commits (COPY INTO spells its predicate literally
+    # 'false') skip the discovery scan — no parent file can match
+    if pfiles and predicate_sql.strip().lower() != "false":
         rows = (
             _read_files_dv(spark, table_path, parent, pfiles, schema,
                            file_col="__f")
@@ -1936,6 +1940,7 @@ def _predicate_cow(spark: SparkSession, table_path: str,
             "files": unt + new_files,
             "schema": schema.json(),
             "operation": operation,
+            **(extra_manifest or {}),
         }
         if cons:
             m["constraints"] = cons
@@ -2105,6 +2110,79 @@ def replace_where(spark: SparkSession, table_path: str, df: DataFrame,
         drop_fully_matched=True,
         insert_rows=df,
     )
+
+
+def copy_into(spark: SparkSession, table_path: str, source_dir: str,
+              pattern: str = "*.parquet",
+              file_format: str = "parquet") -> dict:
+    """Idempotent file-level ingestion (Delta's ``COPY INTO``): load
+    every source file matching ``pattern`` under ``source_dir`` that
+    has NOT been loaded before, as ONE append commit; re-running is a
+    no-op for already-loaded files, so a scheduled ingestion job can
+    point at a landing directory and never double-load. File identity
+    is (absolute path, size, mtime_ns) — a re-dropped file with new
+    bytes reloads, a byte-identical re-run never does.
+
+    Loaded identities are recorded per commit under the manifest's
+    ``copy_sources`` key (a per-commit provenance stamp like
+    ``stream_batch_id``, never carried forward); the dedup set is the
+    union over LIVE manifests, so — exactly like Delta's COPY INTO —
+    the dedup horizon equals the table's version retention: vacuuming
+    a version retires its load history with it.
+
+    The insert path is the REPLACE WHERE machinery with the
+    literally-false predicate (pure insert, discovery scan skipped):
+    generated columns computed, identity allocated, CHECK constraints
+    enforced on the new files, ``cdf.enabled`` records inserts, and
+    conflict handling follows the blind-append rebase rules. Source
+    rows are cast to the table schema; extra/missing columns raise.
+    """
+    import glob as _glob
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(
+            f"no committed versions at {table_path} — COPY INTO "
+            "requires an existing table (CREATE TABLE ... AS first)"
+        )
+    seen: set[tuple] = set()
+    for v in avail:
+        for ent in (_load_manifest(table_path, v).get("copy_sources")
+                    or []):
+            seen.add(tuple(ent))
+    cand = sorted(
+        _glob.glob(os.path.join(source_dir, pattern))
+    )
+    new_sources = []
+    for p in cand:
+        stt = os.stat(p)
+        ident = (os.path.abspath(p), stt.st_size, stt.st_mtime_ns)
+        if ident not in seen:
+            new_sources.append(ident)
+    if not new_sources:
+        return {"version": None, "files_loaded": 0,
+                "files_skipped": len(cand)}
+    readers = {"parquet": spark.read.parquet,
+               "json": spark.read.json,
+               "csv": lambda *p: spark.read.option("header", "true")
+               .csv(*p)}
+    if file_format not in readers:
+        raise ValueError(
+            f"unsupported COPY INTO format {file_format!r} — "
+            f"supported: {sorted(readers)}"
+        )
+    df = readers[file_format](*[p for p, _, _ in new_sources])
+    st = _predicate_cow(
+        spark, table_path, "false",
+        lambda kept, _schema: kept,
+        operation="COPY INTO",
+        make_feed=_delete_feed,
+        insert_rows=df,
+        extra_manifest={"copy_sources": [list(s) for s in new_sources]},
+    )
+    st["files_loaded"] = len(new_sources)
+    st["files_skipped"] = len(cand) - len(new_sources)
+    return st
 
 
 def _delete_feed(matched: DataFrame, schema) -> DataFrame:

@@ -2268,3 +2268,65 @@ def test_replace_where_generated_identity_and_noop_region(spark,
     assert row.rid is not None
     ids = [r.rid for r in got.collect()]
     assert len(set(ids)) == 21
+
+
+def test_copy_into_idempotent_file_ingestion(spark, tmp_path):
+    """COPY INTO (Delta analog): each source file loads AT MOST once —
+    re-running skips already-loaded files; a re-dropped file with new
+    bytes reloads; CDF records the inserts; the commit is a pure
+    append (every parent file shared)."""
+    import os as _os
+    import time as _time
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.createDataFrame([(0, "seed")], "k INT, v STRING"), path)
+    versioned.set_table_property(path, "cdf.enabled", "true")
+
+    def drop_file(name, rows):
+        spark.createDataFrame(rows, "k INT, v STRING") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / "stage"))
+        part = [f for f in _os.listdir(tmp_path / "stage")
+                if f.endswith(".parquet")][0]
+        _os.rename(tmp_path / "stage" / part, src / name)
+
+    drop_file("a.parquet", [(1, "a"), (2, "a")])
+    drop_file("b.parquet", [(3, "b")])
+    parent = versioned._load_manifest(
+        path, versioned.versions(path)[-1])
+    st = versioned.copy_into(spark, path, str(src))
+    assert st["files_loaded"] == 2 and st["files_skipped"] == 0
+    assert versioned.read_version(spark, path).count() == 4
+    child = versioned._load_manifest(path, versioned.versions(path)[-1])
+    assert set(parent["files"]) <= set(child["files"])  # pure append
+    # re-run: everything skipped, no commit
+    st2 = versioned.copy_into(spark, path, str(src))
+    assert st2 == {"version": None, "files_loaded": 0,
+                   "files_skipped": 2}
+    assert versioned.read_version(spark, path).count() == 4
+    # a new file plus an UNCHANGED old one: only the new one loads
+    drop_file("c.parquet", [(4, "c")])
+    st3 = versioned.copy_into(spark, path, str(src))
+    assert st3["files_loaded"] == 1 and st3["files_skipped"] == 2
+    assert versioned.read_version(spark, path).count() == 5
+    # re-dropping a file with NEW bytes reloads it (identity = path,
+    # size, mtime)
+    _time.sleep(0.01)
+    drop_file("b.parquet", [(30, "b2"), (31, "b2")])
+    st4 = versioned.copy_into(spark, path, str(src))
+    assert st4["files_loaded"] == 1
+    got = versioned.read_version(spark, path)
+    assert got.count() == 7
+    assert got.filter("v = 'b2'").count() == 2
+    # CDF recorded the inserts of the first load
+    feed = versioned.read_changes(spark, path, st["version"] - 1,
+                                  st["version"])
+    assert feed.filter("_change_type = 'insert'").count() == 3
+    # SQL route
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import merge_sql
+    st5 = merge_sql.sql(
+        spark, f"COPY INTO versioned.`{path}` FROM '{src}'")
+    assert st5["files_loaded"] == 0 and st5["files_skipped"] == 3

@@ -391,6 +391,75 @@ def _wideish(expr: str) -> bool:
     return "__WIDE__" in expr
 
 
+def _mul_chain(s: str, star: int) -> str:
+    """The full multiplicative chain around the ``*`` at ``star``:
+    expand left/right across consecutive ``operand * operand`` tokens
+    at the same paren depth. Multiplication is left-associative, so
+    ONE wide factor anywhere earlier in the chain makes every later
+    product wide — checking only the two adjacent operands would flag
+    ``CAST(a AS HUGEINT) * b * 1000000`` spuriously."""
+    def _operand_extent(i: int, step: int) -> int:
+        """Index just past the operand scanning from s[i] by step
+        (exclusive bound on the far side), honoring balanced parens
+        and the keyword stops — mirrors _operand but returns the
+        consumed extent instead of stripped text."""
+        depth = 0
+        n = len(s)
+        while 0 <= i < n:
+            ch = s[i]
+            open_, close = ("(", ")") if step > 0 else (")", "(")
+            if ch == open_:
+                depth += 1
+            elif ch == close:
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and ch in "+-*/,%":
+                break
+            if depth == 0 and ch.isspace():
+                j = i + step
+                while 0 <= j < n and s[j].isspace():
+                    j += step
+                word = []
+                while 0 <= j < n and (s[j].isalnum() or s[j] == "_"):
+                    word.append(s[j])
+                    j += step
+                w = "".join(word if step > 0 else reversed(word)).upper()
+                if w in _STOP_KEYWORDS:
+                    break
+            i += step
+        return i
+
+    lo, hi = star, star + 1
+    while True:
+        i = lo - 1
+        while i >= 0 and s[i].isspace():
+            i -= 1
+        end = _operand_extent(i, -1)
+        j = end
+        while j >= 0 and s[j].isspace():
+            j -= 1
+        if j >= 0 and s[j] == "*":
+            lo = j
+            continue
+        lo = end + 1
+        break
+    while True:
+        i = hi
+        while i < len(s) and s[i].isspace():
+            i += 1
+        end = _operand_extent(i, +1)
+        j = end
+        while j < len(s) and s[j].isspace():
+            j += 1
+        if j < len(s) and s[j] == "*":
+            hi = j + 1
+            continue
+        hi = end
+        break
+    return s[max(lo, 0):hi]
+
+
 def _is_literal(expr: str) -> bool:
     return bool(re.fullmatch(r"[\d.]+", expr.strip()))
 
@@ -448,6 +517,7 @@ F_ALLOWLIST: dict[str, str] = {
     "emb_semdedup": _EMB_GRID_BOUND,
     "emb_threshold_sweep": _EMB_GRID_BOUND,
     "emb_whiten": _EMB_GRID_BOUND,
+    "emb_ivf_build_stats": _EMB_GRID_BOUND,
     "hybrid_search_rrf": _EMB_GRID_BOUND,
     # -- documents: per-DOC quantities, bounded by doc length not
     #    corpus size
@@ -531,7 +601,8 @@ def lint_overflow(oracles: dict[str, str]) -> list[str]:
                 lm = re.fullmatch(r"\d{4,}", lit_side.strip())
                 if lm and int(lm.group(0)) >= 10_000:
                     if not (_wideish(other) or _is_literal(other)
-                            or _doubleish_operand(other)):
+                            or _doubleish_operand(other)
+                            or _wideish(_mul_chain(masked, m.start()))):
                         hits.append(
                             f"literal {lm.group(0)} × non-wide "
                             f"term {other[:40]!r}"
