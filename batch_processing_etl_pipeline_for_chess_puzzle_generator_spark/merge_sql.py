@@ -506,6 +506,16 @@ _OPTIMIZE_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
+_REORG_RE = re.compile(
+    r"^\s*REORG\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
+    r"\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_GENERATE_RE = re.compile(
+    r"^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+"
+    r"versioned\.`(?P<path>[^`]+)`\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+versioned\.`(?P<path>[^`]+)`\s*;?\s*$",
     re.IGNORECASE,
@@ -554,6 +564,12 @@ def maintenance_sql(spark: SparkSession, statement: str):
     if m:
         z = (m["za"], m["zb"]) if m["za"] else None
         return versioned.optimize_version(spark, m["path"], zorder_cols=z)
+    m = _REORG_RE.match(statement)
+    if m:
+        return versioned.reorg_purge(spark, m["path"])
+    m = _GENERATE_RE.match(statement)
+    if m:
+        return versioned.generate_symlink_manifest(m["path"])
     m = _DETAIL_RE.match(statement)
     if m:
         return versioned.describe_detail(spark, m["path"])
@@ -594,7 +610,9 @@ def maintenance_sql(spark: SparkSession, statement: str):
         "versioned.`/p` RENAME COLUMN a TO b | ALTER TABLE "
         "versioned.`/p` DROP COLUMN a | CONVERT TO VERSIONED "
         "parquet.`/p` [STATS BY col] | VACUUM versioned.`/p` … DRY "
-        "RUN | FSCK REPAIR TABLE versioned.`/p` [DRY RUN]; "
+        "RUN | FSCK REPAIR TABLE versioned.`/p` [DRY RUN] | REORG "
+        "TABLE versioned.`/p` APPLY (PURGE) | GENERATE "
+        "symlink_format_manifest FOR TABLE versioned.`/p`; "
         f"got: {statement!r}"
     )
 
@@ -809,26 +827,28 @@ def update_table(spark: SparkSession, statement: str) -> dict:
 
 _CLONE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+versioned\.`(?P<dst>[^`]+)`"
-    r"\s+SHALLOW\s+CLONE\s+versioned\.`(?P<src>[^`]+)`"
+    r"\s+(?P<kind>SHALLOW|DEEP)\s+CLONE\s+versioned\.`(?P<src>[^`]+)`"
     r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*;?\s*$",
     re.IGNORECASE,
 )
 
 
 def shallow_clone(spark: SparkSession, statement: str) -> int:
-    """``CREATE TABLE versioned.`/dst` SHALLOW CLONE versioned.`/src`
-    [VERSION AS OF n]`` → :func:`versioned.clone_table`: a zero-copy
-    manifest-only clone of the chosen source snapshot."""
+    """``CREATE TABLE versioned.`/dst` SHALLOW|DEEP CLONE
+    versioned.`/src` [VERSION AS OF n]`` → :func:`versioned.clone_table`:
+    SHALLOW is the zero-copy manifest-only clone; DEEP copies the
+    bytes (distributed) and materializes deletion vectors."""
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
     m = _CLONE_RE.match(statement)
     if not m:
         raise ValueError(
-            "expected CREATE TABLE versioned.`/dst` SHALLOW CLONE "
+            "expected CREATE TABLE versioned.`/dst` SHALLOW|DEEP CLONE "
             f"versioned.`/src` [VERSION AS OF n]; got: {statement!r}"
         )
     return versioned.clone_table(
-        m["src"], m["dst"], int(m["v"]) if m["v"] else None, spark=spark
+        m["src"], m["dst"], int(m["v"]) if m["v"] else None, spark=spark,
+        deep=m["kind"].upper() == "DEEP",
     )
 
 
@@ -982,12 +1002,12 @@ def sql(spark: SparkSession, statement: str):
             return shallow_clone(spark, statement)
         return create_table_as(spark, statement)
     if head in ("RESTORE", "VACUUM", "OPTIMIZE", "DESCRIBE", "ALTER",
-                "CONVERT", "FSCK"):
+                "CONVERT", "FSCK", "REORG", "GENERATE"):
         return maintenance_sql(spark, statement)
     if head in ("SELECT", "WITH"):
         return spark.sql(_rewrite_versioned_refs(spark, statement))
     raise ValueError(
         f"unsupported statement keyword {head!r} — supported: MERGE, "
         "DELETE, UPDATE, INSERT, CREATE, RESTORE, VACUUM, OPTIMIZE, "
-        "DESCRIBE, ALTER, CONVERT, FSCK, SELECT, WITH"
+        "DESCRIBE, ALTER, CONVERT, FSCK, REORG, GENERATE, SELECT, WITH"
     )

@@ -3870,6 +3870,92 @@ def optimize_incremental(spark: SparkSession, table_path: str,
     }
 
 
+def reorg_purge(spark: SparkSession, table_path: str) -> dict:
+    """``REORG TABLE … APPLY (PURGE)`` (Delta's DV-materialization
+    verb): rewrite ONLY the files carrying deletion vectors, applying
+    their vectors, and retire the sidecars — every DV-free file is
+    shared byte-identically. This is the maintenance step that turns
+    accumulated soft deletes back into plain parquet (compliance
+    purges need it: the deleted bytes physically leave once the old
+    versions are vacuumed). Physically it is incremental OPTIMIZE
+    restricted to the vectored set (``min_file_bytes=0`` selects no
+    small files), keeping one output file per vectored input so the
+    purge never degrades the layout into one giant file. No-op (no
+    commit) when the table has no DVs."""
+    parent = _load_manifest(table_path, versions(table_path)[-1]) \
+        if versions(table_path) else None
+    if parent is None:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    n_dv = len(_dv_map(parent))
+    if n_dv == 0:
+        return {"version": None, "files_compacted": 0,
+                "dv_files_retired": 0}
+    out = optimize_incremental(spark, table_path, min_file_bytes=0,
+                               target_files=n_dv)
+    return out
+
+
+def generate_symlink_manifest(table_path: str,
+                              version: int | None = None) -> dict:
+    """``GENERATE symlink_format_manifest`` (Delta's external-reader
+    bridge): write text manifests under
+    ``<table>/_symlink_format_manifest/`` listing the snapshot's
+    ACTIVE data files as ``file://`` URIs — one manifest per hive
+    partition directory (partition-aligned tables), or a single root
+    manifest — so engines that speak plain parquet-with-a-file-list
+    (Trino/Presto/Hive external tables, or any reader that cannot
+    parse the transaction log) can query a consistent snapshot
+    without scanning stale files.
+
+    Delta's own restrictions apply and are enforced: a snapshot with
+    DELETION VECTORS is refused (a file-list reader would resurrect
+    soft-deleted rows — run :func:`reorg_purge` first), and the
+    manifest is a POINT-IN-TIME export: it goes stale the moment a
+    newer version commits or vacuum retires the listed version, so
+    regenerate after every write the external reader should see.
+    Metadata-only: O(#files) driver-side, no Spark jobs, no data
+    bytes read. Returns ``{"version", "manifests", "files"}``."""
+    import shutil
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    if version is None:
+        version = avail[-1]
+    if version not in avail:
+        raise ValueError(f"version {version} not in {avail}")
+    m = _load_manifest(table_path, version)
+    if _dv_map(m):
+        raise ValueError(
+            "snapshot carries deletion vectors — a symlink manifest "
+            "would resurrect soft-deleted rows (Delta refuses this "
+            "too); run reorg_purge() first"
+        )
+    entries = (m["files"] if "files" in m
+               else _list_data_files(table_path, m["dir"]))
+    groups: dict[str, list[str]] = {}
+    for e in entries:
+        parts = e.replace(os.sep, "/").split("/")
+        hive = [p for p in parts[:-1] if "=" in p]
+        # plain file:// URI, UNescaped — hive dirs contain '=' and the
+        # engines that consume symlink manifests (and Spark itself)
+        # take the listed strings as literal paths, not RFC-encoded
+        groups.setdefault("/".join(hive), []).append(
+            "file://" + _abs_file(table_path, e))
+    out_root = os.path.join(table_path, "_symlink_format_manifest")
+    # GENERATE overwrites the whole export: a partition dropped since
+    # the last run must not leave a stale per-partition manifest
+    shutil.rmtree(out_root, ignore_errors=True)
+    for hive_dir, uris in groups.items():
+        d = os.path.join(out_root, *hive_dir.split("/")) \
+            if hive_dir else out_root
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "manifest"), "w") as fh:
+            fh.write("\n".join(sorted(uris)) + "\n")
+    return {"version": version, "manifests": len(groups),
+            "files": len(entries)}
+
+
 def history(spark: SparkSession, table_path: str) -> DataFrame:
     """DESCRIBE HISTORY analog: one row per live version with its file
     count, total bytes, and how many files are shared with the
@@ -4295,7 +4381,8 @@ def restore_version(table_path: str, to_version: int) -> int:
 
 def clone_table(src_path: str, dst_path: str,
                 version: int | None = None,
-                spark: SparkSession | None = None) -> int:
+                spark: SparkSession | None = None,
+                deep: bool = False) -> int:
     """SHALLOW CLONE (Delta's analog): commit version 0 of a NEW table
     at ``dst_path`` whose manifest references the SOURCE snapshot's
     data files by ABSOLUTE path — no data is copied, so a 100 TB table
@@ -4308,6 +4395,18 @@ def clone_table(src_path: str, dst_path: str,
     about clones, so retiring the source versions a clone still
     references breaks the clone. Retention on cloned sources must
     exceed clone lifetime, exactly like readers' pin horizon.
+
+    ``deep=True`` is Delta's DEEP CLONE: the clone OWNS its bytes.
+    DV-free source files are byte-copied (a DISTRIBUTED copy — one
+    Spark task per file shard, the distcp shape; the driver never
+    moves data) into the clone's own directory preserving hive
+    partition alignment; files carrying deletion vectors are
+    materialized through their DVs (the same read every scan does)
+    and re-emitted plain, so the clone needs no sidecars at all and
+    doubles as a DV purge of the copied snapshot. Source vacuum can
+    then never break the clone. Skipping stats ride along: copied
+    files keep the source's col_stats/row_counts verbatim (bytes are
+    identical), materialized files get fresh footer reads.
 
     ``version`` picks the source snapshot (default: latest). The
     destination must be fresh — clone never clobbers history.
@@ -4327,6 +4426,13 @@ def clone_table(src_path: str, dst_path: str,
             "history"
         )
     src = _load_manifest(src_path, version)
+    if deep:
+        if spark is None:
+            raise ValueError(
+                "DEEP CLONE needs a SparkSession (distributed file copy "
+                "+ DV materialization) — pass spark="
+            )
+        return _deep_clone(spark, src_path, dst_path, version, src)
     if "files" in src:
         entries = src["files"]
     else:  # legacy dir-level manifest
@@ -4392,8 +4498,123 @@ def clone_table(src_path: str, dst_path: str,
         }
     if src.get("properties"):
         manifest["properties"] = src["properties"]
+    # CHECK constraints are table metadata, not file state — Delta's
+    # CLONE carries them, so must ours (they resume enforcing on the
+    # clone's own future writes)
+    if src.get("constraints"):
+        manifest["constraints"] = src["constraints"]
     os.makedirs(_manifest_path(dst_path), exist_ok=True)
     return _publish(dst_path, manifest)
+
+
+def _deep_clone(spark: SparkSession, src_path: str, dst_path: str,
+                version: int, src: dict) -> int:
+    """DEEP CLONE physical plan (see :func:`clone_table`): distributed
+    byte-copy of DV-free files + DV-materializing rewrite of vectored
+    files, then one version-0 manifest publish at ``dst_path``."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import types as T
+
+    if "files" in src:
+        entries = src["files"]
+    else:  # legacy dir-level manifest
+        entries = _list_data_files(src_path, src["dir"])
+    if "schema" in src and src["schema"] is not None:
+        schema = T.StructType.fromJson(json.loads(src["schema"]))
+    else:
+        schema = spark.read.parquet(
+            *[_abs_file(src_path, e) for e in entries]).schema
+    dv = _dv_map(src)
+    clean = [e for e in entries if not dv.get(e)]
+    vectored = [e for e in entries if dv.get(e)]
+    token = uuid.uuid4().hex[:12]
+    copy_dir = f"d_0_{token}"
+
+    def _dst_rel(i: int, entry: str) -> str:
+        # preserve trailing hive components (…/__p_k=5/part.parquet) so
+        # partition alignment — and with it whole-partition
+        # metadata-only deletes — survives the clone; the index prefix
+        # keeps names collision-free across source directories
+        parts = entry.replace(os.sep, "/").split("/")
+        hive = [p for p in parts[:-1] if "=" in p]
+        return "/".join([copy_dir, *hive, f"c{i:05d}_{parts[-1]}"])
+
+    copied_rel = [_dst_rel(i, e) for i, e in enumerate(clean)]
+    dst_abs = os.path.abspath(dst_path)
+    pairs = [(_abs_file(src_path, e), os.path.join(dst_abs, r))
+             for e, r in zip(clean, copied_rel)]
+    if pairs:
+        # one task per shard of the copy list: the bytes move
+        # executor-side through the shared filesystem client (the
+        # distcp shape) — at 100 TB the driver only holds the O(#files)
+        # pair list it already holds for every commit
+        def _copy_shard(shard):
+            import os as _os
+            import shutil as _shutil
+
+            for s, d in shard:
+                _os.makedirs(_os.path.dirname(d), exist_ok=True)
+                _shutil.copyfile(s, d)
+
+        spark.sparkContext.parallelize(
+            pairs, min(64, len(pairs))
+        ).foreachPartition(_copy_shard)
+    new_files: list[str] = []
+    if vectored:
+        repl = _read_files_dv(spark, src_path, src, vectored, schema)
+        staged = os.path.join(dst_path, f"_staged_0_{token}")
+        final_dir = f"d_0m_{token}"
+        _write_rewrite(repl, staged, src, max(1, len(vectored)))
+        os.rename(staged, os.path.join(dst_path, final_dir))
+        new_files = _list_data_files(dst_path, final_dir)
+    manifest = {
+        "version": 0,
+        "files": copied_rel + new_files,
+        "schema": schema.json(),
+        "cloned_from": {
+            "table": os.path.abspath(src_path),
+            "version": version,
+            "deep": True,
+        },
+        "operation": "CLONE (DEEP)",
+    }
+    for key in ("column_mapping", "retired_physical", "partition_by",
+                "generated", "identity", "properties", "constraints"):
+        if src.get(key):
+            manifest[key] = src[key]
+    # copied bytes are identical → the source's per-file skipping stats
+    # transfer verbatim (re-keyed); materialized files get one footer
+    # read each through the shared helper
+    src_cs = src.get("col_stats") or {}
+    src_rc = src.get("row_counts") or {}
+    pseudo_parent = {
+        "col_stats": {r: src_cs.get(e)
+                      for e, r in zip(clean, copied_rel)},
+        "row_counts": {r: src_rc.get(e)
+                       for e, r in zip(clean, copied_rel)},
+    }
+    _set_col_stats(manifest, pseudo_parent, dst_path, copied_rel,
+                   new_files)
+    if src.get("stats_col") is not None and src.get("stats") is not None:
+        stats = {r: src["stats"].get(e)
+                 for e, r in zip(clean, copied_rel)}
+        if new_files:
+            stats.update(_file_stats(spark, dst_path, new_files,
+                                     src["stats_col"]))
+        manifest["stats_col"] = src["stats_col"]
+        manifest["stats"] = stats
+    os.makedirs(_manifest_path(dst_path), exist_ok=True)
+    try:
+        return _publish(dst_path, manifest)
+    except CommitConflict:
+        # a racing writer created the table first — a fresh deep clone
+        # never clobbers; surface it and leave the loser's bytes for
+        # the orphan sweep
+        shutil.rmtree(os.path.join(dst_path, copy_dir),
+                      ignore_errors=True)
+        raise
 
 
 def convert_to_versioned(table_path: str, stats_col: str | None = None,
