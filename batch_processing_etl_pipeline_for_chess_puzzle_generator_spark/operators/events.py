@@ -3957,3 +3957,78 @@ ORACLES["ev_burstiness_cv2"] = """
                AS BIGINT) AS cv2_ppm
     FROM agg WHERE sum_us > 0
 """
+
+
+# --------------------------------------------------------------------------
+# Day-over-day audience overlap — the retention dial an on-call growth
+# analyst actually watches: for each consecutive day pair, the exact
+# Jaccard of the two DAU sets and the share of yesterday's users who
+# returned, on the ppm grid. The working set is the DISTINCT
+# (day, user) table (one pre-aggregation, the DAU discipline), so the
+# self-join matches users across adjacent days at O(distinct pairs),
+# never O(events²); all counts are exact integers and every ppm
+# division has a non-negative dividend (DIV↔// safe). At 100 TB the
+# join keys on (user, day) — high-cardinality, skew-free after the
+# distinct collapse.
+def ev_dau_overlap_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    counts = du.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"))
+    nxt = du.select(
+        F.expr("day - INTERVAL 1 DAY").alias("day"),
+        F.col("user_id"),
+        F.col("day").alias("day_b"),
+    )
+    inter = (
+        du.join(nxt, ["day", "user_id"])
+        .groupBy("day").agg(F.count(F.lit(1)).alias("both"))
+    )
+    a = counts.select(F.col("day"), F.col("dau").alias("dau_a"))
+    b = counts.select(
+        F.expr("day - INTERVAL 1 DAY").alias("day"),
+        F.col("dau").alias("dau_b"),
+    )
+    return (
+        a.join(b, "day").join(inter, "day", "left")
+        .selectExpr(
+            "CAST(day AS DATE) AS day", "dau_a", "dau_b",
+            "COALESCE(both, CAST(0 AS BIGINT)) AS n_both",
+            "CAST(CAST(COALESCE(both, 0) AS DECIMAL(38,0)) * 1000000 "
+            "DIV (dau_a + dau_b - COALESCE(both, 0)) AS BIGINT) "
+            "AS jaccard_ppm",
+            "CAST(CAST(COALESCE(both, 0) AS DECIMAL(38,0)) * 1000000 "
+            "DIV dau_a AS BIGINT) AS retained_ppm",
+        )
+    )
+
+
+QUERIES["ev_dau_overlap_dod"] = ev_dau_overlap_dod
+
+ORACLES["ev_dau_overlap_dod"] = """
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        FROM events
+    ),
+    counts AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    inter AS (
+        SELECT a.day, count(*) AS both
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id
+         AND b.day = a.day + INTERVAL 1 DAY
+        GROUP BY a.day
+    )
+    SELECT CAST(ca.day AS DATE) AS day,
+           ca.dau AS dau_a, cb.dau AS dau_b,
+           COALESCE(i.both, 0) AS n_both,
+           CAST(CAST(COALESCE(i.both, 0) AS HUGEINT) * 1000000
+               // (ca.dau + cb.dau - COALESCE(i.both, 0)) AS BIGINT)
+               AS jaccard_ppm,
+           CAST(CAST(COALESCE(i.both, 0) AS HUGEINT) * 1000000
+               // ca.dau AS BIGINT) AS retained_ppm
+    FROM counts ca
+    JOIN counts cb ON cb.day = ca.day + INTERVAL 1 DAY
+    LEFT JOIN inter i ON i.day = ca.day
+"""

@@ -3767,3 +3767,93 @@ ORACLES["orders_runs_test"] = """
                * 1e3) AS BIGINT) AS z_m
     FROM runs
 """
+
+
+# --------------------------------------------------------------------------
+# Inter-purchase time — the reorder-cadence profile a replenishment
+# planner (or churn model) reads: per order PRIORITY, the exact median
+# and p90 of the day gaps between a customer's consecutive orders.
+# Gaps are integer datediffs (LAG over each customer's order dates);
+# the exact order-statistics come from the row_number/count middle-row
+# selection (the orders_median_by_priority discipline — no engine
+# percentile statistics, rule A). Two shuffles: one hash by customer
+# for the LAG, one by priority for the rank windows; both keys are
+# high-cardinality/low-skew, and the gap table is strictly smaller
+# than orders, so the plan scales linearly.
+def orders_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey", "o_orderpriority", "o_orderdate",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(wc)
+        ).cast("long").alias("gap"),
+    ).filter("gap IS NOT NULL")
+    wp = Window.partitionBy("o_orderpriority").orderBy(
+        "gap", "o_custkey", "o_orderdate")
+    ranked = gaps.select(
+        "o_orderpriority", "gap",
+        F.row_number().over(wp).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("o_orderpriority")
+        ).cast("long").alias("n"),
+    )
+    med = ranked.filter(
+        "(n % 2 = 1 AND rn = (n + 1) DIV 2) "
+        "OR (n % 2 = 0 AND (rn = n DIV 2 OR rn = n DIV 2 + 1))"
+    ).groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_gaps"),
+        F.expr(
+            "CAST(SUM(gap) * IF(MAX(n) % 2 = 1, 2, 1) AS BIGINT)"
+        ).alias("median_x2_days"),
+    )
+    # exact p90: the ceil(0.9 n)-th order statistic
+    # (n - floor(n/10) == ceil(9n/10) for every n)
+    p90 = ranked.filter("rn = n - (n DIV 10)") \
+        .groupBy("o_orderpriority").agg(F.max("gap").alias("p90_days"))
+    return med.join(p90, "o_orderpriority").select(
+        "o_orderpriority", "n_gaps", "median_x2_days", "p90_days")
+
+
+QUERIES["orders_interpurchase"] = orders_interpurchase
+
+ORACLES["orders_interpurchase"] = """
+    WITH gaps AS (
+        SELECT o_orderpriority, o_custkey, o_orderdate,
+               CAST(datediff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS BIGINT) AS gap
+        FROM orders
+    ),
+    ranked AS (
+        SELECT o_orderpriority, gap, o_custkey, o_orderdate,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY gap, o_custkey, o_orderdate) AS BIGINT)
+                   AS rn,
+               CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                   AS BIGINT) AS n
+        FROM gaps WHERE gap IS NOT NULL
+    ),
+    med AS (
+        SELECT o_orderpriority, max(n) AS n_gaps,
+               CAST(SUM(gap)
+                    * CASE WHEN MAX(n) % 2 = 1 THEN 2 ELSE 1 END
+                    AS BIGINT) AS median_x2_days
+        FROM ranked
+        WHERE (n % 2 = 1 AND rn = (n + 1) // 2)
+           OR (n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1))
+        GROUP BY o_orderpriority
+    ),
+    p90 AS (
+        SELECT o_orderpriority, max(gap) AS p90_days
+        FROM ranked
+        WHERE rn = n - (n // 10)
+        GROUP BY o_orderpriority
+    )
+    SELECT med.o_orderpriority, n_gaps, median_x2_days, p90_days
+    FROM med JOIN p90 USING (o_orderpriority)
+"""

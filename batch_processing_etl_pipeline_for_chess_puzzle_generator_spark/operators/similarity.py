@@ -3389,3 +3389,123 @@ ORACLES["emb_ivf_build_stats"] = f"""
                AS imbalance_ppm
     FROM sizes CROSS JOIN tot
 """
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette per label — the clustering-quality score that
+# tells a curation pipeline whether its label (or kmeans) partition is
+# real structure or noise: per vector, a = squared distance to its OWN
+# label centroid, b = min squared distance to any OTHER centroid,
+# s = (b - a) / max(a, b) on the ppm grid (the centroid-based
+# "simplified silhouette" — O(n·K), never the O(n²) pairwise form).
+# Centroids are the rounded integer means (the emb_centroid_confusion
+# grid discipline), so every squared distance is an exact BIGINT
+# (diff ≤ 4e6, squared ≤ 1.6e13, ×64 dims ≤ 1.1e15) and the ppm
+# projection widens to DECIMAL(38,0) before its ×1e6 (rule F). The
+# division is sign-split so Spark's truncating DIV and DuckDB's
+# flooring // never see a negative dividend. One small centroid
+# build + one broadcast-model pass over the corpus: no shuffle
+# scales with n·K.
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, c = _split(spark, sf_dir)
+    cents = (
+        c.select("label", F.posexplode("ca").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .selectExpr(
+            "label", "pos",
+            "CAST(ROUND(CAST(sm AS DOUBLE) / n) AS BIGINT) AS s",
+        )
+        .groupBy("label")
+        .agg(F.expr(
+            "transform(array_sort(collect_list("
+            "named_struct('pos', pos, 's', s))), e -> e.s)"
+        ).alias("sa"))
+        .select(F.col("label").alias("cl"), "sa")
+    )
+    model = cents.agg(F.expr(
+        "collect_list(named_struct('cl', cl, 'sa', sa))").alias("cts"))
+    d2 = (
+        "aggregate(zip_with(ca, ct.sa, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = c.crossJoin(broadcast(model)).select(
+        "c_id", "label",
+        F.expr(
+            f"filter(transform(cts, ct -> named_struct('cl', ct.cl, "
+            f"'d2', {d2})), e -> e.cl = label)[0].d2"
+        ).alias("a"),
+        F.expr(
+            f"array_min(transform(filter(cts, ct -> ct.cl != label), "
+            f"ct -> {d2}))"
+        ).alias("b"),
+    )
+    sil = scored.selectExpr(
+        "label",
+        "CASE WHEN b >= a THEN "
+        "CAST((CAST(b AS DECIMAL(38,0)) - a) * 1000000 "
+        "DIV GREATEST(CAST(a AS DECIMAL(38,0)), b, "
+        "CAST(1 AS DECIMAL(38,0))) AS BIGINT) "
+        "ELSE -CAST((CAST(a AS DECIMAL(38,0)) - b) * 1000000 "
+        "DIV GREATEST(CAST(a AS DECIMAL(38,0)), b, "
+        "CAST(1 AS DECIMAL(38,0))) AS BIGINT) END AS s_ppm",
+    )
+    return sil.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_vecs"),
+        F.expr("CAST(SUM(s_ppm) AS BIGINT)").alias("sum_sil_ppm"),
+        F.expr(
+            "CAST(SUM(IF(s_ppm < 0, 1, 0)) AS BIGINT)"
+        ).alias("n_misplaced"),
+    )
+
+
+QUERIES["emb_silhouette"] = emb_silhouette
+
+ORACLES["emb_silhouette"] = f"""
+    WITH v AS (
+        SELECT vec_id AS c_id, label, embedding AS ce FROM embeddings
+        WHERE vec_id >= {N_QUERIES}
+    ),
+    comp AS (
+        SELECT c_id, label,
+               unnest(range(1, len(ce) + 1)) AS pos,
+               CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT)
+                   AS x
+        FROM v
+    ),
+    cent AS (
+        SELECT label AS cl, pos,
+               CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS s
+        FROM comp GROUP BY 1, 2
+    ),
+    dists AS (
+        SELECT comp.c_id, comp.label, cent.cl,
+               sum((comp.x - cent.s) * (comp.x - cent.s)) AS d2
+        FROM comp JOIN cent ON comp.pos = cent.pos
+        GROUP BY 1, 2, 3
+    ),
+    ab AS (
+        SELECT c_id, label,
+               max(CASE WHEN cl = label THEN d2 END) AS a,
+               min(CASE WHEN cl <> label THEN d2 END) AS b
+        FROM dists GROUP BY 1, 2
+    ),
+    sil AS (
+        SELECT label,
+               CASE WHEN b >= a THEN
+                 CAST((CAST(b AS HUGEINT) - a) * 1000000
+                     // GREATEST(CAST(a AS HUGEINT), b, 1) AS BIGINT)
+               ELSE
+                 -CAST((CAST(a AS HUGEINT) - b) * 1000000
+                     // GREATEST(CAST(a AS HUGEINT), b, 1) AS BIGINT)
+               END AS s_ppm
+        FROM ab
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(s_ppm) AS BIGINT) AS sum_sil_ppm,
+           CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_misplaced
+    FROM sil GROUP BY 1
+"""

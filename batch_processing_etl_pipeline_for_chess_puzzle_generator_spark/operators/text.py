@@ -2748,3 +2748,234 @@ ORACLES["doc_token_gini_by_source"] = """
     FROM ranked
     GROUP BY source
 """
+
+
+# --------------------------------------------------------------------------
+# Per-source character-class composition — the printable-composition
+# audit a curation pipeline runs before any model-based quality
+# scoring: per source, exact ppm of letters / digits / whitespace /
+# other across the corpus bytes, plus the digit-heavy doc count (the
+# Gopher-style ">20% digits" reject list applied at source
+# granularity). Class counts come from length-minus-stripped
+# (regexp_replace with an explicit global flag on the DuckDB side),
+# so both engines count the same codepoints; sums widen to
+# DECIMAL(38,0)/HUGEINT before the ×1e6 because a 100 TB source holds
+# ~1e14 chars (rule F). One partial-agg shuffle on the tiny source
+# key.
+def doc_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.expr("CAST(length(text) AS BIGINT)").alias("chars"),
+        F.expr(
+            "CAST(length(text) - length(regexp_replace(text, "
+            "'[A-Za-z]', '')) AS BIGINT)"
+        ).alias("letters"),
+        F.expr(
+            "CAST(length(text) - length(regexp_replace(text, "
+            "'[0-9]', '')) AS BIGINT)"
+        ).alias("digits"),
+        F.expr(
+            "CAST(length(text) - length(regexp_replace(text, "
+            "'[ \\t\\n]', '')) AS BIGINT)"
+        ).alias("spaces"),
+    )
+    return (
+        per.withColumn(
+            "digit_heavy",
+            F.expr("IF(digits * 5 > chars, 1, 0)"),
+        )
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(chars) AS BIGINT)").alias("n_chars"),
+            F.expr("CAST(SUM(digit_heavy) AS BIGINT)").alias(
+                "n_digit_heavy"),
+            F.expr(
+                "CAST(SUM(CAST(letters AS DECIMAL(38,0))) * 1000000 "
+                "DIV SUM(CAST(chars AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("letter_ppm"),
+            F.expr(
+                "CAST(SUM(CAST(digits AS DECIMAL(38,0))) * 1000000 "
+                "DIV SUM(CAST(chars AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("digit_ppm"),
+            F.expr(
+                "CAST(SUM(CAST(spaces AS DECIMAL(38,0))) * 1000000 "
+                "DIV SUM(CAST(chars AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("space_ppm"),
+        )
+    )
+
+
+QUERIES["doc_charclass_profile"] = doc_charclass_profile
+
+ORACLES["doc_charclass_profile"] = """
+    WITH per AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS chars,
+               CAST(length(text) - length(regexp_replace(text,
+                   '[A-Za-z]', '', 'g')) AS BIGINT) AS letters,
+               CAST(length(text) - length(regexp_replace(text,
+                   '[0-9]', '', 'g')) AS BIGINT) AS digits,
+               CAST(length(text) - length(regexp_replace(text,
+                   '[ \t\n]', '', 'g')) AS BIGINT) AS spaces
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN digits * 5 > chars THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_digit_heavy,
+           CAST(sum(CAST(letters AS HUGEINT)) * 1000000
+               // sum(CAST(chars AS HUGEINT)) AS BIGINT) AS letter_ppm,
+           CAST(sum(CAST(digits AS HUGEINT)) * 1000000
+               // sum(CAST(chars AS HUGEINT)) AS BIGINT) AS digit_ppm,
+           CAST(sum(CAST(spaces AS HUGEINT)) * 1000000
+               // sum(CAST(chars AS HUGEINT)) AS BIGINT) AS space_ppm
+    FROM per GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# RAKE keyphrase extraction — the classic stopword-delimited phrase
+# scorer (Rose et al. 2010): token runs between stopwords become
+# candidate phrases, each word scores degree/frequency over the
+# phrase table (degree = Σ lengths of phrases containing the word —
+# co-occurrence credit; frequency = occurrence count), and a phrase
+# scores the sum of its words' scores on the exact ppm grid. Output:
+# the top-3 phrases per source. The phrase split is a per-doc window
+# (running stopword count segments each token stream — one shuffle on
+# doc_id, Spark's hash partitioning, no O(n²) per-doc lambda), the
+# scoring joins are on the WORD working set (bounded by vocabulary,
+# the BPE-trainer discipline), and the final top-k is a window over
+# per-source phrase aggregates. Degree ≤ 4·freq (phrases cap at 4
+# tokens), so degree·1e6 stays far under 2^63 at any corpus size —
+# but both factors widen anyway (rule F).
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(F.expr(_WORDS))
+        .alias("pos", "w")
+    ).withColumn("is_stop", F.expr(f"IF(w IN ({_STOP_IN}), 1, 0)"))
+    seg = toks.withColumn(
+        "seg",
+        F.expr(
+            "SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+    ).filter("is_stop = 0 AND w != ''")
+    phrases = (
+        seg.groupBy("doc_id", "source", "seg")
+        .agg(F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "named_struct('pos', pos, 'w', w))), e -> e.w))"
+        ).alias("phrase"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("plen"))
+        .filter("plen <= 4")
+    )
+    words = phrases.select(
+        "plen", F.explode(F.expr("split(phrase, ' ')")).alias("w"))
+    scores = words.groupBy("w").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("freq"),
+        F.expr("CAST(SUM(plen) AS BIGINT)").alias("degree"),
+    ).selectExpr(
+        "w",
+        "CAST(CAST(degree AS DECIMAL(38,0)) * 1000000 "
+        "DIV freq AS BIGINT) AS wscore",
+    )
+    pw = phrases.select(
+        "source", "phrase",
+        F.explode(F.expr("split(phrase, ' ')")).alias("w"))
+    pscore = (
+        pw.join(scores, "w")
+        .groupBy("source", "phrase")
+        .agg(F.expr("CAST(SUM(wscore) AS BIGINT)").alias("pscore_sum"))
+    )
+    # pscore_sum counts each occurrence of the phrase once per member
+    # word — normalize to the per-occurrence score by the occurrence
+    # count so repeated phrases don't multiply their own score
+    occ = phrases.groupBy("source", "phrase").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_occ"))
+    ranked = (
+        pscore.join(occ, ["source", "phrase"])
+        .selectExpr(
+            "source", "phrase", "n_occ",
+            "CAST(pscore_sum DIV n_occ AS BIGINT) AS score_ppm",
+        )
+        .withColumn(
+            "rk",
+            F.expr(
+                "ROW_NUMBER() OVER (PARTITION BY source "
+                "ORDER BY score_ppm DESC, phrase)"
+            ),
+        )
+        .filter("rk <= 3")
+        .select("source", F.col("rk").cast("long").alias("rk"),
+                "phrase", "n_occ", "score_ppm")
+    )
+    return ranked
+
+
+QUERIES["doc_rake_keyphrases"] = doc_rake_keyphrases
+
+ORACLES["doc_rake_keyphrases"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, source, w, pos,
+               SUM(CASE WHEN w IN ({_STOP_IN}) THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS seg,
+               CASE WHEN w IN ({_STOP_IN}) THEN 1 ELSE 0 END AS is_stop
+        FROM toks
+    ),
+    phrases AS (
+        SELECT doc_id, source, seg,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS plen
+        FROM seg WHERE is_stop = 0 AND w <> ''
+        GROUP BY doc_id, source, seg
+        HAVING count(*) <= 4
+    ),
+    words AS (
+        SELECT plen, unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ),
+    scores AS (
+        SELECT w,
+               CAST(CAST(sum(plen) AS HUGEINT) * 1000000
+                   // count(*) AS BIGINT) AS wscore
+        FROM words GROUP BY w
+    ),
+    pw AS (
+        SELECT source, phrase,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ),
+    pscore AS (
+        SELECT source, phrase,
+               CAST(sum(wscore) AS BIGINT) AS pscore_sum
+        FROM pw JOIN scores USING (w)
+        GROUP BY source, phrase
+    ),
+    occ AS (
+        SELECT source, phrase, CAST(count(*) AS BIGINT) AS n_occ
+        FROM phrases GROUP BY source, phrase
+    ),
+    ranked AS (
+        SELECT source, phrase, n_occ,
+               CAST(pscore_sum // n_occ AS BIGINT) AS score_ppm
+        FROM pscore JOIN occ USING (source, phrase)
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rk, phrase, n_occ, score_ppm
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY score_ppm DESC, phrase) AS rk
+        FROM ranked
+    ) WHERE rk <= 3
+"""

@@ -518,6 +518,7 @@ F_ALLOWLIST: dict[str, str] = {
     "emb_threshold_sweep": _EMB_GRID_BOUND,
     "emb_whiten": _EMB_GRID_BOUND,
     "emb_ivf_build_stats": _EMB_GRID_BOUND,
+    "emb_silhouette": _EMB_GRID_BOUND,
     "hybrid_search_rrf": _EMB_GRID_BOUND,
     # -- documents: per-DOC quantities, bounded by doc length not
     #    corpus size
@@ -578,6 +579,11 @@ F_ALLOWLIST: dict[str, str] = {
     "w_order_stats": (
         "seq <= orders per customer (~40, schema-fixed) -> "
         "seq*1e6 <= 4e7"
+    ),
+    "doc_charclass_profile": (
+        "digits*5 is PER-DOC (digits <= chars <= doc length ~1e7) -> "
+        "<= 5e7; the corpus-level ppm sums are already on the "
+        "DECIMAL(38,0)/HUGEINT grid"
     ),
 }
 
