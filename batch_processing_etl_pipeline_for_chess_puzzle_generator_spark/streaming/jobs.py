@@ -852,3 +852,60 @@ def type_diversity_stream(events: DataFrame,
             "DIV n_events AS BIGINT) AS top_share_ppm",
         )
     )
+
+
+def dau_overlap_stream(events: DataFrame,
+                       window: str = "1 day",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch ``ev_dau_overlap_dod`` entry:
+    day-over-day audience Jaccard + retained share, continuously.
+
+    The adjacent-day set intersection is re-expressed as a SELF-UNION
+    before any state: each event feeds its own window as side ``a``
+    and (ts shifted back one window) the PREVIOUS window as side
+    ``b``, so "was the user active on day d AND d+1" becomes two
+    flags on ONE (window, user) group — no stream-stream join, just
+    Spark's chained stateful windowed aggregations (the
+    type_diversity_stream shape): agg 1 dedups users per (window,
+    side) with state O(open windows × users-in-flight), agg 2
+    re-aggregates per window on the window column. Append mode emits
+    each day's overlap exactly once when the watermark closes BOTH
+    contributing days (the shifted copy keeps day d's state open
+    until d+1's watermark passes — the price of the join-free plan).
+    ppm math on the DECIMAL(38,0) grid; dividends are non-negative,
+    matching the batch formulation."""
+    cols = [F.col("ts"), F.col("user_id")]
+    a = events.select(*cols, F.lit(1).alias("sa"), F.lit(0).alias("sb"))
+    b = events.select(
+        F.expr(f"ts - INTERVAL {window}").alias("ts"),
+        F.col("user_id"),
+        F.lit(0).alias("sa"), F.lit(1).alias("sb"),
+    )
+    per_user = (
+        a.unionByName(b)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "user_id")
+        .agg(F.max("sa").alias("ha"), F.max("sb").alias("hb"))
+    )
+    return (
+        per_user.groupBy(F.window(F.col("win"), window).alias("win2"))
+        .agg(
+            F.expr("SUM(ha)").alias("dau_a"),
+            F.expr("SUM(hb)").alias("dau_b"),
+            F.expr("SUM(IF(ha = 1 AND hb = 1, 1, 0))").alias("n_both"),
+        )
+        # both days must exist (the batch entry's inner join): the
+        # shifted copy alone creates a phantom day-before-first window
+        # (dau_a = 0), and a last day has no successor (dau_b = 0)
+        .filter("dau_a > 0 AND dau_b > 0")
+        .selectExpr(
+            "win2.start AS day",
+            "CAST(dau_a AS BIGINT) AS dau_a",
+            "CAST(dau_b AS BIGINT) AS dau_b",
+            "CAST(n_both AS BIGINT) AS n_both",
+            "CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000 "
+            "DIV (dau_a + dau_b - n_both) AS BIGINT) AS jaccard_ppm",
+            "CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000 "
+            "DIV dau_a AS BIGINT) AS retained_ppm",
+        )
+    )

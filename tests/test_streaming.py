@@ -823,3 +823,48 @@ def test_type_diversity_stream_matches_batch(spark, tmp_path):
     n, ss, top = 12, 8 * 8 + 3 * 3 + 1, 8
     want = (n, 3, 1000000 - 1000000 * ss // (n * n), 1000000 * top // n)
     assert got["2024-01-01 00:00:00"] == want
+
+
+def test_dau_overlap_stream_matches_batch(spark, tmp_path):
+    """Join-free day-over-day overlap: the self-union + chained
+    stateful aggregation equals the batch ev_dau_overlap_dod formula
+    over the same closed windows."""
+    import json as _json
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        dau_overlap_stream,
+    )
+
+    src = tmp_path / "ev_dod"
+    src.mkdir()
+    # day 1: users {1,2,3}; day 2: users {2,3,4,5} → both=2,
+    # jaccard = 2/5, retained = 2/3
+    rows = []
+    eid = 0
+    for day, users in [("2024-01-01", [1, 2, 3, 2]),
+                       ("2024-01-02", [2, 3, 4, 5])]:
+        for u in users:
+            eid += 1
+            rows.append({"event_id": eid, "ts": f"{day} 0{u % 5}:00:00",
+                         "user_id": u})
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream
+        .schema("event_id LONG, ts STRING, user_id LONG")
+        .json(str(src))
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+                    "user_id")
+    )
+    _run_stream(dau_overlap_stream(stream), "dod1", mode="append")
+    # close both windows with a far-future event
+    (src / "b2.json").write_text(_json.dumps(
+        {"event_id": 999, "ts": "2024-01-05 12:00:00", "user_id": 9}))
+    _run_stream(dau_overlap_stream(stream), "dod2", mode="append")
+    got = {str(r["day"]): (r["dau_a"], r["dau_b"], r["n_both"],
+                           r["jaccard_ppm"], r["retained_ppm"])
+           for r in spark.sql("SELECT * FROM dod2").collect()}
+    want = (3, 4, 2, 2 * 1000000 // 5, 2 * 1000000 // 3)
+    assert got["2024-01-01 00:00:00"] == want
+    # day 2 pairs with day 3 (no users) → filtered by dau_b > 0
+    assert "2024-01-02 00:00:00" not in got
