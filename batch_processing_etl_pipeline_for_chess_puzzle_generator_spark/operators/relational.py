@@ -3857,3 +3857,158 @@ ORACLES["orders_interpurchase"] = """
     SELECT med.o_orderpriority, n_gaps, median_x2_days, p90_days
     FROM med JOIN p90 USING (o_orderpriority)
 """
+
+
+# --------------------------------------------------------------------------
+# Supplier return-rate profile — the supplier-quality dial a sourcing
+# desk reads per nation: share of shipped lineitems that came back
+# (l_returnflag = 'R') and the revenue share tied up in returns, both
+# exact ppm (q10 reads returns from the customer side; this is the
+# supplier side). Counts/revenue are exact integers on the e4 grid,
+# widened to DECIMAL(38,0)/HUGEINT before ×1e6 (a nation's revenue
+# passes 2⁶³ at warehouse scale); all dividends non-negative
+# (DIV↔// safe). One broadcast join + one partial-agg shuffle on the
+# 25-nation key.
+def supplier_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    base = (
+        li.join(broadcast(s.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.expr("IF(l_returnflag = 'R', 1, 0)").alias("ret"),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+                "* (1 - CAST(l_discount AS DECIMAL(8,2))) * 10000 "
+                "AS BIGINT)"
+            ).alias("rev"),
+        )
+    )
+    return base.groupBy("n_name").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_items"),
+        F.expr("CAST(SUM(ret) AS BIGINT)").alias("n_returned"),
+        F.expr(
+            "CAST(CAST(SUM(ret) AS DECIMAL(38,0)) * 1000000 "
+            "DIV COUNT(*) AS BIGINT)"
+        ).alias("returned_ppm"),
+        F.expr(
+            "CAST(CAST(SUM(IF(ret = 1, rev, 0)) AS DECIMAL(38,0)) "
+            "* 1000000 DIV SUM(CAST(rev AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("returned_rev_ppm"),
+    )
+
+
+QUERIES["supplier_return_rate"] = supplier_return_rate
+
+ORACLES["supplier_return_rate"] = """
+    WITH base AS (
+        SELECT n_name,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(8,2))) * 10000
+                   AS BIGINT) AS rev
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(ret) AS BIGINT) AS n_returned,
+           CAST(CAST(sum(ret) AS HUGEINT) * 1000000 // count(*)
+               AS BIGINT) AS returned_ppm,
+           CAST(CAST(sum(CASE WHEN ret = 1 THEN rev ELSE 0 END)
+                   AS HUGEINT) * 1000000
+               // sum(CAST(rev AS HUGEINT)) AS BIGINT)
+               AS returned_rev_ppm
+    FROM base GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Discount elasticity — the merchandising question behind every
+# promo-budget review: per part type, the exact OLS slope of shipped
+# quantity on discount (does a deeper discount actually move units?).
+# x = discount on the e2 grid (0..10), y = quantity in whole units;
+# slope numerator nΣxy − ΣxΣy and variance denominator nΣx² − (Σx)²
+# are exact integer sums widened to DECIMAL(38,0)/HUGEINT (n² terms
+# pass 2⁶³ near 1e10 rows per type), and the e6 slope projection is
+# SIGN-SPLIT so Spark's truncating DIV and DuckDB's flooring // never
+# see a negative dividend. One partial-agg shuffle on the ~150 part
+# types.
+def lineitem_discount_elasticity(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    xy = (
+        li.join(broadcast(p.select("p_partkey", "p_type")),
+                li.l_partkey == p.p_partkey)
+        .select(
+            "p_type",
+            F.expr(
+                "CAST(CAST(l_discount AS DECIMAL(8,2)) * 100 AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(CAST(l_quantity AS DECIMAL(18,2)) DIV 1 AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    agg = xy.groupBy("p_type").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("SUM(x)").alias("sx"),
+        F.expr("SUM(y)").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+    )
+    return agg.selectExpr(
+        "p_type", "n",
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) "
+        "* sy AS num_raw",
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) "
+        "* sx AS den_raw",
+    ).selectExpr(
+        "p_type", "n",
+        "CASE WHEN den_raw = 0 THEN NULL "
+        "WHEN num_raw >= 0 THEN "
+        "CAST(num_raw * 1000000 DIV den_raw AS BIGINT) "
+        "ELSE -CAST((-num_raw) * 1000000 DIV den_raw AS BIGINT) END "
+        "AS slope_e6",
+    )
+
+
+QUERIES["lineitem_discount_elasticity"] = lineitem_discount_elasticity
+
+ORACLES["lineitem_discount_elasticity"] = """
+    WITH xy AS (
+        SELECT p_type,
+               CAST(CAST(l_discount AS DECIMAL(8,2)) * 100 AS BIGINT)
+                   AS x,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) // 1 AS BIGINT)
+                   AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    agg AS (
+        SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx
+        FROM xy GROUP BY p_type
+    ),
+    nd AS (
+        SELECT p_type, n,
+               CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                   AS num_raw,
+               CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                   AS den_raw
+        FROM agg
+    )
+    SELECT p_type, n,
+           CASE WHEN den_raw = 0 THEN NULL
+                WHEN num_raw >= 0 THEN
+                    CAST(num_raw * 1000000 // den_raw AS BIGINT)
+                ELSE -CAST((-num_raw) * 1000000 // den_raw AS BIGINT)
+           END AS slope_e6
+    FROM nd
+"""
