@@ -3801,21 +3801,26 @@ def orders_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("o_orderpriority")
         ).cast("long").alias("n"),
     )
-    med = ranked.filter(
-        "(n % 2 = 1 AND rn = (n + 1) DIV 2) "
-        "OR (n % 2 = 0 AND (rn = n DIV 2 OR rn = n DIV 2 + 1))"
-    ).groupBy("o_orderpriority").agg(
+    # ONE pass selects the median middle row(s) AND the p90 order
+    # statistic (n − floor(n/10) == ceil(9n/10) for every n), then
+    # conditional aggregates split them back out — the ranked window
+    # subtree is scanned once, not once per statistic
+    picked = ranked.withColumn(
+        "is_mid",
+        F.expr(
+            "(n % 2 = 1 AND rn = (n + 1) DIV 2) "
+            "OR (n % 2 = 0 AND (rn = n DIV 2 OR rn = n DIV 2 + 1))"
+        ),
+    ).withColumn("is_p90", F.expr("rn = n - (n DIV 10)")) \
+        .filter("is_mid OR is_p90")
+    return picked.groupBy("o_orderpriority").agg(
         F.max("n").alias("n_gaps"),
         F.expr(
-            "CAST(SUM(gap) * IF(MAX(n) % 2 = 1, 2, 1) AS BIGINT)"
+            "CAST(SUM(IF(is_mid, gap, 0)) "
+            "* IF(MAX(n) % 2 = 1, 2, 1) AS BIGINT)"
         ).alias("median_x2_days"),
+        F.expr("MAX(IF(is_p90, gap, NULL))").alias("p90_days"),
     )
-    # exact p90: the ceil(0.9 n)-th order statistic
-    # (n - floor(n/10) == ceil(9n/10) for every n)
-    p90 = ranked.filter("rn = n - (n DIV 10)") \
-        .groupBy("o_orderpriority").agg(F.max("gap").alias("p90_days"))
-    return med.join(p90, "o_orderpriority").select(
-        "o_orderpriority", "n_gaps", "median_x2_days", "p90_days")
 
 
 QUERIES["orders_interpurchase"] = orders_interpurchase
@@ -3838,24 +3843,22 @@ ORACLES["orders_interpurchase"] = """
                    AS BIGINT) AS n
         FROM gaps WHERE gap IS NOT NULL
     ),
-    med AS (
-        SELECT o_orderpriority, max(n) AS n_gaps,
-               CAST(SUM(gap)
-                    * CASE WHEN MAX(n) % 2 = 1 THEN 2 ELSE 1 END
-                    AS BIGINT) AS median_x2_days
+    picked AS (
+        SELECT o_orderpriority, gap, n,
+               ((n % 2 = 1 AND rn = (n + 1) // 2)
+                OR (n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1)))
+                   AS is_mid,
+               rn = n - (n // 10) AS is_p90
         FROM ranked
-        WHERE (n % 2 = 1 AND rn = (n + 1) // 2)
-           OR (n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1))
-        GROUP BY o_orderpriority
-    ),
-    p90 AS (
-        SELECT o_orderpriority, max(gap) AS p90_days
-        FROM ranked
-        WHERE rn = n - (n // 10)
-        GROUP BY o_orderpriority
     )
-    SELECT med.o_orderpriority, n_gaps, median_x2_days, p90_days
-    FROM med JOIN p90 USING (o_orderpriority)
+    SELECT o_orderpriority, max(n) AS n_gaps,
+           CAST(SUM(CASE WHEN is_mid THEN gap ELSE 0 END)
+                * CASE WHEN MAX(n) % 2 = 1 THEN 2 ELSE 1 END
+                AS BIGINT) AS median_x2_days,
+           MAX(CASE WHEN is_p90 THEN gap END) AS p90_days
+    FROM picked
+    WHERE is_mid OR is_p90
+    GROUP BY o_orderpriority
 """
 
 
