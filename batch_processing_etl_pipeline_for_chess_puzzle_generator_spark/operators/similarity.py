@@ -3509,3 +3509,164 @@ ORACLES["emb_silhouette"] = f"""
                AS n_misplaced
     FROM sil GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Top principal component by power iteration — expressed DECLARATIVELY
+# (no driver-side linear algebra, no UDF): the dominant direction of
+# the embedding cloud, the first thing a whitening/compression pass
+# needs. Exact and engine-identical at every step: the centered
+# cross-moment matrix C_ij = n·Σx_i x_j − Σx_i·Σx_j is computed from
+# the 1e6-grid integers on DECIMAL(38,0)/HUGEINT, rescaled once to the
+# ppm grid (sign-split max-abs division), and THREE power iterations
+# v ← C·v unroll as joins of the 64×64 moment table against the
+# 64-row vector — each a broadcast join + tiny agg, no data-sized
+# shuffle after the one O(n·d²) moment pass (the honest cost of exact
+# covariance; a production run samples rows first, the moments are
+# mergeable). The sign convention pins the max-|loading| dimension
+# positive (ties to the smallest pos), so both engines emit the same
+# vector, not v vs −v.
+def emb_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, c = _split(spark, sf_dir)
+    comp = c.select("c_id", F.posexplode("ca").alias("pos", "x"))
+    n_tot = comp.groupBy().agg(
+        F.expr("COUNT(DISTINCT c_id)").alias("n"))
+    sums = comp.groupBy("pos").agg(F.expr("SUM(x)").alias("sx"))
+    a = comp.select("c_id", F.col("pos").alias("i"),
+                    F.col("x").alias("xi"))
+    b = comp.select("c_id", F.col("pos").alias("j"),
+                    F.col("x").alias("xj"))
+    xmom = a.join(b, "c_id").groupBy("i", "j").agg(
+        F.expr("SUM(CAST(xi AS DECIMAL(38,0)) * xj)").alias("sxx"))
+    craw = (
+        xmom.join(broadcast(sums.selectExpr("pos AS i", "sx AS sxi")),
+                  "i")
+        .join(broadcast(sums.selectExpr("pos AS j", "sx AS sxj")), "j")
+        .crossJoin(broadcast(n_tot))
+        .selectExpr(
+            "i", "j",
+            "CAST(n AS DECIMAL(38,0)) * sxx "
+            "- CAST(sxi AS DECIMAL(38,0)) * sxj AS cr",
+        )
+    )
+    cmax = craw.groupBy().agg(
+        F.expr("GREATEST(MAX(ABS(cr)), CAST(1 AS DECIMAL(38,0)))")
+        .alias("cm"))
+    cov = craw.crossJoin(broadcast(cmax)).selectExpr(
+        "i", "j",
+        "CASE WHEN cr >= 0 THEN CAST(cr * 1000000 DIV cm AS BIGINT) "
+        "ELSE -CAST((-cr) * 1000000 DIV cm AS BIGINT) END AS cv",
+    )
+
+    def _iterate(v):
+        """One power step: w = C·v rescaled to the ppm grid."""
+        w = (
+            cov.join(broadcast(v.selectExpr("pos AS j", "vv")), "j")
+            .groupBy("i")
+            .agg(F.expr(
+                "SUM(CAST(cv AS DECIMAL(38,0)) * vv)").alias("wr"))
+        )
+        wmax = w.groupBy().agg(
+            F.expr("GREATEST(MAX(ABS(wr)), CAST(1 AS DECIMAL(38,0)))")
+            .alias("wm"))
+        return w.crossJoin(broadcast(wmax)).selectExpr(
+            "i AS pos",
+            "CASE WHEN wr >= 0 THEN "
+            "CAST(wr * 1000000 DIV wm AS BIGINT) "
+            "ELSE -CAST((-wr) * 1000000 DIV wm AS BIGINT) END AS vv",
+        )
+
+    v = sums.selectExpr("pos", "CAST(1000000 AS BIGINT) AS vv")
+    for _ in range(3):
+        v = _iterate(v)
+    sign = v.orderBy(F.abs(F.col("vv")).desc(), F.col("pos")).limit(1) \
+        .selectExpr("IF(vv >= 0, 1, -1) AS sg")
+    return (
+        v.crossJoin(broadcast(sign))
+        .selectExpr("CAST(pos AS BIGINT) AS pos",
+                    "CAST(vv * sg AS BIGINT) AS loading_ppm")
+    )
+
+
+QUERIES["emb_pca_top1"] = emb_pca_top1
+
+ORACLES["emb_pca_top1"] = f"""
+    WITH v AS (
+        SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+        WHERE vec_id >= {N_QUERIES}
+    ),
+    comp AS (
+        SELECT c_id,
+               unnest(range(1, len(ce) + 1)) - 1 AS pos,
+               CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT)
+                   AS x
+        FROM v
+    ),
+    n_tot AS (SELECT count(DISTINCT c_id) AS n FROM comp),
+    sums AS (SELECT pos, sum(x) AS sx FROM comp GROUP BY pos),
+    xmom AS (
+        SELECT a.pos AS i, b.pos AS j,
+               sum(CAST(a.x AS HUGEINT) * b.x) AS sxx
+        FROM comp a JOIN comp b USING (c_id)
+        GROUP BY 1, 2
+    ),
+    craw AS (
+        SELECT i, j,
+               CAST(n AS HUGEINT) * sxx
+                   - CAST(si.sx AS HUGEINT) * sj.sx AS cr
+        FROM xmom
+        JOIN sums si ON si.pos = i
+        JOIN sums sj ON sj.pos = j
+        CROSS JOIN n_tot
+    ),
+    cmax AS (
+        SELECT GREATEST(MAX(ABS(cr)), CAST(1 AS HUGEINT)) AS cm
+        FROM craw),
+    cov AS (
+        SELECT i, j,
+               CASE WHEN cr >= 0 THEN
+                   CAST(cr * 1000000 // cm AS BIGINT)
+               ELSE -CAST((-cr) * 1000000 // cm AS BIGINT) END AS cv
+        FROM craw CROSS JOIN cmax
+    ),
+    v0 AS (SELECT pos, CAST(1000000 AS BIGINT) AS vv FROM sums),
+    w1 AS (
+        SELECT i, sum(CAST(cv AS HUGEINT) * vv) AS wr
+        FROM cov JOIN v0 ON v0.pos = cov.j GROUP BY i),
+    m1 AS (SELECT GREATEST(MAX(ABS(wr)), CAST(1 AS HUGEINT)) AS wm
+           FROM w1),
+    v1 AS (
+        SELECT i AS pos,
+               CASE WHEN wr >= 0 THEN
+                   CAST(wr * 1000000 // wm AS BIGINT)
+               ELSE -CAST((-wr) * 1000000 // wm AS BIGINT) END AS vv
+        FROM w1 CROSS JOIN m1),
+    w2 AS (
+        SELECT i, sum(CAST(cv AS HUGEINT) * vv) AS wr
+        FROM cov JOIN v1 ON v1.pos = cov.j GROUP BY i),
+    m2 AS (SELECT GREATEST(MAX(ABS(wr)), CAST(1 AS HUGEINT)) AS wm
+           FROM w2),
+    v2 AS (
+        SELECT i AS pos,
+               CASE WHEN wr >= 0 THEN
+                   CAST(wr * 1000000 // wm AS BIGINT)
+               ELSE -CAST((-wr) * 1000000 // wm AS BIGINT) END AS vv
+        FROM w2 CROSS JOIN m2),
+    w3 AS (
+        SELECT i, sum(CAST(cv AS HUGEINT) * vv) AS wr
+        FROM cov JOIN v2 ON v2.pos = cov.j GROUP BY i),
+    m3 AS (SELECT GREATEST(MAX(ABS(wr)), CAST(1 AS HUGEINT)) AS wm
+           FROM w3),
+    v3 AS (
+        SELECT i AS pos,
+               CASE WHEN wr >= 0 THEN
+                   CAST(wr * 1000000 // wm AS BIGINT)
+               ELSE -CAST((-wr) * 1000000 // wm AS BIGINT) END AS vv
+        FROM w3 CROSS JOIN m3),
+    sg AS (
+        SELECT CASE WHEN vv >= 0 THEN 1 ELSE -1 END AS sg
+        FROM v3 ORDER BY ABS(vv) DESC, pos LIMIT 1)
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(vv * sg AS BIGINT) AS loading_ppm
+    FROM v3 CROSS JOIN sg
+"""
