@@ -463,6 +463,13 @@ _ADD_COL_RE = re.compile(
     r"\s+ADD\s+COLUMN\s+(?P<col>\w+)\s+(?P<type>[\w()\s,]+?)\s*;?\s*$",
     re.IGNORECASE,
 )
+_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
+    r"\s+ALTER\s+COLUMN\s+(?P<col>\w+)\s+"
+    r"(?:(?:SET\s+DEFAULT\s+(?P<expr>.+?))|(?P<drop>DROP\s+DEFAULT))"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
     r"\s+RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
@@ -586,6 +593,12 @@ def maintenance_sql(spark: SparkSession, statement: str):
                 spark, m["path"], m["aname"], m["expr"].strip()
             )
         return versioned.drop_constraint(m["path"], m["dname"])
+    m = _DEFAULT_RE.match(statement)
+    if m:
+        if m["drop"]:
+            return versioned.drop_column_default(m["path"], m["col"])
+        return versioned.set_column_default(
+            spark, m["path"], m["col"], m["expr"].strip())
     m = _ADD_COL_RE.match(statement)
     if m:
         return versioned.add_column(m["path"], m["col"], m["type"])

@@ -3552,11 +3552,17 @@ def emb_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmax = craw.groupBy().agg(
         F.expr("GREATEST(MAX(ABS(cr)), CAST(1 AS DECIMAL(38,0)))")
         .alias("cm"))
+    # localCheckpoint truncates the logical plan at the d²-row moment
+    # table: WITHOUT it every iteration's lineage (and each of the
+    # cmax/wmax scalar joins) re-evaluates the whole O(n·d²) moment
+    # pass — the executed plan ballooned to ~300 scans of the corpus
+    # (the doc_pagerank r4 lesson; persist() leaves Catalyst
+    # re-optimizing the duplicated subtree per reference per action)
     cov = craw.crossJoin(broadcast(cmax)).selectExpr(
         "i", "j",
         "CASE WHEN cr >= 0 THEN CAST(cr * 1000000 DIV cm AS BIGINT) "
         "ELSE -CAST((-cr) * 1000000 DIV cm AS BIGINT) END AS cv",
-    )
+    ).localCheckpoint(eager=True)
 
     def _iterate(v):
         """One power step: w = C·v rescaled to the ppm grid."""
@@ -3574,7 +3580,7 @@ def emb_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN wr >= 0 THEN "
             "CAST(wr * 1000000 DIV wm AS BIGINT) "
             "ELSE -CAST((-wr) * 1000000 DIV wm AS BIGINT) END AS vv",
-        )
+        ).localCheckpoint(eager=True)  # d rows: each step runs once
 
     v = sums.selectExpr("pos", "CAST(1000000 AS BIGINT) AS vv")
     for _ in range(3):

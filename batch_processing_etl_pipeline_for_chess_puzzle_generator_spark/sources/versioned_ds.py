@@ -900,6 +900,40 @@ class VersionedDataSource(DataSource):
         return VersionedStreamWriter(table_path, schema, query_key)
 
 
+#: Spark simpleString type → Arrow type for DEFAULT-literal injection
+#: (JSON-native literals only, enforced at set_column_default time).
+def _arrow_of_spark():
+    import pyarrow as pa
+
+    return {
+        "long": pa.int64(), "bigint": pa.int64(),
+        "integer": pa.int32(), "int": pa.int32(),
+        "short": pa.int16(), "smallint": pa.int16(),
+        "double": pa.float64(), "float": pa.float32(),
+        "string": pa.string(), "boolean": pa.bool_(),
+    }
+
+
+_ARROW_OF_SPARK = _arrow_of_spark()
+
+
+def _with_defaults(iterator, inject: dict):
+    """Executor-side DEFAULT injection: append a constant column per
+    omitted defaulted column — the literal was evaluated once at
+    declaration time, so every task writes the identical value."""
+    import pyarrow as pa
+
+    for batch in iterator:
+        n = batch.num_rows
+        arrays = list(batch.columns)
+        names = list(batch.schema.names)
+        for c in sorted(inject):
+            v, pa_t = inject[c]
+            arrays.append(pa.array([v] * n, type=pa_t))
+            names.append(c)
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
 def _with_identity(iterator, alloc: dict):
     """Executor-side identity assignment inside a reserved block:
     value = base + (partition_id·2³³ + row_in_task)·step — the same
@@ -1045,14 +1079,20 @@ class VersionedWriter(DataSourceArrowWriter):
         # block (a gap, never a collision). Supplying the column
         # stays refused (GENERATED ALWAYS).
         self.identity_alloc: dict = {}
+        # column DEFAULTs on appends: a writer whose schema OMITS a
+        # defaulted column gets the stored literal injected
+        # executor-side (no SparkSession needed — the literal was
+        # evaluated once at declaration and rides the manifest)
+        self.default_inject: dict = {}
         if not overwrite:
             from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
             avail = versioned.versions(table_path)
             ident = {}
+            parent_m = None
             if avail:
-                ident = (versioned._load_manifest(table_path, avail[-1])
-                         .get("identity")) or {}
+                parent_m = versioned._load_manifest(table_path, avail[-1])
+                ident = parent_m.get("identity") or {}
             if ident:
                 supplied = sorted(set(ident) & set(schema.fieldNames()))
                 if supplied:
@@ -1065,10 +1105,27 @@ class VersionedWriter(DataSourceArrowWriter):
                 # high-water derives from col_stats / parquet footers
                 self.identity_alloc = versioned.reserve_identity_block(
                     None, table_path)
+            defaults = (parent_m or {}).get("defaults") or {}
+            missing_def = {c: spec for c, spec in defaults.items()
+                           if c not in schema.fieldNames()}
+            if missing_def:
+                types = {f.get("name"): f.get("type") for f in
+                         json.loads(parent_m["schema"]).get("fields", [])}
+                for c, spec in sorted(missing_def.items()):
+                    pa_t = _ARROW_OF_SPARK.get(types.get(c))
+                    if pa_t is None:
+                        raise ValueError(
+                            f"defaulted column {c!r} has type "
+                            f"{types.get(c)!r}, which the Arrow "
+                            "writer cannot inject — supply the column"
+                        )
+                    self.default_inject[c] = (spec["value"], pa_t)
 
     def write(self, iterator):
         if self.identity_alloc:
             iterator = _with_identity(iterator, self.identity_alloc)
+        if self.default_inject:
+            iterator = _with_defaults(iterator, self.default_inject)
         return _write_arrow_part(self.staged, iterator)
 
     #: bounded auto-retry for blind appends racing the manifest CAS
@@ -1110,15 +1167,16 @@ class VersionedWriter(DataSourceArrowWriter):
                         "with this append — retry the save"
                     )
                 table_schema = json.loads(parent["schema"])
-                if self.identity_alloc:
-                    # written files carry the injected identity
-                    # columns; compare the caller's schema against
-                    # the table schema MINUS those columns
+                injected = set(self.identity_alloc) | set(
+                    self.default_inject)
+                if injected:
+                    # written files carry the injected identity /
+                    # defaulted columns; compare the caller's schema
+                    # against the table schema MINUS those columns
                     table_schema = dict(
                         table_schema,
                         fields=[f for f in table_schema.get("fields", [])
-                                if f.get("name")
-                                not in self.identity_alloc],
+                                if f.get("name") not in injected],
                     )
                 if not _append_compatible(table_schema,
                                           self.schema.jsonValue()):
@@ -1185,11 +1243,12 @@ class VersionedWriter(DataSourceArrowWriter):
         manifest = {
             "version": version,
             "files": list(parent_files) + new_files,
-            # identity appends write the caller's columns PLUS the
-            # injected identity columns — the table schema (which
+            # identity / defaulted appends write the caller's columns
+            # PLUS the injected columns — the table schema (which
             # already includes them) is the recorded truth
             "schema": (parent["schema"]
-                       if (self.identity_alloc and parent is not None
+                       if ((self.identity_alloc or self.default_inject)
+                           and parent is not None
                            and not self.overwrite)
                        else self.schema.json()),
             "operation": "OVERWRITE" if self.overwrite else "APPEND",
@@ -1225,6 +1284,8 @@ class VersionedWriter(DataSourceArrowWriter):
                 manifest["generated"] = parent["generated"]
             if parent.get("identity"):
                 manifest["identity"] = parent["identity"]
+            if parent.get("defaults"):
+                manifest["defaults"] = parent["defaults"]
         # an APPEND shares the parent's data files, so their deletion
         # vectors must ride along or deleted rows would resurrect;
         # an overwrite starts from fresh files with no DVs

@@ -756,6 +756,126 @@ def set_table_property(table_path: str, key: str, value: str) -> int:
     return _publish(table_path, manifest)
 
 
+#: JSON-native literal types a column DEFAULT may evaluate to — the
+#: stored value must round-trip the manifest AND be injectable by the
+#: SparkSession-less Arrow writer, so richer types (dates, intervals)
+#: are refused at declaration time, not at some later write.
+_DEFAULT_LITERAL_TYPES = (int, float, str, bool, type(None))
+
+
+def set_column_default(spark: SparkSession, table_path: str,
+                       col: str, expr_sql: str) -> int:
+    """``ALTER TABLE … ALTER COLUMN c SET DEFAULT <literal>`` (Delta's
+    ``allowColumnDefaults``): record a column default as a
+    metadata-only commit. Delta's contract, mirrored exactly: the
+    default applies to FUTURE writes that omit the column — existing
+    rows are untouched and continue to read whatever they hold. Every
+    append path honors it (library ``write_version``, REPLACE WHERE
+    inserts, the Data-Source writer — which injects the stored
+    literal executor-side, no SparkSession needed); MERGE upserts
+    carry full rows and are unaffected.
+
+    The expression must be FOLDABLE (Delta's rule): it is evaluated
+    ONCE here and the resulting literal rides the manifest, so a
+    non-constant default (e.g. ``current_timestamp()``) is refused —
+    two engines or two tasks evaluating it would disagree."""
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    parent = _load_manifest(table_path, avail[-1])
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(_json.loads(parent["schema"]))
+    if col not in schema.fieldNames():
+        raise KeyError(
+            f"column {col!r} not in table schema "
+            f"{schema.fieldNames()} — ADD COLUMN first")
+    owned = (set(parent.get("generated") or {})
+             | set(parent.get("identity") or {}))
+    if col in owned:
+        raise ValueError(
+            f"column {col!r} is GENERATED — its value is always "
+            "computed, a DEFAULT would never apply"
+        )
+    typ = schema[col].dataType.simpleString()
+    lowered = expr_sql.strip().lower()
+    if any(tok in lowered for tok in
+           ("current_timestamp", "current_date", "now()", "rand(",
+            "random(", "uuid(")):
+        raise ValueError(
+            f"DEFAULT for {col!r} must be a constant expression "
+            f"(Delta's foldable rule); got {expr_sql!r}"
+        )
+    row = spark.sql(
+        f"SELECT CAST(({expr_sql}) AS {typ}) AS v").collect()[0]
+    value = row["v"]
+    if not isinstance(value, _DEFAULT_LITERAL_TYPES):
+        raise TypeError(
+            f"DEFAULT for {col!r} evaluates to "
+            f"{type(value).__name__} — only JSON-native literals "
+            "(int/float/str/bool/NULL) can ride the manifest and be "
+            "injected by the Arrow writer"
+        )
+    defaults = dict(parent.get("defaults") or {})
+    defaults[col] = {"sql": expr_sql, "value": value}
+    manifest = dict(parent)
+    for stamp in _PER_COMMIT_KEYS:
+        manifest.pop(stamp, None)
+    manifest["version"] = avail[-1] + 1
+    manifest["defaults"] = defaults
+    manifest["operation"] = "SET DEFAULT"
+    return _publish(table_path, manifest)
+
+
+def drop_column_default(table_path: str, col: str) -> int:
+    """``ALTER TABLE … ALTER COLUMN c DROP DEFAULT`` — metadata-only
+    commit removing the default; writes that omit the column go back
+    to NULL-fill (or schema mismatch on the strict DS path)."""
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    parent = _load_manifest(table_path, avail[-1])
+    defaults = dict(parent.get("defaults") or {})
+    if col not in defaults:
+        raise KeyError(f"column {col!r} has no default")
+    del defaults[col]
+    manifest = dict(parent)
+    for stamp in _PER_COMMIT_KEYS:
+        manifest.pop(stamp, None)
+    manifest["version"] = avail[-1] + 1
+    if defaults:
+        manifest["defaults"] = defaults
+    else:
+        manifest.pop("defaults", None)
+    manifest["operation"] = "DROP DEFAULT"
+    return _publish(table_path, manifest)
+
+
+def _table_defaults(table_path: str) -> dict:
+    avail = versions(table_path)
+    if not avail:
+        return {}
+    return _load_manifest(table_path, avail[-1]).get("defaults") or {}
+
+
+def _apply_defaults(df: DataFrame, defaults: dict, schema=None):
+    """Fill columns the DataFrame OMITS with their stored default
+    literal (present columns are untouched — a supplied NULL stays
+    NULL, Delta's semantics)."""
+    from pyspark.sql import functions as F
+
+    for c, spec in (defaults or {}).items():
+        if c in df.columns:
+            continue
+        col = F.lit(spec["value"])
+        if schema is not None and c in schema.fieldNames():
+            col = col.cast(schema[c].dataType)
+        df = df.withColumn(c, col)
+    return df
+
+
 class CommitConflict(Exception):
     """Another writer committed this version number first. The loser's
     staged data is orphaned-but-invisible (the next vacuum sweeps it);
@@ -1324,6 +1444,21 @@ def write_version(df: DataFrame, table_path: str,
         if _avail:
             identity = (_load_manifest(table_path, _avail[-1])
                         .get("identity")) or None
+    # column DEFAULTs ride the manifest like generated/identity: a
+    # commit omitting a defaulted column gets the stored literal
+    # (present columns — including supplied NULLs — are untouched)
+    defaults = _table_defaults(table_path)
+    if defaults:
+        _prev = versions(table_path)
+        _pschema = None
+        if _prev:
+            from pyspark.sql import types as T
+
+            _pm = _load_manifest(table_path, _prev[-1])
+            if _pm.get("schema"):
+                _pschema = T.StructType.fromJson(
+                    json.loads(_pm["schema"]))
+        df = _apply_defaults(df, defaults, _pschema)
     if generated:
         missing = [c for c, e in generated.items() if c not in df.columns]
         df = _apply_generated(
@@ -1383,6 +1518,8 @@ def write_version(df: DataFrame, table_path: str,
         manifest["generated"] = dict(generated)
     if identity:
         manifest["identity"] = identity
+    if defaults:
+        manifest["defaults"] = defaults
     props = table_properties(table_path)
     if props:
         manifest["properties"] = props
@@ -1708,6 +1845,8 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         manifest["generated"] = parent["generated"]
     if parent.get("identity"):
         manifest["identity"] = parent["identity"]
+    if parent.get("defaults"):
+        manifest["defaults"] = parent["defaults"]
     # untouched files keep their deletion vectors; rewritten files got
     # their DVs materialized into the rewrite and drop the mapping
     parent_dv = _dv_map(parent)
@@ -1863,9 +2002,11 @@ def _predicate_cow(spark: SparkSession, table_path: str,
             *[f.name for f in schema.fields])
     ins = None
     if insert_rows is not None:
-        # REPLACE WHERE inserts: compute missing generated columns,
-        # allocate identity values, then cast to the snapshot schema
-        ins = insert_rows
+        # REPLACE WHERE inserts: fill omitted defaulted columns,
+        # compute missing generated columns, allocate identity values,
+        # then cast to the snapshot schema
+        ins = _apply_defaults(insert_rows, parent.get("defaults"),
+                              schema)
         gen = parent.get("generated") or {}
         if gen:
             missing = {c: e for c, e in gen.items()
@@ -1958,6 +2099,8 @@ def _predicate_cow(spark: SparkSession, table_path: str,
             m["generated"] = base["generated"]
         if base.get("identity"):
             m["identity"] = base["identity"]
+        if base.get("defaults"):
+            m["defaults"] = base["defaults"]
         base_dv = _dv_map(base)
         child_dv = {f: base_dv[f] for f in unt if f in base_dv}
         if child_dv:
@@ -2008,6 +2151,7 @@ def _predicate_cow(spark: SparkSession, table_path: str,
                      == parent.get("partition_by"))
                 and winner.get("generated") == parent.get("generated")
                 and winner.get("identity") == parent.get("identity")
+                and winner.get("defaults") == parent.get("defaults")
                 # a racing property flip (cdf.enabled / dv.enabled)
                 # changes what this DML should have produced (feed
                 # entries, DV routing) — conflict loudly like any
@@ -2601,6 +2745,8 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
             m["generated"] = base["generated"]
         if base.get("identity"):
             m["identity"] = base["identity"]
+        if base.get("defaults"):
+            m["defaults"] = base["defaults"]
         dv = {f: s for f, s in _dv_map(base).items()
               if f not in set(touched)}
         for f in dv_touched:
@@ -2647,6 +2793,7 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
                      == parent.get("partition_by"))
                 and winner.get("generated") == parent.get("generated")
                 and winner.get("identity") == parent.get("identity")
+                and winner.get("defaults") == parent.get("defaults")
                 # a racing property flip (cdf.enabled / dv.enabled)
                 # changes what this DML should have produced (feed
                 # entries, DV routing) — conflict loudly like any
@@ -2948,6 +3095,8 @@ def merge_version_mor(spark: SparkSession, table_path: str,
         manifest["generated"] = parent["generated"]
     if parent.get("identity"):
         manifest["identity"] = parent["identity"]
+    if parent.get("defaults"):
+        manifest["defaults"] = parent["defaults"]
     dv = {f: s for f, s in parent_dv.items() if f not in set(touched)}
     for f in dv_touched:
         dv[f] = sidecar_files
@@ -3818,6 +3967,8 @@ def optimize_incremental(spark: SparkSession, table_path: str,
             m["generated"] = base["generated"]
         if base.get("identity"):
             m["identity"] = base["identity"]
+        if base.get("defaults"):
+            m["defaults"] = base["defaults"]
         kept_dv = {f: s for f, s in _dv_map(base).items()
                    if f in set(kept)}
         if kept_dv:
@@ -4487,6 +4638,8 @@ def clone_table(src_path: str, dst_path: str,
         manifest["generated"] = src["generated"]
     if src.get("identity"):
         manifest["identity"] = src["identity"]
+    if src.get("defaults"):
+        manifest["defaults"] = src["defaults"]
     # deletion vectors ride the clone by ABSOLUTE reference like the
     # data files (sidecar rows key on the source files' URIs, which
     # the clone's scans render identically)
@@ -4581,7 +4734,8 @@ def _deep_clone(spark: SparkSession, src_path: str, dst_path: str,
         "operation": "CLONE (DEEP)",
     }
     for key in ("column_mapping", "retired_physical", "partition_by",
-                "generated", "identity", "properties", "constraints"):
+                "generated", "identity", "defaults", "properties",
+                "constraints"):
         if src.get(key):
             manifest[key] = src[key]
     # copied bytes are identical → the source's per-file skipping stats

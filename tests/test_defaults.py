@@ -1,0 +1,114 @@
+"""Column DEFAULT values (Delta's allowColumnDefaults, mirrored):
+declared as a metadata-only commit, the FOLDABLE expression is
+evaluated once and the literal rides the manifest; every append path
+that omits the column fills it (library write, REPLACE WHERE inserts,
+the Arrow Data-Source writer — executor-side injection, no
+SparkSession); existing rows and supplied NULLs are untouched."""
+
+from __future__ import annotations
+
+import pytest
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql as vsql
+
+
+def _mk(spark, path):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k INT, v STRING, score INT")
+    versioned.write_version(df, path)
+    return path
+
+
+def test_default_fills_omitted_column_on_write(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_column_default(spark, path, "score", "7")
+    # omitted → literal fills
+    versioned.write_version(
+        spark.createDataFrame([(3, "c"), (4, "d")], "k INT, v STRING"),
+        path)
+    got = sorted(tuple(r) for r in
+                 versioned.read_version(spark, path).collect())
+    assert got == [(3, "c", 7), (4, "d", 7)]
+    # supplied — including NULL — is untouched (Delta semantics)
+    versioned.write_version(
+        spark.createDataFrame([(5, "e", None)],
+                              "k INT, v STRING, score INT"), path)
+    assert sorted(tuple(r) for r in
+                  versioned.read_version(spark, path).collect()) \
+        == [(5, "e", None)]
+
+
+def test_default_applies_to_replace_where_inserts(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_column_default(spark, path, "score", "99")
+    versioned.replace_where(
+        spark, path,
+        spark.createDataFrame([(1, "a2")], "k INT, v STRING"),
+        "k = 1")
+    got = sorted(tuple(r) for r in
+                 versioned.read_version(spark, path).collect())
+    assert got == [(1, "a2", 99), (2, "b", 20)]
+
+
+def test_default_injected_by_ds_append(spark, tmp_path):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_column_default(spark, path, "score", "41 + 1")
+    (spark.createDataFrame([(9, "z")], "k INT, v STRING")
+     .write.format("versioned").mode("append")
+     .option("path", path).save())
+    got = sorted(tuple(r) for r in
+                 versioned.read_version(spark, path).collect())
+    assert got == [(1, "a", 10), (2, "b", 20), (9, "z", 42)]
+
+
+def test_drop_default_and_sql_routes(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    vsql(spark, f"ALTER TABLE versioned.`{path}` "
+                "ALTER COLUMN score SET DEFAULT 5")
+    assert versioned._table_defaults(path)["score"]["value"] == 5
+    versioned.write_version(
+        spark.createDataFrame([(3, "c")], "k INT, v STRING"), path)
+    assert [tuple(r) for r in
+            versioned.read_version(spark, path).collect()] \
+        == [(3, "c", 5)]
+    vsql(spark, f"ALTER TABLE versioned.`{path}` "
+                "ALTER COLUMN score DROP DEFAULT")
+    assert versioned._table_defaults(path) == {}
+    with pytest.raises(KeyError, match="no default"):
+        versioned.drop_column_default(path, "score")
+
+
+def test_default_declaration_guards(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="constant"):
+        versioned.set_column_default(
+            spark, path, "score", "CAST(current_timestamp() AS INT)")
+    with pytest.raises(KeyError, match="not in table schema"):
+        versioned.set_column_default(spark, path, "nope", "1")
+    gen = str(tmp_path / "g")
+    versioned.write_version(
+        spark.createDataFrame([(1,)], "k INT"), gen,
+        generated={"k2": "k * 2"})
+    with pytest.raises(ValueError, match="GENERATED"):
+        versioned.set_column_default(spark, gen, "k2", "1")
+
+
+def test_default_rides_clones_and_metadata_commits(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_column_default(spark, path, "score", "3")
+    versioned.set_table_property(path, "owner", "x")  # rides along
+    for dst, deep in ((str(tmp_path / "s"), False),
+                      (str(tmp_path / "d"), True)):
+        versioned.clone_table(path, dst, spark=spark, deep=deep)
+        assert versioned._table_defaults(dst)["score"]["value"] == 3
+        versioned.write_version(
+            spark.createDataFrame([(8, "h")], "k INT, v STRING"), dst)
+        assert [tuple(r) for r in
+                versioned.read_version(spark, dst).collect()] \
+            == [(8, "h", 3)]
