@@ -112,3 +112,37 @@ def test_default_rides_clones_and_metadata_commits(spark, tmp_path):
         assert [tuple(r) for r in
                 versioned.read_version(spark, dst).collect()] \
             == [(8, "h", 3)]
+
+
+def test_default_declared_after_plan_conflicts_loudly(spark, tmp_path):
+    """A SET DEFAULT racing an in-flight append that OMITTED the
+    column must fail the append loudly (the staged files lack the
+    column and hold no injection plan) — never silently commit a
+    narrower schema."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource, VersionedWriter,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    path = _mk(spark, str(tmp_path / "t"))
+    # plan an append of (k, v) only — legal ONLY while score has no
+    # default and the schema matches... it doesn't (score missing), so
+    # emulate the race one level down: plan while score is defaulted
+    # is fine; here the default lands AFTER the writer planned
+    from pyspark.sql import types as T
+
+    w = VersionedWriter(
+        path, T.StructType.fromJson(
+            spark.createDataFrame([(9, "z")], "k INT, v STRING")
+            .schema.jsonValue()), overwrite=False)
+    versioned.set_column_default(spark, path, "score", "5")
+    import pyarrow as pa
+
+    msg = w.write(iter([pa.RecordBatch.from_pylist(
+        [{"k": 9, "v": "z"}])]))
+    with pytest.raises(ValueError, match="schema does not match"):
+        w.commit([msg])
+    # and the loser cleaned up: no staged dir survives
+    import os as _os
+
+    assert not _os.path.isdir(w.staged)
