@@ -3532,12 +3532,27 @@ def emb_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tot = comp.groupBy().agg(
         F.expr("COUNT(DISTINCT c_id)").alias("n"))
     sums = comp.groupBy("pos").agg(F.expr("SUM(x)").alias("sx"))
-    a = comp.select("c_id", F.col("pos").alias("i"),
-                    F.col("x").alias("xi"))
-    b = comp.select("c_id", F.col("pos").alias("j"),
-                    F.col("x").alias("xj"))
-    xmom = a.join(b, "c_id").groupBy("i", "j").agg(
-        F.expr("SUM(CAST(xi AS DECIMAL(38,0)) * xj)").alias("sxx"))
+    # moments are generated ROW-LOCALLY (upper triangle per vector,
+    # nested transform — no self-join): partial aggregation collapses
+    # each task's products to ≤ d² groups before the exchange, so the
+    # shuffle carries O(tasks·d²) rows instead of the self-join's
+    # O(n·d) re-shuffle of the exploded components (measured 6.2 s →
+    # the products now ride the scan stage). The lower triangle is
+    # mirrored afterwards — C is symmetric.
+    # per-element products stay BIGINT (components are grid-bounded at
+    # ±~2e6 per vector, so x_i·x_j ≤ ~4e12 at ANY corpus size — only
+    # the cross-ROW sum needs the wide type); DECIMAL multiplies here
+    # would triple the scan-stage cost for nothing
+    upper = c.select(F.expr(
+        "explode(flatten(transform(sequence(0, size(ca) - 1), i -> "
+        "transform(sequence(i, size(ca) - 1), j -> "
+        "named_struct('i', i, 'j', j, "
+        "'p', element_at(ca, i + 1) * element_at(ca, j + 1)))))) AS e"
+    )).selectExpr("e.i AS i", "e.j AS j", "e.p AS p") \
+        .groupBy("i", "j").agg(
+            F.expr("SUM(CAST(p AS DECIMAL(38,0)))").alias("sxx"))
+    xmom = upper.unionByName(
+        upper.filter("i != j").selectExpr("j AS i", "i AS j", "sxx"))
     craw = (
         xmom.join(broadcast(sums.selectExpr("pos AS i", "sx AS sxi")),
                   "i")
