@@ -1560,3 +1560,75 @@ ORACLES["snapshot_replace_where"] = """
                AS n_replaced
     FROM final_t GROUP BY o_orderpriority
 """
+
+
+_DEFAULTS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _default_columns_path(spark: SparkSession, sf_dir: str) -> str:
+    """Fixture for the column-DEFAULT oracle row: a versioned orders
+    table where v0 holds every third order with its REAL status, a
+    metadata-only commit declares ``o_orderstatus DEFAULT 'D'``, and a
+    Data-Source fast append then loads another slice WITHOUT the
+    status column — the stored literal is injected EXECUTOR-side by
+    the Arrow writer (the most adversarial of the three default
+    paths: no SparkSession exists where the value lands). Built once
+    per session; the driver's oracle gate then replays the final
+    state relationally."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DEFAULTS_CACHE:
+        return _DEFAULTS_CACHE[key]
+    path = tempfile.mkdtemp(prefix="orders_defaults_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    versioned.write_version(o.filter("o_orderkey % 3 = 0"), path, 0)
+    versioned.set_column_default(spark, path, "o_orderstatus", "'D'")
+    spark.dataSource.register(VersionedDataSource)
+    (o.filter("o_orderkey % 3 = 1")
+     .drop("o_orderstatus")
+     .write.format("versioned").mode("append")
+     .option("path", path).save())
+    assert versioned._table_defaults(path)["o_orderstatus"]["value"] \
+        == "D"
+    _DEFAULTS_CACHE[key] = path
+    return path
+
+
+def snapshot_default_columns(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    path = _default_columns_path(spark, sf_dir)
+    return (
+        versioned.read_version(spark, path)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_orders"),
+             F.expr("CAST(MIN(o_orderkey) AS BIGINT)").alias("min_key"))
+    )
+
+
+QUERIES["snapshot_default_columns"] = snapshot_default_columns
+
+ORACLES["snapshot_default_columns"] = """
+    WITH final_t AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D' AS o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM final_t GROUP BY 1, 2
+"""
