@@ -4032,3 +4032,63 @@ ORACLES["ev_dau_overlap_dod"] = """
     JOIN counts cb ON cb.day = ca.day + INTERVAL 1 DAY
     LEFT JOIN inter i ON i.day = ca.day
 """
+
+
+# --------------------------------------------------------------------------
+# Session depth histogram — the engagement-shape distribution next to
+# ev_session_durations' time buckets: how many sessions are one-shot
+# bounces vs multi-event journeys, as exact counts and ppm shares per
+# depth bucket (1 / 2 / 3-5 / 6-10 / 11+ events — the standard product
+# analytics cut). Rides the same sessionize pass (per-user window, one
+# shuffle); the histogram is a 5-row re-agg with DECIMAL-widened ppm
+# (session counts at 100 TB pass the bare ×1e6 budget).
+def ev_session_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = ev_sessionize(spark, sf_dir)
+    bucketed = sessions.selectExpr(
+        "CASE WHEN n_events = 1 THEN '1' WHEN n_events = 2 THEN '2' "
+        "WHEN n_events <= 5 THEN '3-5' WHEN n_events <= 10 THEN '6-10' "
+        "ELSE '11+' END AS depth_bucket",
+        "n_events",
+    )
+    return (
+        bucketed.groupBy("depth_bucket")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_sessions"),
+            F.expr("CAST(SUM(n_events) AS BIGINT)").alias("n_events"),
+        )
+        .selectExpr(
+            "depth_bucket", "n_sessions", "n_events",
+            "CAST(CAST(n_sessions AS DECIMAL(38,0)) * 1000000 "
+            "DIV SUM(n_sessions) OVER () AS BIGINT) AS session_ppm",
+            "CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000 "
+            "DIV SUM(n_events) OVER () AS BIGINT) AS event_ppm",
+        )
+    )
+
+
+QUERIES["ev_session_depth_hist"] = ev_session_depth_hist
+
+ORACLES["ev_session_depth_hist"] = f"""
+    WITH sessions AS ({ORACLES["ev_sessionize"]}),
+    bucketed AS (
+        SELECT CASE WHEN n_events = 1 THEN '1'
+                    WHEN n_events = 2 THEN '2'
+                    WHEN n_events <= 5 THEN '3-5'
+                    WHEN n_events <= 10 THEN '6-10'
+                    ELSE '11+' END AS depth_bucket,
+               n_events
+        FROM sessions
+    ),
+    agg AS (
+        SELECT depth_bucket,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events
+        FROM bucketed GROUP BY depth_bucket
+    )
+    SELECT depth_bucket, n_sessions, n_events,
+           CAST(CAST(n_sessions AS HUGEINT) * 1000000
+               // SUM(n_sessions) OVER () AS BIGINT) AS session_ppm,
+           CAST(CAST(n_events AS HUGEINT) * 1000000
+               // SUM(n_events) OVER () AS BIGINT) AS event_ppm
+    FROM agg
+"""
