@@ -245,3 +245,46 @@ def test_generate_sql_route(spark, tmp_path):
         f"GENERATE symlink_format_manifest FOR TABLE versioned.`{path}`",
     )
     assert out["manifests"] == 1
+
+
+def test_deep_clone_of_renamed_dv_table(spark, tmp_path):
+    """Deep clone of a column-MAPPED table with DVs: copied files keep
+    the retired physical column name, materialized files write the
+    logical name — the clone's carried column_mapping + retired list
+    must make both read identically."""
+    src = str(tmp_path / "src")
+    versioned.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING"),
+        src)
+    versioned.rename_column(src, "v", "label")
+    versioned.set_table_property(src, "dv.enabled", "true")
+    versioned.write_version(
+        versioned.read_version(spark, src).unionByName(
+            spark.createDataFrame([(3, "c")], "k INT, label STRING")),
+        src)
+    versioned.delete_where_mor(spark, src, "k = 2")
+    want = _rows(spark, src)
+    dst = str(tmp_path / "dst")
+    versioned.clone_table(src, dst, spark=spark, deep=True)
+    assert _rows(spark, dst) == want == [(1, "a"), (3, "c")]
+
+
+def test_reorg_purge_emits_no_change_feed(spark, tmp_path):
+    """REORG rewrites bytes but changes NO rows: on a cdf-enabled
+    table its commit must carry an EMPTY change feed (a consumer
+    replaying the feed sees the delete once, never re-sees the
+    purged rows as inserts)."""
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.range(100).selectExpr(
+            "CAST(id AS INT) k", "CONCAT('v', id) v").repartition(4),
+        path)
+    versioned.set_table_property(path, "cdf.enabled", "true")
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where_mor(spark, path, "k % 7 = 3")
+    out = versioned.reorg_purge(spark, path)
+    assert versioned.read_changes(
+        spark, path, out["version"], out["version"]).count() == 0
+    assert sorted(r.k for r in
+                  versioned.read_version(spark, path).collect()) \
+        == sorted(k for k in range(100) if k % 7 != 3)
