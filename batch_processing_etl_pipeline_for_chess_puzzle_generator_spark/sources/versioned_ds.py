@@ -1350,7 +1350,40 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
         # commit-message-named files ever become visible.
         self.staged = os.path.join(table_path, "_staged_stream")
 
+    def _default_inject(self) -> dict:
+        """Defaulted columns this stream OMITS → {col: (value, pa
+        type)}. Computed fresh per call because the streaming protocol
+        re-instantiates this object in write tasks and in the commit
+        runner — each side reads the manifest it can see."""
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+        avail = versioned.versions(self.table_path)
+        if not avail:
+            return {}
+        parent = versioned._load_manifest(self.table_path, avail[-1])
+        defaults = parent.get("defaults") or {}
+        missing = {c: spec for c, spec in defaults.items()
+                   if c not in self.schema.fieldNames()}
+        if not missing:
+            return {}
+        types = {f.get("name"): f.get("type") for f in
+                 json.loads(parent["schema"]).get("fields", [])}
+        inject = {}
+        for c, spec in sorted(missing.items()):
+            pa_t = _ARROW_OF_SPARK.get(types.get(c))
+            if pa_t is None:
+                raise ValueError(
+                    f"defaulted column {c!r} has type {types.get(c)!r},"
+                    " which the Arrow writer cannot inject — supply "
+                    "the column in the stream"
+                )
+            inject[c] = (spec["value"], pa_t)
+        return inject
+
     def write(self, iterator):
+        inject = self._default_inject()
+        if inject:
+            iterator = _with_defaults(iterator, inject)
         return _write_arrow_part(self.staged, iterator)
 
     def _last_stream_batch(self):
@@ -1389,6 +1422,30 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
 
         delegate = VersionedWriter(self.table_path, self.schema,
                                    overwrite=False)
+        if delegate.default_inject:
+            # a SET DEFAULT can race this batch: the write tasks
+            # planned (and injected) from the manifest THEY saw, the
+            # commit runner from the one IT sees. Verify the staged
+            # bytes actually carry the injected columns — if the
+            # default landed mid-batch the files lack them, and
+            # publishing would silently read NULL where the table now
+            # promises the default.
+            import pyarrow.parquet as pq
+
+            for m in messages:
+                if m is None or m.filename is None:
+                    continue
+                names = set(pq.ParquetFile(os.path.join(
+                    self.staged, m.filename)).schema_arrow.names)
+                missing = sorted(set(delegate.default_inject) - names)
+                if missing:
+                    shutil.rmtree(self.staged, ignore_errors=True)
+                    raise ValueError(
+                        f"column DEFAULTs {missing} were declared "
+                        "concurrently with this micro-batch — restart "
+                        "the streaming query"
+                    )
+                break
         # commit-time-unique data dir: a crashed commit attempt leaves
         # an unmanifested orphan (vacuum sweeps it); the retry must not
         # collide with it

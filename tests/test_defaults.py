@@ -146,3 +146,39 @@ def test_default_declared_after_plan_conflicts_loudly(spark, tmp_path):
     import os as _os
 
     assert not _os.path.isdir(w.staged)
+
+
+def test_default_injected_by_stream_sink(spark, tmp_path):
+    """The streaming sink's write tasks inject omitted defaulted
+    columns (the batch delegate only runs at commit, after the bytes
+    are staged); a default declared BETWEEN plan and commit fails the
+    batch loudly instead of publishing NULL-reading files."""
+    import pyarrow as pa
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedStreamWriter, _write_arrow_part,
+    )
+
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.set_column_default(spark, path, "score", "13")
+    schema = spark.createDataFrame([(9, "z")], "k INT, v STRING").schema
+    w = VersionedStreamWriter(path, schema, query_key="q1")
+    msg = w.write(iter([pa.record_batch(
+        {"k": pa.array([9], pa.int32()),
+         "v": pa.array(["z"], pa.string())})]))
+    w.commit([msg], batchId=0)
+    got = sorted(tuple(r) for r in
+                 versioned.read_version(spark, path).collect())
+    assert got == [(1, "a", 10), (2, "b", 20), (9, "z", 13)]
+
+    # mid-batch race: stage the bytes BEFORE the default exists, let
+    # the default land, then commit — must refuse, not publish
+    path2 = _mk(spark, str(tmp_path / "t2"))
+    w2 = VersionedStreamWriter(path2, schema, query_key="q2")
+    msg2 = _write_arrow_part(w2.staged, iter([pa.record_batch(
+        {"k": pa.array([7], pa.int32()),
+         "v": pa.array(["y"], pa.string())})]))
+    versioned.set_column_default(spark, path2, "score", "5")
+    with pytest.raises(ValueError, match="declared concurrently"):
+        w2.commit([msg2], batchId=0)
+    assert len(versioned.versions(path2)) == 2  # v0 + SET DEFAULT only
