@@ -868,12 +868,24 @@ def dau_overlap_stream(events: DataFrame,
     Spark's chained stateful windowed aggregations (the
     type_diversity_stream shape): agg 1 dedups users per (window,
     side) with state O(open windows × users-in-flight), agg 2
-    re-aggregates per window on the window column. Append mode emits
-    each day's overlap exactly once when the watermark closes BOTH
-    contributing days (the shifted copy keeps day d's state open
-    until d+1's watermark passes — the price of the join-free plan).
-    ppm math on the DECIMAL(38,0) grid; dividends are non-negative,
-    matching the batch formulation."""
+    re-aggregates per window on the window column.
+
+    WATERMARK: the eviction delay must cover the one-window shift,
+    so the effective delay is ``window + watermark`` (26 hours for a
+    1-day window with 2h lateness). A shifted row never holds back a
+    watermark — Spark derives it from the observed event-time
+    maximum, which the unshifted ``a`` copies dominate — so with only
+    the lateness delay, day d's window would close ~2h into day d+1
+    and every remaining shifted copy of day d+1's events (most of the
+    ``b`` side) would be discarded as late, undercounting dau_b /
+    n_both / jaccard / retained in any multi-micro-batch run. Widening
+    the delay keeps day d open until day d+1 has fully arrived; the
+    price is first-agg state of O(2 windows × users) instead of one,
+    and emission one window later — inherent to the semantics, since
+    day d's overlap cannot be final before day d+1 ends. Append mode
+    then emits each day exactly once. ppm math on the DECIMAL(38,0)
+    grid; dividends are non-negative, matching the batch
+    formulation."""
     cols = [F.col("ts"), F.col("user_id")]
     a = events.select(*cols, F.lit(1).alias("sa"), F.lit(0).alias("sb"))
     b = events.select(
@@ -883,7 +895,8 @@ def dau_overlap_stream(events: DataFrame,
     )
     per_user = (
         a.unionByName(b)
-        .withWatermark("ts", watermark)
+        # delay = window + lateness: see WATERMARK note above.
+        .withWatermark("ts", f"{window} {watermark}")
         .groupBy(F.window("ts", window).alias("win"), "user_id")
         .agg(F.max("sa").alias("ha"), F.max("sb").alias("hb"))
     )

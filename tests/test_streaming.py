@@ -868,3 +868,65 @@ def test_dau_overlap_stream_matches_batch(spark, tmp_path):
     assert got["2024-01-01 00:00:00"] == want
     # day 2 pairs with day 3 (no users) → filtered by dau_b > 0
     assert "2024-01-02 00:00:00" not in got
+
+
+def test_dau_overlap_stream_multi_batch_late_next_day(spark, tmp_path):
+    """Regression (r10 ADVICE): day d+1 arriving in a LATER micro-batch,
+    after the watermark has already advanced past day d's window end,
+    must still count toward day d's b-side. With only the lateness
+    delay (not window + lateness), the unshifted a-side drives the
+    watermark past day d ~2h into day d+1 and every remaining shifted
+    b-copy is dropped as late, so day d emits early with dau_b
+    undercounted. One long-lived query, three micro-batches."""
+    import json as _json
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        dau_overlap_stream,
+    )
+
+    src = tmp_path / "ev_dod_mb"
+    src.mkdir()
+    stream = (
+        spark.readStream
+        .schema("event_id LONG, ts STRING, user_id LONG")
+        .json(str(src))
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+                    "user_id")
+    )
+    q = (
+        dau_overlap_stream(stream)
+        .writeStream.format("memory").queryName("dod_mb")
+        .outputMode("append").start()
+    )
+    try:
+        # micro-batch 1: day-1 users {1,2,3} plus ONE early day-2
+        # event (user 2 at 04:00) — under the buggy 2h-only delay
+        # this alone advances the watermark to day-2 02:00, past
+        # day 1's window end, closing day 1 with dau_b = 1.
+        rows = [{"event_id": i + 1,
+                 "ts": f"2024-01-01 0{u}:00:00", "user_id": u}
+                for i, u in enumerate([1, 2, 3])]
+        rows.append({"event_id": 10, "ts": "2024-01-02 04:00:00",
+                     "user_id": 2})
+        (src / "b1.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows))
+        q.processAllAvailable()
+        # micro-batch 2: the REST of day 2 ({3,4,5}) arrives after the
+        # watermark moved — their shifted copies target day 1.
+        rows = [{"event_id": 20 + u, "ts": f"2024-01-02 1{u}:00:00",
+                 "user_id": u} for u in [3, 4, 5]]
+        (src / "b2.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows))
+        q.processAllAvailable()
+        # micro-batch 3: far-future event closes everything
+        # (needs ts > day-2 end + window + lateness = Jan 4 02:00).
+        (src / "b3.json").write_text(_json.dumps(
+            {"event_id": 999, "ts": "2024-01-06 12:00:00",
+             "user_id": 9}))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {str(r["day"]): (r["dau_a"], r["dau_b"], r["n_both"])
+           for r in spark.sql("SELECT * FROM dod_mb").collect()}
+    # day 1: a = {1,2,3}, b = day-2 users {2,3,4,5}, both = {2,3}
+    assert got["2024-01-01 00:00:00"] == (3, 4, 2)
