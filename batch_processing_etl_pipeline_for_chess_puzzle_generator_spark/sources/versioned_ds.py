@@ -901,7 +901,8 @@ class VersionedDataSource(DataSource):
 
 
 #: Spark simpleString type → Arrow type for DEFAULT-literal injection
-#: (JSON-native literals only, enforced at set_column_default time).
+#: (JSON-native literals plus DATE, enforced at set_column_default
+#: time; DATE rides the manifest as its ISO string).
 def _arrow_of_spark():
     import pyarrow as pa
 
@@ -911,10 +912,28 @@ def _arrow_of_spark():
         "short": pa.int16(), "smallint": pa.int16(),
         "double": pa.float64(), "float": pa.float32(),
         "string": pa.string(), "boolean": pa.bool_(),
+        "date": pa.date32(),
     }
 
 
 _ARROW_OF_SPARK = _arrow_of_spark()
+
+
+def _default_injectable(col: str, spark_type, value):
+    """(python value, arrow type) for a stored DEFAULT literal, raising
+    when the Arrow writer cannot inject the column's type. DATE is
+    stored as its ISO string and re-hydrated to a date32 value here."""
+    pa_t = _ARROW_OF_SPARK.get(spark_type)
+    if pa_t is None:
+        raise ValueError(
+            f"defaulted column {col!r} has type {spark_type!r}, "
+            "which the Arrow writer cannot inject — supply the column"
+        )
+    if spark_type == "date" and value is not None:
+        import datetime
+
+        value = datetime.date.fromisoformat(value)
+    return value, pa_t
 
 
 def _with_defaults(iterator, inject: dict):
@@ -1112,14 +1131,8 @@ class VersionedWriter(DataSourceArrowWriter):
                 types = {f.get("name"): f.get("type") for f in
                          json.loads(parent_m["schema"]).get("fields", [])}
                 for c, spec in sorted(missing_def.items()):
-                    pa_t = _ARROW_OF_SPARK.get(types.get(c))
-                    if pa_t is None:
-                        raise ValueError(
-                            f"defaulted column {c!r} has type "
-                            f"{types.get(c)!r}, which the Arrow "
-                            "writer cannot inject — supply the column"
-                        )
-                    self.default_inject[c] = (spec["value"], pa_t)
+                    self.default_inject[c] = _default_injectable(
+                        c, types.get(c), spec["value"])
 
     def write(self, iterator):
         if self.identity_alloc:
@@ -1370,14 +1383,8 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
                  json.loads(parent["schema"]).get("fields", [])}
         inject = {}
         for c, spec in sorted(missing.items()):
-            pa_t = _ARROW_OF_SPARK.get(types.get(c))
-            if pa_t is None:
-                raise ValueError(
-                    f"defaulted column {c!r} has type {types.get(c)!r},"
-                    " which the Arrow writer cannot inject — supply "
-                    "the column in the stream"
-                )
-            inject[c] = (spec["value"], pa_t)
+            inject[c] = _default_injectable(c, types.get(c),
+                                            spec["value"])
         return inject
 
     def write(self, iterator):
@@ -1425,11 +1432,14 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
         if delegate.default_inject:
             # a SET DEFAULT can race this batch: the write tasks
             # planned (and injected) from the manifest THEY saw, the
-            # commit runner from the one IT sees. Verify the staged
-            # bytes actually carry the injected columns — if the
-            # default landed mid-batch the files lack them, and
-            # publishing would silently read NULL where the table now
-            # promises the default.
+            # commit runner from the one IT sees. _default_inject is
+            # computed PER TASK, so a default declared mid-batch
+            # yields a MIXED batch — some tasks' files carry the
+            # injected columns, earlier-planned ones don't. Check
+            # EVERY staged file (not just the first: sampling one
+            # file can hit an injected file and publish the rest,
+            # whose rows would silently read NULL where the table now
+            # promises the default).
             import pyarrow.parquet as pq
 
             for m in messages:
@@ -1445,7 +1455,6 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
                         "concurrently with this micro-batch — restart "
                         "the streaming query"
                     )
-                break
         # commit-time-unique data dir: a crashed commit attempt leaves
         # an unmanifested orphan (vacuum sweeps it); the retry must not
         # collide with it

@@ -758,9 +758,85 @@ def set_table_property(table_path: str, key: str, value: str) -> int:
 
 #: JSON-native literal types a column DEFAULT may evaluate to — the
 #: stored value must round-trip the manifest AND be injectable by the
-#: SparkSession-less Arrow writer, so richer types (dates, intervals)
-#: are refused at declaration time, not at some later write.
+#: SparkSession-less Arrow writer, so richer types (timestamps,
+#: intervals) are refused at declaration time, not at some later
+#: write. DATE is allowed: it rides the manifest as its ISO string
+#: (JSON-native) and the Arrow writer re-hydrates it to date32.
 _DEFAULT_LITERAL_TYPES = (int, float, str, bool, type(None))
+
+#: Catalyst node classes that are QUERY-constant but not TABLE-constant:
+#: Catalyst marks them foldable/deterministic (they evaluate to one value
+#: within a query), yet two engines — or the same engine tomorrow —
+#: evaluating them disagree, which is exactly what a manifest-frozen
+#: default literal must never depend on. Matched by AST class name in
+#: both the parsed and analyzed plans, so spelling/casing/nesting can't
+#: dodge the check the way they dodged the old token blacklist.
+_QUERY_CONSTANT_NODES = frozenset({
+    "CurrentTimestamp", "Now", "CurrentDate", "LocalTimestamp",
+    "CurrentTimeZone", "CurrentUser", "CurrentDatabase",
+    "CurrentCatalog", "SparkVersion",
+})
+#: their function-call spellings, matched in the PARSED plan: the
+#: analyzer's ReplaceCurrentLike rule rewrites the session ones
+#: (current_user &c.) to plain literals before the analyzed tree is
+#: visible, so only the unresolved tree still shows them.
+_QUERY_CONSTANT_FUNCS = frozenset({
+    "current_timestamp", "now", "current_date", "localtimestamp",
+    "current_timezone", "current_user", "user", "session_user",
+    "current_database", "current_schema", "current_catalog", "version",
+})
+
+
+def _refuse_non_constant_default(spark: SparkSession, col: str,
+                                 expr_sql: str) -> None:
+    """Delta's foldable rule, enforced on the expression TREE instead of
+    a token blacklist: the stored default is evaluated once and the
+    literal rides the manifest, so the expression must be (a) foldable
+    AND deterministic per Catalyst's own flags — refusing
+    rand()/uuid()/monotonically_increasing_id()/nondeterministic UDFs
+    and anything else no blacklist would have listed — and (b) free of
+    query-constant-only nodes (current_timestamp, unix_timestamp()'s
+    implicit now, current_user, …), which Catalyst happily marks
+    foldable because they are constant WITHIN one query while differing
+    across engines, sessions, and days."""
+    qe = spark.sql(f"SELECT ({expr_sql}) AS __v")._jdf.queryExecution()
+
+    def refuse(why: str):
+        raise ValueError(
+            f"DEFAULT for {col!r} must be a constant expression "
+            f"(Delta's foldable rule): {expr_sql!r} {why}"
+        )
+
+    def expr_nodes(plan):
+        exprs = plan.expressions()
+        stack = [exprs.apply(i) for i in range(exprs.size())]
+        kids = plan.children()
+        for i in range(kids.size()):
+            yield from expr_nodes(kids.apply(i))
+        while stack:
+            e = stack.pop()
+            yield e
+            ch = e.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+
+    # the projected expression is wrapped in an Alias, whose foldable
+    # is hardwired false (NamedExpressions never fold) — check its
+    # child, the actual default expression
+    top = qe.analyzed().expressions().apply(0).child()
+    if not top.deterministic():
+        refuse("is nondeterministic")
+    if not top.foldable():
+        refuse("is not foldable")
+    for plan in (qe.logical(), qe.analyzed()):
+        for e in expr_nodes(plan):
+            name = e.getClass().getSimpleName()
+            if name in _QUERY_CONSTANT_NODES:
+                refuse(f"contains {name} — constant only within a query")
+            if name == "UnresolvedFunction":
+                fn = e.nameParts().mkString(".").lower().split(".")[-1]
+                if fn in _QUERY_CONSTANT_FUNCS:
+                    refuse(f"calls {fn}() — constant only within a query")
 
 
 def set_column_default(spark: SparkSession, table_path: str,
@@ -800,23 +876,23 @@ def set_column_default(spark: SparkSession, table_path: str,
             "computed, a DEFAULT would never apply"
         )
     typ = schema[col].dataType.simpleString()
-    lowered = expr_sql.strip().lower()
-    if any(tok in lowered for tok in
-           ("current_timestamp", "current_date", "now()", "rand(",
-            "random(", "uuid(")):
-        raise ValueError(
-            f"DEFAULT for {col!r} must be a constant expression "
-            f"(Delta's foldable rule); got {expr_sql!r}"
-        )
+    _refuse_non_constant_default(spark, col, expr_sql)
     row = spark.sql(
         f"SELECT CAST(({expr_sql}) AS {typ}) AS v").collect()[0]
     value = row["v"]
-    if not isinstance(value, _DEFAULT_LITERAL_TYPES):
+    import datetime as _dt
+
+    if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+        # DATE rides the manifest as its ISO string: JSON-native, and
+        # both injectors re-materialize it (F.lit(str).cast("date")
+        # library-side, date32 from the ISO string in the Arrow writer)
+        value = value.isoformat()
+    elif not isinstance(value, _DEFAULT_LITERAL_TYPES):
         raise TypeError(
             f"DEFAULT for {col!r} evaluates to "
             f"{type(value).__name__} — only JSON-native literals "
-            "(int/float/str/bool/NULL) can ride the manifest and be "
-            "injected by the Arrow writer"
+            "(int/float/str/bool/NULL) and DATE can ride the manifest "
+            "and be injected by the Arrow writer"
         )
     defaults = dict(parent.get("defaults") or {})
     defaults[col] = {"sql": expr_sql, "value": value}
@@ -4082,6 +4158,14 @@ def generate_symlink_manifest(table_path: str,
             "would resurrect soft-deleted rows (Delta refuses this "
             "too); run reorg_purge() first"
         )
+    if _column_mapping(m):
+        raise ValueError(
+            "snapshot uses column mapping — its data files carry "
+            "PHYSICAL column names (and post-rename rewrites logical "
+            "ones), which a file-list reader would resolve wrongly "
+            "or inconsistently against the logical schema; Delta "
+            "blocks manifest generation under column mapping too"
+        )
     entries = (m["files"] if "files" in m
                else _list_data_files(table_path, m["dir"]))
     groups: dict[str, list[str]] = {}
@@ -4660,6 +4744,13 @@ def clone_table(src_path: str, dst_path: str,
     return _publish(dst_path, manifest)
 
 
+def _clone_copy_width(n_files: int, default_parallelism: int) -> int:
+    """Task count for DEEP CLONE's distributed byte-copy: scales with
+    the cluster (2× defaultParallelism absorbs file-size skew), capped
+    by the file count so small clones don't schedule empty tasks."""
+    return max(1, min(n_files, 2 * default_parallelism))
+
+
 def _deep_clone(spark: SparkSession, src_path: str, dst_path: str,
                 version: int, src: dict) -> int:
     """DEEP CLONE physical plan (see :func:`clone_table`): distributed
@@ -4702,7 +4793,14 @@ def _deep_clone(spark: SparkSession, src_path: str, dst_path: str,
         # one task per shard of the copy list: the bytes move
         # executor-side through the shared filesystem client (the
         # distcp shape) — at 100 TB the driver only holds the O(#files)
-        # pair list it already holds for every commit
+        # pair list it already holds for every commit. Copy width
+        # scales with the cluster (2× defaultParallelism keeps every
+        # core busy despite file-size skew), capped by #files — a
+        # fixed constant would serialize ~1.6 TB per task at 10⁵
+        # files on a 1000-executor cluster.
+        width = _clone_copy_width(
+            len(pairs), spark.sparkContext.defaultParallelism)
+
         def _copy_shard(shard):
             import os as _os
             import shutil as _shutil
@@ -4712,7 +4810,7 @@ def _deep_clone(spark: SparkSession, src_path: str, dst_path: str,
                 _shutil.copyfile(s, d)
 
         spark.sparkContext.parallelize(
-            pairs, min(64, len(pairs))
+            pairs, width
         ).foreachPartition(_copy_shard)
     new_files: list[str] = []
     if vectored:

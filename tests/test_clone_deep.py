@@ -238,6 +238,33 @@ def test_generate_refuses_deletion_vectors(spark, tmp_path):
     assert versioned.generate_symlink_manifest(path)["files"] >= 1
 
 
+def test_deep_clone_copy_width_scales_with_cluster():
+    """r10 verdict item 7: the distributed byte-copy's task count must
+    scale with the cluster, not sit at a fixed constant — at 10⁵ files
+    a 64-task cap means ~1.6 TB of serial copying per task."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.versioned import _clone_copy_width
+
+    assert _clone_copy_width(100_000, 1000) == 2000   # scales up
+    assert _clone_copy_width(100_000, 32) == 64
+    assert _clone_copy_width(3, 1000) == 3            # capped by files
+    assert _clone_copy_width(0, 8) == 1               # never zero
+
+
+def test_generate_refuses_column_mapping(spark, tmp_path):
+    """r10 ADVICE: under column mapping the data files carry PHYSICAL
+    names (and post-rename rewrites logical ones) — a file-list reader
+    would resolve wrong/inconsistent columns against the logical
+    schema, so GENERATE must refuse, as Delta does."""
+    path = _mk(spark, str(tmp_path / "t"))
+    versioned.rename_column(path, "v", "label")
+    with pytest.raises(ValueError, match="column mapping"):
+        versioned.generate_symlink_manifest(path)
+    # a rename cycled BACK to the physical name leaves no divergent
+    # mapping — external readers resolve correctly, so allow it
+    versioned.rename_column(path, "label", "v")
+    assert versioned.generate_symlink_manifest(path)["files"] >= 1
+
+
 def test_generate_sql_route(spark, tmp_path):
     path = _mk(spark, str(tmp_path / "t"))
     out = vsql(

@@ -67,6 +67,56 @@ def test_default_injected_by_ds_append(spark, tmp_path):
     assert got == [(1, "a", 10), (2, "b", 20), (9, "z", 42)]
 
 
+def test_date_default_all_append_paths(spark, tmp_path):
+    """DATE defaults (r10 verdict item): the literal rides the manifest
+    as its ISO string and every injector re-materializes a real DATE —
+    library write, DS append (Arrow date32, no SparkSession), and the
+    streaming sink. TIMESTAMP stays refused (no JSON-native carrier)."""
+    import datetime
+
+    import pyarrow as pa
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource, VersionedStreamWriter,
+    )
+
+    d = datetime.date(2024, 3, 15)
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.createDataFrame([(1, datetime.date(2020, 1, 1))],
+                              "k INT, eff DATE"), path)
+    versioned.set_column_default(spark, path, "eff", "DATE'2024-03-15'")
+    assert versioned._table_defaults(path)["eff"]["value"] == "2024-03-15"
+
+    # library write path (snapshot write, omitted column fills)
+    versioned.write_version(
+        spark.createDataFrame([(2,)], "k INT"), path)
+    # DS append path (executor-side Arrow injection)
+    spark.dataSource.register(VersionedDataSource)
+    (spark.createDataFrame([(3,)], "k INT")
+     .write.format("versioned").mode("append")
+     .option("path", path).save())
+    # streaming sink path
+    schema = spark.createDataFrame([(4,)], "k INT").schema
+    w = VersionedStreamWriter(path, schema, query_key="qd")
+    msg = w.write(iter([pa.record_batch({"k": pa.array([4], pa.int32())})]))
+    w.commit([msg], batchId=0)
+
+    got = sorted(tuple(r) for r in
+                 versioned.read_version(spark, path).collect())
+    assert got == [(2, d), (3, d), (4, d)]
+
+    # TIMESTAMP has no JSON-native manifest carrier — still refused
+    tpath = str(tmp_path / "ts")
+    versioned.write_version(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2020, 1, 1))], "k INT, at TIMESTAMP"),
+        tpath)
+    with pytest.raises(TypeError, match="only JSON-native"):
+        versioned.set_column_default(
+            spark, tpath, "at", "TIMESTAMP'2024-01-01 00:00:00'")
+
+
 def test_drop_default_and_sql_routes(spark, tmp_path):
     path = _mk(spark, str(tmp_path / "t"))
     vsql(spark, f"ALTER TABLE versioned.`{path}` "
@@ -89,6 +139,20 @@ def test_default_declaration_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="constant"):
         versioned.set_column_default(
             spark, path, "score", "CAST(current_timestamp() AS INT)")
+    # r10 ADVICE: the old substring blacklist let these through and
+    # silently froze one evaluation; the AST check refuses them.
+    for bad in ("CAST(unix_timestamp() AS INT)",      # implicit now
+                "length(current_user())",              # session-bound
+                "CAST(monotonically_increasing_id() AS INT)",  # nondet
+                "CAST(  NOW ( ) AS INT)",              # spelling-dodge
+                "abs(CAST(rand() * 10 AS INT))"):      # nested nondet
+        with pytest.raises(ValueError, match="constant"):
+            versioned.set_column_default(spark, path, "score", bad)
+    # genuinely constant expressions that merely LOOK time-flavored
+    # must still pass: unix_timestamp with explicit args folds.
+    versioned.set_column_default(
+        spark, path, "score",
+        "CAST(unix_timestamp('2024-01-01', 'yyyy-MM-dd') % 97 AS INT)")
     with pytest.raises(KeyError, match="not in table schema"):
         versioned.set_column_default(spark, path, "nope", "1")
     gen = str(tmp_path / "g")
@@ -182,3 +246,22 @@ def test_default_injected_by_stream_sink(spark, tmp_path):
     with pytest.raises(ValueError, match="declared concurrently"):
         w2.commit([msg2], batchId=0)
     assert len(versioned.versions(path2)) == 2  # v0 + SET DEFAULT only
+
+    # MIXED batch (r10 ADVICE): _default_inject is computed per write
+    # task, so a mid-batch default yields some files WITH the injected
+    # column and some WITHOUT. The guard must inspect every staged
+    # file — sampling only the first (which here carries the column)
+    # would publish the bare one, whose rows read NULL where the
+    # table promises the default.
+    path3 = _mk(spark, str(tmp_path / "t3"))
+    versioned.set_column_default(spark, path3, "score", "5")
+    w3 = VersionedStreamWriter(path3, schema, query_key="q3")
+    msg_with = w3.write(iter([pa.record_batch(
+        {"k": pa.array([7], pa.int32()),
+         "v": pa.array(["y"], pa.string())})]))  # injected: has score
+    msg_bare = _write_arrow_part(w3.staged, iter([pa.record_batch(
+        {"k": pa.array([8], pa.int32()),
+         "v": pa.array(["x"], pa.string())})]))  # planned pre-default
+    with pytest.raises(ValueError, match="declared concurrently"):
+        w3.commit([msg_with, msg_bare], batchId=0)
+    assert len(versioned.versions(path3)) == 2  # v0 + SET DEFAULT only
