@@ -279,6 +279,19 @@ def _set_col_stats(manifest: dict, parent: dict | None, table_path: str,
             rc[f] = None
     if rc:
         manifest["row_counts"] = rc
+    # per-file byte sizes (Delta's AddFile.size): one os.stat per NEW
+    # file, shared files copy the parent — this is what lets
+    # table_statistics() serve the planner an exact sizeInBytes
+    # without touching data
+    pfb = (parent or {}).get("file_bytes") or {}
+    fb: dict = {f: pfb.get(f) for f in shared_files}
+    for f in new_files:
+        try:
+            fb[f] = os.path.getsize(_abs_file(table_path, f))
+        except OSError:
+            fb[f] = None
+    if fb:
+        manifest["file_bytes"] = fb
 
 
 def _bounds_for(manifest: dict, col: str) -> dict | None:
@@ -3629,6 +3642,105 @@ def resolve_timestamp(table_path: str, ts) -> int:
     return best
 
 
+def table_statistics(table_path: str,
+                     version: int | None = None) -> dict:
+    """Optimizer-grade table statistics from manifest METADATA — no
+    data scan, no SparkSession: exact ``row_count`` (per-file
+    row_counts minus deletion-vectored positions; None when a legacy
+    manifest lacks the index), ``size_in_bytes`` (per-file sizes
+    recorded at commit, os.stat fallback for legacy files), and the
+    live ``num_files``.
+
+    This is the engine's ANALYZE TABLE: Delta persists the same
+    numbers per AddFile and Spark's CBO consumes them. Spark 4.1.2's
+    Python Data Source scan cannot report statistics upstream (JVM
+    ``PythonScan`` implements only ``Scan`` + ``SupportsMetadata``, no
+    ``SupportsReportStatistics`` — so a ``format("versioned")``
+    relation planners as Long.MaxValue bytes and never broadcasts).
+    Until that hook exists, :func:`read_version` serves these numbers
+    to the planner itself — see its ``stats_hint``."""
+    import pyarrow.parquet as pq
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    v = avail[-1] if version is None else version
+    m = _load_manifest(table_path, v)
+    files = m.get("files")
+    if files is None:  # legacy dir-level manifest
+        files = _list_data_files(table_path, m["dir"])
+        size = 0
+        for f in files:
+            try:
+                size += os.path.getsize(_abs_file(table_path, f))
+            except OSError:
+                pass
+        return {"row_count": None, "size_in_bytes": size,
+                "num_files": len(files)}
+    fb = m.get("file_bytes") or {}
+    size = 0
+    for f in files:
+        b = fb.get(f)
+        if b is None:
+            try:
+                b = os.path.getsize(_abs_file(table_path, f))
+            except OSError:
+                b = 0
+        size += b
+    rc = m.get("row_counts")
+    rows = None
+    if rc is not None and all(rc.get(f) is not None for f in files):
+        rows = sum(rc[f] for f in files)
+        by_sidecar: dict[str, set] = {}
+        for f, sidecars in _dv_map(m).items():
+            for s in sidecars:
+                by_sidecar.setdefault(s, set()).add(f)
+        for s, fs in by_sidecar.items():
+            targets = {_abs_file(table_path, f) for f in fs}
+            col = pq.read_table(_abs_file(table_path, s),
+                                columns=["file"]).column("file")
+            rows -= sum(
+                1 for u in col.to_pylist()
+                if os.path.normpath(_uri_to_path(u)) in targets
+            )
+    return {"row_count": rows, "size_in_bytes": size,
+            "num_files": len(files)}
+
+
+def _parse_size_bytes(text: str) -> int:
+    """Spark size-conf string → bytes ('10MB', '10485760b', '-1')."""
+    t = str(text).strip().lower()
+    for suf, mult in (("tb", 2**40), ("gb", 2**30), ("mb", 2**20),
+                      ("kb", 2**10), ("t", 2**40), ("g", 2**30),
+                      ("m", 2**20), ("k", 2**10), ("b", 1)):
+        if t.endswith(suf):
+            return int(float(t[: -len(suf)]) * mult)
+    return int(t)
+
+
+def _stats_broadcast_hint(spark: SparkSession, df: DataFrame,
+                          table_path: str, version: int) -> DataFrame:
+    """Attach a broadcast hint iff the snapshot's TRUE size (manifest
+    statistics) clears the session's autoBroadcastJoinThreshold — the
+    exact decision Catalyst would make from relation stats, made here
+    with exact numbers because the Python DS scan cannot report any
+    (see :func:`table_statistics`). A fact-sized snapshot gets no hint
+    and plans a shuffle join as it must; file bytes are an upper bound
+    under deletion vectors, so the hint is conservative."""
+    try:
+        thr = _parse_size_bytes(spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"))
+    except (ValueError, TypeError):
+        return df
+    if thr <= 0:
+        return df
+    if table_statistics(table_path, version)["size_in_bytes"] > thr:
+        return df
+    from pyspark.sql.functions import broadcast
+
+    return broadcast(df)
+
+
 def count_rows(spark: SparkSession, table_path: str,
                version: int | None = None) -> int:
     """Exact ``SELECT COUNT(*)`` from manifest METADATA — no data scan
@@ -3639,32 +3751,14 @@ def count_rows(spark: SparkSession, table_path: str,
     sidecar, so stale positions for since-rewritten files never
     undercount. Falls back to a real count for manifests predating the
     index (or clones of them)."""
-    import pyarrow.parquet as pq
-
     avail = versions(table_path)
     if not avail:
         raise FileNotFoundError(f"no committed versions at {table_path}")
     v = avail[-1] if version is None else version
-    m = _load_manifest(table_path, v)
-    rc = m.get("row_counts")
-    files = m.get("files")
-    if (files is None or rc is None
-            or any(rc.get(f) is None for f in files)):
-        return read_version(spark, table_path, v).count()
-    total = sum(rc[f] for f in files)
-    by_sidecar: dict[str, set] = {}
-    for f, sidecars in _dv_map(m).items():
-        for s in sidecars:
-            by_sidecar.setdefault(s, set()).add(f)
-    for s, fs in by_sidecar.items():
-        targets = {_abs_file(table_path, f) for f in fs}
-        col = pq.read_table(_abs_file(table_path, s),
-                            columns=["file"]).column("file")
-        total -= sum(
-            1 for u in col.to_pylist()
-            if os.path.normpath(_uri_to_path(u)) in targets
-        )
-    return total
+    rows = table_statistics(table_path, v)["row_count"]
+    if rows is not None:
+        return rows
+    return read_version(spark, table_path, v).count()
 
 
 def min_max(spark: SparkSession, table_path: str, col: str,
@@ -3814,7 +3908,8 @@ def partitions(spark: SparkSession, table_path: str,
 
 def read_version(spark: SparkSession, table_path: str,
                  version: int | None = None,
-                 timestamp=None) -> DataFrame:
+                 timestamp=None,
+                 stats_hint: bool = True) -> DataFrame:
     """Time-travel read: the table as of ``version`` (default: latest)
     or, with ``timestamp`` (exclusive with ``version``), as of the
     latest commit at that wall-clock moment — ``TIMESTAMP AS OF``.
@@ -3823,6 +3918,17 @@ def read_version(spark: SparkSession, table_path: str,
     file set — a later commit can't disturb this snapshot, and a
     copy-on-write version transparently reads the parent files it
     shares plus its own rewrites.
+
+    ``stats_hint`` (default on) feeds the snapshot's MANIFEST
+    statistics to the planner: when the true live-file byte size
+    clears ``spark.sql.autoBroadcastJoinThreshold``, the returned
+    DataFrame carries a broadcast hint, so joins against a dim-sized
+    snapshot build a broadcast hash join even where Catalyst's own
+    size propagation can't see it (a DV anti-join subtree, or — once
+    upstream grows a Python-DS statistics hook — a
+    ``format("versioned")`` relation, which today planners as
+    Long.MaxValue bytes; :func:`table_statistics`). A fact-sized
+    snapshot gets no hint and shuffles as it must.
     """
     if timestamp is not None:
         if version is not None:
@@ -3849,9 +3955,12 @@ def read_version(spark: SparkSession, table_path: str,
         # Deletion vectors (if the version carries any) are applied by
         # the same scan — a DV-free version plans the identical plain
         # parquet read as before.
-        return _read_files_dv(
+        df = _read_files_dv(
             spark, table_path, manifest, manifest["files"], schema
         )
+        if stats_hint:
+            df = _stats_broadcast_hint(spark, df, table_path, version)
+        return df
     return spark.read.parquet(os.path.join(table_path, manifest["dir"]))
 
 

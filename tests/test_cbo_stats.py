@@ -1,0 +1,127 @@
+"""Manifest statistics → planner (the engine's CBO feed).
+
+Spark 4.1.2's Python Data Source scan cannot report statistics to
+Catalyst (JVM ``PythonScan`` implements only Scan + SupportsMetadata),
+so a ``format("versioned")`` relation planners as Long.MaxValue bytes
+and never broadcasts. The engine therefore serves the manifest's exact
+row_count / size_in_bytes itself: ``table_statistics`` is the
+metadata-only ANALYZE TABLE, and ``read_version`` turns those numbers
+into the planner decision Catalyst would make — broadcast a dim-sized
+snapshot, shuffle a fact-sized one — keyed to the live session's
+``spark.sql.autoBroadcastJoinThreshold``."""
+
+from __future__ import annotations
+
+import os
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+
+def _mk(spark, path, n=200):
+    df = spark.range(n).selectExpr(
+        "CAST(id AS INT) AS k", "CONCAT('v', id) AS v")
+    versioned.write_version(df, path, stats_col="k")
+    return path
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parse_size_bytes():
+    p = versioned._parse_size_bytes
+    assert p("10485760") == 10 * 2**20
+    assert p("10MB") == 10 * 2**20
+    assert p("1kb") == 1024
+    assert p("2g") == 2 * 2**30
+    assert p("512b") == 512
+    assert p("-1") == -1
+
+
+def test_table_statistics_metadata_only(spark, tmp_path):
+    path = _mk(spark, str(tmp_path / "t"), n=200)
+    st = versioned.table_statistics(path)
+    assert st["row_count"] == 200
+    assert st["num_files"] >= 1
+    # exact: the recorded bytes equal the live files on disk
+    m = versioned._load_manifest(path, versioned.versions(path)[-1])
+    disk = sum(os.path.getsize(versioned._abs_file(path, f))
+               for f in m["files"])
+    assert st["size_in_bytes"] == disk
+    # DV delete: row_count is exact; bytes track the LIVE file set
+    # (files whose whole range matched were dropped metadata-only, the
+    # rest keep their full size — an upper bound under partial DVs)
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where_mor(spark, path, "k < 50")
+    st2 = versioned.table_statistics(path)
+    assert st2["row_count"] == 150
+    assert 0 < st2["size_in_bytes"] <= st["size_in_bytes"]
+    # count_rows serves the same number, still metadata-only
+    assert versioned.count_rows(spark, path) == 150
+
+
+def test_file_bytes_ride_every_commit(spark, tmp_path):
+    """Shared files copy the parent's recorded size; new files get one
+    os.stat — every commit path that reuses _set_col_stats keeps the
+    size index complete, so table_statistics never re-stats at scale."""
+    path = _mk(spark, str(tmp_path / "t"), n=100)
+    versioned.write_version(
+        spark.createDataFrame([(1000, "x")], "k INT, v STRING"), path)
+    versioned.optimize_version(spark, path, target_files=1)
+    m = versioned._load_manifest(path, versioned.versions(path)[-1])
+    fb = m.get("file_bytes") or {}
+    assert all(fb.get(f) is not None for f in m["files"])
+
+
+def test_dim_snapshot_broadcasts(spark, tmp_path):
+    """A dim-sized snapshot must build a broadcast hash join even when
+    its read plan is a DV anti-join subtree — the case where Catalyst's
+    own size propagation has nothing exact to work with."""
+    path = _mk(spark, str(tmp_path / "dim"), n=100)
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where_mor(spark, path, "k >= 90")
+    dim = versioned.read_version(spark, path)
+    fact = spark.range(100_000).selectExpr(
+        "CAST(id % 100 AS INT) AS k", "id AS amount")
+    joined = fact.join(dim, "k")
+    assert "BroadcastHashJoin" in _physical(joined)
+    # and the values are right: keys 0..89 survive the DV delete
+    got = joined.groupBy().count().collect()[0][0]
+    assert got == 90_000
+
+
+def test_fact_snapshot_does_not_hint(spark, tmp_path):
+    """A snapshot whose true size exceeds the session threshold gets NO
+    hint: the join plans its shuffle as it must at scale. Threshold is
+    dropped below the table's real size to simulate the fact table."""
+    path = _mk(spark, str(tmp_path / "fact"), n=5000)
+    st = versioned.table_statistics(path)
+    assert st["size_in_bytes"] > 1024  # sanity: 1KB is below the table
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        fact = versioned.read_version(spark, path)
+        other = spark.range(10_000).selectExpr(
+            "CAST(id % 5000 AS INT) AS k", "id AS amount")
+        plan = _physical(other.join(fact, "k"))
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        # flip the threshold back up: the SAME table now broadcasts —
+        # the decision tracks the session conf, not a baked constant
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        fact2 = versioned.read_version(spark, path)
+        assert "BroadcastHashJoin" in _physical(other.join(fact2, "k"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_stats_hint_opt_out(spark, tmp_path):
+    """stats_hint=False returns the unhinted plan (callers composing
+    their own join strategy, e.g. inside MERGE internals)."""
+    path = _mk(spark, str(tmp_path / "t"), n=10)
+    df = versioned.read_version(spark, path, stats_hint=False)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
