@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import fixtures
 from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
 
 # The change batch is derived deterministically from orders itself so the
@@ -374,6 +375,7 @@ def _versioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _VERSIONS_CACHE:
         return _VERSIONS_CACHE[key]
+    _t0 = fixtures.start()
     import atexit
     import shutil
 
@@ -393,6 +395,7 @@ def _versioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     versioned.write_version(v1, path, 1)
     versioned.write_version(v2, path, 2)
     _VERSIONS_CACHE[key] = path
+    fixtures.done("versioned_orders", _t0)
     return path
 
 
@@ -548,6 +551,7 @@ def _cow_orders_path(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _COW_CACHE:
         return _COW_CACHE[key]
+    _t0 = fixtures.start()
     path = tempfile.mkdtemp(prefix="orders_cow_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
@@ -556,6 +560,7 @@ def _cow_orders_path(spark: SparkSession, sf_dir: str) -> str:
     )
     versioned.merge_version_cow(spark, path, _cow_changes(o), "o_orderkey")
     _COW_CACHE[key] = path
+    fixtures.done("cow_orders", _t0)
     return path
 
 
@@ -694,6 +699,7 @@ def _hidden_events_path(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _HIDDEN_CACHE:
         return _HIDDEN_CACHE[key]
+    _t0 = fixtures.start()
     path = tempfile.mkdtemp(prefix="events_hidden_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     ev = table(spark, sf_dir, "events")
@@ -726,6 +732,7 @@ def _hidden_events_path(spark: SparkSession, sf_dir: str) -> str:
     if errs:
         raise errs[0]
     _HIDDEN_CACHE[key] = path
+    fixtures.done("hidden_events", _t0)
     return path
 
 
@@ -1110,6 +1117,7 @@ def _dv_orders_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _DV_CACHE:
         return _DV_CACHE[key]
+    _t0 = fixtures.start()
     mor = tempfile.mkdtemp(prefix="orders_dv_mor_")
     cow = tempfile.mkdtemp(prefix="orders_dv_cow_")
     for p in (mor, cow):
@@ -1141,6 +1149,7 @@ def _dv_orders_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             spark, p, "o_orderkey < 1000 AND o_orderkey % 10 = 7")
         versioned.delete_where(spark, p, "o_orderkey % 10 = 5")
     _DV_CACHE[key] = (mor, cow)
+    fixtures.done("dv_orders", _t0)
     return mor, cow
 
 
@@ -1220,6 +1229,7 @@ def _partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _PART_CACHE:
         return _PART_CACHE[key]
+    _t0 = fixtures.start()
     path = tempfile.mkdtemp(prefix="orders_partitioned_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
@@ -1230,6 +1240,7 @@ def _partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
         "partition delete must be metadata-only on an aligned table"
     )
     _PART_CACHE[key] = path
+    fixtures.done("partitioned_orders", _t0)
     return path
 
 
@@ -1421,6 +1432,7 @@ def _generated_orders_path(spark: SparkSession, sf_dir: str) -> tuple:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _GEN_CACHE:
         return _GEN_CACHE[key]
+    _t0 = fixtures.start()
     path = tempfile.mkdtemp(prefix="orders_generated_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
@@ -1440,6 +1452,7 @@ def _generated_orders_path(spark: SparkSession, sf_dir: str) -> tuple:
         "month drop must stay metadata-only after the aligned UPDATE"
     )
     _GEN_CACHE[key] = (path, first)
+    fixtures.done("generated_orders", _t0)
     return _GEN_CACHE[key]
 
 
@@ -1506,6 +1519,7 @@ def _replace_where_path(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _RW_CACHE:
         return _RW_CACHE[key]
+    _t0 = fixtures.start()
     path = tempfile.mkdtemp(prefix="orders_replace_where_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
@@ -1521,6 +1535,7 @@ def _replace_where_path(spark: SparkSession, sf_dir: str) -> str:
         "drop plus an aligned insert"
     )
     _RW_CACHE[key] = path
+    fixtures.done("replace_where_orders", _t0)
     return path
 
 
@@ -1587,6 +1602,7 @@ def _default_columns_path(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _DEFAULTS_CACHE:
         return _DEFAULTS_CACHE[key]
+    _t0 = fixtures.start()
     path = tempfile.mkdtemp(prefix="orders_defaults_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     o = table(spark, sf_dir, "orders").select(
@@ -1601,6 +1617,7 @@ def _default_columns_path(spark: SparkSession, sf_dir: str) -> str:
     assert versioned._table_defaults(path)["o_orderstatus"]["value"] \
         == "D"
     _DEFAULTS_CACHE[key] = path
+    fixtures.done("defaults_orders", _t0)
     return path
 
 

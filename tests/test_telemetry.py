@@ -26,3 +26,21 @@ def test_observed_default_rowcount(spark):
     df, obs = observed(spark.range(0, 42), "rows_only")
     df.agg(F.sum("id")).collect()
     assert obs.get == {"rows": 42}
+
+
+def test_fixture_attribution_accumulates():
+    """bench.py's fixture-cost attribution: cache-miss builds recorded
+    per fixture, totals snapshot/reset (r10 verdict: BENCH per-query
+    numbers must separate one-time fixture cost from operator cost)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import fixtures
+
+    fixtures.reset()
+    t0 = fixtures.start()
+    fixtures.done("demo", t0)
+    with fixtures.timed("demo"):
+        pass
+    snap = fixtures.snapshot()
+    assert set(snap) == {"demo"} and snap["demo"] >= 0
+    assert fixtures.total() == sum(snap.values())
+    fixtures.reset()
+    assert fixtures.total() == 0.0
