@@ -12,12 +12,15 @@ NotImplementedError stub), the default path now actually parses bytes:
 - **WAV** (PCM16 mono/stereo RIFF) audio — fmt/data chunk parse,
   sample extraction;
 - **RAWV**, a trivial uncompressed video container (``RAWV`` magic +
-  u16 width/height/n_frames + raw RGB24 frames) for frame sampling.
+  u16 width/height/n_frames + raw RGB24 frames) for frame sampling;
+- **PNG** (non-interlaced 8-bit, gray/RGB/palette/gray-alpha/RGBA) —
+  stdlib zlib inflate + numpy unfiltering of all five filter types
+  (none/sub/up/average/paeth), with whole-image vectorized fast paths
+  for the uniform-filter images real encoders emit.
 
-Compressed formats (PNG/JPEG/MP4…) still raise ``NotImplementedError``
-— those genuinely need external codecs absent from this container; the
-dispatch makes that an explicit per-magic-number decision instead of a
-blanket stub.
+Formats that genuinely need an external codec (JPEG/MP4…) still raise
+``NotImplementedError`` — the dispatch makes that an explicit
+per-magic-number decision instead of a blanket stub.
 
 The ``mm_*`` registry queries below generate payloads deterministically
 from ``documents.doc_id`` (fill values / dims / sample counts are pure
@@ -128,6 +131,199 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float]:
     return width, height, float(arr.mean())
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (depth 8): gray, RGB, palette,
+#: gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _png_filter_row(ftype: int, row, prev, bpp: int):
+    """Apply PNG filter ``ftype`` to one raw row (encoder side)."""
+    import numpy as np
+
+    r = row.astype(np.int32)
+    left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]]) \
+        if len(r) >= bpp else np.zeros_like(r)
+    up = prev.astype(np.int32)
+    if ftype == 0:
+        out = r
+    elif ftype == 1:
+        out = r - left
+    elif ftype == 2:
+        out = r - up
+    elif ftype == 3:
+        out = r - (left + up) // 2
+    elif ftype == 4:
+        ul = np.concatenate([np.zeros(bpp, np.int32), up[:-bpp]]) \
+            if len(up) >= bpp else np.zeros_like(up)
+        p = left + up - ul
+        pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, ul))
+        out = r - pred
+    else:
+        raise ValueError(f"PNG filter type {ftype} out of range")
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png(pixels, color_type: int = 2, filter_type: int = 0) -> bytes:
+    """Encode a (height, width[, channels]) uint8 array as a
+    non-interlaced 8-bit PNG, every row carrying ``filter_type`` —
+    the encoder exists so tests (and the mm_png_features fixture) can
+    build payloads that exercise each unfilter branch."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch != _PNG_CHANNELS[color_type]:
+        raise ValueError(
+            f"{ch} channels does not match PNG color type {color_type}")
+    bpp = ch
+    raw = arr.reshape(h, w * ch)
+    prev = np.zeros(w * ch, np.uint8)
+    body = bytearray()
+    for y in range(h):
+        body.append(filter_type)
+        body += _png_filter_row(filter_type, raw[y], prev, bpp).tobytes()
+        prev = raw[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """Pure-Python PNG decode → (width, height, mean_pixel): stdlib
+    zlib inflate + numpy unfiltering of all five filter types (0 none,
+    1 sub, 2 up, 3 average, 4 paeth) — the same real-decode discipline
+    as the BMP/PPM/WAV parsers, no PIL. Supports non-interlaced 8-bit
+    images of every color type (gray, RGB, palette via PLTE,
+    gray+alpha, RGBA); 16-bit and Adam7 raise loudly. mean_pixel is
+    the mean over COLOR channel bytes — alpha excluded, palette
+    indices mapped through the palette — so it is comparable to the
+    BMP/PPM means."""
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_MAGIC)
+    width = height = None
+    color_type = depth = interlace = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,), ctype = struct.unpack_from(">I", payload, pos), \
+            payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} requires an "
+            "external codec; built-in decode covers non-interlaced "
+            "8-bit images"
+        )
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"PNG color type {color_type} is invalid")
+    stride = width * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    raw = raw.reshape(height, stride + 1)
+    ftypes, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    # whole-image fast paths when every row carries the same filter
+    # (how encoders typically emit): none is a copy, up is a cumsum
+    # down rows, sub a cumsum along pixels — all mod 256, since mod
+    # distributes over the running sums. avg/paeth recurrences are
+    # inherently sequential in both axes and take the row loop.
+    uniform = int(ftypes[0]) if height and (ftypes == ftypes[0]).all() \
+        else None
+    if uniform == 0:
+        return _png_mean(rows, width, height, ch, color_type, plte)
+    if uniform == 2:
+        out = np.cumsum(rows, axis=0, dtype=np.int64) % 256
+        return _png_mean(out, width, height, ch, color_type, plte)
+    if uniform == 1:
+        out = np.cumsum(rows.reshape(height, width, ch), axis=1,
+                        dtype=np.int64) % 256
+        return _png_mean(out.reshape(height, stride), width, height,
+                         ch, color_type, plte)
+    out = np.zeros((height, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        ft, r = int(ftypes[y]), rows[y]
+        if ft == 0:
+            cur = r
+        elif ft == 2:
+            cur = (r + prev) % 256
+        elif ft in (1, 3, 4):
+            # left-dependent filters are sequential along x by pixel;
+            # vectorized over the pixel's channels
+            cur = np.zeros(stride, np.int32)
+            up = prev
+            for x in range(0, stride, ch):
+                left = cur[x - ch: x] if x >= ch \
+                    else np.zeros(ch, np.int32)
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up[x: x + ch]) // 2
+                else:
+                    ul = up[x - ch: x] if x >= ch \
+                        else np.zeros(ch, np.int32)
+                    u = up[x: x + ch]
+                    p = left + u - ul
+                    pa, pb, pc = abs(p - left), abs(p - u), abs(p - ul)
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, u, ul))
+                cur[x: x + ch] = (r[x: x + ch] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {ft} out of range")
+        out[y] = cur
+        prev = cur
+    return _png_mean(out, width, height, ch, color_type, plte)
+
+
+def _png_mean(out, width: int, height: int, ch: int, color_type: int,
+              plte) -> tuple[int, int, float]:
+    import numpy as np
+
+    px = np.asarray(out).reshape(height, width, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        colors = plte[px[:, :, 0]]
+    elif color_type in (4, 6):
+        colors = px[:, :, : ch - 1]  # drop alpha
+    else:
+        colors = px
+    return width, height, float(colors.mean())
+
+
 def encode_wav(n_samples: int, amplitude: int, rate: int) -> bytes:
     """Mono PCM16 WAV with every sample = ``amplitude``."""
     import numpy as np
@@ -200,9 +396,12 @@ def decode_image_batch(payload: bytes) -> tuple[int, int, float]:
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return decode_png(payload)
     raise NotImplementedError(
         f"image decoding for magic {payload[:4]!r} requires PIL/libvips, "
-        "not present in this environment; built-in codecs cover BMP/P6-PPM "
+        "not present in this environment; built-in codecs cover "
+        "BMP/P6-PPM/8-bit-PNG "
         "(use extract_media_features(fake=True) for the hash-based stub)"
     )
 
@@ -399,9 +598,11 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
     bytes are pure arithmetic on the id, so a SQL oracle can predict
     every decoded feature. Narrow mapInPandas — no shuffle."""
 
-    mime = {"image": "image/bmp", "audio": "audio/wav", "video": "video/rawv"}[kind]
+    mime = {"image": "image/bmp", "audio": "audio/wav",
+            "video": "video/rawv", "png": "image/png"}[kind]
 
     def gen(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -410,6 +611,31 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
                 d = int(d)
                 if kind == "image":
                     payloads.append(encode_bmp(16 + d % 32, 16 + d % 24, d % 256))
+                elif kind == "png":
+                    # every doc exercises one of the five PNG filters
+                    # and one of gray/RGB/RGBA; the avg/paeth
+                    # recurrences are sequential per pixel, so those
+                    # docs get smaller dims. Pixel (y, x) = v0 + x + y
+                    # with no mod-256 wrap (v0 < 170, x ≤ 45, y ≤ 37),
+                    # so the mean stays oracle-arithmetic:
+                    # v0 + (w-1)/2 + (h-1)/2.
+                    ft = d % 5
+                    if ft >= 3:
+                        w, h = 8 + d % 9, 8 + d % 7
+                    else:
+                        w, h = 16 + d % 31, 16 + d % 23
+                    v0 = d % 170
+                    base = (v0 + np.add.outer(np.arange(h), np.arange(w))
+                            ).astype(np.uint8)
+                    ct = (0, 2, 6)[d % 3]
+                    if ct == 0:
+                        arr = base
+                    else:
+                        arr = np.repeat(base[:, :, None],
+                                        _PNG_CHANNELS[ct], axis=2)
+                        if ct == 6:
+                            arr[:, :, 3] = 255  # alpha, excluded from mean
+                    payloads.append(encode_png(arr, ct, ft))
                 elif kind == "audio":
                     payloads.append(
                         encode_wav(64 + d % 128, (d % 1000) * 3, 8000 + 100 * (d % 8))
@@ -548,10 +774,27 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frame_stats(media_table(spark, sf_dir, "video"), every_n=2)
 
 
+def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG-per-document through the REAL pure-Python decoder (zlib
+    inflate + unfilter): the fixture cycles all five filter types and
+    gray/RGB/RGBA color types, pixel values ramp along both axes
+    (non-constant rows so sub/up/average/paeth unfilter arithmetic is
+    actually load-bearing), and the oracle replays the dims/mean from
+    doc_id arithmetic. mean_x2 = 2·mean is an exact integer by
+    construction (2·v0 + (w-1) + (h-1)), so the comparison dodges
+    float-division representation."""
+    feats = extract_media_features(media_table(spark, sf_dir, "png"))
+    return feats.select(
+        "media_id", "width", "height",
+        F.expr("CAST(ROUND(mean_pixel * 2) AS BIGINT)").alias("mean_x2"),
+    )
+
+
 QUERIES = {
     "mm_image_features": mm_image_features,
     "mm_audio_features": mm_audio_features,
     "mm_frame_sample": mm_frame_sample,
+    "mm_png_features": mm_png_features,
 }
 
 # Oracle side replays the doc_id arithmetic that generated the payloads;
@@ -587,6 +830,21 @@ ORACLES = {
                CAST((doc_id + 7 * 2 * i) % 256 AS DOUBLE) AS frame_mean
         FROM documents,
              unnest(range(0, (4 + doc_id % 5 + 1) // 2)) AS t(i)
+    """,
+    "mm_png_features": """
+        SELECT media_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(2 * (media_id % 170) + (w - 1) + (h - 1) AS BIGINT)
+                   AS mean_x2
+        FROM (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 5 >= 3 THEN 8 + doc_id % 9
+                        ELSE 16 + doc_id % 31 END AS w,
+                   CASE WHEN doc_id % 5 >= 3 THEN 8 + doc_id % 7
+                        ELSE 16 + doc_id % 23 END AS h
+            FROM documents
+        )
     """,
 }
 

@@ -166,3 +166,149 @@ def test_binaryfile_source_ingestion(spark, tmp_path):
     sizes = {r["media_id"]: r["n_bytes"] for r in feats.values()}
     disk = {int(p.name[4]): p.stat().st_size for p in d.iterdir()}
     assert sizes == disk
+
+
+# ------------------------------------------------------------- PNG codec
+
+def test_png_golden_pixels_hand_built():
+    """Golden fixture assembled byte-by-byte (not via encode_png):
+    2x2 RGB, row 0 filtered with SUB, row 1 with UP — the filtered
+    bytes below are hand-computed from the spec, so encoder and
+    decoder cannot be wrong in the same way."""
+    import struct
+    import zlib
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    # pixels: row0 = (10,20,30) (40,60,80); row1 = (15,25,35) (50,70,90)
+    # SUB row0:  10,20,30 then (40-10, 60-20, 80-30) = 30,40,50
+    # UP  row1:  (15-10, 25-20, 35-30)=5,5,5  (50-40,70-60,90-80)=10,10,10
+    body = (b"\x01" + bytes([10, 20, 30, 30, 40, 50])
+            + b"\x02" + bytes([5, 5, 5, 10, 10, 10]))
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(body))
+           + chunk(b"IEND", b""))
+    w, h, mean = decode_png(png)
+    assert (w, h) == (2, 2)
+    assert mean == (10 + 20 + 30 + 40 + 60 + 80
+                    + 15 + 25 + 35 + 50 + 70 + 90) / 12
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    import numpy as np
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        decode_image_batch, decode_png, encode_png,
+    )
+
+    gray = (np.arange(5 * 9).reshape(5, 9) * 91 % 256).astype(np.uint8)
+    rgb = (np.arange(7 * 11 * 3).reshape(7, 11, 3) * 37 % 256).astype(np.uint8)
+    ga = (np.arange(4 * 6 * 2).reshape(4, 6, 2) * 29 % 256).astype(np.uint8)
+    rgba = (np.arange(6 * 8 * 4).reshape(6, 8, 4) * 53 % 256).astype(np.uint8)
+    cases = [
+        (gray, 0, gray.mean()),
+        (rgb, 2, rgb.mean()),
+        (ga, 4, ga[:, :, 0].mean()),        # alpha excluded
+        (rgba, 6, rgba[:, :, :3].mean()),   # alpha excluded
+    ]
+    for ft in range(5):
+        for arr, ct, expected in cases:
+            w, h, mean = decode_png(encode_png(arr, ct, ft))
+            assert (w, h) == (arr.shape[1], arr.shape[0])
+            assert abs(mean - expected) < 1e-9, (ft, ct)
+    # the magic dispatch routes PNG to the real decoder
+    w, h, mean = decode_image_batch(encode_png(rgb, 2, 4))
+    assert (w, h, round(mean, 6)) == (11, 7, round(rgb.mean(), 6))
+
+
+def test_png_palette_decode():
+    """Color type 3: indices map through PLTE before the mean."""
+    import struct
+    import zlib
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    plte = bytes([255, 0, 0,   0, 255, 0,   0, 0, 255])  # R, G, B
+    body = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(body))
+           + chunk(b"IEND", b""))
+    w, h, mean = decode_png(png)
+    # 4 pixels, each one pure channel: mean over RGB bytes = 255*4/12
+    assert (w, h) == (2, 2) and mean == 255 * 4 / 12
+
+
+def test_png_refuses_16bit_and_interlace():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    for depth, interlace in ((16, 0), (8, 1)):
+        png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", 1, 1, depth, 0, 0, 0,
+                                   interlace))
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+               + chunk(b"IEND", b""))
+        with _pytest.raises(NotImplementedError):
+            decode_png(png)
+
+
+def test_png_through_spark_binary_plumbing(spark, tmp_path):
+    """mm_image_features' plumbing accepts PNG bytes: binaryFile source
+    → mapInPandas decode, dims and means exact."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        encode_png, extract_media_features,
+    )
+
+    d = tmp_path / "pngs"
+    d.mkdir()
+    arrs = []
+    for i, ft in enumerate(range(5)):
+        arr = ((np.add.outer(np.arange(6 + i), np.arange(9 + i)) * 7 + i)
+               % 256).astype(np.uint8)
+        arrs.append(arr)
+        (d / f"img_{i}.png").write_bytes(
+            encode_png(np.repeat(arr[:, :, None], 3, axis=2), 2, ft))
+    raw = spark.read.format("binaryFile").load(str(d))
+    media = raw.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.png$", 1)
+        .cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content").alias("payload"),
+    )
+    feats = {r["media_id"]: r for r in
+             extract_media_features(media).collect()}
+    for i, arr in enumerate(arrs):
+        assert (feats[i]["width"], feats[i]["height"]) == \
+            (arr.shape[1], arr.shape[0])
+        assert abs(feats[i]["mean_pixel"] - arr.mean()) < 1e-9
