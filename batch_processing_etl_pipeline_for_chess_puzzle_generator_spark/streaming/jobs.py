@@ -922,3 +922,109 @@ def dau_overlap_stream(events: DataFrame,
             "DIV dau_a AS BIGINT) AS retained_ppm",
         )
     )
+
+
+# -------------------------------------------- materialized-view upkeep
+
+def mv_applied_source_version(mv_path: str) -> int | None:
+    """Highest source-table version whose changes a maintained rollup
+    has applied (the Delta txnAppId/txnVersion idempotency stamp) —
+    scanned backward over manifests so metadata-only commits between
+    maintenance merges don't hide it. None for a fresh MV."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    for v in reversed(versioned.versions(mv_path)):
+        got = versioned._load_manifest(mv_path, v).get(
+            "mv_applied_src_version")
+        if got is not None:
+            return int(got)
+    return None
+
+
+def maintain_monthly_rollup(spark, src_path: str, mv_path: str,
+                            checkpoint_dir: str,
+                            date_col: str = "o_orderdate",
+                            value_col: str = "o_totalprice"):
+    """Streaming MATERIALIZED-VIEW maintenance — the Delta-MV loop
+    users actually run, composed from pieces the engine already owns:
+    a ``readStream.format("versioned")`` CHANGE-FEED source feeding a
+    ``foreachBatch`` that MERGEs signed deltas into a monthly rollup
+    TABLE (itself versioned), exactly once.
+
+    Per micro-batch: CDF rows carry ``_change_type`` — inserts and
+    update_postimages count +1/+value, deletes and update_preimages
+    −1/−value — aggregated to per-month deltas (one tiny shuffle over
+    O(changed months) groups), joined against ONLY the affected months
+    of the current rollup, and merged COW: untouched months share
+    their files byte-identically, a month whose count reaches 0 is
+    deleted (it leaves the view). Exactly-once comes from stamping the
+    highest consumed source version on the SAME merge commit
+    (``mv_applied_src_version``, Delta's txn stamp): a replayed batch
+    — foreachBatch re-delivery, or a restart with a fresh checkpoint —
+    sees the stamp and skips, so deltas are never double-applied.
+
+    Incremental by construction: per batch the work is O(changes) +
+    O(affected months), never a rebuild — the streaming twin of the
+    batch ``agg_incremental_cdf`` entry, equal to the full
+    ``GROUP BY date_trunc('month', ...)`` rebuild at every commit (the
+    composition test asserts it per-commit). Returns the started
+    streaming query; callers await/stop it."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    month = F.date_trunc("month", F.col(date_col)).alias("month")
+    sign = ("CASE WHEN _change_type IN ('delete', 'update_preimage') "
+            "THEN -1 ELSE 1 END")
+
+    def apply_batch(batch, _bid: int) -> None:
+        deltas = (
+            batch.groupBy(month)
+            .agg(
+                F.expr(f"SUM(CAST({value_col} AS DECIMAL(18,4)) "
+                       f"* ({sign}))").alias("d_sum"),
+                F.expr(f"SUM(CAST(({sign}) AS BIGINT))").alias("d_cnt"),
+                F.expr("MAX(_commit_version)").alias("hi"),
+            )
+        ).localCheckpoint()  # pin: consumed twice below
+        row = deltas.agg(F.max("hi")).collect()
+        if not row or row[0][0] is None:
+            return
+        hi = int(row[0][0])
+        last = mv_applied_source_version(mv_path)
+        if last is not None and hi <= last:
+            return  # replayed batch: the stamp says already applied
+        cur = versioned.read_version(spark, mv_path, stats_hint=False)
+        merged = (
+            deltas.join(cur, "month", "left")
+            .select(
+                "month",
+                F.expr("CAST(COALESCE(total_sales, 0) + d_sum "
+                       "AS DECIMAL(18,4))").alias("total_sales"),
+                F.expr("COALESCE(n_orders, 0L) + d_cnt")
+                .alias("n_orders"),
+            )
+            .withColumn("is_delete", F.expr("n_orders = 0"))
+        )
+        versioned.merge_version_cow(
+            spark, mv_path, merged, "month",
+            extra_manifest={"mv_applied_src_version": hi},
+        )
+
+    if not versioned.versions(mv_path):
+        versioned.write_version(
+            spark.createDataFrame(
+                [], "month TIMESTAMP, total_sales DECIMAL(18,4), "
+                    "n_orders LONG"),
+            mv_path,
+        )
+    feed = (
+        spark.readStream.format("versioned").option("path", src_path)
+        .option("readChangeFeed", "true").load()
+    )
+    return (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1629,7 +1629,8 @@ def merge_version_cow(spark: SparkSession, table_path: str,
                       changes: DataFrame, key_col: str,
                       delete_col: str = "is_delete",
                       version: int | None = None,
-                      evolve_schema: bool = False) -> dict:
+                      evolve_schema: bool = False,
+                      extra_manifest: dict | None = None) -> dict:
     """Copy-on-write MERGE: commit a new version that REWRITES ONLY the
     parent files containing a change key and SHARES every other file
     with the parent (Delta's MERGE physical plan).
@@ -1909,7 +1910,10 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         feed = _classify_feed(pre_matched, upserts, [key_col])
         cdf_files, final_cdf = _write_cdf(table_path, version, token, feed)
 
-    # 4. publish: untouched parent files keep their stats verbatim
+    # 4. publish: untouched parent files keep their stats verbatim.
+    # extra_manifest lets callers stamp an idempotency key on the SAME
+    # commit that applies the change (Delta's txnAppId/txnVersion):
+    # a re-driven foreachBatch checks the stamp and skips the replay.
     manifest = {
         "version": version,
         "files": untouched + new_files,
@@ -1917,6 +1921,7 @@ def merge_version_cow(spark: SparkSession, table_path: str,
         # regenerating also covers legacy manifests with no schema key
         "schema": out_struct.json(),
         "operation": "MERGE",
+        **(extra_manifest or {}),
     }
     if cons:
         manifest["constraints"] = cons
