@@ -3526,7 +3526,10 @@ ORACLES["emb_silhouette"] = f"""
 # mergeable). The sign convention pins the max-|loading| dimension
 # positive (ties to the smallest pos), so both engines emit the same
 # vector, not v vs −v.
-def emb_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pca_cov(spark: SparkSession, sf_dir: str):
+    """(cov, sums): the ppm-grid covariance moment table (d² rows,
+    localCheckpoint-pinned) and the per-position component sums —
+    shared by emb_pca_top1 and the deflation-based emb_pca_topk."""
     _, c = _split(spark, sf_dir)
     comp = c.select("c_id", F.posexplode("ca").alias("pos", "x"))
     n_tot = comp.groupBy().agg(
@@ -3578,9 +3581,15 @@ def emb_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN cr >= 0 THEN CAST(cr * 1000000 DIV cm AS BIGINT) "
         "ELSE -CAST((-cr) * 1000000 DIV cm AS BIGINT) END AS cv",
     ).localCheckpoint(eager=True)
+    return cov, sums
 
-    def _iterate(v):
-        """One power step: w = C·v rescaled to the ppm grid."""
+
+def _pca_power(cov: DataFrame, v: DataFrame, steps: int = 3) -> DataFrame:
+    """``steps`` power-iteration steps over the pinned moment table:
+    each w = C·v is a broadcast join over d rows, rescaled to the ppm
+    grid and localCheckpoint-pinned so the next step (and the scalar
+    max join inside it) runs once."""
+    for _ in range(steps):
         w = (
             cov.join(broadcast(v.selectExpr("pos AS j", "vv")), "j")
             .groupBy("i")
@@ -3590,16 +3599,17 @@ def emb_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         wmax = w.groupBy().agg(
             F.expr("GREATEST(MAX(ABS(wr)), CAST(1 AS DECIMAL(38,0)))")
             .alias("wm"))
-        return w.crossJoin(broadcast(wmax)).selectExpr(
+        v = w.crossJoin(broadcast(wmax)).selectExpr(
             "i AS pos",
             "CASE WHEN wr >= 0 THEN "
             "CAST(wr * 1000000 DIV wm AS BIGINT) "
             "ELSE -CAST((-wr) * 1000000 DIV wm AS BIGINT) END AS vv",
         ).localCheckpoint(eager=True)  # d rows: each step runs once
+    return v
 
-    v = sums.selectExpr("pos", "CAST(1000000 AS BIGINT) AS vv")
-    for _ in range(3):
-        v = _iterate(v)
+
+def _pca_signed(v: DataFrame) -> DataFrame:
+    """Canonical sign: the largest-|loading| position reads positive."""
     sign = v.orderBy(F.abs(F.col("vv")).desc(), F.col("pos")).limit(1) \
         .selectExpr("IF(vv >= 0, 1, -1) AS sg")
     return (
@@ -3609,7 +3619,71 @@ def emb_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cov, sums = _pca_cov(spark, sf_dir)
+    v = sums.selectExpr("pos", "CAST(1000000 AS BIGINT) AS vv")
+    return _pca_signed(_pca_power(cov, v))
+
+
 QUERIES["emb_pca_top1"] = emb_pca_top1
+
+
+def _pca_deflate(cov: DataFrame, v: DataFrame) -> DataFrame:
+    """Hotelling deflation ON THE INTEGER GRID: C' = C − λ·v̂v̂ᵀ with
+    λ = vᵀCv / vᵀv, i.e. cv' = cv − (numer·vᵢ·vⱼ) / denom² where
+    numer = Σᵢⱼ vᵢ·cvᵢⱼ·vⱼ and denom = Σᵢ vᵢ². All bounds are
+    corpus-size-INDEPENDENT (both grids are ppm-normalized):
+    |numer| ≤ d²·10¹⁸ ≈ 4·10²¹ at d=64, numer·vᵢ·vⱼ ≤ 4·10³³ and
+    denom² ≤ 4·10²⁷ — inside DECIMAL(38,0) at any corpus size (the
+    lint-rule-F analysis; no BIGINT product chain). Division is
+    sign-split so Spark's truncating DIV matches DuckDB's floor."""
+    vi = v.selectExpr("pos AS i", "vv AS vvi")
+    vj = v.selectExpr("pos AS j", "vv AS vvj")
+    lam = (
+        cov.join(broadcast(vi), "i").join(broadcast(vj), "j")
+        .groupBy()
+        .agg(F.expr("SUM(CAST(cv AS DECIMAL(38,0)) * vvi * vvj)")
+             .alias("numer"))
+        .crossJoin(broadcast(
+            v.groupBy().agg(
+                F.expr("SUM(CAST(vv AS DECIMAL(38,0)) * vv)")
+                .alias("denom"))))
+    )
+    return (
+        cov.join(broadcast(vi), "i").join(broadcast(vj), "j")
+        .crossJoin(broadcast(lam))
+        .selectExpr(
+            "i", "j",
+            "CAST(cv - (CASE WHEN numer * vvi * vvj >= 0 THEN "
+            "(numer * vvi * vvj) DIV (denom * denom) "
+            "ELSE -((-(numer * vvi * vvj)) DIV (denom * denom)) END) "
+            "AS BIGINT) AS cv",
+        )
+        .localCheckpoint(eager=True)  # d² rows; pin for the next power
+    )
+
+
+def emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components by POWER ITERATION + DEFLATION —
+    still zero driver-side linear algebra: one O(n·d²) moment pass
+    (shared with emb_pca_top1's formulation), then every step is a
+    broadcast join over ≤ d² rows. Component 2 runs the identical
+    power loop on the deflated moment table C − λ₁v₁v₁ᵀ (Hotelling),
+    the textbook recipe PCA-reduced SemDeDup builds on. The oracle
+    replays the same unrolled integer-grid steps."""
+    cov, sums = _pca_cov(spark, sf_dir)
+    v0 = sums.selectExpr("pos", "CAST(1000000 AS BIGINT) AS vv")
+    v1 = _pca_power(cov, v0)
+    cov2 = _pca_deflate(cov, v1)
+    v2 = _pca_power(cov2, v0)
+    out1 = _pca_signed(v1).selectExpr(
+        "CAST(1 AS BIGINT) AS component", "pos", "loading_ppm")
+    out2 = _pca_signed(v2).selectExpr(
+        "CAST(2 AS BIGINT) AS component", "pos", "loading_ppm")
+    return out1.unionByName(out2)
+
+
+QUERIES["emb_pca_topk"] = emb_pca_topk
 
 ORACLES["emb_pca_top1"] = f"""
     WITH v AS (
@@ -3691,3 +3765,74 @@ ORACLES["emb_pca_top1"] = f"""
            CAST(vv * sg AS BIGINT) AS loading_ppm
     FROM v3 CROSS JOIN sg
 """
+
+
+def _pca_power_sql(cov: str, v0: str, prefix: str, steps: int = 3):
+    """DuckDB CTE chain replaying _pca_power's unrolled integer-grid
+    steps over the ``cov`` CTE; returns (ctes, final_v_name)."""
+    ctes, prev = [], v0
+    for s in range(1, steps + 1):
+        ctes.append(f"""{prefix}w{s} AS (
+        SELECT i, sum(CAST(cv AS HUGEINT) * vv) AS wr
+        FROM {cov} JOIN {prev} ON {prev}.pos = {cov}.j GROUP BY i)""")
+        ctes.append(f"""{prefix}m{s} AS (
+        SELECT GREATEST(MAX(ABS(wr)), CAST(1 AS HUGEINT)) AS wm
+        FROM {prefix}w{s})""")
+        ctes.append(f"""{prefix}v{s} AS (
+        SELECT i AS pos,
+               CASE WHEN wr >= 0 THEN CAST(wr * 1000000 // wm AS BIGINT)
+               ELSE -CAST((-wr) * 1000000 // wm AS BIGINT) END AS vv
+        FROM {prefix}w{s} CROSS JOIN {prefix}m{s})""")
+        prev = f"{prefix}v{s}"
+    return ctes, prev
+
+
+def _pca_topk_oracle() -> str:
+    # shared prefix: identical to the top1 oracle through cov + v0
+    base = ORACLES["emb_pca_top1"]
+    head = base[: base.index(",\n    v0 AS")]
+    a_ctes, a_v = _pca_power_sql("cov", "v0", "a_")
+    b_ctes, b_v = _pca_power_sql("cov2", "v0", "b_")
+    parts = [head, """,
+    v0 AS (SELECT pos, CAST(1000000 AS BIGINT) AS vv FROM sums)"""]
+    parts += [",\n    " + c for c in a_ctes]
+    parts.append(f""",
+    lam AS (
+        SELECT SUM(CAST(cv AS HUGEINT) * vi.vv * vj.vv) AS numer,
+               (SELECT SUM(CAST(vv AS HUGEINT) * vv) FROM {a_v})
+                   AS denom
+        FROM cov
+        JOIN {a_v} vi ON vi.pos = cov.i
+        JOIN {a_v} vj ON vj.pos = cov.j),
+    cov2 AS (
+        SELECT i, j,
+               CAST(cv - (CASE WHEN numer * vi.vv * vj.vv >= 0 THEN
+                   (numer * vi.vv * vj.vv) // (denom * denom)
+               ELSE -((-(numer * vi.vv * vj.vv)) // (denom * denom))
+               END) AS BIGINT) AS cv
+        FROM cov
+        JOIN {a_v} vi ON vi.pos = cov.i
+        JOIN {a_v} vj ON vj.pos = cov.j
+        CROSS JOIN lam)""")
+    parts += [",\n    " + c for c in b_ctes]
+    parts.append(f""",
+    a_sg AS (SELECT CASE WHEN vv >= 0 THEN 1 ELSE -1 END AS sg
+             FROM {a_v} ORDER BY ABS(vv) DESC, pos LIMIT 1),
+    b_sg AS (SELECT CASE WHEN vv >= 0 THEN 1 ELSE -1 END AS sg
+             FROM {b_v} ORDER BY ABS(vv) DESC, pos LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS component, CAST(pos AS BIGINT) AS pos,
+           CAST(vv * sg AS BIGINT) AS loading_ppm
+    FROM {a_v} CROSS JOIN a_sg
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS component, CAST(pos AS BIGINT) AS pos,
+           CAST(vv * sg AS BIGINT) AS loading_ppm
+    FROM {b_v} CROSS JOIN b_sg""")
+    # DuckDB inlines plain CTEs (view semantics): cov/cov2 are
+    # referenced many times here and the inlining re-opens the parquet
+    # per reference ("too many open files") and re-runs the moment
+    # pass. MATERIALIZED pins each CTE once — the oracle-side analog
+    # of the Spark formulation's localCheckpoint.
+    return "".join(parts).replace(" AS (", " AS MATERIALIZED (")
+
+
+ORACLES["emb_pca_topk"] = _pca_topk_oracle()
