@@ -410,31 +410,27 @@ def _as_model(cents: DataFrame) -> DataFrame:
     )
 
 
-def emb_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+_ASSIGN_EXPR = f"array_max({_model_scored('ca', 'cn')}).cluster_id"
 
-    q, c = _split(spark, sf_dir)
-    c = c.persist()  # scanned for seeds/sample + the one assignment pass
+
+def _kmeans_train(c: DataFrame, seeds: DataFrame) -> DataFrame:
+    """KM_ROUNDS Lloyd rounds over the hash-sample of ``c`` from the
+    ``seeds`` (cluster_id, sa, sn) centroids → trained centroids.
+    Shared by emb_kmeans_ivf and the persisted-index fixture."""
     sample = c.filter(
         F.expr(
             SPARK_HASH_SQL("CONCAT('km:', CAST(c_id AS STRING))")
             + f" % {KM_SAMPLE_MOD} = 0"
         )
     )
-    # Round-0 centroids: the seed vectors as (sum-array, norm).
-    cents = c.filter(F.col("c_id") < N_QUERIES + IVF_K).select(
-        F.col("c_id").alias("cluster_id"),
-        F.col("ca").alias("sa"),
-        F.col("cn").alias("sn"),
-    )
-    assign_expr = f"array_max({_model_scored('ca', 'cn')}).cluster_id"
+    cents = seeds
     for _ in range(KM_ROUNDS):
         # Assignment is a map over the broadcast model (no shuffle);
         # the update is one groupBy with an order-independent
         # element-wise integer array sum (sample cluster sizes are
         # bounded by the sample, so collect_list per group is safe).
         asg = sample.crossJoin(broadcast(_as_model(cents))).select(
-            "c_id", "ca", F.expr(assign_expr).alias("cluster_id")
+            "c_id", "ca", F.expr(_ASSIGN_EXPR).alias("cluster_id")
         )
         cents = (
             asg.groupBy("cluster_id")
@@ -450,10 +446,25 @@ def emb_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("sn", F.expr(_qnorm("sa")))
         )
+    return cents
+
+
+def emb_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q, c = _split(spark, sf_dir)
+    c = c.persist()  # scanned for seeds/sample + the one assignment pass
+    # Round-0 centroids: the seed vectors as (sum-array, norm).
+    seeds = c.filter(F.col("c_id") < N_QUERIES + IVF_K).select(
+        F.col("c_id").alias("cluster_id"),
+        F.col("ca").alias("sa"),
+        F.col("cn").alias("sn"),
+    )
+    cents = _kmeans_train(c, seeds)
     model = _as_model(cents)
     # Single full-corpus pass: map-side assignment to trained centroids.
     assign = c.crossJoin(broadcast(model)).select(
-        "c_id", "ca", "cn", F.expr(assign_expr).alias("cluster_id")
+        "c_id", "ca", "cn", F.expr(_ASSIGN_EXPR).alias("cluster_id")
     )
     # Probing is row-local too: sort the K scored structs, keep NPROBE.
     probe_expr = (
@@ -482,7 +493,11 @@ QUERIES["emb_kmeans_ivf"] = emb_kmeans_ivf
 # KM_SAMPLE_MOD constants as the Spark plan, so the two can't drift).
 # Training rounds see only the hash-sample (comps); the full corpus is
 # assigned once to the trained centroids (asgf) before probe+rerank.
-def _kmeans_oracle() -> str:
+def _kmeans_oracle(q_where: str = f"vec_id < {N_QUERIES}",
+                   c_where: str = f"vec_id >= {N_QUERIES}",
+                   samp_where: str = "TRUE",
+                   seed_where: str = f"c_id < {N_QUERIES + IVF_K}",
+                   exclude_self: bool = False) -> str:
     rounds = []
     prev_cent, prev_cn = "cent0", "cn0"
     for r in range(1, KM_ROUNDS + 1):
@@ -516,8 +531,8 @@ def _kmeans_oracle() -> str:
     samp_hash = STABLE_HASH_SQL("('km:' || CAST(c_id AS VARCHAR))")
     return f"""
         WITH
-        qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
-        cv AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id >= {N_QUERIES}),
+        qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE {q_where}),
+        cv AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE {c_where}),
         compc AS (
             SELECT c_id, unnest(range(1, len(ce) + 1)) AS pos,
                    CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT) AS x
@@ -530,10 +545,12 @@ def _kmeans_oracle() -> str:
         ),
         normc AS (SELECT c_id, sum(x * x) AS n2 FROM compc GROUP BY c_id),
         normq AS (SELECT q_id, sum(x * x) AS n2 FROM compq GROUP BY q_id),
-        samp AS (SELECT c_id FROM cv WHERE {samp_hash} % {KM_SAMPLE_MOD} = 0),
+        samp AS (SELECT c_id FROM cv
+                 WHERE {samp_hash} % {KM_SAMPLE_MOD} = 0
+                   AND ({samp_where})),
         comps AS (SELECT cc.* FROM compc cc JOIN samp USING (c_id)),
         cent0 AS (SELECT c_id AS cluster_id, pos, x AS s FROM compc
-                  WHERE c_id < {N_QUERIES + IVF_K}),
+                  WHERE {seed_where}),
         cn0 AS (SELECT cluster_id, sum(s * s) AS n2 FROM cent0 GROUP BY cluster_id),
         {",".join(rounds)},
         dota AS (
@@ -574,6 +591,7 @@ def _kmeans_oracle() -> str:
         ),
         pairsf AS (
             SELECT p.q_id, a.c_id FROM probes p JOIN asgf a USING (cluster_id)
+            {"WHERE a.c_id != p.q_id" if exclude_self else ""}
         ),
         dotf AS (
             SELECT pf.q_id, pf.c_id, sum(cq.x * cc.x) AS d
@@ -3067,6 +3085,142 @@ ORACLES["emb_incr_ann"] = f"""
     )
     WHERE rank <= 3
 """
+
+
+# ----------------- persisted IVF index + O(new-batch) maintenance
+#
+# emb_kmeans_ivf trains and assigns IN-QUERY; a production vector
+# store trains ONCE, commits the index, and every nightly batch only
+# (a) probes the committed index and (b) fast-appends its own
+# assignments — the vector-side medallion loop, matching the
+# doc_incr_* discipline. The fixture commits two versioned tables per
+# session: centroids (K rows) and assignments PARTITIONED BY
+# cluster_id (so a probe is a partition-pruned read at scale), then
+# appends the new batch's assignments through the Data-Source writer
+# (the committed fast-append path). The query never touches corpus
+# embeddings: its only embeddings.parquet scan is the new batch —
+# recurring cost O(new * K + new * probes * bucket), corpus-free
+# (plan-asserted in tests/test_similarity.py).
+_IVF_IDX_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _ivf_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import fixtures, versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _IVF_IDX_CACHE:
+        return _IVF_IDX_CACHE[key]
+    _t0 = fixtures.start()
+    import atexit
+    import shutil
+    import tempfile
+
+    cent_path = tempfile.mkdtemp(prefix="ivf_centroids_")
+    asg_path = tempfile.mkdtemp(prefix="ivf_assign_")
+    for p in (cent_path, asg_path):
+        atexit.register(shutil.rmtree, p, ignore_errors=True)
+    emb = table(spark, sf_dir, "embeddings")
+
+    def prep(df):
+        return (
+            df.select(
+                F.col("vec_id").alias("c_id"),
+                F.expr(_QUANT.format(col="embedding")).alias("ca"),
+            )
+            .withColumn("cn", F.expr(_qnorm("ca")))
+        )
+
+    corpus = prep(emb.filter("vec_id % 10 < 8")).persist()
+    seeds = corpus.filter(F.col("c_id") < IVF_K).select(
+        F.col("c_id").alias("cluster_id"),
+        F.col("ca").alias("sa"),
+        F.col("cn").alias("sn"),
+    )
+    cents = _kmeans_train(corpus, seeds)
+    versioned.write_version(
+        cents.select("cluster_id", "sa", "sn"), cent_path)
+    model = _as_model(versioned.read_version(spark, cent_path)
+                      .select("cluster_id", "sa", "sn"))
+    assign = corpus.crossJoin(broadcast(model)).select(
+        F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn",
+    )
+    versioned.write_version(assign, asg_path,
+                            partition_by=["cluster_id"])
+    # nightly increment: assign ONLY the new batch against the
+    # committed centroids and fast-append (v1) — corpus untouched
+    spark.dataSource.register(VersionedDataSource)
+    newa = prep(emb.filter("vec_id % 10 >= 8")) \
+        .crossJoin(broadcast(model)).select(
+            F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn",
+        )
+    (newa.write.format("versioned").mode("append")
+     .option("path", asg_path).save())
+    corpus.unpersist()
+    _IVF_IDX_CACHE[key] = (cent_path, asg_path)
+    fixtures.done("ivf_index", _t0)
+    return cent_path, asg_path
+
+
+def emb_incr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the COMMITTED IVF index: new-batch queries probe the
+    versioned centroid table (broadcast via its manifest stats) and
+    rerank inside probed clusters of the versioned assignment table —
+    which includes the batch's own fast-appended assignments (v1), so
+    the append is load-bearing. Self-matches excluded. The plan's only
+    embeddings scan is the new batch."""
+    from pyspark.sql.window import Window
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    cent_path, asg_path = _ivf_index_paths(spark, sf_dir)
+    model = _as_model(
+        versioned.read_version(spark, cent_path)
+        .select("cluster_id", "sa", "sn"))
+    q = (
+        table(spark, sf_dir, "embeddings")
+        .filter("vec_id % 10 >= 8")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.expr(_QUANT.format(col="embedding")).alias("qa"),
+        )
+        .withColumn("qn", F.expr(_qnorm("qa")))
+    )
+    probe_expr = (
+        f"transform(slice(reverse(array_sort({_model_scored('qa', 'qn')})), "
+        f"1, {IVF_NPROBE}), e -> e.cluster_id)"
+    )
+    probes = q.crossJoin(broadcast(model)).select(
+        "q_id", "qa", "qn",
+        F.explode(F.expr(probe_expr)).alias("cluster_id"),
+    )
+    committed = versioned.read_version(spark, asg_path)
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("c_id"))
+    return (
+        committed.join(broadcast(probes), "cluster_id")
+        .filter("c_id != q_id")
+        .select("q_id", "c_id", F.expr(_SIM).alias("sim"))
+        .withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "rank", "sim")
+    )
+
+
+QUERIES["emb_incr_ivf"] = emb_incr_ivf
+
+# replay: train on the corpus hash-sample, assign EVERY committed
+# vector (corpus + appended batch) to the trained centroids, probe the
+# new-batch queries, exclude self-matches
+ORACLES["emb_incr_ivf"] = _kmeans_oracle(
+    q_where="vec_id % 10 >= 8",
+    c_where="TRUE",
+    samp_where="c_id % 10 < 8",
+    seed_where=f"c_id < {IVF_K}",
+    exclude_self=True,
+)
 
 
 # ---------------------- contrastive mining: hard negatives / positives

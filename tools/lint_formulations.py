@@ -501,6 +501,8 @@ F_ALLOWLIST: dict[str, str] = {
     "emb_filtered_topk": _EMB_GRID_BOUND,
     "emb_hard_negatives": _EMB_GRID_BOUND,
     "emb_incr_ann": _EMB_GRID_BOUND,
+    "emb_incr_ivf": _EMB_GRID_BOUND,  # same oracle construction as
+    #    emb_kmeans_ivf (shared generator, split params only)
     "emb_ivf_ann": _EMB_GRID_BOUND,
     "emb_kmeans_ivf": _EMB_GRID_BOUND,
     "emb_knn_margin": _EMB_GRID_BOUND,
@@ -765,6 +767,7 @@ DOUBLE_ALLOWLIST: dict[str, set[str]] = {
     "emb_bq_rerank": {"sim"},
     "emb_filtered_topk": {"sim"},
     "emb_incr_ann": {"sim"},
+    "emb_incr_ivf": {"sim"},
     "emb_ivf_ann": {"sim"},
     "emb_kmeans_ivf": {"sim"},
     "emb_lsh_ann": {"sim"},
