@@ -4015,3 +4015,228 @@ ORACLES["lineitem_discount_elasticity"] = """
            END AS slope_e6
     FROM nd
 """
+
+
+# ------------------------------------------------- Benford digit audit
+#
+# First-significant-digit distribution of order totals vs Benford's
+# law — the classic fraud/synthetic-data screen a warehouse runs over
+# money columns. One groupBy over 9 digit groups (partial-agg collapses
+# per task before the exchange); expected shares are the exact
+# log10(1+1/d) ppm constants (they sum to exactly 1e6), baked as
+# literals in BOTH engines so no floating log runs anywhere. The
+# per-digit chi-square contribution rides the DECIMAL(38,0) grid:
+# (share-exp)^2 <= 1e12 regardless of corpus size.
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+_BENFORD_CASE = ("CASE digit " + " ".join(
+    f"WHEN {d} THEN {e}" for d, e in _BENFORD_PPM.items()) + " END")
+
+
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    by_d = (
+        o.select(F.expr(
+            "CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(15,2)) "
+            "AS STRING), 1, 1) AS BIGINT)").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = by_d.groupBy().agg(F.sum("n_orders").alias("n_total"))
+    return (
+        by_d.crossJoin(broadcast(tot))
+        .selectExpr(
+            "digit", "n_orders",
+            "CAST(CAST(n_orders AS DECIMAL(38,0)) * 1000000 "
+            "DIV n_total AS BIGINT) AS share_ppm",
+            f"CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm",
+        )
+        .selectExpr(
+            "digit", "n_orders", "share_ppm", "expected_ppm",
+            "CAST(CAST(share_ppm - expected_ppm AS DECIMAL(38,0)) "
+            "* (share_ppm - expected_ppm) DIV expected_ppm AS BIGINT) "
+            "AS chi2_contrib_ppm",
+        )
+    )
+
+
+QUERIES["orders_benford"] = orders_benford
+
+ORACLES["orders_benford"] = f"""
+    WITH by_d AS (
+        SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(15,2))
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_orders) AS n_total FROM by_d),
+    shares AS (
+        SELECT digit, n_orders,
+               CAST(CAST(n_orders AS HUGEINT) * 1000000
+                    // n_total AS BIGINT) AS share_ppm,
+               CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm
+        FROM by_d CROSS JOIN tot
+    )
+    SELECT digit, n_orders, share_ppm, expected_ppm,
+           CAST(CAST(share_ppm - expected_ppm AS HUGEINT)
+                * (share_ppm - expected_ppm)
+                // expected_ppm AS BIGINT) AS chi2_contrib_ppm
+    FROM shares
+"""
+
+
+# --------------------------------- supplier concentration (HHI) audit
+#
+# Herfindahl-Hirschman index of supplier revenue concentration within
+# each nation — the procurement-risk rollup. Supplier revenues partial-
+# agg on the exact e4 money grid; per-nation totals are a 25-row
+# broadcast; shares collapse to ppm BEFORE squaring, so the HHI sum is
+# corpus-size-INDEPENDENT (share_ppm <= 1e6, sum of squares <= 1e12 *
+# n_suppliers on the DECIMAL(38,0) grid — no overflow at any scale,
+# where squaring raw revenues would pass 1e40 at 100 TB).
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 "
+            "AS DECIMAL(38,0))").alias("rev_e4"))
+    )
+    nat = rev.groupBy("n_name").agg(
+        F.expr("SUM(rev_e4)").alias("nat_e4"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    shares = rev.join(broadcast(nat), "n_name").selectExpr(
+        "n_name", "n_suppliers",
+        "CAST(rev_e4 * 1000000 DIV nat_e4 AS BIGINT) AS share_ppm",
+    )
+    return shares.groupBy("n_name", "n_suppliers").agg(
+        F.expr("CAST(SUM(CAST(share_ppm AS DECIMAL(38,0)) * share_ppm) "
+               "DIV 1000000 AS BIGINT)").alias("hhi_ppm"),
+        F.expr("MAX(share_ppm)").alias("top_share_ppm"),
+    )
+
+
+QUERIES["nation_supplier_hhi"] = nation_supplier_hhi
+
+ORACLES["nation_supplier_hhi"] = """
+    WITH rev AS (
+        SELECT n_name, s_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000
+                    AS HUGEINT) AS rev_e4
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    nat AS (
+        SELECT n_name, SUM(rev_e4) AS nat_e4,
+               count(*) AS n_suppliers
+        FROM rev GROUP BY 1
+    ),
+    shares AS (
+        SELECT r.n_name, n_suppliers,
+               CAST(rev_e4 * 1000000 // nat_e4 AS BIGINT) AS share_ppm
+        FROM rev r JOIN nat USING (n_name)
+    )
+    SELECT n_name, n_suppliers,
+           CAST(SUM(CAST(share_ppm AS HUGEINT) * share_ppm)
+                // 1000000 AS BIGINT) AS hhi_ppm,
+           MAX(share_ppm) AS top_share_ppm
+    FROM shares GROUP BY 1, 2
+"""
+
+
+# ----------------------------------- Mann-Whitney U (distributed form)
+#
+# Rank-sum test for "do urgent orders carry different totals?" —
+# computed WITHOUT a global row sort: rows partial-agg to per-VALUE
+# counts first (the distinct domain is the cents price grid, bounded
+# by the grid not the corpus), then one window cumsum over distinct
+# values yields U exactly, ties counted half via the x2 integer grid:
+# U2 = Σ ch·(2·cl_before + cl). At 100 TB the row count is ~1e11 but
+# the windowed relation stays ≤ |price grid| rows — this is the
+# histogram form a distributed engine must use (the textbook
+# rank-every-row form is a global sort of the corpus). AUC (the
+# common-language effect size, U/(nH·nL)) lands on the ppm grid;
+# U2 ≤ 2·nH·nL ≤ ~2e20 and ·1e6 ≤ 2e26 ride DECIMAL(38,0)/HUGEINT.
+# The cumsum itself is TWO-LEVEL (within price band + band offsets) so
+# no window ever moves the value histogram to a single partition —
+# only the ~#bands offset relation sorts globally.
+def orders_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    g = o.selectExpr(
+        "CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS v",
+        "CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INT) AS hi",
+    )
+    counts = g.groupBy("v").agg(
+        F.expr("SUM(hi)").alias("ch"),
+        F.expr("SUM(1 - hi)").alias("cl"),
+    ).withColumn("band", F.expr("v DIV 1000000"))
+    wb = Window.partitionBy("band").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    within = counts.withColumn(
+        "cl_in", F.coalesce(F.sum("cl").over(wb), F.lit(0)))
+    wo = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        counts.groupBy("band").agg(F.sum("cl").alias("bcl"))
+        .withColumn("cl_off", F.coalesce(F.sum("bcl").over(wo), F.lit(0)))
+        .select("band", "cl_off")
+    )
+    cum = within.join(broadcast(boff), "band").withColumn(
+        "cl_before", F.expr("cl_in + cl_off"))
+    return cum.groupBy().agg(
+        F.expr("SUM(ch)").alias("n_high"),
+        F.expr("SUM(cl)").alias("n_low"),
+        F.expr("SUM(CAST(ch AS DECIMAL(38,0)) "
+               "* (2 * cl_before + cl))").alias("u2"),
+    ).selectExpr(
+        "CAST(n_high AS BIGINT) AS n_high",
+        "CAST(n_low AS BIGINT) AS n_low",
+        "CAST(u2 AS BIGINT) AS u2_stat",
+        "CAST(u2 * 1000000 DIV (2 * CAST(n_high AS DECIMAL(38,0)) "
+        "* n_low) AS BIGINT) AS auc_ppm",
+    )
+
+
+QUERIES["orders_mannwhitney"] = orders_mannwhitney
+
+ORACLES["orders_mannwhitney"] = """
+    WITH g AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+                   AS v,
+               CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INT)
+                   AS hi
+        FROM orders
+    ),
+    counts AS (
+        SELECT v, SUM(hi) AS ch, SUM(1 - hi) AS cl
+        FROM g GROUP BY v
+    ),
+    cum AS (
+        SELECT v, ch, cl,
+               COALESCE(SUM(cl) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cl_before
+        FROM counts
+    ),
+    agg AS (
+        SELECT SUM(ch) AS n_high, SUM(cl) AS n_low,
+               SUM(CAST(ch AS HUGEINT) * (2 * cl_before + cl)) AS u2
+        FROM cum
+    )
+    SELECT CAST(n_high AS BIGINT) AS n_high,
+           CAST(n_low AS BIGINT) AS n_low,
+           CAST(u2 AS BIGINT) AS u2_stat,
+           CAST(u2 * 1000000 // (2 * CAST(n_high AS HUGEINT) * n_low)
+               AS BIGINT) AS auc_ppm
+    FROM agg
+"""
