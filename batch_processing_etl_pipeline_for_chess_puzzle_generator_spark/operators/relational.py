@@ -3053,9 +3053,11 @@ ORACLES["orders_theilsen_trend"] = """
 # approximation's variance uses Σ(t³−t) (exact BIGINT over the same
 # histogram); z is one identical row-local double formula on the ×1e3
 # grid. At 100 TB the histogram is bounded by value cardinality (a
-# money column's distinct cents), not row count — the one window sort
-# runs over that table; with an unbounded-cardinality column you'd
-# range-partition ranks like abc_parts_revenue.
+# money column's distinct cents), not row count — and since r11 even
+# that table never single-partitions: the cumulative count is
+# TWO-LEVEL (partitioned within price band + a broadcast of the
+# ~#bands offset relation), the abc_parts_revenue discipline, so the
+# only ORDER-BY-everything window runs over bands.
 _MWU_A = "'1-URGENT'"
 _MWU_B = "'5-LOW'"
 
@@ -3075,11 +3077,24 @@ def stat_orders_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("SUM(in_a)").alias("na_v"),
             F.expr("SUM(1 - in_a)").alias("nb_v"),
         )
+        .withColumn("band", F.expr("v DIV 1000000"))
     )
-    w = "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
-    cum = hist.selectExpr(
+    win = ("PARTITION BY band ORDER BY v "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
+    within = hist.selectExpr(
+        "band", "na_v", "nb_v",
+        f"COALESCE(SUM(nb_v) OVER ({win}), 0) AS cumb_in",
+    )
+    wo = ("ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING "
+          "AND 1 PRECEDING")
+    boff = (
+        hist.groupBy("band").agg(F.expr("SUM(nb_v)").alias("b_nb"))
+        .selectExpr("band",
+                    f"COALESCE(SUM(b_nb) OVER ({wo}), 0) AS cumb_off")
+    )
+    cum = within.join(broadcast(boff), "band").selectExpr(
         "na_v", "nb_v",
-        f"COALESCE(SUM(nb_v) OVER ({w}), 0) AS cumb_before",
+        "cumb_in + cumb_off AS cumb_before",
         "na_v + nb_v AS t",
     )
     # count×cum-count products reach n² ≈ 1e22 (and t³ ≈ 1e36) at
@@ -4153,90 +4168,3 @@ ORACLES["nation_supplier_hhi"] = """
 """
 
 
-# ----------------------------------- Mann-Whitney U (distributed form)
-#
-# Rank-sum test for "do urgent orders carry different totals?" —
-# computed WITHOUT a global row sort: rows partial-agg to per-VALUE
-# counts first (the distinct domain is the cents price grid, bounded
-# by the grid not the corpus), then one window cumsum over distinct
-# values yields U exactly, ties counted half via the x2 integer grid:
-# U2 = Σ ch·(2·cl_before + cl). At 100 TB the row count is ~1e11 but
-# the windowed relation stays ≤ |price grid| rows — this is the
-# histogram form a distributed engine must use (the textbook
-# rank-every-row form is a global sort of the corpus). AUC (the
-# common-language effect size, U/(nH·nL)) lands on the ppm grid;
-# U2 ≤ 2·nH·nL ≤ ~2e20 and ·1e6 ≤ 2e26 ride DECIMAL(38,0)/HUGEINT.
-# The cumsum itself is TWO-LEVEL (within price band + band offsets) so
-# no window ever moves the value histogram to a single partition —
-# only the ~#bands offset relation sorts globally.
-def orders_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    o = table(spark, sf_dir, "orders")
-    g = o.selectExpr(
-        "CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS v",
-        "CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INT) AS hi",
-    )
-    counts = g.groupBy("v").agg(
-        F.expr("SUM(hi)").alias("ch"),
-        F.expr("SUM(1 - hi)").alias("cl"),
-    ).withColumn("band", F.expr("v DIV 1000000"))
-    wb = Window.partitionBy("band").orderBy("v") \
-        .rowsBetween(Window.unboundedPreceding, -1)
-    within = counts.withColumn(
-        "cl_in", F.coalesce(F.sum("cl").over(wb), F.lit(0)))
-    wo = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
-    boff = (
-        counts.groupBy("band").agg(F.sum("cl").alias("bcl"))
-        .withColumn("cl_off", F.coalesce(F.sum("bcl").over(wo), F.lit(0)))
-        .select("band", "cl_off")
-    )
-    cum = within.join(broadcast(boff), "band").withColumn(
-        "cl_before", F.expr("cl_in + cl_off"))
-    return cum.groupBy().agg(
-        F.expr("SUM(ch)").alias("n_high"),
-        F.expr("SUM(cl)").alias("n_low"),
-        F.expr("SUM(CAST(ch AS DECIMAL(38,0)) "
-               "* (2 * cl_before + cl))").alias("u2"),
-    ).selectExpr(
-        "CAST(n_high AS BIGINT) AS n_high",
-        "CAST(n_low AS BIGINT) AS n_low",
-        "CAST(u2 AS BIGINT) AS u2_stat",
-        "CAST(u2 * 1000000 DIV (2 * CAST(n_high AS DECIMAL(38,0)) "
-        "* n_low) AS BIGINT) AS auc_ppm",
-    )
-
-
-QUERIES["orders_mannwhitney"] = orders_mannwhitney
-
-ORACLES["orders_mannwhitney"] = """
-    WITH g AS (
-        SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
-                   AS v,
-               CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INT)
-                   AS hi
-        FROM orders
-    ),
-    counts AS (
-        SELECT v, SUM(hi) AS ch, SUM(1 - hi) AS cl
-        FROM g GROUP BY v
-    ),
-    cum AS (
-        SELECT v, ch, cl,
-               COALESCE(SUM(cl) OVER (ORDER BY v
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS cl_before
-        FROM counts
-    ),
-    agg AS (
-        SELECT SUM(ch) AS n_high, SUM(cl) AS n_low,
-               SUM(CAST(ch AS HUGEINT) * (2 * cl_before + cl)) AS u2
-        FROM cum
-    )
-    SELECT CAST(n_high AS BIGINT) AS n_high,
-           CAST(n_low AS BIGINT) AS n_low,
-           CAST(u2 AS BIGINT) AS u2_stat,
-           CAST(u2 * 1000000 // (2 * CAST(n_high AS HUGEINT) * n_low)
-               AS BIGINT) AS auc_ppm
-    FROM agg
-"""
