@@ -527,6 +527,11 @@ _DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+versioned\.`(?P<path>[^`]+)`\s*;?\s*$",
     re.IGNORECASE,
 )
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
+    r"(?:\s+COMPUTE\s+STATISTICS(?:\s+NOSCAN)?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+versioned\.`(?P<path>[^`]+)`\s*;?\s*$",
     re.IGNORECASE,
@@ -580,6 +585,11 @@ def maintenance_sql(spark: SparkSession, statement: str):
     m = _DETAIL_RE.match(statement)
     if m:
         return versioned.describe_detail(spark, m["path"])
+    m = _ANALYZE_RE.match(statement)
+    if m:
+        # the engine's stats are manifest-served and always current —
+        # ANALYZE (with or without NOSCAN) just reads them back
+        return versioned.table_statistics(m["path"])
     m = _HISTORY_RE.match(statement)
     if m:
         return versioned.history(spark, m["path"])
@@ -1015,7 +1025,7 @@ def sql(spark: SparkSession, statement: str):
             return shallow_clone(spark, statement)
         return create_table_as(spark, statement)
     if head in ("RESTORE", "VACUUM", "OPTIMIZE", "DESCRIBE", "ALTER",
-                "CONVERT", "FSCK", "REORG", "GENERATE"):
+                "CONVERT", "FSCK", "REORG", "GENERATE", "ANALYZE"):
         return maintenance_sql(spark, statement)
     if head in ("SELECT", "WITH"):
         return spark.sql(_rewrite_versioned_refs(spark, statement))

@@ -3820,12 +3820,16 @@ def describe_detail(spark: SparkSession, table_path: str) -> DataFrame:
     m = _load_manifest(table_path, v)
     files = (m["files"] if "files" in m
              else _list_data_files(table_path, m["dir"]))
+    fb = m.get("file_bytes") or {}
     size = 0
     for f in files:
-        try:
-            size += os.path.getsize(_abs_file(table_path, f))
-        except OSError:
-            pass
+        b = fb.get(f)  # recorded at commit; os.stat only for legacy
+        if b is None:
+            try:
+                b = os.path.getsize(_abs_file(table_path, f))
+            except OSError:
+                b = 0
+        size += b
     rc = m.get("row_counts") or {}
     counts = [rc.get(f) for f in files]
     row = (

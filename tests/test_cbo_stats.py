@@ -118,6 +118,22 @@ def test_fact_snapshot_does_not_hint(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
+def test_analyze_table_sql_route(spark, tmp_path):
+    """ANALYZE TABLE reads the manifest-served statistics back — with
+    or without COMPUTE STATISTICS [NOSCAN]; they are always current
+    (recorded at commit), so no scan ever runs."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql as vsql
+
+    path = _mk(spark, str(tmp_path / "t"), n=50)
+    for stmt in (f"ANALYZE TABLE versioned.`{path}`",
+                 f"ANALYZE TABLE versioned.`{path}` COMPUTE STATISTICS",
+                 f"ANALYZE TABLE versioned.`{path}` "
+                 "COMPUTE STATISTICS NOSCAN"):
+        st = vsql(spark, stmt)
+        assert st == versioned.table_statistics(path)
+        assert st["row_count"] == 50 and st["size_in_bytes"] > 0
+
+
 def test_stats_hint_opt_out(spark, tmp_path):
     """stats_hint=False returns the unhinted plan (callers composing
     their own join strategy, e.g. inside MERGE internals)."""
