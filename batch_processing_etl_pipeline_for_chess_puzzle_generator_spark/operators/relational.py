@@ -4032,78 +4032,14 @@ ORACLES["lineitem_discount_elasticity"] = """
 """
 
 
-# ------------------------------------------------- Benford digit audit
-#
-# First-significant-digit distribution of order totals vs Benford's
-# law — the classic fraud/synthetic-data screen a warehouse runs over
-# money columns. One groupBy over 9 digit groups (partial-agg collapses
-# per task before the exchange); expected shares are the exact
-# log10(1+1/d) ppm constants (they sum to exactly 1e6), baked as
-# literals in BOTH engines so no floating log runs anywhere. The
-# per-digit chi-square contribution rides the DECIMAL(38,0) grid:
-# (share-exp)^2 <= 1e12 regardless of corpus size.
-_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
-                6: 66947, 7: 57992, 8: 51153, 9: 45757}
-_BENFORD_CASE = ("CASE digit " + " ".join(
-    f"WHEN {d} THEN {e}" for d, e in _BENFORD_PPM.items()) + " END")
-
-
-def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    by_d = (
-        o.select(F.expr(
-            "CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(15,2)) "
-            "AS STRING), 1, 1) AS BIGINT)").alias("digit"))
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-    tot = by_d.groupBy().agg(F.sum("n_orders").alias("n_total"))
-    return (
-        by_d.crossJoin(broadcast(tot))
-        .selectExpr(
-            "digit", "n_orders",
-            "CAST(CAST(n_orders AS DECIMAL(38,0)) * 1000000 "
-            "DIV n_total AS BIGINT) AS share_ppm",
-            f"CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm",
-        )
-        .selectExpr(
-            "digit", "n_orders", "share_ppm", "expected_ppm",
-            "CAST(CAST(share_ppm - expected_ppm AS DECIMAL(38,0)) "
-            "* (share_ppm - expected_ppm) DIV expected_ppm AS BIGINT) "
-            "AS chi2_contrib_ppm",
-        )
-    )
-
-
-QUERIES["orders_benford"] = orders_benford
-
-ORACLES["orders_benford"] = f"""
-    WITH by_d AS (
-        SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(15,2))
-                              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-               count(*) AS n_orders
-        FROM orders GROUP BY 1
-    ),
-    tot AS (SELECT sum(n_orders) AS n_total FROM by_d),
-    shares AS (
-        SELECT digit, n_orders,
-               CAST(CAST(n_orders AS HUGEINT) * 1000000
-                    // n_total AS BIGINT) AS share_ppm,
-               CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm
-        FROM by_d CROSS JOIN tot
-    )
-    SELECT digit, n_orders, share_ppm, expected_ppm,
-           CAST(CAST(share_ppm - expected_ppm AS HUGEINT)
-                * (share_ppm - expected_ppm)
-                // expected_ppm AS BIGINT) AS chi2_contrib_ppm
-    FROM shares
-"""
 
 
 # --------------------------------- supplier concentration (HHI) audit
 #
 # Herfindahl-Hirschman index of supplier revenue concentration within
-# each nation — the procurement-risk rollup. Supplier revenues partial-
+# each nation — the procurement-risk rollup (part_type_hhi is the
+# same statistic on the part-type axis; this one also demonstrates
+# the integer formulation that stays exact at any scale). Supplier revenues partial-
 # agg on the exact e4 money grid; per-nation totals are a 25-row
 # broadcast; shares collapse to ppm BEFORE squaring, so the HHI sum is
 # corpus-size-INDEPENDENT (share_ppm <= 1e6, sum of squares <= 1e12 *
