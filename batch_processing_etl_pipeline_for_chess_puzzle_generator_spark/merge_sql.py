@@ -588,8 +588,15 @@ def maintenance_sql(spark: SparkSession, statement: str):
     m = _ANALYZE_RE.match(statement)
     if m:
         # the engine's stats are manifest-served and always current —
-        # ANALYZE (with or without NOSCAN) just reads them back
-        return versioned.table_statistics(m["path"])
+        # ANALYZE (with or without NOSCAN) just reads them back, as a
+        # one-row DataFrame so sql() callers can uniformly
+        # .collect()/.show() statement results (DESCRIBE DETAIL's
+        # shape; Spark's own ANALYZE returns a DataFrame too)
+        st = versioned.table_statistics(m["path"])
+        return spark.createDataFrame(
+            [(st["row_count"], st["size_in_bytes"], st["num_files"])],
+            "row_count LONG, size_in_bytes LONG, num_files LONG",
+        )
     m = _HISTORY_RE.match(statement)
     if m:
         return versioned.history(spark, m["path"])

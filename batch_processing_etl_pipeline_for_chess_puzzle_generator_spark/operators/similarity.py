@@ -3862,27 +3862,36 @@ def emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["emb_pca_topk"] = emb_pca_topk
 
-ORACLES["emb_pca_top1"] = f"""
-    WITH v AS (
+def _pca_common_sql(mat: str = "") -> str:
+    """Shared emb_pca_top1/emb_pca_topk oracle prefix: components →
+    integer grid → moment pass → normalized covariance (through the
+    ``cov`` CTE). ``mat="MATERIALIZED "`` pins each CTE once — DuckDB
+    inlines plain CTEs per-reference (view semantics), which re-opens
+    the parquet and re-runs the heavy moment pass for a consumer like
+    the topk oracle that references ``cov`` many times. Emitted HERE,
+    in the template, so no post-hoc string surgery can misfire on a
+    future ``AS (`` that isn't a CTE definition."""
+    return f"""
+    WITH v AS {mat}(
         SELECT vec_id AS c_id, embedding AS ce FROM embeddings
         WHERE vec_id >= {N_QUERIES}
     ),
-    comp AS (
+    comp AS {mat}(
         SELECT c_id,
                unnest(range(1, len(ce) + 1)) - 1 AS pos,
                CAST(round(CAST(unnest(ce) AS DOUBLE) * 1000000) AS BIGINT)
                    AS x
         FROM v
     ),
-    n_tot AS (SELECT count(DISTINCT c_id) AS n FROM comp),
-    sums AS (SELECT pos, sum(x) AS sx FROM comp GROUP BY pos),
-    xmom AS (
+    n_tot AS {mat}(SELECT count(DISTINCT c_id) AS n FROM comp),
+    sums AS {mat}(SELECT pos, sum(x) AS sx FROM comp GROUP BY pos),
+    xmom AS {mat}(
         SELECT a.pos AS i, b.pos AS j,
                sum(CAST(a.x AS HUGEINT) * b.x) AS sxx
         FROM comp a JOIN comp b USING (c_id)
         GROUP BY 1, 2
     ),
-    craw AS (
+    craw AS {mat}(
         SELECT i, j,
                CAST(n AS HUGEINT) * sxx
                    - CAST(si.sx AS HUGEINT) * sj.sx AS cr
@@ -3891,16 +3900,19 @@ ORACLES["emb_pca_top1"] = f"""
         JOIN sums sj ON sj.pos = j
         CROSS JOIN n_tot
     ),
-    cmax AS (
+    cmax AS {mat}(
         SELECT GREATEST(MAX(ABS(cr)), CAST(1 AS HUGEINT)) AS cm
         FROM craw),
-    cov AS (
+    cov AS {mat}(
         SELECT i, j,
                CASE WHEN cr >= 0 THEN
                    CAST(cr * 1000000 // cm AS BIGINT)
                ELSE -CAST((-cr) * 1000000 // cm AS BIGINT) END AS cv
         FROM craw CROSS JOIN cmax
-    ),
+    )"""
+
+
+ORACLES["emb_pca_top1"] = _pca_common_sql() + """,
     v0 AS (SELECT pos, CAST(1000000 AS BIGINT) AS vv FROM sums),
     w1 AS (
         SELECT i, sum(CAST(cv AS HUGEINT) * vv) AS wr
@@ -3944,18 +3956,21 @@ ORACLES["emb_pca_top1"] = f"""
 """
 
 
-def _pca_power_sql(cov: str, v0: str, prefix: str, steps: int = 3):
+def _pca_power_sql(cov: str, v0: str, prefix: str, steps: int = 3,
+                   mat: str = ""):
     """DuckDB CTE chain replaying _pca_power's unrolled integer-grid
-    steps over the ``cov`` CTE; returns (ctes, final_v_name)."""
+    steps over the ``cov`` CTE; returns (ctes, final_v_name).
+    ``mat="MATERIALIZED "`` is emitted in the template (see
+    _pca_common_sql)."""
     ctes, prev = [], v0
     for s in range(1, steps + 1):
-        ctes.append(f"""{prefix}w{s} AS (
+        ctes.append(f"""{prefix}w{s} AS {mat}(
         SELECT i, sum(CAST(cv AS HUGEINT) * vv) AS wr
         FROM {cov} JOIN {prev} ON {prev}.pos = {cov}.j GROUP BY i)""")
-        ctes.append(f"""{prefix}m{s} AS (
+        ctes.append(f"""{prefix}m{s} AS {mat}(
         SELECT GREATEST(MAX(ABS(wr)), CAST(1 AS HUGEINT)) AS wm
         FROM {prefix}w{s})""")
-        ctes.append(f"""{prefix}v{s} AS (
+        ctes.append(f"""{prefix}v{s} AS {mat}(
         SELECT i AS pos,
                CASE WHEN wr >= 0 THEN CAST(wr * 1000000 // wm AS BIGINT)
                ELSE -CAST((-wr) * 1000000 // wm AS BIGINT) END AS vv
@@ -3965,23 +3980,24 @@ def _pca_power_sql(cov: str, v0: str, prefix: str, steps: int = 3):
 
 
 def _pca_topk_oracle() -> str:
-    # shared prefix: identical to the top1 oracle through cov + v0
-    base = ORACLES["emb_pca_top1"]
-    head = base[: base.index(",\n    v0 AS")]
-    a_ctes, a_v = _pca_power_sql("cov", "v0", "a_")
-    b_ctes, b_v = _pca_power_sql("cov2", "v0", "b_")
+    # shared prefix: identical to the top1 oracle through cov, with
+    # every CTE pinned MATERIALIZED at the template level
+    head = _pca_common_sql(mat="MATERIALIZED ")
+    a_ctes, a_v = _pca_power_sql("cov", "v0", "a_", mat="MATERIALIZED ")
+    b_ctes, b_v = _pca_power_sql("cov2", "v0", "b_", mat="MATERIALIZED ")
     parts = [head, """,
-    v0 AS (SELECT pos, CAST(1000000 AS BIGINT) AS vv FROM sums)"""]
+    v0 AS MATERIALIZED (
+        SELECT pos, CAST(1000000 AS BIGINT) AS vv FROM sums)"""]
     parts += [",\n    " + c for c in a_ctes]
     parts.append(f""",
-    lam AS (
+    lam AS MATERIALIZED (
         SELECT SUM(CAST(cv AS HUGEINT) * vi.vv * vj.vv) AS numer,
                (SELECT SUM(CAST(vv AS HUGEINT) * vv) FROM {a_v})
                    AS denom
         FROM cov
         JOIN {a_v} vi ON vi.pos = cov.i
         JOIN {a_v} vj ON vj.pos = cov.j),
-    cov2 AS (
+    cov2 AS MATERIALIZED (
         SELECT i, j,
                CAST(cv - (CASE WHEN numer * vi.vv * vj.vv >= 0 THEN
                    (numer * vi.vv * vj.vv) // (denom * denom)
@@ -3993,10 +4009,12 @@ def _pca_topk_oracle() -> str:
         CROSS JOIN lam)""")
     parts += [",\n    " + c for c in b_ctes]
     parts.append(f""",
-    a_sg AS (SELECT CASE WHEN vv >= 0 THEN 1 ELSE -1 END AS sg
-             FROM {a_v} ORDER BY ABS(vv) DESC, pos LIMIT 1),
-    b_sg AS (SELECT CASE WHEN vv >= 0 THEN 1 ELSE -1 END AS sg
-             FROM {b_v} ORDER BY ABS(vv) DESC, pos LIMIT 1)
+    a_sg AS MATERIALIZED (
+        SELECT CASE WHEN vv >= 0 THEN 1 ELSE -1 END AS sg
+        FROM {a_v} ORDER BY ABS(vv) DESC, pos LIMIT 1),
+    b_sg AS MATERIALIZED (
+        SELECT CASE WHEN vv >= 0 THEN 1 ELSE -1 END AS sg
+        FROM {b_v} ORDER BY ABS(vv) DESC, pos LIMIT 1)
     SELECT CAST(1 AS BIGINT) AS component, CAST(pos AS BIGINT) AS pos,
            CAST(vv * sg AS BIGINT) AS loading_ppm
     FROM {a_v} CROSS JOIN a_sg
@@ -4004,12 +4022,7 @@ def _pca_topk_oracle() -> str:
     SELECT CAST(2 AS BIGINT) AS component, CAST(pos AS BIGINT) AS pos,
            CAST(vv * sg AS BIGINT) AS loading_ppm
     FROM {b_v} CROSS JOIN b_sg""")
-    # DuckDB inlines plain CTEs (view semantics): cov/cov2 are
-    # referenced many times here and the inlining re-opens the parquet
-    # per reference ("too many open files") and re-runs the moment
-    # pass. MATERIALIZED pins each CTE once — the oracle-side analog
-    # of the Spark formulation's localCheckpoint.
-    return "".join(parts).replace(" AS (", " AS MATERIALIZED (")
+    return "".join(parts)
 
 
 ORACLES["emb_pca_topk"] = _pca_topk_oracle()

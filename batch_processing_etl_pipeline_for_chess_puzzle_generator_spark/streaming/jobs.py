@@ -926,18 +926,28 @@ def dau_overlap_stream(events: DataFrame,
 
 # -------------------------------------------- materialized-view upkeep
 
+_MV_TXN_APP = "mv_monthly_rollup"
+
+
 def mv_applied_source_version(mv_path: str) -> int | None:
     """Highest source-table version whose changes a maintained rollup
-    has applied (the Delta txnAppId/txnVersion idempotency stamp) —
-    scanned backward over manifests so metadata-only commits between
-    maintenance merges don't hide it. None for a fresh MV."""
+    has applied (the Delta txnAppId/txnVersion idempotency stamp).
+    Served by the versioned layer's ``txn`` ledger, which every commit
+    carries forward — ONE manifest load (the latest), O(1) per
+    micro-batch regardless of how many commits the MV has accumulated.
+    Falls back to a backward manifest scan only for MVs stamped by the
+    pre-ledger format. None for a fresh MV."""
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
+    got = versioned.txn_version(mv_path, _MV_TXN_APP)
+    if got is not None:
+        return got
+    # legacy stamp (pre-txn-ledger manifests): backward scan
     for v in reversed(versioned.versions(mv_path)):
-        got = versioned._load_manifest(mv_path, v).get(
+        old = versioned._load_manifest(mv_path, v).get(
             "mv_applied_src_version")
-        if got is not None:
-            return int(got)
+        if old is not None:
+            return int(old)
     return None
 
 
@@ -959,9 +969,14 @@ def maintain_monthly_rollup(spark, src_path: str, mv_path: str,
     their files byte-identically, a month whose count reaches 0 is
     deleted (it leaves the view). Exactly-once comes from stamping the
     highest consumed source version on the SAME merge commit
-    (``mv_applied_src_version``, Delta's txn stamp): a replayed batch
-    — foreachBatch re-delivery, or a restart with a fresh checkpoint —
-    sees the stamp and skips, so deltas are never double-applied.
+    (``mv_applied_src_version``, Delta's txn stamp): every batch is
+    first filtered PER-ROW to ``_commit_version > stamp`` before any
+    aggregation, so idempotency is per-version, not per-batch. A
+    fresh-checkpoint restart after the source has advanced delivers
+    ONE availableNow batch mixing already-applied versions with new
+    ones; the row filter re-applies only the versions past the stamp —
+    a whole-batch skip keyed on max(_commit_version) would double-apply
+    every old delta in that mixed batch.
 
     Incremental by construction: per batch the work is O(changes) +
     O(affected months), never a rebuild — the streaming twin of the
@@ -978,6 +993,12 @@ def maintain_monthly_rollup(spark, src_path: str, mv_path: str,
             "THEN -1 ELSE 1 END")
 
     def apply_batch(batch, _bid: int) -> None:
+        # Per-version idempotency: drop rows at-or-below the stamp
+        # BEFORE aggregating, so a mixed replay batch (fresh
+        # checkpoint + advanced source) re-applies only new versions.
+        last = mv_applied_source_version(mv_path)
+        if last is not None:
+            batch = batch.filter(F.col("_commit_version") > last)
         deltas = (
             batch.groupBy(month)
             .agg(
@@ -989,11 +1010,8 @@ def maintain_monthly_rollup(spark, src_path: str, mv_path: str,
         ).localCheckpoint()  # pin: consumed twice below
         row = deltas.agg(F.max("hi")).collect()
         if not row or row[0][0] is None:
-            return
+            return  # fully-applied replay (or empty batch)
         hi = int(row[0][0])
-        last = mv_applied_source_version(mv_path)
-        if last is not None and hi <= last:
-            return  # replayed batch: the stamp says already applied
         cur = versioned.read_version(spark, mv_path, stats_hint=False)
         merged = (
             deltas.join(cur, "month", "left")
@@ -1008,7 +1026,7 @@ def maintain_monthly_rollup(spark, src_path: str, mv_path: str,
         )
         versioned.merge_version_cow(
             spark, mv_path, merged, "month",
-            extra_manifest={"mv_applied_src_version": hi},
+            extra_manifest={"txn": {_MV_TXN_APP: hi}},
         )
 
     if not versioned.versions(mv_path):

@@ -1322,27 +1322,39 @@ def _publish(table_path: str, manifest: dict) -> int:
     # isn't actually smaller, e.g. an overwrite) writes a full
     # snapshot, bounding reader replay. A vacuumed/absent parent just
     # means a full snapshot — the log self-heals.
-    payload = json.dumps(manifest)
+    parent = None
     if version > 0:
         try:
             parent_raw = _read_raw_manifest(table_path, version - 1)
         except (FileNotFoundError, ValueError):
             parent_raw = None
         if parent_raw is not None and parent_raw.get("version") == version - 1:
-            depth = (parent_raw.get("~depth", 0)
-                     if "~of" in parent_raw else 0) + 1
-            if depth < _checkpoint_interval(manifest):
-                parent = (_load_manifest(table_path, version - 1)
-                          if "~of" in parent_raw else parent_raw)
-                record = _encode_manifest_delta(parent, manifest, depth)
-                # the delta RECORD itself needs the delta-manifests
-                # reader feature on top of the content's features
-                record["features"] = sorted(
-                    set(manifest.get("features") or ())
-                    | {"delta-manifests"})
-                delta = json.dumps(record)
-                if len(delta) < len(payload):
-                    payload = delta
+            parent = (_load_manifest(table_path, version - 1)
+                      if "~of" in parent_raw else parent_raw)
+            # txn ledger (Delta SetTransaction analog): per-app
+            # idempotency stamps ride EVERY commit forward, so
+            # ``txn_version`` reads the LATEST manifest only — never a
+            # backward scan. A commit's own stamps win over inherited
+            # ones. Carried here, at the single publish choke point,
+            # so OPTIMIZE/CLONE/DML on the same table can't drop a
+            # streaming writer's stamp.
+            ptxn = parent.get("txn")
+            if ptxn:
+                manifest["txn"] = {**ptxn, **(manifest.get("txn") or {})}
+    payload = json.dumps(manifest)
+    if parent is not None:
+        depth = (parent_raw.get("~depth", 0)
+                 if "~of" in parent_raw else 0) + 1
+        if depth < _checkpoint_interval(manifest):
+            record = _encode_manifest_delta(parent, manifest, depth)
+            # the delta RECORD itself needs the delta-manifests
+            # reader feature on top of the content's features
+            record["features"] = sorted(
+                set(manifest.get("features") or ())
+                | {"delta-manifests"})
+            delta = json.dumps(record)
+            if len(delta) < len(payload):
+                payload = delta
     mdir = _manifest_path(table_path)
     # The tmp name must be PER-WRITER unique: with a shared name, two
     # racing writers would stage into the same inode and the loser's
@@ -3647,14 +3659,35 @@ def resolve_timestamp(table_path: str, ts) -> int:
     return best
 
 
+def txn_version(table_path: str, app_id: str) -> int | None:
+    """Delta ``txnVersion(appId)`` analog: the idempotency stamp the
+    given writer app last committed, or None if it never stamped.
+    O(1) manifest loads — ``_publish`` carries the ``txn`` ledger
+    forward on every commit, so the LATEST manifest alone answers,
+    never a backward scan over the history (a long-lived maintained
+    view accumulates thousands of commits; per-micro-batch reads must
+    not walk them)."""
+    avail = versions(table_path)
+    if not avail:
+        return None
+    got = (_load_manifest(table_path, avail[-1]).get("txn") or {}).get(app_id)
+    return None if got is None else int(got)
+
+
 def table_statistics(table_path: str,
-                     version: int | None = None) -> dict:
+                     version: int | None = None,
+                     include_rows: bool = True) -> dict:
     """Optimizer-grade table statistics from manifest METADATA — no
     data scan, no SparkSession: exact ``row_count`` (per-file
     row_counts minus deletion-vectored positions; None when a legacy
     manifest lacks the index), ``size_in_bytes`` (per-file sizes
     recorded at commit, os.stat fallback for legacy files), and the
     live ``num_files``.
+
+    ``include_rows=False`` skips the row count (returned as None):
+    exact rows under deletion vectors must read each DV sidecar's
+    positions — O(deleted rows) driver I/O that hot metadata paths
+    (the per-read broadcast hint) don't need for a size-only answer.
 
     This is the engine's ANALYZE TABLE: Delta persists the same
     numbers per AddFile and Spark's CBO consumes them. Spark 4.1.2's
@@ -3694,7 +3727,8 @@ def table_statistics(table_path: str,
         size += b
     rc = m.get("row_counts")
     rows = None
-    if rc is not None and all(rc.get(f) is not None for f in files):
+    if include_rows and rc is not None \
+            and all(rc.get(f) is not None for f in files):
         rows = sum(rc[f] for f in files)
         by_sidecar: dict[str, set] = {}
         for f, sidecars in _dv_map(m).items():
@@ -3739,7 +3773,11 @@ def _stats_broadcast_hint(spark: SparkSession, df: DataFrame,
         return df
     if thr <= 0:
         return df
-    if table_statistics(table_path, version)["size_in_bytes"] > thr:
+    # size-only: the hint never uses row_count, and computing it under
+    # deletion vectors reads every DV sidecar — O(deleted rows) driver
+    # I/O per snapshot read (MERGE internals re-read constantly)
+    stats = table_statistics(table_path, version, include_rows=False)
+    if stats["size_in_bytes"] > thr:
         return df
     from pyspark.sql.functions import broadcast
 

@@ -129,9 +129,13 @@ def test_analyze_table_sql_route(spark, tmp_path):
                  f"ANALYZE TABLE versioned.`{path}` COMPUTE STATISTICS",
                  f"ANALYZE TABLE versioned.`{path}` "
                  "COMPUTE STATISTICS NOSCAN"):
-        st = vsql(spark, stmt)
-        assert st == versioned.table_statistics(path)
-        assert st["row_count"] == 50 and st["size_in_bytes"] > 0
+        # returns a one-row DataFrame (uniform sql() contract — every
+        # statement result supports .collect()/.show())
+        row = vsql(spark, stmt).collect()[0]
+        st = versioned.table_statistics(path)
+        assert (row.row_count, row.size_in_bytes, row.num_files) == (
+            st["row_count"], st["size_in_bytes"], st["num_files"])
+        assert row.row_count == 50 and row.size_in_bytes > 0
 
 
 def test_stats_hint_opt_out(spark, tmp_path):
@@ -141,3 +145,29 @@ def test_stats_hint_opt_out(spark, tmp_path):
     df = versioned.read_version(spark, path, stats_hint=False)
     logical = df._jdf.queryExecution().logical().toString()
     assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+
+
+def test_stats_hint_skips_dv_sidecar_reads(spark, tmp_path):
+    """The per-read broadcast hint needs only size_in_bytes; on a
+    DV-heavy table it must NOT read deletion-vector sidecars (that is
+    O(deleted rows) driver I/O per snapshot read, paid inside MERGE
+    internals). table_statistics(include_rows=False) is the size-only
+    path the hint uses."""
+    from unittest import mock
+
+    path = _mk(spark, str(tmp_path / "t"), n=200)
+    versioned.set_table_property(path, "dv.enabled", "true")
+    versioned.delete_where(spark, path, "k % 3 = 0")
+    assert versioned._dv_map(versioned._load_manifest(
+        path, versioned.versions(path)[-1]))  # DVs really exist
+
+    import pyarrow.parquet as pq
+    with mock.patch.object(pq, "read_table",
+                           side_effect=AssertionError(
+                               "sidecar read on the size-only path")):
+        st = versioned.table_statistics(path, include_rows=False)
+        assert st["row_count"] is None and st["size_in_bytes"] > 0
+        df = versioned.read_version(spark, path)  # hint path runs
+    # the full-stats path still counts exactly (sidecars applied)
+    st = versioned.table_statistics(path)
+    assert st["row_count"] == df.count()

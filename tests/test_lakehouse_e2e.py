@@ -423,6 +423,35 @@ def test_streaming_mv_maintenance_equals_batch_rebuild(spark, tmp_path):
     assert mv_applied_source_version(mv) == stamp
     assert mv_rows() == rebuild()
 
+    # MIXED replay: the source advances, THEN a fresh checkpoint
+    # restarts the stream. availableNow delivers ONE batch holding
+    # already-applied versions AND the new one — per-VERSION
+    # idempotency must re-apply only rows past the stamp (a
+    # whole-batch skip keyed on max(_commit_version) double-applies
+    # every old delta here, silently corrupting the rollup).
+    (spark.createDataFrame(
+        [(200, "2024-02-20", 77.0), (201, "2024-03-21", 88.0)],
+        "o_orderkey INT, d STRING, p DOUBLE",
+    ).selectExpr("o_orderkey", "CAST(d AS DATE) AS o_orderdate",
+                 "CAST(p AS DECIMAL(18,4)) AS o_totalprice")
+     .write.format("versioned").mode("append").option("path", src)
+     .save())
+    drain("ck_mixed_fresh")
+    assert mv_rows() == rebuild()
+    assert mv_applied_source_version(mv) == versioned.versions(src)[-1]
+
+    # O(1) stamp reads: the txn ledger rides every commit, so reading
+    # the stamp costs ONE materialized manifest load — bounded by the
+    # delta-chain checkpoint interval, independent of how many commits
+    # the MV has accumulated.
+    from unittest import mock
+
+    real = versioned._read_raw_manifest
+    with mock.patch.object(versioned, "_read_raw_manifest",
+                           side_effect=real) as spy:
+        assert mv_applied_source_version(mv) is not None
+    assert spy.call_count <= versioned._CHECKPOINT_INTERVAL
+
     # the maintenance is incremental: the last delta commit shares all
     # untouched months' files (COW merge stats prove O(changes) work)
     # — read the operation trail instead of timing

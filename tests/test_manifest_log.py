@@ -242,3 +242,51 @@ def test_optimize_conflict_on_touched_inputs_raises(spark, tmp_path,
                                        target_files=2)
     # the loser cleaned its staged output; the winner's delete stands
     assert versioned.read_version(spark, path).count() == 250
+
+
+def test_txn_ledger_rides_every_commit(spark, tmp_path):
+    """Delta SetTransaction analog: a per-app idempotency stamp set on
+    one commit is carried forward by EVERY later commit (appends,
+    metadata changes, OPTIMIZE), so txn_version answers from the
+    latest manifest alone — never a backward history scan."""
+    path = str(tmp_path / "t")
+    base = spark.range(50).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id * 2 AS LONG) AS v")
+    versioned.write_version(base, path)                        # v0
+
+    # stamp rides a MERGE commit
+    up = spark.createDataFrame([(1, 999), (100, 5)], "k INT, v LONG") \
+        .withColumn("is_delete", F.lit(False))
+    versioned.merge_version_cow(spark, path, up, "k",
+                                extra_manifest={"txn": {"job_a": 7}})
+    assert versioned.txn_version(path, "job_a") == 7
+    assert versioned.txn_version(path, "job_b") is None
+
+    # unrelated commits carry it forward: append, property, OPTIMIZE
+    spark.range(200, 210).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS LONG) AS v") \
+        .write.format("versioned").mode("append") \
+        .option("path", path).save()
+    versioned.set_table_property(path, "some.key", "1")
+    versioned.optimize_version(spark, path)
+    assert versioned.txn_version(path, "job_a") == 7
+
+    # a newer stamp for the same app wins; other apps coexist
+    up2 = spark.createDataFrame([(2, 42)], "k INT, v LONG") \
+        .withColumn("is_delete", F.lit(False))
+    versioned.merge_version_cow(spark, path, up2, "k",
+                                extra_manifest={"txn": {"job_a": 9,
+                                                        "job_b": 1}})
+    assert versioned.txn_version(path, "job_a") == 9
+    assert versioned.txn_version(path, "job_b") == 1
+
+    # survives enough commits to cross a full-snapshot checkpoint AND
+    # a vacuum that drops the stamping commit itself
+    for i in range(12):
+        spark.range(300 + i, 301 + i).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(id AS LONG) AS v") \
+            .write.format("versioned").mode("append") \
+            .option("path", path).save()
+    versioned.vacuum(path, keep_last=3)
+    assert versioned.txn_version(path, "job_a") == 9
+    assert versioned.txn_version(path, "job_b") == 1
