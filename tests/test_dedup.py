@@ -122,3 +122,32 @@ def test_ngram_df_cap_keeps_true_pairs_and_matches_oracle(spark, tmp_path):
     orows = res.fetchall()
     assert len(srows) == len(orows)
     assert normalize(srows, sdf.columns) == normalize(orows, ocols)
+
+
+def test_incr_dedup_recurring_cost_is_corpus_free(spark):
+    """r11 verdict item 1: the incremental dedup entries read the
+    COMMITTED index (versioned tables, v0 corpus build + v1 new-batch
+    fast-append) — their recurring plans scan documents.parquet exactly
+    ONCE (the new batch's doc_id/source rows, filter pushed); corpus
+    hashes and band keys come from the index, so the nightly cost is
+    O(new batch · bands), corpus-text-free."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    hash_path, band_path = D._dedup_index_paths(spark, SF_SMALL)
+    for p in (hash_path, band_path):
+        # real versioned tables: v0 corpus build, v1 the fast-append —
+        # and the append is load-bearing (batch keys are read back)
+        assert len(versioned.versions(p)) == 2
+        v0 = versioned.read_version(spark, p, 0).count()
+        v1 = versioned.read_version(spark, p, 1).count()
+        assert v1 > v0
+        assert versioned.read_version(spark, p, 0) \
+            .filter("doc_id % 10 >= 8").count() == 0
+
+    for fn, marker in ((D.doc_incr_dedup, "dedup_hashes"),
+                       (D.doc_incr_minhash, "dedup_bands")):
+        df = fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("documents.parquet") == 1
+        assert marker in plan  # corpus side reads the committed index
+        assert df.count() > 0
