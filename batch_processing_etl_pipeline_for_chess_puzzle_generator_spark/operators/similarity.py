@@ -3164,33 +3164,25 @@ def _ivf_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return cent_path, asg_path
 
 
-def emb_incr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN over the COMMITTED IVF index: new-batch queries probe the
-    versioned centroid table (broadcast via its manifest stats) and
-    rerank inside probed clusters of the versioned assignment table —
-    which includes the batch's own fast-appended assignments (v1), so
-    the append is load-bearing. Self-matches excluded. The plan's only
-    embeddings scan is the new batch."""
+def ivf_query_topk(spark: SparkSession, cent_path: str, asg_path: str,
+                   q: DataFrame, k: int = 3,
+                   nprobe: int = IVF_NPROBE) -> DataFrame:
+    """Top-k ANN over a COMMITTED IVF index for queries ``q``
+    (q_id, qa, qn): probe the ``nprobe`` nearest committed centroids
+    (broadcast model) and exact-rerank inside the probed clusters of
+    the partition-laid assignment table. Self-matches excluded. Shared
+    by the emb_incr_ivf registry entry and the index-maintenance
+    before/after equivalence test."""
     from pyspark.sql.window import Window
 
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
-    cent_path, asg_path = _ivf_index_paths(spark, sf_dir)
     model = _as_model(
         versioned.read_version(spark, cent_path)
         .select("cluster_id", "sa", "sn"))
-    q = (
-        table(spark, sf_dir, "embeddings")
-        .filter("vec_id % 10 >= 8")
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.expr(_QUANT.format(col="embedding")).alias("qa"),
-        )
-        .withColumn("qn", F.expr(_qnorm("qa")))
-    )
     probe_expr = (
         f"transform(slice(reverse(array_sort({_model_scored('qa', 'qn')})), "
-        f"1, {IVF_NPROBE}), e -> e.cluster_id)"
+        f"1, {nprobe}), e -> e.cluster_id)"
     )
     probes = q.crossJoin(broadcast(model)).select(
         "q_id", "qa", "qn",
@@ -3204,9 +3196,29 @@ def emb_incr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("c_id != q_id")
         .select("q_id", "c_id", F.expr(_SIM).alias("sim"))
         .withColumn("rank", F.row_number().over(wf).cast("long"))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "sim")
     )
+
+
+def emb_incr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the COMMITTED IVF index: new-batch queries probe the
+    versioned centroid table (broadcast via its manifest stats) and
+    rerank inside probed clusters of the versioned assignment table —
+    which includes the batch's own fast-appended assignments (v1), so
+    the append is load-bearing. Self-matches excluded. The plan's only
+    embeddings scan is the new batch."""
+    cent_path, asg_path = _ivf_index_paths(spark, sf_dir)
+    q = (
+        table(spark, sf_dir, "embeddings")
+        .filter("vec_id % 10 >= 8")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.expr(_QUANT.format(col="embedding")).alias("qa"),
+        )
+        .withColumn("qn", F.expr(_qnorm("qa")))
+    )
+    return ivf_query_topk(spark, cent_path, asg_path, q)
 
 
 QUERIES["emb_incr_ivf"] = emb_incr_ivf
@@ -3221,6 +3233,88 @@ ORACLES["emb_incr_ivf"] = _kmeans_oracle(
     seed_where=f"c_id < {IVF_K}",
     exclude_self=True,
 )
+
+
+# ------------------- IVF index-health maintenance (vector OPTIMIZE)
+#
+# Fast-appended batches skew committed cluster sizes (a batch from a
+# new data region lands whole in its single nearest cluster), and a
+# skewed index degrades probe cost: a probe into the hot cluster
+# reranks a corpus-sized bucket. This is the vector-index analog of
+# the table layer's OPTIMIZE bin-packing — measure the imbalance dial
+# off the COMMITTED assignments, and when it passes the threshold,
+# re-train from the committed centroids over the committed vectors
+# (the index stores ca/cn, so no raw-embeddings scan) and rewrite BOTH
+# index tables as new versions. Readers are never wrong mid-flight:
+# each query reads one consistent snapshot, old versions stay
+# time-travelable, and a recluster changes only WHICH buckets a probe
+# visits — the exact rerank inside probed clusters keeps answers
+# equivalent (asserted before/after in tests/test_similarity.py).
+
+#: recluster when k·Σn²/t² exceeds this (1,000,000 = perfectly
+#: balanced cluster sizes — emb_ivf_build_stats's imbalance_ppm dial)
+IVF_REBALANCE_PPM = 1_200_000
+
+
+def ivf_index_imbalance(spark: SparkSession, asg_path: str) -> int:
+    """Imbalance factor k·Σn²/t² in ppm of the COMMITTED assignment
+    table (1,000,000 = perfectly balanced): the expected relative
+    rerank cost of a random-vector probe vs a balanced index. One
+    cluster_id-only scan of the index (column-pruned), never the
+    corpus."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    sizes = (
+        versioned.read_version(spark, asg_path, stats_hint=False)
+        .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = sizes.agg(
+        F.expr("SUM(CAST(n AS DECIMAL(38,0)) * n)").alias("ss"),
+        F.expr("SUM(n)").alias("t"),
+        F.expr("COUNT(*)").alias("k"),
+    ).collect()[0]
+    return int(int(row.k) * int(row.ss) * 1_000_000
+               // (int(row.t) * int(row.t)))
+
+
+def maintain_ivf_index(spark: SparkSession, cent_path: str, asg_path: str,
+                       threshold_ppm: int = IVF_REBALANCE_PPM) -> dict:
+    """Recluster-when-drifted commit on a persisted IVF index: when
+    the committed assignments' imbalance passes ``threshold_ppm``,
+    re-train k-means seeded from the CURRENT centroids over the
+    committed vectors and rewrite centroids + assignments as new
+    versions (partition-laid by cluster as ever). Below threshold it
+    is a metadata-only no-op. Returns the maintenance report; the
+    caller (a nightly job) runs it after each batch append."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    before = ivf_index_imbalance(spark, asg_path)
+    if before <= threshold_ppm:
+        return {"reclustered": False, "imbalance_before_ppm": before,
+                "imbalance_after_ppm": before}
+    committed = (
+        versioned.read_version(spark, asg_path, stats_hint=False)
+        .select("c_id", "ca", "cn")
+        .persist()
+    )
+    seeds = (
+        versioned.read_version(spark, cent_path, stats_hint=False)
+        .select("cluster_id", "sa", "sn")
+    )
+    cents = _kmeans_train(committed, seeds)
+    versioned.write_version(cents.select("cluster_id", "sa", "sn"),
+                            cent_path)
+    model = _as_model(
+        versioned.read_version(spark, cent_path)
+        .select("cluster_id", "sa", "sn"))
+    assign = committed.crossJoin(broadcast(model)).select(
+        F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn",
+    )
+    versioned.write_version(assign, asg_path, partition_by=["cluster_id"])
+    committed.unpersist()
+    after = ivf_index_imbalance(spark, asg_path)
+    return {"reclustered": True, "imbalance_before_ppm": before,
+            "imbalance_after_ppm": after}
 
 
 # ---------------------- contrastive mining: hard negatives / positives
