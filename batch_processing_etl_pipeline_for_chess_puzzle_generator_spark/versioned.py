@@ -3659,6 +3659,95 @@ def resolve_timestamp(table_path: str, ts) -> int:
     return best
 
 
+def register_snapshot_table(spark: SparkSession, table_path: str,
+                            name: str, version: int | None = None,
+                            analyze_columns=None) -> dict:
+    """Register a snapshot as a CATALOG parquet table with ANALYZE-fed
+    statistics — the rung of the CBO ladder the per-read broadcast
+    hint can't reach: Catalyst's cost-based join REORDER
+    (``spark.sql.cbo.enabled`` + ``spark.sql.cbo.joinReorder.enabled``)
+    needs per-relation rowCount from the catalog, and the Python DS
+    scan cannot report statistics (see :func:`table_statistics`). A
+    multi-join SQL over several registered snapshots gets real
+    cardinalities and reorders; the temp-view route (merge_sql) keeps
+    Catalyst's syntactic order.
+
+    Mechanics: the snapshot's LIVE file set is hard-linked (copy
+    fallback) into a stable per-version directory under
+    ``<table>/_registered/`` — zero data movement, and the links keep
+    the bytes alive even if a later VACUUM unlinks the originals, so
+    the catalog table can never dangle. Partition-aligned layouts
+    flatten safely: the engine's hive dirs are DUPLICATE ``__p_*``
+    path columns and every partition value also lives in the data
+    file, so the flat read serves it (path pruning degrades to
+    row-group min/max pruning on the registered copy). The table is
+    created with the MANIFEST schema (inference could miss a
+    metadata-only ADD COLUMN no file carries yet). ``analyze_columns``
+    additionally runs column-level ANALYZE ("ALL" or a list) for
+    ndv-based join cardinality estimates.
+
+    Refused for snapshots whose correct read is not plain parquet
+    (deletion vectors, column mapping) — those need the versioned
+    read path. Re-registering the same name re-links the current
+    version (the catalog table is a pinned snapshot, not a live view).
+    """
+    import shutil
+
+    from pyspark.sql import types as T
+
+    avail = versions(table_path)
+    if not avail:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    v = avail[-1] if version is None else version
+    m = _load_manifest(table_path, v)
+    blockers = []
+    if _dv_map(m):
+        blockers.append("deletion vectors")
+    if m.get("column_mapping") or m.get("retired_physical"):
+        blockers.append("column mapping")
+    if "files" not in m:
+        blockers.append("legacy dir-level manifest")
+    if blockers:
+        raise ValueError(
+            f"snapshot v{v} of {table_path} cannot be served as a "
+            f"plain-parquet catalog table ({', '.join(blockers)}) — "
+            "read it through read_version / format('versioned')"
+        )
+
+    reg_dir = os.path.join(table_path, "_registered", f"v{v}")
+    if os.path.isdir(reg_dir):
+        shutil.rmtree(reg_dir)  # idempotent re-register
+    os.makedirs(reg_dir, exist_ok=True)  # covers the 0-file snapshot
+    for i, f in enumerate(m["files"]):
+        src = _abs_file(table_path, f)
+        # flatten: data-dir levels (v_N_tok, d_N_tok) and __p_* hive
+        # segments all drop — partition values live in the files
+        dst = os.path.join(reg_dir, f"{i:05d}_{f.rsplit('/', 1)[-1]}")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+    ident = ".".join(f"`{p}`" for p in name.split("."))
+    spark.sql(f"DROP TABLE IF EXISTS {ident}")
+    if m.get("schema"):
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        colspec = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                            for f in schema.fields)
+        spark.sql(f"CREATE TABLE {ident} ({colspec}) USING parquet "
+                  f"LOCATION '{reg_dir}'")
+    else:
+        spark.sql(f"CREATE TABLE {ident} USING parquet "
+                  f"LOCATION '{reg_dir}'")
+    spark.sql(f"ANALYZE TABLE {ident} COMPUTE STATISTICS")
+    if analyze_columns:
+        cols = ("FOR ALL COLUMNS" if analyze_columns == "ALL"
+                else "FOR COLUMNS "
+                + ", ".join(f"`{c}`" for c in analyze_columns))
+        spark.sql(f"ANALYZE TABLE {ident} COMPUTE STATISTICS {cols}")
+    return {"table": name, "version": v, "location": reg_dir}
+
+
 def txn_version(table_path: str, app_id: str) -> int | None:
     """Delta ``txnVersion(appId)`` analog: the idempotency stamp the
     given writer app last committed, or None if it never stamped.

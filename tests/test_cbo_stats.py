@@ -171,3 +171,96 @@ def test_stats_hint_skips_dv_sidecar_reads(spark, tmp_path):
     # the full-stats path still counts exactly (sidecars applied)
     st = versioned.table_statistics(path)
     assert st["row_count"] == df.count()
+
+
+def test_register_snapshot_cbo_join_reorder(spark, tmp_path):
+    """r11 verdict item 3 — the next rung of the CBO ladder: snapshots
+    registered as catalog parquet tables carry ANALYZE-fed rowCount /
+    sizeInBytes, so spark.sql.cbo.enabled + joinReorder FLIPS a
+    3-table join order the syntactic plan gets wrong (big JOIN dim
+    first → 100k-row intermediate; reordered: dim JOIN sub first →
+    200 rows). The registered content equals the snapshot (post-DML),
+    and the catalog rowCount equals the manifest's."""
+    big, dim, sub = (str(tmp_path / n) for n in ("big", "dim", "sub"))
+    versioned.write_version(
+        spark.range(100_000).selectExpr(
+            "id AS a_k", "id % 50 AS a_j", "repeat('x', 30) AS pad"),
+        big)
+    versioned.write_version(
+        spark.range(250).selectExpr("id AS b_k", "id % 50 AS b_j"), dim)
+    # DML history: the registration must serve the LIVE snapshot
+    versioned.delete_where(spark, dim, "b_k >= 200")
+    versioned.write_version(
+        spark.range(200).selectExpr("id AS c_k"), sub)
+
+    for path, name in ((big, "rs_big"), (dim, "rs_dim"), (sub, "rs_sub")):
+        got = versioned.register_snapshot_table(
+            spark, path, name, analyze_columns="ALL")
+        # catalog rowCount == manifest row_count (exact, metadata-fed)
+        stats_row = spark.sql(f"DESC EXTENDED {name}") \
+            .filter("col_name = 'Statistics'").collect()[0].data_type
+        want = versioned.table_statistics(path)["row_count"]
+        assert f"{want} rows" in stats_row, (name, stats_row, want)
+        assert got["version"] == versioned.versions(path)[-1]
+    assert spark.table("rs_dim").count() == 200  # post-DELETE snapshot
+    assert sorted(r.b_k for r in spark.table("rs_dim").collect()) == \
+        sorted(r.b_k for r in versioned.read_version(spark, dim).collect())
+
+    q = ("SELECT count(*) AS n FROM rs_big JOIN rs_dim ON a_j = b_j "
+         "JOIN rs_sub ON b_k = c_k")
+
+    def rel_order(plan: str) -> list[str]:
+        import re
+        return re.findall(r"default\.(rs_\w+)", plan)
+
+    old = {k: spark.conf.get(k) for k in
+           ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")}
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        syntactic = spark.sql(q)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        cbo = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        # syntactic: big joins first; CBO: the two small relations
+        # join first and big joins LAST
+        assert rel_order(syntactic)[0] == "rs_big"
+        assert rel_order(cbo)[-1] == "rs_big"
+        assert rel_order(cbo)[:2] in (["rs_dim", "rs_sub"],
+                                      ["rs_sub", "rs_dim"])
+        # and the reordered plan still computes the same answer
+        assert spark.sql(q).collect()[0].n == 100_000 // 50 * 200
+    finally:
+        for k, val in old.items():
+            spark.conf.set(k, val)
+        for name in ("rs_big", "rs_dim", "rs_sub"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_register_snapshot_partitioned_and_refusals(spark, tmp_path):
+    """Partition-aligned snapshots register correctly (partition
+    values live in the data files; the flat registered copy serves
+    them); DV / column-mapped snapshots are refused — plain parquet
+    would resurrect deleted rows or misname columns."""
+    import pytest
+
+    part = str(tmp_path / "part")
+    versioned.write_version(
+        spark.range(300).selectExpr("id AS v", "CAST(id % 3 AS INT) AS p"),
+        part, partition_by=["p"])
+    versioned.register_snapshot_table(spark, part, "rs_part")
+    try:
+        assert spark.table("rs_part").count() == 300
+        assert spark.table("rs_part").filter("p = 1").count() == 100
+        assert set(spark.table("rs_part").columns) == {"v", "p"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rs_part")
+
+    dv = str(tmp_path / "dv")
+    versioned.write_version(
+        spark.range(100).selectExpr("CAST(id AS INT) AS k", "id AS v"), dv)
+    versioned.set_table_property(dv, "dv.enabled", "true")
+    versioned.delete_where_mor(spark, dv, "k < 10")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        versioned.register_snapshot_table(spark, dv, "rs_dv")
