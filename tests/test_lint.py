@@ -177,3 +177,29 @@ def test_rule_e_catches_double_and_timestamp_stringification():
         "ok3": "SELECT CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 "
                "AS BIGINT) AS STRING) AS s FROM customer",
     }) == []
+
+
+def test_registry_dedup_gate_catches_seeded_twin():
+    """The near-twin gate (preflight stage 0): the live registry is
+    clean against the adjudicated ALLOW list, and a cosmetically
+    edited copy of an existing oracle — the r11 duplicate-entry
+    incident's shape — is flagged."""
+    import __spark_entry__ as entry
+    from tools.dedup_registry import ALLOW, THRESHOLD, find_twins
+
+    oracles = entry.oracle_sql()
+    assert find_twins(oracles) == []  # live registry: no unadjudicated twins
+
+    seeded = dict(oracles)
+    seeded["stat_orders_mannwhitney_twin"] = (
+        oracles["stat_orders_mannwhitney"]
+        .replace("u_stat", "mw_u").replace("  ", " "))
+    twins = find_twins(seeded)
+    assert any({a, b} == {"stat_orders_mannwhitney",
+                          "stat_orders_mannwhitney_twin"}
+               for _, a, b in twins), twins
+    # every ALLOW pair names real entries (the list can't rot)
+    for pair in ALLOW:
+        for name in pair:
+            assert name in oracles, f"stale ALLOW entry: {name}"
+    assert 0.5 < THRESHOLD < 1.0

@@ -1,8 +1,13 @@
 """Pre-commit gate: formulation lint + full-registry DuckDB parity.
 
-One command that runs the two defenses that caught (or would have
+One command that runs the defenses that caught (or would have
 caught) every historical driver-red:
 
+0. ``tools/dedup_registry.py --self-test`` — the near-twin gate: two
+   entries whose oracle texts are bag-Jaccard-similar above threshold
+   and not adjudicated fail the commit (the r11
+   orders_benford/orders_mannwhitney duplicates' shape), after a
+   seeded-twin self-test proves the detector still fires.
 1. ``tools/lint_formulations.py`` — static rules A-D/B2/F + the
    stringification bans over every registry entry's exposed schema
    (rule F is the overflow-headroom gate: no BIGINT product chain may
@@ -51,6 +56,9 @@ def main() -> int:
     quick = "--quick" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     stages = [
+        ("registry-dedup", [sys.executable,
+                            f"{REPO}/tools/dedup_registry.py",
+                            "--self-test"]),
         ("lint", [sys.executable, f"{REPO}/tools/lint_formulations.py"]),
         ("parity", [sys.executable, f"{REPO}/tools/check_parity.py", sf_dir]),
         ("dv-state", [
