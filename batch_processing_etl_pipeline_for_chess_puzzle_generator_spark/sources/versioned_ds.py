@@ -913,6 +913,9 @@ def _arrow_of_spark():
         "double": pa.float64(), "float": pa.float32(),
         "string": pa.string(), "boolean": pa.bool_(),
         "date": pa.date32(),
+        # NTZ only: its ISO string denotes the same wall-clock value in
+        # every session; zoned TIMESTAMP is refused at declaration
+        "timestamp_ntz": pa.timestamp("us"),
     }
 
 
@@ -933,6 +936,10 @@ def _default_injectable(col: str, spark_type, value):
         import datetime
 
         value = datetime.date.fromisoformat(value)
+    elif spark_type == "timestamp_ntz" and value is not None:
+        import datetime
+
+        value = datetime.datetime.fromisoformat(value)
     return value, pa_t
 
 

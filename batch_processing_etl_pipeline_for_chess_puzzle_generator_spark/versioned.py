@@ -900,12 +900,27 @@ def set_column_default(spark: SparkSession, table_path: str,
         # both injectors re-materialize it (F.lit(str).cast("date")
         # library-side, date32 from the ISO string in the Arrow writer)
         value = value.isoformat()
+    elif isinstance(value, _dt.datetime):
+        # TIMESTAMP_NTZ rides the same way (its ISO string denotes one
+        # absolute wall-clock value everywhere). Session-zoned
+        # TIMESTAMP stays refused: the literal was evaluated under the
+        # DECLARING session's zone, and a reader session in another
+        # zone would re-materialize a different instant — the
+        # disagreement the foldable-only rule exists to prevent.
+        if typ != "timestamp_ntz":
+            raise TypeError(
+                f"DEFAULT for {col!r} is a session-zoned TIMESTAMP — "
+                "its rendered instant depends on the reader's "
+                "spark.sql.session.timeZone. Use TIMESTAMP_NTZ for a "
+                "zone-independent default"
+            )
+        value = value.isoformat()
     elif not isinstance(value, _DEFAULT_LITERAL_TYPES):
         raise TypeError(
             f"DEFAULT for {col!r} evaluates to "
             f"{type(value).__name__} — only JSON-native literals "
-            "(int/float/str/bool/NULL) and DATE can ride the manifest "
-            "and be injected by the Arrow writer"
+            "(int/float/str/bool/NULL), DATE, and TIMESTAMP_NTZ can "
+            "ride the manifest and be injected by the Arrow writer"
         )
     defaults = dict(parent.get("defaults") or {})
     defaults[col] = {"sql": expr_sql, "value": value}

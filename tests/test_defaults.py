@@ -106,13 +106,14 @@ def test_date_default_all_append_paths(spark, tmp_path):
                  versioned.read_version(spark, path).collect())
     assert got == [(2, d), (3, d), (4, d)]
 
-    # TIMESTAMP has no JSON-native manifest carrier — still refused
+    # session-zoned TIMESTAMP — still refused (NTZ landed r12; the
+    # zoned flavor's rendered instant depends on the reader's zone)
     tpath = str(tmp_path / "ts")
     versioned.write_version(
         spark.createDataFrame(
             [(1, datetime.datetime(2020, 1, 1))], "k INT, at TIMESTAMP"),
         tpath)
-    with pytest.raises(TypeError, match="only JSON-native"):
+    with pytest.raises(TypeError, match="session-zoned"):
         versioned.set_column_default(
             spark, tpath, "at", "TIMESTAMP'2024-01-01 00:00:00'")
 
@@ -265,3 +266,53 @@ def test_default_injected_by_stream_sink(spark, tmp_path):
     with pytest.raises(ValueError, match="declared concurrently"):
         w3.commit([msg_with, msg_bare], batchId=0)
     assert len(versioned.versions(path3)) == 2  # v0 + SET DEFAULT only
+
+
+def test_timestamp_ntz_default_all_append_paths(spark, tmp_path):
+    """TIMESTAMP_NTZ defaults (r11 verdict item 7): same ISO-string
+    manifest carrier and injector mechanics as DATE — library write,
+    DS append (Arrow timestamp[us] without zone), streaming sink.
+    Session-zoned TIMESTAMP stays refused: its rendered instant would
+    depend on the reader session's zone."""
+    import datetime
+
+    import pyarrow as pa
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource, VersionedStreamWriter,
+    )
+
+    want = datetime.datetime(2024, 3, 15, 6, 30)
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.createDataFrame([(1, datetime.datetime(2020, 1, 1))],
+                              "k INT, at TIMESTAMP_NTZ"), path)
+    versioned.set_column_default(
+        spark, path, "at", "TIMESTAMP_NTZ'2024-03-15 06:30:00'")
+    assert versioned._table_defaults(path)["at"]["value"] \
+        == "2024-03-15T06:30:00"
+
+    versioned.write_version(
+        spark.createDataFrame([(2,)], "k INT"), path)        # library
+    spark.dataSource.register(VersionedDataSource)
+    (spark.createDataFrame([(3,)], "k INT")
+     .write.format("versioned").mode("append")
+     .option("path", path).save())                           # DS append
+    schema = spark.createDataFrame([(4,)], "k INT").schema
+    w = VersionedStreamWriter(path, schema, query_key="qts")
+    msg = w.write(iter([pa.record_batch({"k": pa.array([4], pa.int32())})]))
+    w.commit([msg], batchId=0)                               # stream sink
+
+    got = sorted(tuple(r) for r in
+                 versioned.read_version(spark, path).collect())
+    assert got == [(2, want), (3, want), (4, want)]
+
+    # zoned TIMESTAMP: refused with the zone rationale
+    zpath = str(tmp_path / "z")
+    versioned.write_version(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2020, 1, 1))], "k INT, at TIMESTAMP"),
+        zpath)
+    with pytest.raises(TypeError, match="session-zoned"):
+        versioned.set_column_default(
+            spark, zpath, "at", "TIMESTAMP'2024-01-01 00:00:00'")
