@@ -23,6 +23,15 @@ from contextlib import contextmanager
 
 _LOCK = threading.Lock()
 
+#: serializes session-fixture BUILDS across concurrent query streams
+#: (bench.py --streams N): without it, every stream that misses a
+#: cache builds its own copy of the fixture — wasted wall and, for
+#: builders that commit versioned tables, racing DML against shared
+#: global state. Builders double-check their cache inside this lock.
+#: RLock: a builder may invoke another cached builder (signatures →
+#: band index) on the same thread.
+BUILD_LOCK = threading.RLock()
+
 #: accumulated build seconds per fixture name (cache misses only)
 SECONDS: dict[str, float] = {}
 

@@ -532,6 +532,13 @@ _ANALYZE_RE = re.compile(
     r"(?:\s+COMPUTE\s+STATISTICS(?:\s+NOSCAN)?)?\s*;?\s*$",
     re.IGNORECASE,
 )
+_REGISTER_RE = re.compile(
+    r"^\s*REGISTER\s+SNAPSHOT\s+versioned\.`(?P<path>[^`]+)`"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?"
+    r"\s+AS\s+(?P<name>[\w.]+)"
+    r"(?:\s+(?P<cols>ANALYZE\s+ALL\s+COLUMNS))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+versioned\.`(?P<path>[^`]+)`\s*;?\s*$",
     re.IGNORECASE,
@@ -597,6 +604,19 @@ def maintenance_sql(spark: SparkSession, statement: str):
             [(st["row_count"], st["size_in_bytes"], st["num_files"])],
             "row_count LONG, size_in_bytes LONG, num_files LONG",
         )
+    m = _REGISTER_RE.match(statement)
+    if m:
+        # catalog registration with ANALYZE-fed CBO statistics — the
+        # join-reorder rung (see versioned.register_snapshot_table)
+        got = versioned.register_snapshot_table(
+            spark, m["path"], m["name"],
+            version=int(m["v"]) if m["v"] else None,
+            analyze_columns="ALL" if m["cols"] else None,
+        )
+        return spark.createDataFrame(
+            [(got["table"], got["version"], got["location"])],
+            "table STRING, version LONG, location STRING",
+        )
     m = _HISTORY_RE.match(statement)
     if m:
         return versioned.history(spark, m["path"])
@@ -642,7 +662,9 @@ def maintenance_sql(spark: SparkSession, statement: str):
         "parquet.`/p` [STATS BY col] | VACUUM versioned.`/p` … DRY "
         "RUN | FSCK REPAIR TABLE versioned.`/p` [DRY RUN] | REORG "
         "TABLE versioned.`/p` APPLY (PURGE) | GENERATE "
-        "symlink_format_manifest FOR TABLE versioned.`/p`; "
+        "symlink_format_manifest FOR TABLE versioned.`/p` | REGISTER "
+        "SNAPSHOT versioned.`/p` [VERSION AS OF n] AS name [ANALYZE "
+        "ALL COLUMNS]; "
         f"got: {statement!r}"
     )
 
@@ -1032,12 +1054,14 @@ def sql(spark: SparkSession, statement: str):
             return shallow_clone(spark, statement)
         return create_table_as(spark, statement)
     if head in ("RESTORE", "VACUUM", "OPTIMIZE", "DESCRIBE", "ALTER",
-                "CONVERT", "FSCK", "REORG", "GENERATE", "ANALYZE"):
+                "CONVERT", "FSCK", "REORG", "GENERATE", "ANALYZE",
+                "REGISTER"):
         return maintenance_sql(spark, statement)
     if head in ("SELECT", "WITH"):
         return spark.sql(_rewrite_versioned_refs(spark, statement))
     raise ValueError(
         f"unsupported statement keyword {head!r} — supported: MERGE, "
         "DELETE, UPDATE, INSERT, CREATE, RESTORE, VACUUM, OPTIMIZE, "
-        "DESCRIBE, ALTER, CONVERT, FSCK, REORG, GENERATE, SELECT, WITH"
+        "DESCRIBE, ALTER, CONVERT, FSCK, REORG, GENERATE, REGISTER, "
+        "SELECT, WITH"
     )

@@ -1352,11 +1352,23 @@ _DEDUP_IDX_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 def _dedup_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import fixtures, versioned
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
-        VersionedDataSource,
+        ensure_registered,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _DEDUP_IDX_CACHE:
+        return _DEDUP_IDX_CACHE[key]
+    with fixtures.BUILD_LOCK:
+        return _build_dedup_index(spark, sf_dir, key)
+
+
+def _build_dedup_index(spark, sf_dir, key):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import fixtures, versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        ensure_registered,
+    )
+
+    if key in _DEDUP_IDX_CACHE:  # double-check under BUILD_LOCK
         return _DEDUP_IDX_CACHE[key]
     _t0 = fixtures.start()
     import atexit
@@ -1386,7 +1398,7 @@ def _dedup_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                             partition_by=["band_idx"])
     # nightly increment: hash/shingle ONLY the new batch and
     # fast-append (v1) — the committed corpus rows untouched
-    spark.dataSource.register(VersionedDataSource)
+    ensure_registered(spark)
     (hashes.filter("doc_id % 10 >= 8").write.format("versioned")
      .mode("append").option("path", hash_path).save())
     (bands.filter("doc_id % 10 >= 8").write.format("versioned")

@@ -1596,12 +1596,28 @@ def _default_columns_path(spark: SparkSession, sf_dir: str) -> str:
 
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
-        VersionedDataSource,
+        ensure_registered,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _DEFAULTS_CACHE:
         return _DEFAULTS_CACHE[key]
+    with fixtures.BUILD_LOCK:
+        if key in _DEFAULTS_CACHE:  # double-check under BUILD_LOCK
+            return _DEFAULTS_CACHE[key]
+        return _build_defaults_fixture(spark, sf_dir, key)
+
+
+def _build_defaults_fixture(spark, sf_dir, key):
+    import atexit
+    import shutil
+    import tempfile
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        ensure_registered,
+    )
+
     _t0 = fixtures.start()
     path = tempfile.mkdtemp(prefix="orders_defaults_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
@@ -1609,7 +1625,7 @@ def _default_columns_path(spark: SparkSession, sf_dir: str) -> str:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
     versioned.write_version(o.filter("o_orderkey % 3 = 0"), path, 0)
     versioned.set_column_default(spark, path, "o_orderstatus", "'D'")
-    spark.dataSource.register(VersionedDataSource)
+    ensure_registered(spark)
     (o.filter("o_orderkey % 3 = 1")
      .drop("o_orderstatus")
      .write.format("versioned").mode("append")

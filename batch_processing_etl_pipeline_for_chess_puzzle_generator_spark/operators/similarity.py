@@ -3107,11 +3107,23 @@ _IVF_IDX_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 def _ivf_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import fixtures, versioned
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
-        VersionedDataSource,
+        ensure_registered,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _IVF_IDX_CACHE:
+        return _IVF_IDX_CACHE[key]
+    with fixtures.BUILD_LOCK:
+        return _build_ivf_index(spark, sf_dir, key)
+
+
+def _build_ivf_index(spark, sf_dir, key):
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import fixtures, versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        ensure_registered,
+    )
+
+    if key in _IVF_IDX_CACHE:  # double-check under BUILD_LOCK
         return _IVF_IDX_CACHE[key]
     _t0 = fixtures.start()
     import atexit
@@ -3151,7 +3163,7 @@ def _ivf_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                             partition_by=["cluster_id"])
     # nightly increment: assign ONLY the new batch against the
     # committed centroids and fast-append (v1) — corpus untouched
-    spark.dataSource.register(VersionedDataSource)
+    ensure_registered(spark)
     newa = prep(emb.filter("vec_id % 10 >= 8")) \
         .crossJoin(broadcast(model)).select(
             F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn",

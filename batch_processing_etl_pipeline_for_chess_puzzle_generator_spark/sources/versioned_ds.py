@@ -876,7 +876,19 @@ class VersionedDataSource(DataSource):
         table_path = self.options.get("path")
         if not table_path:
             raise ValueError("option 'path' is required")
-        return VersionedWriter(table_path, schema, overwrite)
+        w = VersionedWriter(table_path, schema, overwrite)
+        # Delta's idempotent-write options: the (txnAppId, txnVersion)
+        # stamp rides the SAME commit via the txn ledger, so a caller
+        # replaying the write (foreachBatch re-delivery) can check
+        # versioned.txn_version(path, app) and skip. Both or neither.
+        app = self.options.get("txnappid")
+        ver = self.options.get("txnversion")
+        if (app is None) != (ver is None):
+            raise ValueError(
+                "txnAppId and txnVersion must be set together")
+        if app is not None:
+            w.extra_manifest = {"txn": {app: int(ver)}}
+        return w
 
     def streamWriter(self, schema, overwrite: bool):
         table_path = self.options.get("path")
@@ -1476,3 +1488,36 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
         import shutil
 
         shutil.rmtree(self.staged, ignore_errors=True)
+
+
+# --------------------------------------- thread-safe registration
+#
+# spark.dataSource.register REPLACES an existing registration; under
+# concurrent query streams (bench.py --streams N), one stream's
+# replace races another stream's in-flight format("versioned") lookup
+# and the loser dies with DATA_SOURCE_NOT_FOUND on .save(). Every
+# library call site registers through this guard instead: exactly one
+# registration per application, never a mid-run replace.
+import threading as _threading
+
+_REG_LOCK = _threading.Lock()
+_REGISTERED: set[str] = set()
+
+
+def ensure_registered(spark) -> None:
+    # Spark pins each Python thread to its own JVM thread
+    # (PYSPARK_PIN_THREAD): Python-DS lookup resolves through the JVM
+    # thread's ACTIVE session, which is unset on any thread that did
+    # not create the session — a .save() from such a thread falls
+    # through to the classpath and dies with DATA_SOURCE_NOT_FOUND
+    # even though the source IS registered. Pin the active session for
+    # THIS thread on every call (cheap, idempotent); register once.
+    spark._jvm.SparkSession.setActiveSession(spark._jsparkSession)
+    key = spark.sparkContext.applicationId
+    if key in _REGISTERED:
+        return
+    with _REG_LOCK:
+        if key in _REGISTERED:
+            return
+        spark.dataSource.register(VersionedDataSource)
+        _REGISTERED.add(key)

@@ -1046,3 +1046,103 @@ def maintain_monthly_rollup(spark, src_path: str, mv_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------ streaming corpus curation loop
+
+_CURATE_TXN_APP = "dedup_curation"
+
+
+def maintain_dedup_corpus(spark, src_path: str, curated_path: str,
+                          index_path: str, checkpoint_dir: str):
+    """Streaming corpus CURATION — the dedup loop run as a stream, the
+    streaming twin of the committed-index batch entries
+    (doc_incr_dedup / _dedup_index_paths): a
+    ``readStream.format("versioned")`` append feed of raw documents
+    drives a ``foreachBatch`` that triages each micro-batch against
+    the COMMITTED hash index, appends first-seen docs to the curated
+    table, and fast-appends their hashes to the index — so the next
+    batch (and the next nightly batch job) semi-joins an index that
+    already knows them. Recurring cost is O(batch): the corpus text is
+    never re-scanned, the index read is the committed table.
+
+    Exactly-once is PER-VERSION, the maintain_monthly_rollup pattern:
+    the feed is the CHANGE stream (rows carry ``_commit_version``),
+    every batch is first filtered per-row to versions past the stamp
+    the index's txn ledger carries (DS writer ``txnAppId``/
+    ``txnVersion`` options stamp the SAME commit), and the curated
+    table carries its own identical stamp — so a foreachBatch
+    re-delivery, a fresh-checkpoint restart, or a mixed batch of
+    replayed + new source versions each re-applies exactly the
+    unapplied versions on both tables, including across a crash
+    BETWEEN the two appends. Returns the started query.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import (
+        stable_hash64,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        ensure_registered,
+    )
+
+    ensure_registered(spark)
+    if not versioned.versions(index_path):
+        versioned.write_version(
+            spark.createDataFrame([], "doc_id LONG, h LONG"), index_path)
+
+    def apply_batch(batch, _bid: int) -> None:
+        last = versioned.txn_version(index_path, _CURATE_TXN_APP)
+        if last is not None:
+            batch = batch.filter(F.col("_commit_version") > last)
+        # a curation feed is append-only ingestion; DML on the raw
+        # table is not this loop's business
+        batch = batch.filter("_change_type = 'insert'")
+        row = batch.agg(F.max("_commit_version")).collect()
+        if not row or row[0][0] is None:
+            return  # fully-applied replay (or empty batch)
+        hi = int(row[0][0])
+        hashed = batch.withColumn("h", stable_hash64(F.col("text")))
+        idx = (
+            versioned.read_version(spark, index_path, stats_hint=False)
+            .select("h").distinct()
+        )
+        w = Window.partitionBy("h").orderBy("doc_id")
+        fresh = (
+            hashed.join(idx, "h", "left_anti")   # not in the corpus
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")                    # first of intra-batch dups
+            .drop("rn", "_change_type", "_commit_version")
+        ).localCheckpoint()  # consumed twice below
+        # curated first, guarded by ITS stamp; then the index commit
+        # advances the loop's stamp. Crash between the two: the replay
+        # passes the index-stamp filter (old), recomputes the same
+        # fresh set (index unchanged), skips curated (stamp == hi),
+        # and lands the index append — neither table double-appends.
+        cur_last = None
+        if versioned.versions(curated_path):
+            cur_last = versioned.txn_version(curated_path,
+                                             _CURATE_TXN_APP)
+        if cur_last is None or hi > cur_last:
+            (fresh.drop("h").write.format("versioned").mode("append")
+             .option("path", curated_path)
+             .option("txnAppId", _CURATE_TXN_APP)
+             .option("txnVersion", hi).save())
+        (fresh.select("doc_id", "h").write.format("versioned")
+         .mode("append").option("path", index_path)
+         .option("txnAppId", _CURATE_TXN_APP)
+         .option("txnVersion", hi).save())
+
+    feed = (
+        spark.readStream.format("versioned")
+        .option("path", src_path)
+        .option("readChangeFeed", "true").load()
+    )
+    return (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

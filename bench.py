@@ -195,15 +195,23 @@ def _run_streams(n_streams: int) -> None:
         # queries.
         spark.sparkContext.setLocalProperty("spark.scheduler.pool",
                                             f"stream-{i}")
+        # pin the JVM-thread-local active session for this stream
+        # thread — Python-DS saves resolve through it (see
+        # sources/versioned_ds.ensure_registered)
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+            ensure_registered,
+        )
+        ensure_registered(spark)
         order = qs[i * len(qs) // n_streams:] + qs[:i * len(qs) // n_streams]
         t0 = time.perf_counter()
-        errs = 0
-        for _name, fn in order:
+        errs: dict[str, str] = {}
+        for name, fn in order:
             try:
                 fn(spark, sf_dir).collect()
-            except Exception:  # noqa: BLE001 — same contract as
-                errs += 1      # _run_one: one bad query must not lose
-                               # the whole throughput record
+            except Exception as exc:  # noqa: BLE001 — same contract as
+                # _run_one: one bad query must not lose the whole
+                # throughput record; the NAME must not be lost either
+                errs[name] = f"{type(exc).__name__}: {exc}"[:160]
         return round(time.perf_counter() - t0, 3), errs
 
     t_all = time.perf_counter()
@@ -211,7 +219,9 @@ def _run_streams(n_streams: int) -> None:
         results = list(pool.map(stream, range(n_streams)))
     total = round(time.perf_counter() - t_all, 3)
     walls = [w for w, _ in results]
-    n_errors = sum(e for _, e in results)
+    n_errors = sum(len(e) for _, e in results)
+    errors = {f"s{i}:{k}": v for i, (_, e) in enumerate(results)
+              for k, v in e.items()}
     print(json.dumps({
         "metric": f"{n_streams}-stream throughput",
         "value": total,
@@ -221,6 +231,7 @@ def _run_streams(n_streams: int) -> None:
         "queries_per_sec": round(n_streams * len(qs) / total, 2),
         "n_queries_per_stream": len(qs),
         "n_errors": n_errors,
+        **({"errors": errors} if errors else {}),
     }))
 
 

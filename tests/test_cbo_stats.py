@@ -264,3 +264,27 @@ def test_register_snapshot_partitioned_and_refusals(spark, tmp_path):
     versioned.delete_where_mor(spark, dv, "k < 10")
     with pytest.raises(ValueError, match="deletion vectors"):
         versioned.register_snapshot_table(spark, dv, "rs_dv")
+
+
+def test_register_snapshot_sql_route(spark, tmp_path):
+    """REGISTER SNAPSHOT versioned.`/p` [VERSION AS OF n] AS name
+    [ANALYZE ALL COLUMNS] — the SQL spelling of
+    register_snapshot_table, returning a one-row DataFrame."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql as vsql
+
+    path = _mk(spark, str(tmp_path / "t"), n=40)
+    versioned.write_version(
+        spark.range(41, 51).selectExpr(
+            "CAST(id AS INT) AS k", "CONCAT('v', id) AS v"), path)
+    try:
+        row = vsql(spark, f"REGISTER SNAPSHOT versioned.`{path}` "
+                          "AS rs_sql ANALYZE ALL COLUMNS").collect()[0]
+        assert (row.table, row.version) == ("rs_sql", 1)
+        assert spark.table("rs_sql").count() == 10  # the LIVE snapshot
+        row0 = vsql(spark, f"REGISTER SNAPSHOT versioned.`{path}` "
+                           "VERSION AS OF 0 AS rs_sql0").collect()[0]
+        assert row0.version == 0
+        assert spark.table("rs_sql0").count() == 40  # time travel
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rs_sql")
+        spark.sql("DROP TABLE IF EXISTS rs_sql0")

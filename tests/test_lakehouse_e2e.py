@@ -458,3 +458,62 @@ def test_streaming_mv_maintenance_equals_batch_rebuild(spark, tmp_path):
     ops = [versioned._load_manifest(mv, v).get("operation")
            for v in versioned.versions(mv)]
     assert ops.count("MERGE") >= 4
+
+
+def test_streaming_dedup_curation_loop(spark, tmp_path):
+    """Streaming corpus curation over the committed dedup index (the
+    r12 streaming twin of doc_incr_dedup): CDF feed → foreachBatch
+    triage against the committed hash index → first-seen docs append
+    to the curated table, their hashes to the index. Per-version
+    exactly-once on BOTH tables via DS-writer txn stamps — a fresh
+    checkpoint mixing replayed and new source versions re-applies only
+    the new ones."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        maintain_dedup_corpus,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    src, cur, idx = (str(tmp_path / n) for n in ("src", "cur", "idx"))
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    versioned.write_version(
+        docs([(1, "alpha"), (2, "beta"), (3, "alpha")]), src)  # 3 dups 1
+    versioned.set_table_property(src, "cdf.enabled", "true")
+
+    def drain(ck):
+        q = maintain_dedup_corpus(spark, src, cur, idx,
+                                  str(tmp_path / ck))
+        q.awaitTermination(180)
+
+    def curated():
+        return sorted(tuple(r) for r in
+                      versioned.read_version(spark, cur).collect())
+
+    drain("ck")
+    assert curated() == [(1, "alpha"), (2, "beta")]
+
+    # batch 2: a corpus dup, a new doc, an intra-batch dup of it
+    (docs([(4, "beta"), (5, "gamma"), (6, "gamma")])
+     .write.format("versioned").mode("append").option("path", src).save())
+    drain("ck")
+    assert curated() == [(1, "alpha"), (2, "beta"), (5, "gamma")]
+
+    # MIXED fresh-checkpoint replay: new source version + old ones in
+    # ONE availableNow batch — only the new version applies
+    (docs([(7, "alpha"), (8, "delta")])
+     .write.format("versioned").mode("append").option("path", src).save())
+    drain("ck_fresh")
+    assert curated() == [(1, "alpha"), (2, "beta"), (5, "gamma"),
+                         (8, "delta")]
+    # and a pure replay is a no-op on both tables
+    n_cur, n_idx = (len(versioned.versions(p)) for p in (cur, idx))
+    drain("ck_fresh2")
+    assert (len(versioned.versions(cur)),
+            len(versioned.versions(idx))) == (n_cur, n_idx)
+    # index rows mirror the curated corpus exactly
+    assert versioned.read_version(spark, idx).count() == 4
