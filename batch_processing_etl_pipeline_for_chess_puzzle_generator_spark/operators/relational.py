@@ -4104,3 +4104,120 @@ ORACLES["nation_supplier_hhi"] = """
 """
 
 
+
+
+# --------------------------- Poisson bootstrap confidence interval
+#
+# The SCALABLE bootstrap (the only kind that works at 100 TB): instead
+# of materializing R resamples of the data, each row contributes to
+# every replicate with an independent Poisson(1) multiplicity — the
+# classic Poisson approximation to multinomial resampling. One pass:
+# a 32-way in-task explode (no data copies, no shuffle of resamples),
+# map-side partial aggregation collapses to O(groups × R) shuffle
+# rows, and the CI is an order statistic over the 32 replicate means
+# per group. Every draw is md5-derived from (orderkey, replicate), so
+# the DuckDB oracle reproduces the weights bit-for-bit. Weight sums
+# ride DECIMAL(38,0): w ≤ 6, cents < 2^26, rows ~1.5e10 at 100 TB →
+# Σ ≤ ~6e18·1e3 « 10^38 with the ×1000 milli grid.
+N_BOOT = 32
+#: Poisson(1) CDF on the u ∈ [0, 1e6) grid (floor of cum·1e6)
+_POIS_W = ("CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1 "
+           "WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3 "
+           "WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5 ELSE 6 END")
+
+
+def stat_orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% bootstrap CI for the mean order value per priority: Poisson
+    bootstrap, R=32 replicates in one pass, CI = (2nd, 31st) order
+    statistic of the replicate means on the integer milli-cent grid."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import (
+        SPARK_HASH_SQL,
+    )
+
+    o = table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority", "o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "AS cents",
+    )
+    u_expr = SPARK_HASH_SQL(
+        "CONCAT(CAST(o_orderkey AS STRING), ':', CAST(r AS STRING))"
+    ) + " % 1000000"
+    means = (
+        o.select(
+            "o_orderpriority", "cents", "o_orderkey",
+            F.expr(f"explode(sequence(0, {N_BOOT - 1}))").alias("r"),
+        )
+        .withColumn("u", F.expr(u_expr))
+        .withColumn("wt", F.expr(_POIS_W))
+        .groupBy("o_orderpriority", "r")
+        .agg(
+            F.expr("SUM(CAST(wt AS DECIMAL(38,0)) * cents)").alias("ws"),
+            F.expr("SUM(CAST(wt AS BIGINT))").alias("wn"),
+        )
+        .selectExpr("o_orderpriority", "r",
+                    "CAST(ws * 1000 DIV wn AS BIGINT) AS m")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("m", "r")
+    ci = (
+        means.withColumn("rn", F.row_number().over(w))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("MAX(CASE WHEN rn = 2 THEN m END)")
+            .alias("ci_lo_milli"),
+            F.expr(f"MAX(CASE WHEN rn = {N_BOOT - 1} THEN m END)")
+            .alias("ci_hi_milli"),
+        )
+    )
+    point = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("CAST(SUM(CAST(cents AS DECIMAL(38,0))) * 1000 "
+               "DIV COUNT(*) AS BIGINT)").alias("mean_milli"),
+    )
+    return point.join(ci, "o_orderpriority").select(
+        "o_orderpriority", "n_orders", "mean_milli",
+        "ci_lo_milli", "ci_hi_milli",
+    )
+
+
+QUERIES["stat_orders_bootstrap_ci"] = stat_orders_bootstrap_ci
+
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import (  # noqa: E402
+    STABLE_HASH_SQL as _SH,
+)
+
+ORACLES["stat_orders_bootstrap_ci"] = f"""
+    WITH base AS (
+        SELECT o_orderpriority AS pri, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    rep AS (
+        SELECT pri, cents, r,
+               {_SH("(CAST(o_orderkey AS VARCHAR) || ':' || CAST(r AS VARCHAR))")}
+                   % 1000000 AS u
+        FROM (SELECT *, unnest(range(0, {N_BOOT})) AS r FROM base)
+    ),
+    means AS (
+        SELECT pri, r,
+               CAST(SUM(CAST(({_POIS_W}) AS HUGEINT) * cents) * 1000
+                    // SUM(CAST(({_POIS_W}) AS BIGINT)) AS BIGINT) AS m
+        FROM rep GROUP BY pri, r
+    ),
+    ranked AS (
+        SELECT pri, m,
+               row_number() OVER (PARTITION BY pri ORDER BY m, r) AS rn
+        FROM means
+    ),
+    point AS (
+        SELECT pri, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(cents AS HUGEINT)) * 1000 // COUNT(*)
+                    AS BIGINT) AS mean_milli
+        FROM base GROUP BY pri
+    )
+    SELECT pri AS o_orderpriority, n_orders, mean_milli,
+           MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo_milli,
+           MAX(CASE WHEN rn = {N_BOOT - 1} THEN m END) AS ci_hi_milli
+    FROM point JOIN ranked USING (pri)
+    GROUP BY 1, 2, 3
+"""

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
 from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import (
@@ -2978,4 +2979,96 @@ ORACLES["doc_rake_keyphrases"] = f"""
                    ORDER BY score_ppm DESC, phrase) AS rk
         FROM ranked
     ) WHERE rk <= 3
+"""
+
+
+# --------------------- cross-source distribution drift (Jensen-Shannon)
+#
+# Corpus-mixture monitoring: the pairwise Jensen-Shannon divergence
+# between the unigram distributions of every source pair — THE
+# standard drift dial for "did crawl batch N change the language
+# distribution" / "how far is source A's text from source B's". JS =
+# Σ_w [p/2·ln(2p/(p+q)) + q/2·ln(2q/(p+q))]; words present in only
+# one source contribute (mass·ln 2)/2, folded in CLOSED FORM from the
+# unshared mass (1 − shared), so the join is an INNER join on the
+# shared vocabulary — never a full-outer over the union. One shuffle
+# of (source, word) counts (the distinct working set, same scale story
+# as doc_vocab_topk); the pair join fans each word row out only to the
+# pairs that share it. Determinism is the zipf/bigram-LM discipline:
+# every ln term is ROW-LOCAL double math rounded onto the 1e9 integer
+# grid (per-word p, q are exact rationals cast to double), and all
+# CROSS-ROW sums are integer — accumulation order can't move a bit on
+# either engine. Log-sum inequality makes every per-word term ≥ 0, so
+# the final DIV grid-drop is //-safe. Bounded in [0, ln 2]; ppm out.
+def doc_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("source").agg(F.expr("SUM(n)").alias("tot"))
+    a = counts.join(broadcast(totals), "source").selectExpr(
+        "source AS sa", "w", "CAST(n AS DOUBLE) / tot AS p")
+    b = counts.join(broadcast(totals), "source").selectExpr(
+        "source AS sb", "w", "CAST(n AS DOUBLE) / tot AS q")
+    shared = (
+        a.join(b, "w")
+        .filter("sa < sb")
+        .selectExpr(
+            "sa", "sb",
+            "CAST(ROUND((p / 2 * ln(2 * p / (p + q)) "
+            "+ q / 2 * ln(2 * q / (p + q))) * 1e9) AS BIGINT) AS t_e9",
+            "CAST(ROUND(p * 1e9) AS BIGINT) AS p_e9",
+            "CAST(ROUND(q * 1e9) AS BIGINT) AS q_e9",
+        )
+        .groupBy("sa", "sb")
+        .agg(
+            F.expr("SUM(t_e9)").alias("js_e9"),
+            F.expr("SUM(p_e9)").alias("sp_e9"),
+            F.expr("SUM(q_e9)").alias("sq_e9"),
+        )
+    )
+    return shared.selectExpr(
+        "sa AS source_a", "sb AS source_b",
+        "CAST((js_e9 + CAST(ROUND(ln(2) / 2 "
+        "* (2000000000 - sp_e9 - sq_e9)) AS BIGINT)) DIV 1000 "
+        "AS BIGINT) AS js_ppm",
+    )
+
+
+QUERIES["doc_source_js_divergence"] = doc_source_js_divergence
+
+ORACLES["doc_source_js_divergence"] = """
+    WITH counts AS (
+        SELECT source, w, COUNT(*) AS n
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    totals AS (SELECT source, SUM(n) AS tot FROM counts GROUP BY 1),
+    dist AS (
+        SELECT c.source, w, CAST(n AS DOUBLE) / tot AS p
+        FROM counts c JOIN totals USING (source)
+    ),
+    terms AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(ROUND((a.p / 2 * ln(2 * a.p / (a.p + b.p))
+                    + b.p / 2 * ln(2 * b.p / (a.p + b.p))) * 1e9)
+                    AS BIGINT) AS t_e9,
+               CAST(ROUND(a.p * 1e9) AS BIGINT) AS p_e9,
+               CAST(ROUND(b.p * 1e9) AS BIGINT) AS q_e9
+        FROM dist a JOIN dist b USING (w)
+        WHERE a.source < b.source
+    ),
+    shared AS (
+        SELECT sa, sb, SUM(t_e9) AS js_e9,
+               SUM(p_e9) AS sp_e9, SUM(q_e9) AS sq_e9
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST((js_e9 + CAST(ROUND(ln(2) / 2
+                * (2000000000 - sp_e9 - sq_e9)) AS BIGINT)) // 1000
+                AS BIGINT) AS js_ppm
+    FROM shared
 """
