@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
@@ -4091,4 +4092,93 @@ ORACLES["ev_session_depth_hist"] = f"""
            CAST(CAST(n_events AS HUGEINT) * 1000000
                // SUM(n_events) OVER () AS BIGINT) AS event_ppm
     FROM agg
+"""
+
+
+# -------------------------- changepoint localization (binary split)
+#
+# ev_cusum_shift DETECTS a level shift; this LOCALIZES it — binary
+# segmentation's first split: the day t that minimizes SSE_left +
+# SSE_right of the daily-count series, equivalently maximizes
+# (Σ_left)²/n_left + (Σ_right)²/n_right (the variance-reduction form —
+# no per-side Σx² needed, prefix sums suffice). Everything is exact
+# integer arithmetic: one (type, day) shuffle, a cumulative-sum window
+# over the TINY daily table per type, candidate scores on the
+# DECIMAL(38,0) ×1e6 grid (identical truncation both engines — the
+# score is self-consistently comparable), argmax by (score, earliest
+# day). Daily sums ≤ ~1e12 at 100 TB → squares ≤ 1e24, ×1e6 ≤ 1e30,
+# inside DECIMAL(38,0).
+def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    totals = daily.groupBy("event_type").agg(
+        F.expr("SUM(c)").alias("tot"), F.expr("COUNT(*)").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    cand = (
+        daily.join(broadcast(totals), "event_type")
+        .withColumn("i", F.row_number().over(w))
+        .withColumn("cum", F.expr("SUM(c)").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter("i < n")  # split AFTER day i: both sides non-empty
+        .selectExpr(
+            "event_type", "day", "i", "n", "cum", "tot",
+            "CAST(CAST(cum AS DECIMAL(38,0)) * cum * 1000000 DIV i "
+            "+ CAST(tot - cum AS DECIMAL(38,0)) * (tot - cum) "
+            "* 1000000 DIV (n - i) AS DECIMAL(38,0)) AS score",
+        )
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("day"))
+    return (
+        cand.withColumn("rn", F.row_number().over(wb))
+        .filter("rn = 1")
+        .selectExpr(
+            "event_type",
+            "day AS cp_day",
+            "n AS n_days",
+            "CAST(cum * 1000 DIV i AS BIGINT) AS pre_mean_milli",
+            "CAST((tot - cum) * 1000 DIV (n - i) AS BIGINT) "
+            "AS post_mean_milli",
+        )
+    )
+
+
+QUERIES["ev_changepoint"] = ev_changepoint
+
+ORACLES["ev_changepoint"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT event_type, SUM(c) AS tot, COUNT(*) AS n
+        FROM daily GROUP BY 1
+    ),
+    cand AS (
+        SELECT d.event_type, day,
+               row_number() OVER w AS i, n,
+               SUM(c) OVER w AS cum, tot
+        FROM daily d JOIN totals USING (event_type)
+        WINDOW w AS (PARTITION BY d.event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+        SELECT event_type, day, i, n, cum, tot,
+               CAST(CAST(cum AS HUGEINT) * cum * 1000000 // i
+                    + CAST(tot - cum AS HUGEINT) * (tot - cum)
+                    * 1000000 // (n - i) AS HUGEINT) AS score
+        FROM cand WHERE i < n
+    )
+    SELECT event_type, day AS cp_day, n AS n_days,
+           CAST(cum * 1000 // i AS BIGINT) AS pre_mean_milli,
+           CAST((tot - cum) * 1000 // (n - i) AS BIGINT)
+               AS post_mean_milli
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY score DESC, day) AS rn
+          FROM scored)
+    WHERE rn = 1
 """
