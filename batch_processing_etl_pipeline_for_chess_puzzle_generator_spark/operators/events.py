@@ -4114,11 +4114,15 @@ def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
     ).agg(F.count(F.lit(1)).alias("c"))
-    totals = daily.groupBy("event_type").agg(
-        F.expr("SUM(c)").alias("tot"), F.expr("COUNT(*)").alias("n"))
+    # per-type totals as FULL-PARTITION windows over the tiny daily
+    # table — one events scan, no second aggregate+join of the base
     w = Window.partitionBy("event_type").orderBy("day")
+    w_full = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
     cand = (
-        daily.join(broadcast(totals), "event_type")
+        daily
+        .withColumn("tot", F.expr("SUM(c)").over(w_full))
+        .withColumn("n", F.expr("COUNT(*)").over(w_full))
         .withColumn("i", F.row_number().over(w))
         .withColumn("cum", F.expr("SUM(c)").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))

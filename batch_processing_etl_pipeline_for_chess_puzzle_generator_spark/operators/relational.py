@@ -4142,6 +4142,10 @@ def stat_orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_expr = SPARK_HASH_SQL(
         "CONCAT(CAST(o_orderkey AS STRING), ':', CAST(r AS STRING))"
     ) + " % 1000000"
+    # ONE orders scan: each replicate group also carries the
+    # UNWEIGHTED sum/count (identical rows per replicate, so any
+    # replicate's plain aggregates ARE the point-estimate inputs —
+    # no second scan for the point mean)
     means = (
         o.select(
             "o_orderpriority", "cents", "o_orderkey",
@@ -4153,29 +4157,27 @@ def stat_orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("SUM(CAST(wt AS DECIMAL(38,0)) * cents)").alias("ws"),
             F.expr("SUM(CAST(wt AS BIGINT))").alias("wn"),
+            F.expr("SUM(CAST(cents AS DECIMAL(38,0)))").alias("cs"),
+            F.expr("COUNT(*)").alias("cnt"),
         )
-        .selectExpr("o_orderpriority", "r",
+        .selectExpr("o_orderpriority", "r", "cs", "cnt",
                     "CAST(ws * 1000 DIV wn AS BIGINT) AS m")
     )
     w = Window.partitionBy("o_orderpriority").orderBy("m", "r")
-    ci = (
+    return (
         means.withColumn("rn", F.row_number().over(w))
         .groupBy("o_orderpriority")
         .agg(
+            F.expr("MAX(cnt)").alias("n_orders"),
+            F.expr("CAST(MAX(cs) * 1000 DIV MAX(cnt) AS BIGINT)")
+            .alias("mean_milli"),
             F.expr("MAX(CASE WHEN rn = 2 THEN m END)")
             .alias("ci_lo_milli"),
             F.expr(f"MAX(CASE WHEN rn = {N_BOOT - 1} THEN m END)")
             .alias("ci_hi_milli"),
         )
-    )
-    point = o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.expr("CAST(SUM(CAST(cents AS DECIMAL(38,0))) * 1000 "
-               "DIV COUNT(*) AS BIGINT)").alias("mean_milli"),
-    )
-    return point.join(ci, "o_orderpriority").select(
-        "o_orderpriority", "n_orders", "mean_milli",
-        "ci_lo_milli", "ci_hi_milli",
+        .select("o_orderpriority", "n_orders", "mean_milli",
+                "ci_lo_milli", "ci_hi_milli")
     )
 
 
