@@ -290,3 +290,20 @@ def test_txn_ledger_rides_every_commit(spark, tmp_path):
     versioned.vacuum(path, keep_last=3)
     assert versioned.txn_version(path, "job_a") == 9
     assert versioned.txn_version(path, "job_b") == 1
+
+
+def test_ds_writer_txn_options(spark, tmp_path):
+    """Delta's idempotent-write options on the DS writer: the stamp
+    rides the SAME append commit; txnAppId/txnVersion must come
+    together."""
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.range(3).selectExpr("CAST(id AS INT) AS k"), path)
+    (spark.range(3, 5).selectExpr("CAST(id AS INT) AS k")
+     .write.format("versioned").mode("append").option("path", path)
+     .option("txnAppId", "loader").option("txnVersion", 41).save())
+    assert versioned.txn_version(path, "loader") == 41
+    with pytest.raises(Exception, match="together"):
+        (spark.range(5, 6).selectExpr("CAST(id AS INT) AS k")
+         .write.format("versioned").mode("append").option("path", path)
+         .option("txnAppId", "loader").save())
