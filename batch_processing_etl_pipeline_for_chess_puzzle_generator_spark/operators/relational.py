@@ -4145,9 +4145,16 @@ def stat_orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE orders scan: each replicate group also carries the
     # UNWEIGHTED sum/count (identical rows per replicate, so any
     # replicate's plain aggregates ARE the point-estimate inputs —
-    # no second scan for the point mean)
+    # no second scan for the point mean).
+    # Redistribute BEFORE the 32× explode: the replicate fan-out is
+    # 32× per-row md5 compute, and it parallelizes only as far as the
+    # scan's partitioning — a compact 3-column projection shuffle is
+    # noise next to that compute, and it guarantees even distribution
+    # whatever the input file layout (locally: one small parquet = ONE
+    # partition = the whole fan-out on one core, measured 3× slower).
     means = (
-        o.select(
+        o.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             "o_orderpriority", "cents", "o_orderkey",
             F.expr(f"explode(sequence(0, {N_BOOT - 1}))").alias("r"),
         )
