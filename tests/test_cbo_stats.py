@@ -288,3 +288,25 @@ def test_register_snapshot_sql_route(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS rs_sql")
         spark.sql("DROP TABLE IF EXISTS rs_sql0")
+
+
+def test_registered_snapshot_survives_vacuum(spark, tmp_path):
+    """The hard-link guarantee: a registered catalog table keeps
+    serving its pinned snapshot even after VACUUM unlinks the source
+    version's originals — the links keep the bytes alive, so catalog
+    readers can never dangle mid-query."""
+    path = _mk(spark, str(tmp_path / "t"), n=60)
+    versioned.register_snapshot_table(spark, path, "rs_vac", version=0)
+    try:
+        # advance the table twice, then vacuum v0 away
+        for lo in (100, 200):
+            versioned.write_version(
+                spark.range(lo, lo + 10).selectExpr(
+                    "CAST(id AS INT) AS k", "CONCAT('v', id) AS v"), path)
+        dropped = versioned.vacuum(path, keep_last=1)
+        assert 0 in dropped
+        # the registered snapshot still reads its full pinned content
+        assert spark.table("rs_vac").count() == 60
+        assert versioned.versions(path) == [2]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rs_vac")
