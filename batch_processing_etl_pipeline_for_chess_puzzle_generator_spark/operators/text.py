@@ -3072,3 +3072,64 @@ ORACLES["doc_source_js_divergence"] = """
                 AS BIGINT) AS js_ppm
     FROM shared
 """
+
+
+# ---------------------- per-source length-distribution fit (lognormal)
+#
+# Corpus QA's distribution fit: document lengths are classically
+# lognormal, and the method-of-moments fit of ln(length) per source —
+# μ and σ² — is the compact dial mixture planners track across crawls
+# (a new batch with the same mean but doubled σ² is a different
+# corpus). Row-local ln on the 1e6 integer grid (the house
+# determinism discipline), then variance from exact integer sums:
+# var = (n·Σx² − (Σx)²) / n² — every product on DECIMAL(38,0)
+# (x ≤ ~21e6 for any document, x² ≤ 4.4e14, ×n ≤ 1e13 rows → ≤ 4e27).
+def doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    x = (
+        docs.filter("length(text) > 0")
+        .selectExpr(
+            "source",
+            "CAST(ROUND(ln(length(text)) * 1000000) AS BIGINT) AS x",
+        )
+    )
+    return (
+        x.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("SUM(CAST(x AS DECIMAL(38,0)))").alias("sx"),
+            F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        )
+        .selectExpr(
+            "source", "n_docs",
+            "CAST(sx DIV n_docs AS BIGINT) AS mu_ln_e6",
+            # e12 variance grid: (n·Σx² − (Σx)²) / n², already ×1e12
+            # from the squared e6 terms
+            "CAST((n_docs * sxx - sx * sx) DIV "
+            "(CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT) "
+            "AS var_ln_e12",
+        )
+    )
+
+
+QUERIES["doc_length_lognormal_fit"] = doc_length_lognormal_fit
+
+ORACLES["doc_length_lognormal_fit"] = """
+    WITH x AS (
+        SELECT source,
+               CAST(ROUND(ln(length(text)) * 1000000) AS BIGINT) AS x
+        FROM documents WHERE length(text) > 0
+    ),
+    agg AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
+        FROM x GROUP BY 1
+    )
+    SELECT source, n_docs,
+           CAST(sx // n_docs AS BIGINT) AS mu_ln_e6,
+           CAST((n_docs * sxx - sx * sx) //
+                (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+               AS var_ln_e12
+    FROM agg
+"""

@@ -549,6 +549,11 @@ F_ALLOWLIST: dict[str, str] = {
         "rank set fixed at rk <= 100; x,y = ln*1e6 <= 3.5e7 -> "
         "COUNT*SUM(x*y) <= 100*100*1.2e15 bounded < 2^62"
     ),
+    "doc_length_lognormal_fit": (
+        "x = ln(length)*1e6: ln of any representable string length "
+        "<= ln(2^63) ~ 43.7 -> x <= 4.4e7 < 2^62; every cross-row "
+        "sum/product (sx, sxx, n*sxx, sx*sx) is DECIMAL(38,0)/HUGEINT"
+    ),
     # -- events/orders: grid-bounded factors
     "ev_watermark_sweep": (
         "delay_s is the fixed 60..86400 s grid -> delay_s*1e6 <= "
