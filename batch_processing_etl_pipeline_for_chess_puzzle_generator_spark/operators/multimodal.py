@@ -16,7 +16,12 @@ NotImplementedError stub), the default path now actually parses bytes:
 - **PNG** (non-interlaced 8-bit, gray/RGB/palette/gray-alpha/RGBA) —
   stdlib zlib inflate + numpy unfiltering of all five filter types
   (none/sub/up/average/paeth), with whole-image vectorized fast paths
-  for the uniform-filter images real encoders emit.
+  for the uniform-filter images real encoders emit;
+- **GIF89a** (animated, global palette) — the REAL variable-width LZW
+  algorithm both directions (dictionary growth 9→12 bits, CLEAR/EOI,
+  the KwKwK case, 4096-entry reset), one image block per animation
+  frame — the only truly animated format in the set, so frame-level
+  features exercise genuine multi-frame parsing.
 
 Formats that genuinely need an external codec (JPEG/MP4…) still raise
 ``NotImplementedError`` — the dispatch makes that an explicit
@@ -385,6 +390,196 @@ def decode_rawv(payload: bytes, every_n: int = 1) -> list[tuple[int, bytes]]:
     return out
 
 
+# ----------------------------------------------------------- GIF (LZW)
+#
+# Real GIF89a: the REAL variable-width LZW algorithm on both sides —
+# the encoder builds the dictionary and emits growing-width codes
+# (9→12 bits for the 256-gray palette), CLEAR on table-full; the
+# decoder replays it including the KwKwK (code == next) case. The
+# encoder/decoder width cadence is the classic off-by-one: the decoder
+# learns each dictionary entry one code LATER than the encoder created
+# it, so the encoder widens at next_code == 2^width + 1 while the
+# decoder widens at len(table) == 2^width — both therefore agree on
+# the width of every code on the wire (round-tripped across the
+# 512/1024/2048 boundaries and the 4096 reset in tests). Animation:
+# one full-frame image block per frame behind a graphic-control
+# extension — the only REAL animated format in the codec set, so
+# frame-level features exercise true multi-frame parsing.
+
+_GIF_MAGIC = b"GIF89a"
+_GIF_MCS = 8  # LZW min code size for the 256-entry palette
+
+
+def _gif_lzw_compress(data: bytes, mcs: int = _GIF_MCS) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out, acc, nacc = bytearray(), 0, 0
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    base = {bytes([i]): i for i in range(clear)}
+    table = dict(base)
+    next_code = eoi + 1
+    emit(clear)
+    buf = b""
+    for b in data:
+        nxt = buf + bytes([b])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = dict(base)
+            next_code = eoi + 1
+            width = mcs + 1
+        buf = bytes([b])
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int = _GIF_MCS) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    acc = nacc = i = 0
+    prev: bytes | None = None
+    while True:
+        while nacc < width:
+            if i >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[i] << nacc
+            nacc += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    raise AssertionError("unreachable")
+
+
+def encode_gif(frames) -> bytes:
+    """Animated grayscale GIF89a: equal-dim uint8 (h, w) frames, one
+    full-frame image block each behind a graphic-control extension,
+    256-gray global palette (index i = RGB(i,i,i)), real LZW."""
+    h, w = frames[0].shape
+    out = bytearray(_GIF_MAGIC)
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("GIF frames must share dimensions")
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE: 4cs delay
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([_GIF_MCS])
+        comp = _gif_lzw_compress(fr.tobytes())
+        for off in range(0, len(comp), 255):
+            chunk = comp[off:off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[float]]:
+    """Pure-Python GIF decode → (width, height, [per-frame mean pixel
+    over the palette's RGB values]). Full LZW decompression; raises on
+    local color tables / interlace / partial frames (codec territory
+    the encoder never emits — loud, per-feature refusals like the PNG
+    interlace path)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        palette = np.frombuffer(payload[pos:pos + 3 * n],
+                                np.uint8).reshape(n, 3)
+        pos += 3 * n
+    means: list[float] = []
+    while True:
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label byte + data sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        lx, ly, lw, lh = struct.unpack_from("<HHHH", payload, pos)
+        pos += 8
+        lflags = payload[pos]
+        pos += 1
+        if lflags & 0x80:
+            raise ValueError("GIF local color tables are not supported")
+        if lflags & 0x40:
+            raise ValueError("interlaced GIF is not supported")
+        if (lx, ly, lw, lh) != (0, 0, w, h):
+            raise ValueError("partial-frame GIF is not supported")
+        mcs = payload[pos]
+        pos += 1
+        comp = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            comp += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_gif_lzw_decompress(bytes(comp), mcs),
+                            np.uint8)
+        if idx.size != w * h:
+            raise ValueError("GIF frame pixel count mismatch")
+        if palette is None:
+            raise ValueError("GIF without a global color table")
+        means.append(float(palette[idx].mean()))
+    return w, h, means
+
+
 def decode_image_batch(payload: bytes) -> tuple[int, int, float]:
     """Magic-number dispatch → (width, height, mean_pixel).
 
@@ -599,7 +794,8 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
     every decoded feature. Narrow mapInPandas — no shuffle."""
 
     mime = {"image": "image/bmp", "audio": "audio/wav",
-            "video": "video/rawv", "png": "image/png"}[kind]
+            "video": "video/rawv", "png": "image/png",
+            "gif": "image/gif"}[kind]
 
     def gen(batches: Iterator) -> Iterator:
         import numpy as np
@@ -636,6 +832,20 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
                         if ct == 6:
                             arr[:, :, 3] = 255  # alpha, excluded from mean
                     payloads.append(encode_png(arr, ct, ft))
+                elif kind == "gif":
+                    # animated: frame f pixel (y, x) = v0 + 3f + x + y,
+                    # never wrapping (v0 < 170, 3f ≤ 12, x ≤ 15,
+                    # y ≤ 13), so every frame mean is exactly
+                    # v0 + 3f + (w-1)/2 + (h-1)/2 — oracle arithmetic.
+                    # The ramp rows make the LZW dictionary (and its
+                    # width growth) load-bearing per frame.
+                    w, h = 8 + d % 9, 8 + d % 7
+                    v0 = d % 170
+                    ramp = np.add.outer(np.arange(h), np.arange(w))
+                    payloads.append(encode_gif([
+                        (v0 + 3 * f + ramp).astype(np.uint8)
+                        for f in range(2 + d % 4)
+                    ]))
                 elif kind == "audio":
                     payloads.append(
                         encode_wav(64 + d % 128, (d % 1000) * 3, 8000 + 100 * (d % 8))
@@ -790,11 +1000,52 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GIF_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_x4", T.LongType()),
+])
+
+
+def extract_gif_frames(media: DataFrame) -> DataFrame:
+    """GIF payloads → one row per ANIMATION FRAME (real multi-frame
+    parse + LZW decompression per frame)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, means = decode_gif(bytes(p))
+                rows.extend(
+                    (int(mid), fi, w, h, int(round(m * 4)))
+                    for fi, m in enumerate(means))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "width",
+                               "height", "mean_x4"])
+
+    return media.mapInPandas(process, schema=GIF_FRAME_SCHEMA)
+
+
+def mm_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated GIF per document through the REAL LZW decoder: the
+    fixture's ramp frames make dictionary growth load-bearing, the
+    per-frame mean is exact quarter-integer arithmetic on doc_id
+    (mean_x4 = 4(v0 + 3f) + 2(w−1) + 2(h−1)), and the row count per
+    document is its frame count — so the oracle gates container
+    parsing, frame slicing, AND the decompressed pixels."""
+    return extract_gif_frames(media_table(spark, sf_dir, "gif"))
+
+
 QUERIES = {
     "mm_image_features": mm_image_features,
     "mm_audio_features": mm_audio_features,
     "mm_frame_sample": mm_frame_sample,
     "mm_png_features": mm_png_features,
+    "mm_gif_features": mm_gif_features,
 }
 
 # Oracle side replays the doc_id arithmetic that generated the payloads;
@@ -830,6 +1081,16 @@ ORACLES = {
                CAST((doc_id + 7 * 2 * i) % 256 AS DOUBLE) AS frame_mean
         FROM documents,
              unnest(range(0, (4 + doc_id % 5 + 1) // 2)) AS t(i)
+    """,
+    "mm_gif_features": """
+        SELECT doc_id AS media_id,
+               CAST(f AS INTEGER) AS frame_idx,
+               CAST(8 + doc_id % 9 AS INTEGER) AS width,
+               CAST(8 + doc_id % 7 AS INTEGER) AS height,
+               CAST(4 * (doc_id % 170 + 3 * f)
+                    + 2 * (7 + doc_id % 9) + 2 * (7 + doc_id % 7)
+                    AS BIGINT) AS mean_x4
+        FROM documents, unnest(range(0, 2 + doc_id % 4)) AS t(f)
     """,
     "mm_png_features": """
         SELECT media_id,

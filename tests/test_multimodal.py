@@ -312,3 +312,54 @@ def test_png_through_spark_binary_plumbing(spark, tmp_path):
         assert (feats[i]["width"], feats[i]["height"]) == \
             (arr.shape[1], arr.shape[0])
         assert abs(feats[i]["mean_pixel"] - arr.mean()) < 1e-9
+
+
+def test_gif_lzw_round_trip_and_compression():
+    """The GIF LZW pair is the REAL algorithm: repetitive input
+    compresses hard, the KwKwK (code == next) case round-trips, and a
+    long low-redundancy stream crosses every width boundary
+    (512/1024/2048) plus the 4096-entry CLEAR reset."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        _gif_lzw_compress, _gif_lzw_decompress,
+    )
+
+    rep = bytes([1, 2, 3, 4] * 500 + [7] * 300)
+    c = _gif_lzw_compress(rep)
+    assert _gif_lzw_decompress(c) == rep
+    assert len(c) < len(rep) // 4  # genuinely compressed
+
+    kwk = b"abababababab" * 16
+    assert _gif_lzw_decompress(_gif_lzw_compress(kwk)) == kwk
+
+    hard = bytes(((i * i) // 7) % 256 for i in range(60000))
+    assert _gif_lzw_decompress(_gif_lzw_compress(hard)) == hard
+
+
+def test_gif_container_round_trip_and_refusals():
+    import numpy as np
+    import pytest
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        decode_gif, encode_gif,
+    )
+
+    frames = [(10 + 3 * f + np.add.outer(np.arange(6), np.arange(9)))
+              .astype(np.uint8) for f in range(4)]
+    w, h, means = decode_gif(encode_gif(frames))
+    assert (w, h) == (9, 6)
+    assert means == [10 + 3 * f + 4.0 + 2.5 for f in range(4)]
+
+    payload = bytearray(encode_gif(frames[:1]))
+    assert decode_gif(bytes(payload))[2] == [16.5]
+    # flip the image descriptor's interlace bit → loud refusal
+    # (descriptor starts after header 13 + GCT 768 + GCE 8 bytes)
+    idesc_flags = 13 + 768 + 8 + 9
+    assert payload[13 + 768 + 8] == 0x2C
+    payload[idesc_flags] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(payload))
+    payload[idesc_flags] = 0x80  # local color table instead
+    with pytest.raises(ValueError, match="local color"):
+        decode_gif(bytes(payload))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE" + bytes(16))
