@@ -493,7 +493,12 @@ _TBLPROPERTIES_RE = re.compile(
 )
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+versioned\.`(?P<path>[^`]+)`"
-    r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*;?\s*$",
+    r"\s+TO\s+(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_PROPS_RE = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+versioned\.`(?P<path>[^`]+)`\s*;?\s*$",
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
@@ -567,7 +572,16 @@ def maintenance_sql(spark: SparkSession, statement: str):
 
     m = _RESTORE_RE.match(statement)
     if m:
-        return versioned.restore_version(m["path"], int(m["v"]))
+        v = (int(m["v"]) if m["v"] is not None
+             else versioned.resolve_timestamp(m["path"], m["ts"]))
+        return versioned.restore_version(m["path"], v)
+    m = _SHOW_PROPS_RE.match(statement)
+    if m:
+        props = versioned.table_properties(m["path"])
+        return spark.createDataFrame(
+            sorted((str(k), str(v)) for k, v in props.items()),
+            "key STRING, value STRING",
+        )
     m = _VACUUM_RE.match(statement)
     if m:
         fn = versioned.vacuum_dry_run if m["dry"] else versioned.vacuum
@@ -1055,7 +1069,7 @@ def sql(spark: SparkSession, statement: str):
         return create_table_as(spark, statement)
     if head in ("RESTORE", "VACUUM", "OPTIMIZE", "DESCRIBE", "ALTER",
                 "CONVERT", "FSCK", "REORG", "GENERATE", "ANALYZE",
-                "REGISTER"):
+                "REGISTER", "SHOW"):
         return maintenance_sql(spark, statement)
     if head in ("SELECT", "WITH"):
         return spark.sql(_rewrite_versioned_refs(spark, statement))
@@ -1063,5 +1077,5 @@ def sql(spark: SparkSession, statement: str):
         f"unsupported statement keyword {head!r} — supported: MERGE, "
         "DELETE, UPDATE, INSERT, CREATE, RESTORE, VACUUM, OPTIMIZE, "
         "DESCRIBE, ALTER, CONVERT, FSCK, REORG, GENERATE, REGISTER, "
-        "SELECT, WITH"
+        "SHOW, SELECT, WITH"
     )

@@ -771,3 +771,32 @@ def test_insert_replace_where_sql_route(spark, tmp_path):
         "SELECT CAST(900 AS INT) AS k, CAST(0 AS INT) AS day, "
         "'a' AS v")
     assert versioned.read_version(spark, path).count() == 66
+
+
+def test_show_tblproperties_and_restore_timestamp(spark, tmp_path):
+    """SHOW TBLPROPERTIES returns the property map as (key, value)
+    rows; RESTORE TABLE ... TO TIMESTAMP AS OF resolves through the
+    commit-time index (Delta's spelling)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.merge_sql import sql as vsql
+
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.range(5).selectExpr("CAST(id AS INT) AS k"), path)
+    assert vsql(spark, f"SHOW TBLPROPERTIES versioned.`{path}`") \
+        .collect() == []
+    vsql(spark, f"ALTER TABLE versioned.`{path}` "
+                "SET TBLPROPERTIES ('cdf.enabled' = 'true')")
+    rows = vsql(spark, f"SHOW TBLPROPERTIES versioned.`{path}`").collect()
+    assert [(r.key, r.value) for r in rows] == [("cdf.enabled", "true")]
+
+    # advance, then restore to the v0 commit instant by timestamp
+    import datetime
+    t0 = versioned._commit_ts(path, 0)
+    versioned.write_version(
+        spark.range(100, 103).selectExpr("CAST(id AS INT) AS k"), path)
+    # nudge past v0's instant: isoformat truncates sub-microsecond
+    ts = datetime.datetime.fromtimestamp(t0 + 0.01).isoformat()
+    vsql(spark, f"RESTORE TABLE versioned.`{path}` "
+                f"TO TIMESTAMP AS OF '{ts}'")
+    assert versioned.read_version(spark, path).count() == 5
