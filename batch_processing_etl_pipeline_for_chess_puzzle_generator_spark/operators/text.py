@@ -3133,3 +3133,82 @@ ORACLES["doc_length_lognormal_fit"] = """
                AS var_ln_e12
     FROM agg
 """
+
+
+# ------------------------- PMI phrase/co-occurrence mining (top vocab)
+#
+# Pointwise mutual information of word PAIRS at document level — the
+# collocation/phrase-mining classic (and the embedding-era relative:
+# PMI matrices are what SVD word vectors factor). Pairing is bounded
+# BY CONSTRUCTION: only the top-64 corpus words pair (the broadcast
+# vocabulary), so the per-document fan-out is ≤ C(64,2) regardless of
+# corpus size — one doc_id-co-partitioned self-join, one pair shuffle.
+# PMI = ln(df_ab·N / (df_a·df_b)) with the ln row-local on the e6 grid
+# (zipf discipline); df floors keep rare-pair noise out. Distinct from
+# doc_bigram_lm (ADJACENT-bigram conditional LM) — this is unordered
+# whole-document co-occurrence.
+PMI_VOCAB = 64
+PMI_MIN_BOTH = 5
+
+
+def doc_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(split(text, ' '))")).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "w").limit(PMI_VOCAB)
+    )
+    filt = toks.join(broadcast(vocab), "w")
+    a = filt.selectExpr("doc_id", "w AS word_a", "df AS dfa")
+    b = filt.selectExpr("doc_id", "w AS word_b", "df AS dfb")
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        a.join(b, "doc_id")
+        .filter("word_a < word_b")
+        .groupBy("word_a", "word_b", "dfa", "dfb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(f"n_both >= {PMI_MIN_BOTH}")
+        .crossJoin(broadcast(nd))
+        .selectExpr(
+            "word_a", "word_b", "n_both",
+            "CAST(ROUND(ln(CAST(n_both AS DOUBLE) * n_docs "
+            "/ (CAST(dfa AS DOUBLE) * dfb)) * 1000000) AS BIGINT) "
+            "AS pmi_e6",
+        )
+        .orderBy(F.col("pmi_e6").desc(), "word_a", "word_b")
+        .limit(20)
+    )
+
+
+QUERIES["doc_pmi_pairs"] = doc_pmi_pairs
+
+ORACLES["doc_pmi_pairs"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w, COUNT(*) AS df FROM toks GROUP BY 1
+        ORDER BY df DESC, w LIMIT {PMI_VOCAB}
+    ),
+    filt AS (SELECT doc_id, t.w, df FROM toks t JOIN vocab USING (w)),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pairs AS (
+        SELECT a.w AS word_a, b.w AS word_b, a.df AS dfa, b.df AS dfb,
+               COUNT(*) AS n_both
+        FROM filt a JOIN filt b USING (doc_id)
+        WHERE a.w < b.w
+        GROUP BY 1, 2, 3, 4
+        HAVING COUNT(*) >= {PMI_MIN_BOTH}
+    )
+    SELECT word_a, word_b, n_both,
+           CAST(ROUND(ln(CAST(n_both AS DOUBLE) * n_docs
+                / (CAST(dfa AS DOUBLE) * dfb)) * 1000000) AS BIGINT)
+               AS pmi_e6
+    FROM pairs CROSS JOIN nd
+    ORDER BY pmi_e6 DESC, word_a, word_b
+    LIMIT 20
+"""
