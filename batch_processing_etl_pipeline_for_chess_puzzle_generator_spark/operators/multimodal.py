@@ -593,10 +593,13 @@ def decode_image_batch(payload: bytes) -> tuple[int, int, float]:
         return decode_ppm(payload)
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:6] in (b"GIF89a", b"GIF87a"):
+        w, h, means = decode_gif(payload)
+        return w, h, means[0]  # first frame (the image-feature contract)
     raise NotImplementedError(
         f"image decoding for magic {payload[:4]!r} requires PIL/libvips, "
         "not present in this environment; built-in codecs cover "
-        "BMP/P6-PPM/8-bit-PNG "
+        "BMP/P6-PPM/8-bit-PNG/GIF "
         "(use extract_media_features(fake=True) for the hash-based stub)"
     )
 
