@@ -151,3 +151,37 @@ def test_incr_dedup_recurring_cost_is_corpus_free(spark):
         assert plan.count("documents.parquet") == 1
         assert marker in plan  # corpus side reads the committed index
         assert df.count() > 0
+
+
+def test_dedup_index_compaction_keeps_answers(spark):
+    """The doc-side index maintenance loop (mirror of the IVF
+    recluster): nightly fast-appends leave small files on the
+    committed band index; optimize_incremental compacts ONLY the
+    small-file debt as a new version, and the triage queries are
+    answer-identical across the compaction commit (the index is
+    content-addressed — layout is free to change)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    hash_path, band_path = D._dedup_index_paths(spark, SF_SMALL)
+    before = {
+        "dedup": sorted(tuple(r) for r in
+                        D.doc_incr_dedup(spark, SF_SMALL).collect()),
+        "minhash": sorted(tuple(r) for r in
+                          D.doc_incr_minhash(spark, SF_SMALL).collect()),
+    }
+    for p in (hash_path, band_path):
+        n0 = len(versioned.versions(p))
+        stats = versioned.optimize_incremental(
+            spark, p, min_file_bytes=10**9, target_files=4)
+        assert len(versioned.versions(p)) == n0 + 1
+        assert stats["files_compacted"] > 0  # the append debt existed
+        # net layout shrink (or equal): new files replace the debt
+        assert stats["files_total"] <= stats["files_compacted"] \
+            + stats["files_shared"]
+    after = {
+        "dedup": sorted(tuple(r) for r in
+                        D.doc_incr_dedup(spark, SF_SMALL).collect()),
+        "minhash": sorted(tuple(r) for r in
+                          D.doc_incr_minhash(spark, SF_SMALL).collect()),
+    }
+    assert before == after
