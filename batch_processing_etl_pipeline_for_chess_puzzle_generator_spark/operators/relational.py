@@ -4230,3 +4230,77 @@ ORACLES["stat_orders_bootstrap_ci"] = f"""
     FROM point JOIN ranked USING (pri)
     GROUP BY 1, 2, 3
 """
+
+
+# ------------------------------ Hill tail-index (power-law exponent)
+#
+# Gini/Lorenz/Pareto measure CONCENTRATION; the Hill estimator fits
+# the tail's power-law EXPONENT α — the dial that says whether extreme
+# order values are heavy-tailed enough to break mean-based planning
+# (α ≤ 2: infinite variance). Top-k order statistics per priority via
+# PARTITIONED rank windows (never a global sort), k = 100;
+# α = (k−1) / Σ_{i<k} ln(x_i / x_k), every ln row-local on the e6
+# grid and the sum pure integers (zipf discipline). Deterministic
+# top-k under ties via the orderkey.
+K_HILL = 100
+
+
+def stat_orders_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority", "o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "AS cents",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey"))
+    top = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(f"rn <= {K_HILL}")
+        .selectExpr(
+            "o_orderpriority", "rn", "cents",
+            "CAST(ROUND(ln(cents) * 1000000) AS BIGINT) AS li",
+        )
+    )
+    return (
+        top.groupBy("o_orderpriority")
+        .agg(
+            F.expr("MAX(rn)").alias("k_used"),
+            F.expr("SUM(li)").alias("sl"),
+            F.expr(f"MAX(CASE WHEN rn = {K_HILL} THEN li END)")
+            .alias("lk"),
+            F.expr(f"MAX(CASE WHEN rn = {K_HILL} THEN cents END)")
+            .alias("xmin_cents"),
+        )
+        .selectExpr(
+            "o_orderpriority", "k_used", "xmin_cents",
+            "CAST(CAST(k_used - 1 AS DECIMAL(38,0)) * 1000000000000 "
+            "DIV NULLIF(sl - k_used * lk, 0) AS BIGINT) AS alpha_e6",
+        )
+    )
+
+
+QUERIES["stat_orders_hill_tail"] = stat_orders_hill_tail
+
+ORACLES["stat_orders_hill_tail"] = f"""
+    WITH top AS (
+        SELECT o_orderpriority, rn, cents,
+               CAST(ROUND(ln(cents) * 1000000) AS BIGINT) AS li
+        FROM (
+            SELECT o_orderpriority,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                * 100 AS BIGINT) DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= {K_HILL}
+    )
+    SELECT o_orderpriority, MAX(rn) AS k_used,
+           MAX(CASE WHEN rn = {K_HILL} THEN cents END) AS xmin_cents,
+           CAST(CAST(MAX(rn) - 1 AS HUGEINT) * 1000000000000
+                // NULLIF(SUM(li) - MAX(rn)
+                          * MAX(CASE WHEN rn = {K_HILL} THEN li END), 0)
+                AS BIGINT) AS alpha_e6
+    FROM top GROUP BY 1
+"""

@@ -549,6 +549,11 @@ F_ALLOWLIST: dict[str, str] = {
         "rank set fixed at rk <= 100; x,y = ln*1e6 <= 3.5e7 -> "
         "COUNT*SUM(x*y) <= 100*100*1.2e15 bounded < 2^62"
     ),
+    "stat_orders_hill_tail": (
+        "li = ln(cents)*1e6 <= ln(2^63)*1e6 ~ 4.4e7 < 2^62; "
+        "k_used*lk <= 100*4.4e7 = 4.4e9; SUM(li) over k<=100 rows "
+        "<= 4.4e9; the (k-1)*1e12 numerator is DECIMAL(38,0)/HUGEINT"
+    ),
     "doc_length_lognormal_fit": (
         "x = ln(length)*1e6: ln of any representable string length "
         "<= ln(2^63) ~ 43.7 -> x <= 4.4e7 < 2^62; every cross-row "
