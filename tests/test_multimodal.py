@@ -363,3 +363,21 @@ def test_gif_container_round_trip_and_refusals():
         decode_gif(bytes(payload))
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"NOPE" + bytes(16))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4000))
+def test_gif_lzw_property_round_trip(data):
+    """Property: ANY byte stream LZW round-trips exactly — the
+    adversarial cases hypothesis finds (long runs, alternations,
+    high-entropy tails) cover dictionary states the fixed tests
+    can't enumerate."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.multimodal import (
+        _gif_lzw_compress, _gif_lzw_decompress,
+    )
+
+    assert _gif_lzw_decompress(_gif_lzw_compress(data)) == data
