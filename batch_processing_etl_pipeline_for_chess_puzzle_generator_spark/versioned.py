@@ -3763,6 +3763,27 @@ def register_snapshot_table(spark: SparkSession, table_path: str,
     return {"table": name, "version": v, "location": reg_dir}
 
 
+def unregister_snapshot_table(spark: SparkSession, name: str) -> None:
+    """Drop a catalog table created by :func:`register_snapshot_table`
+    AND reclaim its hard-link directory — the full lifecycle: DROP
+    TABLE alone leaves the per-version link dir pinning the snapshot's
+    bytes (by design while registered; garbage after). Safe on
+    already-dropped names; refuses tables whose location is not an
+    ``_registered`` dir (it won't delete data it didn't create)."""
+    import shutil
+
+    ident = ".".join(f"`{p}`" for p in name.split("."))
+    try:
+        detail = spark.sql(f"DESCRIBE TABLE EXTENDED {ident}") \
+            .filter("col_name = 'Location'").collect()
+    except Exception:
+        return  # no such table — nothing to reclaim
+    loc = _uri_to_path(detail[0].data_type) if detail else None
+    spark.sql(f"DROP TABLE IF EXISTS {ident}")
+    if loc and os.path.basename(os.path.dirname(loc)) == "_registered":
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def txn_version(table_path: str, app_id: str) -> int | None:
     """Delta ``txnVersion(appId)`` analog: the idempotency stamp the
     given writer app last committed, or None if it never stamped.

@@ -310,3 +310,28 @@ def test_registered_snapshot_survives_vacuum(spark, tmp_path):
         assert versioned.versions(path) == [2]
     finally:
         spark.sql("DROP TABLE IF EXISTS rs_vac")
+
+
+def test_unregister_snapshot_reclaims_links(spark, tmp_path):
+    """unregister_snapshot_table drops the catalog table AND its
+    hard-link dir (the bytes stop being pinned); a non-registered
+    table's location is never deleted, and a missing name is a
+    no-op."""
+    path = _mk(spark, str(tmp_path / "t"), n=30)
+    got = versioned.register_snapshot_table(spark, path, "rs_gone")
+    assert os.path.isdir(got["location"])
+    versioned.unregister_snapshot_table(spark, "rs_gone")
+    assert not os.path.isdir(got["location"])
+    assert not spark.catalog.tableExists("rs_gone")
+    versioned.unregister_snapshot_table(spark, "rs_gone")  # no-op
+
+    # a plain catalog table outside _registered keeps its data
+    ext = str(tmp_path / "ext")
+    spark.range(5).write.parquet(ext)
+    spark.sql(f"CREATE TABLE rs_ext USING parquet LOCATION '{ext}'")
+    try:
+        versioned.unregister_snapshot_table(spark, "rs_ext")
+        assert os.path.isdir(ext)  # dropped from catalog, data kept
+        assert not spark.catalog.tableExists("rs_ext")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rs_ext")
