@@ -1146,3 +1146,81 @@ def maintain_dedup_corpus(spark, src_path: str, curated_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------ streaming vector-index upkeep
+
+_VIDX_TXN_APP = "vector_index_loop"
+
+
+def maintain_vector_index(spark, src_path: str, cent_path: str,
+                          asg_path: str, checkpoint_dir: str,
+                          rebalance_ppm: int | None = None):
+    """Streaming VECTOR-INDEX maintenance — the vector-side twin of
+    maintain_dedup_corpus, composing the r12 pieces into the loop a
+    production vector store runs: a ``readStream.format("versioned")``
+    CHANGE feed of a versioned embeddings table (columns: c_id, ca,
+    cn — the quantized-vector form the index stores) drives a
+    ``foreachBatch`` that (a) assigns the batch's new vectors against
+    the COMMITTED centroids (broadcast model, row-local argmax),
+    (b) fast-appends the assignments txn-stamped per source version
+    (per-row ``_commit_version > stamp`` filtering — the per-version
+    idempotency discipline; replays and mixed fresh-checkpoint
+    restarts re-apply only unapplied versions), and (c) runs the
+    recluster-when-drifted check (operators.similarity
+    .maintain_ivf_index): when the appended batches have skewed the
+    imbalance dial past the threshold, the index re-trains from its
+    own committed vectors and rewrites as a new version — queries stay
+    answer-equivalent across the recluster. Per batch the work is
+    O(batch · K) + the drift check's cluster_id-only index scan; the
+    raw corpus is never re-read. Returns the started query."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.similarity import (
+        _ASSIGN_EXPR, _as_model, IVF_REBALANCE_PPM, maintain_ivf_index,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        ensure_registered,
+    )
+
+    threshold = IVF_REBALANCE_PPM if rebalance_ppm is None else rebalance_ppm
+    ensure_registered(spark)
+
+    def apply_batch(batch, _bid: int) -> None:
+        from pyspark.sql.functions import broadcast
+
+        last = versioned.txn_version(asg_path, _VIDX_TXN_APP)
+        if last is not None:
+            batch = batch.filter(F.col("_commit_version") > last)
+        batch = batch.filter("_change_type = 'insert'")
+        row = batch.agg(F.max("_commit_version")).collect()
+        if not row or row[0][0] is None:
+            return  # fully-applied replay (or empty batch)
+        hi = int(row[0][0])
+        model = _as_model(
+            versioned.read_version(spark, cent_path, stats_hint=False)
+            .select("cluster_id", "sa", "sn"))
+        assigned = batch.crossJoin(broadcast(model)).select(
+            F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn")
+        (assigned.write.format("versioned").mode("append")
+         .option("path", asg_path)
+         .option("txnAppId", _VIDX_TXN_APP)
+         .option("txnVersion", hi).save())
+        # index health after the append — the recluster is itself a
+        # commit, so a crash between append and recluster just means
+        # the NEXT batch's check fires it
+        maintain_ivf_index(spark, cent_path, asg_path,
+                           threshold_ppm=threshold)
+
+    feed = (
+        spark.readStream.format("versioned")
+        .option("path", src_path)
+        .option("readChangeFeed", "true").load()
+    )
+    return (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

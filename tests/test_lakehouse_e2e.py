@@ -517,3 +517,90 @@ def test_streaming_dedup_curation_loop(spark, tmp_path):
             len(versioned.versions(idx))) == (n_cur, n_idx)
     # index rows mirror the curated corpus exactly
     assert versioned.read_version(spark, idx).count() == 4
+
+
+def test_streaming_vector_index_maintenance(spark, tmp_path):
+    """Streaming twin #20 — the vector-index loop composed from the
+    r12 pieces: CDF feed of a versioned embeddings table →
+    foreachBatch assigns new vectors against the committed centroids,
+    fast-appends txn-stamped per source version, and runs the
+    recluster-when-drifted check. A new-region batch skews the index
+    past the threshold → the recluster fires inside the stream, the
+    imbalance drops, queries stay answer-equivalent, and a fresh-
+    checkpoint mixed replay re-applies only unapplied versions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.similarity import (
+        _ASSIGN_EXPR, _as_model, _qnorm, ivf_index_imbalance,
+        ivf_query_topk,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        maintain_vector_index,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    src, cent, asg = (str(tmp_path / n) for n in ("src", "cent", "asg"))
+    A = [1000000, 0, 0, 0]
+    B = [980000, 199000, 0, 0]
+    C = [0, 0, 1000000, 0]
+
+    def blob(vec, ids):
+        return spark.createDataFrame(
+            [(i, vec) for i in ids], "c_id LONG, ca ARRAY<BIGINT>"
+        ).withColumn("cn", F.expr(_qnorm("ca")))
+
+    # committed index over the corpus (blobs A + B), balanced
+    corpus = blob(A, range(80)).union(blob(B, range(100, 180)))
+    cents0 = spark.createDataFrame(
+        [(0, A), (1, B)], "cluster_id INT, sa ARRAY<BIGINT>"
+    ).withColumn("sn", F.expr(_qnorm("sa")))
+    versioned.write_version(cents0, cent)
+    model = _as_model(versioned.read_version(spark, cent)
+                      .select("cluster_id", "sa", "sn"))
+    versioned.write_version(
+        corpus.crossJoin(broadcast(model)).select(
+            F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn"),
+        asg, partition_by=["cluster_id"])
+
+    # the SOURCE stream: a versioned table of new vector batches
+    versioned.write_version(blob(C, range(1000, 1100)), src)   # v0
+
+    def drain(ck):
+        q = maintain_vector_index(spark, src, cent, asg,
+                                  str(tmp_path / ck))
+        q.awaitTermination(180)
+
+    drain("ck")  # 100 C-vectors land whole in one cluster: 260 rows,
+    # imbalance 1.15 < 1.2 — healthy, no recluster yet
+    n_after_first = versioned.read_version(spark, asg).count()
+    assert n_after_first == 260
+    assert len(versioned.versions(cent)) == 1
+
+    # append a second C batch: drift passes 1.2 → recluster fires
+    (blob(C, range(1100, 1240)).write.format("versioned")
+     .mode("append").option("path", src).save())              # v1
+    q = (blob(A, [9000]).union(blob(C, [9001]))
+         .selectExpr("c_id AS q_id", "ca AS qa", "cn AS qn"))
+    before = sorted(tuple(r) for r in
+                    ivf_query_topk(spark, cent, asg, q).collect())
+    drain("ck")
+    assert versioned.read_version(spark, asg).count() == 400
+    assert ivf_index_imbalance(spark, asg) <= 1_200_000  # reclustered
+    assert len(versioned.versions(cent)) == 2             # new model
+    after = sorted(tuple(r) for r in
+                   ivf_query_topk(spark, cent, asg, q).collect())
+    assert before == after  # answers equivalent across the recluster
+
+    # mixed fresh-checkpoint replay: only the new version applies
+    (blob(A, range(2000, 2010)).write.format("versioned")
+     .mode("append").option("path", src).save())              # v2
+    drain("ck_fresh")
+    assert versioned.read_version(spark, asg).count() == 410
+    # pure replay: no new commits on the index
+    n_v = len(versioned.versions(asg))
+    drain("ck_fresh2")
+    assert len(versioned.versions(asg)) == n_v
