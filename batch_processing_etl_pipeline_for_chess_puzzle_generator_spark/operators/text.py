@@ -3212,3 +3212,68 @@ ORACLES["doc_pmi_pairs"] = f"""
     ORDER BY pmi_e6 DESC, word_a, word_b
     LIMIT 20
 """
+
+
+# ------------- weighted sampling WITHOUT replacement (A-ES top-k)
+#
+# Efraimidis–Spirakis reservoir sampling: key = u^(1/w) per item, take
+# the top-k keys — THE distributed algorithm for an EXACT-size,
+# weight-proportional sample without replacement (corpus subsampling
+# by quality at a fixed token budget), as opposed to
+# doc_importance_sample's Bernoulli thinning (random size, with
+# independent draws). Rank by the monotone transform ln(u)/w — one
+# row-local double (md5-derived u, the house grid discipline: ROUND
+# onto e6 BEFORE the window), then a PARTITIONED top-k window per
+# source (never a global sort). No division of integer negatives
+# anywhere (the DIV/// trap): the sort key stays a rounded BIGINT.
+AES_K = 50
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = SPARK_HASH_SQL("CONCAT('aes:', CAST(doc_id AS STRING))")
+    keyed = (
+        docs.join(q, "doc_id")
+        .selectExpr(
+            "doc_id", "source",
+            "GREATEST(CAST(FLOOR(quality_score * 1000000) AS BIGINT), 1) "
+            "AS w_ppm",
+            f"CAST(ROUND(ln((pmod({h}, 1000000) + 1) / 1000000.0) "
+            "/ (GREATEST(CAST(FLOOR(quality_score * 1000000) AS BIGINT), 1) "
+            "/ 1000000.0) * 1000000) AS BIGINT) AS key_e6",
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("key_e6").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(f"rank <= {AES_K}")
+        .select("source", "rank", "doc_id", "w_ppm", "key_e6")
+    )
+
+
+QUERIES["doc_weighted_sample"] = doc_weighted_sample
+
+ORACLES["doc_weighted_sample"] = f"""
+    WITH q AS ({{Q_QUALITY}}),
+    keyed AS (
+        SELECT d.doc_id, d.source,
+               GREATEST(CAST(FLOOR(q.quality_score * 1000000) AS BIGINT),
+                        1) AS w_ppm,
+               CAST(ROUND(ln(({STABLE_HASH_SQL("('aes:' || CAST(d.doc_id AS VARCHAR))")} % 1000000 + 1)
+                    / 1000000.0)
+                    / (GREATEST(CAST(FLOOR(q.quality_score * 1000000)
+                                     AS BIGINT), 1) / 1000000.0)
+                    * 1000000) AS BIGINT) AS key_e6
+        FROM documents d JOIN q ON d.doc_id = q.doc_id
+    )
+    SELECT source, rank, doc_id, w_ppm, key_e6
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY key_e6 DESC, doc_id) AS rank
+        FROM keyed
+    ) WHERE rank <= {AES_K}
+""".replace("{Q_QUALITY}", ORACLES["doc_quality"])

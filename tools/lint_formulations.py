@@ -549,6 +549,12 @@ F_ALLOWLIST: dict[str, str] = {
         "rank set fixed at rk <= 100; x,y = ln*1e6 <= 3.5e7 -> "
         "COUNT*SUM(x*y) <= 100*100*1.2e15 bounded < 2^62"
     ),
+    "doc_weighted_sample": (
+        "quality_score in [0,1] by construction -> w_ppm <= 1e6; the "
+        "A-ES key is a row-local double (|ln(u)|/w <= ~1.4e7 at "
+        "w_ppm=1) rounded onto e6 <= 1.4e13 < 2^62; no cross-row "
+        "integer products"
+    ),
     "stat_orders_hill_tail": (
         "li = ln(cents)*1e6 <= ln(2^63)*1e6 ~ 4.4e7 < 2^62; "
         "k_used*lk <= 100*4.4e7 = 4.4e9; SUM(li) over k<=100 rows "
