@@ -878,9 +878,12 @@ class VersionedDataSource(DataSource):
             raise ValueError("option 'path' is required")
         w = VersionedWriter(table_path, schema, overwrite)
         # Delta's idempotent-write options: the (txnAppId, txnVersion)
-        # stamp rides the SAME commit via the txn ledger, so a caller
-        # replaying the write (foreachBatch re-delivery) can check
-        # versioned.txn_version(path, app) and skip. Both or neither.
+        # stamp rides the SAME commit via the txn ledger, AND the
+        # write itself becomes a no-op when txnVersion is <= the
+        # table's recorded stamp for the app (checked at commit time,
+        # see VersionedWriter.commit) — matching Delta's contract so
+        # foreachBatch re-deliveries are safe on the option alone.
+        # Both or neither.
         app = self.options.get("txnappid")
         ver = self.options.get("txnversion")
         if (app is None) != (ver is None):
@@ -1184,6 +1187,23 @@ class VersionedWriter(DataSourceArrowWriter):
             avail = versioned.versions(self.table_path)
             if avail:
                 parent = versioned._load_manifest(self.table_path, avail[-1])
+            # Delta's idempotent-write CONTRACT, not just the stamp: a
+            # write whose txnVersion is <= the table's recorded stamp
+            # for that appId is a no-op — the staged files are swept
+            # and no version publishes. Checked inside the retry loop
+            # against the freshly-loaded parent, so a concurrent
+            # commit advancing the stamp mid-retry is also honored
+            # (stamps only grow, so a stale verdict can never flip
+            # back to live).
+            txn = self.extra_manifest.get("txn")
+            if txn and parent is not None:
+                ledger = parent.get("txn") or {}
+                if all(ledger.get(a) is not None and int(v) <= ledger[a]
+                       for a, v in txn.items()):
+                    shutil.rmtree(self.staged, ignore_errors=True)
+                    if final is not None:
+                        shutil.rmtree(final, ignore_errors=True)
+                    return
             if parent is not None and not self.overwrite:
                 ident = parent.get("identity") or {}
                 if ident and not self.identity_alloc:

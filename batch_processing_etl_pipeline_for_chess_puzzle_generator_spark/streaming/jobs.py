@@ -1114,22 +1114,30 @@ def maintain_dedup_corpus(spark, src_path: str, curated_path: str,
             hashed.join(idx, "h", "left_anti")   # not in the corpus
             .withColumn("rn", F.row_number().over(w))
             .filter("rn = 1")                    # first of intra-batch dups
-            .drop("rn", "_change_type", "_commit_version")
+            .drop("rn", "_change_type")
         ).localCheckpoint()  # consumed twice below
-        # curated first, guarded by ITS stamp; then the index commit
-        # advances the loop's stamp. Crash between the two: the replay
-        # passes the index-stamp filter (old), recomputes the same
-        # fresh set (index unchanged), skips curated (stamp == hi),
-        # and lands the index append — neither table double-appends.
+        # curated first, then the index commit advances the loop's
+        # stamp. Idempotency is PER-ROW on BOTH tables: each append is
+        # filtered to `_commit_version > <that table's own stamp>`, so
+        # a crash between the two appends followed by NEW source
+        # versions landing before restart (replay batch spans old+new,
+        # hi2 > hi) re-applies exactly the unapplied versions on each
+        # table independently — the old versions' docs (already
+        # curated, never indexed) reach the index but not the curated
+        # table a second time. A pure replay (no new versions) is
+        # additionally a writer-level no-op: the DS writer skips any
+        # save whose txnVersion <= the table's recorded stamp.
         cur_last = None
         if versioned.versions(curated_path):
             cur_last = versioned.txn_version(curated_path,
                                              _CURATE_TXN_APP)
-        if cur_last is None or hi > cur_last:
-            (fresh.drop("h").write.format("versioned").mode("append")
-             .option("path", curated_path)
-             .option("txnAppId", _CURATE_TXN_APP)
-             .option("txnVersion", hi).save())
+        cur_fresh = (fresh if cur_last is None
+                     else fresh.filter(F.col("_commit_version") > cur_last))
+        (cur_fresh.drop("h", "_commit_version")
+         .write.format("versioned").mode("append")
+         .option("path", curated_path)
+         .option("txnAppId", _CURATE_TXN_APP)
+         .option("txnVersion", hi).save())
         (fresh.select("doc_id", "h").write.format("versioned")
          .mode("append").option("path", index_path)
          .option("txnAppId", _CURATE_TXN_APP)
@@ -1195,23 +1203,28 @@ def maintain_vector_index(spark, src_path: str, cent_path: str,
             batch = batch.filter(F.col("_commit_version") > last)
         batch = batch.filter("_change_type = 'insert'")
         row = batch.agg(F.max("_commit_version")).collect()
-        if not row or row[0][0] is None:
-            return  # fully-applied replay (or empty batch)
-        hi = int(row[0][0])
-        model = _as_model(
-            versioned.read_version(spark, cent_path, stats_hint=False)
-            .select("cluster_id", "sa", "sn"))
-        assigned = batch.crossJoin(broadcast(model)).select(
-            F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn")
-        (assigned.write.format("versioned").mode("append")
-         .option("path", asg_path)
-         .option("txnAppId", _VIDX_TXN_APP)
-         .option("txnVersion", hi).save())
-        # index health after the append — the recluster is itself a
-        # commit, so a crash between append and recluster just means
-        # the NEXT batch's check fires it
-        maintain_ivf_index(spark, cent_path, asg_path,
-                           threshold_ppm=threshold)
+        if row and row[0][0] is not None:
+            hi = int(row[0][0])
+            model = _as_model(
+                versioned.read_version(spark, cent_path, stats_hint=False)
+                .select("cluster_id", "sa", "sn"))
+            assigned = batch.crossJoin(broadcast(model)).select(
+                F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca",
+                "cn")
+            (assigned.write.format("versioned").mode("append")
+             .option("path", asg_path)
+             .option("txnAppId", _VIDX_TXN_APP)
+             .option("txnVersion", hi).save())
+        # index health runs UNCONDITIONALLY, including on a
+        # fully-applied replay (empty after the stamp filter): a crash
+        # between the append and the recluster replays to an empty
+        # batch on restart, and the drifted index must be repaired NOW,
+        # not when genuinely new source data happens to arrive. The
+        # recluster is itself a commit, so re-firing is idempotent on
+        # a balanced index (metadata-only no-op below threshold).
+        if versioned.versions(asg_path):
+            maintain_ivf_index(spark, cent_path, asg_path,
+                               threshold_ppm=threshold)
 
     feed = (
         spark.readStream.format("versioned")

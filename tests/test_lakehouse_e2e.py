@@ -604,3 +604,131 @@ def test_streaming_vector_index_maintenance(spark, tmp_path):
     n_v = len(versioned.versions(asg))
     drain("ck_fresh2")
     assert len(versioned.versions(asg)) == n_v
+
+
+def test_dedup_curation_crash_between_appends_with_new_versions(
+        spark, tmp_path):
+    """The one crash window the whole-batch curated guard got wrong
+    (r12 ADVICE): the job dies AFTER the curated append (curated stamp
+    = hi) but BEFORE the index append, and NEW source versions land
+    before restart — so the replay batch spans old + new versions with
+    hi2 > hi. The index never learned the old versions' hashes, so
+    their docs reappear in `fresh`; per-row `_commit_version >
+    <table's own stamp>` filtering must keep them OUT of the curated
+    table (already there) while still landing them in the index."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        _CURATE_TXN_APP, maintain_dedup_corpus,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    src, cur, idx = (str(tmp_path / n) for n in ("src", "cur", "idx"))
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    versioned.write_version(docs([(1, "alpha"), (2, "beta")]), src)
+    versioned.set_table_property(src, "cdf.enabled", "true")
+    q = maintain_dedup_corpus(spark, src, cur, idx, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    # a new source version lands; SIMULATE the crash: the curated
+    # append for it committed (stamp = that source version) but the
+    # index append never ran
+    (docs([(3, "epsilon")]).write.format("versioned").mode("append")
+     .option("path", src).save())
+    v_eps = versioned.versions(src)[-1]
+    (docs([(3, "epsilon")]).write.format("versioned").mode("append")
+     .option("path", cur)
+     .option("txnAppId", _CURATE_TXN_APP)
+     .option("txnVersion", v_eps).save())
+    assert versioned.txn_version(cur, _CURATE_TXN_APP) == v_eps
+    assert versioned.txn_version(idx, _CURATE_TXN_APP) < v_eps
+
+    # a NEW source version lands before the restart
+    (docs([(4, "zeta")]).write.format("versioned").mode("append")
+     .option("path", src).save())                              # v2
+
+    # restart (fresh checkpoint: the replay batch spans v0+v1+v2)
+    q = maintain_dedup_corpus(spark, src, cur, idx,
+                              str(tmp_path / "ck_fresh"))
+    q.awaitTermination(180)
+
+    got = sorted(tuple(r) for r in
+                 versioned.read_version(spark, cur).collect())
+    # epsilon exactly once — the whole-batch guard would duplicate it
+    assert got == [(1, "alpha"), (2, "beta"), (3, "epsilon"),
+                   (4, "zeta")]
+    # the index caught up on BOTH the old and the new version's hashes
+    assert versioned.read_version(spark, idx).count() == 4
+    v_last = versioned.versions(src)[-1]
+    assert versioned.txn_version(idx, _CURATE_TXN_APP) == v_last
+    assert versioned.txn_version(cur, _CURATE_TXN_APP) == v_last
+
+
+def test_vector_index_crash_before_recluster_repairs_on_replay(
+        spark, tmp_path):
+    """r12 ADVICE: a crash between the assignment append and the
+    recluster used to leave the index drifted until genuinely NEW
+    source data arrived — the replay batch filters empty under the txn
+    stamp and returned before the drift check. The check now runs
+    unconditionally, so a bare restart (no new data) repairs the
+    index."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.similarity import (
+        _ASSIGN_EXPR, _as_model, _qnorm, ivf_index_imbalance,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        _VIDX_TXN_APP, maintain_vector_index,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    src, cent, asg = (str(tmp_path / n) for n in ("src", "cent", "asg"))
+    A = [1000000, 0, 0, 0]
+    B = [980000, 199000, 0, 0]
+    C = [0, 0, 1000000, 0]
+
+    def blob(vec, ids):
+        return spark.createDataFrame(
+            [(i, vec) for i in ids], "c_id LONG, ca ARRAY<BIGINT>"
+        ).withColumn("cn", F.expr(_qnorm("ca")))
+
+    corpus = blob(A, range(80)).union(blob(B, range(100, 180)))
+    cents0 = spark.createDataFrame(
+        [(0, A), (1, B)], "cluster_id INT, sa ARRAY<BIGINT>"
+    ).withColumn("sn", F.expr(_qnorm("sa")))
+    versioned.write_version(cents0, cent)
+    model = _as_model(versioned.read_version(spark, cent)
+                      .select("cluster_id", "sa", "sn"))
+    versioned.write_version(
+        corpus.crossJoin(broadcast(model)).select(
+            F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn"),
+        asg, partition_by=["cluster_id"])
+
+    # source v0: a skewing batch. SIMULATE the crash: the assignment
+    # append committed (stamp 0) but maintain_ivf_index never ran.
+    versioned.write_version(blob(C, range(1000, 1240)), src)
+    new = versioned.read_version(spark, src)
+    (new.crossJoin(broadcast(model)).select(
+        F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn")
+     .write.format("versioned").mode("append").option("path", asg)
+     .option("txnAppId", _VIDX_TXN_APP)
+     .option("txnVersion", 0).save())
+    assert ivf_index_imbalance(spark, asg) > 1_200_000   # drifted
+    assert len(versioned.versions(cent)) == 1
+
+    # bare restart, NO new source data: the replay batch is empty
+    # after the stamp filter, but the drift repair must still fire
+    q = maintain_vector_index(spark, src, cent, asg,
+                              str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    assert len(versioned.versions(cent)) == 2            # reclustered
+    assert ivf_index_imbalance(spark, asg) <= 1_200_000
+    assert versioned.read_version(spark, asg).count() == 400

@@ -307,3 +307,44 @@ def test_ds_writer_txn_options(spark, tmp_path):
         (spark.range(5, 6).selectExpr("CAST(id AS INT) AS k")
          .write.format("versioned").mode("append").option("path", path)
          .option("txnAppId", "loader").save())
+
+
+def test_ds_writer_txn_skip_stale(spark, tmp_path):
+    """Delta's idempotent-write CONTRACT, not just the stamp: a save
+    whose txnVersion is <= the table's recorded stamp for that appId
+    is a writer-level no-op — no version publishes, no rows land, no
+    staged files linger. A foreachBatch re-delivery is safe on the
+    option alone. A HIGHER version, and any OTHER app, still write."""
+    import os
+
+    path = str(tmp_path / "t")
+    versioned.write_version(
+        spark.range(3).selectExpr("CAST(id AS INT) AS k"), path)
+    (spark.range(3, 5).selectExpr("CAST(id AS INT) AS k")
+     .write.format("versioned").mode("append").option("path", path)
+     .option("txnAppId", "loader").option("txnVersion", 7).save())
+    n_ver = len(versioned.versions(path))
+
+    # equal AND lower stamps: both skipped outright
+    for stale in (7, 6):
+        (spark.range(100, 110).selectExpr("CAST(id AS INT) AS k")
+         .write.format("versioned").mode("append").option("path", path)
+         .option("txnAppId", "loader")
+         .option("txnVersion", stale).save())
+    assert len(versioned.versions(path)) == n_ver
+    assert versioned.read_version(spark, path).count() == 5
+    assert versioned.txn_version(path, "loader") == 7
+    # the skipped writers swept their staged dirs
+    assert not [d for d in os.listdir(path) if d.startswith("_staged")]
+
+    # a different app is an independent ledger line — it writes
+    (spark.range(10, 12).selectExpr("CAST(id AS INT) AS k")
+     .write.format("versioned").mode("append").option("path", path)
+     .option("txnAppId", "other").option("txnVersion", 1).save())
+    assert versioned.read_version(spark, path).count() == 7
+    # and a newer stamp for the original app writes and advances
+    (spark.range(20, 23).selectExpr("CAST(id AS INT) AS k")
+     .write.format("versioned").mode("append").option("path", path)
+     .option("txnAppId", "loader").option("txnVersion", 8).save())
+    assert versioned.read_version(spark, path).count() == 10
+    assert versioned.txn_version(path, "loader") == 8
