@@ -544,6 +544,14 @@ _REGISTER_RE = re.compile(
     r"(?:\s+(?P<cols>ANALYZE\s+ALL\s+COLUMNS))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_UNREGISTER_RE = re.compile(
+    r"^\s*UNREGISTER\s+SNAPSHOT\s+(?P<name>[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_REFRESH_SNAP_RE = re.compile(
+    r"^\s*REFRESH\s+SNAPSHOT\s+(?P<name>[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+versioned\.`(?P<path>[^`]+)`\s*;?\s*$",
     re.IGNORECASE,
@@ -631,6 +639,27 @@ def maintenance_sql(spark: SparkSession, statement: str):
             [(got["table"], got["version"], got["location"])],
             "table STRING, version LONG, location STRING",
         )
+    m = _UNREGISTER_RE.match(statement)
+    if m:
+        # drop the catalog table AND reclaim the hard-link dir — the
+        # SQL spelling of unregister_snapshot_table
+        got = versioned.unregister_snapshot_table(spark, m["name"])
+        return spark.createDataFrame(
+            [(got["table"], got["dropped"])],
+            "table STRING, dropped BOOLEAN",
+        )
+    m = _REFRESH_SNAP_RE.match(statement)
+    if m:
+        # advance a registered snapshot to the source table's head
+        # (no-op when current) — the SQL spelling of
+        # refresh_snapshot_table
+        got = versioned.refresh_snapshot_table(spark, m["name"])
+        return spark.createDataFrame(
+            [(got["table"], got["version"], got["location"],
+              got["refreshed"])],
+            "table STRING, version LONG, location STRING, "
+            "refreshed BOOLEAN",
+        )
     m = _HISTORY_RE.match(statement)
     if m:
         return versioned.history(spark, m["path"])
@@ -678,7 +707,8 @@ def maintenance_sql(spark: SparkSession, statement: str):
         "TABLE versioned.`/p` APPLY (PURGE) | GENERATE "
         "symlink_format_manifest FOR TABLE versioned.`/p` | REGISTER "
         "SNAPSHOT versioned.`/p` [VERSION AS OF n] AS name [ANALYZE "
-        "ALL COLUMNS]; "
+        "ALL COLUMNS] | UNREGISTER SNAPSHOT name | REFRESH SNAPSHOT "
+        "name; "
         f"got: {statement!r}"
     )
 
@@ -1069,7 +1099,7 @@ def sql(spark: SparkSession, statement: str):
         return create_table_as(spark, statement)
     if head in ("RESTORE", "VACUUM", "OPTIMIZE", "DESCRIBE", "ALTER",
                 "CONVERT", "FSCK", "REORG", "GENERATE", "ANALYZE",
-                "REGISTER", "SHOW"):
+                "REGISTER", "UNREGISTER", "REFRESH", "SHOW"):
         return maintenance_sql(spark, statement)
     if head in ("SELECT", "WITH"):
         return spark.sql(_rewrite_versioned_refs(spark, statement))
@@ -1077,5 +1107,5 @@ def sql(spark: SparkSession, statement: str):
         f"unsupported statement keyword {head!r} — supported: MERGE, "
         "DELETE, UPDATE, INSERT, CREATE, RESTORE, VACUUM, OPTIMIZE, "
         "DESCRIBE, ALTER, CONVERT, FSCK, REORG, GENERATE, REGISTER, "
-        "SHOW, SELECT, WITH"
+        "UNREGISTER, REFRESH, SHOW, SELECT, WITH"
     )

@@ -3674,10 +3674,78 @@ def resolve_timestamp(table_path: str, ts) -> int:
     return best
 
 
+#: per-JVM-gateway cache of the compiled catalog-stats setter (the
+#: Janino cook is ~10 ms; the evaluator is stateless and reusable)
+_CATALOG_STATS_SETTERS: dict = {}
+_CATALOG_STATS_LOCK = __import__("threading").Lock()
+
+
+def _set_catalog_stats(spark: SparkSession, name: str,
+                       size_in_bytes: int, row_count: int | None) -> None:
+    """Feed exact table-level statistics to the session catalog with
+    ZERO scan jobs — the manifest-fed replacement for ``ANALYZE TABLE
+    COMPUTE STATISTICS``. The in-memory catalog only consumes stats
+    through ``SessionCatalog.alterTableStats`` (it does not interpret
+    ``spark.sql.statistics.*`` table properties the way the Hive
+    catalog does), and that API takes ``scala.math.BigInt`` arguments
+    Py4J cannot round-trip (it flattens any returned ``Number`` to a
+    Python int, so a BigInt reference can never be held Python-side).
+    The bridge is Janino — the Java compiler Spark already ships for
+    whole-stage codegen: a six-line script compiled once per JVM
+    builds the ``CatalogStatistics`` entirely JVM-side and calls the
+    same ``alterTableStats`` the ANALYZE command uses."""
+    gw = spark.sparkContext._gateway
+    jvm = spark._jvm
+    key = id(gw)
+    with _CATALOG_STATS_LOCK:
+        se = _CATALOG_STATS_SETTERS.get(key)
+        if se is None:
+            script = """
+            scala.math.BigInt size = scala.math.BigInt.apply(sizeBytes);
+            scala.Option rc = rowCount < 0L
+                ? scala.Option.apply(null)
+                : scala.Option.apply(scala.math.BigInt.apply(rowCount));
+            scala.collection.immutable.Map empty =
+                scala.collection.immutable.Map$.MODULE$.empty();
+            org.apache.spark.sql.catalyst.catalog.CatalogStatistics stats =
+                new org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+                    size, rc, empty);
+            org.apache.spark.sql.catalyst.TableIdentifier ident = db == null
+                ? new org.apache.spark.sql.catalyst.TableIdentifier(table)
+                : new org.apache.spark.sql.catalyst.TableIdentifier(
+                      table, scala.Option.apply(db));
+            catalog.alterTableStats(ident, scala.Option.apply(stats));
+            """
+            se = jvm.org.codehaus.janino.ScriptEvaluator()
+            pnames = gw.new_array(jvm.java.lang.String, 5)
+            for i, n in enumerate(
+                    ("catalog", "table", "db", "sizeBytes", "rowCount")):
+                pnames[i] = n
+            ptypes = gw.new_array(jvm.java.lang.Class, 5)
+            ptypes[0] = jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.catalyst.catalog.SessionCatalog")
+            ptypes[1] = jvm.java.lang.Class.forName("java.lang.String")
+            ptypes[2] = jvm.java.lang.Class.forName("java.lang.String")
+            ptypes[3] = jvm.java.lang.Long.TYPE
+            ptypes[4] = jvm.java.lang.Long.TYPE
+            se.setParameters(pnames, ptypes)
+            se.cook(script)
+            _CATALOG_STATS_SETTERS[key] = se
+        parts = name.split(".")
+        args = gw.new_array(jvm.java.lang.Object, 5)
+        args[0] = spark._jsparkSession.sessionState().catalog()
+        args[1] = parts[-1]
+        args[2] = parts[-2] if len(parts) > 1 else None
+        args[3] = jvm.java.lang.Long(int(size_in_bytes))
+        args[4] = jvm.java.lang.Long(
+            -1 if row_count is None else int(row_count))
+        se.evaluate(args)
+
+
 def register_snapshot_table(spark: SparkSession, table_path: str,
                             name: str, version: int | None = None,
                             analyze_columns=None) -> dict:
-    """Register a snapshot as a CATALOG parquet table with ANALYZE-fed
+    """Register a snapshot as a CATALOG parquet table with MANIFEST-fed
     statistics — the rung of the CBO ladder the per-read broadcast
     hint can't reach: Catalyst's cost-based join REORDER
     (``spark.sql.cbo.enabled`` + ``spark.sql.cbo.joinReorder.enabled``)
@@ -3697,14 +3765,24 @@ def register_snapshot_table(spark: SparkSession, table_path: str,
     file, so the flat read serves it (path pruning degrades to
     row-group min/max pruning on the registered copy). The table is
     created with the MANIFEST schema (inference could miss a
-    metadata-only ADD COLUMN no file carries yet). ``analyze_columns``
-    additionally runs column-level ANALYZE ("ALL" or a list) for
-    ndv-based join cardinality estimates.
+    metadata-only ADD COLUMN no file carries yet).
+
+    Statistics cost ZERO Spark jobs: the exact rowCount /
+    sizeInBytes the manifest records at commit time
+    (:func:`table_statistics`) are fed straight into the session
+    catalog via ``alterTableStats`` — the same numbers a full-scan
+    ``ANALYZE TABLE COMPUTE STATISTICS`` would burn a table scan to
+    learn. ``analyze_columns`` additionally runs column-level ANALYZE
+    ("ALL" or a list) for ndv-based join cardinality estimates — that
+    one IS a scan and stays opt-in.
 
     Refused for snapshots whose correct read is not plain parquet
     (deletion vectors, column mapping) — those need the versioned
     read path. Re-registering the same name re-links the current
-    version (the catalog table is a pinned snapshot, not a live view).
+    version (the catalog table is a pinned snapshot, not a live view;
+    :func:`refresh_snapshot_table` advances a registered name to the
+    table head when it has moved — the source path and version ride
+    the table properties for exactly that).
     """
     import shutil
 
@@ -3745,16 +3823,26 @@ def register_snapshot_table(spark: SparkSession, table_path: str,
 
     ident = ".".join(f"`{p}`" for p in name.split("."))
     spark.sql(f"DROP TABLE IF EXISTS {ident}")
+    # the source path + pinned version ride the table properties so
+    # refresh_snapshot_table can follow the head without extra state
+    src_esc = table_path.replace("'", "''")
+    ac = ("" if not analyze_columns else
+          "ALL" if analyze_columns == "ALL" else ",".join(analyze_columns))
+    props = (f"TBLPROPERTIES ('versioned.source' = '{src_esc}', "
+             f"'versioned.version' = '{v}', "
+             f"'versioned.analyze' = '{ac}')")
     if m.get("schema"):
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         colspec = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                             for f in schema.fields)
         spark.sql(f"CREATE TABLE {ident} ({colspec}) USING parquet "
-                  f"LOCATION '{reg_dir}'")
+                  f"LOCATION '{reg_dir}' {props}")
     else:
         spark.sql(f"CREATE TABLE {ident} USING parquet "
-                  f"LOCATION '{reg_dir}'")
-    spark.sql(f"ANALYZE TABLE {ident} COMPUTE STATISTICS")
+                  f"LOCATION '{reg_dir}' {props}")
+    # manifest-fed stats: zero scan jobs (see _set_catalog_stats)
+    st = table_statistics(table_path, version=v)
+    _set_catalog_stats(spark, name, st["size_in_bytes"], st["row_count"])
     if analyze_columns:
         cols = ("FOR ALL COLUMNS" if analyze_columns == "ALL"
                 else "FOR COLUMNS "
@@ -3763,13 +3851,55 @@ def register_snapshot_table(spark: SparkSession, table_path: str,
     return {"table": name, "version": v, "location": reg_dir}
 
 
-def unregister_snapshot_table(spark: SparkSession, name: str) -> None:
+def refresh_snapshot_table(spark: SparkSession, name: str) -> dict:
+    """Advance a registered snapshot to its source table's HEAD — the
+    staleness escape for :func:`register_snapshot_table`'s pinned
+    catalog tables (after a commit, the catalog silently serves the
+    old version until re-registered; this is the re-register, driven
+    off the properties the registration recorded). A no-op when the
+    head hasn't moved (``refreshed: False``). Re-links the head's
+    files into a fresh per-version dir, recreates the catalog entry
+    with manifest-fed stats (zero scan jobs), re-runs column ANALYZE
+    only if the original registration asked for it, and reclaims the
+    superseded link dir."""
+    import shutil
+
+    ident = ".".join(f"`{p}`" for p in name.split("."))
+    props = {r.key: r.value for r in
+             spark.sql(f"SHOW TBLPROPERTIES {ident}").collect()}
+    src = props.get("versioned.source")
+    if src is None:
+        raise ValueError(
+            f"{name} is not a registered snapshot table (no "
+            "'versioned.source' property) — register_snapshot_table "
+            "creates refreshable registrations")
+    reg_v = int(props["versioned.version"])
+    ac = props.get("versioned.analyze") or None
+    head = versions(src)[-1]
+    if head == reg_v:
+        detail = spark.sql(f"DESCRIBE TABLE EXTENDED {ident}") \
+            .filter("col_name = 'Location'").collect()
+        loc = _uri_to_path(detail[0].data_type) if detail else None
+        return {"table": name, "version": reg_v, "location": loc,
+                "refreshed": False}
+    old_dir = os.path.join(src, "_registered", f"v{reg_v}")
+    got = register_snapshot_table(
+        spark, src, name, version=head,
+        analyze_columns=("ALL" if ac == "ALL"
+                         else ac.split(",") if ac else None))
+    if os.path.isdir(old_dir) and old_dir != got["location"]:
+        shutil.rmtree(old_dir, ignore_errors=True)
+    return {**got, "refreshed": True}
+
+
+def unregister_snapshot_table(spark: SparkSession, name: str) -> dict:
     """Drop a catalog table created by :func:`register_snapshot_table`
     AND reclaim its hard-link directory — the full lifecycle: DROP
     TABLE alone leaves the per-version link dir pinning the snapshot's
     bytes (by design while registered; garbage after). Safe on
-    already-dropped names; refuses tables whose location is not an
-    ``_registered`` dir (it won't delete data it didn't create)."""
+    already-dropped names (``dropped: False``); refuses tables whose
+    location is not an ``_registered`` dir (it won't delete data it
+    didn't create)."""
     import shutil
 
     ident = ".".join(f"`{p}`" for p in name.split("."))
@@ -3777,11 +3907,13 @@ def unregister_snapshot_table(spark: SparkSession, name: str) -> None:
         detail = spark.sql(f"DESCRIBE TABLE EXTENDED {ident}") \
             .filter("col_name = 'Location'").collect()
     except Exception:
-        return  # no such table — nothing to reclaim
+        # no such table — nothing to reclaim
+        return {"table": name, "dropped": False}
     loc = _uri_to_path(detail[0].data_type) if detail else None
     spark.sql(f"DROP TABLE IF EXISTS {ident}")
     if loc and os.path.basename(os.path.dirname(loc)) == "_registered":
         shutil.rmtree(loc, ignore_errors=True)
+    return {"table": name, "dropped": True}
 
 
 def txn_version(table_path: str, app_id: str) -> int | None:
