@@ -493,11 +493,12 @@ QUERIES["emb_kmeans_ivf"] = emb_kmeans_ivf
 # KM_SAMPLE_MOD constants as the Spark plan, so the two can't drift).
 # Training rounds see only the hash-sample (comps); the full corpus is
 # assigned once to the trained centroids (asgf) before probe+rerank.
-def _kmeans_oracle(q_where: str = f"vec_id < {N_QUERIES}",
-                   c_where: str = f"vec_id >= {N_QUERIES}",
-                   samp_where: str = "TRUE",
-                   seed_where: str = f"c_id < {N_QUERIES + IVF_K}",
-                   exclude_self: bool = False) -> str:
+# _kmeans_cte_prefix generates the shared scaffolding (training +
+# corpus assignment asgf + new-batch centroid scoring simp); the
+# probe/rerank tail lives in _kmeans_oracle and the incremental
+# SemDeDup tail in _incr_semdedup_oracle.
+def _kmeans_cte_prefix(q_where: str, c_where: str, samp_where: str,
+                       seed_where: str) -> tuple[str, int]:
     rounds = []
     prev_cent, prev_cn = "cent0", "cn0"
     for r in range(1, KM_ROUNDS + 1):
@@ -530,7 +531,6 @@ def _kmeans_oracle(q_where: str = f"vec_id < {N_QUERIES}",
     R = KM_ROUNDS
     samp_hash = STABLE_HASH_SQL("('km:' || CAST(c_id AS VARCHAR))")
     return f"""
-        WITH
         qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE {q_where}),
         cv AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE {c_where}),
         compc AS (
@@ -581,7 +581,19 @@ def _kmeans_oracle(q_where: str = f"vec_id < {N_QUERIES}",
                    CAST(d.d AS DOUBLE)
                    / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(ct.n2 AS DOUBLE))) AS sim
             FROM dotp d JOIN normq nq USING (q_id) JOIN cn{R} ct USING (cluster_id)
-        ),
+        )""", R
+
+
+def _kmeans_oracle(q_where: str = f"vec_id < {N_QUERIES}",
+                   c_where: str = f"vec_id >= {N_QUERIES}",
+                   samp_where: str = "TRUE",
+                   seed_where: str = f"c_id < {N_QUERIES + IVF_K}",
+                   exclude_self: bool = False) -> str:
+    prefix, R = _kmeans_cte_prefix(q_where, c_where, samp_where,
+                                   seed_where)
+    return f"""
+        WITH
+        {prefix},
         probes AS (
             SELECT q_id, cluster_id FROM (
                 SELECT q_id, cluster_id,
@@ -3245,6 +3257,151 @@ ORACLES["emb_incr_ivf"] = _kmeans_oracle(
     seed_where=f"c_id < {IVF_K}",
     exclude_self=True,
 )
+
+
+def emb_incr_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup over the COMMITTED IVF index: triage a new
+    embeddings batch against the persisted corpus without ever
+    re-pairing the corpus (emb_semdedup re-clusters everything per
+    run — this is its recurring-cost twin, the composition the r12
+    pieces were built for). The batch is assigned to the committed
+    centroids (broadcast model, row-local argmax), then
+    near-twin-checked ONLY within its assigned cluster: against the
+    corpus assignments committed at index build (version 0 — the
+    pre-append snapshot, partition-laid by cluster_id, so the lookup
+    is a partition-pruned index read at scale) and against lower-id
+    vectors of the same batch. Keep rule mirrors emb_semdedup: a new
+    vector is dropped when any committed vector, or any earlier batch
+    vector, in its cluster is >= SEMDEDUP_THRESHOLD similar — and the
+    keepers are exactly the rows a nightly job fast-appends (streaming
+    twin: maintain_semdedup_corpus). Recurring cost O(batch·K +
+    batch·cluster-slice); the corpus embeddings table is never
+    scanned (plan-asserted in tests/test_similarity.py)."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    cent_path, asg_path = _ivf_index_paths(spark, sf_dir)
+    model = _as_model(
+        versioned.read_version(spark, cent_path)
+        .select("cluster_id", "sa", "sn"))
+    new = (
+        table(spark, sf_dir, "embeddings")
+        .filter("vec_id % 10 >= 8")
+        .select(
+            F.col("vec_id").alias("n_id"),
+            F.expr(_QUANT.format(col="embedding")).alias("ca"),
+        )
+        .withColumn("cn", F.expr(_qnorm("ca")))
+    )
+    assigned = (
+        new.crossJoin(broadcast(model))
+        .select("n_id", "ca", "cn",
+                F.expr(_ASSIGN_EXPR).alias("cluster_id"))
+        .persist()  # reused: corpus check, intra-batch check, output
+    )
+    corpus = versioned.read_version(spark, asg_path, 0) \
+        .select("cluster_id", "ca", "cn")
+    probe = assigned.select(
+        "n_id", "cluster_id",
+        F.col("ca").alias("qa"), F.col("cn").alias("qn"))
+    nc = (
+        corpus.join(probe, "cluster_id")
+        .select("n_id", F.expr(_SIM).alias("sim"))
+        .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
+        .select("n_id")
+    )
+    earlier = assigned.select(
+        F.col("n_id").alias("m_id"), "cluster_id",
+        F.col("ca").alias("qa"), F.col("cn").alias("qn"))
+    nn = (
+        assigned.join(earlier, "cluster_id")
+        .filter(F.col("m_id") < F.col("n_id"))
+        .select("n_id", F.expr(_SIM).alias("sim"))
+        .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
+        .select("n_id")
+    )
+    dups = nc.union(nn).distinct().withColumn("dropped", F.lit(True))
+    return (
+        assigned.join(dups, "n_id", "left")
+        .select(
+            F.col("n_id").alias("vec_id"),
+            F.col("cluster_id").cast("long").alias("cluster"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+QUERIES["emb_incr_semdedup"] = emb_incr_semdedup
+
+
+def _incr_semdedup_oracle() -> str:
+    """Replay: train k-means on the corpus hash-sample (the committed
+    centroids), assign corpus (= index v0) and the new batch, then the
+    cluster-blocked near-twin drop — new-vs-corpus plus
+    new-vs-earlier-new, threshold SEMDEDUP_THRESHOLD."""
+    prefix, _ = _kmeans_cte_prefix(
+        q_where="vec_id % 10 >= 8",
+        c_where="vec_id % 10 < 8",
+        samp_where="TRUE",
+        seed_where=f"c_id < {IVF_K}",
+    )
+    return f"""
+        WITH
+        {prefix},
+        asgn AS (
+            SELECT q_id, cluster_id FROM (
+                SELECT q_id, cluster_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cluster_id) AS rn
+                FROM simp
+            ) WHERE rn = 1
+        ),
+        pnc AS (
+            SELECT n.q_id, a.c_id FROM asgn n JOIN asgf a USING (cluster_id)
+        ),
+        dnc AS (
+            SELECT p.q_id, p.c_id, sum(cq.x * cc.x) AS d
+            FROM pnc p
+            JOIN compq cq ON p.q_id = cq.q_id
+            JOIN compc cc ON p.c_id = cc.c_id AND cq.pos = cc.pos
+            GROUP BY p.q_id, p.c_id
+        ),
+        snc AS (
+            SELECT d.q_id,
+                   CAST(d.d AS DOUBLE)
+                   / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS sim
+            FROM dnc d JOIN normq nq USING (q_id) JOIN normc nc USING (c_id)
+        ),
+        pnn AS (
+            SELECT a.q_id AS m_id, b.q_id AS n_id
+            FROM asgn a JOIN asgn b USING (cluster_id)
+            WHERE a.q_id < b.q_id
+        ),
+        dnn AS (
+            SELECT p.n_id, p.m_id, sum(ca.x * cb.x) AS d
+            FROM pnn p
+            JOIN compq ca ON p.m_id = ca.q_id
+            JOIN compq cb ON p.n_id = cb.q_id AND ca.pos = cb.pos
+            GROUP BY p.n_id, p.m_id
+        ),
+        snn AS (
+            SELECT d.n_id AS q_id,
+                   CAST(d.d AS DOUBLE)
+                   / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim
+            FROM dnn d
+            JOIN normq na ON d.m_id = na.q_id
+            JOIN normq nb ON d.n_id = nb.q_id
+        ),
+        dups AS (
+            SELECT q_id FROM snc WHERE sim >= {SEMDEDUP_THRESHOLD}
+            UNION
+            SELECT q_id FROM snn WHERE sim >= {SEMDEDUP_THRESHOLD}
+        )
+        SELECT n.q_id AS vec_id, CAST(n.cluster_id AS BIGINT) AS cluster,
+               d.q_id IS NULL AS keep
+        FROM asgn n LEFT JOIN dups d USING (q_id)
+    """
+
+
+ORACLES["emb_incr_semdedup"] = _incr_semdedup_oracle()
 
 
 # ------------------- IVF index-health maintenance (vector OPTIMIZE)

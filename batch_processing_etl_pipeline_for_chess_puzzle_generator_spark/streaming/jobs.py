@@ -1237,3 +1237,114 @@ def maintain_vector_index(spark, src_path: str, cent_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------ streaming semantic-dedup curation
+
+_SDD_TXN_APP = "semdedup_curation"
+
+
+def maintain_semdedup_corpus(spark, src_path: str, cent_path: str,
+                             asg_path: str, checkpoint_dir: str,
+                             rebalance_ppm: int | None = None):
+    """Streaming SEMANTIC-dedup curation — the composition of
+    maintain_vector_index and maintain_dedup_corpus the committed IVF
+    index was built for (the streaming twin of the emb_incr_semdedup
+    batch entry): a ``readStream.format("versioned")`` CHANGE feed of
+    raw embedding batches (c_id, ca, cn — the quantized index form)
+    drives a ``foreachBatch`` that (a) assigns the batch against the
+    COMMITTED centroids (broadcast model, row-local argmax), (b) drops
+    near-twins within the assigned cluster only — against the
+    committed assignment table (which holds exactly the survivors of
+    every previous batch, so the corpus is never re-paired) and
+    against lower-id vectors of the same batch (the emb_incr_semdedup
+    keep rule, SEMDEDUP_THRESHOLD), (c) fast-appends the SURVIVORS
+    txn-stamped per source version (per-row ``_commit_version >
+    stamp`` filtering — replays and mixed fresh-checkpoint restarts
+    re-apply only unapplied versions, and the DS writer no-ops a pure
+    replay outright), and (d) runs the recluster-when-drifted check
+    unconditionally, so a crash between append and recluster is
+    repaired by a bare restart. Per batch the work is O(batch · K +
+    batch · cluster-slice); raw corpus embeddings are never re-read.
+    Returns the started query."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.similarity import (
+        _ASSIGN_EXPR, _SIM, IVF_REBALANCE_PPM, SEMDEDUP_THRESHOLD,
+        _as_model, maintain_ivf_index,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        ensure_registered,
+    )
+
+    threshold = IVF_REBALANCE_PPM if rebalance_ppm is None else rebalance_ppm
+    ensure_registered(spark)
+
+    def apply_batch(batch, _bid: int) -> None:
+        from pyspark.sql.functions import broadcast
+
+        last = versioned.txn_version(asg_path, _SDD_TXN_APP)
+        if last is not None:
+            batch = batch.filter(F.col("_commit_version") > last)
+        batch = batch.filter("_change_type = 'insert'")
+        row = batch.agg(F.max("_commit_version")).collect()
+        if row and row[0][0] is not None:
+            hi = int(row[0][0])
+            model = _as_model(
+                versioned.read_version(spark, cent_path, stats_hint=False)
+                .select("cluster_id", "sa", "sn"))
+            assigned = (
+                batch.crossJoin(broadcast(model))
+                .select(F.expr(_ASSIGN_EXPR).alias("cluster_id"),
+                        "c_id", "ca", "cn")
+            ).localCheckpoint()  # consumed by nc, nn and the append
+            committed = (
+                versioned.read_version(spark, asg_path, stats_hint=False)
+                .select("cluster_id", "ca", "cn")
+            )
+            probe = assigned.select(
+                F.col("c_id").alias("n_id"), "cluster_id",
+                F.col("ca").alias("qa"), F.col("cn").alias("qn"))
+            nc = (
+                committed.join(probe, "cluster_id")
+                .select("n_id", F.expr(_SIM).alias("sim"))
+                .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
+                .select("n_id")
+            )
+            earlier = assigned.select(
+                F.col("c_id").alias("m_id"), "cluster_id",
+                F.col("ca").alias("qa"), F.col("cn").alias("qn"))
+            nn = (
+                assigned.join(earlier, "cluster_id")
+                .filter(F.col("m_id") < F.col("c_id"))
+                .select(F.col("c_id").alias("n_id"),
+                        F.expr(_SIM).alias("sim"))
+                .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
+                .select("n_id")
+            )
+            dups = nc.union(nn).distinct()
+            survivors = assigned.join(
+                dups, assigned["c_id"] == dups["n_id"], "left_anti")
+            (survivors.select("cluster_id", "c_id", "ca", "cn")
+             .write.format("versioned").mode("append")
+             .option("path", asg_path)
+             .option("txnAppId", _SDD_TXN_APP)
+             .option("txnVersion", hi).save())
+        # drift repair runs even on a fully-applied replay (see
+        # maintain_vector_index) — a balanced index is a no-op check
+        if versioned.versions(asg_path):
+            maintain_ivf_index(spark, cent_path, asg_path,
+                               threshold_ppm=threshold)
+
+    feed = (
+        spark.readStream.format("versioned")
+        .option("path", src_path)
+        .option("readChangeFeed", "true").load()
+    )
+    return (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

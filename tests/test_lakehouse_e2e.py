@@ -732,3 +732,85 @@ def test_vector_index_crash_before_recluster_repairs_on_replay(
     assert len(versioned.versions(cent)) == 2            # reclustered
     assert ivf_index_imbalance(spark, asg) <= 1_200_000
     assert versioned.read_version(spark, asg).count() == 400
+
+
+def test_streaming_semdedup_curation_loop(spark, tmp_path):
+    """Streaming twin #21 — semantic-dedup curation over the committed
+    IVF index (maintain_vector_index ∘ maintain_dedup_corpus): a CDF
+    feed of raw embedding batches is assigned against committed
+    centroids, near-twin-dropped within the assigned cluster (vs the
+    committed survivors AND lower-id batch rows), and only SURVIVORS
+    fast-append. Per-version exactly-once; a pure replay is a no-op."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.similarity import (
+        _ASSIGN_EXPR, _as_model, _qnorm,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        maintain_semdedup_corpus,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    src, cent, asg = (str(tmp_path / n) for n in ("src", "cent", "asg"))
+    A = [1000000, 0, 0, 0]
+    B = [0, 1000000, 0, 0]
+    C = [0, 0, 1000000, 0]          # new region, orthogonal to A/B
+
+    def blob(rows):
+        return spark.createDataFrame(
+            rows, "c_id LONG, ca ARRAY<BIGINT>"
+        ).withColumn("cn", F.expr(_qnorm("ca")))
+
+    # committed index: corpus = A-ish and B-ish vectors, 2 clusters
+    corpus = blob([(i, A) for i in range(20)]
+                  + [(i, B) for i in range(100, 120)])
+    cents0 = spark.createDataFrame(
+        [(0, A), (1, B)], "cluster_id INT, sa ARRAY<BIGINT>"
+    ).withColumn("sn", F.expr(_qnorm("sa")))
+    versioned.write_version(cents0, cent)
+    model = _as_model(versioned.read_version(spark, cent)
+                      .select("cluster_id", "sa", "sn"))
+    versioned.write_version(
+        corpus.crossJoin(broadcast(model)).select(
+            F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn"),
+        asg, partition_by=["cluster_id"])
+    n0 = versioned.read_version(spark, asg).count()
+    assert n0 == 40
+
+    # batch v0: a corpus near-dup (A again → dropped), a genuinely new
+    # direction C (kept — lands in cluster 0 or 1 but orthogonal to
+    # both), and an intra-batch dup of C (dropped, lower id wins)
+    versioned.write_version(
+        blob([(1000, A), (1001, C), (1002, C)]), src)
+
+    def drain(ck):
+        q = maintain_semdedup_corpus(spark, src, cent, asg,
+                                     str(tmp_path / ck))
+        q.awaitTermination(180)
+
+    drain("ck")
+    got = {r.c_id for r in versioned.read_version(spark, asg)
+           .select("c_id").collect()}
+    assert 1000 not in got          # corpus near-dup dropped
+    assert 1001 in got              # new direction survives
+    assert 1002 not in got          # intra-batch dup dropped
+    assert len(got) == 41
+
+    # batch v1: a near-dup of the PREVIOUS batch's survivor (dropped —
+    # the committed corpus includes survivors) and a fresh vector
+    D = [707000, 707000, 0, 0]      # between A and B: sim ≈ .707 → dup
+    (blob([(2000, C), (2001, D)])
+     .write.format("versioned").mode("append").option("path", src).save())
+    drain("ck")
+    got2 = {r.c_id for r in versioned.read_version(spark, asg)
+            .select("c_id").collect()}
+    assert 2000 not in got2         # dups the committed survivor 1001
+    assert 2001 not in got2         # sim(D, A) ≈ 0.707 ≥ 0.35
+    # pure replay via a fresh checkpoint: writer no-ops on the stamp
+    n_v = len(versioned.versions(asg))
+    drain("ck_fresh")
+    assert len(versioned.versions(asg)) == n_v

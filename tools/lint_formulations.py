@@ -503,6 +503,9 @@ F_ALLOWLIST: dict[str, str] = {
     "emb_incr_ann": _EMB_GRID_BOUND,
     "emb_incr_ivf": _EMB_GRID_BOUND,  # same oracle construction as
     #    emb_kmeans_ivf (shared generator, split params only)
+    "emb_incr_semdedup": _EMB_GRID_BOUND,  # same shared k-means CTE
+    #    prefix; the dedup tail's products are per-pair dim-sums on
+    #    the same 1e6 grid
     "emb_ivf_ann": _EMB_GRID_BOUND,
     "emb_kmeans_ivf": _EMB_GRID_BOUND,
     "emb_knn_margin": _EMB_GRID_BOUND,
