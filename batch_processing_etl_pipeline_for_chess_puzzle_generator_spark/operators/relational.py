@@ -4304,3 +4304,53 @@ ORACLES["stat_orders_hill_tail"] = f"""
                 AS BIGINT) AS alpha_e6
     FROM top GROUP BY 1
 """
+
+
+# --------------------------------- SQL pipe syntax (Spark 4 `|>`)
+#
+# The third pure-SQL-surface entry: Spark 4's SQL pipe syntax
+# (SPARK-49555, the FROM-first `|>` operator chain a SQL user writes
+# as a readable left-to-right pipeline) spelling of a classic chained
+# filter → aggregate → top-k. The pipe chain is pure parser surface —
+# Catalyst plans the identical filter-pushed, partial-agg'd,
+# TakeOrderedAndProject shape as the ANSI spelling, which IS the
+# oracle (same statement modulo the `|>` dialect). Money rides the
+# house exact grid: per-row ROUND to cents, DECIMAL(38,0) sum, BIGINT
+# out; top-k ties break on l_suppkey so LIMIT is deterministic.
+_SQL_PIPE_TOPK_SPARK = """
+    FROM lineitem
+    |> WHERE l_shipdate >= DATE '1994-01-01'
+             AND l_shipdate < DATE '1995-01-01'
+    |> AGGREGATE
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+               AS DECIMAL(38,0))) AS rev_cents_d,
+           COUNT(*) AS n_items
+       GROUP BY l_suppkey
+    |> SELECT l_suppkey, CAST(rev_cents_d AS BIGINT) AS rev_cents,
+              n_items
+    |> ORDER BY rev_cents DESC, l_suppkey
+    |> LIMIT 10
+"""
+
+
+def sql_pipe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PIPE_TOPK_SPARK)
+
+
+QUERIES["sql_pipe_topk"] = sql_pipe_topk
+# the ANSI spelling of the same statement — DuckDB has no `|>` chain
+ORACLES["sql_pipe_topk"] = """
+    SELECT l_suppkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                AS DECIMAL(38,0))) AS BIGINT) AS rev_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01'
+      AND l_shipdate < DATE '1995-01-01'
+    GROUP BY l_suppkey
+    ORDER BY rev_cents DESC, l_suppkey
+    LIMIT 10
+"""
