@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from dataclasses import dataclass
 
@@ -940,9 +941,21 @@ _ARROW_OF_SPARK = _arrow_of_spark()
 def _default_injectable(col: str, spark_type, value):
     """(python value, arrow type) for a stored DEFAULT literal, raising
     when the Arrow writer cannot inject the column's type. DATE is
-    stored as its ISO string and re-hydrated to a date32 value here."""
+    stored as its ISO string and re-hydrated to a date32 value here;
+    DECIMAL(p,s) as its plain exact string, re-hydrated to a
+    decimal128 value (string→Decimal is exact at any precision the
+    manifest can carry)."""
     pa_t = _ARROW_OF_SPARK.get(spark_type)
     if pa_t is None:
+        m = re.match(r"decimal\((\d+),\s*(\d+)\)$", spark_type or "")
+        if m:
+            import decimal
+
+            import pyarrow as pa
+
+            if value is not None:
+                value = decimal.Decimal(value)
+            return value, pa.decimal128(int(m[1]), int(m[2]))
         raise ValueError(
             f"defaulted column {col!r} has type {spark_type!r}, "
             "which the Arrow writer cannot inject — supply the column"

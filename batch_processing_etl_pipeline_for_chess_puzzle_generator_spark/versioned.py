@@ -777,6 +777,12 @@ def set_table_property(table_path: str, key: str, value: str) -> int:
 #: (JSON-native) and the Arrow writer re-hydrates it to date32.
 _DEFAULT_LITERAL_TYPES = (int, float, str, bool, type(None))
 
+
+def _is_py_decimal(value) -> bool:
+    import decimal
+
+    return isinstance(value, decimal.Decimal)
+
 #: Catalyst node classes that are QUERY-constant but not TABLE-constant:
 #: Catalyst marks them foldable/deterministic (they evaluate to one value
 #: within a query), yet two engines — or the same engine tomorrow —
@@ -915,12 +921,22 @@ def set_column_default(spark: SparkSession, table_path: str,
                 "zone-independent default"
             )
         value = value.isoformat()
+    elif _is_py_decimal(value):
+        # DECIMAL rides as its plain exact string (like DATE's ISO
+        # form): string→Decimal round-trips exactly at any precision,
+        # and both injectors re-materialize it type-driven off the
+        # table schema (F.lit(str).cast(decimal) library-side,
+        # decimal128 in the Arrow writer). The zero-padded col_stats
+        # encoding exists for lexicographic ORDERING, which a default
+        # never needs — the plain string is the simpler exact carrier.
+        value = str(value)
     elif not isinstance(value, _DEFAULT_LITERAL_TYPES):
         raise TypeError(
             f"DEFAULT for {col!r} evaluates to "
             f"{type(value).__name__} — only JSON-native literals "
-            "(int/float/str/bool/NULL), DATE, and TIMESTAMP_NTZ can "
-            "ride the manifest and be injected by the Arrow writer"
+            "(int/float/str/bool/NULL), DATE, TIMESTAMP_NTZ, and "
+            "DECIMAL can ride the manifest and be injected by the "
+            "Arrow writer"
         )
     defaults = dict(parent.get("defaults") or {})
     defaults[col] = {"sql": expr_sql, "value": value}
