@@ -622,9 +622,37 @@ class VersionedStreamReader(DataSourceStreamReader):
         avail = versioned.versions(self.table_path)
         return {"version": avail[-1] if avail else self.starting - 1}
 
+    def _require_range_live(self, versioned, lo: int, hi: int) -> None:
+        """Fail LOUDLY when the unconsumed range (lo, hi] includes
+        versions VACUUM already dropped — iterating ``versions()``
+        alone would silently skip them, and a curation consumer would
+        permanently miss their rows (the batch ``read_changes`` raises
+        on exactly this; the stream must too). Recovery is documented
+        at the raise site: re-seed from the current snapshot (e.g.
+        ``streaming.jobs.bootstrap_dedup_corpus`` — txn stamps make
+        the re-seed append-idempotent), then restart with a FRESH
+        checkpoint and ``startingVersion`` at the earliest retained
+        version."""
+        avail = versioned.versions(self.table_path)
+        missing = sorted(set(range(max(lo + 1, 0), hi + 1)) - set(avail))
+        if missing:
+            earliest = avail[0] if avail else None
+            raise ValueError(
+                f"versions {missing} of {self.table_path} in this "
+                "stream's unconsumed range were vacuumed — their change "
+                "history is gone and silently skipping them would lose "
+                "rows. Re-seed consumers from the current snapshot "
+                "(streaming.jobs.bootstrap_dedup_corpus / "
+                "bootstrap_vector_index re-triage it against the "
+                "committed state; per-version txn stamps keep the "
+                "re-seed append-idempotent), then restart with a fresh "
+                f"checkpoint and .option('startingVersion', {earliest})"
+            )
+
     def _added_files(self, lo: int, hi: int) -> list[str]:
         from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
+        self._require_range_live(versioned, lo, hi)
         added: list[str] = []
         prev: set[str] = set()
         prev_dv: dict = {}
@@ -675,6 +703,7 @@ class VersionedStreamReader(DataSourceStreamReader):
         guidance names both cdf.enabled and table_changes)."""
         from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
+        self._require_range_live(versioned, lo, hi)
         parts: list[_CdfPartition] = []
         prev = None
         for v in versioned.versions(self.table_path):

@@ -1054,7 +1054,8 @@ _CURATE_TXN_APP = "dedup_curation"
 
 
 def maintain_dedup_corpus(spark, src_path: str, curated_path: str,
-                          index_path: str, checkpoint_dir: str):
+                          index_path: str, checkpoint_dir: str,
+                          starting_version: int | None = None):
     """Streaming corpus CURATION — the dedup loop run as a stream, the
     streaming twin of the committed-index batch entries
     (doc_incr_dedup / _dedup_index_paths): a
@@ -1143,13 +1144,15 @@ def maintain_dedup_corpus(spark, src_path: str, curated_path: str,
          .option("txnAppId", _CURATE_TXN_APP)
          .option("txnVersion", hi).save())
 
-    feed = (
-        spark.readStream.format("versioned")
-        .option("path", src_path)
-        .option("readChangeFeed", "true").load()
-    )
+    feed = spark.readStream.format("versioned").option("path", src_path) \
+        .option("readChangeFeed", "true")
+    if starting_version is not None:
+        # post-vacuum re-bootstrap: replay only the retained range
+        # (bootstrap_dedup_corpus re-seeded everything older from the
+        # snapshot; the per-version stamps no-op any overlap)
+        feed = feed.option("startingVersion", starting_version)
     return (
-        feed.writeStream.foreachBatch(apply_batch)
+        feed.load().writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -1348,3 +1351,117 @@ def maintain_semdedup_corpus(spark, src_path: str, cent_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------- post-vacuum re-bootstrap (batch re-seed)
+#
+# When a curation consumer's unconsumed CDF range has been VACUUMED,
+# the change history is unrecoverable and the stream fails loudly
+# (sources/versioned_ds.py::_require_range_live). Recovery is a batch
+# re-seed from the CURRENT SNAPSHOT: re-triage every live row against
+# the committed state — rows the loop already processed are excluded
+# by the committed index itself, so the re-seed never double-appends,
+# and the txn stamps advance to the snapshot head so a subsequent
+# fresh-checkpoint stream (startingVersion = earliest retained) no-ops
+# every replayed version. Cost is O(snapshot) — the price of having
+# lost the deltas, paid once.
+
+
+def bootstrap_dedup_corpus(spark, src_path: str, curated_path: str,
+                           index_path: str) -> dict:
+    """Snapshot re-seed for :func:`maintain_dedup_corpus`. Exactly-once
+    WITHOUT change feeds: the candidate set is the snapshot anti-joined
+    against the committed hash INDEX, and the curated append is
+    additionally anti-joined against the CURATED table's own hashes —
+    so even the crash window the stream handles per-version (curated
+    landed, index didn't) cannot double a doc here. Both appends stamp
+    the snapshot head; re-running the bootstrap is a writer-level
+    no-op (the DS writer skips txnVersion <= stamp). Returns
+    {head, seeded_curated, seeded_index}."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.functions.hashing import (
+        stable_hash64,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        ensure_registered,
+    )
+
+    ensure_registered(spark)
+    head = versioned.versions(src_path)[-1]
+    if not versioned.versions(index_path):
+        versioned.write_version(
+            spark.createDataFrame([], "doc_id LONG, h LONG"), index_path)
+    hashed = (
+        versioned.read_version(spark, src_path, stats_hint=False)
+        .select("doc_id", "text")
+        .withColumn("h", stable_hash64(F.col("text")))
+    )
+    idx = (versioned.read_version(spark, index_path, stats_hint=False)
+           .select("h").distinct())
+    w = Window.partitionBy("h").orderBy("doc_id")
+    fresh = (
+        hashed.join(idx, "h", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").drop("rn")
+    ).localCheckpoint()
+    cur_seen = None
+    if versioned.versions(curated_path):
+        cur_seen = (
+            versioned.read_version(spark, curated_path, stats_hint=False)
+            .select(stable_hash64(F.col("text")).alias("h")).distinct()
+        )
+    cur_fresh = (fresh if cur_seen is None
+                 else fresh.join(cur_seen, "h", "left_anti"))
+    n_cur = cur_fresh.count()
+    (cur_fresh.drop("h").write.format("versioned").mode("append")
+     .option("path", curated_path)
+     .option("txnAppId", _CURATE_TXN_APP)
+     .option("txnVersion", head).save())
+    n_idx = fresh.count()
+    (fresh.select("doc_id", "h").write.format("versioned")
+     .mode("append").option("path", index_path)
+     .option("txnAppId", _CURATE_TXN_APP)
+     .option("txnVersion", head).save())
+    return {"head": head, "seeded_curated": n_cur, "seeded_index": n_idx}
+
+
+def bootstrap_vector_index(spark, src_path: str, cent_path: str,
+                           asg_path: str) -> dict:
+    """Snapshot re-seed for :func:`maintain_vector_index`: assign every
+    snapshot vector NOT already in the committed assignment table
+    (anti-join on c_id — the single-append loop has no cross-table
+    crash window) against the committed centroids and fast-append,
+    stamped at the snapshot head. Re-running is a writer-level no-op.
+    Returns {head, seeded}."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.similarity import (
+        _ASSIGN_EXPR, _as_model,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        ensure_registered,
+    )
+
+    ensure_registered(spark)
+    head = versioned.versions(src_path)[-1]
+    snap = versioned.read_version(spark, src_path, stats_hint=False) \
+        .select("c_id", "ca", "cn")
+    seen = versioned.read_version(spark, asg_path, stats_hint=False) \
+        .select("c_id")
+    new = snap.join(seen, "c_id", "left_anti")
+    model = _as_model(
+        versioned.read_version(spark, cent_path, stats_hint=False)
+        .select("cluster_id", "sa", "sn"))
+    assigned = new.crossJoin(broadcast(model)).select(
+        F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn")
+    n = assigned.count()
+    (assigned.write.format("versioned").mode("append")
+     .option("path", asg_path)
+     .option("txnAppId", _VIDX_TXN_APP)
+     .option("txnVersion", head).save())
+    return {"head": head, "seeded": n}

@@ -186,6 +186,33 @@ def _run_streams(n_streams: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Fixture PREBUILD (r12 verdict item 3): under N streams a cold
+    # session fixture builds inside whichever stream reaches it first
+    # while the other N-1 serialize on fixtures.BUILD_LOCK — measured
+    # as the 2.8× (vs 3.2×) 4-stream scaling in r12. Building every
+    # session-cached fixture serially BEFORE the clock starts lets all
+    # streams run warm; the build wall is reported separately.
+    t_fix = time.perf_counter()
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators import (
+        dedup as _dd, etl as _etl, similarity as _sim,
+    )
+
+    for build in (
+        lambda: _dd._dedup_index_paths(spark, sf_dir),
+        lambda: _sim._ivf_index_paths(spark, sf_dir),
+        lambda: _sim._pca_cov(spark, sf_dir),
+        lambda: _etl._versioned_orders_path(spark, sf_dir),
+        lambda: _etl._cow_orders_path(spark, sf_dir),
+        lambda: _etl._hidden_events_path(spark, sf_dir),
+        lambda: _etl._dv_orders_paths(spark, sf_dir),
+        lambda: _etl._partitioned_orders_path(spark, sf_dir),
+        lambda: _etl._generated_orders_path(spark, sf_dir),
+        lambda: _etl._replace_where_path(spark, sf_dir),
+        lambda: _etl._default_columns_path(spark, sf_dir),
+    ):
+        build()
+    prebuild_s = round(time.perf_counter() - t_fix, 3)
+
     qs = list(entrymod.queries().items())
 
     def stream(i: int) -> tuple[float, int]:
@@ -230,6 +257,7 @@ def _run_streams(n_streams: int) -> None:
         "stream_walls": walls,
         "queries_per_sec": round(n_streams * len(qs) / total, 2),
         "n_queries_per_stream": len(qs),
+        "fixture_prebuild_s": prebuild_s,
         "n_errors": n_errors,
         **({"errors": errors} if errors else {}),
     }))

@@ -814,3 +814,136 @@ def test_streaming_semdedup_curation_loop(spark, tmp_path):
     n_v = len(versioned.versions(asg))
     drain("ck_fresh")
     assert len(versioned.versions(asg)) == n_v
+
+
+def test_curation_loop_vacuum_behind_checkpoint_recovery(spark, tmp_path):
+    """r12 verdict item 5 — CDF-retention recovery: when VACUUM drops
+    versions a curation stream has NOT yet consumed, the restarted
+    stream must fail LOUDLY (silently skipping the missing versions
+    would permanently lose their rows), and the documented re-bootstrap
+    — snapshot re-seed + fresh checkpoint at the earliest retained
+    version — must catch the consumer up without double-appending
+    (txn stamps + committed-index anti-joins make it provable)."""
+    import pytest
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        bootstrap_dedup_corpus, maintain_dedup_corpus,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    src, cur, idx = (str(tmp_path / n) for n in ("src", "cur", "idx"))
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def append(rows):
+        (docs(rows).write.format("versioned").mode("append")
+         .option("path", src).save())
+
+    versioned.write_version(docs([(1, "alpha"), (2, "beta")]), src)  # v0
+    versioned.set_table_property(src, "cdf.enabled", "true")         # v1
+    append([(3, "gamma")])                                           # v2
+    q = maintain_dedup_corpus(spark, src, cur, idx, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    assert versioned.read_version(spark, cur).count() == 3
+
+    # two more versions land UNCONSUMED, then vacuum drops all but the
+    # head — the stream's unconsumed range now includes a dropped one
+    append([(4, "delta")])                                           # v3
+    append([(5, "epsilon"), (5000, "alpha")])                        # v4
+    dropped = versioned.vacuum(src, keep_last=1)
+    assert 3 in dropped
+    with pytest.raises(Exception, match="vacuumed"):
+        q = maintain_dedup_corpus(spark, src, cur, idx,
+                                  str(tmp_path / "ck"))
+        q.awaitTermination(180)
+        if q.exception() is not None:       # surface the stream error
+            raise Exception(str(q.exception()))
+
+    # recovery: snapshot re-seed (docs 1-3 excluded by the committed
+    # index; the corpus-dup 5000/'alpha' never enters), then a FRESH
+    # checkpoint starting at the earliest retained version
+    got = bootstrap_dedup_corpus(spark, src, cur, idx)
+    assert got["head"] == versioned.versions(src)[-1]
+    assert got["seeded_curated"] == got["seeded_index"] == 2  # 4, 5
+    # re-running the bootstrap is a writer-level no-op on both tables
+    n_cur, n_idx = (len(versioned.versions(p)) for p in (cur, idx))
+    bootstrap_dedup_corpus(spark, src, cur, idx)
+    assert (len(versioned.versions(cur)),
+            len(versioned.versions(idx))) == (n_cur, n_idx)
+
+    earliest = versioned.versions(src)[0]
+    q = maintain_dedup_corpus(spark, src, cur, idx,
+                              str(tmp_path / "ck_fresh"),
+                              starting_version=earliest)
+    q.awaitTermination(180)
+    # nothing double-applied: the retained replay no-ops on the stamp
+    curated = sorted(r.doc_id for r in
+                     versioned.read_version(spark, cur).collect())
+    assert curated == [1, 2, 3, 4, 5]
+
+    # and the loop keeps working: a NEW version streams normally
+    append([(6, "zeta"), (7, "alpha")])
+    q = maintain_dedup_corpus(spark, src, cur, idx,
+                              str(tmp_path / "ck_fresh"),
+                              starting_version=earliest)
+    q.awaitTermination(180)
+    curated = sorted(r.doc_id for r in
+                     versioned.read_version(spark, cur).collect())
+    assert curated == [1, 2, 3, 4, 5, 6]    # 7 dups 'alpha'
+
+
+def test_bootstrap_vector_index_reseeds_after_vacuum(spark, tmp_path):
+    """The vector-loop sibling of the dedup re-bootstrap: snapshot
+    vectors not in the committed assignment table (anti-join on c_id)
+    are assigned against committed centroids and fast-appended at the
+    snapshot-head stamp; re-running is a writer-level no-op."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.similarity import (
+        _ASSIGN_EXPR, _as_model, _qnorm,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        bootstrap_vector_index,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    src, cent, asg = (str(tmp_path / n) for n in ("src", "cent", "asg"))
+    A = [1000000, 0, 0, 0]
+    B = [0, 1000000, 0, 0]
+
+    def blob(rows):
+        return spark.createDataFrame(
+            rows, "c_id LONG, ca ARRAY<BIGINT>"
+        ).withColumn("cn", F.expr(_qnorm("ca")))
+
+    cents0 = spark.createDataFrame(
+        [(0, A), (1, B)], "cluster_id INT, sa ARRAY<BIGINT>"
+    ).withColumn("sn", F.expr(_qnorm("sa")))
+    versioned.write_version(cents0, cent)
+    # committed assignments know vectors 0 and 1 only
+    model = _as_model(versioned.read_version(spark, cent)
+                      .select("cluster_id", "sa", "sn"))
+    versioned.write_version(
+        blob([(0, A), (1, B)]).crossJoin(broadcast(model)).select(
+            F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn"),
+        asg, partition_by=["cluster_id"])
+
+    # the source snapshot holds 0..3 (2 and 3 were never consumed —
+    # their change versions could have been vacuumed away)
+    versioned.write_version(
+        blob([(0, A), (1, B), (2, A), (3, B)]), src)
+    got = bootstrap_vector_index(spark, src, cent, asg)
+    assert got["seeded"] == 2
+    assert versioned.read_version(spark, asg).count() == 4
+    n_v = len(versioned.versions(asg))
+    bootstrap_vector_index(spark, src, cent, asg)   # no-op re-run
+    assert len(versioned.versions(asg)) == n_v
+    assert versioned.read_version(spark, asg).count() == 4
