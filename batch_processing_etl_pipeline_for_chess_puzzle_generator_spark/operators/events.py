@@ -4186,3 +4186,61 @@ ORACLES["ev_changepoint"] = """
           FROM scored)
     WHERE rn = 1
 """
+
+
+# ------------------------------------------- daily peak detection
+#
+# Local-maximum peak detection over the daily event series — the ops
+# dashboard's "spike marker" (which days stood out vs their immediate
+# neighbors), complementing ev_daily_anomaly's distributional z-score
+# and ev_changepoint's level-shift localization: a peak is a LOCAL
+# shape feature both of those miss. A day is a peak when its count
+# strictly exceeds both the previous and next OBSERVED day's counts
+# (boundary days excluded — one-sided evidence isn't a peak);
+# prominence = count − max(neighbors), an exact integer. The global
+# lag/lead window runs over the calendar-bounded daily table (|days|
+# rows, never the fact table) — the orders_backlog single-partition
+# discipline, safe at any corpus size. All-integer: no grids needed.
+def ev_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy("day")
+    return (
+        daily
+        .withColumn("prev_n", F.lag("n_events").over(w))
+        .withColumn("next_n", F.lead("n_events").over(w))
+        .filter("prev_n IS NOT NULL AND next_n IS NOT NULL "
+                "AND n_events > prev_n AND n_events > next_n")
+        .selectExpr(
+            "day", "n_events",
+            "CAST(n_events - GREATEST(prev_n, next_n) AS BIGINT) "
+            "AS prominence",
+        )
+    )
+
+
+QUERIES["ev_daily_peaks"] = ev_daily_peaks
+
+ORACLES["ev_daily_peaks"] = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    ctx AS (
+        SELECT day, n_events,
+               lag(n_events) OVER (ORDER BY day) AS prev_n,
+               lead(n_events) OVER (ORDER BY day) AS next_n
+        FROM daily
+    )
+    SELECT day, n_events,
+           CAST(n_events - GREATEST(prev_n, next_n) AS BIGINT)
+               AS prominence
+    FROM ctx
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n_events > prev_n AND n_events > next_n
+"""

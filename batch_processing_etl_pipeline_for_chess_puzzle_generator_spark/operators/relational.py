@@ -4314,21 +4314,22 @@ ORACLES["stat_orders_hill_tail"] = f"""
 # filter → aggregate → top-k. The pipe chain is pure parser surface —
 # Catalyst plans the identical filter-pushed, partial-agg'd,
 # TakeOrderedAndProject shape as the ANSI spelling, which IS the
-# oracle (same statement modulo the `|>` dialect). Money rides the
-# house exact grid: per-row ROUND to cents, DECIMAL(38,0) sum, BIGINT
-# out; top-k ties break on l_suppkey so LIMIT is deterministic.
+# oracle (same statement modulo the `|>` dialect). Money is pure
+# DECIMAL arithmetic at the scan (the DISC_PRICE discipline — no
+# double ever enters), surfaced on the exact 1e4 grid; top-k ties
+# break on l_suppkey so LIMIT is deterministic.
 _SQL_PIPE_TOPK_SPARK = """
     FROM lineitem
     |> WHERE l_shipdate >= DATE '1994-01-01'
              AND l_shipdate < DATE '1995-01-01'
     |> AGGREGATE
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
-               AS DECIMAL(38,0))) AS rev_cents_d,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS rev_d,
            COUNT(*) AS n_items
        GROUP BY l_suppkey
-    |> SELECT l_suppkey, CAST(rev_cents_d AS BIGINT) AS rev_cents,
+    |> SELECT l_suppkey, CAST(rev_d * 10000 AS BIGINT) AS rev_e4,
               n_items
-    |> ORDER BY rev_cents DESC, l_suppkey
+    |> ORDER BY rev_e4 DESC, l_suppkey
     |> LIMIT 10
 """
 
@@ -4344,13 +4345,90 @@ QUERIES["sql_pipe_topk"] = sql_pipe_topk
 # the ANSI spelling of the same statement — DuckDB has no `|>` chain
 ORACLES["sql_pipe_topk"] = """
     SELECT l_suppkey,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
-                AS DECIMAL(38,0))) AS BIGINT) AS rev_cents,
-           COUNT(*) AS n_items
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,2)))) * 10000
+               AS BIGINT) AS rev_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= DATE '1994-01-01'
       AND l_shipdate < DATE '1995-01-01'
     GROUP BY l_suppkey
-    ORDER BY rev_cents DESC, l_suppkey
+    ORDER BY rev_e4 DESC, l_suppkey
     LIMIT 10
+"""
+
+
+# ------------------------------- Kendall rank correlation (tau-b)
+#
+# The rank-based sibling of stat_sales_corr (Pearson) and
+# orders_theilsen_trend (median slopes): does customer COUNT rank
+# nations the same way customer WEALTH does? Kendall's tau-b over the
+# 25-nation aggregate — every pair of nations classified concordant /
+# discordant / tied by SIGN comparisons only (never the cross-product
+# of magnitudes, which overflows BIGINT at warehouse scale), with the
+# tie-corrected denominator. Determinism discipline: the per-nation
+# aggregates are exact ints (COUNT, DECIMAL-cents SUM) from one
+# groupBy; the pair table is |nations|² — O(dim²), broadcast, corpus-
+# size-independent; tau is one row-local double formula over exact
+# integer tallies, written identically in the oracle, exposed ×1e6.
+def stat_nation_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.expr("COUNT(*)").alias("x"),
+        F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * 100) "
+               "AS BIGINT)").alias("y"),
+    )
+    a = per_nation.selectExpr("c_nationkey AS ka", "x AS xa", "y AS ya")
+    b = per_nation.selectExpr("c_nationkey AS kb", "x AS xb", "y AS yb")
+    pairs = a.join(F.broadcast(b), F.expr("ka < kb"))
+    return pairs.agg(
+        F.expr("COUNT(*)").alias("n_pairs"),
+        F.expr("SUM(CASE WHEN SIGN(xa - xb) * SIGN(ya - yb) = 1 "
+               "THEN 1 ELSE 0 END)").alias("concordant"),
+        F.expr("SUM(CASE WHEN SIGN(xa - xb) * SIGN(ya - yb) = -1 "
+               "THEN 1 ELSE 0 END)").alias("discordant"),
+        F.expr("SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END)")
+        .alias("ties_x"),
+        F.expr("SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END)")
+        .alias("ties_y"),
+    ).selectExpr(
+        "n_pairs", "concordant", "discordant", "ties_x", "ties_y",
+        "CAST(ROUND(1000000 * (concordant - discordant) / "
+        "NULLIF(SQRT(CAST((n_pairs - ties_x) AS DOUBLE) * "
+        "(n_pairs - ties_y)), 0)) AS BIGINT) AS tau_b_e6",
+    )
+
+
+QUERIES["stat_nation_kendall"] = stat_nation_kendall
+
+ORACLES["stat_nation_kendall"] = """
+    WITH per_nation AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS y
+        FROM customer GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+        FROM per_nation a JOIN per_nation b
+          ON a.c_nationkey < b.c_nationkey
+    ),
+    tallies AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN SIGN(xa - xb) * SIGN(ya - yb) = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+               CAST(SUM(CASE WHEN SIGN(xa - xb) * SIGN(ya - yb) = -1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+               CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ties_x,
+               CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ties_y
+        FROM pairs
+    )
+    SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+           CAST(ROUND(1000000 * (concordant - discordant) /
+                NULLIF(SQRT(CAST((n_pairs - ties_x) AS DOUBLE) *
+                (n_pairs - ties_y)), 0)) AS BIGINT) AS tau_b_e6
+    FROM tallies
 """

@@ -3277,3 +3277,77 @@ ORACLES["doc_weighted_sample"] = f"""
         FROM keyed
     ) WHERE rank <= {AES_K}
 """.replace("{Q_QUALITY}", ORACLES["doc_quality"])
+
+
+# ---------------------------------- per-doc unigram entropy (nats)
+#
+# Lexical-diversity EVENNESS — the distributional complement of
+# doc_ttr_hapax's richness ratios (TTR counts how many types; entropy
+# measures how evenly they're used — a doc repeating one word 1000×
+# and a doc cycling 10 words 100× each have very different Shannon
+# entropy at similar length) and of doc_zipf_slope's global fit. A
+# curation pipeline thresholds on this to drop degenerate/boilerplate
+# docs. Per doc H = ln(n) − Σ c·ln(c)/n over its word counts — one
+# tokenize shuffle keyed (doc_id, word) with map-side combine, then a
+# per-doc reduce; per-source rollup is exact-integer. Determinism: the
+# log-grid discipline (round each group-local ln(c) onto the 1e9 grid
+# BEFORE the cross-group integer sum; c·ln-grid ≤ doc-local tokens ×
+# 14×1e9 ≈ 1e16 < 2^62), and the final H is one row-local double
+# formula over exact ints, identical in the oracle, exposed ×1e6.
+# Per-source mean via exact integer division, never a double sum.
+def doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", "source",
+                    F.explode(F.expr(_WORDS)).alias("w"))
+        .filter("w <> ''")
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = (
+        wc.groupBy("doc_id", "source")
+        .agg(
+            F.expr("SUM(c)").alias("n"),
+            F.expr("SUM(c * CAST(ROUND(ln(c) * 1000000000) AS BIGINT))")
+            .alias("s"),
+        )
+        .selectExpr(
+            "source",
+            "CAST(ROUND((ln(n) - s / (n * 1e9)) * 1000000) AS BIGINT) "
+            "AS h_e6",
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.expr("COUNT(*)").alias("n_docs"),
+        F.expr("CAST(SUM(h_e6) DIV COUNT(*) AS BIGINT)")
+        .alias("mean_entropy_e6"),
+        F.expr("MAX(h_e6)").alias("max_entropy_e6"),
+        F.expr("MIN(h_e6)").alias("min_entropy_e6"),
+    )
+
+
+QUERIES["doc_word_entropy"] = doc_word_entropy
+
+ORACLES["doc_word_entropy"] = f"""
+    WITH wc AS (
+        SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, source, unnest({_WORDS_DUCK}) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+        SELECT source,
+               CAST(ROUND((ln(SUM(c)) -
+                    SUM(c * CAST(ROUND(ln(c) * 1000000000) AS BIGINT))
+                    / (SUM(c) * 1e9)) * 1000000) AS BIGINT) AS h_e6
+        FROM wc GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(h_e6) // COUNT(*) AS BIGINT) AS mean_entropy_e6,
+           MAX(h_e6) AS max_entropy_e6,
+           MIN(h_e6) AS min_entropy_e6
+    FROM per_doc
+    GROUP BY source
+"""

@@ -558,6 +558,20 @@ F_ALLOWLIST: dict[str, str] = {
         "w_ppm=1) rounded onto e6 <= 1.4e13 < 2^62; no cross-row "
         "integer products"
     ),
+    "stat_nation_kendall": (
+        "SIGN(..)*SIGN(..) is in {-1,0,1} by construction; the pair "
+        "table is |nations|^2 <= 625 (nation is a DIMENSION, fixed "
+        "25 keys at every SF), so 1e6*(C-D) <= 1e6*625 < 2^62; the "
+        "tau denominator is a row-local double sqrt over those ints"
+    ),
+    "doc_word_entropy": (
+        "ln(c) <= ln(doc-local token count) <= ~21 (c <= ~1e9 tokens "
+        "per doc) -> c*ROUND(ln(c)*1e9) <= 1e9*21*1e9... bounded "
+        "per-GROUP: c <= ~1e6 realistic doc tokens -> <= 1.4e16 < "
+        "2^62; SUM per doc <= n*ln(n)*1e9 <= 2e16; h_e6 <= ln(n)*1e6 "
+        "<= 2.1e7, per-source SUM(h_e6) <= n_docs*2.1e7 < 2^62 up to "
+        "~4e11 docs per source"
+    ),
     "stat_orders_hill_tail": (
         "li = ln(cents)*1e6 <= ln(2^63)*1e6 ~ 4.4e7 < 2^62; "
         "k_used*lk <= 100*4.4e7 = 4.4e9; SUM(li) over k<=100 rows "
