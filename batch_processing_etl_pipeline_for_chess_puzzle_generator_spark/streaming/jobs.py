@@ -1465,3 +1465,110 @@ def bootstrap_vector_index(spark, src_path: str, cent_path: str,
      .option("txnAppId", _VIDX_TXN_APP)
      .option("txnVersion", head).save())
     return {"head": head, "seeded": n}
+
+
+# --------------------------------- streaming SCD2 dimension upkeep
+
+_SCD2_TXN_APP = "scd2_dimension"
+
+
+def maintain_scd2_dimension(spark, src_path: str, scd2_path: str,
+                            checkpoint_dir: str, key_col: str):
+    """Streaming SCD2 HISTORY maintenance — the dimension-table loop a
+    warehouse runs continuously (the streaming twin of the batch
+    scd2_order_history / temporal_scd2_join entries): a CDF feed of a
+    versioned dimension table drives a ``foreachBatch`` that maintains
+    a slowly-changing-type-2 history table — every change CLOSES the
+    key's open interval at its commit version and (unless a delete)
+    OPENS a new one, so the history table answers point-in-time
+    lookups with ``valid_from <= v < valid_to`` and ``is_current``
+    serves the live snapshot.
+
+    Interval columns are COMMIT VERSIONS (the engine's native time
+    axis — monotone, gap-free per table, exactly what the CDF rows
+    carry); ``row_key = key@valid_from`` gives MERGE its single-column
+    identity. A batch spanning several source versions applies them in
+    version order set-based: ``lead(v)`` over each key's ordered
+    changes pre-closes all but the last interval, and the key's FIRST
+    batch version closes the previously-open target row — one COW
+    MERGE commit per batch carries closes + opens + the txn stamp
+    atomically. Exactly-once is per-version as everywhere: rows are
+    filtered to ``_commit_version > stamp``, so replays and mixed
+    fresh-checkpoint restarts re-apply only unapplied versions.
+    Update PREIMAGES are dropped (the postimage carries the new
+    attributes); at most one change per key per commit version — the
+    engine's DML semantics. Returns the started query."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        ensure_registered,
+    )
+
+    ensure_registered(spark)
+
+    def apply_batch(batch, _bid: int) -> None:
+        last = versioned.txn_version(scd2_path, _SCD2_TXN_APP)
+        if last is not None:
+            batch = batch.filter(F.col("_commit_version") > last)
+        batch = batch.filter("_change_type != 'update_preimage'")
+        row = batch.agg(F.max("_commit_version")).collect()
+        if not row or row[0][0] is None:
+            return  # fully-applied replay (or empty batch)
+        hi = int(row[0][0])
+        attrs = [c for c in batch.columns
+                 if c not in (key_col, "_change_type", "_commit_version")]
+        w = Window.partitionBy(key_col).orderBy("_commit_version")
+        ch = (
+            batch
+            .withColumn("_close_v", F.lead("_commit_version").over(w))
+            .withColumn("_first_v",
+                        F.min("_commit_version").over(
+                            Window.partitionBy(key_col)))
+        ).localCheckpoint()  # consumed twice: opens + closers
+        new_rows = (
+            ch.filter("_change_type != 'delete'")
+            .select(
+                F.concat_ws("@", F.col(key_col).cast("string"),
+                            F.col("_commit_version").cast("string")
+                            ).alias("row_key"),
+                F.col(key_col), *[F.col(c) for c in attrs],
+                F.col("_commit_version").cast("long").alias("valid_from"),
+                F.col("_close_v").cast("long").alias("valid_to"),
+                F.col("_close_v").isNull().alias("is_current"),
+            )
+        )
+        if not versioned.versions(scd2_path):
+            versioned.write_version(
+                spark.createDataFrame([], new_rows.schema), scd2_path,
+                stats_col="row_key")
+        closers = ch.select(key_col, "_first_v").distinct()
+        closed = (
+            versioned.read_version(spark, scd2_path, stats_hint=False)
+            .filter("is_current")
+            .join(closers, key_col)
+            .select(
+                "row_key", key_col, *attrs, "valid_from",
+                F.col("_first_v").cast("long").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            )
+        )
+        changes = closed.unionByName(new_rows) \
+            .withColumn("is_delete", F.lit(False))
+        versioned.merge_version_cow(
+            spark, scd2_path, changes, "row_key",
+            extra_manifest={"txn": {_SCD2_TXN_APP: hi}})
+
+    feed = (
+        spark.readStream.format("versioned")
+        .option("path", src_path)
+        .option("readChangeFeed", "true").load()
+    )
+    return (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -947,3 +947,72 @@ def test_bootstrap_vector_index_reseeds_after_vacuum(spark, tmp_path):
     bootstrap_vector_index(spark, src, cent, asg)   # no-op re-run
     assert len(versioned.versions(asg)) == n_v
     assert versioned.read_version(spark, asg).count() == 4
+
+
+def test_streaming_scd2_dimension_loop(spark, tmp_path):
+    """Streaming twin #22 — SCD2 dimension history maintained from a
+    CDF feed: every source change closes the key's open interval at
+    its commit version and opens a new one (deletes only close); one
+    COW MERGE per batch carries closes + opens + the txn stamp
+    atomically. Point-in-time reads replay any historical snapshot;
+    mixed fresh-checkpoint replays re-apply only unapplied versions."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.sources.versioned_ds import (
+        VersionedDataSource,
+    )
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.streaming.jobs import (
+        maintain_scd2_dimension,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    src, scd2 = str(tmp_path / "dim"), str(tmp_path / "scd2")
+
+    versioned.write_version(
+        spark.createDataFrame([(1, "gold"), (2, "silver")],
+                              "k INT, segment STRING"), src)      # v0
+    versioned.set_table_property(src, "cdf.enabled", "true")      # v1
+
+    def drain(ck):
+        q = maintain_scd2_dimension(spark, src, scd2,
+                                    str(tmp_path / ck), "k")
+        q.awaitTermination(180)
+
+    def hist():
+        return sorted(
+            (r.k, r.valid_from, r.valid_to, r.is_current, r.segment)
+            for r in versioned.read_version(spark, scd2).collect())
+
+    drain("ck")
+    assert hist() == [(1, 0, None, True, "gold"),
+                      (2, 0, None, True, "silver")]
+
+    # v2: update k=1, delete k=2 (one MERGE commit on the source)
+    up = spark.createDataFrame([(1, "plat", False), (2, None, True)],
+                               "k INT, segment STRING, is_delete BOOLEAN")
+    versioned.merge_version_cow(spark, src, up, "k")              # v2
+    drain("ck")
+    assert hist() == [(1, 0, 2, False, "gold"),
+                      (1, 2, None, True, "plat"),
+                      (2, 0, 2, False, "silver")]
+
+    # point-in-time: the snapshot current AT version 1 is the original
+    asof = {r.k: r.segment for r in
+            versioned.read_version(spark, scd2)
+            .filter("valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)")
+            .collect()}
+    assert asof == {1: "gold", 2: "silver"}
+
+    # mixed fresh-checkpoint replay + a new version: k=2 re-born, only
+    # the NEW version applies (old intervals untouched)
+    (spark.createDataFrame([(2, "bronze")], "k INT, segment STRING")
+     .write.format("versioned").mode("append").option("path", src).save())
+    drain("ck_fresh")                                             # v3
+    assert hist() == [(1, 0, 2, False, "gold"),
+                      (1, 2, None, True, "plat"),
+                      (2, 0, 2, False, "silver"),
+                      (2, 3, None, True, "bronze")]
+    # pure replay is a no-op (stamp filters the batch empty)
+    n_v = len(versioned.versions(scd2))
+    drain("ck_fresh2")
+    assert len(versioned.versions(scd2)) == n_v
