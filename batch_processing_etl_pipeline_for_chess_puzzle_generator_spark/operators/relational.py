@@ -4432,3 +4432,76 @@ ORACLES["stat_nation_kendall"] = """
                 (n_pairs - ties_y)), 0)) AS BIGINT) AS tau_b_e6
     FROM tallies
 """
+
+
+# ------------------------------ Mann-Kendall monotone-trend test
+#
+# The significance sibling of orders_theilsen_trend (which estimates
+# the SLOPE; Mann-Kendall tests whether a monotone trend exists at
+# all) and the temporal cousin of stat_nation_kendall (same S
+# statistic, here one series against time). Over the monthly order
+# counts: S = Σ_{i<j} SIGN(x_j − x_i), the tie-corrected variance
+# 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the
+# continuity-corrected Z. Scale shape: the pair table is |months|²
+# (calendar-bounded — ~100 rows at ANY corpus size, the
+# orders_backlog discipline), tie groups by exact count value; every
+# tally is exact integer, Z is one row-local double formula over
+# them, written identically in the oracle, exposed ×1e6.
+def stat_orders_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.expr("CAST(date_trunc('month', o_orderdate) AS DATE)")
+        .alias("month")
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("x"))
+    a = monthly.selectExpr("month AS ma", "x AS xa")
+    b = monthly.selectExpr("month AS mb", "x AS xb")
+    s = (
+        a.join(F.broadcast(b), F.expr("ma < mb"))
+        .agg(F.expr("CAST(SUM(SIGN(xb - xa)) AS BIGINT)").alias("s_stat"))
+    )
+    n = monthly.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_months"))
+    ties = (
+        monthly.groupBy("x").agg(F.expr("COUNT(*)").alias("t"))
+        .agg(F.expr("CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)")
+             .alias("tie_term"))
+    )
+    return (
+        s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "n_months", "s_stat",
+            "CAST(n_months * (n_months - 1) * (2 * n_months + 5) "
+            "- tie_term AS BIGINT) AS var_s_x18",
+            # continuity-corrected Z: (S − SIGN(S)) / sqrt(Var(S))
+            "CAST(ROUND(1000000 * (s_stat - SIGN(s_stat)) / "
+            "NULLIF(SQRT((n_months * (n_months - 1) * (2 * n_months + 5)"
+            " - tie_term) / 18.0), 0)) AS BIGINT) AS z_e6",
+        )
+    )
+
+
+QUERIES["stat_orders_mannkendall"] = stat_orders_mannkendall
+
+ORACLES["stat_orders_mannkendall"] = """
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS s_stat
+        FROM monthly a JOIN monthly b ON a.month < b.month
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly),
+    ties AS (
+        SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+              FROM monthly GROUP BY x)
+    )
+    SELECT n_months, s_stat,
+           CAST(n_months * (n_months - 1) * (2 * n_months + 5)
+                - tie_term AS BIGINT) AS var_s_x18,
+           CAST(ROUND(1000000 * (s_stat - SIGN(s_stat)) /
+                NULLIF(SQRT((n_months * (n_months - 1) * (2 * n_months + 5)
+                 - tie_term) / 18.0), 0)) AS BIGINT) AS z_e6
+    FROM s, n, ties
+"""

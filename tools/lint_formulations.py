@@ -558,6 +558,12 @@ F_ALLOWLIST: dict[str, str] = {
         "w_ppm=1) rounded onto e6 <= 1.4e13 < 2^62; no cross-row "
         "integer products"
     ),
+    "stat_orders_mannkendall": (
+        "t and n_months are CALENDAR-bounded (months, ~100 at any "
+        "corpus size): t(t-1)(2t+5) <= 100*99*205 ~ 2e6; |S| <= "
+        "n_months^2/2 <= 5e3 -> 1e6*S <= 5e9 < 2^62; the Z "
+        "denominator is a row-local double sqrt over those ints"
+    ),
     "stat_nation_kendall": (
         "SIGN(..)*SIGN(..) is in {-1,0,1} by construction; the pair "
         "table is |nations|^2 <= 625 (nation is a DIMENSION, fixed "
