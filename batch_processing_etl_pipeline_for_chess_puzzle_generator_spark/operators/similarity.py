@@ -3259,6 +3259,30 @@ ORACLES["emb_incr_ivf"] = _kmeans_oracle(
 )
 
 
+def _incr_semdedup_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The new batch assigned against the committed centroids — the
+    ONE embeddings scan of the incremental SemDeDup plan (broadcast
+    model, row-local argmax). Separate so the plan test can assert the
+    single-scan shape before the operator materializes it."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
+
+    cent_path, _ = _ivf_index_paths(spark, sf_dir)
+    model = _as_model(
+        versioned.read_version(spark, cent_path)
+        .select("cluster_id", "sa", "sn"))
+    new = (
+        table(spark, sf_dir, "embeddings")
+        .filter("vec_id % 10 >= 8")
+        .select(
+            F.col("vec_id").alias("n_id"),
+            F.expr(_QUANT.format(col="embedding")).alias("ca"),
+        )
+        .withColumn("cn", F.expr(_qnorm("ca")))
+    )
+    return new.crossJoin(broadcast(model)).select(
+        "n_id", "ca", "cn", F.expr(_ASSIGN_EXPR).alias("cluster_id"))
+
+
 def emb_incr_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SemDeDup over the COMMITTED IVF index: triage a new
     embeddings batch against the persisted corpus without ever
@@ -3276,28 +3300,17 @@ def emb_incr_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers are exactly the rows a nightly job fast-appends (streaming
     twin: maintain_semdedup_corpus). Recurring cost O(batch·K +
     batch·cluster-slice); the corpus embeddings table is never
-    scanned (plan-asserted in tests/test_similarity.py)."""
+    scanned (plan-asserted in tests/test_similarity.py: the
+    assignment pass reads embeddings exactly once, is materialized by
+    localCheckpoint, and the triage plan contains ZERO embeddings
+    scans)."""
+    cent_path, asg_path = _ivf_index_paths(spark, sf_dir)
     from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import versioned
 
-    cent_path, asg_path = _ivf_index_paths(spark, sf_dir)
-    model = _as_model(
-        versioned.read_version(spark, cent_path)
-        .select("cluster_id", "sa", "sn"))
-    new = (
-        table(spark, sf_dir, "embeddings")
-        .filter("vec_id % 10 >= 8")
-        .select(
-            F.col("vec_id").alias("n_id"),
-            F.expr(_QUANT.format(col="embedding")).alias("ca"),
-        )
-        .withColumn("cn", F.expr(_qnorm("ca")))
-    )
-    assigned = (
-        new.crossJoin(broadcast(model))
-        .select("n_id", "ca", "cn",
-                F.expr(_ASSIGN_EXPR).alias("cluster_id"))
-        .persist()  # reused: corpus check, intra-batch check, output
-    )
+    # O(batch) rows, consumed three times (corpus check, intra-batch
+    # check, output) — eagerly materialized so the triage plan is
+    # embeddings-free by construction, not by cache-print accounting
+    assigned = _incr_semdedup_assigned(spark, sf_dir).localCheckpoint()
     corpus = versioned.read_version(spark, asg_path, 0) \
         .select("cluster_id", "ca", "cn")
     probe = assigned.select(

@@ -221,11 +221,10 @@ def test_ivf_maintenance_recluster_when_drifted(spark, tmp_path):
 def test_emb_incr_semdedup_corpus_free_and_consistent(spark):
     """r12 verdict item 2 — incremental SemDeDup over the committed
     IVF index: the recurring plan never scans the corpus embeddings.
-    The new batch is read ONCE (persisted after the centroid
-    assignment — every embeddings.parquet occurrence in the plan
-    string is the cached relation printing under an
-    InMemoryTableScan, so the executed scan count is one), and the
-    corpus side reads the committed ivf_assign table at version 0
+    The new batch is read ONCE (the assignment pass's single scan,
+    materialized by localCheckpoint), so the triage plan contains
+    ZERO embeddings scans and the corpus side reads the committed
+    ivf_assign table at version 0
     (pre-append). Consistency: batch vectors the full-corpus
     emb_semdedup would keep are a superset sanity-checked by count,
     and every cluster id is a committed centroid."""
@@ -234,14 +233,21 @@ def test_emb_incr_semdedup_corpus_free_and_consistent(spark):
         _ivf_index_paths, emb_incr_semdedup,
     )
 
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.similarity import (
+        _incr_semdedup_assigned,
+    )
+
     sf = "/root/testdata/sf0.001"
+    # the assignment pass is the plan's ONE embeddings scan ...
+    asg_plan = _incr_semdedup_assigned(spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert asg_plan.count("embeddings.parquet") == 1
+    # ... and the triage plan contains ZERO embeddings scans: the
+    # assignment is materialized by localCheckpoint, the corpus side
+    # reads the committed index
     df = emb_incr_semdedup(spark, sf)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # zero DIRECT embeddings scans: each textual occurrence is the
-    # cached new-batch relation re-printed by an InMemoryTableScan
-    assert plan.count("embeddings.parquet") == \
-        plan.count("InMemoryTableScan")
-    assert plan.count("InMemoryTableScan") >= 3  # nc + nn(2 sides)/out
+    assert plan.count("embeddings.parquet") == 0
     assert "ivf_assign" in plan        # corpus = committed index
     rows = df.collect()
     assert len(rows) > 0
