@@ -1166,7 +1166,8 @@ _VIDX_TXN_APP = "vector_index_loop"
 
 def maintain_vector_index(spark, src_path: str, cent_path: str,
                           asg_path: str, checkpoint_dir: str,
-                          rebalance_ppm: int | None = None):
+                          rebalance_ppm: int | None = None,
+                          starting_version: int | None = None):
     """Streaming VECTOR-INDEX maintenance — the vector-side twin of
     maintain_dedup_corpus, composing the r12 pieces into the loop a
     production vector store runs: a ``readStream.format("versioned")``
@@ -1229,13 +1230,15 @@ def maintain_vector_index(spark, src_path: str, cent_path: str,
             maintain_ivf_index(spark, cent_path, asg_path,
                                threshold_ppm=threshold)
 
-    feed = (
-        spark.readStream.format("versioned")
-        .option("path", src_path)
-        .option("readChangeFeed", "true").load()
-    )
+    feed = spark.readStream.format("versioned").option("path", src_path) \
+        .option("readChangeFeed", "true")
+    if starting_version is not None:
+        # post-vacuum re-bootstrap: replay only the retained range
+        # (the snapshot re-seed covered everything older; per-version
+        # stamps no-op any overlap)
+        feed = feed.option("startingVersion", starting_version)
     return (
-        feed.writeStream.foreachBatch(apply_batch)
+        feed.load().writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -1249,7 +1252,8 @@ _SDD_TXN_APP = "semdedup_curation"
 
 def maintain_semdedup_corpus(spark, src_path: str, cent_path: str,
                              asg_path: str, checkpoint_dir: str,
-                             rebalance_ppm: int | None = None):
+                             rebalance_ppm: int | None = None,
+                             starting_version: int | None = None):
     """Streaming SEMANTIC-dedup curation — the composition of
     maintain_vector_index and maintain_dedup_corpus the committed IVF
     index was built for (the streaming twin of the emb_incr_semdedup
@@ -1340,13 +1344,15 @@ def maintain_semdedup_corpus(spark, src_path: str, cent_path: str,
             maintain_ivf_index(spark, cent_path, asg_path,
                                threshold_ppm=threshold)
 
-    feed = (
-        spark.readStream.format("versioned")
-        .option("path", src_path)
-        .option("readChangeFeed", "true").load()
-    )
+    feed = spark.readStream.format("versioned").option("path", src_path) \
+        .option("readChangeFeed", "true")
+    if starting_version is not None:
+        # post-vacuum re-bootstrap: replay only the retained range
+        # (the snapshot re-seed covered everything older; per-version
+        # stamps no-op any overlap)
+        feed = feed.option("startingVersion", starting_version)
     return (
-        feed.writeStream.foreachBatch(apply_batch)
+        feed.load().writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -1473,7 +1479,8 @@ _SCD2_TXN_APP = "scd2_dimension"
 
 
 def maintain_scd2_dimension(spark, src_path: str, scd2_path: str,
-                            checkpoint_dir: str, key_col: str):
+                            checkpoint_dir: str, key_col: str,
+                            starting_version: int | None = None):
     """Streaming SCD2 HISTORY maintenance — the dimension-table loop a
     warehouse runs continuously (the streaming twin of the batch
     scd2_order_history / temporal_scd2_join entries): a CDF feed of a
@@ -1561,13 +1568,15 @@ def maintain_scd2_dimension(spark, src_path: str, scd2_path: str,
             spark, scd2_path, changes, "row_key",
             extra_manifest={"txn": {_SCD2_TXN_APP: hi}})
 
-    feed = (
-        spark.readStream.format("versioned")
-        .option("path", src_path)
-        .option("readChangeFeed", "true").load()
-    )
+    feed = spark.readStream.format("versioned").option("path", src_path) \
+        .option("readChangeFeed", "true")
+    if starting_version is not None:
+        # post-vacuum re-bootstrap: replay only the retained range
+        # (the snapshot re-seed covered everything older; per-version
+        # stamps no-op any overlap)
+        feed = feed.option("startingVersion", starting_version)
     return (
-        feed.writeStream.foreachBatch(apply_batch)
+        feed.load().writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
