@@ -68,6 +68,64 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
+# Default hash-spread key per table (a stable, uniformly distributed
+# id column — NEVER rand(): task retries must re-derive identical
+# placement, SPARK-38388).
+_SPREAD_KEYS = {
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey",),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def scan_parallelism(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """How many tasks the base table's parquet scan fans out to
+    (memoized per session — ``.rdd.getNumPartitions()`` compiles the
+    plan once, runs no job). The local test tables are SINGLE-row-group
+    parquet files, and a row group is the parquet split atom, so their
+    scans are ONE task no matter how small
+    ``spark.sql.files.maxPartitionBytes`` is; a production table with
+    many files/row groups reports its real fan-out here."""
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = ("npart", sf_dir, name)
+    if key not in per_session:
+        per_session[key] = table(spark, sf_dir, name).rdd.getNumPartitions()
+    return per_session[key]
+
+
+def spread(spark: SparkSession, sf_dir: str, name: str,
+           df: DataFrame | None = None, keys: tuple[str, ...] = ()) -> DataFrame:
+    """Fan an effectively-unsplittable scan out to the session's cores
+    before per-row-heavy work (optimization guide §2.5, "input skew:
+    one huge unsplittable file … repartition immediately after the
+    read").
+
+    Gated on the SOURCE table's real scan parallelism: when the scan
+    already fans out to >= half the cores (any production-size table),
+    this is the identity — no extra exchange, no payload re-shuffle at
+    scale. Only a scan that would serialize most cores (the
+    single-row-group local files) pays one narrow hash repartition to
+    ``defaultParallelism``. The partition count is explicit, so AQE's
+    coalescer cannot fold the deliberately-small local shuffle back
+    into one partition, and the keys are stable id columns (hash
+    placement is retry-deterministic, unlike round-robin of a
+    non-deterministic input).
+
+    Callers project/filter first and pass the result as ``df`` so the
+    exchange moves only the columns the heavy stage needs."""
+    base = table(spark, sf_dir, name) if df is None else df
+    n = spark.sparkContext.defaultParallelism
+    if scan_parallelism(spark, sf_dir, name) * 2 >= n:
+        return base
+    cols = keys or _SPREAD_KEYS[name]
+    return base.repartition(n, *[F.col(k) for k in cols])
+
+
 # Last-registered sf_dir per live session: re-registering the same 10
 # views costs ~0.5 s of parquet-footer schema reads EACH call (measured
 # 5.4 s total), so repeated SQL-surface queries would re-pay it every

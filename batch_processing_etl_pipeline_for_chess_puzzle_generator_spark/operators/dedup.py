@@ -130,7 +130,17 @@ def _signatures(spark: SparkSession, sf_dir: str,
     key = (spark.sparkContext.applicationId, sf_dir, n_hashes)
     if key in _SIG_CACHE:
         return _SIG_CACHE[key]
-    docs = table(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    # spread(): the shingle explode + per-shingle md5 is the expensive
+    # stage of the signature pass and it runs INSIDE the scan task —
+    # a single-row-group file serializes it on one core (guide §2.5).
+    # One narrow (doc_id, text) hash repartition fans it out; measured
+    # 1.51 s → 0.73 s for the 64-perm signature pass at sf0.1.
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+    docs = spread(
+        spark, sf_dir, "documents",
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+    ).withColumn("ws", F.split("text", " "))
     exploded = docs.select(
         "doc_id", F.explode(F.expr(_SHINGLES_WS)).alias("shingle")
     ).select("doc_id", F.expr(f"{SPARK_HASH_SQL('shingle')} % {MH_PRIME}").alias("bm"))
@@ -317,7 +327,10 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint packs the vote signs. Near-identical docs land at
     small hamming distance (bucket by fingerprint for grouping).
     """
-    docs = table(spark, sf_dir, "documents")
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+    docs = spread(spark, sf_dir, "documents",
+                  table(spark, sf_dir, "documents").select("doc_id", "text"))
     h = SPARK_HASH_SQL("w")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -349,7 +362,10 @@ def doc_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the (hi, lo) pair. One explode + one groupBy, 64 vote
     aggregates in a single pass — same shape as the 16-bit variant.
     """
-    docs = table(spark, sf_dir, "documents")
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+    docs = spread(spark, sf_dir, "documents",
+                  table(spark, sf_dir, "documents").select("doc_id", "text"))
     h_lo = SPARK_HASH_SQL("w")
     h_hi = SPARK_HASH_SQL("w", seed=SIMHASH64_SEED)
     tok = docs.select(
@@ -452,7 +468,10 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit-two-buckets, since an interval of length 10 spans at most two
     width-20 buckets.
     """
-    docs = table(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+    docs = spread(spark, sf_dir, "documents").withColumn(
+        "ws", F.split("text", " "))
     # Persist the exploded postings: both join sides read it, and the
     # persist boundary stops Catalyst from pushing null-filters through
     # the Generate and re-evaluating the shingle transform per row (a
@@ -1583,7 +1602,9 @@ CONTAINMENT_PPM = 800000
 
 
 def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").withColumn(
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+    docs = spread(spark, sf_dir, "documents").withColumn(
         "ws", F.split("text", " ")
     )
     ex = _cached_postings(spark, sf_dir, docs)
@@ -1662,7 +1683,10 @@ SUBSTR_W = 8
 
 
 def doc_substr_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+    docs = spread(spark, sf_dir, "documents",
+                  table(spark, sf_dir, "documents").select("doc_id", "text"))
     h = SPARK_HASH_SQL(f"concat_ws(' ', slice(ws, i, {SUBSTR_W}))")
     per_doc_hash = (
         docs.select("doc_id", F.expr("split(text, ' ')").alias("ws"))

@@ -890,7 +890,15 @@ def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _MEDIA_CACHE:
-        docs = table(spark, sf_dir, "documents")
+        from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+        # spread(): the encode mapInPandas (and every decode kernel
+        # downstream, which inherits this partitioning through the
+        # persist) is pure Python CPU — on a single-row-group scan it
+        # all runs in ONE Arrow task (guide §2.5 / §4). One 8-byte-per-
+        # row doc_id repartition fans the codec work out to every core.
+        docs = spread(spark, sf_dir, "documents",
+                      table(spark, sf_dir, "documents").select("doc_id"))
         bounded_cache_put(_MEDIA_CACHE, key, synth_media(docs, kind).persist(),
                           cap=_MEDIA_CACHE_MAX)
     return _MEDIA_CACHE[key]

@@ -72,8 +72,16 @@ def _split(spark: SparkSession, sf_dir: str):
         )
         .withColumn("qn", F.expr(_qnorm("qa")))
     )
+    # spread() the corpus side BEFORE the quantize/norm projections:
+    # interpreted higher-order-function math (zip_with/aggregate gets
+    # no codegen) is the cost of every scorer downstream, and a
+    # single-row-group scan runs all of it on one core (guide §2.5).
+    # The query side stays un-spread — it is broadcast by consumers.
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
     c = (
-        emb.filter(F.col("vec_id") >= N_QUERIES)
+        spread(spark, sf_dir, "embeddings",
+               emb.filter(F.col("vec_id") >= N_QUERIES))
         .select(
             F.col("vec_id").alias("c_id"),
             "label",
@@ -268,7 +276,9 @@ NEARDUP_THRESHOLD = 0.4
 
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+    emb = spread(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.expr(_QUANT.format(col="embedding")).alias("qi"),
@@ -1061,7 +1071,13 @@ def _pq_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _DD_CACHE:
         return _DD_CACHE[key]
-    emb = table(spark, sf_dir, "embeddings")
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+    # spread(): the per-vector 4×16 L2² HOF matrix below is interpreted
+    # expression work inside the scan task — fan the single-row-group
+    # local scan out before it (guide §2.5); the codebook branch reads
+    # the same spread frame (16 seed rows, cost-free either way).
+    emb = spread(spark, sf_dir, "embeddings")
     codebook = (
         emb.filter(F.col("vec_id") < _PQ_K)
         .agg(
@@ -1495,7 +1511,9 @@ def _pqt_assign_expr() -> str:
 
 
 def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+    emb = spread(spark, sf_dir, "embeddings")
     base = _pqt_subs(emb)
     sample = base.filter(
         F.expr(
@@ -2022,7 +2040,13 @@ def _semdedup(emb: DataFrame) -> DataFrame:
 
 
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _semdedup(table(spark, sf_dir, "embeddings"))
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+    # spread() here, not inside _semdedup: the core is also driven by
+    # tests with synthetic frames whose layout is theirs to choose.
+    return _semdedup(spread(
+        spark, sf_dir, "embeddings",
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")))
 
 
 QUERIES["emb_semdedup"] = emb_semdedup
@@ -3146,7 +3170,12 @@ def _build_ivf_index(spark, sf_dir, key):
     asg_path = tempfile.mkdtemp(prefix="ivf_assign_")
     for p in (cent_path, asg_path):
         atexit.register(shutil.rmtree, p, ignore_errors=True)
-    emb = table(spark, sf_dir, "embeddings")
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+    # spread(): quantize + every Lloyd-round HOF scoring pass runs over
+    # this frame; fan the single-task local scan out first (§2.5).
+    emb = spread(spark, sf_dir, "embeddings",
+                 table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
 
     def prep(df):
         return (

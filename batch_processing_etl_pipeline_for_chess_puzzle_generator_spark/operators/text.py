@@ -32,6 +32,21 @@ _WORDS = "split(text, ' ')"
 _WORDS_DUCK = "string_split(text, ' ')"
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """documents projected to ``cols`` and fanned out to the session's
+    cores when the scan would otherwise be one task (catalog.spread —
+    identity on any production-parallel table). The per-document
+    higher-order-function work in this module (n-gram transforms,
+    bigram profiles, per-token filters) is interpreted expression math
+    that runs INSIDE the scan task, so a single-row-group local file
+    serializes it on one core (guide §2.5); the exchange this inserts
+    moves only the projected narrow columns."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
+    return spread(spark, sf_dir, "documents",
+                  table(spark, sf_dir, "documents").select(*cols))
+
+
 # Stopword-profile language ID: a document whose stopword mass clears
 # the threshold is classed 'en'. (A real system uses per-language
 # profiles; the *shape* — row-local token scan, no shuffle — is the
@@ -298,7 +313,7 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir, "doc_id", "text")
     pairs = docs.select(
         "doc_id",
         F.explode(
@@ -496,7 +511,7 @@ ORACLES["doc_winnowing"] = f"""
 # signal (share of bigrams taken by the most frequent bigram) is the
 # quadratic-per-doc variant, bounded by the document length cap.
 def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir, "doc_id", "n_chars", "text")
     bg = (
         "transform(sequence(1, size(ws) - 1), "
         "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
@@ -591,7 +606,7 @@ def doc_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # array_intersect — ZERO shuffle over the corpus, the exact shape a
 # 100 TB decontamination pass needs (eval sets are always small).
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir, "doc_id", "text")
     h = SPARK_HASH_SQL("concat_ws(' ', slice(ws, i, 5))")
     grams = f"array_distinct(transform(sequence(1, size(ws) - 4), i -> {h}))"
     with_h = (
@@ -885,7 +900,7 @@ ORACLES["doc_length_deciles_approx"] = """
 # (min doc_id), then the per-doc novelty agg — both partial-aggregated;
 # the join back rides the same shingle-hash partitioning.
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir, "doc_id", "text")
     h = SPARK_HASH_SQL("concat_ws(' ', slice(ws, i, 3))")
     grams = f"array_distinct(transform(sequence(1, size(ws) - 2), i -> {h}))"
     ex = (
@@ -1198,7 +1213,7 @@ LANGID_NGRAM_MIN = 0.04
 
 
 def doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir, "doc_id", "lang", "text")
     tris = (
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
     )
@@ -1265,7 +1280,7 @@ def _leakage_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _LEAK_POSTINGS_CACHE:
         return _LEAK_POSTINGS_CACHE[key]
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir, "doc_id", "text")
     h = SPARK_HASH_SQL("concat_ws(' ', slice(ws, i, 5))")
     grams = f"array_distinct(transform(sequence(1, size(ws) - 4), i -> {h}))"
     ex = (
@@ -1522,7 +1537,7 @@ REPEAT_MIN_DF = 2
 
 
 def doc_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir, "doc_id", "text")
     # the CASE guards short documents: sequence(1, 0) DESCENDS in
     # Spark (default step -1, yielding [1, 0] and an illegal
     # slice(ws, 0, n)) where the oracle's generate_series(1, 0) is

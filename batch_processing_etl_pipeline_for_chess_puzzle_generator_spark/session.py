@@ -81,6 +81,19 @@ def _parse_extra_conf(extra: str) -> list[tuple[str, str]]:
     return [(k, v) for k, v in pairs]
 
 
+# NOTE (r13, measured and REJECTED): deriving
+# spark.sql.adaptive.advisoryPartitionSizeInBytes from input size
+# (total bytes / cores, clamped) looked like the textbook AQE
+# adaptation, and isolated window entries did gain (w_order_stats
+# 1.30 s → 0.95 s at 1 MB advisory) — but iterative/driver-loop
+# entries paid far more in per-task scheduling than the parallel
+# stages won back (doc_bpe_train 1.86 s → 5.93 s, basket_part_pairs
+# 1.80 s → 3.06 s, 3-rep minima). Single-core post-shuffle stages are
+# cheap once spread() moved the per-row-heavy work to the map side,
+# so the Spark default (64 MB) stays; override per deployment via
+# SPARK_GRAFT_EXTRA_CONF if a workload proves otherwise.
+
+
 def get_spark(app_name: str = "spark-graft-engine", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) the tuned session.
