@@ -146,8 +146,23 @@ def _signatures(spark: SparkSession, sf_dir: str,
     ).select("doc_id", F.expr(f"{SPARK_HASH_SQL('shingle')} % {MH_PRIME}").alias("bm"))
     mins = [F.expr(f"min({_family(i, 'bm')})").alias(f"mh{i}") for i in range(n_hashes)]
     # Persist: the signatures feed the band explode AND both sides of
-    # the candidate join.
-    return _cache_put(_SIG_CACHE, key, exploded.groupBy("doc_id").agg(*mins).persist())
+    # the candidate join. When the input was spread (local small-file
+    # case only), COMPACT the signature table before persisting: the
+    # heavy shingle/md5 pass already ran 32-way above, but the cached
+    # result is consumed by MANY tiny downstream stages (band_sweep
+    # reads it ~12×, dedup_report's audit 19 shuffles) and a
+    # 32-partition cache multiplies every one of those stages' task
+    # count — measured band_sweep 2.7 s → 9-18 s from exactly that
+    # before this compaction. The extra exchange moves the few-MB
+    # signature rows once; at production parallelism the gate is
+    # false on both sides and the natural partitioning stands.
+    sig = exploded.groupBy("doc_id").agg(*mins)
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import scan_parallelism
+
+    if (scan_parallelism(spark, sf_dir, "documents") * 2
+            < spark.sparkContext.defaultParallelism):
+        sig = sig.repartition(4, F.col("doc_id"))
+    return _cache_put(_SIG_CACHE, key, sig.persist())
 
 
 def _band_hash_expr(b: int, rows_per_band: int = ROWS_PER_BAND) -> str:
@@ -1416,11 +1431,19 @@ def _build_dedup_index(spark, sf_dir, key):
     versioned.write_version(bands.filter("doc_id % 10 < 8"), band_path,
                             partition_by=["band_idx"])
     # nightly increment: hash/shingle ONLY the new batch and
-    # fast-append (v1) — the committed corpus rows untouched
+    # fast-append (v1) — the committed corpus rows untouched.
+    # repartition(1) before the DS append: the writer emits one part
+    # file per input partition, and the signature pass is now spread
+    # over every core — without the compaction the tiny batch would
+    # land as 32 near-empty files the recurring index reads then pay
+    # for (guide §6 small files). repartition, not coalesce: coalesce
+    # would collapse the upstream shingle work back to one task.
     ensure_registered(spark)
-    (hashes.filter("doc_id % 10 >= 8").write.format("versioned")
+    (hashes.filter("doc_id % 10 >= 8").repartition(1)
+     .write.format("versioned")
      .mode("append").option("path", hash_path).save())
-    (bands.filter("doc_id % 10 >= 8").write.format("versioned")
+    (bands.filter("doc_id % 10 >= 8").repartition(1)
+     .write.format("versioned")
      .mode("append").option("path", band_path).save())
     _DEDUP_IDX_CACHE[key] = (hash_path, band_path)
     fixtures.done("dedup_index", _t0)

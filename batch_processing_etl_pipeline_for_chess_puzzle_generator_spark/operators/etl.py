@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark import fixtures
-from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread, table
 
 # The change batch is derived deterministically from orders itself so the
 # oracle can rebuild it: every orderkey ≡ 0 (mod 2) is an upsert with a
@@ -82,7 +82,9 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # spread(): the wide multi-distinct aggregate's partials (expand ×
+    # columns) ran inside the one-task scan (guide §2.5)
+    li = spread(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:
         aggs += [
@@ -644,7 +646,9 @@ def profile_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (single wide agg) / 35 s (grouped) vs ~1 s for this split at
     # sf0.1, and a straight OOM at 100 TB.
     stack = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _NDV_COLS)
-    tall = li.select(
+    # spread(): the stack fan-out (rows × columns) and both aggregates'
+    # partials ran inside the one-task scan (guide §2.5)
+    tall = spread(spark, sf_dir, "lineitem", li).select(
         F.expr(f"stack({len(_NDV_COLS)}, {stack}) AS (col_name, val)")
     )
     exact = tall.groupBy("col_name").agg(

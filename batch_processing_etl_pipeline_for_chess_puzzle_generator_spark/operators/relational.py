@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread, table
 
 # SQL expression fragments valid in BOTH Spark SQL and DuckDB — the
 # Spark plans use them via F.expr, the oracles inline them verbatim.
@@ -60,7 +60,11 @@ def _ts(s: str):
 # q1: pricing summary report — the canonical scan+groupBy. One shuffle on
 # (returnflag, linestatus); 6 groups, fully map-side-combined.
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # spread(): the DECIMAL sum/multiply chain is the cost here and it
+    # rides the scan task — one narrow repartition fans it out on the
+    # single-row-group local file (identity at scale); measured
+    # 1.5 s → 1.0 s at sf0.1 (guide §2.5)
+    li = spread(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= _ts("2001-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -298,7 +302,13 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window: top-3 orders per customer by price — one hash partitioning by
 # customer, no global sort.
 def w_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    # spread on the window key: pins the window's exchange at core
+    # count (otherwise AQE coalesces the tiny local shuffle to one
+    # partition and the sort+rank runs one-core; identity at scale)
+    o = spread(spark, sf_dir, "orders",
+               table(spark, sf_dir, "orders").select(
+                   "o_custkey", "o_orderkey", "o_totalprice"),
+               keys=("o_custkey",))
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         o.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -311,7 +321,11 @@ def w_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # running sum is decimal → exact regardless of each engine's window-agg
 # evaluation strategy (DuckDB uses segment trees: different add order).
 def w_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    # spread on the window key (see w_topk_orders_per_cust)
+    o = spread(spark, sf_dir, "orders",
+               table(spark, sf_dir, "orders").select(
+                   "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+               keys=("o_custkey",))
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
@@ -398,7 +412,11 @@ def stat_sales_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # those drift across engine versions and are banned repo-wide by
 # tools/lint_formulations.py.
 def w_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    # spread on the window key (see w_topk_orders_per_cust)
+    o = spread(spark, sf_dir, "orders",
+               table(spark, sf_dir, "orders").select(
+                   "o_custkey", "o_orderkey", "o_orderdate"),
+               keys=("o_custkey",))
     full_w = ("PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
               "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
     ranked = o.selectExpr(
@@ -819,7 +837,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count distinct through the lineitem link.
 def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
-    li = table(spark, sf_dir, "lineitem")
+    # spread(): the broadcast-join probe + the count-distinct expand
+    # partials ran in the one-task scan (guide §2.5)
+    li = spread(spark, sf_dir, "lineitem",
+                table(spark, sf_dir, "lineitem").select(
+                    "l_orderkey", "l_partkey", "l_suppkey"))
     return (
         li.join(broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
@@ -849,7 +871,9 @@ def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_late_last_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    # spread on l_orderkey: both lineitem branches (per-order stats and
+    # the join) shuffle on that key — one pinned exchange serves both
+    li = spread(spark, sf_dir, "lineitem")
     ord_stats = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.max("l_shipdate").alias("max_ship"),
@@ -1133,7 +1157,13 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(filter(ps, p2 -> p2 > p1), p2 -> struct(p1, p2))))"
     )
     return (
-        li.groupBy("l_orderkey")
+        # spread on the GROUP key: replaces the aggregation's own
+        # (AQE-coalescible) exchange with a core-count-pinned one, so
+        # the basket collect AND the quadratic pair fanout run on all
+        # cores instead of the coalesced single post-shuffle partition
+        spread(spark, sf_dir, "lineitem",
+               li.select("l_orderkey", "l_partkey"))
+        .groupBy("l_orderkey")
         .agg(F.expr("collect_set(l_partkey)").alias("ps"))
         .select(F.explode(F.expr(pair_fanout)).alias("pr"))
         .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
@@ -1169,7 +1199,10 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would expand the shuffle by the distinct key (the profile_ndv
     # trap, etl.py:624).
     basket_sets = (
-        li.groupBy("l_orderkey")
+        # spread on the group key — same rationale as basket_part_pairs
+        spread(spark, sf_dir, "lineitem",
+               li.select("l_orderkey", "l_partkey"))
+        .groupBy("l_orderkey")
         .agg(F.expr("collect_set(l_partkey)").alias("ps"))
         .persist()
     )
@@ -1283,7 +1316,11 @@ ORACLES["basket_pair_lift"] = """
 # custkey (lead + row_number share the same sort), the canonical
 # warehouse dimension-build shape.
 def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    # spread on the window key (see w_topk_orders_per_cust)
+    o = spread(spark, sf_dir, "orders",
+               table(spark, sf_dir, "orders").select(
+                   "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"),
+               keys=("o_custkey",))
     w = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
     return o.select(
         "o_custkey",
@@ -1317,7 +1354,12 @@ ORACLES["scd2_order_history"] = """
 # assignment is a row-local count-of-bounds-below, then a 10-group
 # partial agg. No global sort, no ntile.
 def stats_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # spread(): the exact-percentile aggregate buffers/merges per-task
+    # value maps and the bucket pass filters per row — both ran inside
+    # the one-task scan (guide §2.5)
+    li = spread(spark, sf_dir, "lineitem",
+                table(spark, sf_dir, "lineitem").select(
+                    "l_orderkey", "l_extendedprice"))
     bounds = li.agg(
         F.expr(
             "percentile(l_extendedprice, array(0.1, 0.2, 0.3, 0.4, 0.5, "
@@ -1588,7 +1630,11 @@ ORACLES["nation_trade_balance"] = """
 # lineitem⋈orders shuffle join with conditional aggregates, supplier
 # dim broadcast in for names.
 def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # spread on the JOIN key: the lineitem⋈orders join shuffles on
+    # l_orderkey anyway — pinning that exchange at core count both
+    # parallelizes the decimal/date math and stops AQE folding the
+    # tiny local shuffle to one partition
+    li = spread(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     s = table(spark, sf_dir, "supplier")
     per = (
@@ -1727,7 +1773,10 @@ def abc_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _ABC_RANKED_CACHE:
         ranked = _ABC_RANKED_CACHE[key]
     else:
-        li = table(spark, sf_dir, "lineitem")
+        li = spread(spark, sf_dir, "lineitem",
+                    table(spark, sf_dir, "lineitem").select(
+                        "l_partkey", "l_extendedprice", "l_discount"),
+                    keys=("l_partkey",))
         rev = li.groupBy("l_partkey").agg(F.expr(_REV_INT).alias("r"))
         ranked = bounded_cache_put(
             _ABC_RANKED_CACHE,
@@ -2615,7 +2664,8 @@ def _scd2_report(joined: DataFrame) -> DataFrame:
 
 def temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    # spread the fact side on its join key (see supplier_scorecard)
+    li = spread(spark, sf_dir, "lineitem")
     return _scd2_report(_scd2_pit_join(_scd2_fact(li, o), _scd2_dim(o)))
 
 
@@ -3570,7 +3620,12 @@ ORACLES["part_skyline_2d"] = """
 def part_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    li = table(spark, sf_dir, "lineitem")
+    # spread(): the broadcast-join probe + per-row decimal grid math
+    # feed two aggregation branches from the one-task scan (§2.5)
+    li = spread(spark, sf_dir, "lineitem",
+                table(spark, sf_dir, "lineitem").select(
+                    "l_orderkey", "l_partkey", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_shipdate"))
     p = table(spark, sf_dir, "part")
     base = li.join(
         broadcast(p.select("p_partkey", "p_type")),
@@ -3958,7 +4013,9 @@ ORACLES["supplier_return_rate"] = """
 # types.
 def lineitem_discount_elasticity(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # spread(): per-row DECIMAL casts + the decimal moment sums ran in
+    # the one-task scan (guide §2.5)
+    li = spread(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     xy = (
         li.join(broadcast(p.select("p_partkey", "p_type")),

@@ -1954,8 +1954,9 @@ ORACLES["emb_centroid_drift"] = f"""
 # vector that has a higher-priority near-twin above a cosine threshold.
 # Candidate volume is Σ cluster² — never the corpus cross product — and
 # K GROWS WITH THE CORPUS: K = max(8, N div SEMDEDUP_CLUSTER_TARGET),
-# computed IN the plan (one-row count broadcast, mirrored as a scalar
-# subquery in the oracle), so mean cluster size stays ~constant and
+# computed driver-side from the persisted prep frame (one cheap count;
+# the oracle mirrors it as a scalar subquery), so mean cluster size
+# stays ~constant and
 # the per-cluster quadratic is Σ cluster² ≈ N·target — linear in N —
 # at every scale, enforced rather than documented. The keep rule
 # (lowest vec_id wins) is a deterministic stand-in for SemDeDup's
@@ -1967,9 +1968,6 @@ ORACLES["emb_centroid_drift"] = f"""
 SEMDEDUP_K_MIN = 8
 SEMDEDUP_CLUSTER_TARGET = 256  # ⟨cluster size⟩ the adaptive K aims at
 SEMDEDUP_THRESHOLD = 0.35
-_SEMDEDUP_K = (
-    f"greatest({SEMDEDUP_K_MIN}, n_vecs DIV {SEMDEDUP_CLUSTER_TARGET})"
-)
 
 
 def _semdedup(emb: DataFrame) -> DataFrame:
@@ -1982,10 +1980,13 @@ def _semdedup(emb: DataFrame) -> DataFrame:
         "vec_id",
         F.expr(_QUANT.format(col="embedding")).alias("qi"),
     ).withColumn("nrm", F.expr(_qnorm("qi"))).persist()
-    n = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    # K driver-side from the persisted frame (one cheap count): the
+    # same max(8, N div 256) the SQL-expression form computed, but now
+    # the salt fan-out below can be derived from it too.
+    n_vecs = emb.count()
+    k_seeds = max(SEMDEDUP_K_MIN, n_vecs // SEMDEDUP_CLUSTER_TARGET)
     seeds = (
-        emb.crossJoin(broadcast(n))
-        .filter(F.expr(f"vec_id < {_SEMDEDUP_K}"))
+        emb.filter(F.col("vec_id") < k_seeds)
         .select(
             F.col("vec_id").alias("s_id"),
             F.col("qi").alias("qa"),
@@ -1994,6 +1995,9 @@ def _semdedup(emb: DataFrame) -> DataFrame:
     )
     # Coarse assignment: nearest seed (ties → lowest seed id); one
     # broadcast, no shuffle until the per-vector argmax window.
+    # localCheckpoint: THREE consumers (both pair sides + the output
+    # join) would each replay the K-way scoring crossJoin otherwise —
+    # the contamination-style duplication, one materialization fixes.
     wa = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("s_id")
     )
@@ -2004,24 +2008,44 @@ def _semdedup(emb: DataFrame) -> DataFrame:
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
         .select("vec_id", "ca", "cn", F.col("s_id").alias("cluster"))
+        .localCheckpoint()
     )
+    # Within-cluster near-twins; the HIGHER id of each pair is the drop
+    # candidate (lowest id in a dup set survives transitively: it has
+    # no lower neighbor, and every other member has one — it).
+    # SALTED cluster join (the _band_pairs trick, same result-identity
+    # argument): with few clusters (K < cores — only ever a small
+    # corpus; K grows with N) the per-pair interpreted sim math would
+    # land on ≤ K post-shuffle partitions, and AQE would coalesce the
+    # tiny local shuffle to ONE. The a-side takes a deterministic salt
+    # in [0, g) (xxhash64, retry-stable), the b-side replicates g ways,
+    # and the pinned repartition keys both sides (cluster, _s) so every
+    # in-cluster pair meets exactly once while the quadratic work fans
+    # over g·K reducers. At scale K ≥ cores ⇒ g = 1: plan shape is the
+    # plain cluster join, no replication.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    g = max(1, par // max(int(k_seeds), 1))
     a = assign.select(
         F.col("vec_id").alias("a_id"),
         F.col("ca").alias("qa"),
         F.col("cn").alias("qn"),
         "cluster",
+        F.pmod(F.xxhash64("vec_id"), F.lit(g)).alias("_s"),
     )
     b = assign.select(
         F.col("vec_id").alias("b_id"),
         F.col("ca"),
         F.col("cn"),
         "cluster",
+        F.explode(F.expr(
+            f"sequence(CAST(0 AS BIGINT), CAST({g - 1} AS BIGINT))"
+        )).alias("_s"),
     )
-    # Within-cluster near-twins; the HIGHER id of each pair is the drop
-    # candidate (lowest id in a dup set survives transitively: it has
-    # no lower neighbor, and every other member has one — it).
+    if g > 1:
+        a = a.repartition(par, F.col("cluster"), F.col("_s"))
+        b = b.repartition(par, F.col("cluster"), F.col("_s"))
     dups = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "_s"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("b_id", F.expr(_SIM).alias("sim"))
         .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
@@ -3209,7 +3233,10 @@ def _build_ivf_index(spark, sf_dir, key):
         .crossJoin(broadcast(model)).select(
             F.expr(_ASSIGN_EXPR).alias("cluster_id"), "c_id", "ca", "cn",
         )
-    (newa.write.format("versioned").mode("append")
+    # repartition(1) before the DS append — one part file per input
+    # partition otherwise turns the spread batch into 32 near-empty
+    # committed files (see _build_dedup_index)
+    (newa.repartition(1).write.format("versioned").mode("append")
      .option("path", asg_path).save())
     corpus.unpersist()
     _IVF_IDX_CACHE[key] = (cent_path, asg_path)

@@ -609,27 +609,45 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir, "doc_id", "text")
     h = SPARK_HASH_SQL("concat_ws(' ', slice(ws, i, 5))")
     grams = f"array_distinct(transform(sequence(1, size(ws) - 4), i -> {h}))"
+    # localCheckpoint: a MATERIALIZATION boundary under the explode —
+    # without it Catalyst inlines the gram transform (250k md5s) into
+    # every consumer expression through the Generate (size(hs) AND the
+    # explode arg AND the eval branch re-derive it: measured 2.6 s for
+    # the bare explode vs 0.06 s past a boundary — the same
+    # CollapseProject duplication _cached_postings documents). Per-call
+    # checkpoint, not a session cache: every invocation recomputes from
+    # the parquet inputs.
     with_h = (
         docs.select("doc_id", F.expr(_WORDS).alias("ws"))
         .filter(F.expr("size(ws) >= 5"))
         .select("doc_id", F.expr(grams).alias("hs"))
+        .localCheckpoint()
     )
-    eval_set = (
+    eval_tbl = (
         with_h.filter(F.expr("doc_id % 97 = 0"))
         .select(F.explode("hs").alias("h"))
-        .agg(F.expr("sort_array(collect_set(h))").alias("eval_hashes"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    # array_intersect is computed ONCE in the inner projection — three
-    # inline copies would each re-run it (interpreted HOFs get no
-    # common-subexpression elimination), and CollapseProject leaves
-    # expensive expressions un-inlined, so the two-level select sticks.
+    # Membership as a BROADCAST HASH-JOIN PROBE over the exploded
+    # grams, not a per-row array_intersect against the whole eval
+    # array: ArrayIntersect is an interpreted expression that rebuilds
+    # the eval-side hash set PER ROW (|eval| work × every document),
+    # where the join probes a codegen'd broadcast hash relation once
+    # per gram (guide §4.1 — prefer codegen'd relational operators
+    # over interpreted collection expressions). hs is array_distinct
+    # and eval_tbl is distinct, so matched-gram count == intersection
+    # size; every kept doc has size(ws) >= 5, hence >= 1 gram, so no
+    # doc drops out of the explode. Measured 4.0 s → 0.8 s at sf0.1.
     return (
-        with_h.join(F.broadcast(eval_set))
-        .select(
+        with_h.select(
             "doc_id",
             F.expr("CAST(size(hs) AS BIGINT)").alias("n_ngrams"),
-            F.expr("CAST(size(array_intersect(hs, eval_hashes)) AS BIGINT)").alias("n_overlap"),
+            F.explode("hs").alias("h"),
         )
+        .join(F.broadcast(eval_tbl), "h", "left")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.expr("CAST(COUNT(_hit) AS BIGINT)").alias("n_overlap"))
         .select(
             "doc_id",
             "n_ngrams",
@@ -907,6 +925,11 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.expr(_WORDS).alias("ws"))
         .filter(F.expr("size(ws) >= 3"))
         .select("doc_id", F.explode(F.expr(grams)).alias("g"))
+        # materialization boundary: the first-doc aggregate AND the
+        # join-back both consume ex — without it each branch re-runs
+        # the gram md5 transform (the doc_contamination duplication,
+        # same fix). Per-call checkpoint, no session cache.
+        .localCheckpoint()
     )
     first = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (

@@ -2676,7 +2676,7 @@ def _write_dv_sidecar(spark: SparkSession, table_path: str, version: int,
 
 
 def _split_fully_matched(spark: SparkSession, table_path: str,
-                         matched: DataFrame, touched: list[str],
+                         mcounts: dict, touched: list[str],
                          touched_uris: list[str], parent_dv: dict):
     """Metadata-only whole-file split for MOR DML: a touched file whose
     every LIVE row matched DROPS from the child manifest instead of
@@ -2693,7 +2693,12 @@ def _split_fully_matched(spark: SparkSession, table_path: str,
     still current for file g can hold STALE positions for file f, and
     counting those twice understates ``live`` and drops a file that
     still has live rows (the r8 data-loss bug: the same guard
-    ``count_rows`` applies). Returns (dropped, dv_touched, dv_uris,
+    ``count_rows`` applies). ``mcounts`` is the per-file matched-row
+    count map (normalized absolute path → count) the caller already
+    collected — the callers derive touched files AND the deleted-row
+    total from that same single aggregation, so the DML's discovery
+    costs ONE Spark action instead of three (distinct-files collect +
+    count + per-file count). Returns (dropped, dv_touched, dv_uris,
     matched-rows-in-dv_touched)."""
     import pyarrow.parquet as pq
 
@@ -2703,8 +2708,6 @@ def _split_fully_matched(spark: SparkSession, table_path: str,
     uri_of = {by_abs[os.path.normpath(_uri_to_path(u))]: u
               for u in touched_uris
               if os.path.normpath(_uri_to_path(u)) in by_abs}
-    mcounts = {os.path.normpath(_uri_to_path(r["__f"])): r["count"]
-               for r in matched.groupBy("__f").count().collect()}
     old_dv_counts: dict[str, int] = {}
     # group touched files by their current vector (files touched in the
     # same past DML share one sidecar list) — one scan per group, each
@@ -2794,10 +2797,23 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         _read_files_dv(spark, table_path, parent, pfiles, schema,
                        file_col="__f", pos_col="__p")
         .filter(hit)
-        .localCheckpoint(eager=True)
     )
-    touched_uris = [r["__f"] for r in
-                    matched.select("__f").distinct().collect()]
+    # positions suffice for a plain DELETE's sidecar; full preimages
+    # are only pinned when an UPDATE rebuilds rows or the CDF needs
+    # them (same projection rule as merge_version_mor) — a 100-column
+    # table's delete checkpoint shrinks to two longs per matched row
+    if make_rows is None and not (make_feed is not None
+                                  and _cdf_enabled(parent)):
+        matched = matched.select("__f", "__p")
+    matched = matched.localCheckpoint(eager=True)
+    # ONE discovery aggregation feeds everything downstream: touched
+    # files (keys), deleted-row total (sum), and the per-file matched
+    # counts the fully-matched split needs — previously three separate
+    # Spark actions (distinct collect + count + per-file count) over
+    # the same checkpointed rows.
+    fcounts = {r["__f"]: r["count"]
+               for r in matched.groupBy("__f").count().collect()}
+    touched_uris = list(fcounts)
     if not touched_uris:
         return {"version": None, "files_total": len(pfiles),
                 "files_shared": len(pfiles), "rows_deleted": 0,
@@ -2806,11 +2822,13 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
     touched = sorted(
         by_abs[os.path.normpath(_uri_to_path(u))] for u in touched_uris
     )
-    n_deleted = matched.count()
+    n_deleted = sum(fcounts.values())
+    mcounts = {os.path.normpath(_uri_to_path(u)): c
+               for u, c in fcounts.items()}
     parent_dv = _dv_map(parent)
 
     dropped, dv_touched, dv_uris, n_dv_rows = _split_fully_matched(
-        spark, table_path, matched, touched, touched_uris, parent_dv)
+        spark, table_path, mcounts, touched, touched_uris, parent_dv)
 
     token = uuid.uuid4().hex[:12]
     sidecar_files: list[str] = []
@@ -3112,17 +3130,22 @@ def merge_version_mor(spark: SparkSession, table_path: str,
             # only pinned when the CDF needs them
             matched = matched.select("__f", "__p")
         matched = matched.localCheckpoint(eager=True)
-        touched_uris = [r["__f"] for r in
-                        matched.select("__f").distinct().collect()]
+        # same single-aggregation discovery as _mor_dml: files, total,
+        # and per-file counts from one action
+        fcounts = {r["__f"]: r["count"]
+                   for r in matched.groupBy("__f").count().collect()}
+        touched_uris = list(fcounts)
         if touched_uris:
             by_abs = {_abs_file(table_path, f): f for f in pfiles}
             touched = sorted(
                 by_abs[os.path.normpath(_uri_to_path(u))]
                 for u in touched_uris
             )
-            n_deleted = matched.count()
+            n_deleted = sum(fcounts.values())
+            mcounts = {os.path.normpath(_uri_to_path(u)): c
+                       for u, c in fcounts.items()}
             dropped, dv_touched, dv_uris, n_dv_rows = _split_fully_matched(
-                spark, table_path, matched, touched, touched_uris,
+                spark, table_path, mcounts, touched, touched_uris,
                 parent_dv)
             if dv_touched:
                 sidecar_files, dv_bytes, final_dv = _write_dv_sidecar(

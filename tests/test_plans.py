@@ -101,8 +101,13 @@ def test_whole_stage_codegen_present(spark):
     df.collect()  # AQE finalizes the plan only on execution
     plan = _plan(df)
     # Codegen stages print as "*(n) Operator" in the plan string; the
-    # scan-filter-project-partial_agg pipeline must be inside one.
-    assert "*(1) HashAggregate" in plan or "WholeStageCodegen" in plan
+    # filter-project-partial_agg pipeline must be inside one. The stage
+    # NUMBER is layout-dependent (the r13 spread() exchange ahead of
+    # the aggregation shifts it), so accept any codegen'd aggregate.
+    import re
+
+    assert re.search(r"\*\(\d+\) HashAggregate", plan) \
+        or "WholeStageCodegen" in plan
 
 
 def test_pgn_numbering_has_no_global_sort(spark):
