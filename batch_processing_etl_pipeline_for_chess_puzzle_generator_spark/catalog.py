@@ -8,6 +8,7 @@ catalog/metastore; here it fronts ``{sf_dir}/{name}.parquet``.
 
 from __future__ import annotations
 
+import os
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,6 +84,34 @@ _SPREAD_KEYS = {
 }
 
 
+#: below this many source bytes a spread() is identity even on a
+#: one-task scan: the per-row work on a sub-quarter-MB table is
+#: cheaper than the exchange it would buy (measured at sf0.001/0.01,
+#: where every touched query's spread was pure task overhead).
+SPREAD_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES",
+                                      256 * 1024))
+
+
+def table_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Total source bytes of the base table (memoized per session —
+    driver-side file-size sum over the scan's input files)."""
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = ("bytes", sf_dir, name)
+    if key not in per_session:
+        import os as _os
+        from urllib.parse import urlparse
+
+        total = 0
+        for uri in table(spark, sf_dir, name).inputFiles():
+            p = urlparse(uri).path or uri
+            try:
+                total += _os.path.getsize(p)
+            except OSError:
+                pass
+        per_session[key] = total
+    return per_session[key]
+
+
 def scan_parallelism(spark: SparkSession, sf_dir: str, name: str) -> int:
     """How many tasks the base table's parquet scan fans out to
     (memoized per session — ``.rdd.getNumPartitions()`` compiles the
@@ -120,7 +149,8 @@ def spread(spark: SparkSession, sf_dir: str, name: str,
     exchange moves only the columns the heavy stage needs."""
     base = table(spark, sf_dir, name) if df is None else df
     n = spark.sparkContext.defaultParallelism
-    if scan_parallelism(spark, sf_dir, name) * 2 >= n:
+    if (scan_parallelism(spark, sf_dir, name) * 2 >= n
+            or table_bytes(spark, sf_dir, name) < SPREAD_MIN_BYTES):
         return base
     cols = keys or _SPREAD_KEYS[name]
     return base.repartition(n, *[F.col(k) for k in cols])

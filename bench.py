@@ -69,6 +69,20 @@ def _run_one() -> int:
     # timed query doesn't pay session spin-up.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # ... and the PYTHON worker pool: the first Arrow task on each of
+    # the N cores forks a worker that imports pandas/pyarrow (~0.5 s
+    # each, contending) — without this the first multimodal query of
+    # the TIMED pass pays ~3-4 s of simultaneous cold imports instead
+    # of decode work (r13; the sf0.001 warm pass below no longer warms
+    # them since tiny inputs skip the spread fan-out).
+    n_cores = spark.sparkContext.defaultParallelism
+
+    def _noop(batches):
+        import pandas  # noqa: F401 — the import IS the warmup
+        yield from batches
+
+    (spark.range(n_cores * 4, numPartitions=n_cores)
+     .mapInPandas(_noop, schema="id long").count())
 
     qs = entrymod.queries()
 

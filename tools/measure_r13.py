@@ -54,6 +54,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n_cores = spark.sparkContext.defaultParallelism
+
+    def _noop(batches):
+        import pandas  # noqa: F401 — python-worker pool warmup
+        yield from batches
+
+    (spark.range(n_cores * 4, numPartitions=n_cores)
+     .mapInPandas(_noop, schema="id long").count())
 
     qs = entrymod.queries()
     if names == ["ALL"]:
