@@ -94,7 +94,11 @@ SPREAD_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES",
 
 def table_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Total source bytes of the base table (memoized per session —
-    driver-side file-size sum over the scan's input files)."""
+    driver-side file-size sum over the scan's input files). Returns
+    ``-1`` ("unknown — assume large") when any input is not a local
+    file (s3://, hdfs://): counting an unreadable remote file as 0
+    would read as "tiny table" and silently disable spread() for
+    exactly the single huge remote file guide §2.5 targets."""
     per_session = _TABLE_CACHE.setdefault(spark, {})
     key = ("bytes", sf_dir, name)
     if key not in per_session:
@@ -107,7 +111,8 @@ def table_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
             try:
                 total += _os.path.getsize(p)
             except OSError:
-                pass
+                total = -1
+                break
         per_session[key] = total
     return per_session[key]
 
@@ -125,6 +130,20 @@ def scan_parallelism(spark: SparkSession, sf_dir: str, name: str) -> int:
     if key not in per_session:
         per_session[key] = table(spark, sf_dir, name).rdd.getNumPartitions()
     return per_session[key]
+
+
+def needs_spread(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """THE spread gate, shared by :func:`spread` and every caller that
+    must adapt its own layout to whether the input was spread (e.g.
+    dedup's post-aggregation compaction) — one predicate, so the two
+    sides cannot drift. True iff the source scan would serialize most
+    cores (< half of defaultParallelism) AND the source is not tiny
+    (unknown sizes count as large — see :func:`table_bytes`)."""
+    n = spark.sparkContext.defaultParallelism
+    if scan_parallelism(spark, sf_dir, name) * 2 >= n:
+        return False
+    tb = table_bytes(spark, sf_dir, name)
+    return tb < 0 or tb >= SPREAD_MIN_BYTES
 
 
 def spread(spark: SparkSession, sf_dir: str, name: str,
@@ -148,10 +167,9 @@ def spread(spark: SparkSession, sf_dir: str, name: str,
     Callers project/filter first and pass the result as ``df`` so the
     exchange moves only the columns the heavy stage needs."""
     base = table(spark, sf_dir, name) if df is None else df
-    n = spark.sparkContext.defaultParallelism
-    if (scan_parallelism(spark, sf_dir, name) * 2 >= n
-            or table_bytes(spark, sf_dir, name) < SPREAD_MIN_BYTES):
+    if not needs_spread(spark, sf_dir, name):
         return base
+    n = spark.sparkContext.defaultParallelism
     cols = keys or _SPREAD_KEYS[name]
     return base.repartition(n, *[F.col(k) for k in cols])
 

@@ -157,10 +157,9 @@ def _signatures(spark: SparkSession, sf_dir: str,
     # signature rows once; at production parallelism the gate is
     # false on both sides and the natural partitioning stands.
     sig = exploded.groupBy("doc_id").agg(*mins)
-    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import scan_parallelism
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import needs_spread
 
-    if (scan_parallelism(spark, sf_dir, "documents") * 2
-            < spark.sparkContext.defaultParallelism):
+    if needs_spread(spark, sf_dir, "documents"):
         sig = sig.repartition(4, F.col("doc_id"))
     return _cache_put(_SIG_CACHE, key, sig.persist())
 

@@ -646,18 +646,34 @@ def profile_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (single wide agg) / 35 s (grouped) vs ~1 s for this split at
     # sf0.1, and a straight OOM at 100 TB.
     stack = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _NDV_COLS)
-    # spread(): the stack fan-out (rows × columns) and both aggregates'
-    # partials ran inside the one-task scan (guide §2.5)
-    tall = spread(spark, sf_dir, "lineitem", li).select(
+    # spread(): the stack fan-out (rows × columns) and the distinct
+    # partials ran inside the one-task scan (guide §2.5). Project to
+    # exactly _NDV_COLS FIRST so the exchange moves 4 narrow columns,
+    # not the whole row (the r13 version shipped all of lineitem
+    # through the spread — the round's one driver-confirmed
+    # regression, 2.44 → 3.71 s).
+    tall = spread(
+        spark, sf_dir, "lineitem", li.select(*_NDV_COLS),
+        keys=("l_partkey", "l_suppkey"),
+    ).select(
         F.expr(f"stack({len(_NDV_COLS)}, {stack}) AS (col_name, val)")
     )
-    exact = tall.groupBy("col_name").agg(
-        F.countDistinct("val").alias("ndv_exact")
+    # Dedup (col_name, val) ONCE, then exact NDV is a plain count and
+    # the HLL runs over the distinct values — sketch state depends only
+    # on the SET of inputs (each value maxes the same register), so
+    # ndv_approx is bit-identical to the r13 two-aggregate form while
+    # the scan + stack subtree runs once instead of twice and the
+    # exact/approx join disappears (plan: 2 parallel aggregates + a
+    # broadcast join → 1 aggregate chain). count() here is NOT
+    # countDistinct — no distinct-expand, the sketch never keys by
+    # (group, value) (see the warning above).
+    # NULLs are dropped first: countDistinct and the HLL both ignore
+    # them, but a plain count over distinct rows would not.
+    distinct_vals = tall.filter(F.col("val").isNotNull()).distinct()
+    agged = distinct_vals.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("ndv_exact"),
+        F.expr(f"approx_count_distinct(val, {_NDV_RSD})").alias("ndv_approx"),
     )
-    approx = tall.groupBy("col_name").agg(
-        F.expr(f"approx_count_distinct(val, {_NDV_RSD})").alias("ndv_approx")
-    )
-    agged = exact.join(F.broadcast(approx), "col_name")
     return agged.select(
         "col_name",
         "ndv_exact",
@@ -1138,7 +1154,8 @@ def _dv_orders_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             o.repartitionByRange(4, "o_orderkey"), p, 0,
         )
     versioned.set_table_property(mor, "dv.enabled", "true")
-    for p in (mor, cow):  # identical DML sequence, different physics
+
+    def _dml_seq(p: str) -> None:  # identical DML sequence per table
         versioned.delete_where(spark, p, "o_orderkey % 10 = 3")
         versioned.update_where(
             spark, p, {"o_totalprice": _NEW_PRICE}, "o_orderkey % 4 = 0"
@@ -1152,6 +1169,32 @@ def _dv_orders_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         versioned.delete_where(
             spark, p, "o_orderkey < 1000 AND o_orderkey % 10 = 7")
         versioned.delete_where(spark, p, "o_orderkey % 10 = 5")
+
+    # The two tables' DML histories are INDEPENDENT (separate paths,
+    # separate manifests — the commits only race within one table, and
+    # here each table's sequence stays strictly ordered in its own
+    # thread): run them as two concurrent driver threads so the COW
+    # rewrites back-fill cores idled by the MOR commits' driver-side
+    # bookkeeping (guide §2.6 "overlap independent jobs" — the same
+    # shape as the hidden-events two-era write).
+    import threading
+
+    errs: list[BaseException] = []
+
+    def _run(p: str) -> None:
+        try:
+            _dml_seq(p)
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            errs.append(exc)
+
+    threads = [threading.Thread(target=_run, args=(p,))
+               for p in (mor, cow)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
     _DV_CACHE[key] = (mor, cow)
     fixtures.done("dv_orders", _t0)
     return mor, cow

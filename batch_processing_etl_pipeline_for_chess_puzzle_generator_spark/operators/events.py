@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread, table
+from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import table
 
 SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 

@@ -2567,6 +2567,8 @@ THRESH_GRID = (40, 50, 60, 70, 80, 90)
 
 
 def emb_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.catalog import spread
+
     emb = (
         table(spark, sf_dir, "embeddings")
         .select(
@@ -2576,7 +2578,21 @@ def emb_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("nrm", F.expr(_qnorm("qi")))
     )
-    a = emb.select(
+    # spread() the PROBE side: the blocked self-join broadcasts b, so
+    # the quadratic per-pair _SIM HOF math runs in whatever stage
+    # carries a — on the single-task local scan that was ONE core for
+    # ~|label-block|² interpreted dot products (guide §2.5; the same
+    # fan-out _split gives every other scorer).
+    a_src = spread(
+        spark, sf_dir, "embeddings",
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding"),
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(_QUANT.format(col="embedding")).alias("qi"),
+    ).withColumn("nrm", F.expr(_qnorm("qi")))
+    a = a_src.select(
         F.col("vec_id").alias("a_id"),
         F.col("qi").alias("qa"),
         F.col("label").alias("blk"),
@@ -3268,7 +3284,22 @@ def ivf_query_topk(spark: SparkSession, cent_path: str, asg_path: str,
         "q_id", "qa", "qn",
         F.explode(F.expr(probe_expr)).alias("cluster_id"),
     )
-    committed = versioned.read_version(spark, asg_path)
+    # stats_hint=False: read_version's manifest-stats broadcast hint
+    # sees a dim-sized assignment table and flips the probe join's
+    # build side — the planner then BROADCASTS committed and streams
+    # the tiny probes frame, so every candidate's per-pair _SIM dot
+    # product (|q| × nprobe × bucket — the whole cost of this query)
+    # runs in probes' single task (measured 2.5-3.1 s vs 0.3-0.6 s
+    # at sf0.1). The probes side below is the deliberate broadcast.
+    committed = versioned.read_version(spark, asg_path, stats_hint=False)
+    # The probe join streams the committed side, so the candidate sim
+    # math runs in the stage that carries the committed scan. The
+    # local index commits as a handful of small files (~9 tasks); fan
+    # it out to the cores first, same gate as catalog.spread() —
+    # identity on any production-parallel index layout (guide §2.5).
+    n = spark.sparkContext.defaultParallelism
+    if committed.rdd.getNumPartitions() * 2 < n:
+        committed = committed.repartition(n, F.col("c_id"))
     wf = Window.partitionBy("q_id").orderBy(
         F.col("sim").desc(), F.col("c_id"))
     return (
@@ -4031,29 +4062,84 @@ def _pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _t0 = fixtures.start()
     _, c = _split(spark, sf_dir)
-    comp = c.select("c_id", F.posexplode("ca").alias("pos", "x"))
-    n_tot = comp.groupBy().agg(
-        F.expr("COUNT(DISTINCT c_id)").alias("n"))
-    sums = comp.groupBy("pos").agg(F.expr("SUM(x)").alias("sx"))
-    # moments are generated ROW-LOCALLY (upper triangle per vector,
-    # nested transform — no self-join): partial aggregation collapses
-    # each task's products to ≤ d² groups before the exchange, so the
-    # shuffle carries O(tasks·d²) rows instead of the self-join's
-    # O(n·d) re-shuffle of the exploded components (measured 6.2 s →
-    # the products now ride the scan stage). The lower triangle is
-    # mirrored afterwards — C is symmetric.
-    # per-element products stay BIGINT (components are grid-bounded at
-    # ±~2e6 per vector, so x_i·x_j ≤ ~4e12 at ANY corpus size — only
-    # the cross-ROW sum needs the wide type); DECIMAL multiplies here
-    # would triple the scan-stage cost for nothing
-    upper = c.select(F.expr(
-        "explode(flatten(transform(sequence(0, size(ca) - 1), i -> "
-        "transform(sequence(i, size(ca) - 1), j -> "
-        "named_struct('i', i, 'j', j, "
-        "'p', element_at(ca, i + 1) * element_at(ca, j + 1)))))) AS e"
-    )).selectExpr("e.i AS i", "e.j AS j", "e.p AS p") \
-        .groupBy("i", "j").agg(
-            F.expr("SUM(CAST(p AS DECIMAL(38,0)))").alias("sxx"))
+    # n = COUNT(DISTINCT corpus id) — computed from the RAW vec_id
+    # projection, not the quantized frame: the quantize transform is
+    # the expensive part of every corpus scan, and n needs none of it
+    # (identical value: c_id is vec_id filtered to the corpus side).
+    n_tot = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .agg(F.expr("COUNT(DISTINCT vec_id)").alias("n"))
+    )
+    # moments are generated BATCH-LOCALLY (upper triangle per Arrow
+    # batch via one integer X·Xᵀ — no self-join, no per-element
+    # interpreted lambda): the r13 form exploded d(d+1)/2 structs per
+    # vector through a nested ``transform`` (interpreted HOF — 2080
+    # struct allocations per row), which was the whole cost of the
+    # moment pass. Handing each Arrow batch to numpy (guide §4.2)
+    # computes the identical per-batch partial in one native matmul;
+    # the shuffle still carries O(batches·d²) rows. The lower triangle
+    # is mirrored afterwards — C is symmetric.
+    # EXACTNESS: components are grid-bounded at ±~2e6, so x_i·x_j ≤
+    # ~4.4e12 and a ≤10k-row Arrow batch's partial sum ≤ ~4.4e16 —
+    # inside int64 at ANY corpus size (partials are emitted PER BATCH,
+    # never accumulated across batches, so the bound cannot grow with
+    # partition size); only the cross-BATCH sum needs DECIMAL(38,0),
+    # same as the cross-ROW sum before. Integer addition is
+    # associative, so batch-partial grouping changes nothing.
+    # The SAME pass also emits each batch's per-dimension column sums
+    # as (i=pos, j=-1, p=Σx) rows — Σx per batch ≤ 2e10, and the
+    # downstream SUM over batch partials equals the old per-row SUM(x)
+    # exactly — so the quantize transform runs ONCE per corpus scan
+    # instead of separately for the moment pass and the sums pass.
+    def _moment_partials(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            col = b.column(0)
+            n = len(col)
+            if n == 0:
+                continue
+            if col.null_count:
+                raise ValueError("NULL quantized vector in moment pass")
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            if (lens != lens[0]).any():
+                raise ValueError("ragged embedding dims in moment pass")
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = np.ascontiguousarray(
+                flat.reshape(n, lens[0]).astype(np.int64, copy=False))
+            d = x.shape[1]
+            m = x.T @ x  # exact int64 (bounds above)
+            iu, ju = np.triu_indices(d)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate([iu, np.arange(d)])
+                          .astype(np.int64)),
+                 pa.array(np.concatenate([ju, np.full(d, -1)])
+                          .astype(np.int64)),
+                 pa.array(np.concatenate([m[iu, ju], x.sum(axis=0)]))],
+                names=["i", "j", "p"],
+            )
+
+    # one corpus pass total: the (d²/2 + d)-row partials are pinned
+    # once (they feed both the moment aggregate and the sums), then
+    # split by the j = -1 marker
+    part = (
+        c.select("ca")  # project first: opaque fn defeats pruning (§4)
+        .mapInArrow(_moment_partials, schema="i long, j long, p long")
+        .localCheckpoint(eager=True)
+    )
+    upper = (
+        part.filter("j >= 0")
+        .groupBy("i", "j")
+        .agg(F.expr("SUM(CAST(p AS DECIMAL(38,0)))").alias("sxx"))
+    )
+    sums = (
+        part.filter("j = -1")
+        .groupBy("i")
+        .agg(F.expr("SUM(p)").alias("sx"))
+        .selectExpr("CAST(i AS INT) AS pos", "sx")
+    )
     xmom = upper.unionByName(
         upper.filter("i != j").selectExpr("j AS i", "i AS j", "sxx"))
     craw = (

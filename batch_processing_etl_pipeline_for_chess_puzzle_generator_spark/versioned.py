@@ -658,6 +658,12 @@ def drop_column(table_path: str, name: str) -> int:
     return _publish(table_path, manifest)
 
 
+#: sidecar files always carry exactly (file URI, in-file position) —
+#: passing the schema explicitly saves one driver-side parquet-footer
+#: inference per sidecar read (every MOR commit reads sidecars 2-3×)
+_DV_SIDECAR_SCHEMA = "file STRING, pos BIGINT"
+
+
 def _dv_map(manifest: dict) -> dict:
     """{data-file entry: [sidecar parquet file entries]} — the
     manifest's deletion-vector index ({} if the version has none)."""
@@ -717,7 +723,8 @@ def _read_files_dv(spark: SparkSession, table_path: str, manifest: dict,
     )
     if sidecars:
         dvdf = (
-            spark.read.parquet(*[_abs_file(table_path, s) for s in sidecars])
+            spark.read.schema(_DV_SIDECAR_SCHEMA)
+            .parquet(*[_abs_file(table_path, s) for s in sidecars])
             .select(F.col("file").alias("__dv_uri"),
                     F.col("pos").alias("__dv_pos"))
         )
@@ -1229,7 +1236,7 @@ def _apply_identity(spark: SparkSession, table_path: str, df: DataFrame,
 
 def _enforce_constraints(spark: SparkSession, table_path: str,
                          new_files: list[str], constraints: dict,
-                         cleanup_dir: str | None) -> None:
+                         cleanup_dir: str | None, schema=None) -> None:
     """CHECK-constraint gate on a commit's NEW files only (untouched
     parent files were validated by the commit that wrote them): one
     combined aggregate pass counts, per constraint, the rows where the
@@ -1244,7 +1251,12 @@ def _enforce_constraints(spark: SparkSession, table_path: str,
 
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(*[_abs_file(table_path, f) for f in new_files])
+    # every commit path writes files schema-aligned (an explicit select
+    # of the snapshot's fields), so passing that schema through skips a
+    # per-commit footer-inference pass over the new files (for a
+    # partition-aligned table that is one footer read per partition dir)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    df = reader.parquet(*[_abs_file(table_path, f) for f in new_files])
     names = sorted(constraints)
     aggs = [
         F.sum((~F.expr(constraints[n]).eqNullSafe(True)).cast("long"))
@@ -1634,7 +1646,8 @@ def write_version(df: DataFrame, table_path: str,
     checks = dict(cons)
     if generated:
         checks.update(_gen_checks({"generated": generated}))
-    _enforce_constraints(df.sparkSession, table_path, files, checks, final)
+    _enforce_constraints(df.sparkSession, table_path, files, checks,
+                         final, schema=df.schema)
     manifest = {
         "version": version,
         "dir": data_dir,
@@ -1931,7 +1944,8 @@ def merge_version_cow(spark: SparkSession, table_path: str,
     # invariants ride along (supplied values must equal the expression)
     cons = parent.get("constraints") or {}
     _enforce_constraints(spark, table_path, new_files,
-                         {**cons, **_gen_checks(parent)}, final)
+                         {**cons, **_gen_checks(parent)}, final,
+                         schema=out_struct)
 
     # persisted CDF: classify the MERGE's row-level changes from
     # BOUNDED sides — matched parent rows (confined to the touched
@@ -2203,7 +2217,8 @@ def _predicate_cow(spark: SparkSession, table_path: str,
         # can introduce violations into previously-valid rows);
         # generated-column invariants ride along
         _enforce_constraints(spark, table_path, new_files,
-                             {**cons, **_gen_checks(parent)}, final)
+                             {**cons, **_gen_checks(parent)}, final,
+                             schema=schema)
 
     parent_dv = _dv_map(parent)
     own = set(touched) | set(dropped)
@@ -2637,7 +2652,7 @@ def _write_dv_sidecar(spark: SparkSession, table_path: str, version: int,
             vec_groups.setdefault(sidecars, []).append(uri_of[f])
     for sidecars, uris in vec_groups.items():
         old_rows = (
-            spark.read.parquet(
+            spark.read.schema(_DV_SIDECAR_SCHEMA).parquet(
                 *[_abs_file(table_path, s) for s in sidecars]
             )
             .filter(F.col("file").isin(uris))
@@ -2719,7 +2734,7 @@ def _split_fully_matched(spark: SparkSession, table_path: str,
             vec_groups.setdefault(sidecars, set()).add(
                 _abs_file(table_path, f))
     for sidecars, targets in vec_groups.items():
-        for r in spark.read.parquet(
+        for r in spark.read.schema(_DV_SIDECAR_SCHEMA).parquet(
             *[_abs_file(table_path, s) for s in sidecars]
         ).groupBy("file").count().collect():
             p = os.path.normpath(_uri_to_path(r["file"]))
@@ -2859,7 +2874,8 @@ def _mor_dml(spark: SparkSession, table_path: str, predicate_sql: str,
         os.rename(staged, final_data)
         new_files = _list_data_files(table_path, data_dir)
         _enforce_constraints(spark, table_path, new_files,
-                             {**cons, **_gen_checks(parent)}, final_data)
+                             {**cons, **_gen_checks(parent)}, final_data,
+                             schema=schema)
 
     # persisted CDF: the pinned matched rows already hold the full
     # preimages — the feed costs one bounded pass, no re-scan
@@ -3211,7 +3227,8 @@ def merge_version_mor(spark: SparkSession, table_path: str,
         os.rename(staged, final_data)
         new_files = _list_data_files(table_path, data_dir)
         _enforce_constraints(spark, table_path, new_files,
-                             {**cons, **_gen_checks(parent)}, final_data)
+                             {**cons, **_gen_checks(parent)}, final_data,
+                             schema=schema)
     if not touched and not new_files:
         if final_dv is not None:
             shutil.rmtree(final_dv, ignore_errors=True)

@@ -259,3 +259,78 @@ def test_emb_incr_semdedup_corpus_free_and_consistent(spark):
              versioned.read_version(spark, cent_path)
              .select("cluster_id").collect()}
     assert {r.cluster for r in rows} <= cents
+
+
+def test_pca_moment_partials_match_expression_form(spark):
+    """The Arrow/numpy moment pass (r14: batch X·Xᵀ partials per Arrow
+    batch + per-dim column sums tagged j = -1) must reproduce, bit for
+    bit, the r13 expression form (per-row upper-triangle explode) for
+    both the cross-moment table AND the per-dimension sums — the
+    integer-grid covariance is oracle-gated, so any drift here is a
+    correctness bug, not a perf regression."""
+    from batch_processing_etl_pipeline_for_chess_puzzle_generator_spark.operators.similarity import _split
+
+    _, c = _split(spark, SF_SMALL)
+    c = c.localCheckpoint()
+    ref_upper = {
+        (r["i"], r["j"]): r["sxx"]
+        for r in c.select(F.expr(
+            "explode(flatten(transform(sequence(0, size(ca) - 1), i -> "
+            "transform(sequence(i, size(ca) - 1), j -> "
+            "named_struct('i', i, 'j', j, "
+            "'p', element_at(ca, i + 1) * element_at(ca, j + 1)))))) AS e"
+        )).selectExpr("e.i AS i", "e.j AS j", "e.p AS p")
+        .groupBy("i", "j")
+        .agg(F.expr("SUM(CAST(p AS DECIMAL(38,0)))").alias("sxx"))
+        .collect()
+    }
+    ref_sums = {
+        r["pos"]: r["sx"]
+        for r in c.select(F.posexplode("ca").alias("pos", "x"))
+        .groupBy("pos").agg(F.expr("SUM(x)").alias("sx")).collect()
+    }
+    # regenerate the partials exactly the way _pca_cov does
+    from pyspark.sql import functions as FF
+
+    gen_src = c.select("ca")
+
+    def _partials(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            col = b.column(0)
+            n = len(col)
+            if n == 0:
+                continue
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = np.ascontiguousarray(
+                flat.reshape(n, lens[0]).astype(np.int64, copy=False))
+            d = x.shape[1]
+            m = x.T @ x
+            iu, ju = np.triu_indices(d)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate([iu, np.arange(d)])
+                          .astype(np.int64)),
+                 pa.array(np.concatenate([ju, np.full(d, -1)])
+                          .astype(np.int64)),
+                 pa.array(np.concatenate([m[iu, ju], x.sum(axis=0)]))],
+                names=["i", "j", "p"],
+            )
+
+    part = gen_src.mapInArrow(_partials, schema="i long, j long, p long")
+    got_upper = {
+        (r["i"], r["j"]): r["sxx"]
+        for r in part.filter("j >= 0").groupBy("i", "j")
+        .agg(FF.expr("SUM(CAST(p AS DECIMAL(38,0)))").alias("sxx"))
+        .collect()
+    }
+    got_sums = {
+        r["pos"]: r["sx"]
+        for r in part.filter("j = -1").groupBy("i")
+        .agg(FF.expr("SUM(p)").alias("sx"))
+        .selectExpr("CAST(i AS INT) AS pos", "sx").collect()
+    }
+    assert got_upper == ref_upper
+    assert got_sums == ref_sums
