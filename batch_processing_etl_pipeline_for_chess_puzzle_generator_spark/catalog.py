@@ -165,7 +165,12 @@ def spread(spark: SparkSession, sf_dir: str, name: str,
     non-deterministic input).
 
     Callers project/filter first and pass the result as ``df`` so the
-    exchange moves only the columns the heavy stage needs."""
+    exchange moves only the columns the heavy stage needs.
+
+    (A ``width=`` cap below defaultParallelism was prototyped for the
+    mm_* Python kernels in r14 and REVERTED — per-kind decode costs
+    differ too much for one bytes-derived width; see
+    multimodal.media_table and plans/r14/MEASUREMENTS.md.)"""
     base = table(spark, sf_dir, name) if df is None else df
     if not needs_spread(spark, sf_dir, name):
         return base

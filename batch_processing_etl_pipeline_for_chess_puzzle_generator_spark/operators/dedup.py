@@ -1415,8 +1415,10 @@ def _build_dedup_index(spark, sf_dir, key):
 
     hashes = table(spark, sf_dir, "documents").select(
         "doc_id", stable_hash64(F.col("text")).alias("h"))
-    versioned.write_version(hashes.filter("doc_id % 10 < 8"), hash_path)
 
+    # force the signature cache BEFORE the threads fork: _signatures
+    # memoizes a persisted frame, and two threads racing its first
+    # build would do the shingle pass twice
     bands = _signatures(spark, sf_dir).select(
         F.explode(F.array(*[
             F.struct(
@@ -1427,8 +1429,6 @@ def _build_dedup_index(spark, sf_dir, key):
         ])).alias("bd"),
         "doc_id",
     ).select("bd.band_idx", "bd.band_hash", "doc_id")
-    versioned.write_version(bands.filter("doc_id % 10 < 8"), band_path,
-                            partition_by=["band_idx"])
     # nightly increment: hash/shingle ONLY the new batch and
     # fast-append (v1) — the committed corpus rows untouched.
     # repartition(1) before the DS append: the writer emits one part
@@ -1438,12 +1438,45 @@ def _build_dedup_index(spark, sf_dir, key):
     # for (guide §6 small files). repartition, not coalesce: coalesce
     # would collapse the upstream shingle work back to one task.
     ensure_registered(spark)
-    (hashes.filter("doc_id % 10 >= 8").repartition(1)
-     .write.format("versioned")
-     .mode("append").option("path", hash_path).save())
-    (bands.filter("doc_id % 10 >= 8").repartition(1)
-     .write.format("versioned")
-     .mode("append").option("path", band_path).save())
+
+    # hash table and band table are INDEPENDENT (separate paths /
+    # manifests; each thread runs its own table's write → append in
+    # order) — overlap them so the band explode back-fills cores idled
+    # by the hash table's commit bookkeeping (guide §2.6, the dv_orders
+    # fixture's shape).
+    import threading
+
+    def _commit(df0, df1, path, **kw):
+        # per-thread: Python-DS saves resolve through the JVM-thread-
+        # local active session (see bench.py's stream threads)
+        ensure_registered(spark)
+        versioned.write_version(df0, path, **kw)
+        (df1.repartition(1).write.format("versioned")
+         .mode("append").option("path", path).save())
+
+    errs: list[BaseException] = []
+
+    def _run(fn, *a, **kw):
+        try:
+            fn(*a, **kw)
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=_run, args=(
+            _commit, hashes.filter("doc_id % 10 < 8"),
+            hashes.filter("doc_id % 10 >= 8"), hash_path)),
+        threading.Thread(target=_run, args=(
+            _commit, bands.filter("doc_id % 10 < 8"),
+            bands.filter("doc_id % 10 >= 8"), band_path),
+            kwargs={"partition_by": ["band_idx"]}),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
     _DEDUP_IDX_CACHE[key] = (hash_path, band_path)
     fixtures.done("dedup_index", _t0)
     return hash_path, band_path

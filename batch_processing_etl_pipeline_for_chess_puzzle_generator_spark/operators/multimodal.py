@@ -897,6 +897,14 @@ def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         # persist) is pure Python CPU — on a single-row-group scan it
         # all runs in ONE Arrow task (guide §2.5 / §4). One 8-byte-per-
         # row doc_id repartition fans the codec work out to every core.
+        # A bytes-derived narrower width (spread's ``width=``) was
+        # MEASURED here in r14 and reverted: it helped the cheap BMP
+        # decode (~0.49 → 0.37 s isolated) but regressed the heavy
+        # LZW/PNG kernels (0.56/0.62 → 0.87/0.82 s) — per-row decode
+        # cost differs ~10× by kind, so one byte target cannot fit
+        # all seven consumers of this shared frame, and the r13
+        # 8-vs-32-core "inversion" is floor noise at isolated scale
+        # (mins 0.4-0.7 s at BOTH core counts).
         docs = spread(spark, sf_dir, "documents",
                       table(spark, sf_dir, "documents").select("doc_id"))
         bounded_cache_put(_MEDIA_CACHE, key, synth_media(docs, kind).persist(),

@@ -2068,6 +2068,13 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread() here, not inside _semdedup: the core is also driven by
     # tests with synthetic frames whose layout is theirs to choose.
+    # NOTE (intentional, r13): _semdedup is EAGER at build time — it
+    # runs the prep count (adaptive K) and the assignment
+    # localCheckpoint when the DataFrame is CONSTRUCTED, so merely
+    # explaining this entry's plan executes the clustering. That is
+    # the deliberate trade from the r13 salted-join rewrite (K and the
+    # salt fan-out must be known to shape the plan); plan-capture
+    # tooling should expect it.
     return _semdedup(spread(
         spark, sf_dir, "embeddings",
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding")))
